@@ -24,4 +24,9 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     operators.Relational.oracles
+
+  /** Row-ordering applied by Verify (not Bench) before dumping results whose
+    * catalog plan intentionally carries no global sort. */
+  def verifySort: Map[String, Seq[String]] =
+    operators.Relational.verifySort
 }

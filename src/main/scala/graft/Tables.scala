@@ -18,7 +18,17 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Register every fixture table under `dir` as a temp view. Idempotent.
+  // Registration is cheap-idempotent: a session conf flag records the dir
+  // already registered so repeated calls (every catalog closure calls us)
+  // don't re-read 10 parquet footers or mutate session state again.
+  private val RegisteredKey = "spark.graft.registeredDir"
+
+  /** Register every fixture table under `dir` as a temp view. Idempotent
+    * per (session, dir).
+    *
+    * Determinism contract travels with the catalog: UTC session timezone is
+    * pinned here (not just in the callers) so timestamp-literal filters are
+    * always equivalent to the naive-timestamp DuckDB oracle.
     *
     * `events.ts` is parquet TIMESTAMP(NANOS) which Spark's vectorized reader
     * rejects; we read nanos as long and truncate to a µs timestamp with
@@ -26,7 +36,9 @@ object Tables {
     * precision), matching DuckDB's ns→µs truncation on read.
     */
   def register(spark: SparkSession, dir: String): Unit = {
+    if (spark.conf.getOption(RegisteredKey).contains(dir)) return
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     names.foreach { n =>
       val raw = spark.read.parquet(s"$dir/$n.parquet")
       val df =
@@ -35,5 +47,6 @@ object Tables {
         else raw
       df.createOrReplaceTempView(n)
     }
+    spark.conf.set(RegisteredKey, dir)
   }
 }

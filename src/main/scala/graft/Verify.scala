@@ -16,8 +16,16 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val df0 = fn(spark, sfDir)
+        // Deterministic dump order for queries whose catalog plan is
+        // intentionally unsorted (scale-safe); fixture-scale only.
+        val df = SparkEntry.verifySort.get(name) match {
+          case Some(keys) => df0.orderBy(keys.map(df0.col): _*)
+          case None       => df0
+        }
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

@@ -34,11 +34,13 @@ object Relational {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // R1: projection-only scan — ReadSchema must show just these 4 columns.
+    // No ORDER BY here: a full-table global sort nobody asked for is a
+    // cluster-wide range partition at 100 TB. Determinism ordering for the
+    // oracle hash is applied at the Verify boundary (verifySort).
     "q_scan_project" -> { (s, dir) =>
       Tables.register(s, dir)
       s.table("lineitem")
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
-        .orderBy("l_orderkey", "l_linenumber")
     },
 
     // R3: filter with parquet predicate pushdown (timestamp + double preds).
@@ -67,11 +69,14 @@ object Relational {
         .orderBy("l_returnflag", "l_linestatus")
     },
 
-    // R2: equi-join with an explicitly broadcast dimension side.
+    // R2: equi-join. No forced broadcast on customer: it scales with the
+    // fact tables (sf100 ≈ 15M rows), so the join strategy is left to
+    // size-based planning / AQE; only bounded dims (nation, region) get
+    // explicit broadcast hints elsewhere.
     "q_join_segment" -> { (s, dir) =>
       Tables.register(s, dir)
       s.table("orders")
-        .join(broadcast(s.table("customer")),
+        .join(s.table("customer"),
           col("o_custkey") === col("c_custkey"))
         .groupBy("c_mktsegment")
         .agg(
@@ -86,7 +91,7 @@ object Relational {
       Tables.register(s, dir)
       s.table("lineitem")
         .join(s.table("orders"), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(s.table("customer")),
+        .join(s.table("customer"),
           col("o_custkey") === col("c_custkey"))
         .join(broadcast(s.table("nation")),
           col("c_nationkey") === col("n_nationkey"))
@@ -153,7 +158,7 @@ object Relational {
             .as("f_sqrt_rev"),
           ((col("l_quantity") + col("l_tax")) * lit(2.0)).as("f_lin"),
           (-col("l_discount")).as("f_neg"))
-        .orderBy("l_orderkey", "l_linenumber")
+      // full-table sort moved to the Verify boundary (verifySort)
     },
 
     // §2.5 date functions: year/month buckets + datediff.
@@ -208,6 +213,14 @@ object Relational {
         .orderBy("event_type")
     }
   )
+
+  /** Deterministic row-ordering applied only at the Verify boundary (the
+    * driver's hash compare is row-order sensitive). Queries listed here stay
+    * unsorted in the catalog — their plans are the ones we'd run at 100 TB —
+    * and Verify sorts the (fixture-scale) result before dumping it. */
+  def verifySort: Map[String, Seq[String]] = Map(
+    "q_scan_project" -> Seq("l_orderkey", "l_linenumber"),
+    "q_expr_features" -> Seq("l_orderkey", "l_linenumber"))
 
   def oracles: Map[String, String] = Map(
     "q_scan_project" ->
