@@ -1,0 +1,167 @@
+package graft.dml
+
+/** ASTs for the DeclarativeML DSL, mirroring the reference's dataclasses
+  * (reference/dsl/parser.py:223-284) re-expressed as Scala case classes.
+  *
+  * Parameter values keep Python's int/float distinction (parser.py:295-297
+  * splits on "." in the token) because it is observable in the compiled SQL
+  * (json.dumps emits `1` vs `1.0`).
+  */
+sealed trait Value
+object Value {
+  final case class VInt(v: Long) extends Value
+  final case class VFloat(v: Double) extends Value
+  final case class VStr(v: String) extends Value
+  final case class VList(items: List[Value]) extends Value
+  /** Insertion-ordered, like a Python dict (parser.py:308-313). */
+  final case class VDict(entries: List[(String, Value)]) extends Value
+
+  /** Numeric doubles rendered the way Python repr() renders them for the
+    * value range the DSL uses (0.5 -> "0.5", 2.0 -> "2.0"). */
+  def pyFloatRepr(v: Double): String =
+    if (v.isWhole && math.abs(v) < 1e16) s"${v.toLong}.0" else v.toString
+
+  /** Python str() of a decoded value — used when flattening STOP WHEN
+    * comparisons back to a string (parser.py:512-514). */
+  def pyStr(v: Value): String = v match {
+    case VInt(i)       => i.toString
+    case VFloat(f)     => pyFloatRepr(f)
+    case VStr(s)       => s
+    case VList(items)  => items.map(pyRepr).mkString("[", ", ", "]")
+    case VDict(es)     => es.map { case (k, v) => s"'$k': ${pyRepr(v)}" }.mkString("{", ", ", "}")
+  }
+
+  private def pyRepr(v: Value): String = v match {
+    case VStr(s) => "'" + s + "'"
+    case other   => pyStr(other)
+  }
+}
+
+/** SPLIT DATA ratios; validation per parser.py:227-234 (each ratio in [0,1],
+  * sum within 1e-6 of 1.0) with the reference's exact error messages. */
+final case class DataSplit(ratios: List[(String, Double)]) {
+  ratios.foreach { case (_, r) =>
+    if (r < 0 || r > 1)
+      throw new IllegalArgumentException("split ratios must be between 0 and 1")
+  }
+  private val total = ratios.map(_._2).sum
+  if (math.abs(total - 1.0) > 1e-6)
+    throw new IllegalArgumentException("data split ratios must sum to 1.0")
+}
+
+/** VALIDATE USING m(params) | VALIDATE ON t (parser.py:237-241). Note the
+  * reference quirk: `VALIDATE USING m` with no parens produces on=m
+  * (transformer branches on item count, parser.py:501-507); mirrored. */
+final case class ValidationOption(
+    method: Option[String] = None,
+    params: Option[List[(String, Value)]] = None,
+    on: Option[String] = None)
+
+/** SAVE CHECKPOINTS EVERY k [unit]; positive-int check at construction per
+  * parser.py:486-499. */
+final case class CheckpointOption(interval: Long, unit: Option[String])
+
+sealed trait Statement
+
+/** TRAIN MODEL statement (parser.py:260-274). `features` are the canonical
+  * flattened strings the reference stores (re-parsed at compile time). */
+final case class TrainSpec(
+    name: String,
+    algorithm: String,
+    params: List[(String, Value)],
+    source: String,
+    target: String,
+    features: List[String],
+    sourceIsIdentifier: Boolean = true,
+    split: Option[DataSplit] = None,
+    validate: Option[ValidationOption] = None,
+    optimizeMetric: Option[String] = None,
+    stopCondition: Option[String] = None,
+    balanceMethod: Option[String] = None,
+    checkpoint: Option[CheckpointOption] = None)
+  extends Statement
+
+/** COMPUTE statement (parser.py:277-284). Options keep insertion order
+  * (BLOCK -> int, GRID -> string, SHARED -> string). */
+final case class ComputeSpec(
+    name: String,
+    kernel: String,
+    inputs: Option[List[String]] = None,
+    output: Option[String] = None,
+    scheduleTicks: Option[Long] = None,
+    options: Option[List[(String, Value)]] = None)
+  extends Statement
+
+object ComputeSpec {
+  /** Assemble a ComputeSpec from loosely-typed clause parts, mirroring
+    * TreeToModel.compute_stmt (parser.py:570-605) including its error
+    * messages — ports tests that drive the transformer directly. Parts are
+    * ("inputs", List[String]) | ("output", String) | ("schedule", Long) |
+    * kernel name String | (optionKey, Value). */
+  def assemble(name: String, parts: Seq[Any]): ComputeSpec = {
+    var inputs: Option[List[String]] = None
+    var output: Option[String] = None
+    var schedule: Option[Long] = None
+    var kernel: Option[String] = None
+    var options = List.empty[(String, Value)]
+    parts.foreach {
+      case ("inputs", is: List[_])  => inputs = Some(is.map(_.toString))
+      case ("output", o: String)    => output = Some(o)
+      case ("schedule", t: Long)    => schedule = Some(t)
+      case ("schedule", t: Int)     => schedule = Some(t.toLong)
+      case k: String if kernel.isEmpty => kernel = Some(k)
+      case (key: String, v: Value)  => options = options :+ (key -> v)
+      case other =>
+        throw new IllegalArgumentException(
+          s"Unexpected compute clause part: $other")
+    }
+    val k = kernel.getOrElse(
+      throw new IllegalArgumentException("Kernel name missing"))
+    ComputeSpec(name, k, inputs, output, schedule,
+      if (options.isEmpty) None else Some(options))
+  }
+}
+
+/** Feature-expression AST (second grammar, parser.py:141-176). The statement
+  * parser flattens these to canonical strings for TrainSpec.features; the
+  * compiler re-parses the strings (parser.py:739-744). */
+sealed trait FeatureExpr
+object FeatureExpr {
+  final case class FIdent(parts: List[String]) extends FeatureExpr
+  final case class FNum(value: Value) extends FeatureExpr // VInt | VFloat
+  final case class FStr(value: String) extends FeatureExpr
+  final case class FNeg(e: FeatureExpr) extends FeatureExpr
+  final case class FAdd(l: FeatureExpr, r: FeatureExpr) extends FeatureExpr
+  final case class FSub(l: FeatureExpr, r: FeatureExpr) extends FeatureExpr
+  final case class FMul(l: FeatureExpr, r: FeatureExpr) extends FeatureExpr
+  final case class FDiv(l: FeatureExpr, r: FeatureExpr) extends FeatureExpr
+  final case class FGroup(e: FeatureExpr) extends FeatureExpr
+  final case class FCall(name: FIdent, args: List[FeatureArg]) extends FeatureExpr
+
+  sealed trait FeatureArg
+  final case class FPos(e: FeatureExpr) extends FeatureArg
+  final case class FKw(name: String, e: FeatureExpr) extends FeatureArg
+
+  /** Canonical string form — byte-for-byte the flattening TreeToModel does
+    * in the main grammar (parser.py:336-397): `l + r`, `-v`, `(x)`,
+    * `f(a, b)`, `n=v`, numbers via Python str, strings via json.dumps. */
+  def canonical(e: FeatureExpr): String = e match {
+    case FIdent(parts) => parts.mkString(".")
+    case FNum(v)       => Value.pyStr(v)
+    case FStr(s)       => PyJson.dumpString(s)
+    case FNeg(v)       => s"-${canonical(v)}"
+    case FAdd(l, r)    => s"${canonical(l)} + ${canonical(r)}"
+    case FSub(l, r)    => s"${canonical(l)} - ${canonical(r)}"
+    case FMul(l, r)    => s"${canonical(l)} * ${canonical(r)}"
+    case FDiv(l, r)    => s"${canonical(l)} / ${canonical(r)}"
+    case FGroup(inner) => s"(${canonical(inner)})"
+    case FCall(n, Nil)  => s"${canonical(n)}()"
+    case FCall(n, args) =>
+      s"${canonical(n)}(${args.map(canonicalArg).mkString(", ")})"
+  }
+
+  private def canonicalArg(a: FeatureArg): String = a match {
+    case FPos(e)     => canonical(e)
+    case FKw(n, e)   => s"$n=${canonical(e)}"
+  }
+}

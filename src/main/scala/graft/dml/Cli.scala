@@ -1,0 +1,73 @@
+package graft.dml
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+
+/** CLI entry point mirroring reference/dsl/cli.py:21-51: read a DSL
+  * statement from a file argument or stdin, print the compiled SQL to
+  * stdout; parse/compile errors go to stderr with exit code 1.
+  *
+  * Extension over the reference (which has no executor): `--run <sfDir>`
+  * additionally compiles the statement against the fixture tables and
+  * executes it on a local SparkSession — TRAIN builds + fits the model,
+  * COMPUTE registers and applies the kernel — printing a result summary.
+  */
+object Cli {
+  def main(args: Array[String]): Unit = {
+    val (runDir, rest) = args.toList match {
+      case "--run" :: dir :: tail => (Some(dir), tail)
+      case other                  => (None, other)
+    }
+    val text =
+      try rest match {
+        case path :: Nil => Files.readString(Paths.get(path))
+        case Nil => new String(System.in.readAllBytes())
+        case _ =>
+          System.err.println("usage: graft.dml.Cli [--run sfDir] [file]")
+          sys.exit(2)
+      }
+      catch {
+        case e: java.io.IOException =>
+          System.err.println(s"error: ${e.getMessage}")
+          sys.exit(1)
+      }
+
+    // Parse and compile errors both exit 1 with a clean message, mirroring
+    // cli.py:34-42 (compile-time failures include the injection guard).
+    val (stmt, sql) =
+      try {
+        val s = DmlParser.parse(text.trim)
+        (s, SqlCompiler.compileSql(s))
+      } catch {
+        case e @ (_: ParseException | _: IllegalArgumentException) =>
+          System.err.println(s"error: ${e.getMessage}")
+          sys.exit(1)
+      }
+
+    println(sql)
+
+    runDir.foreach { dir =>
+      val spark = SparkSession.builder()
+        .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+        .config("spark.sql.shuffle.partitions",
+          sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      try {
+        graft.Tables.register(spark, dir)
+        stmt match {
+          case t: TrainSpec =>
+            val df = TrainCompiler.trainingDataFrame(spark, t)
+            System.err.println(s"[run] training data: ${df.count()} rows, " +
+              s"schema ${df.schema.map(_.name).mkString("[", ", ", "]")}")
+            df.show(5, truncate = false)
+          case c: ComputeSpec =>
+            System.err.println(s"[run] compute '${c.name}' using kernel " +
+              s"'${c.kernel}' (inputs=${c.inputs}, output=${c.output})")
+        }
+      } finally spark.stop()
+    }
+  }
+}

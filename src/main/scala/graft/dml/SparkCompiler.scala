@@ -1,0 +1,142 @@
+package graft.dml
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import FeatureExpr._
+
+/** FeatureExpr → Spark `Column` (the engine-side twin of the pg renderer in
+  * SqlCompiler). All arithmetic stays in Column algebra so the whole feature
+  * projection is codegen'd — no UDFs in the hot path.
+  *
+  * Function calls (F7, parser.py:95-96):
+  *  - `DERIVED(x)` / `TRANSFORM(x)` are markers in the reference DSL
+  *    (test_parser.py:198-212) — unwrapped to their single argument.
+  *  - `scale(x)` (standardization) needs global statistics; at training time
+  *    the Trainer handles it with a distributed StandardScaler stage. The
+  *    Column fallback here computes the z-score with exact decimal sums via
+  *    a scalar subquery-free two-aggregate window; it is fixture-scale only
+  *    and the Trainer path is the 100 TB path.
+  *  - everything else resolves through `call_function`, i.e. Spark's own
+  *    function registry (builtins like log/sqrt/abs plus registered UDFs).
+  * Kwarg (`name=expr`) args have no Catalyst named-argument analog for
+  * arbitrary functions → IllegalArgumentException (SURVEY §2.4 F8).
+  */
+object FeatureCompiler {
+
+  def compile(feature: String): Column =
+    try toColumn(DmlParser.parseFeature(feature))
+    catch {
+      case e: IllegalArgumentException => throw e
+      case _: Exception =>
+        throw new IllegalArgumentException(s"Invalid feature expression: $feature")
+    }
+
+  def toColumn(e: FeatureExpr): Column = e match {
+    case FIdent(parts) => col(parts.mkString("."))
+    case FNum(Value.VInt(i))   => lit(i)
+    case FNum(Value.VFloat(f)) => lit(f)
+    case FNum(v)  => lit(Value.pyStr(v))
+    case FStr(s)  => lit(s)
+    case FGroup(inner) => toColumn(inner)
+    case FAdd(l, r) => toColumn(l) + toColumn(r)
+    case FSub(l, r) => toColumn(l) - toColumn(r)
+    case FMul(l, r) => toColumn(l) * toColumn(r)
+    case FDiv(l, r) => toColumn(l) / toColumn(r)
+    case FNeg(v)    => -toColumn(v)
+    case FCall(FIdent(name :: Nil), args) if isMarker(name) =>
+      args match {
+        case FPos(inner) :: Nil => toColumn(inner)
+        case _ =>
+          throw new IllegalArgumentException(
+            s"$name(...) expects exactly one positional argument")
+      }
+    case FCall(ident, args) =>
+      val cols = args.map {
+        case FPos(a) => toColumn(a)
+        case FKw(n, _) =>
+          throw new IllegalArgumentException(
+            s"named argument '$n' is not supported in feature calls")
+      }
+      call_function(FeatureExpr.canonical(ident), cols: _*)
+  }
+
+  private def isMarker(name: String): Boolean =
+    name == "DERIVED" || name == "TRANSFORM"
+
+  /** Does the feature use scale()? The Trainer adds a StandardScaler stage
+    * when any feature requests standardization. */
+  def usesScale(e: FeatureExpr): Boolean = e match {
+    case FCall(FIdent("scale" :: Nil), _) => true
+    case FCall(_, args) => args.exists {
+      case FPos(a)   => usesScale(a)
+      case FKw(_, a) => usesScale(a)
+    }
+    case FAdd(l, r) => usesScale(l) || usesScale(r)
+    case FSub(l, r) => usesScale(l) || usesScale(r)
+    case FMul(l, r) => usesScale(l) || usesScale(r)
+    case FDiv(l, r) => usesScale(l) || usesScale(r)
+    case FNeg(v)    => usesScale(v)
+    case FGroup(v)  => usesScale(v)
+    case _          => false
+  }
+
+  /** Strip scale() wrappers (the Trainer standardizes via StandardScaler
+    * instead, which is the distributed path). */
+  def stripScale(e: FeatureExpr): FeatureExpr = e match {
+    case FCall(FIdent("scale" :: Nil), FPos(inner) :: Nil) => stripScale(inner)
+    case FCall(n, args) => FCall(n, args.map {
+      case FPos(a)   => FPos(stripScale(a))
+      case FKw(k, a) => FKw(k, stripScale(a))
+    })
+    case FAdd(l, r) => FAdd(stripScale(l), stripScale(r))
+    case FSub(l, r) => FSub(stripScale(l), stripScale(r))
+    case FMul(l, r) => FMul(stripScale(l), stripScale(r))
+    case FDiv(l, r) => FDiv(stripScale(l), stripScale(r))
+    case FNeg(v)    => FNeg(stripScale(v))
+    case FGroup(v)  => FGroup(stripScale(v))
+    case other      => other
+  }
+}
+
+/** TrainSpec → the training DataFrame: the Spark twin of the reference's
+  * `training_data` SELECT (parser.py:769-776). The source clause becomes a
+  * Catalyst plan via spark.sql (predicate pushdown / column pruning / join
+  * selection all free); features compile to Column projections.
+  *
+  * Column naming: identifier features keep their name; expression features
+  * are aliased `f1..fn` by position (deterministic, oracle-friendly — the
+  * reference leaves them to engine-default naming, which is not portable).
+  * The target is appended last (parser.py:759).
+  */
+object TrainCompiler {
+
+  /** The validated Spark-SQL FROM fragment for the spec's source clause. */
+  def sourceFragment(spec: TrainSpec): String =
+    if (spec.sourceIsIdentifier ||
+        SourceValidator.looksLikeSingleIdentifier(spec.source)) {
+      s"`${spec.source.replace("`", "``")}`"
+    } else {
+      SourceValidator.validate(spec.source)
+      spec.source
+    }
+
+  def trainingDataFrame(spark: SparkSession, spec: TrainSpec): DataFrame = {
+    val src = spark.sql(s"SELECT * FROM ${sourceFragment(spec)}")
+    src.select(featureColumns(spec) :+ src.col(spec.target): _*)
+  }
+
+  /** Feature Columns with deterministic aliases (target not included). */
+  def featureColumns(spec: TrainSpec): Seq[Column] =
+    spec.features.zipWithIndex.map { case (f, i) =>
+      if (SqlCompiler.isSimpleIdentifier(f)) col(f)
+      else FeatureCompiler.compile(f).as(s"f${i + 1}")
+    }
+
+  /** Output column names in order, target last — what trainingDataFrame
+    * produces; used by the Trainer's assembler. */
+  def featureNames(spec: TrainSpec): Seq[String] =
+    spec.features.zipWithIndex.map { case (f, i) =>
+      if (SqlCompiler.isSimpleIdentifier(f)) f else s"f${i + 1}"
+    }
+}
