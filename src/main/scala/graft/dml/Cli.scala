@@ -62,7 +62,15 @@ object Cli {
             val df = TrainCompiler.trainingDataFrame(spark, t)
             System.err.println(s"[run] training data: ${df.count()} rows, " +
               s"schema ${df.schema.map(_.name).mkString("[", ", ", "]")}")
-            df.show(5, truncate = false)
+            val report = runtime.Trainer.train(spark, t,
+              checkpointDir = Some(s"/tmp/graft-checkpoints"))
+            val metrics = report.metrics.toSeq.sortBy(_._1)
+              .map { case (k, v) => f"$k=$v%.4f" }.mkString(", ")
+            System.err.println(s"[run] model '${t.name}' " +
+              s"(${t.algorithm}) fitted: $metrics" +
+              (if (report.epochs > 0) s", epochs=${report.epochs}" else "") +
+              (if (report.splitCounts.size > 1)
+                 s", splits=${report.splitCounts}" else ""))
           case c: ComputeSpec =>
             System.err.println(s"[run] compute '${c.name}' using kernel " +
               s"'${c.kernel}' (inputs=${c.inputs}, output=${c.output})")

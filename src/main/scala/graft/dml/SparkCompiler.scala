@@ -51,6 +51,15 @@ object FeatureCompiler {
           throw new IllegalArgumentException(
             s"$name(...) expects exactly one positional argument")
       }
+    case FCall(FIdent("scale" :: Nil), FPos(inner) :: Nil) =>
+      // Standalone z-score semantics via an unpartitioned window — a
+      // single-partition plan, acceptable only at fixture scale. The
+      // Trainer never takes this path: it strips scale() and standardizes
+      // with a distributed StandardScaler stage instead.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+      val x = toColumn(inner)
+      (x - avg(x).over(w)) / stddev_samp(x).over(w)
     case FCall(ident, args) =>
       val cols = args.map {
         case FPos(a) => toColumn(a)

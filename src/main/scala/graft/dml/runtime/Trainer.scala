@@ -1,0 +1,271 @@
+package graft.dml.runtime
+
+import org.apache.spark.ml.{Pipeline, PipelineModel, PipelineStage}
+import org.apache.spark.ml.classification.MultilayerPerceptronClassifier
+import org.apache.spark.ml.evaluation._
+import org.apache.spark.ml.feature.{SQLTransformer, StandardScaler, StringIndexer, VectorAssembler}
+import org.apache.spark.ml.param.Params
+import org.apache.spark.ml.tuning.{CrossValidator, ParamGridBuilder}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+
+import graft.dml._
+import AlgorithmRegistry.{Classification, Clustering, Regression, Task}
+
+/** `ml_train_model` runtime (SURVEY §2.6): TrainSpec → fitted PipelineModel
+  * + metrics. This is the piece the reference specifies but never implements
+  * (reference/EXTENSIONS.md:136-177) — realized as a spark.ml Pipeline:
+  * StringIndexers for categorical columns, VectorAssembler, optional
+  * StandardScaler (feature `scale(...)` markers), then the registry
+  * estimator.
+  *
+  * Determinism: every random operation (splits, balancing, estimators) is
+  * seeded; tests assert seeded metrics.
+  *
+  * Scale notes: balancing uses per-class Bernoulli sampling (no collect of
+  * data, only the class-count map — bounded by class cardinality); splits
+  * are randomSplit (narrow, no shuffle); MLlib's iterative optimizers do
+  * treeAggregate gradient reduction, which is the distributed-training story
+  * the reference's DISTRIBUTED.md tier aspires to (SURVEY §2.7).
+  */
+object Trainer {
+
+  final case class TrainReport(
+      spec: TrainSpec,
+      model: PipelineModel,
+      metrics: Map[String, Double],
+      epochs: Int,
+      checkpoints: Seq[String],
+      splitCounts: Map[String, Long])
+
+  def train(
+      spark: SparkSession,
+      spec: TrainSpec,
+      checkpointDir: Option[String] = None,
+      seed: Long = 42L): TrainReport = {
+
+    val alg = AlgorithmRegistry.resolve(spec.algorithm)
+    val featureNames = TrainCompiler.featureNames(spec)
+
+    // Training DataFrame with scale() markers stripped — standardization is
+    // done by a distributed StandardScaler stage instead of per-row SQL.
+    val (df0, needScale) = trainingFrame(spark, spec)
+
+    // O6: BALANCE CLASSES BY method (seeded, distributed)
+    val (df1, weightCol) = spec.balanceMethod match {
+      case Some("oversampling")  => (Balance.oversample(df0, spec.target, seed), None)
+      case Some("undersampling") => (Balance.undersample(df0, spec.target, seed), None)
+      case Some("weights")       => (Balance.weighted(df0, spec.target), Some("class_weight"))
+      case Some(other) =>
+        throw new IllegalArgumentException(s"unknown balance method: $other")
+      case None => (df0, None)
+    }
+
+    // O2: SPLIT DATA k=r,... (seeded randomSplit in declared order)
+    val (namedSplits, trainDf, evalDf) = split(df1, spec, seed)
+
+    // Pipeline stages: categorical indexers → label stage → assembler →
+    // optional scaler
+    val stages = Vector.newBuilder[PipelineStage]
+    val featureCols = featureNames.map { fn =>
+      if (df0.schema(fn).dataType == StringType) {
+        stages += new StringIndexer().setInputCol(fn).setOutputCol(s"${fn}_idx")
+          .setHandleInvalid("keep").setStringOrderType("alphabetAsc")
+        s"${fn}_idx"
+      } else fn
+    }
+    if (alg.task != Clustering) {
+      if (df0.schema(spec.target).dataType == StringType)
+        stages += new StringIndexer().setInputCol(spec.target)
+          .setOutputCol("label").setHandleInvalid("keep")
+          .setStringOrderType("alphabetAsc")
+      else
+        stages += new SQLTransformer().setStatement(
+          s"SELECT *, CAST(`${spec.target}` AS DOUBLE) AS label FROM __THIS__")
+    }
+    val assembled = if (needScale) "features_raw" else "features"
+    stages += new VectorAssembler().setInputCols(featureCols.toArray)
+      .setOutputCol(assembled).setHandleInvalid("keep")
+    if (needScale)
+      stages += new StandardScaler().setInputCol("features_raw")
+        .setOutputCol("features").setWithMean(true).setWithStd(true)
+
+    val est = alg.make()
+    AlgorithmRegistry.applyParams(est, spec.params)
+    configure(est, alg.task, weightCol, seed)
+    est match {
+      case mlp: MultilayerPerceptronClassifier =>
+        val hidden: Array[Int] =
+          if (mlp.isSet(mlp.layers)) mlp.getLayers else Array(8)
+        val nClasses = trainDf.select(spec.target).distinct().count().toInt
+        mlp.setLayers(featureCols.size +: hidden :+ math.max(nClasses, 2))
+      case _ =>
+    }
+
+    def pipelineWith(maxIter: Option[Int]): Pipeline = {
+      maxIter.foreach { it =>
+        alg.iterParam.foreach(p => est.set(est.getParam(p), it))
+      }
+      new Pipeline().setStages((stages.result() :+ est.asInstanceOf[PipelineStage]).toArray)
+    }
+
+    val evaluator = Evaluation.evaluatorFor(alg.task, spec.optimizeMetric)
+
+    // O3: VALIDATE USING cv(folds=k) → CrossValidator over the pipeline
+    val useCv = spec.validate.exists(v =>
+      v.method.exists(m => m == "cv" || m == "cross_validation"))
+
+    var checkpoints = List.empty[String]
+    var epochs = 0
+    val model: PipelineModel =
+      if (useCv) {
+        val folds = spec.validate.flatMap(_.params).flatMap(_.collectFirst {
+          case ("folds", Value.VInt(k)) => k.toInt
+          case ("folds", Value.VFloat(k)) if k.isWhole => k.toInt
+        }).getOrElse(3)
+        val cv = new CrossValidator()
+          .setEstimator(pipelineWith(None))
+          .setEvaluator(evaluator)
+          .setEstimatorParamMaps(new ParamGridBuilder().build())
+          .setNumFolds(folds)
+          .setSeed(seed)
+        cv.fit(trainDf).bestModel.asInstanceOf[PipelineModel]
+      } else spec.stopCondition match {
+        // O5: STOP WHEN — chunked fitting loop over the iteration param
+        case Some(condText) if alg.iterParam.isDefined =>
+          val cond = StopCondition.parse(condText)
+          val chunk = spec.checkpoint.map(_.interval.toInt).getOrElse(10)
+          val maxChunks = 20
+          var fitted: PipelineModel = null
+          var stop = false
+          var i = 0
+          while (!stop && i < maxChunks) {
+            i += 1
+            epochs = chunk * i
+            fitted = pipelineWith(Some(epochs)).fit(trainDf)
+            spec.checkpoint.zip(checkpointDir).foreach { case (c, dir) =>
+              if (epochs % c.interval == 0) {
+                val p = s"$dir/${spec.name}/epoch_$epochs"
+                fitted.write.overwrite().save(p)
+                checkpoints = checkpoints :+ p
+              }
+            }
+            val evalOn = evalDf.getOrElse(trainDf)
+            val m = Evaluation.computeMetrics(fitted.transform(evalOn), alg.task) +
+              ("epochs" -> epochs.toDouble)
+            stop = cond.eval(m)
+          }
+          fitted
+        case _ =>
+          val fitted = pipelineWith(None).fit(trainDf)
+          // O7 without a stop loop: single end-of-training checkpoint
+          spec.checkpoint.zip(checkpointDir).foreach { case (_, dir) =>
+            val p = s"$dir/${spec.name}/final"
+            fitted.write.overwrite().save(p)
+            checkpoints = checkpoints :+ p
+          }
+          fitted
+      }
+
+    // Metrics: VALIDATE ON table > validation/test split > training data
+    val metricsFrame = spec.validate.flatMap(_.on) match {
+      case Some(table) => spark.table(table)
+      case None        => evalDf.getOrElse(trainDf)
+    }
+    val metrics = Evaluation.computeMetrics(model.transform(metricsFrame), alg.task) ++
+      (if (epochs > 0) Map("epochs" -> epochs.toDouble) else Map.empty)
+
+    TrainReport(spec, model, metrics, epochs, checkpoints,
+      namedSplits.map { case (k, d) => k -> d.count() })
+  }
+
+  /** Training DataFrame with scale() stripped; returns whether any feature
+    * requested standardization. */
+  private def trainingFrame(spark: SparkSession, spec: TrainSpec): (DataFrame, Boolean) = {
+    val src = spark.sql(s"SELECT * FROM ${TrainCompiler.sourceFragment(spec)}")
+    var needScale = false
+    val cols = spec.features.zipWithIndex.map { case (f, i) =>
+      if (SqlCompiler.isSimpleIdentifier(f)) col(f)
+      else {
+        val ast = DmlParser.parseFeature(f)
+        if (FeatureCompiler.usesScale(ast)) needScale = true
+        FeatureCompiler.toColumn(FeatureCompiler.stripScale(ast)).as(s"f${i + 1}")
+      }
+    } :+ src.col(spec.target)
+    (src.select(cols: _*), needScale)
+  }
+
+  private def split(
+      df: DataFrame, spec: TrainSpec, seed: Long)
+      : (Map[String, DataFrame], DataFrame, Option[DataFrame]) =
+    spec.split match {
+      case None => (Map("training" -> df), df, None)
+      case Some(s) =>
+        val names = s.ratios.map(_._1)
+        val parts = df.randomSplit(s.ratios.map(_._2).toArray, seed)
+        val named = names.zip(parts).toMap
+        val trainDf = named.collectFirst {
+          case (k, d) if k.startsWith("train") => d
+        }.getOrElse(parts.head)
+        val evalDf = named.collectFirst {
+          case (k, d) if k.startsWith("val") => d
+        }.orElse(named.collectFirst { case (k, d) if k.startsWith("test") => d })
+        (named, trainDf, evalDf)
+    }
+
+  private def configure(
+      est: Params, task: Task, weightCol: Option[String], seed: Long): Unit = {
+    def trySet(p: String, v: Any): Unit =
+      if (est.hasParam(p) && !est.isSet(est.getParam(p)))
+        est.set(est.getParam(p).asInstanceOf[org.apache.spark.ml.param.Param[Any]], v)
+    trySet("featuresCol", "features")
+    if (task != Clustering) trySet("labelCol", "label")
+    trySet("seed", seed)
+    weightCol.foreach(w => trySet("weightCol", w))
+  }
+
+  /** Test hook: the oversampling op on its own. */
+  private[runtime] def oversampleForTest(
+      df: DataFrame, target: String, seed: Long): DataFrame =
+    Balance.oversample(df, target, seed)
+
+  /** O6 balancing, all seeded and shuffle-free (per-class Bernoulli
+    * sampling; only the class-count map is collected). */
+  private object Balance {
+    private def counts(df: DataFrame, target: String): Map[Any, Long] =
+      df.groupBy(target).count().collect()
+        .map(r => r.get(0) -> r.getLong(1)).toMap
+
+    def oversample(df: DataFrame, target: String, seed: Long): DataFrame = {
+      val cs = counts(df, target)
+      val max = cs.values.max.toDouble
+      cs.zipWithIndex.map { case ((cls, n), i) =>
+        val part = df.filter(col(target) <=> lit(cls))
+        val frac = max / n
+        if (frac <= 1.0) part else part.sample(withReplacement = true, frac, seed + i)
+      }.reduce(_ unionAll _)
+    }
+
+    def undersample(df: DataFrame, target: String, seed: Long): DataFrame = {
+      val cs = counts(df, target)
+      val min = cs.values.min.toDouble
+      cs.zipWithIndex.map { case ((cls, n), i) =>
+        val part = df.filter(col(target) <=> lit(cls))
+        if (n <= min) part
+        else part.sample(withReplacement = false, min / n, seed + i)
+      }.reduce(_ unionAll _)
+    }
+
+    def weighted(df: DataFrame, target: String): DataFrame = {
+      val cs = counts(df, target)
+      val total = cs.values.sum.toDouble
+      val k = cs.size
+      // small when-chain over bounded class cardinality — no join needed
+      val w = cs.foldLeft(lit(1.0)) { case (acc, (cls, n)) =>
+        when(col(target) <=> lit(cls), lit(total / (k * n))).otherwise(acc)
+      }
+      df.withColumn("class_weight", w)
+    }
+  }
+}
