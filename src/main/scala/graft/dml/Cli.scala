@@ -72,8 +72,22 @@ object Cli {
               (if (report.splitCounts.size > 1)
                  s", splits=${report.splitCounts}" else ""))
           case c: ComputeSpec =>
-            System.err.println(s"[run] compute '${c.name}' using kernel " +
-              s"'${c.kernel}' (inputs=${c.inputs}, output=${c.output})")
+            // Resolve the fixture table containing the input columns and
+            // apply the kernel one-shot (EVERY k TICKS jobs run the same
+            // kernel on a Trigger.ProcessingTime schedule via
+            // ComputeRegistry.schedule).
+            val table = c.inputs.flatMap { ins =>
+              graft.Tables.names.find { t =>
+                val cols = spark.table(t).columns.toSet
+                ins.forall(cols.contains)
+              }
+            }.getOrElse(throw new IllegalArgumentException(
+              s"no fixture table has columns ${c.inputs}"))
+            val out = runtime.ComputeRegistry.runOnce(spark, c, table)
+            System.err.println(s"[run] compute '${c.name}' via kernel " +
+              s"'${c.kernel}' over '$table': ${out.count()} rows, " +
+              s"output column '${c.output.getOrElse(c.name)}'")
+            out.show(5, truncate = false)
         }
       } finally spark.stop()
     }
