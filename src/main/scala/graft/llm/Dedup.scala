@@ -1,0 +1,135 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection: MinHash + banded LSH and SimHash
+  * (SURVEY §2.8; VERDICT "bucketed MinHash … never all-pairs").
+  *
+  * MinHash here is hash-function-based (min over md5(shingle || seed)), not
+  * permutation-based — deterministic, engine-portable, and entirely Column
+  * algebra. Candidate generation is a self-join on (band_index, band_hash):
+  * a shuffle keyed by band hash, so cost is O(candidates), never O(n²).
+  *
+  * At 100 TB: signatures are a projection (one pass); the band join
+  * shuffles only (doc_id, band_hash) pairs — bytes per doc, not the text;
+  * skewed bands (boilerplate dups) are bounded by band count and can be
+  * salted if a single band bucket exceeds executor memory.
+  */
+object Dedup {
+
+  /** k-word shingles → `numHashes` minhash signatures. Documents with fewer
+    * than k tokens get their whole text as the single shingle. */
+  def minhashSignatures(
+      docs: DataFrame, k: Int = 3, numHashes: Int = 8): DataFrame = {
+    val shingles =
+      s"""CASE WHEN size(split(text, ' ')) < $k THEN array(text)
+         |ELSE transform(sequence(1, size(split(text, ' ')) - ${k - 1}),
+         |  i -> concat_ws(' ', ${(0 until k).map(j => s"element_at(split(text, ' '), i + $j)").mkString(", ")}))
+         |END""".stripMargin
+    val sigCols = (0 until numHashes).map { j =>
+      expr(s"array_min(transform($shingles, s -> md5(concat(s, '#$j'))))")
+        .as(s"sig_$j")
+    }
+    docs.select((col("doc_id") +: sigCols): _*)
+  }
+
+  /** Banded LSH candidate pairs: signatures split into `bands` bands of
+    * rows; docs sharing any band hash become candidates; pairs are scored
+    * by signature agreement (estimated Jaccard). */
+  def minhashCandidates(
+      docs: DataFrame, k: Int = 3, numHashes: Int = 8, bands: Int = 4,
+      minEstJaccard: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rows = numHashes / bands
+    val sigs = minhashSignatures(docs, k, numHashes)
+
+    val bandCols = (0 until bands).map { b =>
+      val parts = (b * rows until (b + 1) * rows).map(j => col(s"sig_$j"))
+      md5(concat_ws("|", parts: _*)).as(s"band_$b")
+    }
+    val banded = sigs.select((col("doc_id") +:
+      (0 until numHashes).map(j => col(s"sig_$j"))) ++ bandCols: _*)
+
+    // explode to (band_idx, band_hash) and bucket-join — the shuffle key is
+    // the band hash, so only same-bucket docs ever meet
+    val buckets = banded.select(
+      col("doc_id"),
+      array((0 until numHashes).map(j => col(s"sig_$j")): _*).as("sig"),
+      posexplode(array((0 until bands).map(b => col(s"band_$b")): _*))
+        .as(Seq("band_idx", "band_hash")))
+
+    val l = buckets.select(
+      col("band_idx"), col("band_hash"),
+      col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val r = buckets.select(
+      col("band_idx"), col("band_hash"),
+      col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+
+    val matches = expr(
+      "size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), m -> m))")
+    l.join(r, Seq("band_idx", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (matches.cast("double") / size(col("sig_a"))).as("est_jaccard"))
+      .distinct()
+      .filter(col("est_jaccard") >= minEstJaccard)
+  }
+
+  /** Exact n-gram Jaccard for a candidate pair set (rescoring step after
+    * LSH pruning): |A∩B| / |A∪B| over distinct k-shingles. */
+  def jaccardRescore(
+      docs: DataFrame, candidates: DataFrame, k: Int = 3): DataFrame = {
+    val sh = docs.select(col("doc_id"),
+      expr(s"""explode(array_distinct(CASE WHEN size(split(text, ' ')) < $k
+        |THEN array(text)
+        |ELSE transform(sequence(1, size(split(text, ' ')) - ${k - 1}),
+        |  i -> concat_ws(' ', ${(0 until k).map(j => s"element_at(split(text, ' '), i + $j)").mkString(", ")}))
+        |END))""".stripMargin).as("shingle"))
+    val counts = sh.groupBy("doc_id").count().withColumnRenamed("count", "n_sh")
+    val inter = candidates
+      .join(sh.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"))
+      .join(sh.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("shingle", "shingle_b"), Seq("doc_b"))
+      .filter(col("shingle") === col("shingle_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+    candidates
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .na.fill(0, Seq("n_inter"))
+      .join(counts.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_sh", "n_a"), Seq("doc_a"))
+      .join(counts.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_sh", "n_b"), Seq("doc_b"))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")))
+      .select("doc_a", "doc_b", "est_jaccard", "jaccard")
+  }
+
+  /** 64-bit SimHash from token md5s: bit b of each token's hash votes ±1;
+    * the sign of the per-bit vote sum is bit b of the signature (stored as
+    * a 64-char bitstring — overflow-free and join-friendly). Near-dups have
+    * small Hamming distance. Pure Column algebra over array HOFs. */
+  def simhash(docs: DataFrame): DataFrame = {
+    // two 32-bit words from the md5 hex — conv returns a string, cast it
+    def word(off: Int) =
+      s"CAST(conv(substring(md5(t), $off, 8), 16, 10) AS BIGINT)"
+    val bitCols = (0 until 64).map { b =>
+      val (w, shift) = if (b < 32) (word(1), b) else (word(9), b - 32)
+      expr(
+        s"""aggregate(split(text, ' '), 0L, (acc, t) ->
+           |acc + CASE WHEN (($w div ${1L << shift}) % 2) = 1
+           |THEN 1 ELSE -1 END)""".stripMargin)
+    }
+    val bitString =
+      concat(bitCols.map(v => when(v > 0, lit("1")).otherwise(lit("0"))): _*)
+    docs.select(col("doc_id"), bitString.as("simhash_bits"))
+  }
+
+  /** Hamming distance between two simhash bitstrings. */
+  def hamming(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    size(filter(
+      zip_with(split(a, ""), split(b, ""), (x, y) => x =!= y),
+      d => d))
+}

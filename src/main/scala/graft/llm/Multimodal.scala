@@ -1,0 +1,66 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal columns (SURVEY §2.8): opaque binary payloads + typed
+  * metadata, joined with their embeddings, with a partition-wise
+  * feature-extraction stage.
+  *
+  * The container has no image/audio codecs, so the decode step is a
+  * clearly-marked deterministic STUB — but the Spark-side plumbing that the
+  * brief asks for is real and tested: binary column + metadata struct
+  * schema, docs⋈embeddings join, and a mapPartitions batch pass with an
+  * explicit output schema (the same shape a Pandas-UDF/mapInPandas decode
+  * would have on a cluster with codecs installed).
+  */
+object Multimodal {
+
+  /** documents ⋈ embeddings on doc_id = vec_id with a typed media struct:
+    * (modality, byte_len, payload binary). One hash-partitioned equi-join
+    * on a unique key — broadcast or shuffle chosen by size at plan time. */
+  def joined(docs: DataFrame, embeddings: DataFrame): DataFrame =
+    docs.join(embeddings, docs("doc_id") === embeddings("vec_id"))
+      .select(
+        col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        col("label"), size(col("embedding")).as("emb_dim"),
+        struct(
+          lit("text/plain").as("modality"),
+          octet_length(col("text")).as("byte_len"),
+          encode(col("text"), "UTF-8").as("payload")).as("media"),
+        col("embedding"))
+
+  private val featureSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("byte_len", IntegerType),
+    StructField("first_byte", IntegerType),
+    StructField("n_frames", IntegerType),
+    StructField("features", ArrayType(FloatType))))
+
+  /** Partition-wise "decode + featurize" pass over the binary payload.
+    *
+    * STUB: a real deployment decodes the payload with a codec (image
+    * resize, audio frame sampling) inside this partition loop — the batch
+    * shape, schema, and partitioning are exactly what that code would use.
+    * Here the extracted features are deterministic functions of the bytes
+    * so tests and the oracle can pin the plumbing.
+    */
+  def extractFeaturesStub(joinedDf: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(featureSchema)
+    joinedDf.select(col("doc_id"), col("media.payload").as("payload"))
+      .mapPartitions { rows: Iterator[Row] =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          // ---- STUB decode: replace with codec calls in production ----
+          val firstByte = if (bytes.nonEmpty) bytes(0) & 0xff else 0
+          val nFrames = bytes.length / 64 // fake 64-byte "frames"
+          val feats = Array.tabulate(4)(i =>
+            if (bytes.length > i) (bytes(i) & 0xff).toFloat / 255f else 0f)
+          Row(id, bytes.length, firstByte, nFrames, feats)
+        }
+      }(enc)
+  }
+}

@@ -1,0 +1,131 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`Array[Float]`) — the ANN
+  * operators a training-data pipeline needs (SURVEY §2.8).
+  *
+  * Baseline: brute-force cosine top-k for a small query set — queries are
+  * broadcast (tiny side), candidates stream through one projection, ranking
+  * is a per-query window (shuffle keyed by query id). At 100 TB the scale
+  * path is the hyperplane-LSH variant: bucket join on signature, so each
+  * embedding only meets its bucket.
+  *
+  * Dot products fold element-wise in index order with double accumulation
+  * (`aggregate(zip_with(...))`) — deterministic and reproducible by the
+  * DuckDB oracle; scores are rounded before ranking so last-ulp differences
+  * between engines cannot flip the top-k.
+  */
+object Similarity {
+
+  /** element-order double fold of a ⋅ b */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k: for each query vector (by vec_id), the k
+    * nearest other vectors. Rank on the rounded score with vec_id
+    * tie-break (deterministic across engines). */
+  def bruteForceTopK(
+      embeddings: DataFrame, queryIds: Seq[Long], k: Int = 10): DataFrame = {
+    val queries = embeddings
+      .filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val scored = embeddings
+      .crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("q_emb"), col("embedding")), 6).as("cos_sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "cos_sim", "rank")
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (dim d, plane p):
+    * ±1 from the parity of a bit of md5 — no RNG state, reproducible on any
+    * cluster. Pure Column API so it composes inside lambda functions. */
+  private def planeSign(d: Column, p: Int): Column =
+    when(conv(substring(md5(concat(d.cast("string"), lit(s"#$p"))), 1, 8),
+        16, 10).cast("long") % 2 === 1,
+      lit(1.0)).otherwise(lit(-1.0))
+
+  /** Hyperplane-LSH signature: bit p = sign(sum_d emb[d] * h(d, p)). */
+  def lshSignature(emb: Column, planes: Int = 12): Column = {
+    val bits = (0 until planes).map { p =>
+      val proj = aggregate(
+        zip_with(emb,
+          // index array 0..dim-1 — sequence sized to the embedding
+          transform(sequence(lit(0), size(emb) - 1), i => i),
+          (x, i) => x.cast("double") * planeSign(i, p)),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, lit("1")).otherwise(lit("0"))
+    }
+    concat(bits: _*)
+  }
+
+  /** Bucketed ANN: candidates share the LSH signature prefix bucket; exact
+    * cosine rescoring within buckets only. Multi-probe via `bands` distinct
+    * prefixes raises recall. This is the join-on-bucket scale path — no
+    * cross join anywhere. */
+  def lshTopK(
+      embeddings: DataFrame, queryIds: Seq[Long], k: Int = 10,
+      planes: Int = 12, bands: Int = 3): DataFrame = {
+    require(planes % bands == 0, "planes must divide into bands")
+    val width = planes / bands
+    val sigs = embeddings.withColumn("sig", lshSignature(col("embedding"), planes))
+    val banded = sigs.select(col("vec_id"), col("embedding"),
+      posexplode(array((0 until bands).map(b =>
+        substring(col("sig"), b * width + 1, width)): _*))
+        .as(Seq("band_idx", "band_key")))
+
+    val queries = banded
+      .filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("band_idx"), col("band_key"))
+    val candidates = banded.join(queries, Seq("band_idx", "band_key"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        col("q_emb"), col("embedding")).distinct()
+
+    val scored = candidates.select(col("query_id"), col("vec_id"),
+      round(cosine(col("q_emb"), col("embedding")), 6).as("cos_sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "cos_sim", "rank")
+  }
+
+  /** Embedding-cosine near-duplicate pairs above a threshold, via LSH
+    * buckets (the embedding twin of Dedup.minhashCandidates). */
+  def cosineNearDup(
+      embeddings: DataFrame, threshold: Double = 0.95,
+      planes: Int = 12, bands: Int = 3): DataFrame = {
+    val width = planes / bands
+    val sigs = embeddings.withColumn("sig", lshSignature(col("embedding"), planes))
+    val banded = sigs.select(col("vec_id"), col("embedding"),
+      posexplode(array((0 until bands).map(b =>
+        substring(col("sig"), b * width + 1, width)): _*))
+        .as(Seq("band_idx", "band_key")))
+    val l = banded.select(col("band_idx"), col("band_key"),
+      col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+    val r = banded.select(col("band_idx"), col("band_key"),
+      col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    l.join(r, Seq("band_idx", "band_key"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round(cosine(col("emb_a"), col("emb_b")), 6).as("cos_sim"))
+      .distinct()
+      .filter(col("cos_sim") >= threshold)
+  }
+}

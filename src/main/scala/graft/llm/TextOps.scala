@@ -1,0 +1,99 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM training-data pipelines over a
+  * `documents(doc_id, text, lang, source, n_chars)` relation.
+  *
+  * Everything here is Column algebra (whole-stage codegen, no UDFs) built
+  * from engine-portable primitives (split/replace/md5/array HOFs) so the
+  * DuckDB oracle reproduces results bit-for-bit.
+  *
+  * Scale: all operators are per-row projections or hash-partitioned
+  * aggregations/windows keyed by a hash — no global sorts, no driver-side
+  * loops; they run unchanged on a 100 TB corpus.
+  */
+object TextOps {
+
+  /** whitespace tokens (documents are space-separated) */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** average token length computed from char count minus separators —
+    * integer-exact, oracle-portable */
+  def avgTokenLen(text: Column): Column =
+    (length(text) - (tokenCount(text) - 1)).cast("double") / tokenCount(text)
+
+  /** document fingerprint: md5 (identical hex in Spark and DuckDB) */
+  def fingerprint(text: Column): Column = md5(text)
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  /** fraction of tokens that are stopwords */
+  def stopwordRatio(text: Column): Column = {
+    val hits = expr(
+      s"size(filter(split(text, ' '), t -> t IN (${stopwords.map(s => s"'$s'").mkString(", ")})))")
+    hits.cast("double") / tokenCount(text)
+  }
+
+  /** Composite quality score in [0,1]: length credit × stopword sanity.
+    * Deterministic IEEE arithmetic only, no rounding — the oracle runs the
+    * identical expression tree, so results are bitwise equal. */
+  def qualityScore(text: Column): Column = {
+    val lenCredit = least(tokenCount(text).cast("double") / lit(50.0), lit(1.0))
+    val sw = stopwordRatio(text)
+    // ideal stopword band ~[0.1, 0.6]: linear falloff outside
+    val swCredit = least(
+      greatest(lit(1.0) - abs(sw - lit(0.35)) * 2, lit(0.0)), lit(1.0))
+    lenCredit * swCredit
+  }
+
+  /** n-gram language-ID heuristic: score stopword-profile hits per language
+    * and pick the argmax; 'und' when nothing matches. Profiles are the kind
+    * of tiny per-language lists a real langid uses — the synthetic corpus
+    * shares one vocabulary, so this demonstrates the operator shape. */
+  def langGuess(text: Column): Column = {
+    val profiles = Seq(
+      "en" -> Seq("the", "and", "of"),
+      "fr" -> Seq("le", "la", "et"),
+      "de" -> Seq("der", "und", "das"),
+      "es" -> Seq("el", "los", "que"))
+    val scored = profiles.map { case (lang, words) =>
+      val inList = words.map(w => s"'$w'").mkString(", ")
+      (lang, expr(s"size(filter(split(text, ' '), t -> t IN ($inList)))"))
+    }
+    val best = scored.tail.foldLeft((lit(scored.head._1), scored.head._2)) {
+      case ((bl, bs), (lang, s)) =>
+        (when(s > bs, lit(lang)).otherwise(bl), greatest(s, bs))
+    }
+    when(best._2 > 0, best._1).otherwise(lit("und"))
+  }
+
+  /** Per-document stats projection. */
+  def stats(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      tokenCount(col("text")).cast("bigint").as("token_count"),
+      length(col("text")).cast("bigint").as("n_chars"),
+      avgTokenLen(col("text")).as("avg_token_len"),
+      stopwordRatio(col("text")).as("stopword_ratio"),
+      qualityScore(col("text")).as("quality"),
+      fingerprint(col("text")).as("fingerprint"))
+
+  /** Exact dedup: group identical (normalized) texts by hash; each doc gets
+    * its group's keeper (min doc_id) and a dup flag. The window is
+    * hash-partitioned by the fingerprint — shuffle on a high-cardinality
+    * key, no skew, no global sort (SURVEY §2.8: "exact dedup").
+    */
+  def exactDedup(docs: DataFrame, normalize: Boolean = true): DataFrame = {
+    val t = if (normalize) lower(col("text")) else col("text")
+    val w = Window.partitionBy(md5(t))
+    docs.select(
+      col("doc_id"),
+      min(col("doc_id")).over(w).as("dup_group"),
+      (col("doc_id") =!= min(col("doc_id")).over(w)).as("is_dup"))
+  }
+}

@@ -1,0 +1,185 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.llm.{Dedup, Multimodal, Similarity, TextOps}
+
+/** Driver-gate entries for the LLM training-data pipeline operators
+  * (SURVEY §2.8; first-class per the brief): text analysis, exact dedup,
+  * MinHash signatures/candidates, ANN cosine top-k (brute force + LSH),
+  * language-ID heuristic, multimodal join + feature-extraction plumbing.
+  *
+  * Oracle strategy: entries whose arithmetic is order-independent carry a
+  * DuckDB oracle built from the *identical* expression tree (bitwise-equal
+  * doubles); ranking entries round scores before ordering so last-ulp
+  * engine differences cannot flip the top-k. Approximate operators
+  * (LSH top-k, banded candidates) have no SQL oracle — the driver records
+  * the weaker rows-only check and ScalaTest pins their recall against the
+  * exact baseline.
+  */
+object LlmQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame = {
+    Tables.register(s, dir); s.table("documents")
+  }
+  private def embs(s: SparkSession, dir: String): DataFrame = {
+    Tables.register(s, dir); s.table("embeddings")
+  }
+
+  private val annQueryIds: Seq[Long] = Seq(0L, 1L, 2L, 3L, 4L)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_stats" -> { (s, dir) => TextOps.stats(docs(s, dir)) },
+
+    "q_lang_guess" -> { (s, dir) =>
+      docs(s, dir).select(col("doc_id"), col("lang"),
+        TextOps.langGuess(col("text")).as("lang_guess"))
+    },
+
+    "q_dedup_exact" -> { (s, dir) => TextOps.exactDedup(docs(s, dir)) },
+
+    "q_dedup_minhash_sigs" -> { (s, dir) =>
+      Dedup.minhashSignatures(docs(s, dir), k = 3, numHashes = 4)
+    },
+
+    // near-dup candidates over the corpus + trimmed-copy variants — the
+    // bucketed band join path; no oracle (approximate operator), ScalaTest
+    // pins planted-pair recall
+    "q_dedup_minhash_pairs" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val mutated = d.select(
+        (col("doc_id") + 100000L).as("doc_id"),
+        expr("substring(text, 1, greatest(length(text) - 12, 1))").as("text"))
+      Dedup.minhashCandidates(
+        d.select("doc_id", "text").unionAll(mutated),
+        k = 3, numHashes = 8, bands = 4, minEstJaccard = 0.5)
+        .orderBy("doc_a", "doc_b")
+    },
+
+    "q_ann_cosine_topk" -> { (s, dir) =>
+      Similarity.bruteForceTopK(embs(s, dir), annQueryIds, k = 10)
+        .orderBy("query_id", "rank")
+    },
+
+    // LSH-bucketed ANN — the 100 TB path; rows-only check + recall test
+    "q_ann_lsh_topk" -> { (s, dir) =>
+      Similarity.lshTopK(embs(s, dir), annQueryIds, k = 10,
+        planes = 12, bands = 4)
+        .orderBy("query_id", "rank")
+    },
+
+    "q_multimodal_join" -> { (s, dir) =>
+      Multimodal.joined(docs(s, dir), embs(s, dir))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          col("label"), col("emb_dim"), col("media.byte_len").as("byte_len"))
+    },
+
+    // mapPartitions feature-extraction stub — deterministic bytes math, so
+    // it carries a real oracle despite the imperative inner loop
+    "q_multimodal_features" -> { (s, dir) =>
+      Multimodal.extractFeaturesStub(
+        Multimodal.joined(docs(s, dir), embs(s, dir)))
+        .select("doc_id", "byte_len", "first_byte", "n_frames")
+    })
+
+  private val stopwordList = "'the', 'a', 'of', 'and', 'to', 'in', 'is'"
+
+  def oracles: Map[String, String] = Map(
+    "q_text_stats" ->
+      s"""SELECT doc_id,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS token_count,
+         |  CAST(length(text) AS BIGINT) AS n_chars,
+         |  CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+         |    / len(string_split(text, ' ')) AS avg_token_len,
+         |  CAST(len(list_filter(string_split(text, ' '),
+         |        t -> t IN ($stopwordList))) AS DOUBLE)
+         |    / len(string_split(text, ' ')) AS stopword_ratio,
+         |  least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0, 1.0)
+         |    * least(greatest(1.0 - abs(CAST(len(list_filter(string_split(text, ' '),
+         |        t -> t IN ($stopwordList))) AS DOUBLE)
+         |        / len(string_split(text, ' ')) - 0.35) * 2, 0.0), 1.0) AS quality,
+         |  md5(text) AS fingerprint
+         |FROM documents""".stripMargin,
+
+    "q_lang_guess" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(string_split(text, ' '), t -> t IN ('the', 'and', 'of'))) AS en_s,
+        |    len(list_filter(string_split(text, ' '), t -> t IN ('le', 'la', 'et'))) AS fr_s,
+        |    len(list_filter(string_split(text, ' '), t -> t IN ('der', 'und', 'das'))) AS de_s,
+        |    len(list_filter(string_split(text, ' '), t -> t IN ('el', 'los', 'que'))) AS es_s
+        |  FROM documents)
+        |SELECT doc_id, lang,
+        |  CASE WHEN greatest(en_s, fr_s, de_s, es_s) = 0 THEN 'und'
+        |       WHEN en_s >= fr_s AND en_s >= de_s AND en_s >= es_s THEN 'en'
+        |       WHEN fr_s >= de_s AND fr_s >= es_s THEN 'fr'
+        |       WHEN de_s >= es_s THEN 'de'
+        |       ELSE 'es' END AS lang_guess
+        |FROM s""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT doc_id,
+        |  MIN(doc_id) OVER (PARTITION BY md5(lower(text))) AS dup_group,
+        |  doc_id <> MIN(doc_id) OVER (PARTITION BY md5(lower(text))) AS is_dup
+        |FROM documents""".stripMargin,
+
+    "q_dedup_minhash_sigs" -> {
+      val shingles =
+        """CASE WHEN len(w) < 3 THEN [text]
+          |ELSE list_transform(range(1, len(w) - 1),
+          |  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END""".stripMargin
+      s"""SELECT doc_id,
+         |  list_aggregate(list_transform($shingles, s -> md5(s || '#0')), 'min') AS sig_0,
+         |  list_aggregate(list_transform($shingles, s -> md5(s || '#1')), 'min') AS sig_1,
+         |  list_aggregate(list_transform($shingles, s -> md5(s || '#2')), 'min') AS sig_2,
+         |  list_aggregate(list_transform($shingles, s -> md5(s || '#3')), 'min') AS sig_3
+         |FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)""".stripMargin
+    },
+
+    "q_ann_cosine_topk" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding AS q_emb
+        |  FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)),
+        |s AS (
+        |  SELECT q.query_id, e.vec_id,
+        |    round(
+        |      list_sum(list_transform(range(1, len(q.q_emb) + 1),
+        |        i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(range(1, len(q.q_emb) + 1),
+        |           i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |           i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))))
+        |    , 6) AS cos_sim
+        |  FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+        |r AS (
+        |  SELECT query_id, vec_id, cos_sim,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos_sim DESC, vec_id ASC) AS INT) AS rank
+        |  FROM s)
+        |SELECT query_id, vec_id, cos_sim, rank FROM r WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "q_multimodal_join" ->
+      """SELECT doc_id, lang, source, n_chars, label,
+        |  CAST(len(embedding) AS INT) AS emb_dim,
+        |  CAST(octet_length(encode(text)) AS INT) AS byte_len
+        |FROM documents JOIN embeddings ON doc_id = vec_id""".stripMargin,
+
+    "q_multimodal_features" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS INT) AS byte_len,
+        |  CAST(CASE WHEN length(text) > 0
+        |    THEN ascii(substring(text, 1, 1)) ELSE 0 END AS INT) AS first_byte,
+        |  CAST(octet_length(encode(text)) // 64 AS INT) AS n_frames
+        |FROM documents JOIN embeddings ON doc_id = vec_id""".stripMargin)
+
+  def verifySort: Map[String, Seq[String]] = Map(
+    "q_text_stats" -> Seq("doc_id"),
+    "q_lang_guess" -> Seq("doc_id"),
+    "q_dedup_exact" -> Seq("doc_id"),
+    "q_dedup_minhash_sigs" -> Seq("doc_id"),
+    "q_multimodal_join" -> Seq("doc_id"),
+    "q_multimodal_features" -> Seq("doc_id"))
+}

@@ -1,0 +1,124 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** LLM-pipeline operators: planted near-duplicate recall for MinHash/LSH,
+  * SimHash Hamming behavior, ANN recall vs the brute-force baseline, and
+  * the multimodal plumbing. */
+class LlmSpec extends AnyFunSuite {
+
+  private def spark = SparkTestSession.withTables()
+
+  test("exact dedup flags planted duplicates only") {
+    val s = spark
+    val d = s.table("documents").select("doc_id", "text")
+    val dupes = d.filter(col("doc_id") < 5)
+      .select((col("doc_id") + 1000L).as("doc_id"), col("text"))
+    val result = TextOps.exactDedup(d.unionAll(dupes))
+    val flagged = result.filter(col("is_dup")).collect()
+    assert(flagged.length == 5)
+    assert(flagged.forall(r => r.getLong(0) >= 1000))
+    // each dup's group leader is the original doc
+    assert(flagged.forall(r => r.getLong(1) == r.getLong(0) - 1000))
+  }
+
+  test("minhash candidates find trimmed near-duplicates, not random pairs") {
+    val s = spark
+    val d = s.table("documents").select("doc_id", "text").filter(col("doc_id") < 50)
+    val mutated = d.select((col("doc_id") + 1000L).as("doc_id"),
+      expr("substring(text, 1, greatest(length(text) - 12, 1))").as("text"))
+    val pairs = Dedup.minhashCandidates(
+      d.unionAll(mutated), k = 3, numHashes = 8, bands = 4,
+      minEstJaccard = 0.5).collect()
+    assert(pairs.nonEmpty, "no candidate pairs found")
+    // every candidate should be a planted (doc, doc+1000) pair
+    val planted = pairs.count(r => r.getLong(1) == r.getLong(0) + 1000)
+    assert(planted.toDouble / pairs.length >= 0.9,
+      s"too many non-planted pairs: ${pairs.length - planted}/${pairs.length}")
+    // recall: most of the 50 planted pairs surface (trimming 12 chars keeps
+    // nearly all shingles identical)
+    assert(planted >= 35, s"recall too low: $planted/50")
+  }
+
+  test("jaccard rescore gives 1.0 for identical docs") {
+    val s = spark
+    val d = s.table("documents").select("doc_id", "text").filter(col("doc_id") < 10)
+    val copy = d.select((col("doc_id") + 1000L).as("doc_id"), col("text"))
+    val all = d.unionAll(copy)
+    val cands = Dedup.minhashCandidates(all, minEstJaccard = 0.9)
+    val rescored = Dedup.jaccardRescore(all, cands)
+    val exact = rescored.filter(col("doc_b") === col("doc_a") + 1000)
+    assert(exact.count() >= 8)
+    assert(exact.filter(col("jaccard") =!= 1.0).count() == 0)
+  }
+
+  test("simhash: identical docs collide, distinct docs differ") {
+    val s = spark
+    val d = s.table("documents").select("doc_id", "text").filter(col("doc_id") < 20)
+    val sigs = Dedup.simhash(d).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sigs.values.forall(_.length == 64))
+    // distinct word-soup docs should not all share a signature
+    assert(sigs.values.toSet.size > 1)
+    // hamming of a doc against itself is 0 via the column helper
+    val two = Dedup.simhash(d.unionAll(
+      d.filter(col("doc_id") === 0).select((col("doc_id") + 100L).as("doc_id"), col("text"))))
+    val h = two.as("x").join(two.as("y"),
+        col("x.doc_id") === 0 && col("y.doc_id") === 100)
+      .select(Dedup.hamming(col("x.simhash_bits"), col("y.simhash_bits")))
+      .collect()(0).getInt(0)
+    assert(h == 0)
+  }
+
+  test("brute-force ANN: k rows per query, valid scores, deterministic") {
+    val s = spark
+    val e = s.table("embeddings")
+    val top = Similarity.bruteForceTopK(e, Seq(0L, 1L, 2L), k = 5)
+    val rows = top.collect()
+    assert(rows.length == 15)
+    assert(rows.forall(r => math.abs(r.getDouble(2)) <= 1.000001))
+    val again = Similarity.bruteForceTopK(e, Seq(0L, 1L, 2L), k = 5).collect()
+    assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+  }
+
+  test("LSH ANN recalls a reasonable fraction of the exact top-k") {
+    val s = spark
+    val e = s.table("embeddings")
+    val qids = Seq(0L, 1L, 2L, 3L, 4L)
+    val exact = Similarity.bruteForceTopK(e, qids, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshTopK(e, qids, k = 10, planes = 12, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    // random synthetic embeddings are the worst case for LSH (all pairs
+    // near-orthogonal); planted-duplicate recall is pinned separately in
+    // the cosineNearDup test
+    assert(recall >= 0.3, s"LSH recall $recall too low")
+  }
+
+  test("cosine near-dup finds planted duplicate embeddings") {
+    val s = spark
+    val e = s.table("embeddings").filter(col("vec_id") < 50)
+    val copy = e.select((col("vec_id") + 1000L).as("vec_id"),
+      col("embedding"), col("label"))
+    val pairs = Similarity.cosineNearDup(e.unionAll(copy), threshold = 0.999)
+      .collect()
+    val planted = pairs.count(r => r.getLong(1) == r.getLong(0) + 1000)
+    assert(planted >= 40, s"found only $planted/50 planted identical pairs")
+  }
+
+  test("multimodal stub: plumbing is real, features deterministic") {
+    val s = spark
+    val joined = Multimodal.joined(s.table("documents"), s.table("embeddings"))
+    assert(joined.schema("media").dataType.typeName == "struct")
+    val feats = Multimodal.extractFeaturesStub(joined)
+    val r = feats.join(s.table("documents"), Seq("doc_id"))
+      .filter(col("byte_len") =!= col("n_chars")).count()
+    assert(r == 0, "ascii fixture text: byte_len must equal n_chars")
+    val f = feats.select("features").head().getSeq[Float](0)
+    assert(f.length == 4)
+    assert(f.forall(x => x >= 0f && x <= 1f))
+  }
+}
