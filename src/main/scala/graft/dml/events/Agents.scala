@@ -1,0 +1,132 @@
+package graft.dml.events
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.dml.{TrainSpec, Value}
+import graft.dml.runtime.{Evaluation, Trainer}
+
+/** Autonomous agents (SURVEY §2.1 S7): hyperparameter search, drift
+  * monitoring; plus ensembles (S8) and A/B traffic split (S9).
+  *
+  * The reference's HPO agent is a 50-trial Bayesian search
+  * (reference/AGENTS.md:110-119); seeded random search stands in (SURVEY
+  * §7.3) — trials are independent fits, embarrassingly parallel on a
+  * cluster. Early stopping (patience) lives in the Trainer's STOP WHEN
+  * loop.
+  */
+object Agents {
+
+  final case class Trial(params: List[(String, Value)], metrics: Map[String, Double])
+
+  /** CREATE AGENT … hyperparameter_optimization: seeded random search over
+    * a param grid; returns trials sorted by the target metric (best
+    * first). */
+  def hyperparameterSearch(
+      spark: SparkSession,
+      spec: TrainSpec,
+      space: Map[String, Seq[Value]],
+      trials: Int = 8,
+      metric: String = "accuracy",
+      maximize: Boolean = true,
+      seed: Long = 42L): Seq[Trial] = {
+    val rng = new scala.util.Random(seed)
+    val names = space.keys.toSeq.sorted
+    val configs = (0 until trials).map { _ =>
+      names.map(n => n -> space(n)(rng.nextInt(space(n).size))).toList
+    }.distinct
+    val results = configs.map { params =>
+      val merged = spec.copy(params = spec.params.filterNot(p =>
+        names.contains(p._1)) ++ params)
+      Trial(params, Trainer.train(spark, merged, seed = seed).metrics)
+    }
+    results.sortBy(t => t.metrics.getOrElse(metric, Double.NaN))(
+      if (maximize) Ordering[Double].reverse else Ordering[Double])
+  }
+
+  /** MONITOR MODEL FOR drift_detection (S11): per-feature standardized mean
+    * shift between a reference window and a current window, computed with
+    * decimal-exact sums (deterministic) in one aggregate pass per side. */
+  def driftScores(
+      reference: DataFrame, current: DataFrame,
+      features: Seq[String]): Map[String, Double] = {
+    def stats(df: DataFrame): Map[String, (Double, Double, Long)] = {
+      val aggs = features.flatMap { f =>
+        Seq(
+          sum(col(f).cast("decimal(28,8)")).cast("double").as(s"${f}_sum"),
+          sum((col(f) * col(f)).cast("decimal(28,8)")).cast("double").as(s"${f}_sq"),
+          count(col(f)).as(s"${f}_n"))
+      }
+      val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+      features.map { f =>
+        val s = row.getAs[Double](s"${f}_sum")
+        val sq = row.getAs[Double](s"${f}_sq")
+        val n = row.getAs[Long](s"${f}_n")
+        f -> (s / n, math.sqrt(math.max(sq / n - (s / n) * (s / n), 1e-12)), n)
+      }.toMap
+    }
+    val ref = stats(reference)
+    val cur = stats(current)
+    features.map { f =>
+      val (m0, sd0, _) = ref(f)
+      val (m1, _, _) = cur(f)
+      f -> math.abs(m1 - m0) / sd0
+    }.toMap
+  }
+
+  /** Drift agent: evaluates scores and publishes an alert event per
+    * drifted feature (WHEN drift > threshold THEN PUBLISH, DSL.md:346-351). */
+  def driftAgent(
+      bus: EventBus,
+      reference: DataFrame, current: DataFrame,
+      features: Seq[String], threshold: Double = 0.5): Map[String, Double] = {
+    val scores = driftScores(reference, current, features)
+    scores.filter(_._2 > threshold).foreach { case (f, s) =>
+      bus.publish("drift_alert", Map("feature" -> f, "score" -> s.toString))
+    }
+    scores
+  }
+
+  /** CREATE ENSEMBLE … COMBINE MODELS (m WEIGHT w, …) USING
+    * weighted_average (S8): weighted sum of per-model prediction columns.
+    * Each model transform is one pass; the combine is Column arithmetic. */
+  def weightedEnsemble(
+      models: Seq[(org.apache.spark.ml.PipelineModel, Double)],
+      data: DataFrame): DataFrame = {
+    require(models.nonEmpty, "ensemble needs at least one model")
+    val total = models.map(_._2).sum
+    var out = data
+    models.zipWithIndex.foreach { case ((m, _), i) =>
+      out = m.transform(out)
+        .withColumnRenamed("prediction", s"pred_$i")
+        .drop("rawPrediction", "probability", "features", "features_raw", "label")
+    }
+    val combined = models.zipWithIndex
+      .map { case ((_, w), i) => col(s"pred_$i") * (w / total) }
+      .reduce(_ + _)
+    out.withColumn("ensemble_prediction", combined)
+  }
+
+  /** DEPLOY MODELS (a, b) … TRAFFIC SPLIT a=pct, b=rest (S9): deterministic
+    * hash routing on a key column — reproducible assignment, no RNG. */
+  def trafficSplit(
+      data: DataFrame, keyCol: String,
+      arms: Seq[(String, Int)]): DataFrame = {
+    require(arms.map(_._2).sum == 100, "traffic split must sum to 100")
+    val bucket = pmod(xxhash64(col(keyCol)), lit(100))
+    val (routed, _) = arms.foldLeft((lit(null).cast("string"), 0)) {
+      case ((acc, offset), (arm, pct)) =>
+        (when(bucket >= offset && bucket < offset + pct, lit(arm)).otherwise(acc),
+          offset + pct)
+    }
+    data.withColumn("arm", routed)
+  }
+
+  /** EXPLAIN PREDICTION (S10): global importances via the fitted model
+    * (per-row SHAP is out of scope, SURVEY §7.3). */
+  def explain(
+      model: org.apache.spark.ml.PipelineModel,
+      featureNames: Seq[String], topK: Int = 5): Seq[(String, Double)] =
+    Evaluation.featureImportance(model, featureNames)
+      .toSeq.sortBy(-_._2).take(topK)
+}

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Driver-gate entries for the events layer (SURVEY §2.7): windowed
+  * metrics (the "metrics materialized view" pattern, DISTRIBUTED.md:626),
+  * funnel analysis over event ordering, and drift-window statistics.
+  * All aggregates use decimal-exact sums so partial-aggregation order can
+  * never change the oracle hash.
+  */
+object EventQueries {
+
+  private val D = DecimalType(18, 2)
+
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    Tables.register(s, dir); s.table("events")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // hourly per-type metrics roll-up — tumbling windows via date_trunc
+    "q_events_windowed" -> { (s, dir) =>
+      events(s, dir)
+        .groupBy(date_trunc("HOUR", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(D)).cast("double").as("value_sum"))
+        .orderBy("hour", "event_type")
+    },
+
+    // per-user funnel: stage counts + view→purchase conversion flag
+    "q_events_funnel" -> { (s, dir) =>
+      events(s, dir)
+        .groupBy("user_id")
+        .agg(
+          sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("n_view"),
+          sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n_click"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchase"),
+          min(when(col("event_type") === "view", col("ts"))).as("first_view"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("first_purchase"))
+        .withColumn("converted",
+          col("first_view").isNotNull && col("first_purchase").isNotNull &&
+            (col("first_purchase") > col("first_view")))
+        .select("user_id", "n_view", "n_click", "n_purchase", "converted")
+        .orderBy("user_id")
+    },
+
+    // drift windows: reference vs current value statistics (decimal-exact)
+    "q_events_drift_windows" -> { (s, dir) =>
+      events(s, dir)
+        .groupBy(when(col("ts") < lit("2024-01-02 00:00:00").cast("timestamp"),
+          "ref").otherwise("cur").as("win"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(D)).cast("double").as("value_sum"),
+          sum((col("value") * col("value")).cast(DecimalType(28, 8)))
+            .cast("double").as("value_sq_sum"))
+        .orderBy("win")
+    })
+
+  def oracles: Map[String, String] = Map(
+    "q_events_windowed" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+
+    "q_events_funnel" ->
+      """SELECT user_id,
+        |  SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
+        |  SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+        |  SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+        |  (MIN(CASE WHEN event_type = 'view' THEN ts END) IS NOT NULL
+        |   AND MIN(CASE WHEN event_type = 'purchase' THEN ts END) IS NOT NULL
+        |   AND MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+        |     > MIN(CASE WHEN event_type = 'view' THEN ts END)) AS converted
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_events_drift_windows" ->
+      """SELECT CASE WHEN ts < TIMESTAMP '2024-01-02 00:00:00'
+        |  THEN 'ref' ELSE 'cur' END AS win,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum,
+        |  CAST(SUM(CAST(value * value AS DECIMAL(28,8))) AS DOUBLE) AS value_sq_sum
+        |FROM events GROUP BY 1 ORDER BY win""".stripMargin)
+
+  def verifySort: Map[String, Seq[String]] = Map.empty
+}

@@ -1,0 +1,139 @@
+package graft.dml.events
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.dml.{DmlParser, TrainSpec, Value}
+
+/** Events/WHEN/agents layer: pub/sub roundtrip, rule dispatch (batch and
+  * streaming), HPO random search, drift agent, ensemble, traffic split. */
+class EventsSpec extends AnyFunSuite {
+
+  private def spark = SparkTestSession.withTables()
+
+  test("publish/subscribe roundtrip with LIKE patterns") {
+    val s = spark
+    val dir = Files.createTempDirectory("graft-events").toString
+    val bus = new EventBus(s, dir)
+    bus.publish("model_trained", Map("model" -> "m1"), value = 0.9)
+    bus.publish("model_failed", Map("model" -> "m2"), value = 0.1)
+    bus.publish("drift_alert", Map("feature" -> "f1"), value = 0.7)
+    assert(bus.subscribe("model_%").count() == 2)
+    assert(bus.subscribe("%").count() == 3)
+    val m = bus.subscribe("model_trained").select("props").head().getString(0)
+    assert(m.contains("\"model\": \"m1\""))
+  }
+
+  test("WHEN rules dispatch on batch with condition filters") {
+    val s = spark
+    var fired = Map.empty[String, Long]
+    val rules = Seq(
+      WhenRule("high_value_purchase", "purchase", col("value") > 50.0,
+        df => { fired += ("hvp" -> df.count()) }),
+      WhenRule("any_error", "error", lit(true),
+        df => { fired += ("err" -> df.count()) }),
+      WhenRule("never", "no_such_type", lit(true),
+        _ => fail("rule must not fire")))
+    val engine = new RuleEngine(rules)
+    val result = engine.dispatchBatch(s.table("events"))
+    assert(result.contains("high_value_purchase"))
+    assert(result.contains("any_error"))
+    assert(!result.contains("never"))
+    assert(fired("hvp") == result("high_value_purchase"))
+    assert(fired("err") == result("any_error"))
+  }
+
+  test("streaming WHEN rules fire via foreachBatch") {
+    val s = spark
+    val dir = Files.createTempDirectory("graft-stream-events").toString
+    val ckpt = Files.createTempDirectory("graft-stream-ckpt").toString
+    val bus = new EventBus(s, dir)
+    bus.publish("retrain_request", Map("model" -> "m1"))
+    bus.publish("retrain_request", Map("model" -> "m2"))
+    @volatile var total = 0L
+    val engine = new RuleEngine(Seq(
+      WhenRule("retrain", "retrain_%", lit(true),
+        df => { total += df.count() })))
+    val q = engine.runStream(
+      bus.subscribeStream("%"), ckpt, Trigger.AvailableNow())
+    q.awaitTermination(60000)
+    assert(total == 2, s"expected 2 streamed events, saw $total")
+  }
+
+  test("hyperparameter random search ranks trials by metric") {
+    val s = spark
+    val spec = DmlParser.parse(
+      "TRAIN MODEL hpo_model USING decision_tree FROM lineitem " +
+        "PREDICT l_returnflag WITH FEATURES(l_quantity, l_discount)")
+      .asInstanceOf[TrainSpec]
+    val trials = Agents.hyperparameterSearch(s, spec,
+      space = Map("max_depth" -> Seq(Value.VInt(2), Value.VInt(4))),
+      trials = 3, metric = "accuracy")
+    assert(trials.nonEmpty && trials.size <= 2) // distinct configs only
+    assert(trials.head.metrics("accuracy") >=
+      trials.last.metrics("accuracy"))
+  }
+
+  test("drift agent scores planted shift and publishes alerts") {
+    val s = spark
+    val dir = Files.createTempDirectory("graft-drift-events").toString
+    val bus = new EventBus(s, dir)
+    val ref = s.table("events").select("value")
+    val cur = ref.withColumn("value", col("value") + 100.0)
+    val scores = Agents.driftAgent(bus, ref, cur, Seq("value"), threshold = 0.5)
+    assert(scores("value") > 1.0, s"shift not detected: $scores")
+    assert(bus.subscribe("drift_alert").count() == 1)
+    // no drift → no alert
+    val calm = Agents.driftAgent(bus, ref, ref, Seq("value"), threshold = 0.5)
+    assert(calm("value") == 0.0)
+    assert(bus.subscribe("drift_alert").count() == 1)
+  }
+
+  test("weighted ensemble combines predictions") {
+    val s = spark
+    val spec = DmlParser.parse(
+      "TRAIN MODEL ens_base USING decision_tree(max_depth=3) FROM lineitem " +
+        "PREDICT l_returnflag WITH FEATURES(l_quantity, l_discount)")
+      .asInstanceOf[TrainSpec]
+    val a = graft.dml.runtime.Trainer.train(s, spec)
+    val b = graft.dml.runtime.Trainer.train(s,
+      spec.copy(params = List("max_depth" -> Value.VInt(2))))
+    val data = graft.dml.TrainCompiler.trainingDataFrame(s, spec).limit(100)
+    val out = Agents.weightedEnsemble(Seq(a.model -> 0.7, b.model -> 0.3), data)
+    assert(out.columns.contains("ensemble_prediction"))
+    assert(out.filter(col("ensemble_prediction").isNull).count() == 0)
+  }
+
+  test("traffic split routes deterministically with requested proportions") {
+    val s = spark
+    val routed = Agents.trafficSplit(
+      s.table("customer"), "c_custkey", Seq("champion" -> 80, "challenger" -> 20))
+    val counts = routed.groupBy("arm").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum.toDouble
+    assert(counts.keySet == Set("champion", "challenger"))
+    assert(math.abs(counts("champion") / total - 0.8) < 0.12)
+    val again = Agents.trafficSplit(
+      s.table("customer"), "c_custkey", Seq("champion" -> 80, "challenger" -> 20))
+      .groupBy("arm").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == again)
+  }
+
+  test("explain returns top-k importances") {
+    val s = spark
+    val spec = DmlParser.parse(
+      "TRAIN MODEL exp_model USING decision_tree(max_depth=4) FROM lineitem " +
+        "PREDICT l_returnflag WITH FEATURES(l_quantity, l_extendedprice, l_discount)")
+      .asInstanceOf[TrainSpec]
+    val r = graft.dml.runtime.Trainer.train(s, spec)
+    val top = Agents.explain(r.model,
+      Seq("l_quantity", "l_extendedprice", "l_discount"), topK = 2)
+    assert(top.size == 2)
+    assert(top(0)._2 >= top(1)._2)
+  }
+}
