@@ -18,20 +18,48 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** k-word shingles → `numHashes` minhash signatures. Documents with fewer
-    * than k tokens get their whole text as the single shingle. */
+  /** k-word shingle array from a materialized `_w` token-array column
+    * (split the text exactly once per row; never re-split per element).
+    * Documents with fewer than k tokens get their whole text as the single
+    * shingle. */
+  private def shingleExpr(k: Int): String =
+    s"""CASE WHEN size(_w) < $k THEN array(text)
+       |ELSE transform(sequence(1, size(_w) - ${k - 1}),
+       |  i -> concat_ws(' ', ${(0 until k).map(j => s"element_at(_w, i + $j)").mkString(", ")}))
+       |END""".stripMargin
+
+  private def withShingleCol(docs: DataFrame, k: Int): DataFrame =
+    docs.withColumn("_w", split(col("text"), " "))
+      .withColumn("_shingles", expr(shingleExpr(k)))
+
+  /** k-word shingles → `numHashes` md5-based minhash signatures (the
+    * oracle-checkable form: DuckDB reproduces md5 exactly). Shingles are
+    * materialized once; each signature is one array_min pass. */
   def minhashSignatures(
       docs: DataFrame, k: Int = 3, numHashes: Int = 8): DataFrame = {
-    val shingles =
-      s"""CASE WHEN size(split(text, ' ')) < $k THEN array(text)
-         |ELSE transform(sequence(1, size(split(text, ' ')) - ${k - 1}),
-         |  i -> concat_ws(' ', ${(0 until k).map(j => s"element_at(split(text, ' '), i + $j)").mkString(", ")}))
-         |END""".stripMargin
+    val withShingles = withShingleCol(docs, k)
     val sigCols = (0 until numHashes).map { j =>
-      expr(s"array_min(transform($shingles, s -> md5(concat(s, '#$j'))))")
+      expr(s"array_min(transform(_shingles, s -> md5(concat(s, '#$j'))))")
         .as(s"sig_$j")
     }
-    docs.select((col("doc_id") +: sigCols): _*)
+    withShingles.select((col("doc_id") +: sigCols): _*)
+  }
+
+  /** Fast minhash signatures for the candidate-generation path: ONE
+    * xxhash64 per shingle, then `numHashes` affine rehashes
+    * (a_j·h + b_j, wrapping 64-bit arithmetic — deterministic). ~8× fewer
+    * hash computations than the md5 form; not DuckDB-reproducible, which
+    * is fine since candidates are recall-tested, not oracle-hashed. */
+  private def fastSignatures(
+      docs: DataFrame, k: Int, numHashes: Int): DataFrame = {
+    val withHashes = withShingleCol(docs, k)
+      .withColumn("_hs", expr("transform(_shingles, s -> xxhash64(s))"))
+    val sigCols = (0 until numHashes).map { j =>
+      // j-th hash family member: xxhash64 of (base hash, j) — cheap,
+      // ANSI-safe (no overflowing arithmetic), deterministic
+      expr(s"array_min(transform(_hs, h -> xxhash64(h, $j)))").as(s"sig_$j")
+    }
+    withHashes.select((col("doc_id") +: sigCols): _*)
   }
 
   /** Banded LSH candidate pairs: signatures split into `bands` bands of
@@ -42,11 +70,11 @@ object Dedup {
       minEstJaccard: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rows = numHashes / bands
-    val sigs = minhashSignatures(docs, k, numHashes)
+    val sigs = fastSignatures(docs, k, numHashes)
 
     val bandCols = (0 until bands).map { b =>
       val parts = (b * rows until (b + 1) * rows).map(j => col(s"sig_$j"))
-      md5(concat_ws("|", parts: _*)).as(s"band_$b")
+      xxhash64(concat_ws("|", parts: _*)).as(s"band_$b")
     }
     val banded = sigs.select((col("doc_id") +:
       (0 until numHashes).map(j => col(s"sig_$j"))) ++ bandCols: _*)
@@ -80,12 +108,8 @@ object Dedup {
     * LSH pruning): |A∩B| / |A∪B| over distinct k-shingles. */
   def jaccardRescore(
       docs: DataFrame, candidates: DataFrame, k: Int = 3): DataFrame = {
-    val sh = docs.select(col("doc_id"),
-      expr(s"""explode(array_distinct(CASE WHEN size(split(text, ' ')) < $k
-        |THEN array(text)
-        |ELSE transform(sequence(1, size(split(text, ' ')) - ${k - 1}),
-        |  i -> concat_ws(' ', ${(0 until k).map(j => s"element_at(split(text, ' '), i + $j)").mkString(", ")}))
-        |END))""".stripMargin).as("shingle"))
+    val sh = withShingleCol(docs, k).select(col("doc_id"),
+      expr("explode(array_distinct(_shingles))").as("shingle"))
     val counts = sh.groupBy("doc_id").count().withColumnRenamed("count", "n_sh")
     val inter = candidates
       .join(sh.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"))

@@ -51,22 +51,27 @@ object Similarity {
       .select("query_id", "vec_id", "cos_sim", "rank")
   }
 
-  /** Deterministic pseudo-random hyperplane component for (dim d, plane p):
-    * ±1 from the parity of a bit of md5 — no RNG state, reproducible on any
-    * cluster. Pure Column API so it composes inside lambda functions. */
-  private def planeSign(d: Column, p: Int): Column =
-    when(conv(substring(md5(concat(d.cast("string"), lit(s"#$p"))), 1, 8),
-        16, 10).cast("long") % 2 === 1,
-      lit(1.0)).otherwise(lit(-1.0))
+  /** Deterministic pseudo-random hyperplane sign for (dim d, plane p): ±1
+    * from the parity of the first md5 byte of "d#p" — no RNG state,
+    * reproducible on any cluster. Computed driver-side once (the signs are
+    * constants) and shipped as array literals, NOT re-hashed per row. */
+  private def planeSign(d: Int, p: Int): Double = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$d#$p".getBytes("UTF-8"))
+    if ((digest(0) & 1) == 1) 1.0 else -1.0
+  }
 
-  /** Hyperplane-LSH signature: bit p = sign(sum_d emb[d] * h(d, p)). */
+  /** maximum supported embedding dimension for the literal plane matrix */
+  private val MaxDim = 4096
+
+  /** Hyperplane-LSH signature: bit p = sign(emb ⋅ plane_p). Each plane is a
+    * ±1 literal vector; the projection is one zip_with fold per plane. */
   def lshSignature(emb: Column, planes: Int = 12): Column = {
     val bits = (0 until planes).map { p =>
+      val planeVec = typedLit((0 until MaxDim).map(d => planeSign(d, p)))
       val proj = aggregate(
-        zip_with(emb,
-          // index array 0..dim-1 — sequence sized to the embedding
-          transform(sequence(lit(0), size(emb) - 1), i => i),
-          (x, i) => x.cast("double") * planeSign(i, p)),
+        zip_with(emb, slice(planeVec, lit(1), size(emb)),
+          (x, s) => x.cast("double") * s),
         lit(0.0), (acc, v) => acc + v)
       when(proj >= 0, lit("1")).otherwise(lit("0"))
     }
