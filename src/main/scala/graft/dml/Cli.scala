@@ -14,7 +14,11 @@ import org.apache.spark.sql.SparkSession
   * COMPUTE registers and applies the kernel — printing a result summary.
   */
 object Cli {
-  def main(args: Array[String]): Unit = {
+  def main(args: Array[String]): Unit = sys.exit(run(args, System.in))
+
+  /** Testable entry point: returns the exit code instead of exiting, so the
+    * CLI contract tests (the test_cli.py port) can drive it in-process. */
+  def run(args: Array[String], stdin: java.io.InputStream): Int = {
     val (runDir, rest) = args.toList match {
       case "--run" :: dir :: tail => (Some(dir), tail)
       case other                  => (None, other)
@@ -22,15 +26,16 @@ object Cli {
     val text =
       try rest match {
         case path :: Nil => Files.readString(Paths.get(path))
-        case Nil => new String(System.in.readAllBytes())
+        case Nil => new String(stdin.readAllBytes())
         case _ =>
           System.err.println("usage: graft.dml.Cli [--run sfDir] [file]")
-          sys.exit(2)
+          return 2
       }
       catch {
         case e: java.io.IOException =>
-          System.err.println(s"error: ${e.getMessage}")
-          sys.exit(1)
+          // message wording mirrors cli.py:26-30
+          System.err.println(s"Failed to read source file: ${e.getMessage}")
+          return 1
       }
 
     // Parse and compile errors both exit 1 with a clean message, mirroring
@@ -42,7 +47,7 @@ object Cli {
       } catch {
         case e @ (_: ParseException | _: IllegalArgumentException) =>
           System.err.println(s"error: ${e.getMessage}")
-          sys.exit(1)
+          return 1
       }
 
     println(sql)
@@ -91,5 +96,6 @@ object Cli {
         }
       } finally spark.stop()
     }
+    0
   }
 }

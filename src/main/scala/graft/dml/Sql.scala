@@ -82,6 +82,13 @@ object SourceValidator {
         "Training data source must be a relation/join expression or a parenthesized subquery")
   }
 
+  /** The forbidden-keyword screen alone (for full SELECT texts, where the
+    * relation-shape whitelist does not apply — e.g. feature transformers). */
+  def validateKeywordsOnly(text: String): Unit =
+    if (forbidden.matcher(text).find())
+      throw new IllegalArgumentException(
+        "Training data source contains disallowed SQL keywords")
+
   /** parser.py:619-630 — compile-time heuristic for a hand-built spec whose
     * sourceIsIdentifier flag is false but whose source is a lone token. */
   def looksLikeSingleIdentifier(clause: String): Boolean =

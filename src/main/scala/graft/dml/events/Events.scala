@@ -51,6 +51,21 @@ final class EventBus(spark: SparkSession, path: String) {
   def subscribeStream(pattern: String): DataFrame =
     spark.readStream.schema(Events.schema).parquet(path)
       .filter(col("event_type").like(pattern))
+
+  /** Metrics materialized view, streaming form (DISTRIBUTED.md:626-654):
+    * watermarked tumbling-window counts/sums per event type. Late events
+    * beyond the watermark are dropped; state is bounded by
+    * (windows in flight × event types). */
+  def windowedMetricsStream(
+      windowDuration: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    spark.readStream.schema(Events.schema).parquet(path)
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDuration), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value")).as("value_sum"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("value_sum"))
 }
 
 /** WHEN EVENT 'type' WHERE cond THEN action (S6). */

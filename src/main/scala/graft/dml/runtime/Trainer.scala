@@ -92,12 +92,27 @@ object Trainer {
         .setOutputCol("features").setWithMean(true).setWithStd(true)
 
     val est = alg.make()
-    AlgorithmRegistry.applyParams(est, spec.params)
+    // neural_network(layers=[...]) gives HIDDEN sizes (DSL.md:47-48); the
+    // full MLP spec is input-size +: hidden :+ num-classes, so the raw
+    // param can't go through set() (its validator wants length >= 2)
+    val (mlpHidden, applicableParams) = est match {
+      case _: MultilayerPerceptronClassifier =>
+        val hidden = spec.params.collectFirst {
+          case ("layers", Value.VList(xs)) => xs.map {
+            case Value.VInt(i) => i.toInt
+            case Value.VFloat(f) if f.isWhole => f.toInt
+            case other => throw new IllegalArgumentException(
+              s"layers entries must be integers, got $other")
+          }
+        }
+        (hidden, spec.params.filterNot(_._1 == "layers"))
+      case _ => (None, spec.params)
+    }
+    AlgorithmRegistry.applyParams(est, applicableParams)
     configure(est, alg.task, weightCol, seed)
     est match {
       case mlp: MultilayerPerceptronClassifier =>
-        val hidden: Array[Int] =
-          if (mlp.isSet(mlp.layers)) mlp.getLayers else Array(8)
+        val hidden = mlpHidden.getOrElse(List(8)).toArray
         val nClasses = trainDf.select(spec.target).distinct().count().toInt
         mlp.setLayers(featureCols.size +: hidden :+ math.max(nClasses, 2))
       case _ =>

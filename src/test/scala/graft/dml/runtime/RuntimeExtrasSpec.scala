@@ -1,0 +1,103 @@
+package graft.dml.runtime
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.dml.{DmlParser, TrainSpec}
+import graft.dml.events.EventBus
+
+/** Feature transformers (S5), watermarked streaming metrics, the remaining
+  * algorithm paths (neural_network layers, GBT binary), and the flagship
+  * entry. */
+class RuntimeExtrasSpec extends AnyFunSuite {
+
+  private def spark = SparkTestSession.withTables()
+
+  test("feature transformer registers a reusable view (S5)") {
+    val s = spark
+    FeatureTransformers.create(s, "customer_features",
+      "SELECT c_custkey, c_acctbal / 1000 AS acctbal_k FROM customer")
+    val df = FeatureTransformers(s, "customer_features")
+    assert(df.columns.toSeq == Seq("c_custkey", "acctbal_k"))
+    assert(df.count() == s.table("customer").count())
+    // usable as a TRAIN source like any relation
+    val spec = DmlParser.parse(
+      "TRAIN MODEL ft_model USING linear_regression(max_iter=5) " +
+        "FROM customer_features PREDICT acctbal_k WITH FEATURES(c_custkey)")
+      .asInstanceOf[TrainSpec]
+    assert(Trainer.train(s, spec).metrics.contains("rmse"))
+  }
+
+  test("feature transformer rejects non-SELECT and unsafe text") {
+    val s = spark
+    intercept[IllegalArgumentException] {
+      FeatureTransformers.create(s, "bad", "DROP TABLE customer")
+    }
+    intercept[IllegalArgumentException] {
+      FeatureTransformers.create(s, "bad", "SELECT 1; DROP TABLE customer")
+    }
+    intercept[IllegalArgumentException] {
+      FeatureTransformers.create(s, "bad", "SELECT * FROM customer -- sneak")
+    }
+  }
+
+  test("watermarked streaming windowed metrics over the event log") {
+    val s = spark
+    val dir = Files.createTempDirectory("graft-wm-events").toString
+    val ckpt = Files.createTempDirectory("graft-wm-ckpt").toString
+    // seed the log from the fixture events table
+    s.table("events").write.mode("append").parquet(dir)
+    val bus = new EventBus(s, dir)
+    val q = bus.windowedMetricsStream("1 hour", "2 hours")
+      .writeStream.format("memory").queryName("wm_metrics")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    // append mode emits only windows closed by the watermark — all but the
+    // final in-flight window of the fixture range
+    val rows = s.table("wm_metrics")
+    assert(rows.columns.toSeq ==
+      Seq("window_start", "event_type", "n", "value_sum"))
+    assert(rows.count() > 0)
+  }
+
+  test("neural_network builds layer spec from features and classes") {
+    val spec = DmlParser.parse(
+      "TRAIN MODEL nn USING neural_network(layers=[6], max_iter=15) " +
+        "FROM lineitem PREDICT l_returnflag " +
+        "WITH FEATURES(l_quantity, l_discount, l_tax)")
+      .asInstanceOf[TrainSpec]
+    val r = Trainer.train(spark, spec)
+    assert(r.metrics.contains("accuracy"))
+  }
+
+  test("gradient boosting on a binary derived target") {
+    val s = spark
+    // binary target via a feature transformer (GBTClassifier is binary-only)
+    FeatureTransformers.create(s, "li_binary",
+      "SELECT l_quantity, l_discount, " +
+        "CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS is_returned " +
+        "FROM lineitem")
+    val spec = DmlParser.parse(
+      "TRAIN MODEL gbt USING gradient_boosting(n_estimators=5, max_depth=3) " +
+        "FROM li_binary PREDICT is_returned " +
+        "WITH FEATURES(l_quantity, l_discount)")
+      .asInstanceOf[TrainSpec]
+    val r = Trainer.train(s, spec)
+    assert(r.metrics.contains("accuracy"))
+    assert(r.metrics.contains("auc"))
+  }
+
+  test("flagship entry returns scored rows") {
+    val scored = graft.SparkEntry.entry(spark)
+    assert(scored.count() > 0)
+    assert(scored.columns.contains("prediction"))
+    assert(scored.filter(col("prediction").isNull).count() == 0)
+  }
+}
