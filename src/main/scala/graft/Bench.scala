@@ -10,6 +10,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm the session once (codegen compiler, shuffle machinery, parquet
+    // footers) so the first measured query isn't charged ~7s of JVM
+    // startup that no steady-state workload pays.
+    Tables.register(spark, sfDir)
+    spark.table("lineitem").groupBy("l_returnflag")
+      .count().write.format("noop").mode("overwrite").save()
     // Materialize via the noop sink: every operator in the plan actually
     // executes (count() lets Catalyst prune projections and sorts, which
     // made projection/sort-shaped queries measure nearly nothing).

@@ -23,7 +23,6 @@ object FunctionQueries {
         .select(col("l_orderkey"),
           explode(col("arr")).as("ln"),
           size(col("arr")).as("n_items"))
-        .orderBy("l_orderkey", "ln")
     },
 
     // base64 encode/decode round-trip over strings (exact, deterministic)
@@ -34,7 +33,6 @@ object FunctionQueries {
           base64(col("o_orderpriority").cast("binary")).as("b64"),
           unbase64(base64(col("o_orderpriority").cast("binary")))
             .cast("string").as("decoded"))
-        .orderBy("o_orderkey")
     })
 
   def oracles: Map[String, String] = Map(
@@ -51,5 +49,7 @@ object FunctionQueries {
         |  o_orderpriority AS decoded
         |FROM orders ORDER BY o_orderkey""".stripMargin)
 
-  def verifySort: Map[String, Seq[String]] = Map.empty
+  def verifySort: Map[String, Seq[String]] = Map(
+    "q_array_unnest" -> Seq("l_orderkey", "ln"),
+    "q_base64_roundtrip" -> Seq("o_orderkey"))
 }

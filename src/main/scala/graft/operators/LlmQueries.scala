@@ -55,7 +55,6 @@ object LlmQueries {
       Dedup.minhashCandidates(
         d.select("doc_id", "text").unionAll(mutated),
         k = 3, numHashes = 8, bands = 4, minEstJaccard = 0.5)
-        .orderBy("doc_a", "doc_b")
     },
 
     "q_ann_cosine_topk" -> { (s, dir) =>
@@ -176,6 +175,7 @@ object LlmQueries {
         |FROM documents JOIN embeddings ON doc_id = vec_id""".stripMargin)
 
   def verifySort: Map[String, Seq[String]] = Map(
+    "q_dedup_minhash_pairs" -> Seq("doc_a", "doc_b"),
     "q_text_stats" -> Seq("doc_id"),
     "q_lang_guess" -> Seq("doc_id"),
     "q_dedup_exact" -> Seq("doc_id"),

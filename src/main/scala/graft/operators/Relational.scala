@@ -50,7 +50,7 @@ object Relational {
         .filter(col("l_shipdate") < lit("1997-01-01").cast("timestamp")
           && col("l_discount") > 0.05)
         .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount")
-        .orderBy("l_orderkey", "l_linenumber")
+      // row output: determinism sort lives at the Verify boundary
     },
 
     // R4: TPC-H Q1-style grouped aggregation, decimal-exact sums/avgs.
@@ -220,7 +220,8 @@ object Relational {
     * and Verify sorts the (fixture-scale) result before dumping it. */
   def verifySort: Map[String, Seq[String]] = Map(
     "q_scan_project" -> Seq("l_orderkey", "l_linenumber"),
-    "q_expr_features" -> Seq("l_orderkey", "l_linenumber"))
+    "q_expr_features" -> Seq("l_orderkey", "l_linenumber"),
+    "q_filter_pushdown" -> Seq("l_orderkey", "l_linenumber"))
 
   def oracles: Map[String, String] = Map(
     "q_scan_project" ->

@@ -1,0 +1,26 @@
+// Plan-quality audit: prints formatted physical plans for the queries whose
+// shape matters at 100 TB. Run: sbt "runMain graft.tools.ExplainPlans"
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+object ExplainPlans {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val interesting = Seq(
+      "q_scan_project", "q_filter_pushdown", "q_multi_join_region",
+      "q_train_source_join", "q_dedup_exact", "q_dedup_minhash_pairs",
+      "q_ann_cosine_topk", "q_ann_lsh_topk", "q_events_windowed")
+    interesting.foreach { name =>
+      println(s"\n========== $name ==========")
+      graft.SparkEntry.queries(name)(spark, dir).explain("formatted")
+    }
+    spark.stop()
+  }
+}
