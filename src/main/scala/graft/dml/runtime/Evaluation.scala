@@ -53,9 +53,12 @@ object Evaluation {
           "f1" -> mc.setMetricName("f1").evaluate(predictions),
           "precision" -> mc.setMetricName("weightedPrecision").evaluate(predictions),
           "recall" -> mc.setMetricName("weightedRecall").evaluate(predictions))
+        // AUC only when the model itself is binary: the rawPrediction vector
+        // must be width 2 (distinct labels in the eval split can undercount
+        // the model's classes, e.g. the indexer's handleInvalid bucket)
         val binary = predictions.schema.fieldNames.contains("rawPrediction") && {
-          val n = predictions.select("label").distinct().count()
-          n <= 2
+          predictions.select("rawPrediction").head(1).headOption.exists(
+            _.getAs[Vector](0).size == 2)
         }
         if (binary)
           base + ("auc" -> new BinaryClassificationEvaluator()

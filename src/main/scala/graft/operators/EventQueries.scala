@@ -47,6 +47,17 @@ object EventQueries {
         .orderBy("user_id")
     },
 
+    // time-series lag + rolling mean per user (DSL.md:88-95 lag features):
+    // windows hash-partitioned by user, sorted within partition only
+    "q_events_lag" -> { (s, dir) =>
+      val e = events(s, dir)
+      val lagged = graft.dml.runtime.TimeSeries.lagFeatures(
+        e, "user_id", "ts", "value", Seq(1), "event_id")
+      graft.dml.runtime.TimeSeries.rollingMean(
+        lagged, "user_id", "ts", "value", 3, "event_id")
+        .select("user_id", "event_id", "value", "value_lag_1", "value_ma_3")
+    },
+
     // drift windows: reference vs current value statistics (decimal-exact)
     "q_events_drift_windows" -> { (s, dir) =>
       events(s, dir)
@@ -77,6 +88,18 @@ object EventQueries {
         |     > MIN(CASE WHEN event_type = 'view' THEN ts END)) AS converted
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
+    "q_events_lag" ->
+      """SELECT user_id, event_id, value,
+        |  lag(value, 1) OVER w AS value_lag_1,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER
+        |    (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |  / COUNT(*) OVER
+        |    (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS value_ma_3
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)""".stripMargin,
+
     "q_events_drift_windows" ->
       """SELECT CASE WHEN ts < TIMESTAMP '2024-01-02 00:00:00'
         |  THEN 'ref' ELSE 'cur' END AS win,
@@ -85,5 +108,6 @@ object EventQueries {
         |  CAST(SUM(CAST(value * value AS DECIMAL(28,8))) AS DOUBLE) AS value_sq_sum
         |FROM events GROUP BY 1 ORDER BY win""".stripMargin)
 
-  def verifySort: Map[String, Seq[String]] = Map.empty
+  def verifySort: Map[String, Seq[String]] = Map(
+    "q_events_lag" -> Seq("user_id", "event_id"))
 }

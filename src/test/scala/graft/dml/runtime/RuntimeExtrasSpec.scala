@@ -94,6 +94,46 @@ class RuntimeExtrasSpec extends AnyFunSuite {
     assert(r.metrics.contains("auc"))
   }
 
+  test("string-typed features go through StringIndexer") {
+    val spec = DmlParser.parse(
+      "TRAIN MODEL strfeat USING decision_tree(max_depth=3) FROM lineitem " +
+        "PREDICT l_linestatus WITH FEATURES(l_returnflag, l_quantity)")
+      .asInstanceOf[TrainSpec]
+    val r = Trainer.train(spark, spec)
+    assert(r.metrics.contains("accuracy"))
+    assert(r.model.stages.exists(
+      _.isInstanceOf[org.apache.spark.ml.feature.StringIndexerModel]))
+  }
+
+  test("time-series lag features and forecast regression") {
+    val s = spark
+    val lagged = TimeSeries.lagFeatures(
+      s.table("events"), "user_id", "ts", "value", Seq(1, 2), "event_id")
+    assert(lagged.columns.contains("value_lag_1"))
+    assert(lagged.columns.contains("value_lag_2"))
+    // first event per user has null lag
+    val firsts = TimeSeries.timeIndex(lagged, "user_id", "ts", "event_id")
+      .filter(col("t_index") === 1.0)
+    assert(firsts.filter(col("value_lag_1").isNotNull).count() == 0)
+    // lag-feature regression (the prophet stand-in): train on lagged values
+    lagged.na.drop().createOrReplaceTempView("events_lagged")
+    val spec = DmlParser.parse(
+      "TRAIN MODEL forecast USING prophet(max_iter=10) FROM events_lagged " +
+        "PREDICT value WITH FEATURES(value_lag_1, value_lag_2)")
+      .asInstanceOf[TrainSpec]
+    val r = Trainer.train(s, spec)
+    assert(r.metrics.contains("rmse"))
+  }
+
+  test("gen_random_uuid maps to uuid()") {
+    val s = spark
+    val ids = s.sql("SELECT uuid() AS id FROM range(10)").collect()
+      .map(_.getString(0))
+    assert(ids.distinct.length == 10)
+    assert(ids.forall(_.matches(
+      "[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}")))
+  }
+
   test("flagship entry returns scored rows") {
     val scored = graft.SparkEntry.entry(spark)
     assert(scored.count() > 0)
