@@ -44,6 +44,41 @@ object Agents {
       if (maximize) Ordering[Double].reverse else Ordering[Double])
   }
 
+  /** Convergence/early-stop agent (reference AGENTS.md:59-90, patience=3):
+    * chunked training that stops after `patience` evaluations without
+    * improvement on the target metric; returns the best report and the
+    * total epochs spent. */
+  def earlyStopTrain(
+      spark: SparkSession,
+      spec: TrainSpec,
+      metric: String = "accuracy",
+      patience: Int = 3,
+      chunk: Int = 10,
+      maxChunks: Int = 20,
+      minDelta: Double = 1e-6,
+      seed: Long = 42L): (Trainer.TrainReport, Int) = {
+    val iterNames = Set("max_iter", "iterations", "epochs", "n_estimators")
+    var best = Double.NegativeInfinity
+    var bestReport: Trainer.TrainReport = null
+    var wait = 0
+    var epochs = 0
+    var i = 0
+    while (wait < patience && i < maxChunks) {
+      i += 1
+      epochs = chunk * i
+      val chunked = spec.copy(
+        params = spec.params.filterNot(p => iterNames(p._1)) :+
+          ("max_iter" -> (Value.VInt(epochs): Value)),
+        stopCondition = None)
+      val report = Trainer.train(spark, chunked, seed = seed)
+      val m = report.metrics.getOrElse(metric,
+        throw new IllegalArgumentException(s"metric '$metric' not produced"))
+      if (m > best + minDelta) { best = m; bestReport = report; wait = 0 }
+      else wait += 1
+    }
+    (bestReport, epochs)
+  }
+
   /** MONITOR MODEL FOR drift_detection (S11): per-feature standardized mean
     * shift between a reference window and a current window, computed with
     * decimal-exact sums (deterministic) in one aggregate pass per side. */

@@ -29,11 +29,16 @@ object AlgorithmRegistry {
       make: () => Estimator[_ <: Model[_]],
       /** name of the iteration Param when the estimator trains iteratively —
         * enables STOP WHEN chunked fitting and epoch checkpoints */
-      iterParam: Option[String])
+      iterParam: Option[String],
+      /** text-pipeline algorithms take ONE text feature column and build
+        * Tokenizer→HashingTF→IDF in front of the estimator (SURVEY §2.8:
+        * LLM ops surfaced as DSL algorithms, e.g. tfidf_logreg) */
+      textPipeline: Boolean = false)
 
-  private def alg(name: String, task: Task, iter: Option[String])(
+  private def alg(name: String, task: Task, iter: Option[String],
+      text: Boolean = false)(
       make: => Estimator[_ <: Model[_]]): (String, Algorithm) =
-    name -> Algorithm(name, task, () => make, iter)
+    name -> Algorithm(name, task, () => make, iter, text)
 
   /** Registry; names are case-insensitive at lookup. */
   val algorithms: Map[String, Algorithm] = Map(
@@ -51,7 +56,12 @@ object AlgorithmRegistry {
     alg("kmeans", Clustering, Some("maxIter"))(new KMeans()),
     // prophet has no Spark analog; documented lag-feature regression stand-in
     // (SURVEY §7.3 "risky/deferred")
-    alg("prophet", Regression, Some("maxIter"))(new LinearRegression()))
+    alg("prophet", Regression, Some("maxIter"))(new LinearRegression()),
+    // text classifiers: Tokenizer→HashingTF→IDF in front of the estimator
+    alg("tfidf_logreg", Classification, Some("maxIter"), text = true)(
+      new LogisticRegression()),
+    alg("tfidf_naive_bayes", Classification, None, text = true)(
+      new NaiveBayes()))
 
   /** DSL param spelling → MLlib Param name (SURVEY §2.2 O1 alias table). */
   private val aliases: Map[String, String] = Map(

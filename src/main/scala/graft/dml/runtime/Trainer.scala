@@ -65,16 +65,10 @@ object Trainer {
     // O2: SPLIT DATA k=r,... (seeded randomSplit in declared order)
     val (namedSplits, trainDf, evalDf) = split(df1, spec, seed)
 
-    // Pipeline stages: categorical indexers → label stage → assembler →
-    // optional scaler
+    // Pipeline stages: label stage + either a text pipeline
+    // (Tokenizer→HashingTF→IDF over one text feature) or categorical
+    // indexers → assembler → optional scaler
     val stages = Vector.newBuilder[PipelineStage]
-    val featureCols = featureNames.map { fn =>
-      if (df0.schema(fn).dataType == StringType) {
-        stages += new StringIndexer().setInputCol(fn).setOutputCol(s"${fn}_idx")
-          .setHandleInvalid("keep").setStringOrderType("alphabetAsc")
-        s"${fn}_idx"
-      } else fn
-    }
     if (alg.task != Clustering) {
       if (df0.schema(spec.target).dataType == StringType)
         stages += new StringIndexer().setInputCol(spec.target)
@@ -84,12 +78,35 @@ object Trainer {
         stages += new SQLTransformer().setStatement(
           s"SELECT *, CAST(`${spec.target}` AS DOUBLE) AS label FROM __THIS__")
     }
-    val assembled = if (needScale) "features_raw" else "features"
-    stages += new VectorAssembler().setInputCols(featureCols.toArray)
-      .setOutputCol(assembled).setHandleInvalid("keep")
-    if (needScale)
-      stages += new StandardScaler().setInputCol("features_raw")
-        .setOutputCol("features").setWithMean(true).setWithStd(true)
+    val featureCols: Seq[String] =
+      if (alg.textPipeline) {
+        require(featureNames.size == 1,
+          s"${spec.algorithm} expects exactly one text feature column")
+        val textCol = featureNames.head
+        stages += new org.apache.spark.ml.feature.Tokenizer()
+          .setInputCol(textCol).setOutputCol("_tokens")
+        stages += new org.apache.spark.ml.feature.HashingTF()
+          .setInputCol("_tokens").setOutputCol("_tf").setNumFeatures(1 << 14)
+        stages += new org.apache.spark.ml.feature.IDF()
+          .setInputCol("_tf").setOutputCol("features")
+        Seq(textCol)
+      } else {
+        val cols = featureNames.map { fn =>
+          if (df0.schema(fn).dataType == StringType) {
+            stages += new StringIndexer().setInputCol(fn)
+              .setOutputCol(s"${fn}_idx")
+              .setHandleInvalid("keep").setStringOrderType("alphabetAsc")
+            s"${fn}_idx"
+          } else fn
+        }
+        val assembled = if (needScale) "features_raw" else "features"
+        stages += new VectorAssembler().setInputCols(cols.toArray)
+          .setOutputCol(assembled).setHandleInvalid("keep")
+        if (needScale)
+          stages += new StandardScaler().setInputCol("features_raw")
+            .setOutputCol("features").setWithMean(true).setWithStd(true)
+        cols
+      }
 
     val est = alg.make()
     // neural_network(layers=[...]) gives HIDDEN sizes (DSL.md:47-48); the

@@ -111,6 +111,58 @@ object Similarity {
       .select("query_id", "vec_id", "cos_sim", "rank")
   }
 
+  /** IVF (inverted-file) ANN: a KMeans coarse quantizer partitions vectors
+    * into nLists cells; each query probes its nProbe nearest centroids and
+    * rescored exact cosine runs only inside those cells. The index assign
+    * is one transform pass; search cost is |corpus| × nProbe / nLists.
+    * Centroids are tiny and handled driver-side; everything else is joins
+    * and windows. */
+  def ivfTopK(
+      embeddings: DataFrame, queryIds: Seq[Long], k: Int = 10,
+      nLists: Int = 16, nProbe: Int = 4, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+
+    val withVec = embeddings.withColumn("_v", array_to_vector(col("embedding")))
+    val km = new KMeans().setK(nLists).setSeed(seed)
+      .setFeaturesCol("_v").setPredictionCol("_list")
+    val model = km.fit(withVec)
+    val assigned = model.transform(withVec)
+      .select(col("vec_id"), col("embedding"), col("_list"))
+
+    // nProbe nearest cells per query — centroids are driver-side constants
+    val centers = model.clusterCenters.map(_.toArray)
+    val queries = embeddings.filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    val probes = queries.flatMap { case (qid, q) =>
+      centers.zipWithIndex
+        .map { case (c, i) =>
+          val dist = q.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum
+          (i, dist)
+        }
+        .sortBy(_._2).take(nProbe)
+        .map { case (list, _) => (qid, list) }
+    }.toSeq.toDF("query_id", "_list")
+
+    val qEmb = embeddings.filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val candidates = assigned
+      .join(broadcast(probes), Seq("_list"))
+      .join(broadcast(qEmb), Seq("query_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+    val scored = candidates.select(col("query_id"), col("vec_id"),
+      round(cosine(col("q_emb"), col("embedding")), 6).as("cos_sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "cos_sim", "rank")
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold, via LSH
     * buckets (the embedding twin of Dedup.minhashCandidates). */
   def cosineNearDup(

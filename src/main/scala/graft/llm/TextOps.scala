@@ -30,6 +30,26 @@ object TextOps {
   /** document fingerprint: md5 (identical hex in Spark and DuckDB) */
   def fingerprint(text: Column): Column = md5(text)
 
+  /** BPE-ish token count: word pieces + standalone punctuation, the
+    * pre-tokenization shape BPE vocabularies segment on. Portable regex
+    * (ASCII classes only, same semantics in Java regex and RE2). */
+  def bpeishTokenCount(text: Column): Column =
+    size(filter(
+      split(regexp_replace(text, "([^A-Za-z0-9\\s])", " $1 "), "\\s+"),
+      t => t =!= ""))
+
+  /** Polynomial rolling hash over tokens (base 131, Mersenne-ish modulus):
+    * an order-sensitive fingerprint — reordered tokens hash differently
+    * while md5 of the joined text would too, but this form extends to
+    * windowed/rolling fingerprints. Values stay < 2^38, ANSI-safe. */
+  def rollingHash(text: Column): Column =
+    aggregate(
+      tokens(text),
+      lit(0L),
+      (acc, t) => pmod(
+        acc * 131L + pmod(xxhash64(t), lit(2147483647L)),
+        lit(2147483647L)))
+
   private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
 
   /** fraction of tokens that are stopwords */
@@ -77,6 +97,7 @@ object TextOps {
     docs.select(
       col("doc_id"),
       tokenCount(col("text")).cast("bigint").as("token_count"),
+      bpeishTokenCount(col("text")).cast("bigint").as("bpe_tokens"),
       length(col("text")).cast("bigint").as("n_chars"),
       avgTokenLen(col("text")).as("avg_token_len"),
       stopwordRatio(col("text")).as("stopword_ratio"),

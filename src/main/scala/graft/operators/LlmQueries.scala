@@ -69,6 +69,14 @@ object LlmQueries {
         .orderBy("query_id", "rank")
     },
 
+    // IVF ANN: KMeans coarse quantizer + nProbe cells; rows-only check
+    // (centroids are model-dependent), recall pinned in tests
+    "q_ann_ivf_topk" -> { (s, dir) =>
+      Similarity.ivfTopK(embs(s, dir), annQueryIds, k = 10,
+        nLists = 16, nProbe = 4)
+        .orderBy("query_id", "rank")
+    },
+
     "q_multimodal_join" -> { (s, dir) =>
       Multimodal.joined(docs(s, dir), embs(s, dir))
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
@@ -89,6 +97,9 @@ object LlmQueries {
     "q_text_stats" ->
       s"""SELECT doc_id,
          |  CAST(len(string_split(text, ' ')) AS BIGINT) AS token_count,
+         |  CAST(len(list_filter(string_split_regex(
+         |    regexp_replace(text, '([^A-Za-z0-9\\s])', ' \\1 ', 'g'),
+         |    '\\s+'), t -> t <> '')) AS BIGINT) AS bpe_tokens,
          |  CAST(length(text) AS BIGINT) AS n_chars,
          |  CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
          |    / len(string_split(text, ' ')) AS avg_token_len,

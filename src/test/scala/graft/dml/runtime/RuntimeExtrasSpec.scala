@@ -134,6 +134,47 @@ class RuntimeExtrasSpec extends AnyFunSuite {
       "[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}")))
   }
 
+  test("tfidf_logreg trains a text pipeline on documents") {
+    val spec = DmlParser.parse(
+      "TRAIN MODEL lang_clf USING tfidf_logreg(max_iter=10) FROM documents " +
+        "PREDICT lang WITH FEATURES(text)")
+      .asInstanceOf[TrainSpec]
+    val r = Trainer.train(spark, spec)
+    assert(r.metrics.contains("accuracy"))
+    val stageNames = r.model.stages.map(_.getClass.getSimpleName).toSeq
+    assert(stageNames.contains("Tokenizer"))
+    assert(stageNames.contains("IDFModel"))
+  }
+
+  test("early-stop agent halts on metric plateau") {
+    val s = spark
+    val spec = DmlParser.parse(
+      "TRAIN MODEL es_model USING logistic_regression FROM lineitem " +
+        "PREDICT l_returnflag WITH FEATURES(l_quantity, l_discount)")
+      .asInstanceOf[TrainSpec]
+    val (report, epochs) = graft.dml.events.Agents.earlyStopTrain(
+      s, spec, metric = "accuracy", patience = 2, chunk = 5, maxChunks = 8)
+    assert(report != null)
+    // synthetic labels plateau immediately: patience must trigger before
+    // the chunk budget is exhausted
+    assert(epochs < 5 * 8, s"early stop never triggered (epochs=$epochs)")
+    assert(report.metrics.contains("accuracy"))
+  }
+
+  test("IVF ANN recalls against the brute-force baseline") {
+    val s = spark
+    val e = s.table("embeddings")
+    val qids = Seq(0L, 1L, 2L)
+    val exact = graft.llm.Similarity.bruteForceTopK(e, qids, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = graft.llm.Similarity.ivfTopK(e, qids, k = 10,
+      nLists = 8, nProbe = 4).collect()
+    assert(ivf.nonEmpty)
+    val approx = ivf.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.2, s"IVF recall $recall too low")
+  }
+
   test("flagship entry returns scored rows") {
     val scored = graft.SparkEntry.entry(spark)
     assert(scored.count() > 0)

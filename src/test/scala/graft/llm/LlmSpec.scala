@@ -109,6 +109,27 @@ class LlmSpec extends AnyFunSuite {
     assert(planted >= 40, s"found only $planted/50 planted identical pairs")
   }
 
+  test("bpe-ish token count splits punctuation, rolling hash is order-sensitive") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "hello, world!"),
+      (2L, "hello world"),
+      (3L, "world hello")).toDF("doc_id", "text")
+    val counted = df.select(col("doc_id"),
+      TextOps.bpeishTokenCount(col("text")).as("bpe"),
+      TextOps.tokenCount(col("text")).as("ws"),
+      TextOps.rollingHash(col("text")).as("rh")).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getLong(3))).toMap
+    assert(counted(1)._1 == 4) // hello , world !
+    assert(counted(1)._2 == 2) // whitespace only
+    // same tokens, different order → different rolling hash
+    assert(counted(2)._3 != counted(3)._3)
+    // deterministic
+    val again = df.select(TextOps.rollingHash(col("text"))).collect().map(_.getLong(0))
+    assert(again.toSet == counted.values.map(_._3).toSet)
+  }
+
   test("multimodal stub: plumbing is real, features deterministic") {
     val s = spark
     val joined = Multimodal.joined(s.table("documents"), s.table("embeddings"))
