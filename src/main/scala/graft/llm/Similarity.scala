@@ -126,7 +126,8 @@ object Similarity {
     import spark.implicits._
 
     val withVec = embeddings.withColumn("_v", array_to_vector(col("embedding")))
-    val km = new KMeans().setK(nLists).setSeed(seed)
+    // a coarse quantizer needs rough cells, not convergence — cap the fit
+    val km = new KMeans().setK(nLists).setSeed(seed).setMaxIter(8)
       .setFeaturesCol("_v").setPredictionCol("_list")
     val model = km.fit(withVec)
     val assigned = model.transform(withVec)

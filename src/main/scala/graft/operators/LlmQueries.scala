@@ -77,6 +77,23 @@ object LlmQueries {
         .orderBy("query_id", "rank")
     },
 
+    // composite corpus filter — the end-to-end training-data pipeline:
+    // keep docs that pass quality, are dedup group leaders, and whose
+    // heuristic language agrees with the labeled one. One scan + one
+    // hash-partitioned window; the filter composes as Column predicates.
+    "q_corpus_filter" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val deduped = TextOps.exactDedup(d)
+      d.join(deduped, Seq("doc_id"))
+        .select(col("doc_id"), col("lang"),
+          TextOps.langGuess(col("text")).as("lang_guess"),
+          TextOps.qualityScore(col("text")).as("quality"),
+          col("is_dup"))
+        .filter(!col("is_dup") && col("quality") > 0.2)
+        .withColumn("lang_match", col("lang_guess") === col("lang"))
+        .select("doc_id", "lang", "lang_guess", "lang_match", "quality")
+    },
+
     "q_multimodal_join" -> { (s, dir) =>
       Multimodal.joined(docs(s, dir), embs(s, dir))
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
@@ -171,6 +188,37 @@ object LlmQueries {
         |SELECT query_id, vec_id, cos_sim, rank FROM r WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
 
+    "q_corpus_filter" ->
+      s"""WITH dd AS (
+         |  SELECT doc_id,
+         |    doc_id <> MIN(doc_id) OVER (PARTITION BY md5(lower(text))) AS is_dup
+         |  FROM documents),
+         |scored AS (
+         |  SELECT d.doc_id, d.lang,
+         |    CASE WHEN greatest(
+         |        len(list_filter(string_split(text, ' '), t -> t IN ('the', 'and', 'of'))),
+         |        len(list_filter(string_split(text, ' '), t -> t IN ('le', 'la', 'et'))),
+         |        len(list_filter(string_split(text, ' '), t -> t IN ('der', 'und', 'das'))),
+         |        len(list_filter(string_split(text, ' '), t -> t IN ('el', 'los', 'que')))) = 0 THEN 'und'
+         |      WHEN len(list_filter(string_split(text, ' '), t -> t IN ('the', 'and', 'of'))) >= len(list_filter(string_split(text, ' '), t -> t IN ('le', 'la', 'et')))
+         |       AND len(list_filter(string_split(text, ' '), t -> t IN ('the', 'and', 'of'))) >= len(list_filter(string_split(text, ' '), t -> t IN ('der', 'und', 'das')))
+         |       AND len(list_filter(string_split(text, ' '), t -> t IN ('the', 'and', 'of'))) >= len(list_filter(string_split(text, ' '), t -> t IN ('el', 'los', 'que')))
+         |       THEN 'en'
+         |      WHEN len(list_filter(string_split(text, ' '), t -> t IN ('le', 'la', 'et'))) >= len(list_filter(string_split(text, ' '), t -> t IN ('der', 'und', 'das')))
+         |       AND len(list_filter(string_split(text, ' '), t -> t IN ('le', 'la', 'et'))) >= len(list_filter(string_split(text, ' '), t -> t IN ('el', 'los', 'que')))
+         |       THEN 'fr'
+         |      WHEN len(list_filter(string_split(text, ' '), t -> t IN ('der', 'und', 'das'))) >= len(list_filter(string_split(text, ' '), t -> t IN ('el', 'los', 'que')))
+         |       THEN 'de'
+         |      ELSE 'es' END AS lang_guess,
+         |    least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0, 1.0)
+         |      * least(greatest(1.0 - abs(CAST(len(list_filter(string_split(text, ' '),
+         |          t -> t IN ($stopwordList))) AS DOUBLE)
+         |          / len(string_split(text, ' ')) - 0.35) * 2, 0.0), 1.0) AS quality,
+         |    dd.is_dup
+         |  FROM documents d JOIN dd USING (doc_id))
+         |SELECT doc_id, lang, lang_guess, lang_guess = lang AS lang_match, quality
+         |FROM scored WHERE NOT is_dup AND quality > 0.2""".stripMargin,
+
     "q_multimodal_join" ->
       """SELECT doc_id, lang, source, n_chars, label,
         |  CAST(len(embedding) AS INT) AS emb_dim,
@@ -187,6 +235,7 @@ object LlmQueries {
 
   def verifySort: Map[String, Seq[String]] = Map(
     "q_dedup_minhash_pairs" -> Seq("doc_a", "doc_b"),
+    "q_corpus_filter" -> Seq("doc_id"),
     "q_text_stats" -> Seq("doc_id"),
     "q_lang_guess" -> Seq("doc_id"),
     "q_dedup_exact" -> Seq("doc_id"),
