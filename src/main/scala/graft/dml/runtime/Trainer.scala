@@ -74,12 +74,19 @@ object Trainer {
         stages += new StringIndexer().setInputCol(spec.target)
           .setOutputCol("label").setHandleInvalid("keep")
           .setStringOrderType("alphabetAsc")
-      else
-        stages += new SQLTransformer().setStatement(
+      else if (spec.target != "label") // numeric target already named
+        stages += new SQLTransformer().setStatement( // label needs no stage
           s"SELECT *, CAST(`${spec.target}` AS DOUBLE) AS label FROM __THIS__")
     }
     val featureCols: Seq[String] =
-      if (alg.textPipeline) {
+      if (isVectorFeature(df0, featureNames)) {
+        // single Array[Float]/Array[Double] feature (e.g. an embedding
+        // column): converted to an ML vector in the training frame; passes
+        // straight through as the features column
+        stages += new SQLTransformer().setStatement(
+          s"SELECT *, `${featureNames.head}` AS features FROM __THIS__")
+        featureNames
+      } else if (alg.textPipeline) {
         require(featureNames.size == 1,
           s"${spec.algorithm} expects exactly one text feature column")
         val textCol = featureNames.head
@@ -213,7 +220,8 @@ object Trainer {
   }
 
   /** Training DataFrame with scale() stripped; returns whether any feature
-    * requested standardization. */
+    * requested standardization. A lone Array[Float/Double] feature (an
+    * embedding column) is converted to an ML vector here. */
   private def trainingFrame(spark: SparkSession, spec: TrainSpec): (DataFrame, Boolean) = {
     val src = spark.sql(s"SELECT * FROM ${TrainCompiler.sourceFragment(spec)}")
     var needScale = false
@@ -225,8 +233,26 @@ object Trainer {
         FeatureCompiler.toColumn(FeatureCompiler.stripScale(ast)).as(s"f${i + 1}")
       }
     } :+ src.col(spec.target)
-    (src.select(cols: _*), needScale)
+    val selected = src.select(cols: _*)
+    val names = TrainCompiler.featureNames(spec)
+    val out =
+      if (names.size == 1 && isFloatArray(selected, names.head))
+        selected.withColumn(names.head,
+          org.apache.spark.ml.functions.array_to_vector(col(names.head)))
+      else selected
+    (out, needScale)
   }
+
+  private def isFloatArray(df: DataFrame, name: String): Boolean =
+    df.schema(name).dataType match {
+      case org.apache.spark.sql.types.ArrayType(et, _) =>
+        et == org.apache.spark.sql.types.FloatType ||
+          et == org.apache.spark.sql.types.DoubleType
+      case _ => false
+    }
+
+  private def isVectorFeature(df: DataFrame, names: Seq[String]): Boolean =
+    names.size == 1 && df.schema(names.head).dataType.typeName == "vector"
 
   private def split(
       df: DataFrame, spec: TrainSpec, seed: Long)

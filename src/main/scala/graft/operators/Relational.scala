@@ -115,6 +115,19 @@ object Relational {
         .orderBy("a_name", "b_name")
     },
 
+    // R2/R4 over the part/supplier dimensions (TPC-H Q2-ish shape): both
+    // dims are bounded relative to lineitem and explicitly broadcast.
+    "q_parts_supplied" -> { (s, dir) =>
+      Tables.register(s, dir)
+      s.table("lineitem")
+        .join(broadcast(s.table("part")), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(s.table("supplier")), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("p_brand", "s_name")
+        .agg(count(lit(1)).as("n_items"),
+          sum(revenue).cast("double").as("revenue"))
+        .orderBy("p_brand", "s_name")
+    },
+
     // R5: HAVING — filter above the aggregate.
     "q_having_nations" -> { (s, dir) =>
       Tables.register(s, dir)
@@ -267,6 +280,14 @@ object Relational {
       """SELECT r1.r_name AS a_name, r2.r_name AS b_name
         |FROM region r1 JOIN region r2 ON r1.r_regionkey < r2.r_regionkey
         |ORDER BY a_name, b_name""".stripMargin,
+
+    "q_parts_supplied" ->
+      """SELECT p_brand, s_name, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY p_brand, s_name ORDER BY p_brand, s_name""".stripMargin,
 
     "q_having_nations" ->
       """SELECT c_nationkey, COUNT(*) AS n_cust,

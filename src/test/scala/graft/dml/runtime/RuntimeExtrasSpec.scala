@@ -175,6 +175,17 @@ class RuntimeExtrasSpec extends AnyFunSuite {
     assert(recall >= 0.2, s"IVF recall $recall too low")
   }
 
+  test("embedding classifier: array feature column becomes the vector") {
+    val spec = DmlParser.parse(
+      "TRAIN MODEL emb_clf USING logistic_regression(max_iter=15) " +
+        "FROM embeddings PREDICT label WITH FEATURES(embedding)")
+      .asInstanceOf[TrainSpec]
+    val r = Trainer.train(spark, spec)
+    assert(r.metrics.contains("accuracy"))
+    // 10-class random embeddings: just assert a valid fitted pipeline
+    assert(r.metrics("accuracy") >= 0.0 && r.metrics("accuracy") <= 1.0)
+  }
+
   test("flagship entry returns scored rows") {
     val scored = graft.SparkEntry.entry(spark)
     assert(scored.count() > 0)
