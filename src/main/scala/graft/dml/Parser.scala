@@ -396,10 +396,38 @@ object DmlParser {
       while (loop) {
         if (atSym("+")) { sym("+"); e = FAdd(e, featureTerm()) }
         else if (atSym("-")) { sym("-"); e = FSub(e, featureTerm()) }
+        else peek match {
+          // Contextual re-split: after an operand, a token lexed as a
+          // signed number (`c_acctbal-1` / `a +2`) is really operator +
+          // literal — Lark's contextual lexer only admits MINUS/PLUS here
+          // (sign folding elsewhere, e.g. `BLOCK -2`, stays intact).
+          case TNumber(t, _, _) if t.head == '-' || t.head == '+' =>
+            pos += 1
+            val lit = numberFromText(t.tail)
+            val rhs = continueTerm(FNum(lit))
+            e = if (t.head == '-') FSub(e, rhs) else FAdd(e, rhs)
+          case _ => loop = false
+        }
+      }
+      e
+    }
+
+    /** Parse trailing * / factors onto an already-consumed first factor
+      * (used when a signed-number token is re-split as operator+literal). */
+    private def continueTerm(first: FeatureExpr): FeatureExpr = {
+      var e = first
+      var loop = true
+      while (loop) {
+        if (atSym("*")) { sym("*"); e = FMul(e, featureFactor()) }
+        else if (atSym("/")) { sym("/"); e = FDiv(e, featureFactor()) }
         else loop = false
       }
       e
     }
+
+    private def numberFromText(t: String): Value =
+      if (t.exists(c => c == '.' || c == 'e' || c == 'E')) VFloat(t.toDouble)
+      else VInt(t.toLong)
 
     private def featureTerm(): FeatureExpr = {
       var e = featureFactor()

@@ -40,7 +40,10 @@ object Agents {
         names.contains(p._1)) ++ params)
       Trial(params, Trainer.train(spark, merged, seed = seed).metrics)
     }
-    results.sortBy(t => t.metrics.getOrElse(metric, Double.NaN))(
+    // a trial that didn't produce the target metric can never win (NaN
+    // sorts above every real under Ordering[Double] — rank it worst)
+    val worst = if (maximize) Double.NegativeInfinity else Double.PositiveInfinity
+    results.sortBy(t => t.metrics.getOrElse(metric, worst))(
       if (maximize) Ordering[Double].reverse else Ordering[Double])
   }
 
@@ -132,9 +135,16 @@ object Agents {
     val total = models.map(_._2).sum
     var out = data
     models.zipWithIndex.foreach { case ((m, _), i) =>
-      out = m.transform(out)
+      // drop EVERY column this model's stages added (indexer/tokenizer
+      // intermediates included) except its renamed prediction, so the next
+      // model's transform can't collide on stage output names
+      val before = out.columns.toSet
+      val transformed = m.transform(out)
+      val added = transformed.columns.filter(c =>
+        !before.contains(c) && c != "prediction")
+      out = transformed
         .withColumnRenamed("prediction", s"pred_$i")
-        .drop("rawPrediction", "probability", "features", "features_raw", "label")
+        .drop(added.toIndexedSeq: _*)
     }
     val combined = models.zipWithIndex
       .map { case ((_, w), i) => col(s"pred_$i") * (w / total) }

@@ -43,8 +43,18 @@ object Evaluation {
   }
 
   /** Standard metric map per task over a transformed (predictions)
-    * DataFrame. */
-  def computeMetrics(predictions: DataFrame, task: Task): Map[String, Double] = {
+    * DataFrame. The frame is cached for the duration: each evaluator is an
+    * independent Spark job, and without the cache every one would re-run
+    * the model transform and the full source lineage (per chunk, in the
+    * STOP WHEN loop). */
+  def computeMetrics(predictions0: DataFrame, task: Task): Map[String, Double] = {
+    val predictions = predictions0.cache()
+    try computeMetricsUncached(predictions, task)
+    finally { predictions.unpersist(); () }
+  }
+
+  private def computeMetricsUncached(
+      predictions: DataFrame, task: Task): Map[String, Double] = {
     task match {
       case Classification =>
         val mc = new MulticlassClassificationEvaluator()

@@ -138,7 +138,16 @@ object Trainer {
       case mlp: MultilayerPerceptronClassifier =>
         val hidden = mlpHidden.getOrElse(List(8)).toArray
         val nClasses = trainDf.select(spec.target).distinct().count().toInt
-        mlp.setLayers(featureCols.size +: hidden :+ math.max(nClasses, 2))
+        // input width = actual feature-vector dimension, which is NOT the
+        // column count for vector-feature (embedding dim) or text-pipeline
+        // (HashingTF width) inputs
+        val inputDim =
+          if (isVectorFeature(df0, featureNames))
+            df0.select(featureNames.head).head()
+              .getAs[org.apache.spark.ml.linalg.Vector](0).size
+          else if (alg.textPipeline) 1 << 14
+          else featureCols.size
+        mlp.setLayers(inputDim +: hidden :+ math.max(nClasses, 2))
       case _ =>
     }
 

@@ -65,9 +65,15 @@ object Similarity {
   private val MaxDim = 4096
 
   /** Hyperplane-LSH signature: bit p = sign(emb ⋅ plane_p). Each plane is a
-    * ±1 literal vector; the projection is one zip_with fold per plane. */
+    * ±1 literal vector; the projection is one zip_with fold per plane.
+    * Embeddings wider than MaxDim fail loudly (a silent truncation would
+    * collapse every vector into one bucket). */
   def lshSignature(emb: Column, planes: Int = 12): Column = {
-    val bits = (0 until planes).map { p =>
+    val guard = when(size(emb) <= MaxDim, lit(""))
+      .otherwise(raise_error(concat(
+        lit(s"lshSignature supports embeddings up to $MaxDim dims, got "),
+        size(emb).cast("string"))))
+    val bits = guard +: (0 until planes).map { p =>
       val planeVec = typedLit((0 until MaxDim).map(d => planeSign(d, p)))
       val proj = aggregate(
         zip_with(emb, slice(planeVec, lit(1), size(emb)),

@@ -22,8 +22,10 @@ object Skew {
   def saltedSumCount(
       df: DataFrame, keys: Seq[String], valueCol: String,
       salts: Int = 16): DataFrame = {
-    val salt = pmod(
-      xxhash64((col(valueCol) +: keys.map(col)): _*), lit(salts)).as("_salt")
+    // salt must vary per ROW, not per value: a hot group with a constant
+    // measure would otherwise collapse into one salt bucket. The aggregate
+    // result is salt-invariant, so a partition-dependent id is fine.
+    val salt = pmod(xxhash64(monotonically_increasing_id()), lit(salts))
     df.withColumn("_salt", salt)
       .groupBy((keys :+ "_salt").map(col): _*)
       .agg(sum(col(valueCol).cast(D)).as("_psum"),

@@ -362,6 +362,21 @@ class DmlParserSpec extends AnyFunSuite {
     }
   }
 
+  test("feature_subtraction_of_literal_without_spaces") {
+    // `a-1` / `a -1` / `a +2*b`: the signed-number token re-splits into
+    // operator + literal, matching Lark's contextual lexer
+    val m = parseTrain(
+      "TRAIN MODEL m USING alg FROM t PREDICT y " +
+        "WITH FEATURES(c_acctbal-1, c_acctbal -2.5, a +2 * b)")
+    assert(m.features == List(
+      "c_acctbal - 1", "c_acctbal - 2.5", "a + 2 * b"))
+    // sign-folding still applies where a number is the only legal token
+    val e = intercept[IllegalArgumentException] {
+      DmlParser.parse("COMPUTE bad_job USING some_kernel BLOCK -2")
+    }
+    assert(e.getMessage.contains("block size must be a positive integer"))
+  }
+
   test("keywords_are_contextual_not_reserved") {
     // Lark's contextual lexer lets NAME slots accept keyword spellings.
     val m = parseTrain(

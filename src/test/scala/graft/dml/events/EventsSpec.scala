@@ -95,9 +95,11 @@ class EventsSpec extends AnyFunSuite {
 
   test("weighted ensemble combines predictions") {
     val s = spark
+    // include a STRING feature: each model's StringIndexer adds an _idx
+    // column, which the ensemble must drop between transforms
     val spec = DmlParser.parse(
       "TRAIN MODEL ens_base USING decision_tree(max_depth=3) FROM lineitem " +
-        "PREDICT l_returnflag WITH FEATURES(l_quantity, l_discount)")
+        "PREDICT l_returnflag WITH FEATURES(l_quantity, l_discount, l_linestatus)")
       .asInstanceOf[TrainSpec]
     val a = graft.dml.runtime.Trainer.train(s, spec)
     val b = graft.dml.runtime.Trainer.train(s,
