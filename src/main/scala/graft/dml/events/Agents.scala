@@ -167,6 +167,26 @@ object Agents {
     data.withColumn("arm", routed)
   }
 
+  /** AUTO PROMOTE (S9 tail): evaluate each arm's model on its routed
+    * traffic slice and deploy the winner to the registry endpoint. Returns
+    * (winning arm, per-arm metric map). */
+  def autoPromote(
+      registry: graft.dml.runtime.ModelRegistry,
+      routed: DataFrame,
+      arms: Map[String, (String, org.apache.spark.ml.PipelineModel)],
+      endpoint: String,
+      metric: String = "accuracy"): (String, Map[String, Double]) = {
+    val scores = arms.map { case (arm, (_, model)) =>
+      val slice = routed.filter(col("arm") === arm)
+      arm -> graft.dml.runtime.Evaluation
+        .evaluateModel(model, slice, Seq(metric))
+        .getOrElse(metric, Double.NegativeInfinity)
+    }
+    val winner = scores.maxBy(_._2)._1
+    registry.deploy(arms(winner)._1, endpoint)
+    (winner, scores)
+  }
+
   /** EXPLAIN PREDICTION (S10): global importances via the fitted model
     * (per-row SHAP is out of scope, SURVEY §7.3). */
   def explain(

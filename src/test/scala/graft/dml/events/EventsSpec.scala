@@ -126,6 +126,32 @@ class EventsSpec extends AnyFunSuite {
     assert(counts == again)
   }
 
+  test("A/B traffic split with auto-promote deploys the winning arm") {
+    val s = spark
+    val base = java.nio.file.Files.createTempDirectory("graft-ab").toString
+    val registry = new graft.dml.runtime.ModelRegistry(s, base)
+    val spec = DmlParser.parse(
+      "TRAIN MODEL ab_a USING decision_tree(max_depth=4) FROM lineitem " +
+        "PREDICT l_returnflag WITH FEATURES(l_quantity, l_discount)")
+      .asInstanceOf[TrainSpec]
+    val a = graft.dml.runtime.Trainer.train(s, spec)
+    val b = graft.dml.runtime.Trainer.train(s,
+      spec.copy(name = "ab_b", params = List("max_depth" -> Value.VInt(1))))
+    registry.register(a)
+    registry.register(b.copy(spec = b.spec))
+    val data = graft.dml.TrainCompiler.trainingDataFrame(s, spec)
+    val routed = Agents.trafficSplit(data.withColumn("rid",
+        org.apache.spark.sql.functions.monotonically_increasing_id()),
+      "rid", Seq("champion" -> 50, "challenger" -> 50))
+    val (winner, scores) = Agents.autoPromote(registry, routed,
+      Map("champion" -> ("ab_a", a.model), "challenger" -> ("ab_b", b.model)),
+      endpoint = "ab_endpoint")
+    assert(scores.size == 2)
+    assert(scores(winner) == scores.values.max)
+    val dep = registry.deployments().filter(col("endpoint") === "ab_endpoint")
+    assert(dep.count() == 1)
+  }
+
   test("explain returns top-k importances") {
     val s = spark
     val spec = DmlParser.parse(
