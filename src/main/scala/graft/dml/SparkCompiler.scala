@@ -32,7 +32,22 @@ object FeatureCompiler {
         throw new IllegalArgumentException(s"Invalid feature expression: $feature")
     }
 
+  /** DSL function spellings → Spark function names (SURVEY §2.5:
+    * DAYS_BETWEEN → datediff, gen_random_uuid → uuid; log stays natural
+    * log, which is Spark's `log`). */
+  private val functionAliases = Map(
+    "days_between" -> "datediff",
+    "gen_random_uuid" -> "uuid")
+
+  /** Zero-arg DSL identifiers that are functions, not columns
+    * (DSL.md:81 uses bare CURRENT_DATE). */
+  private val identFunctions = Map(
+    "current_date" -> (() => current_date()),
+    "now" -> (() => current_timestamp()))
+
   def toColumn(e: FeatureExpr): Column = e match {
+    case FIdent(name :: Nil) if identFunctions.contains(name.toLowerCase) =>
+      identFunctions(name.toLowerCase)()
     case FIdent(parts) => col(parts.mkString("."))
     case FNum(Value.VInt(i))   => lit(i)
     case FNum(Value.VFloat(f)) => lit(f)
@@ -67,7 +82,8 @@ object FeatureCompiler {
           throw new IllegalArgumentException(
             s"named argument '$n' is not supported in feature calls")
       }
-      call_function(FeatureExpr.canonical(ident), cols: _*)
+      val name = FeatureExpr.canonical(ident)
+      call_function(functionAliases.getOrElse(name.toLowerCase, name), cols: _*)
   }
 
   private def isMarker(name: String): Boolean =

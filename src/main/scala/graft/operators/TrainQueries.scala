@@ -51,6 +51,20 @@ object TrainQueries {
           "(SELECT * FROM orders WHERE o_totalprice > 1000) big " +
           "PREDICT o_orderstatus " +
           "WITH FEATURES(o_totalprice, o_totalprice * 2)")
+    },
+
+    // Qualified dotted refs through an aliased source (F2; the reference's
+    // t.amount shape, test_parser.py:568-580) + nested function calls
+    // (F7) + date function mapping (DAYS_BETWEEN→datediff). Functions kept
+    // IEEE-exact (sqrt/abs): ln differs by a last ulp between the JVM and
+    // glibc, so log() parity is pinned in unit tests, not the hash oracle.
+    "q_train_functions" -> { (s, dir) =>
+      trainingDf(s, dir,
+        "TRAIN MODEL fn_model USING linear_regression FROM lineitem t " +
+          "WHERE t.l_quantity > 10 " +
+          "PREDICT l_extendedprice " +
+          "WITH FEATURES(t.l_quantity, sqrt(abs(t.l_extendedprice + 1)), " +
+          "DAYS_BETWEEN(t.l_shipdate, t.l_shipdate))")
     })
 
   def oracles: Map[String, String] = Map(
@@ -66,7 +80,12 @@ object TrainQueries {
 
     "q_train_subquery" ->
       """SELECT o_totalprice, o_totalprice * 2 AS f2, o_orderstatus
-        |FROM (SELECT * FROM orders WHERE o_totalprice > 1000) big""".stripMargin)
+        |FROM (SELECT * FROM orders WHERE o_totalprice > 1000) big""".stripMargin,
+
+    "q_train_functions" ->
+      """SELECT t.l_quantity AS f1, sqrt(abs(t.l_extendedprice + 1)) AS f2,
+        |  CAST(0 AS INT) AS f3, l_extendedprice
+        |FROM lineitem t WHERE t.l_quantity > 10""".stripMargin)
 
   /** Training SELECTs carry no ORDER BY (they feed model fits, not users);
     * Verify sorts the dump for the row-order-sensitive driver hash. */
@@ -75,5 +94,6 @@ object TrainQueries {
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_returnflag"),
     "q_train_source_join" ->
       Seq("o_totalprice", "c_acctbal", "f3", "c_mktsegment"),
-    "q_train_subquery" -> Seq("o_totalprice", "f2", "o_orderstatus"))
+    "q_train_subquery" -> Seq("o_totalprice", "f2", "o_orderstatus"),
+    "q_train_functions" -> Seq("f1", "f2", "f3", "l_extendedprice"))
 }
