@@ -5,6 +5,16 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
 
+/** Engine-record type for the event log (typed Dataset surface per SURVEY
+  * §1.4 — user data stays DataFrame, the engine's own records are typed). */
+final case class Event(
+    event_id: Long,
+    ts: java.sql.Timestamp,
+    user_id: Long,
+    event_type: String,
+    value: Double,
+    props: String)
+
 /** Event layer (SURVEY §2.1 S6/S12, §2.7): PUBLISH/SUBSCRIBE over an
   * append-only events table plus WHEN-rule dispatch.
   *
@@ -46,6 +56,11 @@ final class EventBus(spark: SparkSession, path: String) {
   def subscribe(pattern: String): DataFrame =
     spark.read.schema(Events.schema).parquet(path)
       .filter(col("event_type").like(pattern))
+
+  /** Typed view of the same subscription (Dataset[Event] via the
+    * case-class Encoder). */
+  def subscribeTyped(pattern: String): org.apache.spark.sql.Dataset[Event] =
+    subscribe(pattern).as[Event]
 
   /** Live subscription: Structured Streaming over the log directory. */
   def subscribeStream(pattern: String): DataFrame =

@@ -26,6 +26,10 @@ class EventsSpec extends AnyFunSuite {
     assert(bus.subscribe("%").count() == 3)
     val m = bus.subscribe("model_trained").select("props").head().getString(0)
     assert(m.contains("\"model\": \"m1\""))
+    // typed Dataset surface over the same log
+    val typed: Seq[Event] = bus.subscribeTyped("model_%").collect().toSeq
+    assert(typed.map(_.event_type).toSet == Set("model_trained", "model_failed"))
+    assert(typed.forall(_.props.startsWith("{")))
   }
 
   test("WHEN rules dispatch on batch with condition filters") {
