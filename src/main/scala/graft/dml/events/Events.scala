@@ -67,6 +67,27 @@ final class EventBus(spark: SparkSession, path: String) {
     spark.readStream.schema(Events.schema).parquet(path)
       .filter(col("event_type").like(pattern))
 
+  /** Custom streaming state via mapGroupsWithState (brief:
+    * "KeyValueGroupedDataset.mapGroupsWithState for custom state"): a
+    * running per-user (count, value-total) that survives across
+    * micro-batches. State size is bounded by the user-key cardinality. */
+  def statefulUserTotals(pattern: String)
+      : org.apache.spark.sql.Dataset[(Long, Long, Double)] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    subscribeStream(pattern).as[Event]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, events: Iterator[Event],
+         state: GroupState[(Long, Double)]) =>
+          val (n0, v0) = state.getOption.getOrElse((0L, 0.0))
+          val batch = events.toSeq
+          val updated = (n0 + batch.size, v0 + batch.map(_.value).sum)
+          state.update(updated)
+          (user, updated._1, updated._2)
+      }
+  }
+
   /** Metrics materialized view, streaming form (DISTRIBUTED.md:626-654):
     * watermarked tumbling-window counts/sums per event type. Late events
     * beyond the watermark are dropped; state is bounded by
