@@ -146,6 +146,31 @@ class CompileSqlSpec extends AnyFunSuite {
     }
   }
 
+  test("relation_pattern_accepts_full_clause_chain_and_rejects_set_ops") {
+    // parser.py:657-670: scan + joins + WHERE/GROUP BY/HAVING/ORDER BY/LIMIT
+    SqlCompiler.compileSql(spec(
+      source = "transactions t JOIN merchants m ON t.mid = m.id " +
+        "WHERE t.amount > 0 GROUP BY t.region HAVING count(x) > 1 " +
+        "ORDER BY t.region LIMIT 5",
+      sourceIsIdentifier = false))
+    // R10: set operations are not in the whitelist
+    val e = intercept[IllegalArgumentException] {
+      SqlCompiler.compileSql(spec(
+        source = "transactions UNION SELECT 1", sourceIsIdentifier = false))
+    }
+    assert(e.getMessage.contains(
+      "must be a relation/join expression or a parenthesized subquery"))
+  }
+
+  test("parser_and_compiler_work_without_a_spark_session") {
+    // analog of test_import_behavior: the front-end has no Spark
+    // dependency at parse/compile time (usable in a driver-side tool)
+    val m = DmlParser.parse(
+      "TRAIN MODEL offline USING alg FROM t PREDICT y WITH FEATURES(a + 1)")
+    val sql = SqlCompiler.compileSql(m)
+    assert(sql.contains("ml_train_model"))
+  }
+
   test("compile_sql_blocks_unsafe_feature_expression") {
     assertThrows[IllegalArgumentException] {
       SqlCompiler.compileSql(spec(features = List("amount", "amount; DROP TABLE users")))
