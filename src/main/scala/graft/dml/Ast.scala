@@ -16,10 +16,51 @@ object Value {
   /** Insertion-ordered, like a Python dict (parser.py:308-313). */
   final case class VDict(entries: List[(String, Value)]) extends Value
 
-  /** Numeric doubles rendered the way Python repr() renders them for the
-    * value range the DSL uses (0.5 -> "0.5", 2.0 -> "2.0"). */
-  def pyFloatRepr(v: Double): String =
-    if (v.isWhole && math.abs(v) < 1e16) s"${v.toLong}.0" else v.toString
+  /** Numeric doubles rendered the way Python repr()/json.dumps renders
+    * them: fixed notation while the leading digit's power of ten is in
+    * [-4, 16) ("0.5", "2.0", "0.0001"), otherwise scientific with a
+    * lowercase 'e', an explicit sign, and a two-digit-minimum exponent
+    * ("1e-06", "2.5e+20") — where Scala's Double.toString would emit
+    * "1.0E-6" / "2.5E20" and break SQL/JSON byte-compatibility. */
+  def pyFloatRepr(v: Double): String = {
+    if (v.isNaN) return "nan"
+    if (v.isInfinity) return if (v > 0) "inf" else "-inf"
+    val neg = v < 0 || (v == 0.0 && 1.0 / v < 0)
+    val a = math.abs(v)
+    val body =
+      if (a == 0.0) "0.0"
+      else {
+        // shortest round-trip digits + decimal exponent, via Java's repr
+        val s = java.lang.Double.toString(a)
+        val (mant, e) = s.indexOf('E') match {
+          case -1 => (s, 0)
+          case i  => (s.substring(0, i), s.substring(i + 1).toInt)
+        }
+        val dot = mant.indexOf('.')
+        val raw = mant.substring(0, dot) + mant.substring(dot + 1)
+        // exp10 = power of ten of the first *significant* digit
+        var exp10 = dot - 1 + e
+        var digits = raw.dropWhile(_ == '0')
+        exp10 -= raw.length - digits.length
+        digits = digits.reverse.dropWhile(_ == '0').reverse
+        if (digits.isEmpty) digits = "0"
+        if (exp10 >= -4 && exp10 < 16) {
+          if (exp10 >= digits.length - 1)
+            digits + "0" * (exp10 - digits.length + 1) + ".0"
+          else if (exp10 >= 0)
+            digits.substring(0, exp10 + 1) + "." + digits.substring(exp10 + 1)
+          else
+            "0." + "0" * (-exp10 - 1) + digits
+        } else {
+          val m =
+            if (digits.length == 1) digits
+            else digits.substring(0, 1) + "." + digits.substring(1)
+          val sign = if (exp10 < 0) "-" else "+"
+          f"${m}e$sign${math.abs(exp10)}%02d"
+        }
+      }
+    if (neg) "-" + body else body
+  }
 
   /** Python str() of a decoded value — used when flattening STOP WHEN
     * comparisons back to a string (parser.py:512-514). */

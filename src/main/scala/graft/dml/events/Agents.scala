@@ -40,11 +40,19 @@ object Agents {
         names.contains(p._1)) ++ params)
       Trial(params, Trainer.train(spark, merged, seed = seed).metrics)
     }
-    // a trial that didn't produce the target metric can never win (NaN
-    // sorts above every real under Ordering[Double] — rank it worst)
+    rankTrials(results, metric, maximize)
+  }
+
+  /** Rank trials best-first on the target metric. A trial that didn't
+    * produce the metric — or produced NaN — can never win (NaN sorts above
+    * every real under Ordering[Double], so it must be mapped to the worst
+    * sentinel explicitly). */
+  def rankTrials(results: Seq[Trial], metric: String, maximize: Boolean): Seq[Trial] = {
     val worst = if (maximize) Double.NegativeInfinity else Double.PositiveInfinity
-    results.sortBy(t => t.metrics.getOrElse(metric, worst))(
-      if (maximize) Ordering[Double].reverse else Ordering[Double])
+    results.sortBy { t =>
+      val v = t.metrics.getOrElse(metric, worst)
+      if (v.isNaN) worst else v
+    }(if (maximize) Ordering[Double].reverse else Ordering[Double])
   }
 
   /** Convergence/early-stop agent (reference AGENTS.md:59-90, patience=3):

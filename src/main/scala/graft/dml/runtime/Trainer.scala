@@ -183,7 +183,13 @@ object Trainer {
         // O5: STOP WHEN — chunked fitting loop over the iteration param
         case Some(condText) if alg.iterParam.isDefined =>
           val cond = StopCondition.parse(condText)
-          val chunk = spec.checkpoint.map(_.interval.toInt).getOrElse(10)
+          // The checkpoint interval doubles as the epoch chunk size only
+          // when its unit is epoch-like; time-based units ("EVERY 2 hours")
+          // are checkpoint metadata, not a fitting cadence.
+          val epochUnits = Set("epoch", "epochs", "iteration", "iterations")
+          val chunk = spec.checkpoint
+            .filter(_.unit.forall(u => epochUnits(u.toLowerCase)))
+            .map(_.interval.toInt).getOrElse(10)
           val maxChunks = 20
           var fitted: PipelineModel = null
           var stop = false
@@ -193,7 +199,12 @@ object Trainer {
             epochs = chunk * i
             fitted = pipelineWith(Some(epochs)).fit(trainDf)
             spec.checkpoint.zip(checkpointDir).foreach { case (c, dir) =>
-              if (epochs % c.interval == 0) {
+              // epoch-like units gate on the interval; time-based units
+              // save once per chunk (their cadence is wall-clock metadata)
+              val due = if (c.unit.forall(u => epochUnits(u.toLowerCase)))
+                epochs % c.interval == 0
+              else true
+              if (due) {
                 val p = s"$dir/${spec.name}/epoch_$epochs"
                 fitted.write.overwrite().save(p)
                 checkpoints = checkpoints :+ p

@@ -79,9 +79,9 @@ object EventQueries {
 
     "q_events_funnel" ->
       """SELECT user_id,
-        |  SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
-        |  SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
-        |  SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+        |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+        |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
         |  (MIN(CASE WHEN event_type = 'view' THEN ts END) IS NOT NULL
         |   AND MIN(CASE WHEN event_type = 'purchase' THEN ts END) IS NOT NULL
         |   AND MIN(CASE WHEN event_type = 'purchase' THEN ts END)

@@ -15,6 +15,16 @@ class EventsSpec extends AnyFunSuite {
 
   private def spark = SparkTestSession.withTables()
 
+  test("trial ranking treats NaN metrics as worst, both directions") {
+    val ok = Agents.Trial(List("a" -> Value.VInt(1)), Map("accuracy" -> 0.7))
+    val bad = Agents.Trial(List("a" -> Value.VInt(2)), Map("accuracy" -> Double.NaN))
+    val missing = Agents.Trial(List("a" -> Value.VInt(3)), Map.empty)
+    assert(Agents.rankTrials(Seq(bad, missing, ok), "accuracy", maximize = true)
+      .head eq ok)
+    assert(Agents.rankTrials(Seq(bad, ok, missing), "accuracy", maximize = false)
+      .head eq ok)
+  }
+
   test("publish/subscribe roundtrip with LIKE patterns") {
     val s = spark
     val dir = Files.createTempDirectory("graft-events").toString

@@ -61,6 +61,19 @@ class TrainerSpec extends AnyFunSuite {
     assert(r.metrics("epochs") == 20.0)
   }
 
+  test("time-based checkpoint unit keeps the default epoch chunk") {
+    val dir = Files.createTempDirectory("graft-ckpt-h").toString
+    // 'EVERY 2 hours' is checkpoint metadata: chunk stays 10 (not 2), the
+    // loop runs 2 chunks to epochs=20, and each chunk saves a checkpoint
+    val spec = parseTrain(
+      "TRAIN MODEL stop_hours USING logistic_regression " +
+        "FROM lineitem PREDICT l_returnflag WITH FEATURES(l_quantity, l_tax) " +
+        "STOP WHEN epochs >= 20 SAVE CHECKPOINTS EVERY 2 hours")
+    val r = Trainer.train(spark, spec, checkpointDir = Some(dir))
+    assert(r.epochs == 20)
+    assert(r.checkpoints.size == 2)
+  }
+
   test("stop condition on metric can stop at first chunk") {
     val spec = parseTrain(
       "TRAIN MODEL easy_stop USING logistic_regression " +
