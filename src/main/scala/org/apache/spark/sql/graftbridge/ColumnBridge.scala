@@ -1,0 +1,19 @@
+/** Bridge into Spark's `private[sql]` Column↔Expression converters.
+  *
+  * Spark 4 made `Column` wrap an opaque ColumnNode; the supported way to
+  * build a Column from a custom Catalyst Expression inside a library is
+  * `org.apache.spark.sql.classic.ExpressionUtils`, which is `private[sql]`.
+  * This one-file subpackage re-exports exactly those two conversions for
+  * graft's native expressions (VecDot). No other Spark internals are
+  * touched.
+  */
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

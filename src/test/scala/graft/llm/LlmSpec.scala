@@ -25,6 +25,24 @@ class LlmSpec extends AnyFunSuite {
     assert(flagged.forall(r => r.getLong(1) == r.getLong(0) - 1000))
   }
 
+  test("embedding-cosine near-dup finds every planted scaled copy") {
+    val s = spark
+    val e = s.table("embeddings").select("vec_id", "embedding")
+      .filter(col("vec_id") < 100)
+    // positive scaling preserves every hyperplane sign, so planted copies
+    // share the full LSH signature and can never be missed by the buckets
+    val scaled = e.select((col("vec_id") + 1000L).as("vec_id"),
+      expr("transform(embedding, x -> CAST(x * CAST(2.0 AS FLOAT) AS FLOAT))")
+        .as("embedding"))
+    val pairs = Similarity.cosineNearDup(
+      e.unionAll(scaled), threshold = 0.9, planes = 24, bands = 3).collect()
+    val planted = pairs.filter(r => r.getLong(1) == r.getLong(0) + 1000L)
+    assert(planted.length == 100, s"found ${planted.length}/100 planted pairs")
+    assert(planted.forall(_.getDouble(2) >= 0.999999))
+    // nothing else in the corpus is near-dup at this threshold
+    assert(pairs.length == 100, s"unexpected extra pairs: ${pairs.length - 100}")
+  }
+
   test("minhash candidates find trimmed near-duplicates, not random pairs") {
     val s = spark
     val d = s.table("documents").select("doc_id", "text").filter(col("doc_id") < 50)
