@@ -125,17 +125,26 @@ object Similarity {
     * and windows. */
   def ivfTopK(
       embeddings: DataFrame, queryIds: Seq[Long], k: Int = 10,
-      nLists: Int = 16, nProbe: Int = 4, seed: Long = 42L): DataFrame = {
+      nLists: Int = 16, nProbe: Int = 4, seed: Long = 42L,
+      quantizerSample: Double = 0.25): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val spark = embeddings.sparkSession
     import spark.implicits._
 
     val withVec = embeddings.withColumn("_v", array_to_vector(col("embedding")))
-    // a coarse quantizer needs rough cells, not convergence — cap the fit
-    val km = new KMeans().setK(nLists).setSeed(seed).setMaxIter(8)
+    // A coarse quantizer needs rough cells, not convergence: fit on a
+    // seeded sample (IVF practice — at corpus scale you train the
+    // quantizer on a sliver, then assign everything), random init (one
+    // pass; kmeans|| costs several), few iterations, and cache the sample
+    // the iterations sweep.
+    val trainVecs = withVec.sample(withReplacement = false,
+      fraction = math.min(1.0, quantizerSample), seed = seed).cache()
+    val km = new KMeans().setK(nLists).setSeed(seed).setMaxIter(5)
+      .setInitMode("random")
       .setFeaturesCol("_v").setPredictionCol("_list")
-    val model = km.fit(withVec)
+    val model = km.fit(trainVecs)
+    trainVecs.unpersist()
     val assigned = model.transform(withVec)
       .select(col("vec_id"), col("embedding"), col("_list"))
 

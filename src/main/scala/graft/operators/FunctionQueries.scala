@@ -50,6 +50,56 @@ object FunctionQueries {
         .orderBy("c_mktsegment", "rnk")
     },
 
+    // §2.5 array family beyond agg/unnest: array_append, array_intersect,
+    // array_replace (mapped to transform, per SURVEY §2.5 — Spark has no
+    // array_replace builtin). Arrays are folded to scalars so the compare
+    // boundary never ships list columns.
+    "q_array_ops" -> { (s, dir) =>
+      Tables.register(s, dir)
+      s.table("lineitem")
+        .groupBy("l_orderkey")
+        .agg(sort_array(collect_list(col("l_linenumber"))).as("arr"))
+        .select(col("l_orderkey"),
+          aggregate(array_append(col("arr"), lit(99)), lit(0L),
+            (acc, x) => acc + x).as("append_sum"),
+          size(array_intersect(col("arr"),
+            array(lit(1), lit(2), lit(3)))).as("n_low"),
+          aggregate(transform(col("arr"),
+              x => when(x === 1, 100).otherwise(x)), lit(0L),
+            (acc, x) => acc + x).as("replaced_sum"))
+    },
+
+    // §2.5 gen_random_uuid → uuid(): values are random by construction, so
+    // the oracle pins the deterministic derived facts — row count, distinct
+    // count (collision-free at fixture scale), and RFC-4122 shape.
+    "q_uuid_shape" -> { (s, dir) =>
+      Tables.register(s, dir)
+      s.table("orders")
+        .select(expr("uuid()").as("u"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("u")).as("n_distinct"),
+          sum(when(col("u").rlike(
+            "^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$"),
+            1L).otherwise(0L)).as("n_wellformed"))
+    },
+
+    // Time series (§1.1 WITH TIME COLUMN): lag feature, decimal-exact
+    // rolling mean, trend index — per-entity windows, hash-partitioned by
+    // customer, sorted within partitions only (no global sort).
+    "q_ts_rolling" -> { (s, dir) =>
+      Tables.register(s, dir)
+      import graft.dml.runtime.TimeSeries
+      val base = s.table("orders")
+        .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+      val lagged = TimeSeries.lagFeatures(base, "o_custkey", "o_orderdate",
+        "o_totalprice", Seq(1), tiebreak = "o_orderkey")
+      val ma = TimeSeries.rollingMean(lagged, "o_custkey", "o_orderdate",
+        "o_totalprice", n = 3, tiebreak = "o_orderkey")
+      TimeSeries.timeIndex(ma, "o_custkey", "o_orderdate", "o_orderkey")
+        .select("o_custkey", "o_orderkey", "o_totalprice_lag_1",
+          "o_totalprice_ma_3", "t_index")
+    },
+
     // R10 extension: set operations (UNION / INTERSECT / EXCEPT + DISTINCT)
     "q_set_ops" -> { (s, dir) =>
       Tables.register(s, dir)
@@ -78,6 +128,41 @@ object FunctionQueries {
         |  o_orderpriority AS decoded
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
+    "q_array_ops" ->
+      """WITH g AS (
+        |  SELECT l_orderkey, list_sort(list(l_linenumber)) AS arr
+        |  FROM lineitem GROUP BY l_orderkey)
+        |SELECT l_orderkey,
+        |  CAST(list_sum(list_append(arr, 99)) AS BIGINT) AS append_sum,
+        |  CAST(len(list_intersect(arr, [1, 2, 3])) AS INT) AS n_low,
+        |  CAST(list_sum(list_transform(arr,
+        |    x -> CASE WHEN x = 1 THEN 100 ELSE x END)) AS BIGINT)
+        |    AS replaced_sum
+        |FROM g ORDER BY l_orderkey""".stripMargin,
+
+    "q_uuid_shape" ->
+      """WITH u AS (
+        |  SELECT CAST(gen_random_uuid() AS VARCHAR) AS u FROM orders)
+        |SELECT COUNT(*) AS n_rows,
+        |  COUNT(DISTINCT u) AS n_distinct,
+        |  CAST(SUM(CASE WHEN regexp_matches(u,
+        |    '^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_wellformed
+        |FROM u""".stripMargin,
+
+    "q_ts_rolling" ->
+      """SELECT o_custkey, o_orderkey,
+        |  lag(o_totalprice, 1) OVER w AS o_totalprice_lag_1,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER f AS DOUBLE)
+        |    / COUNT(*) OVER f AS o_totalprice_ma_3,
+        |  CAST(row_number() OVER w AS DOUBLE) AS t_index
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey),
+        |  f AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
     "q_window_rank" ->
       """WITH j AS (
         |  SELECT c_mktsegment, o_orderkey, o_totalprice,
@@ -99,5 +184,7 @@ object FunctionQueries {
 
   def verifySort: Map[String, Seq[String]] = Map(
     "q_array_unnest" -> Seq("l_orderkey", "ln"),
+    "q_array_ops" -> Seq("l_orderkey"),
+    "q_ts_rolling" -> Seq("o_custkey", "o_orderkey"),
     "q_base64_roundtrip" -> Seq("o_orderkey"))
 }
