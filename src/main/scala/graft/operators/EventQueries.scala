@@ -58,6 +58,44 @@ object EventQueries {
         .select("user_id", "event_id", "value", "value_lag_1", "value_ma_3")
     },
 
+    // as-of join (point-in-time lookup): each purchase gets the user's most
+    // recent prior click — one shuffle via the union+window AsOf operator,
+    // never a per-key range cross product. DuckDB's native ASOF JOIN is the
+    // oracle. (user_id, ts) is unique in the fixture, so "most recent" is
+    // well-defined on both engines.
+    "q_events_asof" -> { (s, dir) =>
+      val e = events(s, dir)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("click_id"), col("value").as("click_value"))
+      graft.scale.AsOf.asOfJoin(purchases, clicks, Seq("user_id"),
+        leftTs = "ts", rightTs = "ts",
+        payload = Seq("click_id", "click_value"))
+    },
+
+    // gap-based sessionization (6h inactivity closes a session): lag flag +
+    // running sum assigns session ids in one keyed window pass, then a
+    // grouped rollup — the standard two-shuffle sessionizer that survives
+    // any scale because state never leaves the user's hash partition.
+    "q_events_sessions" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, dir)
+        .withColumn("_prev", lag(col("ts"), 1).over(byUser))
+        .withColumn("_new", when(col("_prev").isNull ||
+          col("ts").cast("long") - col("_prev").cast("long") > 6 * 3600,
+          1L).otherwise(0L))
+        .withColumn("session_idx", sum(col("_new")).over(cum))
+        .groupBy("user_id", "session_idx")
+        .agg(count(lit(1)).as("n_events"),
+          (max(col("ts")).cast("long") - min(col("ts")).cast("long"))
+            .as("dur_seconds"))
+    },
+
     // drift windows: reference vs current value statistics (decimal-exact)
     "q_events_drift_windows" -> { (s, dir) =>
       events(s, dir)
@@ -100,6 +138,35 @@ object EventQueries {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)""".stripMargin,
 
+    "q_events_asof" ->
+      """SELECT p.event_id, p.user_id, p.ts, p.value,
+        |  c.event_id AS click_id, c.value AS click_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND c.ts <= p.ts
+        |ORDER BY p.event_id""".stripMargin,
+
+    "q_events_sessions" ->
+      """WITH x AS (
+        |  SELECT user_id, event_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN prev IS NULL OR date_diff('second', prev, ts) > 21600
+        |      THEN 1 ELSE 0 END AS new_s
+        |  FROM x),
+        |c AS (
+        |  SELECT user_id, ts,
+        |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS session_idx
+        |  FROM f)
+        |SELECT user_id, session_idx, COUNT(*) AS n_events,
+        |  CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT) AS dur_seconds
+        |FROM c GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin,
+
     "q_events_drift_windows" ->
       """SELECT CASE WHEN ts < TIMESTAMP '2024-01-02 00:00:00'
         |  THEN 'ref' ELSE 'cur' END AS win,
@@ -109,5 +176,7 @@ object EventQueries {
         |FROM events GROUP BY 1 ORDER BY win""".stripMargin)
 
   def verifySort: Map[String, Seq[String]] = Map(
-    "q_events_lag" -> Seq("user_id", "event_id"))
+    "q_events_lag" -> Seq("user_id", "event_id"),
+    "q_events_asof" -> Seq("event_id"),
+    "q_events_sessions" -> Seq("user_id", "session_idx"))
 }
