@@ -55,6 +55,31 @@ class VecDotSpec extends AnyFunSuite {
     assert(r.head().isNullAt(0))
   }
 
+  test("vec_dot is callable from plain SQL once registered") {
+    val s = spark
+    GraftExtensions.register(s)
+    val r = s.sql(
+      "SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d").head()
+    assert(r.getDouble(0) == 11.0)
+    // SQL path agrees with the Column API over real embeddings
+    val viaSql = s.sql(
+      """SELECT vec_id, vec_dot(embedding, embedding) AS sq
+        |FROM embeddings ORDER BY vec_id LIMIT 20""".stripMargin)
+      .collect().map(_.getDouble(1))
+    val viaCol = s.table("embeddings").orderBy("vec_id").limit(20)
+      .select(VecDot.vecDot(col("embedding"), col("embedding")))
+      .collect().map(_.getDouble(0))
+    assert(viaSql.toSeq == viaCol.toSeq)
+    // arity is validated at resolution
+    val err = intercept[Exception](
+      s.sql("SELECT vec_dot(array(1.0D))").head())
+    assert(err.getMessage.contains("vec_dot expects 2 arguments"))
+  }
+
+  test("the SparkSessionExtensions wiring injects without error") {
+    new GraftExtensions()(new org.apache.spark.sql.SparkSessionExtensions())
+  }
+
   test("interpreted eval path matches codegen") {
     // a non-deterministic wrapper forces the interpreted path; compare both
     val s = spark
