@@ -163,6 +163,89 @@ object ComputeSpec {
   }
 }
 
+// ---- Extended statements -----------------------------------------------
+//
+// The reference only *specifies* these (design docs: DSL.md:57-72 deploy /
+// predict, DSL.md:123-143 WHEN, DSL.md:318-351 ensembles / A-B / explain /
+// monitor, AGENTS.md:40-52 pub/sub); its parser rejects them. graft parses
+// the documented headline form of each so the whole runtime surface is
+// driveable from DSL text. Validation errors follow the TRAIN options'
+// style: IllegalArgumentException at construction.
+
+/** PREDICT USING MODEL m FROM t STORE RESULTS IN r [WITH BATCH_SIZE k]
+  * (DSL.md:68-72). */
+final case class PredictSpec(
+    model: String, from: String, storeIn: String,
+    batchSize: Option[Long] = None) extends Statement {
+  batchSize.foreach(b => require(b > 0, "BATCH_SIZE must be a positive integer"))
+}
+
+/** DEPLOY MODEL m TO ENDPOINT e [WITH CONFIGURATION {…}] [MONITOR m]
+  * [VERSION CONTROL v] (DSL.md:57-66). */
+final case class DeploySpec(
+    model: String, endpoint: String,
+    config: Option[List[(String, Value)]] = None,
+    monitor: Option[String] = None,
+    versionControl: Option[String] = None) extends Statement
+
+/** DEPLOY MODELS (a, b) TO ENDPOINT e WITH TRAFFIC SPLIT (p%, q%)
+  * [AUTO PROMOTE crit AFTER n samples] (DSL.md:329-334). */
+final case class TrafficSplitSpec(
+    models: List[String], endpoint: String, splits: List[Long],
+    autoPromote: Option[String] = None,
+    promoteAfter: Option[Long] = None) extends Statement {
+  require(models.nonEmpty && models.size == splits.size,
+    "each model needs a traffic percentage")
+  require(splits.sum == 100, "traffic split must sum to 100")
+}
+
+/** PUBLISH EVENT 'type' WITH PAYLOAD {…} (AGENTS.md:40-44). */
+final case class PublishSpec(
+    eventType: String, payload: List[(String, Value)]) extends Statement
+
+/** SUBSCRIBE TO 'pattern' [EXECUTE handler] (AGENTS.md:47-52). */
+final case class SubscribeSpec(
+    pattern: String, action: Option[String] = None) extends Statement
+
+/** CREATE FEATURE TRANSFORMER name AS SELECT … (DSL.md:79-86). */
+final case class TransformerSpec(name: String, select: String)
+  extends Statement
+
+/** CREATE ENSEMBLE name AS COMBINE MODELS (m WEIGHT w, …) USING method
+  * [VALIDATE ON t] (DSL.md:318-327). */
+final case class EnsembleSpec(
+    name: String, models: List[(String, Double)], method: String,
+    validateOn: Option[String] = None) extends Statement {
+  require(models.nonEmpty, "ensemble needs at least one model")
+  require(models.forall(_._2 > 0), "ensemble weights must be positive")
+}
+
+/** EXPLAIN PREDICTION m [FOR raw] [USING method] [SHOW TOP k features]
+  * (DSL.md:339-344). */
+final case class ExplainSpec(
+    model: String, forClause: Option[String] = None,
+    method: Option[String] = None, topK: Option[Long] = None)
+  extends Statement {
+  topK.foreach(k => require(k > 0, "SHOW TOP k must be a positive integer"))
+}
+
+/** MONITOR MODEL m FOR type [ON FEATURES (a, b)] [CHECK FREQUENCY f]
+  * [ALERT WHEN raw] (DSL.md:346-351). */
+final case class MonitorSpec(
+    model: String, monitorFor: String, features: List[String] = Nil,
+    frequency: Option[String] = None, alertWhen: Option[String] = None)
+  extends Statement
+
+/** WHEN EVENT 'type' [WHERE cond] THEN action, or WHEN MODEL m cond THEN
+  * action (DSL.md:123-143). Conditions/actions are raw text slices, like
+  * the TRAIN source clause — interpretation happens at run time. */
+final case class WhenSpec(
+    trigger: String, condition: Option[String], action: String)
+  extends Statement {
+  require(trigger.nonEmpty && action.nonEmpty,
+    "WHEN needs a trigger and a THEN action")
+}
+
 /** Feature-expression AST (second grammar, parser.py:141-176). The statement
   * parser flattens these to canonical strings for TrainSpec.features; the
   * compiler re-parses the strings (parser.py:739-744). */

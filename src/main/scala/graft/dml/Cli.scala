@@ -93,6 +93,15 @@ object Cli {
               s"'${c.kernel}' over '$table': ${out.count()} rows, " +
               s"output column '${c.output.getOrElse(c.name)}'")
             out.show(5, truncate = false)
+          case other =>
+            // extended statements run through the statement dispatcher
+            // against a scratch registry/event log
+            val registry = new runtime.ModelRegistry(spark, "/tmp/graft-registry")
+            val bus = new events.EventBus(spark, "/tmp/graft-events")
+            val runner = new runtime.StatementRunner(spark, registry, bus)
+            val result = runner.run(other)
+            System.err.println(s"[run] ${result.kind}: ${result.summary}")
+            result.data.foreach(_.show(5, truncate = false))
         }
       } finally spark.stop()
     }

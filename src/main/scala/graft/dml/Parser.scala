@@ -84,9 +84,17 @@ object DmlParser {
       if (!peek.isInstanceOf[TEof]) fail("end of statement")
 
     def statement(): Statement = peek match {
-      case TName("TRAIN", _, _)   => trainStmt()
-      case TName("COMPUTE", _, _) => computeStmt()
-      case _                      => fail("'TRAIN' or 'COMPUTE'")
+      case TName("TRAIN", _, _)     => trainStmt()
+      case TName("COMPUTE", _, _)   => computeStmt()
+      case TName("PREDICT", _, _)   => predictStmt()
+      case TName("DEPLOY", _, _)    => deployStmt()
+      case TName("PUBLISH", _, _)   => publishStmt()
+      case TName("SUBSCRIBE", _, _) => subscribeStmt()
+      case TName("CREATE", _, _)    => createStmt()
+      case TName("EXPLAIN", _, _)   => explainStmt()
+      case TName("MONITOR", _, _)   => monitorStmt()
+      case TName("WHEN", _, _)      => whenStmt()
+      case _                        => fail("a statement keyword")
     }
 
     // ----- TRAIN -----------------------------------------------------------
@@ -144,6 +152,9 @@ object DmlParser {
     private def value(): Value = peek match {
       case _: TNumber      => numberValue()
       case TDString(raw, _, _) => pos += 1; VStr(PyJson.loadString(raw))
+      // single-quoted strings appear in the design docs' dict literals
+      // (DSL.md:60-64 CONFIGURATION) — accepted as plain strings
+      case _: TSString     => VStr(sstring())
       case _: TName        => VStr(name()) // bare name treated as string
       case TSym("[", _, _) => listLiteral()
       case TSym("{", _, _) => dictLiteral()
@@ -167,6 +178,7 @@ object DmlParser {
       def entry(): Unit = {
         val key = peek match {
           case TDString(raw, _, _) => pos += 1; PyJson.loadString(raw)
+          case _: TSString         => sstring()
           case _: TName            => name()
           case _                   => fail("dict key")
         }
@@ -384,6 +396,247 @@ object DmlParser {
       }
       ComputeSpec(jobName, kernel, inputs, output, ticks,
         if (options.isEmpty) None else Some(options))
+    }
+
+    // ----- extended statements (design-doc surface, Ast.scala notes) -------
+
+    /** Single-quoted string content, '' doubling collapsed. */
+    private def sstring(): String = peek match {
+      case TSString(raw, _, _) =>
+        pos += 1
+        raw.substring(1, raw.length - 1).replace("''", "'")
+      case _ => fail("single-quoted string")
+    }
+
+    /** Raw text slice until one of `stops` appears as a NAME token (not
+      * consumed) or EOF — the capture style of the TRAIN source clause. */
+    private def rawUntil(stops: Set[String], what: String): String = {
+      val startTok = peek
+      var lastEnd = -1
+      while (!peek.isInstanceOf[TEof] &&
+          !(peek.isInstanceOf[TName] && stops(peek.text))) {
+        lastEnd = peek.end
+        pos += 1
+      }
+      if (lastEnd < 0) fail(what)
+      input.substring(startTok.start, lastEnd).trim
+    }
+
+    private def positiveInt(what: String): Long = {
+      val v = numberValue() match {
+        case VInt(i)                 => i
+        case VFloat(f) if f.isWhole  => f.toLong
+        case _ =>
+          throw new IllegalArgumentException(
+            s"$what must be a positive integer")
+      }
+      if (v <= 0)
+        throw new IllegalArgumentException(s"$what must be a positive integer")
+      v
+    }
+
+    /** PREDICT USING MODEL m FROM t STORE RESULTS IN r [WITH BATCH_SIZE k] */
+    private def predictStmt(): PredictSpec = {
+      keyword("PREDICT"); keyword("USING"); keyword("MODEL")
+      val model = name()
+      keyword("FROM")
+      val from = name()
+      keyword("STORE"); keyword("RESULTS"); keyword("IN")
+      val store = name()
+      val batch =
+        if (atKeyword("WITH")) {
+          keyword("WITH"); keyword("BATCH_SIZE")
+          Some(positiveInt("BATCH_SIZE"))
+        } else None
+      PredictSpec(model, from, store, batch)
+    }
+
+    /** DEPLOY MODEL …, or DEPLOY MODELS (…) … TRAFFIC SPLIT (…). */
+    private def deployStmt(): Statement = {
+      keyword("DEPLOY")
+      if (atKeyword("MODELS")) {
+        keyword("MODELS"); sym("(")
+        val models = List.newBuilder[String]
+        models += name()
+        while (atSym(",")) { sym(","); models += name() }
+        sym(")")
+        keyword("TO"); keyword("ENDPOINT")
+        val endpoint = name()
+        keyword("WITH"); keyword("TRAFFIC"); keyword("SPLIT"); sym("(")
+        val splits = List.newBuilder[Long]
+        def pct(): Unit = { splits += positiveInt("traffic percentage"); sym("%") }
+        pct()
+        while (atSym(",")) { sym(","); pct() }
+        sym(")")
+        var promote: Option[String] = None
+        var after: Option[Long] = None
+        if (atKeyword("AUTO")) {
+          keyword("AUTO"); keyword("PROMOTE")
+          promote = Some(name())
+          if (atKeyword("AFTER")) {
+            keyword("AFTER")
+            after = Some(positiveInt("AFTER sample count"))
+            if (atKeyword("samples")) keyword("samples")
+          }
+        }
+        TrafficSplitSpec(models.result(), endpoint, splits.result(),
+          promote, after)
+      } else {
+        keyword("MODEL")
+        val model = name()
+        keyword("TO"); keyword("ENDPOINT")
+        val endpoint = name()
+        var config: Option[List[(String, Value)]] = None
+        var monitor: Option[String] = None
+        var vc: Option[String] = None
+        var more = true
+        while (more) {
+          if (atKeyword("WITH")) {
+            keyword("WITH"); keyword("CONFIGURATION")
+            config = dictLiteral() match {
+              case VDict(entries) => Some(entries)
+              case _              => fail("configuration dict")
+            }
+          } else if (atKeyword("MONITOR")) {
+            keyword("MONITOR"); monitor = Some(name())
+          } else if (atKeyword("VERSION")) {
+            keyword("VERSION"); keyword("CONTROL"); vc = Some(name())
+          } else more = false
+        }
+        DeploySpec(model, endpoint, config, monitor, vc)
+      }
+    }
+
+    /** PUBLISH EVENT 'type' WITH PAYLOAD {…} */
+    private def publishStmt(): PublishSpec = {
+      keyword("PUBLISH"); keyword("EVENT")
+      val tpe = sstring()
+      keyword("WITH"); keyword("PAYLOAD")
+      dictLiteral() match {
+        case VDict(entries) => PublishSpec(tpe, entries)
+        case _              => fail("payload dict")
+      }
+    }
+
+    /** SUBSCRIBE TO 'pattern' [EXECUTE handler] */
+    private def subscribeStmt(): SubscribeSpec = {
+      keyword("SUBSCRIBE"); keyword("TO")
+      val pattern = sstring()
+      val action =
+        if (atKeyword("EXECUTE")) { keyword("EXECUTE"); Some(name()) }
+        else None
+      SubscribeSpec(pattern, action)
+    }
+
+    /** CREATE FEATURE TRANSFORMER name AS SELECT …, or CREATE ENSEMBLE. */
+    private def createStmt(): Statement = {
+      keyword("CREATE")
+      if (atKeyword("ENSEMBLE")) {
+        keyword("ENSEMBLE")
+        val ensName = name()
+        keyword("AS"); keyword("COMBINE"); keyword("MODELS"); sym("(")
+        val models = List.newBuilder[(String, Double)]
+        def arm(): Unit = {
+          val m = name()
+          keyword("WEIGHT")
+          val w = numberValue() match {
+            case VInt(i)   => i.toDouble
+            case VFloat(f) => f
+            case _         => fail("weight")
+          }
+          models += (m -> w)
+        }
+        arm()
+        while (atSym(",")) { sym(","); arm() }
+        sym(")")
+        keyword("USING")
+        val method = name()
+        val validateOn =
+          if (atKeyword("VALIDATE")) {
+            keyword("VALIDATE"); keyword("ON"); Some(name())
+          } else None
+        EnsembleSpec(ensName, models.result(), method, validateOn)
+      } else {
+        keyword("FEATURE"); keyword("TRANSFORMER")
+        val tName = name()
+        keyword("AS")
+        val select = rawUntil(Set.empty, "SELECT query")
+        if (!select.toUpperCase.startsWith("SELECT"))
+          throw new IllegalArgumentException(
+            s"feature transformer '$tName' must be a SELECT query")
+        TransformerSpec(tName, select)
+      }
+    }
+
+    /** EXPLAIN PREDICTION m [FOR raw] [USING method] [SHOW TOP k features] */
+    private def explainStmt(): ExplainSpec = {
+      keyword("EXPLAIN"); keyword("PREDICTION")
+      val model = name()
+      val forClause =
+        if (atKeyword("FOR")) {
+          keyword("FOR"); Some(rawUntil(Set("USING", "SHOW"), "FOR clause"))
+        } else None
+      val method =
+        if (atKeyword("USING")) { keyword("USING"); Some(name()) } else None
+      val topK =
+        if (atKeyword("SHOW")) {
+          keyword("SHOW"); keyword("TOP")
+          val k = positiveInt("SHOW TOP k")
+          if (atKeyword("features") || atKeyword("FEATURES")) pos += 1
+          Some(k)
+        } else None
+      ExplainSpec(model, forClause, method, topK)
+    }
+
+    /** MONITOR MODEL m FOR type [ON FEATURES (…)] [CHECK FREQUENCY f]
+      * [ALERT WHEN raw] */
+    private def monitorStmt(): MonitorSpec = {
+      keyword("MONITOR"); keyword("MODEL")
+      val model = name()
+      keyword("FOR")
+      val tpe = name()
+      var features = List.empty[String]
+      if (atKeyword("ON")) {
+        keyword("ON")
+        if (atKeyword("features") || atKeyword("FEATURES")) pos += 1
+        sym("(")
+        val buf = List.newBuilder[String]
+        buf += name()
+        while (atSym(",")) { sym(","); buf += name() }
+        sym(")")
+        features = buf.result()
+      }
+      val freq =
+        if (atKeyword("CHECK")) {
+          keyword("CHECK"); keyword("FREQUENCY"); Some(name())
+        } else None
+      val alert =
+        if (atKeyword("ALERT")) {
+          keyword("ALERT"); keyword("WHEN")
+          Some(rawUntil(Set.empty, "alert condition"))
+        } else None
+      MonitorSpec(model, tpe, features, freq, alert)
+    }
+
+    /** WHEN EVENT 'type' [WHERE raw] THEN raw, or WHEN MODEL m raw THEN raw */
+    private def whenStmt(): WhenSpec = {
+      keyword("WHEN")
+      if (atKeyword("EVENT")) {
+        keyword("EVENT")
+        val tpe = sstring()
+        val cond =
+          if (atKeyword("WHERE")) {
+            keyword("WHERE"); Some(rawUntil(Set("THEN"), "WHERE condition"))
+          } else None
+        keyword("THEN")
+        WhenSpec(s"event:$tpe", cond, rawUntil(Set.empty, "THEN action"))
+      } else {
+        keyword("MODEL")
+        val model = name()
+        val cond = rawUntil(Set("THEN"), "model condition")
+        keyword("THEN")
+        WhenSpec(s"model:$model", Some(cond), rawUntil(Set.empty, "THEN action"))
+      }
     }
 
     // ----- feature expressions (shared with the standalone parser) ---------

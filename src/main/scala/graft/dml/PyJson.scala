@@ -22,6 +22,22 @@ object PyJson {
 
   def dumps(entries: List[(String, Value)]): String = dumps(VDict(entries))
 
+  /** Parse a flat `{"k": num, …}` object produced by [[dumps]] (e.g. the
+    * registry's metrics_json) back into a double map. Not a general JSON
+    * parser — flat numeric objects only, which is all the registry writes. */
+  def parseFlatDoubleMap(json: String): Map[String, Double] = {
+    val pair = """"((?:[^"\\]|\\.)*)"\s*:\s*(-?(?:[0-9.eE+\-]+|nan|inf|Infinity|NaN))""".r
+    pair.findAllMatchIn(json).map { m =>
+      val v = m.group(2) match {
+        case "nan" | "NaN"            => Double.NaN
+        case "inf" | "Infinity"       => Double.PositiveInfinity
+        case "-inf" | "-Infinity"     => Double.NegativeInfinity
+        case n                        => n.toDouble
+      }
+      loadString("\"" + m.group(1) + "\"") -> v
+    }.toMap
+  }
+
   /** JSON string literal exactly like json.dumps(str): standard escapes,
     * non-ASCII to \\uXXXX. */
   def dumpString(s: String): String = {

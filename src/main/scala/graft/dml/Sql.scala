@@ -155,6 +155,74 @@ object SqlCompiler {
   def compileSql(stmt: Statement): String = stmt match {
     case spec: TrainSpec   => compileTrain(spec)
     case spec: ComputeSpec => compileCompute(spec)
+    // Extended statements (design-doc surface). Where the reference names
+    // a runtime function (ml_predict EXTENSIONS.md:289-291,
+    // feature_importance DSL.md:221-226) the call compiles to it; the rest
+    // compile to ml_*-style calls in the same named-argument convention.
+    case s: PredictSpec =>
+      val args = List(
+        s"model_name := ${PgSql.stringLiteral(s.model)}",
+        s"input_table := ${PgSql.stringLiteral(s.from)}",
+        s"output_table := ${PgSql.stringLiteral(s.storeIn)}") ++
+        s.batchSize.map(b => s"batch_size := $b")
+      s"SELECT ml_predict(${args.mkString(", ")})"
+    case s: DeploySpec =>
+      val args = List(
+        s"model_name := ${PgSql.stringLiteral(s.model)}",
+        s"endpoint := ${PgSql.stringLiteral(s.endpoint)}") ++
+        s.config.map(c =>
+          s"configuration := ${PgSql.stringLiteral(PyJson.dumps(c))}") ++
+        s.monitor.map(m => s"monitor := ${PgSql.stringLiteral(m)}") ++
+        s.versionControl.map(v =>
+          s"version_control := ${PgSql.stringLiteral(v)}")
+      s"SELECT ml_deploy_model(${args.mkString(", ")})"
+    case s: TrafficSplitSpec =>
+      val args = List(
+        s"models := ARRAY[${s.models.map(PgSql.stringLiteral).mkString(", ")}]",
+        s"endpoint := ${PgSql.stringLiteral(s.endpoint)}",
+        s"traffic_split := ARRAY[${s.splits.mkString(", ")}]") ++
+        s.autoPromote.map(p => s"auto_promote := ${PgSql.stringLiteral(p)}") ++
+        s.promoteAfter.map(n => s"promote_after := $n")
+      s"SELECT ml_deploy_split(${args.mkString(", ")})"
+    case s: PublishSpec =>
+      s"SELECT ml_publish_event(event_type := ${PgSql.stringLiteral(s.eventType)}, " +
+        s"payload := ${PgSql.stringLiteral(PyJson.dumps(s.payload))})"
+    case s: SubscribeSpec =>
+      val args = List(s"pattern := ${PgSql.stringLiteral(s.pattern)}") ++
+        s.action.map(a => s"execute := ${PgSql.stringLiteral(a)}")
+      s"SELECT ml_subscribe(${args.mkString(", ")})"
+    case s: TransformerSpec =>
+      SourceValidator.validateKeywordsOnly(s.select)
+      s"CREATE VIEW ${PgSql.ident(s.name)} AS ${s.select}"
+    case s: EnsembleSpec =>
+      val args = List(
+        s"name := ${PgSql.stringLiteral(s.name)}",
+        s"models := ARRAY[${s.models.map(m => PgSql.stringLiteral(m._1)).mkString(", ")}]",
+        s"weights := ARRAY[${s.models.map(m => Value.pyStr(Value.VFloat(m._2))).mkString(", ")}]",
+        s"method := ${PgSql.stringLiteral(s.method)}") ++
+        s.validateOn.map(t => s"validate_on := ${PgSql.stringLiteral(t)}")
+      s"SELECT ml_create_ensemble(${args.mkString(", ")})"
+    case s: ExplainSpec =>
+      val args = List(s"model := ${PgSql.stringLiteral(s.model)}") ++
+        s.forClause.map(f => s"for_row := ${PgSql.stringLiteral(f)}") ++
+        s.method.map(m => s"method := ${PgSql.stringLiteral(m)}") ++
+        s.topK.map(k => s"top_k := $k")
+      s"SELECT feature_importance(${args.mkString(", ")})"
+    case s: MonitorSpec =>
+      val args = List(
+        s"model_name := ${PgSql.stringLiteral(s.model)}",
+        s"monitor_for := ${PgSql.stringLiteral(s.monitorFor)}") ++
+        (if (s.features.nonEmpty)
+          List(s"features := ARRAY[${s.features.map(PgSql.stringLiteral).mkString(", ")}]")
+        else Nil) ++
+        s.frequency.map(f => s"check_frequency := ${PgSql.stringLiteral(f)}") ++
+        s.alertWhen.map(a => s"alert_when := ${PgSql.stringLiteral(a)}")
+      s"SELECT ml_monitor_model(${args.mkString(", ")})"
+    case s: WhenSpec =>
+      val args = List(s"trigger := ${PgSql.stringLiteral(s.trigger)}") ++
+        s.condition.map(c => s"condition := ${PgSql.stringLiteral(c)}") ++
+        List(s"action := ${PgSql.stringLiteral(s.action)}")
+      s"SELECT ml_register_rule(${args.mkString(", ")})"
   }
 
   private def compileTrain(spec: TrainSpec): String = {

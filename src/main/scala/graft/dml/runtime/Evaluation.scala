@@ -122,7 +122,14 @@ object Evaluation {
       case m: DecisionTreeRegressionModel     => m.featureImportances
       case m: RandomForestRegressionModel     => m.featureImportances
       case m: GBTRegressionModel              => m.featureImportances
-      case m: LogisticRegressionModel         => m.coefficients
+      case m: LogisticRegressionModel =>
+        // multinomial models carry a class × feature matrix; a feature's
+        // importance is its column-wise L1 mass (binomial keeps the vector)
+        if (m.numClasses > 2) {
+          val agg = new Array[Double](m.coefficientMatrix.numCols)
+          m.coefficientMatrix.foreachActive((_, j, v) => agg(j) += math.abs(v))
+          org.apache.spark.ml.linalg.Vectors.dense(agg)
+        } else m.coefficients
       case m: LinearRegressionModel           => m.coefficients
     }
     vec match {

@@ -1,0 +1,199 @@
+package graft.dml.runtime
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.dml._
+import graft.dml.events.{Agents, EventBus, RuleEngine, WhenRule}
+
+/** Executes every parsed DSL statement against the Spark runtime — the
+  * dispatcher that makes the whole surface (TRAIN/COMPUTE plus the
+  * design-doc statements, Ast.scala extended section) driveable from text:
+  *
+  * {{{
+  * val runner = new StatementRunner(spark, registry, bus)
+  * runner.run(DmlParser.parse("PREDICT USING MODEL m FROM t STORE RESULTS IN r"))
+  * }}}
+  *
+  * Definition statements (WHEN / MONITOR / CREATE ENSEMBLE) register state
+  * on the runner; evaluation entry points (`dispatch`, `checkModelRules`,
+  * `runMonitor`) fire them against data. Everything stays DataFrame-shaped:
+  * rules are Column predicates over the events scan, monitors one aggregate
+  * pass per side.
+  */
+object StatementRunner {
+  final case class RunResult(
+      kind: String, summary: String, data: Option[DataFrame] = None)
+}
+
+final class StatementRunner(
+    spark: SparkSession,
+    registry: ModelRegistry,
+    bus: EventBus,
+    handlers: Map[String, DataFrame => Unit] = Map.empty) {
+  import StatementRunner.RunResult
+
+  private val whenRules = mutable.ArrayBuffer.empty[WhenSpec]
+  private val monitors = mutable.ArrayBuffer.empty[MonitorSpec]
+  private val ensembles = mutable.LinkedHashMap.empty[String, EnsembleSpec]
+
+  def run(stmt: Statement): RunResult = stmt match {
+    case t: TrainSpec =>
+      val report = Trainer.train(spark, t)
+      val v = registry.register(report)
+      RunResult("train", s"model '${t.name}' v$v fitted " +
+        s"(${report.metrics.toSeq.sortBy(_._1).mkString(", ")})")
+
+    case c: ComputeSpec =>
+      val table = c.inputs.flatMap { ins =>
+        graft.Tables.names.find { t =>
+          val cols = spark.table(t).columns.toSet
+          ins.forall(cols.contains)
+        }
+      }.getOrElse(throw new IllegalArgumentException(
+        s"no registered table has columns ${c.inputs}"))
+      val out = ComputeRegistry.runOnce(spark, c, table)
+      RunResult("compute", s"kernel '${c.kernel}' over '$table'", Some(out))
+
+    case p: PredictSpec =>
+      val out = registry.predict(p.model, p.from, p.storeIn)
+      RunResult("predict",
+        s"predictions from '${p.model}' stored in '${p.storeIn}'", Some(out))
+
+    case d: DeploySpec =>
+      registry.deploy(d.model, d.endpoint)
+      RunResult("deploy", s"'${d.model}' deployed to '${d.endpoint}'")
+
+    case ts: TrafficSplitSpec =>
+      ts.models.foreach(m => registry.deploy(m, ts.endpoint))
+      import spark.implicits._
+      val arms = ts.models.zip(ts.splits)
+        .toDF("model", "traffic_pct")
+        .withColumn("endpoint", lit(ts.endpoint))
+      RunResult("traffic_split",
+        s"${ts.models.size} arms on '${ts.endpoint}' " +
+          s"(${ts.splits.mkString("/")}%)", Some(arms))
+
+    case p: PublishSpec =>
+      bus.publish(p.eventType,
+        p.payload.map { case (k, v) => k -> Value.pyStr(v) }.toMap)
+      RunResult("publish", s"event '${p.eventType}' published")
+
+    case s: SubscribeSpec =>
+      val df = bus.subscribe(s.pattern)
+      s.action.foreach(a => handlers.get(a).foreach(_(df)))
+      RunResult("subscribe", s"subscription to '${s.pattern}'", Some(df))
+
+    case t: TransformerSpec =>
+      FeatureTransformers.create(spark, t.name, t.select)
+      RunResult("transformer", s"feature transformer '${t.name}' registered",
+        Some(spark.table(t.name)))
+
+    case e: EnsembleSpec =>
+      ensembles(e.name) = e
+      val validated = e.validateOn.map { tbl =>
+        val models = e.models.map { case (m, w) => registry.load(m) -> w }
+        Agents.weightedEnsemble(models, spark.table(tbl))
+      }
+      RunResult("ensemble",
+        s"ensemble '${e.name}' (${e.models.size} models, ${e.method})",
+        validated)
+
+    case ex: ExplainSpec =>
+      val model = registry.load(ex.model)
+      val features = latestRegistryRow(ex.model).getSeq[String](3)
+      val top = Agents.explain(model, features,
+        ex.topK.map(_.toInt).getOrElse(5))
+      import spark.implicits._
+      RunResult("explain", s"top-${top.size} importances for '${ex.model}'",
+        Some(top.toDF("feature", "importance")))
+
+    case m: MonitorSpec =>
+      monitors += m
+      RunResult("monitor",
+        s"monitor on '${m.model}' for ${m.monitorFor} registered")
+
+    case w: WhenSpec =>
+      whenRules += w
+      RunResult("when", s"rule on '${w.trigger}' registered")
+  }
+
+  // ----- evaluation entry points ------------------------------------------
+
+  /** Registered event rules as a RuleEngine over an events batch; fires
+    * matching actions (named handler, else a `rule_fired` event). */
+  def dispatch(events: DataFrame): Map[String, Long] = {
+    val rules = whenRules.toSeq.collect {
+      case w if w.trigger.startsWith("event:") =>
+        WhenRule(
+          name = w.action,
+          eventTypePattern = w.trigger.stripPrefix("event:"),
+          condition = w.condition.map(conditionColumn).getOrElse(lit(true)),
+          action = actionFor(w.action))
+    }
+    new RuleEngine(rules).dispatchBatch(events)
+  }
+
+  /** WHEN MODEL rules evaluated against the latest registry metrics of each
+    * model; returns the fired actions. */
+  def checkModelRules(): Seq[String] =
+    whenRules.toSeq.collect {
+      case w if w.trigger.startsWith("model:") &&
+          w.condition.exists(modelConditionHolds(w.trigger.stripPrefix("model:"), _)) =>
+        actionFor(w.action)(spark.emptyDataFrame)
+        w.action
+    }
+
+  /** Fire a registered monitor: drift scores between two slices, alerts
+    * published for features crossing the ALERT threshold (default 0.5). */
+  def runMonitor(model: String, reference: DataFrame, current: DataFrame)
+      : Map[String, Double] = {
+    val m = monitors.find(_.model == model).getOrElse(
+      throw new IllegalArgumentException(s"no monitor registered for '$model'"))
+    val threshold = m.alertWhen
+      .flatMap(a => StopCondition.parse(a) match {
+        case StopCondition.Cmp(_, _, v) => Some(v)
+        case _                          => None
+      })
+      .getOrElse(0.5)
+    Agents.driftAgent(bus, reference, current,
+      if (m.features.nonEmpty) m.features
+      else latestRegistryRow(model).getSeq[String](3),
+      threshold)
+  }
+
+  def ensemble(name: String): Option[EnsembleSpec] = ensembles.get(name)
+
+  // ----- internals --------------------------------------------------------
+
+  private def latestRegistryRow(model: String) = {
+    val rows = registry.list().filter(col("name") === model)
+      .orderBy(col("version").desc).limit(1).collect()
+    if (rows.isEmpty)
+      throw new IllegalArgumentException(s"model not found: $model")
+    rows(0)
+  }
+
+  /** Postgres-style `payload->>'k'` (DSL.md:133-134) translated to the
+    * Spark-native JSON accessor over the events `props` column. */
+  private def conditionColumn(cond: String): Column = {
+    val spark = cond.replaceAll(
+      "payload\\s*->>\\s*'([^']+)'", "get_json_object(props, '\\$.$1')")
+    expr(spark)
+  }
+
+  private def modelConditionHolds(model: String, cond: String): Boolean = {
+    val metricsJson = latestRegistryRow(model).getString(5)
+    val metrics = PyJson.parseFlatDoubleMap(metricsJson)
+      .map { case (k, v) => k.toLowerCase -> v }
+    StopCondition.parse(cond.toLowerCase).eval(metrics)
+  }
+
+  private def actionFor(action: String): DataFrame => Unit = {
+    val handlerName = action.split("\\s+").head
+    handlers.getOrElse(handlerName,
+      (_: DataFrame) => bus.publish("rule_fired", Map("action" -> action)))
+  }
+}

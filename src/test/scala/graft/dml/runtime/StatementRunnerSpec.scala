@@ -1,0 +1,125 @@
+package graft.dml.runtime
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.dml._
+import graft.dml.events.EventBus
+
+/** The statement dispatcher end-to-end: every extended statement executed
+  * against the fixture tables through DSL text alone. */
+class StatementRunnerSpec extends AnyFunSuite {
+
+  private def spark = SparkTestSession.withTables()
+
+  private def freshRunner() = {
+    val s = spark
+    val base = Files.createTempDirectory("graft-runner").toString
+    val registry = new ModelRegistry(s, s"$base/registry")
+    val bus = new EventBus(s, s"$base/events")
+    (new StatementRunner(s, registry, bus), registry, bus)
+  }
+
+  private val trainDml =
+    "TRAIN MODEL runner_clf USING logistic_regression(max_iter=10) " +
+      "FROM orders PREDICT o_orderstatus " +
+      "WITH FEATURES(o_totalprice, o_custkey)"
+
+  test("train → predict → deploy → explain, all from DSL text") {
+    val (runner, registry, _) = freshRunner()
+    val trained = runner.run(DmlParser.parse(trainDml))
+    assert(trained.kind == "train" && trained.summary.contains("runner_clf"))
+
+    val predicted = runner.run(DmlParser.parse(
+      "PREDICT USING MODEL runner_clf FROM orders STORE RESULTS IN preds"))
+    assert(predicted.data.get.columns.contains("prediction"))
+    assert(spark.table("preds").count() == spark.table("orders").count())
+
+    runner.run(DmlParser.parse(
+      "DEPLOY MODEL runner_clf TO ENDPOINT scoring"))
+    val dep = registry.deployments().filter(col("endpoint") === "scoring")
+    assert(dep.count() == 1)
+
+    val explained = runner.run(DmlParser.parse(
+      "EXPLAIN PREDICTION runner_clf SHOW TOP 2 features"))
+    val rows = explained.data.get.collect()
+    assert(rows.length == 2)
+    assert(rows.map(_.getString(0)).toSet
+      .subsetOf(Set("o_totalprice", "o_custkey")))
+  }
+
+  test("ensemble over two registered models validates on a table") {
+    val (runner, _, _) = freshRunner()
+    runner.run(DmlParser.parse(trainDml))
+    runner.run(DmlParser.parse(
+      "TRAIN MODEL runner_clf2 USING decision_tree(max_depth=3) " +
+        "FROM orders PREDICT o_orderstatus " +
+        "WITH FEATURES(o_totalprice, o_custkey)"))
+    val r = runner.run(DmlParser.parse(
+      "CREATE ENSEMBLE duo AS COMBINE MODELS " +
+        "(runner_clf WEIGHT 0.6, runner_clf2 WEIGHT 0.4) " +
+        "USING weighted_average VALIDATE ON orders"))
+    assert(r.data.get.columns.contains("ensemble_prediction"))
+    assert(r.data.get.count() == spark.table("orders").count())
+  }
+
+  test("publish / subscribe / WHEN-rule dispatch over the event log") {
+    val (runner, _, bus) = freshRunner()
+    runner.run(DmlParser.parse(
+      "PUBLISH EVENT 'deploy.requested' WITH PAYLOAD {model: fraud, severity: 0.9}"))
+    val sub = runner.run(DmlParser.parse("SUBSCRIBE TO 'deploy.%'"))
+    assert(sub.data.get.count() == 1)
+
+    runner.run(DmlParser.parse(
+      "WHEN EVENT 'deploy.%' WHERE value >= 0.0 THEN promote_model"))
+    val fired = runner.dispatch(bus.subscribe("%"))
+    assert(fired.get("promote_model").contains(1L))
+    // default action publishes a rule_fired event back to the bus
+    assert(bus.subscribe("rule_fired").count() == 1)
+  }
+
+  test("WHEN MODEL rules evaluate against registry metrics") {
+    val (runner, _, _) = freshRunner()
+    runner.run(DmlParser.parse(trainDml))
+    runner.run(DmlParser.parse(
+      "WHEN MODEL runner_clf accuracy >= 0.0 THEN celebrate"))
+    runner.run(DmlParser.parse(
+      "WHEN MODEL runner_clf accuracy > 1.5 THEN impossible"))
+    assert(runner.checkModelRules() == Seq("celebrate"))
+  }
+
+  test("traffic split records every arm; monitor fires drift alerts") {
+    val (runner, registry, bus) = freshRunner()
+    runner.run(DmlParser.parse(trainDml))
+    runner.run(DmlParser.parse(
+      "TRAIN MODEL runner_clf2 USING decision_tree(max_depth=3) " +
+        "FROM orders PREDICT o_orderstatus " +
+        "WITH FEATURES(o_totalprice, o_custkey)"))
+    val ts = runner.run(DmlParser.parse(
+      "DEPLOY MODELS (runner_clf, runner_clf2) TO ENDPOINT ab " +
+        "WITH TRAFFIC SPLIT (70%, 30%)"))
+    assert(ts.data.get.count() == 2)
+    assert(registry.deployments().filter(col("endpoint") === "ab").count() == 2)
+
+    runner.run(DmlParser.parse(
+      "MONITOR MODEL runner_clf FOR drift_detection " +
+        "ON features (o_totalprice) ALERT WHEN drift_score > 0.1"))
+    val ref = spark.table("orders")
+    val cur = ref.withColumn("o_totalprice", col("o_totalprice") * 10)
+    val scores = runner.runMonitor("runner_clf", ref, cur)
+    assert(scores("o_totalprice") > 0.1)
+    assert(bus.subscribe("drift_alert").count() >= 1)
+  }
+
+  test("feature transformer registers a queryable view") {
+    val (runner, _, _) = freshRunner()
+    val r = runner.run(DmlParser.parse(
+      "CREATE FEATURE TRANSFORMER spend AS " +
+        "SELECT o_custkey, SUM(o_totalprice) AS total FROM orders GROUP BY o_custkey"))
+    assert(r.data.get.columns.toSeq == Seq("o_custkey", "total"))
+    assert(spark.table("spend").count() > 0)
+  }
+}
