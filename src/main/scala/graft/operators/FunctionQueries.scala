@@ -100,6 +100,20 @@ object FunctionQueries {
           "o_totalprice_ma_3", "t_index")
     },
 
+    // Scale-path per-key top-k: bounded-heap partial aggregate instead of
+    // a full-shuffle window (graft.plans.TopK) — same answer as
+    // q_window_rank's row_number plan, shuffle carries ≤ k rows per key
+    // per partition
+    "q_topk_pergroup" -> { (s, dir) =>
+      Tables.register(s, dir)
+      val joined = s.table("orders")
+        .join(s.table("customer"), col("o_custkey") === col("c_custkey"))
+        .select("c_mktsegment", "o_orderkey", "o_totalprice")
+      graft.plans.TopK.topKPerKey(joined, Seq("c_mktsegment"),
+        Seq(col("o_totalprice"), negate(col("o_orderkey"))), k = 3)
+        .orderBy("c_mktsegment", "rank")
+    },
+
     // R10 extension: set operations (UNION / INTERSECT / EXCEPT + DISTINCT)
     "q_set_ops" -> { (s, dir) =>
       Tables.register(s, dir)
@@ -162,6 +176,14 @@ object FunctionQueries {
         |  f AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_topk_pergroup" ->
+      """WITH j AS (
+        |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rank
+        |  FROM orders JOIN customer ON o_custkey = c_custkey)
+        |SELECT * FROM j WHERE rank <= 3 ORDER BY c_mktsegment, rank""".stripMargin,
 
     "q_window_rank" ->
       """WITH j AS (

@@ -16,4 +16,11 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Catalyst's bounded-heap top-k collector: the partial-aggregating
+    * primitive behind graft.plans.TopK. `reverse=true` keeps the largest k
+    * under the child type's ordering. */
+  def collectTopK(e: Expression, k: Int, reverse: Boolean): Column =
+    column(org.apache.spark.sql.catalyst.expressions.aggregate
+      .GraftCollectTopK(e, k, reverse))
 }
