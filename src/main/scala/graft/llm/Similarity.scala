@@ -1,7 +1,6 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (`Array[Float]`) — the ANN
@@ -9,9 +8,9 @@ import org.apache.spark.sql.functions._
   *
   * Baseline: brute-force cosine top-k for a small query set — queries are
   * broadcast (tiny side), candidates stream through one projection, ranking
-  * is a per-query window (shuffle keyed by query id). At 100 TB the scale
-  * path is the hyperplane-LSH variant: bucket join on signature, so each
-  * embedding only meets its bucket.
+  * is a bounded-heap partial aggregate (graft.plans.TopK). At 100 TB the
+  * scale path is the hyperplane-LSH variant: bucket join on signature, so
+  * each embedding only meets its bucket.
   *
   * Dot products fold element-wise in index order with double accumulation
   * (`aggregate(zip_with(...))`) — deterministic and reproducible by the
@@ -25,6 +24,16 @@ object Similarity {
     * `aggregate(zip_with(...))` form but ~10× faster (no intermediate
     * array, no interpreted lambdas). */
   def dot(a: Column, b: Column): Column = graft.functions.VecDot.vecDot(a, b)
+
+  /** Deterministic top-k per query — (cos_sim desc, vec_id asc) via the
+    * bounded-heap partial aggregate (graft.plans.TopK), so with thousands
+    * of concurrent queries the shuffle carries k rows per query per
+    * partition, never every scored candidate. Result-identical to a
+    * row_number window (the DuckDB oracles still hash-match). */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    graft.plans.TopK.topKPerKey(scored, Seq("query_id"),
+      Seq(col("cos_sim"), negate(col("vec_id"))), k)
+      .select("query_id", "vec_id", "cos_sim", "rank")
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -43,11 +52,7 @@ object Similarity {
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         round(cosine(col("q_emb"), col("embedding")), 6).as("cos_sim"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos_sim").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "vec_id", "cos_sim", "rank")
+    rankTopK(scored, k)
   }
 
   /** Deterministic pseudo-random hyperplane sign for (dim d, plane p): ±1
@@ -110,11 +115,7 @@ object Similarity {
 
     val scored = candidates.select(col("query_id"), col("vec_id"),
       round(cosine(col("q_emb"), col("embedding")), 6).as("cos_sim"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos_sim").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "vec_id", "cos_sim", "rank")
+    rankTopK(scored, k)
   }
 
   /** IVF (inverted-file) ANN: a KMeans coarse quantizer partitions vectors
@@ -122,7 +123,7 @@ object Similarity {
     * rescored exact cosine runs only inside those cells. The index assign
     * is one transform pass; search cost is |corpus| × nProbe / nLists.
     * Centroids are tiny and handled driver-side; everything else is joins
-    * and windows. */
+    * and bounded top-k aggregates. */
   def ivfTopK(
       embeddings: DataFrame, queryIds: Seq[Long], k: Int = 10,
       nLists: Int = 16, nProbe: Int = 4, seed: Long = 42L,
@@ -172,11 +173,7 @@ object Similarity {
       .filter(col("vec_id") =!= col("query_id"))
     val scored = candidates.select(col("query_id"), col("vec_id"),
       round(cosine(col("q_emb"), col("embedding")), 6).as("cos_sim"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos_sim").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "vec_id", "cos_sim", "rank")
+    rankTopK(scored, k)
   }
 
   /** Embedding-cosine near-duplicate pairs above a threshold, via LSH
