@@ -119,6 +119,24 @@ class CliSpec extends AnyFunSuite {
       """{"BLOCK": 256, "GRID": "auto", "SHARED": "1K"}""")
   }
 
+  test("cli_extended_statements_compile") {
+    val cases = Seq(
+      "PREDICT USING MODEL m FROM t STORE RESULTS IN r" -> "ml_predict",
+      "DEPLOY MODEL m TO ENDPOINT e" -> "ml_deploy_model",
+      "PUBLISH EVENT 'a.b' WITH PAYLOAD {k: 1}" -> "ml_publish_event",
+      "SUBSCRIBE TO 'a.%'" -> "ml_subscribe",
+      "CREATE ENSEMBLE x AS COMBINE MODELS (a WEIGHT 0.5, b WEIGHT 0.5) USING weighted_average" ->
+        "ml_create_ensemble",
+      "EXPLAIN PREDICTION m SHOW TOP 3 features" -> "feature_importance",
+      "MONITOR MODEL m FOR drift_detection" -> "ml_monitor_model",
+      "WHEN EVENT 'x' THEN act" -> "ml_register_rule")
+    cases.foreach { case (dml, fn) =>
+      val (rc, out, err) = runCli(Array.empty, dml)
+      assert(rc == 0, s"$dml failed: $err")
+      assert(out.contains(fn), s"$dml: expected $fn in: $out")
+    }
+  }
+
   test("cli_too_many_args") {
     val (rc, _, err) = runCli(Array("a.dsl", "b.dsl"))
     assert(rc == 2)
