@@ -1,0 +1,104 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.dml.events.{Event, Events}
+
+/** Streaming dedup + sessionization over a file-source stream, checked
+  * against batch ground truth. */
+class StreamingPipelineSpec extends AnyFunSuite {
+
+  private def spark = SparkTestSession.withTables()
+
+  private def eventLog(n: Int): String = {
+    val dir = Files.createTempDirectory("graft-stream").toString
+    val s = spark
+    // plant exact duplicates: the same 50 rows appended twice
+    val base = s.table("events").limit(n)
+    base.write.mode("append").parquet(dir)
+    base.limit(50).write.mode("append").parquet(dir)
+    dir
+  }
+
+  test("stream dedup drops watermark-window duplicates") {
+    val s = spark
+    val dir = eventLog(300)
+    val ckpt = Files.createTempDirectory("graft-stream-ckpt").toString
+    val stream = s.readStream.schema(Events.schema).parquet(dir)
+    val q = StreamingPipeline.dedupStream(stream, watermark = "365 days")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = s.table("dedup_out")
+    val truth = s.read.parquet(dir).dropDuplicates("event_id")
+    assert(got.count() == truth.count())
+    assert(got.select("event_id").distinct().count() == got.count())
+  }
+
+  test("streaming sessionizer emits the batch sessions closed by gaps") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft-sess").toString
+    val ckpt = Files.createTempDirectory("graft-sess-ckpt").toString
+    s.table("events").limit(2000).write.mode("append").parquet(dir)
+
+    val gap = 6 * 3600L
+    val stream = s.readStream.schema(Events.schema).parquet(dir).as[Event]
+    val q = StreamingPipeline.sessionizeStream(stream, gapSeconds = gap)
+      .writeStream.format("memory").queryName("sessions_out")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(180000)
+    val got = s.table("sessions_out")
+      .select("user_id", "session_start", "n_events")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2)))
+      .toSet
+
+    // batch ground truth (the q_events_sessions construction), minus each
+    // user's LAST session — it is still open in state, only an event-time
+    // timeout in a later batch would flush it
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sessions = s.read.parquet(dir)
+      .withColumn("_prev", lag(col("ts"), 1).over(byUser))
+      .withColumn("_new", when(col("_prev").isNull ||
+        col("ts").cast("long") - col("_prev").cast("long") > gap, 1L)
+        .otherwise(0L))
+      .withColumn("session_idx", sum(col("_new")).over(cum))
+      .groupBy("user_id", "session_idx")
+      .agg(min(col("ts")).as("session_start"), count(lit(1)).as("n_events"))
+    val lastIdx = sessions.groupBy("user_id")
+      .agg(max(col("session_idx")).as("session_idx"))
+    val lastSessions = sessions.join(lastIdx, Seq("user_id", "session_idx"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(2).getTime, r.getLong(3)))
+      .toSet
+    val gapClosed = sessions.join(lastIdx, Seq("user_id", "session_idx"),
+        "left_anti")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(2).getTime, r.getLong(3)))
+      .toSet
+
+    assert(gapClosed.nonEmpty, "fixture produced no closed sessions")
+    // every gap-closed session is emitted; the only extras allowed are
+    // final sessions flushed by the event-time timeout (how many fire
+    // depends on how far the watermark advanced across micro-batches)
+    assert(gapClosed.subsetOf(got),
+      s"missing sessions: ${(gapClosed -- got).take(5)}")
+    assert((got -- gapClosed).subsetOf(lastSessions),
+      s"unexpected sessions: ${((got -- gapClosed) -- lastSessions).take(5)}")
+  }
+}
