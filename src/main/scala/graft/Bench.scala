@@ -36,6 +36,31 @@ object Bench {
           count(lit(1)).as("n"))
         .orderBy("l_returnflag")
         .write.format("noop").mode("overwrite").save()
+      // text/array/hash expression shapes (split, explode, md5, xxhash64,
+      // struct sort) — the dedup family's codegen surface
+      spark.table("documents").limit(200)
+        .select(col("doc_id"), split(col("text"), " ").as("_w"))
+        .select(col("doc_id"), explode(col("_w")).as("word"))
+        .select(col("doc_id"), md5(col("word")).as("h"),
+          xxhash64(col("word"), lit(7)).as("x"))
+        .groupBy("h").agg(count(lit(1)).as("n"), min(col("x")).as("m"))
+        .write.format("noop").mode("overwrite").save()
+      spark.table("embeddings").limit(100)
+        .select(sort_array(array(struct(
+          graft.functions.VecDot.vecDot(col("embedding"), col("embedding"))
+            .as("d"), col("vec_id")))).as("a"))
+        .select(posexplode(col("a")))
+        .write.format("noop").mode("overwrite").save()
+      // MLlib + BLAS class-loading (the IVF quantizer's fixed cost)
+      locally {
+        import org.apache.spark.ml.clustering.KMeans
+        import org.apache.spark.ml.functions.array_to_vector
+        val tiny = spark.table("embeddings").limit(32)
+          .select(array_to_vector(col("embedding")).as("_v"))
+        new KMeans().setK(2).setMaxIter(1).setInitMode("random").setSeed(1L)
+          .setFeaturesCol("_v").fit(tiny)
+        ()
+      }
     }
     // Materialize via the noop sink: every operator in the plan actually
     // executes (count() lets Catalyst prune projections and sorts, which
