@@ -67,14 +67,22 @@ final class StatementRunner(
       RunResult("deploy", s"'${d.model}' deployed to '${d.endpoint}'")
 
     case ts: TrafficSplitSpec =>
+      // arms are recorded as deployments; live routing + AUTO PROMOTE run
+      // at serving time (Agents.trafficSplit routes a batch by hashed key,
+      // Agents.autoPromote evaluates each arm's slice and deploys the
+      // winner once `promoteAfter` samples are routed)
       ts.models.foreach(m => registry.deploy(m, ts.endpoint))
       import spark.implicits._
       val arms = ts.models.zip(ts.splits)
         .toDF("model", "traffic_pct")
         .withColumn("endpoint", lit(ts.endpoint))
+        .withColumn("auto_promote", lit(ts.autoPromote.orNull))
+        .withColumn("promote_after",
+          lit(ts.promoteAfter.map(java.lang.Long.valueOf).orNull))
       RunResult("traffic_split",
         s"${ts.models.size} arms on '${ts.endpoint}' " +
-          s"(${ts.splits.mkString("/")}%)", Some(arms))
+          s"(${ts.splits.mkString("/")}%)" +
+          ts.autoPromote.fold("")(p => s", auto-promote by $p"), Some(arms))
 
     case p: PublishSpec =>
       bus.publish(p.eventType,

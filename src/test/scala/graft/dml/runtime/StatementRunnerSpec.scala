@@ -114,6 +114,35 @@ class StatementRunnerSpec extends AnyFunSuite {
     assert(bus.subscribe("drift_alert").count() >= 1)
   }
 
+  test("unknown model and unregistered monitor fail loudly") {
+    val (runner, _, _) = freshRunner()
+    val e1 = intercept[IllegalArgumentException] {
+      runner.run(DmlParser.parse(
+        "PREDICT USING MODEL ghost FROM orders STORE RESULTS IN out"))
+    }
+    assert(e1.getMessage.contains("model not found"))
+    val e2 = intercept[IllegalArgumentException] {
+      runner.runMonitor("ghost", spark.table("orders"), spark.table("orders"))
+    }
+    assert(e2.getMessage.contains("no monitor registered"))
+    val e3 = intercept[IllegalArgumentException] {
+      runner.run(DmlParser.parse(
+        "EXPLAIN PREDICTION ghost SHOW TOP 2 features"))
+    }
+    assert(e3.getMessage.contains("model not found"))
+  }
+
+  test("traffic split surfaces the auto-promote policy") {
+    val (runner, _, _) = freshRunner()
+    runner.run(DmlParser.parse(trainDml))
+    val r = runner.run(DmlParser.parse(
+      "DEPLOY MODELS (runner_clf) TO ENDPOINT solo WITH TRAFFIC SPLIT (100%) " +
+        "AUTO PROMOTE accuracy AFTER 500 samples"))
+    val row = r.data.get.collect()(0)
+    assert(row.getAs[String]("auto_promote") == "accuracy")
+    assert(row.getAs[Long]("promote_after") == 500L)
+  }
+
   test("feature transformer registers a queryable view") {
     val (runner, _, _) = freshRunner()
     val r = runner.run(DmlParser.parse(
