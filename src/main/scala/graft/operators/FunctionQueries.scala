@@ -100,6 +100,32 @@ object FunctionQueries {
           "o_totalprice_ma_3", "t_index")
     },
 
+    // multi-dimensional aggregation: ROLLUP over (returnflag, linestatus)
+    // with GROUPING flags — subtotals and grand total in one partial-agg
+    // pass (no extra scans)
+    "q_rollup_pricing" -> { (s, dir) =>
+      Tables.register(s, dir)
+      s.table("lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("sum_qty"),
+          grouping(col("l_returnflag")).cast("int").as("g_flag"),
+          grouping(col("l_linestatus")).cast("int").as("g_status"))
+    },
+
+    // pivot: order revenue by market segment × priority (fixed pivot values
+    // so the schema is static; compiles to one conditional-agg pass)
+    "q_pivot_priority" -> { (s, dir) =>
+      Tables.register(s, dir)
+      s.table("orders")
+        .join(s.table("customer"), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .pivot("o_orderpriority", Seq("1-URGENT", "2-HIGH", "3-MEDIUM"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"))
+        .orderBy("c_mktsegment")
+    },
+
     // Scale-path per-key top-k: bounded-heap partial aggregate instead of
     // a full-shuffle window (graft.plans.TopK) — same answer as
     // q_window_rank's row_number plan, shuffle carries ≤ k rows per key
@@ -177,6 +203,29 @@ object FunctionQueries {
         |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
+    "q_rollup_pricing" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+        |  CAST(GROUPING(l_linestatus) AS INT) AS g_status
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY g_flag, g_status, l_returnflag, l_linestatus""".stripMargin,
+
+    "q_pivot_priority" ->
+      """SELECT c_mktsegment,
+        |  CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+        |    THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE)
+        |    AS "1-URGENT",
+        |  CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH'
+        |    THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE)
+        |    AS "2-HIGH",
+        |  CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM'
+        |    THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE)
+        |    AS "3-MEDIUM"
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
     "q_topk_pergroup" ->
       """WITH j AS (
         |  SELECT c_mktsegment, o_orderkey, o_totalprice,
@@ -207,6 +256,8 @@ object FunctionQueries {
   def verifySort: Map[String, Seq[String]] = Map(
     "q_array_unnest" -> Seq("l_orderkey", "ln"),
     "q_array_ops" -> Seq("l_orderkey"),
+    "q_rollup_pricing" ->
+      Seq("g_flag", "g_status", "l_returnflag", "l_linestatus"),
     "q_ts_rolling" -> Seq("o_custkey", "o_orderkey"),
     "q_base64_roundtrip" -> Seq("o_orderkey"))
 }
