@@ -69,9 +69,14 @@ object Cli {
               s"schema ${df.schema.map(_.name).mkString("[", ", ", "]")}")
             val report = runtime.Trainer.train(spark, t,
               checkpointDir = Some(s"/tmp/graft-checkpoints"))
+            // register into the same scratch registry the extended
+            // statements read, so TRAIN → PREDICT/DEPLOY/EXPLAIN works
+            // across CLI invocations
+            val version = new runtime.ModelRegistry(spark,
+              "/tmp/graft-registry").register(report)
             val metrics = report.metrics.toSeq.sortBy(_._1)
               .map { case (k, v) => f"$k=$v%.4f" }.mkString(", ")
-            System.err.println(s"[run] model '${t.name}' " +
+            System.err.println(s"[run] model '${t.name}' v$version " +
               s"(${t.algorithm}) fitted: $metrics" +
               (if (report.epochs > 0) s", epochs=${report.epochs}" else "") +
               (if (report.splitCounts.size > 1)

@@ -476,7 +476,7 @@ object DmlParser {
           if (atKeyword("AFTER")) {
             keyword("AFTER")
             after = Some(positiveInt("AFTER sample count"))
-            if (atKeyword("samples")) keyword("samples")
+            if (atKeyword("samples") || atKeyword("SAMPLES")) pos += 1
           }
         }
         TrafficSplitSpec(models.result(), endpoint, splits.result(),

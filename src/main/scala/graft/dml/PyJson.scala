@@ -12,6 +12,10 @@ object PyJson {
 
   def dumps(v: Value): String = v match {
     case VInt(i)   => i.toString
+    // json.dumps spells non-finite floats NaN/Infinity (repr() says
+    // nan/inf — that casing belongs to pyStr contexts, not JSON)
+    case VFloat(f) if f.isNaN      => "NaN"
+    case VFloat(f) if f.isInfinity => if (f > 0) "Infinity" else "-Infinity"
     case VFloat(f) => Value.pyFloatRepr(f)
     case VStr(s)   => dumpString(s)
     case VList(items) => items.map(dumps).mkString("[", ", ", "]")

@@ -192,6 +192,13 @@ object SqlCompiler {
         s.action.map(a => s"execute := ${PgSql.stringLiteral(a)}")
       s"SELECT ml_subscribe(${args.mkString(", ")})"
     case s: TransformerSpec =>
+      // same screen the runtime path (FeatureTransformers.create) applies:
+      // terminators and comments as well as DDL/DML keywords, so compile
+      // and run agree on what is valid
+      if (s.select.contains(";") || s.select.contains("--") ||
+          s.select.contains("/*"))
+        throw new IllegalArgumentException(
+          "feature transformer must not contain statement terminators or comments")
       SourceValidator.validateKeywordsOnly(s.select)
       s"CREATE VIEW ${PgSql.ident(s.name)} AS ${s.select}"
     case s: EnsembleSpec =>

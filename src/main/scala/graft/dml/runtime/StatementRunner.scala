@@ -100,11 +100,13 @@ final class StatementRunner(
         Some(spark.table(t.name)))
 
     case e: EnsembleSpec =>
-      ensembles(e.name) = e
+      // validate BEFORE registering, so a failed VALIDATE ON never leaves
+      // a half-registered ensemble behind
       val validated = e.validateOn.map { tbl =>
         val models = e.models.map { case (m, w) => registry.load(m) -> w }
         Agents.weightedEnsemble(models, spark.table(tbl))
       }
+      ensembles(e.name) = e
       RunResult("ensemble",
         s"ensemble '${e.name}' (${e.models.size} models, ${e.method})",
         validated)
@@ -133,13 +135,16 @@ final class StatementRunner(
   /** Registered event rules as a RuleEngine over an events batch; fires
     * matching actions (named handler, else a `rule_fired` event). */
   def dispatch(events: DataFrame): Map[String, Long] = {
-    val rules = whenRules.toSeq.collect {
-      case w if w.trigger.startsWith("event:") =>
-        WhenRule(
-          name = w.action,
-          eventTypePattern = w.trigger.stripPrefix("event:"),
-          condition = w.condition.map(conditionColumn).getOrElse(lit(true)),
-          action = actionFor(w.action))
+    val eventRules = whenRules.toSeq.filter(_.trigger.startsWith("event:"))
+    val rules = eventRules.zipWithIndex.map { case (w, i) =>
+      // rule names must be unique or dispatchBatch's result map collapses
+      // same-action rules and under-reports match counts
+      val dup = eventRules.indexWhere(_.action == w.action) != i
+      WhenRule(
+        name = if (dup) s"${w.action}#$i" else w.action,
+        eventTypePattern = w.trigger.stripPrefix("event:"),
+        condition = w.condition.map(conditionColumn).getOrElse(lit(true)),
+        action = actionFor(w.action))
     }
     new RuleEngine(rules).dispatchBatch(events)
   }
@@ -160,10 +165,14 @@ final class StatementRunner(
       : Map[String, Double] = {
     val m = monitors.find(_.model == model).getOrElse(
       throw new IllegalArgumentException(s"no monitor registered for '$model'"))
+    // the drift agent alerts when a feature's drift score EXCEEDS the
+    // threshold; only conditions of that shape are honored — anything else
+    // (e.g. `accuracy < 0.8`) would be silently reinterpreted, so reject it
     val threshold = m.alertWhen
-      .flatMap(a => StopCondition.parse(a) match {
-        case StopCondition.Cmp(_, _, v) => Some(v)
-        case _                          => None
+      .map(a => StopCondition.parse(a) match {
+        case StopCondition.Cmp(_, op, v) if op == ">" || op == ">=" => v
+        case other => throw new IllegalArgumentException(
+          s"drift monitors support ALERT WHEN <metric> > threshold; got '$a'")
       })
       .getOrElse(0.5)
     Agents.driftAgent(bus, reference, current,

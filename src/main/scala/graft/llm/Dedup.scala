@@ -144,7 +144,10 @@ object Dedup {
     * (CAST('0x'||hex AS BIGINT)). */
   def simhash(docs: DataFrame): DataFrame = {
     val tokens = docs
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("_t"))
+      // coalesce keeps NULL-text docs in the output (explode would drop
+      // the row entirely, silently excluding the doc from dedup)
+      .select(col("doc_id"),
+        explode(split(coalesce(col("text"), lit("")), " ")).as("_t"))
       .withColumn("_h", md5(col("_t")))
       .withColumn("_w1", expr("CAST(conv(substring(_h, 1, 8), 16, 10) AS BIGINT)"))
       .withColumn("_w2", expr("CAST(conv(substring(_h, 9, 8), 16, 10) AS BIGINT)"))

@@ -67,10 +67,13 @@ object Similarity {
 
   /** Embedding dimension discovered from the first row — schema metadata a
     * real vector store would carry; a one-row LocalLimit job, never a full
-    * scan. The per-row guard in lshSignature fails loudly on any row whose
-    * width disagrees (silent truncation would misbucket vectors). */
+    * scan. An empty corpus yields dim 0 (every downstream pipeline then
+    * produces zero rows rather than crashing). The per-row guard in
+    * lshSignature fails loudly on any row whose width disagrees (silent
+    * truncation would misbucket vectors). */
   def embeddingDim(embeddings: DataFrame): Int =
-    embeddings.select(size(col("embedding"))).head.getInt(0)
+    embeddings.select(size(col("embedding"))).limit(1).collect()
+      .headOption.map(_.getInt(0)).getOrElse(0)
 
   /** Hyperplane-LSH signature: bit p = sign(emb ⋅ plane_p). Each plane is a
     * ±1 literal vector sized to the actual embedding dim — keeping the plan

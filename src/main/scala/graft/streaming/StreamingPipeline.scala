@@ -68,7 +68,10 @@ object StreamingPipeline {
                   closed += close(uid, s)
                   open = Some(SessState(t, t, 1, e.value))
                 case Some(s) =>
-                  open = Some(s.copy(last = math.max(s.last, t),
+                  // a late-but-within-watermark event can precede the open
+                  // session's start: extend both edges
+                  open = Some(s.copy(start = math.min(s.start, t),
+                    last = math.max(s.last, t),
                     n = s.n + 1, sum = s.sum + e.value))
                 case None =>
                   open = Some(SessState(t, t, 1, e.value))

@@ -139,6 +139,29 @@ class ExtendedStatementsSpec extends AnyFunSuite {
     assert(m.action == "DEPLOY TO production")
   }
 
+  test("AFTER n SAMPLES accepts both keyword casings") {
+    val s = DmlParser.parse(
+      "DEPLOY MODELS (a, b) TO ENDPOINT e WITH TRAFFIC SPLIT (50%, 50%) " +
+        "AUTO PROMOTE best AFTER 1000 SAMPLES").asInstanceOf[TrafficSplitSpec]
+    assert(s.promoteAfter.contains(1000L))
+  }
+
+  test("transformer compile path rejects comments like the runtime path") {
+    val t = DmlParser.parse(
+      "CREATE FEATURE TRANSFORMER t AS SELECT a FROM orders WHERE a > 1 -- x")
+      .asInstanceOf[TransformerSpec]
+    val e = intercept[IllegalArgumentException](SqlCompiler.compileSql(t))
+    assert(e.getMessage.contains("terminators or comments"))
+  }
+
+  test("json.dumps spells non-finite floats NaN/Infinity") {
+    assert(PyJson.dumps(Value.VFloat(Double.NaN)) == "NaN")
+    assert(PyJson.dumps(Value.VFloat(Double.PositiveInfinity)) == "Infinity")
+    assert(PyJson.dumps(Value.VFloat(Double.NegativeInfinity)) == "-Infinity")
+    // repr()-style contexts keep the lowercase spellings
+    assert(Value.pyFloatRepr(Double.NaN) == "nan")
+  }
+
   test("unknown statement keyword still raises ParseException") {
     assertThrows[ParseException] {
       DmlParser.parse("FROBNICATE MODEL x")

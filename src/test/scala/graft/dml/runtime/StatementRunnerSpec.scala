@@ -143,6 +143,32 @@ class StatementRunnerSpec extends AnyFunSuite {
     assert(row.getAs[Long]("promote_after") == 500L)
   }
 
+  test("two WHEN rules sharing an action are both counted") {
+    val (runner, _, bus) = freshRunner()
+    runner.run(DmlParser.parse(
+      "PUBLISH EVENT 'a.x' WITH PAYLOAD {k: 1}"))
+    runner.run(DmlParser.parse(
+      "PUBLISH EVENT 'b.y' WITH PAYLOAD {k: 2}"))
+    runner.run(DmlParser.parse("WHEN EVENT 'a.%' THEN notify"))
+    runner.run(DmlParser.parse("WHEN EVENT 'b.%' THEN notify"))
+    val fired = runner.dispatch(bus.subscribe("%"))
+    assert(fired.values.sum == 2, s"expected both rules counted: $fired")
+    assert(fired.size == 2)
+  }
+
+  test("non-exceedance ALERT WHEN conditions are rejected loudly") {
+    val (runner, _, _) = freshRunner()
+    runner.run(DmlParser.parse(trainDml))
+    runner.run(DmlParser.parse(
+      "MONITOR MODEL runner_clf FOR drift_detection " +
+        "ON features (o_totalprice) ALERT WHEN accuracy < 0.8"))
+    val e = intercept[IllegalArgumentException] {
+      runner.runMonitor("runner_clf",
+        spark.table("orders"), spark.table("orders"))
+    }
+    assert(e.getMessage.contains("ALERT WHEN"))
+  }
+
   test("feature transformer registers a queryable view") {
     val (runner, _, _) = freshRunner()
     val r = runner.run(DmlParser.parse(

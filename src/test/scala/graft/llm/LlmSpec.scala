@@ -88,6 +88,13 @@ class LlmSpec extends AnyFunSuite {
       .select(Dedup.hamming(col("x.simhash_bits"), col("y.simhash_bits")))
       .collect()(0).getInt(0)
     assert(h == 0)
+    // a NULL-text doc must keep its row (not silently vanish from dedup)
+    import s.implicits._
+    val withNull = d.unionAll(
+      Seq((9999L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val nullSig = Dedup.simhash(withNull)
+      .filter(col("doc_id") === 9999L).collect()
+    assert(nullSig.length == 1 && nullSig(0).getString(1).length == 64)
   }
 
   test("brute-force ANN: k rows per query, valid scores, deterministic") {
