@@ -1,0 +1,78 @@
+// Scaling evidence for the bucketed dedup/similarity paths: runs each
+// operator at 1x and 4x the sf0.1 corpus (union with id-shifted copies)
+// and prints wall time plus the candidate-pair count. Near-linear growth
+// in both confirms the band/bucket joins never degenerate toward all
+// pairs. Run: sbt "runMain graft.tools.ScaleProbe"
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    graft.Tables.register(spark, dir)
+
+    // Perturbed copies: each extra copy is DISTINCT content (suffixed
+    // text / affine-shifted vectors), so growth measures organic corpus
+    // expansion — identical copies would be true duplicates and their
+    // pair count is rightly quadratic in the copy factor.
+    def docCopies(df: DataFrame, n: Int): DataFrame =
+      (0 until n).map { i =>
+        if (i == 0) df
+        else {
+          // rotate the alphabet per copy: each copy is a disjoint
+          // sub-corpus with the original's internal statistics (an
+          // appended suffix or filler token would leave copies
+          // near-duplicates, which minhash correctly flags)
+          val abc = "abcdefghijklmnopqrstuvwxyz"
+          val rot = abc.drop(i) + abc.take(i)
+          df.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+            translate(col("text"), abc, rot).as("text"))
+        }
+      }.reduce(_ unionAll _)
+
+    def embCopies(df: DataFrame, n: Int): DataFrame =
+      (0 until n).map { i =>
+        if (i == 0) df
+        else df.select((col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+          // sign-flip a copy-dependent third of the dims: cosine vs the
+          // original drops to ~1/3, well below any near-dup threshold
+          expr(s"transform(embedding, (x, j) -> CAST(x * CASE WHEN " +
+            s"(j + $i) % 3 = 0 THEN -1.0 ELSE 1.0 END AS FLOAT))")
+            .as("embedding"))
+      }.reduce(_ unionAll _)
+
+    def time[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val a = f
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+
+    val docs = spark.table("documents").select("doc_id", "text").cache()
+    val embs = spark.table("embeddings").select("vec_id", "embedding").cache()
+    docs.count(); embs.count()
+
+    Seq(1, 4).foreach { mult =>
+      val d = docCopies(docs, mult)
+      val e = embCopies(embs, mult)
+      val (nPairs, tPairs) = time(
+        graft.llm.Dedup.minhashCandidates(d).count())
+      val (nDup, tDup) = time(
+        graft.llm.Similarity.cosineNearDup(e, threshold = 0.95).count())
+      val (nTop, tTop) = time(graft.plans.TopK.topKPerKey(
+        spark.table("lineitem").select("l_orderkey", "l_suppkey",
+          "l_extendedprice"),
+        Seq("l_suppkey"), Seq(col("l_extendedprice"),
+          negate(col("l_orderkey"))), k = 5).count())
+      println(f"[scale ${mult}x] minhash_pairs: $nPairs%d cand in " +
+        f"$tPairs%.1fs | embcos_pairs: $nDup%d in $tDup%.1fs | " +
+        f"topk: $nTop%d rows in $tTop%.1fs")
+    }
+    spark.stop()
+  }
+}
