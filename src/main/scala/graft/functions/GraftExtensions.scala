@@ -36,6 +36,18 @@ object GraftExtensions {
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
       (args: Seq[Expression]) => {
         arity("vec_dot", 2, args); VecDot(args(0), args(1))
+      }),
+    // cosine_sim composes VecDot — one registry entry, no new class;
+    // codegen's common-subexpression elimination shares the repeated
+    // argument evaluations
+    (FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[VecDot].getName, "cosine_sim"),
+      (args: Seq[Expression]) => {
+        arity("cosine_sim", 2, args)
+        import org.apache.spark.sql.catalyst.expressions.{Divide, Multiply, Sqrt}
+        val (a, b) = (args(0), args(1))
+        Divide(VecDot(a, b),
+          Multiply(Sqrt(VecDot(a, a)), Sqrt(VecDot(b, b))))
       }))
 
   /** Imperative registration into an already-running session (tests,

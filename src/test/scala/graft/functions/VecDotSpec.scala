@@ -74,6 +74,15 @@ class VecDotSpec extends AnyFunSuite {
     val err = intercept[Exception](
       s.sql("SELECT vec_dot(array(1.0D))").head())
     assert(err.getMessage.contains("vec_dot expects 2 arguments"))
+    // cosine_sim composes to the same values as the Column-API cosine
+    val viaSqlCos = s.sql(
+      """SELECT vec_id, cosine_sim(embedding, embedding) AS c
+        |FROM embeddings ORDER BY vec_id LIMIT 10""".stripMargin)
+      .collect().map(_.getDouble(1))
+    assert(viaSqlCos.forall(c => math.abs(c - 1.0) < 1e-9))
+    val pair = s.sql(
+      "SELECT cosine_sim(array(1.0D, 0.0D), array(0.0D, 1.0D)) AS c").head()
+    assert(pair.getDouble(0) == 0.0)
   }
 
   test("the SparkSessionExtensions wiring injects without error") {
