@@ -89,6 +89,18 @@ object SourceValidator {
       throw new IllegalArgumentException(
         "Training data source contains disallowed SQL keywords")
 
+  /** The terminator/comment screen for feature-transformer SELECTs — ONE
+    * definition shared by the compile path (SqlCompiler) and the runtime
+    * path (FeatureTransformers.create), so the two can never disagree on
+    * what is valid. */
+  def validateTransformerSelect(text: String): Unit = {
+    if (text.contains(";") || text.contains("--") ||
+        text.contains("/*") || text.contains("*/"))
+      throw new IllegalArgumentException(
+        "feature transformer must not contain statement terminators or comments")
+    validateKeywordsOnly(text)
+  }
+
   /** parser.py:619-630 — compile-time heuristic for a hand-built spec whose
     * sourceIsIdentifier flag is false but whose source is a lone token. */
   def looksLikeSingleIdentifier(clause: String): Boolean =
@@ -192,14 +204,7 @@ object SqlCompiler {
         s.action.map(a => s"execute := ${PgSql.stringLiteral(a)}")
       s"SELECT ml_subscribe(${args.mkString(", ")})"
     case s: TransformerSpec =>
-      // same screen the runtime path (FeatureTransformers.create) applies:
-      // terminators and comments as well as DDL/DML keywords, so compile
-      // and run agree on what is valid
-      if (s.select.contains(";") || s.select.contains("--") ||
-          s.select.contains("/*"))
-        throw new IllegalArgumentException(
-          "feature transformer must not contain statement terminators or comments")
-      SourceValidator.validateKeywordsOnly(s.select)
+      SourceValidator.validateTransformerSelect(s.select)
       s"CREATE VIEW ${PgSql.ident(s.name)} AS ${s.select}"
     case s: EnsembleSpec =>
       val args = List(

@@ -19,12 +19,7 @@ object FeatureTransformers {
     if (!t.toUpperCase.startsWith("SELECT"))
       throw new IllegalArgumentException(
         s"feature transformer '$name' must be a SELECT query")
-    // reuse the guard's terminator/comment/keyword screen by validating the
-    // text after the leading SELECT keyword as an opaque fragment
-    if (t.contains(";") || t.contains("--") || t.contains("/*"))
-      throw new IllegalArgumentException(
-        "feature transformer must not contain statement terminators or comments")
-    SourceValidator.validateKeywordsOnly(t)
+    SourceValidator.validateTransformerSelect(t)
     spark.sql(t).createOrReplaceTempView(name)
   }
 

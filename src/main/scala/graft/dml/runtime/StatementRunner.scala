@@ -170,9 +170,11 @@ final class StatementRunner(
     // (e.g. `accuracy < 0.8`) would be silently reinterpreted, so reject it
     val threshold = m.alertWhen
       .map(a => StopCondition.parse(a) match {
-        case StopCondition.Cmp(_, op, v) if op == ">" || op == ">=" => v
-        case other => throw new IllegalArgumentException(
-          s"drift monitors support ALERT WHEN <metric> > threshold; got '$a'")
+        case StopCondition.Cmp(metric, op, v)
+            if (op == ">" || op == ">=") &&
+              Set("drift_score", "drift")(metric.toLowerCase) => v
+        case _ => throw new IllegalArgumentException(
+          s"drift monitors support ALERT WHEN drift_score > threshold; got '$a'")
       })
       .getOrElse(0.5)
     Agents.driftAgent(bus, reference, current,

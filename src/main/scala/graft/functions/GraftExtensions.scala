@@ -41,7 +41,9 @@ object GraftExtensions {
     // codegen's common-subexpression elimination shares the repeated
     // argument evaluations
     (FunctionIdentifier("cosine_sim"),
-      new ExpressionInfo(classOf[VecDot].getName, "cosine_sim"),
+      new ExpressionInfo(classOf[VecDot].getName, null, "cosine_sim",
+        "cosine_sim(a, b) - cosine similarity of two numeric arrays " +
+          "(vec_dot(a,b) / (|a| |b|))", ""),
       (args: Seq[Expression]) => {
         arity("cosine_sim", 2, args)
         import org.apache.spark.sql.catalyst.expressions.{Divide, Multiply, Sqrt}

@@ -23,13 +23,17 @@ object Dedup {
     * Documents with fewer than k tokens get their whole text as the single
     * shingle. */
   private def shingleExpr(k: Int): String =
-    s"""CASE WHEN size(_w) < $k THEN array(text)
+    s"""CASE WHEN size(_w) < $k THEN array(_t)
        |ELSE transform(sequence(1, size(_w) - ${k - 1}),
        |  i -> concat_ws(' ', ${(0 until k).map(j => s"element_at(_w, i + $j)").mkString(", ")}))
        |END""".stripMargin
 
   private def withShingleCol(docs: DataFrame, k: Int): DataFrame =
-    docs.withColumn("_w", split(col("text"), " "))
+    // coalesce keeps NULL-text docs in every shingle-based method (split
+    // of NULL would null the signature and silently drop the doc from
+    // candidates), mirroring the simhash path
+    docs.withColumn("_t", coalesce(col("text"), lit("")))
+      .withColumn("_w", split(col("_t"), " "))
       .withColumn("_shingles", expr(shingleExpr(k)))
 
   /** k-word shingles → `numHashes` md5-based minhash signatures (the

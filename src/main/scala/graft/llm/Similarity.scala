@@ -72,7 +72,8 @@ object Similarity {
     * lshSignature fails loudly on any row whose width disagrees (silent
     * truncation would misbucket vectors). */
   def embeddingDim(embeddings: DataFrame): Int =
-    embeddings.select(size(col("embedding"))).limit(1).collect()
+    embeddings.filter(col("embedding").isNotNull)
+      .select(size(col("embedding"))).limit(1).collect()
       .headOption.map(_.getInt(0)).getOrElse(0)
 
   /** Hyperplane-LSH signature: bit p = sign(emb ⋅ plane_p). Each plane is a

@@ -64,12 +64,17 @@ object StreamingPipeline {
             evs.foreach { e =>
               val t = e.ts.getTime
               open match {
+                case Some(s) if t < s.start - gapMs =>
+                  // a late event more than a gap BEFORE the open session is
+                  // its own earlier session — emit it closed (any event that
+                  // could have extended it would itself be late by now)
+                  closed += close(uid, SessState(t, t, 1, e.value))
                 case Some(s) if t - s.last > gapMs =>
                   closed += close(uid, s)
                   open = Some(SessState(t, t, 1, e.value))
                 case Some(s) =>
-                  // a late-but-within-watermark event can precede the open
-                  // session's start: extend both edges
+                  // a late-but-within-gap-of-start event extends backwards;
+                  // anything else extends forwards
                   open = Some(s.copy(start = math.min(s.start, t),
                     last = math.max(s.last, t),
                     n = s.n + 1, sum = s.sum + e.value))

@@ -64,10 +64,14 @@ object ScaleProbe {
         graft.llm.Dedup.minhashCandidates(d).count())
       val (nDup, tDup) = time(
         graft.llm.Similarity.cosineNearDup(e, threshold = 0.95).count())
+      // scale the fact table too (shifted supplier keys → mult× keys):
+      // output must stay exactly k rows per key as the input grows
+      val li = spark.table("lineitem")
+        .select("l_orderkey", "l_suppkey", "l_extendedprice")
+      val liScaled = (0 until mult).map(i => li.withColumn("l_suppkey",
+        col("l_suppkey") + lit(i * 10000000L))).reduce(_ unionAll _)
       val (nTop, tTop) = time(graft.plans.TopK.topKPerKey(
-        spark.table("lineitem").select("l_orderkey", "l_suppkey",
-          "l_extendedprice"),
-        Seq("l_suppkey"), Seq(col("l_extendedprice"),
+        liScaled, Seq("l_suppkey"), Seq(col("l_extendedprice"),
           negate(col("l_orderkey"))), k = 5).count())
       println(f"[scale ${mult}x] minhash_pairs: $nPairs%d cand in " +
         f"$tPairs%.1fs | embcos_pairs: $nDup%d in $tDup%.1fs | " +

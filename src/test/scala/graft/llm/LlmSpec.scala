@@ -95,6 +95,11 @@ class LlmSpec extends AnyFunSuite {
     val nullSig = Dedup.simhash(withNull)
       .filter(col("doc_id") === 9999L).collect()
     assert(nullSig.length == 1 && nullSig(0).getString(1).length == 64)
+    // same guarantee for the shingle-based family: NULL-text docs keep a
+    // minhash signature row instead of nulling out of the candidate set
+    val nullMinhash = Dedup.minhashSignatures(withNull)
+      .filter(col("doc_id") === 9999L).collect()
+    assert(nullMinhash.length == 1 && !nullMinhash(0).isNullAt(1))
   }
 
   test("brute-force ANN: k rows per query, valid scores, deterministic") {
