@@ -46,6 +46,55 @@ object Multimodal {
     * Here the extracted features are deterministic functions of the bytes
     * so tests and the oracle can pin the plumbing.
     */
+  private val resizeSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("src_bytes", IntegerType),
+    StructField("thumb_dim", IntegerType),
+    StructField("thumb", BinaryType)))
+
+  /** Partition-wise "resize" pass: STUB — production swaps the byte
+    * truncation for a codec resize; the batch shape (one row in → one
+    * smaller binary out, explicit schema) is the real contract. */
+  def resizeStub(joinedDf: DataFrame, maxDim: Int = 8): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(resizeSchema)
+    joinedDf.select(col("doc_id"), col("media.payload").as("payload"))
+      .mapPartitions { rows: Iterator[Row] =>
+        rows.map { r =>
+          val bytes = r.getAs[Array[Byte]](1)
+          // ---- STUB resize: a real codec downsamples here ----
+          val thumb = bytes.take(maxDim * maxDim)
+          Row(r.getLong(0), bytes.length, maxDim, thumb)
+        }
+      }(enc)
+  }
+
+  private val frameSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("frame_idx", IntegerType),
+    StructField("frame", BinaryType)))
+
+  /** Partition-wise frame sampling: every `every`-th 64-byte "frame"
+    * becomes its own row — the 1-to-N flatMap shape real video sampling
+    * has. STUB: production replaces the fixed-width slicing with a
+    * demuxer. */
+  def frameSampleStub(joinedDf: DataFrame, every: Int = 4): DataFrame = {
+    require(every > 0, "sampling stride must be positive")
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(frameSchema)
+    joinedDf.select(col("doc_id"), col("media.payload").as("payload"))
+      .mapPartitions { rows: Iterator[Row] =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          // ---- STUB demux: fixed 64-byte frames, keep every nth ----
+          bytes.grouped(64).zipWithIndex
+            .filter(_._2 % every == 0)
+            .map { case (frame, idx) => Row(id, idx, frame) }
+        }
+      }(enc)
+  }
+
   def extractFeaturesStub(joinedDf: DataFrame): DataFrame = {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(featureSchema)

@@ -172,4 +172,28 @@ class LlmSpec extends AnyFunSuite {
     assert(f.length == 4)
     assert(f.forall(x => x >= 0f && x <= 1f))
   }
+
+  test("multimodal resize and frame-sample stubs keep the batch contracts") {
+    val s = spark
+    val joined = Multimodal.joined(s.table("documents"), s.table("embeddings"))
+
+    val thumbs = Multimodal.resizeStub(joined, maxDim = 8)
+    assert(thumbs.count() == joined.count()) // 1-to-1
+    val t = thumbs.head()
+    assert(t.getAs[Array[Byte]]("thumb").length <= 64)
+    assert(t.getInt(1) >= t.getAs[Array[Byte]]("thumb").length)
+
+    val frames = Multimodal.frameSampleStub(joined, every = 4)
+    // 1-to-N: every doc with >= 1 byte yields its frame 0
+    assert(frames.filter(col("frame_idx") === 0).count() == joined.count())
+    // sampled indices are multiples of the stride
+    assert(frames.filter(col("frame_idx") % 4 =!= 0).count() == 0)
+    // frame count per doc matches ceil(bytes/64/4) for the fixture docs
+    val perDoc = frames.groupBy("doc_id").count()
+      .join(joined.select(col("doc_id"), col("media.byte_len").as("bl")),
+        Seq("doc_id"))
+    val bad = perDoc.filter(
+      col("count") =!= ceil(ceil(col("bl") / 64.0) / 4.0).cast("long"))
+    assert(bad.count() == 0)
+  }
 }
