@@ -143,6 +143,16 @@ object LlmQueries {
       Multimodal.extractFeaturesStub(
         Multimodal.joined(docs(s, dir), embs(s, dir)))
         .select("doc_id", "byte_len", "first_byte", "n_frames")
+    },
+
+    // frame-sample stub (1-to-N demux shape): per-doc sampled-frame counts
+    // are pure byte arithmetic, so the flatMap path carries a real oracle
+    "q_multimodal_frames" -> { (s, dir) =>
+      Multimodal.frameSampleStub(
+          Multimodal.joined(docs(s, dir), embs(s, dir)), every = 4)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_sampled"),
+          max(col("frame_idx")).as("last_frame_idx"))
     })
 
   private val stopwordList = "'the', 'a', 'of', 'and', 'to', 'in', 'is'"
@@ -325,7 +335,17 @@ object LlmQueries {
         |  CAST(CASE WHEN length(text) > 0
         |    THEN ascii(substring(text, 1, 1)) ELSE 0 END AS INT) AS first_byte,
         |  CAST(octet_length(encode(text)) // 64 AS INT) AS n_frames
-        |FROM documents JOIN embeddings ON doc_id = vec_id""".stripMargin)
+        |FROM documents JOIN embeddings ON doc_id = vec_id""".stripMargin,
+
+    "q_multimodal_frames" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    (octet_length(encode(text)) + 63) // 64 AS frames
+        |  FROM documents JOIN embeddings ON doc_id = vec_id)
+        |SELECT doc_id,
+        |  CAST((frames + 3) // 4 AS BIGINT) AS n_sampled,
+        |  CAST(4 * ((frames - 1) // 4) AS INT) AS last_frame_idx
+        |FROM f ORDER BY doc_id""".stripMargin)
 
   def verifySort: Map[String, Seq[String]] = Map(
     "q_dedup_minhash_pairs" -> Seq("doc_a", "doc_b"),
@@ -338,5 +358,6 @@ object LlmQueries {
     "q_dedup_exact" -> Seq("doc_id"),
     "q_dedup_minhash_sigs" -> Seq("doc_id"),
     "q_multimodal_join" -> Seq("doc_id"),
-    "q_multimodal_features" -> Seq("doc_id"))
+    "q_multimodal_features" -> Seq("doc_id"),
+    "q_multimodal_frames" -> Seq("doc_id"))
 }
