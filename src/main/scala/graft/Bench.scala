@@ -70,15 +70,23 @@ object Bench {
     // 33s and 99s in adjacent runs), and min-of-k is the standard way to
     // strip scheduler noise from a throughput measurement.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      // min over SUCCESSFUL runs only — a fast failure must not shadow a
+      // valid measurement; a query that never succeeds reports its
+      // (obviously wrong) failure time rather than disappearing
+      val attempts = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        }
-        (System.nanoTime() - t0) / 1e9
+        val ok =
+          try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            true
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            false
+          }
+        (ok, (System.nanoTime() - t0) / 1e9)
       }
-      name -> times.min
+      val good = attempts.collect { case (true, t) => t }
+      name -> (if (good.nonEmpty) good.min else attempts.map(_._2).min)
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -52,22 +52,32 @@ object Multimodal {
     StructField("thumb_dim", IntegerType),
     StructField("thumb", BinaryType)))
 
-  /** Partition-wise "resize" pass: STUB — production swaps the byte
-    * truncation for a codec resize; the batch shape (one row in → one
-    * smaller binary out, explicit schema) is the real contract. */
-  def resizeStub(joinedDf: DataFrame, maxDim: Int = 8): DataFrame = {
+  /** Shared scaffold for the partition-wise decode stubs: project
+    * (doc_id, payload), run the per-doc function over each partition with
+    * an explicit output schema. NULL payloads (NULL-text docs) arrive as
+    * empty byte arrays — the same first-class treatment Dedup gives them. */
+  private def payloadPass(joinedDf: DataFrame, schema: StructType)(
+      perDoc: (Long, Array[Byte]) => Iterator[Row]): DataFrame = {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
-      .encoderFor(resizeSchema)
+      .encoderFor(schema)
     joinedDf.select(col("doc_id"), col("media.payload").as("payload"))
       .mapPartitions { rows: Iterator[Row] =>
-        rows.map { r =>
-          val bytes = r.getAs[Array[Byte]](1)
-          // ---- STUB resize: a real codec downsamples here ----
-          val thumb = bytes.take(maxDim * maxDim)
-          Row(r.getLong(0), bytes.length, maxDim, thumb)
+        rows.flatMap { r =>
+          val bytes = Option(r.getAs[Array[Byte]](1))
+            .getOrElse(Array.emptyByteArray)
+          perDoc(r.getLong(0), bytes)
         }
       }(enc)
   }
+
+  /** Partition-wise "resize" pass: STUB — production swaps the byte
+    * truncation for a codec resize; the batch shape (one row in → one
+    * smaller binary out, explicit schema) is the real contract. */
+  def resizeStub(joinedDf: DataFrame, maxDim: Int = 8): DataFrame =
+    payloadPass(joinedDf, resizeSchema) { (id, bytes) =>
+      // ---- STUB resize: a real codec downsamples here ----
+      Iterator.single(Row(id, bytes.length, maxDim, bytes.take(maxDim * maxDim)))
+    }
 
   private val frameSchema = StructType(Seq(
     StructField("doc_id", LongType),
@@ -80,36 +90,21 @@ object Multimodal {
     * demuxer. */
   def frameSampleStub(joinedDf: DataFrame, every: Int = 4): DataFrame = {
     require(every > 0, "sampling stride must be positive")
-    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
-      .encoderFor(frameSchema)
-    joinedDf.select(col("doc_id"), col("media.payload").as("payload"))
-      .mapPartitions { rows: Iterator[Row] =>
-        rows.flatMap { r =>
-          val id = r.getLong(0)
-          val bytes = r.getAs[Array[Byte]](1)
-          // ---- STUB demux: fixed 64-byte frames, keep every nth ----
-          bytes.grouped(64).zipWithIndex
-            .filter(_._2 % every == 0)
-            .map { case (frame, idx) => Row(id, idx, frame) }
-        }
-      }(enc)
+    payloadPass(joinedDf, frameSchema) { (id, bytes) =>
+      // ---- STUB demux: fixed 64-byte frames, keep every nth ----
+      bytes.grouped(64).zipWithIndex
+        .filter(_._2 % every == 0)
+        .map { case (frame, idx) => Row(id, idx, frame) }
+    }
   }
 
-  def extractFeaturesStub(joinedDf: DataFrame): DataFrame = {
-    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
-      .encoderFor(featureSchema)
-    joinedDf.select(col("doc_id"), col("media.payload").as("payload"))
-      .mapPartitions { rows: Iterator[Row] =>
-        rows.map { r =>
-          val id = r.getLong(0)
-          val bytes = r.getAs[Array[Byte]](1)
-          // ---- STUB decode: replace with codec calls in production ----
-          val firstByte = if (bytes.nonEmpty) bytes(0) & 0xff else 0
-          val nFrames = bytes.length / 64 // fake 64-byte "frames"
-          val feats = Array.tabulate(4)(i =>
-            if (bytes.length > i) (bytes(i) & 0xff).toFloat / 255f else 0f)
-          Row(id, bytes.length, firstByte, nFrames, feats)
-        }
-      }(enc)
-  }
+  def extractFeaturesStub(joinedDf: DataFrame): DataFrame =
+    payloadPass(joinedDf, featureSchema) { (id, bytes) =>
+      // ---- STUB decode: replace with codec calls in production ----
+      val firstByte = if (bytes.nonEmpty) bytes(0) & 0xff else 0
+      val nFrames = bytes.length / 64 // fake 64-byte "frames"
+      val feats = Array.tabulate(4)(i =>
+        if (bytes.length > i) (bytes(i) & 0xff).toFloat / 255f else 0f)
+      Iterator.single(Row(id, bytes.length, firstByte, nFrames, feats))
+    }
 }

@@ -345,7 +345,9 @@ object LlmQueries {
         |SELECT doc_id,
         |  CAST((frames + 3) // 4 AS BIGINT) AS n_sampled,
         |  CAST(4 * ((frames - 1) // 4) AS INT) AS last_frame_idx
-        |FROM f ORDER BY doc_id""".stripMargin)
+        |FROM f
+        |WHERE frames > 0 -- zero-byte docs emit no frames on the engine side
+        |ORDER BY doc_id""".stripMargin)
 
   def verifySort: Map[String, Seq[String]] = Map(
     "q_dedup_minhash_pairs" -> Seq("doc_a", "doc_b"),

@@ -56,37 +56,31 @@ object StreamingPipeline {
             state.remove()
             out
           } else {
-            // micro-batches are unordered within a group: restore time order
-            // (ts unique per user in the event log contract)
-            val evs = it.toArray.sortBy(_.ts.getTime)
-            val closed = Vector.newBuilder[Session]
-            var open = state.getOption
-            evs.foreach { e =>
-              val t = e.ts.getTime
-              open match {
-                case Some(s) if t < s.start - gapMs =>
-                  // a late event more than a gap BEFORE the open session is
-                  // its own earlier session — emit it closed (any event that
-                  // could have extended it would itself be late by now)
-                  closed += close(uid, SessState(t, t, 1, e.value))
-                case Some(s) if t - s.last > gapMs =>
-                  closed += close(uid, s)
-                  open = Some(SessState(t, t, 1, e.value))
-                case Some(s) =>
-                  // a late-but-within-gap-of-start event extends backwards;
-                  // anything else extends forwards
-                  open = Some(s.copy(start = math.min(s.start, t),
-                    last = math.max(s.last, t),
-                    n = s.n + 1, sum = s.sum + e.value))
-                case None =>
-                  open = Some(SessState(t, t, 1, e.value))
-              }
+            // Classic interval merge over (prior open session + this
+            // batch's events, time-sorted): any two intervals within the
+            // gap fuse, so late in-batch events — including several older
+            // than the open session — land in the right session instead of
+            // fragmenting. Everything but the newest merged session is
+            // emitted closed; cross-BATCH merging of already-emitted
+            // sessions is the one thing this can't undo (emission happens
+            // before the watermark passes — the price of prompt output).
+            val intervals = (state.getOption.toSeq ++
+              it.map(e => SessState(e.ts.getTime, e.ts.getTime, 1, e.value)))
+              .sortBy(s => (s.start, s.last))
+            val merged = intervals.foldLeft(Vector.empty[SessState]) {
+              (acc, cur) =>
+                acc.lastOption match {
+                  case Some(p) if cur.start - p.last <= gapMs =>
+                    acc.init :+ SessState(p.start,
+                      math.max(p.last, cur.last), p.n + cur.n, p.sum + cur.sum)
+                  case _ => acc :+ cur
+                }
             }
-            open.foreach { s =>
+            merged.lastOption.foreach { s =>
               state.update(s)
               state.setTimeoutTimestamp(s.last + gapMs)
             }
-            closed.result().iterator
+            merged.dropRight(1).map(close(uid, _)).iterator
           }
       }
   }
