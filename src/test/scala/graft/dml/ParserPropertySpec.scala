@@ -31,6 +31,29 @@ class ParserPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("property_extended_statement_roundtrip") {
+    // identifiers survive the parse round trip for every extended statement
+    check(Prop.forAll(lowerIdent, lowerIdent, lowerIdent) { (a, b, c) =>
+      val p = DmlParser.parse(
+        s"PREDICT USING MODEL $a FROM $b STORE RESULTS IN $c")
+        .asInstanceOf[PredictSpec]
+      val d = DmlParser.parse(s"DEPLOY MODEL $a TO ENDPOINT $b")
+        .asInstanceOf[DeploySpec]
+      val m = DmlParser.parse(s"MONITOR MODEL $a FOR $b")
+        .asInstanceOf[MonitorSpec]
+      val e = DmlParser.parse(
+        s"EXPLAIN PREDICTION $a USING $b SHOW TOP 3 features")
+        .asInstanceOf[ExplainSpec]
+      val s = DmlParser.parse(s"SUBSCRIBE TO '$a.%' EXECUTE $b")
+        .asInstanceOf[SubscribeSpec]
+      p == PredictSpec(a, b, c) &&
+        d == DeploySpec(a, b) &&
+        m == MonitorSpec(a, b) &&
+        e == ExplainSpec(a, method = Some(b), topK = Some(3L)) &&
+        s == SubscribeSpec(s"$a.%", Some(b))
+    })
+  }
+
   test("property_canonical_feature_roundtrip") {
     // canonical(parse(canonical(e))) is a fixpoint for arithmetic trees
     val leaf: Gen[String] = Gen.oneOf(
