@@ -68,13 +68,20 @@ object Dedup {
 
   /** Banded LSH candidate pairs: signatures split into `bands` bands of
     * rows; docs sharing any band hash become candidates; pairs are scored
-    * by signature agreement (estimated Jaccard). */
+    * by signature agreement (estimated Jaccard).
+    *
+    * `oracleHashes = true` swaps the xxhash64 fast family for the md5 one
+    * (minhashSignatures) — same algorithm, DuckDB-reproducible output, so
+    * the full banded pipeline can be hash-checked against the oracle.
+    * Production runs keep the default fast family (~8× fewer hashes). */
   def minhashCandidates(
       docs: DataFrame, k: Int = 3, numHashes: Int = 8, bands: Int = 4,
-      minEstJaccard: Double = 0.5): DataFrame = {
+      minEstJaccard: Double = 0.5, oracleHashes: Boolean = false): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rows = numHashes / bands
-    val sigs = fastSignatures(docs, k, numHashes)
+    val sigs =
+      if (oracleHashes) minhashSignatures(docs, k, numHashes)
+      else fastSignatures(docs, k, numHashes)
 
     val bandCols = (0 until bands).map { b =>
       val parts = (b * rows until (b + 1) * rows).map(j => col(s"sig_$j"))

@@ -59,7 +59,7 @@ object Similarity {
     * from the parity of the first md5 byte of "d#p" — no RNG state,
     * reproducible on any cluster. Computed driver-side once (the signs are
     * constants) and shipped as array literals, NOT re-hashed per row. */
-  private def planeSign(d: Int, p: Int): Double = {
+  private[graft] def planeSign(d: Int, p: Int): Double = {
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(s"$d#$p".getBytes("UTF-8"))
     if ((digest(0) & 1) == 1) 1.0 else -1.0

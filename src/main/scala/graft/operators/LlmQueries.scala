@@ -45,8 +45,9 @@ object LlmQueries {
     },
 
     // near-dup candidates over the corpus + trimmed-copy variants — the
-    // bucketed band join path; no oracle (approximate operator), ScalaTest
-    // pins planted-pair recall
+    // bucketed band join path. The md5 hash family makes the banded
+    // pipeline DuckDB-reproducible, so this entry is fully hash-checked;
+    // the xxhash64 fast family stays the production path (recall-tested)
     "q_dedup_minhash_pairs" -> { (s, dir) =>
       val d = docs(s, dir)
       val mutated = d.select(
@@ -54,7 +55,8 @@ object LlmQueries {
         expr("substring(text, 1, greatest(length(text) - 12, 1))").as("text"))
       Dedup.minhashCandidates(
         d.select("doc_id", "text").unionAll(mutated),
-        k = 3, numHashes = 8, bands = 4, minEstJaccard = 0.5)
+        k = 3, numHashes = 8, bands = 4, minEstJaccard = 0.5,
+        oracleHashes = true)
     },
 
     "q_ann_cosine_topk" -> { (s, dir) =>
@@ -62,7 +64,9 @@ object LlmQueries {
         .orderBy("query_id", "rank")
     },
 
-    // LSH-bucketed ANN — the 100 TB path; rows-only check + recall test
+    // LSH-bucketed ANN — the 100 TB path. The hyperplanes are md5-parity
+    // constants (Similarity.planeSign), so the whole bucketed pipeline is
+    // deterministic and the oracle below replays it exactly in DuckDB
     "q_ann_lsh_topk" -> { (s, dir) =>
       Similarity.lshTopK(embs(s, dir), annQueryIds, k = 10,
         planes = 12, bands = 4)
@@ -229,6 +233,45 @@ object LlmQueries {
          |SELECT doc_id, $bits AS simhash_bits FROM w""".stripMargin
     },
 
+    // replays the full banded pipeline: md5 minhash family (8 sigs), 4
+    // bands of 2, bucket self-join, est_jaccard = matching components / 8
+    "q_dedup_minhash_pairs" -> {
+      val shingles =
+        """CASE WHEN len(w) < 3 THEN [text]
+          |ELSE list_transform(range(1, len(w) - 1),
+          |  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END""".stripMargin
+      val sigArr = (0 until 8).map(j =>
+        s"list_aggregate(list_transform(s, x -> md5(x || '#$j')), 'min')")
+        .mkString("[", ",\n   ", "]")
+      s"""WITH u AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000 AS doc_id,
+         |    substring(text, 1, greatest(length(text) - 12, 1)) AS text
+         |  FROM documents),
+         |t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM u),
+         |sh AS (SELECT doc_id, $shingles AS s FROM t),
+         |sig AS (SELECT doc_id, $sigArr AS sig FROM sh),
+         |banded AS (
+         |  SELECT doc_id, sig, b AS band_idx,
+         |    sig[2 * b + 1] || '|' || sig[2 * b + 2] AS band_key
+         |  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS b) bb),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM banded a JOIN banded b
+         |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         |   AND a.doc_id < b.doc_id),
+         |scored AS (
+         |  SELECT p.doc_a, p.doc_b,
+         |    CAST(len(list_filter(range(1, 9), i -> sa.sig[i] = sb.sig[i]))
+         |      AS DOUBLE) / 8 AS est_jaccard
+         |  FROM pairs p
+         |  JOIN sig sa ON sa.doc_id = p.doc_a
+         |  JOIN sig sb ON sb.doc_id = p.doc_b)
+         |SELECT doc_a, doc_b, est_jaccard FROM scored
+         |WHERE est_jaccard >= 0.5""".stripMargin
+    },
+
     "q_dedup_ngram_jaccard" ->
       """WITH u AS (
         |  SELECT doc_id, text FROM documents
@@ -291,6 +334,55 @@ object LlmQueries {
         |  FROM s)
         |SELECT query_id, vec_id, cos_sim, rank FROM r WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
+
+    // replays the full LSH pipeline: the 12 hyperplanes are md5-parity ±1
+    // constants (Similarity.planeSign) interpolated as literals, so the
+    // signature bits, band buckets, candidate set, and exact rerank are
+    // all reproduced bit-for-bit by DuckDB
+    "q_ann_lsh_topk" -> {
+      val dim = 64; val planes = 12; val bands = 4; val width = planes / bands
+      val sigBits = (0 until planes).map { p =>
+        val signs = (0 until dim)
+          .map(d => if (graft.llm.Similarity.planeSign(d, p) > 0) "1.0" else "-1.0")
+          .mkString(", ")
+        s"""CASE WHEN list_sum(list_transform(range(1, ${dim + 1}),
+           |    i -> CAST(embedding[i] AS DOUBLE) * ([$signs])[i])) >= 0
+           |  THEN '1' ELSE '0' END""".stripMargin
+      }.mkString(" ||\n ")
+      s"""WITH sig AS (
+         |  SELECT vec_id, $sigBits AS sig FROM embeddings),
+         |banded AS (
+         |  SELECT vec_id, b AS band_idx,
+         |    substring(sig, b * $width + 1, $width) AS band_key
+         |  FROM sig, (SELECT unnest([${(0 until bands).mkString(", ")}]) AS b) bb),
+         |q AS (SELECT vec_id AS query_id, band_idx, band_key FROM banded
+         |      WHERE vec_id IN (0, 1, 2, 3, 4)),
+         |cand AS (
+         |  SELECT DISTINCT q.query_id, c.vec_id
+         |  FROM banded c JOIN q
+         |    ON c.band_idx = q.band_idx AND c.band_key = q.band_key
+         |  WHERE c.vec_id <> q.query_id),
+         |scored AS (
+         |  SELECT cand.query_id, cand.vec_id,
+         |    round(
+         |      list_sum(list_transform(range(1, len(qe.embedding) + 1),
+         |        i -> CAST(qe.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+         |      / (sqrt(list_sum(list_transform(range(1, len(qe.embedding) + 1),
+         |           i -> CAST(qe.embedding[i] AS DOUBLE) * CAST(qe.embedding[i] AS DOUBLE))))
+         |       * sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+         |           i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))))
+         |    , 6) AS cos_sim
+         |  FROM cand
+         |  JOIN embeddings qe ON qe.vec_id = cand.query_id
+         |  JOIN embeddings e ON e.vec_id = cand.vec_id),
+         |r AS (
+         |  SELECT query_id, vec_id, cos_sim,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos_sim DESC, vec_id ASC) AS INT) AS rank
+         |  FROM scored)
+         |SELECT query_id, vec_id, cos_sim, rank FROM r WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin
+    },
 
     "q_corpus_filter" ->
       s"""WITH dd AS (
