@@ -36,19 +36,22 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.queries ++ operators.TrainQueries.queries ++
       operators.ComputeQueries.queries ++ operators.LlmQueries.queries ++
-      operators.EventQueries.queries ++ operators.FunctionQueries.queries
+      operators.EventQueries.queries ++ operators.FunctionQueries.queries ++
+      operators.CurationQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     operators.Relational.oracles ++ operators.TrainQueries.oracles ++
       operators.ComputeQueries.oracles ++ operators.LlmQueries.oracles ++
-      operators.EventQueries.oracles ++ operators.FunctionQueries.oracles
+      operators.EventQueries.oracles ++ operators.FunctionQueries.oracles ++
+      operators.CurationQueries.oracles
 
   /** Row-ordering applied by Verify (not Bench) before dumping results whose
     * catalog plan intentionally carries no global sort. */
   def verifySort: Map[String, Seq[String]] =
     operators.Relational.verifySort ++ operators.TrainQueries.verifySort ++
       operators.ComputeQueries.verifySort ++ operators.LlmQueries.verifySort ++
-      operators.EventQueries.verifySort ++ operators.FunctionQueries.verifySort
+      operators.EventQueries.verifySort ++ operators.FunctionQueries.verifySort ++
+      operators.CurationQueries.verifySort
 }

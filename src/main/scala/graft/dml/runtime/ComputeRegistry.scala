@@ -41,7 +41,57 @@ object ComputeRegistry {
 
   builtins.foreach { case (k, v) => kernels.put(k, v) }
 
+  /** Whole-relation kernels for operators whose semantics need more than a
+    * per-row projection (dedup group assignment crosses rows). Signature:
+    * (relation, input columns, output column) => relation + output column.
+    * This is the SURVEY §2.8 DSL surface for the LLM-pipeline tier:
+    * `COMPUTE dedup FROM table(text) INTO column(dup_group) USING
+    * minhash_dedup`. All of them require a `doc_id` key column. */
+  type TableKernel = (DataFrame, Seq[String], String) => DataFrame
+
+  private val tableKernels = new ConcurrentHashMap[String, TableKernel]()
+
+  private def keyed(df: DataFrame, textCol: String): DataFrame =
+    df.select(col("doc_id"), col(textCol).as("text"))
+
+  private val tableBuiltins: Map[String, TableKernel] = Map(
+    // banded MinHash candidates -> min-label propagation -> group id
+    "minhash_dedup" -> { (df, ins, out) =>
+      val cands = graft.llm.Dedup.minhashCandidates(keyed(df, ins.head))
+      val groups = graft.llm.Curation
+        .dupGroups(df.select("doc_id"), cands)
+        .withColumnRenamed("dup_group", out)
+      df.join(groups, Seq("doc_id"))
+    },
+    // normalized-hash exact dedup -> boolean dup flag
+    "exact_dedup" -> { (df, ins, out) =>
+      val flags = graft.llm.TextOps.exactDedup(keyed(df, ins.head))
+        .select(col("doc_id"), col("is_dup").as(out))
+      df.join(flags, Seq("doc_id"))
+    },
+    // 64-bit SimHash signature (explode + partial-agg; crosses rows)
+    "simhash" -> { (df, ins, out) =>
+      val sigs = graft.llm.Dedup.simhash(keyed(df, ins.head))
+        .select(col("doc_id"), col("simhash_bits").as(out))
+      df.join(sigs, Seq("doc_id"))
+    })
+
+  tableBuiltins.foreach { case (k, v) => tableKernels.put(k, v) }
+
+  // text-analysis tier as plain column kernels (pure projections)
+  kernels.put("quality_score", cols => graft.llm.TextOps.qualityScore(cols.head))
+  kernels.put("lang_guess", cols => graft.llm.TextOps.langGuess(cols.head))
+  kernels.put("token_count", cols => graft.llm.TextOps.tokenCount(cols.head))
+  kernels.put("fingerprint", cols => graft.llm.TextOps.fingerprint(cols.head))
+  kernels.put("pii_scrub", cols =>
+    regexp_replace(
+      regexp_replace(cols.head, graft.llm.Curation.EmailRe, "<EMAIL>"),
+      graft.llm.Curation.PhoneRe, "<PHONE>"))
+
   def register(name: String, kernel: Kernel): Unit = kernels.put(name, kernel)
+
+  def registerTable(name: String, kernel: TableKernel): Unit =
+    tableKernels.put(name, kernel)
 
   def resolve(name: String): Kernel = {
     val k = kernels.get(name)
@@ -54,17 +104,26 @@ object ComputeRegistry {
     val it = kernels.keys()
     var s = Set.empty[String]
     while (it.hasMoreElements) s += it.nextElement()
-    s
+    s ++ {
+      val tt = tableKernels.keys()
+      var ts = Set.empty[String]
+      while (tt.hasMoreElements) ts += tt.nextElement()
+      ts
+    }
   }
 
   /** One-shot application: append `output` (default: job name) computed by
-    * the kernel over the input columns. Pure projection — no shuffle. */
+    * the kernel over the input columns. Column kernels are a pure
+    * projection — no shuffle; table kernels run their own (bucketed)
+    * plans. */
   def apply(df: DataFrame, spec: ComputeSpec): DataFrame = {
-    val kernel = resolve(spec.kernel)
     val inputs = spec.inputs.getOrElse(
       throw new IllegalArgumentException(
         s"compute '${spec.name}' has no input columns (FROM table(...))"))
-    df.withColumn(spec.output.getOrElse(spec.name), kernel(inputs.map(col)))
+    val out = spec.output.getOrElse(spec.name)
+    val tk = tableKernels.get(spec.kernel)
+    if (tk != null) tk(df, inputs, out)
+    else df.withColumn(out, resolve(spec.kernel)(inputs.map(col)))
   }
 
   /** Run a registered compute against a temp view / table by name. */

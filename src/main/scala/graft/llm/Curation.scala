@@ -1,0 +1,167 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Corpus-curation operators a 100 TB training-data pipeline runs after
+  * dedup (SURVEY §2.8 "beyond-reference" tier): benchmark decontamination,
+  * repetition-based quality metrics, PII scrubbing, and duplicate-group
+  * assignment over the MinHash candidate graph.
+  *
+  * Everything is Column algebra (codegen'd, partial-aggregation-friendly);
+  * the only iteration is label propagation in [[dupGroups]], which
+  * materializes per-round state like any Pregel-style computation.
+  */
+object Curation {
+
+  /** Distinct word k-grams per doc as (doc_id, gram_key) rows, gram_key =
+    * md5(gram): constant-width join key (16 bytes vs arbitrary gram text —
+    * the shuffle carries hashes, not prose) that DuckDB reproduces exactly
+    * for the oracle. Docs shorter than k words contribute their whole text
+    * as the single gram, mirroring [[Dedup]]'s shingle convention. */
+  private def gramKeys(docs: DataFrame, k: Int): DataFrame = {
+    val shingles =
+      s"""CASE WHEN size(_w) < $k THEN array(_t)
+         |ELSE transform(sequence(1, size(_w) - ${k - 1}),
+         |  i -> concat_ws(' ', ${(0 until k).map(j => s"element_at(_w, i + $j)").mkString(", ")}))
+         |END""".stripMargin
+    docs.withColumn("_t", coalesce(col("text"), lit("")))
+      .withColumn("_w", split(col("_t"), " "))
+      .select(col("doc_id"),
+        explode(array_distinct(expr(shingles))).as("_g"))
+      .select(col("doc_id"), md5(col("_g")).as("gram_key"))
+  }
+
+  /** Benchmark decontamination: flag training docs sharing any word k-gram
+    * with a held-out benchmark set (the standard guard against test-set
+    * leakage into pretraining data).
+    *
+    * Plan shape: the benchmark gram set is DISTINCT-ed and broadcast —
+    * benchmarks are MB-scale by construction while the train side is the
+    * 100 TB corpus, so the big side never shuffles; contamination is a
+    * broadcast semi-join-shaped aggregation keyed by doc_id. */
+  def decontaminate(train: DataFrame, benchmark: DataFrame, k: Int = 5)
+      : DataFrame = {
+    val benchGrams = gramKeys(benchmark, k).select("gram_key").distinct()
+    val shared = gramKeys(train, k)
+      .join(broadcast(benchGrams), Seq("gram_key"))
+      .groupBy("doc_id")
+      // gramKeys is distinct per doc, so count(*) = distinct shared grams
+      .agg(count(lit(1)).as("n_shared"))
+    train.select("doc_id")
+      .join(shared, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  /** Gopher-style repetition metrics per doc: duplicate-word ratio,
+    * most-frequent-bigram mass fraction, and singleton-word fraction. High
+    * dup ratio / top-bigram mass marks boilerplate and degenerate repeated
+    * text; all three are order-independent aggregates (round(6) so the
+    * oracle compares bitwise).
+    *
+    * Two explode→partial-agg pipelines (words, bigrams) joined on doc_id:
+    * the shuffles carry (doc_id, token) counts, never the text. */
+  def repetitionMetrics(docs: DataFrame): DataFrame = {
+    val base = docs
+      .withColumn("_t", coalesce(col("text"), lit("")))
+      .withColumn("_w", split(col("_t"), " "))
+
+    val words = base
+      .select(col("doc_id"), explode(col("_w")).as("_word"))
+      .groupBy("doc_id", "_word").agg(count(lit(1)).as("_c"))
+      .groupBy("doc_id").agg(
+        sum("_c").as("n_words"),
+        count(lit(1)).as("_n_distinct"),
+        sum(when(col("_c") === 1, 1L).otherwise(0L)).as("_n_single"))
+      .select(col("doc_id"), col("n_words"),
+        round(lit(1.0) - col("_n_distinct") / col("n_words").cast("double"), 6)
+          .as("dup_word_ratio"),
+        round(col("_n_single") / col("n_words").cast("double"), 6)
+          .as("singleton_word_frac"))
+
+    val bigrams = base
+      .select(col("doc_id"), explode(expr(
+        """CASE WHEN size(_w) < 2 THEN array()
+          |ELSE transform(sequence(1, size(_w) - 1),
+          |  i -> concat_ws(' ', element_at(_w, i), element_at(_w, i + 1)))
+          |END""".stripMargin)).as("_bg"))
+      .groupBy("doc_id", "_bg").agg(count(lit(1)).as("_c"))
+      .groupBy("doc_id").agg(
+        round(max("_c") / sum("_c").cast("double"), 6).as("top_bigram_frac"))
+
+    // docs with <2 words have no bigram rows: left join, fraction = 0
+    words.join(bigrams, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"), col("dup_word_ratio"),
+        col("singleton_word_frac"),
+        coalesce(col("top_bigram_frac"), lit(0.0)).as("top_bigram_frac"))
+  }
+
+  /** RE2-compatible patterns (identical semantics in Java regex and DuckDB,
+    * so the scrub is oracle-checkable). Counts are taken on the ORIGINAL
+    * text; emails are replaced first so digit runs inside an address are
+    * never double-scrubbed as phones. */
+  private[graft] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val PhoneRe = "\\+?[0-9][0-9() -]{6,}[0-9]"
+
+  /** PII scrub: redact email addresses and phone-shaped digit runs, keep
+    * per-doc redaction counts for audit. Pure per-row projection — no
+    * shuffle at any scale. */
+  def piiScrub(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    docs.select(col("doc_id"),
+      regexp_replace(regexp_replace(t, EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>").as("scrubbed"),
+      regexp_count(t, lit(EmailRe)).as("n_emails"),
+      regexp_count(t, lit(PhoneRe)).as("n_phones"))
+  }
+
+  /** Duplicate-group assignment: every node takes the minimum doc_id
+    * reachable within `iters` hops of the candidate-pair graph (min-label
+    * propagation, the standard Pregel connected-components kernel). Near-dup
+    * clusters are stars/short chains around an original (diameter ≤ 2-3 in
+    * practice), so a small fixed round count reaches the fixpoint; full CC
+    * at adversarial diameters would raise `iters` to O(log n) with the
+    * large-star/small-star variant.
+    *
+    * Each round is one join + one partial-aggregated min per edge endpoint;
+    * per-round state (and the edge list, used every round) is materialized
+    * with MEMORY_AND_DISK persistence — the iterative exception to the
+    * "never cache" rule, same as GraphX/MLlib iteration.
+    *
+    * @param nodes      one row per doc_id needing a group (singletons keep
+    *                   their own id)
+    * @param candidates (doc_a, doc_b) near-dup pairs, e.g. from
+    *                   [[Dedup.minhashCandidates]] */
+  def dupGroups(nodes: DataFrame, candidates: DataFrame, iters: Int = 3)
+      : DataFrame = {
+    // persist the PAIRS, not the edge union: edges reference candidates
+    // twice (both directions), so caching one pair row per candidate halves
+    // the expensive band-join executions and the cache footprint
+    val cached = candidates.select("doc_a", "doc_b")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val edges = cached.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionAll(cached.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    var labels = nodes.select(col("doc_id"), col("doc_id").as("label"))
+    var prev: DataFrame = null
+    for (_ <- 1 to iters) {
+      val nbrMin = edges
+        .join(labels.withColumnRenamed("doc_id", "_sid"), col("src") === col("_sid"))
+        .groupBy(col("dst").as("doc_id")).agg(min("label").as("_nbr"))
+      val next = labels.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("_nbr"), col("label"))).as("label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      // force materialization so the next round reads the cache instead of
+      // stacking (and doubling) lineage — persist alone is lazy
+      next.count()
+      if (prev != null) prev.unpersist(blocking = false)
+      prev = next
+      labels = next
+    }
+    cached.unpersist(blocking = false)
+    labels.select(col("doc_id"), col("label").as("dup_group"))
+  }
+}

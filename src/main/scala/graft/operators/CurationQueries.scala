@@ -1,0 +1,179 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.llm.{Curation, Dedup}
+
+/** Driver-gate entries for the corpus-curation tier (SURVEY §2.8 extension):
+  * benchmark decontamination, repetition/quality metrics, PII scrubbing,
+  * and duplicate-group assignment over the MinHash candidate graph. All
+  * four are fully DuckDB-oracled — the md5 gram keys, RE2-compatible
+  * regexes, and unrolled label-propagation rounds replay exactly.
+  */
+object CurationQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame = {
+    Tables.register(s, dir); s.table("documents")
+  }
+
+  /** Trimmed-copy mutation shared with the dedup entries: near-dup, not
+    * identical, so gram overlap is partial and candidate pairs are real. */
+  private def trimmed(d: DataFrame): DataFrame = d.select(
+    (col("doc_id") + 100000L).as("doc_id"),
+    expr("substring(text, 1, greatest(length(text) - 12, 1))").as("text"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // benchmark = every 10th doc; train = the rest plus trimmed copies of
+    // the benchmark docs (guaranteed contamination with partial overlap)
+    "q_decontaminate" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val bench = d.filter(col("doc_id") % 10 === 0).select("doc_id", "text")
+      val train = d.filter(col("doc_id") % 10 =!= 0).select("doc_id", "text")
+        .unionAll(trimmed(bench))
+      Curation.decontaminate(train, bench, k = 5)
+    },
+
+    "q_quality_repetition" -> { (s, dir) =>
+      Curation.repetitionMetrics(docs(s, dir))
+    },
+
+    // the corpus has no real PII, so deterministic addresses/numbers are
+    // injected into every 7th doc — the scrub and its audit counts are
+    // exercised on non-trivial input and the oracle injects identically
+    "q_pii_scrub" -> { (s, dir) =>
+      val injected = docs(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" contact user"),
+            col("doc_id").cast("string"), lit("@example.com or +1 (555) 010-"),
+            col("doc_id").cast("string")))
+          .otherwise(col("text")).as("text"))
+      Curation.piiScrub(injected)
+    },
+
+    // banded MinHash candidates (md5 family) -> 3 rounds of min-label
+    // propagation; every doc in the doubled corpus gets a dup_group
+    "q_dedup_groups" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val corpus = d.select("doc_id", "text").unionAll(trimmed(d))
+      val cands = Dedup.minhashCandidates(
+        corpus, k = 3, numHashes = 8, bands = 4, minEstJaccard = 0.5,
+        oracleHashes = true)
+      Curation.dupGroups(corpus.select("doc_id"), cands, iters = 3)
+    })
+
+  def oracles: Map[String, String] = Map(
+    "q_decontaminate" -> {
+      // k=5 word grams; md5 gram keys; DISTINCT per doc (list_distinct)
+      val grams =
+        """CASE WHEN len(w) < 5 THEN [coalesce(text, '')]
+          |ELSE list_transform(range(1, len(w) - 3),
+          |  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]) END""".stripMargin
+      s"""WITH bench AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+         |train AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0
+         |  UNION ALL
+         |  SELECT doc_id + 100000 AS doc_id,
+         |    substring(text, 1, greatest(length(text) - 12, 1)) AS text
+         |  FROM bench),
+         |bg AS (
+         |  SELECT DISTINCT md5(g) AS gram_key FROM (
+         |    SELECT unnest(list_distinct($grams)) AS g
+         |    FROM (SELECT doc_id, text, string_split(coalesce(text, ''), ' ') AS w FROM bench))),
+         |tg AS (
+         |  SELECT doc_id, md5(g) AS gram_key FROM (
+         |    SELECT doc_id, unnest(list_distinct($grams)) AS g
+         |    FROM (SELECT doc_id, text, string_split(coalesce(text, ''), ' ') AS w FROM train))),
+         |shared AS (
+         |  SELECT tg.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+         |  FROM tg JOIN bg USING (gram_key) GROUP BY tg.doc_id)
+         |SELECT t.doc_id,
+         |  coalesce(s.n_shared, 0) AS n_shared,
+         |  coalesce(s.n_shared, 0) > 0 AS contaminated
+         |FROM (SELECT doc_id FROM train) t
+         |LEFT JOIN shared s USING (doc_id)""".stripMargin
+    },
+
+    "q_quality_repetition" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w
+        |  FROM documents),
+        |wc AS (
+        |  SELECT doc_id, word, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(w) AS word FROM base)
+        |  GROUP BY doc_id, word),
+        |ws AS (
+        |  SELECT doc_id,
+        |    CAST(sum(c) AS BIGINT) AS n_words,
+        |    round(1.0 - count(*) / CAST(sum(c) AS DOUBLE), 6) AS dup_word_ratio,
+        |    round(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+        |      / CAST(sum(c) AS DOUBLE), 6) AS singleton_word_frac
+        |  FROM wc GROUP BY doc_id),
+        |bgc AS (
+        |  SELECT doc_id, b, count(*) AS c FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(range(1, len(w)),
+        |        i -> w[i] || ' ' || w[i+1])) AS b
+        |    FROM base)
+        |  GROUP BY doc_id, b),
+        |bs AS (
+        |  SELECT doc_id, round(max(c) / CAST(sum(c) AS DOUBLE), 6) AS top_bigram_frac
+        |  FROM bgc GROUP BY doc_id)
+        |SELECT w.doc_id, w.n_words, w.dup_word_ratio, w.singleton_word_frac,
+        |  coalesce(b.top_bigram_frac, CAST(0 AS DOUBLE)) AS top_bigram_frac
+        |FROM ws w LEFT JOIN bs b USING (doc_id)""".stripMargin,
+
+    "q_pii_scrub" -> {
+      val email = Curation.EmailRe
+      val phone = Curation.PhoneRe
+      s"""WITH inj AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 7 = 0
+         |      THEN text || ' contact user' || doc_id ||
+         |           '@example.com or +1 (555) 010-' || doc_id
+         |      ELSE text END AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         |  regexp_replace(regexp_replace(coalesce(text, ''),
+         |    '$email', '<EMAIL>', 'g'), '$phone', '<PHONE>', 'g') AS scrubbed,
+         |  CAST(len(regexp_extract_all(coalesce(text, ''), '$email')) AS INTEGER) AS n_emails,
+         |  CAST(len(regexp_extract_all(coalesce(text, ''), '$phone')) AS INTEGER) AS n_phones
+         |FROM inj""".stripMargin
+    },
+
+    // the shared banded-MinHash CTE block, then 3 unrolled min-label
+    // rounds: label' = least(own, min over in-neighbors) — the exact
+    // iteration Curation.dupGroups runs
+    "q_dedup_groups" -> {
+      def round(n: Int): String = {
+        val p = s"l${n - 1}"
+        s"""l$n AS (
+           |  SELECT l.doc_id,
+           |    least(l.label, coalesce(m.nbr, l.label)) AS label
+           |  FROM $p l LEFT JOIN (
+           |    SELECT e.dst AS doc_id, min(s.label) AS nbr
+           |    FROM e JOIN $p s ON s.doc_id = e.src
+           |    GROUP BY e.dst) m ON m.doc_id = l.doc_id)""".stripMargin
+      }
+      s"""WITH ${LlmQueries.minhashPairsCtes},
+         |fpairs AS (
+         |  SELECT doc_a, doc_b FROM scored WHERE est_jaccard >= 0.5),
+         |e AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM fpairs
+         |  UNION ALL
+         |  SELECT doc_b AS src, doc_a AS dst FROM fpairs),
+         |l0 AS (SELECT doc_id, doc_id AS label FROM u),
+         |${round(1)},
+         |${round(2)},
+         |${round(3)}
+         |SELECT doc_id, label AS dup_group FROM l3""".stripMargin
+    })
+
+  def verifySort: Map[String, Seq[String]] = Map(
+    "q_decontaminate" -> Seq("doc_id"),
+    "q_quality_repetition" -> Seq("doc_id"),
+    "q_pii_scrub" -> Seq("doc_id"),
+    "q_dedup_groups" -> Seq("doc_id"))
+}

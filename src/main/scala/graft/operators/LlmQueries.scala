@@ -30,6 +30,45 @@ object LlmQueries {
 
   private val annQueryIds: Seq[Long] = Seq(0L, 1L, 2L, 3L, 4L)
 
+  /** Shared DuckDB CTE block replaying the banded MinHash pipeline over
+    * the docs + trimmed-copy corpus (md5 hash family — DuckDB-reproducible):
+    * ends at `scored(doc_a, doc_b, est_jaccard)`. Used by the candidate-pair
+    * oracle here and the dup-group oracle in [[CurationQueries]]. */
+  private[operators] val minhashPairsCtes: String = {
+    val shingles =
+      """CASE WHEN len(w) < 3 THEN [text]
+        |ELSE list_transform(range(1, len(w) - 1),
+        |  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END""".stripMargin
+    val sigArr = (0 until 8).map(j =>
+      s"list_aggregate(list_transform(s, x -> md5(x || '#$j')), 'min')")
+      .mkString("[", ",\n   ", "]")
+    s"""u AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 100000 AS doc_id,
+       |    substring(text, 1, greatest(length(text) - 12, 1)) AS text
+       |  FROM documents),
+       |t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM u),
+       |sh AS (SELECT doc_id, $shingles AS s FROM t),
+       |sig AS (SELECT doc_id, $sigArr AS sig FROM sh),
+       |banded AS (
+       |  SELECT doc_id, sig, b AS band_idx,
+       |    sig[2 * b + 1] || '|' || sig[2 * b + 2] AS band_key
+       |  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS b) bb),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       |   AND a.doc_id < b.doc_id),
+       |scored AS (
+       |  SELECT p.doc_a, p.doc_b,
+       |    CAST(len(list_filter(range(1, 9), i -> sa.sig[i] = sb.sig[i]))
+       |      AS DOUBLE) / 8 AS est_jaccard
+       |  FROM pairs p
+       |  JOIN sig sa ON sa.doc_id = p.doc_a
+       |  JOIN sig sb ON sb.doc_id = p.doc_b)""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_stats" -> { (s, dir) => TextOps.stats(docs(s, dir)) },
 
@@ -235,42 +274,10 @@ object LlmQueries {
 
     // replays the full banded pipeline: md5 minhash family (8 sigs), 4
     // bands of 2, bucket self-join, est_jaccard = matching components / 8
-    "q_dedup_minhash_pairs" -> {
-      val shingles =
-        """CASE WHEN len(w) < 3 THEN [text]
-          |ELSE list_transform(range(1, len(w) - 1),
-          |  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END""".stripMargin
-      val sigArr = (0 until 8).map(j =>
-        s"list_aggregate(list_transform(s, x -> md5(x || '#$j')), 'min')")
-        .mkString("[", ",\n   ", "]")
-      s"""WITH u AS (
-         |  SELECT doc_id, text FROM documents
-         |  UNION ALL
-         |  SELECT doc_id + 100000 AS doc_id,
-         |    substring(text, 1, greatest(length(text) - 12, 1)) AS text
-         |  FROM documents),
-         |t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM u),
-         |sh AS (SELECT doc_id, $shingles AS s FROM t),
-         |sig AS (SELECT doc_id, $sigArr AS sig FROM sh),
-         |banded AS (
-         |  SELECT doc_id, sig, b AS band_idx,
-         |    sig[2 * b + 1] || '|' || sig[2 * b + 2] AS band_key
-         |  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS b) bb),
-         |pairs AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM banded a JOIN banded b
-         |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-         |   AND a.doc_id < b.doc_id),
-         |scored AS (
-         |  SELECT p.doc_a, p.doc_b,
-         |    CAST(len(list_filter(range(1, 9), i -> sa.sig[i] = sb.sig[i]))
-         |      AS DOUBLE) / 8 AS est_jaccard
-         |  FROM pairs p
-         |  JOIN sig sa ON sa.doc_id = p.doc_a
-         |  JOIN sig sb ON sb.doc_id = p.doc_b)
+    "q_dedup_minhash_pairs" ->
+      s"""WITH $minhashPairsCtes
          |SELECT doc_a, doc_b, est_jaccard FROM scored
-         |WHERE est_jaccard >= 0.5""".stripMargin
-    },
+         |WHERE est_jaccard >= 0.5""".stripMargin,
 
     "q_dedup_ngram_jaccard" ->
       """WITH u AS (

@@ -80,4 +80,58 @@ class ComputeSpec2 extends AnyFunSuite {
       assert(q.isActive)
     } finally q.stop()
   }
+
+  test("minhash_dedup table kernel groups planted copies via the DSL") {
+    val s = spark
+    val d = s.table("documents").select("doc_id", "text")
+    d.unionAll(d.filter(col("doc_id") < 5)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+      .createOrReplaceTempView("docs_with_copies")
+    val spec = parse(
+      "COMPUTE dedup FROM table(text) INTO column(dup_group) USING minhash_dedup")
+    val out = ComputeRegistry.runOnce(s, spec, "docs_with_copies")
+    assert(out.columns.contains("dup_group"))
+    val g = out.select("doc_id", "dup_group").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 5L).foreach(id => assert(g(id + 100000L) == g(id)))
+  }
+
+  test("exact_dedup and simhash table kernels append their columns") {
+    val s = spark
+    val exact = ComputeRegistry.runOnce(s,
+      parse("COMPUTE e FROM table(text) INTO column(is_dup) USING exact_dedup"),
+      "documents")
+    assert(exact.columns.contains("is_dup"))
+    assert(exact.filter(col("is_dup")).count() == 0) // corpus has no exact dups
+    val sh = ComputeRegistry.runOnce(s,
+      parse("COMPUTE s FROM table(text) INTO column(sig) USING simhash"),
+      "documents")
+    assert(sh.select(length(col("sig"))).distinct().collect()
+      .map(_.getInt(0)).toSeq == Seq(64))
+  }
+
+  test("pii_scrub column kernel redacts through the DSL") {
+    val s = spark
+    import s.implicits._
+    Seq((1L, "mail a@b.co phone 555-010-9988"))
+      .toDF("doc_id", "text").createOrReplaceTempView("pii_docs")
+    val out = ComputeRegistry.runOnce(s,
+      parse("COMPUTE p FROM table(text) INTO column(clean) USING pii_scrub"),
+      "pii_docs")
+    assert(out.select("clean").collect()(0).getString(0)
+      == "mail <EMAIL> phone <PHONE>")
+  }
+
+  test("text-analysis column kernels surface TextOps through the DSL") {
+    val s = spark
+    val out = ComputeRegistry.runOnce(s,
+      parse("COMPUTE q FROM table(text) INTO column(quality) USING quality_score"),
+      "documents")
+    val stats = out.agg(min("quality"), max("quality")).collect()(0)
+    assert(stats.getDouble(0) >= 0.0 && stats.getDouble(1) <= 1.0)
+    val tc = ComputeRegistry.runOnce(s,
+      parse("COMPUTE t FROM table(text) INTO column(n_tokens) USING token_count"),
+      "documents")
+    assert(tc.filter(col("n_tokens") <= 0).count() == 0)
+  }
 }

@@ -1,0 +1,113 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Corpus-curation operators: planted contamination, repetition extremes,
+  * planted PII, and dup-group assignment on a known component structure. */
+class CurationSpec extends AnyFunSuite {
+
+  private def spark = SparkTestSession.withTables()
+
+  test("decontaminate flags exactly the docs sharing a 5-gram") {
+    val s = spark
+    import s.implicits._
+    val bench = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val train = Seq(
+      // full overlap: contains the benchmark 5-grams verbatim
+      (10L, "prefix alpha beta gamma delta epsilon zeta suffix"),
+      // same words, different order: no shared 5-gram
+      (11L, "zeta epsilon delta gamma beta alpha"),
+      // disjoint vocabulary
+      (12L, "one two three four five six")).toDF("doc_id", "text")
+    val out = Curation.decontaminate(train, bench, k = 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    // bench has two 5-grams (a..e, b..z); both appear in doc 10
+    assert(out(10L) == ((2L, true)))
+    assert(out(11L) == ((0L, false)))
+    assert(out(12L) == ((0L, false)))
+  }
+
+  test("decontaminate handles short docs via the whole-text gram") {
+    val s = spark
+    import s.implicits._
+    val bench = Seq((1L, "tiny doc")).toDF("doc_id", "text")
+    val train = Seq(
+      (10L, "tiny doc"),          // identical short doc: whole-text gram shared
+      (11L, "tiny")).toDF("doc_id", "text")
+    val out = Curation.decontaminate(train, bench, k = 5)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out(10L) && !out(11L))
+  }
+
+  test("repetition metrics: degenerate repeated text vs all-distinct text") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1L, "spam spam spam spam spam spam"),
+      (2L, "one two three four five six"),
+      (3L, "solo")).toDF("doc_id", "text")
+    val m = Curation.repetitionMetrics(d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val spam = m(1L)
+    assert(spam.getLong(1) == 6L)                     // n_words
+    // metrics are round(…, 6), so compare at that precision
+    assert(math.abs(spam.getDouble(2) - (1.0 - 1.0 / 6)) < 1e-6) // dup ratio
+    assert(spam.getDouble(3) == 0.0)                  // no singleton words
+    assert(spam.getDouble(4) == 1.0)                  // one bigram carries all mass
+    val distinct = m(2L)
+    assert(distinct.getDouble(2) == 0.0)              // no dup words
+    assert(distinct.getDouble(3) == 1.0)              // all singletons
+    assert(math.abs(distinct.getDouble(4) - 0.2) < 1e-6) // 5 distinct bigrams
+    val solo = m(3L)
+    assert(solo.getLong(1) == 1L && solo.getDouble(4) == 0.0) // no bigrams
+  }
+
+  test("PII scrub redacts planted emails and phones, counts them") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1L, "write to jane.doe+x@mail.example.org or call +1 (555) 010-7788 now"),
+      (2L, "no pii here"),
+      (3L, "two mails a@b.co c@d.io one phone 555-123-9876")).toDF("doc_id", "text")
+    val out = Curation.piiScrub(d).collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getString(1) == "write to <EMAIL> or call <PHONE> now")
+    assert(out(1L).getInt(2) == 1 && out(1L).getInt(3) == 1)
+    assert(out(2L).getString(1) == "no pii here")
+    assert(out(2L).getInt(2) == 0 && out(2L).getInt(3) == 0)
+    assert(out(3L).getString(1) == "two mails <EMAIL> <EMAIL> one phone <PHONE>")
+    assert(out(3L).getInt(2) == 2 && out(3L).getInt(3) == 1)
+  }
+
+  test("dup groups: chain and star components converge to min label") {
+    val s = spark
+    import s.implicits._
+    val nodes = (0L to 7L).toDF("doc_id")
+    // component A: chain 0-1-2-3 (diameter 3); component B: star 4-{5,6}; 7 isolated
+    val cands = Seq(
+      (0L, 1L), (1L, 2L), (2L, 3L),
+      (4L, 5L), (4L, 6L)).toDF("doc_a", "doc_b")
+    val g = Curation.dupGroups(nodes, cands, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L to 3L).forall(g(_) == 0L))
+    assert((4L to 6L).forall(g(_) == 4L))
+    assert(g(7L) == 7L)
+  }
+
+  test("dup groups assigns one group per planted duplicate pair on the corpus") {
+    val s = spark
+    val d = s.table("documents").select("doc_id", "text")
+    val copies = d.filter(col("doc_id") < 10)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+    val corpus = d.unionAll(copies)
+    val cands = Dedup.minhashCandidates(corpus, k = 3, numHashes = 8, bands = 4,
+      minEstJaccard = 0.5)
+    val g = Curation.dupGroups(corpus.select("doc_id"), cands, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every identical copy lands in its original's group
+    (0L until 10L).foreach { id => assert(g(id + 100000L) == g(id)) }
+  }
+}
