@@ -74,6 +74,11 @@ object Bench {
       // valid measurement; a query that never succeeds reports its
       // (obviously wrong) failure time rather than disappearing
       val attempts = (1 to 2).map { _ =>
+        // operators that persist intermediates (dedup signature buckets,
+        // label-propagation rounds) would otherwise serve run 2 from run 1's
+        // cache via CacheManager plan-matching — each measured run must pay
+        // its own caching cost or min-of-2 reports a warm-cache fantasy
+        spark.catalog.clearCache()
         val t0 = System.nanoTime()
         val ok =
           try {

@@ -129,7 +129,10 @@ object Curation {
     * Each round is one join + one partial-aggregated min per edge endpoint;
     * per-round state (and the edge list, used every round) is materialized
     * with MEMORY_AND_DISK persistence — the iterative exception to the
-    * "never cache" rule, same as GraphX/MLlib iteration.
+    * "never cache" rule, same as GraphX/MLlib iteration. The candidate
+    * pairs and the penultimate round stay cached when this returns (the
+    * lazy result still reads them); `spark.catalog.clearCache()` reclaims
+    * them once the result is consumed.
     *
     * @param nodes      one row per doc_id needing a group (singletons keep
     *                   their own id)
@@ -146,22 +149,27 @@ object Curation {
       .unionAll(cached.select(col("doc_b").as("src"), col("doc_a").as("dst")))
     var labels = nodes.select(col("doc_id"), col("doc_id").as("label"))
     var prev: DataFrame = null
-    for (_ <- 1 to iters) {
+    for (round <- 1 to iters) {
       val nbrMin = edges
         .join(labels.withColumnRenamed("doc_id", "_sid"), col("src") === col("_sid"))
         .groupBy(col("dst").as("doc_id")).agg(min("label").as("_nbr"))
       val next = labels.join(nbrMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("label"), coalesce(col("_nbr"), col("label"))).as("label"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      // force materialization so the next round reads the cache instead of
-      // stacking (and doubling) lineage — persist alone is lazy
-      next.count()
-      if (prev != null) prev.unpersist(blocking = false)
-      prev = next
-      labels = next
+      if (round < iters) {
+        // force materialization so the next round reads the cache instead
+        // of stacking (and doubling) lineage — persist alone is lazy. The
+        // FINAL round skips this: its two inputs are already cached, so the
+        // caller's own action materializes it without lineage blow-up.
+        val p = next.persist(StorageLevel.MEMORY_AND_DISK)
+        p.count()
+        if (prev != null) prev.unpersist(blocking = false)
+        prev = p
+        labels = p
+      } else {
+        labels = next
+      }
     }
-    cached.unpersist(blocking = false)
     labels.select(col("doc_id"), col("label").as("dup_group"))
   }
 }

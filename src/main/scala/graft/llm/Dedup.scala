@@ -38,15 +38,24 @@ object Dedup {
 
   /** k-word shingles → `numHashes` md5-based minhash signatures (the
     * oracle-checkable form: DuckDB reproduces md5 exactly). Shingles are
-    * materialized once; each signature is one array_min pass. */
+    * materialized once, and the hash family is derived by slicing each
+    * 32-hex-char md5 into four 8-char (32-bit) members — ceil(n/4) md5
+    * calls per shingle instead of n, the dominant cost of the pipeline.
+    * 32-bit members are ample for minhash agreement counting (chance
+    * agreement ~2^-32); md5's avalanche makes the slices independent. */
   def minhashSignatures(
       docs: DataFrame, k: Int = 3, numHashes: Int = 8): DataFrame = {
-    val withShingles = withShingleCol(docs, k)
+    val numMd5 = (numHashes + 3) / 4
+    val withHashes = (0 until numMd5).foldLeft(withShingleCol(docs, k)) {
+      (df, m) =>
+        df.withColumn(s"_h$m", expr(s"transform(_shingles, s -> md5(concat(s, '#$m')))"))
+    }
     val sigCols = (0 until numHashes).map { j =>
-      expr(s"array_min(transform(_shingles, s -> md5(concat(s, '#$j'))))")
+      val (m, c) = (j / 4, j % 4)
+      expr(s"array_min(transform(_h$m, h -> substring(h, ${1 + 8 * c}, 8)))")
         .as(s"sig_$j")
     }
-    withShingles.select((col("doc_id") +: sigCols): _*)
+    withHashes.select((col("doc_id") +: sigCols): _*)
   }
 
   /** Fast minhash signatures for the candidate-generation path: ONE
@@ -91,12 +100,19 @@ object Dedup {
       (0 until numHashes).map(j => col(s"sig_$j"))) ++ bandCols: _*)
 
     // explode to (band_idx, band_hash) and bucket-join — the shuffle key is
-    // the band hash, so only same-bucket docs ever meet
+    // the band hash, so only same-bucket docs ever meet. The bucket rows are
+    // persisted AND materialized up front because BOTH sides of the
+    // self-join scan them: lazily-cached branches race to populate and the
+    // whole shingle→signature pipeline (the expensive part) executes twice.
+    // Footprint is doc_id + signatures — bytes per doc, cacheable even at
+    // corpus scale (MEMORY_AND_DISK spills, never OOMs).
     val buckets = banded.select(
       col("doc_id"),
       array((0 until numHashes).map(j => col(s"sig_$j")): _*).as("sig"),
       posexplode(array((0 until bands).map(b => col(s"band_$b")): _*))
         .as(Seq("band_idx", "band_hash")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    buckets.count()
 
     val l = buckets.select(
       col("band_idx"), col("band_hash"),

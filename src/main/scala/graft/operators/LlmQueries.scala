@@ -39,9 +39,12 @@ object LlmQueries {
       """CASE WHEN len(w) < 3 THEN [text]
         |ELSE list_transform(range(1, len(w) - 1),
         |  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END""".stripMargin
-    val sigArr = (0 until 8).map(j =>
-      s"list_aggregate(list_transform(s, x -> md5(x || '#$j')), 'min')")
-      .mkString("[", ",\n   ", "]")
+    // family = 8-hex-char slices of ceil(8/4)=2 md5s per shingle,
+    // mirroring Dedup.minhashSignatures' derivation
+    val sigArr = (0 until 8).map { j =>
+      val (m, c) = (j / 4, j % 4)
+      s"list_aggregate(list_transform(h$m, h -> substring(h, ${1 + 8 * c}, 8)), 'min')"
+    }.mkString("[", ",\n   ", "]")
     s"""u AS (
        |  SELECT doc_id, text FROM documents
        |  UNION ALL
@@ -50,7 +53,10 @@ object LlmQueries {
        |  FROM documents),
        |t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM u),
        |sh AS (SELECT doc_id, $shingles AS s FROM t),
-       |sig AS (SELECT doc_id, $sigArr AS sig FROM sh),
+       |hh AS (SELECT doc_id,
+       |  list_transform(s, x -> md5(x || '#0')) AS h0,
+       |  list_transform(s, x -> md5(x || '#1')) AS h1 FROM sh),
+       |sig AS (SELECT doc_id, $sigArr AS sig FROM hh),
        |banded AS (
        |  SELECT doc_id, sig, b AS band_idx,
        |    sig[2 * b + 1] || '|' || sig[2 * b + 2] AS band_key
@@ -247,12 +253,18 @@ object LlmQueries {
         """CASE WHEN len(w) < 3 THEN [text]
           |ELSE list_transform(range(1, len(w) - 1),
           |  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END""".stripMargin
-      s"""SELECT doc_id,
-         |  list_aggregate(list_transform($shingles, s -> md5(s || '#0')), 'min') AS sig_0,
-         |  list_aggregate(list_transform($shingles, s -> md5(s || '#1')), 'min') AS sig_1,
-         |  list_aggregate(list_transform($shingles, s -> md5(s || '#2')), 'min') AS sig_2,
-         |  list_aggregate(list_transform($shingles, s -> md5(s || '#3')), 'min') AS sig_3
-         |FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)""".stripMargin
+      // family = 8-hex-char slices of one md5 per shingle, mirroring
+      // Dedup.minhashSignatures' ceil(n/4)-md5 derivation
+      s"""WITH sh AS (
+         |  SELECT doc_id,
+         |    list_transform($shingles, s -> md5(s || '#0')) AS h0
+         |  FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents))
+         |SELECT doc_id,
+         |  list_aggregate(list_transform(h0, h -> substring(h, 1, 8)), 'min') AS sig_0,
+         |  list_aggregate(list_transform(h0, h -> substring(h, 9, 8)), 'min') AS sig_1,
+         |  list_aggregate(list_transform(h0, h -> substring(h, 17, 8)), 'min') AS sig_2,
+         |  list_aggregate(list_transform(h0, h -> substring(h, 25, 8)), 'min') AS sig_3
+         |FROM sh""".stripMargin
     },
 
     "q_dedup_simhash" -> {

@@ -24,6 +24,8 @@ object Profile {
       .write.format("noop").mode("overwrite").save()
     names.foreach { name =>
       val times = (1 to reps).map { _ =>
+        // same honesty rule as Bench: no serving run N from run N-1's cache
+        spark.catalog.clearCache()
         val t0 = System.nanoTime()
         graft.SparkEntry.queries(name)(spark, dir)
           .write.format("noop").mode("overwrite").save()
