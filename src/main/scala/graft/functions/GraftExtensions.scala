@@ -50,7 +50,44 @@ object GraftExtensions {
         val (a, b) = (args(0), args(1))
         Divide(VecDot(a, b),
           Multiply(Sqrt(VecDot(a, a)), Sqrt(VecDot(b, b))))
-      }))
+      })) ++ textFunctions
+
+  /** The text-analysis tier as SQL functions: each builder round-trips the
+    * existing Column-algebra implementation through the Column↔Expression
+    * bridge, so SQL users and DataFrame users run the IDENTICAL expression
+    * tree (one implementation, no drift). All are pure scalar expressions —
+    * codegen'd, no UDFs. */
+  private def textFunctions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    def scalar(name: String, doc: String)(f: Column => Column) =
+      (FunctionIdentifier(name),
+        new ExpressionInfo(classOf[VecDot].getName, null, name, doc, ""),
+        (args: Seq[Expression]) => {
+          arity(name, 1, args)
+          ColumnBridge.analyzableExpression(f(ColumnBridge.column(args(0))))
+        })
+    Seq(
+      scalar("quality_score",
+        "quality_score(text) - [0,1] heuristic corpus-quality score")(
+        graft.llm.TextOps.qualityScore),
+      scalar("lang_guess",
+        "lang_guess(text) - stopword-profile language guess (en/fr/de/es/und)")(
+        graft.llm.TextOps.langGuess),
+      scalar("token_count",
+        "token_count(text) - whitespace token count")(
+        graft.llm.TextOps.tokenCount),
+      scalar("doc_fingerprint",
+        "doc_fingerprint(text) - md5 content fingerprint")(
+        graft.llm.TextOps.fingerprint),
+      scalar("pii_scrub",
+        "pii_scrub(text) - redact emails and phone-shaped digit runs")(c =>
+        org.apache.spark.sql.functions.regexp_replace(
+          org.apache.spark.sql.functions.regexp_replace(
+            c, graft.llm.Curation.EmailRe, "<EMAIL>"),
+          graft.llm.Curation.PhoneRe, "<PHONE>")))
+  }
 
   /** Imperative registration into an already-running session (tests,
     * notebooks) — same builders the extension injects at session build. */

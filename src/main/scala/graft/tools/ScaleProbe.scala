@@ -73,9 +73,23 @@ object ScaleProbe {
       val (nTop, tTop) = time(graft.plans.TopK.topKPerKey(
         liScaled, Seq("l_suppkey"), Seq(col("l_extendedprice"),
           negate(col("l_orderkey"))), k = 5).count())
+      // curation tier: benchmark set stays FIXED while train grows — time
+      // must stay ~flat-per-row and the contaminated count constant (the
+      // rotated copies share no grams with the benchmark)
+      val bench = docs.filter(col("doc_id") < 500)
+      val (nCont, tCont) = time(graft.llm.Curation
+        .decontaminate(d, bench, k = 5)
+        .filter(col("contaminated")).count())
+      // dup-group assignment over the candidate graph: output rows =
+      // corpus rows (linear by construction); time tracks candidates
+      val (nGrp, tGrp) = time {
+        val cands = graft.llm.Dedup.minhashCandidates(d)
+        graft.llm.Curation.dupGroups(d.select("doc_id"), cands).count()
+      }
       println(f"[scale ${mult}x] minhash_pairs: $nPairs%d cand in " +
         f"$tPairs%.1fs | embcos_pairs: $nDup%d in $tDup%.1fs | " +
-        f"topk: $nTop%d rows in $tTop%.1fs")
+        f"topk: $nTop%d rows in $tTop%.1fs | contaminated: $nCont%d in " +
+        f"$tCont%.1fs | dup_groups: $nGrp%d rows in $tGrp%.1fs")
     }
     spark.stop()
   }

@@ -17,6 +17,15 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Eagerly convert a Column tree into the catalyst Expression the
+    * analyzer can resolve (Unresolved* nodes and all). `expression` above
+    * wraps the ColumnNode lazily, which is fine inside a DataFrame but NOT
+    * inside a FunctionRegistry builder — the analyzer never looks through
+    * the wrapper and codegen then fails. Needed to register Column-algebra
+    * compositions (graft's text-analysis tier) as SQL functions. */
+  def analyzableExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+
   /** Catalyst's bounded-heap top-k collector: the partial-aggregating
     * primitive behind graft.plans.TopK. `reverse=true` keeps the largest k
     * under the child type's ordering. */

@@ -89,6 +89,28 @@ class VecDotSpec extends AnyFunSuite {
     new GraftExtensions()(new org.apache.spark.sql.SparkSessionExtensions())
   }
 
+  test("text-analysis functions are callable from plain SQL") {
+    val s = spark
+    GraftExtensions.register(s)
+    // SQL path agrees with the Column API — same expression tree
+    val viaSql = s.sql(
+      """SELECT doc_id, quality_score(text) AS q, lang_guess(text) AS l,
+        |  token_count(text) AS n, doc_fingerprint(text) AS f
+        |FROM documents ORDER BY doc_id LIMIT 20""".stripMargin).collect()
+    val viaCol = s.table("documents").orderBy("doc_id").limit(20)
+      .select(col("doc_id"), graft.llm.TextOps.qualityScore(col("text")),
+        graft.llm.TextOps.langGuess(col("text")),
+        graft.llm.TextOps.tokenCount(col("text")),
+        graft.llm.TextOps.fingerprint(col("text"))).collect()
+    assert(viaSql.map(_.toSeq).toSeq == viaCol.map(_.toSeq).toSeq)
+    val scrub = s.sql(
+      "SELECT pii_scrub('mail a@b.co phone 555-010-9988') AS c").head()
+    assert(scrub.getString(0) == "mail <EMAIL> phone <PHONE>")
+    val err = intercept[Exception](
+      s.sql("SELECT quality_score('a', 'b')").head())
+    assert(err.getMessage.contains("quality_score expects 1 arguments"))
+  }
+
   test("interpreted eval path matches codegen") {
     // a non-deterministic wrapper forces the interpreted path; compare both
     val s = spark
