@@ -18,8 +18,11 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * not a UDF.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    // opt-in AQP rewrite: inert until spark.graft.cosineJoin.rewrite=true
+    ext.injectOptimizerRule(graft.plans.CosineJoinRewrite(_))
+  }
 }
 
 object GraftExtensions {
@@ -90,10 +93,17 @@ object GraftExtensions {
   }
 
   /** Imperative registration into an already-running session (tests,
-    * notebooks) — same builders the extension injects at session build. */
-  def register(spark: SparkSession): Unit =
+    * notebooks) — same builders the extension injects at session build.
+    * The cosine-join rewrite lands in `experimental.extraOptimizations`
+    * (the post-hoc user batch; the rule handles both plan shapes). */
+  def register(spark: SparkSession): Unit = {
     functions.foreach { case (ident, info, builder) =>
       spark.sessionState.functionRegistry
         .registerFunction(ident, info, builder)
     }
+    val rule = graft.plans.CosineJoinRewrite(spark)
+    if (!spark.experimental.extraOptimizations.contains(rule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ rule
+  }
 }

@@ -1,0 +1,123 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.functions.GraftExtensions
+import graft.llm.Similarity
+
+/** The opt-in cosine-threshold join rewrite: all-pairs plan becomes a
+  * banded LSH candidate join + exact rescore. Checks plan shape (the
+  * cartesian is gone), soundness (output ⊆ exact output, original
+  * predicate holds), and recall on planted identical vectors (always 1.0 —
+  * identical signatures share every band). */
+class CosineJoinRewriteSpec extends AnyFunSuite {
+
+  private def spark = SparkTestSession.withTables()
+
+  private def sides(s: org.apache.spark.sql.SparkSession)
+      : (DataFrame, DataFrame) = {
+    val base = s.table("embeddings").filter(col("vec_id") < 60)
+      .select(col("vec_id"), col("embedding"))
+    // planted exact copies: cosine(copy, original) = 1.0
+    val withCopies = base.unionAll(base.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 1000L).as("vec_id"), col("embedding")))
+    (withCopies.select(col("vec_id").as("id_a"), col("embedding").as("emb_a")),
+      base.select(col("vec_id").as("id_b"), col("embedding").as("emb_b")))
+  }
+
+  private def thresholdJoin(l: DataFrame, r: DataFrame): DataFrame =
+    l.crossJoin(r).filter(
+      Similarity.cosine(col("emb_a"), col("emb_b")) >= lit(0.95) &&
+        col("id_a") =!= col("id_b"))
+
+  private def pairs(df: DataFrame): Set[(Long, Long)] =
+    df.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("rewrite removes the cartesian, keeps exactness of emitted pairs") {
+    val s = spark
+    GraftExtensions.register(s)
+    val (l, r) = sides(s)
+
+    s.conf.set("spark.graft.cosineJoin.rewrite", "false")
+    val exactDf = thresholdJoin(l, r)
+    val exactPlan = exactDf.queryExecution.executedPlan.toString
+    assert(exactPlan.contains("CartesianProduct")
+      || exactPlan.contains("BroadcastNestedLoopJoin"))
+    val exact = pairs(exactDf)
+
+    s.conf.set("spark.graft.cosineJoin.rewrite", "true")
+    try {
+      val approxDf = thresholdJoin(l, r)
+      val plan = approxDf.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct")
+        && !plan.contains("BroadcastNestedLoopJoin"),
+        s"cartesian survived the rewrite:\n$plan")
+      val approx = pairs(approxDf)
+      // sound: every emitted pair truly passes the original predicate
+      assert(approx.subsetOf(exact))
+      // complete on planted identical vectors: all bands agree
+      (0L until 5L).foreach { id =>
+        assert(approx.contains((id + 1000L, id)),
+          s"planted copy pair ($id) missed")
+      }
+    } finally s.conf.set("spark.graft.cosineJoin.rewrite", "false")
+  }
+
+  test("extra conjuncts are preserved by the rescore filter") {
+    val s = spark
+    GraftExtensions.register(s)
+    val (l, r) = sides(s)
+    s.conf.set("spark.graft.cosineJoin.rewrite", "true")
+    try {
+      val out = l.crossJoin(r).filter(
+        Similarity.cosine(col("emb_a"), col("emb_b")) >= lit(0.95) &&
+          col("id_a") >= 1000L && col("id_b") % 2 === 0)
+      val got = pairs(out)
+      assert(got.nonEmpty)
+      assert(got.forall { case (a, b) => a >= 1000L && b % 2 == 0 })
+    } finally s.conf.set("spark.graft.cosineJoin.rewrite", "false")
+  }
+
+  test("non-positive thresholds and unrelated joins are left alone") {
+    val s = spark
+    GraftExtensions.register(s)
+    s.conf.set("spark.graft.cosineJoin.rewrite", "true")
+    try {
+      val (l, r) = sides(s)
+      // threshold <= 0 would need near-total recall — not rewritten
+      val neg = l.crossJoin(r).filter(
+        Similarity.cosine(col("emb_a"), col("emb_b")) >= lit(-0.5))
+      val negPlan = neg.queryExecution.executedPlan.toString
+      assert(negPlan.contains("CartesianProduct")
+        || negPlan.contains("BroadcastNestedLoopJoin"))
+      // ordinary equi-joins don't change
+      val orders = s.table("orders").limit(100)
+      val cust = s.table("customer")
+      val j = orders.join(cust, col("o_custkey") === col("c_custkey"))
+      assert(j.count() > 0)
+    } finally s.conf.set("spark.graft.cosineJoin.rewrite", "false")
+  }
+
+  test("SQL cosine_sim form triggers the same rewrite") {
+    val s = spark
+    GraftExtensions.register(s)
+    val (l, r) = sides(s)
+    l.createOrReplaceTempView("emb_l")
+    r.createOrReplaceTempView("emb_r")
+    s.conf.set("spark.graft.cosineJoin.rewrite", "true")
+    try {
+      val df = s.sql(
+        """SELECT id_a, id_b FROM emb_l CROSS JOIN emb_r
+          |WHERE cosine_sim(emb_a, emb_b) >= 0.95 AND id_a >= 1000""".stripMargin)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct")
+        && !plan.contains("BroadcastNestedLoopJoin"), plan)
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert((0L until 5L).forall(id => got.contains((id + 1000L, id))))
+    } finally s.conf.set("spark.graft.cosineJoin.rewrite", "false")
+  }
+}
