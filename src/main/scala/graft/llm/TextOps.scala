@@ -128,4 +128,46 @@ object TextOps {
       min(col("doc_id")).over(w).as("dup_group"),
       (col("doc_id") =!= min(col("doc_id")).over(w)).as("is_dup"))
   }
+
+  /** GPT-style sequence packing, shard-local: docs are concatenated in
+    * doc_id order WITHIN each shard and cut into fixed `seqLen`-token
+    * training sequences (documents may span a cut). Shard = doc_id mod
+    * nShards, so the running offset is a window partitioned by shard —
+    * parallel per shard, NO global sort (a corpus-wide running sum would be
+    * a single-ordered-partition scan at 100 TB). Fully deterministic and
+    * replayable: each doc's span is (shard, start_offset, first/last
+    * chunk). */
+  def seqPack(docs: DataFrame, seqLen: Int = 64, nShards: Int = 8)
+      : DataFrame = {
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col("doc_id"), (col("doc_id") % nShards).as("shard"),
+        tokenCount(coalesce(col("text"), lit(""))).cast("bigint")
+          .as("n_tokens"))
+      .withColumn("start_offset", sum("n_tokens").over(w) - col("n_tokens"))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        col("start_offset"),
+        // floor, not a double->long cast: Spark truncates that cast while
+        // DuckDB rounds it, and the oracle must replay bit-for-bit
+        floor(col("start_offset") / seqLen).as("first_chunk"),
+        floor((col("start_offset") + col("n_tokens") - 1) / seqLen)
+          .as("last_chunk"))
+  }
+
+  /** Corpus-wide most-frequent word k-grams: explode → partial-aggregated
+    * count → sort+limit (TakeOrderedAndProject — each partition ships only
+    * its own top n). Ties break on the gram text for determinism. */
+  def topNgrams(docs: DataFrame, k: Int = 3, n: Int = 20): DataFrame = {
+    val grams =
+      s"""CASE WHEN size(_w) < $k THEN array()
+         |ELSE transform(sequence(1, size(_w) - ${k - 1}),
+         |  i -> concat_ws(' ', ${(0 until k).map(j => s"element_at(_w, i + $j)").mkString(", ")}))
+         |END""".stripMargin
+    docs.withColumn("_w", split(coalesce(col("text"), lit("")), " "))
+      .select(explode(expr(grams)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("gram").asc)
+      .limit(n)
+  }
 }

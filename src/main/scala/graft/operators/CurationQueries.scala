@@ -61,6 +61,17 @@ object CurationQueries {
         corpus, k = 3, numHashes = 8, bands = 4, minEstJaccard = 0.5,
         oracleHashes = true)
       Curation.dupGroups(corpus.select("doc_id"), cands, iters = 3)
+    },
+
+    // shard-local GPT-style sequence packing: each doc's span in the
+    // concatenated token stream of its shard (no global sort anywhere)
+    "q_seq_pack" -> { (s, dir) =>
+      graft.llm.TextOps.seqPack(docs(s, dir), seqLen = 64, nShards = 8)
+    },
+
+    // corpus-wide most-frequent trigrams (sort+limit = TakeOrdered)
+    "q_top_ngrams" -> { (s, dir) =>
+      graft.llm.TextOps.topNgrams(docs(s, dir), k = 3, n = 20)
     })
 
   def oracles: Map[String, String] = Map(
@@ -169,11 +180,38 @@ object CurationQueries {
          |${round(2)},
          |${round(3)}
          |SELECT doc_id, label AS dup_group FROM l3""".stripMargin
-    })
+    },
+
+    "q_seq_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id, doc_id % 8 AS shard,
+        |    CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+        |      AS start_offset
+        |  FROM t)
+        |SELECT doc_id, shard, n_tokens, CAST(start_offset AS BIGINT) AS start_offset,
+        |  CAST(floor(start_offset / 64.0) AS BIGINT) AS first_chunk,
+        |  CAST(floor((start_offset + n_tokens - 1) / 64.0) AS BIGINT) AS last_chunk
+        |FROM o""".stripMargin,
+
+    "q_top_ngrams" ->
+      """WITH g AS (
+        |  SELECT unnest(list_transform(range(1, len(w) - 1),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram
+        |  FROM (SELECT string_split(coalesce(text, ''), ' ') AS w FROM documents))
+        |SELECT gram, CAST(count(*) AS BIGINT) AS n_occurrences
+        |FROM g GROUP BY gram
+        |ORDER BY n_occurrences DESC, gram ASC
+        |LIMIT 20""".stripMargin)
 
   def verifySort: Map[String, Seq[String]] = Map(
     "q_decontaminate" -> Seq("doc_id"),
     "q_quality_repetition" -> Seq("doc_id"),
     "q_pii_scrub" -> Seq("doc_id"),
-    "q_dedup_groups" -> Seq("doc_id"))
+    "q_dedup_groups" -> Seq("doc_id"),
+    "q_seq_pack" -> Seq("doc_id"))
 }

@@ -97,6 +97,41 @@ class CurationSpec extends AnyFunSuite {
     assert(g(7L) == 7L)
   }
 
+  test("seq packing: contiguous shard-local offsets, docs span chunk cuts") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (0L, "a b c"),                               // shard 0: 3 tokens
+      (2L, ("x " * 10).trim),                      // shard 0: 10 tokens
+      (4L, "y"),                                   // shard 0: 1 token
+      (1L, ("z " * 7).trim)).toDF("doc_id", "text") // shard 1
+    val out = TextOps.seqPack(d, seqLen = 8, nShards = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    // shard 0 packs docs 0,2,4 back to back
+    assert(out(0L) == ((0L, 3L, 0L, 0L, 0L)))
+    // doc 2 starts at offset 3, runs to token 12: spans chunks 0 and 1
+    assert(out(2L) == ((0L, 10L, 3L, 0L, 1L)))
+    assert(out(4L) == ((0L, 1L, 13L, 1L, 1L)))
+    // shard 1 restarts at offset 0 — shards are independent streams
+    assert(out(1L) == ((1L, 7L, 0L, 0L, 0L)))
+  }
+
+  test("top n-grams surfaces a planted dominant trigram") {
+    val s = spark
+    import s.implicits._
+    val noise = (0L until 20L).map(i => (i, s"w$i x$i y$i z$i"))
+    val planted = (100L until 110L).map(i => (i, "very common gram indeed"))
+    val d = (noise ++ planted).toDF("doc_id", "text")
+    val top = TextOps.topNgrams(d, k = 3, n = 3).collect()
+    assert(top(0).getString(0) == "common gram indeed" ||
+      top(0).getString(0) == "very common gram")
+    assert(top(0).getLong(1) == 10L)
+    // deterministic tiebreak: equal counts order by gram text
+    assert(top(0).getString(0) < top(1).getString(0))
+  }
+
   test("dup groups assigns one group per planted duplicate pair on the corpus") {
     val s = spark
     val d = s.table("documents").select("doc_id", "text")
