@@ -135,6 +135,10 @@ object Dedup {
     * LSH pruning): |A∩B| / |A∪B| over distinct k-shingles. */
   def jaccardRescore(
       docs: DataFrame, candidates: DataFrame, k: Int = 3): DataFrame = {
+    // the exploded shingle set feeds three consumers, but no cache is
+    // needed: they sit behind the same shuffle and ReuseExchange serves
+    // all three from one execution (measured — a persist+materialize here
+    // changed nothing)
     val sh = withShingleCol(docs, k).select(col("doc_id"),
       expr("explode(array_distinct(_shingles))").as("shingle"))
     val counts = sh.groupBy("doc_id").count().withColumnRenamed("count", "n_sh")

@@ -115,13 +115,16 @@ object Relational {
         .orderBy("a_name", "b_name")
     },
 
-    // R2/R4 over the part/supplier dimensions (TPC-H Q2-ish shape): both
-    // dims are bounded relative to lineitem and explicitly broadcast.
+    // R2/R4 over the part/supplier dimensions (TPC-H Q2-ish shape). NO
+    // explicit broadcast hints: part/supplier grow with the scale factor
+    // (20M/1M rows at sf100 — too big to ship to every executor), so the
+    // planner/AQE picks broadcast only while they actually fit. Explicit
+    // hints stay reserved for fixed-cardinality dims (nation/region).
     "q_parts_supplied" -> { (s, dir) =>
       Tables.register(s, dir)
       s.table("lineitem")
-        .join(broadcast(s.table("part")), col("l_partkey") === col("p_partkey"))
-        .join(broadcast(s.table("supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(s.table("part"), col("l_partkey") === col("p_partkey"))
+        .join(s.table("supplier"), col("l_suppkey") === col("s_suppkey"))
         .groupBy("p_brand", "s_name")
         .agg(count(lit(1)).as("n_items"),
           sum(revenue).cast("double").as("revenue"))
