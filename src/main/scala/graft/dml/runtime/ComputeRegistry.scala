@@ -83,10 +83,7 @@ object ComputeRegistry {
   kernels.put("lang_guess", cols => graft.llm.TextOps.langGuess(cols.head))
   kernels.put("token_count", cols => graft.llm.TextOps.tokenCount(cols.head))
   kernels.put("fingerprint", cols => graft.llm.TextOps.fingerprint(cols.head))
-  kernels.put("pii_scrub", cols =>
-    regexp_replace(
-      regexp_replace(cols.head, graft.llm.Curation.EmailRe, "<EMAIL>"),
-      graft.llm.Curation.PhoneRe, "<PHONE>"))
+  kernels.put("pii_scrub", cols => graft.llm.Curation.scrub(cols.head))
 
   def register(name: String, kernel: Kernel): Unit = kernels.put(name, kernel)
 
@@ -153,6 +150,10 @@ object ComputeRegistry {
       .foreachBatch { (_: DataFrame, batchId: Long) =>
         val out = runOnce(spark, spec, table)
         out.createOrReplaceTempView(s"${spec.name}_out")
+        // table kernels (minhash_dedup & co) persist intermediates each
+        // run; without reclamation a tick-scheduled compute would leak
+        // cache entries every batch, forever
+        graft.llm.PipelineCaches.clear()
         ()
       }
       .start()

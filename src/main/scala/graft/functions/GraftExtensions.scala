@@ -85,11 +85,8 @@ object GraftExtensions {
         "doc_fingerprint(text) - md5 content fingerprint")(
         graft.llm.TextOps.fingerprint),
       scalar("pii_scrub",
-        "pii_scrub(text) - redact emails and phone-shaped digit runs")(c =>
-        org.apache.spark.sql.functions.regexp_replace(
-          org.apache.spark.sql.functions.regexp_replace(
-            c, graft.llm.Curation.EmailRe, "<EMAIL>"),
-          graft.llm.Curation.PhoneRe, "<PHONE>")))
+        "pii_scrub(text) - redact emails and phone-shaped digit runs")(
+        graft.llm.Curation.scrub))
   }
 
   /** Imperative registration into an already-running session (tests,

@@ -20,18 +20,13 @@ object Curation {
     * the shuffle carries hashes, not prose) that DuckDB reproduces exactly
     * for the oracle. Docs shorter than k words contribute their whole text
     * as the single gram, mirroring [[Dedup]]'s shingle convention. */
-  private def gramKeys(docs: DataFrame, k: Int): DataFrame = {
-    val shingles =
-      s"""CASE WHEN size(_w) < $k THEN array(_t)
-         |ELSE transform(sequence(1, size(_w) - ${k - 1}),
-         |  i -> concat_ws(' ', ${(0 until k).map(j => s"element_at(_w, i + $j)").mkString(", ")}))
-         |END""".stripMargin
+  private def gramKeys(docs: DataFrame, k: Int): DataFrame =
     docs.withColumn("_t", coalesce(col("text"), lit("")))
       .withColumn("_w", split(col("_t"), " "))
       .select(col("doc_id"),
-        explode(array_distinct(expr(shingles))).as("_g"))
+        explode(array_distinct(expr(TextOps.kgramSql(k, "array(_t)"))))
+          .as("_g"))
       .select(col("doc_id"), md5(col("_g")).as("gram_key"))
-  }
 
   /** Benchmark decontamination: flag training docs sharing any word k-gram
     * with a held-out benchmark set (the standard guard against test-set
@@ -106,14 +101,20 @@ object Curation {
   private[graft] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private[graft] val PhoneRe = "\\+?[0-9][0-9() -]{6,}[0-9]"
 
+  /** The one scrub expression all three surfaces share (DataFrame operator
+    * here, DSL `pii_scrub` kernel, SQL `pii_scrub` function) — extending
+    * the pattern set in one place updates every entry point. */
+  def scrub(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"),
+      PhoneRe, "<PHONE>")
+
   /** PII scrub: redact email addresses and phone-shaped digit runs, keep
     * per-doc redaction counts for audit. Pure per-row projection — no
     * shuffle at any scale. */
   def piiScrub(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = coalesce(col(textCol), lit(""))
     docs.select(col("doc_id"),
-      regexp_replace(regexp_replace(t, EmailRe, "<EMAIL>"),
-        PhoneRe, "<PHONE>").as("scrubbed"),
+      scrub(t).as("scrubbed"),
       regexp_count(t, lit(EmailRe)).as("n_emails"),
       regexp_count(t, lit(PhoneRe)).as("n_phones"))
   }
@@ -131,8 +132,8 @@ object Curation {
     * with MEMORY_AND_DISK persistence — the iterative exception to the
     * "never cache" rule, same as GraphX/MLlib iteration. The candidate
     * pairs and the penultimate round stay cached when this returns (the
-    * lazy result still reads them); `spark.catalog.clearCache()` reclaims
-    * them once the result is consumed.
+    * lazy result still reads them); [[PipelineCaches.clear]] reclaims every
+    * tracked intermediate once the result is consumed.
     *
     * @param nodes      one row per doc_id needing a group (singletons keep
     *                   their own id)
@@ -143,8 +144,8 @@ object Curation {
     // persist the PAIRS, not the edge union: edges reference candidates
     // twice (both directions), so caching one pair row per candidate halves
     // the expensive band-join executions and the cache footprint
-    val cached = candidates.select("doc_a", "doc_b")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cached = PipelineCaches.track(candidates.select("doc_a", "doc_b")
+      .persist(StorageLevel.MEMORY_AND_DISK))
     val edges = cached.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionAll(cached.select(col("doc_b").as("src"), col("doc_a").as("dst")))
     var labels = nodes.select(col("doc_id"), col("doc_id").as("label"))
@@ -161,7 +162,7 @@ object Curation {
         // of stacking (and doubling) lineage — persist alone is lazy. The
         // FINAL round skips this: its two inputs are already cached, so the
         // caller's own action materializes it without lineage blow-up.
-        val p = next.persist(StorageLevel.MEMORY_AND_DISK)
+        val p = PipelineCaches.track(next.persist(StorageLevel.MEMORY_AND_DISK))
         p.count()
         if (prev != null) prev.unpersist(blocking = false)
         prev = p

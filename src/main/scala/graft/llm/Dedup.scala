@@ -22,11 +22,7 @@ object Dedup {
     * (split the text exactly once per row; never re-split per element).
     * Documents with fewer than k tokens get their whole text as the single
     * shingle. */
-  private def shingleExpr(k: Int): String =
-    s"""CASE WHEN size(_w) < $k THEN array(_t)
-       |ELSE transform(sequence(1, size(_w) - ${k - 1}),
-       |  i -> concat_ws(' ', ${(0 until k).map(j => s"element_at(_w, i + $j)").mkString(", ")}))
-       |END""".stripMargin
+  private def shingleExpr(k: Int): String = TextOps.kgramSql(k, "array(_t)")
 
   private def withShingleCol(docs: DataFrame, k: Int): DataFrame =
     // coalesce keeps NULL-text docs in every shingle-based method (split
@@ -106,12 +102,12 @@ object Dedup {
     // whole shingle→signature pipeline (the expensive part) executes twice.
     // Footprint is doc_id + signatures — bytes per doc, cacheable even at
     // corpus scale (MEMORY_AND_DISK spills, never OOMs).
-    val buckets = banded.select(
+    val buckets = PipelineCaches.track(banded.select(
       col("doc_id"),
       array((0 until numHashes).map(j => col(s"sig_$j")): _*).as("sig"),
       posexplode(array((0 until bands).map(b => col(s"band_$b")): _*))
         .as(Seq("band_idx", "band_hash")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     buckets.count()
 
     val l = buckets.select(

@@ -17,6 +17,20 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
+  /** The one word-k-gram SQL generator every shingle consumer shares
+    * (Dedup signatures, Curation gram keys, topNgrams). Operates on a
+    * materialized `_w` token-array column; `shortDoc` is the branch for
+    * docs under k tokens — `"array(_t)"` (whole text as the single gram,
+    * the dedup/decontamination convention, needs a `_t` column) or
+    * `"array()"` (no grams, the counting convention). Kept in one place so
+    * the tokenization can never silently diverge between operators and
+    * their DuckDB oracles. */
+  private[llm] def kgramSql(k: Int, shortDoc: String): String =
+    s"""CASE WHEN size(_w) < $k THEN $shortDoc
+       |ELSE transform(sequence(1, size(_w) - ${k - 1}),
+       |  i -> concat_ws(' ', ${(0 until k).map(j => s"element_at(_w, i + $j)").mkString(", ")}))
+       |END""".stripMargin
+
   /** whitespace tokens (documents are space-separated) */
   def tokens(text: Column): Column = split(text, " ")
 
@@ -159,13 +173,8 @@ object TextOps {
     * count → sort+limit (TakeOrderedAndProject — each partition ships only
     * its own top n). Ties break on the gram text for determinism. */
   def topNgrams(docs: DataFrame, k: Int = 3, n: Int = 20): DataFrame = {
-    val grams =
-      s"""CASE WHEN size(_w) < $k THEN array()
-         |ELSE transform(sequence(1, size(_w) - ${k - 1}),
-         |  i -> concat_ws(' ', ${(0 until k).map(j => s"element_at(_w, i + $j)").mkString(", ")}))
-         |END""".stripMargin
     docs.withColumn("_w", split(coalesce(col("text"), lit("")), " "))
-      .select(explode(expr(grams)).as("gram"))
+      .select(explode(expr(kgramSql(k, "array()"))).as("gram"))
       .groupBy("gram").agg(count(lit(1)).as("n_occurrences"))
       .orderBy(col("n_occurrences").desc, col("gram").asc)
       .limit(n)

@@ -21,9 +21,14 @@ import graft.llm.Similarity
   *
   * This is approximate query processing: pairs whose signatures disagree in
   * every band are never considered, so recall < 1 is possible (identical
-  * and near-identical vectors always share all bands). Hence the rewrite is
-  * DISABLED unless `spark.graft.cosineJoin.rewrite=true`, the standard
-  * opt-in contract for AQP. Tuning:
+  * and near-identical vectors always share all bands), and candidate
+  * dedup gives the output SET semantics — byte-identical duplicate input
+  * rows collapse to one qualifying pair where the cartesian would emit
+  * each. Hence the rewrite is DISABLED unless
+  * `spark.graft.cosineJoin.rewrite=true`, the standard opt-in contract for
+  * AQP. Joins that already carry an equality connecting the two sides are
+  * never rewritten — the planner runs those as equi-joins without a
+  * cartesian, and the rewrite could only lose rows. Tuning:
   *
   *   - `spark.graft.cosineJoin.planes` (default 16) — signature bits
   *   - `spark.graft.cosineJoin.bands`  (default 4)  — higher = more recall
@@ -101,10 +106,45 @@ case class CosineJoinRewrite(spark: SparkSession)
     }
   }
 
+  /** A conjunct that already connects both sides by equality — the join is
+    * then an equi-join the planner handles without a cartesian, and the
+    * rewrite would only LOSE rows (band-disagreeing pairs that the equi-key
+    * matched). Such joins are left untouched. */
+  private def hasEquiConnector(
+      conjuncts: Seq[Expression], left: LogicalPlan, right: LogicalPlan)
+      : Boolean = conjuncts.exists {
+    case EqualTo(x, y) => connects(x, y, left, right)
+    case EqualNullSafe(x, y) => connects(x, y, left, right)
+    case _ => false
+  }
+
+  private def connects(
+      x: Expression, y: Expression, left: LogicalPlan, right: LogicalPlan)
+      : Boolean =
+    (x.references.nonEmpty && y.references.nonEmpty) &&
+      ((x.references.subsetOf(left.outputSet) &&
+        y.references.subsetOf(right.outputSet)) ||
+        (y.references.subsetOf(left.outputSet) &&
+          x.references.subsetOf(right.outputSet)))
+
+  /** Grouping by every output column implements the candidate dedup; types
+    * like MapType cannot be grouped and would fail analysis. */
+  private def groupable(p: LogicalPlan): Boolean =
+    p.output.forall(a => org.apache.spark.sql.catalyst.expressions
+      .RowOrdering.isOrderable(a.dataType))
+
   private def rewrite(
       cond: Expression, left: LogicalPlan, right: LogicalPlan)
       : Option[LogicalPlan] = {
-    val pair = splitConjunctivePredicates(cond)
+    if (planes <= 0 || bands <= 0 || planes % bands != 0) {
+      logWarning(s"spark.graft.cosineJoin: planes ($planes) must be a " +
+        s"positive multiple of bands ($bands); rewrite skipped")
+      return None
+    }
+    if (!groupable(left) || !groupable(right)) return None
+    val conjuncts = splitConjunctivePredicates(cond)
+    if (hasEquiConnector(conjuncts, left, right)) return None
+    val pair = conjuncts
       .flatMap(cosineThreshold).flatMap { case (x, y) =>
         if (x.references.subsetOf(left.outputSet) &&
           y.references.subsetOf(right.outputSet)) Some((x, y))
@@ -116,10 +156,14 @@ case class CosineJoinRewrite(spark: SparkSession)
       val width = planes / bands
       def banded(side: LogicalPlan, emb: Expression) = {
         val df = PlanBridge.ofRows(spark, side)
-        val sig = Similarity.lshSignature(
-          org.apache.spark.sql.graftbridge.ColumnBridge.column(emb),
-          planes, dim)
-        df.withColumn(Sig, sig)
+        val embCol =
+          org.apache.spark.sql.graftbridge.ColumnBridge.column(emb)
+        val sig = Similarity.lshSignature(embCol, planes, dim)
+        // a NULL embedding can never satisfy cosine >= t (> 0): the
+        // original plan filters such rows out, so drop them BEFORE the
+        // signature whose dim guard would otherwise raise on size(NULL)
+        df.filter(embCol.isNotNull)
+          .withColumn(Sig, sig)
           .select(col("*"), posexplode(array((0 until bands).map(b =>
             substring(col(Sig), b * width + 1, width)): _*))
             .as(Seq(BandIdx, BandKey)))

@@ -86,6 +86,9 @@ object ScaleProbe {
         val cands = graft.llm.Dedup.minhashCandidates(d)
         graft.llm.Curation.dupGroups(d.select("doc_id"), cands).count()
       }
+      // reclaim the operators' persisted intermediates between multiples so
+      // the 4x measurement isn't skewed by 1x leftovers
+      graft.llm.PipelineCaches.clear()
       println(f"[scale ${mult}x] minhash_pairs: $nPairs%d cand in " +
         f"$tPairs%.1fs | embcos_pairs: $nDup%d in $tDup%.1fs | " +
         f"topk: $nTop%d rows in $tTop%.1fs | contaminated: $nCont%d in " +

@@ -102,6 +102,54 @@ class CosineJoinRewriteSpec extends AnyFunSuite {
     } finally s.conf.set("spark.graft.cosineJoin.rewrite", "false")
   }
 
+  test("joins already connected by an equality are never rewritten") {
+    val s = spark
+    GraftExtensions.register(s)
+    val (l, r) = sides(s)
+    s.conf.set("spark.graft.cosineJoin.rewrite", "true")
+    try {
+      // id_a === id_b + 1000 is an equi-connector: the planner runs this
+      // without a cartesian, and an LSH rewrite could only LOSE rows
+      val j = l.join(r, col("id_a") === col("id_b") + 1000L &&
+        Similarity.cosine(col("emb_a"), col("emb_b")) >= lit(0.95))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("__graft_band"), plan)
+      // the 5 planted copies (id + 1000, identical embedding) all survive
+      assert(j.count() == 5)
+    } finally s.conf.set("spark.graft.cosineJoin.rewrite", "false")
+  }
+
+  test("invalid planes/bands config skips the rewrite instead of degenerating") {
+    val s = spark
+    GraftExtensions.register(s)
+    val (l, r) = sides(s)
+    s.conf.set("spark.graft.cosineJoin.rewrite", "true")
+    s.conf.set("spark.graft.cosineJoin.planes", "3") // < bands (4)
+    try {
+      val plan = thresholdJoin(l, r).queryExecution.executedPlan.toString
+      assert(!plan.contains("__graft_band"), plan)
+    } finally {
+      s.conf.set("spark.graft.cosineJoin.rewrite", "false")
+      s.conf.set("spark.graft.cosineJoin.planes", "16")
+    }
+  }
+
+  test("NULL embeddings are dropped, not raised on") {
+    val s = spark
+    GraftExtensions.register(s)
+    val (l, r) = sides(s)
+    val withNull = l.unionAll(l.limit(1).select(col("id_a") + 5000L,
+      org.apache.spark.sql.functions.lit(null)
+        .cast("array<float>").as("emb_a")))
+    s.conf.set("spark.graft.cosineJoin.rewrite", "true")
+    try {
+      // the original plan filters NULL-cosine rows; the rewrite must too
+      val out = pairs(thresholdJoin(withNull, r))
+      assert((0L until 5L).forall(id => out.contains((id + 1000L, id))))
+      assert(out.forall(_._1 < 5000L))
+    } finally s.conf.set("spark.graft.cosineJoin.rewrite", "false")
+  }
+
   test("SQL cosine_sim form triggers the same rewrite") {
     val s = spark
     GraftExtensions.register(s)
