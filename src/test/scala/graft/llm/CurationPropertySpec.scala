@@ -1,0 +1,86 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Properties of the curation operators on arbitrary inputs:
+  *
+  *  - seqPack partitions each shard's token stream exactly — offsets are a
+  *    gap-free cumulative sum in doc_id order and chunk spans follow from
+  *    the offsets arithmetically;
+  *  - dupGroups with enough rounds equals brute-force connected components
+  *    (the min-label fixpoint IS the component minimum). */
+class CurationPropertySpec extends AnyFunSuite {
+
+  private val docsGen: Gen[List[String]] = Gen.listOfN(24,
+    Gen.choose(0, 12).map(n => List.fill(n)("w").mkString(" ")))
+
+  test("property_seqpack_offsets_partition_each_shard") {
+    val s = SparkTestSession.spark
+    import s.implicits._
+    val prop = Prop.forAll(docsGen, Gen.choose(2, 16), Gen.choose(1, 4)) {
+      (texts, seqLen, nShards) =>
+        val df = texts.zipWithIndex
+          .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+        val out = TextOps.seqPack(df, seqLen, nShards).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+            r.getLong(4), r.getLong(5)))
+        out.groupBy(_._2).forall { case (_, shard) =>
+          val ordered = shard.sortBy(_._1)
+          val offsetsContiguous = ordered.foldLeft((true, 0L)) {
+            case ((ok, expected), (_, _, n, start, _, _)) =>
+              (ok && start == expected, expected + n)
+          }._1
+          val chunksArithmetic = ordered.forall {
+            case (_, _, n, start, first, last) =>
+              first == start / seqLen && last == (start + n - 1).max(start) / seqLen
+          }
+          offsetsContiguous && chunksArithmetic
+        }
+    }
+    val result = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(result.passed, result.status.toString)
+  }
+
+  private val edgesGen: Gen[List[(Long, Long)]] = Gen.listOfN(12,
+    Gen.zip(Gen.choose(0L, 7L), Gen.choose(0L, 7L)))
+
+  test("property_dupgroups_fixpoint_equals_connected_components") {
+    val s = SparkTestSession.spark
+    import s.implicits._
+    val prop = Prop.forAll(edgesGen) { rawEdges =>
+      val nodes = (0L to 7L).toList
+      val edges = rawEdges.filter(p => p._1 != p._2)
+        .map { case (a, b) => (a.min(b), a.max(b)) }.distinct
+      // brute force: iterate min-label to fixpoint driver-side
+      val adj = (edges ++ edges.map(_.swap)).groupBy(_._1)
+        .map { case (k, v) => k -> v.map(_._2) }
+      var labels = nodes.map(n => n -> n).toMap
+      var changed = true
+      while (changed) {
+        val next = labels.map { case (n, l) =>
+          n -> (l +: adj.getOrElse(n, Nil).map(labels)).min
+        }
+        changed = next != labels
+        labels = next
+      }
+      // 8 nodes: diameter < 8, so 8 rounds certainly reach the fixpoint
+      val got = Curation.dupGroups(
+        nodes.toDF("doc_id"),
+        edges.toDF("doc_a", "doc_b"), iters = 8)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      graft.llm.PipelineCaches.clear()
+      if (got != labels) {
+        println(s"COUNTEREXAMPLE edges=$edges got=$got expected=$labels")
+      }
+      got == labels
+    }
+    val result = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(4), prop)
+    assert(result.passed, result.status.toString)
+  }
+}
