@@ -19,7 +19,8 @@ object ExplainPlans {
       "q_ann_cosine_topk", "q_ann_lsh_topk", "q_events_windowed",
       "q_topk_pergroup", "q_events_asof", "q_events_sessions",
       "q_dedup_embcos", "q_ts_rolling",
-      "q_decontaminate", "q_quality_repetition", "q_pii_scrub")
+      "q_decontaminate", "q_quality_repetition", "q_pii_scrub",
+      "q_seq_pack", "q_top_ngrams", "q_dedup_groups")
     interesting.foreach { name =>
       println(s"\n========== $name ==========")
       graft.SparkEntry.queries(name)(spark, dir).explain("formatted")
