@@ -128,21 +128,28 @@ object Similarity {
     * is one transform pass; search cost is |corpus| × nProbe / nLists.
     * Centroids are tiny and handled driver-side; everything else is joins
     * and bounded top-k aggregates. */
-  def ivfTopK(
-      embeddings: DataFrame, queryIds: Seq[Long], k: Int = 10,
-      nLists: Int = 16, nProbe: Int = 4, seed: Long = 42L,
-      quantizerSample: Double = 0.25): DataFrame = {
+  /** A built IVF index: the cell-assigned corpus (persisted — bytes per
+    * vector beyond the embeddings themselves) plus the driver-side
+    * centroids. Build once, [[searchIvf]] many — the vector-store model
+    * where quantizer training and corpus assignment amortize over every
+    * query batch. [[PipelineCaches.clear]] releases the assignment cache. */
+  final case class IvfIndex(
+      assigned: DataFrame, centers: Array[Array[Double]])
+
+  /** Train the coarse quantizer and assign every corpus vector to a cell.
+    * A coarse quantizer needs rough cells, not convergence: fit on a
+    * seeded sample (IVF practice — at corpus scale you train the quantizer
+    * on a sliver, then assign everything), random init (one pass; kmeans||
+    * costs several), few iterations. */
+  /** @param persist cache the assignment (the build-once/search-many
+    *                 mode); pass false when the index serves a single
+    *                 batch and the cache write would be pure overhead */
+  def buildIvfIndex(
+      embeddings: DataFrame, nLists: Int = 16, seed: Long = 42L,
+      quantizerSample: Double = 0.25, persist: Boolean = true): IvfIndex = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val spark = embeddings.sparkSession
-    import spark.implicits._
-
     val withVec = embeddings.withColumn("_v", array_to_vector(col("embedding")))
-    // A coarse quantizer needs rough cells, not convergence: fit on a
-    // seeded sample (IVF practice — at corpus scale you train the
-    // quantizer on a sliver, then assign everything), random init (one
-    // pass; kmeans|| costs several), few iterations, and cache the sample
-    // the iterations sweep.
     val trainVecs = withVec.sample(withReplacement = false,
       fraction = math.min(1.0, quantizerSample), seed = seed).cache()
     val km = new KMeans().setK(nLists).setSeed(seed).setMaxIter(5)
@@ -150,34 +157,55 @@ object Similarity {
       .setFeaturesCol("_v").setPredictionCol("_list")
     val model = km.fit(trainVecs)
     trainVecs.unpersist()
-    val assigned = model.transform(withVec)
+    val raw = model.transform(withVec)
       .select(col("vec_id"), col("embedding"), col("_list"))
+    val assigned =
+      if (persist) PipelineCaches.track(raw
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      else raw
+    IvfIndex(assigned, model.clusterCenters.map(_.toArray))
+  }
 
-    // nProbe nearest cells per query — centroids are driver-side constants
-    val centers = model.clusterCenters.map(_.toArray)
-    val queries = embeddings.filter(col("vec_id").isInCollection(queryIds))
-      .select(col("vec_id"), col("embedding"))
-      .collect()
+  /** Probe the index: each query visits its nProbe nearest cells, exact
+    * cosine rescores only inside those cells (|corpus| × nProbe / nLists
+    * candidates). Queries are a (vec_id, embedding) DataFrame — a handful
+    * of rows, collected and broadcast. */
+  def searchIvf(
+      index: IvfIndex, queries: DataFrame, k: Int = 10, nProbe: Int = 4)
+      : DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val q = queries.select(col("vec_id"), col("embedding")).collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
-    val probes = queries.flatMap { case (qid, q) =>
-      centers.zipWithIndex
+    // nProbe nearest cells per query — centroids are driver-side constants
+    val probes = q.flatMap { case (qid, emb) =>
+      index.centers.zipWithIndex
         .map { case (c, i) =>
-          val dist = q.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum
+          val dist = emb.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum
           (i, dist)
         }
         .sortBy(_._2).take(nProbe)
         .map { case (list, _) => (qid, list) }
     }.toSeq.toDF("query_id", "_list")
-
-    val qEmb = embeddings.filter(col("vec_id").isInCollection(queryIds))
+    val qEmb = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    val candidates = assigned
+    val candidates = index.assigned
       .join(broadcast(probes), Seq("_list"))
       .join(broadcast(qEmb), Seq("query_id"))
       .filter(col("vec_id") =!= col("query_id"))
     val scored = candidates.select(col("query_id"), col("vec_id"),
       round(cosine(col("q_emb"), col("embedding")), 6).as("cos_sim"))
     rankTopK(scored, k)
+  }
+
+  def ivfTopK(
+      embeddings: DataFrame, queryIds: Seq[Long], k: Int = 10,
+      nLists: Int = 16, nProbe: Int = 4, seed: Long = 42L,
+      quantizerSample: Double = 0.25): DataFrame = {
+    val index =
+      buildIvfIndex(embeddings, nLists, seed, quantizerSample, persist = false)
+    searchIvf(index,
+      embeddings.filter(col("vec_id").isInCollection(queryIds)), k, nProbe)
   }
 
   /** Embedding-cosine near-duplicate pairs above a threshold, via LSH

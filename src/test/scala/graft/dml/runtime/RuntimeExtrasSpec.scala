@@ -175,6 +175,25 @@ class RuntimeExtrasSpec extends AnyFunSuite {
     assert(recall >= 0.2, s"IVF recall $recall too low")
   }
 
+  test("IVF index builds once and serves several query batches identically") {
+    val s = spark
+    val e = s.table("embeddings")
+    val index = graft.llm.Similarity.buildIvfIndex(e, nLists = 8)
+    def q(ids: Seq[Long]) = e.filter(col("vec_id").isInCollection(ids))
+    val viaIndex = graft.llm.Similarity.searchIvf(index, q(Seq(0L, 1L)),
+      k = 10, nProbe = 4).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // a second batch on the SAME index (no re-fit, no re-assign)
+    val second = graft.llm.Similarity.searchIvf(index, q(Seq(2L)),
+      k = 10, nProbe = 4).collect()
+    assert(second.nonEmpty && second.forall(_.getLong(0) == 2L))
+    // one-shot path = build + search composed, so results agree exactly
+    val oneShot = graft.llm.Similarity.ivfTopK(e, Seq(0L, 1L), k = 10,
+      nLists = 8, nProbe = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaIndex == oneShot)
+    graft.llm.PipelineCaches.clear()
+  }
+
   test("embedding classifier: array feature column becomes the vector") {
     val spec = DmlParser.parse(
       "TRAIN MODEL emb_clf USING logistic_regression(max_iter=15) " +
