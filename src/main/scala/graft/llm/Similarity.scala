@@ -122,28 +122,27 @@ object Similarity {
     rankTopK(scored, k)
   }
 
-  /** IVF (inverted-file) ANN: a KMeans coarse quantizer partitions vectors
-    * into nLists cells; each query probes its nProbe nearest centroids and
-    * rescored exact cosine runs only inside those cells. The index assign
-    * is one transform pass; search cost is |corpus| × nProbe / nLists.
-    * Centroids are tiny and handled driver-side; everything else is joins
-    * and bounded top-k aggregates. */
-  /** A built IVF index: the cell-assigned corpus (persisted — bytes per
-    * vector beyond the embeddings themselves) plus the driver-side
-    * centroids. Build once, [[searchIvf]] many — the vector-store model
-    * where quantizer training and corpus assignment amortize over every
-    * query batch. [[PipelineCaches.clear]] releases the assignment cache. */
+  /** A built IVF (inverted-file) index: the cell-assigned corpus plus the
+    * driver-side centroids. Build once, [[searchIvf]] many — the
+    * vector-store model where quantizer training and corpus assignment
+    * amortize over every query batch. The assignment cache is OWNED by the
+    * index, not by [[PipelineCaches]] — a long-lived index must survive
+    * unrelated pipelines reclaiming their scratch caches; call [[release]]
+    * when done with it. */
   final case class IvfIndex(
-      assigned: DataFrame, centers: Array[Array[Double]])
+      assigned: DataFrame, centers: Array[Array[Double]]) {
+    def release(): Unit = assigned.unpersist(blocking = false)
+  }
 
   /** Train the coarse quantizer and assign every corpus vector to a cell.
     * A coarse quantizer needs rough cells, not convergence: fit on a
     * seeded sample (IVF practice — at corpus scale you train the quantizer
     * on a sliver, then assign everything), random init (one pass; kmeans||
-    * costs several), few iterations. */
-  /** @param persist cache the assignment (the build-once/search-many
-    *                 mode); pass false when the index serves a single
-    *                 batch and the cache write would be pure overhead */
+    * costs several), few iterations.
+    *
+    * @param persist cache the assignment (the build-once/search-many
+    *                mode); pass false when the index serves a single
+    *                batch and the cache write would be pure overhead */
   def buildIvfIndex(
       embeddings: DataFrame, nLists: Int = 16, seed: Long = 42L,
       quantizerSample: Double = 0.25, persist: Boolean = true): IvfIndex = {
@@ -160,8 +159,8 @@ object Similarity {
     val raw = model.transform(withVec)
       .select(col("vec_id"), col("embedding"), col("_list"))
     val assigned =
-      if (persist) PipelineCaches.track(raw
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      if (persist) raw
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else raw
     IvfIndex(assigned, model.clusterCenters.map(_.toArray))
   }
@@ -169,30 +168,41 @@ object Similarity {
   /** Probe the index: each query visits its nProbe nearest cells, exact
     * cosine rescores only inside those cells (|corpus| × nProbe / nLists
     * candidates). Queries are a (vec_id, embedding) DataFrame — a handful
-    * of rows, collected and broadcast. */
+    * of rows, collected ONCE; both the probe table and the query-embedding
+    * broadcast are rebuilt from the collected rows, so the queries plan
+    * (often a corpus scan behind a filter) is never evaluated twice.
+    *
+    * @param excludeQueryIds drop corpus vectors whose vec_id equals the
+    *                        query's id — right when queries ARE corpus rows
+    *                        (self-search, the default); pass false for
+    *                        external query vectors, where an id collision
+    *                        is meaningless and exclusion would silently
+    *                        hide true neighbors */
   def searchIvf(
-      index: IvfIndex, queries: DataFrame, k: Int = 10, nProbe: Int = 4)
-      : DataFrame = {
+      index: IvfIndex, queries: DataFrame, k: Int = 10, nProbe: Int = 4,
+      excludeQueryIds: Boolean = true): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
     val q = queries.select(col("vec_id"), col("embedding")).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .map(r => r.getLong(0) -> r.getSeq[Float](1))
     // nProbe nearest cells per query — centroids are driver-side constants
     val probes = q.flatMap { case (qid, emb) =>
+      val e = emb.map(_.toDouble).toArray
       index.centers.zipWithIndex
         .map { case (c, i) =>
-          val dist = emb.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum
+          val dist = e.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum
           (i, dist)
         }
         .sortBy(_._2).take(nProbe)
         .map { case (list, _) => (qid, list) }
     }.toSeq.toDF("query_id", "_list")
-    val qEmb = queries
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    val candidates = index.assigned
+    val qEmb = q.toSeq.toDF("query_id", "q_emb")
+    val joined = index.assigned
       .join(broadcast(probes), Seq("_list"))
       .join(broadcast(qEmb), Seq("query_id"))
-      .filter(col("vec_id") =!= col("query_id"))
+    val candidates =
+      if (excludeQueryIds) joined.filter(col("vec_id") =!= col("query_id"))
+      else joined
     val scored = candidates.select(col("query_id"), col("vec_id"),
       round(cosine(col("q_emb"), col("embedding")), 6).as("cos_sim"))
     rankTopK(scored, k)

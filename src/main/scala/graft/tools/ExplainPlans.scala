@@ -20,10 +20,16 @@ object ExplainPlans {
       "q_topk_pergroup", "q_events_asof", "q_events_sessions",
       "q_dedup_embcos", "q_ts_rolling",
       "q_decontaminate", "q_quality_repetition", "q_pii_scrub",
-      "q_seq_pack", "q_top_ngrams", "q_dedup_groups")
+      "q_seq_pack", "q_top_ngrams")
+    // q_dedup_groups is deliberately absent: building its DataFrame RUNS
+    // the propagation rounds (eager per-round materialization), so its
+    // "plan" is an InMemoryTableScan of the final round — nothing to audit.
     interesting.foreach { name =>
       println(s"\n========== $name ==========")
       graft.SparkEntry.queries(name)(spark, dir).explain("formatted")
+      // entries that persist intermediates (band buckets) must not pin
+      // them for the rest of the audit
+      graft.llm.PipelineCaches.clear()
     }
     spark.stop()
   }

@@ -179,19 +179,42 @@ class RuntimeExtrasSpec extends AnyFunSuite {
     val s = spark
     val e = s.table("embeddings")
     val index = graft.llm.Similarity.buildIvfIndex(e, nLists = 8)
-    def q(ids: Seq[Long]) = e.filter(col("vec_id").isInCollection(ids))
-    val viaIndex = graft.llm.Similarity.searchIvf(index, q(Seq(0L, 1L)),
-      k = 10, nProbe = 4).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    // a second batch on the SAME index (no re-fit, no re-assign)
-    val second = graft.llm.Similarity.searchIvf(index, q(Seq(2L)),
-      k = 10, nProbe = 4).collect()
-    assert(second.nonEmpty && second.forall(_.getLong(0) == 2L))
-    // one-shot path = build + search composed, so results agree exactly
-    val oneShot = graft.llm.Similarity.ivfTopK(e, Seq(0L, 1L), k = 10,
-      nLists = 8, nProbe = 4).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(viaIndex == oneShot)
-    graft.llm.PipelineCaches.clear()
+    try {
+      def q(ids: Seq[Long]) = e.filter(col("vec_id").isInCollection(ids))
+      val viaIndex = graft.llm.Similarity.searchIvf(index, q(Seq(0L, 1L)),
+        k = 10, nProbe = 4).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // a second batch on the SAME index (no re-fit, no re-assign)
+      val second = graft.llm.Similarity.searchIvf(index, q(Seq(2L)),
+        k = 10, nProbe = 4).collect()
+      assert(second.nonEmpty && second.forall(_.getLong(0) == 2L))
+      // one-shot path = build + search composed, so results agree exactly
+      val oneShot = graft.llm.Similarity.ivfTopK(e, Seq(0L, 1L), k = 10,
+        nLists = 8, nProbe = 4).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(viaIndex == oneShot)
+    } finally index.release()
+  }
+
+  test("external query vectors search without id-collision exclusion") {
+    val s = spark
+    import s.implicits._
+    val e = s.table("embeddings")
+    val index = graft.llm.Similarity.buildIvfIndex(e, nLists = 8)
+    try {
+      // external queries numbered 0..1: ids collide with corpus vec_ids
+      // but are UNRELATED vectors; corpus vectors 0 and 1 must remain
+      // eligible results
+      val ext = e.filter(col("vec_id").isInCollection(Seq(7L, 8L)))
+        .select((col("vec_id") - 7L).as("vec_id"), col("embedding"))
+      val hits = graft.llm.Similarity
+        .searchIvf(index, ext, k = 10, nProbe = 8, excludeQueryIds = false)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      // query q is corpus vector q+7: its own corpus row is the 1.0-cosine
+      // top hit, and must NOT have been excluded by the id filter
+      assert(hits.filter(_._1 == 0L).map(_._2).contains(7L))
+      assert(hits.filter(_._1 == 1L).map(_._2).contains(8L))
+    } finally index.release()
   }
 
   test("embedding classifier: array feature column becomes the vector") {

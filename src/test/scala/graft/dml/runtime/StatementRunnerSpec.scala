@@ -172,16 +172,17 @@ class StatementRunnerSpec extends AnyFunSuite {
   test("COMPUTE with a table kernel runs from DSL text alone") {
     val (runner, _, _) = freshRunner()
     // table resolution is by column match: `text` lives in documents
-    val r = runner.run(DmlParser.parse(
-      "COMPUTE dedup_pass FROM table(text) INTO column(dup_group) " +
-        "USING minhash_dedup"))
-    assert(r.kind == "compute" && r.summary.contains("documents"))
-    val out = r.data.get
-    assert(out.columns.contains("dup_group"))
-    // fixture corpus has no exact dups: groups ⊆ own doc_id space and the
-    // operator assigns every doc a group
-    assert(out.count() == spark.table("documents").count())
-    graft.llm.PipelineCaches.clear()
+    try {
+      val r = runner.run(DmlParser.parse(
+        "COMPUTE dedup_pass FROM table(text) INTO column(dup_group) " +
+          "USING minhash_dedup"))
+      assert(r.kind == "compute" && r.summary.contains("documents"))
+      val out = r.data.get
+      assert(out.columns.contains("dup_group"))
+      // fixture corpus has no exact dups: groups ⊆ own doc_id space and the
+      // operator assigns every doc a group
+      assert(out.count() == spark.table("documents").count())
+    } finally graft.llm.PipelineCaches.clear()
   }
 
   test("feature transformer registers a queryable view") {

@@ -34,9 +34,11 @@ class CurationPropertySpec extends AnyFunSuite {
             case ((ok, expected), (_, _, n, start, _, _)) =>
               (ok && start == expected, expected + n)
           }._1
+          // n >= 1 always (an empty string still splits to one token), so
+          // the last-chunk recurrence is exactly the implementation's
           val chunksArithmetic = ordered.forall {
             case (_, _, n, start, first, last) =>
-              first == start / seqLen && last == (start + n - 1).max(start) / seqLen
+              first == start / seqLen && last == (start + n - 1) / seqLen
           }
           offsetsContiguous && chunksArithmetic
         }
