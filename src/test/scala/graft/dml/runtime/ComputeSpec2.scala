@@ -81,6 +81,27 @@ class ComputeSpec2 extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("EVERY k TICKS works with a table kernel and reclaims its caches") {
+    val s = spark
+    val spec = parse(
+      "COMPUTE stream_dedup FROM table(text) INTO column(dup_group) " +
+        "EVERY 2 TICKS USING minhash_dedup")
+    val q = ComputeRegistry.schedule(s, spec, "documents", tickMs = 100L)
+    try {
+      val deadline = System.currentTimeMillis() + 30000
+      var ok = false
+      while (!ok && System.currentTimeMillis() < deadline) {
+        Thread.sleep(200)
+        ok = s.catalog.tableExists("stream_dedup_out")
+      }
+      assert(ok, "tick scheduler never materialized stream_dedup_out")
+      assert(s.table("stream_dedup_out").columns.contains("dup_group"))
+    } finally {
+      q.stop()
+      graft.llm.PipelineCaches.clear()
+    }
+  }
+
   test("minhash_dedup table kernel groups planted copies via the DSL") {
     val s = spark
     val d = s.table("documents").select("doc_id", "text")
