@@ -150,26 +150,37 @@ object Curation {
       .unionAll(cached.select(col("doc_b").as("src"), col("doc_a").as("dst")))
     var labels = nodes.select(col("doc_id"), col("doc_id").as("label"))
     var prev: DataFrame = null
-    for (round <- 1 to iters) {
+    var round = 1
+    var converged = false
+    while (round <= iters && !converged) {
       val nbrMin = edges
         .join(labels.withColumnRenamed("doc_id", "_sid"), col("src") === col("_sid"))
         .groupBy(col("dst").as("doc_id")).agg(min("label").as("_nbr"))
       val next = labels.join(nbrMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("label").as("_old"),
           least(col("label"), coalesce(col("_nbr"), col("label"))).as("label"))
       if (round < iters) {
         // force materialization so the next round reads the cache instead
         // of stacking (and doubling) lineage — persist alone is lazy. The
-        // FINAL round skips this: its two inputs are already cached, so the
-        // caller's own action materializes it without lineage blow-up.
+        // same job doubles as the convergence check: zero changed labels
+        // means the fixpoint is reached and remaining rounds are no-ops.
+        // The FINAL round skips all this: its two inputs are already
+        // cached, so the caller's own action materializes it directly.
         val p = PipelineCaches.track(next.persist(StorageLevel.MEMORY_AND_DISK))
-        p.count()
+        // one full-scan aggregate: materializes every cached partition
+        // (isEmpty could short-circuit and leave the cache partial) and
+        // returns the changed-label count in the same job
+        val changed = p.agg(coalesce(
+          sum(when(col("label") =!= col("_old"), 1L).otherwise(0L)), lit(0L)))
+          .head.getLong(0)
+        converged = changed == 0L
         if (prev != null) prev.unpersist(blocking = false)
         prev = p
-        labels = p
+        labels = p.drop("_old")
       } else {
-        labels = next
+        labels = next.drop("_old")
       }
+      round += 1
     }
     labels.select(col("doc_id"), col("label").as("dup_group"))
   }

@@ -72,16 +72,35 @@ case class CosineJoinRewrite(spark: SparkSession)
     }
   }
 
-  /** A conjunct of shape cosine(a,b) >= t (or flipped) with t > 0. */
+  /** cosine(a,b), optionally wrapped in round(·, k) — rounding commutes
+    * with "is this pair a candidate" since the ORIGINAL predicate rescores
+    * candidates exactly; only the pruning side needs the pair. */
+  private object Cosineish {
+    def unapply(e: Expression): Option[(Expression, Expression)] = e match {
+      case CosineOf(a, b) => Some((a, b))
+      case Round(CosineOf(a, b), Literal(_, _), _) => Some((a, b))
+      case _ => None
+    }
+  }
+
+  /** A conjunct of shape cosine(a,b) >= t (or flipped), or the distance
+    * form 1 - cosine(a,b) <= d, with an effective similarity bound > 0. */
   private def cosineThreshold(e: Expression): Option[(Expression, Expression)] =
     e match {
-      case GreaterThanOrEqual(CosineOf(a, b), Literal(t: Double, _)) if t > 0 =>
+      case GreaterThanOrEqual(Cosineish(a, b), Literal(t: Double, _)) if t > 0 =>
         Some((a, b))
-      case GreaterThan(CosineOf(a, b), Literal(t: Double, _)) if t > 0 =>
+      case GreaterThan(Cosineish(a, b), Literal(t: Double, _)) if t > 0 =>
         Some((a, b))
-      case LessThanOrEqual(Literal(t: Double, _), CosineOf(a, b)) if t > 0 =>
+      case LessThanOrEqual(Literal(t: Double, _), Cosineish(a, b)) if t > 0 =>
         Some((a, b))
-      case LessThan(Literal(t: Double, _), CosineOf(a, b)) if t > 0 =>
+      case LessThan(Literal(t: Double, _), Cosineish(a, b)) if t > 0 =>
+        Some((a, b))
+      // cosine DISTANCE: (1 - cos) <= d  ⇔  cos >= 1 - d, candidate iff 1-d > 0
+      case LessThanOrEqual(Subtract(Literal(one: Double, _), Cosineish(a, b), _),
+          Literal(d: Double, _)) if one == 1.0 && 1.0 - d > 0 =>
+        Some((a, b))
+      case LessThan(Subtract(Literal(one: Double, _), Cosineish(a, b), _),
+          Literal(d: Double, _)) if one == 1.0 && 1.0 - d > 0 =>
         Some((a, b))
       case _ => None
     }

@@ -82,6 +82,18 @@ class CurationSpec extends AnyFunSuite {
     assert(out(3L).getInt(2) == 2 && out(3L).getInt(3) == 1)
   }
 
+  test("dup groups early-stops at the fixpoint without changing the result") {
+    val s = spark
+    import s.implicits._
+    val nodes = (0L to 5L).toDF("doc_id")
+    // stars of diameter 2: fixpoint after round 1, detected in round 2
+    val cands = Seq((0L, 1L), (0L, 2L), (3L, 4L)).toDF("doc_a", "doc_b")
+    // a generous round budget must not change the converged answer
+    val g = Curation.dupGroups(nodes, cands, iters = 50)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(g == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L, 4L -> 3L, 5L -> 5L))
+  }
+
   test("dup groups: chain and star components converge to min label") {
     val s = spark
     import s.implicits._

@@ -150,6 +150,35 @@ class CosineJoinRewriteSpec extends AnyFunSuite {
     } finally s.conf.set("spark.graft.cosineJoin.rewrite", "false")
   }
 
+  test("rounded-cosine and cosine-distance forms also trigger the rewrite") {
+    val s = spark
+    GraftExtensions.register(s)
+    val (l, r) = sides(s)
+    s.conf.set("spark.graft.cosineJoin.rewrite", "true")
+    try {
+      // round(cosine, 6) >= t — the form our own ranking code emits
+      val rounded = l.crossJoin(r).filter(
+        round(Similarity.cosine(col("emb_a"), col("emb_b")), 6) >= lit(0.95))
+      val pRounded = rounded.queryExecution.executedPlan.toString
+      assert(!pRounded.contains("CartesianProduct")
+        && !pRounded.contains("BroadcastNestedLoopJoin"), pRounded)
+      assert((0L until 5L).forall(id => pairs(rounded).contains((id + 1000L, id))))
+      // 1 - cosine <= d (cosine distance)
+      val dist = l.crossJoin(r).filter(
+        (lit(1.0) - Similarity.cosine(col("emb_a"), col("emb_b"))) <= lit(0.05))
+      val pDist = dist.queryExecution.executedPlan.toString
+      assert(!pDist.contains("CartesianProduct")
+        && !pDist.contains("BroadcastNestedLoopJoin"), pDist)
+      assert((0L until 5L).forall(id => pairs(dist).contains((id + 1000L, id))))
+      // distance bound >= 1 means similarity bound <= 0: NOT rewritten
+      val loose = l.crossJoin(r).filter(
+        (lit(1.0) - Similarity.cosine(col("emb_a"), col("emb_b"))) <= lit(1.5))
+      val pLoose = loose.queryExecution.executedPlan.toString
+      assert(pLoose.contains("CartesianProduct")
+        || pLoose.contains("BroadcastNestedLoopJoin"), pLoose)
+    } finally s.conf.set("spark.graft.cosineJoin.rewrite", "false")
+  }
+
   test("SQL cosine_sim form triggers the same rewrite") {
     val s = spark
     GraftExtensions.register(s)
