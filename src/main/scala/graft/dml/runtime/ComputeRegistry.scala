@@ -51,8 +51,12 @@ object ComputeRegistry {
 
   private val tableKernels = new ConcurrentHashMap[String, TableKernel]()
 
-  private def keyed(df: DataFrame, textCol: String): DataFrame =
+  private def keyed(df: DataFrame, textCol: String): DataFrame = {
+    require(df.columns.contains("doc_id"),
+      s"table kernels require a 'doc_id' key column; relation has " +
+        s"[${df.columns.mkString(", ")}]")
     df.select(col("doc_id"), col(textCol).as("text"))
+  }
 
   private val tableBuiltins: Map[String, TableKernel] = Map(
     // banded MinHash candidates -> min-label propagation -> group id

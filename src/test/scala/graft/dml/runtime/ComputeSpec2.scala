@@ -131,6 +131,16 @@ class ComputeSpec2 extends AnyFunSuite {
       .map(_.getInt(0)).toSeq == Seq(64))
   }
 
+  test("table kernels demand a doc_id key with a clear error") {
+    val s = spark
+    val spec = parse(
+      "COMPUTE x FROM table(o_comment) INTO column(sig) USING simhash")
+    val e = intercept[IllegalArgumentException] {
+      ComputeRegistry.runOnce(s, spec, "orders")
+    }
+    assert(e.getMessage.contains("doc_id"))
+  }
+
   test("pii_scrub column kernel redacts through the DSL") {
     val s = spark
     import s.implicits._
