@@ -9,7 +9,8 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 
 object GraftCollectTopK {
   /** The bounded-heap top-k collector as an AggregateExpression;
-    * `reverse=true` keeps the largest k under the child type's ordering. */
+    * `reverse=false` keeps the k LARGEST under the child type's ordering,
+    * `reverse=true` the k smallest (see graft.plans.TopKSpec). */
   def apply(e: Expression, k: Int, reverse: Boolean): Expression =
     CollectTopK(e, k, reverse).toAggregateExpression()
 }

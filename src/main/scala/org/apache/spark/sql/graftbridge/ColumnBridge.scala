@@ -27,8 +27,9 @@ object ColumnBridge {
     org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 
   /** Catalyst's bounded-heap top-k collector: the partial-aggregating
-    * primitive behind graft.plans.TopK. `reverse=true` keeps the largest k
-    * under the child type's ordering. */
+    * primitive behind graft.plans.TopK. `reverse=false` keeps the k
+    * LARGEST under the child type's ordering, `reverse=true` the k
+    * smallest (verified against the window-rank oracle in TopKSpec). */
   def collectTopK(e: Expression, k: Int, reverse: Boolean): Column =
     column(org.apache.spark.sql.catalyst.expressions.aggregate
       .GraftCollectTopK(e, k, reverse))
