@@ -24,6 +24,15 @@ object ComputeRegistry {
 
   private val kernels = new ConcurrentHashMap[String, Kernel]()
 
+  // last batch's cache scope per tick-scheduled compute (see schedule)
+  private val scheduledScopes =
+    new ConcurrentHashMap[String, graft.llm.PipelineCaches.Scope]()
+
+  /** Release the cache scope of a stopped tick-scheduled compute's final
+    * batch. Idempotent; unknown names are a no-op. */
+  def reclaimScheduled(name: String): Unit =
+    Option(scheduledScopes.remove(name)).foreach(_.clear())
+
   /** Deterministic, codegen-friendly builtins. */
   private val builtins: Map[String, Kernel] = Map(
     "vector_add" -> (cols => cols.reduce(_ + _)),
@@ -147,17 +156,23 @@ object ComputeRegistry {
       throw new IllegalArgumentException(
         s"compute '${spec.name}' has no EVERY k TICKS schedule"))
     val interval = ticks * tickMs
+    // table kernels (minhash_dedup & co) persist intermediates each run;
+    // without reclamation a tick-scheduled compute would leak cache
+    // entries every batch, forever. Each batch tracks into its own scope
+    // and reclaims the PREVIOUS batch's — the current `<name>_out` view
+    // may still be consulted until the next tick, and a scoped clear
+    // cannot evict caches a concurrent pipeline in this session tracked.
+    // After q.stop(), reclaimScheduled(spec.name) releases the last one.
     spark.readStream.format("rate").option("rowsPerSecond", 1).load()
       .writeStream
       .trigger(Trigger.ProcessingTime(interval))
       .queryName(s"${spec.name}_ticker")
       .foreachBatch { (_: DataFrame, batchId: Long) =>
-        val out = runOnce(spark, spec, table)
+        val (out, scope) = graft.llm.PipelineCaches.scoped {
+          runOnce(spark, spec, table)
+        }
         out.createOrReplaceTempView(s"${spec.name}_out")
-        // table kernels (minhash_dedup & co) persist intermediates each
-        // run; without reclamation a tick-scheduled compute would leak
-        // cache entries every batch, forever
-        graft.llm.PipelineCaches.clear()
+        Option(scheduledScopes.put(spec.name, scope)).foreach(_.clear())
         ()
       }
       .start()

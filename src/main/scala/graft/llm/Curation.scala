@@ -110,13 +110,19 @@ object Curation {
 
   /** PII scrub: redact email addresses and phone-shaped digit runs, keep
     * per-doc redaction counts for audit. Pure per-row projection — no
-    * shuffle at any scale. */
+    * shuffle at any scale.
+    *
+    * Audit counts mirror what the scrub actually replaced: emails are
+    * counted on the original text, phones on the email-scrubbed text —
+    * a phone-shaped digit run inside an email (user12345678@x.com) is
+    * redacted as <EMAIL>, so it must not inflate n_phones. */
   def piiScrub(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = coalesce(col(textCol), lit(""))
+    val emailScrubbed = regexp_replace(t, EmailRe, "<EMAIL>")
     docs.select(col("doc_id"),
-      scrub(t).as("scrubbed"),
+      regexp_replace(emailScrubbed, PhoneRe, "<PHONE>").as("scrubbed"),
       regexp_count(t, lit(EmailRe)).as("n_emails"),
-      regexp_count(t, lit(PhoneRe)).as("n_phones"))
+      regexp_count(emailScrubbed, lit(PhoneRe)).as("n_phones"))
   }
 
   /** Duplicate-group assignment: every node takes the minimum doc_id

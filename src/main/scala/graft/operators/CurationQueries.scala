@@ -150,7 +150,8 @@ object CurationQueries {
          |  regexp_replace(regexp_replace(coalesce(text, ''),
          |    '$email', '<EMAIL>', 'g'), '$phone', '<PHONE>', 'g') AS scrubbed,
          |  CAST(len(regexp_extract_all(coalesce(text, ''), '$email')) AS INTEGER) AS n_emails,
-         |  CAST(len(regexp_extract_all(coalesce(text, ''), '$phone')) AS INTEGER) AS n_phones
+         |  CAST(len(regexp_extract_all(regexp_replace(coalesce(text, ''),
+         |    '$email', '<EMAIL>', 'g'), '$phone')) AS INTEGER) AS n_phones
          |FROM inj""".stripMargin
     },
 

@@ -24,10 +24,17 @@ object CorpusIO {
   /** Read `path`, inferring the format from its extension unless `format`
     * says otherwise (a bare directory defaults to parquet). CSV/JSON take
     * an explicit schema — inference at corpus scale means reading the data
-    * twice. */
+    * twice.
+    *
+    * Header handling is CSV-only (other formats never see the option):
+    * schema-less CSV assumes a header (it's the only way to get names);
+    * schema-provided CSV defaults to header=false — a headerless file must
+    * not lose its first data row — and `options("header" -> "true")` opts
+    * back in for exports that carry one. */
   def read(spark: SparkSession, path: String,
       schema: Option[StructType] = None,
-      format: Option[String] = None): DataFrame = {
+      format: Option[String] = None,
+      options: Map[String, String] = Map.empty): DataFrame = {
     val fmt = format.getOrElse(path.toLowerCase match {
       case p if p.endsWith(".csv") || p.endsWith(".csv.gz")    => "csv"
       case p if p.endsWith(".json") || p.endsWith(".jsonl")
@@ -38,8 +45,8 @@ object CorpusIO {
     val r0 = spark.read.format(fmt)
     val r1 = schema.fold(
       if (fmt == "csv") r0.option("header", "true").option("inferSchema", "true")
-      else r0)(sc => r0.schema(sc).option("header", "true"))
-    r1.load(path)
+      else r0)(sc => r0.schema(sc))
+    r1.options(options).load(path)
   }
 
   /** Write a partitioned, size-bounded parquet table. `partitionCols` are

@@ -98,6 +98,8 @@ class ComputeSpec2 extends AnyFunSuite {
       assert(s.table("stream_dedup_out").columns.contains("dup_group"))
     } finally {
       q.stop()
+      // batches track into per-query scopes now; release the final one
+      ComputeRegistry.reclaimScheduled("stream_dedup")
       graft.llm.PipelineCaches.clear()
     }
   }

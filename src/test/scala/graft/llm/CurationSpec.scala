@@ -72,7 +72,8 @@ class CurationSpec extends AnyFunSuite {
     val d = Seq(
       (1L, "write to jane.doe+x@mail.example.org or call +1 (555) 010-7788 now"),
       (2L, "no pii here"),
-      (3L, "two mails a@b.co c@d.io one phone 555-123-9876")).toDF("doc_id", "text")
+      (3L, "two mails a@b.co c@d.io one phone 555-123-9876"),
+      (4L, "reach user12345678@example.com today")).toDF("doc_id", "text")
     val out = Curation.piiScrub(d).collect().map(r => r.getLong(0) -> r).toMap
     assert(out(1L).getString(1) == "write to <EMAIL> or call <PHONE> now")
     assert(out(1L).getInt(2) == 1 && out(1L).getInt(3) == 1)
@@ -80,6 +81,10 @@ class CurationSpec extends AnyFunSuite {
     assert(out(2L).getInt(2) == 0 && out(2L).getInt(3) == 0)
     assert(out(3L).getString(1) == "two mails <EMAIL> <EMAIL> one phone <PHONE>")
     assert(out(3L).getInt(2) == 2 && out(3L).getInt(3) == 1)
+    // a phone-shaped digit run INSIDE an email is redacted as <EMAIL>;
+    // the audit must not count it as a phone (counts = actual replacements)
+    assert(out(4L).getString(1) == "reach <EMAIL> today")
+    assert(out(4L).getInt(2) == 1 && out(4L).getInt(3) == 0)
   }
 
   test("dup groups early-stops at the fixpoint without changing the result") {

@@ -41,11 +41,24 @@ class CorpusIOSpec extends AnyFunSuite {
     val out = tmp("graft-csv") + "/orders"
     CorpusIO.writeCsv(src, out)
     val back = CorpusIO.read(s, out, schema = Some(src.schema),
-      format = Some("csv"))
+      format = Some("csv"), options = Map("header" -> "true"))
     // compare on content, not schema nuances: counts and a decimal-exact sum
     val f = (d: org.apache.spark.sql.DataFrame) => d.agg(
       count(lit(1)), sum(col("o_totalprice").cast("decimal(18,2)"))).head()
     assert(f(back) == f(src))
+  }
+
+  test("headerless csv with explicit schema keeps its first data row") {
+    val s = spark
+    import s.implicits._
+    val src = Seq((1L, "alpha"), (2L, "beta")).toDF("id", "name")
+    val out = tmp("graft-csv-nohdr") + "/rows"
+    src.write.csv(out) // no header option: first line IS data
+    val back = CorpusIO.read(s, out, schema = Some(src.schema),
+      format = Some("csv"))
+    assert(back.count() == 2L, "schema-provided CSV must not eat row 1 as a header")
+    assert(back.orderBy("id").collect().map(_.getString(1)).toSeq ==
+      Seq("alpha", "beta"))
   }
 
   test("jsonl export re-reads with identical aggregate facts") {
