@@ -1,0 +1,83 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the physical-plan shapes that matter at 100 TB, so a regression
+  * (a lost pushdown, a join that degrades to a cartesian product, a
+  * window that reintroduces a full shuffle-sort) fails CI instead of
+  * surfacing as a cluster incident. Assertions run on the formatted
+  * explain of the catalog entries over the test fixtures — tiny data,
+  * but plan SHAPE is scale-independent for these invariants: static
+  * broadcasts of the dimension tables, scan-level filter pushdown, and
+  * the absence of cartesian/range-partition operators don't depend on
+  * row counts the way AQE's runtime choices do.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+
+  private def spark = SparkTestSession.withTables()
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, SparkTestSession.fixtureDir)
+    val s = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    graft.llm.PipelineCaches.clear() // entries that persist must not pin
+    s
+  }
+
+  test("q_scan_project reads only the projected columns, no shuffle") {
+    val p = plan("q_scan_project")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int," +
+      "l_quantity:double,l_returnflag:string>"),
+      s"projection must reach the parquet scan:\n$p")
+    assert(!p.contains("Exchange"), s"projection-only scan must not shuffle:\n$p")
+  }
+
+  test("q_filter_pushdown pushes both predicates into the parquet scan") {
+    val p = plan("q_filter_pushdown")
+    assert(p.contains("LessThan(l_shipdate") &&
+      p.contains("GreaterThan(l_discount"),
+      s"expected both predicates in PushedFilters:\n$p")
+    assert(!p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_extendedprice:double,l_discount:double,l_shipdate:timestamp_ntz,"),
+      "scan must not read columns beyond the filter+projection set")
+  }
+
+  test("q_multi_join_region broadcasts every dimension join") {
+    val p = plan("q_multi_join_region")
+    assert(p.contains("BroadcastHashJoin"),
+      s"dimension joins must be broadcast, not shuffled:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"no degenerate join strategies:\n$p")
+  }
+
+  test("q_decontaminate broadcasts the benchmark gram set") {
+    val p = plan("q_decontaminate")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
+      s"the (small) benchmark gram side must broadcast — the corpus side " +
+        s"must never shuffle on gram keys:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"a sort-merge join here shuffles the full corpus gram stream:\n$p")
+  }
+
+  test("q_topk_pergroup aggregates with a bounded heap, not a window") {
+    val p = plan("q_topk_pergroup")
+    assert(p.contains("ObjectHashAggregate"),
+      s"per-key top-k must be the CollectTopK partial aggregation:\n$p")
+    assert(!p.contains("Window"),
+      s"a window rank shuffles+sorts every row of the fact table:\n$p")
+  }
+
+  test("dedup band joins and as-of joins never degrade to cartesian") {
+    for (name <- Seq("q_dedup_minhash_pairs", "q_ann_lsh_topk", "q_events_asof")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"),
+        s"$name must stay an equi-join on bucket/band keys:\n$p")
+    }
+  }
+
+  test("q_seq_pack packs shard-locally — no global range partitioning") {
+    val p = plan("q_seq_pack")
+    assert(!p.contains("rangepartitioning"),
+      s"sequence packing must not globally sort the corpus:\n$p")
+  }
+}
