@@ -71,6 +71,43 @@ object Dedup {
     withHashes.select((col("doc_id") +: sigCols): _*)
   }
 
+  /** Exploded (doc_id, sig, band_idx, band_hash) bucket rows — the shuffle
+    * key of everything banded is the band hash, so only same-bucket docs
+    * ever meet. Shared by candidate generation and the skew audit. */
+  private def bandedBuckets(
+      docs: DataFrame, k: Int, numHashes: Int, bands: Int,
+      oracleHashes: Boolean): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rows = numHashes / bands
+    val sigs =
+      if (oracleHashes) minhashSignatures(docs, k, numHashes)
+      else fastSignatures(docs, k, numHashes)
+    val bandCols = (0 until bands).map { b =>
+      val parts = (b * rows until (b + 1) * rows).map(j => col(s"sig_$j"))
+      xxhash64(concat_ws("|", parts: _*)).as(s"band_$b")
+    }
+    sigs.select((col("doc_id") +:
+        (0 until numHashes).map(j => col(s"sig_$j"))) ++ bandCols: _*)
+      .select(
+        col("doc_id"),
+        array((0 until numHashes).map(j => col(s"sig_$j")): _*).as("sig"),
+        posexplode(array((0 until bands).map(b => col(s"band_$b")): _*))
+          .as(Seq("band_idx", "band_hash")))
+  }
+
+  /** Skew audit for [[minhashCandidates]]'s `maxBucketSize` guard: the
+    * band buckets a given cap would exclude, with their member counts —
+    * run it to size the cap, or after a capped run to quantify what was
+    * skipped (pair-wise: sum of n_docs·(n_docs−1)/2). One aggregation over
+    * the bucket projection; never touches the text. */
+  def oversizedBuckets(
+      docs: DataFrame, maxBucketSize: Int, k: Int = 3, numHashes: Int = 8,
+      bands: Int = 4, oracleHashes: Boolean = false): DataFrame =
+    bandedBuckets(docs, k, numHashes, bands, oracleHashes)
+      .groupBy("band_idx", "band_hash")
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > maxBucketSize)
+
   /** Banded LSH candidate pairs: signatures split into `bands` bands of
     * rows; docs sharing any band hash become candidates; pairs are scored
     * by signature agreement (estimated Jaccard).
@@ -78,42 +115,49 @@ object Dedup {
     * `oracleHashes = true` swaps the xxhash64 fast family for the md5 one
     * (minhashSignatures) — same algorithm, DuckDB-reproducible output, so
     * the full banded pipeline can be hash-checked against the oracle.
-    * Production runs keep the default fast family (~8× fewer hashes). */
+    * Production runs keep the default fast family (~8× fewer hashes).
+    *
+    * `maxBucketSize` is the 100 TB skew guard: a boilerplate band bucket
+    * (templated pages, empty docs) with m members emits m² candidate
+    * pairs — one 10M-doc bucket is 10¹⁴ pairs and a dead executor.
+    * Buckets above the cap are excluded from candidate GENERATION (pairs
+    * that also share a healthy bucket still surface through it); their
+    * members are boilerplate-identical at that band and belong to exact
+    * dedup, which handles them at O(n). Capping beats salting here:
+    * salting a band splits its bucket arbitrarily and silently loses
+    * pairs with no bound on which, while the cap's exclusions are
+    * well-defined (whole pathological buckets) and auditable via
+    * [[oversizedBuckets]]. Default ∞ keeps small-corpus behavior exact. */
   def minhashCandidates(
       docs: DataFrame, k: Int = 3, numHashes: Int = 8, bands: Int = 4,
-      minEstJaccard: Double = 0.5, oracleHashes: Boolean = false): DataFrame = {
-    require(numHashes % bands == 0, "numHashes must divide into bands")
-    val rows = numHashes / bands
-    val sigs =
-      if (oracleHashes) minhashSignatures(docs, k, numHashes)
-      else fastSignatures(docs, k, numHashes)
-
-    val bandCols = (0 until bands).map { b =>
-      val parts = (b * rows until (b + 1) * rows).map(j => col(s"sig_$j"))
-      xxhash64(concat_ws("|", parts: _*)).as(s"band_$b")
-    }
-    val banded = sigs.select((col("doc_id") +:
-      (0 until numHashes).map(j => col(s"sig_$j"))) ++ bandCols: _*)
-
-    // explode to (band_idx, band_hash) and bucket-join — the shuffle key is
-    // the band hash, so only same-bucket docs ever meet. The bucket rows are
-    // persisted AND materialized up front because BOTH sides of the
-    // self-join scan them: lazily-cached branches race to populate and the
-    // whole shingle→signature pipeline (the expensive part) executes twice.
-    // Footprint is doc_id + signatures — bytes per doc, cacheable even at
-    // corpus scale (MEMORY_AND_DISK spills, never OOMs).
-    val buckets = PipelineCaches.track(banded.select(
-      col("doc_id"),
-      array((0 until numHashes).map(j => col(s"sig_$j")): _*).as("sig"),
-      posexplode(array((0 until bands).map(b => col(s"band_$b")): _*))
-        .as(Seq("band_idx", "band_hash")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      minEstJaccard: Double = 0.5, oracleHashes: Boolean = false,
+      maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    // The bucket rows are persisted AND materialized up front because BOTH
+    // sides of the self-join scan them: lazily-cached branches race to
+    // populate and the whole shingle→signature pipeline (the expensive
+    // part) executes twice. Footprint is doc_id + signatures — bytes per
+    // doc, cacheable even at corpus scale (MEMORY_AND_DISK spills, never
+    // OOMs).
+    val buckets = PipelineCaches.track(
+      bandedBuckets(docs, k, numHashes, bands, oracleHashes)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     buckets.count()
 
-    val l = buckets.select(
+    // skew guard: drop whole over-cap buckets before the self-join. The
+    // over-cap KEY set is tiny by construction (≤ rows/cap keys), so it
+    // broadcasts; the anti-join reads the cached buckets, never the text.
+    val eligible =
+      if (maxBucketSize == Int.MaxValue) buckets
+      else buckets.join(
+        broadcast(buckets.groupBy("band_idx", "band_hash")
+          .agg(count(lit(1)).as("_n")).filter(col("_n") > maxBucketSize)
+          .select("band_idx", "band_hash")),
+        Seq("band_idx", "band_hash"), "left_anti")
+
+    val l = eligible.select(
       col("band_idx"), col("band_hash"),
       col("doc_id").as("doc_a"), col("sig").as("sig_a"))
-    val r = buckets.select(
+    val r = eligible.select(
       col("band_idx"), col("band_hash"),
       col("doc_id").as("doc_b"), col("sig").as("sig_b"))
 

@@ -225,18 +225,32 @@ object Similarity {
     * candidate pair set is made DISTINCT before the embeddings join back,
     * so each surviving pair pays for exactly one cosine. Band width
     * (planes/bands) controls bucket count: 8 sign bits ≈ 256 buckets per
-    * band, which keeps collision chains short on near-orthogonal corpora. */
+    * band, which keeps collision chains short on near-orthogonal corpora.
+    *
+    * `maxBucketSize` is the same skew guard as
+    * [[Dedup.minhashCandidates]]: an m-member bucket (zero vectors,
+    * repeated embeddings, a degenerate hyperplane cut) emits m² pairs, so
+    * whole over-cap buckets are excluded from candidate generation — their
+    * members are byte-identical cases for exact dedup. Default ∞. */
   def cosineNearDup(
       embeddings: DataFrame, threshold: Double = 0.95,
-      planes: Int = 24, bands: Int = 3): DataFrame = {
+      planes: Int = 24, bands: Int = 3,
+      maxBucketSize: Int = Int.MaxValue): DataFrame = {
     require(planes % bands == 0, "planes must divide into bands")
     val width = planes / bands
     val sigs = embeddings.withColumn("sig",
       lshSignature(col("embedding"), planes, embeddingDim(embeddings)))
-    val banded = sigs.select(col("vec_id"),
+    val allBanded = sigs.select(col("vec_id"),
       posexplode(array((0 until bands).map(b =>
         substring(col("sig"), b * width + 1, width)): _*))
         .as(Seq("band_idx", "band_key")))
+    val banded =
+      if (maxBucketSize == Int.MaxValue) allBanded
+      else allBanded.join(
+        broadcast(allBanded.groupBy("band_idx", "band_key")
+          .agg(count(lit(1)).as("_n")).filter(col("_n") > maxBucketSize)
+          .select("band_idx", "band_key")),
+        Seq("band_idx", "band_key"), "left_anti")
     val l = banded.select(col("band_idx"), col("band_key"),
       col("vec_id").as("vec_a"))
     val r = banded.select(col("band_idx"), col("band_key"),

@@ -61,6 +61,39 @@ class LlmSpec extends AnyFunSuite {
     assert(planted >= 35, s"recall too low: $planted/50")
   }
 
+  test("bucket cap suppresses a planted boilerplate bucket, keeps real pairs") {
+    val s = spark
+    import s.implicits._
+    // 30 identical boilerplate docs (one giant bucket in EVERY band: 435
+    // pairs) + 5 real docs with trimmed near-dup copies (buckets of 2)
+    val real = s.table("documents").select("doc_id", "text")
+      .filter(col("doc_id") < 5)
+    val copies = real.select((col("doc_id") + 1000L).as("doc_id"),
+      expr("substring(text, 1, greatest(length(text) - 12, 1))").as("text"))
+    val boiler = (0 until 30)
+      .map(i => (2000L + i, "lorem ipsum boilerplate footer text repeated"))
+      .toDF("doc_id", "text")
+    val corpus = real.unionAll(copies).unionAll(boiler)
+
+    val capped = Dedup.minhashCandidates(corpus, minEstJaccard = 0.5,
+        maxBucketSize = 10).collect()
+    graft.llm.PipelineCaches.clear()
+    assert(!capped.exists(r => r.getLong(0) >= 2000L),
+      "over-cap boilerplate bucket must not generate candidate pairs")
+    assert(capped.count(r => r.getLong(1) == r.getLong(0) + 1000) >= 3,
+      "healthy small buckets must keep producing their pairs")
+
+    // the audit names the excluded buckets and their sizes
+    val audit = Dedup.oversizedBuckets(corpus, maxBucketSize = 10).collect()
+    assert(audit.nonEmpty && audit.forall(_.getLong(2) == 30L),
+      s"audit should report the 30-doc bucket per band: ${audit.mkString(",")}")
+
+    // default cap = no behavioral change: boilerplate pairs come back
+    val uncapped = Dedup.minhashCandidates(corpus, minEstJaccard = 0.5)
+    assert(uncapped.filter(col("doc_a") >= 2000L).count() == 30L * 29 / 2)
+    graft.llm.PipelineCaches.clear()
+  }
+
   test("jaccard rescore gives 1.0 for identical docs") {
     val s = spark
     val d = s.table("documents").select("doc_id", "text").filter(col("doc_id") < 10)
@@ -137,6 +170,26 @@ class LlmSpec extends AnyFunSuite {
       .collect()
     val planted = pairs.count(r => r.getLong(1) == r.getLong(0) + 1000)
     assert(planted >= 40, s"found only $planted/50 planted identical pairs")
+  }
+
+  test("embedding bucket cap excludes a planted degenerate bucket") {
+    val s = spark
+    val e = s.table("embeddings").filter(col("vec_id") < 20)
+    // 30 copies of vector 0: a 31-member bucket in every band (465 pairs)
+    val zero = e.filter(col("vec_id") === 0L)
+    val degenerate = (1 to 30).map(i =>
+      zero.select((col("vec_id") + 5000L + i * 10L).as("vec_id"),
+        col("embedding"), col("label"))).reduce(_ unionAll _)
+    // one healthy planted pair outside the degenerate cluster
+    val copy7 = e.filter(col("vec_id") === 7L)
+      .select((col("vec_id") + 1000L).as("vec_id"), col("embedding"), col("label"))
+    val all = e.unionAll(degenerate).unionAll(copy7)
+    val capped = Similarity.cosineNearDup(all, threshold = 0.999,
+      maxBucketSize = 10).collect()
+    assert(!capped.exists(r => r.getLong(0) >= 5000L && r.getLong(1) >= 5000L),
+      "pairs inside the over-cap degenerate bucket must be excluded")
+    assert(capped.exists(r => r.getLong(0) == 7L && r.getLong(1) == 1007L),
+      "healthy two-member buckets must keep their pairs")
   }
 
   test("bpe-ish token count splits punctuation, rolling hash is order-sensitive") {
