@@ -190,4 +190,103 @@ object Curation {
     }
     labels.select(col("doc_id"), col("label").as("dup_group"))
   }
+
+  /** Duplicate-group assignment for ADVERSARIAL diameters: alternating
+    * large-star/small-star connected components (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14 — public
+    * algorithm). [[dupGroups]]'s min-label propagation needs one shuffle
+    * round per graph-diameter hop, which is fine for the star/short-chain
+    * clusters near-dup candidates actually form but degenerates on long
+    * chains (A~B~C~… boilerplate drift across a crawl): a 10⁶-hop chain
+    * is 10⁶ shuffles. The star operations contract every component to a
+    * star rooted at its minimum id in O(log² n) rounds worst-case
+    * (2·log n observed) regardless of diameter — ~40 shuffles for any
+    * 100 TB candidate graph.
+    *
+    *  - large-star: every node's strictly-larger neighbors re-attach to
+    *    the minimum of its closed neighborhood (never loses connectivity,
+    *    strictly shrinks large-id chains);
+    *  - small-star: every node and its ≤-neighbors re-attach to their
+    *    minimum, consolidating local stars.
+    *
+    * Each round is two grouped-min joins over the edge set. Per-round
+    * edges are materialized with eager `localCheckpoint`, NOT persist:
+    * both star ops reference their input twice, so the nested logical
+    * plan grows ~4× per round — by round 15 the analyzer and the
+    * plan-description string (built per action for the SQL listener) are
+    * gigabytes. Checkpointing truncates lineage to a constant-size scan;
+    * the blocks live in the executors and are reclaimed by the
+    * ContextCleaner once the round's reference is dropped. The
+    * convergence check fingerprints the edge set with (count, decimal
+    * sum of xxhash64(u,v)) and stops when stable — at the joint fixpoint
+    * the edge set IS the star set {(node, component-min)}.
+    *
+    * Output contract matches [[dupGroups]]: (doc_id, dup_group), every
+    * node labeled, singletons keep their own id. */
+  def dupGroupsAlternating(
+      nodes: DataFrame, candidates: DataFrame, maxRounds: Int = 50)
+      : DataFrame = {
+    // canonical edge set: u > v strictly (self-pairs contribute nothing)
+    var edges = candidates
+      .select(greatest(col("doc_a"), col("doc_b")).as("u"),
+        least(col("doc_a"), col("doc_b")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+
+    def fingerprint(e: DataFrame): (Long, BigDecimal) = {
+      // sum the 64-bit hashes in decimal(38,0): ANSI-safe (a bigint sum
+      // overflows), order-independent, and collision-free in practice
+      val r = e.agg(
+        count(lit(1)),
+        coalesce(sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)"))).head
+      (r.getLong(0), BigDecimal(r.getDecimal(1)))
+    }
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      val m = sym.groupBy("u")
+        .agg(least(min(col("v")), col("u")).as("m"))
+      sym.join(m, Seq("u"))
+        .filter(col("v") > col("u")) // strictly-larger neighbors re-attach
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    def smallStar(e: DataFrame): DataFrame = {
+      // e is already directed large→small (u > v)
+      val m = e.groupBy("u").agg(min("v").as("m"))
+      val withMin = e.join(m, Seq("u"))
+      withMin.select(col("v").as("u"), col("m").as("v")) // ≤-neighbors
+        .unionAll(m.select(col("u"), col("m").as("v")))  // u itself
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    var fp = fingerprint(edges)
+    var round = 0
+    var converged = fp._1 == 0L
+    while (!converged && round < maxRounds) {
+      // checkpoint BOTH star outputs: each is referenced twice downstream
+      // (join + grouped min), so without materialization every op would
+      // execute twice and lineage would still nest
+      val ls = largeStar(edges).localCheckpoint(true)
+      val next = smallStar(ls).localCheckpoint(true)
+      val nfp = fingerprint(next) // cheap scan of checkpointed blocks
+      edges = next
+      converged = nfp == fp
+      fp = nfp
+      round += 1
+    }
+
+    // fixpoint edge set = stars (node → component min); label the roots
+    // and the untouched singletons with themselves
+    nodes.select(col("doc_id"))
+      .join(edges.select(col("u").as("doc_id"), col("v").as("_root")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("_root"), col("doc_id")).as("dup_group"))
+  }
 }

@@ -63,6 +63,20 @@ object CurationQueries {
       Curation.dupGroups(corpus.select("doc_id"), cands, iters = 3)
     },
 
+    // same candidate graph, adversarial-diameter algorithm: alternating
+    // large-star/small-star CC (O(log n) rounds regardless of chain
+    // length). The oracle is algorithm-independent: a recursive closure
+    // computing TRUE connected components — so this entry also proves the
+    // 3-round propagation result above is the real fixpoint on this graph
+    "q_dedup_groups_cc" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val corpus = d.select("doc_id", "text").unionAll(trimmed(d))
+      val cands = Dedup.minhashCandidates(
+        corpus, k = 3, numHashes = 8, bands = 4, minEstJaccard = 0.5,
+        oracleHashes = true)
+      Curation.dupGroupsAlternating(corpus.select("doc_id"), cands)
+    },
+
     // shard-local GPT-style sequence packing: each doc's span in the
     // concatenated token stream of its shard (no global sort anywhere)
     "q_seq_pack" -> { (s, dir) =>
@@ -183,6 +197,23 @@ object CurationQueries {
          |SELECT doc_id, label AS dup_group FROM l3""".stripMargin
     },
 
+    // algorithm-independent oracle: recursive reachable-min closure =
+    // true connected components with min-id labels (terminates because
+    // UNION dedups the finite (node, label) pair space)
+    "q_dedup_groups_cc" ->
+      s"""WITH RECURSIVE ${LlmQueries.minhashPairsCtes},
+         |fpairs AS (
+         |  SELECT doc_a, doc_b FROM scored WHERE est_jaccard >= 0.5),
+         |e AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM fpairs
+         |  UNION ALL
+         |  SELECT doc_b AS src, doc_a AS dst FROM fpairs),
+         |r AS (
+         |  SELECT doc_id, doc_id AS label FROM u
+         |  UNION
+         |  SELECT e.dst AS doc_id, r.label FROM e JOIN r ON r.doc_id = e.src)
+         |SELECT doc_id, min(label) AS dup_group FROM r GROUP BY doc_id""".stripMargin,
+
     "q_seq_pack" ->
       """WITH t AS (
         |  SELECT doc_id, doc_id % 8 AS shard,
@@ -214,5 +245,6 @@ object CurationQueries {
     "q_quality_repetition" -> Seq("doc_id"),
     "q_pii_scrub" -> Seq("doc_id"),
     "q_dedup_groups" -> Seq("doc_id"),
+    "q_dedup_groups_cc" -> Seq("doc_id"),
     "q_seq_pack" -> Seq("doc_id"))
 }

@@ -85,4 +85,53 @@ class CurationPropertySpec extends AnyFunSuite {
       SCTest.Parameters.default.withMinSuccessfulTests(4), prop)
     assert(result.passed, result.status.toString)
   }
+
+  test("property_alternating_stars_equal_connected_components") {
+    val s = SparkTestSession.spark
+    import s.implicits._
+    val prop = Prop.forAll(edgesGen) { rawEdges =>
+      val nodes = (0L to 7L).toList
+      val edges = rawEdges.filter(p => p._1 != p._2)
+        .map { case (a, b) => (a.min(b), a.max(b)) }.distinct
+      // brute force: union-find over the edge list
+      val parent = scala.collection.mutable.Map(nodes.map(n => n -> n): _*)
+      def find(x: Long): Long =
+        if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(ra.max(rb)) = ra.min(rb)
+      }
+      val expected = nodes.map(n => n -> find(n)).toMap
+      val got = Curation.dupGroupsAlternating(
+        nodes.toDF("doc_id"), edges.toDF("doc_a", "doc_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      graft.llm.PipelineCaches.clear()
+      if (got != expected) {
+        println(s"COUNTEREXAMPLE edges=$edges got=$got expected=$expected")
+      }
+      got == expected
+    }
+    val result = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(4), prop)
+    assert(result.passed, result.status.toString)
+  }
+
+  test("alternating stars collapse a 64-hop chain (diameter >> rounds)") {
+    val s = SparkTestSession.spark
+    import s.implicits._
+    // a path graph is min-label propagation's worst case: 64 rounds to
+    // converge. The star alternation must label all 65 nodes with 0 well
+    // inside its maxRounds=50 cap — and a second component + singletons
+    // must stay separate.
+    val chain = (0L until 64L).map(i => (i, i + 1))
+    val other = Seq((100L, 101L), (101L, 102L))
+    val nodes = ((0L to 64L) ++ Seq(100L, 101L, 102L, 999L)).toList
+    val got = Curation.dupGroupsAlternating(
+      nodes.toDF("doc_id"), (chain ++ other).toDF("doc_a", "doc_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.llm.PipelineCaches.clear()
+    assert((0L to 64L).forall(got(_) == 0L), s"chain not collapsed: $got")
+    assert(Seq(100L, 101L, 102L).forall(got(_) == 100L))
+    assert(got(999L) == 999L)
+  }
 }
