@@ -68,11 +68,15 @@ object ComputeRegistry {
   }
 
   private val tableBuiltins: Map[String, TableKernel] = Map(
-    // banded MinHash candidates -> min-label propagation -> group id
+    // banded MinHash candidates -> alternating-star connected components
+    // -> group id. The star algorithm converges in O(log n) rounds on ANY
+    // candidate graph (dupGroups' min-label propagation needs one round
+    // per diameter hop), so the production kernel can't be degraded by a
+    // long near-dup chain in an arbitrary user corpus.
     "minhash_dedup" -> { (df, ins, out) =>
       val cands = graft.llm.Dedup.minhashCandidates(keyed(df, ins.head))
       val groups = graft.llm.Curation
-        .dupGroups(df.select("doc_id"), cands)
+        .dupGroupsAlternating(df.select("doc_id"), cands)
         .withColumnRenamed("dup_group", out)
       df.join(groups, Seq("doc_id"))
     },
