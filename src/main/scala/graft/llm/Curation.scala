@@ -225,7 +225,16 @@ object Curation {
     * node labeled, singletons keep their own id. */
   def dupGroupsAlternating(
       nodes: DataFrame, candidates: DataFrame, maxRounds: Int = 50)
-      : DataFrame = {
+      : DataFrame =
+    dupGroupsAlternatingCounted(nodes, candidates, maxRounds)._1
+
+  /** [[dupGroupsAlternating]] plus the number of star rounds executed —
+    * the measurable form of the O(log n) claim (ScaleProbe grows a chain
+    * and watches rounds grow logarithmically). The count includes the
+    * final no-change round that proves the fixpoint. */
+  private[graft] def dupGroupsAlternatingCounted(
+      nodes: DataFrame, candidates: DataFrame, maxRounds: Int = 50)
+      : (DataFrame, Int) = {
     // canonical edge set: u > v strictly (self-pairs contribute nothing)
     var edges = candidates
       .select(greatest(col("doc_a"), col("doc_b")).as("u"),
@@ -283,10 +292,11 @@ object Curation {
 
     // fixpoint edge set = stars (node → component min); label the roots
     // and the untouched singletons with themselves
-    nodes.select(col("doc_id"))
+    val labeled = nodes.select(col("doc_id"))
       .join(edges.select(col("u").as("doc_id"), col("v").as("_root")),
         Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("_root"), col("doc_id")).as("dup_group"))
+    (labeled, round)
   }
 }

@@ -94,6 +94,25 @@ object ScaleProbe {
         f"topk: $nTop%d rows in $tTop%.1fs | contaminated: $nCont%d in " +
         f"$tCont%.1fs | dup_groups: $nGrp%d rows in $tGrp%.1fs")
     }
+
+    // the O(log n) claim, measured: a path graph is the adversarial case
+    // (min-label propagation needs `len` rounds); alternating stars must
+    // grow round count logarithmically while labeling everything 0
+    locally {
+      import spark.implicits._
+      Seq(64, 256, 1024, 4096).foreach { len =>
+        val nodes = (0L to len.toLong).toDF("doc_id")
+        val chain = (0L until len.toLong).map(i => (i, i + 1))
+          .toDF("doc_a", "doc_b")
+        val ((labels, rounds), t) = time {
+          val r = graft.llm.Curation.dupGroupsAlternatingCounted(nodes, chain)
+          (r._1.filter(col("dup_group") === 0L).count(), r._2)
+        }
+        println(f"[cc chain len=$len%4d] rounds=$rounds%2d " +
+          f"(log2=${(math.log(len) / math.log(2)).round}%2d) " +
+          f"labeled=$labels%d/${len + 1}%d in $t%.1fs")
+      }
+    }
     spark.stop()
   }
 }

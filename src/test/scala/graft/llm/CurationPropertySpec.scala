@@ -126,12 +126,16 @@ class CurationPropertySpec extends AnyFunSuite {
     val chain = (0L until 64L).map(i => (i, i + 1))
     val other = Seq((100L, 101L), (101L, 102L))
     val nodes = ((0L to 64L) ++ Seq(100L, 101L, 102L, 999L)).toList
-    val got = Curation.dupGroupsAlternating(
+    val (labels, rounds) = Curation.dupGroupsAlternatingCounted(
       nodes.toDF("doc_id"), (chain ++ other).toDF("doc_a", "doc_b"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     graft.llm.PipelineCaches.clear()
     assert((0L to 64L).forall(got(_) == 0L), s"chain not collapsed: $got")
     assert(Seq(100L, 101L, 102L).forall(got(_) == 100L))
     assert(got(999L) == 999L)
+    // the logarithmic-rounds claim, pinned: log2(64)+1 star rounds plus
+    // the fixpoint-proof round (ScaleProbe measures 7 at len=64, growing
+    // +2 per 4x chain length)
+    assert(rounds <= 10, s"expected O(log n) rounds for a 64-chain, got $rounds")
   }
 }
