@@ -235,13 +235,25 @@ object Curation {
   private[graft] def dupGroupsAlternatingCounted(
       nodes: DataFrame, candidates: DataFrame, maxRounds: Int = 50)
       : (DataFrame, Int) = {
+    // localCheckpoint blocks live on executors: fast, but an executor
+    // loss mid-iteration kills the job (no lineage left to recompute
+    // from). On a long-lived cluster run, set a checkpoint dir
+    // (sc.setCheckpointDir) and spark.graft.cc.reliableCheckpoint=true to
+    // write rounds to reliable storage instead — same truncation, loss-
+    // tolerant, one HDFS/S3 round-trip per round of pair-sized rows.
+    val spark = nodes.sparkSession
+    val reliable = spark.conf
+      .getOption("spark.graft.cc.reliableCheckpoint").contains("true") &&
+      spark.sparkContext.getCheckpointDir.isDefined
+    def mat(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
+
     // canonical edge set: u > v strictly (self-pairs contribute nothing)
-    var edges = candidates
+    var edges = mat(candidates
       .select(greatest(col("doc_a"), col("doc_b")).as("u"),
         least(col("doc_a"), col("doc_b")).as("v"))
       .filter(col("u") =!= col("v"))
-      .distinct()
-      .localCheckpoint(true)
+      .distinct())
 
     def fingerprint(e: DataFrame): (Long, BigDecimal) = {
       // sum the 64-bit hashes in decimal(38,0): ANSI-safe (a bigint sum
@@ -281,8 +293,8 @@ object Curation {
       // checkpoint BOTH star outputs: each is referenced twice downstream
       // (join + grouped min), so without materialization every op would
       // execute twice and lineage would still nest
-      val ls = largeStar(edges).localCheckpoint(true)
-      val next = smallStar(ls).localCheckpoint(true)
+      val ls = mat(largeStar(edges))
+      val next = mat(smallStar(ls))
       val nfp = fingerprint(next) // cheap scan of checkpointed blocks
       edges = next
       converged = nfp == fp

@@ -138,4 +138,22 @@ class CurationPropertySpec extends AnyFunSuite {
     // +2 per 4x chain length)
     assert(rounds <= 10, s"expected O(log n) rounds for a 64-chain, got $rounds")
   }
+
+  test("reliable-checkpoint mode gives the identical labeling") {
+    val s = SparkTestSession.spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt")
+    s.sparkContext.setCheckpointDir(dir.toString)
+    s.conf.set("spark.graft.cc.reliableCheckpoint", "true")
+    try {
+      val nodes = (0L to 10L).toList.toDF("doc_id")
+      val edges = Seq((0L, 1L), (1L, 2L), (5L, 6L)).toDF("doc_a", "doc_b")
+      val got = Curation.dupGroupsAlternating(nodes, edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L, 4L -> 4L,
+        5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 8L, 9L -> 9L, 10L -> 10L))
+    } finally {
+      s.conf.unset("spark.graft.cc.reliableCheckpoint")
+    }
+  }
 }
