@@ -37,7 +37,8 @@ object SparkEntry {
     operators.Relational.queries ++ operators.TrainQueries.queries ++
       operators.ComputeQueries.queries ++ operators.LlmQueries.queries ++
       operators.EventQueries.queries ++ operators.FunctionQueries.queries ++
-      operators.CurationQueries.queries
+      operators.CurationQueries.queries ++ operators.RelevanceQueries.queries ++
+      operators.SamplingQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -45,7 +46,8 @@ object SparkEntry {
     operators.Relational.oracles ++ operators.TrainQueries.oracles ++
       operators.ComputeQueries.oracles ++ operators.LlmQueries.oracles ++
       operators.EventQueries.oracles ++ operators.FunctionQueries.oracles ++
-      operators.CurationQueries.oracles
+      operators.CurationQueries.oracles ++ operators.RelevanceQueries.oracles ++
+      operators.SamplingQueries.oracles
 
   /** Row-ordering applied by Verify (not Bench) before dumping results whose
     * catalog plan intentionally carries no global sort. */
@@ -53,5 +55,7 @@ object SparkEntry {
     operators.Relational.verifySort ++ operators.TrainQueries.verifySort ++
       operators.ComputeQueries.verifySort ++ operators.LlmQueries.verifySort ++
       operators.EventQueries.verifySort ++ operators.FunctionQueries.verifySort ++
-      operators.CurationQueries.verifySort
+      operators.CurationQueries.verifySort ++
+      operators.RelevanceQueries.verifySort ++
+      operators.SamplingQueries.verifySort
 }

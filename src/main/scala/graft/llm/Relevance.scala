@@ -1,0 +1,95 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Term-relevance scoring over the corpus: per-document TF-IDF top terms
+  * and Okapi BM25 ranked retrieval (SURVEY §2.8 text-analysis tier; the
+  * round-1 verdict named TF-IDF explicitly).
+  *
+  * Both are pure partial-aggregation pipelines: the shuffles carry
+  * (doc_id, term) counts and per-term document frequencies — never the
+  * text. Term-level tables (document frequency, the query-term set) are
+  * vocabulary-sized or constant-sized and broadcast; the corpus side
+  * shuffles at most once per aggregation key.
+  */
+object Relevance {
+
+  private def tokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      explode(split(coalesce(col("text"), lit("")), " ")).as("term"))
+      .filter(col("term") =!= "")
+
+  /** Per-document top-`topN` terms by TF-IDF (tf · ln(N/df)), rank 1 =
+    * highest. Deterministic: scores are rounded to 6 dp BEFORE ranking and
+    * ties break on term ascending, so the cut is stable across engines.
+    *
+    * Plan shape: one (doc_id, term) count aggregation; df is a second
+    * aggregation of that table keyed by term (vocabulary-sized, re-joined
+    * on term); the per-doc rank is a window keyed by doc_id — every stage
+    * partial-aggregates and nothing ever holds more than one doc's terms
+    * in a window frame. N arrives via a broadcast one-row join, not a
+    * driver collect. */
+  def tfidfTopTerms(docs: DataFrame, topN: Int = 3): DataFrame = {
+    val tf = tokens(docs).groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("n_docs_with_term"))
+    val n = docs.agg(count(lit(1)).as("_n_docs"))
+    val scored = tf.join(df, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        round(col("tf").cast("double") *
+          log(col("_n_docs").cast("double") /
+            col("n_docs_with_term").cast("double")), 6))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topN)
+      .select("doc_id", "term", "tf", "score", "rank")
+  }
+
+  /** Okapi BM25 top-`topN` documents for a bag of query terms
+    * (k1 = 1.2, b = 0.75; idf = ln((N − df + 0.5)/(df + 0.5) + 1)).
+    * Only documents containing at least one query term are scored — the
+    * exploded token stream is filtered to the query-term set (a broadcast
+    * isin) before any shuffle, so the aggregation state is O(matching
+    * docs), not O(corpus).
+    *
+    * Determinism across engines: per-term contributions are rounded to
+    * 6 dp and summed as DECIMAL(18,6) — exact and order-independent,
+    * where a double sum would depend on partition order. avgdl is computed
+    * as exact-long sum ÷ count (never a double-accumulating AVG). Final
+    * order: score desc, doc_id asc → sort+limit (TakeOrderedAndProject). */
+  def bm25TopDocs(
+      docs: DataFrame, terms: Seq[String], topN: Int = 20,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = tokens(docs)
+    val doclen = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    // one-row corpus stats: doc count + exact total token count
+    val stats = docs.agg(count(lit(1)).as("_n_docs"))
+      .crossJoin(doclen.agg(
+        sum("dl").as("_total_dl"), count(lit(1)).as("_n_len")))
+    val qtoks = toks.filter(col("term").isin(terms: _*))
+    val tf = qtoks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("term_df"))
+    val avgdl = col("_total_dl").cast("double") / col("_n_len").cast("double")
+    val idf = log(
+      (col("_n_docs").cast("double") - col("term_df").cast("double") + lit(0.5)) /
+        (col("term_df").cast("double") + lit(0.5)) + lit(1.0))
+    val contrib = round(
+      idf * (col("tf").cast("double") * lit(k1 + 1.0)) /
+        (col("tf").cast("double") +
+          lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / avgdl)),
+      6)
+    tf.join(broadcast(df), Seq("term"))
+      .join(doclen, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("_contrib", contrib.cast("decimal(18,6)"))
+      .groupBy("doc_id")
+      .agg(sum("_contrib").cast("double").as("score"),
+        count(lit(1)).as("n_terms_matched"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(topN)
+  }
+}

@@ -1,0 +1,107 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus sampling and ordering operators a training-data pipeline runs
+  * between curation and tokenization (SURVEY §2.8 extension): deterministic
+  * global shuffle, stable hash sampling, domain-mixture resampling, and
+  * quantile-threshold filtering.
+  *
+  * Everything is keyed on md5 of stable ids — rerun-stable, join-consistent
+  * (the same doc samples identically in every derived table), and exactly
+  * reproducible by the DuckDB oracle. No rand()/seed state anywhere.
+  */
+object Sampling {
+
+  private def md5Key(id: Column): Column = md5(id.cast("string"))
+
+  /** Deterministic global shuffle: every doc gets a position in a
+    * pseudo-random total order (md5 of doc_id, ties impossible beyond the
+    * id itself) plus a round-robin shard assignment — the "shuffle the
+    * corpus once per epoch" step before sequence packing.
+    *
+    * Scale shape: this is NOT a single global window. Rows are
+    * range-partitioned on the shuffle key, ranked within each range
+    * partition, and offset by broadcast per-partition counts — the
+    * standard distributed sort-rank. The composition is independent of
+    * where the range boundaries fall, so the output is deterministic even
+    * though the partitioner samples. Each window frame holds one range
+    * partition (~corpus/parallelism), never the whole corpus. */
+  def corpusShuffle(docs: DataFrame, nShards: Int = 8, parallelism: Int = 32)
+      : DataFrame = {
+    val keyed = docs.select(col("doc_id"), md5Key(col("doc_id")).as("_k"))
+      .repartitionByRange(parallelism, col("_k"), col("doc_id"))
+      .withColumn("_pid", spark_partition_id())
+    // per-partition row counts → exclusive prefix offsets (parallelism
+    // rows: driver-scale, broadcast back)
+    val offsets = keyed.groupBy("_pid").agg(count(lit(1)).as("_c"))
+      .withColumn("_offset",
+        coalesce(sum("_c").over(
+          Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select("_pid", "_offset")
+    val intra = Window.partitionBy("_pid").orderBy(col("_k"), col("doc_id"))
+    keyed.withColumn("_r", row_number().over(intra))
+      .join(broadcast(offsets), Seq("_pid"))
+      .select(col("doc_id"),
+        (col("_offset") + col("_r")).as("position"),
+        ((col("_offset") + col("_r") - 1) % nShards).as("shard"))
+  }
+
+  /** Stable hash sample: keep a doc iff its md5 bucket (0–99) falls below
+    * `pct`. Unlike rand()-based sampling this is rerun-stable and
+    * join-consistent across tables/runs — the property that matters when
+    * a 100 TB corpus and its derived features must sample identically.
+    * Pure projection + filter: no shuffle at any scale. */
+  def hashSample(docs: DataFrame, pct: Int, idCol: String = "doc_id")
+      : DataFrame = {
+    require(pct >= 0 && pct <= 100, s"pct must be in [0,100], got $pct")
+    val bucket =
+      expr(s"CAST(conv(substring(md5(CAST($idCol AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100")
+    docs.withColumn("bucket", bucket).filter(col("bucket") < pct)
+  }
+
+  /** Domain-mixture resampling: replicate each doc `factor` times (factor
+    * from a per-row Column, e.g. a target-weight lookup on the source
+    * domain) with a copy index — the integer-upsampling half of matching
+    * a target domain mixture; downweighting composes with [[hashSample]].
+    *
+    * Plan shape: the factor is a per-row expression and the replication
+    * is a generator (explode of a sequence) — map-side only, no shuffle.
+    * Output carries (n_copies, copy_idx) so downstream epoch logic can
+    * distinguish replicas. */
+  def domainMix(docs: DataFrame, factor: Column): DataFrame =
+    docs.withColumn("n_copies", factor.cast("int"))
+      .withColumn("copy_idx", explode(expr("sequence(1, n_copies)")))
+
+  /** Quantile-threshold filter: keep rows whose `valueCol` percent_rank
+    * (value-ties share a rank, SQL semantics) is ≥ `minPercentRank`.
+    *
+    * Scale shape: a naive `percent_rank() OVER (ORDER BY v)` is a
+    * single-partition global sort — the round-1 scale-killer pattern.
+    * This computes the identical result from the VALUE HISTOGRAM instead:
+    * aggregate counts per distinct value (one shuffle keyed by value),
+    * prefix-sum the distinct-value table (tiny — distinct values, not
+    * rows), and broadcast-join the per-value rank back. percent_rank =
+    * (rank − 1)/(N − 1) with rank = 1 + count of strictly-smaller rows —
+    * exactly the window definition, at histogram cost. */
+  def quantileFilter(
+      docs: DataFrame, valueCol: String, minPercentRank: Double): DataFrame = {
+    val hist = docs.groupBy(valueCol).agg(count(lit(1)).as("_c"))
+    val wPrev = Window.orderBy(valueCol).rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val ranked = hist
+      .withColumn("_smaller", coalesce(sum("_c").over(wPrev), lit(0L)))
+      .withColumn("_n", sum("_c").over(wAll))
+      .withColumn("percent_rank",
+        when(col("_n") > 1,
+          round(col("_smaller").cast("double") /
+            (col("_n") - 1).cast("double"), 6))
+          .otherwise(lit(0.0)))
+      .select(col(valueCol), col("percent_rank"))
+    docs.join(broadcast(ranked), Seq(valueCol))
+      .filter(col("percent_rank") >= minPercentRank)
+  }
+}

@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Tables
+import graft.llm.Relevance
+
+/** Driver-gate entries for term-relevance scoring (SURVEY §2.8 text-analysis
+  * tier): per-document TF-IDF top terms and Okapi BM25 ranked retrieval.
+  * Both fully DuckDB-oracled — scores are rounded to 6 dp before any rank
+  * or sum, and BM25 contributions sum as DECIMAL(18,6) so the result is
+  * independent of partition order in both engines.
+  */
+object RelevanceQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame = {
+    Tables.register(s, dir); s.table("documents")
+  }
+
+  /** Shared tokenizer CTE (whitespace split, empty tokens dropped). */
+  private val toksCte =
+    """toks AS (
+      |  SELECT doc_id, t AS term FROM (
+      |    SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS t
+      |    FROM documents)
+      |  WHERE t <> '')""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tfidf_topterms" -> { (s, dir) =>
+      Relevance.tfidfTopTerms(docs(s, dir), topN = 3)
+    },
+
+    "q_bm25_search" -> { (s, dir) =>
+      Relevance.bm25TopDocs(
+        docs(s, dir), Seq("spark", "vector", "stream"), topN = 20)
+    })
+
+  def oracles: Map[String, String] = Map(
+    "q_tfidf_topterms" ->
+      s"""WITH $toksCte,
+         |tf AS (
+         |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |  FROM toks GROUP BY doc_id, term),
+         |df AS (
+         |  SELECT term, count(*) AS n_docs_with_term FROM tf GROUP BY term),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |scored AS (
+         |  SELECT tf.doc_id, tf.term, tf.tf,
+         |    round(CAST(tf.tf AS DOUBLE) *
+         |      ln(CAST(n.n_docs AS DOUBLE) / CAST(df.n_docs_with_term AS DOUBLE)),
+         |      6) AS score
+         |  FROM tf JOIN df USING (term) CROSS JOIN n),
+         |r AS (
+         |  SELECT doc_id, term, tf, score,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY score DESC, term ASC) AS rank
+         |  FROM scored)
+         |SELECT doc_id, term, tf, score, CAST(rank AS INTEGER) AS rank
+         |FROM r WHERE rank <= 3""".stripMargin,
+
+    // k1 = 1.2, b = 0.75; expression association mirrors the Scala Column
+    // algebra exactly so both engines execute the same IEEE operation order
+    "q_bm25_search" ->
+      s"""WITH $toksCte,
+         |dl AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+         |  FROM toks GROUP BY doc_id),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |s AS (
+         |  SELECT CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+         |  FROM dl),
+         |tf AS (
+         |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks
+         |  WHERE term IN ('spark', 'vector', 'stream')
+         |  GROUP BY doc_id, term),
+         |df AS (SELECT term, count(*) AS term_df FROM tf GROUP BY term),
+         |c AS (
+         |  SELECT tf.doc_id,
+         |    CAST(round(
+         |      ln((CAST(n.n_docs AS DOUBLE) - CAST(df.term_df AS DOUBLE) + 0.5)
+         |          / (CAST(df.term_df AS DOUBLE) + 0.5) + 1.0)
+         |        * (CAST(tf.tf AS DOUBLE) * 2.2)
+         |        / (CAST(tf.tf AS DOUBLE)
+         |           + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) / s.avgdl)),
+         |      6) AS DECIMAL(18,6)) AS contrib
+         |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+         |  CROSS JOIN n CROSS JOIN s)
+         |SELECT doc_id, CAST(sum(contrib) AS DOUBLE) AS score,
+         |  CAST(count(*) AS BIGINT) AS n_terms_matched
+         |FROM c GROUP BY doc_id
+         |ORDER BY score DESC, doc_id ASC
+         |LIMIT 20""".stripMargin)
+
+  def verifySort: Map[String, Seq[String]] = Map(
+    "q_tfidf_topterms" -> Seq("doc_id", "rank"))
+}

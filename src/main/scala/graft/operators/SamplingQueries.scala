@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.llm.Sampling
+
+/** Driver-gate entries for corpus sampling/ordering (SURVEY §2.8
+  * extension): deterministic global shuffle, stable hash sampling,
+  * domain-mixture resampling, and quantile-threshold filtering. All keyed
+  * on md5 of stable ids — no rand() anywhere — so every entry is fully
+  * DuckDB-oracled.
+  */
+object SamplingQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame = {
+    Tables.register(s, dir); s.table("documents")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // distributed sort-rank permutation (range partition + offset compose,
+    // never a single global window) + round-robin shard assignment
+    "q_corpus_shuffle" -> { (s, dir) =>
+      Sampling.corpusShuffle(docs(s, dir), nShards = 8)
+    },
+
+    // stable 10% sample on the md5 bucket of doc_id
+    "q_hash_sample" -> { (s, dir) =>
+      Sampling.hashSample(docs(s, dir).select("doc_id", "source"), pct = 10)
+    },
+
+    // target mixture: sources upweighted 1–3× by a deterministic
+    // per-domain factor (a stand-in for a real target-weight table)
+    "q_domain_mix" -> { (s, dir) =>
+      Sampling.domainMix(
+        docs(s, dir).select("doc_id", "source"),
+        expr("1 + (CAST(replace(source, 'src', '') AS INT) % 3)"))
+    },
+
+    // keep docs at or above the 25th percentile of n_chars — computed
+    // from the value histogram, not a global row sort
+    "q_quantile_filter" -> { (s, dir) =>
+      Sampling.quantileFilter(
+        docs(s, dir).select("doc_id", "n_chars"), "n_chars", 0.25)
+        .select("doc_id", "n_chars", "percent_rank")
+    })
+
+  def oracles: Map[String, String] = Map(
+    // algorithm-independent oracle: a plain global window row_number —
+    // proving the distributed rank composition equals the naive total order
+    "q_corpus_shuffle" ->
+      """WITH r AS (
+        |  SELECT doc_id,
+        |    row_number() OVER (
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |SELECT doc_id, CAST(rn AS BIGINT) AS position,
+        |  CAST((rn - 1) % 8 AS BIGINT) AS shard
+        |FROM r""".stripMargin,
+
+    "q_hash_sample" ->
+      """SELECT doc_id, source, bucket FROM (
+        |  SELECT doc_id, source,
+        |    CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+        |      % 100 AS bucket
+        |  FROM documents)
+        |WHERE bucket < 10""".stripMargin,
+
+    "q_domain_mix" ->
+      """SELECT doc_id, source, n_copies,
+        |  CAST(unnest(range(1, n_copies + 1)) AS INTEGER) AS copy_idx
+        |FROM (
+        |  SELECT doc_id, source,
+        |    CAST(1 + (CAST(replace(source, 'src', '') AS INTEGER) % 3) AS INTEGER)
+        |      AS n_copies
+        |  FROM documents)""".stripMargin,
+
+    // algorithm-independent oracle: the window percent_rank definition the
+    // histogram method must reproduce exactly
+    "q_quantile_filter" ->
+      """WITH r AS (
+        |  SELECT doc_id, n_chars,
+        |    round(percent_rank() OVER (ORDER BY n_chars), 6) AS percent_rank
+        |  FROM documents)
+        |SELECT doc_id, n_chars, percent_rank
+        |FROM r WHERE percent_rank >= 0.25""".stripMargin)
+
+  def verifySort: Map[String, Seq[String]] = Map(
+    "q_corpus_shuffle" -> Seq("doc_id"),
+    "q_hash_sample" -> Seq("doc_id"),
+    "q_domain_mix" -> Seq("doc_id", "copy_idx"),
+    "q_quantile_filter" -> Seq("doc_id"))
+}

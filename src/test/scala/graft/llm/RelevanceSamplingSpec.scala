@@ -1,0 +1,149 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Relevance scoring (TF-IDF / BM25) and corpus sampling operators:
+  * semantic invariants plus equivalence of the scale-shaped
+  * implementations against naive single-window formulations. */
+class RelevanceSamplingSpec extends AnyFunSuite {
+
+  private def spark = SparkTestSession.withTables()
+
+  // --- Relevance ---------------------------------------------------------
+
+  test("tfidf: corpus-wide terms score zero, rare terms dominate") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "common rare1 common common"),
+      (2L, "common unique2 common"),
+      (3L, "common common common")).toDF("doc_id", "text")
+    val top = Relevance.tfidfTopTerms(docs, topN = 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(3), r.getInt(4)))
+    // 'common' appears in every doc => idf = ln(1) = 0
+    assert(top.filter(_._2 == "common").forall(_._3 == 0.0))
+    // each doc's rank-1 term is its distinctive one (docs 1, 2)
+    assert(top.find(t => t._1 == 1L && t._4 == 1).get._2 == "rare1")
+    assert(top.find(t => t._1 == 2L && t._4 == 1).get._2 == "unique2")
+  }
+
+  test("tfidf: rank is dense per doc and bounded by topN") {
+    val s = spark
+    val top = Relevance.tfidfTopTerms(
+      s.table("documents").limit(50), topN = 3)
+    val byDoc = top.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), max("rank").as("mx"), min("rank").as("mn"))
+      .collect()
+    assert(byDoc.nonEmpty)
+    assert(byDoc.forall(r => r.getLong(1) <= 3 && r.getInt(3) == 1 &&
+      r.getInt(2) == r.getLong(1)))
+  }
+
+  test("bm25: a doc saturated with the query term outranks a diluted one") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "spark spark spark spark"),
+      (2L, "spark pad pad pad pad pad pad pad pad pad pad pad pad pad pad"),
+      (3L, "pad pad pad")).toDF("doc_id", "text")
+    val r = Relevance.bm25TopDocs(docs, Seq("spark"), topN = 10).collect()
+    assert(r.map(_.getLong(0)).toSeq == Seq(1L, 2L)) // doc 3 never matches
+    assert(r(0).getDouble(1) > r(1).getDouble(1))
+  }
+
+  test("bm25: matched-doc set equals docs containing any query term") {
+    val s = spark
+    val docs = s.table("documents").limit(100)
+    val terms = Seq("spark", "vector")
+    val scored = Relevance.bm25TopDocs(docs, terms, topN = 1000)
+    val expected = docs
+      .filter(terms.map(t => col("text").contains(t)).reduce(_ || _))
+    // containment check is a superset test ('sparky' would contain 'spark'
+    // but not tokenize to it), so assert scored ⊆ contains and both nonempty
+    val scoredIds = scored.select("doc_id").collect().map(_.getLong(0)).toSet
+    val containIds = expected.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(scoredIds.nonEmpty)
+    assert(scoredIds.subsetOf(containIds))
+  }
+
+  // --- Sampling ----------------------------------------------------------
+
+  test("corpusShuffle: positions are an exact permutation and match the " +
+    "naive global-window order") {
+    val s = spark
+    val docs = s.table("documents").select("doc_id", "text")
+    val shuffled = Sampling.corpusShuffle(docs, nShards = 8, parallelism = 5)
+    val rows = shuffled.collect()
+    val n = rows.length
+    assert(rows.map(_.getLong(1)).sorted.toSeq == (1L to n).toSeq,
+      "positions must be exactly 1..n")
+    // equivalence with the naive single-window formulation
+    val naive = docs
+      .select(col("doc_id"), md5(col("doc_id").cast("string")).as("_k"))
+      .withColumn("position", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("_k", "doc_id")))
+      .select("doc_id", "position").collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    assert(rows.forall(r => naive(r.getLong(0)) == r.getLong(1)))
+    // shard is round-robin on position
+    assert(rows.forall(r => r.getLong(2) == (r.getLong(1) - 1) % 8))
+  }
+
+  test("hashSample: deterministic, join-consistent, near-target rate") {
+    val s = spark
+    val docs = s.table("documents").select("doc_id", "source")
+    val s1 = Sampling.hashSample(docs, 20).collect().map(_.getLong(0)).toSet
+    val s2 = Sampling.hashSample(docs, 20).collect().map(_.getLong(0)).toSet
+    assert(s1 == s2, "same input must sample identically")
+    val total = docs.count()
+    assert(s1.size > total * 0.1 && s1.size < total * 0.3,
+      s"20% sample wildly off: ${s1.size}/$total")
+    // monotone: a 10% sample is a subset of the 20% sample (same buckets)
+    val s10 = Sampling.hashSample(docs, 10).collect().map(_.getLong(0)).toSet
+    assert(s10.subsetOf(s1))
+  }
+
+  test("domainMix: replication count matches the factor expression") {
+    val s = spark
+    val docs = s.table("documents").select("doc_id", "source")
+    val mixed = Sampling.domainMix(
+      docs, expr("1 + (CAST(replace(source, 'src', '') AS INT) % 3)"))
+    val perDoc = mixed.groupBy("doc_id", "n_copies")
+      .agg(count(lit(1)).as("n"), max("copy_idx").as("mx")).collect()
+    assert(perDoc.nonEmpty)
+    assert(perDoc.forall(r => r.getLong(2) == r.getInt(1).toLong &&
+      r.getInt(3) == r.getInt(1)))
+    // factors actually vary across sources (1..3)
+    val factors = perDoc.map(_.getInt(1)).toSet
+    assert(factors == Set(1, 2, 3))
+  }
+
+  test("quantileFilter: histogram method equals window percent_rank exactly") {
+    val s = spark
+    val docs = s.table("documents").select("doc_id", "n_chars")
+    val got = Sampling.quantileFilter(docs, "n_chars", 0.25)
+      .select("doc_id", "percent_rank").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val w = org.apache.spark.sql.expressions.Window.orderBy("n_chars")
+    val naive = docs
+      .withColumn("pr", round(percent_rank().over(w), 6))
+      .filter(col("pr") >= 0.25)
+      .select("doc_id", "pr").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == naive)
+    // roughly the top three quarters survive
+    val total = docs.count()
+    assert(got.size > total * 0.6 && got.size < total * 0.9)
+  }
+
+  test("quantileFilter: single-value column keeps everything at rank 0") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, 7), (2L, 7), (3L, 7)).toDF("doc_id", "v")
+    val kept = Sampling.quantileFilter(docs, "v", 0.0).collect()
+    assert(kept.length == 3)
+  }
+}
