@@ -91,6 +91,30 @@ object ComputeRegistry {
       val sigs = graft.llm.Dedup.simhash(keyed(df, ins.head))
         .select(col("doc_id"), col("simhash_bits").as(out))
       df.join(sigs, Seq("doc_id"))
+    },
+    // highest-TF-IDF term per doc (rank 1 of Relevance.tfidfTopTerms)
+    "tfidf_top_term" -> { (df, ins, out) =>
+      val top = graft.llm.Relevance.tfidfTopTerms(keyed(df, ins.head), topN = 1)
+        .select(col("doc_id"), col("term").as(out))
+      df.join(top, Seq("doc_id"), "left")
+    },
+    // deterministic global-shuffle position (distributed sort-rank on the
+    // md5 of doc_id; the input column is ignored beyond the key)
+    "corpus_shuffle" -> { (df, ins, out) =>
+      require(df.columns.contains("doc_id"),
+        s"table kernels require a 'doc_id' key column; relation has " +
+          s"[${df.columns.mkString(", ")}]")
+      val pos = graft.llm.Sampling.corpusShuffle(df.select("doc_id"))
+        .select(col("doc_id"), col("position").as(out))
+      df.join(pos, Seq("doc_id"))
+    },
+    // value-histogram percent_rank of the input column (ties share a
+    // rank), attached as the output column — the quantile-filter building
+    // block without the filter, so DSL users pick their own threshold
+    // (threshold 0.0 keeps every row)
+    "percent_rank" -> { (df, ins, out) =>
+      graft.llm.Sampling.quantileFilter(df, ins.head, 0.0)
+        .withColumnRenamed("percent_rank", out)
     })
 
   tableBuiltins.foreach { case (k, v) => tableKernels.put(k, v) }
@@ -101,6 +125,11 @@ object ComputeRegistry {
   kernels.put("token_count", cols => graft.llm.TextOps.tokenCount(cols.head))
   kernels.put("fingerprint", cols => graft.llm.TextOps.fingerprint(cols.head))
   kernels.put("pii_scrub", cols => graft.llm.Curation.scrub(cols.head))
+  // stable md5 sampling bucket (0-99) of any id column: filter on the
+  // output for a rerun-stable, join-consistent sample (Sampling.hashSample)
+  kernels.put("hash_bucket", cols =>
+    conv(substring(md5(cols.head.cast("string")), 1, 8), 16, 10)
+      .cast("long") % 100)
 
   def register(name: String, kernel: Kernel): Unit = kernels.put(name, kernel)
 

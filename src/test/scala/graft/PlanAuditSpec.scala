@@ -80,4 +80,47 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("rangepartitioning"),
       s"sequence packing must not globally sort the corpus:\n$p")
   }
+
+  test("q_hash_sample and q_domain_mix are map-side only — zero shuffles") {
+    for (name <- Seq("q_hash_sample", "q_domain_mix")) {
+      val p = plan(name)
+      assert(!p.contains("Exchange"),
+        s"$name is a projection/generator pipeline and must not shuffle:\n$p")
+    }
+  }
+
+  test("q_corpus_shuffle ranks inside range partitions, not one global window") {
+    val p = plan("q_corpus_shuffle")
+    assert(p.contains("rangepartitioning"),
+      s"the permutation must range-partition on the shuffle key:\n$p")
+    assert(p.contains("windowspecdefinition(_pid"),
+      s"row_number must be keyed by the range partition id — a global " +
+        s"orderBy window would funnel the corpus through one task:\n$p")
+  }
+
+  test("q_quantile_filter joins the histogram back via broadcast") {
+    val p = plan("q_quantile_filter")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the per-value rank table is distinct-value-sized and must " +
+        s"broadcast; a shuffle join here repartitions the corpus:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no corpus-side shuffle join:\n$p")
+  }
+
+  test("q_bm25_search ends in a bounded sort+limit and per-doc windows " +
+    "never appear") {
+    val p = plan("q_bm25_search")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must fuse to TakeOrderedAndProject, not a global sort:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"only broadcast one-row stat joins are acceptable:\n$p")
+  }
+
+  test("q_tfidf_topterms ranks per doc_id — the window key is the doc") {
+    val p = plan("q_tfidf_topterms")
+    assert(p.contains("windowspecdefinition(doc_id"),
+      s"the rank window must partition by doc_id (bounded frames), never " +
+        s"a global order:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"only the broadcast one-row N join may cross:\n$p")
+  }
 }

@@ -167,4 +167,33 @@ class ComputeSpec2 extends AnyFunSuite {
       "documents")
     assert(tc.filter(col("n_tokens") <= 0).count() == 0)
   }
+
+  test("relevance and sampling kernels surface through the DSL") {
+    val s = spark
+    // rank-1 TF-IDF term attaches per doc
+    val tt = ComputeRegistry.runOnce(s,
+      parse("COMPUTE tt FROM table(text) INTO column(top_term) USING tfidf_top_term"),
+      "documents")
+    assert(tt.count() == s.table("documents").count())
+    assert(tt.filter(col("top_term").isNull).count() == 0)
+    // shuffle positions are an exact permutation
+    val sh = ComputeRegistry.runOnce(s,
+      parse("COMPUTE sh FROM table(doc_id) INTO column(pos) USING corpus_shuffle"),
+      "documents")
+    val n = sh.count()
+    assert(sh.agg(min("pos"), max("pos"), countDistinct("pos")).collect()(0)
+      .toSeq == Seq(1L, n, n))
+    // percent_rank lands in [0,1] and is monotone in the value
+    val pr = ComputeRegistry.runOnce(s,
+      parse("COMPUTE pr FROM table(n_chars) INTO column(pr) USING percent_rank"),
+      "documents")
+    assert(pr.filter(col("pr") < 0 || col("pr") > 1).count() == 0)
+    assert(pr.groupBy("n_chars").agg(countDistinct("pr").as("k"))
+      .filter(col("k") =!= 1).count() == 0, "ties must share a rank")
+    // hash_bucket column kernel: buckets in [0,100), stable across calls
+    val hb = ComputeRegistry.runOnce(s,
+      parse("COMPUTE hb FROM table(doc_id) INTO column(bucket) USING hash_bucket"),
+      "documents")
+    assert(hb.filter(col("bucket") < 0 || col("bucket") >= 100).count() == 0)
+  }
 }
