@@ -95,6 +95,66 @@ object Dedup {
           .as(Seq("band_idx", "band_hash")))
   }
 
+  /** The persistable signature index: one row per (doc, band) with the
+    * full signature array and the band hash — exactly the table a 100 TB
+    * corpus stores once (ideally bucketed on band_hash, see
+    * graft.scale.Bucketing) so incremental batches can probe it without
+    * re-hashing a single historical document. Feed it to
+    * [[incrementalCandidates]]. */
+  def signatureIndex(
+      docs: DataFrame, k: Int = 3, numHashes: Int = 8, bands: Int = 4,
+      oracleHashes: Boolean = false): DataFrame =
+    bandedBuckets(docs, k, numHashes, bands, oracleHashes)
+
+  /** Incremental near-dup detection: candidate pairs between a NEW batch
+    * and an existing corpus, plus pairs inside the batch — without
+    * re-hashing the corpus. `index` is the persisted [[signatureIndex]] of
+    * the historical docs; only `newDocs` pays shingle/signature cost.
+    *
+    * The index side is pruned FIRST by a broadcast semi-join on the
+    * batch's band keys (≤ bands × |batch| keys — tiny relative to any
+    * corpus): historical rows in buckets the batch never touches are
+    * dropped at the scan, so the candidate join shuffles O(matching
+    * buckets), not O(index). Output matches [[minhashCandidates]] over
+    * (corpus ∪ batch) restricted to pairs touching the batch — pinned by
+    * an equivalence test.
+    *
+    * Ids must be disjoint between index and batch (same contract as any
+    * union-based dedup). */
+  def incrementalCandidates(
+      index: DataFrame, newDocs: DataFrame, k: Int = 3, numHashes: Int = 8,
+      bands: Int = 4, minEstJaccard: Double = 0.5,
+      oracleHashes: Boolean = false): DataFrame = {
+    // materialized up front: referenced by the key set, the join's left
+    // side, AND the union'd right side (same rationale as minhashCandidates)
+    val newBuckets = PipelineCaches.track(
+      bandedBuckets(newDocs, k, numHashes, bands, oracleHashes)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    newBuckets.count()
+
+    val batchKeys = newBuckets.select("band_idx", "band_hash").distinct()
+    val prunedIndex = index
+      .join(broadcast(batchKeys), Seq("band_idx", "band_hash"), "left_semi")
+
+    // explicit column order: the semi-join moved the key columns first,
+    // and unionAll is positional
+    def sided(df: DataFrame, side: String): DataFrame = df.select(
+      col("band_idx"), col("band_hash"),
+      col("doc_id").as(s"id_$side"), col("sig").as(s"sig_$side"))
+    val l = sided(newBuckets, "l")
+    val r = sided(prunedIndex, "r").unionAll(sided(newBuckets, "r"))
+    val matches = expr(
+      "size(filter(zip_with(sig_l, sig_r, (x, y) -> x = y), m -> m))")
+    l.join(r, Seq("band_idx", "band_hash"))
+      .filter(col("id_l") =!= col("id_r"))
+      .select(
+        least(col("id_l"), col("id_r")).as("doc_a"),
+        greatest(col("id_l"), col("id_r")).as("doc_b"),
+        (matches.cast("double") / size(col("sig_l"))).as("est_jaccard"))
+      .distinct()
+      .filter(col("est_jaccard") >= minEstJaccard)
+  }
+
   /** Skew audit for [[minhashCandidates]]'s `maxBucketSize` guard: the
     * band buckets a given cap would exclude, with their member counts —
     * run it to size the cap, or after a capped run to quantify what was

@@ -30,11 +30,10 @@ object LlmQueries {
 
   private val annQueryIds: Seq[Long] = Seq(0L, 1L, 2L, 3L, 4L)
 
-  /** Shared DuckDB CTE block replaying the banded MinHash pipeline over
-    * the docs + trimmed-copy corpus (md5 hash family — DuckDB-reproducible):
-    * ends at `scored(doc_a, doc_b, est_jaccard)`. Used by the candidate-pair
-    * oracle here and the dup-group oracle in [[CurationQueries]]. */
-  private[operators] val minhashPairsCtes: String = {
+  /** DuckDB CTE block replaying the banded MinHash pipeline over an
+    * arbitrary corpus CTE body `uBody` (md5 hash family —
+    * DuckDB-reproducible): ends at `scored(doc_a, doc_b, est_jaccard)`. */
+  private[operators] def minhashCtesOver(uBody: String): String = {
     val shingles =
       """CASE WHEN len(w) < 3 THEN [text]
         |ELSE list_transform(range(1, len(w) - 1),
@@ -46,11 +45,7 @@ object LlmQueries {
       s"list_aggregate(list_transform(h$m, h -> substring(h, ${1 + 8 * c}, 8)), 'min')"
     }.mkString("[", ",\n   ", "]")
     s"""u AS (
-       |  SELECT doc_id, text FROM documents
-       |  UNION ALL
-       |  SELECT doc_id + 100000 AS doc_id,
-       |    substring(text, 1, greatest(length(text) - 12, 1)) AS text
-       |  FROM documents),
+       |$uBody),
        |t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM u),
        |sh AS (SELECT doc_id, $shingles AS s FROM t),
        |hh AS (SELECT doc_id,
@@ -74,6 +69,16 @@ object LlmQueries {
        |  JOIN sig sa ON sa.doc_id = p.doc_a
        |  JOIN sig sb ON sb.doc_id = p.doc_b)""".stripMargin
   }
+
+  /** The standard corpus for the dedup-family oracles: every doc plus a
+    * trimmed near-dup copy at doc_id + 100000. Used by the candidate-pair
+    * oracle here and the dup-group oracles in [[CurationQueries]]. */
+  private[operators] val minhashPairsCtes: String = minhashCtesOver(
+    """  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000 AS doc_id,
+      |    substring(text, 1, greatest(length(text) - 12, 1)) AS text
+      |  FROM documents""".stripMargin)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_stats" -> { (s, dir) => TextOps.stats(docs(s, dir)) },
@@ -102,6 +107,23 @@ object LlmQueries {
         d.select("doc_id", "text").unionAll(mutated),
         k = 3, numHashes = 8, bands = 4, minEstJaccard = 0.5,
         oracleHashes = true)
+    },
+
+    // incremental dedup: a new batch (every 5th doc + trimmed copies of
+    // every 10th) probes the persisted signature index of the rest of the
+    // corpus — only the batch is re-hashed; the index side is pruned by a
+    // broadcast semi-join on the batch's band keys. The oracle recomputes
+    // the FULL corpus candidates and restricts to pairs touching the
+    // batch, proving the incremental path loses nothing
+    "q_dedup_incremental" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val old = d.filter(col("doc_id") % 5 =!= 4).select("doc_id", "text")
+      val fresh = d.filter(col("doc_id") % 5 === 4).select("doc_id", "text")
+        .unionAll(d.filter(col("doc_id") % 10 === 0).select(
+          (col("doc_id") + 100000L).as("doc_id"),
+          expr("substring(text, 1, greatest(length(text) - 12, 1))").as("text")))
+      val idx = Dedup.signatureIndex(old, oracleHashes = true)
+      Dedup.incrementalCandidates(idx, fresh, oracleHashes = true)
     },
 
     "q_ann_cosine_topk" -> { (s, dir) =>
@@ -291,6 +313,23 @@ object LlmQueries {
          |SELECT doc_a, doc_b, est_jaccard FROM scored
          |WHERE est_jaccard >= 0.5""".stripMargin,
 
+    // algorithm-independent oracle: full-corpus banded recompute over
+    // (old ∪ batch), restricted to pairs with at least one batch doc
+    // (batch = doc_id % 5 = 4 originals and the +100000 trimmed copies)
+    "q_dedup_incremental" -> {
+      val corpus =
+        """  SELECT doc_id, text FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 100000 AS doc_id,
+          |    substring(text, 1, greatest(length(text) - 12, 1)) AS text
+          |  FROM documents WHERE doc_id % 10 = 0""".stripMargin
+      s"""WITH ${minhashCtesOver(corpus)}
+         |SELECT doc_a, doc_b, est_jaccard FROM scored
+         |WHERE est_jaccard >= 0.5
+         |  AND (doc_a % 5 = 4 OR doc_a >= 100000
+         |       OR doc_b % 5 = 4 OR doc_b >= 100000)""".stripMargin
+    },
+
     "q_dedup_ngram_jaccard" ->
       """WITH u AS (
         |  SELECT doc_id, text FROM documents
@@ -462,6 +501,7 @@ object LlmQueries {
 
   def verifySort: Map[String, Seq[String]] = Map(
     "q_dedup_minhash_pairs" -> Seq("doc_a", "doc_b"),
+    "q_dedup_incremental" -> Seq("doc_a", "doc_b"),
     "q_dedup_simhash" -> Seq("doc_id"),
     "q_dedup_ngram_jaccard" -> Seq("doc_a"),
     "q_dedup_embcos" -> Seq("vec_a", "vec_b"),

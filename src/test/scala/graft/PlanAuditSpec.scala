@@ -75,6 +75,15 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q_dedup_incremental prunes the index with a broadcast semi-join") {
+    val p = plan("q_dedup_incremental")
+    assert(p.contains("LeftSemi"),
+      s"historical index rows must be pruned by the batch's band keys " +
+        s"before the candidate join:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"candidate generation must stay a band-key equi-join:\n$p")
+  }
+
   test("q_seq_pack packs shard-locally — no global range partitioning") {
     val p = plan("q_seq_pack")
     assert(!p.contains("rangepartitioning"),

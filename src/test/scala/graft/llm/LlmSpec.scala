@@ -94,6 +94,31 @@ class LlmSpec extends AnyFunSuite {
     graft.llm.PipelineCaches.clear()
   }
 
+  test("incremental candidates equal full recompute restricted to the batch") {
+    val s = spark
+    val d = s.table("documents").select("doc_id", "text")
+      .filter(col("doc_id") < 120)
+    val old = d.filter(col("doc_id") % 5 =!= 4)
+    val fresh = d.filter(col("doc_id") % 5 === 4)
+      .unionAll(d.filter(col("doc_id") % 10 === 0).select(
+        (col("doc_id") + 100000L).as("doc_id"),
+        expr("substring(text, 1, greatest(length(text) - 12, 1))").as("text")))
+    val freshIds = fresh.select("doc_id").collect().map(_.getLong(0)).toSet
+
+    val idx = Dedup.signatureIndex(old)
+    val inc = Dedup.incrementalCandidates(idx, fresh)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = Dedup.minhashCandidates(old.unionAll(fresh))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      .filter(p => freshIds(p._1) || freshIds(p._2))
+    assert(inc == full,
+      s"incremental ${inc.size} pairs vs restricted-full ${full.size}")
+    // the planted cross-batch dups (old doc, its trimmed copy) all surface
+    val planted = inc.count(p => p._2 == p._1 + 100000L)
+    assert(planted >= 10, s"only $planted/12 planted cross-batch dups found")
+    graft.llm.PipelineCaches.clear()
+  }
+
   test("jaccard rescore gives 1.0 for identical docs") {
     val s = spark
     val d = s.table("documents").select("doc_id", "text").filter(col("doc_id") < 10)
