@@ -131,7 +131,17 @@ object Dedup {
       bandedBuckets(newDocs, k, numHashes, bands, oracleHashes)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     newBuckets.count()
+    candidatesFromBuckets(index, newBuckets, minEstJaccard)
+  }
 
+  /** [[incrementalCandidates]] core for callers that already hold the
+    * batch's materialized [[signatureIndex]] rows (the streaming path
+    * computes them once and both probes and appends them). `newBuckets`
+    * MUST be materialized (persisted or checkpointed) — it is referenced
+    * three times below. */
+  private[graft] def candidatesFromBuckets(
+      index: DataFrame, newBuckets: DataFrame, minEstJaccard: Double)
+      : DataFrame = {
     val batchKeys = newBuckets.select("band_idx", "band_hash").distinct()
     val prunedIndex = index
       .join(broadcast(batchKeys), Seq("band_idx", "band_hash"), "left_semi")

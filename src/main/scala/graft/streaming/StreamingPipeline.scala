@@ -1,9 +1,11 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+  OutputMode, StreamingQuery}
 
 import graft.dml.events.Event
+import graft.llm.Dedup
 
 /** Streaming forms of the pipeline operators whose batch versions live in
   * the catalog (exact dedup, sessionization): `readStream → transform →
@@ -20,6 +22,60 @@ object StreamingPipeline {
       : DataFrame =
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Accumulating MinHash signature index for continuous near-dup
+    * detection: each arriving batch is hashed ONCE, probed against
+    * everything seen so far ([[Dedup.candidatesFromBuckets]] — the index
+    * side pruned by the batch's band keys), then appended. State is the
+    * signature table (bytes per doc-band, never the text); lineage is
+    * truncated by eager localCheckpoint on every batch and the union chain
+    * is re-checkpointed every `compactEvery` batches so the plan stays
+    * constant-size over an unbounded stream. On a real cluster the index
+    * would live in a storage table (append + bucketed by band_hash); this
+    * in-memory form is the same algorithm with executor-resident blocks. */
+  final class NearDupIndex(
+      k: Int = 3, numHashes: Int = 8, bands: Int = 4,
+      minEstJaccard: Double = 0.5, compactEvery: Int = 16) {
+    private var index: Option[DataFrame] = None
+    private var batches = 0
+
+    /** Number of (doc, band) rows currently indexed. */
+    def size: Long = synchronized { index.map(_.count()).getOrElse(0L) }
+
+    /** Hash the batch once, return candidate pairs vs (index ∪ batch),
+      * append the batch to the index. Thread-safe; the returned (lazy)
+      * frame reads only checkpoint-backed inputs, so it remains valid
+      * after the index advances past this batch. */
+    def probeAndAppend(batchDocs: DataFrame): DataFrame = synchronized {
+      val nb = Dedup.signatureIndex(batchDocs, k, numHashes, bands)
+        .localCheckpoint(true)
+      val cands = Dedup.candidatesFromBuckets(
+        index.getOrElse(nb.limit(0)), nb, minEstJaccard)
+      index = Some(index.map(_.unionAll(nb)).getOrElse(nb))
+      batches += 1
+      if (batches % compactEvery == 0) index = index.map(_.localCheckpoint(true))
+      cands
+    }
+  }
+
+  /** Continuous near-dup detection over a document stream (doc_id, text):
+    * foreachBatch probes-and-appends the [[NearDupIndex]] and hands the
+    * batch's candidate pairs (doc_a, doc_b, est_jaccard — at least one
+    * side in the batch) to `onCandidates`. The only state Spark itself
+    * holds is the streaming offset log; the index is the operator's own
+    * bounded signature table. */
+  def nearDupStream(
+      docs: DataFrame, index: NearDupIndex,
+      onCandidates: (Long, DataFrame) => Unit): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .queryName("near_dup_stream")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        onCandidates(batchId,
+          index.probeAndAppend(batch.select("doc_id", "text")))
+        ()
+      }
+      .start()
 
   /** A closed user session (emitted once the gap passes or event-time
     * timeout fires). */

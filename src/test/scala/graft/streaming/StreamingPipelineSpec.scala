@@ -43,6 +43,49 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(got.select("event_id").distinct().count() == got.count())
   }
 
+  test("streaming near-dup probes each batch against the growing index") {
+    val s = spark
+    val dir = Files.createTempDirectory("graft-neardup").toString
+    val ckpt = Files.createTempDirectory("graft-neardup-ckpt").toString
+    val d = s.table("documents").select("doc_id", "text")
+
+    // file 1: docs 0-49 plus an exact in-batch copy of doc 0 (id 5000)
+    d.filter(col("doc_id") < 50)
+      .unionAll(d.filter(col("doc_id") === 0)
+        .select(lit(5000L).as("doc_id"), col("text")))
+      .repartition(1).write.mode("append").parquet(dir)
+    Thread.sleep(1100) // distinct file mtimes => deterministic batch order
+    // file 2: docs 100-119 plus trimmed near-dups of batch-1 docs 0-9
+    d.filter(col("doc_id") >= 100 && col("doc_id") < 120)
+      .unionAll(d.filter(col("doc_id") < 10).select(
+        (col("doc_id") + 100000L).as("doc_id"),
+        expr("substring(text, 1, greatest(length(text) - 12, 1))").as("text")))
+      .repartition(1).write.mode("append").parquet(dir)
+
+    val found = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val idx = new StreamingPipeline.NearDupIndex(compactEvery = 2)
+    val stream = s.readStream
+      .schema("doc_id BIGINT, text STRING")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+    val q = StreamingPipeline.nearDupStream(stream, idx, (batchId, cands) =>
+      found ++= cands.collect().map(r =>
+        (batchId, r.getLong(0), r.getLong(1))))
+    try q.awaitTermination(180000) finally q.stop()
+
+    val pairs = found.map(p => (p._2, p._3))
+    // the in-batch exact dup surfaces once
+    assert(pairs.count(_ == (0L, 5000L)) == 1)
+    // cross-batch planted near-dups surface against the INDEX, not the batch
+    val planted = pairs.filter(p => p._2 == p._1 + 100000L)
+    assert(planted.size >= 8, s"only ${planted.size}/10 planted pairs found")
+    // incremental property: no pair is ever reported twice
+    assert(pairs.distinct.size == pairs.size,
+      s"duplicated reports: ${pairs.groupBy(identity).filter(_._2.size > 1).keys}")
+    // the index accumulated both batches (4 band rows per doc)
+    assert(idx.size == (51 + 30) * 4L)
+  }
+
   test("streaming sessionizer emits the batch sessions closed by gaps") {
     val s = spark
     import s.implicits._
