@@ -55,6 +55,50 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Per-vector symmetric int8 quantization: scale = max|x|/127, element
+    * q = round(x/scale) ∈ [−127, 127] — the standard first compression
+    * step for an embedding store (4× smaller than float32, ~16× smaller
+    * than the float64 Spark would otherwise shuffle). Pure projection, no
+    * shuffle; all-zero vectors quantize to zeros under scale 1. */
+  def quantizeInt8(embeddings: DataFrame, embCol: String = "embedding")
+      : DataFrame = {
+    val absMax = array_max(transform(col(embCol), x => abs(x)))
+    embeddings
+      .withColumn("scale",
+        when(absMax === 0, lit(1.0)).otherwise(absMax.cast("double") / lit(127.0)))
+      .withColumn("qvec",
+        transform(col(embCol),
+          x => round(x.cast("double") / col("scale")).cast("int")))
+  }
+
+  /** Exact integer dot of two int8 vectors (element-order fold; ≤ 127²
+    * per element never overflows the long accumulator). */
+  def int8Dot(qa: Column, qb: Column): Column =
+    aggregate(zip_with(qa, qb, (x, y) => x * y), lit(0L),
+      (acc, v) => acc + v)
+
+  /** Brute-force top-k in int8 space: score = intDot · scale_a · scale_q
+    * (the dequantized approximate inner product). The integer dot is
+    * exact and order-independent; only the two per-vector scales touch
+    * floating point, so the score is engine-reproducible and the memory
+    * traffic per vector is a quarter of the float32 baseline. Recall vs
+    * the exact float top-k is test-pinned. */
+  def int8TopK(
+      embeddings: DataFrame, queryIds: Seq[Long], k: Int = 10): DataFrame = {
+    val q = quantizeInt8(embeddings)
+    val queries = q.filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("query_id"),
+        col("qvec").as("q_qvec"), col("scale").as("q_scale"))
+    val scored = q.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(int8Dot(col("qvec"), col("q_qvec")).cast("double") *
+          col("scale") * col("q_scale"), 6).as("score"))
+    graft.plans.TopK.topKPerKey(scored, Seq("query_id"),
+      Seq(col("score"), negate(col("vec_id"))), k)
+      .select("query_id", "vec_id", "score", "rank")
+  }
+
   /** Deterministic pseudo-random hyperplane sign for (dim d, plane p): ±1
     * from the parity of the first md5 byte of "d#p" — no RNG state,
     * reproducible on any cluster. Computed driver-side once (the signs are

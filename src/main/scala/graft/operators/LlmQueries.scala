@@ -148,6 +148,14 @@ object LlmQueries {
         .orderBy("query_id", "rank")
     },
 
+    // int8-quantized brute-force top-k: the 4×-compressed embedding-store
+    // path. Integer dots are exact, so the whole pipeline (quantize →
+    // dot → dequantized score → rank) replays bit-identically in DuckDB
+    "q_ann_int8_topk" -> { (s, dir) =>
+      Similarity.int8TopK(embs(s, dir), annQueryIds, k = 10)
+        .orderBy("query_id", "rank")
+    },
+
     // composite corpus filter — the end-to-end training-data pipeline:
     // keep docs that pass quality, are dedup group leaders, and whose
     // heuristic language agrees with the labeled one. One scan + one
@@ -391,6 +399,39 @@ object LlmQueries {
         |      ORDER BY cos_sim DESC, vec_id ASC) AS INT) AS rank
         |  FROM s)
         |SELECT query_id, vec_id, cos_sim, rank FROM r WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // replays the int8 path: per-vector scale = max|x|/127, elements
+    // round-half-away-from-zero (both engines), integer dot (exact),
+    // score = (CAST(dot AS DOUBLE) * scale) * q_scale in the same
+    // association order as the Column algebra
+    "q_ann_int8_topk" ->
+      """WITH qz AS (
+        |  SELECT vec_id,
+        |    CASE WHEN mx = 0 THEN 1.0 ELSE CAST(mx AS DOUBLE) / 127.0 END AS scale,
+        |    list_transform(embedding, x ->
+        |      CAST(round(CAST(x AS DOUBLE) /
+        |        (CASE WHEN mx = 0 THEN 1.0 ELSE CAST(mx AS DOUBLE) / 127.0 END))
+        |        AS INTEGER)) AS qvec
+        |  FROM (
+        |    SELECT vec_id, embedding,
+        |      list_max(list_transform(embedding, x -> abs(x))) AS mx
+        |    FROM embeddings)),
+        |q AS (
+        |  SELECT vec_id AS query_id, qvec AS q_qvec, scale AS q_scale
+        |  FROM qz WHERE vec_id IN (0, 1, 2, 3, 4)),
+        |s AS (
+        |  SELECT q.query_id, e.vec_id,
+        |    round((CAST(list_sum(list_transform(range(1, len(e.qvec) + 1),
+        |        i -> e.qvec[i] * q.q_qvec[i])) AS DOUBLE)
+        |      * e.scale) * q.q_scale, 6) AS score
+        |  FROM qz e, q WHERE e.vec_id <> q.query_id),
+        |r AS (
+        |  SELECT query_id, vec_id, score,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, vec_id ASC) AS INT) AS rank
+        |  FROM s)
+        |SELECT query_id, vec_id, score, rank FROM r WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
 
     // replays the full LSH pipeline: the 12 hyperplanes are md5-parity ±1

@@ -171,6 +171,37 @@ class LlmSpec extends AnyFunSuite {
     assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
   }
 
+  test("int8 quantized top-k closely tracks the exact float-dot ranking") {
+    val s = spark
+    val e = s.table("embeddings").select("vec_id", "embedding")
+    val queryIds = Seq(0L, 1L, 2L, 3L, 4L)
+    val got = Similarity.int8TopK(e, queryIds, k = 10).collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+
+    // exact float-dot ground truth (same ranking family: inner product)
+    val queries = e.filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val exact = e.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        Similarity.dot(col("embedding"), col("q_emb")).as("d"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("d").desc, col("vec_id").asc)))
+      .filter(col("rank") <= 10).collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+
+    val recalls = queryIds.map(q => got(q).intersect(exact(q)).size / 10.0)
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.8, s"int8 recall vs exact dot too low: $recalls")
+    // quantization bounds: every element within [-127, 127]
+    val qz = Similarity.quantizeInt8(e)
+    assert(qz.filter(
+      expr("exists(qvec, v -> v > 127 OR v < -127)")).count() == 0)
+  }
+
   test("LSH ANN recalls a reasonable fraction of the exact top-k") {
     val s = spark
     val e = s.table("embeddings")
