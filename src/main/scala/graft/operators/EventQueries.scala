@@ -63,6 +63,22 @@ object EventQueries {
     // never a per-key range cross product. DuckDB's native ASOF JOIN is the
     // oracle. (user_id, ts) is unique in the fixture, so "most recent" is
     // well-defined on both engines.
+    // point-in-interval range join via bucketization: events landing in
+    // 36-hour attribution windows anchored on sampled events. Catalyst
+    // would plan the raw BETWEEN predicate as a nested loop; the bucketed
+    // form is a plain equi-join on the time bucket (scale/RangeJoin.scala)
+    // and the oracle is the algorithm-independent naive range predicate
+    "q_events_range_join" -> { (s, dir) =>
+      val e = events(s, dir)
+      val win = e.filter(col("event_id") % 499 === 0)
+        .select(col("event_id").as("window_id"), col("ts").as("lo"),
+          (col("ts") + expr("INTERVAL 36 HOURS")).as("hi"))
+      graft.scale.RangeJoin.pointInInterval(
+        e.select("event_id", "ts"), "ts", win, "lo", "hi",
+        bucketWidthSec = 24 * 3600)
+        .select("event_id", "window_id")
+    },
+
     "q_events_asof" -> { (s, dir) =>
       val e = events(s, dir)
       val purchases = e.filter(col("event_type") === "purchase")
@@ -138,6 +154,14 @@ object EventQueries {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)""".stripMargin,
 
+    "q_events_range_join" ->
+      """SELECT e.event_id, w.window_id
+        |FROM events e JOIN (
+        |  SELECT event_id AS window_id, ts AS lo,
+        |    ts + INTERVAL 36 HOUR AS hi
+        |  FROM events WHERE event_id % 499 = 0) w
+        |ON e.ts >= w.lo AND e.ts <= w.hi""".stripMargin,
+
     "q_events_asof" ->
       """SELECT p.event_id, p.user_id, p.ts, p.value,
         |  c.event_id AS click_id, c.value AS click_value
@@ -178,5 +202,6 @@ object EventQueries {
   def verifySort: Map[String, Seq[String]] = Map(
     "q_events_lag" -> Seq("user_id", "event_id"),
     "q_events_asof" -> Seq("event_id"),
+    "q_events_range_join" -> Seq("event_id", "window_id"),
     "q_events_sessions" -> Seq("user_id", "session_idx"))
 }

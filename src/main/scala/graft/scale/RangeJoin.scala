@@ -1,0 +1,52 @@
+package graft.scale
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Bucketed range join: `point ∈ [lo, hi]` joins without a nested loop.
+  *
+  * Catalyst has no range-join optimization — a join whose only predicate
+  * is `l.ts BETWEEN r.lo AND r.hi` plans as BroadcastNestedLoopJoin (or a
+  * cartesian product when neither side broadcasts), which is O(|L|·|R|)
+  * work however selective the predicate is. When both sides are
+  * fact-sized, the standard fix is bucketization: quantize time into
+  * fixed-width buckets, explode each interval into the buckets it covers
+  * (bounded by interval span / width), give each point its single bucket,
+  * and equi-join on the bucket id — a plain hash-partitioned shuffle join
+  * with the exact range predicate re-applied after. A point's bucket must
+  * be among its matching interval's covered buckets, and it has exactly
+  * one bucket, so no (point, interval) pair can match twice — no dedup
+  * step, result-identical to the nested loop.
+  *
+  * Shuffle cost: O(|L| + |R| · spans) keyed by bucket — survives two
+  * fact-sized inputs where the nested loop dies. Width picks the
+  * tradeoff: wider buckets = fewer replicas per interval but more
+  * same-bucket candidates to filter exactly.
+  */
+object RangeJoin {
+
+  /** Join `points` to `intervals` where `pointCol ∈ [loCol, hiCol]`
+    * (inclusive both ends; timestamp columns). `bucketWidthSec` must
+    * exceed 0; intervals with NULL bounds or lo > hi match nothing, NULL
+    * points match nothing — the nested-loop predicate's semantics. */
+  def pointInInterval(
+      points: DataFrame, pointCol: String,
+      intervals: DataFrame, loCol: String, hiCol: String,
+      bucketWidthSec: Long = 7L * 24 * 3600): DataFrame = {
+    require(bucketWidthSec > 0, s"bucket width must be positive: $bucketWidthSec")
+    // NTZ timestamps cannot cast straight to double; normalize through
+    // TIMESTAMP (a no-op under the pinned UTC session timezone)
+    def bucketOf(c: Column): Column =
+      floor(c.cast("timestamp").cast("double") / bucketWidthSec).cast("long")
+    val l = points.withColumn("_b", bucketOf(col(pointCol)))
+      .filter(col(pointCol).isNotNull)
+    val r = intervals
+      .filter(col(loCol).isNotNull && col(hiCol).isNotNull &&
+        col(loCol) <= col(hiCol))
+      .withColumn("_b",
+        explode(sequence(bucketOf(col(loCol)), bucketOf(col(hiCol)))))
+    l.join(r, Seq("_b"))
+      .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
+      .drop("_b")
+  }
+}

@@ -75,6 +75,14 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q_events_range_join is an equi-join on time buckets, never a " +
+    "nested loop") {
+    val p = plan("q_events_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"the BETWEEN predicate must ride the bucket equi-join:\n$p")
+  }
+
   test("q_dedup_incremental prunes the index with a broadcast semi-join") {
     val p = plan("q_dedup_incremental")
     assert(p.contains("LeftSemi"),
