@@ -110,10 +110,10 @@ object ComputeRegistry {
     },
     // value-histogram percent_rank of the input column (ties share a
     // rank), attached as the output column — the quantile-filter building
-    // block without the filter, so DSL users pick their own threshold
-    // (threshold 0.0 keeps every row)
+    // block without the filter, so DSL users pick their own threshold.
+    // Every input row is preserved; NULL values rank as NULL
     "percent_rank" -> { (df, ins, out) =>
-      graft.llm.Sampling.quantileFilter(df, ins.head, 0.0)
+      graft.llm.Sampling.percentRank(df, ins.head)
         .withColumnRenamed("percent_rank", out)
     })
 

@@ -224,7 +224,7 @@ object Curation {
     * Output contract matches [[dupGroups]]: (doc_id, dup_group), every
     * node labeled, singletons keep their own id. */
   def dupGroupsAlternating(
-      nodes: DataFrame, candidates: DataFrame, maxRounds: Int = 50)
+      nodes: DataFrame, candidates: DataFrame, maxRounds: Int = 100)
       : DataFrame =
     dupGroupsAlternatingCounted(nodes, candidates, maxRounds)._1
 
@@ -233,7 +233,7 @@ object Curation {
     * and watches rounds grow logarithmically). The count includes the
     * final no-change round that proves the fixpoint. */
   private[graft] def dupGroupsAlternatingCounted(
-      nodes: DataFrame, candidates: DataFrame, maxRounds: Int = 50)
+      nodes: DataFrame, candidates: DataFrame, maxRounds: Int = 100)
       : (DataFrame, Int) = {
     // localCheckpoint blocks live on executors: fast, but an executor
     // loss mid-iteration kills the job (no lineage left to recompute
@@ -302,6 +302,16 @@ object Curation {
       round += 1
     }
 
+    // Mid-iteration the edge set can hold several rows per node — only
+    // the FIXPOINT is a star set. Labeling from a non-converged state
+    // would emit conflicting multi-labels per doc (and a downstream
+    // doc_id join would multiply corpus rows), so a cap hit is an error,
+    // not a result. 2·log₂(n) rounds are observed in practice, so the
+    // default cap of 100 sits far above any real corpus (n ≈ 2⁵⁰).
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge within $maxRounds star " +
+          s"rounds; raise maxRounds")
     // fixpoint edge set = stars (node → component min); label the roots
     // and the untouched singletons with themselves
     val labeled = nodes.select(col("doc_id"))

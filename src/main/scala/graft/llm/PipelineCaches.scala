@@ -49,12 +49,17 @@ object PipelineCaches {
 
   /** Run `body` with a fresh scope capturing everything it tracks; returns
     * the result and the scope handle. The caller owns the scope: call
-    * `scope.clear()` once the result has been materialized/consumed. */
+    * `scope.clear()` once the result has been materialized/consumed.
+    * If `body` throws, everything it tracked so far is cleared before the
+    * exception propagates — a failing run must not leak the intermediates
+    * it persisted before dying (a tick-scheduled compute with a transient
+    * per-batch failure would otherwise re-leak on every failing tick). */
   def scoped[T](body: => T): (T, Scope) = {
     val s = new Scope
     val prev = current.get
     current.set(s)
     try (body, s)
+    catch { case t: Throwable => s.clear(); throw t }
     finally current.set(prev)
   }
 

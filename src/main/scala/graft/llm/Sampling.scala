@@ -67,6 +67,9 @@ object Sampling {
     * from a per-row Column, e.g. a target-weight lookup on the source
     * domain) with a copy index — the integer-upsampling half of matching
     * a target domain mixture; downweighting composes with [[hashSample]].
+    * Factor ≤ 0 (or NULL) DROPS the doc — a zeroed-out domain must vanish,
+    * and Spark's `sequence(1, 0)` would otherwise count DOWN to [1, 0] and
+    * silently duplicate it instead.
     *
     * Plan shape: the factor is a per-row expression and the replication
     * is a generator (explode of a sequence) — map-side only, no shuffle.
@@ -74,22 +77,34 @@ object Sampling {
     * distinguish replicas. */
   def domainMix(docs: DataFrame, factor: Column): DataFrame =
     docs.withColumn("n_copies", factor.cast("int"))
-      .withColumn("copy_idx", explode(expr("sequence(1, n_copies)")))
+      .withColumn("copy_idx", explode(
+        when(col("n_copies") >= 1, expr("sequence(1, n_copies)"))
+          .otherwise(expr("array()"))))
 
-  /** Quantile-threshold filter: keep rows whose `valueCol` percent_rank
-    * (value-ties share a rank, SQL semantics) is ≥ `minPercentRank`.
+  /** Attach the `valueCol` percent_rank (value-ties share a rank, SQL
+    * semantics) to every row as a `percent_rank` column. Rows with NULL
+    * values are preserved with a NULL rank — they are not comparable, and
+    * dropping them (the inner-join formulation) silently shrinks a table
+    * whose scored column has gaps.
     *
     * Scale shape: a naive `percent_rank() OVER (ORDER BY v)` is a
     * single-partition global sort — the round-1 scale-killer pattern.
     * This computes the identical result from the VALUE HISTOGRAM instead:
     * aggregate counts per distinct value (one shuffle keyed by value),
-    * prefix-sum the distinct-value table (tiny — distinct values, not
-    * rows), and broadcast-join the per-value rank back. percent_rank =
-    * (rank − 1)/(N − 1) with rank = 1 + count of strictly-smaller rows —
-    * exactly the window definition, at histogram cost. */
-  def quantileFilter(
-      docs: DataFrame, valueCol: String, minPercentRank: Double): DataFrame = {
-    val hist = docs.groupBy(valueCol).agg(count(lit(1)).as("_c"))
+    * prefix-sum the distinct-value table, and broadcast-join the
+    * per-value rank back. percent_rank = (rank − 1)/(N − 1) with rank =
+    * 1 + count of strictly-smaller rows — exactly the window definition,
+    * at histogram cost.
+    *
+    * The histogram is DISTINCT-VALUE-sized: bounded for integral or
+    * discretized columns (lengths, counts, rounded scores), but for a
+    * continuous double column it approaches row count and the prefix-sum
+    * window/broadcast stop being cheap. Discretize first (e.g.
+    * `round(score, 3)` — ranks shift by at most the bucket width) before
+    * ranking a continuous score at corpus scale. */
+  def percentRank(docs: DataFrame, valueCol: String): DataFrame = {
+    val nonNull = docs.filter(col(valueCol).isNotNull)
+    val hist = nonNull.groupBy(valueCol).agg(count(lit(1)).as("_c"))
     val wPrev = Window.orderBy(valueCol).rowsBetween(Window.unboundedPreceding, -1)
     val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val ranked = hist
@@ -101,7 +116,15 @@ object Sampling {
             (col("_n") - 1).cast("double"), 6))
           .otherwise(lit(0.0)))
       .select(col(valueCol), col("percent_rank"))
-    docs.join(broadcast(ranked), Seq(valueCol))
-      .filter(col("percent_rank") >= minPercentRank)
+    docs.join(broadcast(ranked), Seq(valueCol), "left")
   }
+
+  /** Quantile-threshold filter: keep rows whose `valueCol` percent_rank is
+    * ≥ `minPercentRank`. NULL-valued rows have no rank and are dropped —
+    * see [[percentRank]] (which preserves them) for the attach-only form
+    * and the histogram-cardinality caveat. */
+  def quantileFilter(
+      docs: DataFrame, valueCol: String, minPercentRank: Double): DataFrame =
+    percentRank(docs, valueCol)
+      .filter(col("percent_rank") >= minPercentRank)
 }

@@ -284,10 +284,17 @@ object Similarity {
     val width = planes / bands
     val sigs = embeddings.withColumn("sig",
       lshSignature(col("embedding"), planes, embeddingDim(embeddings)))
-    val allBanded = sigs.select(col("vec_id"),
-      posexplode(array((0 until bands).map(b =>
-        substring(col("sig"), b * width + 1, width)): _*))
-        .as(Seq("band_idx", "band_key")))
+    // persisted AND materialized up front, same rationale as
+    // Dedup.minhashCandidates: both self-join sides (and, with the guard,
+    // the over-cap key scan) read these rows — without materialization the
+    // signature projection (the expensive part) executes once per branch
+    val allBanded = PipelineCaches.track(
+      sigs.select(col("vec_id"),
+        posexplode(array((0 until bands).map(b =>
+          substring(col("sig"), b * width + 1, width)): _*))
+          .as(Seq("band_idx", "band_key")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    allBanded.count()
     val banded =
       if (maxBucketSize == Int.MaxValue) allBanded
       else allBanded.join(

@@ -34,19 +34,29 @@ object RangeJoin {
       intervals: DataFrame, loCol: String, hiCol: String,
       bucketWidthSec: Long = 7L * 24 * 3600): DataFrame = {
     require(bucketWidthSec > 0, s"bucket width must be positive: $bucketWidthSec")
+    // the joined output carries all columns of both inputs, so shared
+    // names would make every downstream reference ambiguous — fail now
+    // with the offending names instead of an AnalysisException later
+    val shared = points.columns.toSet.intersect(intervals.columns.toSet)
+    require(shared.isEmpty,
+      s"points and intervals share column names ${shared.mkString(", ")}; " +
+        s"rename one side before joining")
+    val b = "__graft_range_bucket"
+    require(!points.columns.contains(b) && !intervals.columns.contains(b),
+      s"inputs must not already carry a '$b' column")
     // NTZ timestamps cannot cast straight to double; normalize through
     // TIMESTAMP (a no-op under the pinned UTC session timezone)
     def bucketOf(c: Column): Column =
       floor(c.cast("timestamp").cast("double") / bucketWidthSec).cast("long")
-    val l = points.withColumn("_b", bucketOf(col(pointCol)))
+    val l = points.withColumn(b, bucketOf(col(pointCol)))
       .filter(col(pointCol).isNotNull)
     val r = intervals
       .filter(col(loCol).isNotNull && col(hiCol).isNotNull &&
         col(loCol) <= col(hiCol))
-      .withColumn("_b",
+      .withColumn(b,
         explode(sequence(bucketOf(col(loCol)), bucketOf(col(hiCol)))))
-    l.join(r, Seq("_b"))
+    l.join(r, Seq(b))
       .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
-      .drop("_b")
+      .drop(b)
   }
 }

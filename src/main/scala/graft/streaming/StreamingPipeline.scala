@@ -62,20 +62,27 @@ object StreamingPipeline {
     * foreachBatch probes-and-appends the [[NearDupIndex]] and hands the
     * batch's candidate pairs (doc_a, doc_b, est_jaccard — at least one
     * side in the batch) to `onCandidates`. The only state Spark itself
-    * holds is the streaming offset log; the index is the operator's own
-    * bounded signature table. */
+    * holds is the streaming offset log (durable under `checkpointDir`);
+    * the index is the operator's own bounded signature table. Pass
+    * `Trigger.AvailableNow()` for drain-and-stop runs (tests, backfills);
+    * the default processing-time trigger runs continuously. */
   def nearDupStream(
       docs: DataFrame, index: NearDupIndex,
-      onCandidates: (Long, DataFrame) => Unit): StreamingQuery =
-    docs.writeStream
+      onCandidates: (Long, DataFrame) => Unit,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L),
+      checkpointDir: Option[String] = None): StreamingQuery = {
+    val w = docs.writeStream
       .outputMode("append")
       .queryName("near_dup_stream")
+      .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         onCandidates(batchId,
           index.probeAndAppend(batch.select("doc_id", "text")))
         ()
       }
-      .start()
+    checkpointDir.fold(w)(d => w.option("checkpointLocation", d)).start()
+  }
 
   /** A closed user session (emitted once the gap passes or event-time
     * timeout fires). */

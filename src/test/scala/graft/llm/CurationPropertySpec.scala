@@ -121,7 +121,7 @@ class CurationPropertySpec extends AnyFunSuite {
     import s.implicits._
     // a path graph is min-label propagation's worst case: 64 rounds to
     // converge. The star alternation must label all 65 nodes with 0 well
-    // inside its maxRounds=50 cap — and a second component + singletons
+    // inside its maxRounds=100 cap — and a second component + singletons
     // must stay separate.
     val chain = (0L until 64L).map(i => (i, i + 1))
     val other = Seq((100L, 101L), (101L, 102L))
@@ -137,6 +137,22 @@ class CurationPropertySpec extends AnyFunSuite {
     // the fixpoint-proof round (ScaleProbe measures 7 at len=64, growing
     // +2 per 4x chain length)
     assert(rounds <= 10, s"expected O(log n) rounds for a 64-chain, got $rounds")
+  }
+
+  test("hitting the star-round cap raises instead of emitting multi-labels") {
+    val s = SparkTestSession.spark
+    import s.implicits._
+    // a 16-hop chain cannot converge in 1 round; a silent return here
+    // would label docs with several conflicting groups
+    val chain = (0L until 16L).map(i => (i, i + 1))
+    val e = intercept[IllegalStateException] {
+      Curation.dupGroupsAlternating(
+        (0L to 16L).toList.toDF("doc_id"),
+        chain.toDF("doc_a", "doc_b"), maxRounds = 1)
+        .collect()
+    }
+    graft.llm.PipelineCaches.clear()
+    assert(e.getMessage.contains("did not converge"))
   }
 
   test("reliable-checkpoint mode gives the identical labeling") {

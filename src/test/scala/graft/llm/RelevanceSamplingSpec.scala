@@ -146,4 +146,37 @@ class RelevanceSamplingSpec extends AnyFunSuite {
     val kept = Sampling.quantileFilter(docs, "v", 0.0).collect()
     assert(kept.length == 3)
   }
+
+  test("domainMix: factor 0 or negative drops the doc, never duplicates it") {
+    val s = spark
+    import s.implicits._
+    // sequence(1, 0) in Spark counts DOWN to [1, 0] — a zeroed-out domain
+    // must produce no rows, not two
+    val docs = Seq((1L, "keep2"), (2L, "drop0"), (3L, "dropneg"))
+      .toDF("doc_id", "source")
+    val mixed = Sampling.domainMix(docs,
+      expr("CASE source WHEN 'keep2' THEN 2 WHEN 'drop0' THEN 0 ELSE -1 END"))
+      .select("doc_id", "copy_idx").collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    assert(mixed.toSet == Set((1L, 1), (1L, 2)))
+  }
+
+  test("percentRank preserves NULL-valued rows with a NULL rank") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, Some(10)), (2L, Some(20)), (3L, None), (4L, Some(30)))
+      .toDF("doc_id", "v")
+    val ranked = Sampling.percentRank(docs, "v")
+      .select("doc_id", "percent_rank").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(ranked.size == 4, "every input row must survive")
+    assert(ranked(3L).isEmpty, "NULL value must rank as NULL")
+    // non-null ranks computed over the 3 comparable rows: 0, 0.5, 1
+    assert(ranked(1L).contains(0.0) && ranked(2L).contains(0.5) &&
+      ranked(4L).contains(1.0))
+    // quantileFilter drops the NULL row (no rank to compare)
+    assert(Sampling.quantileFilter(docs, "v", 0.0).count() == 3)
+  }
 }

@@ -70,7 +70,8 @@ class StreamingPipelineSpec extends AnyFunSuite {
       .parquet(dir)
     val q = StreamingPipeline.nearDupStream(stream, idx, (batchId, cands) =>
       found ++= cands.collect().map(r =>
-        (batchId, r.getLong(0), r.getLong(1))))
+        (batchId, r.getLong(0), r.getLong(1))),
+      trigger = Trigger.AvailableNow(), checkpointDir = Some(ckpt))
     try q.awaitTermination(180000) finally q.stop()
 
     val pairs = found.map(p => (p._2, p._3))
