@@ -95,6 +95,53 @@ object ScaleProbe {
         f"$tCont%.1fs | dup_groups: $nGrp%d rows in $tGrp%.1fs")
     }
 
+    // Incremental dedup: a FIXED batch probes an index that grows 1x→4x.
+    // The pruned index (rows surviving the batch-band-key semi-join) must
+    // stay ~flat — proportional to the batch's bucket overlap, not the
+    // index — or the "shuffle is O(matching buckets)" claim is wrong.
+    locally {
+      val batch = docs.filter(col("doc_id") < 500)
+        .select((col("doc_id") + 90000000L).as("doc_id"),
+          expr("substring(text, 1, greatest(length(text) - 12, 1))").as("text"))
+      Seq(1, 4).foreach { mult =>
+        val corpus = docCopies(docs, mult)
+        val index = graft.llm.Dedup.signatureIndex(corpus)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val nIndex = index.count()
+        val batchKeys = graft.llm.Dedup.signatureIndex(batch)
+          .select("band_idx", "band_hash").distinct()
+        val nPruned = index.join(broadcast(batchKeys),
+          Seq("band_idx", "band_hash"), "left_semi").count()
+        val (nCand, tCand) = time(
+          graft.llm.Dedup.incrementalCandidates(index, batch).count())
+        index.unpersist(blocking = false)
+        graft.llm.PipelineCaches.clear()
+        println(f"[incremental ${mult}x] index=$nIndex%d rows, " +
+          f"pruned-to=$nPruned%d, candidates=$nCand%d in $tCand%.1fs")
+      }
+    }
+
+    // Range join: points and intervals both grow 1x→4x (disjoint time
+    // ranges per copy via a per-copy day offset). Output and time must
+    // grow ~linearly — the bucketed equi-join's promise; the nested loop
+    // this replaces is quadratic in the multiple.
+    locally {
+      val ev = spark.table("events").select("event_id", "ts").cache()
+      ev.count()
+      Seq(1, 4).foreach { mult =>
+        val pts = (0 until mult).map(i =>
+          ev.select((col("event_id") + lit(i * 10000000L)).as("event_id"),
+            (col("ts") + expr(s"INTERVAL ${i * 40} DAYS")).as("ts")))
+          .reduce(_ unionAll _)
+        val win = pts.filter(col("event_id") % 499 === 0)
+          .select(col("event_id").as("window_id"), col("ts").as("lo"),
+            (col("ts") + expr("INTERVAL 36 HOURS")).as("hi"))
+        val (n, t) = time(graft.scale.RangeJoin.pointInInterval(
+          pts, "ts", win, "lo", "hi", bucketWidthSec = 24 * 3600).count())
+        println(f"[range_join ${mult}x] matches=$n%d in $t%.1fs")
+      }
+    }
+
     // the O(log n) claim, measured: a path graph is the adversarial case
     // (min-label propagation needs `len` rounds); alternating stars must
     // grow round count logarithmically while labeling everything 0
