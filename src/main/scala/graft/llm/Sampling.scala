@@ -63,6 +63,21 @@ object Sampling {
     docs.withColumn("bucket", bucket).filter(col("bucket") < pct)
   }
 
+  /** Stratified hash sample: per-row keep-rate (0–100, e.g. a per-domain
+    * target-rate lookup) against the same md5 bucket as [[hashSample]] —
+    * the downweighting half of mixture matching ([[domainMix]] upweights).
+    * Because all rates read one shared bucket, a doc kept at rate r stays
+    * in every sample with rate ≥ r (nested samples), and the operator
+    * stays a zero-shuffle projection + filter. */
+  def stratifiedHashSample(
+      docs: DataFrame, rate: Column, idCol: String = "doc_id"): DataFrame = {
+    val bucket =
+      expr(s"CAST(conv(substring(md5(CAST($idCol AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100")
+    docs.withColumn("bucket", bucket)
+      .withColumn("keep_rate", rate.cast("int"))
+      .filter(col("bucket") < col("keep_rate"))
+  }
+
   /** Domain-mixture resampling: replicate each doc `factor` times (factor
     * from a per-row Column, e.g. a target-weight lookup on the source
     * domain) with a copy index — the integer-upsampling half of matching

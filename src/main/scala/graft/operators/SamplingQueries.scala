@@ -30,6 +30,15 @@ object SamplingQueries {
       Sampling.hashSample(docs(s, dir).select("doc_id", "source"), pct = 10)
     },
 
+    // stratified sample: per-domain keep-rates (10/40/70% by source id
+    // mod 3) over the shared md5 bucket — the downweighting half of
+    // mixture matching, zero-shuffle
+    "q_stratified_sample" -> { (s, dir) =>
+      Sampling.stratifiedHashSample(
+        docs(s, dir).select("doc_id", "source"),
+        expr("10 + (CAST(replace(source, 'src', '') AS INT) % 3) * 30"))
+    },
+
     // target mixture: sources upweighted 1–3× by a deterministic
     // per-domain factor (a stand-in for a real target-weight table)
     "q_domain_mix" -> { (s, dir) =>
@@ -67,6 +76,16 @@ object SamplingQueries {
         |  FROM documents)
         |WHERE bucket < 10""".stripMargin,
 
+    "q_stratified_sample" ->
+      """SELECT doc_id, source, bucket, keep_rate FROM (
+        |  SELECT doc_id, source,
+        |    CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+        |      % 100 AS bucket,
+        |    CAST(10 + (CAST(replace(source, 'src', '') AS INTEGER) % 3) * 30
+        |      AS INTEGER) AS keep_rate
+        |  FROM documents)
+        |WHERE bucket < keep_rate""".stripMargin,
+
     "q_domain_mix" ->
       """SELECT doc_id, source, n_copies,
         |  CAST(unnest(range(1, n_copies + 1)) AS INTEGER) AS copy_idx
@@ -89,6 +108,7 @@ object SamplingQueries {
   def verifySort: Map[String, Seq[String]] = Map(
     "q_corpus_shuffle" -> Seq("doc_id"),
     "q_hash_sample" -> Seq("doc_id"),
+    "q_stratified_sample" -> Seq("doc_id"),
     "q_domain_mix" -> Seq("doc_id", "copy_idx"),
     "q_quantile_filter" -> Seq("doc_id"))
 }

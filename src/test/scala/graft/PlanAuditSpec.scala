@@ -99,7 +99,7 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("q_hash_sample and q_domain_mix are map-side only — zero shuffles") {
-    for (name <- Seq("q_hash_sample", "q_domain_mix")) {
+    for (name <- Seq("q_hash_sample", "q_stratified_sample", "q_domain_mix")) {
       val p = plan(name)
       assert(!p.contains("Exchange"),
         s"$name is a projection/generator pipeline and must not shuffle:\n$p")

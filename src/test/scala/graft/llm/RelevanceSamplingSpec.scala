@@ -106,6 +106,25 @@ class RelevanceSamplingSpec extends AnyFunSuite {
     assert(s10.subsetOf(s1))
   }
 
+  test("stratifiedHashSample: per-domain rates hold and samples nest") {
+    val s = spark
+    val docs = s.table("documents").select("doc_id", "source")
+    val rate = expr("10 + (CAST(replace(source, 'src', '') AS INT) % 3) * 30")
+    val got = Sampling.stratifiedHashSample(docs, rate)
+    // every kept row respects its own rate
+    assert(got.filter(col("bucket") >= col("keep_rate")).count() == 0)
+    // a domain sampled at 70% keeps more than one at 10% (rates bind)
+    val bySrc = got.groupBy("keep_rate").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(bySrc(70) > bySrc(10))
+    // nesting: the flat 10% sample is a subset of every stratified keep
+    // with rate >= 10 (same shared bucket)
+    val flat10 = Sampling.hashSample(docs, 10).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val strat = got.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(flat10.subsetOf(strat))
+  }
+
   test("domainMix: replication count matches the factor expression") {
     val s = spark
     val docs = s.table("documents").select("doc_id", "source")
