@@ -75,6 +75,32 @@ final class ModelRegistry(spark: SparkSession, basePath: String) {
       .write.mode("append").parquet(s"$basePath/deployments")
   }
 
+  /** `WHEN MODEL … THEN rollback` (S6 reactive block, reference
+    * DSL.md:136-142): re-deploy the most recent PREVIOUS distinct version
+    * on the model's endpoint. Append-only like [[deploy]], so the full
+    * deployment history — including the rollback itself — stays
+    * auditable. Returns the version rolled back to. */
+  def rollback(name: String, endpoint: Option[String] = None): Int = {
+    import spark.implicits._
+    val deps = deployments().filter($"name" === name)
+    val scoped = endpoint.fold(deps)(e => deps.filter($"endpoint" === e))
+    val hist = scoped.orderBy($"deployed_at_ms".desc, $"version".desc)
+      .select("endpoint", "version").collect()
+    if (hist.isEmpty)
+      throw new IllegalArgumentException(s"no deployments for model: $name")
+    val ep = hist.head.getString(0)
+    val cur = hist.head.getInt(1)
+    // previous distinct deployment if one exists (kubectl-style toggle on
+    // repeated rollback); else the registry's prior version — versions are
+    // assigned sequentially, so v(cur−1) exists whenever cur > 1
+    val prev = hist.iterator.drop(1).map(_.getInt(1)).find(_ != cur)
+      .orElse(if (cur > 1) Some(cur - 1) else None)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no previous version to roll back to for: $name"))
+    deploy(name, ep, Some(prev))
+    prev
+  }
+
   def deployments(): DataFrame =
     if (Files.exists(Paths.get(s"$basePath/deployments")))
       spark.read.parquet(s"$basePath/deployments")

@@ -150,12 +150,20 @@ final class StatementRunner(
   }
 
   /** WHEN MODEL rules evaluated against the latest registry metrics of each
-    * model; returns the fired actions. */
+    * model; returns the fired actions. `rollback` is a built-in action
+    * (reference DSL.md's reactive rollback block): it re-deploys the
+    * model's previous version and publishes a `model_rollback` event;
+    * anything else resolves through the caller-supplied handlers. */
   def checkModelRules(): Seq[String] =
     whenRules.toSeq.collect {
       case w if w.trigger.startsWith("model:") &&
           w.condition.exists(modelConditionHolds(w.trigger.stripPrefix("model:"), _)) =>
-        actionFor(w.action)(spark.emptyDataFrame)
+        val model = w.trigger.stripPrefix("model:")
+        if (w.action.trim.toLowerCase.startsWith("rollback")) {
+          val v = registry.rollback(model)
+          bus.publish("model_rollback",
+            Map("model" -> model, "to_version" -> v.toString))
+        } else actionFor(w.action)(spark.emptyDataFrame)
         w.action
     }
 

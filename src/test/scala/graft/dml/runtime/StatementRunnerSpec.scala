@@ -91,6 +91,33 @@ class StatementRunnerSpec extends AnyFunSuite {
     assert(runner.checkModelRules() == Seq("celebrate"))
   }
 
+  test("WHEN MODEL ... THEN rollback re-deploys the previous version") {
+    val (runner, registry, bus) = freshRunner()
+    runner.run(DmlParser.parse(trainDml))               // v1
+    runner.run(DmlParser.parse(trainDml))               // v2
+    runner.run(DmlParser.parse(
+      "DEPLOY MODEL runner_clf TO ENDPOINT scoring"))   // serves v2
+    runner.run(DmlParser.parse(
+      "WHEN MODEL runner_clf accuracy >= 0.0 THEN rollback"))
+    assert(runner.checkModelRules() == Seq("rollback"))
+    // latest deployment row now points at v1, history preserved
+    val hist = registry.deployments()
+      .orderBy(col("deployed_at_ms").desc, col("version").desc).collect()
+    assert(hist.length == 2)
+    assert(hist.head.getInt(2) == 1, "rollback must re-deploy v1")
+    assert(bus.subscribe("model_rollback").count() == 1)
+    // a second rollback undoes the rollback (kubectl-style toggle: the
+    // previous distinct deployment is now v2)
+    assert(registry.rollback("runner_clf") == 2)
+    // a model with a single deployed version has nowhere to go
+    runner.run(DmlParser.parse(
+      "TRAIN MODEL solo_clf USING decision_tree(max_depth=2) " +
+        "FROM orders PREDICT o_orderstatus WITH FEATURES(o_totalprice)"))
+    runner.run(DmlParser.parse("DEPLOY MODEL solo_clf TO ENDPOINT scoring"))
+    val e = intercept[IllegalArgumentException](registry.rollback("solo_clf"))
+    assert(e.getMessage.contains("no previous version"))
+  }
+
   test("traffic split records every arm; monitor fires drift alerts") {
     val (runner, registry, bus) = freshRunner()
     runner.run(DmlParser.parse(trainDml))
