@@ -38,11 +38,15 @@ final class StatementRunner(
   private val whenRules = mutable.ArrayBuffer.empty[WhenSpec]
   private val monitors = mutable.ArrayBuffer.empty[MonitorSpec]
   private val ensembles = mutable.LinkedHashMap.empty[String, EnsembleSpec]
+  // last TrainSpec per model, for the built-in `retrain` WHEN action (the
+  // registry persists algorithm/features/config but not the source query)
+  private val trainSpecs = mutable.LinkedHashMap.empty[String, TrainSpec]
 
   def run(stmt: Statement): RunResult = stmt match {
     case t: TrainSpec =>
       val report = Trainer.train(spark, t)
       val v = registry.register(report)
+      trainSpecs(t.name) = t
       RunResult("train", s"model '${t.name}' v$v fitted " +
         s"(${report.metrics.toSeq.sortBy(_._1).mkString(", ")})")
 
@@ -150,20 +154,31 @@ final class StatementRunner(
   }
 
   /** WHEN MODEL rules evaluated against the latest registry metrics of each
-    * model; returns the fired actions. `rollback` is a built-in action
-    * (reference DSL.md's reactive rollback block): it re-deploys the
-    * model's previous version and publishes a `model_rollback` event;
-    * anything else resolves through the caller-supplied handlers. */
+    * model; returns the fired actions. `rollback` and `retrain` are
+    * built-in actions (reference DSL.md's reactive blocks): rollback
+    * re-deploys the model's previous version, retrain refits the model's
+    * last TrainSpec as a new version; both publish an audit event.
+    * Anything else resolves through the caller-supplied handlers. */
   def checkModelRules(): Seq[String] =
     whenRules.toSeq.collect {
       case w if w.trigger.startsWith("model:") &&
           w.condition.exists(modelConditionHolds(w.trigger.stripPrefix("model:"), _)) =>
         val model = w.trigger.stripPrefix("model:")
-        if (w.action.trim.toLowerCase.startsWith("rollback")) {
-          val v = registry.rollback(model)
-          bus.publish("model_rollback",
-            Map("model" -> model, "to_version" -> v.toString))
-        } else actionFor(w.action)(spark.emptyDataFrame)
+        w.action.trim.toLowerCase.split("\\s+").head match {
+          case "rollback" =>
+            val v = registry.rollback(model)
+            bus.publish("model_rollback",
+              Map("model" -> model, "to_version" -> v.toString))
+          case "retrain" =>
+            val spec = trainSpecs.getOrElse(model,
+              throw new IllegalArgumentException(
+                s"no TrainSpec recorded for '$model' — retrain needs the " +
+                  s"model to have been trained through this runner"))
+            val v = registry.register(Trainer.train(spark, spec))
+            bus.publish("model_retrained",
+              Map("model" -> model, "version" -> v.toString))
+          case _ => actionFor(w.action)(spark.emptyDataFrame)
+        }
         w.action
     }
 

@@ -118,6 +118,24 @@ class StatementRunnerSpec extends AnyFunSuite {
     assert(e.getMessage.contains("no previous version"))
   }
 
+  test("WHEN MODEL ... THEN retrain refits the stored spec as a new version") {
+    val (runner, registry, bus) = freshRunner()
+    runner.run(DmlParser.parse(trainDml))               // v1
+    runner.run(DmlParser.parse(
+      "WHEN MODEL runner_clf accuracy >= 0.0 THEN retrain"))
+    assert(runner.checkModelRules() == Seq("retrain"))
+    import org.apache.spark.sql.functions.{col, max}
+    assert(registry.list().filter(col("name") === "runner_clf")
+      .agg(max("version")).collect()(0).getInt(0) == 2)
+    assert(bus.subscribe("model_retrained").count() == 1)
+    // a model never trained through this runner cannot retrain
+    runner.run(DmlParser.parse(
+      "WHEN MODEL ghost_clf accuracy >= 0.0 THEN retrain"))
+    val e = intercept[IllegalArgumentException](runner.checkModelRules())
+    assert(e.getMessage.contains("model not found") ||
+      e.getMessage.contains("no TrainSpec"))
+  }
+
   test("traffic split records every arm; monitor fires drift alerts") {
     val (runner, registry, bus) = freshRunner()
     runner.run(DmlParser.parse(trainDml))
