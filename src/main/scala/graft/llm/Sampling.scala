@@ -31,9 +31,18 @@ object Sampling {
     * partition (~corpus/parallelism), never the whole corpus. */
   def corpusShuffle(docs: DataFrame, nShards: Int = 8, parallelism: Int = 32)
       : DataFrame = {
-    val keyed = docs.select(col("doc_id"), md5Key(col("doc_id")).as("_k"))
-      .repartitionByRange(parallelism, col("_k"), col("doc_id"))
-      .withColumn("_pid", spark_partition_id())
+    // The pid column is consumed by TWO jobs (the offsets aggregate and
+    // the rank join). spark_partition_id() re-evaluates per execution,
+    // and AQE may coalesce the range shuffle differently under different
+    // downstream plans — so the (row → pid) assignment is materialized
+    // ONCE and both consumers read the same persisted rows. Footprint is
+    // (id, 32-char key, int) per row; PipelineCaches reclaims it.
+    val keyed = PipelineCaches.track(
+      docs.select(col("doc_id"), md5Key(col("doc_id")).as("_k"))
+        .repartitionByRange(parallelism, col("_k"), col("doc_id"))
+        .withColumn("_pid", spark_partition_id())
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    keyed.count()
     // per-partition row counts → exclusive prefix offsets (parallelism
     // rows: driver-scale, broadcast back)
     val offsets = keyed.groupBy("_pid").agg(count(lit(1)).as("_c"))
