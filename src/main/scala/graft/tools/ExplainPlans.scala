@@ -20,7 +20,11 @@ object ExplainPlans {
       "q_topk_pergroup", "q_events_asof", "q_events_sessions",
       "q_dedup_embcos", "q_ts_rolling",
       "q_decontaminate", "q_quality_repetition", "q_pii_scrub",
-      "q_seq_pack", "q_top_ngrams")
+      "q_seq_pack", "q_top_ngrams",
+      "q_tfidf_topterms", "q_bm25_search", "q_corpus_shuffle",
+      "q_hash_sample", "q_stratified_sample", "q_domain_mix",
+      "q_quantile_filter", "q_dedup_incremental", "q_ann_int8_topk",
+      "q_events_range_join")
     // q_dedup_groups is deliberately absent: building its DataFrame RUNS
     // the propagation rounds (eager per-round materialization), so its
     // "plan" is an InMemoryTableScan of the final round — nothing to audit.
