@@ -53,9 +53,58 @@ object SamplingQueries {
       Sampling.quantileFilter(
         docs(s, dir).select("doc_id", "n_chars"), "n_chars", 0.25)
         .select("doc_id", "n_chars", "percent_rank")
+    },
+
+    // the capstone composition: exact-dedup keep → n_chars quantile filter
+    // (≥ p25 of the deduped corpus) → stratified per-domain sample →
+    // deterministic shuffle positions over the survivors. Four operators
+    // chained and still exactly oracled — the composability the curation
+    // tier exists for
+    "q_corpus_pipeline" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val kept = graft.llm.TextOps.exactDedup(d)
+        .filter(!col("is_dup")).select("doc_id")
+        .join(d.select("doc_id", "source", "n_chars"), Seq("doc_id"))
+      val filtered = Sampling.quantileFilter(kept, "n_chars", 0.25)
+        .select("doc_id", "source", "n_chars")
+      val sampled = Sampling.stratifiedHashSample(filtered,
+        expr("10 + (CAST(replace(source, 'src', '') AS INT) % 3) * 30"))
+        .select("doc_id", "source", "n_chars")
+      sampled.join(
+        Sampling.corpusShuffle(sampled.select("doc_id"), nShards = 8),
+        Seq("doc_id"))
     })
 
   def oracles: Map[String, String] = Map(
+    "q_corpus_pipeline" ->
+      """WITH dd AS (
+        |  SELECT doc_id, source, n_chars,
+        |    doc_id <> MIN(doc_id) OVER (PARTITION BY md5(lower(text))) AS is_dup
+        |  FROM documents),
+        |kept AS (SELECT doc_id, source, n_chars FROM dd WHERE NOT is_dup),
+        |pr AS (
+        |  SELECT doc_id, source, n_chars,
+        |    round(percent_rank() OVER (ORDER BY n_chars), 6) AS percent_rank
+        |  FROM kept),
+        |filt AS (SELECT doc_id, source, n_chars FROM pr WHERE percent_rank >= 0.25),
+        |samp AS (
+        |  SELECT doc_id, source, n_chars FROM (
+        |    SELECT doc_id, source, n_chars,
+        |      CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+        |        % 100 AS bucket,
+        |      10 + (CAST(replace(source, 'src', '') AS INTEGER) % 3) * 30
+        |        AS keep_rate
+        |    FROM filt)
+        |  WHERE bucket < keep_rate),
+        |pos AS (
+        |  SELECT doc_id,
+        |    row_number() OVER (
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM samp)
+        |SELECT k.doc_id, k.source, k.n_chars,
+        |  CAST(p.rn AS BIGINT) AS position,
+        |  CAST((p.rn - 1) % 8 AS BIGINT) AS shard
+        |FROM samp k JOIN pos p USING (doc_id)""".stripMargin,
     // algorithm-independent oracle: a plain global window row_number —
     // proving the distributed rank composition equals the naive total order
     "q_corpus_shuffle" ->
@@ -110,5 +159,6 @@ object SamplingQueries {
     "q_hash_sample" -> Seq("doc_id"),
     "q_stratified_sample" -> Seq("doc_id"),
     "q_domain_mix" -> Seq("doc_id", "copy_idx"),
-    "q_quantile_filter" -> Seq("doc_id"))
+    "q_quantile_filter" -> Seq("doc_id"),
+    "q_corpus_pipeline" -> Seq("doc_id"))
 }
