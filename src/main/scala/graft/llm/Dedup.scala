@@ -138,7 +138,14 @@ object Dedup {
     * batch's materialized [[signatureIndex]] rows (the streaming path
     * computes them once and both probes and appends them). `newBuckets`
     * MUST be materialized (persisted or checkpointed) — it is referenced
-    * three times below. */
+    * several times below.
+    *
+    * Shape: TWO band-key joins — batch × pruned-index and batch × batch —
+    * rather than one join against (index ∪ batch). A union erases the
+    * right side's partitioning, so the single-join form re-shuffles the
+    * index; keeping the index side pure lets a (band_idx, band_hash)-
+    * bucketed index table (graft.scale.Bucketing) join with ZERO exchange
+    * on the index — only the batch shuffles, at any index size. */
   private[graft] def candidatesFromBuckets(
       index: DataFrame, newBuckets: DataFrame, minEstJaccard: Double)
       : DataFrame = {
@@ -146,21 +153,20 @@ object Dedup {
     val prunedIndex = index
       .join(broadcast(batchKeys), Seq("band_idx", "band_hash"), "left_semi")
 
-    // explicit column order: the semi-join moved the key columns first,
-    // and unionAll is positional
     def sided(df: DataFrame, side: String): DataFrame = df.select(
       col("band_idx"), col("band_hash"),
       col("doc_id").as(s"id_$side"), col("sig").as(s"sig_$side"))
-    val l = sided(newBuckets, "l")
-    val r = sided(prunedIndex, "r").unionAll(sided(newBuckets, "r"))
     val matches = expr(
       "size(filter(zip_with(sig_l, sig_r, (x, y) -> x = y), m -> m))")
-    l.join(r, Seq("band_idx", "band_hash"))
-      .filter(col("id_l") =!= col("id_r"))
-      .select(
-        least(col("id_l"), col("id_r")).as("doc_a"),
-        greatest(col("id_l"), col("id_r")).as("doc_b"),
-        (matches.cast("double") / size(col("sig_l"))).as("est_jaccard"))
+    def pairs(r: DataFrame): DataFrame =
+      sided(newBuckets, "l").join(r, Seq("band_idx", "band_hash"))
+        .filter(col("id_l") =!= col("id_r"))
+        .select(
+          least(col("id_l"), col("id_r")).as("doc_a"),
+          greatest(col("id_l"), col("id_r")).as("doc_b"),
+          (matches.cast("double") / size(col("sig_l"))).as("est_jaccard"))
+    pairs(sided(prunedIndex, "r"))
+      .unionAll(pairs(sided(newBuckets, "r")))
       .distinct()
       .filter(col("est_jaccard") >= minEstJaccard)
   }

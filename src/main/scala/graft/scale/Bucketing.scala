@@ -11,11 +11,13 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 object Bucketing {
 
   /** Persist `df` as a managed bucketed table (sorted within buckets for
-    * merge-friendly reads). Drops any previous table AND its on-disk
-    * location first — a stale directory from a killed run would otherwise
-    * fail LOCATION_ALREADY_EXISTS. */
+    * merge-friendly reads); composite keys bucket on all columns, so a
+    * join on exactly those keys reads the table with no exchange. Drops
+    * any previous table AND its on-disk location first — a stale
+    * directory from a killed run would otherwise fail
+    * LOCATION_ALREADY_EXISTS. */
   def writeBucketed(
-      df: DataFrame, table: String, key: String, buckets: Int): Unit = {
+      df: DataFrame, table: String, keys: Seq[String], buckets: Int): Unit = {
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     val warehouse = spark.conf.get("spark.sql.warehouse.dir")
@@ -29,10 +31,14 @@ object Bucketing {
       rm(loc)
     }
     df.write.mode(SaveMode.Overwrite)
-      .bucketBy(buckets, key)
-      .sortBy(key)
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
       .saveAsTable(table)
   }
+
+  def writeBucketed(
+      df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    writeBucketed(df, table, Seq(key), buckets)
 
   /** Join two same-bucketed tables on their bucket key. With equal bucket
     * counts Spark plans a SortMergeJoin with no Exchange on either side. */
