@@ -120,6 +120,49 @@ object Agents {
     }.toMap
   }
 
+  /** Population Stability Index between a reference and a current slice
+    * of `valueCol`, per `groupCols` group — the standard production drift
+    * metric ([[driftScores]]' mean/σ shift misses shape changes PSI
+    * catches; PSI < 0.1 stable, 0.1–0.25 moderate, > 0.25 drifted).
+    * Values bin by fixed `binWidth` clamped to `nBins`; counts are
+    * Laplace-smoothed ((c+1)/(n+nBins)) so empty bins never divide by
+    * zero, and per-bin contributions are rounded then summed as
+    * DECIMAL(18,6) — deterministic at any partitioning, DuckDB-replayable.
+    *
+    * Plan shape: one count aggregation per side keyed by (group, bin),
+    * a full-outer bin join (bins absent from both sides contribute
+    * exactly 0 and need no row), and tiny per-group totals joined back —
+    * the shuffles carry bin counts, never events. */
+  def psiDrift(
+      reference: DataFrame, current: DataFrame, valueCol: String,
+      groupCols: Seq[String], binWidth: Double, nBins: Int): DataFrame = {
+    require(binWidth > 0 && nBins > 1, "binWidth > 0 and nBins > 1 required")
+    val g = groupCols.map(col)
+    def binned(df: DataFrame, side: String): (DataFrame, DataFrame) = {
+      val b = df.select((g :+
+        least(floor(col(valueCol) / binWidth).cast("int"), lit(nBins - 1))
+          .as("bin")): _*)
+        .groupBy((g :+ col("bin")): _*)
+        .agg(count(lit(1)).as(s"c_$side"))
+      val t = b.groupBy(g: _*).agg(sum(s"c_$side").as(s"n_$side"))
+      (b, t)
+    }
+    val (rb, rt) = binned(reference, "ref")
+    val (cb, ct) = binned(current, "cur")
+    val p = (col("c_ref") + 1).cast("double") /
+      (col("n_ref") + nBins).cast("double")
+    val q = (col("c_cur") + 1).cast("double") /
+      (col("n_cur") + nBins).cast("double")
+    rb.join(cb, groupCols :+ "bin", "full_outer")
+      .na.fill(0L, Seq("c_ref", "c_cur"))
+      .join(rt, groupCols).join(ct, groupCols)
+      .withColumn("_contrib",
+        round((p - q) * log(p / q), 6).cast("decimal(18,6)"))
+      .groupBy(g: _*)
+      .agg(sum("_contrib").cast("double").as("psi"),
+        count(lit(1)).as("n_bins"))
+  }
+
   /** Drift agent: evaluates scores and publishes an alert event per
     * drifted feature (WHEN drift > threshold THEN PUBLISH, DSL.md:346-351). */
   def driftAgent(

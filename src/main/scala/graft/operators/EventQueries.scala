@@ -79,6 +79,17 @@ object EventQueries {
         .select("event_id", "window_id")
     },
 
+    // PSI drift per event type between the first and second half of the
+    // timeline: fixed width-25 bins clamped to 20, Laplace-smoothed,
+    // contributions rounded then decimal-summed (partition-order-proof)
+    "q_events_psi" -> { (s, dir) =>
+      val e = events(s, dir)
+      val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+      graft.dml.events.Agents.psiDrift(
+        e.filter(col("ts") < cut), e.filter(col("ts") >= cut),
+        "value", Seq("event_type"), binWidth = 25.0, nBins = 20)
+    },
+
     "q_events_asof" -> { (s, dir) =>
       val e = events(s, dir)
       val purchases = e.filter(col("event_type") === "purchase")
@@ -154,6 +165,38 @@ object EventQueries {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)""".stripMargin,
 
+    "q_events_psi" ->
+      """WITH r AS (
+        |  SELECT event_type,
+        |    LEAST(CAST(floor(value / 25.0) AS INTEGER), 19) AS bin
+        |  FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00'),
+        |c AS (
+        |  SELECT event_type,
+        |    LEAST(CAST(floor(value / 25.0) AS INTEGER), 19) AS bin
+        |  FROM events WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'),
+        |rb AS (SELECT event_type, bin, count(*) AS c_ref FROM r GROUP BY 1, 2),
+        |cb AS (SELECT event_type, bin, count(*) AS c_cur FROM c GROUP BY 1, 2),
+        |rt AS (SELECT event_type, count(*) AS n_ref FROM r GROUP BY 1),
+        |ct AS (SELECT event_type, count(*) AS n_cur FROM c GROUP BY 1),
+        |j AS (
+        |  SELECT coalesce(rb.event_type, cb.event_type) AS event_type,
+        |    coalesce(rb.bin, cb.bin) AS bin,
+        |    coalesce(c_ref, 0) AS c_ref, coalesce(c_cur, 0) AS c_cur
+        |  FROM rb FULL OUTER JOIN cb
+        |    ON rb.event_type = cb.event_type AND rb.bin = cb.bin),
+        |k AS (
+        |  SELECT j.event_type,
+        |    CAST(round(
+        |      (  CAST(c_ref + 1 AS DOUBLE) / CAST(n_ref + 20 AS DOUBLE)
+        |       - CAST(c_cur + 1 AS DOUBLE) / CAST(n_cur + 20 AS DOUBLE))
+        |      * ln((CAST(c_ref + 1 AS DOUBLE) / CAST(n_ref + 20 AS DOUBLE))
+        |          / (CAST(c_cur + 1 AS DOUBLE) / CAST(n_cur + 20 AS DOUBLE))),
+        |      6) AS DECIMAL(18,6)) AS contrib
+        |  FROM j JOIN rt USING (event_type) JOIN ct USING (event_type))
+        |SELECT event_type, CAST(sum(contrib) AS DOUBLE) AS psi,
+        |  CAST(count(*) AS BIGINT) AS n_bins
+        |FROM k GROUP BY event_type""".stripMargin,
+
     "q_events_range_join" ->
       """SELECT e.event_id, w.window_id
         |FROM events e JOIN (
@@ -203,5 +246,6 @@ object EventQueries {
     "q_events_lag" -> Seq("user_id", "event_id"),
     "q_events_asof" -> Seq("event_id"),
     "q_events_range_join" -> Seq("event_id", "window_id"),
+    "q_events_psi" -> Seq("event_type"),
     "q_events_sessions" -> Seq("user_id", "session_idx"))
 }

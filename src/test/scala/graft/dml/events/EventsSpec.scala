@@ -178,4 +178,21 @@ class EventsSpec extends AnyFunSuite {
     assert(top.size == 2)
     assert(top(0)._2 >= top(1)._2)
   }
+
+  test("psiDrift: identical slices score ~0, a shifted slice drifts") {
+    val s = spark
+    val e = s.table("events").select("event_type", "value")
+    // identical distributions => every bin contributes exactly 0
+    val same = graft.dml.events.Agents.psiDrift(
+      e, e, "value", Seq("event_type"), binWidth = 25.0, nBins = 20)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(same.nonEmpty)
+    assert(same.values.forall(math.abs(_) < 1e-9), s"non-zero PSI: $same")
+    // shift current by +100: mass moves 4 bins right => strong drift
+    val shifted = e.withColumn("value", col("value") + 100)
+    val drift = graft.dml.events.Agents.psiDrift(
+      e, shifted, "value", Seq("event_type"), binWidth = 25.0, nBins = 20)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(drift.values.forall(_ > 0.25), s"shift not detected: $drift")
+  }
 }
