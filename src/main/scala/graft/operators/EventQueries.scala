@@ -79,6 +79,22 @@ object EventQueries {
         .select("event_id", "window_id")
     },
 
+    // cohort retention: users grouped by first-activity day; for each
+    // (cohort, day-offset) the distinct users still active. Two keyed
+    // partial aggregations + one user-keyed join — no windows, no
+    // self-join; shuffles carry (user, day) pairs, never raw events
+    "q_events_retention" -> { (s, dir) =>
+      val activity = events(s, dir)
+        .select(col("user_id"), date_trunc("DAY", col("ts")).as("day"))
+        .distinct()
+      val cohorts = activity.groupBy("user_id")
+        .agg(min("day").as("cohort_day"))
+      activity.join(cohorts, Seq("user_id"))
+        .groupBy(col("cohort_day"),
+          datediff(col("day"), col("cohort_day")).as("day_offset"))
+        .agg(countDistinct("user_id").as("n_users"))
+    },
+
     // PSI drift per event type between the first and second half of the
     // timeline: fixed width-25 bins clamped to 20, Laplace-smoothed,
     // contributions rounded then decimal-summed (partition-order-proof)
@@ -165,6 +181,16 @@ object EventQueries {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)""".stripMargin,
 
+    "q_events_retention" ->
+      """WITH a AS (
+        |  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+        |f AS (SELECT user_id, min(day) AS cohort_day FROM a GROUP BY 1)
+        |SELECT f.cohort_day,
+        |  CAST(date_diff('day', f.cohort_day, a.day) AS INTEGER) AS day_offset,
+        |  CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+        |FROM a JOIN f USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
+
     "q_events_psi" ->
       """WITH r AS (
         |  SELECT event_type,
@@ -247,5 +273,6 @@ object EventQueries {
     "q_events_asof" -> Seq("event_id"),
     "q_events_range_join" -> Seq("event_id", "window_id"),
     "q_events_psi" -> Seq("event_type"),
+    "q_events_retention" -> Seq("cohort_day", "day_offset"),
     "q_events_sessions" -> Seq("user_id", "session_idx"))
 }
