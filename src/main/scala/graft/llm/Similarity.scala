@@ -209,41 +209,94 @@ object Similarity {
     IvfIndex(assigned, model.clusterCenters.map(_.toArray))
   }
 
+  /** Deterministic coarse quantizer: the cells are the embeddings of
+    * `seedIds` (sorted; cell i = i-th smallest seed id). Sampled-seed
+    * quantizers are standard IVF practice at corpus scale — you train the
+    * quantizer on a sliver anyway — and pinning the sample ids makes build
+    * AND search replayable by the DuckDB oracle, closing the one entry the
+    * k-means fit kept un-oracled. Only the nLists seed rows are collected
+    * (centroids are index metadata, like `clusterCenters`); assignment is
+    * the same distributed [[probeCellsCol]] projection the search side
+    * uses, so both engines pick cells by identical rounded distances. */
+  def buildIvfIndexSeeded(
+      embeddings: DataFrame, seedIds: Seq[Long],
+      persist: Boolean = true): IvfIndex = {
+    val seeds = seedIds.distinct.sorted
+    val byId = embeddings.filter(col("vec_id").isInCollection(seeds))
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    val missing = seeds.filterNot(byId.contains)
+    require(missing.isEmpty, s"seed vec_ids absent from corpus: $missing")
+    val centers = seeds.map(byId).toArray
+    val raw = embeddings.select(col("vec_id"), col("embedding"),
+      element_at(probeCellsCol(col("embedding"), centers, 1), 1).as("_list"))
+    val assigned =
+      if (persist) raw
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else raw
+    IvfIndex(assigned, centers)
+  }
+
+  /** Squared L2 distance from `emb` to the centroid constant `center` —
+    * an element-order double fold (the same association order DuckDB's
+    * `list_sum` uses, so the oracle reproduces it bitwise), rounded to 6 dp
+    * so a last-ulp engine difference can never flip a nearest-cell choice
+    * (remaining ties break on the cell index). */
+  private def sqDistTo(emb: Column, center: Array[Double]): Column =
+    round(aggregate(
+      zip_with(emb, typedLit(center.toSeq), (x, c) => {
+        val d = x.cast("double") - c; d * d
+      }),
+      lit(0.0), (acc, v) => acc + v), 6)
+
+  /** The `nProbe` nearest cells of `emb` as an int array. The centroids
+    * ship as array literals INSIDE the expression (they are driver-side
+    * constants of the index — nLists × dim doubles), so cell assignment is
+    * a pure projection that runs on the executors: no driver collect, no
+    * extra job, queries stay distributed end to end even when the query
+    * set is corpus-sized. Sorting (dist, list) structs makes the probe
+    * order fully deterministic. */
+  private[graft] def probeCellsCol(
+      emb: Column, centers: Array[Array[Double]], nProbe: Int): Column = {
+    val cells = centers.zipWithIndex.map { case (c, i) =>
+      struct(sqDistTo(emb, c).as("dist"), lit(i).as("list"))
+    }
+    transform(slice(array_sort(array(cells.toIndexedSeq: _*)), 1, nProbe),
+      s => s.getField("list"))
+  }
+
   /** Probe the index: each query visits its nProbe nearest cells, exact
     * cosine rescores only inside those cells (|corpus| × nProbe / nLists
-    * candidates). Queries are a (vec_id, embedding) DataFrame — a handful
-    * of rows, collected ONCE; both the probe table and the query-embedding
-    * broadcast are rebuilt from the collected rows, so the queries plan
-    * (often a corpus scan behind a filter) is never evaluated twice.
+    * candidates). Probe-cell assignment is a distributed Column expression
+    * over broadcast centroid literals ([[probeCellsCol]]) — the queries
+    * DataFrame is never collected, so a corpus-sized query set ("for every
+    * doc, its neighbors") streams through the executors like any other
+    * frame. The query plan is evaluated once: q_emb and the exploded probe
+    * list come out of a single projection.
     *
     * @param excludeQueryIds drop corpus vectors whose vec_id equals the
     *                        query's id — right when queries ARE corpus rows
     *                        (self-search, the default); pass false for
     *                        external query vectors, where an id collision
     *                        is meaningless and exclusion would silently
-    *                        hide true neighbors */
+    *                        hide true neighbors
+    * @param broadcastQueries hint the probed query side into a broadcast
+    *                        join (right for a query batch, the common
+    *                        case); pass false for a corpus-sized query set
+    *                        so the cell join shuffles both sides on _list
+    *                        instead of materializing the queries on every
+    *                        executor */
   def searchIvf(
       index: IvfIndex, queries: DataFrame, k: Int = 10, nProbe: Int = 4,
-      excludeQueryIds: Boolean = true): DataFrame = {
-    val spark = queries.sparkSession
-    import spark.implicits._
-    val q = queries.select(col("vec_id"), col("embedding")).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Float](1))
-    // nProbe nearest cells per query — centroids are driver-side constants
-    val probes = q.flatMap { case (qid, emb) =>
-      val e = emb.map(_.toDouble).toArray
-      index.centers.zipWithIndex
-        .map { case (c, i) =>
-          val dist = e.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum
-          (i, dist)
-        }
-        .sortBy(_._2).take(nProbe)
-        .map { case (list, _) => (qid, list) }
-    }.toSeq.toDF("query_id", "_list")
-    val qEmb = q.toSeq.toDF("query_id", "q_emb")
-    val joined = index.assigned
-      .join(broadcast(probes), Seq("_list"))
-      .join(broadcast(qEmb), Seq("query_id"))
+      excludeQueryIds: Boolean = true,
+      broadcastQueries: Boolean = true): DataFrame = {
+    val probed = queries.select(
+      col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+      explode(probeCellsCol(col("embedding"), index.centers, nProbe))
+        .as("_list"))
+    val probeSide = if (broadcastQueries) broadcast(probed) else probed
+    val joined = index.assigned.join(probeSide, Seq("_list"))
     val candidates =
       if (excludeQueryIds) joined.filter(col("vec_id") =!= col("query_id"))
       else joined
@@ -258,6 +311,16 @@ object Similarity {
       quantizerSample: Double = 0.25): DataFrame = {
     val index =
       buildIvfIndex(embeddings, nLists, seed, quantizerSample, persist = false)
+    searchIvf(index,
+      embeddings.filter(col("vec_id").isInCollection(queryIds)), k, nProbe)
+  }
+
+  /** One-shot IVF search on the deterministic seeded quantizer — the
+    * fully-oracled variant behind `q_ann_ivf_topk`. */
+  def ivfTopKSeeded(
+      embeddings: DataFrame, seedIds: Seq[Long], queryIds: Seq[Long],
+      k: Int = 10, nProbe: Int = 4): DataFrame = {
+    val index = buildIvfIndexSeeded(embeddings, seedIds, persist = false)
     searchIvf(index,
       embeddings.filter(col("vec_id").isInCollection(queryIds)), k, nProbe)
   }

@@ -30,6 +30,10 @@ object LlmQueries {
 
   private val annQueryIds: Seq[Long] = Seq(0L, 1L, 2L, 3L, 4L)
 
+  /** Seed vec_ids for the deterministic IVF coarse quantizer — 16 cells,
+    * ids low enough to exist at every SF, disjoint from [[annQueryIds]]. */
+  private[operators] val ivfSeedIds: Seq[Long] = (1 to 16).map(_ * 5L)
+
   /** DuckDB CTE block replaying the banded MinHash pipeline over an
     * arbitrary corpus CTE body `uBody` (md5 hash family —
     * DuckDB-reproducible): ends at `scored(doc_a, doc_b, est_jaccard)`. */
@@ -140,11 +144,14 @@ object LlmQueries {
         .orderBy("query_id", "rank")
     },
 
-    // IVF ANN: KMeans coarse quantizer + nProbe cells; rows-only check
-    // (centroids are model-dependent), recall pinned in tests
+    // IVF ANN on the seeded deterministic quantizer (cells = embeddings of
+    // 16 pinned seed ids): build, probe assignment, and rescore are all
+    // distributed Column expressions, so the WHOLE pipeline replays in
+    // DuckDB — a real hash oracle, no rows-only fallback. The KMeans
+    // quantizer path stays recall-pinned in RuntimeExtrasSpec.
     "q_ann_ivf_topk" -> { (s, dir) =>
-      Similarity.ivfTopK(embs(s, dir), annQueryIds, k = 10,
-        nLists = 16, nProbe = 4)
+      Similarity.ivfTopKSeeded(embs(s, dir), ivfSeedIds, annQueryIds,
+        k = 10, nProbe = 4)
         .orderBy("query_id", "rank")
     },
 
@@ -474,6 +481,56 @@ object LlmQueries {
          |  FROM cand
          |  JOIN embeddings qe ON qe.vec_id = cand.query_id
          |  JOIN embeddings e ON e.vec_id = cand.vec_id),
+         |r AS (
+         |  SELECT query_id, vec_id, cos_sim,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos_sim DESC, vec_id ASC) AS INT) AS rank
+         |  FROM scored)
+         |SELECT query_id, vec_id, cos_sim, rank FROM r WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin
+    },
+
+    // replays the seeded IVF pipeline end to end: cells = embeddings of the
+    // 16 pinned seed ids (cell i = i-th smallest seed), every vector
+    // assigned to its nearest cell by 6-dp-rounded squared L2 (ties on cell
+    // index), each query probing its 4 nearest cells, exact cosine rescore
+    // inside the probed cells only — the same rounded-distance argmin the
+    // Spark Column expression computes, so the hash check is exact
+    "q_ann_ivf_topk" -> {
+      val seedList = ivfSeedIds.mkString(", ")
+      s"""WITH c AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS list,
+         |    embedding AS cemb
+         |  FROM embeddings WHERE vec_id IN ($seedList)),
+         |d AS (
+         |  SELECT e.vec_id, e.embedding, c.list,
+         |    round(list_sum(list_transform(range(1, len(e.embedding) + 1),
+         |      i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cemb[i] AS DOUBLE))
+         |         * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cemb[i] AS DOUBLE)))),
+         |      6) AS dist
+         |  FROM embeddings e CROSS JOIN c),
+         |asg AS (
+         |  SELECT vec_id, embedding, list FROM (
+         |    SELECT vec_id, embedding, list,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, list) AS rn
+         |    FROM d) WHERE rn = 1),
+         |probes AS (
+         |  SELECT vec_id AS query_id, embedding AS q_emb, list FROM (
+         |    SELECT vec_id, embedding, list,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, list) AS rn
+         |    FROM d WHERE vec_id IN (0, 1, 2, 3, 4)) WHERE rn <= 4),
+         |scored AS (
+         |  SELECT p.query_id, a.vec_id,
+         |    round(
+         |      list_sum(list_transform(range(1, len(p.q_emb) + 1),
+         |        i -> CAST(p.q_emb[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))
+         |      / (sqrt(list_sum(list_transform(range(1, len(p.q_emb) + 1),
+         |           i -> CAST(p.q_emb[i] AS DOUBLE) * CAST(p.q_emb[i] AS DOUBLE))))
+         |       * sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
+         |           i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))))
+         |    , 6) AS cos_sim
+         |  FROM probes p JOIN asg a ON a.list = p.list
+         |  WHERE a.vec_id <> p.query_id),
          |r AS (
          |  SELECT query_id, vec_id, cos_sim,
          |    CAST(row_number() OVER (PARTITION BY query_id

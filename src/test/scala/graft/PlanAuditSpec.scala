@@ -140,4 +140,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"),
       s"only the broadcast one-row N join may cross:\n$p")
   }
+
+  test("q_ann_ivf_topk keeps the query side distributed — no collected " +
+    "probe table in the plan") {
+    val p = plan("q_ann_ivf_topk")
+    // the old driver-side probe assignment surfaced as a LocalTableScan of
+    // collected (query_id, _list) rows; the distributed probe expression
+    // keeps every input a parquet scan
+    assert(!p.contains("LocalTableScan"),
+      s"probe assignment must be a Column expression over the distributed " +
+        s"query frame, never rows collected to the driver:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"cell probe must stay an equi-join on _list:\n$p")
+  }
 }
