@@ -124,24 +124,33 @@ object Agents {
     * of `valueCol`, per `groupCols` group — the standard production drift
     * metric ([[driftScores]]' mean/σ shift misses shape changes PSI
     * catches; PSI < 0.1 stable, 0.1–0.25 moderate, > 0.25 drifted).
-    * Values bin by fixed `binWidth` clamped to `nBins`; counts are
+    * Values bin by fixed `binWidth` clamped into [0, nBins-1] (negative
+    * values land in bin 0, not a phantom negative bin); NULL values carry
+    * no distribution information and are dropped rather than silently
+    * miscounted in the top bin (Spark's `least` skips NULLs). Counts are
     * Laplace-smoothed ((c+1)/(n+nBins)) so empty bins never divide by
     * zero, and per-bin contributions are rounded then summed as
     * DECIMAL(18,6) — deterministic at any partitioning, DuckDB-replayable.
     *
+    * A group present on only ONE side — a brand-new or vanished
+    * event_type, i.e. maximal drift — yields psi = +∞ (with n_bins
+    * counting the side that exists) instead of being dropped by an inner
+    * totals join: a drift monitor must never omit the most-drifted group.
+    *
     * Plan shape: one count aggregation per side keyed by (group, bin),
     * a full-outer bin join (bins absent from both sides contribute
-    * exactly 0 and need no row), and tiny per-group totals joined back —
-    * the shuffles carry bin counts, never events. */
+    * exactly 0 and need no row), and tiny per-group totals left-joined
+    * back — the shuffles carry bin counts, never events. */
   def psiDrift(
       reference: DataFrame, current: DataFrame, valueCol: String,
       groupCols: Seq[String], binWidth: Double, nBins: Int): DataFrame = {
     require(binWidth > 0 && nBins > 1, "binWidth > 0 and nBins > 1 required")
     val g = groupCols.map(col)
     def binned(df: DataFrame, side: String): (DataFrame, DataFrame) = {
-      val b = df.select((g :+
-        least(floor(col(valueCol) / binWidth).cast("int"), lit(nBins - 1))
-          .as("bin")): _*)
+      val b = df.filter(col(valueCol).isNotNull)
+        .select((g :+
+          least(greatest(floor(col(valueCol) / binWidth).cast("int"), lit(0)),
+            lit(nBins - 1)).as("bin")): _*)
         .groupBy((g :+ col("bin")): _*)
         .agg(count(lit(1)).as(s"c_$side"))
       val t = b.groupBy(g: _*).agg(sum(s"c_$side").as(s"n_$side"))
@@ -155,11 +164,16 @@ object Agents {
       (col("n_cur") + nBins).cast("double")
     rb.join(cb, groupCols :+ "bin", "full_outer")
       .na.fill(0L, Seq("c_ref", "c_cur"))
-      .join(rt, groupCols).join(ct, groupCols)
+      .join(rt, groupCols.toSeq, "left").join(ct, groupCols.toSeq, "left")
       .withColumn("_contrib",
-        round((p - q) * log(p / q), 6).cast("decimal(18,6)"))
+        when(col("n_ref").isNull || col("n_cur").isNull, lit(null))
+          .otherwise(round((p - q) * log(p / q), 6).cast("decimal(18,6)")))
       .groupBy(g: _*)
-      .agg(sum("_contrib").cast("double").as("psi"),
+      .agg(
+        when(max(col("n_ref").isNull.cast("int")) === 1 ||
+          max(col("n_cur").isNull.cast("int")) === 1,
+          lit(Double.PositiveInfinity))
+          .otherwise(sum("_contrib").cast("double")).as("psi"),
         count(lit(1)).as("n_bins"))
   }
 

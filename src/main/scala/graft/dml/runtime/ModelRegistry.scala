@@ -84,16 +84,24 @@ final class ModelRegistry(spark: SparkSession, basePath: String) {
     import spark.implicits._
     val deps = deployments().filter($"name" === name)
     val scoped = endpoint.fold(deps)(e => deps.filter($"endpoint" === e))
-    val hist = scoped.orderBy($"deployed_at_ms".desc, $"version".desc)
-      .select("endpoint", "version").collect()
-    if (hist.isEmpty)
+    val latest = scoped.orderBy($"deployed_at_ms".desc, $"version".desc)
+      .select("endpoint").limit(1).collect()
+    if (latest.isEmpty)
       throw new IllegalArgumentException(s"no deployments for model: $name")
-    val ep = hist.head.getString(0)
-    val cur = hist.head.getInt(1)
-    // previous distinct deployment if one exists (kubectl-style toggle on
-    // repeated rollback); else the registry's prior version — versions are
-    // assigned sequentially, so v(cur−1) exists whenever cur > 1
-    val prev = hist.iterator.drop(1).map(_.getInt(1)).find(_ != cur)
+    val ep = latest.head.getString(0)
+    // scope the history to the RESOLVED endpoint before picking the
+    // previous version: with endpoint=None on a model serving several
+    // endpoints, "previous distinct version" must come from the endpoint
+    // being rolled back, not from an interleaved cross-endpoint history
+    val hist = deps.filter($"endpoint" === ep)
+      .orderBy($"deployed_at_ms".desc, $"version".desc)
+      .select("version").collect().map(_.getInt(0))
+    val cur = hist.head
+    // previous distinct deployment on this endpoint if one exists
+    // (kubectl-style toggle on repeated rollback); else the registry's
+    // prior version — versions are assigned sequentially, so v(cur−1)
+    // exists whenever cur > 1
+    val prev = hist.iterator.drop(1).find(_ != cur)
       .orElse(if (cur > 1) Some(cur - 1) else None)
       .getOrElse(throw new IllegalArgumentException(
         s"no previous version to roll back to for: $name"))

@@ -59,6 +59,15 @@ object Sampling {
         ((col("_offset") + col("_r") - 1) % nShards).as("shard"))
   }
 
+  /** md5 bucket 0–99 built with Column functions (same derivation as
+    * ComputeRegistry's hash_bucket kernel) — NOT SQL-string interpolation,
+    * so an idCol containing spaces/quotes/reserved words resolves like any
+    * other column reference instead of breaking (or re-parsing as) an
+    * expression. */
+  private def md5Bucket(idCol: String): Column =
+    conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("long") % 100
+
   /** Stable hash sample: keep a doc iff its md5 bucket (0–99) falls below
     * `pct`. Unlike rand()-based sampling this is rerun-stable and
     * join-consistent across tables/runs — the property that matters when
@@ -67,9 +76,7 @@ object Sampling {
   def hashSample(docs: DataFrame, pct: Int, idCol: String = "doc_id")
       : DataFrame = {
     require(pct >= 0 && pct <= 100, s"pct must be in [0,100], got $pct")
-    val bucket =
-      expr(s"CAST(conv(substring(md5(CAST($idCol AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100")
-    docs.withColumn("bucket", bucket).filter(col("bucket") < pct)
+    docs.withColumn("bucket", md5Bucket(idCol)).filter(col("bucket") < pct)
   }
 
   /** Stratified hash sample: per-row keep-rate (0–100, e.g. a per-domain
@@ -79,13 +86,10 @@ object Sampling {
     * in every sample with rate ≥ r (nested samples), and the operator
     * stays a zero-shuffle projection + filter. */
   def stratifiedHashSample(
-      docs: DataFrame, rate: Column, idCol: String = "doc_id"): DataFrame = {
-    val bucket =
-      expr(s"CAST(conv(substring(md5(CAST($idCol AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100")
-    docs.withColumn("bucket", bucket)
+      docs: DataFrame, rate: Column, idCol: String = "doc_id"): DataFrame =
+    docs.withColumn("bucket", md5Bucket(idCol))
       .withColumn("keep_rate", rate.cast("int"))
       .filter(col("bucket") < col("keep_rate"))
-  }
 
   /** Domain-mixture resampling: replicate each doc `factor` times (factor
     * from a per-row Column, e.g. a target-weight lookup on the source
@@ -125,10 +129,24 @@ object Sampling {
     * continuous double column it approaches row count and the prefix-sum
     * window/broadcast stop being cheap. Discretize first (e.g.
     * `round(score, 3)` — ranks shift by at most the bucket width) before
-    * ranking a continuous score at corpus scale. */
-  def percentRank(docs: DataFrame, valueCol: String): DataFrame = {
+    * ranking a continuous score at corpus scale. The `maxDistinctValues`
+    * guard ENFORCES this: the histogram is counted (it is persisted and
+    * reused by the rank pass, so the count is not an extra scan) and a
+    * cardinality above the cap raises instead of silently building a
+    * row-count-sized single-partition window. */
+  def percentRank(docs: DataFrame, valueCol: String,
+      maxDistinctValues: Long = 1000000L): DataFrame = {
     val nonNull = docs.filter(col(valueCol).isNotNull)
-    val hist = nonNull.groupBy(valueCol).agg(count(lit(1)).as("_c"))
+    val hist = PipelineCaches.track(
+      nonNull.groupBy(valueCol).agg(count(lit(1)).as("_c"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val distinct = hist.count()
+    require(distinct <= maxDistinctValues,
+      s"percentRank('$valueCol'): $distinct distinct values exceed " +
+        s"maxDistinctValues=$maxDistinctValues; the rank histogram would " +
+        "approach row count and its prefix-sum window becomes a " +
+        "single-partition bottleneck at scale. Discretize the column " +
+        "first (e.g. round(score, 3)) or raise the cap explicitly.")
     val wPrev = Window.orderBy(valueCol).rowsBetween(Window.unboundedPreceding, -1)
     val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val ranked = hist
@@ -148,7 +166,8 @@ object Sampling {
     * see [[percentRank]] (which preserves them) for the attach-only form
     * and the histogram-cardinality caveat. */
   def quantileFilter(
-      docs: DataFrame, valueCol: String, minPercentRank: Double): DataFrame =
-    percentRank(docs, valueCol)
+      docs: DataFrame, valueCol: String, minPercentRank: Double,
+      maxDistinctValues: Long = 1000000L): DataFrame =
+    percentRank(docs, valueCol, maxDistinctValues)
       .filter(col("percent_rank") >= minPercentRank)
 }

@@ -86,9 +86,15 @@ object Similarity {
   def int8TopK(
       embeddings: DataFrame, queryIds: Seq[Long], k: Int = 10): DataFrame = {
     val q = quantizeInt8(embeddings)
-    val queries = q.filter(col("vec_id").isInCollection(queryIds))
-      .select(col("vec_id").as("query_id"),
-        col("qvec").as("q_qvec"), col("scale").as("q_scale"))
+    // the query side re-references the quantization projection — persist
+    // the (tiny, |queryIds|-row) branch so it evaluates once rather than
+    // per consumer of the broadcast (same repeated-branch fix as
+    // cosineNearDup's banding path)
+    val queries = PipelineCaches.track(
+      q.filter(col("vec_id").isInCollection(queryIds))
+        .select(col("vec_id").as("query_id"),
+          col("qvec").as("q_qvec"), col("scale").as("q_scale"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val scored = q.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),

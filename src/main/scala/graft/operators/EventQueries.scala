@@ -194,12 +194,14 @@ object EventQueries {
     "q_events_psi" ->
       """WITH r AS (
         |  SELECT event_type,
-        |    LEAST(CAST(floor(value / 25.0) AS INTEGER), 19) AS bin
-        |  FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00'),
+        |    LEAST(GREATEST(CAST(floor(value / 25.0) AS INTEGER), 0), 19) AS bin
+        |  FROM events
+        |  WHERE ts < TIMESTAMP '2024-01-16 00:00:00' AND value IS NOT NULL),
         |c AS (
         |  SELECT event_type,
-        |    LEAST(CAST(floor(value / 25.0) AS INTEGER), 19) AS bin
-        |  FROM events WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'),
+        |    LEAST(GREATEST(CAST(floor(value / 25.0) AS INTEGER), 0), 19) AS bin
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-16 00:00:00' AND value IS NOT NULL),
         |rb AS (SELECT event_type, bin, count(*) AS c_ref FROM r GROUP BY 1, 2),
         |cb AS (SELECT event_type, bin, count(*) AS c_cur FROM c GROUP BY 1, 2),
         |rt AS (SELECT event_type, count(*) AS n_ref FROM r GROUP BY 1),
@@ -212,14 +214,18 @@ object EventQueries {
         |    ON rb.event_type = cb.event_type AND rb.bin = cb.bin),
         |k AS (
         |  SELECT j.event_type,
-        |    CAST(round(
+        |    (n_ref IS NULL OR n_cur IS NULL) AS one_sided,
+        |    CASE WHEN n_ref IS NULL OR n_cur IS NULL THEN NULL
+        |    ELSE CAST(round(
         |      (  CAST(c_ref + 1 AS DOUBLE) / CAST(n_ref + 20 AS DOUBLE)
         |       - CAST(c_cur + 1 AS DOUBLE) / CAST(n_cur + 20 AS DOUBLE))
         |      * ln((CAST(c_ref + 1 AS DOUBLE) / CAST(n_ref + 20 AS DOUBLE))
         |          / (CAST(c_cur + 1 AS DOUBLE) / CAST(n_cur + 20 AS DOUBLE))),
-        |      6) AS DECIMAL(18,6)) AS contrib
-        |  FROM j JOIN rt USING (event_type) JOIN ct USING (event_type))
-        |SELECT event_type, CAST(sum(contrib) AS DOUBLE) AS psi,
+        |      6) AS DECIMAL(18,6)) END AS contrib
+        |  FROM j LEFT JOIN rt USING (event_type) LEFT JOIN ct USING (event_type))
+        |SELECT event_type,
+        |  CASE WHEN bool_or(one_sided) THEN CAST('infinity' AS DOUBLE)
+        |       ELSE CAST(sum(contrib) AS DOUBLE) END AS psi,
         |  CAST(count(*) AS BIGINT) AS n_bins
         |FROM k GROUP BY event_type""".stripMargin,
 

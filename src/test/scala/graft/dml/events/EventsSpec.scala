@@ -195,4 +195,41 @@ class EventsSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(drift.values.forall(_ > 0.25), s"shift not detected: $drift")
   }
+
+  test("psiDrift: a group on only one side is maximal drift, not dropped") {
+    val s = spark
+    import s.implicits._
+    val ref = Seq(("a", 10.0), ("a", 30.0)).toDF("event_type", "value")
+    val cur = Seq(("a", 10.0), ("a", 30.0), ("b", 40.0))
+      .toDF("event_type", "value")
+    val out = Agents.psiDrift(ref, cur, "value", Seq("event_type"),
+      binWidth = 25.0, nBins = 20)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // brand-new event_type 'b': previously silently omitted by the inner
+    // totals join; must surface as psi = +inf
+    assert(out.contains("b"), s"one-sided group dropped: $out")
+    assert(out("b").isPosInfinity)
+    assert(out("a") == 0.0, s"identical group must score 0: $out")
+  }
+
+  test("psiDrift: NULL values are dropped, negative values clamp to bin 0") {
+    val s = spark
+    import s.implicits._
+    // ref carries a NULL row — dropping it makes the sides identical;
+    // counting it (the old `least(NULL, …)` top-bin misattribution) would
+    // make them differ
+    val ref = Seq(("a", Some(10.0)), ("a", Some(30.0)), ("a", None))
+      .toDF("event_type", "value")
+    val cur = Seq(("a", Some(10.0)), ("a", Some(30.0)))
+      .toDF("event_type", "value")
+    val psiNull = Agents.psiDrift(ref, cur, "value", Seq("event_type"),
+      binWidth = 25.0, nBins = 20).collect().map(_.getDouble(1))
+    assert(psiNull.forall(math.abs(_) < 1e-9), "NULL rows must not count")
+    // −60 clamps into bin 0, same as 5.0 — no phantom negative bins
+    val refNeg = Seq(("a", -60.0), ("a", 30.0)).toDF("event_type", "value")
+    val curNeg = Seq(("a", 5.0), ("a", 30.0)).toDF("event_type", "value")
+    val psiNeg = Agents.psiDrift(refNeg, curNeg, "value", Seq("event_type"),
+      binWidth = 25.0, nBins = 20).collect().map(_.getDouble(1))
+    assert(psiNeg.forall(math.abs(_) < 1e-9), "negatives must clamp to bin 0")
+  }
 }

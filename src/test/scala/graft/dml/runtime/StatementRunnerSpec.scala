@@ -118,6 +118,23 @@ class StatementRunnerSpec extends AnyFunSuite {
     assert(e.getMessage.contains("no previous version"))
   }
 
+  test("rollback scopes the version history to the resolved endpoint") {
+    val (runner, registry, _) = freshRunner()
+    runner.run(DmlParser.parse(trainDml))               // v1
+    runner.run(DmlParser.parse(trainDml))               // v2
+    registry.deploy("runner_clf", "ep_a", Some(1)); Thread.sleep(3)
+    registry.deploy("runner_clf", "ep_a", Some(2)); Thread.sleep(3)
+    registry.deploy("runner_clf", "ep_b", Some(1))
+    // unscoped rollback resolves the LATEST endpoint (ep_b, serving v1):
+    // its own history has nowhere to go — the old cross-endpoint scan
+    // would have wrongly re-deployed ep_a's v2 onto ep_b
+    val e = intercept[IllegalArgumentException](
+      registry.rollback("runner_clf"))
+    assert(e.getMessage.contains("no previous version"))
+    // scoped to ep_a, the previous distinct version there is v1
+    assert(registry.rollback("runner_clf", Some("ep_a")) == 1)
+  }
+
   test("WHEN MODEL ... THEN retrain refits the stored spec as a new version") {
     val (runner, registry, bus) = freshRunner()
     runner.run(DmlParser.parse(trainDml))               // v1

@@ -198,4 +198,38 @@ class RelevanceSamplingSpec extends AnyFunSuite {
     // quantileFilter drops the NULL row (no rank to compare)
     assert(Sampling.quantileFilter(docs, "v", 0.0).count() == 3)
   }
+
+  test("percentRank refuses a continuous column above the distinct cap") {
+    val s = spark
+    // 500 distinct doubles: would previously build a 500-row
+    // single-partition prefix-sum window without complaint; at corpus
+    // scale that silently becomes a row-count-sized window
+    val docs = s.range(500).select(col("id").as("doc_id"),
+      (col("id").cast("double") / 3.0).as("score"))
+    val e = intercept[IllegalArgumentException](
+      Sampling.percentRank(docs, "score", maxDistinctValues = 100)
+        .count())
+    assert(e.getMessage.contains("distinct values exceed"))
+    // discretized, the same column ranks fine under the same cap
+    val ok = Sampling.percentRank(
+      docs.withColumn("score", round(col("score"), -1)), "score",
+      maxDistinctValues = 100)
+    assert(ok.count() == 500)
+  }
+
+  test("hashSample survives id columns with reserved/odd names") {
+    val s = spark
+    // an expr()-interpolated column name would re-parse 'order' (reserved)
+    // or break on the space; Column functions resolve both
+    val docs = s.table("documents").select(
+      col("doc_id").as("order"), col("doc_id").as("weird name"))
+    val viaReserved = Sampling.hashSample(docs, 20, idCol = "order")
+      .collect().map(_.getLong(0)).toSet
+    val viaSpace = Sampling.hashSample(docs, 20, idCol = "weird name")
+      .collect().map(_.getLong(0)).toSet
+    val baseline = Sampling.hashSample(
+      s.table("documents").select("doc_id"), 20)
+      .collect().map(_.getLong(0)).toSet
+    assert(viaReserved == baseline && viaSpace == baseline)
+  }
 }
