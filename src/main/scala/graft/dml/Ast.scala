@@ -104,6 +104,24 @@ final case class CheckpointOption(interval: Long, unit: Option[String])
 
 sealed trait Statement
 
+/** WITH TIME COLUMN c AND FEATURES (…, SEASONAL g, TREND t) [FORECAST n
+  * unit AHEAD] [WITH CONFIDENCE INTERVALS p, …] (reference DSL.md:296-313).
+  * SEASONAL/TREND markers are pulled out of the FEATURES list; ordinary
+  * feature expressions stay in TrainSpec.features. Validation follows the
+  * TRAIN options' style (IllegalArgumentException at construction). */
+final case class TimeSeriesClause(
+    timeColumn: String,
+    seasonal: List[String] = Nil,
+    trend: Option[String] = None,
+    horizon: Option[Long] = None,
+    horizonUnit: Option[String] = None,
+    confidence: List[Double] = Nil) {
+  horizon.foreach(h =>
+    require(h > 0, "FORECAST horizon must be a positive integer"))
+  confidence.foreach(c =>
+    require(c > 0 && c < 1, "confidence intervals must be between 0 and 1"))
+}
+
 /** TRAIN MODEL statement (parser.py:260-274). `features` are the canonical
   * flattened strings the reference stores (re-parsed at compile time). */
 final case class TrainSpec(
@@ -119,7 +137,8 @@ final case class TrainSpec(
     optimizeMetric: Option[String] = None,
     stopCondition: Option[String] = None,
     balanceMethod: Option[String] = None,
-    checkpoint: Option[CheckpointOption] = None)
+    checkpoint: Option[CheckpointOption] = None,
+    timeSeries: Option[TimeSeriesClause] = None)
   extends Statement
 
 /** COMPUTE statement (parser.py:277-284). Options keep insertion order

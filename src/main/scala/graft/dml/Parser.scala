@@ -108,14 +108,55 @@ object DmlParser {
       val source = sourceClause()
       // PREDICT already consumed by sourceClause's terminator
       val target = name()
-      keyword("WITH"); keyword("FEATURES"); sym("(")
-      val features = featureList()
-      sym(")")
+      keyword("WITH")
+      // time-series variant (DSL.md:296-313): WITH TIME COLUMN c AND
+      // FEATURES (…, SEASONAL g, TREND t) [FORECAST n unit AHEAD]
+      // [WITH CONFIDENCE INTERVALS p, …]
+      val (features, ts) =
+        if (atKeyword("TIME")) {
+          keyword("TIME"); keyword("COLUMN")
+          val timeCol = name()
+          keyword("AND"); keyword("FEATURES"); sym("(")
+          val (feats, seasonal, trend) = tsFeatureList()
+          sym(")")
+          var clause = TimeSeriesClause(timeCol, seasonal, trend)
+          if (atKeyword("FORECAST")) {
+            keyword("FORECAST")
+            val n = numberValue() match {
+              case VInt(i) => i
+              case _ => throw new IllegalArgumentException(
+                "FORECAST horizon must be a positive integer")
+            }
+            val unit = name()
+            keyword("AHEAD")
+            clause = clause.copy(horizon = Some(n), horizonUnit = Some(unit))
+          }
+          if (atKeyword("WITH")) {
+            keyword("WITH"); keyword("CONFIDENCE"); keyword("INTERVALS")
+            val buf = List.newBuilder[Double]
+            def level(): Unit = numberValue() match {
+              case VFloat(f) => buf += f
+              case VInt(i)   => buf += i.toDouble
+              case other     => throw new IllegalArgumentException(
+                s"confidence level must be numeric, got $other")
+            }
+            level()
+            while (atSym(",")) { sym(","); level() }
+            clause = clause.copy(confidence = buf.result())
+          }
+          (feats, Some(clause))
+        } else {
+          keyword("FEATURES"); sym("(")
+          val feats = featureList()
+          sym(")")
+          (feats, None)
+        }
 
       var spec = TrainSpec(
         name = modelName, algorithm = alg, params = params,
         source = source, target = target, features = features,
-        sourceIsIdentifier = isIdentifierSourceClause(source))
+        sourceIsIdentifier = isIdentifierSourceClause(source),
+        timeSeries = ts)
       while (peek.isInstanceOf[TName] && optionKeywords(peek.text)) {
         peek.text match {
           case "SPLIT"    => spec = spec.copy(split = Some(splitStmt()))
@@ -127,6 +168,24 @@ object DmlParser {
         }
       }
       spec
+    }
+
+    /** FEATURES list of the time-series variant: ordinary feature
+      * expressions plus SEASONAL <granularity> and TREND <type> markers
+      * (DSL.md:303-308), which compile to derived columns of the time
+      * column rather than source expressions. */
+    private def tsFeatureList()
+        : (List[String], List[String], Option[String]) = {
+      val feats = List.newBuilder[String]
+      val seasonal = List.newBuilder[String]
+      var trend: Option[String] = None
+      def item(): Unit =
+        if (atKeyword("SEASONAL")) { keyword("SEASONAL"); seasonal += name() }
+        else if (atKeyword("TREND")) { keyword("TREND"); trend = Some(name()) }
+        else feats += FeatureExpr.canonical(featureExpr())
+      item()
+      while (atSym(",")) { sym(","); item() }
+      (feats.result(), seasonal.result(), trend)
     }
 
     private def algorithm(): (String, List[(String, Value)]) = {

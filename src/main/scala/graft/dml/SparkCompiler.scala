@@ -148,20 +148,39 @@ object TrainCompiler {
 
   def trainingDataFrame(spark: SparkSession, spec: TrainSpec): DataFrame = {
     val src = spark.sql(s"SELECT * FROM ${sourceFragment(spec)}")
-    src.select(featureColumns(spec) :+ src.col(spec.target): _*)
+    spec.timeSeries match {
+      case None =>
+        src.select(featureColumns(spec) :+ src.col(spec.target): _*)
+      case Some(ts) =>
+        // base features + the time column (for clause derivation) + target,
+        // then the clause's season_*/t_index columns, reordered so the
+        // clause features sit between base features and the target
+        val baseNames = baseFeatureNames(spec)
+        val extras = Seq(ts.timeColumn, spec.target).distinct
+          .filterNot(baseNames.contains).map(src.col)
+        val withTime = src.select(featureColumns(spec) ++ extras: _*)
+        runtime.TimeSeries.withClauseFeatures(withTime, ts)
+          .select(featureNames(spec).map(col) :+ col(spec.target): _*)
+    }
   }
 
-  /** Feature Columns with deterministic aliases (target not included). */
+  /** Feature Columns with deterministic aliases (target and clause-derived
+    * time-series columns not included). */
   def featureColumns(spec: TrainSpec): Seq[Column] =
     spec.features.zipWithIndex.map { case (f, i) =>
       if (SqlCompiler.isSimpleIdentifier(f)) col(f)
       else FeatureCompiler.compile(f).as(s"f${i + 1}")
     }
 
-  /** Output column names in order, target last — what trainingDataFrame
-    * produces; used by the Trainer's assembler. */
-  def featureNames(spec: TrainSpec): Seq[String] =
+  private def baseFeatureNames(spec: TrainSpec): Seq[String] =
     spec.features.zipWithIndex.map { case (f, i) =>
       if (SqlCompiler.isSimpleIdentifier(f)) f else s"f${i + 1}"
     }
+
+  /** Output column names in order, target last — what trainingDataFrame
+    * produces; used by the Trainer's assembler. Time-series clause
+    * features (season_*, t_index) follow the base features. */
+  def featureNames(spec: TrainSpec): Seq[String] =
+    baseFeatureNames(spec) ++
+      spec.timeSeries.toSeq.flatMap(runtime.TimeSeries.clauseFeatureNames)
 }

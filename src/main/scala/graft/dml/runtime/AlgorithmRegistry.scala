@@ -33,12 +33,17 @@ object AlgorithmRegistry {
       /** text-pipeline algorithms take ONE text feature column and build
         * Tokenizer→HashingTF→IDF in front of the estimator (SURVEY §2.8:
         * LLM ops surfaced as DSL algorithms, e.g. tfidf_logreg) */
-      textPipeline: Boolean = false)
+      textPipeline: Boolean = false,
+      /** params a stand-in accepts without effect (documented reduced
+        * fidelity): prophet's seasonality/holidays have no analog on the
+        * lag-regression stand-in, but the reference's own example
+        * (DSL.md:297-301) must fit rather than fail */
+      noopParams: Set[String] = Set.empty)
 
   private def alg(name: String, task: Task, iter: Option[String],
-      text: Boolean = false)(
+      text: Boolean = false, noop: Set[String] = Set.empty)(
       make: => Estimator[_ <: Model[_]]): (String, Algorithm) =
-    name -> Algorithm(name, task, () => make, iter, text)
+    name -> Algorithm(name, task, () => make, iter, text, noop)
 
   /** Registry; names are case-insensitive at lookup. */
   val algorithms: Map[String, Algorithm] = Map(
@@ -55,8 +60,11 @@ object AlgorithmRegistry {
     alg("neural_network", Classification, Some("maxIter"))(new MultilayerPerceptronClassifier()),
     alg("kmeans", Clustering, Some("maxIter"))(new KMeans()),
     // prophet has no Spark analog; documented lag-feature regression stand-in
-    // (SURVEY §7.3 "risky/deferred")
-    alg("prophet", Regression, Some("maxIter"))(new LinearRegression()),
+    // (SURVEY §7.3 "risky/deferred"). Its decomposition params are accepted
+    // as no-ops so DSL.md:297-313 fits.
+    alg("prophet", Regression, Some("maxIter"),
+      noop = Set("seasonality", "holidays", "growth", "changepoints",
+        "changepoint_prior_scale"))(new LinearRegression()),
     // text classifiers: Tokenizer→HashingTF→IDF in front of the estimator
     alg("tfidf_logreg", Classification, Some("maxIter"), text = true)(
       new LogisticRegression()),

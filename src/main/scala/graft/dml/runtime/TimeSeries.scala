@@ -50,4 +50,147 @@ object TimeSeries {
       .orderBy(col(timeCol).asc, col(tiebreak).asc)
     df.withColumn("t_index", row_number().over(w).cast("double"))
   }
+
+  /** SEASONAL <granularity> → the calendar component of the time column
+    * (DSL.md:307: `SEASONAL weekday`). Pure per-row projection. */
+  def seasonalColumn(time: Column, granularity: String): Column =
+    granularity.toLowerCase match {
+      case "weekday" | "weekly" | "dow" => dayofweek(time).cast("double")
+      case "month" | "monthly"          => month(time).cast("double")
+      case "year" | "yearly"            => dayofyear(time).cast("double")
+      case "quarter" | "quarterly"      => quarter(time).cast("double")
+      case "hour" | "hourly"            => hour(time).cast("double")
+      case other => throw new IllegalArgumentException(
+        s"unsupported SEASONAL granularity: $other")
+    }
+
+  /** Adds the clause-derived columns to a frame that carries the time
+    * column: `season_<g>` per SEASONAL marker and, for `TREND linear`,
+    * `t_index` = the time step's dense rank.
+    *
+    * Scale shape of the trend: the rank window runs over the DISTINCT
+    * timestamps (a step-count-sized table — days/hours, not rows) and is
+    * broadcast-joined back, so ties share an index (deterministic, the
+    * dense_rank semantics) and no row-count-sized single-partition window
+    * ever exists — the same histogram trick as Sampling.percentRank. */
+  def withClauseFeatures(
+      df: DataFrame, ts: graft.dml.TimeSeriesClause): DataFrame = {
+    val t = col(ts.timeColumn)
+    val seasonal = ts.seasonal.foldLeft(df) { (acc, g) =>
+      acc.withColumn(s"season_$g", seasonalColumn(t, g))
+    }
+    ts.trend match {
+      case None => seasonal
+      case Some("linear") =>
+        val steps = df.select(t).distinct()
+        val w = Window.orderBy(t)
+        val ranked = steps
+          .withColumn("t_index", row_number().over(w).cast("double"))
+        seasonal.join(broadcast(ranked), Seq(ts.timeColumn))
+      case Some(other) => throw new IllegalArgumentException(
+        s"unsupported TREND type: $other (only 'linear' is implemented)")
+    }
+  }
+
+  /** Names the clause contributes to the training frame, in order. */
+  def clauseFeatureNames(ts: graft.dml.TimeSeriesClause): Seq[String] =
+    ts.seasonal.map(g => s"season_$g") ++ ts.trend.map(_ => "t_index")
+
+  /** Inverse normal CDF (Acklam's rational approximation, max rel error
+    * ~1.15e-9) — the z for a symmetric confidence band without any stats
+    * dependency. */
+  private[runtime] def normInv(p: Double): Double = {
+    require(p > 0 && p < 1, "probability must be in (0, 1)")
+    val a = Array(-3.969683028665376e+01, 2.209460984245205e+02,
+      -2.759285104469687e+02, 1.383577518672690e+02,
+      -3.066479806614716e+01, 2.506628277459239e+00)
+    val b = Array(-5.447609879822406e+01, 1.615858368580409e+02,
+      -1.556989798598866e+02, 6.680131188771972e+01, -1.328068155288572e+01)
+    val c = Array(-7.784894002430293e-03, -3.223964580411365e-01,
+      -2.400758277161838e+00, -2.549732539343734e+00,
+      4.374664141464968e+00, 2.938163982698783e+00)
+    val d = Array(7.784695709041462e-03, 3.224671290700398e-01,
+      2.445134137142996e+00, 3.754408661907416e+00)
+    val pl = 0.02425
+    if (p < pl) {
+      val q = math.sqrt(-2 * math.log(p))
+      (((((c(0) * q + c(1)) * q + c(2)) * q + c(3)) * q + c(4)) * q + c(5)) /
+        ((((d(0) * q + d(1)) * q + d(2)) * q + d(3)) * q + 1)
+    } else if (p <= 1 - pl) {
+      val q = p - 0.5; val r = q * q
+      (((((a(0) * r + a(1)) * r + a(2)) * r + a(3)) * r + a(4)) * r + a(5)) * q /
+        (((((b(0) * r + b(1)) * r + b(2)) * r + b(3)) * r + b(4)) * r + 1)
+    } else {
+      val q = math.sqrt(-2 * math.log(1 - p))
+      -(((((c(0) * q + c(1)) * q + c(2)) * q + c(3)) * q + c(4)) * q + c(5)) /
+        ((((d(0) * q + d(1)) * q + d(2)) * q + d(3)) * q + 1)
+    }
+  }
+
+  /** FORECAST n <unit> AHEAD (DSL.md:310-312): builds the n future time
+    * steps after the training frame's max time, derives the same clause
+    * features (seasonal components; trend index continuing past the last
+    * observed step), scores them with the fitted model, and attaches a
+    * symmetric normal-approximation band per requested confidence level
+    * (`lo_80`/`hi_80` for 0.8): prediction ± z·σ with σ the training
+    * residual RMSE — the prophet stand-in's intervals.
+    *
+    * Only clause-derived features can be known for future rows, so the
+    * spec's FEATURES list must be empty of source expressions (exogenous
+    * regressors need caller-supplied future values — pass those through
+    * [[withClauseFeatures]] + model.transform directly). */
+  def forecast(
+      spark: org.apache.spark.sql.SparkSession,
+      spec: graft.dml.TrainSpec,
+      report: Trainer.TrainReport): DataFrame = {
+    val ts = spec.timeSeries.getOrElse(throw new IllegalArgumentException(
+      "forecast requires a TRAIN statement WITH TIME COLUMN"))
+    require(spec.features.isEmpty,
+      "FORECAST n AHEAD supports clause features only (SEASONAL/TREND); " +
+        "exogenous regressors need future values supplied by the caller")
+    val n = ts.horizon.getOrElse(throw new IllegalArgumentException(
+      "the TRAIN statement has no FORECAST n AHEAD clause"))
+    val unit = ts.horizonUnit.getOrElse("days").toLowerCase match {
+      case "day" | "days"     => "day"
+      case "hour" | "hours"   => "hour"
+      case "week" | "weeks"   => "week"
+      case "month" | "months" => "month"
+      case other => throw new IllegalArgumentException(
+        s"unsupported FORECAST unit: $other")
+    }
+    val src = spark.sql(
+      s"SELECT * FROM ${graft.dml.TrainCompiler.sourceFragment(spec)}")
+    // timeline end + last trend index: a one-row aggregate cross-joined
+    // into the n future rows (no driver-side timestamp formatting)
+    val future = src.agg(
+        max(col(ts.timeColumn)).as("_max_t"),
+        countDistinct(col(ts.timeColumn)).as("_steps"))
+      .crossJoin(spark.range(1, n + 1))
+      .select((col("id") + col("_steps")).cast("double").as("t_index"),
+        expr(s"timestampadd($unit, id, _max_t)")
+          .cast(src.schema(ts.timeColumn).dataType).as(ts.timeColumn))
+    val feats = ts.seasonal.foldLeft(future) { (acc, g) =>
+      acc.withColumn(s"season_$g", seasonalColumn(col(ts.timeColumn), g))
+    }
+    // the fitted pipeline's label-cast stage references the target column;
+    // future rows have no observed target, so feed a placeholder (the
+    // prediction never reads it)
+    val scored = report.model.transform(
+      feats.withColumn(spec.target, lit(0.0)))
+    // residual RMSE on the training frame — σ for the normal band
+    val trained = report.model.transform(
+      graft.dml.TrainCompiler.trainingDataFrame(spark, spec))
+    val sigma = trained.agg(
+      sqrt(avg(pow(col("prediction") - col(spec.target), 2))))
+      .collect()(0).getDouble(0)
+    val out = ts.confidence.foldLeft(
+      scored.select(col(ts.timeColumn), col("t_index"), col("prediction"))) {
+      (acc, level) =>
+        val z = normInv((1 + level) / 2)
+        val tag = math.round(level * 100).toString
+        acc.withColumn(s"lo_$tag", col("prediction") - z * sigma)
+          .withColumn(s"hi_$tag", col("prediction") + z * sigma)
+    }
+    out
+  }
 }

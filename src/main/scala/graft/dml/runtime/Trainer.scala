@@ -132,7 +132,8 @@ object Trainer {
         (hidden, spec.params.filterNot(_._1 == "layers"))
       case _ => (None, spec.params)
     }
-    AlgorithmRegistry.applyParams(est, applicableParams)
+    AlgorithmRegistry.applyParams(est,
+      applicableParams.filterNot(p => alg.noopParams(p._1)))
     configure(est, alg.task, weightCol, seed)
     est match {
       case mlp: MultilayerPerceptronClassifier =>
@@ -245,15 +246,29 @@ object Trainer {
   private def trainingFrame(spark: SparkSession, spec: TrainSpec): (DataFrame, Boolean) = {
     val src = spark.sql(s"SELECT * FROM ${TrainCompiler.sourceFragment(spec)}")
     var needScale = false
-    val cols = spec.features.zipWithIndex.map { case (f, i) =>
+    val baseCols = spec.features.zipWithIndex.map { case (f, i) =>
       if (SqlCompiler.isSimpleIdentifier(f)) col(f)
       else {
         val ast = DmlParser.parseFeature(f)
         if (FeatureCompiler.usesScale(ast)) needScale = true
         FeatureCompiler.toColumn(FeatureCompiler.stripScale(ast)).as(s"f${i + 1}")
       }
-    } :+ src.col(spec.target)
-    val selected = src.select(cols: _*)
+    }
+    val selected = spec.timeSeries match {
+      case None => src.select(baseCols :+ src.col(spec.target): _*)
+      case Some(ts) =>
+        // append the clause-derived season_*/t_index columns, then order
+        // them between the base features and the target (same layout as
+        // TrainCompiler.trainingDataFrame)
+        val baseNames = spec.features.zipWithIndex.map { case (f, i) =>
+          if (SqlCompiler.isSimpleIdentifier(f)) f else s"f${i + 1}"
+        }
+        val extras = Seq(ts.timeColumn, spec.target).distinct
+          .filterNot(baseNames.contains).map(src.col)
+        TimeSeries.withClauseFeatures(src.select(baseCols ++ extras: _*), ts)
+          .select(TrainCompiler.featureNames(spec).map(col) :+
+            col(spec.target): _*)
+    }
     val names = TrainCompiler.featureNames(spec)
     val out =
       if (names.size == 1 && isFloatArray(selected, names.head))

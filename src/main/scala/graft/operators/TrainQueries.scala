@@ -65,6 +65,23 @@ object TrainQueries {
           "PREDICT l_extendedprice " +
           "WITH FEATURES(t.l_quantity, sqrt(abs(t.l_extendedprice + 1)), " +
           "DAYS_BETWEEN(t.l_shipdate, t.l_shipdate))")
+    },
+
+    // time-series TRAIN variant (reference DSL.md:296-313): WITH TIME
+    // COLUMN + SEASONAL/TREND markers compile to calendar components and a
+    // trend index of the time column. The trend rank runs over DISTINCT
+    // timestamps and broadcast-joins back — never a row-count-sized
+    // window. The prophet fit + FORECAST path is test-pinned
+    // (TimeSeriesDslSpec); the compiled training frame is oracled here.
+    "q_ts_forecast_input" -> { (s, dir) =>
+      trainingDf(s, dir,
+        "TRAIN MODEL sales_forecast " +
+          "USING prophet(seasonality=['yearly', 'weekly']) " +
+          "FROM orders PREDICT o_totalprice " +
+          "WITH TIME COLUMN o_orderdate " +
+          "AND FEATURES(SEASONAL weekday, SEASONAL month, TREND linear) " +
+          "FORECAST 30 days AHEAD " +
+          "WITH CONFIDENCE INTERVALS 0.8, 0.95")
     })
 
   def oracles: Map[String, String] = Map(
@@ -85,7 +102,16 @@ object TrainQueries {
     "q_train_functions" ->
       """SELECT t.l_quantity AS f1, sqrt(abs(t.l_extendedprice + 1)) AS f2,
         |  CAST(0 AS INT) AS f3, l_extendedprice
-        |FROM lineitem t WHERE t.l_quantity > 10""".stripMargin)
+        |FROM lineitem t WHERE t.l_quantity > 10""".stripMargin,
+
+    // Spark dayofweek is 1=Sunday..7; DuckDB's is 0=Sunday..6, hence +1.
+    // t_index = dense rank of the timestamp (ties share a step index).
+    "q_ts_forecast_input" ->
+      """SELECT CAST(dayofweek(o_orderdate) + 1 AS DOUBLE) AS season_weekday,
+        |  CAST(month(o_orderdate) AS DOUBLE) AS season_month,
+        |  CAST(dense_rank() OVER (ORDER BY o_orderdate) AS DOUBLE) AS t_index,
+        |  o_totalprice
+        |FROM orders""".stripMargin)
 
   /** Training SELECTs carry no ORDER BY (they feed model fits, not users);
     * Verify sorts the dump for the row-order-sensitive driver hash. */
@@ -95,5 +121,7 @@ object TrainQueries {
     "q_train_source_join" ->
       Seq("o_totalprice", "c_acctbal", "f3", "c_mktsegment"),
     "q_train_subquery" -> Seq("o_totalprice", "f2", "o_orderstatus"),
-    "q_train_functions" -> Seq("f1", "f2", "f3", "l_extendedprice"))
+    "q_train_functions" -> Seq("f1", "f2", "f3", "l_extendedprice"),
+    "q_ts_forecast_input" ->
+      Seq("t_index", "season_weekday", "season_month", "o_totalprice"))
 }

@@ -1,0 +1,143 @@
+package graft.dml.runtime
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.dml.{DmlParser, TrainCompiler, TrainSpec}
+
+/** Time-series DSL clauses (reference DSL.md:296-313): WITH TIME COLUMN,
+  * SEASONAL/TREND feature markers, FORECAST n unit AHEAD, WITH CONFIDENCE
+  * INTERVALS — parse, compile, fit, forecast. */
+class TimeSeriesDslSpec extends AnyFunSuite {
+
+  private def spark = SparkTestSession.withTables()
+
+  private val headlineDml =
+    "TRAIN MODEL sales_forecast " +
+      "USING prophet(seasonality=['yearly', 'weekly']) " +
+      "FROM orders PREDICT o_totalprice " +
+      "WITH TIME COLUMN o_orderdate " +
+      "AND FEATURES(SEASONAL weekday, SEASONAL month, TREND linear) " +
+      "FORECAST 30 days AHEAD " +
+      "WITH CONFIDENCE INTERVALS 0.8, 0.95"
+
+  test("the DSL.md headline time-series statement parses completely") {
+    val spec = DmlParser.parse(headlineDml).asInstanceOf[TrainSpec]
+    val ts = spec.timeSeries.get
+    assert(ts.timeColumn == "o_orderdate")
+    assert(ts.seasonal == List("weekday", "month"))
+    assert(ts.trend.contains("linear"))
+    assert(ts.horizon.contains(30L) && ts.horizonUnit.contains("days"))
+    assert(ts.confidence == List(0.8, 0.95))
+    assert(spec.features.isEmpty, "markers must not leak into features")
+    assert(spec.algorithm == "prophet")
+  }
+
+  test("ordinary features mix with markers; options still parse after") {
+    val spec = DmlParser.parse(
+      "TRAIN MODEL m USING prophet FROM orders PREDICT o_totalprice " +
+        "WITH TIME COLUMN o_orderdate " +
+        "AND FEATURES(o_shippriority, SEASONAL weekday, TREND linear) " +
+        "SPLIT DATA training=0.8, test=0.2").asInstanceOf[TrainSpec]
+    assert(spec.features == List("o_shippriority"))
+    assert(spec.timeSeries.get.seasonal == List("weekday"))
+    assert(spec.split.isDefined)
+  }
+
+  test("clause validation: horizon and confidence bounds") {
+    val e1 = intercept[IllegalArgumentException](DmlParser.parse(
+      "TRAIN MODEL m USING prophet FROM t PREDICT y " +
+        "WITH TIME COLUMN ts AND FEATURES(TREND linear) " +
+        "FORECAST 0 days AHEAD"))
+    assert(e1.getMessage.contains("positive"))
+    val e2 = intercept[IllegalArgumentException](DmlParser.parse(
+      "TRAIN MODEL m USING prophet FROM t PREDICT y " +
+        "WITH TIME COLUMN ts AND FEATURES(TREND linear) " +
+        "FORECAST 7 days AHEAD WITH CONFIDENCE INTERVALS 1.5"))
+    assert(e2.getMessage.contains("between 0 and 1"))
+  }
+
+  test("base TRAIN grammar is untouched by the variant") {
+    val spec = DmlParser.parse(
+      "TRAIN MODEL m USING linear_regression FROM orders " +
+        "PREDICT o_totalprice WITH FEATURES(o_shippriority)")
+      .asInstanceOf[TrainSpec]
+    assert(spec.timeSeries.isEmpty)
+    assert(spec.features == List("o_shippriority"))
+  }
+
+  test("compiled frame derives seasonal components and a dense trend index") {
+    val s = spark
+    import s.implicits._
+    Seq(
+      ("2024-01-01", 10.0), ("2024-01-01", 12.0), // tie: same step index
+      ("2024-01-02", 11.0), ("2024-01-05", 13.0))
+      .toDF("day", "y")
+      .select(col("day").cast("timestamp").as("day"), col("y"))
+      .createOrReplaceTempView("ts_tiny")
+    val spec = DmlParser.parse(
+      "TRAIN MODEL m USING prophet FROM ts_tiny PREDICT y " +
+        "WITH TIME COLUMN day AND FEATURES(SEASONAL weekday, TREND linear)")
+      .asInstanceOf[TrainSpec]
+    assert(TrainCompiler.featureNames(spec) ==
+      Seq("season_weekday", "t_index"))
+    val rows = TrainCompiler.trainingDataFrame(s, spec)
+      .orderBy("t_index", "y").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2)))
+    // 2024-01-01 is a Monday → Spark dayofweek = 2
+    assert(rows.map(_._1).toSeq == Seq(2.0, 2.0, 3.0, 6.0))
+    // dense step index: the two tied rows share t=1; gaps don't skip steps
+    assert(rows.map(_._2).toSeq == Seq(1.0, 1.0, 2.0, 3.0))
+  }
+
+  test("prophet fit + FORECAST produces future rows with ordered bands") {
+    val s = spark
+    val spec = DmlParser.parse(headlineDml).asInstanceOf[TrainSpec]
+    val report = Trainer.train(s, spec)
+    assert(report.metrics.contains("rmse"))
+    val fc = TimeSeries.forecast(s, spec, report)
+    val rows = fc.orderBy("t_index").collect()
+    assert(rows.length == 30)
+    assert(fc.columns.toSeq ==
+      Seq("o_orderdate", "t_index", "prediction",
+        "lo_80", "hi_80", "lo_95", "hi_95"))
+    // future timestamps strictly beyond the observed max (timestamp_ntz
+    // surfaces as LocalDateTime)
+    val maxObserved = s.table("orders").agg(max("o_orderdate"))
+      .collect()(0).getAs[java.time.LocalDateTime](0)
+    assert(rows.forall(
+      _.getAs[java.time.LocalDateTime](0).isAfter(maxObserved)))
+    // bands nest around the point forecast: 95% wider than 80%
+    rows.foreach { r =>
+      val (p, lo80, hi80, lo95, hi95) =
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5), r.getDouble(6))
+      assert(lo95 < lo80 && lo80 < p && p < hi80 && hi80 < hi95)
+    }
+    // trend continues the training timeline: first future step = steps + 1
+    val steps = s.table("orders")
+      .select(countDistinct("o_orderdate")).collect()(0).getLong(0)
+    assert(rows.head.getDouble(1) == steps + 1.0)
+  }
+
+  test("forecast refuses exogenous source features") {
+    val s = spark
+    val spec = DmlParser.parse(
+      "TRAIN MODEL m USING prophet FROM orders PREDICT o_totalprice " +
+        "WITH TIME COLUMN o_orderdate " +
+        "AND FEATURES(o_custkey, TREND linear) FORECAST 5 days AHEAD")
+      .asInstanceOf[TrainSpec]
+    val report = Trainer.train(s, spec)
+    val e = intercept[IllegalArgumentException](
+      TimeSeries.forecast(s, spec, report))
+    assert(e.getMessage.contains("clause features only"))
+  }
+
+  test("normInv matches known quantiles") {
+    assert(math.abs(TimeSeries.normInv(0.975) - 1.959964) < 1e-5)
+    assert(math.abs(TimeSeries.normInv(0.9) - 1.281552) < 1e-5)
+    assert(math.abs(TimeSeries.normInv(0.5)) < 1e-9)
+    assert(math.abs(TimeSeries.normInv(0.025) + 1.959964) < 1e-5)
+  }
+}
