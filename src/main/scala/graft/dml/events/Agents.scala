@@ -19,6 +19,171 @@ object Agents {
 
   final case class Trial(params: List[(String, Value)], metrics: Map[String, Double])
 
+  /** Search-space dimensions per reference/AGENTS.md:110-117:
+    * `{"type": "log_uniform", "low": …, "high": …}`,
+    * `{"type": "uniform", …}`, `{"type": "choice", "values": […]}`. */
+  sealed trait ParamSpace
+  object ParamSpace {
+    final case class Uniform(low: Double, high: Double) extends ParamSpace {
+      require(high > low, "uniform space needs high > low")
+    }
+    final case class LogUniform(low: Double, high: Double) extends ParamSpace {
+      require(low > 0 && high > low, "log_uniform space needs 0 < low < high")
+    }
+    final case class Choice(values: List[Value]) extends ParamSpace {
+      require(values.nonEmpty, "choice space needs at least one value")
+    }
+  }
+
+  private def toDouble(v: Value): Double = v match {
+    case Value.VInt(i)   => i.toDouble
+    case Value.VFloat(f) => f
+    case other => throw new IllegalArgumentException(
+      s"non-numeric param value: $other")
+  }
+
+  private def samplePrior(ps: ParamSpace, rng: scala.util.Random): Value =
+    ps match {
+      case ParamSpace.Uniform(lo, hi) =>
+        Value.VFloat(lo + rng.nextDouble() * (hi - lo))
+      case ParamSpace.LogUniform(lo, hi) =>
+        // clamp after exp: exp(log(hi)) can land an ulp outside the bound
+        Value.VFloat(math.min(hi, math.max(lo, math.exp(
+          math.log(lo) + rng.nextDouble() * (math.log(hi) - math.log(lo))))))
+      case ParamSpace.Choice(vs) => vs(rng.nextInt(vs.size))
+    }
+
+  private def gaussPdf(x: Double, mu: Double, sigma: Double): Double =
+    math.exp(-0.5 * math.pow((x - mu) / sigma, 2)) /
+      (sigma * math.sqrt(2 * math.Pi))
+
+  /** 1-D Parzen mixture over observations in [lo, hi]: one Gaussian per
+    * observation (bandwidth shrinking with the observation count) plus a
+    * uniform prior component for exploration — the density estimator TPE
+    * builds for its good and bad trial sets (Bergstra et al. 2011). */
+  private final case class Parzen(lo: Double, hi: Double, centers: Seq[Double]) {
+    private val bw =
+      math.max((hi - lo) / math.sqrt(centers.size + 2.0), 1e-12)
+    def pdf(x: Double): Double = {
+      val prior = 1.0 / (hi - lo)
+      (centers.map(c => gaussPdf(x, c, bw)).sum + prior) / (centers.size + 1)
+    }
+    def sample(rng: scala.util.Random): Double = {
+      val i = rng.nextInt(centers.size + 1)
+      val raw =
+        if (i == centers.size) lo + rng.nextDouble() * (hi - lo)
+        else centers(i) + rng.nextGaussian() * bw
+      math.min(hi, math.max(lo, raw))
+    }
+  }
+
+  /** Draw in a (possibly log-transformed) numeric dimension: sample
+    * candidates from the good-trials density l, keep the one maximizing
+    * l(x)/g(x) — TPE's expected-improvement surrogate. */
+  private def numericDraw(
+      lo: Double, hi: Double, goodObs: Seq[Double], badObs: Seq[Double],
+      nCandidates: Int, rng: scala.util.Random): Double = {
+    val l = Parzen(lo, hi, goodObs)
+    val g = Parzen(lo, hi, badObs)
+    Seq.fill(nCandidates)(l.sample(rng))
+      .maxBy(x => math.log(l.pdf(x)) - math.log(g.pdf(x)))
+  }
+
+  /** One TPE proposal from the trial history: split trials best-first at
+    * the γ quantile, model each dimension independently (hyperopt's
+    * factorization), and pick the value maximizing the good/bad density
+    * ratio — categorical dimensions use Laplace-smoothed count ratios. */
+  private def tpeDraw(
+      names: Seq[String], space: Map[String, ParamSpace],
+      history: Seq[Trial], metric: String, maximize: Boolean,
+      gamma: Double, nCandidates: Int, rng: scala.util.Random)
+      : List[(String, Value)] = {
+    val scored = rankTrials(
+      history.filter(_.metrics.contains(metric)), metric, maximize)
+    val nGood = math.max(1, math.ceil(gamma * scored.size).toInt)
+    val (good, bad) = scored.splitAt(nGood)
+    names.map { n =>
+      def obs(ts: Seq[Trial]): Seq[Value] =
+        ts.flatMap(_.params.collectFirst { case (`n`, v) => v })
+      val v: Value = space(n) match {
+        case ParamSpace.Choice(vs) =>
+          val goodObs = obs(good); val badObs = obs(bad)
+          val gc = goodObs.groupBy(identity).view.mapValues(_.size).toMap
+          val bc = badObs.groupBy(identity).view.mapValues(_.size).toMap
+          vs.maxBy { cand =>
+            val pl = (gc.getOrElse(cand, 0) + 1.0) / (goodObs.size + vs.size)
+            val pg = (bc.getOrElse(cand, 0) + 1.0) / (badObs.size + vs.size)
+            pl / pg
+          }
+        case ParamSpace.Uniform(lo, hi) =>
+          Value.VFloat(numericDraw(lo, hi,
+            obs(good).map(toDouble), obs(bad).map(toDouble),
+            nCandidates, rng))
+        case ParamSpace.LogUniform(lo, hi) =>
+          Value.VFloat(math.min(hi, math.max(lo, math.exp(numericDraw(
+            math.log(lo), math.log(hi),
+            obs(good).map(x => math.log(toDouble(x))),
+            obs(bad).map(x => math.log(toDouble(x))),
+            nCandidates, rng)))))
+      }
+      n -> v
+    }.toList
+  }
+
+  /** Tree-structured Parzen Estimator search (the reference's "Bayesian
+    * optimization" sampler, AGENTS.md:110-128): `nStartup` random trials
+    * seed the history, then each proposal maximizes the good/bad Parzen
+    * density ratio. The loop is driver-side bookkeeping over tiny trial
+    * records — every `objective` call (a model fit) remains the fully
+    * distributed path, exactly as the reference's agent publishes
+    * training.start events per trial. Returns trials best-first. */
+  def tpeSearch(
+      space: Map[String, ParamSpace],
+      objective: List[(String, Value)] => Map[String, Double],
+      metric: String,
+      trials: Int = 50,
+      maximize: Boolean = true,
+      seed: Long = 42L,
+      nStartup: Int = 10,
+      gamma: Double = 0.25,
+      nCandidates: Int = 24): Seq[Trial] = {
+    require(trials > 0, "trials must be positive")
+    val rng = new scala.util.Random(seed)
+    val names = space.keys.toSeq.sorted
+    val history = scala.collection.mutable.ArrayBuffer.empty[Trial]
+    (0 until trials).foreach { t =>
+      val params =
+        if (t < nStartup ||
+          history.count(_.metrics.contains(metric)) < 2)
+          names.map(n => n -> samplePrior(space(n), rng)).toList
+        else
+          tpeDraw(names, space, history.toSeq, metric, maximize,
+            gamma, nCandidates, rng)
+      history += Trial(params, objective(params))
+    }
+    rankTrials(history.toSeq, metric, maximize)
+  }
+
+  /** CREATE AGENT … hyperparameter_optimization with the Bayesian sampler:
+    * [[tpeSearch]] over model fits (AGENTS.md's 50-trial budget is the
+    * default). The seeded random [[hyperparameterSearch]] stays as the
+    * grid-space fallback. */
+  def hyperparameterSearchBayes(
+      spark: SparkSession,
+      spec: TrainSpec,
+      space: Map[String, ParamSpace],
+      trials: Int = 50,
+      metric: String = "accuracy",
+      maximize: Boolean = true,
+      seed: Long = 42L): Seq[Trial] = {
+    val names = space.keys.toSet
+    tpeSearch(space, params => {
+      val merged = spec.copy(params = spec.params.filterNot(p =>
+        names.contains(p._1)) ++ params)
+      Trainer.train(spark, merged, seed = seed).metrics
+    }, metric, trials, maximize, seed)
+  }
+
   /** CREATE AGENT … hyperparameter_optimization: seeded random search over
     * a param grid; returns trials sorted by the target metric (best
     * first). */

@@ -196,6 +196,72 @@ class EventsSpec extends AnyFunSuite {
     assert(drift.values.forall(_ > 0.25), s"shift not detected: $drift")
   }
 
+  test("TPE search beats random search on a deterministic objective") {
+    import Agents.ParamSpace
+    // reference/AGENTS.md:110-117 space; optimum at lr=0.01, dropout=0.3,
+    // batch_size=128 (score 0.5)
+    val space = Map(
+      "learning_rate" -> ParamSpace.LogUniform(1e-4, 0.1),
+      "dropout_rate" -> ParamSpace.Uniform(0.1, 0.5),
+      "batch_size" -> ParamSpace.Choice(
+        List(Value.VInt(32), Value.VInt(64), Value.VInt(128), Value.VInt(256))))
+    def objective(params: List[(String, Value)]): Map[String, Double] = {
+      val p = params.toMap
+      def num(n: String) = p(n) match {
+        case Value.VInt(i) => i.toDouble
+        case Value.VFloat(f) => f
+        case other => fail(s"unexpected $other")
+      }
+      val lr = num("learning_rate")
+      val dr = num("dropout_rate")
+      val bs = num("batch_size")
+      Map("score" -> (-math.pow(math.log10(lr) + 2.0, 2)
+        - 4.0 * math.pow(dr - 0.3, 2)
+        + (if (bs == 128.0) 0.5 else 0.0)))
+    }
+    val budget = 50
+    val tpe = Agents.tpeSearch(space, objective, "score", trials = budget,
+      maximize = true, seed = 7L)
+    // pure random baseline = the same loop with startup covering the
+    // whole budget (every draw from the prior)
+    val random = Agents.tpeSearch(space, objective, "score", trials = budget,
+      maximize = true, seed = 7L, nStartup = budget)
+    assert(tpe.size == budget && random.size == budget)
+    val bestTpe = tpe.head.metrics("score")
+    val bestRandom = random.head.metrics("score")
+    assert(bestTpe > bestRandom,
+      s"TPE ($bestTpe) must beat random ($bestRandom) within $budget trials")
+    // and actually converge near the optimum (0.5)
+    assert(bestTpe > 0.3, s"TPE best $bestTpe too far from the optimum 0.5")
+    // every proposal respects its space bounds
+    tpe.foreach { t =>
+      val p = t.params.toMap
+      val lr = p("learning_rate").asInstanceOf[Value.VFloat].v
+      val dr = p("dropout_rate").asInstanceOf[Value.VFloat].v
+      assert(lr >= 1e-4 && lr <= 0.1)
+      assert(dr >= 0.1 && dr <= 0.5)
+      assert(Set(32L, 64L, 128L, 256L)(
+        p("batch_size").asInstanceOf[Value.VInt].v))
+    }
+  }
+
+  test("Bayesian HPO over real fits ranks trials by the target metric") {
+    val s = spark
+    import Agents.ParamSpace
+    val spec = DmlParser.parse(
+      "TRAIN MODEL hpo_bayes USING logistic_regression(max_iter=5) " +
+        "FROM lineitem PREDICT l_returnflag " +
+        "WITH FEATURES(l_quantity, l_discount)").asInstanceOf[TrainSpec]
+    val out = Agents.hyperparameterSearchBayes(s, spec,
+      Map("regularization" -> ParamSpace.LogUniform(1e-4, 1.0)),
+      trials = 4, metric = "accuracy", seed = 11L)
+    assert(out.size == 4)
+    assert(out.forall(_.metrics.contains("accuracy")))
+    // best-first ordering
+    val accs = out.map(_.metrics("accuracy"))
+    assert(accs == accs.sortBy(-_))
+  }
+
   test("psiDrift: a group on only one side is maximal drift, not dropped") {
     val s = spark
     import s.implicits._
