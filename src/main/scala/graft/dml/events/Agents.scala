@@ -1,6 +1,6 @@
 package graft.dml.events
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.dml.{TrainSpec, Value}
@@ -417,11 +417,126 @@ object Agents {
     (winner, scores)
   }
 
-  /** EXPLAIN PREDICTION (S10): global importances via the fitted model
-    * (per-row SHAP is out of scope, SURVEY §7.3). */
+  /** EXPLAIN PREDICTION (S10): global importances via the fitted model.
+    * [[explainRows]] is the per-row path (DSL.md:339-344). */
   def explain(
       model: org.apache.spark.ml.PipelineModel,
       featureNames: Seq[String], topK: Int = 5): Seq[(String, Double)] =
     Evaluation.featureImportance(model, featureNames)
       .toSeq.sortBy(-_._2).take(topK)
+
+  /** EXPLAIN PREDICTION … FOR … USING shap_values SHOW TOP k
+    * (DSL.md:339-344): per-row feature contributions.
+    *
+    *  - Linear models: contribution_j = coef_j · (x_j − mean_j), the exact
+    *    decomposition of the prediction's deviation from the batch-mean
+    *    baseline (= exact SHAP for a linear model with independent
+    *    features). Multinomial logistic uses the predicted class's
+    *    coefficient row. Computed as pure Column algebra — coefficients
+    *    and means ship as literals, no per-row driver work.
+    *  - Tree ensembles (regression): Saabas path contributions — walking
+    *    each tree, a split on feature j moves the running expected value
+    *    from parent to child and that delta is j's contribution; summed
+    *    over trees with the ensemble's weights. The walk needs the tree
+    *    structure per row, so it is a UDF over the assembled vector — an
+    *    explanation batch, not a hot path.
+    *
+    * Output: the input rows (plus `prediction`) exploded to their `topK`
+    * largest-|contribution| features as (feature, contribution, rank). */
+  def explainRows(
+      model: org.apache.spark.ml.PipelineModel,
+      data: DataFrame,
+      featureNames: Seq[String],
+      topK: Int = 5): DataFrame = {
+    import org.apache.spark.ml.classification.LogisticRegressionModel
+    import org.apache.spark.ml.regression._
+    import org.apache.spark.ml.functions.vector_to_array
+    import org.apache.spark.ml.linalg.{Vector => MlVector}
+
+    val transformed = model.transform(data)
+    require(transformed.columns.contains("features"),
+      "explainRows needs the pipeline's assembled 'features' column")
+    val n = featureNames.size
+    val arr = vector_to_array(col("features"))
+    // batch-mean baseline per assembled feature — one tiny aggregate,
+    // evaluated only by the linear paths
+    lazy val meanRow = transformed
+      .agg(array((0 until n).map(j => avg(arr(j))): _*).as("m"))
+      .collect()(0).getSeq[Double](0)
+
+    def linearContribs(coefs: IndexedSeq[Double]): Seq[Column] =
+      (0 until n).map(j => arr(j).minus(meanRow(j)) * coefs(j))
+
+    val contribs: Seq[Column] = model.stages.reverse.collectFirst {
+      case m: LinearRegressionModel => linearContribs(m.coefficients.toArray)
+      case m: LogisticRegressionModel if m.numClasses == 2 =>
+        linearContribs(m.coefficients.toArray)
+      case m: LogisticRegressionModel =>
+        // predicted class's coefficient row, selected per row
+        val rows = (0 until m.numClasses).map(c =>
+          (0 until n).map(j => m.coefficientMatrix(c, j)))
+        val rowsLit = typedLit(rows.map(_.toSeq))
+        val classRow = element_at(rowsLit, col("prediction").cast("int") + 1)
+        (0 until n).map(j =>
+          (arr(j) - meanRow(j)) * element_at(classRow, j + 1))
+      case m: DecisionTreeRegressionModel =>
+        treeContribCols(Seq(m.rootNode -> 1.0), n)
+      case m: RandomForestRegressionModel =>
+        treeContribCols(
+          m.trees.map(t => t.rootNode -> 1.0 / m.getNumTrees).toSeq, n)
+      case m: GBTRegressionModel =>
+        treeContribCols(
+          m.trees.zip(m.treeWeights).map { case (t, w) => t.rootNode -> w }
+            .toSeq, n)
+    }.getOrElse(throw new IllegalArgumentException(
+      "per-row explanation supports linear/logistic models and regression " +
+        s"trees; got ${model.stages.last.getClass.getSimpleName} " +
+        "(classification-tree leaves predict labels, whose differences " +
+        "are not attributable — use the model-level explain)"))
+
+    val entries = featureNames.zip(contribs).map { case (f, c) =>
+      struct(abs(c).as("m"), lit(f).as("feature"), c.as("contribution"))
+    }
+    val top = slice(reverse(array_sort(array(entries: _*))), 1,
+      math.min(topK, n))
+    transformed
+      .select(col("*"), posexplode(top).as(Seq("_pos", "_e")))
+      .select(col("*"), (col("_pos") + 1).cast("int").as("rank"),
+        col("_e.feature").as("feature"),
+        col("_e.contribution").as("contribution"))
+      .drop("_pos", "_e", "features", "rawPrediction", "probability", "label")
+  }
+
+  /** Saabas walk over weighted trees as a single UDF column set: returns
+    * one contribution Column per feature (the UDF computes the full array
+    * once; downstream element_at reads slice it). */
+  private def treeContribCols(
+      trees: Seq[(org.apache.spark.ml.tree.Node, Double)], n: Int)
+      : Seq[Column] = {
+    import org.apache.spark.ml.linalg.{Vector => MlVector}
+    import org.apache.spark.ml.tree.{CategoricalSplit, ContinuousSplit, InternalNode}
+    val contribsOf = udf { (v: MlVector) =>
+      val out = new Array[Double](n)
+      trees.foreach { case (root, w) =>
+        var node = root
+        while (node.isInstanceOf[InternalNode]) {
+          val in = node.asInstanceOf[InternalNode]
+          val goLeft = in.split match {
+            case cs: ContinuousSplit => v(cs.featureIndex) <= cs.threshold
+            case cs: CategoricalSplit =>
+              cs.leftCategories.contains(v(cs.featureIndex))
+            case other => throw new IllegalStateException(
+              s"unknown split type: ${other.getClass}")
+          }
+          val child = if (goLeft) in.leftChild else in.rightChild
+          out(in.split.featureIndex) +=
+            w * (child.prediction - node.prediction)
+          node = child
+        }
+      }
+      out.toSeq
+    }
+    val c = contribsOf(col("features"))
+    (0 until n).map(j => element_at(c, j + 1))
+  }
 }

@@ -117,12 +117,42 @@ final class StatementRunner(
 
     case ex: ExplainSpec =>
       val model = registry.load(ex.model)
-      val features = latestRegistryRow(ex.model).getSeq[String](3)
-      val top = Agents.explain(model, features,
-        ex.topK.map(_.toInt).getOrElse(5))
-      import spark.implicits._
-      RunResult("explain", s"top-${top.size} importances for '${ex.model}'",
-        Some(top.toDF("feature", "importance")))
+      val k = ex.topK.map(_.toInt).getOrElse(5)
+      ex.forClause match {
+        case None =>
+          // model-level importances (no rows named)
+          val features = latestRegistryRow(ex.model).getSeq[String](3)
+          val top = Agents.explain(model, features, k)
+          import spark.implicits._
+          RunResult("explain",
+            s"top-${top.size} importances for '${ex.model}'",
+            Some(top.toDF("feature", "importance")))
+        case Some(raw) =>
+          // FOR TRANSACTION transaction_id = 12345 (DSL.md:339-344): the
+          // leading noun is decorative; the remainder is a predicate over
+          // the model's training source. Row-level contributions need the
+          // source query, which the registry does not persist — the model
+          // must have been trained through this runner.
+          val spec = trainSpecs.getOrElse(ex.model,
+            throw new IllegalArgumentException(
+              s"no TrainSpec recorded for '${ex.model}' — EXPLAIN " +
+                "PREDICTION ... FOR needs the model trained through this " +
+                "runner (the registry has no source query)"))
+          val src = spark.sql(
+            s"SELECT * FROM ${TrainCompiler.sourceFragment(spec)}")
+          // expression features need computing; identifier features are
+          // already source columns
+          val exprFeatures = spec.features.zipWithIndex.collect {
+            case (f, i) if !SqlCompiler.isSimpleIdentifier(f) =>
+              FeatureCompiler.compile(f).as(s"f${i + 1}")
+          }
+          val data = applyForClause(
+            src.select(col("*") +: exprFeatures: _*), raw)
+          val out = Agents.explainRows(model, data,
+            TrainCompiler.featureNames(spec), k)
+          RunResult("explain",
+            s"top-$k per-row contributions for '${ex.model}'", Some(out))
+      }
 
     case m: MonitorSpec =>
       monitors += m
@@ -216,6 +246,28 @@ final class StatementRunner(
     if (rows.isEmpty)
       throw new IllegalArgumentException(s"model not found: $model")
     rows(0)
+  }
+
+  /** FOR-clause raw text → the filtered frame. A bare predicate applies
+    * as-is; with the reference's decorative entity noun
+    * (`TRANSACTION transaction_id = 12345`) it is not an expression, so
+    * everything after the first token is tried next. expr() parses lazily
+    * (Spark 4 Column unification), so each candidate is validated by
+    * forcing analysis against the actual frame — never string-spliced
+    * into a SQL statement. */
+  private def applyForClause(df: DataFrame, raw: String): DataFrame = {
+    val trimmed = raw.trim
+    val parts = trimmed.split("\\s+", 2)
+    val candidates =
+      if (parts.length == 2) Seq(trimmed, parts(1)) else Seq(trimmed)
+    candidates.iterator.flatMap { c =>
+      try {
+        val d = df.where(expr(c))
+        d.queryExecution.analyzed // force parse + resolution
+        Some(d)
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }.nextOption().getOrElse(throw new IllegalArgumentException(
+      s"cannot interpret FOR clause as a predicate: $raw"))
   }
 
   /** Postgres-style `payload->>'k'` (DSL.md:133-134) translated to the

@@ -262,6 +262,68 @@ class EventsSpec extends AnyFunSuite {
     assert(accs == accs.sortBy(-_))
   }
 
+  test("explainRows: linear contributions are exactly coef × (x − mean)") {
+    val s = spark
+    import s.implicits._
+    Seq((1.0, 10.0), (2.0, 20.0), (3.0, 10.0), (4.0, 30.0), (5.0, 20.0))
+      .toDF("x", "z")
+      .withColumn("y", col("x") * 2.0 + col("z") * 3.0)
+      .createOrReplaceTempView("lin_tiny")
+    val spec = DmlParser.parse(
+      "TRAIN MODEL lin_exact USING linear_regression(max_iter=100) " +
+        "FROM lin_tiny PREDICT y WITH FEATURES(x, z)")
+      .asInstanceOf[TrainSpec]
+    val r = graft.dml.runtime.Trainer.train(s, spec)
+    val out = Agents.explainRows(r.model, s.table("lin_tiny"),
+      Seq("x", "z"), topK = 2)
+    val rows = out.select("x", "z", "prediction", "feature", "contribution")
+      .collect()
+    assert(rows.length == 10, "5 rows × top-2 features")
+    // exact fit ⇒ coef_x = 2, coef_z = 3; means: x̄ = 3, z̄ = 18
+    rows.foreach { row =>
+      val (x, z, f, c) = (row.getDouble(0), row.getDouble(1),
+        row.getString(3), row.getDouble(4))
+      val expected = if (f == "x") 2.0 * (x - 3.0) else 3.0 * (z - 18.0)
+      assert(math.abs(c - expected) < 1e-3,
+        s"feature $f at x=$x z=$z: got $c expected $expected")
+    }
+    // per-row contributions decompose prediction − mean(prediction)
+    val meanPred = rows.map(_.getDouble(2)).distinct.sum / 5
+    rows.groupBy(r => (r.getDouble(0), r.getDouble(1))).foreach {
+      case (_, rs) =>
+        val sum = rs.map(_.getDouble(4)).sum
+        assert(math.abs(sum - (rs.head.getDouble(2) - meanPred)) < 1e-3)
+    }
+  }
+
+  test("explainRows: tree path contributions obey the Saabas identity") {
+    val s = spark
+    import s.implicits._
+    // y depends ONLY on x — the tree must attribute everything to x
+    Seq((1.0, 5.0), (2.0, 9.0), (3.0, 5.0), (10.0, 9.0),
+      (11.0, 5.0), (12.0, 9.0))
+      .toDF("x", "z")
+      .withColumn("y", when(col("x") > 6.0, 100.0).otherwise(10.0))
+      .createOrReplaceTempView("tree_tiny")
+    val spec = DmlParser.parse(
+      "TRAIN MODEL tree_exact USING decision_tree_regressor(max_depth=3) " +
+        "FROM tree_tiny PREDICT y WITH FEATURES(x, z)")
+      .asInstanceOf[TrainSpec]
+    val r = graft.dml.runtime.Trainer.train(s, spec)
+    val out = Agents.explainRows(r.model, s.table("tree_tiny"),
+      Seq("x", "z"), topK = 2).collect()
+    val rootMean = (3 * 100.0 + 3 * 10.0) / 6 // root node expected value
+    out.groupBy(_.getDouble(0)).foreach { case (_, rs) =>
+      val pred = rs.head.getAs[Double]("prediction")
+      val sum = rs.map(_.getAs[Double]("contribution")).sum
+      // Saabas: contributions sum to prediction − root expectation
+      assert(math.abs(sum - (pred - rootMean)) < 1e-9)
+    }
+    // z never splits: its contribution is identically zero
+    assert(out.filter(_.getAs[String]("feature") == "z")
+      .forall(r => r.getAs[Double]("contribution") == 0.0))
+  }
+
   test("psiDrift: a group on only one side is maximal drift, not dropped") {
     val s = spark
     import s.implicits._

@@ -118,6 +118,38 @@ class StatementRunnerSpec extends AnyFunSuite {
     assert(e.getMessage.contains("no previous version"))
   }
 
+  test("EXPLAIN PREDICTION ... FOR returns per-row top-k contributions") {
+    val (runner, _, _) = freshRunner()
+    runner.run(DmlParser.parse(
+      "TRAIN MODEL runner_reg USING linear_regression(max_iter=20) " +
+        "FROM orders PREDICT o_totalprice " +
+        "WITH FEATURES(o_custkey, o_orderkey)"))
+    val key = spark.table("orders").select("o_orderkey")
+      .orderBy(col("o_orderkey")).limit(1).collect()(0).getLong(0)
+    val res = runner.run(DmlParser.parse(
+      s"EXPLAIN PREDICTION runner_reg FOR ORDER o_orderkey = $key " +
+        "USING shap_values SHOW TOP 2 features"))
+    assert(res.kind == "explain")
+    val rows = res.data.get.collect()
+    assert(rows.length == 2, "one matched row × top-2 features")
+    val byRank = rows.sortBy(_.getAs[Int]("rank"))
+    assert(byRank.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2))
+    assert(byRank.map(_.getAs[String]("feature")).toSet ==
+      Set("o_custkey", "o_orderkey"))
+    // |contribution| is non-increasing in rank and the source row's id
+    // column rides along
+    assert(math.abs(byRank(0).getAs[Double]("contribution")) >=
+      math.abs(byRank(1).getAs[Double]("contribution")))
+    assert(rows.forall(_.getAs[Long]("o_orderkey") == key))
+    // a model not trained through this runner cannot row-explain (an
+    // unregistered one fails at load, a registered-but-foreign one at the
+    // TrainSpec lookup)
+    val e = intercept[IllegalArgumentException](runner.run(DmlParser.parse(
+      "EXPLAIN PREDICTION ghost FOR ORDER o_orderkey = 1 SHOW TOP 2")))
+    assert(e.getMessage.contains("no TrainSpec") ||
+      e.getMessage.contains("model not found"))
+  }
+
   test("rollback scopes the version history to the resolved endpoint") {
     val (runner, registry, _) = freshRunner()
     runner.run(DmlParser.parse(trainDml))               // v1
