@@ -33,6 +33,66 @@ object Events {
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
+
+  /** The reference's outbound-queue priority assignment
+    * (DISTRIBUTED.md:188-193): CASE event_type WHEN … THEN n ELSE default —
+    * training.converged=1, training.epoch_complete=3, else 5. */
+  val defaultPriorities: Map[String, Int] =
+    Map("training.converged" -> 1, "training.epoch_complete" -> 3)
+
+  def priorityOf(
+      eventType: Column, mapping: Map[String, Int] = defaultPriorities,
+      default: Int = 5): Column =
+    mapping.toSeq.sortBy(_._1).foldLeft(lit(default)) {
+      case (acc, (t, p)) => when(eventType === t, lit(p)).otherwise(acc)
+    }
+
+  /** Priority-queue drain order: every event gets its delivery position —
+    * priority ascending, then FIFO (ts, event_id) within a priority.
+    *
+    * Scale shape: a `row_number() OVER (ORDER BY …)` would be one global
+    * window. This is the distributed sort-rank instead (the
+    * Sampling.corpusShuffle shape): range-partition on the queue key, rank
+    * within each range partition, offset by broadcast per-partition
+    * counts. The composition is boundary-independent, so the positions
+    * are deterministic, and each window frame holds ~|log|/parallelism
+    * rows. The keyed frame is persisted once because the offsets
+    * aggregate and the rank join both consume the materialized _pid. */
+  def deliveryOrder(
+      events: DataFrame, priority: Column, parallelism: Int = 32)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyed = graft.llm.PipelineCaches.track(
+      events.withColumn("priority", priority)
+        .repartitionByRange(parallelism,
+          col("priority"), col("ts"), col("event_id"))
+        .withColumn("_pid", spark_partition_id())
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    keyed.count()
+    val offsets = keyed.groupBy("_pid").agg(count(lit(1)).as("_c"))
+      .withColumn("_offset",
+        coalesce(sum("_c").over(
+          Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select("_pid", "_offset")
+    val intra = Window.partitionBy("_pid")
+      .orderBy(col("priority").asc, col("ts").asc, col("event_id").asc)
+    keyed.withColumn("_r", row_number().over(intra))
+      .join(broadcast(offsets), Seq("_pid"))
+      .withColumn("deliver_pos", col("_offset") + col("_r"))
+      .drop("_pid", "_r", "_offset")
+  }
+
+  /** Wildcard subscription patterns (EXTENSIONS.md:218's
+    * subscribe_to_events takes an event PATTERN): glob `training.*` / `?`
+    * forms convert to LIKE with the literal %/_ escaped; anything without
+    * a glob metachar passes through as the SQL LIKE pattern it already
+    * is (backward compatible). */
+  private[events] def patternToLike(p: String): String =
+    if (p.exists(c => c == '*' || c == '?'))
+      p.replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_")
+        .replace('*', '%').replace('?', '_')
+    else p
 }
 
 final class EventBus(spark: SparkSession, path: String) {
@@ -52,20 +112,32 @@ final class EventBus(spark: SparkSession, path: String) {
       .write.mode("append").parquet(path)
   }
 
-  /** SUBSCRIBE TO 'pattern' (batch): SQL LIKE pattern over the log. */
+  /** SUBSCRIBE TO 'pattern' (batch): SQL LIKE or glob (`training.*`)
+    * pattern over the log. */
   def subscribe(pattern: String): DataFrame =
     spark.read.schema(Events.schema).parquet(path)
-      .filter(col("event_type").like(pattern))
+      .filter(col("event_type").like(Events.patternToLike(pattern)))
 
   /** Typed view of the same subscription (Dataset[Event] via the
     * case-class Encoder). */
   def subscribeTyped(pattern: String): org.apache.spark.sql.Dataset[Event] =
     subscribe(pattern).as[Event]
 
-  /** Live subscription: Structured Streaming over the log directory. */
+  /** Batch subscription in priority delivery order
+    * (DISTRIBUTED.md:188-193): rows carry `priority` and `deliver_pos`,
+    * the position a drain loop would consume them in. */
+  def subscribeOrdered(
+      pattern: String,
+      priorities: Map[String, Int] = Events.defaultPriorities,
+      default: Int = 5): DataFrame =
+    Events.deliveryOrder(subscribe(pattern),
+      Events.priorityOf(col("event_type"), priorities, default))
+
+  /** Live subscription: Structured Streaming over the log directory;
+    * LIKE or glob patterns as in [[subscribe]]. */
   def subscribeStream(pattern: String): DataFrame =
     spark.readStream.schema(Events.schema).parquet(path)
-      .filter(col("event_type").like(pattern))
+      .filter(col("event_type").like(Events.patternToLike(pattern)))
 
   /** Custom streaming state via mapGroupsWithState (brief:
     * "KeyValueGroupedDataset.mapGroupsWithState for custom state"): a
@@ -120,7 +192,7 @@ final class RuleEngine(rules: Seq[WhenRule]) {
     val cached = events.cache()
     try rules.flatMap { r =>
       val hits = cached
-        .filter(col("event_type").like(r.eventTypePattern))
+        .filter(col("event_type").like(Events.patternToLike(r.eventTypePattern)))
         .filter(r.condition)
       val n = hits.count()
       if (n > 0) { r.action(hits); Some(r.name -> n) } else None

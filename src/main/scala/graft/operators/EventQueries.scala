@@ -140,6 +140,19 @@ object EventQueries {
     },
 
     // drift windows: reference vs current value statistics (decimal-exact)
+    // priority pub/sub delivery order (DISTRIBUTED.md:188-193): priority
+    // assignment is a CASE projection; the delivery position is the
+    // distributed sort-rank (range partition + broadcast offsets), never
+    // one global row_number window
+    "q_events_priority" -> { (s, dir) =>
+      val e = events(s, dir)
+      graft.dml.events.Events.deliveryOrder(
+        e.select("event_id", "ts", "event_type", "value"),
+        graft.dml.events.Events.priorityOf(col("event_type"),
+          Map("error" -> 1, "purchase" -> 2)))
+        .select("event_id", "event_type", "priority", "deliver_pos")
+    },
+
     "q_events_drift_windows" -> { (s, dir) =>
       events(s, dir)
         .groupBy(when(col("ts") < lit("2024-01-02 00:00:00").cast("timestamp"),
@@ -266,6 +279,15 @@ object EventQueries {
         |FROM c GROUP BY user_id, session_idx
         |ORDER BY user_id, session_idx""".stripMargin,
 
+    "q_events_priority" ->
+      """SELECT event_id, event_type,
+        |  CASE event_type WHEN 'error' THEN 1 WHEN 'purchase' THEN 2
+        |    ELSE 5 END AS priority,
+        |  row_number() OVER (ORDER BY
+        |    CASE event_type WHEN 'error' THEN 1 WHEN 'purchase' THEN 2
+        |      ELSE 5 END, ts, event_id) AS deliver_pos
+        |FROM events""".stripMargin,
+
     "q_events_drift_windows" ->
       """SELECT CASE WHEN ts < TIMESTAMP '2024-01-02 00:00:00'
         |  THEN 'ref' ELSE 'cur' END AS win,
@@ -279,6 +301,7 @@ object EventQueries {
     "q_events_asof" -> Seq("event_id"),
     "q_events_range_join" -> Seq("event_id", "window_id"),
     "q_events_psi" -> Seq("event_type"),
+    "q_events_priority" -> Seq("deliver_pos"),
     "q_events_retention" -> Seq("cohort_day", "day_offset"),
     "q_events_sessions" -> Seq("user_id", "session_idx"))
 }

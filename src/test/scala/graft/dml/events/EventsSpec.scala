@@ -262,6 +262,49 @@ class EventsSpec extends AnyFunSuite {
     assert(accs == accs.sortBy(-_))
   }
 
+  test("priority subscription delivers high-priority types first, FIFO within") {
+    val s = spark
+    val dir = Files.createTempDirectory("graft-prio").toString
+    val bus = new EventBus(s, dir)
+    // publish low-priority chatter first, then the converged event —
+    // drain order must put converged FIRST despite its later timestamp
+    bus.publish("training.epoch_complete", Map("epoch" -> "1"))
+    Thread.sleep(3)
+    bus.publish("training.heartbeat", Map.empty)
+    Thread.sleep(3)
+    bus.publish("training.epoch_complete", Map("epoch" -> "2"))
+    Thread.sleep(3)
+    bus.publish("training.converged", Map.empty)
+    val drained = bus.subscribeOrdered("training.*")
+      .orderBy("deliver_pos")
+      .select("event_type", "priority", "deliver_pos").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    assert(drained.map(_._3).toSeq == Seq(1L, 2L, 3L, 4L),
+      "positions must be a contiguous 1-based sequence")
+    assert(drained.map(_._1).toSeq == Seq("training.converged",
+      "training.epoch_complete", "training.epoch_complete",
+      "training.heartbeat"),
+      s"priority then FIFO order violated: ${drained.toSeq}")
+    assert(drained.map(_._2).toSeq == Seq(1, 3, 3, 5))
+  }
+
+  test("glob subscription patterns match dotted event types") {
+    val s = spark
+    val dir = Files.createTempDirectory("graft-glob").toString
+    val bus = new EventBus(s, dir)
+    bus.publish("training.start", Map.empty)
+    bus.publish("training.converged", Map.empty)
+    bus.publish("model.deployed", Map.empty)
+    assert(bus.subscribe("training.*").count() == 2)
+    assert(bus.subscribe("*.converged").count() == 1)
+    assert(bus.subscribe("model.deployed").count() == 1, "exact still works")
+    // a glob-converted pattern must escape the literal underscore — 'x_y'
+    // may not match 'xzy'
+    bus.publish("axb.end", Map.empty)
+    bus.publish("a_b.end", Map.empty)
+    assert(bus.subscribe("a_b.*").count() == 1)
+  }
+
   test("explainRows: linear contributions are exactly coef × (x − mean)") {
     val s = spark
     import s.implicits._
