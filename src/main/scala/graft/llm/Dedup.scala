@@ -106,6 +106,43 @@ object Dedup {
       oracleHashes: Boolean = false): DataFrame =
     bandedBuckets(docs, k, numHashes, bands, oracleHashes)
 
+  /** Retire documents from a persisted [[signatureIndex]] without
+    * re-hashing anything: the retired ids anti-join away in one pass over
+    * the index. With the id set DataFrame-shaped it is broadcast (retire
+    * batches are small relative to any corpus); with a
+    * (band_idx, band_hash)-bucketed store the rewrite touches no
+    * exchange. The retired docs stop producing candidates immediately —
+    * a long-lived incremental pipeline needs deletion to honor takedowns
+    * without a full corpus re-hash. */
+  def retireFromIndex(index: DataFrame, retiredIds: DataFrame): DataFrame =
+    index.join(broadcast(retiredIds.select(col("doc_id"))),
+      Seq("doc_id"), "left_anti")
+
+  /** [[retireFromIndex]] for a driver-held id batch. */
+  def retireFromIndex(index: DataFrame, retiredIds: Seq[Long]): DataFrame =
+    index.filter(!col("doc_id").isInCollection(retiredIds))
+
+  /** In-place maintenance of a parquet-persisted index store: drop the
+    * retired docs and rewrite the store once (also compacting the small
+    * files incremental appends accumulate). The filtered index is written
+    * beside the store and swapped in with a rename — the store is never
+    * read and overwritten in the same job. Returns the retained row
+    * count. */
+  def compactIndexStore(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      retiredIds: Seq[Long]): Long = {
+    val tmp = path + "_compacting"
+    val kept = retireFromIndex(spark.read.parquet(path), retiredIds)
+    kept.write.mode("overwrite").parquet(tmp)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = org.apache.hadoop.fs.FileSystem
+      .get(new java.net.URI(tmp), conf)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    spark.read.parquet(path).count()
+  }
+
   /** Incremental near-dup detection: candidate pairs between a NEW batch
     * and an existing corpus, plus pairs inside the batch — without
     * re-hashing the corpus. `index` is the persisted [[signatureIndex]] of

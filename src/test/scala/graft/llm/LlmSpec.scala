@@ -119,6 +119,48 @@ class LlmSpec extends AnyFunSuite {
     graft.llm.PipelineCaches.clear()
   }
 
+  test("retired docs stop producing candidates without an index rebuild") {
+    val s = spark
+    val d = s.table("documents").select("doc_id", "text")
+      .filter(col("doc_id") < 60)
+    val idx = Dedup.signatureIndex(d)
+    // batch = trimmed copies of docs 0 and 10: each pairs with its original
+    val fresh = d.filter(col("doc_id") === 0 || col("doc_id") === 10)
+      .select((col("doc_id") + 100000L).as("doc_id"),
+        expr("substring(text, 1, greatest(length(text) - 12, 1))").as("text"))
+    val before = Dedup.incrementalCandidates(idx, fresh)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(before.contains((0L, 100000L)) && before.contains((10L, 100010L)))
+    // retire doc 0 — its pair vanishes, doc 10's stays, nothing re-hashed
+    val pruned = Dedup.retireFromIndex(idx, Seq(0L))
+    val after = Dedup.incrementalCandidates(pruned, fresh)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!after.exists(p => p._1 == 0L || p._2 == 0L),
+      s"retired doc still produces candidates: $after")
+    assert(after.contains((10L, 100010L)))
+    // DataFrame-shaped retire agrees
+    import s.implicits._
+    val viaDf = Dedup.retireFromIndex(idx, Seq(0L).toDF("doc_id"))
+    assert(viaDf.filter(col("doc_id") === 0L).count() == 0)
+    assert(viaDf.count() == pruned.count())
+    graft.llm.PipelineCaches.clear()
+  }
+
+  test("compactIndexStore rewrites the persisted store minus retired docs") {
+    val s = spark
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-sigidx").toString + "/index"
+    val d = s.table("documents").select("doc_id", "text")
+      .filter(col("doc_id") < 30)
+    Dedup.signatureIndex(d).write.parquet(dir)
+    val total = s.read.parquet(dir).count()
+    val kept = Dedup.compactIndexStore(s, dir, Seq(1L, 2L))
+    assert(kept == total - 2 * 4, "two docs × four band rows removed")
+    val reread = s.read.parquet(dir)
+    assert(reread.filter(col("doc_id").isin(1L, 2L)).count() == 0)
+    assert(reread.count() == kept)
+  }
+
   test("jaccard rescore gives 1.0 for identical docs") {
     val s = spark
     val d = s.table("documents").select("doc_id", "text").filter(col("doc_id") < 10)
