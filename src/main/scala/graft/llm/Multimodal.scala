@@ -98,6 +98,67 @@ object Multimodal {
     }
   }
 
+  private val pngMagic =
+    Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt, 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte)
+
+  /** REAL (not stubbed) image-header decode: PNG IHDR and JPEG SOFn
+    * dimensions parsed straight from the payload bytes — pure byte
+    * arithmetic, deterministic, no codec library involved. Returns
+    * (format, width, height), or None for payloads that are not images
+    * (the text fixtures, truncated headers, unknown formats). */
+  private[graft] def imageDims(bytes: Array[Byte]): Option[(String, Int, Int)] = {
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def u16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    def u32(i: Int): Int =
+      (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    if (bytes.length >= 24 && bytes.take(8).sameElements(pngMagic)) {
+      // PNG: the IHDR chunk is mandatory and first —
+      // magic(8) length(4) "IHDR"(4) width(4) height(4)
+      if (bytes.slice(12, 16).sameElements("IHDR".getBytes("US-ASCII")))
+        Some(("png", u32(16), u32(20)))
+      else None
+    } else if (bytes.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
+      // JPEG: walk the segment chain to the first SOFn frame header —
+      // FF Cn len(2) precision(1) height(2) width(2)
+      var i = 2
+      while (i + 9 < bytes.length) {
+        if (u8(i) != 0xff) return None
+        val marker = u8(i + 1)
+        if (marker >= 0xd0 && marker <= 0xd9) i += 2 // standalone marker
+        else {
+          val len = u16(i + 2)
+          if (len < 2) return None
+          if (marker >= 0xc0 && marker <= 0xcf &&
+            marker != 0xc4 && marker != 0xc8 && marker != 0xcc)
+            return Some(("jpeg", u16(i + 7), u16(i + 5)))
+          i += 2 + len
+        }
+      }
+      None
+    } else None
+  }
+
+  private val headerSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("byte_len", IntegerType),
+    StructField("format", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType)))
+
+  /** Partition-wise image-header extraction — the one multimodal stage
+    * with REAL structure parsing ([[imageDims]]): image payloads yield
+    * their format and pixel dimensions, non-image payloads keep their row
+    * with NULL format/dims (a mixed-modality corpus must not silently
+    * drop its text docs). Same batch shape as the codec stubs. */
+  def imageHeaders(joinedDf: DataFrame): DataFrame =
+    payloadPass(joinedDf, headerSchema) { (id, bytes) =>
+      imageDims(bytes) match {
+        case Some((f, w, h)) => Iterator.single(Row(id, bytes.length, f, w, h))
+        case None => Iterator.single(Row(id, bytes.length, null, null, null))
+      }
+    }
+
   def extractFeaturesStub(joinedDf: DataFrame): DataFrame =
     payloadPass(joinedDf, featureSchema) { (id, bytes) =>
       // ---- STUB decode: replace with codec calls in production ----

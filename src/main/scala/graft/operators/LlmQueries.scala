@@ -231,6 +231,17 @@ object LlmQueries {
         .select("doc_id", "byte_len", "first_byte", "n_frames")
     },
 
+    // image-header decode — REAL structure parsing (PNG IHDR / JPEG SOFn
+    // dimensions from payload bytes, Multimodal.imageDims), no codec. The
+    // fixture payloads are UTF-8 text, so format/dims are NULL for every
+    // row (pinned by the oracle); image-byte parsing itself is pinned by
+    // MultimodalSpec with synthesized PNG/JPEG headers through the same
+    // partition pass.
+    "q_multimodal_headers" -> { (s, dir) =>
+      Multimodal.imageHeaders(
+        Multimodal.joined(docs(s, dir), embs(s, dir)))
+    },
+
     // frame-sample stub (1-to-N demux shape): per-doc sampled-frame counts
     // are pure byte arithmetic, so the flatMap path carries a real oracle
     "q_multimodal_frames" -> { (s, dir) =>
@@ -585,6 +596,14 @@ object LlmQueries {
         |  CAST(octet_length(encode(text)) // 64 AS INT) AS n_frames
         |FROM documents JOIN embeddings ON doc_id = vec_id""".stripMargin,
 
+    "q_multimodal_headers" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS INT) AS byte_len,
+        |  CAST(NULL AS VARCHAR) AS format,
+        |  CAST(NULL AS INT) AS width,
+        |  CAST(NULL AS INT) AS height
+        |FROM documents JOIN embeddings ON doc_id = vec_id""".stripMargin,
+
     "q_multimodal_frames" ->
       """WITH f AS (
         |  SELECT doc_id,
@@ -610,5 +629,6 @@ object LlmQueries {
     "q_dedup_minhash_sigs" -> Seq("doc_id"),
     "q_multimodal_join" -> Seq("doc_id"),
     "q_multimodal_features" -> Seq("doc_id"),
+    "q_multimodal_headers" -> Seq("doc_id"),
     "q_multimodal_frames" -> Seq("doc_id"))
 }

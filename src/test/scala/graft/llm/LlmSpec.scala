@@ -324,6 +324,50 @@ class LlmSpec extends AnyFunSuite {
     assert(f.forall(x => x >= 0f && x <= 1f))
   }
 
+  test("image-header decode reads PNG and JPEG dimensions from raw bytes") {
+    def pngBytes(w: Int, h: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(24)
+      b.put(Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt, 0x0d, 0x0a, 0x1a,
+        0x0a).map(_.toByte))
+      b.putInt(13).put("IHDR".getBytes("US-ASCII")).putInt(w).putInt(h)
+      b.array()
+    }
+    def jpegBytes(w: Int, h: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(24)
+      b.put(Array(0xff, 0xd8).map(_.toByte))                 // SOI
+      b.put(Array(0xff, 0xe0).map(_.toByte)).putShort(4)     // APP0 len 4
+      b.putShort(0)
+      b.put(Array(0xff, 0xc0).map(_.toByte)).putShort(17)    // SOF0
+      b.put(8.toByte).putShort(h.toShort).putShort(w.toShort)
+      b.put(Array(3, 1, 0).map(_.toByte))
+      b.array()
+    }
+    assert(Multimodal.imageDims(pngBytes(640, 480)).contains(("png", 640, 480)))
+    assert(Multimodal.imageDims(jpegBytes(1920, 1080))
+      .contains(("jpeg", 1920, 1080)))
+    assert(Multimodal.imageDims("plain text".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.imageDims(Array.emptyByteArray).isEmpty)
+    assert(Multimodal.imageDims(pngBytes(1, 1).take(10)).isEmpty, "truncated")
+
+    // through the partition pass: image payloads decode, text stays NULL
+    val s = spark
+    import s.implicits._
+    val payloads = Seq(
+      (1L, pngBytes(320, 200)), (2L, jpegBytes(64, 32)),
+      (3L, "not an image".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+      .select(col("doc_id"),
+        struct(lit("image").as("modality"),
+          length(col("payload")).as("byte_len"),
+          col("payload").as("payload")).as("media"))
+    val out = Multimodal.imageHeaders(payloads).orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(0),
+      Option(r.getString(2)), Option(r.get(3)), Option(r.get(4)))).toSeq ==
+      Seq((1L, Some("png"), Some(320), Some(200)),
+        (2L, Some("jpeg"), Some(64), Some(32)),
+        (3L, None, None, None)))
+  }
+
   test("multimodal resize and frame-sample stubs keep the batch contracts") {
     val s = spark
     val joined = Multimodal.joined(s.table("documents"), s.table("embeddings"))
