@@ -96,7 +96,31 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Per-query 2x gate against the recorded baseline (BASELINE.md's
+    // table, machine-readable as BASELINE_QUERIES.json): a regression in
+    // one query must not hide inside the aggregate total. Flat
+    // {"name": seconds} parse — no JSON library in the main classpath.
+    val baseline: Map[String, Double] =
+      Seq("BASELINE_QUERIES.json", "/root/repo/BASELINE_QUERIES.json")
+        .map(new java.io.File(_)).find(_.exists)
+        .map { f =>
+          val src = scala.io.Source.fromFile(f)
+          try "\"([^\"]+)\"\\s*:\\s*([0-9.eE+-]+)".r
+            .findAllMatchIn(src.mkString)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          finally src.close()
+        }.getOrElse(Map.empty)
+    val regressions = results.toSeq.flatMap { case (name, t) =>
+      baseline.get(name).collect {
+        case b if b > 0 && t > 2 * b => name -> t / b
+      }
+    }.sortBy(-_._2)
+    regressions.foreach { case (n, r) =>
+      System.err.println(f"[bench] REGRESSION $n: $r%.2fx its baseline")
+    }
+    val regJson = regressions
+      .map { case (n, r) => s"\"" + n + f"\":$r%.2f" }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"regressions":$regJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
