@@ -244,29 +244,28 @@ object Similarity {
     IvfIndex(assigned, centers)
   }
 
-  /** Squared L2 distance from `emb` to the centroid constant `center` —
-    * an element-order double fold (the same association order DuckDB's
-    * `list_sum` uses, so the oracle reproduces it bitwise), rounded to 6 dp
-    * so a last-ulp engine difference can never flip a nearest-cell choice
-    * (remaining ties break on the cell index). */
-  private def sqDistTo(emb: Column, center: Array[Double]): Column =
-    round(aggregate(
-      zip_with(emb, typedLit(center.toSeq), (x, c) => {
-        val d = x.cast("double") - c; d * d
-      }),
-      lit(0.0), (acc, v) => acc + v), 6)
-
   /** The `nProbe` nearest cells of `emb` as an int array. The centroids
     * ship as array literals INSIDE the expression (they are driver-side
     * constants of the index — nLists × dim doubles), so cell assignment is
     * a pure projection that runs on the executors: no driver collect, no
     * extra job, queries stay distributed end to end even when the query
     * set is corpus-sized. Sorting (dist, list) structs makes the probe
-    * order fully deterministic. */
+    * order fully deterministic.
+    *
+    * Distances use dist² = |e|² − 2·e⋅c + |c|²: the dots are the native
+    * codegen VecDot fold (≈10× the interpreted zip_with form, and |e|² is
+    * shared across all cells via subexpression elimination), |c|² is a
+    * driver-folded constant. Every fold is in element order — the same
+    * association DuckDB's list_sum uses — and the combination is rounded
+    * to 6 dp, so a last-ulp engine difference can never flip a
+    * nearest-cell choice (remaining ties break on the cell index). */
   private[graft] def probeCellsCol(
       emb: Column, centers: Array[Array[Double]], nProbe: Int): Column = {
+    val ee = dot(emb, emb)
     val cells = centers.zipWithIndex.map { case (c, i) =>
-      struct(sqDistTo(emb, c).as("dist"), lit(i).as("list"))
+      val cc = c.map(x => x * x).sum // left-to-right, matches list_sum
+      val dist = round(ee - lit(2.0) * dot(emb, typedLit(c.toSeq)) + lit(cc), 6)
+      struct(dist.as("dist"), lit(i).as("list"))
     }
     transform(slice(array_sort(array(cells.toIndexedSeq: _*)), 1, nProbe),
       s => s.getField("list"))

@@ -503,23 +503,32 @@ object LlmQueries {
 
     // replays the seeded IVF pipeline end to end: cells = embeddings of the
     // 16 pinned seed ids (cell i = i-th smallest seed), every vector
-    // assigned to its nearest cell by 6-dp-rounded squared L2 (ties on cell
-    // index), each query probing its 4 nearest cells, exact cosine rescore
-    // inside the probed cells only — the same rounded-distance argmin the
-    // Spark Column expression computes, so the hash check is exact
+    // assigned to its nearest cell by 6-dp-rounded squared L2 computed as
+    // |e|² − 2·e⋅c + |c|² — the exact dot-form Column expression the Spark
+    // side evaluates (each fold in element order, combination order (ee −
+    // 2·ec) + cc), ties on cell index; each query probes its 4 nearest
+    // cells, exact cosine rescore inside the probed cells only
     "q_ann_ivf_topk" -> {
       val seedList = ivfSeedIds.mkString(", ")
       s"""WITH c AS (
          |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS list,
-         |    embedding AS cemb
+         |    embedding AS cemb,
+         |    list_sum(list_transform(range(1, len(embedding) + 1),
+         |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))
+         |      AS cc
          |  FROM embeddings WHERE vec_id IN ($seedList)),
+         |ev AS (
+         |  SELECT vec_id, embedding,
+         |    list_sum(list_transform(range(1, len(embedding) + 1),
+         |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))
+         |      AS ee
+         |  FROM embeddings),
          |d AS (
          |  SELECT e.vec_id, e.embedding, c.list,
-         |    round(list_sum(list_transform(range(1, len(e.embedding) + 1),
-         |      i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cemb[i] AS DOUBLE))
-         |         * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cemb[i] AS DOUBLE)))),
-         |      6) AS dist
-         |  FROM embeddings e CROSS JOIN c),
+         |    round(e.ee - 2.0 * list_sum(list_transform(range(1, len(e.embedding) + 1),
+         |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cemb[i] AS DOUBLE)))
+         |      + c.cc, 6) AS dist
+         |  FROM ev e CROSS JOIN c),
          |asg AS (
          |  SELECT vec_id, embedding, list FROM (
          |    SELECT vec_id, embedding, list,
