@@ -248,11 +248,14 @@ final case class ExplainSpec(
   topK.foreach(k => require(k > 0, "SHOW TOP k must be a positive integer"))
 }
 
-/** MONITOR MODEL m FOR type [ON FEATURES (a, b)] [CHECK FREQUENCY f]
-  * [ALERT WHEN raw] (DSL.md:346-351). */
+/** MONITOR MODEL m FOR type [ON FEATURES (a, b)]
+  * [AND type2 ON m1, m2 …] [CHECK FREQUENCY f] [ALERT WHEN raw]
+  * (DSL.md:346-351 — the headline example chains a second monitor type
+  * with AND: `AND performance_degradation ON accuracy, f1_score`). */
 final case class MonitorSpec(
     model: String, monitorFor: String, features: List[String] = Nil,
-    frequency: Option[String] = None, alertWhen: Option[String] = None)
+    frequency: Option[String] = None, alertWhen: Option[String] = None,
+    also: List[(String, List[String])] = Nil)
   extends Statement
 
 /** WHEN EVENT 'type' [WHERE cond] THEN action, or WHEN MODEL m cond THEN

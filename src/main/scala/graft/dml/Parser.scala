@@ -665,6 +665,22 @@ object DmlParser {
         sym(")")
         features = buf.result()
       }
+      // AND type2 ON m1, m2 … — the headline example's chained monitor
+      // (DSL.md:348: AND performance_degradation ON accuracy, f1_score);
+      // the metric list has no parens in the doc form, so it ends at the
+      // next clause keyword
+      val also = List.newBuilder[(String, List[String])]
+      while (atKeyword("AND")) {
+        keyword("AND")
+        val t2 = name()
+        val metrics = List.newBuilder[String]
+        if (atKeyword("ON")) {
+          keyword("ON")
+          metrics += name()
+          while (atSym(",")) { sym(","); metrics += name() }
+        }
+        also += (t2 -> metrics.result())
+      }
       val freq =
         if (atKeyword("CHECK")) {
           keyword("CHECK"); keyword("FREQUENCY"); Some(name())
@@ -674,7 +690,7 @@ object DmlParser {
           keyword("ALERT"); keyword("WHEN")
           Some(rawUntil(Set.empty, "alert condition"))
         } else None
-      MonitorSpec(model, tpe, features, freq, alert)
+      MonitorSpec(model, tpe, features, freq, alert, also.result())
     }
 
     /** WHEN EVENT 'type' [WHERE raw] THEN raw, or WHEN MODEL m raw THEN raw */

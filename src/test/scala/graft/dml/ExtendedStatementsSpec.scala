@@ -123,6 +123,19 @@ class ExtendedStatementsSpec extends AnyFunSuite {
     assert(s.alertWhen.contains("drift_score > 0.3"))
   }
 
+  test("MONITOR MODEL parses the DSL.md headline with a chained AND type") {
+    val s = DmlParser.parse(
+      "MONITOR MODEL customer_churn " +
+        "FOR drift_detection ON features (age, tenure, monthly_spend) " +
+        "AND performance_degradation ON accuracy, f1_score " +
+        "CHECK FREQUENCY daily").asInstanceOf[MonitorSpec]
+    assert(s.monitorFor == "drift_detection")
+    assert(s.features == List("age", "tenure", "monthly_spend"))
+    assert(s.also ==
+      List("performance_degradation" -> List("accuracy", "f1_score")))
+    assert(s.frequency.contains("daily"))
+  }
+
   test("WHEN EVENT and WHEN MODEL capture condition and action") {
     val e = DmlParser.parse(
       "WHEN EVENT 'data.drift_detected' " +

@@ -368,6 +368,23 @@ class LlmSpec extends AnyFunSuite {
         (3L, None, None, None)))
   }
 
+  test("imageDims never throws on arbitrary or adversarial bytes") {
+    val rng = new scala.util.Random(42)
+    (0 until 500).foreach { _ =>
+      val b = Array.fill(rng.nextInt(64))(rng.nextInt(256).toByte)
+      Multimodal.imageDims(b) // any outcome, no exception
+    }
+    // adversarial shapes: bare magic, marker padding, truncated segments
+    assert(Multimodal.imageDims(Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt,
+      0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)).isEmpty)
+    assert(Multimodal.imageDims(Array.fill(32)(0xff.toByte)).isEmpty)
+    assert(Multimodal.imageDims(
+      Array(0xff, 0xd8).map(_.toByte) ++ Array.fill(30)(0xff.toByte)).isEmpty)
+    assert(Multimodal.imageDims(
+      Array(0xff, 0xd8, 0xff, 0xe0, 0x00, 0x00).map(_.toByte)).isEmpty,
+      "zero-length segment must not loop or throw")
+  }
+
   test("multimodal resize and frame-sample stubs keep the batch contracts") {
     val s = spark
     val joined = Multimodal.joined(s.table("documents"), s.table("embeddings"))
