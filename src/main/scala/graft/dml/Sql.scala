@@ -227,6 +227,9 @@ object SqlCompiler {
         (if (s.features.nonEmpty)
           List(s"features := ARRAY[${s.features.map(PgSql.stringLiteral).mkString(", ")}]")
         else Nil) ++
+        s.also.map { case (t, ms) =>
+          s"and_${t} := ARRAY[${ms.map(PgSql.stringLiteral).mkString(", ")}]"
+        } ++
         s.frequency.map(f => s"check_frequency := ${PgSql.stringLiteral(f)}") ++
         s.alertWhen.map(a => s"alert_when := ${PgSql.stringLiteral(a)}")
       s"SELECT ml_monitor_model(${args.mkString(", ")})"
