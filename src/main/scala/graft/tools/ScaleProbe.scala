@@ -142,6 +142,48 @@ object ScaleProbe {
       }
     }
 
+    // Seeded IVF: a FIXED query batch probes an index over a corpus
+    // growing 1x→4x. Build is a pure projection (linear); search
+    // candidates are |corpus| × nProbe / nLists (linear); and probe
+    // assignment is a Column expression — the queries are never
+    // collected, so nothing here is driver-bound.
+    locally {
+      Seq(1, 4).foreach { mult =>
+        val corpus = embCopies(embs, mult)
+        val seeds = (1 to 16).map(_ * 5L)
+        val (idx, tBuild) = time {
+          val i = graft.llm.Similarity.buildIvfIndexSeeded(corpus, seeds)
+          i.assigned.count(); i
+        }
+        val queries = corpus.filter(col("vec_id") < 32)
+        val (n, tSearch) = time(graft.llm.Similarity
+          .searchIvf(idx, queries, k = 10, nProbe = 4).count())
+        idx.release()
+        println(f"[ivf ${mult}x] build=$tBuild%.1fs, " +
+          f"search=$n%d rows in $tSearch%.1fs")
+      }
+    }
+
+    // Priority delivery order: the distributed sort-rank (range partition
+    // + per-partition windows + broadcast offsets) must grow ~linearly
+    // with the log — a global row_number window would not.
+    locally {
+      val ev = spark.table("events")
+        .select("event_id", "ts", "event_type").cache()
+      ev.count()
+      Seq(1, 4).foreach { mult =>
+        val log = (0 until mult).map(i =>
+          ev.select((col("event_id") + lit(i * 10000000L)).as("event_id"),
+            (col("ts") + expr(s"INTERVAL ${i * 40} DAYS")).as("ts"),
+            col("event_type"))).reduce(_ unionAll _)
+        val (n, t) = time(graft.dml.events.Events.deliveryOrder(log,
+          graft.dml.events.Events.priorityOf(col("event_type"),
+            Map("error" -> 1, "purchase" -> 2))).count())
+        graft.llm.PipelineCaches.clear()
+        println(f"[priority ${mult}x] positions=$n%d in $t%.1fs")
+      }
+    }
+
     // the O(log n) claim, measured: a path graph is the adversarial case
     // (min-label propagation needs `len` rounds); alternating stars must
     // grow round count logarithmically while labeling everything 0
