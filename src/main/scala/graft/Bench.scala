@@ -110,9 +110,12 @@ object Bench {
             .map(m => m.group(1) -> m.group(2).toDouble).toMap
           finally src.close()
         }.getOrElse(Map.empty)
+    // 2x relative AND > 0.5s absolute: sub-second entries swing 2x from
+    // host noise alone (min-of-2 doesn't fully strip it), and a 2x on
+    // 0.3s is not the signal this gate exists for
     val regressions = results.toSeq.flatMap { case (name, t) =>
       baseline.get(name).collect {
-        case b if b > 0 && t > 2 * b => name -> t / b
+        case b if b > 0 && t > 2 * b && t - b > 0.5 => name -> t / b
       }
     }.sortBy(-_._2)
     regressions.foreach { case (n, r) =>

@@ -352,4 +352,54 @@ object Dedup {
     size(filter(
       zip_with(split(a, ""), split(b, ""), (x, y) => x =!= y),
       d => d))
+
+  /** SimHash near-duplicate PAIRS at hamming distance ≤ `maxHamming`, via
+    * the pigeonhole multi-index (the classic web-dedup trick): split the
+    * 64-bit signature into `blocks` equal substrings — two signatures
+    * within `blocks − 1` differing bits must agree on AT LEAST one whole
+    * block — bucket-join on (block_idx, block_bits), then exact hamming
+    * rescore of the distinct candidate pairs. Requires
+    * `maxHamming < blocks` or the guarantee (and recall) breaks.
+    *
+    * Scale shape: the only join is the block equi-join (the SimHash twin
+    * of the MinHash band join) carrying (block, doc_id, 64-char sig);
+    * never an all-pairs comparison. `maxBucketSize` is the same skew
+    * guard as [[minhashCandidates]] — a degenerate block (e.g. all-zero
+    * high bits across a template-heavy corpus) would emit m² pairs, so
+    * over-cap buckets are excluded wholesale. */
+  def simhashNearDup(
+      docs: DataFrame, maxHamming: Int = 3, blocks: Int = 4,
+      maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    require(blocks > 0 && 64 % blocks == 0, "blocks must divide 64")
+    require(maxHamming >= 0 && maxHamming < blocks,
+      s"pigeonhole needs maxHamming < blocks (got $maxHamming ≥ $blocks)")
+    val width = 64 / blocks
+    // both self-join sides read the signatures — materialize once (same
+    // rationale as minhashCandidates / cosineNearDup)
+    val sigs = PipelineCaches.track(
+      simhash(docs)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    sigs.count()
+    val blocked = sigs.select(col("doc_id"), col("simhash_bits"),
+      posexplode(array((0 until blocks).map(b =>
+        substring(col("simhash_bits"), b * width + 1, width)): _*))
+        .as(Seq("block_idx", "block_bits")))
+    val banded =
+      if (maxBucketSize == Int.MaxValue) blocked
+      else blocked.join(
+        broadcast(blocked.groupBy("block_idx", "block_bits")
+          .agg(count(lit(1)).as("_n")).filter(col("_n") > maxBucketSize)
+          .select("block_idx", "block_bits")),
+        Seq("block_idx", "block_bits"), "left_anti")
+    val l = banded.select(col("block_idx"), col("block_bits"),
+      col("doc_id").as("doc_a"), col("simhash_bits").as("sig_a"))
+    val r = banded.select(col("block_idx"), col("block_bits"),
+      col("doc_id").as("doc_b"), col("simhash_bits").as("sig_b"))
+    l.join(r, Seq("block_idx", "block_bits"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sig_a", "sig_b").distinct()
+      .select(col("doc_a"), col("doc_b"),
+        hamming(col("sig_a"), col("sig_b")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
 }

@@ -186,6 +186,19 @@ object LlmQueries {
     // few bits; the md5-word arrays are materialized once per row
     "q_dedup_simhash" -> { (s, dir) => Dedup.simhash(docs(s, dir)) },
 
+    // SimHash near-dup PAIRS via the pigeonhole multi-index (hamming ≤ 3
+    // ⟹ at least one of 4 16-bit blocks identical): block bucket join +
+    // exact hamming rescore, never all-pairs. Identical planted copies
+    // guarantee hamming-0 pairs; the md5 simhash replays in DuckDB.
+    "q_dedup_simhash_pairs" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val copies = d.select(
+        (col("doc_id") + 100000L).as("doc_id"), col("text"))
+      Dedup.simhashNearDup(
+        d.select("doc_id", "text").unionAll(copies),
+        maxHamming = 3, blocks = 4)
+    },
+
     // exact n-gram Jaccard (dedup method 4 of 5) rescoring a deterministic
     // candidate set: every doc paired with its 12-char-trimmed copy
     "q_dedup_ngram_jaccard" -> { (s, dir) =>
@@ -330,6 +343,47 @@ object LlmQueries {
          |      t -> CAST(('0x' || substring(md5(t), 9, 8)) AS BIGINT)) AS w2
          |  FROM documents)
          |SELECT doc_id, $bits AS simhash_bits FROM w""".stripMargin
+    },
+
+    // replays the pigeonhole pipeline: md5 simhash bits over the corpus ∪
+    // identical copies, 4 16-bit blocks, block bucket self-join, exact
+    // hamming rescore ≤ 3
+    "q_dedup_simhash_pairs" -> {
+      val bits = (0 until 64).map { b =>
+        val (arr, shift) = if (b < 32) ("w1", b) else ("w2", b - 32)
+        s"""CASE WHEN list_sum(list_transform($arr,
+           |  w -> CASE WHEN (w // ${1L << shift}) % 2 = 1 THEN 1 ELSE -1 END)) > 0
+           |THEN '1' ELSE '0' END""".stripMargin
+      }.mkString(" || ")
+      s"""WITH u AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000 AS doc_id, text FROM documents),
+         |w AS (
+         |  SELECT doc_id,
+         |    list_transform(string_split(text, ' '),
+         |      t -> CAST(('0x' || substring(md5(t), 1, 8)) AS BIGINT)) AS w1,
+         |    list_transform(string_split(text, ' '),
+         |      t -> CAST(('0x' || substring(md5(t), 9, 8)) AS BIGINT)) AS w2
+         |  FROM u),
+         |sig AS (SELECT doc_id, $bits AS s FROM w),
+         |blk AS (
+         |  SELECT doc_id, s, b AS block_idx,
+         |    substring(s, b * 16 + 1, 16) AS block_bits
+         |  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS b) bb),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    a.s AS sa, b.s AS sb
+         |  FROM blk a JOIN blk b
+         |    ON a.block_idx = b.block_idx AND a.block_bits = b.block_bits
+         |   AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b,
+         |  CAST(len(list_filter(range(1, 65),
+         |    i -> substring(sa, i, 1) <> substring(sb, i, 1))) AS INT)
+         |    AS hamming
+         |FROM cand
+         |WHERE len(list_filter(range(1, 65),
+         |    i -> substring(sa, i, 1) <> substring(sb, i, 1))) <= 3""".stripMargin
     },
 
     // replays the full banded pipeline: md5 minhash family (8 sigs), 4
@@ -627,6 +681,7 @@ object LlmQueries {
 
   def verifySort: Map[String, Seq[String]] = Map(
     "q_dedup_minhash_pairs" -> Seq("doc_a", "doc_b"),
+    "q_dedup_simhash_pairs" -> Seq("doc_a", "doc_b"),
     "q_dedup_incremental" -> Seq("doc_a", "doc_b"),
     "q_dedup_simhash" -> Seq("doc_id"),
     "q_dedup_ngram_jaccard" -> Seq("doc_a"),

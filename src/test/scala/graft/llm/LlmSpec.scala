@@ -161,6 +161,40 @@ class LlmSpec extends AnyFunSuite {
     assert(reread.count() == kept)
   }
 
+  test("simhash pigeonhole pairs equal the brute-force hamming scan") {
+    val s = spark
+    val d = s.table("documents").select("doc_id", "text")
+      .filter(col("doc_id") < 80)
+    // identical copies (hamming 0) + trimmed copies (small, often > 0)
+    val corpus = d
+      .unionAll(d.select((col("doc_id") + 1000L).as("doc_id"), col("text")))
+      .unionAll(d.select((col("doc_id") + 2000L).as("doc_id"),
+        expr("substring(text, 1, greatest(length(text) - 12, 1))")
+          .as("text")))
+    val got = Dedup.simhashNearDup(corpus, maxHamming = 3, blocks = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // brute force: every pair, exact hamming — the pigeonhole guarantee
+    // says the block join loses NOTHING at hamming <= blocks - 1
+    val sigs = Dedup.simhash(corpus)
+    val a = sigs.select(col("doc_id").as("doc_a"),
+      col("simhash_bits").as("sa"))
+    val b = sigs.select(col("doc_id").as("doc_b"),
+      col("simhash_bits").as("sb"))
+    val brute = a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        Dedup.hamming(col("sa"), col("sb")).as("h"))
+      .filter(col("h") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == brute,
+      s"pigeonhole diverges from brute force by ${(got diff brute) ++ (brute diff got)}")
+    // every planted identical copy surfaces at hamming 0
+    assert((0L until 80L).forall(i => got.contains((i, i + 1000L, 0))))
+    // the guarantee precondition is enforced
+    intercept[IllegalArgumentException](
+      Dedup.simhashNearDup(d, maxHamming = 4, blocks = 4))
+    graft.llm.PipelineCaches.clear()
+  }
+
   test("jaccard rescore gives 1.0 for identical docs") {
     val s = spark
     val d = s.table("documents").select("doc_id", "text").filter(col("doc_id") < 10)
