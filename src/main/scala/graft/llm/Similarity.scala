@@ -320,6 +320,35 @@ object Similarity {
       embeddings.filter(col("vec_id").isInCollection(queryIds)), k, nProbe)
   }
 
+  /** Persist a built index: the cell-assigned corpus as a parquet table
+    * (the big side — at corpus scale, write it bucketed on `_list` via
+    * graft.scale.Bucketing so [[searchIvf]]'s cell join needs no
+    * exchange) plus the nLists × dim centroid metadata beside it. */
+  def saveIvfIndex(index: IvfIndex, path: String): Unit = {
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    index.assigned.write.mode("overwrite").parquet(s"$path/assigned")
+    index.centers.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toSeq) }
+      .toDF("list", "center")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centers")
+  }
+
+  /** Reload a persisted index: centroids are metadata (nLists rows
+    * collected once); the assignment stays a distributed scan. */
+  def loadIvfIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      persist: Boolean = true): IvfIndex = {
+    val centers = spark.read.parquet(s"$path/centers").orderBy("list")
+      .collect().map(_.getSeq[Double](1).toArray)
+    val raw = spark.read.parquet(s"$path/assigned")
+    IvfIndex(
+      if (persist) raw
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else raw,
+      centers)
+  }
+
   /** One-shot IVF search on the deterministic seeded quantizer — the
     * fully-oracled variant behind `q_ann_ivf_topk`. */
   def ivfTopKSeeded(

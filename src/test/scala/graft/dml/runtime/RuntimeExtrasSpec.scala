@@ -196,6 +196,29 @@ class RuntimeExtrasSpec extends AnyFunSuite {
     } finally index.release()
   }
 
+  test("a saved IVF index reloads and searches identically") {
+    val s = spark
+    val e = s.table("embeddings")
+    val seeds = (1 to 8).map(_ * 5L)
+    val index = graft.llm.Similarity.buildIvfIndexSeeded(e, seeds)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ivf").toString + "/index"
+    try {
+      graft.llm.Similarity.saveIvfIndex(index, dir)
+      val reloaded = graft.llm.Similarity.loadIvfIndex(s, dir)
+      try {
+        def hits(ix: graft.llm.Similarity.IvfIndex) =
+          graft.llm.Similarity.searchIvf(ix,
+            e.filter(col("vec_id").isInCollection(Seq(0L, 1L))), k = 10)
+            .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+            .toSet
+        assert(reloaded.centers.map(_.toSeq).toSeq ==
+          index.centers.map(_.toSeq).toSeq)
+        assert(hits(reloaded) == hits(index))
+      } finally reloaded.release()
+    } finally index.release()
+  }
+
   test("external query vectors search without id-collision exclusion") {
     val s = spark
     import s.implicits._
