@@ -236,6 +236,43 @@ final class StatementRunner(
       threshold)
   }
 
+  /** Performance-degradation check — the monitor's chained AND clause
+    * (DSL.md:348: `AND performance_degradation ON accuracy, f1_score`):
+    * compares the model's latest registry metrics against its previous
+    * version's; every listed metric that dropped by more than `minDelta`
+    * publishes a `performance_alert` event. Returns
+    * metric → (previous, current) for the listed metrics present in both
+    * versions. */
+  def runPerformanceCheck(
+      model: String, minDelta: Double = 1e-9): Map[String, (Double, Double)] = {
+    val m = monitors.find(mm => mm.model == model &&
+      (mm.monitorFor == "performance_degradation" ||
+        mm.also.exists(_._1 == "performance_degradation")))
+      .getOrElse(throw new IllegalArgumentException(
+        s"no performance_degradation monitor registered for '$model'"))
+    val metrics =
+      (if (m.monitorFor == "performance_degradation") m.features else Nil) ++
+        m.also.filter(_._1 == "performance_degradation").flatMap(_._2)
+    require(metrics.nonEmpty,
+      "performance_degradation monitor lists no metrics")
+    val rows = registry.list().filter(col("name") === model)
+      .orderBy(col("version").desc).limit(2).collect()
+    if (rows.length < 2)
+      throw new IllegalArgumentException(
+        s"need two registered versions of '$model' to compare")
+    val cur = PyJson.parseFlatDoubleMap(rows(0).getString(5))
+    val prev = PyJson.parseFlatDoubleMap(rows(1).getString(5))
+    metrics.flatMap { k =>
+      for (p <- prev.get(k); c <- cur.get(k)) yield {
+        if (p - c > minDelta)
+          bus.publish("performance_alert", Map("model" -> model,
+            "metric" -> k, "previous" -> p.toString,
+            "current" -> c.toString))
+        k -> (p, c)
+      }
+    }.toMap
+  }
+
   def ensemble(name: String): Option[EnsembleSpec] = ensembles.get(name)
 
   // ----- internals --------------------------------------------------------

@@ -118,6 +118,31 @@ class StatementRunnerSpec extends AnyFunSuite {
     assert(e.getMessage.contains("no previous version"))
   }
 
+  test("performance_degradation monitor alerts on dropped metrics only") {
+    val (runner, registry, bus) = freshRunner()
+    runner.run(DmlParser.parse(trainDml)) // v1, real fit
+    runner.run(DmlParser.parse(
+      "MONITOR MODEL runner_clf FOR drift_detection ON features (o_totalprice) " +
+        "AND performance_degradation ON accuracy, f1 CHECK FREQUENCY daily"))
+    // craft v2/v3 with controlled metrics on the same fitted model:
+    // accuracy drops, f1 improves
+    val report = graft.dml.runtime.Trainer.train(spark,
+      DmlParser.parse(trainDml).asInstanceOf[TrainSpec])
+    registry.register(report.copy(
+      metrics = Map("accuracy" -> 0.9, "f1" -> 0.5)))           // v2
+    registry.register(report.copy(
+      metrics = Map("accuracy" -> 0.7, "f1" -> 0.6)))           // v3
+    val out = runner.runPerformanceCheck("runner_clf")
+    assert(out("accuracy") == (0.9, 0.7) && out("f1") == (0.5, 0.6))
+    val alerts = bus.subscribe("performance_alert").collect()
+    assert(alerts.length == 1, s"exactly the dropped metric alerts: ${alerts.toSeq}")
+    assert(alerts(0).getString(5).contains("\"metric\": \"accuracy\""))
+    // no monitor registered → loud failure
+    val e = intercept[IllegalArgumentException](
+      runner.runPerformanceCheck("ghost"))
+    assert(e.getMessage.contains("no performance_degradation monitor"))
+  }
+
   test("EXPLAIN PREDICTION ... FOR returns per-row top-k contributions") {
     val (runner, _, _) = freshRunner()
     runner.run(DmlParser.parse(
