@@ -150,9 +150,13 @@ object SqlCompiler {
   /** The training SELECT: compiled features then the target appended last
     * (parser.py:752-776; order pinned by test_parser.py:668-672). */
   def trainingQuery(spec: TrainSpec): String = {
+    // the time column rides along in the training SELECT — the runtime
+    // derives SEASONAL/TREND features from it (the reference defines no
+    // SQL target for these clauses, so this is the natural extension)
     val fields = spec.features.map { f =>
       if (isSimpleIdentifier(f)) PgSql.ident(f) else compileFeature(f)
-    } :+ PgSql.ident(spec.target)
+    } ++ spec.timeSeries.map(ts => PgSql.ident(ts.timeColumn)) :+
+      PgSql.ident(spec.target)
     val source =
       if (spec.sourceIsIdentifier) PgSql.ident(spec.source)
       else if (SourceValidator.looksLikeSingleIdentifier(spec.source))
@@ -248,6 +252,17 @@ object SqlCompiler {
     args += s"training_data := ${PgSql.stringLiteral(trainingQuery(spec))}"
     args += s"target_column := ${PgSql.stringLiteral(spec.target)}"
     args += s"feature_columns := ARRAY[${spec.features.map(PgSql.stringLiteral).mkString(", ")}]"
+    spec.timeSeries.foreach { ts =>
+      args += s"time_column := ${PgSql.stringLiteral(ts.timeColumn)}"
+      if (ts.seasonal.nonEmpty)
+        args += s"seasonal := ARRAY[${ts.seasonal.map(PgSql.stringLiteral).mkString(", ")}]"
+      ts.trend.foreach(t => args += s"trend := ${PgSql.stringLiteral(t)}")
+      ts.horizon.foreach(h => args += s"forecast_horizon := $h")
+      ts.horizonUnit.foreach(u =>
+        args += s"forecast_unit := ${PgSql.stringLiteral(u)}")
+      if (ts.confidence.nonEmpty)
+        args += s"confidence_intervals := ARRAY[${ts.confidence.map(Value.pyFloatRepr).mkString(", ")}]"
+    }
     spec.split.foreach { s =>
       val json = PyJson.dumps(s.ratios.map { case (k, r) => k -> Value.VFloat(r) })
       args += s"data_split := ${PgSql.stringLiteral(json)}"

@@ -134,6 +134,19 @@ class TimeSeriesDslSpec extends AnyFunSuite {
     assert(e.getMessage.contains("clause features only"))
   }
 
+  test("the time-series clause renders into the compiled ml_train_model SQL") {
+    val spec = DmlParser.parse(headlineDml).asInstanceOf[TrainSpec]
+    val sql = graft.dml.SqlCompiler.compileSql(spec)
+    assert(sql.contains("time_column := 'o_orderdate'"))
+    assert(sql.contains("seasonal := ARRAY['weekday', 'month']"))
+    assert(sql.contains("trend := 'linear'"))
+    assert(sql.contains("forecast_horizon := 30"))
+    assert(sql.contains("forecast_unit := 'days'"))
+    assert(sql.contains("confidence_intervals := ARRAY[0.8, 0.95]"))
+    // the training SELECT carries the time column for clause derivation
+    assert(sql.contains("\"o_orderdate\", \"o_totalprice\" FROM"))
+  }
+
   test("normInv matches known quantiles") {
     assert(math.abs(TimeSeries.normInv(0.975) - 1.959964) < 1e-5)
     assert(math.abs(TimeSeries.normInv(0.9) - 1.281552) < 1e-5)
