@@ -499,12 +499,17 @@ object Agents {
     }
     val top = slice(reverse(array_sort(array(entries: _*))), 1,
       math.min(topK, n))
+    // drop exactly what the pipeline stages added (indexer intermediates,
+    // label cast, vectors) except the prediction — a user column that
+    // happens to be named `label` must survive
+    val added = transformed.columns
+      .filterNot(data.columns.contains).filterNot(_ == "prediction")
     transformed
       .select(col("*"), posexplode(top).as(Seq("_pos", "_e")))
       .select(col("*"), (col("_pos") + 1).cast("int").as("rank"),
         col("_e.feature").as("feature"),
         col("_e.contribution").as("contribution"))
-      .drop("_pos", "_e", "features", "rawPrediction", "probability", "label")
+      .drop("_pos" +: "_e" +: added: _*)
   }
 
   /** Saabas walk over weighted trees as a single UDF column set: returns
