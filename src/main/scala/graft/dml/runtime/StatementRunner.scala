@@ -146,8 +146,12 @@ final class StatementRunner(
             case (f, i) if !SqlCompiler.isSimpleIdentifier(f) =>
               FeatureCompiler.compile(f).as(s"f${i + 1}")
           }
-          val data = applyForClause(
-            src.select(col("*") +: exprFeatures: _*), raw)
+          val withFeats = src.select(col("*") +: exprFeatures: _*)
+          // a time-series model's pipeline expects the clause-derived
+          // season_*/t_index columns
+          val derived = spec.timeSeries
+            .fold(withFeats)(ts => TimeSeries.withClauseFeatures(withFeats, ts))
+          val data = applyForClause(derived, raw)
           val out = Agents.explainRows(model, data,
             TrainCompiler.featureNames(spec), k)
           RunResult("explain",

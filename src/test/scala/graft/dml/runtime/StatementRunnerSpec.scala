@@ -118,6 +118,22 @@ class StatementRunnerSpec extends AnyFunSuite {
     assert(e.getMessage.contains("no previous version"))
   }
 
+  test("EXPLAIN ... FOR works on a time-series model (clause features derived)") {
+    val (runner, _, _) = freshRunner()
+    runner.run(DmlParser.parse(
+      "TRAIN MODEL ts_exp USING prophet FROM orders PREDICT o_totalprice " +
+        "WITH TIME COLUMN o_orderdate " +
+        "AND FEATURES(SEASONAL weekday, TREND linear)"))
+    val key = spark.table("orders").select("o_orderkey")
+      .orderBy(col("o_orderkey")).limit(1).collect()(0).getLong(0)
+    val rows = runner.run(DmlParser.parse(
+      s"EXPLAIN PREDICTION ts_exp FOR ORDER o_orderkey = $key SHOW TOP 2"))
+      .data.get.collect()
+    assert(rows.length == 2)
+    assert(rows.map(_.getAs[String]("feature")).toSet ==
+      Set("season_weekday", "t_index"))
+  }
+
   test("performance_degradation monitor alerts on dropped metrics only") {
     val (runner, registry, bus) = freshRunner()
     runner.run(DmlParser.parse(trainDml)) // v1, real fit
