@@ -109,7 +109,13 @@ object Bench {
             .findAllMatchIn(src.mkString)
             .map(m => m.group(1) -> m.group(2).toDouble).toMap
           finally src.close()
-        }.getOrElse(Map.empty)
+        }.getOrElse {
+          // loudly distinguish "no baseline loaded" from "no regressions"
+          System.err.println(
+            "[bench] WARNING: BASELINE_QUERIES.json not found — " +
+              "per-query regression gate skipped")
+          Map.empty[String, Double]
+        }
     // 2x relative AND > 0.5s absolute: sub-second entries swing 2x from
     // host noise alone (min-of-2 doesn't fully strip it), and a 2x on
     // 0.3s is not the signal this gate exists for
@@ -122,8 +128,12 @@ object Bench {
       System.err.println(f"[bench] REGRESSION $n: $r%.2fx its baseline")
     }
     val regJson = regressions
-      .map { case (n, r) => s"\"" + n + f"\":$r%.2f" }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"regressions":$regJson,"sf":"$sfDir"}""")
+      .map { case (n, r) =>
+        // Locale.ROOT: a comma-decimal default locale would corrupt the JSON
+        "\"" + n + "\":" + String.format(java.util.Locale.ROOT, "%.2f",
+          Double.box(r))
+      }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"regressions":$regJson,"baseline_n":${baseline.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

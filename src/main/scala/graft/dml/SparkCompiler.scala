@@ -151,17 +151,25 @@ object TrainCompiler {
     spec.timeSeries match {
       case None =>
         src.select(featureColumns(spec) :+ src.col(spec.target): _*)
-      case Some(ts) =>
-        // base features + the time column (for clause derivation) + target,
-        // then the clause's season_*/t_index columns, reordered so the
-        // clause features sit between base features and the target
-        val baseNames = baseFeatureNames(spec)
-        val extras = Seq(ts.timeColumn, spec.target).distinct
-          .filterNot(baseNames.contains).map(src.col)
-        val withTime = src.select(featureColumns(spec) ++ extras: _*)
-        runtime.TimeSeries.withClauseFeatures(withTime, ts)
-          .select(featureNames(spec).map(col) :+ col(spec.target): _*)
+      case Some(ts) => timeSeriesLayout(src, featureColumns(spec), spec, ts)
     }
+  }
+
+  /** Shared time-series frame layout (used here and by the Trainer's
+    * scale-stripped path — ONE implementation, so the compiled frame and
+    * the trained frame cannot diverge): base features + the time column
+    * (for clause derivation) + target, then the clause's derived
+    * season/trend columns, reordered so clause features sit between the
+    * base features and the target. */
+  private[dml] def timeSeriesLayout(
+      src: DataFrame, baseCols: Seq[Column], spec: TrainSpec,
+      ts: TimeSeriesClause): DataFrame = {
+    val baseNames = baseFeatureNames(spec)
+    val extras = Seq(ts.timeColumn, spec.target).distinct
+      .filterNot(baseNames.contains).map(src.col)
+    runtime.TimeSeries
+      .withClauseFeatures(src.select(baseCols ++ extras: _*), ts)
+      .select(featureNames(spec).map(col) :+ col(spec.target): _*)
   }
 
   /** Feature Columns with deterministic aliases (target and clause-derived

@@ -447,7 +447,8 @@ object Agents {
       model: org.apache.spark.ml.PipelineModel,
       data: DataFrame,
       featureNames: Seq[String],
-      topK: Int = 5): DataFrame = {
+      topK: Int = 5,
+      baseline: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.ml.classification.LogisticRegressionModel
     import org.apache.spark.ml.regression._
     import org.apache.spark.ml.functions.vector_to_array
@@ -458,20 +459,31 @@ object Agents {
       "explainRows needs the pipeline's assembled 'features' column")
     val n = featureNames.size
     val arr = vector_to_array(col("features"))
-    // batch-mean baseline per assembled feature — one tiny aggregate,
-    // evaluated only by the linear paths
-    lazy val meanRow = transformed
+    // per-feature mean baseline — one tiny aggregate, evaluated only by
+    // the linear paths. `baseline` supplies the population frame when
+    // `data` is already narrowed (an EXPLAIN ... FOR single row would
+    // otherwise be its own baseline and every contribution would be
+    // coef·(x − x) = 0).
+    lazy val meanRow = baseline.map(model.transform).getOrElse(transformed)
       .agg(array((0 until n).map(j => avg(arr(j))): _*).as("m"))
       .collect()(0).getSeq[Double](0)
 
-    def linearContribs(coefs: IndexedSeq[Double]): Seq[Column] =
+    def linearContribs(coefs: IndexedSeq[Double]): Seq[Column] = {
+      require(coefs.length == n,
+        s"model has ${coefs.length} assembled features but $n names — " +
+          "per-row explanation needs one name per assembled feature " +
+          "(text-pipeline models hash to 2^18 buckets and are unsupported)")
       (0 until n).map(j => arr(j).minus(meanRow(j)) * coefs(j))
+    }
 
     val contribs: Seq[Column] = model.stages.reverse.collectFirst {
       case m: LinearRegressionModel => linearContribs(m.coefficients.toArray)
       case m: LogisticRegressionModel if m.numClasses == 2 =>
         linearContribs(m.coefficients.toArray)
       case m: LogisticRegressionModel =>
+        require(m.coefficientMatrix.numCols == n,
+          s"model has ${m.coefficientMatrix.numCols} assembled features " +
+            s"but $n names — text-pipeline models are unsupported")
         // predicted class's coefficient row, selected per row
         val rows = (0 until m.numClasses).map(c =>
           (0 until n).map(j => m.coefficientMatrix(c, j)))

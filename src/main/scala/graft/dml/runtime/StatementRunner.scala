@@ -120,8 +120,15 @@ final class StatementRunner(
       val k = ex.topK.map(_.toInt).getOrElse(5)
       ex.forClause match {
         case None =>
-          // model-level importances (no rows named)
-          val features = latestRegistryRow(ex.model).getSeq[String](3)
+          // model-level importances (no rows named). The registry stores
+          // the DSL feature list, which EXCLUDES clause-derived
+          // time-series columns — prefer the recorded TrainSpec's full
+          // assembled layout when this runner trained the model.
+          val features = trainSpecs.get(ex.model)
+            .map(TrainCompiler.featureNames)
+            .getOrElse(latestRegistryRow(ex.model).getSeq[String](3))
+          require(features.nonEmpty,
+            s"no feature names recorded for '${ex.model}'")
           val top = Agents.explain(model, features, k)
           import spark.implicits._
           RunResult("explain",
@@ -152,8 +159,10 @@ final class StatementRunner(
           val derived = spec.timeSeries
             .fold(withFeats)(ts => TimeSeries.withClauseFeatures(withFeats, ts))
           val data = applyForClause(derived, raw)
+          // the UNFILTERED frame is the contribution baseline — a
+          // single-FOR-row batch must not be its own mean
           val out = Agents.explainRows(model, data,
-            TrainCompiler.featureNames(spec), k)
+            TrainCompiler.featureNames(spec), k, baseline = Some(derived))
           RunResult("explain",
             s"top-$k per-row contributions for '${ex.model}'", Some(out))
       }

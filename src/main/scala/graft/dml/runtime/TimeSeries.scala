@@ -76,13 +76,18 @@ object TimeSeries {
   def withClauseFeatures(
       df: DataFrame, ts: graft.dml.TimeSeriesClause): DataFrame = {
     val t = col(ts.timeColumn)
-    val seasonal = ts.seasonal.foldLeft(df) { (acc, g) =>
+    // NULL time values carry no position on the timeline and are dropped
+    // UP FRONT — otherwise the trend's inner step join would silently
+    // remove them only when TREND is present, training on different row
+    // sets depending on the clause mix
+    val timed = df.filter(t.isNotNull)
+    val seasonal = ts.seasonal.foldLeft(timed) { (acc, g) =>
       acc.withColumn(s"season_$g", seasonalColumn(t, g))
     }
     ts.trend match {
       case None => seasonal
       case Some("linear") =>
-        val steps = df.select(t).distinct()
+        val steps = timed.select(t).distinct()
         val w = Window.orderBy(t)
         val ranked = steps
           .withColumn("t_index", row_number().over(w).cast("double"))

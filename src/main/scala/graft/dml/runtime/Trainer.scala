@@ -257,17 +257,7 @@ object Trainer {
     val selected = spec.timeSeries match {
       case None => src.select(baseCols :+ src.col(spec.target): _*)
       case Some(ts) =>
-        // append the clause-derived season_*/t_index columns, then order
-        // them between the base features and the target (same layout as
-        // TrainCompiler.trainingDataFrame)
-        val baseNames = spec.features.zipWithIndex.map { case (f, i) =>
-          if (SqlCompiler.isSimpleIdentifier(f)) f else s"f${i + 1}"
-        }
-        val extras = Seq(ts.timeColumn, spec.target).distinct
-          .filterNot(baseNames.contains).map(src.col)
-        TimeSeries.withClauseFeatures(src.select(baseCols ++ extras: _*), ts)
-          .select(TrainCompiler.featureNames(spec).map(col) :+
-            col(spec.target): _*)
+        TrainCompiler.timeSeriesLayout(src, baseCols, spec, ts)
     }
     val names = TrainCompiler.featureNames(spec)
     val out =

@@ -125,21 +125,31 @@ object Dedup {
   /** In-place maintenance of a parquet-persisted index store: drop the
     * retired docs and rewrite the store once (also compacting the small
     * files incremental appends accumulate). The filtered index is written
-    * beside the store and swapped in with a rename — the store is never
-    * read and overwritten in the same job. Returns the retained row
-    * count. */
+    * beside the store, the live store is moved aside, and the replacement
+    * renamed in — every rename result is checked, and a failed swap-in
+    * restores the original, so no failure mode silently loses the store
+    * (a crash between the two renames leaves it recoverable at
+    * `path + "_old"`). Returns the retained row count. */
   def compactIndexStore(
       spark: org.apache.spark.sql.SparkSession, path: String,
       retiredIds: Seq[Long]): Long = {
+    import org.apache.hadoop.fs.Path
     val tmp = path + "_compacting"
     val kept = retireFromIndex(spark.read.parquet(path), retiredIds)
     kept.write.mode("overwrite").parquet(tmp)
     val conf = spark.sparkContext.hadoopConfiguration
-    val fs = org.apache.hadoop.fs.FileSystem
-      .get(new java.net.URI(tmp), conf)
-    val dst = new org.apache.hadoop.fs.Path(path)
-    fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(tmp), conf)
+    val dst = new Path(path)
+    val old = new Path(path + "_old")
+    val tmpPath = new Path(tmp)
+    if (fs.exists(old)) fs.delete(old, true)
+    if (!fs.rename(dst, old))
+      throw new java.io.IOException(s"cannot move $dst aside to $old")
+    if (!fs.rename(tmpPath, dst)) {
+      fs.rename(old, dst) // restore the original store
+      throw new java.io.IOException(s"cannot swap $tmpPath into $dst")
+    }
+    fs.delete(old, true)
     spark.read.parquet(path).count()
   }
 

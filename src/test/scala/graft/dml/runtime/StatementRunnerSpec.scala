@@ -181,6 +181,11 @@ class StatementRunnerSpec extends AnyFunSuite {
     // column rides along
     assert(math.abs(byRank(0).getAs[Double]("contribution")) >=
       math.abs(byRank(1).getAs[Double]("contribution")))
+    // the baseline is the POPULATION, not the single filtered row — a
+    // self-baseline would make every linear contribution exactly zero
+    assert(byRank.exists(r =>
+      math.abs(r.getAs[Double]("contribution")) > 1e-9),
+      "single-row FOR explain degenerated to a zero self-baseline")
     assert(rows.forall(_.getAs[Long]("o_orderkey") == key))
     // a model not trained through this runner cannot row-explain (an
     // unregistered one fails at load, a registered-but-foreign one at the
