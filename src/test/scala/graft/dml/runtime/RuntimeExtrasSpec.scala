@@ -196,6 +196,23 @@ class RuntimeExtrasSpec extends AnyFunSuite {
     } finally index.release()
   }
 
+  test("searchIvf's shuffle-join path matches the broadcast path") {
+    val s = spark
+    val e = s.table("embeddings")
+    val index = graft.llm.Similarity
+      .buildIvfIndexSeeded(e, (1 to 8).map(_ * 5L))
+    try {
+      val q = e.filter(col("vec_id").isInCollection(Seq(0L, 1L, 2L)))
+      def run(bc: Boolean) = graft.llm.Similarity
+        .searchIvf(index, q, k = 10, nProbe = 4, broadcastQueries = bc)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      // corpus-sized query sets take broadcastQueries = false — results
+      // must be identical, only the join strategy differs
+      assert(run(bc = true) == run(bc = false))
+    } finally index.release()
+  }
+
   test("a saved IVF index reloads and searches identically") {
     val s = spark
     val e = s.table("embeddings")
