@@ -141,6 +141,23 @@ class PlanAuditSpec extends AnyFunSuite {
       s"only the broadcast one-row N join may cross:\n$p")
   }
 
+  test("q_events_priority ranks inside range partitions, not one global window") {
+    val p = plan("q_events_priority")
+    assert(p.contains("windowspecdefinition(_pid"),
+      s"delivery positions must rank within range partitions:\n$p")
+    assert(!p.contains("windowspecdefinition(priority#") ||
+      p.contains("windowspecdefinition(_pid"),
+      s"a priority-keyed global window would single-partition the log:\n$p")
+  }
+
+  test("q_dedup_simhash_pairs joins on blocks — never a cartesian product") {
+    val p = plan("q_dedup_simhash_pairs")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"the pigeonhole candidate join must stay an equi-join on " +
+        s"(block_idx, block_bits):\n$p")
+  }
+
   test("q_ann_ivf_topk keeps the query side distributed — no collected " +
     "probe table in the plan") {
     val p = plan("q_ann_ivf_topk")
