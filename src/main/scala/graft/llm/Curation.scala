@@ -146,7 +146,19 @@ object Curation {
     * @param candidates (doc_a, doc_b) near-dup pairs, e.g. from
     *                   [[Dedup.minhashCandidates]] */
   def dupGroups(nodes: DataFrame, candidates: DataFrame, iters: Int = 3)
-      : DataFrame = {
+      : DataFrame = dupGroupsChecked(nodes, candidates, iters)._1
+
+  /** [[dupGroups]] plus whether convergence was VERIFIED: true iff a
+    * round's changed-label count was observed to be zero within `iters`.
+    * False means the labels may be un-converged (a chain longer than
+    * `iters` hops keeps the far end un-relabeled) — the default `iters=3`
+    * fits the star/short-chain graphs near-dup candidates form, but a
+    * caller on a longer-chain graph must find out rather than silently
+    * getting partial groups. [[dupGroups]] logs a warning in that case;
+    * [[dupGroupsAlternating]] is the diameter-independent alternative. */
+  private[graft] def dupGroupsChecked(
+      nodes: DataFrame, candidates: DataFrame, iters: Int = 3)
+      : (DataFrame, Boolean) = {
     // persist the PAIRS, not the edge union: edges reference candidates
     // twice (both directions), so caching one pair row per candidate halves
     // the expensive band-join executions and the cache footprint
@@ -158,6 +170,7 @@ object Curation {
     var prev: DataFrame = null
     var round = 1
     var converged = false
+    var lastChanged: Option[Long] = None
     while (round <= iters && !converged) {
       val nbrMin = edges
         .join(labels.withColumnRenamed("doc_id", "_sid"), col("src") === col("_sid"))
@@ -179,6 +192,7 @@ object Curation {
         val changed = p.agg(coalesce(
           sum(when(col("label") =!= col("_old"), 1L).otherwise(0L)), lit(0L)))
           .head.getLong(0)
+        lastChanged = Some(changed)
         converged = changed == 0L
         if (prev != null) prev.unpersist(blocking = false)
         prev = p
@@ -188,7 +202,17 @@ object Curation {
       }
       round += 1
     }
-    labels.select(col("doc_id"), col("label").as("dup_group"))
+    // Surface the signal the convergence check already paid for instead
+    // of discarding it: un-verified means either the last observed round
+    // still changed labels, or iters left no room for a check at all
+    // (iters=1 runs only the unchecked final round).
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        "dupGroups: convergence NOT verified within {} round(s) (last " +
+          "observed changed-label count: {}) — labels may be partial on " +
+          "long-chain graphs; raise iters or use dupGroupsAlternating",
+        iters, lastChanged.map(_.toString).getOrElse("unchecked"))
+    (labels.select(col("doc_id"), col("label").as("dup_group")), converged)
   }
 
   /** Duplicate-group assignment for ADVERSARIAL diameters: alternating

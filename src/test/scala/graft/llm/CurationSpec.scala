@@ -114,6 +114,27 @@ class CurationSpec extends AnyFunSuite {
     assert(g(7L) == 7L)
   }
 
+  test("dup groups surface non-convergence on an under-budgeted chain") {
+    val s = spark
+    import s.implicits._
+    val nodes = (0L to 4L).toDF("doc_id")
+    // 5-chain 0-1-2-3-4: needs 4 propagation hops; iters=1 runs only the
+    // unchecked final round, so convergence cannot be verified
+    val cands = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L))
+      .toDF("doc_a", "doc_b")
+    val (g1, ok1) = Curation.dupGroupsChecked(nodes, cands, iters = 1)
+    assert(!ok1, "iters=1 leaves no room for a convergence check")
+    // ...and the partial labels really are partial: the far end of the
+    // chain has not received the min label yet
+    val m1 = g1.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m1(4L) != 0L)
+    // a sufficient budget verifies the fixpoint and labels the whole chain
+    val (g2, ok2) = Curation.dupGroupsChecked(nodes, cands, iters = 10)
+    assert(ok2, "a checked zero-changed round must report verified")
+    val m2 = g2.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L to 4L).forall(m2(_) == 0L))
+  }
+
   test("seq packing: contiguous shard-local offsets, docs span chunk cuts") {
     val s = spark
     import s.implicits._
