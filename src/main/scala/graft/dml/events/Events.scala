@@ -57,7 +57,13 @@ object Events {
     * counts. The composition is boundary-independent, so the positions
     * are deterministic, and each window frame holds ~|log|/parallelism
     * rows. The keyed frame is persisted once because the offsets
-    * aggregate and the rank join both consume the materialized _pid. */
+    * aggregate and the rank join both consume the materialized _pid.
+    *
+    * Null timestamps sort LAST within their priority (pinned explicitly
+    * in both the range partitioner and the intra-partition rank —
+    * Spark's default is NULLS FIRST, DuckDB's ORDER BY and the
+    * reference's FIFO-of-observed-arrivals are nulls-last; an event that
+    * never carried a timestamp drains after every timestamped peer). */
   def deliveryOrder(
       events: DataFrame, priority: Column, parallelism: Int = 32)
       : DataFrame = {
@@ -65,7 +71,8 @@ object Events {
     val keyed = graft.llm.PipelineCaches.track(
       events.withColumn("priority", priority)
         .repartitionByRange(parallelism,
-          col("priority"), col("ts"), col("event_id"))
+          col("priority").asc, col("ts").asc_nulls_last,
+          col("event_id").asc)
         .withColumn("_pid", spark_partition_id())
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     keyed.count()
@@ -76,7 +83,8 @@ object Events {
           lit(0L)))
       .select("_pid", "_offset")
     val intra = Window.partitionBy("_pid")
-      .orderBy(col("priority").asc, col("ts").asc, col("event_id").asc)
+      .orderBy(col("priority").asc, col("ts").asc_nulls_last,
+        col("event_id").asc)
     keyed.withColumn("_r", row_number().over(intra))
       .join(broadcast(offsets), Seq("_pid"))
       .withColumn("deliver_pos", col("_offset") + col("_r"))
@@ -112,6 +120,23 @@ final class EventBus(spark: SparkSession, path: String) {
       .write.mode("append").parquet(path)
   }
 
+  /** Fold the one-file-per-publish appends into `targetFiles` parquet
+    * files — the maintenance counterpart [[publish]]'s doc promises at
+    * scale, same crash-safe verified-rename swap as the signature
+    * store's `Dedup.compactIndexStore`
+    * ([[graft.scale.StoreMaint.replaceStore]]). Rows, order-insensitive
+    * content, and every batch subscription are unchanged — batch
+    * subscribers re-list the directory per action. A RUNNING streaming
+    * subscriber tracks consumed file NAMES, so it would see the
+    * compacted file as new data and re-deliver: compact between stream
+    * restarts (checkpointed streams re-list on start), or dedup on
+    * event_id downstream. Returns the log's row count. */
+  def compact(targetFiles: Int = 1): Long = {
+    require(targetFiles > 0, "targetFiles must be positive")
+    graft.scale.StoreMaint.replaceStore(spark, path,
+      spark.read.schema(Events.schema).parquet(path), targetFiles)
+  }
+
   /** SUBSCRIBE TO 'pattern' (batch): SQL LIKE or glob (`training.*`)
     * pattern over the log. */
   def subscribe(pattern: String): DataFrame =
@@ -138,6 +163,40 @@ final class EventBus(spark: SparkSession, path: String) {
   def subscribeStream(pattern: String): DataFrame =
     spark.readStream.schema(Events.schema).parquet(path)
       .filter(col("event_type").like(Events.patternToLike(pattern)))
+
+  /** Live subscription drained in priority order — the continuous form
+    * of [[subscribeOrdered]], matching the reference's outbound queue
+    * (DISTRIBUTED.md:188-193: the queue drains by priority
+    * continuously, not once). Each micro-batch is ranked with
+    * [[Events.deliveryOrder]] — priority ascending, FIFO within a
+    * priority, `deliver_pos` restarting per batch — and handed to
+    * `consume` in drain order; `batch_id` carries the global sequencing
+    * (ordering across micro-batches is the stream's arrival order, as
+    * in the reference's queue, which can only order what has arrived).
+    * deliveryOrder's per-batch persisted intermediates are scoped to the
+    * batch and reclaimed after `consume` returns — a long-lived drain
+    * accumulates no cache entries. */
+  def subscribeStreamOrdered(
+      pattern: String,
+      checkpointDir: String,
+      priorities: Map[String, Int] = Events.defaultPriorities,
+      default: Int = 5,
+      parallelism: Int = 32,
+      trigger: Trigger = Trigger.ProcessingTime(1000L))(
+      consume: DataFrame => Unit): StreamingQuery =
+    subscribeStream(pattern).writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val (_, scope) = graft.llm.PipelineCaches.scoped {
+          consume(Events.deliveryOrder(batch,
+              Events.priorityOf(col("event_type"), priorities, default),
+              parallelism)
+            .withColumn("batch_id", lit(batchId)))
+        }
+        scope.clear()
+      }
+      .start()
 
   /** Custom streaming state via mapGroupsWithState (brief:
     * "KeyValueGroupedDataset.mapGroupsWithState for custom state"): a

@@ -124,34 +124,17 @@ object Dedup {
 
   /** In-place maintenance of a parquet-persisted index store: drop the
     * retired docs and rewrite the store once (also compacting the small
-    * files incremental appends accumulate). The filtered index is written
-    * beside the store, the live store is moved aside, and the replacement
-    * renamed in — every rename result is checked, and a failed swap-in
-    * restores the original, so no failure mode silently loses the store
-    * (a crash between the two renames leaves it recoverable at
-    * `path + "_old"`). Returns the retained row count. */
+    * files incremental appends accumulate). The swap discipline —
+    * replacement verified readable before the live store is touched,
+    * backups never pre-deleted, restore on a failed swap-in — lives in
+    * [[graft.scale.StoreMaint.replaceStore]] and is shared with the
+    * event log's [[graft.dml.events.EventBus.compact]]. Returns the
+    * retained row count. */
   def compactIndexStore(
       spark: org.apache.spark.sql.SparkSession, path: String,
-      retiredIds: Seq[Long]): Long = {
-    import org.apache.hadoop.fs.Path
-    val tmp = path + "_compacting"
-    val kept = retireFromIndex(spark.read.parquet(path), retiredIds)
-    kept.write.mode("overwrite").parquet(tmp)
-    val conf = spark.sparkContext.hadoopConfiguration
-    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(tmp), conf)
-    val dst = new Path(path)
-    val old = new Path(path + "_old")
-    val tmpPath = new Path(tmp)
-    if (fs.exists(old)) fs.delete(old, true)
-    if (!fs.rename(dst, old))
-      throw new java.io.IOException(s"cannot move $dst aside to $old")
-    if (!fs.rename(tmpPath, dst)) {
-      fs.rename(old, dst) // restore the original store
-      throw new java.io.IOException(s"cannot swap $tmpPath into $dst")
-    }
-    fs.delete(old, true)
-    spark.read.parquet(path).count()
-  }
+      retiredIds: Seq[Long]): Long =
+    graft.scale.StoreMaint.replaceStore(spark, path,
+      retireFromIndex(spark.read.parquet(path), retiredIds))
 
   /** Incremental near-dup detection: candidate pairs between a NEW batch
     * and an existing corpus, plus pairs inside the batch — without

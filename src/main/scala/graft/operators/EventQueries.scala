@@ -285,7 +285,7 @@ object EventQueries {
         |    ELSE 5 END AS priority,
         |  row_number() OVER (ORDER BY
         |    CASE event_type WHEN 'error' THEN 1 WHEN 'purchase' THEN 2
-        |      ELSE 5 END, ts, event_id) AS deliver_pos
+        |      ELSE 5 END, ts NULLS LAST, event_id) AS deliver_pos
         |FROM events""".stripMargin,
 
     "q_events_drift_windows" ->

@@ -1,0 +1,66 @@
+package graft.scale
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Crash-safe maintenance of parquet-persisted stores (the signature
+  * index, the event log): rewrite a filtered/compacted replacement beside
+  * the live store, then swap it in with verified renames.
+  *
+  * Swap discipline (reference DISTRIBUTED.md's durable-log contract —
+  * maintenance must never lose the store):
+  *   1. the replacement is fully written AND verified readable at the
+  *      side path before the live store is touched;
+  *   2. a pre-existing backup from an earlier crash is never deleted up
+  *      front — this swap's backup gets a fresh name instead, so the only
+  *      copy of a store that a half-finished previous swap left behind
+  *      survives until an operator reclaims it;
+  *   3. the live store moves aside, the replacement renames in, and the
+  *      backup is deleted only after the swapped-in store is verified
+  *      readable at the live path. Every rename result is checked; a
+  *      failed swap-in restores the original.
+  *
+  * A crash between the two renames (the unavoidable non-atomic window of
+  * directory renames on HDFS-style filesystems) leaves the store intact
+  * at the backup path — recovery is one rename, and nothing was deleted.
+  * Readers racing the swap can observe a missing dir for that window;
+  * run maintenance from the writer that owns the store, as with any
+  * non-transactional table format.
+  */
+object StoreMaint {
+
+  /** Replace the store at `path` with `replacement`, written with
+    * `targetFiles` output files (0 = keep the frame's partitioning).
+    * Returns the replacement's row count (counted during the pre-swap
+    * verification read — no extra pass). */
+  def replaceStore(
+      spark: SparkSession, path: String, replacement: DataFrame,
+      targetFiles: Int = 0): Long = {
+    import org.apache.hadoop.fs.Path
+    val tmp = path + "_compacting"
+    val out = if (targetFiles > 0) replacement.coalesce(targetFiles)
+              else replacement
+    out.write.mode("overwrite").parquet(tmp)
+    // verify the replacement reads back BEFORE touching the live store —
+    // a corrupt write must fail here, while the original is still live
+    val kept = spark.read.parquet(tmp).count()
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(tmp), conf)
+    val dst = new Path(path)
+    // never pre-delete an existing backup: it may be the only copy left
+    // by a crashed previous swap — park this swap's backup under a fresh
+    // name and leave the old one for operator reclaim
+    val oldBase = new Path(path + "_old")
+    val old = if (fs.exists(oldBase))
+      new Path(path + "_old_" + System.nanoTime()) else oldBase
+    if (!fs.rename(dst, old))
+      throw new java.io.IOException(s"cannot move $dst aside to $old")
+    if (!fs.rename(new Path(tmp), dst)) {
+      fs.rename(old, dst) // restore the original store
+      throw new java.io.IOException(s"cannot swap $tmp into $dst")
+    }
+    // keep the backup until the live path is verified readable
+    spark.read.parquet(path).count()
+    fs.delete(old, true)
+    kept
+  }
+}

@@ -288,6 +288,49 @@ class EventsSpec extends AnyFunSuite {
     assert(drained.map(_._2).toSeq == Seq(1, 3, 3, 5))
   }
 
+  test("deliveryOrder drains null-timestamp events last within a priority") {
+    val s = spark
+    import s.implicits._
+    // two same-priority events, the EARLIER-published one without a ts:
+    // NULLS LAST (pinned to DuckDB's ORDER BY default) must drain the
+    // timestamped peer first
+    val t = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val events = Seq(
+      (1L, None: Option[java.sql.Timestamp], "training.heartbeat", 0.0),
+      (2L, Some(t), "training.heartbeat", 0.0),
+      (3L, None: Option[java.sql.Timestamp], "training.converged", 0.0))
+      .toDF("event_id", "ts", "event_type", "value")
+    val drained = Events.deliveryOrder(events,
+        Events.priorityOf(col("event_type")))
+      .orderBy("deliver_pos").select("event_id").as[Long].collect().toSeq
+    // converged (priority 1, null ts) still precedes the priority-5 rows;
+    // within priority 5 the null-ts event drains after the timestamped one
+    assert(drained == Seq(3L, 2L, 1L))
+  }
+
+  test("event-log compaction folds publish files; rows and subscribers unchanged") {
+    val s = spark
+    val dir = Files.createTempDirectory("graft-compact").toString
+    val bus = new EventBus(s, dir)
+    (1 to 6).foreach(i => bus.publish("training.epoch_complete",
+      Map("epoch" -> i.toString), value = i.toDouble))
+    def partFiles() = new java.io.File(dir).listFiles()
+      .count(f => f.getName.startsWith("part-"))
+    val before = bus.subscribe("%").orderBy("event_id")
+      .select("event_id", "event_type", "value", "props").collect().toSeq
+    assert(partFiles() == 6, "one file per publish before compaction")
+    assert(bus.compact() == 6L)
+    assert(partFiles() == 1, "compaction folds the log into one file")
+    val after = bus.subscribe("%").orderBy("event_id")
+      .select("event_id", "event_type", "value", "props").collect().toSeq
+    assert(after == before)
+    // the bus keeps working after the swap
+    bus.publish("training.converged", Map.empty)
+    assert(bus.subscribe("training.*").count() == 7)
+    assert(!new java.io.File(dir + "_old").exists(),
+      "backup is reclaimed after a verified swap")
+  }
+
   test("glob subscription patterns match dotted event types") {
     val s = spark
     val dir = Files.createTempDirectory("graft-glob").toString

@@ -87,6 +87,43 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(idx.size == (51 + 30) * 4L)
   }
 
+  test("streaming drain delivers each micro-batch in priority order") {
+    val s = spark
+    val dir = Files.createTempDirectory("graft-prio-stream").toString
+    val ckpt = Files.createTempDirectory("graft-prio-ckpt").toString
+    val bus = new graft.dml.events.EventBus(s, dir)
+    // chatter first, the high-priority event published LAST — within the
+    // micro-batch it must still drain first (cross-type order)
+    bus.publish("training.epoch_complete", Map("epoch" -> "1"))
+    Thread.sleep(3)
+    bus.publish("training.heartbeat", Map.empty)
+    Thread.sleep(3)
+    bus.publish("training.converged", Map.empty)
+
+    val batches =
+      scala.collection.mutable.ArrayBuffer.empty[Seq[(String, Int, Long)]]
+    val q = bus.subscribeStreamOrdered("training.*", ckpt,
+        trigger = Trigger.AvailableNow()) { ordered =>
+      val rows = ordered.orderBy("deliver_pos")
+        .select("event_type", "priority", "deliver_pos").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
+      batches.synchronized { batches += rows; () }
+    }
+    q.awaitTermination(180000)
+    val all = batches.synchronized(batches.toList)
+    assert(all.map(_.size).sum == 3, s"all events delivered once: $all")
+    all.filter(_.nonEmpty).foreach { b =>
+      assert(b.map(_._3) == (1L to b.size).toSeq,
+        s"per-batch positions restart at 1 and are contiguous: $b")
+      assert(b.map(_._2) == b.map(_._2).sorted,
+        s"drain order within a batch is priority-ascending: $b")
+    }
+    // the micro-batch containing converged drains it before its chatter
+    val withConverged = all.find(_.exists(_._1 == "training.converged")).get
+    assert(withConverged.head._1 == "training.converged",
+      s"high-priority event must lead its batch: $withConverged")
+  }
+
   test("streaming sessionizer emits the batch sessions closed by gaps") {
     val s = spark
     import s.implicits._
