@@ -64,6 +64,35 @@ object TimeSeries {
         s"unsupported SEASONAL granularity: $other")
     }
 
+  /** The cycle length of each granularity's calendar component — the
+    * Fourier period (365.25 absorbs leap years the way Prophet's yearly
+    * seasonality does). */
+  private val fourierPeriod: Map[String, Double] = Map(
+    "weekday" -> 7.0, "weekly" -> 7.0, "dow" -> 7.0,
+    "month" -> 12.0, "monthly" -> 12.0,
+    "year" -> 365.25, "yearly" -> 365.25,
+    "quarter" -> 4.0, "quarterly" -> 4.0,
+    "hour" -> 24.0, "hourly" -> 24.0)
+
+  /** All columns one SEASONAL marker derives: the raw calendar component
+    * plus its first-harmonic Fourier pair sin/cos(2π·phase/period) — the
+    * basis that lets a LINEAR fit represent a phase-shifted sinusoidal
+    * seasonal effect (the prophet stand-in's genuine decomposition;
+    * Prophet itself fits exactly such Fourier terms, Taylor & Letham 2017
+    * §3.2). The raw component stays: tree algorithms split on it
+    * directly, and it is the DSL.md:307 surface. Rounded to 6 decimals so
+    * the engine and a DuckDB oracle fold to identical doubles (the VecDot
+    * convention). Pure per-row projection — no shuffle, codegen-friendly. */
+  def seasonalColumns(time: Column, granularity: String)
+      : Seq[(String, Column)] = {
+    val phase = seasonalColumn(time, granularity)
+    val c = 2 * math.Pi / fourierPeriod(granularity.toLowerCase)
+    Seq(
+      s"season_$granularity" -> phase,
+      s"season_${granularity}_sin" -> round(sin(phase * c), 6),
+      s"season_${granularity}_cos" -> round(cos(phase * c), 6))
+  }
+
   /** Adds the clause-derived columns to a frame that carries the time
     * column: `season_<g>` per SEASONAL marker and, for `TREND linear`,
     * `t_index` = the time step's dense rank.
@@ -74,7 +103,8 @@ object TimeSeries {
     * dense_rank semantics) and no row-count-sized single-partition window
     * ever exists — the same histogram trick as Sampling.percentRank. */
   def withClauseFeatures(
-      df: DataFrame, ts: graft.dml.TimeSeriesClause): DataFrame = {
+      df: DataFrame, ts: graft.dml.TimeSeriesClause,
+      maxDistinctSteps: Long = 1000000L): DataFrame = {
     val t = col(ts.timeColumn)
     // NULL time values carry no position on the timeline and are dropped
     // UP FRONT — otherwise the trend's inner step join would silently
@@ -82,12 +112,29 @@ object TimeSeries {
     // sets depending on the clause mix
     val timed = df.filter(t.isNotNull)
     val seasonal = ts.seasonal.foldLeft(timed) { (acc, g) =>
-      acc.withColumn(s"season_$g", seasonalColumn(t, g))
+      seasonalColumns(t, g).foldLeft(acc) { case (a, (name, c)) =>
+        a.withColumn(name, c)
+      }
     }
     ts.trend match {
       case None => seasonal
       case Some("linear") =>
-        val steps = timed.select(t).distinct()
+        // the distinct-step table is materialized once and reused by the
+        // count, the rank window, AND the broadcast join — the
+        // cardinality guard costs no extra scan (percentRank's pattern).
+        // Near-unique (continuous) timestamps would make this a
+        // row-count-sized single-partition window + broadcast; refuse
+        // and ask for discretization instead of silently building it.
+        val steps = graft.llm.PipelineCaches.track(
+          timed.select(t).distinct()
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val distinct = steps.count()
+        require(distinct <= maxDistinctSteps,
+          s"TREND linear over '${ts.timeColumn}': $distinct distinct time " +
+            s"steps exceed maxDistinctSteps=$maxDistinctSteps; the step " +
+            "rank table would approach row count and its window/broadcast " +
+            "stop being step-sized. Discretize the time column first " +
+            "(e.g. date_trunc('hour', ts)) or raise the cap explicitly.")
         val w = Window.orderBy(t)
         val ranked = steps
           .withColumn("t_index", row_number().over(w).cast("double"))
@@ -99,7 +146,9 @@ object TimeSeries {
 
   /** Names the clause contributes to the training frame, in order. */
   def clauseFeatureNames(ts: graft.dml.TimeSeriesClause): Seq[String] =
-    ts.seasonal.map(g => s"season_$g") ++ ts.trend.map(_ => "t_index")
+    ts.seasonal.flatMap(g =>
+      Seq(s"season_$g", s"season_${g}_sin", s"season_${g}_cos")) ++
+      ts.trend.map(_ => "t_index")
 
   /** Inverse normal CDF (Acklam's rational approximation, max rel error
     * ~1.15e-9) — the z for a symmetric confidence band without any stats
@@ -165,6 +214,17 @@ object TimeSeries {
     }
     val src = spark.sql(
       s"SELECT * FROM ${graft.dml.TrainCompiler.sourceFragment(spec)}")
+    // a DATE time column cannot carry sub-day steps: casting the
+    // timestampadd result back to DATE would silently truncate every
+    // future hour onto the same date (n duplicate forecast rows) —
+    // reject instead
+    val timeType = src.schema(ts.timeColumn).dataType
+    if (timeType == org.apache.spark.sql.types.DateType && unit == "hour")
+      throw new IllegalArgumentException(
+        s"FORECAST n hours AHEAD needs a timestamp time column; " +
+          s"'${ts.timeColumn}' is DATE — hourly future steps would " +
+          "truncate to duplicate dates. Cast the column to timestamp " +
+          "or forecast in days/weeks/months.")
     // timeline end + last trend index: a one-row aggregate cross-joined
     // into the n future rows (no driver-side timestamp formatting)
     val future = src.agg(
@@ -173,9 +233,11 @@ object TimeSeries {
       .crossJoin(spark.range(1, n + 1))
       .select((col("id") + col("_steps")).cast("double").as("t_index"),
         expr(s"timestampadd($unit, id, _max_t)")
-          .cast(src.schema(ts.timeColumn).dataType).as(ts.timeColumn))
+          .cast(timeType).as(ts.timeColumn))
     val feats = ts.seasonal.foldLeft(future) { (acc, g) =>
-      acc.withColumn(s"season_$g", seasonalColumn(col(ts.timeColumn), g))
+      seasonalColumns(col(ts.timeColumn), g).foldLeft(acc) {
+        case (a, (name, c)) => a.withColumn(name, c)
+      }
     }
     // the fitted pipeline's label-cast stage references the target column;
     // future rows have no observed target, so feed a placeholder (the

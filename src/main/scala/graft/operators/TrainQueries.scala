@@ -106,9 +106,20 @@ object TrainQueries {
 
     // Spark dayofweek is 1=Sunday..7; DuckDB's is 0=Sunday..6, hence +1.
     // t_index = dense rank of the timestamp (ties share a step index).
+    // The Fourier pairs repeat the engine's fold order exactly —
+    // phase * (2*pi()/period), round(,6) — so both engines land on the
+    // same doubles (the VecDot cross-engine convention).
     "q_ts_forecast_input" ->
       """SELECT CAST(dayofweek(o_orderdate) + 1 AS DOUBLE) AS season_weekday,
+        |  round(sin(CAST(dayofweek(o_orderdate) + 1 AS DOUBLE) * (2*pi()/7)), 6)
+        |    AS season_weekday_sin,
+        |  round(cos(CAST(dayofweek(o_orderdate) + 1 AS DOUBLE) * (2*pi()/7)), 6)
+        |    AS season_weekday_cos,
         |  CAST(month(o_orderdate) AS DOUBLE) AS season_month,
+        |  round(sin(CAST(month(o_orderdate) AS DOUBLE) * (2*pi()/12)), 6)
+        |    AS season_month_sin,
+        |  round(cos(CAST(month(o_orderdate) AS DOUBLE) * (2*pi()/12)), 6)
+        |    AS season_month_cos,
         |  CAST(dense_rank() OVER (ORDER BY o_orderdate) AS DOUBLE) AS t_index,
         |  o_totalprice
         |FROM orders""".stripMargin)

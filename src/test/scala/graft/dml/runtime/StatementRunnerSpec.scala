@@ -130,8 +130,11 @@ class StatementRunnerSpec extends AnyFunSuite {
       s"EXPLAIN PREDICTION ts_exp FOR ORDER o_orderkey = $key SHOW TOP 2"))
       .data.get.collect()
     assert(rows.length == 2)
-    assert(rows.map(_.getAs[String]("feature")).toSet ==
-      Set("season_weekday", "t_index"))
+    // top-2 by |contribution| out of the clause's derived features
+    // (raw weekday component + its Fourier pair + the trend index)
+    assert(rows.map(_.getAs[String]("feature")).toSet.subsetOf(
+      Set("season_weekday", "season_weekday_sin", "season_weekday_cos",
+        "t_index")))
   }
 
   test("performance_degradation monitor alerts on dropped metrics only") {

@@ -81,14 +81,49 @@ class TimeSeriesDslSpec extends AnyFunSuite {
         "WITH TIME COLUMN day AND FEATURES(SEASONAL weekday, TREND linear)")
       .asInstanceOf[TrainSpec]
     assert(TrainCompiler.featureNames(spec) ==
-      Seq("season_weekday", "t_index"))
-    val rows = TrainCompiler.trainingDataFrame(s, spec)
-      .orderBy("t_index", "y").collect()
-      .map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2)))
+      Seq("season_weekday", "season_weekday_sin", "season_weekday_cos",
+        "t_index"))
+    val frame = TrainCompiler.trainingDataFrame(s, spec)
+      .orderBy("t_index", "y")
+    val rows = frame.collect().map(r =>
+      (r.getAs[Double]("season_weekday"),
+        r.getAs[Double]("season_weekday_sin"),
+        r.getAs[Double]("t_index")))
     // 2024-01-01 is a Monday → Spark dayofweek = 2
     assert(rows.map(_._1).toSeq == Seq(2.0, 2.0, 3.0, 6.0))
+    // first Fourier harmonic of the weekday phase, rounded to 6 decimals
+    assert(rows.map(_._2).toSeq ==
+      Seq(2.0, 2.0, 3.0, 6.0).map(p =>
+        math.rint(math.sin(p * (2 * math.Pi / 7)) * 1e6) / 1e6))
     // dense step index: the two tied rows share t=1; gaps don't skip steps
-    assert(rows.map(_._2).toSeq == Seq(1.0, 1.0, 2.0, 3.0))
+    assert(rows.map(_._3).toSeq == Seq(1.0, 1.0, 2.0, 3.0))
+  }
+
+  test("Fourier seasonal terms let the linear stand-in beat a pure-trend fit") {
+    val s = spark
+    import s.implicits._
+    // seeded periodic series: linear trend + weekly sinusoid, no noise —
+    // trend+Fourier can fit it almost exactly, trend alone cannot
+    (0 until 140).map { i =>
+      val day = java.time.LocalDate.of(2024, 1, 1).plusDays(i.toLong)
+      // Spark dayofweek phase: 1=Sunday..7
+      val dow = (day.getDayOfWeek.getValue % 7) + 1
+      (java.sql.Timestamp.valueOf(day.atStartOfDay),
+        10.0 + 0.1 * i + 5.0 * math.sin(dow * (2 * math.Pi / 7)))
+    }.toDF("day", "y").createOrReplaceTempView("ts_periodic")
+    def rmse(dml: String): Double =
+      Trainer.train(s, DmlParser.parse(dml).asInstanceOf[TrainSpec])
+        .metrics("rmse")
+    val seasonal = rmse(
+      "TRAIN MODEL m_seasonal USING prophet FROM ts_periodic PREDICT y " +
+        "WITH TIME COLUMN day AND FEATURES(SEASONAL weekday, TREND linear)")
+    val trendOnly = rmse(
+      "TRAIN MODEL m_trend USING prophet FROM ts_periodic PREDICT y " +
+        "WITH TIME COLUMN day AND FEATURES(TREND linear)")
+    assert(seasonal < 0.2 * trendOnly,
+      s"seasonal decomposition must capture the planted sinusoid: " +
+        s"seasonal rmse=$seasonal vs trend-only rmse=$trendOnly")
+    assert(seasonal < 0.5, s"near-exact fit expected, got rmse=$seasonal")
   }
 
   test("prophet fit + FORECAST produces future rows with ordered bands") {
@@ -119,6 +154,39 @@ class TimeSeriesDslSpec extends AnyFunSuite {
     val steps = s.table("orders")
       .select(countDistinct("o_orderdate")).collect()(0).getLong(0)
     assert(rows.head.getDouble(1) == steps + 1.0)
+  }
+
+  test("forecast refuses sub-day horizons over a DATE time column") {
+    val s = spark
+    import s.implicits._
+    (0 until 30).map { i =>
+      (java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1)
+        .plusDays(i.toLong)), i.toDouble)
+    }.toDF("d", "y").createOrReplaceTempView("ts_dated")
+    val spec = DmlParser.parse(
+      "TRAIN MODEL m USING prophet FROM ts_dated PREDICT y " +
+        "WITH TIME COLUMN d AND FEATURES(TREND linear) " +
+        "FORECAST 5 hours AHEAD").asInstanceOf[TrainSpec]
+    val report = Trainer.train(s, spec)
+    val e = intercept[IllegalArgumentException](
+      TimeSeries.forecast(s, spec, report))
+    assert(e.getMessage.contains("DATE"))
+    assert(e.getMessage.contains("truncate"))
+  }
+
+  test("TREND guards against near-unique timestamp cardinality") {
+    val s = spark
+    import s.implicits._
+    val df = (0 until 10).map(i =>
+      (java.sql.Timestamp.valueOf(s"2024-01-01 00:00:0$i"), i.toDouble))
+      .toDF("t", "y")
+    val clause = graft.dml.TimeSeriesClause("t", trend = Some("linear"))
+    val e = intercept[IllegalArgumentException](
+      TimeSeries.withClauseFeatures(df, clause, maxDistinctSteps = 5L))
+    assert(e.getMessage.contains("Discretize"))
+    // under the cap the same frame ranks fine
+    assert(TimeSeries.withClauseFeatures(df, clause, maxDistinctSteps = 10L)
+      .agg(max("t_index")).collect()(0).getDouble(0) == 10.0)
   }
 
   test("forecast refuses exogenous source features") {
