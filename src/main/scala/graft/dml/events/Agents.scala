@@ -500,11 +500,26 @@ object Agents {
         treeContribCols(
           m.trees.zip(m.treeWeights).map { case (t, w) => t.rootNode -> w }
             .toSeq, n)
+      // classification trees: the label a leaf predicts is not
+      // attributable, but the per-node PROBABILITY of the predicted class
+      // (class counts from the impurity stats) is — its parent→child
+      // deltas are the per-class Saabas contributions, on the same scale
+      // the model's probability output lives on
+      case m: org.apache.spark.ml.classification.DecisionTreeClassificationModel =>
+        classTreeContribCols(Seq(m.rootNode -> 1.0), n)
+      case m: org.apache.spark.ml.classification.RandomForestClassificationModel =>
+        classTreeContribCols(
+          m.trees.map(t => t.rootNode -> 1.0 / m.getNumTrees).toSeq, n)
+      // GBT margin F(x) = Σ wᵗ·treeᵗ(x) of REGRESSION trees: the
+      // regression Saabas walk attributes the margin exactly (the class
+      // probability is a monotone sigmoid of it)
+      case m: org.apache.spark.ml.classification.GBTClassificationModel =>
+        treeContribCols(
+          m.trees.zip(m.treeWeights).map { case (t, w) => t.rootNode -> w }
+            .toSeq, n)
     }.getOrElse(throw new IllegalArgumentException(
-      "per-row explanation supports linear/logistic models and regression " +
-        s"trees; got ${model.stages.last.getClass.getSimpleName} " +
-        "(classification-tree leaves predict labels, whose differences " +
-        "are not attributable — use the model-level explain)"))
+      "per-row explanation supports linear/logistic models and tree " +
+        s"ensembles; got ${model.stages.last.getClass.getSimpleName}"))
 
     val entries = featureNames.zip(contribs).map { case (f, c) =>
       struct(abs(c).as("m"), lit(f).as("feature"), c.as("contribution"))
@@ -556,4 +571,63 @@ object Agents {
     val c = contribsOf(col("features"))
     (0 until n).map(j => element_at(c, j + 1))
   }
+
+  /** Per-class Saabas walk for classification trees: each node's
+    * predicted-class probability is its class count share
+    * (impurityStats(c) / total — the exact quantity
+    * RandomForestClassificationModel.predictRaw averages), and a split's
+    * contribution is the weighted parent→child probability delta. Summed
+    * over an ensemble the contributions reconstruct
+    * P(c|x) − baseline, baseline = Σ wᵗ·p_root(c) (identity pinned in
+    * EventsSpec). The predicted class varies per row, so the walk reads
+    * the `prediction` column the pipeline already produced. */
+  private def classTreeContribCols(
+      trees: Seq[(org.apache.spark.ml.tree.Node, Double)], n: Int)
+      : Seq[Column] = {
+    import org.apache.spark.ml.linalg.{Vector => MlVector}
+    import org.apache.spark.ml.tree.{CategoricalSplit, ContinuousSplit, GraftTreeAccess, InternalNode}
+    val contribsOf = udf { (v: MlVector, prediction: Double) =>
+      val cls = prediction.toInt
+      val out = new Array[Double](n)
+      def pOf(node: org.apache.spark.ml.tree.Node): Double = {
+        val stats = GraftTreeAccess.nodeStats(node)
+        val total = stats.sum
+        if (total > 0 && cls < stats.length) stats(cls) / total else 0.0
+      }
+      trees.foreach { case (root, w) =>
+        var node = root
+        var p = pOf(node)
+        while (node.isInstanceOf[InternalNode]) {
+          val in = node.asInstanceOf[InternalNode]
+          val goLeft = in.split match {
+            case cs: ContinuousSplit => v(cs.featureIndex) <= cs.threshold
+            case cs: CategoricalSplit =>
+              cs.leftCategories.contains(v(cs.featureIndex))
+            case other => throw new IllegalStateException(
+              s"unknown split type: ${other.getClass}")
+          }
+          val child = if (goLeft) in.leftChild else in.rightChild
+          val pChild = pOf(child)
+          out(in.split.featureIndex) += w * (pChild - p)
+          node = child
+          p = pChild
+        }
+      }
+      out.toSeq
+    }
+    val c = contribsOf(col("features"), col("prediction"))
+    (0 until n).map(j => element_at(c, j + 1))
+  }
+
+  /** The ensemble's baseline predicted-class probability — what the
+    * per-class Saabas contributions are measured against: Σ wᵗ·p_root(c).
+    * Exposed for identity tests and EXPLAIN output consumers. */
+  private[graft] def classTreeBaseline(
+      trees: Seq[(org.apache.spark.ml.tree.Node, Double)], cls: Int)
+      : Double =
+    trees.map { case (root, w) =>
+      val stats = org.apache.spark.ml.tree.GraftTreeAccess.nodeStats(root)
+      val total = stats.sum
+      if (total > 0 && cls < stats.length) w * stats(cls) / total else 0.0
+    }.sum
 }

@@ -410,6 +410,84 @@ class EventsSpec extends AnyFunSuite {
       .forall(r => r.getAs[Double]("contribution") == 0.0))
   }
 
+  test("explainRows: per-class Saabas identity for tree classifiers") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.ml.functions.vector_to_array
+    // binary label driven by x; z is noise the forest may or may not use
+    Seq((1.0, 5.0), (2.0, 9.0), (3.0, 5.0), (4.0, 2.0), (10.0, 9.0),
+      (11.0, 5.0), (12.0, 9.0), (13.0, 1.0))
+      .toDF("x", "z")
+      .withColumn("y", when(col("x") > 6.0, 1.0).otherwise(0.0))
+      .createOrReplaceTempView("rf_tiny")
+    val spec = DmlParser.parse(
+      "TRAIN MODEL rf_exp USING random_forest(n_estimators=5, max_depth=3) " +
+        "FROM rf_tiny PREDICT y WITH FEATURES(x, z)")
+      .asInstanceOf[TrainSpec]
+    val r = graft.dml.runtime.Trainer.train(s, spec)
+    val rf = r.model.stages.reverse.collectFirst {
+      case m: org.apache.spark.ml.classification.RandomForestClassificationModel => m
+    }.get
+    val trees = rf.trees.map(t => t.rootNode -> 1.0 / rf.getNumTrees).toSeq
+    // per-row predicted-class probability straight from the model
+    val probs = r.model.transform(s.table("rf_tiny"))
+      .select(col("x"), col("prediction"),
+        element_at(vector_to_array(col("probability")),
+          col("prediction").cast("int") + 1).as("p"))
+      .collect().map(r => r.getDouble(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    val out = Agents.explainRows(r.model, s.table("rf_tiny"),
+      Seq("x", "z"), topK = 2).collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getAs[Double]("x")).foreach { case (x, rs) =>
+      val (pred, p) = probs(x)
+      // identity: contributions sum to P(class|x) − Σ wᵗ·p_root(class)
+      val contribSum = rs.map(_.getAs[Double]("contribution")).sum
+      val baseline = Agents.classTreeBaseline(trees, pred.toInt)
+      assert(math.abs(contribSum - (p - baseline)) < 1e-9,
+        s"x=$x: sum=$contribSum p=$p baseline=$baseline")
+    }
+  }
+
+  test("explainRows: GBT classifier attributes the margin (no throw, exact sum)") {
+    val s = spark
+    import s.implicits._
+    Seq((1.0, 5.0), (2.0, 9.0), (3.0, 5.0), (10.0, 9.0),
+      (11.0, 5.0), (12.0, 9.0))
+      .toDF("x", "z")
+      .withColumn("y", when(col("x") > 6.0, 1.0).otherwise(0.0))
+      .createOrReplaceTempView("gbt_tiny")
+    val spec = DmlParser.parse(
+      "TRAIN MODEL gbt_exp USING gradient_boosting(n_estimators=3, max_depth=2) " +
+        "FROM gbt_tiny PREDICT y WITH FEATURES(x, z)")
+      .asInstanceOf[TrainSpec]
+    val r = graft.dml.runtime.Trainer.train(s, spec)
+    val gbt = r.model.stages.reverse.collectFirst {
+      case m: org.apache.spark.ml.classification.GBTClassificationModel => m
+    }.get
+    val out = Agents.explainRows(r.model, s.table("gbt_tiny"),
+      Seq("x", "z"), topK = 2).collect()
+    // margin-scale Saabas: per-row contributions sum to
+    // F(x) − Σ wᵗ·rootᵗ.prediction, with F the trees' weighted margin
+    val baseline = gbt.trees.zip(gbt.treeWeights)
+      .map { case (t, w) => w * t.rootNode.prediction }.sum
+    val margins = s.table("gbt_tiny").collect().map { row =>
+      val v = org.apache.spark.ml.linalg.Vectors.dense(
+        row.getDouble(0), row.getDouble(1))
+      row.getDouble(0) ->
+        gbt.trees.zip(gbt.treeWeights)
+          .map { case (t, w) =>
+            w * org.apache.spark.ml.tree.GraftTreeAccess
+              .leafPrediction(t.rootNode, v)
+          }.sum
+    }.toMap
+    out.groupBy(_.getAs[Double]("x")).foreach { case (x, rs) =>
+      val contribSum = rs.map(_.getAs[Double]("contribution")).sum
+      assert(math.abs(contribSum - (margins(x) - baseline)) < 1e-9,
+        s"x=$x: sum=$contribSum margin=${margins(x)} baseline=$baseline")
+    }
+  }
+
   test("psiDrift: a group on only one side is maximal drift, not dropped") {
     val s = spark
     import s.implicits._

@@ -137,6 +137,25 @@ class StatementRunnerSpec extends AnyFunSuite {
         "t_index")))
   }
 
+  test("EXPLAIN ... FOR works on a random_forest classifier (DSL.md churn shape)") {
+    val (runner, _, _) = freshRunner()
+    // the DSL.md:339-344 worked example explains a churn CLASSIFIER —
+    // random_forest + per-row EXPLAIN must work, not throw
+    runner.run(DmlParser.parse(
+      "TRAIN MODEL churn_rf USING random_forest(n_estimators=5, max_depth=4) " +
+        "FROM orders PREDICT o_orderstatus " +
+        "WITH FEATURES(o_totalprice, o_custkey)"))
+    val key = spark.table("orders").select("o_orderkey")
+      .orderBy(col("o_orderkey")).limit(1).collect()(0).getLong(0)
+    val rows = runner.run(DmlParser.parse(
+      s"EXPLAIN PREDICTION churn_rf FOR ORDER o_orderkey = $key SHOW TOP 2"))
+      .data.get.collect()
+    assert(rows.length == 2)
+    assert(rows.map(_.getAs[String]("feature")).toSet ==
+      Set("o_totalprice", "o_custkey"))
+    assert(rows.map(_.getAs[Int]("rank")).toSet == Set(1, 2))
+  }
+
   test("performance_degradation monitor alerts on dropped metrics only") {
     val (runner, registry, bus) = freshRunner()
     runner.run(DmlParser.parse(trainDml)) // v1, real fit
