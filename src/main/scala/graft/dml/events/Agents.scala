@@ -619,6 +619,256 @@ object Agents {
     (0 until n).map(j => element_at(c, j + 1))
   }
 
+  /** EXPLAIN PREDICTION … USING kernel_shap (DSL.md:339-344 names
+    * `shap_values`): model-agnostic KernelSHAP (Lundberg & Lee 2017, the
+    * weighted-least-squares formulation) against a single background
+    * point — the baseline frame's per-feature mean, the same reference
+    * the linear-exact path uses, so on a linear model the two decompose
+    * identically (pinned in EventsSpec).
+    *
+    * This is the FALLBACK for model families the deterministic paths in
+    * [[explainRows]] don't cover (and an explicit `USING kernel_shap`
+    * surface): it only needs a predict function, not model internals.
+    * Deliberately DRIVER-SIDE — an explanation batch of ≤ `maxRows`
+    * rows, not a data path: each row costs |coalitions| driver predict
+    * calls (n ≤ 13 features enumerates all 2ⁿ−2 coalitions exactly and
+    * deterministically; larger n samples `coalitionSamples` masks,
+    * seeded, sizes allocated by kernel weight with per-size importance
+    * correction). Classifiers explain the predicted class's
+    * probability; regressors the prediction.
+    *
+    * Output schema matches [[explainRows]]: input rows + `prediction`
+    * exploded to topK (rank, feature, contribution). */
+  def kernelShapRows(
+      model: org.apache.spark.ml.PipelineModel,
+      data: DataFrame,
+      featureNames: Seq[String],
+      topK: Int = 5,
+      baseline: Option[DataFrame] = None,
+      coalitionSamples: Int = 4096,
+      maxRows: Int = 500,
+      seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.functions.vector_to_array
+    import org.apache.spark.ml.linalg.{Vector => MlVector, Vectors}
+    val spark = data.sparkSession
+    val transformed = model.transform(data)
+    require(transformed.columns.contains("features"),
+      "kernelShapRows needs the pipeline's assembled 'features' column")
+    val n = featureNames.size
+    val collected = transformed.collect()
+    require(collected.length <= maxRows,
+      s"kernelShapRows explains at most $maxRows rows per call (got " +
+        s"${collected.length}) — it is a driver-side explanation batch; " +
+        "narrow the FOR clause or raise maxRows deliberately")
+    if (collected.isEmpty) {
+      // preserve the output schema on an empty batch
+      val added = transformed.columns
+        .filterNot(data.columns.contains).filterNot(_ == "prediction")
+      return transformed.drop(added: _*)
+        .withColumn("rank", lit(1))
+        .withColumn("feature", lit(""))
+        .withColumn("contribution", lit(0.0))
+        .limit(0)
+    }
+    val vecSize = collected.head.getAs[MlVector]("features").size
+    require(vecSize == n,
+      s"model has $vecSize assembled features but $n names — " +
+        "per-row explanation needs one name per assembled feature")
+    val bg: Array[Double] = baseline.map(model.transform)
+      .getOrElse(transformed)
+      .agg(array((0 until n).map(j =>
+        avg(vector_to_array(col("features"))(j))): _*).as("m"))
+      .collect()(0).getSeq[Double](0).toArray
+
+    val lastModel = model.stages.reverse.collectFirst {
+      case m: org.apache.spark.ml.PredictionModel[MlVector @unchecked, _] => m
+    }.getOrElse(throw new IllegalArgumentException(
+      "kernelShapRows needs a PredictionModel pipeline stage; got " +
+        model.stages.last.getClass.getSimpleName))
+    def valueFn(cls: Int): MlVector => Double = lastModel match {
+      case pm: org.apache.spark.ml.classification
+          .ProbabilisticClassificationModel[MlVector @unchecked, _] =>
+        v => pm.predictProbability(v)(cls)
+      case pm => v => pm.predict(v)
+    }
+
+    // coalition masks shared by every row; exact enumeration when
+    // feasible, else seeded size-stratified sampling
+    val (masks, weights) = kernelMasks(n, coalitionSamples, seed)
+
+    val added = transformed.columns
+      .filterNot(data.columns.contains).filterNot(_ == "prediction")
+    val keepCols = transformed.columns.filterNot(added.contains)
+    val keepIdx = keepCols.map(c => transformed.columns.indexOf(c))
+    val outSchema = org.apache.spark.sql.types.StructType(
+      keepIdx.map(transformed.schema.fields) ++ Seq(
+        org.apache.spark.sql.types.StructField("rank",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("feature",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("contribution",
+          org.apache.spark.sql.types.DoubleType, nullable = false)))
+
+    val outRows = collected.flatMap { row =>
+      val x = row.getAs[MlVector]("features").toArray
+      val pred = row.getAs[Double]("prediction")
+      val f = valueFn(pred.toInt)
+      val v0 = f(Vectors.dense(bg))
+      val fx = f(Vectors.dense(x))
+      val vals = masks.map { mask =>
+        val z = new Array[Double](n)
+        var j = 0
+        while (j < n) { z(j) = if (mask(j)) x(j) else bg(j); j += 1 }
+        f(Vectors.dense(z)) - v0
+      }
+      val phi = kernelSolve(masks, weights, vals, fx - v0, n)
+      val kept = keepIdx.map(row.get).toSeq
+      featureNames.zip(phi).sortBy { case (_, c) => -math.abs(c) }
+        .take(math.min(topK, n)).zipWithIndex.map { case ((feat, c), i) =>
+          org.apache.spark.sql.Row.fromSeq(kept ++ Seq(i + 1, feat, c))
+        }
+    }
+    spark.createDataFrame(
+      java.util.Arrays.asList(outRows: _*), outSchema)
+  }
+
+  /** Coalition masks + WLS weights. n ≤ 13: all 2ⁿ−2 proper non-empty
+    * subsets with the exact Shapley kernel weight
+    * (n−1)/(C(n,s)·s·(n−s)) — KernelSHAP is then EXACT wrt the single
+    * background point. Larger n: `budget` masks, sizes filled in
+    * decreasing-weight order (1, n−1, 2, n−2, …) the way shap's
+    * KernelExplainer allocates its budget; a sampled size's masks split
+    * that size's TOTAL weight (n−1)/(s·(n−s)) evenly, which keeps the
+    * WLS objective an unbiased estimate of the enumerated one. */
+  private def kernelMasks(n: Int, budget: Int, seed: Long)
+      : (Array[Array[Boolean]], Array[Double]) = {
+    def sizeTotalWeight(s: Int): Double = (n - 1).toDouble / (s * (n - s))
+    if (n == 1) return (Array.empty, Array.empty)
+    if (n <= 13) {
+      val count = (1 << n) - 2
+      val masks = new Array[Array[Boolean]](count)
+      val weights = new Array[Double](count)
+      var bits = 1
+      var i = 0
+      while (bits < (1 << n) - 1) {
+        val mask = Array.tabulate(n)(j => (bits & (1 << j)) != 0)
+        val s = java.lang.Integer.bitCount(bits)
+        // exact kernel weight: (n−1)/(C(n,s)·s·(n−s))
+        var binom = 1.0
+        var t = 0
+        while (t < s) { binom = binom * (n - t) / (t + 1); t += 1 }
+        masks(i) = mask
+        weights(i) = (n - 1).toDouble / (binom * s * (n - s))
+        bits += 1
+        i += 1
+      }
+      (masks, weights)
+    } else {
+      val rng = new scala.util.Random(seed)
+      val sizes = (1 to n / 2).flatMap(s =>
+        if (s == n - s) Seq(s) else Seq(s, n - s))
+      val masksB = Array.newBuilder[Array[Boolean]]
+      val sizeOf = Array.newBuilder[Int]
+      var remaining = budget
+      val it = Iterator.continually(sizes).flatten
+      while (remaining > 0) {
+        val s = it.next()
+        val idx = rng.shuffle((0 until n).toList).take(s)
+        val mask = new Array[Boolean](n)
+        idx.foreach(mask(_) = true)
+        masksB += mask
+        sizeOf += s
+        remaining -= 1
+      }
+      val masks = masksB.result()
+      val ss = sizeOf.result()
+      val perSize = ss.groupBy(identity).map { case (s, g) => s -> g.length }
+      val weights = ss.map(s => sizeTotalWeight(s) / perSize(s))
+      (masks, weights)
+    }
+  }
+
+  /** Constrained weighted least squares of the Shapley kernel objective:
+    * minimize Σ w_S (v(S) − Σ_j φ_j z_{S,j})² s.t. Σ φ_j = fx − v0,
+    * by eliminating the last feature (the standard KernelSHAP solve).
+    * `vals` are v(S) − v0; `total` = fx − v0. */
+  private def kernelSolve(
+      masks: Array[Array[Boolean]], weights: Array[Double],
+      vals: Array[Double], total: Double, n: Int): Array[Double] = {
+    if (n == 1) return Array(total)
+    val k = n - 1
+    val A = Array.ofDim[Double](k, k)
+    val b = new Array[Double](k)
+    var i = 0
+    while (i < masks.length) {
+      val z = masks(i); val w = weights(i)
+      val zk = if (z(k)) 1.0 else 0.0
+      val y = vals(i) - zk * total
+      val xs = new Array[Double](k)
+      var j = 0
+      while (j < k) { xs(j) = (if (z(j)) 1.0 else 0.0) - zk; j += 1 }
+      var a = 0
+      while (a < k) {
+        if (xs(a) != 0.0) {
+          b(a) += w * xs(a) * y
+          var c = 0
+          while (c < k) { A(a)(c) += w * xs(a) * xs(c); c += 1 }
+        }
+        a += 1
+      }
+      i += 1
+    }
+    // tiny ridge: sampled mask sets can be rank-deficient; enumeration
+    // is full-rank and unaffected at this magnitude
+    var d = 0
+    while (d < k) { A(d)(d) += 1e-10; d += 1 }
+    val phi = gaussSolve(A, b)
+    phi :+ (total - phi.sum)
+  }
+
+  /** In-place Gaussian elimination with partial pivoting — the systems
+    * are (numFeatures−1)², driver-side, tiny. */
+  private def gaussSolve(a: Array[Array[Double]], b: Array[Double])
+      : Array[Double] = {
+    val k = b.length
+    var col = 0
+    while (col < k) {
+      var piv = col
+      var r = col + 1
+      while (r < k) {
+        if (math.abs(a(r)(col)) > math.abs(a(piv)(col))) piv = r
+        r += 1
+      }
+      if (piv != col) {
+        val tmp = a(piv); a(piv) = a(col); a(col) = tmp
+        val tb = b(piv); b(piv) = b(col); b(col) = tb
+      }
+      val p = a(col)(col)
+      require(math.abs(p) > 1e-300, "singular kernel SHAP system")
+      r = col + 1
+      while (r < k) {
+        val factor = a(r)(col) / p
+        if (factor != 0.0) {
+          var c = col
+          while (c < k) { a(r)(c) -= factor * a(col)(c); c += 1 }
+          b(r) -= factor * b(col)
+        }
+        r += 1
+      }
+      col += 1
+    }
+    val x = new Array[Double](k)
+    var row = k - 1
+    while (row >= 0) {
+      var s = b(row)
+      var c = row + 1
+      while (c < k) { s -= a(row)(c) * x(c); c += 1 }
+      x(row) = s / a(row)(row)
+      row -= 1
+    }
+    x
+  }
+
   /** The ensemble's baseline predicted-class probability — what the
     * per-class Saabas contributions are measured against: Σ wᵗ·p_root(c).
     * Exposed for identity tests and EXPLAIN output consumers. */

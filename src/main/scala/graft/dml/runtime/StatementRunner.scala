@@ -161,8 +161,26 @@ final class StatementRunner(
           val data = applyForClause(derived, raw)
           // the UNFILTERED frame is the contribution baseline — a
           // single-FOR-row batch must not be its own mean
-          val out = Agents.explainRows(model, data,
-            TrainCompiler.featureNames(spec), k, baseline = Some(derived))
+          val names = TrainCompiler.featureNames(spec)
+          // USING kernel_shap forces the model-agnostic sampler; the
+          // default prefers the deterministic exact/Saabas paths and
+          // falls back to kernel SHAP for model families they don't
+          // cover (naive bayes, MLP, …) instead of failing the EXPLAIN
+          val out = ex.method match {
+            case Some("kernel_shap") =>
+              Agents.kernelShapRows(model, data, names, k,
+                baseline = Some(derived))
+            case _ =>
+              try Agents.explainRows(model, data, names, k,
+                baseline = Some(derived))
+              catch {
+                case e: IllegalArgumentException
+                    if e.getMessage.contains(
+                      "per-row explanation supports") =>
+                  Agents.kernelShapRows(model, data, names, k,
+                    baseline = Some(derived))
+              }
+          }
           RunResult("explain",
             s"top-$k per-row contributions for '${ex.model}'", Some(out))
       }

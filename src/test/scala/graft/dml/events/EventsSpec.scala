@@ -488,6 +488,38 @@ class EventsSpec extends AnyFunSuite {
     }
   }
 
+  test("kernelShapRows agrees with the exact linear decomposition") {
+    val s = spark
+    import s.implicits._
+    // linear target over 3 features: enumeration (2³−2 = 6 coalitions)
+    // makes KernelSHAP exact, and exact SHAP of a linear model against
+    // the mean background IS coef·(x − mean) — the explainRows path
+    Seq((1.0, 2.0, 3.0), (4.0, 1.0, 0.0), (2.0, 5.0, 1.0),
+      (0.0, 3.0, 4.0), (3.0, 0.0, 2.0), (5.0, 4.0, 5.0))
+      .toDF("a", "b", "c")
+      .withColumn("y", col("a") * 2.0 - col("b") * 3.0 + col("c") * 0.5)
+      .createOrReplaceTempView("lin_shap")
+    val spec = DmlParser.parse(
+      "TRAIN MODEL lin_shap_m USING linear_regression(max_iter=50) " +
+        "FROM lin_shap PREDICT y WITH FEATURES(a, b, c)")
+      .asInstanceOf[TrainSpec]
+    val r = graft.dml.runtime.Trainer.train(s, spec)
+    def byRowFeature(df: org.apache.spark.sql.DataFrame)
+        : Map[(Double, String), Double] =
+      df.collect().map(row => (row.getAs[Double]("a"),
+        row.getAs[String]("feature")) ->
+        row.getAs[Double]("contribution")).toMap
+    val exact = byRowFeature(Agents.explainRows(
+      r.model, s.table("lin_shap"), Seq("a", "b", "c"), topK = 3))
+    val kernel = byRowFeature(Agents.kernelShapRows(
+      r.model, s.table("lin_shap"), Seq("a", "b", "c"), topK = 3))
+    assert(kernel.keySet == exact.keySet)
+    exact.foreach { case (key, v) =>
+      assert(math.abs(kernel(key) - v) < 1e-6,
+        s"$key: kernel=${kernel(key)} exact=$v")
+    }
+  }
+
   test("psiDrift: a group on only one side is maximal drift, not dropped") {
     val s = spark
     import s.implicits._

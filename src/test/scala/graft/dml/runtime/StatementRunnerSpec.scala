@@ -156,6 +156,37 @@ class StatementRunnerSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Int]("rank")).toSet == Set(1, 2))
   }
 
+  test("EXPLAIN ... USING kernel_shap runs the sampler end-to-end") {
+    val (runner, _, _) = freshRunner()
+    runner.run(DmlParser.parse(trainDml))
+    val key = spark.table("orders").select("o_orderkey")
+      .orderBy(col("o_orderkey")).limit(1).collect()(0).getLong(0)
+    val rows = runner.run(DmlParser.parse(
+      s"EXPLAIN PREDICTION runner_clf FOR ORDER o_orderkey = $key " +
+        "USING kernel_shap SHOW TOP 2"))
+      .data.get.collect()
+    assert(rows.length == 2)
+    assert(rows.map(_.getAs[String]("feature")).toSet ==
+      Set("o_totalprice", "o_custkey"))
+  }
+
+  test("EXPLAIN ... FOR falls back to kernel_shap for uncovered model families") {
+    val (runner, _, _) = freshRunner()
+    // naive bayes has no exact/Saabas decomposition — the default path
+    // must fall back to the model-agnostic sampler instead of throwing
+    runner.run(DmlParser.parse(
+      "TRAIN MODEL nb_m USING naive_bayes FROM orders " +
+        "PREDICT o_orderstatus WITH FEATURES(o_totalprice, o_custkey)"))
+    val key = spark.table("orders").select("o_orderkey")
+      .orderBy(col("o_orderkey")).limit(1).collect()(0).getLong(0)
+    val rows = runner.run(DmlParser.parse(
+      s"EXPLAIN PREDICTION nb_m FOR ORDER o_orderkey = $key SHOW TOP 2"))
+      .data.get.collect()
+    assert(rows.length == 2)
+    assert(rows.map(_.getAs[String]("feature")).toSet ==
+      Set("o_totalprice", "o_custkey"))
+  }
+
   test("performance_degradation monitor alerts on dropped metrics only") {
     val (runner, registry, bus) = freshRunner()
     runner.run(DmlParser.parse(trainDml)) // v1, real fit
