@@ -378,6 +378,52 @@ object Similarity {
       planes: Int = 24, bands: Int = 3,
       maxBucketSize: Int = Int.MaxValue): DataFrame = {
     require(planes % bands == 0, "planes must divide into bands")
+    cosineNearDupImpl(embeddings, threshold, planes, bands, maxBucketSize)
+  }
+
+  /** Bucket-key width (sign bits per band) that holds expected LSH bucket
+    * occupancy ~constant as the corpus grows: `ceil(log2(n / occupancy))`,
+    * floored at 8 (the fixed-width default).
+    *
+    * Why it must grow: with a FIXED width w there are only 2^w buckets per
+    * band, so on a near-orthogonal corpus (bits ~uniform) expected bucket
+    * occupancy is n/2^w and within-bucket candidate pairs are Θ(n²/2^w) —
+    * quadratic in the corpus once n passes 2^w · occupancy. Measured on
+    * this repo's ScaleProbe before the fix: 8k vectors rescored in ~3s,
+    * 80k in ~77s with the default 8-bit key (≈256 buckets saturated).
+    * Growing w with log2(n) pins occupancy, making candidate work
+    * Θ(n · occupancy) — linear. */
+  def autoBandWidth(n: Long, targetOccupancy: Int = 64): Int = {
+    require(targetOccupancy > 0, "targetOccupancy must be positive")
+    val w = math.ceil(math.log(math.max(n, 1L).toDouble / targetOccupancy)
+      / math.log(2.0)).toInt
+    math.max(8, w)
+  }
+
+  /** [[cosineNearDup]] with the band width chosen from the corpus size
+    * ([[autoBandWidth]]) — the variant to reach for when n is not known to
+    * be small.
+    *
+    * Recall tradeoff, stated precisely: sign-IDENTICAL duplicate families
+    * (exact copies, positively-scaled copies — the planted-dup contract of
+    * `q_dedup_embcos`) share every hyperplane side, so they collide at ANY
+    * width: their recall is 1 regardless of n. Only marginal near-dups
+    * (cosine barely above the threshold) lose per-band collision
+    * probability p^w as w grows; compensate with more `bands` (recall =
+    * 1−(1−p^w)^bands), which adds linear work, not quadratic. Costs one
+    * extra `count()` pass to size the corpus. */
+  def cosineNearDupAuto(
+      embeddings: DataFrame, threshold: Double = 0.95,
+      bands: Int = 3, targetOccupancy: Int = 64,
+      maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    val width = autoBandWidth(embeddings.count(), targetOccupancy)
+    cosineNearDupImpl(embeddings, threshold, width * bands, bands,
+      maxBucketSize)
+  }
+
+  private def cosineNearDupImpl(
+      embeddings: DataFrame, threshold: Double,
+      planes: Int, bands: Int, maxBucketSize: Int): DataFrame = {
     val width = planes / bands
     val sigs = embeddings.withColumn("sig",
       lshSignature(col("embedding"), planes, embeddingDim(embeddings)))

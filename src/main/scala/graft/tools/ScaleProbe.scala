@@ -25,14 +25,20 @@ object ScaleProbe {
       (0 until n).map { i =>
         if (i == 0) df
         else {
-          // rotate the alphabet per copy: each copy is a disjoint
-          // sub-corpus with the original's internal statistics (an
-          // appended suffix or filler token would leave copies
-          // near-duplicates, which minhash correctly flags)
+          // permute the alphabet per copy (seeded): each copy is a
+          // disjoint sub-corpus with the original's internal statistics
+          // (an appended suffix or filler token would leave copies
+          // near-duplicates, which minhash correctly flags). A seeded
+          // PERMUTATION, not a rotation, and a different seed base than
+          // ScaleUp's replicas: rotations compose into rotations, so
+          // probing a ScaleUp-tiled dir with rotated copies would cancel
+          // into exact duplicates of existing replicas and the 4x curve
+          // would measure planted duplication instead of organic growth.
           val abc = "abcdefghijklmnopqrstuvwxyz"
-          val rot = abc.drop(i) + abc.take(i)
+          val perm = new scala.util.Random(2000L + i)
+            .shuffle(abc.toList).mkString
           df.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
-            translate(col("text"), abc, rot).as("text"))
+            translate(col("text"), abc, perm).as("text"))
         }
       }.reduce(_ unionAll _)
 
@@ -40,10 +46,13 @@ object ScaleProbe {
       (0 until n).map { i =>
         if (i == 0) df
         else df.select((col("vec_id") + lit(i * 10000000L)).as("vec_id"),
-          // sign-flip a copy-dependent third of the dims: cosine vs the
-          // original drops to ~1/3, well below any near-dup threshold
+          // hash-seeded sign mask (~half the dims flip, salt 13 — ScaleUp
+          // replicas use salt 7): expected cosine vs the original and vs
+          // every other copy ~0, far below any near-dup threshold. A
+          // modular mask like (j+i)%3 repeats with period 3 and cancels
+          // against ScaleUp's replicas, planting exact duplicates.
           expr(s"transform(embedding, (x, j) -> CAST(x * CASE WHEN " +
-            s"(j + $i) % 3 = 0 THEN -1.0 ELSE 1.0 END AS FLOAT))")
+            s"pmod(hash(j, 13, $i), 2) = 0 THEN -1.0 ELSE 1.0 END AS FLOAT))")
             .as("embedding"))
       }.reduce(_ unionAll _)
 
@@ -59,11 +68,22 @@ object ScaleProbe {
 
     Seq(1, 4).foreach { mult =>
       val d = docCopies(docs, mult)
-      val e = embCopies(embs, mult)
+      // a FIXED set of 100 positively-scaled planted dups rides along as
+      // the corpus grows: found pairs must stay exactly 100 (scaling
+      // preserves every hyperplane side → recall 1 at any band width,
+      // and the organic corpus' max pairwise cosine is far below 0.95)
+      // while time grows ~linearly — the auto band width holds bucket
+      // occupancy constant where the fixed 8-bit key saturates at ~2^8
+      // buckets and rescored candidates grow quadratically.
+      val planted = embs.filter(col("vec_id") < 100).select(
+        (col("vec_id") + 777000000L).as("vec_id"),
+        expr("transform(embedding, x -> CAST(x * CAST(2.0 AS FLOAT) " +
+          "AS FLOAT))").as("embedding"))
+      val e = embCopies(embs, mult).unionAll(planted)
       val (nPairs, tPairs) = time(
         graft.llm.Dedup.minhashCandidates(d).count())
       val (nDup, tDup) = time(
-        graft.llm.Similarity.cosineNearDup(e, threshold = 0.95).count())
+        graft.llm.Similarity.cosineNearDupAuto(e, threshold = 0.95).count())
       // scale the fact table too (shifted supplier keys → mult× keys):
       // output must stay exactly k rows per key as the input grows
       val li = spark.table("lineitem")

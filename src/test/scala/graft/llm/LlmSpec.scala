@@ -43,6 +43,36 @@ class LlmSpec extends AnyFunSuite {
     assert(pairs.length == 100, s"unexpected extra pairs: ${pairs.length - 100}")
   }
 
+  test("auto band width holds occupancy: floor at 8 bits, +1 bit per doubling") {
+    // below 2^8·occupancy the floor applies; beyond it, width tracks
+    // log2(n/occupancy) so expected bucket occupancy stays ~constant
+    assert(Similarity.autoBandWidth(0) == 8)
+    assert(Similarity.autoBandWidth(16384, targetOccupancy = 64) == 8)
+    assert(Similarity.autoBandWidth(16385, targetOccupancy = 64) == 9)
+    assert(Similarity.autoBandWidth(80000, targetOccupancy = 64) == 11)
+    assert(Similarity.autoBandWidth(160000, targetOccupancy = 64) == 12)
+    assert(Similarity.autoBandWidth(1L << 40, targetOccupancy = 64) == 34)
+    intercept[IllegalArgumentException](
+      Similarity.autoBandWidth(100, targetOccupancy = 0))
+  }
+
+  test("cosineNearDupAuto finds the same planted pairs as the fixed width") {
+    val s = spark
+    val e = s.table("embeddings").select("vec_id", "embedding")
+      .filter(col("vec_id") < 100)
+    // positively-scaled copies are sign-identical, so recall is 1 at ANY
+    // band width — the auto variant must find exactly the fixed variant's
+    // planted pairs on the same corpus
+    val scaled = e.select((col("vec_id") + 1000L).as("vec_id"),
+      expr("transform(embedding, x -> CAST(x * CAST(2.0 AS FLOAT) AS FLOAT))")
+        .as("embedding"))
+    val auto = Similarity.cosineNearDupAuto(
+      e.unionAll(scaled), threshold = 0.9).collect()
+    assert(auto.length == 100, s"auto width found ${auto.length}/100 pairs")
+    assert(auto.forall(r => r.getLong(1) == r.getLong(0) + 1000L))
+    assert(auto.forall(_.getDouble(2) >= 0.999999))
+  }
+
   test("minhash candidates find trimmed near-duplicates, not random pairs") {
     val s = spark
     val d = s.table("documents").select("doc_id", "text").filter(col("doc_id") < 50)
