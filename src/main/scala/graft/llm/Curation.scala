@@ -345,4 +345,56 @@ object Curation {
         coalesce(col("_root"), col("doc_id")).as("dup_group"))
     (labeled, round)
   }
+
+  /** Repeated-span removal (the exact-substring dedup of Lee et al. 2021,
+    * "Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499, at segment granularity): documents are cut into
+    * non-overlapping `window`-word segments; a segment occurring in ≥
+    * `minDocs` DISTINCT documents is boilerplate and is dropped from every
+    * document EXCEPT the lowest-doc_id occurrence (keep-one, the C4/Lee
+    * policy — deleting all copies would erase legitimate prose that merely
+    * got syndicated). Returns one row per input doc: segment counts and
+    * the reassembled `clean_text`.
+    *
+    * Plan shape at 100 TB: segments are a single split + explode
+    * projection; the frequency table is a partial-aggregated groupBy on
+    * md5(segment) (constant-width key, prose never in the shuffle key) and
+    * is filtered to the over-threshold set BEFORE the join back — that set
+    * is boilerplate-sized (orders of magnitude smaller than the corpus),
+    * so AQE turns the left join into a broadcast join; reassembly is one
+    * shuffle keyed by doc_id. Within-doc repeats of a non-shared segment
+    * are never dropped (count is per DISTINCT doc). */
+  def spanDedup(docs: DataFrame, window: Int = 3, minDocs: Int = 2)
+      : DataFrame = {
+    require(window > 0 && minDocs >= 2,
+      s"need window > 0 and minDocs >= 2, got window=$window minDocs=$minDocs")
+    val segs = docs
+      .withColumn("_w", split(coalesce(col("text"), lit("")), " "))
+      .withColumn("_ns", ceil(size(col("_w")) / lit(window.toDouble))
+        .cast("bigint"))
+      .select(col("doc_id"),
+        explode(sequence(lit(0L), col("_ns") - 1)).as("seg_idx"),
+        col("_w"))
+      .select(col("doc_id"), col("seg_idx"),
+        array_join(slice(col("_w"),
+          (col("seg_idx") * window + 1).cast("int"), lit(window)), " ")
+          .as("seg"))
+      .withColumn("_k", md5(col("seg")))
+    val repeated = segs
+      .groupBy(col("_k"))
+      .agg(countDistinct(col("doc_id")).as("_nd"),
+        min(col("doc_id")).as("_keeper"))
+      .filter(col("_nd") >= minDocs)
+    segs.join(repeated, Seq("_k"), "left")
+      .withColumn("_keep",
+        (col("_nd").isNull || col("doc_id") === col("_keeper")).cast("int"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segments"),
+        sum(lit(1) - col("_keep")).as("n_dropped"),
+        // sort by seg_idx (first struct field), keep survivors, rejoin —
+        // deterministic regardless of partition arrival order
+        expr("array_join(transform(filter(array_sort(" +
+          "collect_list(struct(seg_idx, _keep, seg))), " +
+          "x -> x._keep = 1), x -> x.seg), ' ')").as("clean_text"))
+  }
 }

@@ -169,6 +169,44 @@ object TextOps {
           .as("last_chunk"))
   }
 
+  /** RAG-style sliding-window chunker: each document becomes overlapping
+    * `chunkSize`-token chunks every `stride` tokens (overlap =
+    * chunkSize − stride), the standard preprocessing for embedding /
+    * retrieval pipelines (cf. reference/DSL.md text-source training — the
+    * unit fed to an embedding model is the chunk, not the document).
+    *
+    * Chunk count per doc = 1 if n ≤ chunkSize else
+    * ceil((n − chunkSize)/stride) + 1 — the textbook formula: the last
+    * window may be short but every token is covered and no window starts
+    * past the end. Plan shape: split once, explode a `sequence` of chunk
+    * indices, slice the materialized token array — a pure narrow
+    * projection, ZERO shuffles at any corpus size (pinned in
+    * `PlanAuditSpec`); output bytes ≈ input × (chunkSize/stride). */
+  def chunkDocs(docs: DataFrame, chunkSize: Int = 32, stride: Int = 24)
+      : DataFrame = {
+    require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
+      s"need 0 < stride <= chunkSize, got stride=$stride chunkSize=$chunkSize")
+    docs
+      .withColumn("_w", split(coalesce(col("text"), lit("")), " "))
+      .withColumn("_n", size(col("_w")).cast("bigint"))
+      // ceil over an explicit double divide: Spark and DuckDB land on the
+      // same doubles, so the chunk count replays exactly in the oracle
+      .withColumn("_nc",
+        when(col("_n") <= chunkSize, lit(1L))
+          .otherwise(ceil((col("_n") - chunkSize) / lit(stride.toDouble))
+            .cast("bigint") + 1L))
+      .select(col("doc_id"),
+        explode(sequence(lit(0L), col("_nc") - 1)).as("chunk_idx"),
+        col("_w"))
+      .select(col("doc_id"), col("chunk_idx"),
+        (col("chunk_idx") * stride).as("chunk_start"),
+        size(slice(col("_w"), (col("chunk_idx") * stride + 1).cast("int"),
+          lit(chunkSize))).cast("bigint").as("n_tokens"),
+        array_join(slice(col("_w"),
+          (col("chunk_idx") * stride + 1).cast("int"), lit(chunkSize)), " ")
+          .as("chunk_text"))
+  }
+
   /** Corpus-wide most-frequent word k-grams: explode → partial-aggregated
     * count → sort+limit (TakeOrderedAndProject — each partition ships only
     * its own top n). Ties break on the gram text for determinism. */

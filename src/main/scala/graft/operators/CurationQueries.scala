@@ -8,9 +8,11 @@ import graft.llm.{Curation, Dedup}
 
 /** Driver-gate entries for the corpus-curation tier (SURVEY §2.8 extension):
   * benchmark decontamination, repetition/quality metrics, PII scrubbing,
-  * and duplicate-group assignment over the MinHash candidate graph. All
-  * four are fully DuckDB-oracled — the md5 gram keys, RE2-compatible
-  * regexes, and unrolled label-propagation rounds replay exactly.
+  * duplicate-group assignment over the MinHash candidate graph,
+  * repeated-span removal, and RAG chunking. All fully DuckDB-oracled —
+  * the md5 gram/segment keys, RE2-compatible regexes, unrolled
+  * label-propagation rounds, and list-slice window arithmetic replay
+  * exactly.
   */
 object CurationQueries {
 
@@ -86,6 +88,18 @@ object CurationQueries {
     // corpus-wide most-frequent trigrams (sort+limit = TakeOrdered)
     "q_top_ngrams" -> { (s, dir) =>
       graft.llm.TextOps.topNgrams(docs(s, dir), k = 3, n = 20)
+    },
+
+    // Lee-et-al-style repeated-span removal: 3-word segments occurring in
+    // >= 2 distinct docs are kept only in the lowest-doc_id occurrence
+    "q_dedup_spans" -> { (s, dir) =>
+      Curation.spanDedup(docs(s, dir), window = 3, minDocs = 2)
+    },
+
+    // RAG sliding-window chunker: 32-token windows every 24 tokens
+    // (8-token overlap); pure projection, zero shuffles
+    "q_chunk_docs" -> { (s, dir) =>
+      graft.llm.TextOps.chunkDocs(docs(s, dir), chunkSize = 32, stride = 24)
     })
 
   def oracles: Map[String, String] = Map(
@@ -238,7 +252,50 @@ object CurationQueries {
         |SELECT gram, CAST(count(*) AS BIGINT) AS n_occurrences
         |FROM g GROUP BY gram
         |ORDER BY n_occurrences DESC, gram ASC
-        |LIMIT 20""".stripMargin)
+        |LIMIT 20""".stripMargin,
+
+    // DuckDB list slices are 1-based inclusive: w[a:b] = Spark
+    // slice(w, a, b-a+1). string_agg skips the NULL (dropped) segments
+    // and returns NULL when every segment dropped — coalesce to '' to
+    // match Spark's array_join over an empty survivor array.
+    "q_dedup_spans" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, w, CAST(ceil(len(w) / 3.0) AS BIGINT) AS ns FROM t),
+        |segs AS (
+        |  SELECT doc_id, i AS seg_idx,
+        |    array_to_string(w[(i*3+1):(i*3+3)], ' ') AS seg
+        |  FROM c, unnest(range(ns)) AS r(i)),
+        |keyed AS (SELECT doc_id, seg_idx, seg, md5(seg) AS k FROM segs),
+        |freq AS (
+        |  SELECT k, min(doc_id) AS keeper
+        |  FROM keyed GROUP BY k HAVING count(DISTINCT doc_id) >= 2),
+        |j AS (
+        |  SELECT kk.doc_id, kk.seg_idx, kk.seg,
+        |    (f.k IS NULL OR kk.doc_id = f.keeper) AS keep
+        |  FROM keyed kk LEFT JOIN freq f ON kk.k = f.k)
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_segments,
+        |  CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+        |  coalesce(string_agg(CASE WHEN keep THEN seg END, ' '
+        |    ORDER BY seg_idx), '') AS clean_text
+        |FROM j GROUP BY doc_id""".stripMargin,
+
+    "q_chunk_docs" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, w,
+        |    CASE WHEN len(w) <= 32 THEN 1
+        |      ELSE CAST(ceil((len(w) - 32) / 24.0) AS BIGINT) + 1 END AS nc
+        |  FROM t)
+        |SELECT doc_id, i AS chunk_idx, i * 24 AS chunk_start,
+        |  CAST(len(w[(i*24+1):(i*24+32)]) AS BIGINT) AS n_tokens,
+        |  array_to_string(w[(i*24+1):(i*24+32)], ' ') AS chunk_text
+        |FROM c, unnest(range(nc)) AS r(i)""".stripMargin)
 
   def verifySort: Map[String, Seq[String]] = Map(
     "q_decontaminate" -> Seq("doc_id"),
@@ -246,5 +303,7 @@ object CurationQueries {
     "q_pii_scrub" -> Seq("doc_id"),
     "q_dedup_groups" -> Seq("doc_id"),
     "q_dedup_groups_cc" -> Seq("doc_id"),
-    "q_seq_pack" -> Seq("doc_id"))
+    "q_seq_pack" -> Seq("doc_id"),
+    "q_dedup_spans" -> Seq("doc_id"),
+    "q_chunk_docs" -> Seq("doc_id", "chunk_idx"))
 }

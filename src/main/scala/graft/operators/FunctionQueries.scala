@@ -72,9 +72,15 @@ object FunctionQueries {
     // §2.5 gen_random_uuid → uuid(): values are random by construction, so
     // the oracle pins the deterministic derived facts — row count, distinct
     // count (collision-free at fixture scale), and RFC-4122 shape.
+    // uuid generation + regex validation is pure CPU: at scale the scan's
+    // many splits parallelize it for free, but the fixture is ONE small
+    // parquet file = one input split = one core. Fan the rows out first
+    // (a shuffle of 150k empty rows, ~ms) so the generator runs on every
+    // core — the same plan a real corpus gets from its file count.
     "q_uuid_shape" -> { (s, dir) =>
       Tables.register(s, dir)
       s.table("orders")
+        .select(lit(1).as("_one")).repartition()
         .select(expr("uuid()").as("u"))
         .agg(count(lit(1)).as("n_rows"),
           countDistinct(col("u")).as("n_distinct"),

@@ -171,4 +171,17 @@ class PlanAuditSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"),
       s"cell probe must stay an equi-join on _list:\n$p")
   }
+
+  test("q_chunk_docs is a pure projection+generate — zero shuffles") {
+    val p = plan("q_chunk_docs")
+    assert(!p.contains("Exchange"),
+      s"chunking must stay a narrow split/explode/slice pipeline:\n$p")
+  }
+
+  test("q_dedup_spans joins back on the md5 segment key — no cartesian") {
+    val p = plan("q_dedup_spans")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"the repeated-segment join must stay an equi-join on md5(seg):\n$p")
+  }
 }

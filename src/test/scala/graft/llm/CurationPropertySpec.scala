@@ -48,6 +48,37 @@ class CurationPropertySpec extends AnyFunSuite {
     assert(result.passed, result.status.toString)
   }
 
+  test("property_chunkdocs_covers_every_token_exactly") {
+    val s = SparkTestSession.spark
+    import s.implicits._
+    val gen = for {
+      n <- Gen.choose(1, 60)
+      chunkSize <- Gen.choose(1, 12)
+      stride <- Gen.choose(1, chunkSize)
+    } yield (n, chunkSize, stride)
+    val prop = Prop.forAll(gen) { case (n, chunkSize, stride) =>
+      val tokens = (0 until n).map(i => s"t$i")
+      val df = Seq((1L, tokens.mkString(" "))).toDF("doc_id", "text")
+      val chunks = TextOps.chunkDocs(df, chunkSize, stride).collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+        .sortBy(_._1)
+      val expectedCount =
+        if (n <= chunkSize) 1L
+        else math.ceil((n - chunkSize).toDouble / stride).toLong + 1L
+      val covered = chunks.flatMap { case (_, start, len, _) =>
+        start until (start + len) }.toSet
+      chunks.length == expectedCount &&
+        covered == (0L until n.toLong).toSet && // every token, no gaps
+        chunks.forall { case (idx, start, len, text) =>
+          start == idx * stride &&
+            text == tokens.slice(start.toInt, (start + len).toInt).mkString(" ")
+        }
+    }
+    val result = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(result.passed, result.status.toString)
+  }
+
   private val edgesGen: Gen[List[(Long, Long)]] = Gen.listOfN(12,
     Gen.zip(Gen.choose(0L, 7L), Gen.choose(0L, 7L)))
 

@@ -170,6 +170,56 @@ class CurationSpec extends AnyFunSuite {
     assert(top(0).getString(0) < top(1).getString(0))
   }
 
+  test("span dedup keeps a repeated segment only in its lowest-doc_id doc") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1L, "x y z x y z a b c"), // keeper of 'x y z'; within-doc repeat kept
+      (2L, "x y z q r s"),       // non-keeper: loses its copy
+      (3L, "")).toDF("doc_id", "text")
+    val out = Curation.spanDedup(d, window = 3, minDocs = 2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(out(1L) == ((3L, 0L, "x y z x y z a b c")))
+    assert(out(2L) == ((2L, 1L, "q r s")))
+    assert(out(3L) == ((1L, 0L, "")))
+  }
+
+  test("span dedup empties a fully-boilerplate non-keeper doc") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (5L, "p q r"), (9L, "p q r"), (7L, "p q r other words here"))
+      .toDF("doc_id", "text")
+    val out = Curation.spanDedup(d, window = 3, minDocs = 2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(out(5L) == ((1L, 0L, "p q r")))       // keeper (min doc_id)
+    assert(out(9L) == ((1L, 1L, "")))            // dropped to empty
+    assert(out(7L) == ((2L, 1L, "other words here")))
+  }
+
+  test("chunkDocs slides the textbook window with a short final chunk") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1L, "a b c d e f g"), // 7 tokens, size 4 stride 3 -> 2 chunks
+      (2L, "a b"),           // n <= size -> single whole-doc chunk
+      (3L, "")).toDF("doc_id", "text")
+    val out = TextOps.chunkDocs(d, chunkSize = 4, stride = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getString(4))))
+      .toMap
+    assert(out.size == 4)
+    assert(out((1L, 0L)) == ((0L, 4L, "a b c d")))
+    assert(out((1L, 1L)) == ((3L, 4L, "d e f g"))) // 1-token overlap
+    assert(out((2L, 0L)) == ((0L, 2L, "a b")))
+    assert(out((3L, 0L)) == ((0L, 1L, "")))
+  }
+
   test("dup groups assigns one group per planted duplicate pair on the corpus") {
     val s = spark
     val d = s.table("documents").select("doc_id", "text")
