@@ -115,6 +115,22 @@ object ComputeRegistry {
     "percent_rank" -> { (df, ins, out) =>
       graft.llm.Sampling.percentRank(df, ins.head)
         .withColumnRenamed("percent_rank", out)
+    },
+    // Lee-et-al repeated-span removal: the cleaned text (boilerplate
+    // segments kept only in their lowest-doc_id occurrence) attached as
+    // the output column; every input row is preserved
+    "span_dedup" -> { (df, ins, out) =>
+      val cleaned = graft.llm.Curation.spanDedup(keyed(df, ins.head))
+        .select(col("doc_id"), col("clean_text").as(out))
+      df.join(cleaned, Seq("doc_id"))
+    },
+    // RAG sliding-window chunking — the one relation-EXPANDING kernel:
+    // the result has one row per chunk (doc_id, chunk_idx, chunk_start,
+    // n_tokens, <out>), not one per input doc; INTO column(...) names
+    // the chunk-text column
+    "chunk_docs" -> { (df, ins, out) =>
+      graft.llm.TextOps.chunkDocs(keyed(df, ins.head))
+        .withColumnRenamed("chunk_text", out)
     })
 
   tableBuiltins.foreach { case (k, v) => tableKernels.put(k, v) }

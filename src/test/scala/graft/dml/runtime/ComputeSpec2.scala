@@ -133,6 +133,38 @@ class ComputeSpec2 extends AnyFunSuite {
       .map(_.getInt(0)).toSeq == Seq(64))
   }
 
+  test("span_dedup table kernel attaches cleaned text via the DSL") {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (1L, "x y z x y z a b c"),
+      (2L, "x y z q r s"),
+      (3L, "solo words only here!")).toDF("doc_id", "text")
+      .createOrReplaceTempView("span_docs")
+    val out = ComputeRegistry.runOnce(s,
+      parse("COMPUTE clean FROM table(text) INTO column(clean_text) " +
+        "USING span_dedup"),
+      "span_docs")
+    assert(out.count() == 3) // row set preserved
+    val m = out.select("doc_id", "clean_text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m(1L) == "x y z x y z a b c") // keeper keeps everything
+    assert(m(2L) == "q r s")             // shared segment removed
+  }
+
+  test("chunk_docs table kernel expands each doc into sliding windows") {
+    val s = spark
+    val out = ComputeRegistry.runOnce(s,
+      parse("COMPUTE ch FROM table(text) INTO column(chunk) USING chunk_docs"),
+      "documents")
+    val nDocs = s.table("documents").count()
+    assert(out.count() > nDocs) // relation-expanding: > one row per doc
+    assert(out.columns.toSeq ==
+      Seq("doc_id", "chunk_idx", "chunk_start", "n_tokens", "chunk"))
+    // chunk 0 of every doc starts at token 0
+    assert(out.filter(col("chunk_idx") === 0).count() == nDocs)
+  }
+
   test("table kernels demand a doc_id key with a clear error") {
     val s = spark
     val spec = parse(
