@@ -207,6 +207,45 @@ object TextOps {
           .as("chunk_text"))
   }
 
+  /** Frequency vocabulary fit — the tokenizer-training step of a data
+    * pipeline: the `vocabSize` most frequent tokens, ids 1..V assigned in
+    * (count desc, token asc) order (deterministic ties). The corpus-wide
+    * count is a partial-aggregated groupBy; the top-V cut is sort+limit
+    * (TakeOrderedAndProject — each partition ships only its own top V);
+    * the single-partition rank window then runs over the ALREADY-BOUNDED
+    * V-row table, never the corpus (id 0 is reserved for OOV). */
+  def buildVocab(docs: DataFrame, vocabSize: Int = 1000): DataFrame = {
+    require(vocabSize > 0, s"vocabSize must be positive, got $vocabSize")
+    docs
+      .select(explode(split(coalesce(col("text"), lit("")), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("token").asc)
+      .limit(vocabSize)
+      .withColumn("token_id", row_number().over(
+          Window.orderBy(col("n_occurrences").desc, col("token").asc))
+        .cast("bigint"))
+  }
+
+  /** Tokenizer apply: every doc's tokens mapped to vocab ids in order
+    * (OOV → 0), plus token/OOV counts. The vocabulary is broadcast (V is
+    * bounded by construction), so the only shuffle is the per-doc
+    * reassembly keyed by doc_id; ids are emitted as a space-joined string
+    * — the densest engine-portable form of the id sequence. */
+  def encodeDocs(docs: DataFrame, vocab: DataFrame): DataFrame = {
+    docs
+      .withColumn("_w", split(coalesce(col("text"), lit("")), " "))
+      .select(col("doc_id"), posexplode(col("_w")).as(Seq("pos", "token")))
+      .join(broadcast(vocab.select(col("token"), col("token_id"))),
+        Seq("token"), "left")
+      .withColumn("_id", coalesce(col("token_id"), lit(0L)))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("bigint").as("n_tokens"),
+        sum(when(col("token_id").isNull, 1L).otherwise(0L)).as("n_oov"),
+        expr("array_join(transform(array_sort(collect_list(" +
+          "struct(pos, _id))), x -> cast(x._id as string)), ' ')")
+          .as("ids_str"))
+  }
+
   /** Corpus-wide most-frequent word k-grams: explode → partial-aggregated
     * count → sort+limit (TakeOrderedAndProject — each partition ships only
     * its own top n). Ties break on the gram text for determinism. */

@@ -100,6 +100,15 @@ object CurationQueries {
     // (8-token overlap); pure projection, zero shuffles
     "q_chunk_docs" -> { (s, dir) =>
       graft.llm.TextOps.chunkDocs(docs(s, dir), chunkSize = 32, stride = 24)
+    },
+
+    // tokenizer fit+apply: top-16 vocabulary (small enough that the
+    // fixture corpus has real OOV tokens), ids broadcast back, every doc
+    // encoded to an ordered id string
+    "q_vocab_encode" -> { (s, dir) =>
+      val d = docs(s, dir)
+      graft.llm.TextOps.encodeDocs(d,
+        graft.llm.TextOps.buildVocab(d, vocabSize = 16))
     })
 
   def oracles: Map[String, String] = Map(
@@ -295,7 +304,31 @@ object CurationQueries {
         |SELECT doc_id, i AS chunk_idx, i * 24 AS chunk_start,
         |  CAST(len(w[(i*24+1):(i*24+32)]) AS BIGINT) AS n_tokens,
         |  array_to_string(w[(i*24+1):(i*24+32)], ' ') AS chunk_text
-        |FROM c, unnest(range(nc)) AS r(i)""".stripMargin)
+        |FROM c, unnest(range(nc)) AS r(i)""".stripMargin,
+
+    // pos is 0-based to match Spark's posexplode; vocab ids 1..16 in
+    // (count DESC, token ASC) order, OOV encoded as 0
+    "q_vocab_encode" ->
+      """WITH tok AS (
+        |  SELECT doc_id, i - 1 AS pos, w[i] AS token
+        |  FROM (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w
+        |        FROM documents),
+        |       unnest(range(1, len(w) + 1)) AS r(i)),
+        |vc AS (
+        |  SELECT token, count(*) AS c FROM tok GROUP BY token
+        |  ORDER BY c DESC, token ASC LIMIT 16),
+        |vocab AS (
+        |  SELECT token,
+        |    row_number() OVER (ORDER BY c DESC, token ASC) AS token_id
+        |  FROM vc)
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN v.token_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_oov,
+        |  string_agg(CAST(coalesce(v.token_id, 0) AS VARCHAR), ' '
+        |    ORDER BY pos) AS ids_str
+        |FROM tok t LEFT JOIN vocab v ON t.token = v.token
+        |GROUP BY doc_id""".stripMargin)
 
   def verifySort: Map[String, Seq[String]] = Map(
     "q_decontaminate" -> Seq("doc_id"),
@@ -305,5 +338,6 @@ object CurationQueries {
     "q_dedup_groups_cc" -> Seq("doc_id"),
     "q_seq_pack" -> Seq("doc_id"),
     "q_dedup_spans" -> Seq("doc_id"),
-    "q_chunk_docs" -> Seq("doc_id", "chunk_idx"))
+    "q_chunk_docs" -> Seq("doc_id", "chunk_idx"),
+    "q_vocab_encode" -> Seq("doc_id"))
 }

@@ -184,4 +184,11 @@ class PlanAuditSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"),
       s"the repeated-segment join must stay an equi-join on md5(seg):\n$p")
   }
+
+  test("q_vocab_encode broadcasts the bounded vocabulary to the encoder") {
+    val p = plan("q_vocab_encode")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
+      s"the V-row vocab must broadcast — a shuffle join here would " +
+        s"repartition the exploded token stream by token text:\n$p")
+  }
 }

@@ -220,6 +220,31 @@ class CurationSpec extends AnyFunSuite {
     assert(out((3L, 0L)) == ((0L, 1L, "")))
   }
 
+  test("vocab fit+apply encodes in frequency order with OOV as 0") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1L, "b b b a a c"), // b:3 a:2 c:1
+      (2L, "a b rare")).toDF("doc_id", "text")
+    val vocab = TextOps.buildVocab(d, vocabSize = 3)
+    val v = vocab.collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(v == Map("b" -> 1L, "a" -> 2L, "c" -> 3L)) // count desc, token asc
+    val out = TextOps.encodeDocs(d, vocab).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(out(1L) == ((6L, 0L, "1 1 1 2 2 3")))
+    assert(out(2L) == ((3L, 1L, "2 1 0"))) // 'rare' cut by V=3 -> OOV
+  }
+
+  test("vocab ties rank deterministically by token text") {
+    val s = spark
+    import s.implicits._
+    val d = Seq((1L, "z y x z y x")).toDF("doc_id", "text") // all count 2
+    val v = TextOps.buildVocab(d, vocabSize = 2).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(v == Map("x" -> 1L, "y" -> 2L))
+  }
+
   test("dup groups assigns one group per planted duplicate pair on the corpus") {
     val s = spark
     val d = s.table("documents").select("doc_id", "text")
