@@ -73,14 +73,20 @@ object FunctionQueries {
     // the oracle pins the deterministic derived facts — row count, distinct
     // count (collision-free at fixture scale), and RFC-4122 shape.
     // uuid generation + regex validation is pure CPU: at scale the scan's
-    // many splits parallelize it for free, but the fixture is ONE small
-    // parquet file = one input split = one core. Fan the rows out first
-    // (a shuffle of 150k empty rows, ~ms) so the generator runs on every
-    // core — the same plan a real corpus gets from its file count.
+    // many splits parallelize it for free, but a SMALL corpus can be one
+    // parquet file = one input split = one core. Fan out ONLY in that
+    // case: an unconditional repartition() re-shuffles (and, per
+    // sortBeforeRepartition, locally sorts) the full row set even when
+    // the scan already parallelizes — measured 0.8s -> 4.4s at sf1.
     "q_uuid_shape" -> { (s, dir) =>
       Tables.register(s, dir)
-      s.table("orders")
-        .select(lit(1).as("_one")).repartition()
+      val t = s.table("orders")
+      // inputFiles is pure catalog metadata (no plan compiled, no job);
+      // a many-file corpus already scans in parallel, and an oversized
+      // single file still splits on row-group boundaries downstream
+      val base = t.select(lit(1).as("_one"))
+      val fanned = if (t.inputFiles.length < 8) base.repartition() else base
+      fanned
         .select(expr("uuid()").as("u"))
         .agg(count(lit(1)).as("n_rows"),
           countDistinct(col("u")).as("n_distinct"),
