@@ -421,6 +421,59 @@ object Similarity {
       maxBucketSize)
   }
 
+  /** Cross-corpus cosine pairs above a threshold — embedding-space
+    * decontamination: n-gram overlap ([[Curation.decontaminate]]) misses
+    * paraphrased benchmark leakage, so the standard second pass matches
+    * train embeddings against benchmark embeddings in cosine space.
+    *
+    * Same banded-LSH shape as [[cosineNearDup]] but the bucket join is
+    * BETWEEN the two frames (never a self-join, never all-pairs): both
+    * sides are signed by the same deterministic hyperplanes, the join
+    * carries only (band, id), candidate pairs are DISTINCT-ed before the
+    * one cosine each pays, and `maxBucketSize` excludes over-cap buckets
+    * per side (an m×k bucket emits m·k candidates). At 100 TB the
+    * benchmark side is MB-scale, so its banded rows broadcast and the
+    * train corpus never shuffles — AQE picks that up from size estimates.
+    *
+    * Sign-identical leakage (verbatim or positively-scaled copies) shares
+    * every hyperplane side and is found at ANY band width; only marginal
+    * paraphrases (cosine barely above the threshold) trade recall for
+    * bands, exactly [[cosineNearDupAuto]]'s tradeoff. */
+  def crossCosinePairs(
+      left: DataFrame, right: DataFrame, threshold: Double = 0.9,
+      planes: Int = 24, bands: Int = 3,
+      maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    require(planes % bands == 0, "planes must divide into bands")
+    val width = planes / bands
+    val dim = embeddingDim(left)
+    def banded(df: DataFrame, idAs: String): DataFrame = {
+      val b = df
+        .withColumn("sig", lshSignature(col("embedding"), planes, dim))
+        .select(col("vec_id").as(idAs),
+          posexplode(array((0 until bands).map(i =>
+            substring(col("sig"), i * width + 1, width)): _*))
+            .as(Seq("band_idx", "band_key")))
+      if (maxBucketSize == Int.MaxValue) b
+      else b.join(
+        broadcast(b.groupBy("band_idx", "band_key")
+          .agg(count(lit(1)).as("_n")).filter(col("_n") > maxBucketSize)
+          .select("band_idx", "band_key")),
+        Seq("band_idx", "band_key"), "left_anti")
+    }
+    val pairs = banded(left, "left_id")
+      .join(banded(right, "right_id"), Seq("band_idx", "band_key"))
+      .select("left_id", "right_id")
+      .distinct()
+    val el = left.select(col("vec_id").as("left_id"),
+      col("embedding").as("emb_l"))
+    val er = right.select(col("vec_id").as("right_id"),
+      col("embedding").as("emb_r"))
+    pairs.join(el, Seq("left_id")).join(er, Seq("right_id"))
+      .select(col("left_id"), col("right_id"),
+        round(cosine(col("emb_l"), col("emb_r")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
   private def cosineNearDupImpl(
       embeddings: DataFrame, threshold: Double,
       planes: Int, bands: Int, maxBucketSize: Int): DataFrame = {

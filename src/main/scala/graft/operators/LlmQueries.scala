@@ -230,6 +230,21 @@ object LlmQueries {
         planes = 24, bands = 3)
     },
 
+    // embedding-space decontamination: benchmark = every 10th embedding;
+    // train = the rest plus positively-scaled copies of the benchmark
+    // (sign-identical, so LSH recall is 1 on the planted leakage). Each
+    // planted copy matches exactly its benchmark source.
+    "q_decontaminate_emb" -> { (s, dir) =>
+      val e = embs(s, dir).select("vec_id", "embedding")
+      val bench = e.filter(col("vec_id") % 10 === 0)
+      val train = e.filter(col("vec_id") % 10 =!= 0).unionAll(
+        bench.select((col("vec_id") + 200000L).as("vec_id"),
+          expr("transform(embedding, x -> CAST(x * CAST(0.5 AS FLOAT) AS FLOAT))")
+            .as("embedding")))
+      Similarity.crossCosinePairs(train, bench, threshold = 0.9,
+        planes = 24, bands = 3)
+    },
+
     "q_multimodal_join" -> { (s, dir) =>
       Multimodal.joined(docs(s, dir), embs(s, dir))
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
@@ -449,6 +464,33 @@ object LlmQueries {
         |    , 6) AS cos_sim
         |  FROM u a JOIN u b ON a.vec_id < b.vec_id)
         |SELECT vec_a, vec_b, cos_sim FROM s WHERE cos_sim >= 0.9""".stripMargin,
+
+    // algorithm-independent oracle, same convention as q_dedup_embcos:
+    // the all-pairs cross cosine — valid because planted (scaled) leakage
+    // is sign-identical (LSH recall 1) and the fixture has no organic
+    // cross pair at or above the threshold
+    "q_decontaminate_emb" ->
+      """WITH bench AS (
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0),
+        |train AS (
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 <> 0
+        |  UNION ALL
+        |  SELECT vec_id + 200000 AS vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(x * CAST(0.5 AS FLOAT) AS FLOAT)) AS embedding
+        |  FROM bench),
+        |s AS (
+        |  SELECT t.vec_id AS left_id, b.vec_id AS right_id,
+        |    round(
+        |      list_sum(list_transform(range(1, len(t.embedding) + 1),
+        |        i -> CAST(t.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(range(1, len(t.embedding) + 1),
+        |           i -> CAST(t.embedding[i] AS DOUBLE) * CAST(t.embedding[i] AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),
+        |           i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))
+        |    , 6) AS cos_sim
+        |  FROM train t, bench b)
+        |SELECT left_id, right_id, cos_sim FROM s WHERE cos_sim >= 0.9""".stripMargin,
 
     "q_ann_cosine_topk" ->
       """WITH q AS (
@@ -686,6 +728,7 @@ object LlmQueries {
     "q_dedup_simhash" -> Seq("doc_id"),
     "q_dedup_ngram_jaccard" -> Seq("doc_a"),
     "q_dedup_embcos" -> Seq("vec_a", "vec_b"),
+    "q_decontaminate_emb" -> Seq("left_id", "right_id"),
     "q_corpus_filter" -> Seq("doc_id"),
     "q_text_stats" -> Seq("doc_id"),
     "q_lang_guess" -> Seq("doc_id"),

@@ -185,6 +185,14 @@ class PlanAuditSpec extends AnyFunSuite {
       s"the repeated-segment join must stay an equi-join on md5(seg):\n$p")
   }
 
+  test("q_decontaminate_emb stays a banded equi-join — never a cartesian") {
+    val p = plan("q_decontaminate_emb")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"the cross-corpus candidate join must stay an equi-join on " +
+        s"(band_idx, band_key):\n$p")
+  }
+
   test("q_vocab_encode broadcasts the bounded vocabulary to the encoder") {
     val p = plan("q_vocab_encode")
     assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),

@@ -43,6 +43,43 @@ class LlmSpec extends AnyFunSuite {
     assert(pairs.length == 100, s"unexpected extra pairs: ${pairs.length - 100}")
   }
 
+  test("cross-corpus cosine pairs find planted benchmark leakage exactly") {
+    val s = spark
+    val e = s.table("embeddings").select("vec_id", "embedding")
+      .filter(col("vec_id") < 100)
+    val bench = e.filter(col("vec_id") % 10 === 0)
+    // train = the non-benchmark vectors plus scaled benchmark copies —
+    // positive scaling is sign-identical, so LSH recall is 1 on leakage
+    val train = e.filter(col("vec_id") % 10 =!= 0).unionAll(
+      bench.select((col("vec_id") + 2000L).as("vec_id"),
+        expr("transform(embedding, x -> CAST(x * CAST(0.5 AS FLOAT) AS FLOAT))")
+          .as("embedding")))
+    val pairs = Similarity.crossCosinePairs(train, bench, threshold = 0.9,
+      planes = 24, bands = 3).collect()
+    assert(pairs.length == 10, s"expected the 10 planted pairs, got ${pairs.length}")
+    assert(pairs.forall(r => r.getLong(0) == r.getLong(1) + 2000L))
+    assert(pairs.forall(_.getDouble(2) >= 0.999999))
+  }
+
+  test("cross-corpus bucket cap suppresses a degenerate benchmark bucket") {
+    val s = spark
+    import s.implicits._
+    val dim = 4
+    // 20 identical train vectors + the same vector in bench: a 20x1
+    // bucket; cap 5 excludes it while a distinct planted pair survives
+    val boiler = Seq.fill(20)(Array(1f, 2f, 3f, 4f))
+    val train = (boiler.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }
+      :+ (100L, Seq(4f, 3f, 2f, 1f))).toDF("vec_id", "embedding")
+    val bench = Seq(
+      (0L, Seq(1f, 2f, 3f, 4f)), (1L, Seq(4f, 3f, 2f, 1f)))
+      .toDF("vec_id", "embedding")
+    val capped = Similarity.crossCosinePairs(train, bench,
+      threshold = 0.999, maxBucketSize = 5).collect()
+    assert(capped.forall(r => r.getLong(0) == 100L && r.getLong(1) == 1L),
+      s"over-cap boilerplate bucket must be excluded: ${capped.mkString(",")}")
+    assert(capped.length == 1)
+  }
+
   test("auto band width holds occupancy: floor at 8 bits, +1 bit per doubling") {
     // below 2^8·occupancy the floor applies; beyond it, width tracks
     // log2(n/occupancy) so expected bucket occupancy stays ~constant
