@@ -146,7 +146,9 @@ object Sampling {
         s"maxDistinctValues=$maxDistinctValues; the rank histogram would " +
         "approach row count and its prefix-sum window becomes a " +
         "single-partition bottleneck at scale. Discretize the column " +
-        "first (e.g. round(score, 3)) or raise the cap explicitly.")
+        "first (e.g. round(score, 3)), use percentRankContinuous (exact " +
+        "range-partitioned rank, any cardinality), or raise the cap " +
+        "explicitly.")
     val wPrev = Window.orderBy(valueCol).rowsBetween(Window.unboundedPreceding, -1)
     val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val ranked = hist
@@ -170,4 +172,46 @@ object Sampling {
       maxDistinctValues: Long = 1000000L): DataFrame =
     percentRank(docs, valueCol, maxDistinctValues)
       .filter(col("percent_rank") >= minPercentRank)
+
+  /** percent_rank for CONTINUOUS value columns — the case [[percentRank]]'s
+    * cardinality guard refuses (a near-row-count histogram). This is the
+    * corpusShuffle machinery pointed at the value: range-partition on
+    * (value, doc_id), row_number within each range partition, offset by
+    * the broadcast per-partition counts — an exact global position with
+    * NO single global window at any cardinality.
+    *
+    * Semantics difference, stated precisely: ties are broken by doc_id
+    * (position-based percentile, (pos − 1)/(N − 1)), where the SQL
+    * percent_rank gives tied values the same rank. On a genuinely
+    * continuous column ties are measure-zero and the two agree; for
+    * heavy-tie columns use [[percentRank]], whose histogram handles ties
+    * exactly and whose cost is bounded by the cardinality this variant
+    * exists to escape. NULL values get a NULL rank (rows preserved). */
+  def percentRankContinuous(
+      docs: DataFrame, valueCol: String, parallelism: Int = 32): DataFrame = {
+    require(docs.columns.contains("doc_id"),
+      s"percentRankContinuous requires a 'doc_id' key column; relation " +
+        s"has [${docs.columns.mkString(", ")}]")
+    val keyed = PipelineCaches.track(
+      docs.filter(col(valueCol).isNotNull)
+        .select(col("doc_id"), col(valueCol))
+        .repartitionByRange(parallelism, col(valueCol), col("doc_id"))
+        .withColumn("_pid", spark_partition_id())
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val n = keyed.count() // also materializes the (row → pid) assignment
+    val offsets = keyed.groupBy("_pid").agg(count(lit(1)).as("_c"))
+      .withColumn("_offset",
+        coalesce(sum("_c").over(
+          Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select("_pid", "_offset")
+    val intra = Window.partitionBy("_pid").orderBy(col(valueCol), col("doc_id"))
+    val ranked = keyed.withColumn("_r", row_number().over(intra))
+      .join(broadcast(offsets), Seq("_pid"))
+      .select(col("doc_id"),
+        (if (n > 1)
+          round((col("_offset") + col("_r") - 1).cast("double") / (n - 1), 6)
+        else lit(0.0)).as("percent_rank"))
+    docs.join(ranked, Seq("doc_id"), "left")
+  }
 }

@@ -55,6 +55,17 @@ object SamplingQueries {
         .select("doc_id", "n_chars", "percent_rank")
     },
 
+    // exact percent_rank on a CONTINUOUS (near-unique) score — the
+    // cardinality regime the histogram-based percentRank refuses. The
+    // doc_id-injected score is tie-free, so the position-based definition
+    // coincides with SQL percent_rank and the entry is exactly oracled.
+    "q_percent_rank_cont" -> { (s, dir) =>
+      val scored = docs(s, dir).select(col("doc_id"),
+        (col("n_chars") + col("doc_id") * lit(1e-9)).as("score"))
+      Sampling.percentRankContinuous(scored, "score")
+        .select("doc_id", "score", "percent_rank")
+    },
+
     // the capstone composition: exact-dedup keep → n_chars quantile filter
     // (≥ p25 of the deduped corpus) → stratified per-domain sample →
     // deterministic shuffle positions over the survivors. Four operators
@@ -144,6 +155,14 @@ object SamplingQueries {
         |      AS n_copies
         |  FROM documents)""".stripMargin,
 
+    // algorithm-independent oracle: plain window percent_rank — on a
+    // tie-free column the range-partitioned position rank must equal it
+    "q_percent_rank_cont" ->
+      """SELECT doc_id, n_chars + doc_id * 1e-9 AS score,
+        |  round(percent_rank() OVER (ORDER BY n_chars + doc_id * 1e-9), 6)
+        |    AS percent_rank
+        |FROM documents""".stripMargin,
+
     // algorithm-independent oracle: the window percent_rank definition the
     // histogram method must reproduce exactly
     "q_quantile_filter" ->
@@ -159,6 +178,7 @@ object SamplingQueries {
     "q_hash_sample" -> Seq("doc_id"),
     "q_stratified_sample" -> Seq("doc_id"),
     "q_domain_mix" -> Seq("doc_id", "copy_idx"),
+    "q_percent_rank_cont" -> Seq("doc_id"),
     "q_quantile_filter" -> Seq("doc_id"),
     "q_corpus_pipeline" -> Seq("doc_id"))
 }

@@ -217,6 +217,35 @@ class RelevanceSamplingSpec extends AnyFunSuite {
     assert(ok.count() == 500)
   }
 
+  test("percentRankContinuous matches percentRank on a tie-free column " +
+    "and handles cardinality the guard refuses") {
+    val s = spark
+    // 500 distinct doubles — above a cap of 100, so percentRank refuses it;
+    // percentRankContinuous must rank it exactly (tie-free ⇒ the two
+    // definitions coincide)
+    val docs = s.range(500).select(col("id").as("doc_id"),
+      (col("id").cast("double") / 3.0).as("score"))
+    val cont = Sampling.percentRankContinuous(docs, "score", parallelism = 7)
+      .select("doc_id", "percent_rank").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val exact = Sampling.percentRank(docs, "score")
+      .select("doc_id", "percent_rank").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(cont.size == 500)
+    cont.foreach { case (id, r) =>
+      assert(math.abs(r - exact(id)) < 1e-6, s"doc $id: $r vs ${exact(id)}") }
+    // NULL values survive with a NULL rank, mirroring percentRank
+    import s.implicits._
+    val withNull = Seq((1L, Some(10.0)), (2L, None), (3L, Some(30.0)))
+      .toDF("doc_id", "score")
+    val ranked = Sampling.percentRankContinuous(withNull, "score")
+      .select("doc_id", "percent_rank").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(ranked.size == 3 && ranked(2L).isEmpty)
+    assert(ranked(1L).contains(0.0) && ranked(3L).contains(1.0))
+  }
+
   test("hashSample survives id columns with reserved/odd names") {
     val s = spark
     // an expr()-interpolated column name would re-parse 'order' (reserved)
