@@ -94,6 +94,90 @@ object Curation {
         coalesce(col("top_bigram_frac"), lit(0.0)).as("top_bigram_frac"))
   }
 
+  /** Gopher-style document quality rules (Rae et al. 2021 §A1.1, adapted
+    * to a whitespace corpus): word-count band, mean-word-length band,
+    * stopword floor, and top-word dominance cap (the "repetition" signal
+    * at word granularity). Each rule is emitted as its own boolean next to
+    * the metric it tests, plus the conjunctive `keep` — a pipeline can
+    * audit WHY a doc dropped, not just that it did.
+    *
+    * Pure per-row projection: the dominance fraction is computed with
+    * array HOFs over the materialized token array (O(distinct × n) per
+    * row), so the operator has ZERO shuffles at any corpus size. Rules
+    * compare the round(6) metrics, so the DuckDB oracle replays the
+    * booleans bit-for-bit. */
+  def gopherFilter(
+      docs: DataFrame,
+      minWords: Int = 50, maxWords: Int = 100000,
+      minAvgWordLen: Double = 2.0, maxAvgWordLen: Double = 10.0,
+      minStopwordHits: Int = 2, maxTopWordFrac: Double = 0.2): DataFrame = {
+    val base = docs
+      .withColumn("_t", coalesce(col("text"), lit("")))
+      .withColumn("_w", split(col("_t"), " "))
+    val n = size(col("_w"))
+    val avgLen = (length(col("_t")) - (n - 1)).cast("double") / n
+    val topFrac = array_max(transform(array_distinct(col("_w")),
+      t => size(filter(col("_w"), x => x === t)))).cast("double") / n
+    base.select(
+      col("doc_id"),
+      n.cast("bigint").as("n_words"),
+      round(avgLen, 6).as("avg_word_len"),
+      TextOps.stopwordHitsW(col("_w")).cast("bigint").as("stopword_hits"),
+      round(topFrac, 6).as("top_word_frac"))
+      .withColumn("ok_words",
+        col("n_words").between(minWords, maxWords))
+      .withColumn("ok_avg_len",
+        col("avg_word_len").between(minAvgWordLen, maxAvgWordLen))
+      .withColumn("ok_stopwords", col("stopword_hits") >= minStopwordHits)
+      .withColumn("ok_top_word", col("top_word_frac") <= maxTopWordFrac)
+      .withColumn("keep", col("ok_words") && col("ok_avg_len") &&
+        col("ok_stopwords") && col("ok_top_word"))
+  }
+
+  /** CCNet-style LM quality scoring (Wenzek et al. 2020): fit an
+    * add-α-smoothed word-bigram language model on the corpus itself, then
+    * score every document by its cross-entropy under that model —
+    * boilerplate and degenerate text sit in the low-perplexity tail,
+    * incoherent noise in the high tail, and a percentile cut on either
+    * side is the standard quality filter. (CCNet uses a pretrained KenLM;
+    * the corpus-fitted bigram model is the same scoring shape with the
+    * fit expressed as two aggregations, no external model artifact.)
+    *
+    * P(cur|prev) = (c(prev,cur) + α) / (c(prev) + α·V), V = vocabulary
+    * size; cross_entropy = −mean ln P over the doc's bigrams; perplexity
+    * = exp(cross_entropy).
+    *
+    * Scale shape: the count relations are vocabulary-bounded (≤ V and
+    * ≤ distinct-bigram rows — far below corpus size), so AQE broadcasts
+    * them when small and falls back to shuffle joins when not; the only
+    * corpus-sized shuffle is the per-doc aggregation keyed by doc_id.
+    * The 1-row V relation is an explicit broadcast. Docs with < 2 tokens
+    * have no bigrams: NULL entropy, rows preserved. */
+  def lmPerplexity(docs: DataFrame, alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0, s"alpha must be positive, got $alpha")
+    val base = docs
+      .withColumn("_t", coalesce(col("text"), lit("")))
+      .withColumn("_w", split(col("_t"), " "))
+    val uni = base.select(explode(col("_w")).as("_prev"))
+      .groupBy("_prev").agg(count(lit(1)).as("_cu"))
+    val vdf = uni.agg(count(lit(1)).cast("double").as("_v"))
+    val grams = base.select(col("doc_id"),
+      explode(expr(TextOps.kgramSql(2, "array()"))).as("gram"))
+    val bc = grams.groupBy("gram").agg(count(lit(1)).as("_cb"))
+    val scored = grams
+      .join(bc, Seq("gram"))
+      .withColumn("_prev", split(col("gram"), " ").getItem(0))
+      .join(uni, Seq("_prev"))
+      .crossJoin(broadcast(vdf))
+      .withColumn("_lp",
+        log((col("_cb") + alpha) / (col("_cu") + col("_v") * alpha)))
+    val agg = scored.groupBy("doc_id").agg(
+      count(lit(1)).cast("bigint").as("n_bigrams"),
+      round(-avg(col("_lp")), 6).as("cross_entropy"),
+      round(exp(-avg(col("_lp"))), 6).as("perplexity"))
+    docs.select("doc_id").join(agg, Seq("doc_id"), "left")
+  }
+
   /** RE2-compatible patterns (identical semantics in Java regex and DuckDB,
     * so the scrub is oracle-checkable). Counts are taken on the ORIGINAL
     * text; emails are replaced first so digit runs inside an address are

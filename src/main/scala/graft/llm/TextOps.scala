@@ -66,7 +66,7 @@ object TextOps {
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
 
-  private def stopwordHitsW(w: Column): Column =
+  private[llm] def stopwordHitsW(w: Column): Column =
     size(filter(w, t => t.isin(stopwords: _*)))
 
   /** fraction of tokens that are stopwords, over a materialized token array

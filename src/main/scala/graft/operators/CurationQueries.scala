@@ -41,6 +41,22 @@ object CurationQueries {
       Curation.repetitionMetrics(docs(s, dir))
     },
 
+    // Gopher document-quality rules with per-rule audit booleans; bands
+    // chosen so every rule discriminates on the fixture corpus (keeps
+    // ~60%: word count 20-90, avg len >= 4.0, >= 2 stopwords, top-word
+    // dominance <= 0.12)
+    "q_gopher_filter" -> { (s, dir) =>
+      Curation.gopherFilter(docs(s, dir), minWords = 20, maxWords = 90,
+        minAvgWordLen = 4.0, maxAvgWordLen = 10.0,
+        minStopwordHits = 2, maxTopWordFrac = 0.12)
+    },
+
+    // corpus-fitted bigram-LM cross-entropy / perplexity per doc
+    // (CCNet-style quality scoring, add-0.5 smoothing)
+    "q_lm_perplexity" -> { (s, dir) =>
+      Curation.lmPerplexity(docs(s, dir), alpha = 0.5)
+    },
+
     // the corpus has no real PII, so deterministic addresses/numbers are
     // injected into every 7th doc — the scrub and its audit counts are
     // exercised on non-trivial input and the oracle injects identically
@@ -172,6 +188,62 @@ object CurationQueries {
         |SELECT w.doc_id, w.n_words, w.dup_word_ratio, w.singleton_word_frac,
         |  coalesce(b.top_bigram_frac, CAST(0 AS DOUBLE)) AS top_bigram_frac
         |FROM ws w LEFT JOIN bs b USING (doc_id)""".stripMargin,
+
+    "q_gopher_filter" ->
+      """WITH base AS (
+        |  SELECT doc_id, coalesce(text, '') AS t,
+        |    string_split(coalesce(text, ''), ' ') AS w
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(w) AS BIGINT) AS n_words,
+        |    round((length(t) - (len(w) - 1)) / CAST(len(w) AS DOUBLE), 6)
+        |      AS avg_word_len,
+        |    CAST(len(list_filter(w,
+        |      x -> x IN ('the', 'a', 'of', 'and', 'to', 'in', 'is')))
+        |      AS BIGINT) AS stopword_hits,
+        |    round(list_max(list_transform(list_distinct(w),
+        |      t2 -> len(list_filter(w, x -> x = t2))))
+        |      / CAST(len(w) AS DOUBLE), 6) AS top_word_frac
+        |  FROM base)
+        |SELECT doc_id, n_words, avg_word_len, stopword_hits, top_word_frac,
+        |  n_words BETWEEN 20 AND 90 AS ok_words,
+        |  avg_word_len BETWEEN 4.0 AND 10.0 AS ok_avg_len,
+        |  stopword_hits >= 2 AS ok_stopwords,
+        |  top_word_frac <= 0.12 AS ok_top_word,
+        |  (n_words BETWEEN 20 AND 90) AND
+        |    (avg_word_len BETWEEN 4.0 AND 10.0) AND
+        |    stopword_hits >= 2 AND top_word_frac <= 0.12 AS keep
+        |FROM m""".stripMargin,
+
+    "q_lm_perplexity" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w
+        |  FROM documents),
+        |uc AS (
+        |  SELECT token, count(*) AS cu
+        |  FROM (SELECT unnest(w) AS token FROM base) GROUP BY token),
+        |v AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM uc),
+        |bg AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(w)),
+        |    i -> w[i] || ' ' || w[i+1])) AS gram
+        |  FROM base),
+        |bc AS (SELECT gram, count(*) AS cb FROM bg GROUP BY gram),
+        |scored AS (
+        |  SELECT b.doc_id,
+        |    ln((bc.cb + 0.5) / (uc.cu + 0.5 * v.v)) AS lp
+        |  FROM bg b
+        |  JOIN bc ON b.gram = bc.gram
+        |  JOIN uc ON string_split(b.gram, ' ')[1] = uc.token
+        |  CROSS JOIN v),
+        |agg AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |    round(-avg(lp), 6) AS cross_entropy,
+        |    round(exp(-avg(lp)), 6) AS perplexity
+        |  FROM scored GROUP BY doc_id)
+        |SELECT d.doc_id, a.n_bigrams, a.cross_entropy, a.perplexity
+        |FROM (SELECT doc_id FROM documents) d
+        |LEFT JOIN agg a USING (doc_id)""".stripMargin,
 
     "q_pii_scrub" -> {
       val email = Curation.EmailRe
@@ -333,6 +405,8 @@ object CurationQueries {
   def verifySort: Map[String, Seq[String]] = Map(
     "q_decontaminate" -> Seq("doc_id"),
     "q_quality_repetition" -> Seq("doc_id"),
+    "q_gopher_filter" -> Seq("doc_id"),
+    "q_lm_perplexity" -> Seq("doc_id"),
     "q_pii_scrub" -> Seq("doc_id"),
     "q_dedup_groups" -> Seq("doc_id"),
     "q_dedup_groups_cc" -> Seq("doc_id"),

@@ -245,6 +245,59 @@ class CurationSpec extends AnyFunSuite {
     assert(v == Map("x" -> 1L, "y" -> 2L))
   }
 
+  test("gopherFilter: each rule drops its planted violator and only it") {
+    val s = spark
+    import s.implicits._
+    val good = ("w1 w2 w3 the of " * 10).trim          // 50 words, 2+ stopwords
+    val docs = Seq(
+      (1L, good),
+      (2L, "the of tiny short doc"),                   // too few words
+      (3L, ("a b c the of " * 10).trim),               // avg word len < 2... kept band [1,10]
+      (4L, ("w1 w2 w3 w4 w5 " * 10).trim),             // zero stopwords
+      (5L, ("boiler boiler boiler the of " * 10).trim) // top-word dominance
+    ).toDF("doc_id", "text")
+    val out = Curation.gopherFilter(docs, minWords = 10, maxWords = 100,
+      minAvgWordLen = 1.0, maxAvgWordLen = 10.0,
+      minStopwordHits = 2, maxTopWordFrac = 0.25)
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(5), r.getBoolean(6), r.getBoolean(7), r.getBoolean(8),
+          r.getBoolean(9))).toMap
+    assert(out(1L) == ((true, true, true, true, true)))
+    assert(out(2L) == ((false, true, true, true, false)), "word-count rule")
+    assert(out(4L)._3 == false && out(4L)._5 == false, "stopword rule")
+    assert(out(5L)._4 == false && out(5L)._5 == false, "dominance rule")
+    // doc 3 passes with the wide avg-len band; tightening the band to
+    // [2.0, 10] fails exactly it (its avg word len is 1.6 vs doc 1's 2.2)
+    val tight = Curation.gopherFilter(docs, minWords = 10, maxWords = 100,
+      minAvgWordLen = 2.0, maxAvgWordLen = 10.0,
+      minStopwordHits = 2, maxTopWordFrac = 0.25)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(6)).toMap
+    assert(!tight(3L) && tight(1L), "avg-word-len rule")
+  }
+
+  test("lmPerplexity: predictable repeated text scores lower perplexity " +
+    "than shuffled text over the same vocabulary") {
+    val s = spark
+    import s.implicits._
+    // same multiset of words: doc 1 is a fixed repeating bigram pattern
+    // (every transition seen 10x by the corpus model), doc 2 breaks the
+    // pattern — under the corpus-fitted bigram LM the repetitive doc must
+    // sit in the low-perplexity tail, the CCNet boilerplate signal
+    val docs = Seq(
+      (1L, ("a b c d " * 10).trim),
+      (2L, "a b c d a c b d d b a c c a d b d c a b a b c d a b c d a b c d a b c d a b c d")
+    ).toDF("doc_id", "text")
+    val out = Curation.lmPerplexity(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out(1L) < out(2L),
+      s"repetitive doc should score lower perplexity: $out")
+    // a one-token doc has no bigrams: NULL entropy, row preserved
+    val single = Curation.lmPerplexity(
+      Seq((1L, "only"), (2L, "two words")).toDF("doc_id", "text")).collect()
+      .map(r => r.getLong(0) -> r.isNullAt(2)).toMap
+    assert(single(1L) && !single(2L))
+  }
+
   test("dup groups assigns one group per planted duplicate pair on the corpus") {
     val s = spark
     val d = s.table("documents").select("doc_id", "text")
