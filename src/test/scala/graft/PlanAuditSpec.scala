@@ -199,4 +199,24 @@ class PlanAuditSpec extends AnyFunSuite {
       s"the V-row vocab must broadcast — a shuffle join here would " +
         s"repartition the exploded token stream by token text:\n$p")
   }
+
+  test("q_gopher_filter is a pure per-row projection — zero shuffles") {
+    val p = plan("q_gopher_filter")
+    assert(!p.contains("Exchange"),
+      s"every Gopher rule is an array-HOF over the row's own token " +
+        s"array; any shuffle here is a regression:\n$p")
+  }
+
+  test("q_lm_perplexity keeps the count joins as equi-joins; only the " +
+    "1-row V relation may nested-loop") {
+    val p = plan("q_lm_perplexity")
+    assert(!p.contains("CartesianProduct"),
+      s"bigram/unigram count joins must stay equi-joins on gram/token:\n$p")
+    // formatted mode prints each node twice (tree + detail); count the
+    // "(id) Op" detail headers so one physical node counts once
+    val nlj = """\(\d+\) BroadcastNestedLoopJoin""".r.findAllIn(p).length
+    assert(nlj <= 1,
+      s"only the broadcast 1-row vocabulary-size relation may appear as " +
+        s"a nested-loop join, found $nlj:\n$p")
+  }
 }
