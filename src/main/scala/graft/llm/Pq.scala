@@ -1,0 +1,153 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) for the embedding store — the compression
+  * tier below int8 (reference `DISTRIBUTED.md` vector tier; Jégou et al.
+  * 2011, "Product Quantization for Nearest Neighbor Search").
+  *
+  * The d-dim embedding splits into `m` subspaces of d/m dims; each
+  * subspace has its own `ksub`-entry codebook and a vector is stored as
+  * m small ints (codes) — 64 float32 dims become 8 bytes at m=8, a 32×
+  * compression. Search is asymmetric (ADC): the QUERY keeps full
+  * precision and each candidate is scored by the inner product of the
+  * query's subvectors with the candidate's selected codewords, so the
+  * corpus side of the join carries codes, never vectors.
+  *
+  * Codebooks here are SEEDED — entry c of every subspace is the
+  * subvector of the c-th smallest pinned seed row — the same
+  * deterministic-quantizer discipline as
+  * [[Similarity.buildIvfIndexSeeded]]: sampled codebooks are standard PQ
+  * practice at corpus scale (you train on a sliver regardless), and
+  * pinning the sample makes encode AND search replayable by the DuckDB
+  * oracle. Only the ksub seed rows are ever collected; encoding is a
+  * pure distributed projection ([[Similarity.probeCellsCol]] per
+  * subspace, 6-dp-rounded distances, ties on code index).
+  *
+  * 100 TB shape: codes are a projection (zero shuffle) persisted next to
+  * the corpus; brute ADC streams the code table through one broadcast
+  * join (m ints per row where the float path moves d floats); IVF-PQ
+  * restricts ADC to the probed cells via the same `_list` equi-join as
+  * [[Similarity.searchIvf]] — the shuffle carries (vec_id, _list, codes),
+  * a fixed handful of bytes per candidate regardless of dimension.
+  */
+object Pq {
+
+  /** codebooks(j)(c) = subvector j of the c-th smallest seed id; shape
+    * m × ksub × (dim/m). Collects exactly the seed rows. */
+  def seededCodebooks(
+      embeddings: DataFrame, seedIds: Seq[Long], m: Int)
+      : Array[Array[Array[Double]]] = {
+    require(m > 0, s"m must be positive, got $m")
+    val seeds = seedIds.distinct.sorted
+    val byId = embeddings.filter(col("vec_id").isInCollection(seeds))
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    val missing = seeds.filterNot(byId.contains)
+    require(missing.isEmpty, s"seed vec_ids absent from corpus: $missing")
+    val dim = byId(seeds.head).length
+    require(dim % m == 0, s"m=$m must divide the embedding dim $dim")
+    val dsub = dim / m
+    Array.tabulate(m) { j =>
+      seeds.map(id => byId(id).slice(j * dsub, (j + 1) * dsub)).toArray
+    }
+  }
+
+  /** m-code encoding of `emb` as an array<int> Column — per subspace, the
+    * nearest codeword by the same rounded-L2 projection the IVF coarse
+    * quantizer uses (codebooks ship as array literals; no driver collect,
+    * no extra job). */
+  private[graft] def encodeCol(
+      emb: Column, codebooks: Array[Array[Array[Double]]]): Column = {
+    val m = codebooks.length
+    val dsub = codebooks.head.head.length
+    array((0 until m).map { j =>
+      element_at(
+        Similarity.probeCellsCol(
+          slice(emb, j * dsub + 1, dsub), codebooks(j), 1), 1)
+    }: _*)
+  }
+
+  /** ADC approximate inner product of full-precision `qEmb` against the
+    * codes of a candidate: Σ_j  q_sub_j ⋅ codebook_j[code_j], folded in
+    * subspace order and rounded to 6 dp (the oracle replays the same
+    * fold via an ordered list_sum). */
+  private[graft] def adcCol(
+      qEmb: Column, codes: Column,
+      codebooks: Array[Array[Array[Double]]]): Column = {
+    val m = codebooks.length
+    val dsub = codebooks.head.head.length
+    val parts = (0 until m).map { j =>
+      val cbLit = typedLit(codebooks(j).map(_.toSeq).toSeq)
+      Similarity.dot(
+        slice(qEmb, j * dsub + 1, dsub),
+        element_at(cbLit, element_at(codes, j + 1) + 1))
+    }
+    round(parts.reduceLeft(_ + _), 6)
+  }
+
+  /** The encoded corpus: (vec_id, codes) — the table you persist. Pure
+    * projection; at corpus scale write it bucketed however downstream
+    * joins need, the codes column is m ints. */
+  def encode(
+      embeddings: DataFrame, codebooks: Array[Array[Array[Double]]])
+      : DataFrame =
+    embeddings.select(col("vec_id"),
+      encodeCol(col("embedding"), codebooks).as("codes"))
+
+  /** Brute-force ADC top-k: every candidate is scored from its codes
+    * only (the query side keeps full precision). `queries` needs
+    * (vec_id, embedding); self-matches are excluded by id. */
+  def searchPq(
+      embeddings: DataFrame, codebooks: Array[Array[Array[Double]]],
+      queries: DataFrame, k: Int = 10): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"))
+    val scored = encode(embeddings, codebooks)
+      .crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        adcCol(col("q_emb"), col("codes"), codebooks).as("score"))
+    graft.plans.TopK.topKPerKey(scored, Seq("query_id"),
+      Seq(col("score"), negate(col("vec_id"))), k)
+      .select("query_id", "vec_id", "score", "rank")
+  }
+
+  /** One-shot seeded-codebook PQ search — the fully-oracled entry. */
+  def pqTopKSeeded(
+      embeddings: DataFrame, seedIds: Seq[Long], queryIds: Seq[Long],
+      k: Int = 10, m: Int = 8): DataFrame = {
+    val cb = seededCodebooks(embeddings, seedIds, m)
+    searchPq(embeddings, cb,
+      embeddings.filter(col("vec_id").isInCollection(queryIds)), k)
+  }
+
+  /** IVF-PQ: coarse seeded cells restrict WHICH candidates are scored
+    * (the `_list` equi-join of [[Similarity.searchIvf]]); PQ codes are
+    * WHAT the candidates carry. The corpus-side join input is
+    * (vec_id, _list, codes) — no embedding column crosses the shuffle,
+    * which is the entire point at 100 TB. */
+  def ivfPqTopKSeeded(
+      embeddings: DataFrame, cellSeedIds: Seq[Long], pqSeedIds: Seq[Long],
+      queryIds: Seq[Long], k: Int = 10, nProbe: Int = 4, m: Int = 8)
+      : DataFrame = {
+    val cells = Similarity.buildIvfIndexSeeded(
+      embeddings, cellSeedIds, persist = false)
+    val cb = seededCodebooks(embeddings, pqSeedIds, m)
+    val corpus = cells.assigned.select(col("vec_id"), col("_list"),
+      encodeCol(col("embedding"), cb).as("codes"))
+    val probed = embeddings.filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        explode(Similarity.probeCellsCol(
+          col("embedding"), cells.centers, nProbe)).as("_list"))
+    val scored = corpus.join(broadcast(probed), Seq("_list"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        adcCol(col("q_emb"), col("codes"), cb).as("score"))
+    graft.plans.TopK.topKPerKey(scored, Seq("query_id"),
+      Seq(col("score"), negate(col("vec_id"))), k)
+      .select("query_id", "vec_id", "score", "rank")
+  }
+}

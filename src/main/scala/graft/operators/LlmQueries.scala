@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.llm.{Dedup, Multimodal, Similarity, TextOps}
+import graft.llm.{Dedup, Multimodal, Pq, Similarity, TextOps}
 
 /** Driver-gate entries for the LLM training-data pipeline operators
   * (SURVEY §2.8; first-class per the brief): text analysis, exact dedup,
@@ -33,6 +33,11 @@ object LlmQueries {
   /** Seed vec_ids for the deterministic IVF coarse quantizer — 16 cells,
     * ids low enough to exist at every SF, disjoint from [[annQueryIds]]. */
   private[operators] val ivfSeedIds: Seq[Long] = (1 to 16).map(_ * 5L)
+
+  /** Seed vec_ids for the PQ codebooks (16 codewords per subspace) —
+    * disjoint from [[annQueryIds]]; overlap with [[ivfSeedIds]] is fine
+    * (coarse cells and codebooks are independent structures). */
+  private[operators] val pqSeedIds: Seq[Long] = (1 to 16).map(_ * 7L)
 
   /** DuckDB CTE block replaying the banded MinHash pipeline over an
     * arbitrary corpus CTE body `uBody` (md5 hash family —
@@ -72,6 +77,55 @@ object LlmQueries {
        |  FROM pairs p
        |  JOIN sig sa ON sa.doc_id = p.doc_a
        |  JOIN sig sb ON sb.doc_id = p.doc_b)""".stripMargin
+  }
+
+  /** DuckDB CTE block replaying seeded-PQ encode + ADC scoring over a
+    * candidate CTE `cand(query_id, vec_id)` that must be defined BEFORE
+    * this block: ends at `scored(query_id, vec_id, score)`. Mirrors
+    * [[graft.llm.Pq]] exactly — per-subspace rounded-L2 code assignment
+    * (ties on code index), full-precision query, per-subspace partial
+    * dots summed in subspace order via an ORDER BY j list fold (the same
+    * left fold the Spark expression builds), rounded to 6 dp. */
+  private def pqScoredCtes(m: Int, dsub: Int): String = {
+    val seedList = pqSeedIds.mkString(", ")
+    val r = s"range(1, ${dsub + 1})"
+    s"""pcb AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS c,
+       |    embedding AS cemb
+       |  FROM embeddings WHERE vec_id IN ($seedList)),
+       |psub AS (SELECT CAST(unnest(range(0, $m)) AS INT) AS j),
+       |penc AS (
+       |  SELECT v.vec_id, s.j, b.c,
+       |    round(
+       |      list_sum(list_transform($r, i ->
+       |        CAST(v.embedding[s.j*$dsub+i] AS DOUBLE)
+       |          * CAST(v.embedding[s.j*$dsub+i] AS DOUBLE)))
+       |      - 2.0 * list_sum(list_transform($r, i ->
+       |        CAST(v.embedding[s.j*$dsub+i] AS DOUBLE)
+       |          * CAST(b.cemb[s.j*$dsub+i] AS DOUBLE)))
+       |      + list_sum(list_transform($r, i ->
+       |        CAST(b.cemb[s.j*$dsub+i] AS DOUBLE)
+       |          * CAST(b.cemb[s.j*$dsub+i] AS DOUBLE))), 6) AS dist
+       |  FROM embeddings v CROSS JOIN psub s CROSS JOIN pcb b),
+       |pcodes AS (
+       |  SELECT vec_id, j, c AS code FROM (
+       |    SELECT vec_id, j, c,
+       |      row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, c)
+       |        AS rn
+       |    FROM penc) WHERE rn = 1),
+       |pparts AS (
+       |  SELECT cand.query_id, cand.vec_id, co.j,
+       |    list_sum(list_transform($r, i ->
+       |      CAST(qe.embedding[co.j*$dsub+i] AS DOUBLE)
+       |        * CAST(b.cemb[co.j*$dsub+i] AS DOUBLE))) AS part
+       |  FROM cand
+       |  JOIN pcodes co ON co.vec_id = cand.vec_id
+       |  JOIN pcb b ON b.c = co.code
+       |  JOIN embeddings qe ON qe.vec_id = cand.query_id),
+       |scored AS (
+       |  SELECT query_id, vec_id,
+       |    round(list_sum(list(part ORDER BY j)), 6) AS score
+       |  FROM pparts GROUP BY query_id, vec_id)""".stripMargin
   }
 
   /** The standard corpus for the dedup-family oracles: every doc plus a
@@ -160,6 +214,23 @@ object LlmQueries {
     // dot → dequantized score → rank) replays bit-identically in DuckDB
     "q_ann_int8_topk" -> { (s, dir) =>
       Similarity.int8TopK(embs(s, dir), annQueryIds, k = 10)
+        .orderBy("query_id", "rank")
+    },
+
+    // product-quantization ADC top-k: candidates scored from 8 codes (32×
+    // compression vs float32), query kept full-precision. Seeded codebooks
+    // make encode + search fully DuckDB-replayable
+    "q_ann_pq_topk" -> { (s, dir) =>
+      Pq.pqTopKSeeded(embs(s, dir), pqSeedIds, annQueryIds, k = 10, m = 8)
+        .orderBy("query_id", "rank")
+    },
+
+    // IVF-PQ: seeded coarse cells choose WHICH candidates are scored, PQ
+    // codes are WHAT they carry — the corpus side of the cell join moves
+    // (vec_id, _list, codes), never an embedding
+    "q_ann_ivfpq_topk" -> { (s, dir) =>
+      Pq.ivfPqTopKSeeded(embs(s, dir), ivfSeedIds, pqSeedIds, annQueryIds,
+        k = 10, nProbe = 4, m = 8)
         .orderBy("query_id", "rank")
     },
 
@@ -653,6 +724,70 @@ object LlmQueries {
          |      ORDER BY cos_sim DESC, vec_id ASC) AS INT) AS rank
          |  FROM scored)
          |SELECT query_id, vec_id, cos_sim, rank FROM r WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin
+    },
+
+    // replays seeded-PQ encode + brute-force ADC: codebook entry c of
+    // subspace j = subvector j of the c-th smallest pq seed; every
+    // candidate scored from its 8 codes, query full-precision
+    "q_ann_pq_topk" ->
+      s"""WITH cand AS (
+         |  SELECT q.vec_id AS query_id, v.vec_id
+         |  FROM embeddings q CROSS JOIN embeddings v
+         |  WHERE q.vec_id IN (0, 1, 2, 3, 4) AND v.vec_id <> q.vec_id),
+         |${pqScoredCtes(m = 8, dsub = 8)},
+         |r AS (
+         |  SELECT query_id, vec_id, score,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, vec_id ASC) AS INT) AS rank
+         |  FROM scored)
+         |SELECT query_id, vec_id, score, rank FROM r WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // IVF-PQ: the q_ann_ivf_topk cell CTEs choose the candidates, the
+    // PQ CTEs score them from codes
+    "q_ann_ivfpq_topk" -> {
+      val seedList = ivfSeedIds.mkString(", ")
+      s"""WITH c AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS list,
+         |    embedding AS ivfemb,
+         |    list_sum(list_transform(range(1, len(embedding) + 1),
+         |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))
+         |      AS cc
+         |  FROM embeddings WHERE vec_id IN ($seedList)),
+         |ev AS (
+         |  SELECT vec_id, embedding,
+         |    list_sum(list_transform(range(1, len(embedding) + 1),
+         |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))
+         |      AS ee
+         |  FROM embeddings),
+         |d AS (
+         |  SELECT e.vec_id, e.embedding, c.list,
+         |    round(e.ee - 2.0 * list_sum(list_transform(range(1, len(e.embedding) + 1),
+         |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.ivfemb[i] AS DOUBLE)))
+         |      + c.cc, 6) AS dist
+         |  FROM ev e CROSS JOIN c),
+         |asg AS (
+         |  SELECT vec_id, list FROM (
+         |    SELECT vec_id, list,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, list) AS rn
+         |    FROM d) WHERE rn = 1),
+         |probes AS (
+         |  SELECT vec_id AS query_id, list FROM (
+         |    SELECT vec_id, list,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, list) AS rn
+         |    FROM d WHERE vec_id IN (0, 1, 2, 3, 4)) WHERE rn <= 4),
+         |cand AS (
+         |  SELECT p.query_id, a.vec_id
+         |  FROM probes p JOIN asg a ON a.list = p.list
+         |  WHERE a.vec_id <> p.query_id),
+         |${pqScoredCtes(m = 8, dsub = 8)},
+         |r AS (
+         |  SELECT query_id, vec_id, score,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, vec_id ASC) AS INT) AS rank
+         |  FROM scored)
+         |SELECT query_id, vec_id, score, rank FROM r WHERE rank <= 10
          |ORDER BY query_id, rank""".stripMargin
     },
 

@@ -200,6 +200,16 @@ class PlanAuditSpec extends AnyFunSuite {
         s"repartition the exploded token stream by token text:\n$p")
   }
 
+  test("q_ann_ivfpq_topk probes cells by equi-join and ships no " +
+    "embeddings on the corpus side") {
+    val p = plan("q_ann_ivfpq_topk")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"the cell probe must stay an equi-join on _list:\n$p")
+    assert(!p.contains("LocalTableScan"),
+      s"probe assignment must stay a distributed Column expression:\n$p")
+  }
+
   test("q_gopher_filter is a pure per-row projection — zero shuffles") {
     val p = plan("q_gopher_filter")
     assert(!p.contains("Exchange"),
