@@ -515,4 +515,80 @@ object Similarity {
         round(cosine(col("emb_a"), col("emb_b")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
+
+  /** The MAX-COSINE cell of `emb` among broadcast centroid literals —
+    * the spherical (cosine-k-means) twin of [[probeCellsCol]]. Cosine is
+    * exactly invariant under positive scaling of `emb` (both dot and norm
+    * scale by the same factor), so a scaled duplicate lands in the SAME
+    * cell bitwise — the property semantic dedup needs that L2 assignment
+    * lacks. Rounded to 6 dp, ties on the cell index. */
+  private[graft] def cosCellCol(
+      emb: Column, centers: Array[Array[Double]]): Column = {
+    val cells = centers.zipWithIndex.map { case (c, i) =>
+      val sim = round(cosine(emb, typedLit(c.toSeq)), 6)
+      struct(negate(sim).as("negsim"), lit(i).as("list"))
+    }
+    element_at(transform(slice(array_sort(array(cells.toIndexedSeq: _*)),
+      1, 1), s => s.getField("list")), 1)
+  }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication by clustering embeddings and thresholding pairwise
+    * cosine WITHIN each cluster — pairs across clusters are never
+    * scored, which is what makes the operator linear-ish instead of
+    * all-pairs. Cells come from the seeded deterministic quantizer
+    * (centroids = embeddings of pinned `cellSeedIds`, assignment by
+    * [[cosCellCol]]), so the whole pipeline replays in the DuckDB
+    * oracle.
+    *
+    * Keep rule: within a cell, a vector is a semantic duplicate iff it
+    * has a SMALLER-id in-cell neighbor with rounded cosine ≥ threshold
+    * (the deterministic min-id-leader convention of the dedup family;
+    * the paper keeps one random member per group). This is a dominance
+    * rule, not a transitive closure — feed the pair set to
+    * [[Curation.dupGroups]] when full groups are needed.
+    *
+    * 100 TB shape: assignment is a projection; the pair join is an
+    * equi-join on the cell id, quadratic only within a cell, and
+    * `maxCellSize` excludes whole pathological cells from pair
+    * generation (their members are flagged in the `cell_oversized`
+    * audit column instead of silently exploding the join — re-run those
+    * cells with more seeds or exact dedup). The cell-size relation is
+    * nLists rows, always broadcast. */
+  def semanticDedup(
+      embeddings: DataFrame, cellSeedIds: Seq[Long],
+      threshold: Double = 0.95,
+      maxCellSize: Int = Int.MaxValue): DataFrame = {
+    val seeds = cellSeedIds.distinct.sorted
+    val byId = embeddings.filter(col("vec_id").isInCollection(seeds))
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    val missing = seeds.filterNot(byId.contains)
+    require(missing.isEmpty, s"seed vec_ids absent from corpus: $missing")
+    val centers = seeds.map(byId).toArray
+    val assigned = embeddings.select(col("vec_id"), col("embedding"),
+      cosCellCol(col("embedding"), centers).as("cell"))
+    val sizes = assigned.groupBy("cell").agg(count(lit(1)).as("_n"))
+    val within = assigned.join(
+      broadcast(sizes.filter(col("_n") <= maxCellSize).select("cell")),
+      Seq("cell"))
+    val a = within.select(col("cell"), col("vec_id").as("id_a"),
+      col("embedding").as("emb_a"))
+    val b = within.select(col("cell"), col("vec_id").as("id_b"),
+      col("embedding").as("emb_b"))
+    val dup = a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(round(cosine(col("emb_a"), col("emb_b")), 6) >= threshold)
+      .select(col("id_b").as("vec_id")).distinct()
+      .withColumn("is_semdup", lit(true))
+    assigned.select(col("vec_id"), col("cell"))
+      .join(broadcast(sizes.filter(col("_n") > maxCellSize)
+        .select(col("cell"), lit(true).as("cell_oversized"))),
+        Seq("cell"), "left")
+      .join(dup, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("is_semdup"), lit(false)).as("is_semdup"),
+        coalesce(col("cell_oversized"), lit(false)).as("cell_oversized"))
+  }
 }

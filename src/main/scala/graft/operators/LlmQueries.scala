@@ -79,6 +79,19 @@ object LlmQueries {
        |  JOIN sig sb ON sb.doc_id = p.doc_b)""".stripMargin
   }
 
+  /** DuckDB 6-dp-rounded cosine between two FLOAT list expressions —
+    * the same dot/(norm·norm) composition as [[Similarity.cosine]],
+    * every fold in element order. */
+  private def cosSql(a: String, b: String): String =
+    s"""round(
+       |      list_sum(list_transform(range(1, len($a) + 1),
+       |        i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
+       |      / (sqrt(list_sum(list_transform(range(1, len($a) + 1),
+       |           i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))))
+       |       * sqrt(list_sum(list_transform(range(1, len($b) + 1),
+       |           i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))))
+       |    , 6)""".stripMargin
+
   /** DuckDB CTE block replaying seeded-PQ encode + ADC scoring over a
     * candidate CTE `cand(query_id, vec_id)` that must be defined BEFORE
     * this block: ends at `scored(query_id, vec_id, score)`. Mirrors
@@ -299,6 +312,21 @@ object LlmQueries {
           .as("embedding"))
       Similarity.cosineNearDup(e.unionAll(scaled), threshold = 0.9,
         planes = 24, bands = 3)
+    },
+
+    // SemDeDup over seeded spherical cells: corpus = every embedding plus
+    // a positively-scaled copy (cosine 1.0 with its source, and cosine
+    // cell assignment is exactly scale-invariant, so every copy shares
+    // its source's cell) — the planted copies are the semantic dups the
+    // min-id keep rule must flag
+    "q_dedup_semantic" -> { (s, dir) =>
+      val e = embs(s, dir).select("vec_id", "embedding")
+      val scaled = e.select(
+        (col("vec_id") + 100000L).as("vec_id"),
+        expr("transform(embedding, x -> CAST(x * CAST(2.0 AS FLOAT) AS FLOAT))")
+          .as("embedding"))
+      Similarity.semanticDedup(e.unionAll(scaled), ivfSeedIds,
+        threshold = 0.95)
     },
 
     // embedding-space decontamination: benchmark = every 10th embedding;
@@ -535,6 +563,43 @@ object LlmQueries {
         |    , 6) AS cos_sim
         |  FROM u a JOIN u b ON a.vec_id < b.vec_id)
         |SELECT vec_a, vec_b, cos_sim FROM s WHERE cos_sim >= 0.9""".stripMargin,
+
+    // replays semanticDedup end to end: spherical cell = max rounded
+    // cosine against the 16 seed centroids (ties on cell index), pairs
+    // scored within cells only, dup = has a smaller-id in-cell neighbor
+    // at or above the threshold
+    "q_dedup_semantic" -> {
+      val seedList = ivfSeedIds.mkString(", ")
+      s"""WITH u AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 100000 AS vec_id,
+         |    list_transform(embedding,
+         |      x -> CAST(x * CAST(2.0 AS FLOAT) AS FLOAT)) AS embedding
+         |  FROM embeddings),
+         |c AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS list,
+         |    embedding AS cemb
+         |  FROM embeddings WHERE vec_id IN ($seedList)),
+         |sim AS (
+         |  SELECT u.vec_id, u.embedding, c.list,
+         |    ${cosSql("u.embedding", "c.cemb")} AS cs
+         |  FROM u CROSS JOIN c),
+         |asg AS (
+         |  SELECT vec_id, embedding, CAST(list AS INT) AS cell FROM (
+         |    SELECT vec_id, embedding, list,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, list)
+         |        AS rn
+         |    FROM sim) WHERE rn = 1),
+         |dup AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.95)
+         |SELECT g.vec_id, g.cell,
+         |  d.vec_id IS NOT NULL AS is_semdup,
+         |  false AS cell_oversized
+         |FROM asg g LEFT JOIN dup d ON d.vec_id = g.vec_id""".stripMargin
+    },
 
     // algorithm-independent oracle, same convention as q_dedup_embcos:
     // the all-pairs cross cosine — valid because planted (scaled) leakage
@@ -863,6 +928,7 @@ object LlmQueries {
     "q_dedup_simhash" -> Seq("doc_id"),
     "q_dedup_ngram_jaccard" -> Seq("doc_a"),
     "q_dedup_embcos" -> Seq("vec_a", "vec_b"),
+    "q_dedup_semantic" -> Seq("vec_id"),
     "q_decontaminate_emb" -> Seq("left_id", "right_id"),
     "q_corpus_filter" -> Seq("doc_id"),
     "q_text_stats" -> Seq("doc_id"),

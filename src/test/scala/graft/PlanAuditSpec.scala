@@ -210,6 +210,14 @@ class PlanAuditSpec extends AnyFunSuite {
       s"probe assignment must stay a distributed Column expression:\n$p")
   }
 
+  test("q_dedup_semantic pairs only within cells — an equi-join on the " +
+    "cell id, never a cartesian") {
+    val p = plan("q_dedup_semantic")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"within-cell pairing must stay an equi-join on cell:\n$p")
+  }
+
   test("q_gopher_filter is a pure per-row projection — zero shuffles") {
     val p = plan("q_gopher_filter")
     assert(!p.contains("Exchange"),

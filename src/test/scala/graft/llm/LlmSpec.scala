@@ -43,6 +43,37 @@ class LlmSpec extends AnyFunSuite {
     assert(pairs.length == 100, s"unexpected extra pairs: ${pairs.length - 100}")
   }
 
+  test("semantic dedup flags planted scaled copies, shares cells, and " +
+    "honors the cell-size cap") {
+    val s = spark
+    val seeds = (1 to 16).map(_ * 5L)
+    val e = s.table("embeddings").select("vec_id", "embedding")
+      .filter(col("vec_id") < 200)
+    val scaled = e.select((col("vec_id") + 1000L).as("vec_id"),
+      expr("transform(embedding, x -> CAST(x * CAST(2.0 AS FLOAT) AS FLOAT))")
+        .as("embedding"))
+    val out = Similarity.semanticDedup(e.unionAll(scaled), seeds,
+      threshold = 0.95).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getBoolean(2),
+        r.getBoolean(3)))).toMap
+    // every copy (larger id) is the flagged member; its source is kept
+    (0L until 200L).foreach { id =>
+      val (cell, dup, over) = out(id)
+      val (cellC, dupC, _) = out(id + 1000L)
+      assert(cell == cellC, s"copy of $id must share its source's cell")
+      assert(dupC, s"planted copy of $id must be flagged")
+      assert(!over)
+      // sources are dup-free: random gaussians have no organic 0.95 pair
+      assert(!dup, s"source $id should be kept")
+    }
+    // a cap below the planted cell sizes excludes those cells from pair
+    // generation: members are audited, not paired
+    val capped = Similarity.semanticDedup(e.unionAll(scaled), seeds,
+      threshold = 0.95, maxCellSize = 1).collect()
+    assert(capped.forall(r => !r.getBoolean(2)), "no pairs under cap 1")
+    assert(capped.exists(r => r.getBoolean(3)), "oversized cells audited")
+  }
+
   test("cross-corpus cosine pairs find planted benchmark leakage exactly") {
     val s = spark
     val e = s.table("embeddings").select("vec_id", "embedding")
