@@ -131,6 +131,37 @@ object ComputeRegistry {
     "chunk_docs" -> { (df, ins, out) =>
       graft.llm.TextOps.chunkDocs(keyed(df, ins.head))
         .withColumnRenamed("chunk_text", out)
+    },
+    // Gopher document-quality rules: the conjunctive keep boolean at the
+    // default bands, attached as the output column (the per-rule audit
+    // booleans stay on the operator surface — DSL consumers filter on
+    // the verdict)
+    "gopher_filter" -> { (df, ins, out) =>
+      val verdict = graft.llm.Curation.gopherFilter(keyed(df, ins.head))
+        .select(col("doc_id"), col("keep").as(out))
+      df.join(verdict, Seq("doc_id"))
+    },
+    // corpus-fitted bigram-LM perplexity (CCNet-shaped quality score);
+    // docs with < 2 tokens carry NULL
+    "lm_perplexity" -> { (df, ins, out) =>
+      val scored = graft.llm.Curation.lmPerplexity(keyed(df, ins.head))
+        .select(col("doc_id"), col("perplexity").as(out))
+      df.join(scored, Seq("doc_id"), "left")
+    },
+    // SemDeDup over an EMBEDDING input column: is-semantic-dup flag
+    // attached; cells seeded from the 16 smallest doc_ids (deterministic
+    // without caller-supplied seeds)
+    "semantic_dedup" -> { (df, ins, out) =>
+      require(df.columns.contains("doc_id"),
+        s"table kernels require a 'doc_id' key column; relation has " +
+          s"[${df.columns.mkString(", ")}]")
+      val embs = df.select(col("doc_id").as("vec_id"),
+        col(ins.head).as("embedding"))
+      val seeds = embs.select("vec_id").orderBy("vec_id").limit(16)
+        .collect().map(_.getLong(0)).toSeq
+      val flags = graft.llm.Similarity.semanticDedup(embs, seeds)
+        .select(col("vec_id").as("doc_id"), col("is_semdup").as(out))
+      df.join(flags, Seq("doc_id"))
     })
 
   tableBuiltins.foreach { case (k, v) => tableKernels.put(k, v) }

@@ -124,6 +124,38 @@ object Pq {
       embeddings.filter(col("vec_id").isInCollection(queryIds)), k)
   }
 
+  /** Persist an encoded corpus + its codebooks: codes as a parquet table
+    * (m ints per row — the compressed store; at corpus scale write it
+    * bucketed on whatever key downstream joins use), codebooks as
+    * (j, c, codeword) metadata rows beside it. Mirrors
+    * [[Similarity.saveIvfIndex]]; maintenance (retire/compact) composes
+    * via [[graft.scale.StoreMaint.replaceStore]] exactly like the
+    * signature store. */
+  def savePqIndex(
+      codes: DataFrame, codebooks: Array[Array[Array[Double]]],
+      path: String): Unit = {
+    val spark = codes.sparkSession
+    import spark.implicits._
+    codes.write.mode("overwrite").parquet(s"$path/codes")
+    codebooks.zipWithIndex.flatMap { case (book, j) =>
+      book.zipWithIndex.map { case (cw, c) => (j, c, cw.toSeq) }
+    }.toSeq.toDF("j", "c", "codeword")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+  }
+
+  /** Reload: codebooks are metadata (m × ksub rows collected once); the
+    * code table stays a distributed scan. */
+  def loadPqIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String)
+      : (DataFrame, Array[Array[Array[Double]]]) = {
+    val rows = spark.read.parquet(s"$path/codebooks")
+      .orderBy("j", "c").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val codebooks = rows.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (_, cws) => cws.sortBy(_._2).map(_._3) }.toArray
+    (spark.read.parquet(s"$path/codes"), codebooks)
+  }
+
   /** IVF-PQ: coarse seeded cells restrict WHICH candidates are scored
     * (the `_list` equi-join of [[Similarity.searchIvf]]); PQ codes are
     * WHAT the candidates carry. The corpus-side join input is

@@ -555,6 +555,21 @@ object Similarity {
     * audit column instead of silently exploding the join — re-run those
     * cells with more seeds or exact dedup). The cell-size relation is
     * nLists rows, always broadcast. */
+  /** Cell count that holds expected within-cell pair work ~linear as the
+    * corpus grows: `ceil(n / occupancy)` — the spherical-cell twin of
+    * [[autoBandWidth]]'s occupancy discipline. With a FIXED cell count k,
+    * occupancy is n/k and within-cell pairs are Θ(n²/k) — quadratic once
+    * n outgrows k·occupancy (measured on this repo's sf0.1→sf1 tiling:
+    * 16 fixed cells took 10× vectors to 3.8× wall, the only super-√
+    * entry). Growing k with n (SemDeDup used 50k clusters for LAION)
+    * pins occupancy, making pair work Θ(n · occupancy). Feed the result
+    * to your seed-sampling policy (e.g. every (n/k)-th id). */
+  def autoCellCount(n: Long, targetOccupancy: Int = 256): Int = {
+    require(targetOccupancy > 0, "targetOccupancy must be positive")
+    math.max(1, math.ceil(
+      math.max(n, 1L).toDouble / targetOccupancy).toInt)
+  }
+
   def semanticDedup(
       embeddings: DataFrame, cellSeedIds: Seq[Long],
       threshold: Double = 0.95,

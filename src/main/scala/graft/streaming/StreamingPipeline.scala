@@ -58,6 +58,82 @@ object StreamingPipeline {
     }
   }
 
+  /** Accumulating spherical-cell index for continuous SEMANTIC dedup —
+    * the embedding twin of [[NearDupIndex]], streaming
+    * [[graft.llm.Similarity.semanticDedup]]'s shape: each arriving batch
+    * is cell-assigned once (max-cosine against the fixed seed centroids,
+    * exactly scale-invariant), probed by exact within-cell cosine
+    * against everything seen so far, then appended. The cell key bounds
+    * probe work exactly like the batch operator (never all-pairs); the
+    * threshold semantics are identical to the batch path because the
+    * rescore is exact cosine, not an ADC estimate (PQ reconstruction
+    * bias would make a fixed threshold miss true duplicates — store
+    * [[graft.llm.Pq]] codes alongside when the STATE must shrink, and
+    * rescore survivors exactly). Lineage is truncated per batch and the
+    * union chain re-checkpointed every `compactEvery` batches, the
+    * [[NearDupIndex]] discipline. */
+  final class SemanticDupIndex(
+      centers: Array[Array[Double]], threshold: Double = 0.95,
+      compactEvery: Int = 16) {
+    import org.apache.spark.sql.functions._
+    import graft.llm.Similarity
+    private var index: Option[DataFrame] = None
+    private var batches = 0
+
+    /** Number of vectors currently indexed. */
+    def size: Long = synchronized { index.map(_.count()).getOrElse(0L) }
+
+    /** Cell-assign the batch once, return cosine pairs ≥ threshold vs
+      * (index ∪ batch) — (vec_a, vec_b, cos_sim) with vec_b always in
+      * the batch and in-batch pairs ordered a < b — then append the
+      * batch. Thread-safe; the returned lazy frame reads only
+      * checkpoint-backed inputs. */
+    def probeAndAppend(batchEmbs: DataFrame): DataFrame = synchronized {
+      val nb = batchEmbs
+        .select(col("vec_id"), col("embedding"),
+          Similarity.cosCellCol(col("embedding"), centers).as("cell"))
+        .localCheckpoint(true)
+      val q = nb.select(col("cell"), col("vec_id").as("q_id"),
+        col("embedding").as("q_emb"))
+      def pairs(side: DataFrame) = side.join(q, Seq("cell"))
+        .withColumn("cos_sim",
+          round(Similarity.cosine(col("embedding"), col("q_emb")), 6))
+        .filter(col("cos_sim") >= threshold &&
+          col("vec_id") =!= col("q_id"))
+        .select(col("vec_id").as("vec_a"), col("q_id").as("vec_b"),
+          col("cos_sim"))
+      val vsIndex = pairs(index.getOrElse(nb.limit(0)))
+      val inBatch = pairs(nb).filter(col("vec_a") < col("vec_b"))
+      index = Some(index.map(_.unionAll(nb)).getOrElse(nb))
+      batches += 1
+      if (batches % compactEvery == 0)
+        index = index.map(_.localCheckpoint(true))
+      vsIndex.unionAll(inBatch)
+    }
+  }
+
+  /** Continuous semantic dedup over an embedding stream
+    * (vec_id, embedding): foreachBatch probes-and-appends the
+    * [[SemanticDupIndex]] and hands each batch's above-threshold cosine
+    * pairs to `onPairs` — the streaming twin of `q_dedup_semantic`. */
+  def semanticDupStream(
+      embs: DataFrame, index: SemanticDupIndex,
+      onPairs: (Long, DataFrame) => Unit,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L),
+      checkpointDir: Option[String] = None): StreamingQuery = {
+    val w = embs.writeStream
+      .outputMode("append")
+      .queryName("semantic_dup_stream")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        onPairs(batchId,
+          index.probeAndAppend(batch.select("vec_id", "embedding")))
+        ()
+      }
+    checkpointDir.fold(w)(d => w.option("checkpointLocation", d)).start()
+  }
+
   /** Continuous near-dup detection over a document stream (doc_id, text):
     * foreachBatch probes-and-appends the [[NearDupIndex]] and hands the
     * batch's candidate pairs (doc_a, doc_b, est_jaccard — at least one

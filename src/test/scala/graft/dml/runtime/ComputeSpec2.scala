@@ -165,6 +165,46 @@ class ComputeSpec2 extends AnyFunSuite {
     assert(out.filter(col("chunk_idx") === 0).count() == nDocs)
   }
 
+  test("gopher_filter and lm_perplexity table kernels attach quality " +
+    "verdicts via the DSL") {
+    val s = spark
+    val keep = ComputeRegistry.runOnce(s,
+      parse("COMPUTE g FROM table(text) INTO column(keep) " +
+        "USING gopher_filter"),
+      "documents")
+    assert(keep.columns.contains("keep"))
+    assert(keep.count() == s.table("documents").count())
+    val ppl = ComputeRegistry.runOnce(s,
+      parse("COMPUTE p FROM table(text) INTO column(ppl) " +
+        "USING lm_perplexity"),
+      "documents")
+    assert(ppl.count() == s.table("documents").count())
+    // the fixture corpus has multi-token docs: perplexities exist and are
+    // positive where defined
+    val vals = ppl.select("ppl").na.drop().collect().map(_.getDouble(0))
+    assert(vals.nonEmpty && vals.forall(_ > 0))
+  }
+
+  test("semantic_dedup table kernel flags planted embedding copies") {
+    val s = spark
+    import s.implicits._
+    val e = s.table("embeddings").select("vec_id", "embedding")
+      .filter(col("vec_id") < 100)
+    e.unionAll(e.filter(col("vec_id") < 5)
+        .select((col("vec_id") + 100000L).as("vec_id"),
+          col("embedding")))
+      .withColumnRenamed("vec_id", "doc_id")
+      .createOrReplaceTempView("emb_with_copies")
+    val out = ComputeRegistry.runOnce(s,
+      parse("COMPUTE sd FROM table(embedding) INTO column(is_semdup) " +
+        "USING semantic_dedup"),
+      "emb_with_copies")
+    val flagged = out.filter(col("is_semdup")).collect().map(_.getLong(0))
+    assert(flagged.sorted.toSeq ==
+      (0L until 5L).map(_ + 100000L).sorted.toSeq,
+      s"exactly the planted copies must be flagged: ${flagged.toSeq}")
+  }
+
   test("table kernels demand a doc_id key with a clear error") {
     val s = spark
     val spec = parse(

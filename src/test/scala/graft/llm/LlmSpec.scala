@@ -43,6 +43,21 @@ class LlmSpec extends AnyFunSuite {
     assert(pairs.length == 100, s"unexpected extra pairs: ${pairs.length - 100}")
   }
 
+  test("autoCellCount pins occupancy as the corpus grows") {
+    assert(Similarity.autoCellCount(0) == 1)
+    assert(Similarity.autoCellCount(256) == 1)
+    assert(Similarity.autoCellCount(257) == 2)
+    assert(Similarity.autoCellCount(1000000) == 3907)
+    // 10x the corpus => ~10x the cells, occupancy (and within-cell pair
+    // work per vector) constant
+    val k1 = Similarity.autoCellCount(100000)
+    val k10 = Similarity.autoCellCount(1000000)
+    assert(math.abs(k10.toDouble / k1 - 10.0) < 0.1)
+    intercept[IllegalArgumentException] {
+      Similarity.autoCellCount(100, targetOccupancy = 0)
+    }
+  }
+
   test("semantic dedup flags planted scaled copies, shares cells, and " +
     "honors the cell-size cap") {
     val s = spark

@@ -72,6 +72,29 @@ class PqSpec extends AnyFunSuite {
     }
   }
 
+  test("PQ index round-trips through parquet: codes and codebooks " +
+    "reload identically") {
+    val s = spark
+    val e = s.table("embeddings").select("vec_id", "embedding")
+    val cb = Pq.seededCodebooks(e, pqSeeds, m = 8)
+    val codes = Pq.encode(e, cb)
+    val dir = java.nio.file.Files.createTempDirectory("pqidx").toString
+    try {
+      Pq.savePqIndex(codes, cb, dir)
+      val (codes2, cb2) = Pq.loadPqIndex(s, dir)
+      assert(cb2.length == cb.length &&
+        cb2.zip(cb).forall { case (a, b) =>
+          a.zip(b).forall { case (x, y) => x.sameElements(y) } })
+      val orig = codes.collect()
+        .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      val loaded = codes2.collect()
+        .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      assert(loaded == orig)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("PQ and IVF-PQ recall the exact inner-product top-10") {
     val exact = exactDotTopK(10)
     val s = spark

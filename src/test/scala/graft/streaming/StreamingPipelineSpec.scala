@@ -87,6 +87,63 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(idx.size == (51 + 30) * 4L)
   }
 
+  test("streaming semantic dedup probes each batch's embeddings against " +
+    "the growing cell index") {
+    val s = spark
+    val dir = Files.createTempDirectory("graft-semdup").toString
+    val ckpt = Files.createTempDirectory("graft-semdup-ckpt").toString
+    val e = s.table("embeddings").select("vec_id", "embedding")
+    val centers = e.filter(col("vec_id").isin((1 to 16).map(_ * 5L): _*))
+      .orderBy("vec_id").collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+
+    // file 1: vectors 0-49 plus an in-batch scaled copy of vector 0
+    def scaledCopy(src: Long, newId: Long) =
+      e.filter(col("vec_id") === src).select(lit(newId).as("vec_id"),
+        expr("transform(embedding, x -> CAST(x * CAST(2.0 AS FLOAT) AS FLOAT))")
+          .as("embedding"))
+    e.filter(col("vec_id") < 50).unionAll(scaledCopy(0L, 5000L))
+      .repartition(1).write.mode("append").parquet(dir)
+    Thread.sleep(1100) // distinct file mtimes => deterministic batch order
+    // file 2: vectors 100-119 plus scaled copies of batch-1 vectors 0-9
+    e.filter(col("vec_id") >= 100 && col("vec_id") < 120).unionAll(
+      e.filter(col("vec_id") < 10).select(
+        (col("vec_id") + 100000L).as("vec_id"),
+        expr("transform(embedding, x -> CAST(x * CAST(0.5 AS FLOAT) AS FLOAT))")
+          .as("embedding")))
+      .repartition(1).write.mode("append").parquet(dir)
+
+    val found = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val idx = new StreamingPipeline.SemanticDupIndex(centers,
+      threshold = 0.95, compactEvery = 2)
+    val stream = s.readStream
+      .schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+    val q = StreamingPipeline.semanticDupStream(stream, idx, (batchId, ps) =>
+      found ++= ps.collect().map(r => (batchId, r.getLong(0), r.getLong(1))),
+      trigger = Trigger.AvailableNow(), checkpointDir = Some(ckpt))
+    try q.awaitTermination(180000) finally q.stop()
+
+    val pairs = found.map(p => (p._2, p._3)).toSeq
+    // the in-batch scaled copy surfaces once, ordered a < b
+    assert(pairs.count(_ == (0L, 5000L)) == 1, s"in-batch pair: $pairs")
+    // every cross-batch planted copy surfaces against the INDEX (scaled
+    // copies share their source's cell bitwise, and cosine is exactly 1)
+    (0L until 10L).foreach { id =>
+      assert(pairs.contains((id, id + 100000L)),
+        s"planted copy of $id missing: $pairs")
+    }
+    // no organic pair on the random corpus, nothing reported twice; the
+    // 12th pair is (5000, 100000) — both are copies of vector 0, so the
+    // transitive cosine-1 pair is genuinely above threshold
+    assert(pairs.distinct.size == pairs.size)
+    assert(pairs.contains((5000L, 100000L)))
+    assert(pairs.size == 12, s"unexpected extra pairs: $pairs")
+    // the index accumulated both batches
+    assert(idx.size == 51 + 30L)
+  }
+
   test("streaming drain delivers each micro-batch in priority order") {
     val s = spark
     val dir = Files.createTempDirectory("graft-prio-stream").toString
