@@ -97,15 +97,16 @@ object Pq {
     embeddings.select(col("vec_id"),
       encodeCol(col("embedding"), codebooks).as("codes"))
 
-  /** Brute-force ADC top-k: every candidate is scored from its codes
-    * only (the query side keeps full precision). `queries` needs
+  /** ADC top-k against an already-encoded (vec_id, codes) table — the
+    * entry point a persisted [[savePqIndex]] store serves directly: no
+    * embedding column is ever read on the corpus side. `queries` needs
     * (vec_id, embedding); self-matches are excluded by id. */
-  def searchPq(
-      embeddings: DataFrame, codebooks: Array[Array[Array[Double]]],
+  def searchPqCodes(
+      codes: DataFrame, codebooks: Array[Array[Array[Double]]],
       queries: DataFrame, k: Int = 10): DataFrame = {
     val q = queries.select(col("vec_id").as("query_id"),
       col("embedding").as("q_emb"))
-    val scored = encode(embeddings, codebooks)
+    val scored = codes
       .crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
@@ -114,6 +115,13 @@ object Pq {
       Seq(col("score"), negate(col("vec_id"))), k)
       .select("query_id", "vec_id", "score", "rank")
   }
+
+  /** Brute-force ADC top-k from raw embeddings: encode inline, then
+    * [[searchPqCodes]]. */
+  def searchPq(
+      embeddings: DataFrame, codebooks: Array[Array[Array[Double]]],
+      queries: DataFrame, k: Int = 10): DataFrame =
+    searchPqCodes(encode(embeddings, codebooks), codebooks, queries, k)
 
   /** One-shot seeded-codebook PQ search — the fully-oracled entry. */
   def pqTopKSeeded(

@@ -582,8 +582,16 @@ object Similarity {
     val missing = seeds.filterNot(byId.contains)
     require(missing.isEmpty, s"seed vec_ids absent from corpus: $missing")
     val centers = seeds.map(byId).toArray
-    val assigned = embeddings.select(col("vec_id"), col("embedding"),
-      cosCellCol(col("embedding"), centers).as("cell"))
+    // cell assignment costs Θ(k·d) per row (one cosine per centroid) and
+    // is referenced by FOUR consumers (the size relation, both pair
+    // sides, and the output join) — materialize it once or the
+    // occupancy-pinned large-k regime pays assignment 4×, which measured
+    // SLOWER than the quadratic small-k it replaces (sf1 probe: 51 s vs
+    // 35 s at k=313 before this persist)
+    val assigned = PipelineCaches.track(
+      embeddings.select(col("vec_id"), col("embedding"),
+        cosCellCol(col("embedding"), centers).as("cell"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val sizes = assigned.groupBy("cell").agg(count(lit(1)).as("_n"))
     val within = assigned.join(
       broadcast(sizes.filter(col("_n") <= maxCellSize).select("cell")),

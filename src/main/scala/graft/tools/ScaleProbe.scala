@@ -204,6 +204,41 @@ object ScaleProbe {
       }
     }
 
+    // Semantic dedup: within-cell pair work is Θ(n²/k), so a FIXED cell
+    // count goes quadratic as the corpus grows while the occupancy-pinned
+    // autoCellCount keeps it ~linear. A fixed set of 100 scaled planted
+    // copies must be flagged at EITHER k (cosine cell assignment is
+    // exactly scale-invariant, so a copy can never be separated from its
+    // source at any cell count).
+    locally {
+      Seq(1, 4).foreach { mult =>
+        val planted = embs.filter(col("vec_id") < 100).select(
+          (col("vec_id") + 777000000L).as("vec_id"),
+          expr("transform(embedding, x -> CAST(x * CAST(2.0 AS FLOAT) " +
+            "AS FLOAT))").as("embedding"))
+        val corpus = embCopies(embs, mult).unionAll(planted)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val n = corpus.count()
+        def seedsOf(k: Int): Seq[Long] = {
+          val step = math.max(1L, n / k)
+          corpus.select("vec_id")
+            .filter(pmod(col("vec_id"), lit(step)) === 0)
+            .orderBy("vec_id").limit(k)
+            .collect().map(_.getLong(0)).toSeq
+        }
+        def run(tag: String, k: Int): Unit = {
+          val (nDup, t) = time(graft.llm.Similarity
+            .semanticDedup(corpus, seedsOf(k), threshold = 0.95)
+            .filter(col("is_semdup")).count())
+          println(f"[semantic ${mult}x $tag k=$k%3d] n=$n%d " +
+            f"dups=$nDup%d in $t%.1fs")
+        }
+        run("fixed", 16)
+        run("auto ", graft.llm.Similarity.autoCellCount(n))
+        corpus.unpersist(blocking = false)
+      }
+    }
+
     // the O(log n) claim, measured: a path graph is the adversarial case
     // (min-label propagation needs `len` rounds); alternating stars must
     // grow round count logarithmically while labeling everything 0

@@ -90,6 +90,15 @@ class PqSpec extends AnyFunSuite {
       val loaded = codes2.collect()
         .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
       assert(loaded == orig)
+      // the persisted store serves searches without touching embeddings:
+      // same ranking as the encode-inline path
+      val fromStore = Pq.searchPqCodes(codes2, cb2,
+        e.filter(col("vec_id") === 0L), k = 10).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      val inline = Pq.searchPq(e, cb, e.filter(col("vec_id") === 0L), k = 10)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      assert(fromStore.sortBy(_._4).toSeq == inline.sortBy(_._4).toSeq)
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
