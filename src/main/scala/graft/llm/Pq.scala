@@ -31,6 +31,14 @@ import org.apache.spark.sql.functions._
   * restricts ADC to the probed cells via the same `_list` equi-join as
   * [[Similarity.searchIvf]] — the shuffle carries (vec_id, _list, codes),
   * a fixed handful of bytes per candidate regardless of dimension.
+  *
+  * Codegen note: the m × ksub codebook literals make the encode/ADC
+  * projections too large for WHOLE-STAGE fusion (Spark falls back to
+  * per-operator execution past its generated-method limits), but
+  * expression-level projection codegen still applies — the observed cost
+  * is a ~1-2 s one-time compile per plan, amortized over any real scan.
+  * PQ's scale win is memory/shuffle width, not FLOPs: ADC evaluates the
+  * same d multiplies as a full dot, from 32× less data.
   */
 object Pq {
 
