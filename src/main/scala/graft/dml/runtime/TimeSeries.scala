@@ -41,6 +41,35 @@ object TimeSeries {
         count(lit(1)).over(w)))
   }
 
+  /** Rolling z-score anomaly flags over each entity's trailing-n window —
+    * the MONITOR-tier primitive for metric streams (drift detection's
+    * per-point cousin): mean and variance from DECIMAL-summed window
+    * aggregates (partition-order-independent, so the DuckDB oracle
+    * replays them exactly; the same discipline as [[rollingMean]]),
+    * z = (x − mean)/std rounded to 6 dp, flagged when |z| > `z`.
+    * Windows with zero variance (or a single row) yield NULL z and an
+    * unflagged row. One keyed window per entity — bounded frames, never
+    * a global sort. */
+  def anomalyFlags(
+      df: DataFrame, entityCol: String, timeCol: String, valueCol: String,
+      n: Int, z: Double = 3.0, tiebreak: String = "event_id"): DataFrame = {
+    require(n > 1, s"window must span more than one row, got $n")
+    val w = Window.partitionBy(entityCol)
+      .orderBy(col(timeCol).asc, col(tiebreak).asc)
+      .rowsBetween(-(n - 1), 0)
+    val cnt = count(lit(1)).over(w)
+    val mean = sum(col(valueCol).cast(DecimalType(18, 2))).over(w)
+      .cast("double") / cnt
+    val m2 = sum((col(valueCol) * col(valueCol)).cast(DecimalType(28, 6)))
+      .over(w).cast("double") / cnt
+    val variance = m2 - mean * mean
+    val std = sqrt(greatest(variance, lit(0.0)))
+    val zscore = when(cnt > 1 && std > 0,
+      round((col(valueCol) - mean) / std, 6))
+    df.withColumn("zscore", zscore)
+      .withColumn("is_anomaly", coalesce(abs(zscore) > z, lit(false)))
+  }
+
   /** Trend feature: row index within the entity's timeline (the regression
     * "t" for lag-feature forecasting). */
   def timeIndex(

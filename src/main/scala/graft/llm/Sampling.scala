@@ -214,4 +214,29 @@ object Sampling {
         else lit(0.0)).as("percent_rank"))
     docs.join(ranked, Seq("doc_id"), "left")
   }
+
+  /** Per-domain document cap — crawl-dominance control: keep at most
+    * `cap` docs per domain, deterministically the `cap` SMALLEST doc_ids
+    * (the keep-the-earliest convention of the dedup family). The
+    * standard defense against one host flooding a mixture the way
+    * [[domainMix]]'s rates can't express ("no single source may exceed N
+    * documents", e.g. per-site caps in C4/RefinedWeb-style cleaning).
+    *
+    * Scale shape: the bounded-heap partial aggregate
+    * ([[graft.plans.TopK]]), NOT a per-domain row_number window — the
+    * shuffle carries at most `cap` rows per domain per input partition,
+    * so a domain with 10M pages costs the same shuffle as one with
+    * `cap`. Output = the kept rows (doc_id, domain, cap_rank 1..cap). */
+  def domainCap(
+      docs: DataFrame, domainCol: String, cap: Int): DataFrame = {
+    require(docs.columns.contains("doc_id"),
+      s"domainCap requires a 'doc_id' key column; relation has " +
+        s"[${docs.columns.mkString(", ")}]")
+    // TopK keeps the k LARGEST under its ordering; negate the id so the
+    // heap retains the cap smallest doc_ids per domain
+    graft.plans.TopK.topKPerKey(
+      docs.select(col("doc_id"), col(domainCol)),
+      Seq(domainCol), Seq(negate(col("doc_id"))), cap)
+      .select(col("doc_id"), col(domainCol), col("rank").as("cap_rank"))
+  }
 }

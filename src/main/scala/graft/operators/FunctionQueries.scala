@@ -98,6 +98,18 @@ object FunctionQueries {
     // Time series (§1.1 WITH TIME COLUMN): lag feature, decimal-exact
     // rolling mean, trend index — per-entity windows, hash-partitioned by
     // customer, sorted within partitions only (no global sort).
+    // rolling z-score anomaly flags per user over the trailing-20 window
+    // (~67 events/user at sf0.01, so windows genuinely roll): DECIMAL-
+    // summed moments keep the whole pipeline partition-order-independent
+    // and exactly DuckDB-replayable
+    "q_ts_anomaly" -> { (s, dir) =>
+      Tables.register(s, dir)
+      graft.dml.runtime.TimeSeries.anomalyFlags(
+        s.table("events").select("event_id", "user_id", "ts", "value"),
+        "user_id", "ts", "value", n = 20, z = 2.5, tiebreak = "event_id")
+        .select("event_id", "user_id", "value", "zscore", "is_anomaly")
+    },
+
     "q_ts_rolling" -> { (s, dir) =>
       Tables.register(s, dir)
       import graft.dml.runtime.TimeSeries
@@ -202,6 +214,27 @@ object FunctionQueries {
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_wellformed
         |FROM u""".stripMargin,
 
+    "q_ts_anomaly" ->
+      """WITH w AS (
+        |  SELECT event_id, user_id, value,
+        |    COUNT(*) OVER f AS cnt,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER f AS DOUBLE)
+        |      / COUNT(*) OVER f AS m,
+        |    CAST(SUM(CAST(value * value AS DECIMAL(28,6))) OVER f AS DOUBLE)
+        |      / COUNT(*) OVER f AS m2
+        |  FROM events
+        |  WINDOW f AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+        |z AS (
+        |  SELECT event_id, user_id, value,
+        |    CASE WHEN cnt > 1 AND sqrt(greatest(m2 - m * m, 0)) > 0
+        |      THEN round((value - m) / sqrt(greatest(m2 - m * m, 0)), 6)
+        |    END AS zscore
+        |  FROM w)
+        |SELECT event_id, user_id, value, zscore,
+        |  coalesce(abs(zscore) > 2.5, false) AS is_anomaly
+        |FROM z""".stripMargin,
+
     "q_ts_rolling" ->
       """SELECT o_custkey, o_orderkey,
         |  lag(o_totalprice, 1) OVER w AS o_totalprice_lag_1,
@@ -271,5 +304,6 @@ object FunctionQueries {
     "q_rollup_pricing" ->
       Seq("g_flag", "g_status", "l_returnflag", "l_linestatus"),
     "q_ts_rolling" -> Seq("o_custkey", "o_orderkey"),
+    "q_ts_anomaly" -> Seq("event_id"),
     "q_base64_roundtrip" -> Seq("o_orderkey"))
 }

@@ -66,6 +66,13 @@ object SamplingQueries {
         .select("doc_id", "score", "percent_rank")
     },
 
+    // per-domain document cap (crawl-dominance control): keep the 10
+    // smallest doc_ids per source via the bounded-heap aggregate — at
+    // sf0.01 every source holds 25 docs, so the cap genuinely drops rows
+    "q_domain_cap" -> { (s, dir) =>
+      Sampling.domainCap(docs(s, dir), "source", cap = 10)
+    },
+
     // the capstone composition: exact-dedup keep → n_chars quantile filter
     // (≥ p25 of the deduped corpus) → stratified per-domain sample →
     // deterministic shuffle positions over the survivors. Four operators
@@ -171,7 +178,17 @@ object SamplingQueries {
         |    round(percent_rank() OVER (ORDER BY n_chars), 6) AS percent_rank
         |  FROM documents)
         |SELECT doc_id, n_chars, percent_rank
-        |FROM r WHERE percent_rank >= 0.25""".stripMargin)
+        |FROM r WHERE percent_rank >= 0.25""".stripMargin,
+
+    // algorithm-independent oracle: the per-domain row_number window the
+    // bounded heap must reproduce exactly
+    "q_domain_cap" ->
+      """SELECT doc_id, source, cap_rank FROM (
+        |  SELECT doc_id, source,
+        |    CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id)
+        |      AS INT) AS cap_rank
+        |  FROM documents)
+        |WHERE cap_rank <= 10""".stripMargin)
 
   def verifySort: Map[String, Seq[String]] = Map(
     "q_corpus_shuffle" -> Seq("doc_id"),
@@ -180,5 +197,6 @@ object SamplingQueries {
     "q_domain_mix" -> Seq("doc_id", "copy_idx"),
     "q_percent_rank_cont" -> Seq("doc_id"),
     "q_quantile_filter" -> Seq("doc_id"),
+    "q_domain_cap" -> Seq("doc_id"),
     "q_corpus_pipeline" -> Seq("doc_id"))
 }

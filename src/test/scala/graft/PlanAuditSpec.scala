@@ -210,6 +210,22 @@ class PlanAuditSpec extends AnyFunSuite {
       s"probe assignment must stay a distributed Column expression:\n$p")
   }
 
+  test("q_domain_cap caps domains with the bounded heap, not a window") {
+    val p = plan("q_domain_cap")
+    assert(p.contains("ObjectHashAggregate"),
+      s"the per-domain cap must be the CollectTopK partial aggregation — " +
+        s"the shuffle carries at most cap rows per domain per partition:\n$p")
+    assert(!p.contains("Window"),
+      s"a window rank shuffles+sorts every row of every domain:\n$p")
+  }
+
+  test("q_ts_anomaly windows per entity — no global (unpartitioned) sort") {
+    val p = plan("q_ts_anomaly")
+    assert(p.contains("Window"), s"rolling moments are keyed windows:\n$p")
+    assert(!p.contains("partitionBy=[]") && !p.contains("Sort [ts"),
+      s"every window must be partitioned by the entity key:\n$p")
+  }
+
   test("q_dedup_semantic pairs only within cells — an equi-join on the " +
     "cell id, never a cartesian") {
     val p = plan("q_dedup_semantic")

@@ -125,6 +125,28 @@ class RuntimeExtrasSpec extends AnyFunSuite {
     assert(r.metrics.contains("rmse"))
   }
 
+  test("anomalyFlags flags a planted spike and stays silent on constant " +
+    "series") {
+    val s = spark
+    import s.implicits._
+    val base = (1L to 40L).map(i =>
+      (i, 1L, new java.sql.Timestamp(i * 60000L),
+        if (i == 30L) 500.0 else 10.0 + (i % 3))) ++
+      (1L to 30L).map(i =>
+        (100L + i, 2L, new java.sql.Timestamp(i * 60000L), 7.0))
+    val df = base.toDF("event_id", "user_id", "ts", "value")
+    val out = TimeSeries.anomalyFlags(df, "user_id", "ts", "value",
+      n = 20, z = 2.5, tiebreak = "event_id").collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(5), r.isNullAt(4)))).toMap
+    assert(out(30L)._1, "the planted spike must be flagged")
+    // the spike is the only anomaly in user 1's series
+    assert((1L to 40L).count(id => out(id)._1) == 1)
+    // constant series: zero variance => NULL z, nothing flagged
+    (101L to 130L).foreach { id =>
+      assert(out(id)._2 && !out(id)._1, s"constant series row $id")
+    }
+  }
+
   test("gen_random_uuid maps to uuid()") {
     val s = spark
     val ids = s.sql("SELECT uuid() AS id FROM range(10)").collect()

@@ -246,6 +246,24 @@ class RelevanceSamplingSpec extends AnyFunSuite {
     assert(ranked(1L).contains(0.0) && ranked(3L).contains(1.0))
   }
 
+  test("domainCap keeps exactly the cap smallest ids per domain and " +
+    "whole small domains") {
+    val s = spark
+    import s.implicits._
+    // big: 100 docs, small: 3 docs, cap 5
+    val docs = ((0L until 100L).map(i => (i, "big")) ++
+      (200L until 203L).map(i => (i, "small"))).toDF("doc_id", "source")
+    val out = Sampling.domainCap(docs, "source", cap = 5).collect()
+      .map(r => (r.getString(1), r.getLong(0), r.getInt(2)))
+    val big = out.filter(_._1 == "big").sortBy(_._3)
+    assert(big.map(_._2).toSeq == (0L until 5L).toSeq,
+      s"cap keeps the 5 smallest ids: ${big.toSeq}")
+    assert(big.map(_._3).toSeq == (1 to 5).toSeq)
+    val small = out.filter(_._1 == "small")
+    assert(small.map(_._2).sorted.toSeq == (200L until 203L).toSeq,
+      "a domain under the cap keeps every doc")
+  }
+
   test("hashSample survives id columns with reserved/odd names") {
     val s = spark
     // an expr()-interpolated column name would re-parse 'order' (reserved)
