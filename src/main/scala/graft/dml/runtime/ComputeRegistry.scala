@@ -148,6 +148,19 @@ object ComputeRegistry {
         .select(col("doc_id"), col("perplexity").as(out))
       df.join(scored, Seq("doc_id"), "left")
     },
+    // per-domain document cap over a DOMAIN input column — the one
+    // relation-SHRINKING kernel: keeps the 10 smallest doc_ids per
+    // domain (crawl-dominance control); INTO column(...) names the
+    // per-domain rank column
+    "domain_cap" -> { (df, ins, out) =>
+      require(df.columns.contains("doc_id"),
+        s"table kernels require a 'doc_id' key column; relation has " +
+          s"[${df.columns.mkString(", ")}]")
+      val kept = graft.llm.Sampling.domainCap(
+        df.select(col("doc_id"), col(ins.head)), ins.head, cap = 10)
+        .select(col("doc_id"), col("cap_rank").as(out))
+      df.join(kept, Seq("doc_id"))
+    },
     // SemDeDup over an EMBEDDING input column: is-semantic-dup flag
     // attached; cells seeded from the 16 smallest doc_ids (deterministic
     // without caller-supplied seeds)

@@ -185,6 +185,28 @@ class ComputeSpec2 extends AnyFunSuite {
     assert(vals.nonEmpty && vals.forall(_ > 0))
   }
 
+  test("domain_cap table kernel shrinks each source to its 10 smallest " +
+    "doc_ids") {
+    val s = spark
+    val out = ComputeRegistry.runOnce(s,
+      parse("COMPUTE dc FROM table(source) INTO column(cap_rank) " +
+        "USING domain_cap"),
+      "documents")
+    val perSource = out.groupBy("source")
+      .agg(count(lit(1)).as("n"), max("doc_id").as("mx"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(perSource.forall(_._1 == 10), "exactly 10 docs kept per source")
+    // keeps the smallest ids: every kept id is below the source's
+    // 11th-smallest in the raw table
+    val truth = s.table("documents")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("source")
+          .orderBy("doc_id")))
+      .filter(col("rn") <= 10)
+      .agg(sum("doc_id")).collect().head.getLong(0)
+    assert(out.agg(sum("doc_id")).collect().head.getLong(0) == truth)
+  }
+
   test("semantic_dedup table kernel flags planted embedding copies") {
     val s = spark
     import s.implicits._
