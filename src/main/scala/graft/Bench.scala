@@ -152,7 +152,12 @@ object Bench {
       while (extra < 2 && overGate(name, t)) {
         System.err.println(
           f"[bench] $name tripped the gate at $t%.3fs — re-measuring")
-        t = math.min(t, minGood(Seq(timeOnce(name, SparkEntry.queries(name)))))
+        // min in SUCCESSFUL retries only: a fast failure (the primary
+        // loop's all-failed fallback is not applicable here — valid
+        // measurements already exist) must not clear the gate or replace
+        // a real timing with a fictitious one
+        val (ok, rt) = timeOnce(name, SparkEntry.queries(name))
+        if (ok) t = math.min(t, rt)
         extra += 1
       }
       results = results.updated(name, t)

@@ -17,6 +17,13 @@ import graft.dml.runtime.{Evaluation, Trainer}
   */
 object Agents {
 
+  /** Thrown by [[explainRows]] for model families its deterministic
+    * exact/Saabas walks don't cover — a TYPED signal so the DSL
+    * dispatcher's kernel-SHAP fallback can't drift out of sync with a
+    * reworded message. */
+  final class UnsupportedExplainModel(msg: String)
+    extends IllegalArgumentException(msg)
+
   final case class Trial(params: List[(String, Value)], metrics: Map[String, Double])
 
   /** Search-space dimensions per reference/AGENTS.md:110-117:
@@ -517,7 +524,7 @@ object Agents {
         treeContribCols(
           m.trees.zip(m.treeWeights).map { case (t, w) => t.rootNode -> w }
             .toSeq, n)
-    }.getOrElse(throw new IllegalArgumentException(
+    }.getOrElse(throw new UnsupportedExplainModel(
       "per-row explanation supports linear/logistic models and tree " +
         s"ensembles; got ${model.stages.last.getClass.getSimpleName}"))
 
@@ -655,10 +662,12 @@ object Agents {
     require(transformed.columns.contains("features"),
       "kernelShapRows needs the pipeline's assembled 'features' column")
     val n = featureNames.size
-    val collected = transformed.collect()
+    // collect through a limit so an over-wide FOR clause is caught after
+    // maxRows + 1 rows reach the driver, not after the whole table does
+    val collected = transformed.limit(maxRows + 1).collect()
     require(collected.length <= maxRows,
       s"kernelShapRows explains at most $maxRows rows per call (got " +
-        s"${collected.length}) — it is a driver-side explanation batch; " +
+        s"more) — it is a driver-side explanation batch; " +
         "narrow the FOR clause or raise maxRows deliberately")
     if (collected.isEmpty) {
       // preserve the output schema on an empty batch

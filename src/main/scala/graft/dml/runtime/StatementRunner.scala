@@ -170,13 +170,21 @@ final class StatementRunner(
             case Some("kernel_shap") =>
               Agents.kernelShapRows(model, data, names, k,
                 baseline = Some(derived))
+            case Some(other) if other != "shap_values" =>
+              // the parser accepts any identifier after USING; an
+              // unknown method must error, not silently run a different
+              // attribution than the one the user asked for.
+              // (`shap_values` — DSL.md's name — falls through to the
+              // default: deterministic exact/Saabas, kernel-SHAP fallback)
+              throw new IllegalArgumentException(
+                s"unknown EXPLAIN method '$other' — supported: " +
+                  "shap_values (deterministic exact/Saabas with " +
+                  "kernel-SHAP fallback) or kernel_shap (force the sampler)")
             case _ =>
               try Agents.explainRows(model, data, names, k,
                 baseline = Some(derived))
               catch {
-                case e: IllegalArgumentException
-                    if e.getMessage.contains(
-                      "per-row explanation supports") =>
+                case _: Agents.UnsupportedExplainModel =>
                   Agents.kernelShapRows(model, data, names, k,
                     baseline = Some(derived))
               }

@@ -54,8 +54,11 @@ object TimeSeries {
       df: DataFrame, entityCol: String, timeCol: String, valueCol: String,
       n: Int, z: Double = 3.0, tiebreak: String = "event_id"): DataFrame = {
     require(n > 1, s"window must span more than one row, got $n")
+    // nulls LAST to match DuckDB's default ORDER BY (the deliveryOrder
+    // convention): a null-ts event must fill the same window slots in
+    // both engines or the oracle diverges
     val w = Window.partitionBy(entityCol)
-      .orderBy(col(timeCol).asc, col(tiebreak).asc)
+      .orderBy(col(timeCol).asc_nulls_last, col(tiebreak).asc_nulls_last)
       .rowsBetween(-(n - 1), 0)
     val cnt = count(lit(1)).over(w)
     val mean = sum(col(valueCol).cast(DecimalType(18, 2))).over(w)

@@ -113,9 +113,9 @@ object Curation {
       minStopwordHits: Int = 2, maxTopWordFrac: Double = 0.2): DataFrame = {
     val base = docs
       .withColumn("_t", coalesce(col("text"), lit("")))
-      .withColumn("_w", split(col("_t"), " "))
+      .withColumn("_w", TextOps.tokens(col("_t")))
     val n = size(col("_w"))
-    val avgLen = (length(col("_t")) - (n - 1)).cast("double") / n
+    val avgLen = TextOps.avgTokenLen(col("_t"))
     val topFrac = array_max(transform(array_distinct(col("_w")),
       t => size(filter(col("_w"), x => x === t)))).cast("double") / n
     base.select(
@@ -157,7 +157,7 @@ object Curation {
     require(alpha > 0, s"alpha must be positive, got $alpha")
     val base = docs
       .withColumn("_t", coalesce(col("text"), lit("")))
-      .withColumn("_w", split(col("_t"), " "))
+      .withColumn("_w", TextOps.tokens(col("_t")))
     val uni = base.select(explode(col("_w")).as("_prev"))
       .groupBy("_prev").agg(count(lit(1)).as("_cu"))
     val vdf = uni.agg(count(lit(1)).cast("double").as("_v"))

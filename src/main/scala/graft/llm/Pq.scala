@@ -50,8 +50,9 @@ object Pq {
     require(m > 0, s"m must be positive, got $m")
     val seeds = seedIds.distinct.sorted
     val byId = embeddings.filter(col("vec_id").isInCollection(seeds))
-      .select(col("vec_id"), col("embedding")).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
       .toMap
     val missing = seeds.filterNot(byId.contains)
     require(missing.isEmpty, s"seed vec_ids absent from corpus: $missing")

@@ -229,8 +229,9 @@ object Similarity {
       persist: Boolean = true): IvfIndex = {
     val seeds = seedIds.distinct.sorted
     val byId = embeddings.filter(col("vec_id").isInCollection(seeds))
-      .select(col("vec_id"), col("embedding")).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
       .toMap
     val missing = seeds.filterNot(byId.contains)
     require(missing.isEmpty, s"seed vec_ids absent from corpus: $missing")
@@ -446,6 +447,11 @@ object Similarity {
     require(planes % bands == 0, "planes must divide into bands")
     val width = planes / bands
     val dim = embeddingDim(left)
+    val rightDim = embeddingDim(right)
+    require(dim == rightDim,
+      s"embedding dimensions must match: left=$dim right=$rightDim — " +
+        "cross-corpus decontamination needs both frames embedded by the " +
+        "same model")
     def banded(df: DataFrame, idAs: String): DataFrame = {
       val b = df
         .withColumn("sig", lshSignature(col("embedding"), planes, dim))
@@ -575,9 +581,14 @@ object Similarity {
       threshold: Double = 0.95,
       maxCellSize: Int = Int.MaxValue): DataFrame = {
     val seeds = cellSeedIds.distinct.sorted
+    // cast → array<double> before collecting so a caller whose embedding
+    // column is array<double> (user-supplied embeddings) works instead of
+    // throwing an opaque Float ClassCastException; float sources convert
+    // exactly
     val byId = embeddings.filter(col("vec_id").isInCollection(seeds))
-      .select(col("vec_id"), col("embedding")).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
       .toMap
     val missing = seeds.filterNot(byId.contains)
     require(missing.isEmpty, s"seed vec_ids absent from corpus: $missing")

@@ -247,6 +247,12 @@ class StatementRunnerSpec extends AnyFunSuite {
       "EXPLAIN PREDICTION ghost FOR ORDER o_orderkey = 1 SHOW TOP 2")))
     assert(e.getMessage.contains("no TrainSpec") ||
       e.getMessage.contains("model not found"))
+    // a misspelled USING method errors instead of silently running a
+    // different attribution than the one asked for
+    val m = intercept[IllegalArgumentException](runner.run(DmlParser.parse(
+      s"EXPLAIN PREDICTION runner_reg FOR ORDER o_orderkey = $key " +
+        "USING kernal_shap SHOW TOP 2 features")))
+    assert(m.getMessage.contains("unknown EXPLAIN method 'kernal_shap'"))
   }
 
   test("rollback scopes the version history to the resolved endpoint") {
