@@ -67,8 +67,10 @@ object TimeSeries {
       .over(w).cast("double") / cnt
     val variance = m2 - mean * mean
     val std = sqrt(greatest(variance, lit(0.0)))
+    // normZero: a tiny-negative z (e.g. -1e-16) rounds to -0.0 in DuckDB
+    // but +0.0 through Spark's BigDecimal round — normalize before hashing
     val zscore = when(cnt > 1 && std > 0,
-      round((col(valueCol) - mean) / std, 6))
+      normZero(round((col(valueCol) - mean) / std, 6)))
     df.withColumn("zscore", zscore)
       .withColumn("is_anomaly", coalesce(abs(zscore) > z, lit(false)))
   }
@@ -96,6 +98,15 @@ object TimeSeries {
         s"unsupported SEASONAL granularity: $other")
     }
 
+  /** IEEE negative-zero normalization for cross-engine rounded doubles:
+    * DuckDB's libm `round(sin(k·2π/period), 6)` yields -0.0 at exact cycle
+    * multiples while Spark's BigDecimal HALF_UP round yields +0.0 — the
+    * two hash differently in the oracle dump. See
+    * [[graft.functions.CrossEngine.normZero]] (the canonical definition)
+    * for the full convention. */
+  def normZero(x: Column): Column =
+    graft.functions.CrossEngine.normZero(x)
+
   /** The cycle length of each granularity's calendar component — the
     * Fourier period (365.25 absorbs leap years the way Prophet's yearly
     * seasonality does). */
@@ -121,8 +132,8 @@ object TimeSeries {
     val c = 2 * math.Pi / fourierPeriod(granularity.toLowerCase)
     Seq(
       s"season_$granularity" -> phase,
-      s"season_${granularity}_sin" -> round(sin(phase * c), 6),
-      s"season_${granularity}_cos" -> round(cos(phase * c), 6))
+      s"season_${granularity}_sin" -> normZero(round(sin(phase * c), 6)),
+      s"season_${granularity}_cos" -> normZero(round(cos(phase * c), 6)))
   }
 
   /** Adds the clause-derived columns to a frame that carries the time

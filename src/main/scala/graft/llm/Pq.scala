@@ -3,6 +3,8 @@ package graft.llm
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.CrossEngine.normZero
+
 /** Product quantization (PQ) for the embedding store — the compression
   * tier below int8 (reference `DISTRIBUTED.md` vector tier; Jégou et al.
   * 2011, "Product Quantization for Nearest Neighbor Search").
@@ -94,7 +96,7 @@ object Pq {
         slice(qEmb, j * dsub + 1, dsub),
         element_at(cbLit, element_at(codes, j + 1) + 1))
     }
-    round(parts.reduceLeft(_ + _), 6)
+    normZero(round(parts.reduceLeft(_ + _), 6))
   }
 
   /** The encoded corpus: (vec_id, codes) — the table you persist. Pure

@@ -3,6 +3,8 @@ package graft.llm
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.CrossEngine.normZero
+
 /** Similarity search over an embedding column (`Array[Float]`) — the ANN
   * operators a training-data pipeline needs (SURVEY §2.8).
   *
@@ -51,7 +53,7 @@ object Similarity {
       .crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        round(cosine(col("q_emb"), col("embedding")), 6).as("cos_sim"))
+        normZero(round(cosine(col("q_emb"), col("embedding")), 6)).as("cos_sim"))
     rankTopK(scored, k)
   }
 
@@ -98,8 +100,8 @@ object Similarity {
     val scored = q.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        round(int8Dot(col("qvec"), col("q_qvec")).cast("double") *
-          col("scale") * col("q_scale"), 6).as("score"))
+        normZero(round(int8Dot(col("qvec"), col("q_qvec")).cast("double") *
+          col("scale") * col("q_scale"), 6)).as("score"))
     graft.plans.TopK.topKPerKey(scored, Seq("query_id"),
       Seq(col("score"), negate(col("vec_id"))), k)
       .select("query_id", "vec_id", "score", "rank")
@@ -168,7 +170,7 @@ object Similarity {
         col("q_emb"), col("embedding")).distinct()
 
     val scored = candidates.select(col("query_id"), col("vec_id"),
-      round(cosine(col("q_emb"), col("embedding")), 6).as("cos_sim"))
+      normZero(round(cosine(col("q_emb"), col("embedding")), 6)).as("cos_sim"))
     rankTopK(scored, k)
   }
 
@@ -265,7 +267,8 @@ object Similarity {
     val ee = dot(emb, emb)
     val cells = centers.zipWithIndex.map { case (c, i) =>
       val cc = c.map(x => x * x).sum // left-to-right, matches list_sum
-      val dist = round(ee - lit(2.0) * dot(emb, typedLit(c.toSeq)) + lit(cc), 6)
+      val dist = normZero(
+        round(ee - lit(2.0) * dot(emb, typedLit(c.toSeq)) + lit(cc), 6))
       struct(dist.as("dist"), lit(i).as("list"))
     }
     transform(slice(array_sort(array(cells.toIndexedSeq: _*)), 1, nProbe),
@@ -307,7 +310,7 @@ object Similarity {
       if (excludeQueryIds) joined.filter(col("vec_id") =!= col("query_id"))
       else joined
     val scored = candidates.select(col("query_id"), col("vec_id"),
-      round(cosine(col("q_emb"), col("embedding")), 6).as("cos_sim"))
+      normZero(round(cosine(col("q_emb"), col("embedding")), 6)).as("cos_sim"))
     rankTopK(scored, k)
   }
 
@@ -476,7 +479,7 @@ object Similarity {
       col("embedding").as("emb_r"))
     pairs.join(el, Seq("left_id")).join(er, Seq("right_id"))
       .select(col("left_id"), col("right_id"),
-        round(cosine(col("emb_l"), col("emb_r")), 6).as("cos_sim"))
+        normZero(round(cosine(col("emb_l"), col("emb_r")), 6)).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
 
@@ -518,7 +521,7 @@ object Similarity {
       col("embedding").as("emb_b"))
     pairs.join(ea, Seq("vec_a")).join(eb, Seq("vec_b"))
       .select(col("vec_a"), col("vec_b"),
-        round(cosine(col("emb_a"), col("emb_b")), 6).as("cos_sim"))
+        normZero(round(cosine(col("emb_a"), col("emb_b")), 6)).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
 
@@ -531,7 +534,7 @@ object Similarity {
   private[graft] def cosCellCol(
       emb: Column, centers: Array[Array[Double]]): Column = {
     val cells = centers.zipWithIndex.map { case (c, i) =>
-      val sim = round(cosine(emb, typedLit(c.toSeq)), 6)
+      val sim = normZero(round(cosine(emb, typedLit(c.toSeq)), 6))
       struct(negate(sim).as("negsim"), lit(i).as("list"))
     }
     element_at(transform(slice(array_sort(array(cells.toIndexedSeq: _*)),

@@ -228,7 +228,7 @@ object FunctionQueries {
         |z AS (
         |  SELECT event_id, user_id, value,
         |    CASE WHEN cnt > 1 AND sqrt(greatest(m2 - m * m, 0)) > 0
-        |      THEN round((value - m) / sqrt(greatest(m2 - m * m, 0)), 6)
+        |      THEN round((value - m) / sqrt(greatest(m2 - m * m, 0)), 6) + 0
         |    END AS zscore
         |  FROM w)
         |SELECT event_id, user_id, value, zscore,

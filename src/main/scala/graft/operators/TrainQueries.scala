@@ -108,18 +108,21 @@ object TrainQueries {
     // t_index = dense rank of the timestamp (ties share a step index).
     // The Fourier pairs repeat the engine's fold order exactly —
     // phase * (2*pi()/period), round(,6) — so both engines land on the
-    // same doubles (the VecDot cross-engine convention).
+    // same doubles (the VecDot cross-engine convention). The trailing
+    // `+ 0` normalizes IEEE -0.0 (DuckDB's libm round yields -0.0 at
+    // exact cycle multiples; Spark's BigDecimal round has no -0.0 —
+    // TimeSeries.normZero is the engine-side twin).
     "q_ts_forecast_input" ->
       """SELECT CAST(dayofweek(o_orderdate) + 1 AS DOUBLE) AS season_weekday,
         |  round(sin(CAST(dayofweek(o_orderdate) + 1 AS DOUBLE) * (2*pi()/7)), 6)
-        |    AS season_weekday_sin,
+        |    + 0 AS season_weekday_sin,
         |  round(cos(CAST(dayofweek(o_orderdate) + 1 AS DOUBLE) * (2*pi()/7)), 6)
-        |    AS season_weekday_cos,
+        |    + 0 AS season_weekday_cos,
         |  CAST(month(o_orderdate) AS DOUBLE) AS season_month,
         |  round(sin(CAST(month(o_orderdate) AS DOUBLE) * (2*pi()/12)), 6)
-        |    AS season_month_sin,
+        |    + 0 AS season_month_sin,
         |  round(cos(CAST(month(o_orderdate) AS DOUBLE) * (2*pi()/12)), 6)
-        |    AS season_month_cos,
+        |    + 0 AS season_month_cos,
         |  CAST(dense_rank() OVER (ORDER BY o_orderdate) AS DOUBLE) AS t_index,
         |  o_totalprice
         |FROM orders""".stripMargin)
