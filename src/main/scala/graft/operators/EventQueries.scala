@@ -130,12 +130,14 @@ object EventQueries {
       events(s, dir)
         .withColumn("_prev", lag(col("ts"), 1).over(byUser))
         .withColumn("_new", when(col("_prev").isNull ||
-          col("ts").cast("long") - col("_prev").cast("long") > 6 * 3600,
+          col("ts").cast("timestamp").cast("long") -
+            col("_prev").cast("timestamp").cast("long") > 6 * 3600,
           1L).otherwise(0L))
         .withColumn("session_idx", sum(col("_new")).over(cum))
         .groupBy("user_id", "session_idx")
         .agg(count(lit(1)).as("n_events"),
-          (max(col("ts")).cast("long") - min(col("ts")).cast("long"))
+          (max(col("ts")).cast("timestamp").cast("long") -
+            min(col("ts")).cast("timestamp").cast("long"))
             .as("dur_seconds"))
     },
 
