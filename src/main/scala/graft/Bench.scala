@@ -180,7 +180,23 @@ object Bench {
         "\"" + n + "\":" + String.format(java.util.Locale.ROOT, "%.2f",
           Double.box(r))
       }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"regressions":$regJson,"baseline_n":${baseline.size},"sf":"$sfDir"}""")
+    val payload =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"regressions":$regJson,"baseline_n":${baseline.size},"sf":"$sfDir"}"""
+    println(payload)
+    // Durable self-report: the driver's stdout capture truncates long JSON
+    // lines (BENCH_r07/r08 arrived tail-only, parsed:null), so also write
+    // the identical payload to BENCH_SELF.json at the repo root. Best
+    // effort — a read-only checkout must not fail the bench.
+    val selfReportDirs = new java.io.File("BASELINE_QUERIES.json") ::
+      classesRepoRoot.map(new java.io.File(_)).toList
+    selfReportDirs.find(_.exists).map(_.getAbsoluteFile.getParentFile)
+      .foreach { root =>
+        try java.nio.file.Files.writeString(
+          new java.io.File(root, "BENCH_SELF.json").toPath, payload + "\n")
+        catch { case e: Exception =>
+          System.err.println(s"[bench] BENCH_SELF.json write skipped: $e")
+        }
+      }
     spark.stop()
   }
 }

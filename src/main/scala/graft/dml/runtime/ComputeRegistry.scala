@@ -67,6 +67,19 @@ object ComputeRegistry {
     df.select(col("doc_id"), col(textCol).as("text"))
   }
 
+  /** Deterministic cell seeds for the `semantic_dedup` kernel: the
+    * `autoCellCount(n)` smallest vec_ids. The count GROWS with the corpus
+    * (occupancy pinned at ~256) so within-cell pair work stays ~linear —
+    * a fixed cell count is quadratic once n outgrows k·occupancy
+    * (measured: fixed k=16 on 80k vectors cost 32.7s vs 7.8s auto-k,
+    * BASELINE.md scale findings). Bounded driver collect: k longs, the
+    * same index-metadata envelope as IVF centroids / PQ codebooks. */
+  private[runtime] def semanticSeeds(embs: DataFrame): Seq[Long] = {
+    val k = graft.llm.Similarity.autoCellCount(embs.count())
+    embs.select("vec_id").orderBy("vec_id").limit(k)
+      .collect().map(_.getLong(0)).toSeq
+  }
+
   private val tableBuiltins: Map[String, TableKernel] = Map(
     // banded MinHash candidates -> alternating-star connected components
     // -> group id. The star algorithm converges in O(log n) rounds on ANY
@@ -162,17 +175,19 @@ object ComputeRegistry {
       df.join(kept, Seq("doc_id"))
     },
     // SemDeDup over an EMBEDDING input column: is-semantic-dup flag
-    // attached; cells seeded from the 16 smallest doc_ids (deterministic
-    // without caller-supplied seeds)
+    // attached; cells seeded from the `autoCellCount(n)` smallest doc_ids
+    // (deterministic without caller-supplied seeds). The cell count grows
+    // with the corpus so within-cell pair work stays ~linear — a FIXED
+    // cell count is quadratic once n outgrows k·occupancy (measured:
+    // fixed k=16 at 80k vectors cost 32.7s vs 7.8s auto-k, BASELINE.md
+    // scale findings).
     "semantic_dedup" -> { (df, ins, out) =>
       require(df.columns.contains("doc_id"),
         s"table kernels require a 'doc_id' key column; relation has " +
           s"[${df.columns.mkString(", ")}]")
       val embs = df.select(col("doc_id").as("vec_id"),
         col(ins.head).as("embedding"))
-      val seeds = embs.select("vec_id").orderBy("vec_id").limit(16)
-        .collect().map(_.getLong(0)).toSeq
-      val flags = graft.llm.Similarity.semanticDedup(embs, seeds)
+      val flags = graft.llm.Similarity.semanticDedup(embs, semanticSeeds(embs))
         .select(col("vec_id").as("doc_id"), col("is_semdup").as(out))
       df.join(flags, Seq("doc_id"))
     })

@@ -227,6 +227,22 @@ class ComputeSpec2 extends AnyFunSuite {
       s"exactly the planted copies must be flagged: ${flagged.toSeq}")
   }
 
+  test("semantic_dedup kernel scales its cell count with the corpus") {
+    val s = spark
+    // seed count = autoCellCount(n), not a constant: 500 fixture vectors
+    // → 2 cells; a 10× corpus must pick ~10× the cells (occupancy pinned)
+    val embs = s.table("embeddings").select("vec_id", "embedding")
+    val seeds = ComputeRegistry.semanticSeeds(embs)
+    assert(seeds.length ==
+      graft.llm.Similarity.autoCellCount(embs.count()))
+    assert(seeds.length > 1, "500 vectors must not collapse to one cell")
+    // and the seeds are the deterministic smallest ids
+    assert(seeds == seeds.sorted && seeds.head ==
+      embs.agg(min("vec_id")).collect().head.getLong(0))
+    val k80k = graft.llm.Similarity.autoCellCount(80000)
+    assert(k80k == 313, s"80k vectors → k≈n/256, got $k80k")
+  }
+
   test("table kernels demand a doc_id key with a clear error") {
     val s = spark
     val spec = parse(
