@@ -34,13 +34,14 @@ import graft.functions.CrossEngine.normZero
   * [[Similarity.searchIvf]] — the shuffle carries (vec_id, _list, codes),
   * a fixed handful of bytes per candidate regardless of dimension.
   *
-  * Codegen note: the m × ksub codebook literals make the encode/ADC
-  * projections too large for WHOLE-STAGE fusion (Spark falls back to
-  * per-operator execution past its generated-method limits), but
-  * expression-level projection codegen still applies — the observed cost
-  * is a ~1-2 s one-time compile per plan, amortized over any real scan.
-  * PQ's scale win is memory/shuffle width, not FLOPs: ADC evaluates the
-  * same d multiplies as a full dot, from 32× less data.
+  * Codegen note: encode and ADC are single native expressions
+  * ([[graft.functions.PqEncode]] / [[graft.functions.PqAdc]]) whose
+  * codebooks travel as codegen REFERENCE OBJECTS, not literal source —
+  * the earlier m × ksub-literal composable tree cost a ~1-2 s one-time
+  * Catalyst analyze/codegen floor per plan and broke whole-stage fusion
+  * past the generated-method limits. PQ's scale win is memory/shuffle
+  * width, not FLOPs: ADC evaluates the same d multiplies as a full dot,
+  * from 32× less data.
   */
 object Pq {
 
@@ -67,37 +68,26 @@ object Pq {
   }
 
   /** m-code encoding of `emb` as an array<int> Column — per subspace, the
-    * nearest codeword by the same rounded-L2 projection the IVF coarse
-    * quantizer uses (codebooks ship as array literals; no driver collect,
-    * no extra job). */
+    * nearest codeword by the same rounded-L2 rule the IVF coarse
+    * quantizer uses. The codebooks ship as a codegen reference object
+    * inside ONE [[graft.functions.PqEncode]] node (no driver collect, no
+    * extra job, and no m×ksub literal tree — the source of the 1-2 s
+    * first-plan codegen floor this entry used to pay). */
   private[graft] def encodeCol(
-      emb: Column, codebooks: Array[Array[Array[Double]]]): Column = {
-    val m = codebooks.length
-    val dsub = codebooks.head.head.length
-    array((0 until m).map { j =>
-      element_at(
-        Similarity.probeCellsCol(
-          slice(emb, j * dsub + 1, dsub), codebooks(j), 1), 1)
-    }: _*)
-  }
+      emb: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    graft.functions.CellExpressions.pqEncode(emb, codebooks)
 
   /** ADC approximate inner product of full-precision `qEmb` against the
     * codes of a candidate: Σ_j  q_sub_j ⋅ codebook_j[code_j], folded in
     * subspace order and rounded to 6 dp (the oracle replays the same
-    * fold via an ordered list_sum). */
+    * fold via an ordered list_sum). One [[graft.functions.PqAdc]] node;
+    * round + negative-zero normalization applied here so the
+    * cross-engine convention sits at the same place it always did. */
   private[graft] def adcCol(
       qEmb: Column, codes: Column,
-      codebooks: Array[Array[Array[Double]]]): Column = {
-    val m = codebooks.length
-    val dsub = codebooks.head.head.length
-    val parts = (0 until m).map { j =>
-      val cbLit = typedLit(codebooks(j).map(_.toSeq).toSeq)
-      Similarity.dot(
-        slice(qEmb, j * dsub + 1, dsub),
-        element_at(cbLit, element_at(codes, j + 1) + 1))
-    }
-    normZero(round(parts.reduceLeft(_ + _), 6))
-  }
+      codebooks: Array[Array[Array[Double]]]): Column =
+    normZero(round(
+      graft.functions.CellExpressions.pqAdc(qEmb, codes, codebooks), 6))
 
   /** The encoded corpus: (vec_id, codes) — the table you persist. Pure
     * projection; at corpus scale write it bucketed however downstream

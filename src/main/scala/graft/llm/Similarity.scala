@@ -248,32 +248,24 @@ object Similarity {
   }
 
   /** The `nProbe` nearest cells of `emb` as an int array. The centroids
-    * ship as array literals INSIDE the expression (they are driver-side
-    * constants of the index — nLists × dim doubles), so cell assignment is
-    * a pure projection that runs on the executors: no driver collect, no
-    * extra job, queries stay distributed end to end even when the query
-    * set is corpus-sized. Sorting (dist, list) structs makes the probe
-    * order fully deterministic.
+    * ship INSIDE the expression as a codegen reference object
+    * ([[graft.functions.NearestCells]] — they are driver-side constants of
+    * the index, nLists × dim doubles), so cell assignment is a pure
+    * projection that runs on the executors: no driver collect, no extra
+    * job, queries stay distributed end to end even when the query set is
+    * corpus-sized, and the expression tree stays ONE node however large
+    * nLists grows (the per-centroid struct-sort form paid a plan
+    * analyze/codegen cost linear in nLists — the PQ entries' measured
+    * 1-2 s first-plan floor).
     *
-    * Distances use dist² = |e|² − 2·e⋅c + |c|²: the dots are the native
-    * codegen VecDot fold (≈10× the interpreted zip_with form, and |e|² is
-    * shared across all cells via subexpression elimination), |c|² is a
-    * driver-folded constant. Every fold is in element order — the same
-    * association DuckDB's list_sum uses — and the combination is rounded
-    * to 6 dp, so a last-ulp engine difference can never flip a
-    * nearest-cell choice (remaining ties break on the cell index). */
+    * Distances use dist² = |e|² − 2·e⋅c + |c|², every fold in element
+    * order — the same association DuckDB's list_sum uses — rounded to
+    * 6 dp so a last-ulp engine difference can never flip a nearest-cell
+    * choice (remaining ties break on the cell index). Equivalence to the
+    * composable struct-sort form is pinned by `CellExpressionsSpec`. */
   private[graft] def probeCellsCol(
-      emb: Column, centers: Array[Array[Double]], nProbe: Int): Column = {
-    val ee = dot(emb, emb)
-    val cells = centers.zipWithIndex.map { case (c, i) =>
-      val cc = c.map(x => x * x).sum // left-to-right, matches list_sum
-      val dist = normZero(
-        round(ee - lit(2.0) * dot(emb, typedLit(c.toSeq)) + lit(cc), 6))
-      struct(dist.as("dist"), lit(i).as("list"))
-    }
-    transform(slice(array_sort(array(cells.toIndexedSeq: _*)), 1, nProbe),
-      s => s.getField("list"))
-  }
+      emb: Column, centers: Array[Array[Double]], nProbe: Int): Column =
+    graft.functions.CellExpressions.nearestCells(emb, centers, nProbe)
 
   /** Probe the index: each query visits its nProbe nearest cells, exact
     * cosine rescores only inside those cells (|corpus| × nProbe / nLists
@@ -532,14 +524,8 @@ object Similarity {
     * cell bitwise — the property semantic dedup needs that L2 assignment
     * lacks. Rounded to 6 dp, ties on the cell index. */
   private[graft] def cosCellCol(
-      emb: Column, centers: Array[Array[Double]]): Column = {
-    val cells = centers.zipWithIndex.map { case (c, i) =>
-      val sim = normZero(round(cosine(emb, typedLit(c.toSeq)), 6))
-      struct(negate(sim).as("negsim"), lit(i).as("list"))
-    }
-    element_at(transform(slice(array_sort(array(cells.toIndexedSeq: _*)),
-      1, 1), s => s.getField("list")), 1)
-  }
+      emb: Column, centers: Array[Array[Double]]): Column =
+    graft.functions.CellExpressions.maxCosineCell(emb, centers)
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     * deduplication by clustering embeddings and thresholding pairwise
