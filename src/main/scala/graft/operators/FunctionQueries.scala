@@ -69,6 +69,34 @@ object FunctionQueries {
             (acc, x) => acc + x).as("replaced_sum"))
     },
 
+    // Cross-engine rounding convention pin (functions/CrossEngine.scala):
+    // every shape that can round to zero FROM BELOW — Fourier sin/cos at
+    // exact cycle multiples (the round-7 q_ts_forecast_input red row:
+    // phase 7 → sin(2π) ≈ -2.4e-16), tiny-negative z-scores, tiny-negative
+    // dot products — goes through `normZero(round(_, 6))` here and
+    // `round(_, 6) + 0` in the oracle. Spark's BigDecimal round has no
+    // -0.0; DuckDB's libm round returns -0.0; unnormalized they
+    // hash-diverge. This entry keeps the convention pinned through the
+    // REAL DuckDB harness on every round, instead of depending on
+    // fixtures never landing on a tiny negative.
+    "q_crossengine_zero" -> { (s, dir) =>
+      Tables.register(s, dir)
+      import graft.functions.CrossEngine.normZero
+      s.table("lineitem")
+        .select(((col("l_orderkey") % 7) + 1).cast("double").as("phase"))
+        .distinct()
+        .select(col("phase"),
+          normZero(round(sin(col("phase") * lit(2 * math.Pi / 7)), 6))
+            .as("sin6"),
+          normZero(round(cos(col("phase") * lit(2 * math.Pi / 7)), 6))
+            .as("cos6"),
+          normZero(round((col("phase") - lit(7.0)) * lit(1e-17), 6))
+            .as("ztiny"),
+          normZero(round(col("phase") * lit(-1e-18) * lit(0.1), 6))
+            .as("dtiny"))
+        .orderBy("phase")
+    },
+
     // §2.5 gen_random_uuid → uuid(): values are random by construction, so
     // the oracle pins the deterministic derived facts — row count, distinct
     // count (collision-free at fixture scale), and RFC-4122 shape.
@@ -203,6 +231,17 @@ object FunctionQueries {
         |    x -> CASE WHEN x = 1 THEN 100 ELSE x END)) AS BIGINT)
         |    AS replaced_sum
         |FROM g ORDER BY l_orderkey""".stripMargin,
+
+    "q_crossengine_zero" ->
+      """WITH p AS (
+        |  SELECT DISTINCT CAST(l_orderkey % 7 + 1 AS DOUBLE) AS phase
+        |  FROM lineitem)
+        |SELECT phase,
+        |  round(sin(phase * (2 * pi() / 7)), 6) + 0 AS sin6,
+        |  round(cos(phase * (2 * pi() / 7)), 6) + 0 AS cos6,
+        |  round((phase - 7.0) * 1e-17, 6) + 0 AS ztiny,
+        |  round(phase * (-1e-18) * 0.1, 6) + 0 AS dtiny
+        |FROM p ORDER BY phase""".stripMargin,
 
     "q_uuid_shape" ->
       """WITH u AS (
