@@ -37,7 +37,11 @@ object Trainer {
       metrics: Map[String, Double],
       epochs: Int,
       checkpoints: Seq[String],
-      splitCounts: Map[String, Long])
+      splitCounts: Map[String, Long],
+      /** accepted-but-inert params of a documented stand-in (e.g.
+        * prophet's decomposition knobs on the lag-regression stand-in) —
+        * surfaced so reduced fidelity is visible, never silent. */
+      ignoredParams: Seq[String] = Nil)
 
   def train(
       spark: SparkSession,
@@ -237,7 +241,8 @@ object Trainer {
       (if (epochs > 0) Map("epochs" -> epochs.toDouble) else Map.empty)
 
     TrainReport(spec, model, metrics, epochs, checkpoints,
-      namedSplits.map { case (k, d) => k -> d.count() })
+      namedSplits.map { case (k, d) => k -> d.count() },
+      ignoredParams = spec.params.map(_._1).filter(alg.noopParams))
   }
 
   /** Training DataFrame with scale() stripped; returns whether any feature

@@ -58,6 +58,26 @@ class TimeSeriesDslSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("between 0 and 1"))
   }
 
+  test("prophet decomposition params are accepted, surfaced, and reported inert") {
+    // DSL.md:297-301 knobs on the lag-regression stand-in: they must
+    // PARSE (the reference's own example fits), stay visible in
+    // spec.params (not dropped on the floor), and come back from the
+    // Trainer as ignoredParams — reduced fidelity is documented, never
+    // silent.
+    val spec = DmlParser.parse(
+      "TRAIN MODEL m USING prophet(seasonality=['yearly', 'weekly'], " +
+        "holidays=us_holidays, changepoint_prior_scale=0.05, max_iter=5) " +
+        "FROM orders PREDICT o_totalprice " +
+        "WITH TIME COLUMN o_orderdate AND FEATURES(TREND linear)")
+      .asInstanceOf[TrainSpec]
+    assert(spec.params.map(_._1) ==
+      List("seasonality", "holidays", "changepoint_prior_scale", "max_iter"))
+    val report = Trainer.train(spark, spec)
+    assert(report.ignoredParams ==
+      Seq("seasonality", "holidays", "changepoint_prior_scale"),
+      "inert stand-in knobs must be reported, binding ones must not")
+  }
+
   test("base TRAIN grammar is untouched by the variant") {
     val spec = DmlParser.parse(
       "TRAIN MODEL m USING linear_regression FROM orders " +
