@@ -63,4 +63,37 @@ object StoreMaint {
     fs.delete(old, true)
     kept
   }
+
+  /** The one-rename recovery the swap discipline promises: if a crash in
+    * [[replaceStore]]'s non-atomic window left no live store, rename the
+    * backup back in and verify it reads. Returns true iff a recovery
+    * happened; a healthy live store is left untouched (false). Prefers
+    * the canonical `_old` backup, else the NEWEST fresh-named
+    * `_old_<nanos>` one; deletes nothing (leftover `_compacting` /
+    * stale backups stay for operator reclaim, matching rule 2). */
+  def recover(spark: SparkSession, path: String): Boolean = {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path), conf)
+    val dst = new Path(path)
+    if (fs.exists(dst)) return false
+    val canonical = new Path(path + "_old")
+    val freshNamed =
+      if (fs.exists(dst.getParent))
+        fs.listStatus(dst.getParent).map(_.getPath)
+          .filter(_.getName.startsWith(dst.getName + "_old_"))
+          .sortBy(_.getName).reverse.toSeq
+      else Seq.empty
+    val backup = (if (fs.exists(canonical)) Seq(canonical) else Seq.empty) ++
+      freshNamed
+    backup.headOption match {
+      case None => throw new java.io.IOException(
+        s"no live store at $path and no backup to recover from")
+      case Some(b) =>
+        if (!fs.rename(b, dst))
+          throw new java.io.IOException(s"cannot recover $b to $dst")
+        spark.read.parquet(path).count() // verify before declaring success
+        true
+    }
+  }
 }

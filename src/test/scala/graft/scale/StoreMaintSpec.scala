@@ -1,0 +1,84 @@
+package graft.scale
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** The crash-safe store swap contract: replacement verified before the
+  * live store is touched, pre-existing backups never pre-deleted, and —
+  * the non-atomic window between the two renames — one-rename recovery
+  * with nothing lost. */
+class StoreMaintSpec extends AnyFunSuite {
+
+  private def spark = SparkTestSession.withTables()
+
+  private def freshStore(rows: Int): (String, String) = {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft-storemaint").toString
+    val path = s"$dir/store"
+    (1 to rows).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .write.parquet(path)
+    (dir, path)
+  }
+
+  test("replaceStore swaps in the replacement and reclaims its backup") {
+    val s = spark
+    import s.implicits._
+    val (_, path) = freshStore(10)
+    val kept = StoreMaint.replaceStore(s, path,
+      s.read.parquet(path).filter(col("id") <= 4))
+    assert(kept == 4)
+    assert(s.read.parquet(path).count() == 4)
+    assert(!new java.io.File(path + "_old").exists,
+      "backup must be reclaimed after the live path verifies")
+  }
+
+  test("a pre-existing crash backup is never deleted by the next swap") {
+    val s = spark
+    import s.implicits._
+    val (dir, path) = freshStore(10)
+    // a half-finished earlier swap left a backup that may be the only copy
+    val stale = path + "_old"
+    Seq((99L, "stale")).toDF("id", "v").write.parquet(stale)
+    StoreMaint.replaceStore(s, path,
+      s.read.parquet(path).filter(col("id") <= 3))
+    assert(s.read.parquet(stale).count() == 1,
+      "the stale backup must survive the swap untouched")
+    // this swap's own backup took a fresh name and was then reclaimed
+    assert(new java.io.File(dir).listFiles()
+      .count(_.getName.startsWith("store_old")) == 1)
+  }
+
+  test("crash between the two renames: one-rename recovery, nothing lost") {
+    val s = spark
+    val (_, path) = freshStore(10)
+    // reproduce replaceStore's state at the crash point: the replacement
+    // is verified at the side path, the live store moved aside, the
+    // second rename never ran
+    s.read.parquet(path).filter(col("id") <= 4)
+      .write.parquet(path + "_compacting")
+    assert(new java.io.File(path).renameTo(new java.io.File(path + "_old")))
+    assert(!new java.io.File(path).exists)
+
+    assert(StoreMaint.recover(s, path), "recovery must report it acted")
+    assert(s.read.parquet(path).count() == 10,
+      "the ORIGINAL store comes back — the interrupted swap is undone")
+    assert(new java.io.File(path + "_compacting").exists,
+      "recovery deletes nothing; the replacement stays for reclaim")
+    // a second recover is a no-op on the now-healthy store
+    assert(!StoreMaint.recover(s, path))
+    assert(s.read.parquet(path).count() == 10)
+  }
+
+  test("recover with neither live store nor backup fails loudly") {
+    val dir = Files.createTempDirectory("graft-storemaint").toString
+    val e = intercept[java.io.IOException] {
+      StoreMaint.recover(spark, s"$dir/missing")
+    }
+    assert(e.getMessage.contains("no backup"))
+  }
+}
