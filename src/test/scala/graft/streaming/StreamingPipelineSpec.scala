@@ -213,11 +213,13 @@ class StreamingPipelineSpec extends AnyFunSuite {
     val sessions = s.read.parquet(dir)
       .withColumn("_prev", lag(col("ts"), 1).over(byUser))
       .withColumn("_new", when(col("_prev").isNull ||
-        col("ts").cast("long") - col("_prev").cast("long") > gap, 1L)
+        col("ts").cast("timestamp").cast("long") -
+          col("_prev").cast("timestamp").cast("long") > gap, 1L)
         .otherwise(0L))
       .withColumn("session_idx", sum(col("_new")).over(cum))
       .groupBy("user_id", "session_idx")
-      .agg(min(col("ts")).as("session_start"), count(lit(1)).as("n_events"))
+      .agg(min(col("ts")).cast("timestamp").as("session_start"),
+        count(lit(1)).as("n_events"))
     val lastIdx = sessions.groupBy("user_id")
       .agg(max(col("session_idx")).as("session_idx"))
     val lastSessions = sessions.join(lastIdx, Seq("user_id", "session_idx"))
