@@ -92,13 +92,20 @@ object ScaleUp {
         col("l_orderkey") + lit(i * Stride))
     }))
 
-    // ts arrives as a nanos LONG (see the flag above); the replica
-    // offset is i seconds in nanos, and the column stays a long so the
-    // output round-trips through Tables.register exactly like the source
+    // ts arrives either as a nanos LONG (TIMESTAMP(NANOS) source under the
+    // flag above — offset in nanos, column stays a long) or as a
+    // timestamp/_NTZ column (µs-precision fixtures — offset via INTERVAL);
+    // either way the output round-trips through Tables.register exactly
+    // like the source
+    val eventsTsIsLong =
+      read("events").schema("ts").dataType ==
+        org.apache.spark.sql.types.LongType
     write("events", tiled(read("events"), { i =>
       read("events")
         .withColumn("event_id", col("event_id") + lit(i * Stride))
-        .withColumn("ts", col("ts") + lit(i * 1000000000L))
+        .withColumn("ts",
+          if (eventsTsIsLong) col("ts") + lit(i * 1000000000L)
+          else col("ts") + expr(s"INTERVAL $i SECOND"))
     }))
 
     spark.stop()
