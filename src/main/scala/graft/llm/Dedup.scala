@@ -186,8 +186,8 @@ object Dedup {
     def sided(df: DataFrame, side: String): DataFrame = df.select(
       col("band_idx"), col("band_hash"),
       col("doc_id").as(s"id_$side"), col("sig").as(s"sig_$side"))
-    val matches = expr(
-      "size(filter(zip_with(sig_l, sig_r, (x, y) -> x = y), m -> m))")
+    val matches =
+      graft.functions.MatchExpressions.arrayEqCount(col("sig_l"), col("sig_r"))
     def pairs(r: DataFrame): DataFrame =
       sided(newBuckets, "l").join(r, Seq("band_idx", "band_hash"))
         .filter(col("id_l") =!= col("id_r"))
@@ -267,8 +267,8 @@ object Dedup {
       col("band_idx"), col("band_hash"),
       col("doc_id").as("doc_b"), col("sig").as("sig_b"))
 
-    val matches = expr(
-      "size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), m -> m))")
+    val matches =
+      graft.functions.MatchExpressions.arrayEqCount(col("sig_a"), col("sig_b"))
     l.join(r, Seq("band_idx", "band_hash"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
@@ -339,12 +339,13 @@ object Dedup {
       .select(col("doc_id"), bitString.as("simhash_bits"))
   }
 
-  /** Hamming distance between two simhash bitstrings. */
+  /** Hamming distance between two simhash bitstrings. Native codegen
+    * expression ([[graft.functions.StringHamming]]) — result-identical to
+    * the split + zip_with + filter chain, without the two per-row char
+    * arrays and interpreted lambdas. */
   def hamming(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column)
       : org.apache.spark.sql.Column =
-    size(filter(
-      zip_with(split(a, ""), split(b, ""), (x, y) => x =!= y),
-      d => d))
+    graft.functions.MatchExpressions.stringHamming(a, b)
 
   /** SimHash near-duplicate PAIRS at hamming distance ≤ `maxHamming`, via
     * the pigeonhole multi-index (the classic web-dedup trick): split the

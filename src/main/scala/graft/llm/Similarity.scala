@@ -74,10 +74,12 @@ object Similarity {
   }
 
   /** Exact integer dot of two int8 vectors (element-order fold; ≤ 127²
-    * per element never overflows the long accumulator). */
+    * per element never overflows the long accumulator). Native codegen
+    * expression ([[graft.functions.IntVecDot]]) — result-identical to the
+    * `aggregate(zip_with(...))` fold, without the interpreted lambdas or
+    * the intermediate array. */
   def int8Dot(qa: Column, qb: Column): Column =
-    aggregate(zip_with(qa, qb, (x, y) => x * y), lit(0L),
-      (acc, v) => acc + v)
+    graft.functions.MatchExpressions.intVecDot(qa, qb)
 
   /** Brute-force top-k in int8 space: score = intDot · scale_a · scale_q
     * (the dequantized approximate inner product). The integer dot is

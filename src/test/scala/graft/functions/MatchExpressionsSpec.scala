@@ -1,0 +1,114 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** The native match primitives must be RESULT-IDENTICAL to the HOF
+  * chains they replaced — the DuckDB oracles replay the HOF semantics.
+  * Each test rebuilds the original chain and compares on real operator
+  * inputs (quantized embeddings, minhash signatures, simhash
+  * bitstrings) plus crafted null/length edges. */
+class MatchExpressionsSpec extends AnyFunSuite {
+
+  private def spark = SparkTestSession.withTables()
+
+  private def assertNoDiff(
+      df: org.apache.spark.sql.DataFrame, a: Column, b: Column): Unit = {
+    val bad = df.select(a.as("a"), b.as("b"))
+      .filter(not(col("a") <=> col("b")))
+    assert(bad.isEmpty, s"diverging rows: ${bad.take(5).mkString("; ")}")
+  }
+
+  test("IntVecDot matches aggregate(zip_with) on quantized embeddings") {
+    val s = spark
+    val q = graft.llm.Similarity.quantizeInt8(
+      s.table("embeddings").select("vec_id", "embedding"))
+    val pairs = q.select(col("qvec"))
+      .crossJoin(broadcast(q.filter(col("vec_id") < 5)
+        .select(col("qvec").as("q_qvec"))))
+    assertNoDiff(pairs,
+      MatchExpressions.intVecDot(col("qvec"), col("q_qvec")),
+      aggregate(zip_with(col("qvec"), col("q_qvec"), (x, y) => x * y),
+        lit(0L), (acc, v) => acc + v))
+  }
+
+  test("IntVecDot nulls on length mismatch and null elements, like zip_with") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      (Seq[Integer](1, 2, 3), Seq[Integer](4, 5, 6)),
+      (Seq[Integer](1, 2), Seq[Integer](4, 5, 6)),
+      (Seq[Integer](1, null, 3), Seq[Integer](4, 5, 6)))
+      .toDF("a", "b")
+    assertNoDiff(rows,
+      MatchExpressions.intVecDot(col("a"), col("b")),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0L), (acc, v) => acc + v))
+    val got = rows.select(
+      MatchExpressions.intVecDot(col("a"), col("b"))).collect()
+    assert(got(0).getLong(0) == 32L)
+    assert(got(1).isNullAt(0) && got(2).isNullAt(0))
+  }
+
+  test("ArrayEqCount matches size(filter(zip_with)) on minhash signatures") {
+    val s = spark
+    val sigs = graft.llm.Dedup.minhashSignatures(
+      s.table("documents").select("doc_id", "text").limit(200))
+      .select(array((0 until 8).map(j => col(s"sig_$j")): _*).as("sig"))
+    val pairs = sigs.crossJoin(
+      broadcast(sigs.limit(5).select(col("sig").as("sig_r"))))
+    assertNoDiff(pairs,
+      MatchExpressions.arrayEqCount(col("sig"), col("sig_r")),
+      expr("size(filter(zip_with(sig, sig_r, (x, y) -> x = y), m -> m))"))
+  }
+
+  test("ArrayEqCount drops padded and null positions, like the filter") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      (Seq("a", "b", "c"), Seq("a", "x", "c")),   // 2 equal
+      (Seq("a", "b"), Seq("a", "b", "c")),        // pad position dropped
+      (Seq("a", null, "c"), Seq("a", null, "c"))) // null = null → dropped
+      .toDF("a", "b")
+    assertNoDiff(rows,
+      MatchExpressions.arrayEqCount(col("a"), col("b")),
+      expr("size(filter(zip_with(a, b, (x, y) -> x = y), m -> m))"))
+    val got = rows.select(
+      MatchExpressions.arrayEqCount(col("a"), col("b"))).collect()
+    assert(got.map(_.getInt(0)).toSeq == Seq(2, 2, 2))
+  }
+
+  test("StringHamming matches the split+zip_with chain on simhash bits") {
+    val s = spark
+    val bits = graft.llm.Dedup.simhash(
+      s.table("documents").select("doc_id", "text").limit(200))
+      .select(col("simhash_bits").as("a"))
+    val pairs = bits.crossJoin(
+      broadcast(bits.limit(5).select(col("a").as("b"))))
+    assertNoDiff(pairs,
+      MatchExpressions.stringHamming(col("a"), col("b")),
+      size(filter(zip_with(split(col("a"), ""), split(col("b"), ""),
+        (x, y) => x =!= y), d => d)))
+  }
+
+  test("StringHamming counts over the common prefix only, like the padding") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(("0101", "0110"), ("01", "0111"), ("1", "0"))
+      .toDF("a", "b")
+    assertNoDiff(rows,
+      MatchExpressions.stringHamming(col("a"), col("b")),
+      size(filter(zip_with(split(col("a"), ""), split(col("b"), ""),
+        (x, y) => x =!= y), d => d)))
+    // documented divergence: split("", "") is [""], so the HOF form
+    // counts 1 against a non-empty peer; the native form says 0 — an
+    // empty signature has no positions to differ. Signatures are
+    // fixed-width in every caller, so the case is unreachable there.
+    val empty = Seq(("", "01")).toDF("a", "b")
+      .select(MatchExpressions.stringHamming(col("a"), col("b"))).collect()
+    assert(empty(0).getInt(0) == 0)
+  }
+}
