@@ -210,6 +210,25 @@ class PlanAuditSpec extends AnyFunSuite {
       s"probe assignment must stay a distributed Column expression:\n$p")
   }
 
+  test("the PQ/ANN scoring projections stay inside whole-stage codegen") {
+    // the r7 literal-tree forms fell out of whole-stage fusion past the
+    // generated-method limits; the reference-object expressions must keep
+    // the encode/ADC/int8 scoring inside a WholeStageCodegen span — at
+    // 100 TB the scoring projection is the hot loop of the whole entry.
+    // Codegen spans only materialize on the EXECUTED plan (AQE), so run
+    // the fixture-sized entry and audit the final plan's `*(n)` markers.
+    for (name <- Seq("q_ann_pq_topk", "q_ann_ivfpq_topk", "q_ann_int8_topk")) {
+      val df = SparkEntry.queries(name)(spark, SparkTestSession.fixtureDir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      graft.llm.PipelineCaches.clear()
+      val fusedProject = p.split("\n")
+        .exists(l => l.contains("*(") && l.contains("Project"))
+      assert(fusedProject,
+        s"$name must keep its scoring projection codegen-fused:\n$p")
+    }
+  }
+
   test("q_domain_cap caps domains with the bounded heap, not a window") {
     val p = plan("q_domain_cap")
     assert(p.contains("ObjectHashAggregate"),
