@@ -1,0 +1,206 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The full md5-minhash signature pipeline — tokenize, k-gram shingle,
+  * md5 per shingle per salt, slice each hex digest into four 32-bit
+  * members, column-wise minimum — as ONE native expression returning the
+  * `numHashes` signature strings.
+  *
+  * The composable form (`split` → `transform(sequence(...))` shingles →
+  * `transform(_, md5(concat(...)))` per salt → `array_min(transform(_,
+  * substring(...)))` per member) evaluates every higher-order function in
+  * interpreted CodegenFallback and materializes three intermediate arrays
+  * per row; its own scaladoc calls the hashing "the dominant cost of the
+  * pipeline". This expression runs the same computation as a fused
+  * compiled loop with no intermediates.
+  *
+  * Exact-parity contract with the composable form (the DuckDB oracles
+  * replay it): tokenization uses the SAME `UTF8String.split(" ", -1)`
+  * Spark's `split` builtin calls; a document with fewer than k tokens
+  * contributes its whole text as the single shingle (the `CASE size < k`
+  * branch); shingles join with single spaces (`concat_ws` over non-null
+  * tokens); digests are lowercase-hex md5 of the UTF-8 bytes of
+  * `shingle + "#m"`; members are 8-char substrings at 8c; the minimum is
+  * bytewise UTF8String order (= lexicographic over lowercase hex).
+  * Equivalence is pinned row-for-row in `MatchExpressionsSpec` and by the
+  * oracle hash gate. */
+case class MinhashSigs(child: Expression, k: Int, numHashes: Int)
+    extends UnaryExpression {
+
+  require(k > 0, "shingle width k must be positive")
+  require(numHashes > 0, "numHashes must be positive")
+
+  override def prettyName: String = "minhash_sigs"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${t.sql}")
+  }
+
+  @transient private lazy val numMd5 = (numHashes + 3) / 4
+  @transient private lazy val spacePattern = UTF8String.fromString(" ")
+
+  // one digest per thread: the expression instance travels through the
+  // codegen references array and is shared across concurrent tasks
+  @transient private lazy val digests =
+    ThreadLocal.withInitial[MessageDigest](() =>
+      MessageDigest.getInstance("MD5"))
+
+  private def hex(bytes: Array[Byte]): String = {
+    val out = new Array[Char](bytes.length * 2)
+    val digits = "0123456789abcdef"
+    var i = 0
+    while (i < bytes.length) {
+      out(2 * i) = digits((bytes(i) >> 4) & 0xf)
+      out(2 * i + 1) = digits(bytes(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** public: called from generated code. */
+  def sigs(text: UTF8String): ArrayData = {
+    val words = text.split(spacePattern, -1)
+    val shingles: Array[String] =
+      if (words.length < k) Array(text.toString)
+      else {
+        val out = new Array[String](words.length - k + 1)
+        var i = 0
+        while (i < out.length) {
+          val sb = new java.lang.StringBuilder
+          var j = 0
+          while (j < k) {
+            if (j > 0) sb.append(' ')
+            sb.append(words(i + j).toString)
+            j += 1
+          }
+          out(i) = sb.toString
+          i += 1
+        }
+        out
+      }
+    val md = digests.get()
+    val mins = new Array[String](numHashes)
+    var m = 0
+    while (m < numMd5) {
+      val salt = "#" + m
+      var s = 0
+      while (s < shingles.length) {
+        md.reset()
+        val h = hex(md.digest(
+          (shingles(s) + salt).getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+        var c = 0
+        while (c < 4 && 4 * m + c < numHashes) {
+          val j = 4 * m + c
+          val member = h.substring(8 * c, 8 * c + 8)
+          if (mins(j) == null || member.compareTo(mins(j)) < 0) mins(j) = member
+          c += 1
+        }
+        s += 1
+      }
+      m += 1
+    }
+    new GenericArrayData(mins.map(UTF8String.fromString(_): Any))
+  }
+
+  override def nullSafeEval(a: Any): Any = sigs(a.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minhashSigs", this,
+      classOf[MinhashSigs].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.sigs($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : MinhashSigs = copy(child = newChild)
+}
+
+object MinhashSigs {
+  def minhashSigs(text: Column, k: Int, numHashes: Int): Column =
+    ColumnBridge.column(MinhashSigs(
+      ColumnBridge.expression(text), k, numHashes))
+}
+
+/** Word k-gram shingles of a text column as ONE native expression — the
+  * fused form of the `CASE size(_w) < k … transform(sequence(...),
+  * concat_ws(' ', element_at(...)))` HOF chain ([[graft.llm.TextOps]]
+  * `kgramSql`), which evaluates interpreted and allocates the token and
+  * window arrays per row.
+  *
+  * Parity contract (oracle-replayed): tokens come from the same
+  * `UTF8String.split(" ", -1)` the `split` builtin uses; a document with
+  * fewer than k tokens yields its WHOLE text as the single gram when
+  * `keepShortWhole` (the `array(_t)` branch) or no grams otherwise (the
+  * `array()` branch); windows join with single spaces. */
+case class Kgrams(child: Expression, k: Int, keepShortWhole: Boolean)
+    extends UnaryExpression {
+
+  require(k > 0, "gram width k must be positive")
+
+  override def prettyName: String = "kgrams"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${t.sql}")
+  }
+
+  @transient private lazy val spacePattern = UTF8String.fromString(" ")
+
+  /** public: called from generated code. */
+  def grams(text: UTF8String): ArrayData = {
+    val words = text.split(spacePattern, -1)
+    if (words.length < k) {
+      if (keepShortWhole) new GenericArrayData(Array[Any](text))
+      else new GenericArrayData(Array.empty[Any])
+    } else {
+      val out = new Array[Any](words.length - k + 1)
+      var i = 0
+      while (i < out.length) {
+        val sb = new java.lang.StringBuilder
+        var j = 0
+        while (j < k) {
+          if (j > 0) sb.append(' ')
+          sb.append(words(i + j).toString)
+          j += 1
+        }
+        out(i) = UTF8String.fromString(sb.toString)
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
+  override def nullSafeEval(a: Any): Any = grams(a.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("kgrams", this, classOf[Kgrams].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.grams($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Kgrams = copy(child = newChild)
+}
+
+object Kgrams {
+  def kgrams(text: Column, k: Int, keepShortWhole: Boolean): Column =
+    ColumnBridge.column(Kgrams(
+      ColumnBridge.expression(text), k, keepShortWhole))
+}

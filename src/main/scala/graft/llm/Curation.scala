@@ -22,10 +22,9 @@ object Curation {
     * as the single gram, mirroring [[Dedup]]'s shingle convention. */
   private def gramKeys(docs: DataFrame, k: Int): DataFrame =
     docs.withColumn("_t", coalesce(col("text"), lit("")))
-      .withColumn("_w", split(col("_t"), " "))
       .select(col("doc_id"),
-        explode(array_distinct(expr(TextOps.kgramSql(k, "array(_t)"))))
-          .as("_g"))
+        explode(array_distinct(graft.functions.Kgrams.kgrams(
+          col("_t"), k, keepShortWhole = true))).as("_g"))
       .select(col("doc_id"), md5(col("_g")).as("gram_key"))
 
   /** Benchmark decontamination: flag training docs sharing any word k-gram
@@ -162,7 +161,8 @@ object Curation {
       .groupBy("_prev").agg(count(lit(1)).as("_cu"))
     val vdf = uni.agg(count(lit(1)).cast("double").as("_v"))
     val grams = base.select(col("doc_id"),
-      explode(expr(TextOps.kgramSql(2, "array()"))).as("gram"))
+      explode(graft.functions.Kgrams.kgrams(
+        col("_t"), 2, keepShortWhole = false)).as("gram"))
     val bc = grams.groupBy("gram").agg(count(lit(1)).as("_cb"))
     val scored = grams
       .join(bc, Seq("gram"))

@@ -22,15 +22,15 @@ object Dedup {
     * (split the text exactly once per row; never re-split per element).
     * Documents with fewer than k tokens get their whole text as the single
     * shingle. */
-  private def shingleExpr(k: Int): String = TextOps.kgramSql(k, "array(_t)")
-
   private def withShingleCol(docs: DataFrame, k: Int): DataFrame =
-    // coalesce keeps NULL-text docs in every shingle-based method (split
-    // of NULL would null the signature and silently drop the doc from
-    // candidates), mirroring the simhash path
+    // coalesce keeps NULL-text docs in every shingle-based method (a null
+    // input would null the signature and silently drop the doc from
+    // candidates), mirroring the simhash path. Shingling is the fused
+    // native expression (graft.functions.Kgrams, parity-pinned against
+    // the kgramSql HOF chain), not the interpreted transform.
     docs.withColumn("_t", coalesce(col("text"), lit("")))
-      .withColumn("_w", split(col("_t"), " "))
-      .withColumn("_shingles", expr(shingleExpr(k)))
+      .withColumn("_shingles",
+        graft.functions.Kgrams.kgrams(col("_t"), k, keepShortWhole = true))
 
   /** k-word shingles → `numHashes` md5-based minhash signatures (the
     * oracle-checkable form: DuckDB reproduces md5 exactly). Shingles are
@@ -41,17 +41,19 @@ object Dedup {
     * agreement ~2^-32); md5's avalanche makes the slices independent. */
   def minhashSignatures(
       docs: DataFrame, k: Int = 3, numHashes: Int = 8): DataFrame = {
-    val numMd5 = (numHashes + 3) / 4
-    val withHashes = (0 until numMd5).foldLeft(withShingleCol(docs, k)) {
-      (df, m) =>
-        df.withColumn(s"_h$m", expr(s"transform(_shingles, s -> md5(concat(s, '#$m')))"))
-    }
-    val sigCols = (0 until numHashes).map { j =>
-      val (m, c) = (j / 4, j % 4)
-      expr(s"array_min(transform(_h$m, h -> substring(h, ${1 + 8 * c}, 8)))")
-        .as(s"sig_$j")
-    }
-    withHashes.select((col("doc_id") +: sigCols): _*)
+    // ONE native fused expression (graft.functions.MinhashSigs) instead of
+    // the transform/array_min HOF chain: the HOFs all evaluate in
+    // interpreted CodegenFallback and materialize the shingle and digest
+    // arrays per row — measured as the dominant cost of the minhash tier.
+    // Exact-parity with the HOF form (same split, CASE-short-doc, md5,
+    // slicing, min order) is pinned in MatchExpressionsSpec and by the
+    // DuckDB oracle hash gate.
+    val sigsCol = graft.functions.MinhashSigs.minhashSigs(
+      coalesce(col("text"), lit("")), k, numHashes)
+    docs.withColumn("_sigs", sigsCol)
+      .select(col("doc_id") +:
+        (0 until numHashes).map(j =>
+          element_at(col("_sigs"), j + 1).as(s"sig_$j")): _*)
   }
 
   /** Fast minhash signatures for the candidate-generation path: ONE

@@ -25,6 +25,10 @@ object TextOps {
     * `"array()"` (no grams, the counting convention). Kept in one place so
     * the tokenization can never silently diverge between operators and
     * their DuckDB oracles. */
+  /** The composable k-gram SQL the native [[graft.functions.Kgrams]]
+    * expression replaced (kept as the parity reference: `shortDoc` is
+    * `array(_t)` for keep-whole-text or `array()` to drop short docs;
+    * `MatchExpressionsSpec` pins row-for-row equivalence). */
   private[llm] def kgramSql(k: Int, shortDoc: String): String =
     s"""CASE WHEN size(_w) < $k THEN $shortDoc
        |ELSE transform(sequence(1, size(_w) - ${k - 1}),
@@ -250,8 +254,9 @@ object TextOps {
     * count → sort+limit (TakeOrderedAndProject — each partition ships only
     * its own top n). Ties break on the gram text for determinism. */
   def topNgrams(docs: DataFrame, k: Int = 3, n: Int = 20): DataFrame = {
-    docs.withColumn("_w", split(coalesce(col("text"), lit("")), " "))
-      .select(explode(expr(kgramSql(k, "array()"))).as("gram"))
+    docs
+      .select(explode(graft.functions.Kgrams.kgrams(
+        coalesce(col("text"), lit("")), k, keepShortWhole = false)).as("gram"))
       .groupBy("gram").agg(count(lit(1)).as("n_occurrences"))
       .orderBy(col("n_occurrences").desc, col("gram").asc)
       .limit(n)

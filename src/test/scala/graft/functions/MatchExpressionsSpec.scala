@@ -81,6 +81,69 @@ class MatchExpressionsSpec extends AnyFunSuite {
     assert(got.map(_.getInt(0)).toSeq == Seq(2, 2, 2))
   }
 
+  test("MinhashSigs matches the transform/array_min HOF chain exactly") {
+    val s = spark
+    val k = 3
+    // the pre-round-9 composable pipeline, verbatim
+    val hof = s.table("documents").select("doc_id", "text").limit(300)
+      // crafted whitespace edges: short docs, empty text, repeated and
+      // trailing separators — every split/CASE branch
+      .unionByName {
+        import s.implicits._
+        Seq((900001L, "one two"), (900002L, ""), (900003L, "a  b   c d"),
+          (900004L, "trailing space "), (900005L, " lead"),
+          (900006L, "exactly three words"))
+          .toDF("doc_id", "text")
+      }
+      .withColumn("_t", coalesce(col("text"), lit("")))
+      .withColumn("_w", split(col("_t"), " "))
+      .withColumn("_shingles", expr(
+        s"""CASE WHEN size(_w) < $k THEN array(_t)
+           |ELSE transform(sequence(1, size(_w) - ${k - 1}),
+           |  i -> concat_ws(' ', ${(0 until k)
+                .map(j => s"element_at(_w, i + $j)").mkString(", ")}))
+           |END""".stripMargin))
+      .withColumn("_h0", expr("transform(_shingles, s -> md5(concat(s, '#0')))"))
+      .withColumn("_h1", expr("transform(_shingles, s -> md5(concat(s, '#1')))"))
+    val sigExprs = (0 until 8).map { j =>
+      val (m, c) = (j / 4, j % 4)
+      expr(s"array_min(transform(_h$m, h -> substring(h, ${1 + 8 * c}, 8)))")
+    }
+    val native = MinhashSigs.minhashSigs(
+      coalesce(col("text"), lit("")), k, numHashes = 8)
+    val bad = hof.select(
+        array(sigExprs: _*).as("hof"), native.as("nat"))
+      .filter(not(col("hof") <=> col("nat")))
+    assert(bad.isEmpty, s"diverging rows: ${bad.take(5).mkString("; ")}")
+  }
+
+  test("Kgrams matches the composable kgramSql chain in both short-doc modes") {
+    val s = spark
+    val docs = s.table("documents").select("doc_id", "text").limit(300)
+      .unionByName {
+        import s.implicits._
+        Seq((900001L, "one two"), (900002L, ""), (900003L, "a  b   c d"),
+          (900004L, "trailing space "), (900005L, " lead"))
+          .toDF("doc_id", "text")
+      }
+      .withColumn("_t", coalesce(col("text"), lit("")))
+      .withColumn("_w", split(col("_t"), " "))
+    for ((shortDoc, keepWhole) <- Seq(("array(_t)", true), ("array()", false));
+         k <- Seq(2, 3)) {
+      val hof = expr(
+        s"""CASE WHEN size(_w) < $k THEN $shortDoc
+           |ELSE transform(sequence(1, size(_w) - ${k - 1}),
+           |  i -> concat_ws(' ', ${(0 until k)
+                .map(j => s"element_at(_w, i + $j)").mkString(", ")}))
+           |END""".stripMargin)
+      val bad = docs.select(hof.as("hof"),
+          Kgrams.kgrams(col("_t"), k, keepWhole).as("nat"))
+        .filter(not(col("hof") <=> col("nat")))
+      assert(bad.isEmpty,
+        s"k=$k keepWhole=$keepWhole diverges: ${bad.take(5).mkString("; ")}")
+    }
+  }
+
   test("StringHamming matches the split+zip_with chain on simhash bits") {
     val s = spark
     val bits = graft.llm.Dedup.simhash(
