@@ -204,3 +204,88 @@ object Kgrams {
     ColumnBridge.column(Kgrams(
       ColumnBridge.expression(text), k, keepShortWhole))
 }
+
+/** The 64-bit SimHash signature of a document as ONE native expression
+  * returning the 64-char '0'/'1' bitstring — a pure ZERO-SHUFFLE
+  * projection, where the composable form exploded the token stream and
+  * ran a 64-column vote aggregation (a corpus-wide shuffle carrying 64
+  * longs per doc; fine at scale, but a shuffle that never needed to
+  * exist — the signature is a per-row function of the text).
+  *
+  * Parity contract with the aggregate form (oracle-replayed): tokens are
+  * `UTF8String.split(" ", -1)` of the text (the exploded `split`,
+  * including empty tokens — an empty document contributes the single
+  * token "" exactly like `explode(split('', ' '))`); each token's vote
+  * words are the first/second 8 hex chars of its md5 parsed as unsigned
+  * 32-bit values (`conv(_, 16, 10)`); bit b of word w votes +1 when
+  * `(w div 2^b) % 2 = 1` else −1; output bit b is '1' iff the vote sum
+  * is strictly positive. Bit order is b = 0..63 left to right. */
+case class SimhashBits(child: Expression) extends UnaryExpression {
+
+  override def prettyName: String = "simhash_bits"
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${t.sql}")
+  }
+
+  @transient private lazy val spacePattern = UTF8String.fromString(" ")
+  @transient private lazy val digests =
+    ThreadLocal.withInitial[MessageDigest](() =>
+      MessageDigest.getInstance("MD5"))
+
+  /** public: called from generated code. */
+  def bits(text: UTF8String): UTF8String = {
+    val tokens = text.split(spacePattern, -1)
+    val votes = new Array[Int](64)
+    val md = digests.get()
+    var t = 0
+    while (t < tokens.length) {
+      md.reset()
+      val d = md.digest(tokens(t).getBytes)
+      // first/second 8 hex chars = bytes 0-3 / 4-7 as unsigned 32-bit
+      var w1 = 0L
+      var w2 = 0L
+      var i = 0
+      while (i < 4) {
+        w1 = (w1 << 8) | (d(i) & 0xffL)
+        w2 = (w2 << 8) | (d(i + 4) & 0xffL)
+        i += 1
+      }
+      var b = 0
+      while (b < 32) {
+        votes(b) += (if (((w1 >>> b) & 1L) == 1L) 1 else -1)
+        votes(b + 32) += (if (((w2 >>> b) & 1L) == 1L) 1 else -1)
+        b += 1
+      }
+      t += 1
+    }
+    val out = new Array[Char](64)
+    var b = 0
+    while (b < 64) {
+      out(b) = if (votes(b) > 0) '1' else '0'
+      b += 1
+    }
+    UTF8String.fromString(new String(out))
+  }
+
+  override def nullSafeEval(a: Any): Any = bits(a.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("simhashBits", this,
+      classOf[SimhashBits].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.bits($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : SimhashBits = copy(child = newChild)
+}
+
+object SimhashBits {
+  def simhashBits(text: Column): Column =
+    ColumnBridge.column(SimhashBits(ColumnBridge.expression(text)))
+}

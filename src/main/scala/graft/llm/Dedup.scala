@@ -312,34 +312,20 @@ object Dedup {
   /** 64-bit SimHash from token md5s: bit b of each token's hash votes ±1;
     * the sign of the per-bit vote sum is bit b of the signature (stored as
     * a 64-char bitstring — overflow-free and join-friendly). Near-dups have
-    * small Hamming distance.
-    *
-    * Shape: explode tokens → md5 ONCE per token → 64 codegen'd CASE sums in
-    * one hash aggregate keyed by doc_id. Partial (map-side) aggregation
-    * means the shuffle carries 64 longs per doc, not the tokens — the form
-    * that scales to a 100 TB corpus. (An array-HOF formulation kept the
-    * whole row in interpreted CodegenFallback lambdas and measured ~10×
-    * slower.) md5 + hex→int is reproduced exactly by the DuckDB oracle
-    * (CAST('0x'||hex AS BIGINT)). */
-  def simhash(docs: DataFrame): DataFrame = {
-    val tokens = docs
-      // coalesce keeps NULL-text docs in the output (explode would drop
-      // the row entirely, silently excluding the doc from dedup)
-      .select(col("doc_id"),
-        explode(split(coalesce(col("text"), lit("")), " ")).as("_t"))
-      .withColumn("_h", md5(col("_t")))
-      .withColumn("_w1", expr("CAST(conv(substring(_h, 1, 8), 16, 10) AS BIGINT)"))
-      .withColumn("_w2", expr("CAST(conv(substring(_h, 9, 8), 16, 10) AS BIGINT)"))
-    val voteCols = (0 until 64).map { b =>
-      val (w, shift) = if (b < 32) ("_w1", b) else ("_w2", b - 32)
-      sum(expr(s"CASE WHEN (($w div ${1L << shift}) % 2) = 1 THEN 1 ELSE -1 END"))
-        .as(s"_v$b")
-    }
-    val bitString = concat((0 until 64).map(b =>
-      when(col(s"_v$b") > 0, lit("1")).otherwise(lit("0"))): _*)
-    tokens.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
-      .select(col("doc_id"), bitString.as("simhash_bits"))
-  }
+    * small Hamming distance. md5 + hex→int is reproduced exactly by the
+    * DuckDB oracle (CAST('0x'||hex AS BIGINT)). */
+  def simhash(docs: DataFrame): DataFrame =
+    // ONE native zero-shuffle projection (graft.functions.SimhashBits):
+    // the signature is a per-row function of the text, so the previous
+    // explode → md5 → 64-column vote aggregation paid a corpus-wide
+    // shuffle (64 longs per doc) that never needed to exist. Parity with
+    // the aggregate form (same split/empty-token, md5-word, vote, and
+    // bit-order semantics) is pinned in MatchExpressionsSpec and by the
+    // DuckDB oracle hash gate. coalesce keeps NULL-text docs in the
+    // output, mirroring the old explode-keeping behavior.
+    docs.select(col("doc_id"),
+      graft.functions.SimhashBits.simhashBits(
+        coalesce(col("text"), lit(""))).as("simhash_bits"))
 
   /** Hamming distance between two simhash bitstrings. Native codegen
     * expression ([[graft.functions.StringHamming]]) — result-identical to

@@ -144,6 +144,38 @@ class MatchExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  test("SimhashBits matches the explode + 64-column vote aggregation") {
+    val s = spark
+    val docs = s.table("documents").select("doc_id", "text").limit(300)
+      .unionByName {
+        import s.implicits._
+        Seq((900001L, ""), (900002L, "one"), (900003L, "a  b "),
+          (900004L, "repeat repeat repeat")).toDF("doc_id", "text")
+      }
+    // the pre-round-9 aggregate pipeline, verbatim
+    val tokens = docs
+      .select(col("doc_id"),
+        explode(split(coalesce(col("text"), lit("")), " ")).as("_t"))
+      .withColumn("_h", md5(col("_t")))
+      .withColumn("_w1", expr("CAST(conv(substring(_h, 1, 8), 16, 10) AS BIGINT)"))
+      .withColumn("_w2", expr("CAST(conv(substring(_h, 9, 8), 16, 10) AS BIGINT)"))
+    val voteCols = (0 until 64).map { b =>
+      val (w, shift) = if (b < 32) ("_w1", b) else ("_w2", b - 32)
+      sum(expr(s"CASE WHEN (($w div ${1L << shift}) % 2) = 1 THEN 1 ELSE -1 END"))
+        .as(s"_v$b")
+    }
+    val bitString = concat((0 until 64).map(b =>
+      when(col(s"_v$b") > 0, lit("1")).otherwise(lit("0"))): _*)
+    val hof = tokens.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
+      .select(col("doc_id"), bitString.as("hof"))
+    val native = docs.select(col("doc_id"),
+      SimhashBits.simhashBits(coalesce(col("text"), lit(""))).as("nat"))
+    val bad = hof.join(native, Seq("doc_id"))
+      .filter(not(col("hof") <=> col("nat")))
+    assert(bad.isEmpty, s"diverging docs: ${bad.take(5).mkString("; ")}")
+    assert(native.count() == hof.count())
+  }
+
   test("StringHamming matches the split+zip_with chain on simhash bits") {
     val s = spark
     val bits = graft.llm.Dedup.simhash(
