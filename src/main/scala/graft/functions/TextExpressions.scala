@@ -289,3 +289,109 @@ object SimhashBits {
   def simhashBits(text: Column): Column =
     ColumnBridge.column(SimhashBits(ColumnBridge.expression(text)))
 }
+
+/** Per-document token statistics — every per-row count the
+  * repetition/quality tier needs, in ONE compiled pass over the token
+  * stream: total tokens, distinct tokens, singleton tokens, the top
+  * token's count, stopword hits, the top bigram's count, and the bigram
+  * total. Replaces (a) two explode → partial-agg → join pipelines in
+  * `repetitionMetrics` whose shuffles carried (doc_id, token) counts for
+  * what is a per-row function of the text, and (b) the
+  * `array_max(transform(array_distinct(_w), t -> size(filter(_w, …))))`
+  * top-word chain in `gopherFilter` — interpreted AND O(distinct × n)
+  * per row where a hash count is O(n).
+  *
+  * Parity contract (oracle-replayed): tokens are `UTF8String.split(" ",
+  * -1)` of the text (an empty document is the single token "", exactly
+  * like the exploded `split`); distinct/equality is exact bytewise
+  * match; bigrams are adjacent tokens joined with one space (the k=2
+  * gram); stopwords are the same 7-word list as
+  * [[graft.llm.TextOps]]`.stopwordHitsW`; documents with fewer than two
+  * tokens have zero bigrams (`n_bigrams = 0`). */
+case class TokenStats(child: Expression) extends UnaryExpression {
+
+  override def prettyName: String = "token_stats"
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_words", LongType, nullable = false),
+    StructField("n_distinct", LongType, nullable = false),
+    StructField("n_single", LongType, nullable = false),
+    StructField("top_word", LongType, nullable = false),
+    StructField("n_stopwords", LongType, nullable = false),
+    StructField("top_bigram", LongType, nullable = false),
+    StructField("n_bigrams", LongType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${t.sql}")
+  }
+
+  @transient private lazy val spacePattern = UTF8String.fromString(" ")
+  @transient private lazy val stopwordSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    graft.functions.TokenStats.Stopwords.foreach(s.add)
+    s
+  }
+
+  /** public: called from generated code. */
+  def stats(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val words = text.split(spacePattern, -1)
+    val n = words.length
+    val wordCounts = new java.util.HashMap[String, Long](n * 2)
+    var nStop = 0L
+    var i = 0
+    while (i < n) {
+      val w = words(i).toString
+      wordCounts.merge(w, 1L, (a, b) => a + b)
+      if (stopwordSet.contains(w)) nStop += 1
+      i += 1
+    }
+    var nSingle = 0L
+    var topWord = 0L
+    val it = wordCounts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next()
+      if (c == 1L) nSingle += 1
+      if (c > topWord) topWord = c
+    }
+    var topBigram = 0L
+    var nBigrams = 0L
+    if (n >= 2) {
+      nBigrams = n - 1L
+      val bigramCounts = new java.util.HashMap[String, Long](n * 2)
+      i = 0
+      while (i < n - 1) {
+        val bg = words(i).toString + " " + words(i + 1).toString
+        val c = bigramCounts.merge(bg, 1L, (a, b) => a + b)
+        if (c > topBigram) topBigram = c
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n.toLong, wordCounts.size.toLong, nSingle, topWord, nStop,
+        topBigram, nBigrams))
+  }
+
+  override def nullSafeEval(a: Any): Any = stats(a.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("tokenStats", this,
+      classOf[TokenStats].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.stats($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : TokenStats = copy(child = newChild)
+}
+
+object TokenStats {
+  /** the Gopher-rule stopword list — MUST stay identical to
+    * [[graft.llm.TextOps]]'s. */
+  private[graft] val Stopwords =
+    Seq("the", "a", "of", "and", "to", "in", "is")
+
+  def tokenStats(text: Column): Column =
+    ColumnBridge.column(TokenStats(ColumnBridge.expression(text)))
+}

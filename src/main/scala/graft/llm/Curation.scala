@@ -59,38 +59,26 @@ object Curation {
     * Two explode→partial-agg pipelines (words, bigrams) joined on doc_id:
     * the shuffles carry (doc_id, token) counts, never the text. */
   def repetitionMetrics(docs: DataFrame): DataFrame = {
-    val base = docs
-      .withColumn("_t", coalesce(col("text"), lit("")))
-      .withColumn("_w", split(col("_t"), " "))
-
-    val words = base
-      .select(col("doc_id"), explode(col("_w")).as("_word"))
-      .groupBy("doc_id", "_word").agg(count(lit(1)).as("_c"))
-      .groupBy("doc_id").agg(
-        sum("_c").as("n_words"),
-        count(lit(1)).as("_n_distinct"),
-        sum(when(col("_c") === 1, 1L).otherwise(0L)).as("_n_single"))
-      .select(col("doc_id"), col("n_words"),
-        round(lit(1.0) - col("_n_distinct") / col("n_words").cast("double"), 6)
+    // every metric is a per-row function of the text, so the whole
+    // operator is ONE zero-shuffle projection over the fused
+    // graft.functions.TokenStats pass — the previous two explode →
+    // partial-agg → join pipelines shuffled (doc_id, token) counts at
+    // corpus scale for nothing. Parity (token/bigram construction,
+    // <2-word docs → fraction 0) is pinned in MatchExpressionsSpec and
+    // by the DuckDB oracle gate.
+    docs
+      .withColumn("_s", graft.functions.TokenStats.tokenStats(
+        coalesce(col("text"), lit(""))))
+      .select(col("doc_id"),
+        col("_s.n_words").as("n_words"),
+        round(lit(1.0) -
+          col("_s.n_distinct") / col("_s.n_words").cast("double"), 6)
           .as("dup_word_ratio"),
-        round(col("_n_single") / col("n_words").cast("double"), 6)
-          .as("singleton_word_frac"))
-
-    val bigrams = base
-      .select(col("doc_id"), explode(expr(
-        """CASE WHEN size(_w) < 2 THEN array()
-          |ELSE transform(sequence(1, size(_w) - 1),
-          |  i -> concat_ws(' ', element_at(_w, i), element_at(_w, i + 1)))
-          |END""".stripMargin)).as("_bg"))
-      .groupBy("doc_id", "_bg").agg(count(lit(1)).as("_c"))
-      .groupBy("doc_id").agg(
-        round(max("_c") / sum("_c").cast("double"), 6).as("top_bigram_frac"))
-
-    // docs with <2 words have no bigram rows: left join, fraction = 0
-    words.join(bigrams, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_words"), col("dup_word_ratio"),
-        col("singleton_word_frac"),
-        coalesce(col("top_bigram_frac"), lit(0.0)).as("top_bigram_frac"))
+        round(col("_s.n_single") / col("_s.n_words").cast("double"), 6)
+          .as("singleton_word_frac"),
+        when(col("_s.n_bigrams") > 0,
+          round(col("_s.top_bigram") / col("_s.n_bigrams").cast("double"), 6))
+          .otherwise(lit(0.0)).as("top_bigram_frac"))
   }
 
   /** Gopher-style document quality rules (Rae et al. 2021 §A1.1, adapted
@@ -110,19 +98,20 @@ object Curation {
       minWords: Int = 50, maxWords: Int = 100000,
       minAvgWordLen: Double = 2.0, maxAvgWordLen: Double = 10.0,
       minStopwordHits: Int = 2, maxTopWordFrac: Double = 0.2): DataFrame = {
+    // counts come from the fused TokenStats pass: the old top-word chain
+    // (array_max over transform/filter) was interpreted AND
+    // O(distinct × n) per row where the hash count is O(n)
     val base = docs
       .withColumn("_t", coalesce(col("text"), lit("")))
-      .withColumn("_w", TextOps.tokens(col("_t")))
-    val n = size(col("_w"))
+      .withColumn("_s", graft.functions.TokenStats.tokenStats(col("_t")))
+    val n = col("_s.n_words")
     val avgLen = TextOps.avgTokenLen(col("_t"))
-    val topFrac = array_max(transform(array_distinct(col("_w")),
-      t => size(filter(col("_w"), x => x === t)))).cast("double") / n
     base.select(
       col("doc_id"),
       n.cast("bigint").as("n_words"),
       round(avgLen, 6).as("avg_word_len"),
-      TextOps.stopwordHitsW(col("_w")).cast("bigint").as("stopword_hits"),
-      round(topFrac, 6).as("top_word_frac"))
+      col("_s.n_stopwords").cast("bigint").as("stopword_hits"),
+      round(col("_s.top_word").cast("double") / n, 6).as("top_word_frac"))
       .withColumn("ok_words",
         col("n_words").between(minWords, maxWords))
       .withColumn("ok_avg_len",

@@ -68,7 +68,7 @@ object TextOps {
         acc * 131L + pmod(xxhash64(t), lit(2147483647L)),
         lit(2147483647L)))
 
-  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+  private val stopwords = graft.functions.TokenStats.Stopwords
 
   private[llm] def stopwordHitsW(w: Column): Column =
     size(filter(w, t => t.isin(stopwords: _*)))

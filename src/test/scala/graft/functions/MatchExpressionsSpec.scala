@@ -144,6 +144,51 @@ class MatchExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  test("TokenStats matches the explode-aggregate and transform-count forms") {
+    val s = spark
+    val docs = s.table("documents").select("doc_id", "text").limit(300)
+      .unionByName {
+        import s.implicits._
+        Seq((900001L, ""), (900002L, "one"), (900003L, "a a a b the to"),
+          (900004L, "x  y "), (900005L, "the the the")).toDF("doc_id", "text")
+      }
+      .withColumn("_t", coalesce(col("text"), lit("")))
+      .withColumn("_w", split(col("_t"), " "))
+    // ground truth via the pre-round-9 constructions
+    val words = docs.select(col("doc_id"), explode(col("_w")).as("_word"))
+      .groupBy("doc_id", "_word").agg(count(lit(1)).as("_c"))
+      .groupBy("doc_id").agg(
+        sum("_c").as("n_words"), count(lit(1)).as("n_distinct"),
+        sum(when(col("_c") === 1, 1L).otherwise(0L)).as("n_single"),
+        max("_c").as("top_word"))
+    val bigrams = docs.select(col("doc_id"), explode(expr(
+        """CASE WHEN size(_w) < 2 THEN array()
+          |ELSE transform(sequence(1, size(_w) - 1),
+          |  i -> concat_ws(' ', element_at(_w, i), element_at(_w, i + 1)))
+          |END""".stripMargin)).as("_bg"))
+      .groupBy("doc_id", "_bg").agg(count(lit(1)).as("_c"))
+      .groupBy("doc_id").agg(max("_c").as("top_bigram"),
+        sum("_c").as("n_bigrams"))
+    val stopTruth = docs.select(col("doc_id"),
+      size(filter(col("_w"),
+        t => t.isin("the", "a", "of", "and", "to", "in", "is")))
+        .cast("long").as("n_stopwords"))
+    val truth = words.join(bigrams, Seq("doc_id"), "left")
+      .join(stopTruth, Seq("doc_id"))
+      .na.fill(0, Seq("top_bigram", "n_bigrams"))
+    val native = docs.select(col("doc_id"),
+      TokenStats.tokenStats(col("_t")).as("_s"))
+      .select(col("doc_id"), col("_s.n_words"), col("_s.n_distinct"),
+        col("_s.n_single"), col("_s.top_word"), col("_s.n_stopwords"),
+        col("_s.top_bigram"), col("_s.n_bigrams"))
+    val cols = Seq("n_words", "n_distinct", "n_single", "top_word",
+      "n_stopwords", "top_bigram", "n_bigrams")
+    val bad = truth.alias("t").join(native.alias("n"), Seq("doc_id"))
+      .filter(not(cols.map(c => col(s"t.$c") <=> col(s"n.$c"))
+        .reduce(_ && _)))
+    assert(bad.isEmpty, s"diverging docs: ${bad.take(5).mkString("; ")}")
+  }
+
   test("SimhashBits matches the explode + 64-column vote aggregation") {
     val s = spark
     val docs = s.table("documents").select("doc_id", "text").limit(300)
