@@ -395,3 +395,60 @@ object TokenStats {
   def tokenStats(text: Column): Column =
     ColumnBridge.column(TokenStats(ColumnBridge.expression(text)))
 }
+
+/** Count of array elements contained in a fixed token set — the
+  * `size(filter(w, t -> t.isin(...)))` chain (stopword hits, language
+  * profiles) as one compiled loop instead of an interpreted lambda pass
+  * per set. NULL elements never match (`isin` on NULL filters out);
+  * NULL array yields NULL. */
+case class TokenSetCount(child: Expression, tokens: Seq[String])
+    extends UnaryExpression {
+
+  require(tokens.nonEmpty, "token set must be non-empty")
+
+  override def prettyName: String = "token_set_count"
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${t.sql}")
+  }
+
+  @transient private lazy val set: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String]()
+    tokens.foreach(t => s.add(UTF8String.fromString(t)))
+    s
+  }
+
+  /** public: called from generated code. */
+  def countIn(arr: ArrayData): Long = {
+    var c = 0L
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i) && set.contains(arr.getUTF8String(i))) c += 1
+      i += 1
+    }
+    c
+  }
+
+  override def nullSafeEval(a: Any): Any = countIn(a.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("tokenSetCount", this,
+      classOf[TokenSetCount].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.countIn($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : TokenSetCount = copy(child = newChild)
+}
+
+object TokenSetCount {
+  def tokenSetCount(arr: Column, tokens: Seq[String]): Column =
+    ColumnBridge.column(TokenSetCount(
+      ColumnBridge.expression(arr), tokens))
+}

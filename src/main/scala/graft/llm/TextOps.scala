@@ -71,7 +71,9 @@ object TextOps {
   private val stopwords = graft.functions.TokenStats.Stopwords
 
   private[llm] def stopwordHitsW(w: Column): Column =
-    size(filter(w, t => t.isin(stopwords: _*)))
+    // native set-membership count (graft.functions.TokenSetCount) — the
+    // filter(isin) chain ran its lambda interpreted per token
+    graft.functions.TokenSetCount.tokenSetCount(w, stopwords)
 
   /** fraction of tokens that are stopwords, over a materialized token array
     * (split the text once per row, not once per metric) */
@@ -106,7 +108,7 @@ object TextOps {
       "de" -> Seq("der", "und", "das"),
       "es" -> Seq("el", "los", "que"))
     val scored = profiles.map { case (lang, words) =>
-      (lang, size(filter(w, t => t.isin(words: _*))))
+      (lang, graft.functions.TokenSetCount.tokenSetCount(w, words))
     }
     val best = scored.tail.foldLeft((lit(scored.head._1), scored.head._2)) {
       case ((bl, bs), (lang, s)) =>
