@@ -52,9 +52,12 @@ object TextOps {
     * pre-tokenization shape BPE vocabularies segment on. Portable regex
     * (ASCII classes only, same semantics in Java regex and RE2). */
   def bpeishTokenCount(text: Column): Column =
-    size(filter(
+    // array_remove is a plain codegen'd collection function where the
+    // filter(t != "") lambda evaluated interpreted; split never yields
+    // nulls, so removing every "" is exactly the non-empty count
+    size(array_remove(
       split(regexp_replace(text, "([^A-Za-z0-9\\s])", " $1 "), "\\s+"),
-      t => t =!= ""))
+      ""))
 
   /** Polynomial rolling hash over tokens (base 131, Mersenne-ish modulus):
     * an order-sensitive fingerprint — reordered tokens hash differently
