@@ -452,3 +452,83 @@ object TokenSetCount {
     ColumnBridge.column(TokenSetCount(
       ColumnBridge.expression(arr), tokens))
 }
+
+/** The xxhash64 ("fast") minhash signature family as ONE native
+  * expression returning `numHashes` longs — the candidate-generation
+  * path that skips md5. Parity with the composable
+  * `array_min(transform(_hs, h -> xxhash64(h, j)))` chain is by
+  * construction: it calls the SAME `XXH64` primitives Spark's `xxhash64`
+  * builtin generates — `hashUTF8String(shingle, 42)` for the base hash,
+  * then `hashInt(j, hashLong(base, 42))` per family member — and takes
+  * the signed-long minimum, so every signature value is bit-identical to
+  * the HOF form. Shingles are the keep-short-whole [[Kgrams]] windows. */
+case class FastMinhashSigs(child: Expression, k: Int, numHashes: Int)
+    extends UnaryExpression {
+
+  require(k > 0, "shingle width k must be positive")
+  require(numHashes > 0, "numHashes must be positive")
+
+  override def prettyName: String = "fast_minhash_sigs"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${t.sql}")
+  }
+
+  @transient private lazy val spacePattern = UTF8String.fromString(" ")
+
+  /** public: called from generated code. */
+  def sigs(text: UTF8String): ArrayData = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val words = text.split(spacePattern, -1)
+    val mins = new Array[Long](numHashes)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    def absorb(shingle: UTF8String): Unit = {
+      val base = XXH64.hashUTF8String(shingle, 42L)
+      val rehashSeed = XXH64.hashLong(base, 42L)
+      var j = 0
+      while (j < numHashes) {
+        val h = XXH64.hashInt(j, rehashSeed)
+        if (h < mins(j)) mins(j) = h
+        j += 1
+      }
+    }
+    if (words.length < k) absorb(text)
+    else {
+      var i = 0
+      while (i <= words.length - k) {
+        val sb = new java.lang.StringBuilder
+        var j = 0
+        while (j < k) {
+          if (j > 0) sb.append(' ')
+          sb.append(words(i + j).toString)
+          j += 1
+        }
+        absorb(UTF8String.fromString(sb.toString))
+        i += 1
+      }
+    }
+    new GenericArrayData(mins)
+  }
+
+  override def nullSafeEval(a: Any): Any = sigs(a.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("fastMinhashSigs", this,
+      classOf[FastMinhashSigs].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.sigs($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : FastMinhashSigs = copy(child = newChild)
+}
+
+object FastMinhashSigs {
+  def fastMinhashSigs(text: Column, k: Int, numHashes: Int): Column =
+    ColumnBridge.column(FastMinhashSigs(
+      ColumnBridge.expression(text), k, numHashes))
+}

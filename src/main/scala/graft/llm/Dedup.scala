@@ -63,14 +63,17 @@ object Dedup {
     * is fine since candidates are recall-tested, not oracle-hashed. */
   private def fastSignatures(
       docs: DataFrame, k: Int, numHashes: Int): DataFrame = {
-    val withHashes = withShingleCol(docs, k)
-      .withColumn("_hs", expr("transform(_shingles, s -> xxhash64(s))"))
-    val sigCols = (0 until numHashes).map { j =>
-      // j-th hash family member: xxhash64 of (base hash, j) — cheap,
-      // ANSI-safe (no overflowing arithmetic), deterministic
-      expr(s"array_min(transform(_hs, h -> xxhash64(h, $j)))").as(s"sig_$j")
-    }
-    withHashes.select((col("doc_id") +: sigCols): _*)
+    // ONE fused native pass (graft.functions.FastMinhashSigs) calling the
+    // same XXH64 primitives the xxhash64 builtin generates — signature
+    // values are bit-identical to the transform/array_min chain it
+    // replaced (pinned in MatchExpressionsSpec), without the interpreted
+    // lambdas or the per-row shingle/hash arrays
+    val sigsCol = graft.functions.FastMinhashSigs.fastMinhashSigs(
+      coalesce(col("text"), lit("")), k, numHashes)
+    docs.withColumn("_sigs", sigsCol)
+      .select(col("doc_id") +:
+        (0 until numHashes).map(j =>
+          element_at(col("_sigs"), j + 1).as(s"sig_$j")): _*)
   }
 
   /** Exploded (doc_id, sig, band_idx, band_hash) bucket rows — the shuffle

@@ -189,6 +189,32 @@ class MatchExpressionsSpec extends AnyFunSuite {
     assert(bad.isEmpty, s"diverging docs: ${bad.take(5).mkString("; ")}")
   }
 
+  test("FastMinhashSigs is bit-identical to the xxhash64 HOF chain") {
+    val s = spark
+    val k = 3
+    val d = s.table("documents").select("doc_id", "text").limit(300)
+      .unionByName {
+        import s.implicits._
+        Seq((900001L, ""), (900002L, "one two"), (900003L, "a  b   c d e"))
+          .toDF("doc_id", "text")
+      }
+      .withColumn("_t", coalesce(col("text"), lit("")))
+      .withColumn("_w", split(col("_t"), " "))
+      .withColumn("_shingles", expr(
+        s"""CASE WHEN size(_w) < $k THEN array(_t)
+           |ELSE transform(sequence(1, size(_w) - ${k - 1}),
+           |  i -> concat_ws(' ', ${(0 until k)
+                .map(j => s"element_at(_w, i + $j)").mkString(", ")}))
+           |END""".stripMargin))
+      .withColumn("_hs", expr("transform(_shingles, s -> xxhash64(s))"))
+    val hof = array((0 until 8).map(j =>
+      expr(s"array_min(transform(_hs, h -> xxhash64(h, $j)))")): _*)
+    val bad = d.select(hof.as("a"),
+        FastMinhashSigs.fastMinhashSigs(col("_t"), k, 8).as("b"))
+      .filter(not(col("a") <=> col("b")))
+    assert(bad.isEmpty, s"diverging rows: ${bad.take(5).mkString("; ")}")
+  }
+
   test("SimhashBits matches the explode + 64-column vote aggregation") {
     val s = spark
     val docs = s.table("documents").select("doc_id", "text").limit(300)
