@@ -185,8 +185,13 @@ object ComputeRegistry {
       require(df.columns.contains("doc_id"),
         s"table kernels require a 'doc_id' key column; relation has " +
           s"[${df.columns.mkString(", ")}]")
-      val embs = df.select(col("doc_id").as("vec_id"),
-        col(ins.head).as("embedding"))
+      // persist: the embedding projection is read three times (the auto-k
+      // count, the seed collect, and the dedup's own assignment) — on an
+      // expensive upstream each would otherwise recompute the full plan
+      val embs = graft.llm.PipelineCaches.track(
+        df.select(col("doc_id").as("vec_id"),
+          col(ins.head).as("embedding"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val flags = graft.llm.Similarity.semanticDedup(embs, semanticSeeds(embs))
         .select(col("vec_id").as("doc_id"), col("is_semdup").as(out))
       df.join(flags, Seq("doc_id"))

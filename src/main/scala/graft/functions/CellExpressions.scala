@@ -31,11 +31,15 @@ import org.apache.spark.sql.types._
 private[graft] object CellMath {
   /** Exactly Spark's `round(x, 6)` on DoubleType: `java.math.BigDecimal
     * .valueOf` (Double.toString canonicalization, NOT the exact binary
-    * expansion) + HALF_UP. BigDecimal has no negative zero, so -1e-16
-    * rounds to +0.0 — the engine side of the [[CrossEngine]] convention
-    * holds by construction. */
+    * expansion) + HALF_UP, with NaN/±Infinity passed through unchanged
+    * (BigDecimal.valueOf would THROW on them — an all-zero embedding's
+    * 0/0 cosine must keep the composable form's NaN-last ordering, not
+    * kill the query). BigDecimal has no negative zero, so -1e-16 rounds
+    * to +0.0 — the engine side of the [[CrossEngine]] convention holds
+    * by construction. */
   def round6(x: Double): Double =
-    java.math.BigDecimal.valueOf(x)
+    if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
+    else java.math.BigDecimal.valueOf(x)
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
 
   /** left-to-right Σ x_i² — the driver-folded |c|² constant and the
@@ -157,7 +161,11 @@ case class NearestCells(
 /** The MAX-COSINE cell index of `child` among `centers` (rounded to 6 dp,
   * ties on the smaller index) — the spherical-cell assignment of
   * SemDeDup. Scale-invariant: a positively-scaled duplicate lands in the
-  * same cell bitwise. */
+  * same cell bitwise. Deliberate divergence from the composable form: an
+  * all-zero embedding (cosine 0/0 = NaN everywhere) assigns to cell 0
+  * instead of throwing ANSI DIVIDE_BY_ZERO — a degenerate vector must
+  * not kill a corpus-scale dedup job, and NaN similarities can never
+  * flag it as anyone's duplicate downstream. */
 case class MaxCosineCell(child: Expression, centers: Seq[Seq[Double]])
     extends UnaryExpression with CellCodebookExpression {
 

@@ -11,6 +11,48 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
+/** The ONE tokenize-and-shingle implementation every fused text
+  * expression shares — the parity-critical core of the whole tier, kept
+  * in a single place so the md5, fast-xxhash, and gram paths can never
+  * drift apart.
+  *
+  * Byte-exact by construction: tokens come from the same
+  * `UTF8String.split(" ", -1)` the `split` builtin calls, and windows
+  * are RAW-BYTE `UTF8String.concat` joins with single spaces — no
+  * java.lang.String round-trip, so invalid UTF-8 byte sequences (which
+  * parquet and Spark pass through unvalidated, and web corpora contain)
+  * shingle and hash exactly as the composable `concat_ws`/`md5` forms
+  * processed them, instead of collapsing to U+FFFD. */
+private[functions] object Shingle {
+  val Space: UTF8String = UTF8String.fromString(" ")
+
+  /** k-gram windows; a document with fewer than k tokens yields its
+    * whole text as the single gram (`keepShortWhole`, the `array(_t)`
+    * CASE branch) or nothing (the `array()` branch). */
+  def kgrams(text: UTF8String, k: Int, keepShortWhole: Boolean)
+      : Array[UTF8String] = {
+    val words = text.split(Space, -1)
+    if (words.length < k) {
+      if (keepShortWhole) Array(text) else Array.empty
+    } else {
+      val out = new Array[UTF8String](words.length - k + 1)
+      var i = 0
+      while (i < out.length) {
+        val parts = new Array[UTF8String](2 * k - 1)
+        var j = 0
+        while (j < k) {
+          parts(2 * j) = words(i + j)
+          if (j > 0) parts(2 * j - 1) = Space
+          j += 1
+        }
+        out(i) = UTF8String.concat(parts.toIndexedSeq: _*)
+        i += 1
+      }
+      out
+    }
+  }
+}
+
 /** The full md5-minhash signature pipeline — tokenize, k-gram shingle,
   * md5 per shingle per salt, slice each hex digest into four 32-bit
   * members, column-wise minimum — as ONE native expression returning the
@@ -28,12 +70,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * replay it): tokenization uses the SAME `UTF8String.split(" ", -1)`
   * Spark's `split` builtin calls; a document with fewer than k tokens
   * contributes its whole text as the single shingle (the `CASE size < k`
-  * branch); shingles join with single spaces (`concat_ws` over non-null
-  * tokens); digests are lowercase-hex md5 of the UTF-8 bytes of
-  * `shingle + "#m"`; members are 8-char substrings at 8c; the minimum is
-  * bytewise UTF8String order (= lexicographic over lowercase hex).
-  * Equivalence is pinned row-for-row in `MatchExpressionsSpec` and by the
-  * oracle hash gate. */
+  * branch); shingles join with single spaces as RAW-BYTE concatenations
+  * ([[Shingle.kgrams]] — no java.lang.String round-trip, so invalid
+  * UTF-8 bytes hash exactly as the builtin `md5` hashed them); digests
+  * are lowercase-hex md5 of `shingle bytes ++ "#m"`; members are 8-char
+  * substrings at 8c; the minimum is bytewise UTF8String order
+  * (= lexicographic over lowercase hex). Equivalence is pinned
+  * row-for-row in `MatchExpressionsSpec` and by the oracle hash gate. */
 case class MinhashSigs(child: Expression, k: Int, numHashes: Int)
     extends UnaryExpression {
 
@@ -52,7 +95,9 @@ case class MinhashSigs(child: Expression, k: Int, numHashes: Int)
   }
 
   @transient private lazy val numMd5 = (numHashes + 3) / 4
-  @transient private lazy val spacePattern = UTF8String.fromString(" ")
+  @transient private lazy val salts: Array[Array[Byte]] =
+    Array.tabulate(numMd5)(m =>
+      ("#" + m).getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
   // one digest per thread: the expression instance travels through the
   // codegen references array and is shared across concurrent tasks
@@ -74,35 +119,17 @@ case class MinhashSigs(child: Expression, k: Int, numHashes: Int)
 
   /** public: called from generated code. */
   def sigs(text: UTF8String): ArrayData = {
-    val words = text.split(spacePattern, -1)
-    val shingles: Array[String] =
-      if (words.length < k) Array(text.toString)
-      else {
-        val out = new Array[String](words.length - k + 1)
-        var i = 0
-        while (i < out.length) {
-          val sb = new java.lang.StringBuilder
-          var j = 0
-          while (j < k) {
-            if (j > 0) sb.append(' ')
-            sb.append(words(i + j).toString)
-            j += 1
-          }
-          out(i) = sb.toString
-          i += 1
-        }
-        out
-      }
+    val shingles = Shingle.kgrams(text, k, keepShortWhole = true)
     val md = digests.get()
     val mins = new Array[String](numHashes)
     var m = 0
     while (m < numMd5) {
-      val salt = "#" + m
       var s = 0
       while (s < shingles.length) {
         md.reset()
-        val h = hex(md.digest(
-          (shingles(s) + salt).getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+        md.update(shingles(s).getBytes)
+        md.update(salts(m))
+        val h = hex(md.digest())
         var c = 0
         while (c < 4 && 4 * m + c < numHashes) {
           val j = 4 * m + c
@@ -162,31 +189,10 @@ case class Kgrams(child: Expression, k: Int, keepShortWhole: Boolean)
       s"$prettyName requires a string argument, got ${t.sql}")
   }
 
-  @transient private lazy val spacePattern = UTF8String.fromString(" ")
-
   /** public: called from generated code. */
-  def grams(text: UTF8String): ArrayData = {
-    val words = text.split(spacePattern, -1)
-    if (words.length < k) {
-      if (keepShortWhole) new GenericArrayData(Array[Any](text))
-      else new GenericArrayData(Array.empty[Any])
-    } else {
-      val out = new Array[Any](words.length - k + 1)
-      var i = 0
-      while (i < out.length) {
-        val sb = new java.lang.StringBuilder
-        var j = 0
-        while (j < k) {
-          if (j > 0) sb.append(' ')
-          sb.append(words(i + j).toString)
-          j += 1
-        }
-        out(i) = UTF8String.fromString(sb.toString)
-        i += 1
-      }
-      new GenericArrayData(out)
-    }
-  }
+  def grams(text: UTF8String): ArrayData =
+    new GenericArrayData(
+      Shingle.kgrams(text, k, keepShortWhole).asInstanceOf[Array[Any]])
 
   override def nullSafeEval(a: Any): Any = grams(a.asInstanceOf[UTF8String])
 
@@ -329,21 +335,25 @@ case class TokenStats(child: Expression) extends UnaryExpression {
   }
 
   @transient private lazy val spacePattern = UTF8String.fromString(" ")
-  @transient private lazy val stopwordSet: java.util.HashSet[String] = {
-    val s = new java.util.HashSet[String]()
-    graft.functions.TokenStats.Stopwords.foreach(s.add)
+  @transient private lazy val stopwordSet: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String]()
+    graft.functions.TokenStats.Stopwords
+      .foreach(t => s.add(UTF8String.fromString(t)))
     s
   }
 
   /** public: called from generated code. */
   def stats(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    // UTF8String keys throughout — byte-exact equality (invalid UTF-8
+    // sequences stay distinct, as the explode-aggregate truth counted
+    // them), no String decode per token
     val words = text.split(spacePattern, -1)
     val n = words.length
-    val wordCounts = new java.util.HashMap[String, Long](n * 2)
+    val wordCounts = new java.util.HashMap[UTF8String, Long](n * 2)
     var nStop = 0L
     var i = 0
     while (i < n) {
-      val w = words(i).toString
+      val w = words(i)
       wordCounts.merge(w, 1L, (a, b) => a + b)
       if (stopwordSet.contains(w)) nStop += 1
       i += 1
@@ -360,10 +370,10 @@ case class TokenStats(child: Expression) extends UnaryExpression {
     var nBigrams = 0L
     if (n >= 2) {
       nBigrams = n - 1L
-      val bigramCounts = new java.util.HashMap[String, Long](n * 2)
+      val bigramCounts = new java.util.HashMap[UTF8String, Long](n * 2)
       i = 0
       while (i < n - 1) {
-        val bg = words(i).toString + " " + words(i + 1).toString
+        val bg = UTF8String.concat(words(i), Shingle.Space, words(i + 1))
         val c = bigramCounts.merge(bg, 1L, (a, b) => a + b)
         if (c > topBigram) topBigram = c
         i += 1
@@ -479,16 +489,15 @@ case class FastMinhashSigs(child: Expression, k: Int, numHashes: Int)
       s"$prettyName requires a string argument, got ${t.sql}")
   }
 
-  @transient private lazy val spacePattern = UTF8String.fromString(" ")
-
   /** public: called from generated code. */
   def sigs(text: UTF8String): ArrayData = {
     import org.apache.spark.sql.catalyst.expressions.XXH64
-    val words = text.split(spacePattern, -1)
+    val shingles = Shingle.kgrams(text, k, keepShortWhole = true)
     val mins = new Array[Long](numHashes)
     java.util.Arrays.fill(mins, Long.MaxValue)
-    def absorb(shingle: UTF8String): Unit = {
-      val base = XXH64.hashUTF8String(shingle, 42L)
+    var s = 0
+    while (s < shingles.length) {
+      val base = XXH64.hashUTF8String(shingles(s), 42L)
       val rehashSeed = XXH64.hashLong(base, 42L)
       var j = 0
       while (j < numHashes) {
@@ -496,21 +505,7 @@ case class FastMinhashSigs(child: Expression, k: Int, numHashes: Int)
         if (h < mins(j)) mins(j) = h
         j += 1
       }
-    }
-    if (words.length < k) absorb(text)
-    else {
-      var i = 0
-      while (i <= words.length - k) {
-        val sb = new java.lang.StringBuilder
-        var j = 0
-        while (j < k) {
-          if (j > 0) sb.append(' ')
-          sb.append(words(i + j).toString)
-          j += 1
-        }
-        absorb(UTF8String.fromString(sb.toString))
-        i += 1
-      }
+      s += 1
     }
     new GenericArrayData(mins)
   }

@@ -105,7 +105,10 @@ object Curation {
       .withColumn("_t", coalesce(col("text"), lit("")))
       .withColumn("_s", graft.functions.TokenStats.tokenStats(col("_t")))
     val n = col("_s.n_words")
-    val avgLen = TextOps.avgTokenLen(col("_t"))
+    // identical to TextOps.avgTokenLen but from the TokenStats count —
+    // the Column form re-splits the text twice for its own tokenCount
+    val avgLen =
+      (length(col("_t")) - (n - 1)).cast("double") / n
     base.select(
       col("doc_id"),
       n.cast("bigint").as("n_words"),

@@ -67,33 +67,36 @@ object StoreMaint {
   /** The one-rename recovery the swap discipline promises: if a crash in
     * [[replaceStore]]'s non-atomic window left no live store, rename the
     * backup back in and verify it reads. Returns true iff a recovery
-    * happened; a healthy live store is left untouched (false). Prefers
-    * the canonical `_old` backup, else the NEWEST fresh-named
-    * `_old_<nanos>` one; deletes nothing (leftover `_compacting` /
-    * stale backups stay for operator reclaim, matching rule 2). */
+    * happened; a healthy live store is left untouched (false).
+    *
+    * Among multiple surviving backups (`_old` plus fresh-named
+    * `_old_<nanos>` parks), the NEWEST by filesystem modification time
+    * wins: a crashed swap parks the CURRENT store under a fresh name
+    * precisely when a stale `_old` from an even earlier crash still
+    * exists, so preferring the canonical name — or sorting the nanoTime
+    * suffixes, whose origin is arbitrary per JVM — could silently restore
+    * the older version. Deletes nothing (leftover `_compacting` / stale
+    * backups stay for operator reclaim, matching rule 2). */
   def recover(spark: SparkSession, path: String): Boolean = {
     import org.apache.hadoop.fs.Path
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path), conf)
     val dst = new Path(path)
     if (fs.exists(dst)) return false
-    val canonical = new Path(path + "_old")
-    val freshNamed =
+    val backups =
       if (fs.exists(dst.getParent))
-        fs.listStatus(dst.getParent).map(_.getPath)
-          .filter(_.getName.startsWith(dst.getName + "_old_"))
-          .sortBy(_.getName).reverse.toSeq
+        fs.listStatus(dst.getParent)
+          .filter { st =>
+            val n = st.getPath.getName
+            n == dst.getName + "_old" || n.startsWith(dst.getName + "_old_")
+          }.toSeq
       else Seq.empty
-    val backup = (if (fs.exists(canonical)) Seq(canonical) else Seq.empty) ++
-      freshNamed
-    backup.headOption match {
-      case None => throw new java.io.IOException(
-        s"no live store at $path and no backup to recover from")
-      case Some(b) =>
-        if (!fs.rename(b, dst))
-          throw new java.io.IOException(s"cannot recover $b to $dst")
-        spark.read.parquet(path).count() // verify before declaring success
-        true
-    }
+    if (backups.isEmpty) throw new java.io.IOException(
+      s"no live store at $path and no backup to recover from")
+    val newest = backups.maxBy(_.getModificationTime).getPath
+    if (!fs.rename(newest, dst))
+      throw new java.io.IOException(s"cannot recover $newest to $dst")
+    spark.read.parquet(path).count() // verify before declaring success
+    true
   }
 }

@@ -98,6 +98,17 @@ class CellExpressionsSpec extends AnyFunSuite {
     assertNoDiff(s.table("embeddings"),
       CellExpressions.maxCosineCell(col("embedding"), ctrs),
       cosCellComposable(col("embedding"), ctrs))
+    // deliberate divergence, documented on the expression: an ALL-ZERO
+    // embedding (cosine 0/0) made the composable form THROW under ANSI
+    // division; the native form survives (round6 passes the NaN through,
+    // no sim ever beats -Inf... so the first cell wins) and the vector
+    // can never be flagged a semantic dup downstream
+    val zeroCell = s.table("embeddings").limit(1)
+      .select(expr("transform(embedding, x -> CAST(0.0 AS FLOAT))")
+        .as("embedding"))
+      .select(CellExpressions.maxCosineCell(col("embedding"), ctrs))
+      .collect()(0)
+    assert(!zeroCell.isNullAt(0) && zeroCell.getInt(0) == 0)
   }
 
   test("PqEncode and PqAdc match the composable literal-tree forms") {
@@ -124,7 +135,10 @@ class CellExpressionsSpec extends AnyFunSuite {
     // vs toString canonicalization cases, and fixture-scale magnitudes
     val xs = Seq(-1e-16, -0.0000005, 0.0000005, -0.0, 0.1234565,
       -0.1234565, 0.1234575, 2.675, -2.675, 1.0 / 3.0, -123.45678949999,
-      6.9999995, Double.MinPositiveValue, -Double.MinPositiveValue)
+      6.9999995, Double.MinPositiveValue, -Double.MinPositiveValue,
+      // an all-zero embedding's 0/0 cosine: round must pass NaN/±Inf
+      // through (BigDecimal.valueOf would throw), like Spark's round
+      Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity)
     val sparkRound = xs.toDF("x").select(round(col("x"), 6)).as[Double]
       .collect()
     xs.zip(sparkRound).foreach { case (x, expected) =>

@@ -74,6 +74,29 @@ class StoreMaintSpec extends AnyFunSuite {
     assert(s.read.parquet(path).count() == 10)
   }
 
+  test("recover restores the NEWEST backup, not a stale canonical _old") {
+    val s = spark
+    import s.implicits._
+    val (_, path) = freshStore(10)
+    // a crash two swaps ago left a stale canonical backup (8 rows)...
+    Seq.tabulate(8)(i => (i.toLong, "stale")).toDF("id", "v")
+      .write.parquet(path + "_old")
+    // ...so the next swap parked the then-current store (10 rows) under a
+    // fresh name, then crashed in the rename window: live store gone
+    assert(new java.io.File(path)
+      .renameTo(new java.io.File(path + "_old_1234567890")))
+    // make the mtime order unambiguous regardless of test speed
+    assert(new java.io.File(path + "_old").setLastModified(1000000000000L))
+    assert(new java.io.File(path + "_old_1234567890")
+      .setLastModified(2000000000000L))
+
+    assert(StoreMaint.recover(s, path))
+    assert(s.read.parquet(path).count() == 10,
+      "the newest surviving copy must come back, not the stale _old")
+    assert(new java.io.File(path + "_old").exists,
+      "the stale backup is left for operator reclaim, never deleted")
+  }
+
   test("recover with neither live store nor backup fails loudly") {
     val dir = Files.createTempDirectory("graft-storemaint").toString
     val e = intercept[java.io.IOException] {
