@@ -256,8 +256,25 @@ class PlanAuditSpec extends AnyFunSuite {
   test("q_gopher_filter is a pure per-row projection — zero shuffles") {
     val p = plan("q_gopher_filter")
     assert(!p.contains("Exchange"),
-      s"every Gopher rule is an array-HOF over the row's own token " +
-        s"array; any shuffle here is a regression:\n$p")
+      s"every Gopher rule is a per-row function of the token stats; " +
+        s"any shuffle here is a regression:\n$p")
+  }
+
+  test("q_dedup_simhash signatures are a zero-shuffle projection") {
+    // the signature is a per-row function of the text (SimhashBits);
+    // the old explode + 64-column vote aggregation shuffled the corpus
+    val p = plan("q_dedup_simhash")
+    assert(!p.contains("Exchange"),
+      s"per-doc signatures must not shuffle:\n$p")
+  }
+
+  test("q_quality_repetition metrics are a zero-shuffle projection") {
+    // every repetition metric is a per-row function of the text
+    // (TokenStats); the old two explode/agg/join pipelines shuffled
+    // (doc_id, token) counts corpus-wide
+    val p = plan("q_quality_repetition")
+    assert(!p.contains("Exchange"),
+      s"per-doc repetition metrics must not shuffle:\n$p")
   }
 
   test("q_lm_perplexity keeps the count joins as equi-joins; only the " +
