@@ -84,7 +84,12 @@ private[graft] trait CellCodebookExpression { self: Expression =>
 /** The `nProbe` nearest L2 cells of `child` among `centers`, ordered by
   * (rounded dist², cell index) — the [[graft.llm.Similarity]] IVF probe
   * and coarse-assignment primitive. dist² = |e|² − 2·e⋅c + |c|² with
-  * |c|² driver-folded, exactly the composable form's association. */
+  * |c|² driver-folded, exactly the composable form's association. An
+  * embedding containing a non-finite element makes EVERY distance NaN
+  * and assigns the first cells in index order — the same
+  * garbage-in-deterministic-garbage-out the composable struct-sort
+  * produced (Spark `round` passes NaN through; all-equal NaN structs
+  * keep index order), kept for parity rather than nulled. */
 case class NearestCells(
     child: Expression, centers: Seq[Seq[Double]], nProbe: Int)
     extends UnaryExpression with CellCodebookExpression {

@@ -26,30 +26,38 @@ import org.apache.spark.unsafe.types.UTF8String
 private[functions] object Shingle {
   val Space: UTF8String = UTF8String.fromString(" ")
 
-  /** k-gram windows; a document with fewer than k tokens yields its
-    * whole text as the single gram (`keepShortWhole`, the `array(_t)`
-    * CASE branch) or nothing (the `array()` branch). */
-  def kgrams(text: UTF8String, k: Int, keepShortWhole: Boolean)
-      : Array[UTF8String] = {
+  /** Stream each k-gram window to `f` without materializing the window
+    * set — one reused parts buffer, one live shingle at a time (an
+    * MB-scale document with k=5 would otherwise hold ~5× its size in
+    * transient concatenations). A document with fewer than k tokens
+    * yields its whole text as the single gram (`keepShortWhole`, the
+    * `array(_t)` CASE branch) or nothing (the `array()` branch). */
+  def foreachKgram(text: UTF8String, k: Int, keepShortWhole: Boolean)(
+      f: UTF8String => Unit): Unit = {
     val words = text.split(Space, -1)
     if (words.length < k) {
-      if (keepShortWhole) Array(text) else Array.empty
+      if (keepShortWhole) f(text)
     } else {
-      val out = new Array[UTF8String](words.length - k + 1)
+      val parts = new Array[UTF8String](2 * k - 1)
+      var j = 1
+      while (j < parts.length) { parts(j) = Space; j += 2 }
       var i = 0
-      while (i < out.length) {
-        val parts = new Array[UTF8String](2 * k - 1)
-        var j = 0
-        while (j < k) {
-          parts(2 * j) = words(i + j)
-          if (j > 0) parts(2 * j - 1) = Space
-          j += 1
-        }
-        out(i) = UTF8String.concat(parts.toIndexedSeq: _*)
+      while (i <= words.length - k) {
+        j = 0
+        while (j < k) { parts(2 * j) = words(i + j); j += 1 }
+        f(UTF8String.concat(parts: _*))
         i += 1
       }
-      out
     }
+  }
+
+  /** Materialized k-gram windows — for consumers that need the array
+    * itself (the Kgrams expression's output). */
+  def kgrams(text: UTF8String, k: Int, keepShortWhole: Boolean)
+      : Array[UTF8String] = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
+    foreachKgram(text, k, keepShortWhole)(buf += _)
+    buf.toArray
   }
 }
 
@@ -119,15 +127,17 @@ case class MinhashSigs(child: Expression, k: Int, numHashes: Int)
 
   /** public: called from generated code. */
   def sigs(text: UTF8String): ArrayData = {
-    val shingles = Shingle.kgrams(text, k, keepShortWhole = true)
     val md = digests.get()
     val mins = new Array[String](numHashes)
-    var m = 0
-    while (m < numMd5) {
-      var s = 0
-      while (s < shingles.length) {
+    // shingle-outer loop streams one window at a time (Shingle.foreachKgram
+    // never materializes the window set); the min commutes, so the
+    // (shingle, salt) iteration order is irrelevant to the result
+    Shingle.foreachKgram(text, k, keepShortWhole = true) { shingle =>
+      val bytes = shingle.getBytes
+      var m = 0
+      while (m < numMd5) {
         md.reset()
-        md.update(shingles(s).getBytes)
+        md.update(bytes)
         md.update(salts(m))
         val h = hex(md.digest())
         var c = 0
@@ -137,9 +147,8 @@ case class MinhashSigs(child: Expression, k: Int, numHashes: Int)
           if (mins(j) == null || member.compareTo(mins(j)) < 0) mins(j) = member
           c += 1
         }
-        s += 1
+        m += 1
       }
-      m += 1
     }
     new GenericArrayData(mins.map(UTF8String.fromString(_): Any))
   }
@@ -492,12 +501,10 @@ case class FastMinhashSigs(child: Expression, k: Int, numHashes: Int)
   /** public: called from generated code. */
   def sigs(text: UTF8String): ArrayData = {
     import org.apache.spark.sql.catalyst.expressions.XXH64
-    val shingles = Shingle.kgrams(text, k, keepShortWhole = true)
     val mins = new Array[Long](numHashes)
     java.util.Arrays.fill(mins, Long.MaxValue)
-    var s = 0
-    while (s < shingles.length) {
-      val base = XXH64.hashUTF8String(shingles(s), 42L)
+    Shingle.foreachKgram(text, k, keepShortWhole = true) { shingle =>
+      val base = XXH64.hashUTF8String(shingle, 42L)
       val rehashSeed = XXH64.hashLong(base, 42L)
       var j = 0
       while (j < numHashes) {
@@ -505,7 +512,6 @@ case class FastMinhashSigs(child: Expression, k: Int, numHashes: Int)
         if (h < mins(j)) mins(j) = h
         j += 1
       }
-      s += 1
     }
     new GenericArrayData(mins)
   }

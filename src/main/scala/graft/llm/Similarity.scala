@@ -41,6 +41,23 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** [[cosine]], NULL when either vector has zero norm — the DEDUP
+    * rescore semantics: an all-zero embedding (bad upstream
+    * featurization) is no one's duplicate. Plain `cosine` would make the
+    * 0/0 division THROW under ANSI and kill the corpus-scale job; worse,
+    * a NaN that leaked into `>= threshold` would compare TRUE under
+    * Spark's NaN-is-largest ordering and silently flag every cellmate as
+    * a dup. NULL comparisons drop the pair instead, which is also what
+    * DuckDB's NULL-on-zero-division replays. The ANN scoring paths keep
+    * strict [[cosine]]: there a zero vector fails loudly rather than
+    * silently ranking. */
+  def cosineOrNull(a: Column, b: Column): Column = {
+    val na = dot(a, a)
+    val nb = dot(b, b)
+    when(na === 0 || nb === 0, lit(null).cast("double"))
+      .otherwise(dot(a, b) / (sqrt(na) * sqrt(nb)))
+  }
+
   /** Brute-force cosine top-k: for each query vector (by vec_id), the k
     * nearest other vectors. Rank on the rounded score with vec_id
     * tie-break (deterministic across engines). */
@@ -473,7 +490,7 @@ object Similarity {
       col("embedding").as("emb_r"))
     pairs.join(el, Seq("left_id")).join(er, Seq("right_id"))
       .select(col("left_id"), col("right_id"),
-        normZero(round(cosine(col("emb_l"), col("emb_r")), 6)).as("cos_sim"))
+        normZero(round(cosineOrNull(col("emb_l"), col("emb_r")), 6)).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
 
@@ -515,7 +532,7 @@ object Similarity {
       col("embedding").as("emb_b"))
     pairs.join(ea, Seq("vec_a")).join(eb, Seq("vec_b"))
       .select(col("vec_a"), col("vec_b"),
-        normZero(round(cosine(col("emb_a"), col("emb_b")), 6)).as("cos_sim"))
+        normZero(round(cosineOrNull(col("emb_a"), col("emb_b")), 6)).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
 
@@ -604,7 +621,7 @@ object Similarity {
       col("embedding").as("emb_b"))
     val dup = a.join(b, Seq("cell"))
       .filter(col("id_a") < col("id_b"))
-      .filter(round(cosine(col("emb_a"), col("emb_b")), 6) >= threshold)
+      .filter(round(cosineOrNull(col("emb_a"), col("emb_b")), 6) >= threshold)
       .select(col("id_b").as("vec_id")).distinct()
       .withColumn("is_semdup", lit(true))
     assigned.select(col("vec_id"), col("cell"))

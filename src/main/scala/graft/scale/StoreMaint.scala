@@ -58,9 +58,14 @@ object StoreMaint {
       fs.rename(old, dst) // restore the original store
       throw new java.io.IOException(s"cannot swap $tmp into $dst")
     }
-    // keep the backup until the live path is verified readable
+    // keep the backup until the live path is verified readable; reclaim
+    // via rename-then-delete so a crash mid-delete can never leave a
+    // half-deleted directory under a *_old* name that recover() would
+    // consider (the _reclaim name is invisible to recovery)
     spark.read.parquet(path).count()
-    fs.delete(old, true)
+    val reclaim = new Path(path + "_reclaim")
+    if (fs.rename(old, reclaim)) fs.delete(reclaim, true)
+    else fs.delete(old, true)
     kept
   }
 
@@ -75,8 +80,13 @@ object StoreMaint {
     * precisely when a stale `_old` from an even earlier crash still
     * exists, so preferring the canonical name — or sorting the nanoTime
     * suffixes, whose origin is arbitrary per JVM — could silently restore
-    * the older version. Deletes nothing (leftover `_compacting` / stale
-    * backups stay for operator reclaim, matching rule 2). */
+    * the older version. Modification-time TIES (coarse-granularity or
+    * object-store directory mtimes) break toward the fresh-named park,
+    * then the lexicographically-last name — deterministic, and a
+    * fresh-named park only ever exists because a canonical `_old` was
+    * already there FIRST, so on a tie the park is the later copy.
+    * Deletes nothing (leftover `_compacting` / stale backups stay for
+    * operator reclaim, matching rule 2). */
   def recover(spark: SparkSession, path: String): Boolean = {
     import org.apache.hadoop.fs.Path
     val conf = spark.sparkContext.hadoopConfiguration
@@ -93,7 +103,9 @@ object StoreMaint {
       else Seq.empty
     if (backups.isEmpty) throw new java.io.IOException(
       s"no live store at $path and no backup to recover from")
-    val newest = backups.maxBy(_.getModificationTime).getPath
+    val newest = backups.maxBy(st => (st.getModificationTime,
+      st.getPath.getName.length, st.getPath.getName))(
+      Ordering.Tuple3(Ordering.Long, Ordering.Int, Ordering.String)).getPath
     if (!fs.rename(newest, dst))
       throw new java.io.IOException(s"cannot recover $newest to $dst")
     spark.read.parquet(path).count() // verify before declaring success

@@ -89,6 +89,31 @@ class LlmSpec extends AnyFunSuite {
     assert(capped.exists(r => r.getBoolean(3)), "oversized cells audited")
   }
 
+  test("an all-zero embedding survives dedup and is no one's duplicate") {
+    val s = spark
+    // bad upstream featurization happens at corpus scale: the zero
+    // vector's cosine is 0/0 against everything — plain ANSI division
+    // would kill the job, and a leaked NaN would compare >= threshold
+    // TRUE (Spark NaN-is-largest) and silently flag every cellmate.
+    // cosineOrNull drops those pairs instead.
+    val seeds = (1 to 8).map(_ * 5L)
+    val e = s.table("embeddings").select("vec_id", "embedding")
+      .filter(col("vec_id") < 100)
+    val zero = e.limit(1).select(lit(9999L).as("vec_id"),
+      expr("transform(embedding, x -> CAST(0.0 AS FLOAT))").as("embedding"))
+    val out = Similarity.semanticDedup(e.unionAll(zero), seeds,
+      threshold = 0.95).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out.contains(9999L), "the zero vector stays in the corpus")
+    assert(!out(9999L), "the zero vector is not flagged")
+    assert(out.count(_._2) == 0,
+      "the zero vector must not flag any cellmate as its dup")
+    // and the pairwise near-dup rescore path survives it too
+    val pairs = Similarity.cosineNearDup(
+      e.unionAll(zero), threshold = 0.9, planes = 24, bands = 3).collect()
+    assert(!pairs.exists(r => r.getLong(0) == 9999L || r.getLong(1) == 9999L))
+  }
+
   test("cross-corpus cosine pairs find planted benchmark leakage exactly") {
     val s = spark
     val e = s.table("embeddings").select("vec_id", "embedding")
