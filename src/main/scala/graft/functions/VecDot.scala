@@ -23,6 +23,14 @@ import org.apache.spark.sql.types._
   * left-to-right double accumulation (x_i·y_i added in index order), NULL
   * if the arrays differ in length or any element is NULL — the same result
   * `zip_with`'s null-padding would produce.
+  *
+  * Cross-engine conventions for CONSUMERS of this fold: round derived
+  * scores to 6 dp and normalize IEEE negative zero before hashing
+  * ([[CrossEngine.normZero]] — Spark's BigDecimal round and DuckDB's
+  * libm round disagree at -0.0), and use rounded comparisons so a
+  * last-ulp libm difference can never flip an ordering. The
+  * `q_crossengine_zero` catalog entry re-proves the convention against
+  * DuckDB every round.
   */
 case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
 
