@@ -74,11 +74,8 @@ object ComputeRegistry {
     * (measured: fixed k=16 on 80k vectors cost 32.7s vs 7.8s auto-k,
     * BASELINE.md scale findings). Bounded driver collect: k longs, the
     * same index-metadata envelope as IVF centroids / PQ codebooks. */
-  private[runtime] def semanticSeeds(embs: DataFrame): Seq[Long] = {
-    val k = graft.llm.Similarity.autoCellCount(embs.count())
-    embs.select("vec_id").orderBy("vec_id").limit(k)
-      .collect().map(_.getLong(0)).toSeq
-  }
+  private[runtime] def semanticSeeds(embs: DataFrame): Seq[Long] =
+    graft.llm.Similarity.autoCellSeeds(embs)
 
   private val tableBuiltins: Map[String, TableKernel] = Map(
     // banded MinHash candidates -> alternating-star connected components

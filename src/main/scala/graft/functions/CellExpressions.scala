@@ -95,6 +95,11 @@ case class NearestCells(
     extends UnaryExpression with CellCodebookExpression {
 
   require(centers.nonEmpty, "centers must be non-empty")
+  // a ragged center table would otherwise surface as an executor-side
+  // ArrayIndexOutOfBounds deep in the dot loop — fail at plan construction
+  require(centers.forall(_.length == centers.head.length),
+    s"centers must be rectangular; got lengths " +
+      s"${centers.map(_.length).distinct.sorted.mkString(", ")}")
   require(nProbe > 0, "nProbe must be positive")
 
   override def prettyName: String = "nearest_cells"
@@ -175,6 +180,9 @@ case class MaxCosineCell(child: Expression, centers: Seq[Seq[Double]])
     extends UnaryExpression with CellCodebookExpression {
 
   require(centers.nonEmpty, "centers must be non-empty")
+  require(centers.forall(_.length == centers.head.length),
+    s"centers must be rectangular; got lengths " +
+      s"${centers.map(_.length).distinct.sorted.mkString(", ")}")
 
   override def prettyName: String = "max_cosine_cell"
   override def dataType: DataType = IntegerType
@@ -240,6 +248,10 @@ case class PqEncode(child: Expression, codebook: Seq[Seq[Seq[Double]]])
 
   require(codebook.nonEmpty && codebook.head.nonEmpty &&
     codebook.head.head.nonEmpty, "codebook must be m × ksub × dsub")
+  require(codebook.forall(_.length == codebook.head.length) &&
+    codebook.forall(_.forall(_.length == codebook.head.head.length)),
+    "codebook must be rectangular m × ksub × dsub; got ragged " +
+      "subspace/codeword lengths")
 
   override def prettyName: String = "pq_encode"
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
@@ -319,6 +331,10 @@ case class PqAdc(
 
   require(codebook.nonEmpty && codebook.head.nonEmpty &&
     codebook.head.head.nonEmpty, "codebook must be m × ksub × dsub")
+  require(codebook.forall(_.length == codebook.head.length) &&
+    codebook.forall(_.forall(_.length == codebook.head.head.length)),
+    "codebook must be rectangular m × ksub × dsub; got ragged " +
+      "subspace/codeword lengths")
 
   override def prettyName: String = "pq_adc"
   override def dataType: DataType = DoubleType

@@ -24,8 +24,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * LONG — [[graft.llm.Similarity.int8Dot]]'s
   * `aggregate(zip_with(a, b, (x, y) -> x * y), 0L, +)`: NULL if the
   * lengths differ (zip_with's null padding nulls the sum) or any element
-  * is NULL. Products are computed in int (|x| ≤ 127² never overflows),
-  * accumulated in long. */
+  * is NULL. Each product is widened to long BEFORE multiplying: the
+  * type check admits any array<int>, and for inputs outside the int8
+  * range the int·int product would silently wrap where the ANSI
+  * zip_with form raises — widening gives the mathematically exact
+  * result instead of either failure (the long sum cannot overflow
+  * below ~2³¹ full-range int products). Identical to the HOF form on
+  * every input the HOF form accepts. */
 case class IntVecDot(left: Expression, right: Expression)
     extends BinaryExpression {
 
@@ -50,7 +55,7 @@ case class IntVecDot(left: Expression, right: Expression)
     var i = 0
     while (i < n) {
       if (x.isNullAt(i) || y.isNullAt(i)) return null
-      acc += (x.getInt(i) * y.getInt(i)).toLong
+      acc += x.getInt(i).toLong * y.getInt(i)
       i += 1
     }
     java.lang.Long.valueOf(acc)

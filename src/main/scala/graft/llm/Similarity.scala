@@ -50,12 +50,22 @@ object Similarity {
     * a dup. NULL comparisons drop the pair instead, which is also what
     * DuckDB's NULL-on-zero-division replays. The ANN scoring paths keep
     * strict [[cosine]]: there a zero vector fails loudly rather than
-    * silently ranking. */
+    * silently ranking.
+    *
+    * Non-finite inputs get the same NULL treatment: an embedding
+    * carrying NaN/Infinity yields a NaN similarity, and `NaN >=
+    * threshold` is TRUE under Spark's NaN-is-largest ordering — the
+    * identical flag-every-cellmate failure mode as the zero-norm case,
+    * one step later. `nanvl` nulls those with ONE evaluation of the
+    * division (no duplicated dot products for subexpression elimination
+    * to rescue), and the guard tests the multiplied DENOMINATOR rather
+    * than the two norms so a denormal-underflow 0 (the only route to a
+    * ±Infinity ratio — Cauchy–Schwarz caps |dot| ≤ |a|·|b| otherwise)
+    * is caught by the same branch as a true zero norm. */
   def cosineOrNull(a: Column, b: Column): Column = {
-    val na = dot(a, a)
-    val nb = dot(b, b)
-    when(na === 0 || nb === 0, lit(null).cast("double"))
-      .otherwise(dot(a, b) / (sqrt(na) * sqrt(nb)))
+    val den = sqrt(dot(a, a)) * sqrt(dot(b, b))
+    when(den === 0, lit(null).cast("double"))
+      .otherwise(nanvl(dot(a, b) / den, lit(null).cast("double")))
   }
 
   /** Brute-force cosine top-k: for each query vector (by vec_id), the k
@@ -582,6 +592,20 @@ object Similarity {
     require(targetOccupancy > 0, "targetOccupancy must be positive")
     math.max(1, math.ceil(
       math.max(n, 1L).toDouble / targetOccupancy).toInt)
+  }
+
+  /** Production seed policy for [[semanticDedup]] (the path the
+    * `semantic_dedup` DSL kernel takes): the [[autoCellCount]] smallest
+    * `vec_id`s of the corpus itself. Deterministic given the corpus — k
+    * is a pure function of n and the seeds are an ORDER BY / LIMIT — so
+    * the whole auto-k pipeline replays in a static DuckDB oracle
+    * (`q_dedup_semantic_auto`). Bounded driver collect: k longs, the
+    * same index-metadata envelope as IVF centroids / PQ codebooks. */
+  def autoCellSeeds(
+      embeddings: DataFrame, targetOccupancy: Int = 256): Seq[Long] = {
+    val k = autoCellCount(embeddings.count(), targetOccupancy)
+    embeddings.select(col("vec_id")).orderBy(col("vec_id")).limit(k)
+      .collect().map(_.getLong(0)).toSeq
   }
 
   def semanticDedup(

@@ -329,6 +329,24 @@ object LlmQueries {
         threshold = 0.95)
     },
 
+    // the PRODUCTION configuration of semantic dedup: cell count grows
+    // with the corpus (autoCellSeeds — occupancy pinned, within-cell pair
+    // work ~linear), the exact path the `semantic_dedup` DSL kernel takes
+    // via ComputeRegistry.semanticSeeds. k and the seed set are pure
+    // functions of the corpus, so the auto-k pipeline replays end to end
+    // in the static DuckDB oracle — unlike q_dedup_semantic's fixed k=16,
+    // which deliberately pins the quadratic regime for contrast.
+    "q_dedup_semantic_auto" -> { (s, dir) =>
+      val e = embs(s, dir).select("vec_id", "embedding")
+      val scaled = e.select(
+        (col("vec_id") + 100000L).as("vec_id"),
+        expr("transform(embedding, x -> CAST(x * CAST(2.0 AS FLOAT) AS FLOAT))")
+          .as("embedding"))
+      val corpus = e.unionAll(scaled)
+      Similarity.semanticDedup(corpus, Similarity.autoCellSeeds(corpus),
+        threshold = 0.95)
+    },
+
     // embedding-space decontamination: benchmark = every 10th embedding;
     // train = the rest plus positively-scaled copies of the benchmark
     // (sign-identical, so LSH recall is 1 on the planted leakage). Each
@@ -600,6 +618,43 @@ object LlmQueries {
          |  false AS cell_oversized
          |FROM asg g LEFT JOIN dup d ON d.vec_id = g.vec_id""".stripMargin
     },
+
+    // auto-k twin: k = ceil(n / 256) (Similarity.autoCellCount's
+    // occupancy-256 policy) and seeds = the k smallest corpus vec_ids
+    // (Similarity.autoCellSeeds) — both pure functions of the corpus, so
+    // the production configuration replays with no baked constants
+    "q_dedup_semantic_auto" ->
+      s"""WITH u AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 100000 AS vec_id,
+         |    list_transform(embedding,
+         |      x -> CAST(x * CAST(2.0 AS FLOAT) AS FLOAT)) AS embedding
+         |  FROM embeddings),
+         |c AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS list,
+         |    embedding AS cemb
+         |  FROM u
+         |  QUALIFY row_number() OVER (ORDER BY vec_id)
+         |    <= (SELECT CAST(ceil(count(*) / 256.0) AS BIGINT) FROM u)),
+         |sim AS (
+         |  SELECT u.vec_id, u.embedding, c.list,
+         |    ${cosSql("u.embedding", "c.cemb")} AS cs
+         |  FROM u CROSS JOIN c),
+         |asg AS (
+         |  SELECT vec_id, embedding, CAST(list AS INT) AS cell FROM (
+         |    SELECT vec_id, embedding, list,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, list)
+         |        AS rn
+         |    FROM sim) WHERE rn = 1),
+         |dup AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.95)
+         |SELECT g.vec_id, g.cell,
+         |  d.vec_id IS NOT NULL AS is_semdup,
+         |  false AS cell_oversized
+         |FROM asg g LEFT JOIN dup d ON d.vec_id = g.vec_id""".stripMargin,
 
     // algorithm-independent oracle, same convention as q_dedup_embcos:
     // the all-pairs cross cosine — valid because planted (scaled) leakage
@@ -929,6 +984,7 @@ object LlmQueries {
     "q_dedup_ngram_jaccard" -> Seq("doc_a"),
     "q_dedup_embcos" -> Seq("vec_a", "vec_b"),
     "q_dedup_semantic" -> Seq("vec_id"),
+    "q_dedup_semantic_auto" -> Seq("vec_id"),
     "q_decontaminate_emb" -> Seq("left_id", "right_id"),
     "q_corpus_filter" -> Seq("doc_id"),
     "q_text_stats" -> Seq("doc_id"),

@@ -48,10 +48,17 @@ object StoreMaint {
     val dst = new Path(path)
     // never pre-delete an existing backup: it may be the only copy left
     // by a crashed previous swap — park this swap's backup under a fresh
-    // name and leave the old one for operator reclaim
+    // name and leave the old one for operator reclaim. The fresh name
+    // embeds a wall-clock epoch so recover() can order parks WITHOUT
+    // trusting directory mtimes (object stores report 0/fake dir mtimes
+    // and rename can reset them); bump on collision so two swaps in the
+    // same millisecond stay distinct and ordered
     val oldBase = new Path(path + "_old")
-    val old = if (fs.exists(oldBase))
-      new Path(path + "_old_" + System.nanoTime()) else oldBase
+    val old = if (fs.exists(oldBase)) {
+      var epoch = System.currentTimeMillis()
+      while (fs.exists(new Path(path + "_old_" + epoch))) epoch += 1
+      new Path(path + "_old_" + epoch)
+    } else oldBase
     if (!fs.rename(dst, old))
       throw new java.io.IOException(s"cannot move $dst aside to $old")
     if (!fs.rename(new Path(tmp), dst)) {
@@ -75,18 +82,17 @@ object StoreMaint {
     * happened; a healthy live store is left untouched (false).
     *
     * Among multiple surviving backups (`_old` plus fresh-named
-    * `_old_<nanos>` parks), the NEWEST by filesystem modification time
-    * wins: a crashed swap parks the CURRENT store under a fresh name
-    * precisely when a stale `_old` from an even earlier crash still
-    * exists, so preferring the canonical name — or sorting the nanoTime
-    * suffixes, whose origin is arbitrary per JVM — could silently restore
-    * the older version. Modification-time TIES (coarse-granularity or
-    * object-store directory mtimes) break toward the fresh-named park,
-    * then the lexicographically-last name — deterministic, and a
-    * fresh-named park only ever exists because a canonical `_old` was
-    * already there FIRST, so on a tie the park is the later copy.
-    * Deletes nothing (leftover `_compacting` / stale backups stay for
-    * operator reclaim, matching rule 2). */
+    * `_old_<epochMillis>` parks), the newest wins, ordered by the epoch
+    * PARSED FROM THE NAME first — the name travels with the directory
+    * through renames, unlike modification time, which object stores
+    * (S3A) report as 0/fake for directories and rename can reset. The
+    * canonical `_old` orders as epoch 0: a fresh-named park is created
+    * precisely because `_old` already existed FIRST, so any parsed
+    * epoch beats it. Modification time, then name-length, then name
+    * break remaining ties (non-numeric legacy suffixes parse as 0 and
+    * fall back to the same mtime rule as before). Deletes nothing
+    * (leftover `_compacting` / stale backups stay for operator reclaim,
+    * matching rule 2). */
   def recover(spark: SparkSession, path: String): Boolean = {
     import org.apache.hadoop.fs.Path
     val conf = spark.sparkContext.hadoopConfiguration
@@ -103,9 +109,15 @@ object StoreMaint {
       else Seq.empty
     if (backups.isEmpty) throw new java.io.IOException(
       s"no live store at $path and no backup to recover from")
-    val newest = backups.maxBy(st => (st.getModificationTime,
-      st.getPath.getName.length, st.getPath.getName))(
-      Ordering.Tuple3(Ordering.Long, Ordering.Int, Ordering.String)).getPath
+    val oldPrefix = dst.getName + "_old_"
+    def parkEpoch(n: String): Long =
+      if (n.startsWith(oldPrefix))
+        n.substring(oldPrefix.length).toLongOption.getOrElse(0L)
+      else 0L
+    val newest = backups.maxBy(st => (parkEpoch(st.getPath.getName),
+      st.getModificationTime, st.getPath.getName.length,
+      st.getPath.getName))(Ordering.Tuple4(
+      Ordering.Long, Ordering.Long, Ordering.Int, Ordering.String)).getPath
     if (!fs.rename(newest, dst))
       throw new java.io.IOException(s"cannot recover $newest to $dst")
     spark.read.parquet(path).count() // verify before declaring success

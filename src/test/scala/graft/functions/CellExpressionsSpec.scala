@@ -173,4 +173,28 @@ class CellExpressionsSpec extends AnyFunSuite {
       .collect()
     assert(adc(0).isNullAt(0))
   }
+
+  test("ragged centers/codebooks fail at construction, not in the executor") {
+    val ragged = Array(Array(1.0, 0.0), Array(0.0))
+    for (mk <- Seq[Array[Array[Double]] => Any](
+        c => CellExpressions.nearestCells(col("emb"), c, 1),
+        c => CellExpressions.maxCosineCell(col("emb"), c))) {
+      val e = intercept[IllegalArgumentException](mk(ragged))
+      assert(e.getMessage.contains("rectangular"), e.getMessage)
+    }
+    // ragged ksub (subspace 1 has one codeword fewer)
+    val raggedK = Array(
+      Array(Array(1.0, 0.0), Array(0.0, 1.0)),
+      Array(Array(1.0, 0.0)))
+    // ragged dsub (one codeword is short)
+    val raggedD = Array(Array(Array(1.0, 0.0), Array(0.0)))
+    for (cb2 <- Seq(raggedK, raggedD)) {
+      val e1 = intercept[IllegalArgumentException](
+        CellExpressions.pqEncode(col("emb"), cb2))
+      assert(e1.getMessage.contains("rectangular"), e1.getMessage)
+      val e2 = intercept[IllegalArgumentException](
+        CellExpressions.pqAdc(col("q"), col("codes"), cb2))
+      assert(e2.getMessage.contains("rectangular"), e2.getMessage)
+    }
+  }
 }

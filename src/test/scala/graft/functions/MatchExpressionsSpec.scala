@@ -53,6 +53,23 @@ class MatchExpressionsSpec extends AnyFunSuite {
     assert(got(1).isNullAt(0) && got(2).isNullAt(0))
   }
 
+  test("IntVecDot widens before multiplying — no silent 32-bit wrap") {
+    val s = spark
+    import s.implicits._
+    // 100000² = 10¹⁰ overflows int (the HOF form raises under ANSI);
+    // the native form must return the exact long product, never the
+    // wrapped 1410065408
+    val rows = Seq((Seq(100000, 100000), Seq(100000, -100000)))
+      .toDF("a", "b")
+    val got = rows.select(
+      MatchExpressions.intVecDot(col("a"), col("b"))).collect()
+    assert(got(0).getLong(0) == 0L) // 10¹⁰ + (−10¹⁰), exact in long
+    val rows2 = Seq((Seq(Int.MaxValue), Seq(2))).toDF("a", "b")
+    val got2 = rows2.select(
+      MatchExpressions.intVecDot(col("a"), col("b"))).collect()
+    assert(got2(0).getLong(0) == 2L * Int.MaxValue)
+  }
+
   test("ArrayEqCount matches size(filter(zip_with)) on minhash signatures") {
     val s = spark
     val sigs = graft.llm.Dedup.minhashSignatures(

@@ -114,6 +114,25 @@ class LlmSpec extends AnyFunSuite {
     assert(!pairs.exists(r => r.getLong(0) == 9999L || r.getLong(1) == 9999L))
   }
 
+  test("a NaN-carrying embedding is no one's duplicate either") {
+    val s = spark
+    // the non-finite twin of the zero-vector hazard: a NaN element makes
+    // every cosine NaN, which compares >= threshold TRUE under Spark's
+    // NaN-is-largest ordering — cosineOrNull must null it out the same
+    // way it nulls zero norms, or one corrupt row flags its whole cell
+    val seeds = (1 to 8).map(_ * 5L)
+    val e = s.table("embeddings").select("vec_id", "embedding")
+      .filter(col("vec_id") < 100)
+    val nan = e.limit(1).select(lit(9999L).as("vec_id"),
+      expr("transform(embedding, x -> CAST('NaN' AS FLOAT))").as("embedding"))
+    val out = Similarity.semanticDedup(e.unionAll(nan), seeds,
+      threshold = 0.95).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out.contains(9999L), "the NaN vector stays in the corpus")
+    assert(out.count(_._2) == 0,
+      "the NaN vector must not flag itself or any cellmate as a dup")
+  }
+
   test("cross-corpus cosine pairs find planted benchmark leakage exactly") {
     val s = spark
     val e = s.table("embeddings").select("vec_id", "embedding")

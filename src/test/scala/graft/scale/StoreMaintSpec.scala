@@ -97,6 +97,26 @@ class StoreMaintSpec extends AnyFunSuite {
       "the stale backup is left for operator reclaim, never deleted")
   }
 
+  test("recover orders parks by name-embedded epoch, not filesystem mtime") {
+    val s = spark
+    import s.implicits._
+    val (_, path) = freshStore(10)
+    // an older park from two crashes ago (8 rows, epoch 1000)...
+    Seq.tabulate(8)(i => (i.toLong, "stale")).toDF("id", "v")
+      .write.parquet(path + "_old_1000")
+    // ...and the newest park (the 10-row store, epoch 2000), crash window
+    assert(new java.io.File(path)
+      .renameTo(new java.io.File(path + "_old_2000")))
+    // LIE with the mtimes (object stores report 0/fake dir mtimes and
+    // rename can reset them): the newest park gets the OLDER mtime
+    assert(new java.io.File(path + "_old_2000").setLastModified(1000000000000L))
+    assert(new java.io.File(path + "_old_1000").setLastModified(2000000000000L))
+
+    assert(StoreMaint.recover(s, path))
+    assert(s.read.parquet(path).count() == 10,
+      "the park with the larger name epoch must win even when mtime lies")
+  }
+
   test("recover with neither live store nor backup fails loudly") {
     val dir = Files.createTempDirectory("graft-storemaint").toString
     val e = intercept[java.io.IOException] {
