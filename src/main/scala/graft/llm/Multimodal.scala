@@ -31,21 +31,13 @@ object Multimodal {
           encode(col("text"), "UTF-8").as("payload")).as("media"),
         col("embedding"))
 
-  private val featureSchema = StructType(Seq(
-    StructField("doc_id", LongType),
-    StructField("byte_len", IntegerType),
-    StructField("first_byte", IntegerType),
-    StructField("n_frames", IntegerType),
-    StructField("features", ArrayType(FloatType))))
+  /** NULL payloads (NULL-text docs) coalesce to empty bytes — the same
+    * first-class treatment Dedup gives them, applied before the native
+    * expressions (which are null-intolerant like every other graft
+    * expression). */
+  private def payloadOrEmpty: org.apache.spark.sql.Column =
+    coalesce(col("media.payload"), lit(Array.emptyByteArray))
 
-  /** Partition-wise "decode + featurize" pass over the binary payload.
-    *
-    * STUB: a real deployment decodes the payload with a codec (image
-    * resize, audio frame sampling) inside this partition loop — the batch
-    * shape, schema, and partitioning are exactly what that code would use.
-    * Here the extracted features are deterministic functions of the bytes
-    * so tests and the oracle can pin the plumbing.
-    */
   private val resizeSchema = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("src_bytes", IntegerType),
@@ -139,33 +131,30 @@ object Multimodal {
     } else None
   }
 
-  private val headerSchema = StructType(Seq(
-    StructField("doc_id", LongType),
-    StructField("byte_len", IntegerType),
-    StructField("format", StringType),
-    StructField("width", IntegerType),
-    StructField("height", IntegerType)))
-
-  /** Partition-wise image-header extraction — the one multimodal stage
-    * with REAL structure parsing ([[imageDims]]): image payloads yield
+  /** Image-header extraction — the one multimodal stage with REAL
+    * structure parsing ([[imageDims]], via the native
+    * [[graft.functions.ImageHeader]] expression): image payloads yield
     * their format and pixel dimensions, non-image payloads keep their row
     * with NULL format/dims (a mixed-modality corpus must not silently
-    * drop its text docs). Same batch shape as the codec stubs. */
+    * drop its text docs). A whole-stage-fused projection since round 10 —
+    * no partition loop. */
   def imageHeaders(joinedDf: DataFrame): DataFrame =
-    payloadPass(joinedDf, headerSchema) { (id, bytes) =>
-      imageDims(bytes) match {
-        case Some((f, w, h)) => Iterator.single(Row(id, bytes.length, f, w, h))
-        case None => Iterator.single(Row(id, bytes.length, null, null, null))
-      }
-    }
+    joinedDf.select(col("doc_id"),
+      octet_length(payloadOrEmpty).as("byte_len"),
+      graft.functions.MediaExpressions.imageHeader(payloadOrEmpty).as("_h"))
+      .select(col("doc_id"), col("byte_len"), col("_h.format"),
+        col("_h.width"), col("_h.height"))
 
+  /** "Decode + featurize" over the binary payload as one native struct
+    * projection ([[graft.functions.MediaFeatures]]) — STUB decode
+    * semantics unchanged (deterministic byte math the oracle pins); a
+    * real deployment swaps the stub arithmetic inside the expression for
+    * codec calls. Replaced the catalog's last `mapPartitions` hot path
+    * in round 10: the stage now whole-stage-fuses with the join above
+    * it. */
   def extractFeaturesStub(joinedDf: DataFrame): DataFrame =
-    payloadPass(joinedDf, featureSchema) { (id, bytes) =>
-      // ---- STUB decode: replace with codec calls in production ----
-      val firstByte = if (bytes.nonEmpty) bytes(0) & 0xff else 0
-      val nFrames = bytes.length / 64 // fake 64-byte "frames"
-      val feats = Array.tabulate(4)(i =>
-        if (bytes.length > i) (bytes(i) & 0xff).toFloat / 255f else 0f)
-      Iterator.single(Row(id, bytes.length, firstByte, nFrames, feats))
-    }
+    joinedDf.select(col("doc_id"),
+      graft.functions.MediaExpressions.mediaFeatures(payloadOrEmpty).as("_f"))
+      .select(col("doc_id"), col("_f.byte_len"), col("_f.first_byte"),
+        col("_f.n_frames"), col("_f.features"))
 }

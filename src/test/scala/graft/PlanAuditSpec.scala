@@ -277,6 +277,28 @@ class PlanAuditSpec extends AnyFunSuite {
       s"per-doc repetition metrics must not shuffle:\n$p")
   }
 
+  test("the multimodal feature/header stages are fused projections — " +
+    "no mapPartitions barrier") {
+    // round 10 moved the catalog's last imperative hot paths
+    // (extractFeaturesStub, imageHeaders) onto native expressions; a
+    // reappearing DeserializeToObject/MapPartitions pair means someone
+    // reintroduced a partition loop that blocks whole-stage fusion
+    for (name <- Seq("q_multimodal_features", "q_multimodal_headers")) {
+      val p = plan(name)
+      assert(!p.contains("MapPartitions") && !p.contains("SerializeFromObject"),
+        s"$name must stay a native-expression projection:\n$p")
+      // codegen spans only materialize on the EXECUTED plan (AQE): run
+      // the fixture-sized entry and audit the final `*(n)` markers
+      val df = SparkEntry.queries(name)(spark, SparkTestSession.fixtureDir)
+      df.collect()
+      val exec = df.queryExecution.executedPlan.toString
+      val fusedProject = exec.split("\n")
+        .exists(l => l.contains("*(") && l.contains("Project"))
+      assert(fusedProject,
+        s"$name must fuse into whole-stage codegen:\n$exec")
+    }
+  }
+
   test("q_lm_perplexity keeps the count joins as equi-joins; only the " +
     "1-row V relation may nested-loop") {
     val p = plan("q_lm_perplexity")
