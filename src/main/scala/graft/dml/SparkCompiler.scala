@@ -151,9 +151,60 @@ object TrainCompiler {
     spec.timeSeries match {
       case None =>
         src.select(featureColumns(spec) :+ src.col(spec.target): _*)
-      case Some(ts) => timeSeriesLayout(src, featureColumns(spec), spec, ts)
+      case Some(_) => timeSeriesLayout(src, featureColumns(spec), spec)
     }
   }
+
+  /** prophet's `changepoints=k` algorithm param (reference DSL.md:297-301
+    * surface; SURVEY §7.3 stand-in): k > 0 requests k piecewise-linear
+    * trend hinges. 0 is Prophet's "no changepoints" and binds to nothing;
+    * anything else non-integral raises. */
+  def changepointCount(spec: TrainSpec): Option[Int] =
+    if (!spec.algorithm.equalsIgnoreCase("prophet")) None
+    else spec.params.collectFirst { case ("changepoints", v) => v }.flatMap {
+      case Value.VInt(k) if k >= 0 => Some(k.toInt).filter(_ > 0)
+      case Value.VFloat(f) if f.isWhole && f >= 0 =>
+        Some(f.toInt).filter(_ > 0)
+      case other => throw new IllegalArgumentException(
+        s"prophet changepoints must be a non-negative integer, got $other")
+    }
+
+  /** The clause the frame builder actually derives from: the statement's
+    * WITH TIME COLUMN clause with prophet's BINDING `seasonality=[...]`
+    * param merged in as extra Fourier granularities. Granularities are
+    * deduped by Fourier period so `SEASONAL weekday` plus
+    * `seasonality=['weekly']` (the same 7-cycle) cannot produce a
+    * collinear duplicate basis. */
+  def effectiveClause(spec: TrainSpec): Option[TimeSeriesClause] =
+    spec.timeSeries.map { ts =>
+      if (!spec.algorithm.equalsIgnoreCase("prophet")) ts
+      else {
+        def period(g: String): Double =
+          runtime.TimeSeries.fourierPeriod.getOrElse(g.toLowerCase,
+            throw new IllegalArgumentException(
+              s"unsupported prophet seasonality granularity: $g"))
+        val extra = spec.params
+          .collectFirst { case ("seasonality", v) => v } match {
+          case None => Nil
+          case Some(Value.VList(xs)) => xs.map {
+            case Value.VStr(g) => g
+            case other => throw new IllegalArgumentException(
+              "prophet seasonality entries must be granularity names, " +
+                s"got $other")
+          }
+          case Some(Value.VStr(g)) => List(g)
+          case Some(other) => throw new IllegalArgumentException(
+            s"prophet seasonality must be a granularity list, got $other")
+        }
+        val merged = extra.foldLeft(
+          (ts.seasonal, ts.seasonal.map(period).toSet)) {
+          case ((acc, seen), g) =>
+            val p = period(g)
+            if (seen(p)) (acc, seen) else (acc :+ g, seen + p)
+        }._1
+        ts.copy(seasonal = merged)
+      }
+    }
 
   /** Shared time-series frame layout (used here and by the Trainer's
     * scale-stripped path — ONE implementation, so the compiled frame and
@@ -162,13 +213,14 @@ object TrainCompiler {
     * season/trend columns, reordered so clause features sit between the
     * base features and the target. */
   private[dml] def timeSeriesLayout(
-      src: DataFrame, baseCols: Seq[Column], spec: TrainSpec,
-      ts: TimeSeriesClause): DataFrame = {
+      src: DataFrame, baseCols: Seq[Column], spec: TrainSpec): DataFrame = {
+    val ts = effectiveClause(spec).get
     val baseNames = baseFeatureNames(spec)
     val extras = Seq(ts.timeColumn, spec.target).distinct
       .filterNot(baseNames.contains).map(src.col)
     runtime.TimeSeries
-      .withClauseFeatures(src.select(baseCols ++ extras: _*), ts)
+      .withClauseFeatures(src.select(baseCols ++ extras: _*), ts,
+        changepoints = changepointCount(spec))
       .select(featureNames(spec).map(col) :+ col(spec.target): _*)
   }
 
@@ -190,5 +242,6 @@ object TrainCompiler {
     * features (season_*, t_index) follow the base features. */
   def featureNames(spec: TrainSpec): Seq[String] =
     baseFeatureNames(spec) ++
-      spec.timeSeries.toSeq.flatMap(runtime.TimeSeries.clauseFeatureNames)
+      effectiveClause(spec).toSeq.flatMap(ts =>
+        runtime.TimeSeries.clauseFeatureNames(ts, changepointCount(spec)))
 }

@@ -156,8 +156,9 @@ final class StatementRunner(
           val withFeats = src.select(col("*") +: exprFeatures: _*)
           // a time-series model's pipeline expects the clause-derived
           // season_*/t_index columns
-          val derived = spec.timeSeries
-            .fold(withFeats)(ts => TimeSeries.withClauseFeatures(withFeats, ts))
+          val derived = TrainCompiler.effectiveClause(spec)
+            .fold(withFeats)(ts => TimeSeries.withClauseFeatures(withFeats,
+              ts, changepoints = TrainCompiler.changepointCount(spec)))
           val data = applyForClause(derived, raw)
           // the UNFILTERED frame is the contribution baseline — a
           // single-FOR-row batch must not be its own mean

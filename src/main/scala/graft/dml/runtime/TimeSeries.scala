@@ -110,7 +110,7 @@ object TimeSeries {
   /** The cycle length of each granularity's calendar component — the
     * Fourier period (365.25 absorbs leap years the way Prophet's yearly
     * seasonality does). */
-  private val fourierPeriod: Map[String, Double] = Map(
+  private[dml] val fourierPeriod: Map[String, Double] = Map(
     "weekday" -> 7.0, "weekly" -> 7.0, "dow" -> 7.0,
     "month" -> 12.0, "monthly" -> 12.0,
     "year" -> 365.25, "yearly" -> 365.25,
@@ -145,9 +145,42 @@ object TimeSeries {
     * broadcast-joined back, so ties share an index (deterministic, the
     * dense_rank semantics) and no row-count-sized single-partition window
     * ever exists — the same histogram trick as Sampling.percentRank. */
+  /** Changepoint j's position on the t_index axis: k hinge knots placed
+    * evenly over the first 80% of the observed timeline — Prophet's
+    * default changepoint_range=0.8 with uniformly-spaced candidate
+    * changepoints (Taylor & Letham 2017 §3.1). Deterministic in the
+    * distinct-step count, so an external oracle can replay it; the column
+    * twin below must stay formula-identical (both clamp at 0 so the
+    * S<=1 rounding edge cannot diverge between engines). */
+  private[dml] def changepointPosition(
+      distinctSteps: Long, k: Int, j: Int): Double =
+    math.max(0L,
+      math.round((math.floor(0.8 * distinctSteps) - 1) * j.toDouble / k))
+      .toDouble
+
+  /** [[changepointPosition]] as a Column over a distinct-step-count
+    * column — the forecast path's form (no driver-side collect). */
+  private[dml] def changepointPositionCol(
+      steps: Column, k: Int, j: Int): Column =
+    greatest(lit(0.0),
+      round((floor(steps * 0.8) - lit(1.0)) * j / k, 0))
+
+  /** The piecewise-linear trend basis for `changepoints=k`: hinge features
+    * max(0, t_index − s_j) whose fitted coefficients are the trend's slope
+    * deltas — exactly Prophet's changepoint parameterization (Taylor &
+    * Letham 2017 eq. 4, a(t)·δ with a(t) the hinge indicator integrated
+    * over t). Pure per-row projections off t_index: no extra shuffle. */
+  private def withChangepoints(
+      df: DataFrame, distinctSteps: Long, k: Int): DataFrame =
+    (1 to k).foldLeft(df) { (acc, j) =>
+      acc.withColumn(s"cp_$j", greatest(lit(0.0),
+        col("t_index") - lit(changepointPosition(distinctSteps, k, j))))
+    }
+
   def withClauseFeatures(
       df: DataFrame, ts: graft.dml.TimeSeriesClause,
-      maxDistinctSteps: Long = 1000000L): DataFrame = {
+      maxDistinctSteps: Long = 1000000L,
+      changepoints: Option[Int] = None): DataFrame = {
     val t = col(ts.timeColumn)
     // NULL time values carry no position on the timeline and are dropped
     // UP FRONT — otherwise the trend's inner step join would silently
@@ -160,7 +193,11 @@ object TimeSeries {
       }
     }
     ts.trend match {
-      case None => seasonal
+      case None =>
+        require(changepoints.isEmpty,
+          "prophet changepoints=k shape the linear trend: add TREND " +
+            "linear to the FEATURES clause")
+        seasonal
       case Some("linear") =>
         // the distinct-step table is materialized once and reused by the
         // count, the rank window, AND the broadcast join — the
@@ -181,17 +218,22 @@ object TimeSeries {
         val w = Window.orderBy(t)
         val ranked = steps
           .withColumn("t_index", row_number().over(w).cast("double"))
-        seasonal.join(broadcast(ranked), Seq(ts.timeColumn))
+        val trended = seasonal.join(broadcast(ranked), Seq(ts.timeColumn))
+        changepoints.fold(trended)(withChangepoints(trended, distinct, _))
       case Some(other) => throw new IllegalArgumentException(
         s"unsupported TREND type: $other (only 'linear' is implemented)")
     }
   }
 
-  /** Names the clause contributes to the training frame, in order. */
-  def clauseFeatureNames(ts: graft.dml.TimeSeriesClause): Seq[String] =
+  /** Names the clause contributes to the training frame, in order —
+    * season components, trend index, then changepoint hinges. */
+  def clauseFeatureNames(
+      ts: graft.dml.TimeSeriesClause,
+      changepoints: Option[Int] = None): Seq[String] =
     ts.seasonal.flatMap(g =>
       Seq(s"season_$g", s"season_${g}_sin", s"season_${g}_cos")) ++
-      ts.trend.map(_ => "t_index")
+      ts.trend.map(_ => "t_index") ++
+      changepoints.toSeq.flatMap(k => (1 to k).map(j => s"cp_$j"))
 
   /** Inverse normal CDF (Acklam's rational approximation, max rel error
     * ~1.15e-9) — the z for a symmetric confidence band without any stats
@@ -240,8 +282,12 @@ object TimeSeries {
       spark: org.apache.spark.sql.SparkSession,
       spec: graft.dml.TrainSpec,
       report: Trainer.TrainReport): DataFrame = {
-    val ts = spec.timeSeries.getOrElse(throw new IllegalArgumentException(
-      "forecast requires a TRAIN statement WITH TIME COLUMN"))
+    // the EFFECTIVE clause: prophet's binding seasonality=[...] param
+    // merged in, so future rows carry every Fourier column the fitted
+    // assembler expects
+    val ts = graft.dml.TrainCompiler.effectiveClause(spec)
+      .getOrElse(throw new IllegalArgumentException(
+        "forecast requires a TRAIN statement WITH TIME COLUMN"))
     require(spec.features.isEmpty,
       "FORECAST n AHEAD supports clause features only (SEASONAL/TREND); " +
         "exogenous regressors need future values supplied by the caller")
@@ -276,12 +322,24 @@ object TimeSeries {
       .crossJoin(spark.range(1, n + 1))
       .select((col("id") + col("_steps")).cast("double").as("t_index"),
         expr(s"timestampadd($unit, id, _max_t)")
-          .cast(timeType).as(ts.timeColumn))
-    val feats = ts.seasonal.foldLeft(future) { (acc, g) =>
+          .cast(timeType).as(ts.timeColumn),
+        col("_steps"))
+    val seasonalFeats = ts.seasonal.foldLeft(future) { (acc, g) =>
       seasonalColumns(col(ts.timeColumn), g).foldLeft(acc) {
         case (a, (name, c)) => a.withColumn(name, c)
       }
     }
+    // changepoint hinges continue past the training window frozen at
+    // their last observed slope: every future t_index exceeds every knot
+    // (knots live in the first 80% of history), so the hinge is linear
+    // there — exactly Prophet's default non-Bayesian extrapolation
+    val feats = graft.dml.TrainCompiler.changepointCount(spec)
+      .fold(seasonalFeats) { k =>
+        (1 to k).foldLeft(seasonalFeats) { (acc, j) =>
+          acc.withColumn(s"cp_$j", greatest(lit(0.0), col("t_index") -
+            changepointPositionCol(col("_steps"), k, j)))
+        }
+      }
     // the fitted pipeline's label-cast stage references the target column;
     // future rows have no observed target, so feed a placeholder (the
     // prediction never reads it)

@@ -136,8 +136,34 @@ object Trainer {
         (hidden, spec.params.filterNot(_._1 == "layers"))
       case _ => (None, spec.params)
     }
+    // prophet stand-in param routing (SURVEY §7.3): `seasonality` /
+    // `changepoints` / `growth` BIND in the frame builder (extra Fourier
+    // granularities / trend hinges / trend-shape validation) and are
+    // consumed here — never sent to the estimator. Misuse fails loud.
+    val consumedParams: Set[String] =
+      if (alg.name == "prophet") Set("seasonality", "changepoints", "growth")
+      else Set.empty
+    if (alg.name == "prophet") {
+      spec.params.collectFirst { case ("growth", v) => v }.foreach {
+        case Value.VStr("linear") => ()
+        case other => throw new IllegalArgumentException(
+          s"prophet stand-in supports growth='linear' only (got $other): " +
+            "logistic/flat growth needs a saturating-capacity trend the " +
+            "regression stand-in cannot express")
+      }
+      if (TrainCompiler.changepointCount(spec).isDefined &&
+          !spec.timeSeries.exists(_.trend.contains("linear")))
+        throw new IllegalArgumentException(
+          "prophet changepoints=k shape the linear trend: add WITH TIME " +
+            "COLUMN ... AND FEATURES(TREND linear) to the statement")
+      if (spec.params.exists(_._1 == "seasonality") && spec.timeSeries.isEmpty)
+        throw new IllegalArgumentException(
+          "prophet seasonality=[...] derives Fourier features from the " +
+            "time column: add WITH TIME COLUMN to the statement")
+    }
     AlgorithmRegistry.applyParams(est,
-      applicableParams.filterNot(p => alg.noopParams(p._1)))
+      applicableParams.filterNot(p =>
+        alg.noopParams(p._1) || consumedParams(p._1)))
     configure(est, alg.task, weightCol, seed)
     est match {
       case mlp: MultilayerPerceptronClassifier =>
@@ -261,8 +287,8 @@ object Trainer {
     }
     val selected = spec.timeSeries match {
       case None => src.select(baseCols :+ src.col(spec.target): _*)
-      case Some(ts) =>
-        TrainCompiler.timeSeriesLayout(src, baseCols, spec, ts)
+      case Some(_) =>
+        TrainCompiler.timeSeriesLayout(src, baseCols, spec)
     }
     val names = TrainCompiler.featureNames(spec)
     val out =

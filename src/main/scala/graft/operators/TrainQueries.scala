@@ -112,6 +112,10 @@ object TrainQueries {
     // `+ 0` normalizes IEEE -0.0 (DuckDB's libm round yields -0.0 at
     // exact cycle multiples; Spark's BigDecimal round has no -0.0 —
     // TimeSeries.normZero is the engine-side twin).
+    // prophet's seasonality=['yearly','weekly'] param BINDS (round 10):
+    // 'weekly' dedupes against the SEASONAL weekday marker (same 7-cycle),
+    // 'yearly' adds a dayofyear phase with the 365.25 leap-absorbing
+    // period — so the oracle carries the season_yearly trio too.
     "q_ts_forecast_input" ->
       """SELECT CAST(dayofweek(o_orderdate) + 1 AS DOUBLE) AS season_weekday,
         |  round(sin(CAST(dayofweek(o_orderdate) + 1 AS DOUBLE) * (2*pi()/7)), 6)
@@ -123,6 +127,11 @@ object TrainQueries {
         |    + 0 AS season_month_sin,
         |  round(cos(CAST(month(o_orderdate) AS DOUBLE) * (2*pi()/12)), 6)
         |    + 0 AS season_month_cos,
+        |  CAST(dayofyear(o_orderdate) AS DOUBLE) AS season_yearly,
+        |  round(sin(CAST(dayofyear(o_orderdate) AS DOUBLE) * (2*pi()/365.25)), 6)
+        |    + 0 AS season_yearly_sin,
+        |  round(cos(CAST(dayofyear(o_orderdate) AS DOUBLE) * (2*pi()/365.25)), 6)
+        |    + 0 AS season_yearly_cos,
         |  CAST(dense_rank() OVER (ORDER BY o_orderdate) AS DOUBLE) AS t_index,
         |  o_totalprice
         |FROM orders""".stripMargin)

@@ -58,12 +58,13 @@ class TimeSeriesDslSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("between 0 and 1"))
   }
 
-  test("prophet decomposition params are accepted, surfaced, and reported inert") {
-    // DSL.md:297-301 knobs on the lag-regression stand-in: they must
-    // PARSE (the reference's own example fits), stay visible in
-    // spec.params (not dropped on the floor), and come back from the
-    // Trainer as ignoredParams — reduced fidelity is documented, never
-    // silent.
+  test("prophet params: seasonality binds, the residual knobs stay surfaced") {
+    // DSL.md:297-301 knobs on the stand-in: the statement must PARSE (the
+    // reference's own example fits), `seasonality=[...]` now BINDS as
+    // extra Fourier granularities in the derived frame, and the genuinely
+    // inert knobs (holidays — no calendar table exists; the per-delta
+    // prior scale — no per-coefficient prior on the solver) come back as
+    // ignoredParams: reduced fidelity is documented, never silent.
     val spec = DmlParser.parse(
       "TRAIN MODEL m USING prophet(seasonality=['yearly', 'weekly'], " +
         "holidays=us_holidays, changepoint_prior_scale=0.05, max_iter=5) " +
@@ -72,10 +73,108 @@ class TimeSeriesDslSpec extends AnyFunSuite {
       .asInstanceOf[TrainSpec]
     assert(spec.params.map(_._1) ==
       List("seasonality", "holidays", "changepoint_prior_scale", "max_iter"))
+    assert(TrainCompiler.featureNames(spec) ==
+      Seq("season_yearly", "season_yearly_sin", "season_yearly_cos",
+        "season_weekly", "season_weekly_sin", "season_weekly_cos",
+        "t_index"),
+      "the seasonality param must contribute Fourier columns")
     val report = Trainer.train(spark, spec)
     assert(report.ignoredParams ==
-      Seq("seasonality", "holidays", "changepoint_prior_scale"),
+      Seq("holidays", "changepoint_prior_scale"),
       "inert stand-in knobs must be reported, binding ones must not")
+  }
+
+  test("seasonality param dedupes against SEASONAL markers by period") {
+    // SEASONAL weekday and seasonality=['weekly'] are the same 7-cycle;
+    // merging both would hand the solver a collinear duplicate basis
+    val spec = DmlParser.parse(
+      "TRAIN MODEL m USING prophet(seasonality=['weekly', 'monthly']) " +
+        "FROM orders PREDICT o_totalprice " +
+        "WITH TIME COLUMN o_orderdate AND FEATURES(SEASONAL weekday)")
+      .asInstanceOf[TrainSpec]
+    assert(TrainCompiler.effectiveClause(spec).get.seasonal ==
+      List("weekday", "monthly"))
+  }
+
+  test("prophet growth validates: linear is the stand-in, others refuse") {
+    val ok = DmlParser.parse(
+      "TRAIN MODEL m USING prophet(growth=linear) FROM orders " +
+        "PREDICT o_totalprice WITH TIME COLUMN o_orderdate " +
+        "AND FEATURES(TREND linear)").asInstanceOf[TrainSpec]
+    assert(Trainer.train(spark, ok).metrics.contains("rmse"))
+    val bad = DmlParser.parse(
+      "TRAIN MODEL m USING prophet(growth=logistic) FROM orders " +
+        "PREDICT o_totalprice WITH TIME COLUMN o_orderdate " +
+        "AND FEATURES(TREND linear)").asInstanceOf[TrainSpec]
+    val e = intercept[IllegalArgumentException](Trainer.train(spark, bad))
+    assert(e.getMessage.contains("growth='linear' only"))
+  }
+
+  test("changepoints=k requires a linear trend to shape") {
+    val spec = DmlParser.parse(
+      "TRAIN MODEL m USING prophet(changepoints=3) FROM orders " +
+        "PREDICT o_totalprice WITH TIME COLUMN o_orderdate " +
+        "AND FEATURES(SEASONAL weekday)").asInstanceOf[TrainSpec]
+    val e = intercept[IllegalArgumentException](Trainer.train(spark, spec))
+    assert(e.getMessage.contains("TREND linear"))
+  }
+
+  test("changepoint hinges let the stand-in fit a piecewise trend") {
+    val s = spark
+    import s.implicits._
+    // noise-free tent series: slope +0.5 for 60 days, then -1.0 — a
+    // single line cannot fit it, five hinge deltas nearly can
+    (0 until 100).map { i =>
+      val day = java.time.LocalDate.of(2024, 1, 1).plusDays(i.toLong)
+      val y = if (i < 60) 10.0 + 0.5 * i else 10.0 + 0.5 * 60 - 1.0 * (i - 60)
+      (java.sql.Timestamp.valueOf(day.atStartOfDay), y)
+    }.toDF("day", "y").createOrReplaceTempView("ts_piecewise")
+    def rmse(dml: String): Double =
+      Trainer.train(s, DmlParser.parse(dml).asInstanceOf[TrainSpec])
+        .metrics("rmse")
+    val hinged = rmse(
+      "TRAIN MODEL m_cp USING prophet(changepoints=5) FROM ts_piecewise " +
+        "PREDICT y WITH TIME COLUMN day AND FEATURES(TREND linear)")
+    val trendOnly = rmse(
+      "TRAIN MODEL m_line USING prophet FROM ts_piecewise PREDICT y " +
+        "WITH TIME COLUMN day AND FEATURES(TREND linear)")
+    assert(hinged < 0.3 * trendOnly,
+      s"hinge basis must capture the planted slope break: " +
+        s"hinged rmse=$hinged vs trend-only rmse=$trendOnly")
+    // the training frame carries exactly the declared hinge columns
+    val spec = DmlParser.parse(
+      "TRAIN MODEL m USING prophet(changepoints=5) FROM ts_piecewise " +
+        "PREDICT y WITH TIME COLUMN day AND FEATURES(TREND linear)")
+      .asInstanceOf[TrainSpec]
+    assert(TrainCompiler.featureNames(spec) ==
+      Seq("t_index", "cp_1", "cp_2", "cp_3", "cp_4", "cp_5"))
+    // knots sit evenly over the first 80% of the 100-step history
+    assert((1 to 5).map(TimeSeries.changepointPosition(100L, 5, _)) ==
+      Seq(16.0, 32.0, 47.0, 63.0, 79.0))
+  }
+
+  test("forecast extrapolates a changepointed trend at the final slope") {
+    val s = spark
+    import s.implicits._
+    (0 until 100).map { i =>
+      val day = java.time.LocalDate.of(2024, 1, 1).plusDays(i.toLong)
+      val y = if (i < 60) 10.0 + 0.5 * i else 10.0 + 0.5 * 60 - 1.0 * (i - 60)
+      (java.sql.Timestamp.valueOf(day.atStartOfDay), y)
+    }.toDF("day", "y").createOrReplaceTempView("ts_piecewise_fc")
+    val spec = DmlParser.parse(
+      "TRAIN MODEL m USING prophet(changepoints=5) FROM ts_piecewise_fc " +
+        "PREDICT y WITH TIME COLUMN day AND FEATURES(TREND linear) " +
+        "FORECAST 10 days AHEAD").asInstanceOf[TrainSpec]
+    val report = Trainer.train(s, spec)
+    val fc = TimeSeries.forecast(s, spec, report)
+      .orderBy("t_index").collect()
+    assert(fc.length == 10)
+    // the final observed slope is -1.0/day; consecutive forecast steps
+    // must continue it (hinge extrapolation, not the global mean slope)
+    val deltas = fc.sliding(2).map(p =>
+      p(1).getAs[Double]("prediction") - p(0).getAs[Double]("prediction"))
+    deltas.foreach(d => assert(math.abs(d - (-1.0)) < 0.15,
+      s"future step slope $d should continue the last trend segment"))
   }
 
   test("base TRAIN grammar is untouched by the variant") {
