@@ -30,6 +30,73 @@ object EventQueries {
         .orderBy("hour", "event_type")
     },
 
+    // Watermarked late-data semantics under the hash gate (SURVEY §2.7
+    // watermark aggs): a deterministic 4-micro-batch replay of the events
+    // table through a real Structured Streaming query — file source with
+    // maxFilesPerTrigger=1 and planted mtimes fixes the batch order, so
+    // the run is exactly reproducible and a static oracle can replay the
+    // watermark arithmetic. Spark filters late events with the PREVIOUS
+    // batch's watermark while evicting state with the current one
+    // (SPARK-40925's two-watermark model — empirically pinned here), so
+    // the protocol needs a watermark-advancing batch BETWEEN the bulk and
+    // the late rows: batch 1 = the bulk of the timeline; batch 2 = a thin
+    // mid slice whose only job is aging the late-filter watermark to
+    // max(batch-1 ts) − 48h; batch 3 = held-back rows (event_id % 7),
+    // dropped iff their window end predates that watermark; batch 4 = the
+    // timeline tail, advancing the final watermark so surviving late
+    // rows' windows finalize. Append mode then emits exactly the windows
+    // whose end the final watermark passed — all three regimes
+    // (late-dropped, late-but-kept, unfinalized) are visible in the
+    // output and hashed.
+    "q_events_late_watermark" -> { (s, dir) =>
+      import org.apache.spark.sql.streaming.Trigger
+      val e = events(s, dir).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props")
+      val isTail = col("ts") >= lit("2024-01-25 00:00:00").cast("timestamp")
+      val isHeld = !isTail && col("event_id") % 7 === 0
+      val isMid = !isTail && !isHeld && col("event_id") % 101 === 0
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_late_wm").toFile
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_late_wm_ck").toString
+      def plant(df: DataFrame, agoMs: Long): Unit = {
+        val before = tmp.listFiles().map(_.getName).toSet
+        df.coalesce(1).write.mode("append").parquet(tmp.toString)
+        val stamp = System.currentTimeMillis() - agoMs
+        tmp.listFiles()
+          .filter(f => f.getName.startsWith("part-") && !before(f.getName))
+          .foreach(_.setLastModified(stamp))
+      }
+      plant(e.filter(!isTail && !isHeld && !isMid), 30000L)
+      plant(e.filter(isMid), 20000L)
+      plant(e.filter(isHeld), 10000L)
+      plant(e.filter(isTail), 0L)
+      val sink = "late_wm_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      // State partitions are fixed at first run from shuffle.partitions;
+      // size them to the state (≈3.6k window×type keys), not the session
+      // default — every extra partition is a per-micro-batch state-store
+      // commit (5 batches × partitions small-file writes). On a real
+      // cluster this would scale with key cardinality, not executor count.
+      val restore = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", 8)
+      try {
+        val q = s.readStream.schema(graft.dml.events.Events.schema)
+          .option("maxFilesPerTrigger", 1).parquet(tmp.toString)
+          .withWatermark("ts", "48 hours")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast(D)).cast("double").as("value_sum"))
+          .select(col("window.start").as("window_start"), col("event_type"),
+            col("n"), col("value_sum"))
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append").option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination(180000)
+      } finally s.conf.set("spark.sql.shuffle.partitions", restore)
+      s.table(sink).orderBy("window_start", "event_type")
+    },
+
     // per-user funnel: stage counts + view→purchase conversion flag
     "q_events_funnel" -> { (s, dir) =>
       events(s, dir)
@@ -172,6 +239,38 @@ object EventQueries {
         |  COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+
+    // Replays the 4-batch watermark protocol statically: Spark's event-time
+    // watermark is the ms-FLOORED max event time minus the 48h delay
+    // (EventTimeWatermarkExec tracks µs/1000), hence the epoch_ms
+    // round-trip. The late filter for the held batch is the watermark the
+    // PREVIOUS (mid) batch ran with — max of batch-1 timestamps − 48h
+    // (SPARK-40925's lag-one model, empirically pinned by this entry) —
+    // so a held row survives iff its window end outlives that; append
+    // mode emits exactly the windows whose end the FINAL watermark
+    // passed. Window ends are hour-aligned and both watermarks land µs
+    // off-hour, so no boundary-equality convention can bite.
+    "q_events_late_watermark" ->
+      """WITH src AS (
+        |  SELECT *, date_trunc('hour', ts) AS ws,
+        |         date_trunc('hour', ts) + INTERVAL 1 HOUR AS we,
+        |         ts >= TIMESTAMP '2024-01-25 00:00:00' AS tail,
+        |         (ts < TIMESTAMP '2024-01-25 00:00:00'
+        |          AND event_id % 7 = 0) AS held,
+        |         (ts < TIMESTAMP '2024-01-25 00:00:00'
+        |          AND event_id % 7 <> 0 AND event_id % 101 = 0) AS mid
+        |  FROM events),
+        |wmh AS (SELECT make_timestamp((epoch_ms(max(ts)) - 172800000) * 1000) AS w
+        |        FROM src WHERE NOT tail AND NOT held AND NOT mid),
+        |wmf AS (SELECT make_timestamp((epoch_ms(max(ts)) - 172800000) * 1000) AS w
+        |        FROM src)
+        |SELECT ws AS window_start, event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+        |FROM src
+        |WHERE (NOT held OR we > (SELECT w FROM wmh))
+        |  AND we <= (SELECT w FROM wmf)
+        |GROUP BY 1, 2
+        |ORDER BY window_start, event_type""".stripMargin,
 
     "q_events_funnel" ->
       """SELECT user_id,

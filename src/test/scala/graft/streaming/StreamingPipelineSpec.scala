@@ -241,4 +241,45 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert((got -- gapClosed).subsetOf(lastSessions),
       s"unexpected sessions: ${((got -- gapClosed) -- lastSessions).take(5)}")
   }
+
+  test("late-data replay: drops, stragglers, and finalization all pinned") {
+    // the q_events_late_watermark protocol against a batch-computed
+    // expectation: held rows whose window predates the mid-batch
+    // watermark vanish, the straggler band survives, and only windows
+    // the final watermark passed are emitted (SPARK-40925's lag-one
+    // late-filter model — this test is the in-CI twin of the oracle)
+    val s = spark
+    val out = graft.operators.EventQueries
+      .queries("q_events_late_watermark")(s, graft.SparkTestSession.fixtureDir)
+      .collect().map(r => (r.get(0).toString, r.getString(1), r.getLong(2)))
+      .toSet
+    val e = s.table("events")
+    val cutoff = lit("2024-01-25 00:00:00").cast("timestamp")
+    // ms space: unix_millis truncates µs exactly like the engine's
+    // watermark tracking does
+    val base = e
+      .withColumn("ws", date_trunc("HOUR", col("ts")))
+      .withColumn("we_ms",
+        unix_millis(col("ws").cast("timestamp")) + 3600L * 1000)
+      .withColumn("tail", col("ts") >= cutoff)
+      .withColumn("held", !col("tail") && col("event_id") % 7 === 0)
+      .withColumn("mid",
+        !col("tail") && !col("held") && col("event_id") % 101 === 0)
+    def wmOf(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(max(unix_millis(col("ts").cast("timestamp"))))
+        .collect()(0).getLong(0) - 48L * 3600 * 1000
+    val wmh = wmOf(base.filter(!col("tail") && !col("held") && !col("mid")))
+    val wmf = wmOf(base)
+    val expected = base
+      .filter((!col("held") || col("we_ms") > wmh) && col("we_ms") <= wmf)
+      .groupBy("ws", "event_type").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.get(0).toString, r.getString(1), r.getLong(2)))
+      .toSet
+    assert(out == expected)
+    // all three regimes genuinely exercised by the fixture
+    val held = base.filter(col("held"))
+    assert(held.filter(col("we_ms") <= wmh).count() > 0, "no dropped-late rows")
+    assert(held.filter(col("we_ms") > wmh).count() > 0, "no kept-late rows")
+    assert(base.filter(col("we_ms") > wmf).count() > 0, "no unfinalized windows")
+  }
 }
