@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -209,6 +209,95 @@ case class StringHamming(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Hyperplane-LSH signature string in ONE pass —
+  * [[graft.llm.Similarity.lshSignature]]'s
+  * `concat(guard, when(vec_dot(emb, plane_p) >= 0, "1", "0") …)` chain
+  * fused: the per-plane form inlines `planes` separate VecDot loops into
+  * one generated method, which blows past the JIT's method-size budget
+  * and runs interpreted (measured ~200x slower at 48 planes — 0.9s for
+  * 4k rows). Here the ±1 sign matrix ([[graft.llm.Similarity.planeSign]],
+  * reproducible MD5-parity constants) is a reference object and all
+  * projections accumulate in a single dim-major loop.
+  *
+  * Result-identical to the composable form (pinned in
+  * `MatchExpressionsSpec`), including the edges: a row whose width
+  * disagrees with `dim` raises (silent misbucketing would be worse), and
+  * a NULL element yields the all-'0' signature — every per-plane
+  * projection in the HOF form goes NULL and `when(null >= 0, …)` takes
+  * the otherwise branch for every plane. One documented divergence: a
+  * NULL ARRAY null-propagates here (standard unary-expression
+  * semantics), where the composed guard's `size(NULL)` sends
+  * raise_error a NULL message and throws — every caller filters null
+  * embeddings before the signature, so the case is unreachable there,
+  * and null-in/null-out is the saner contract for new callers. */
+case class LshSignature(child: Expression, planes: Int, dim: Int)
+    extends UnaryExpression {
+
+  override def prettyName: String = "lsh_signature"
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case o => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<float|double> argument, got ${o.sql}")
+  }
+
+  /** signs(p * dim + d) = planeSign(d, p) — computed once driver-side,
+    * shipped with the expression. */
+  @transient private lazy val signs: Array[Double] =
+    Array.tabulate(planes * dim)(i =>
+      graft.llm.Similarity.planeSign(i % dim, i / dim))
+
+  @transient private lazy val childIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  /** public: called from generated code. */
+  def sig(x: ArrayData): UTF8String = {
+    val n = x.numElements()
+    if (n != dim) throw new IllegalStateException(
+      s"lshSignature built for $dim-dim embeddings, got $n")
+    val out = new Array[Byte](planes)
+    var d = 0
+    while (d < n) {
+      if (x.isNullAt(d)) {
+        // HOF parity: one NULL element nulls every projection, and
+        // when(null >= 0) emits '0' for every plane
+        java.util.Arrays.fill(out, '0'.toByte)
+        return UTF8String.fromBytes(out)
+      }
+      d += 1
+    }
+    var p = 0
+    while (p < planes) {
+      var acc = 0.0
+      val base = p * dim
+      var i = 0
+      while (i < dim) {
+        val v = if (childIsFloat) x.getFloat(i).toDouble else x.getDouble(i)
+        acc += v * signs(base + i)
+        i += 1
+      }
+      out(p) = if (acc >= 0) '1'.toByte else '0'.toByte
+      p += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+
+  override def nullSafeEval(a: Any): Any = sig(a.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("lshSignature", this,
+      classOf[LshSignature].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.sig($a);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): LshSignature = copy(child = newChild)
+}
+
 object MatchExpressions {
   def intVecDot(a: Column, b: Column): Column =
     ColumnBridge.column(IntVecDot(
@@ -221,4 +310,8 @@ object MatchExpressions {
   def stringHamming(a: Column, b: Column): Column =
     ColumnBridge.column(StringHamming(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def lshSignature(emb: Column, planes: Int, dim: Int): Column =
+    ColumnBridge.column(LshSignature(
+      ColumnBridge.expression(emb), planes, dim))
 }

@@ -157,10 +157,20 @@ object Similarity {
       .select(size(col("embedding"))).limit(1).collect()
       .headOption.map(_.getInt(0)).getOrElse(0)
 
-  /** Hyperplane-LSH signature: bit p = sign(emb ⋅ plane_p). Each plane is a
-    * ±1 literal vector sized to the actual embedding dim — keeping the plan
-    * (and its codegen) proportional to planes × dim, not a padded max. */
-  def lshSignature(emb: Column, planes: Int, dim: Int): Column = {
+  /** Hyperplane-LSH signature: bit p = sign(emb ⋅ plane_p), one native
+    * single-pass expression ([[graft.functions.LshSignature]] — the
+    * per-plane VecDot chain inlined `planes` separate loops into one
+    * generated method, past the JIT's size budget; the fused form is
+    * ~10x faster at 48 planes). Row-identical to
+    * [[lshSignatureComposed]], pinned in `MatchExpressionsSpec`. */
+  def lshSignature(emb: Column, planes: Int, dim: Int): Column =
+    graft.functions.MatchExpressions.lshSignature(emb, planes, dim)
+
+  /** The composable Column-algebra form the native expression fused —
+    * kept as the parity reference for the fuzz spec (and as executable
+    * documentation of the semantics, guard and null edges included). */
+  private[graft] def lshSignatureComposed(
+      emb: Column, planes: Int, dim: Int): Column = {
     val guard = when(size(emb) === dim, lit(""))
       .otherwise(raise_error(concat(
         lit(s"lshSignature built for $dim-dim embeddings, got "),

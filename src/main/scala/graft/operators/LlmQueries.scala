@@ -314,6 +314,56 @@ object LlmQueries {
         planes = 24, bands = 3)
     },
 
+    // The conf-gated CosineJoinRewrite optimizer rule end-to-end under
+    // the hash gate (plans/CosineJoinRewrite.scala): a cosine-threshold
+    // predicate over a cross join — the O(n·m) all-pairs plan — rewritten
+    // into the banded hyperplane-LSH candidate join with exact rescore.
+    // At threshold 0.95 the only qualifying pairs are the planted
+    // exactly-parallel copies (the corpus' natural max pairwise cosine is
+    // ~0.60), and hyperplane signatures are scale-invariant, so every
+    // qualifying pair shares all bands — recall is exactly 1 BY
+    // CONSTRUCTION and the approximate plan is hash-identical to the
+    // exact all-pairs oracle. The entry hard-fails if the cartesian
+    // survives (a silently-disabled rewrite would prove nothing) and
+    // eagerly materializes while the conf is on, so the lazily-executed
+    // dump cannot run with the rule off.
+    "q_cosine_join_rewrite" -> { (s, dir) =>
+      graft.functions.GraftExtensions.register(s)
+      val e = embs(s, dir).select("vec_id", "embedding")
+      val scaled = e.select(
+        (col("vec_id") + 100000L).as("vec_id"),
+        expr("transform(embedding, x -> CAST(x * CAST(2.0 AS FLOAT) AS FLOAT))")
+          .as("embedding"))
+      val u = e.unionAll(scaled)
+      val l = u.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+      val r = u.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+      val prev = s.conf.get("spark.graft.cosineJoin.rewrite", "false")
+      s.conf.set("spark.graft.cosineJoin.rewrite", "true")
+      // 12 signature bits per band (not the default 4): with B bucket
+      // keys per band the candidate join does ~n²/B rescores, so band
+      // resolution — not corpus size — decides whether the rewrite
+      // actually beats the cartesian it replaces
+      val prevPlanes = s.conf.get("spark.graft.cosineJoin.planes", "16")
+      val prevBands = s.conf.get("spark.graft.cosineJoin.bands", "4")
+      s.conf.set("spark.graft.cosineJoin.planes", "48")
+      s.conf.set("spark.graft.cosineJoin.bands", "2")
+      try {
+        val out = l.crossJoin(r)
+          .filter(Similarity.cosine(col("emb_a"), col("emb_b")) >= lit(0.95) &&
+            col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"))
+        val plan = out.queryExecution.executedPlan.toString
+        require(!plan.contains("CartesianProduct") &&
+          !plan.contains("BroadcastNestedLoopJoin"),
+          "cosine-join rewrite did not fire; the entry would not exercise it")
+        out.localCheckpoint(true).orderBy("id_a", "id_b")
+      } finally {
+        s.conf.set("spark.graft.cosineJoin.rewrite", prev)
+        s.conf.set("spark.graft.cosineJoin.planes", prevPlanes)
+        s.conf.set("spark.graft.cosineJoin.bands", prevBands)
+      }
+    },
+
     // SemDeDup over seeded spherical cells: corpus = every embedding plus
     // a positively-scaled copy (cosine 1.0 with its source, and cosine
     // cell assignment is exactly scale-invariant, so every copy shares
@@ -560,6 +610,24 @@ object LlmQueries {
         |    / (len(a.s) + len(b.s)
         |       - len(list_distinct(list_intersect(a.s, b.s)))) AS jaccard
         |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 100000""".stripMargin,
+
+    // the rewrite's output is a plain id-pair set, so the oracle is the
+    // exact all-pairs threshold join — recall-1-by-construction makes the
+    // approximate plan answer for the exact semantics (no rounding in
+    // the output: only ids cross the hash gate)
+    "q_cosine_join_rewrite" -> {
+      s"""WITH u AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 100000 AS vec_id,
+         |    list_transform(embedding,
+         |      x -> CAST(x * CAST(2.0 AS FLOAT) AS FLOAT)) AS embedding
+         |  FROM embeddings)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |FROM u a JOIN u b ON a.vec_id < b.vec_id
+         |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.95
+         |ORDER BY id_a, id_b""".stripMargin
+    },
 
     "q_dedup_embcos" ->
       """WITH u AS (

@@ -311,4 +311,32 @@ class PlanAuditSpec extends AnyFunSuite {
       s"only the broadcast 1-row vocabulary-size relation may appear as " +
         s"a nested-loop join, found $nlj:\n$p")
   }
+
+  test("LSH signatures plan as ONE fused expression, not a per-plane chain") {
+    // round 10: the composed concat-of-48-VecDots signature inlined past
+    // the JIT's method-size budget and ran interpreted (~200x slow).
+    // lsh_signature appearing per plan — and vec_dot NOT appearing 24x —
+    // pins the fused form in every LSH consumer
+    for (name <- Seq("q_dedup_embcos", "q_ann_lsh_topk")) {
+      val p = plan(name)
+      assert(p.contains("lsh_signature"),
+        s"$name must use the fused native signature:\n$p")
+      // the exact-cosine rescore legitimately carries a few vec_dots
+      // (3 per cosine, printed twice by formatted mode); the per-plane
+      // chain would show ~50 at 24 planes
+      val dots = "vec_dot".r.findAllIn(p).length
+      assert(dots <= 12,
+        s"$name: $dots vec_dot nodes suggest the per-plane chain is back:\n$p")
+    }
+  }
+
+  test("q_cosine_join_rewrite replaces the cartesian with a banded " +
+    "equi-join (asserted in-entry, re-pinned here)") {
+    val df = SparkEntry.queries("q_cosine_join_rewrite")(
+      spark, SparkTestSession.fixtureDir)
+    val exec = df.queryExecution.executedPlan.toString
+    assert(!exec.contains("CartesianProduct") &&
+      !exec.contains("BroadcastNestedLoopJoin"),
+      s"rewrite output must not rescan via cartesian:\n$exec")
+  }
 }

@@ -294,4 +294,52 @@ class MatchExpressionsSpec extends AnyFunSuite {
       .select(MatchExpressions.stringHamming(col("a"), col("b"))).collect()
     assert(empty(0).getInt(0) == 0)
   }
+
+  test("LshSignature matches the composed per-plane chain bit for bit") {
+    val s = spark
+    // fixture embeddings plus positively-scaled copies (the dedup
+    // corpus shape — scaling must not flip any hyperplane side)
+    val e = s.table("embeddings").select("vec_id", "embedding")
+    val u = e.unionAll(e.select(col("vec_id") + 100000L,
+      expr("transform(embedding, x -> CAST(x * CAST(2.0 AS FLOAT) AS FLOAT))")
+        .as("embedding")))
+    for (planes <- Seq(12, 24, 48)) {
+      assertNoDiff(u,
+        MatchExpressions.lshSignature(col("embedding"), planes, 64),
+        graft.llm.Similarity.lshSignatureComposed(
+          col("embedding"), planes, 64))
+    }
+  }
+
+  test("LshSignature edges: null array, null element, width mismatch") {
+    val s = spark
+    import s.implicits._
+    val dim = 4
+    val rows = Seq(
+      (1L, Seq[java.lang.Float](1f, -2f, 3f, -4f)),
+      (3L, Seq[java.lang.Float](1f, null, 3f, -4f)))
+      .toDF("id", "emb")
+    assertNoDiff(rows,
+      MatchExpressions.lshSignature(col("emb"), 8, dim),
+      graft.llm.Similarity.lshSignatureComposed(col("emb"), 8, dim))
+    // a null ELEMENT yields the all-'0' signature in both forms
+    val nullElem = rows.filter(col("id") === 3L)
+      .select(MatchExpressions.lshSignature(col("emb"), 8, dim)).collect()
+    assert(nullElem(0).getString(0) == "00000000")
+    // documented divergence on a NULL ARRAY: the native form
+    // null-propagates; the composed guard's size(NULL) sends raise_error
+    // a NULL message and throws. Callers filter null embeddings first,
+    // so only the native (saner) contract is reachable.
+    val nullArr = Seq((2L, null.asInstanceOf[Seq[java.lang.Float]]))
+      .toDF("id", "emb")
+    assert(nullArr.select(
+      MatchExpressions.lshSignature(col("emb"), 8, dim)).collect()(0).isNullAt(0))
+    intercept[Exception](nullArr.select(
+      graft.llm.Similarity.lshSignatureComposed(col("emb"), 8, dim)).collect())
+    // width mismatch raises with the guard's message, like raise_error
+    val e = intercept[Exception](
+      rows.select(MatchExpressions.lshSignature(col("emb"), 8, 5)).collect())
+    assert(e.getMessage.contains("built for 5-dim") ||
+      Option(e.getCause).exists(_.getMessage.contains("built for 5-dim")))
+  }
 }
