@@ -158,15 +158,21 @@ object TrainCompiler {
   /** prophet's `changepoints=k` algorithm param (reference DSL.md:297-301
     * surface; SURVEY §7.3 stand-in): k > 0 requests k piecewise-linear
     * trend hinges. 0 is Prophet's "no changepoints" and binds to nothing;
-    * anything else non-integral raises. */
+    * anything else non-integral — or past the hinge-column sanity cap —
+    * raises (an unbounded k would die deep in Catalyst building millions
+    * of withColumns instead of with a clear message; and a Long k must
+    * not silently wrap through toInt). */
+  private val MaxChangepoints = 1000L
   def changepointCount(spec: TrainSpec): Option[Int] =
     if (!spec.algorithm.equalsIgnoreCase("prophet")) None
     else spec.params.collectFirst { case ("changepoints", v) => v }.flatMap {
-      case Value.VInt(k) if k >= 0 => Some(k.toInt).filter(_ > 0)
-      case Value.VFloat(f) if f.isWhole && f >= 0 =>
+      case Value.VInt(k) if k >= 0 && k <= MaxChangepoints =>
+        Some(k.toInt).filter(_ > 0)
+      case Value.VFloat(f) if f.isWhole && f >= 0 && f <= MaxChangepoints =>
         Some(f.toInt).filter(_ > 0)
       case other => throw new IllegalArgumentException(
-        s"prophet changepoints must be a non-negative integer, got $other")
+        "prophet changepoints must be a non-negative integer " +
+          s"<= $MaxChangepoints, got $other")
     }
 
   /** The clause the frame builder actually derives from: the statement's

@@ -65,7 +65,8 @@ object EventQueries {
         val stamp = System.currentTimeMillis() - agoMs
         tmp.listFiles()
           .filter(f => f.getName.startsWith("part-") && !before(f.getName))
-          .foreach(_.setLastModified(stamp))
+          .foreach(f => require(f.setLastModified(stamp),
+            s"cannot stamp ${f.getName} — batch order would scramble"))
       }
       plant(e.filter(!isTail && !isHeld && !isMid), 30000L)
       plant(e.filter(isMid), 20000L)
@@ -92,9 +93,27 @@ object EventQueries {
           .writeStream.format("memory").queryName(sink)
           .outputMode("append").option("checkpointLocation", ckpt)
           .trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination(180000)
+        // a timed-out drain must fail loudly, not hand a half-populated
+        // sink to the hash gate — and must not keep committing state
+        // underneath every subsequent entry
+        if (!q.awaitTermination(180000)) {
+          q.stop()
+          throw new IllegalStateException(
+            "late-watermark replay did not drain within 180s")
+        }
       } finally s.conf.set("spark.sql.shuffle.partitions", restore)
-      s.table(sink).orderBy("window_start", "event_type")
+      // pin the (driver-resident) sink rows, then drop the temp view and
+      // scratch dirs — bench re-runs this closure, and each run must not
+      // leak a view plus two directory trees
+      val result = s.table(sink).orderBy("window_start", "event_type")
+        .localCheckpoint(true)
+      s.catalog.dropTempView(sink)
+      def rmTree(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
+      }
+      rmTree(tmp)
+      rmTree(new java.io.File(ckpt))
+      result
     },
 
     // per-user funnel: stage counts + view→purchase conversion flag

@@ -339,7 +339,8 @@ object LlmQueries {
       val r = u.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
       val prev = s.conf.get("spark.graft.cosineJoin.rewrite", "false")
       s.conf.set("spark.graft.cosineJoin.rewrite", "true")
-      // 12 signature bits per band (not the default 4): with B bucket
+      // 24 signature bits per band (48 planes / 2 bands — the default
+      // 16/4 gives 4-bit bands and only 16 bucket keys): with B bucket
       // keys per band the candidate join does ~n²/B rescores, so band
       // resolution — not corpus size — decides whether the rewrite
       // actually beats the cartesian it replaces

@@ -88,11 +88,18 @@ object StoreMaint {
     * (S3A) report as 0/fake for directories and rename can reset. The
     * canonical `_old` orders as epoch 0: a fresh-named park is created
     * precisely because `_old` already existed FIRST, so any parsed
-    * epoch beats it. Modification time, then name-length, then name
-    * break remaining ties (non-numeric legacy suffixes parse as 0 and
-    * fall back to the same mtime rule as before). Deletes nothing
-    * (leftover `_compacting` / stale backups stay for operator reclaim,
-    * matching rule 2). */
+    * epoch beats it. Only suffixes inside a plausible epochMillis
+    * window (2001..2286) count as epochs: pre-epoch-naming parks used
+    * `System.nanoTime()` suffixes, which are numeric but measure
+    * arbitrary-origin uptime — taking them at face value would let a
+    * day-old legacy park (8.6e13 "epoch") outrank every real wall
+    * clock and roll live data back to it. Out-of-window numerics parse
+    * as 0 and get exactly the pre-change ordering: modification time,
+    * then name-length, then name break the ties. (Residual ambiguity:
+    * a nanoTime from a JVM up between ~17 minutes and ~2.8 hours lands
+    * inside the window; mtime still breaks those ties on filesystems
+    * that report it.) Deletes nothing (leftover `_compacting` / stale
+    * backups stay for operator reclaim, matching rule 2). */
   def recover(spark: SparkSession, path: String): Boolean = {
     import org.apache.hadoop.fs.Path
     val conf = spark.sparkContext.hadoopConfiguration
@@ -110,9 +117,12 @@ object StoreMaint {
     if (backups.isEmpty) throw new java.io.IOException(
       s"no live store at $path and no backup to recover from")
     val oldPrefix = dst.getName + "_old_"
+    // plausible wall-clock millis: 2001-09-09 .. 2286-11-20
     def parkEpoch(n: String): Long =
       if (n.startsWith(oldPrefix))
-        n.substring(oldPrefix.length).toLongOption.getOrElse(0L)
+        n.substring(oldPrefix.length).toLongOption
+          .filter(e => e >= 1000000000000L && e < 10000000000000L)
+          .getOrElse(0L)
       else 0L
     val newest = backups.maxBy(st => (parkEpoch(st.getPath.getName),
       st.getModificationTime, st.getPath.getName.length,

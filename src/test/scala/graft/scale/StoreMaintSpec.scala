@@ -101,20 +101,44 @@ class StoreMaintSpec extends AnyFunSuite {
     val s = spark
     import s.implicits._
     val (_, path) = freshStore(10)
-    // an older park from two crashes ago (8 rows, epoch 1000)...
+    // an older park from two crashes ago (8 rows, wall-clock epoch)...
     Seq.tabulate(8)(i => (i.toLong, "stale")).toDF("id", "v")
-      .write.parquet(path + "_old_1000")
-    // ...and the newest park (the 10-row store, epoch 2000), crash window
+      .write.parquet(path + "_old_1700000000000")
+    // ...and the newest park (the 10-row store, one second later)
     assert(new java.io.File(path)
-      .renameTo(new java.io.File(path + "_old_2000")))
+      .renameTo(new java.io.File(path + "_old_1700000001000")))
     // LIE with the mtimes (object stores report 0/fake dir mtimes and
     // rename can reset them): the newest park gets the OLDER mtime
-    assert(new java.io.File(path + "_old_2000").setLastModified(1000000000000L))
-    assert(new java.io.File(path + "_old_1000").setLastModified(2000000000000L))
+    assert(new java.io.File(path + "_old_1700000001000")
+      .setLastModified(1000000000000L))
+    assert(new java.io.File(path + "_old_1700000000000")
+      .setLastModified(2000000000000L))
 
     assert(StoreMaint.recover(s, path))
     assert(s.read.parquet(path).count() == 10,
       "the park with the larger name epoch must win even when mtime lies")
+  }
+
+  test("legacy nanoTime park suffixes never outrank wall-clock epochs") {
+    val s = spark
+    import s.implicits._
+    val (_, path) = freshStore(10)
+    // a pre-epoch-naming park: System.nanoTime() suffix ~1 day of
+    // uptime (8.6e13) — numerically HUGE but not a wall clock; taking
+    // it at face value would roll the store back to this stale copy
+    Seq.tabulate(8)(i => (i.toLong, "stale")).toDF("id", "v")
+      .write.parquet(path + "_old_86400000000000")
+    assert(new java.io.File(path + "_old_86400000000000")
+      .setLastModified(1000000000000L))
+    // the real newest park, named with wall-clock millis, newer mtime
+    assert(new java.io.File(path)
+      .renameTo(new java.io.File(path + "_old_1700000001000")))
+    assert(new java.io.File(path + "_old_1700000001000")
+      .setLastModified(1500000000000L))
+
+    assert(StoreMaint.recover(s, path))
+    assert(s.read.parquet(path).count() == 10,
+      "an out-of-window numeric suffix must fall back to mtime, not win")
   }
 
   test("recover with neither live store nor backup fails loudly") {
