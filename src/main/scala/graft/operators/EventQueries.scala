@@ -20,6 +20,78 @@ object EventQueries {
     Tables.register(s, dir); s.table("events")
   }
 
+  /** Deterministic micro-batch replay through a real Structured Streaming
+    * query: each `batches` frame becomes exactly one micro-batch (one
+    * parquet part-file, planted mtimes 10s apart, maxFilesPerTrigger=1),
+    * `transform` builds the streaming plan over the source, and the
+    * drained memory sink comes back ordered by `sortCols` with every
+    * scratch artifact (temp view, replay dir, checkpoint) removed — the
+    * bench re-executes entry closures, so nothing may leak per run.
+    *
+    * State partitions are fixed at first run from shuffle.partitions;
+    * they are sized here to the replay's small state (8, not the session
+    * default) because every partition is a per-micro-batch state-store
+    * commit. On a real cluster this would scale with key cardinality,
+    * not executor count. */
+  private def streamReplay(
+      s: SparkSession, batches: Seq[DataFrame],
+      transform: DataFrame => DataFrame, sortCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    // event-time operators (withWatermark, dropDuplicatesWithinWatermark)
+    // reject TIMESTAMP_NTZ; the fixtures are NTZ parquet. Read through a
+    // TIMESTAMP schema instead — the session runs UTC, so the instants
+    // are identical and the DuckDB oracle compares unchanged
+    val schema = org.apache.spark.sql.types.StructType(
+      batches.head.schema.map { f =>
+        if (f.dataType == org.apache.spark.sql.types.TimestampNTZType)
+          f.copy(dataType = org.apache.spark.sql.types.TimestampType)
+        else f
+      })
+    val tmp = java.nio.file.Files.createTempDirectory("graft_replay").toFile
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_replay_ck").toString
+    batches.zipWithIndex.foreach { case (df, i) =>
+      val before = tmp.listFiles().map(_.getName).toSet
+      df.coalesce(1).write.mode("append").parquet(tmp.toString)
+      val stamp = System.currentTimeMillis() - (batches.size - 1 - i) * 10000L
+      tmp.listFiles()
+        .filter(f => f.getName.startsWith("part-") && !before(f.getName))
+        .foreach(f => require(f.setLastModified(stamp),
+          s"cannot stamp ${f.getName} — batch order would scramble"))
+    }
+    val sink = "replay_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val restore = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", 8)
+    try {
+      val q = transform(
+        s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(tmp.toString))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      // a timed-out drain must fail loudly, not hand a half-populated
+      // sink to the hash gate — and must not keep committing state
+      // underneath every subsequent entry
+      if (!q.awaitTermination(180000)) {
+        q.stop()
+        throw new IllegalStateException(
+          "streaming replay did not drain within 180s")
+      }
+    } finally s.conf.set("spark.sql.shuffle.partitions", restore)
+    // pin the (driver-resident) sink rows, then drop the temp view and
+    // scratch dirs
+    val result = s.table(sink).orderBy(sortCols.map(col): _*)
+      .localCheckpoint(true)
+    s.catalog.dropTempView(sink)
+    def rmTree(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
+    }
+    rmTree(tmp)
+    rmTree(new java.io.File(ckpt))
+    result
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // hourly per-type metrics roll-up — tumbling windows via date_trunc
     "q_events_windowed" -> { (s, dir) =>
@@ -49,71 +121,51 @@ object EventQueries {
     // (late-dropped, late-but-kept, unfinalized) are visible in the
     // output and hashed.
     "q_events_late_watermark" -> { (s, dir) =>
-      import org.apache.spark.sql.streaming.Trigger
       val e = events(s, dir).select(
         "event_id", "ts", "user_id", "event_type", "value", "props")
       val isTail = col("ts") >= lit("2024-01-25 00:00:00").cast("timestamp")
       val isHeld = !isTail && col("event_id") % 7 === 0
       val isMid = !isTail && !isHeld && col("event_id") % 101 === 0
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_late_wm").toFile
-      val ckpt = java.nio.file.Files
-        .createTempDirectory("graft_late_wm_ck").toString
-      def plant(df: DataFrame, agoMs: Long): Unit = {
-        val before = tmp.listFiles().map(_.getName).toSet
-        df.coalesce(1).write.mode("append").parquet(tmp.toString)
-        val stamp = System.currentTimeMillis() - agoMs
-        tmp.listFiles()
-          .filter(f => f.getName.startsWith("part-") && !before(f.getName))
-          .foreach(f => require(f.setLastModified(stamp),
-            s"cannot stamp ${f.getName} — batch order would scramble"))
-      }
-      plant(e.filter(!isTail && !isHeld && !isMid), 30000L)
-      plant(e.filter(isMid), 20000L)
-      plant(e.filter(isHeld), 10000L)
-      plant(e.filter(isTail), 0L)
-      val sink = "late_wm_" +
-        java.util.UUID.randomUUID().toString.replace("-", "")
-      // State partitions are fixed at first run from shuffle.partitions;
-      // size them to the state (≈3.6k window×type keys), not the session
-      // default — every extra partition is a per-micro-batch state-store
-      // commit (5 batches × partitions small-file writes). On a real
-      // cluster this would scale with key cardinality, not executor count.
-      val restore = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", 8)
-      try {
-        val q = s.readStream.schema(graft.dml.events.Events.schema)
-          .option("maxFilesPerTrigger", 1).parquet(tmp.toString)
+      streamReplay(s,
+        Seq(e.filter(!isTail && !isHeld && !isMid), e.filter(isMid),
+          e.filter(isHeld), e.filter(isTail)),
+        src => src
           .withWatermark("ts", "48 hours")
           .groupBy(window(col("ts"), "1 hour"), col("event_type"))
           .agg(count(lit(1)).as("n"),
             sum(col("value").cast(D)).cast("double").as("value_sum"))
           .select(col("window.start").as("window_start"), col("event_type"),
-            col("n"), col("value_sum"))
-          .writeStream.format("memory").queryName(sink)
-          .outputMode("append").option("checkpointLocation", ckpt)
-          .trigger(Trigger.AvailableNow()).start()
-        // a timed-out drain must fail loudly, not hand a half-populated
-        // sink to the hash gate — and must not keep committing state
-        // underneath every subsequent entry
-        if (!q.awaitTermination(180000)) {
-          q.stop()
-          throw new IllegalStateException(
-            "late-watermark replay did not drain within 180s")
-        }
-      } finally s.conf.set("spark.sql.shuffle.partitions", restore)
-      // pin the (driver-resident) sink rows, then drop the temp view and
-      // scratch dirs — bench re-runs this closure, and each run must not
-      // leak a view plus two directory trees
-      val result = s.table(sink).orderBy("window_start", "event_type")
-        .localCheckpoint(true)
-      s.catalog.dropTempView(sink)
-      def rmTree(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
-      }
-      rmTree(tmp)
-      rmTree(new java.io.File(ckpt))
-      result
+            col("n"), col("value_sum")),
+        Seq("window_start", "event_type"))
+    },
+
+    // dropDuplicatesWithinWatermark's state-expiry tradeoff under the
+    // hash gate: ingestion dedup keeps a key in state only until the
+    // watermark passes its expiry (first-seen ts + delay), so a key
+    // RE-OCCURRING later is re-admitted — bounded state means dedup
+    // within the delay horizon, not forever. The replay plants
+    // re-occurrences (same event_id, ts shifted +10 days) after a
+    // watermark-advancing tail batch; with delay=5d the three regimes
+    // split by the ms-floored batch-1 watermark W = max(batch-1 ts) − 5d
+    // (empirically pinned: BOTH the late filter and state-aliveness a
+    // batch observes use the PREVIOUS batch's displayed watermark — the
+    // same lag-one model as q_events_late_watermark, and expiry is
+    // first-seen ts + delay, never extended by dropped duplicates):
+    // shifted-ts <= W → dropped late; original ts + 5d > W → dropped as
+    // in-state duplicate; in between → state expired, row re-emitted.
+    "q_stream_dedup_rearm" -> { (s, dir) =>
+      val e = events(s, dir)
+        .select("event_id", "ts", "event_type", "value")
+      val cutoff = lit("2024-01-25 00:00:00").cast("timestamp")
+      val bulk = e.filter(col("ts") < cutoff)
+      val tail = e.filter(col("ts") >= cutoff)
+      val reoccur = bulk.filter(col("event_id") % 3 === 0)
+        .withColumn("ts", col("ts") + expr("INTERVAL 10 DAYS"))
+      streamReplay(s, Seq(bulk, tail, reoccur),
+        src => src
+          .withWatermark("ts", "5 days")
+          .dropDuplicatesWithinWatermark("event_id"),
+        Seq("event_id", "ts"))
     },
 
     // per-user funnel: stage counts + view→purchase conversion flag
@@ -290,6 +342,34 @@ object EventQueries {
         |  AND we <= (SELECT w FROM wmf)
         |GROUP BY 1, 2
         |ORDER BY window_start, event_type""".stripMargin,
+
+    // Replays the dedup-rearm protocol statically: W = ms-floored
+    // max(batch-1 ts) − 5d is both the late filter and the
+    // state-aliveness watermark the re-occurrence batch observes
+    // (lag-one model). A re-occurrence (ts shifted +10d) emits iff it is
+    // not late (shifted ts > W) and its key's state expired
+    // (original ts + 5d <= W). Timestamps are µs-grained and W is
+    // ms-floored, so boundary-equality conventions cannot bite.
+    "q_stream_dedup_rearm" ->
+      """WITH bulk AS (
+        |  SELECT event_id, ts, event_type, value FROM events
+        |  WHERE ts < TIMESTAMP '2024-01-25 00:00:00'),
+        |tl AS (
+        |  SELECT event_id, ts, event_type, value FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-25 00:00:00'),
+        |re AS (
+        |  SELECT event_id, ts + INTERVAL 10 DAY AS ts, event_type, value
+        |  FROM bulk WHERE event_id % 3 = 0),
+        |wm AS (SELECT make_timestamp((epoch_ms(max(ts)) - 432000000) * 1000)
+        |         AS w FROM bulk)
+        |SELECT event_id, ts, event_type, value FROM bulk
+        |UNION ALL
+        |SELECT event_id, ts, event_type, value FROM tl
+        |UNION ALL
+        |SELECT event_id, ts, event_type, value FROM re
+        |WHERE ts > (SELECT w FROM wm)
+        |  AND ts - INTERVAL 10 DAY + INTERVAL 5 DAY <= (SELECT w FROM wm)
+        |ORDER BY event_id, ts""".stripMargin,
 
     "q_events_funnel" ->
       """SELECT user_id,

@@ -282,4 +282,35 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(held.filter(col("we_ms") > wmh).count() > 0, "no kept-late rows")
     assert(base.filter(col("we_ms") > wmf).count() > 0, "no unfinalized windows")
   }
+
+  test("dedup-rearm replay: late drop, in-state drop, and re-admission") {
+    // the q_stream_dedup_rearm protocol against a batch-computed
+    // expectation: dropDuplicatesWithinWatermark re-admits a key once
+    // the watermark passes its first-seen expiry — bounded state means
+    // dedup within the horizon, not forever
+    val s = spark
+    // normalize to (id, epoch-ms): the sink's ts is TIMESTAMP while the
+    // fixture's is NTZ — same instants under the UTC session
+    def keys(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select(col("event_id"), unix_millis(col("ts").cast("timestamp")))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val out = keys(graft.operators.EventQueries
+      .queries("q_stream_dedup_rearm")(s, graft.SparkTestSession.fixtureDir))
+    val e = s.table("events").select("event_id", "ts", "event_type", "value")
+    val cutoff = lit("2024-01-25 00:00:00").cast("timestamp")
+    val bulk = e.filter(col("ts") < cutoff)
+    val tsMs = unix_millis(col("ts").cast("timestamp"))
+    val wm = bulk.agg(max(tsMs)).collect()(0).getLong(0) - 5L * 86400 * 1000
+    val re = bulk.filter(col("event_id") % 3 === 0)
+      .withColumn("ts", col("ts") + expr("INTERVAL 10 DAYS"))
+    val lateDropped = re.filter(tsMs <= wm)
+    val dupDropped = re.filter(tsMs > wm &&
+      tsMs - 10L * 86400 * 1000 + 5L * 86400 * 1000 > wm)
+    val readmitted = re.filter(tsMs > wm &&
+      tsMs - 10L * 86400 * 1000 + 5L * 86400 * 1000 <= wm)
+    Seq(lateDropped, dupDropped, readmitted).foreach(d =>
+      assert(d.count() > 0, "a regime is unpopulated on the fixture"))
+    val expected = keys(e) ++ keys(readmitted)
+    assert(out == expected)
+  }
 }
