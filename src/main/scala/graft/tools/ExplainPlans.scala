@@ -28,6 +28,11 @@ object ExplainPlans {
     // q_dedup_groups is deliberately absent: building its DataFrame RUNS
     // the propagation rounds (eager per-round materialization), so its
     // "plan" is an InMemoryTableScan of the final round — nothing to audit.
+    // Same for the round-10 eager entries: the streaming replays
+    // (q_events_late_watermark, q_stream_dedup_rearm) drain their stream
+    // on construction, and q_cosine_join_rewrite materializes under its
+    // conf gate — their shapes are pinned in PlanAuditSpec / in-entry
+    // requires instead.
     interesting.foreach { name =>
       println(s"\n========== $name ==========")
       graft.SparkEntry.queries(name)(spark, dir).explain("formatted")

@@ -330,13 +330,14 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
-  test("q_cosine_join_rewrite replaces the cartesian with a banded " +
-    "equi-join (asserted in-entry, re-pinned here)") {
+  test("q_cosine_join_rewrite's in-entry no-cartesian require holds") {
+    // the entry materializes eagerly under its conf gate, so the frame it
+    // RETURNS is a checkpoint scan — the join-shape assertion lives
+    // INSIDE the entry (a require on the pre-checkpoint executed plan)
+    // and a silently-disabled rewrite throws. Constructing the entry here
+    // is what runs that guard; rows>0 confirms the drained result.
     val df = SparkEntry.queries("q_cosine_join_rewrite")(
       spark, SparkTestSession.fixtureDir)
-    val exec = df.queryExecution.executedPlan.toString
-    assert(!exec.contains("CartesianProduct") &&
-      !exec.contains("BroadcastNestedLoopJoin"),
-      s"rewrite output must not rescan via cartesian:\n$exec")
+    assert(df.count() > 0)
   }
 }
