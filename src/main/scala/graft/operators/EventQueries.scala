@@ -168,6 +168,38 @@ object EventQueries {
         Seq("event_id", "ts"))
     },
 
+    // The stateful streaming sessionizer (flatMapGroupsWithState +
+    // event-time timeout) end-to-end under the hash gate: batch 1 = the
+    // whole event log (each user's history lands in ONE batch, so the
+    // in-batch interval merge is the deterministic time-sorted fold);
+    // batch 2 = one synthetic watermark-advance row (user -1, max ts +
+    // 7.5h) whose only job is pushing the final watermark past every
+    // real user's last-event + 6h gap, so the event-time timeouts flush
+    // every open session in the AvailableNow no-data batch. The streamed
+    // output then equals batch gap-sessionization EXACTLY (the
+    // algorithm-independent oracle); the -1 user's own open session
+    // stays unflushed and never appears. value_sum is projected away —
+    // it folds doubles in merge order, which a SQL oracle cannot replay
+    // ulp-exactly; start/end/n are order-proof.
+    "q_stream_sessions" -> { (s, dir) =>
+      val e = events(s, dir).select(
+        col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      val maxMs = e.agg(max(unix_millis(col("ts")))).collect()(0).getLong(0)
+      val advance = s.range(1).select(
+        lit(-1L).as("event_id"),
+        timestamp_millis(lit(maxMs + 27000000L)).as("ts"),
+        lit(-1L).as("user_id"), lit("advance").as("event_type"),
+        lit(0.0).as("value"), lit("{}").as("props"))
+      streamReplay(s, Seq(e, advance),
+        src => graft.streaming.StreamingPipeline.sessionizeStream(
+            src.as[graft.dml.events.Event](
+              org.apache.spark.sql.Encoders.product[graft.dml.events.Event]),
+            gapSeconds = 6 * 3600, watermark = "1 hour")
+          .toDF.select("user_id", "session_start", "session_end", "n_events"),
+        Seq("user_id", "session_start"))
+    },
+
     // per-user funnel: stage counts + view→purchase conversion flag
     "q_events_funnel" -> { (s, dir) =>
       events(s, dir)
@@ -370,6 +402,32 @@ object EventQueries {
         |WHERE ts > (SELECT w FROM wm)
         |  AND ts - INTERVAL 10 DAY + INTERVAL 5 DAY <= (SELECT w FROM wm)
         |ORDER BY event_id, ts""".stripMargin,
+
+    // The algorithm-independent sessionization ground truth: gap-break
+    // flags + running sum assign session ids, then min/max/count per
+    // session. Timestamps fold through epoch_ms because the streaming
+    // side's state stores Timestamp.getTime — ms-floored µs.
+    "q_stream_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS tms FROM events),
+        |f AS (
+        |  SELECT user_id, event_id, tms,
+        |    CASE WHEN lag(tms) OVER w IS NULL
+        |           OR tms - lag(tms) OVER w > 21600000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY tms, event_id)),
+        |g AS (
+        |  SELECT user_id, tms,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY tms, event_id)
+        |      AS sid
+        |  FROM f)
+        |SELECT user_id,
+        |  make_timestamp(min(tms) * 1000) AS session_start,
+        |  make_timestamp(max(tms) * 1000) AS session_end,
+        |  COUNT(*) AS n_events
+        |FROM g GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
 
     "q_events_funnel" ->
       """SELECT user_id,

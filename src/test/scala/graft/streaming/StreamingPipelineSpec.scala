@@ -313,4 +313,38 @@ class StreamingPipelineSpec extends AnyFunSuite {
     val expected = keys(e) ++ keys(readmitted)
     assert(out == expected)
   }
+
+  test("session replay equals batch gap-sessionization exactly") {
+    // the q_stream_sessions protocol: with each user's history in one
+    // batch and a synthetic watermark-advance row flushing every open
+    // session, the stateful streaming sessionizer must reproduce batch
+    // sessionization row for row — including the timeout-flushed finals
+    // the subset-based test above cannot pin
+    val s = spark
+    import org.apache.spark.sql.expressions.Window
+    val out = graft.operators.EventQueries
+      .queries("q_stream_sessions")(s, graft.SparkTestSession.fixtureDir)
+      .collect()
+      .map(r => (r.getLong(0), r.get(1).toString, r.get(2).toString,
+        r.getLong(3))).toSet
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("tms").asc, col("event_id").asc)
+    val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expected = s.table("events")
+      .withColumn("tms", unix_millis(col("ts").cast("timestamp")))
+      .withColumn("_prev", lag(col("tms"), 1).over(byUser))
+      .withColumn("_new", when(col("_prev").isNull ||
+        col("tms") - col("_prev") > 6L * 3600 * 1000, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("_new")).over(cum))
+      .groupBy("user_id", "sid")
+      .agg(timestamp_millis(min("tms")).as("session_start"),
+        timestamp_millis(max("tms")).as("session_end"),
+        count(lit(1)).as("n_events"))
+      .collect()
+      .map(r => (r.getLong(0), r.get(2).toString, r.get(3).toString,
+        r.getLong(4))).toSet
+    assert(out == expected)
+    // the synthetic -1 advance user's open session must never leak
+    assert(!out.exists(_._1 == -1L))
+  }
 }
