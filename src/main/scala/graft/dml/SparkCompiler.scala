@@ -175,6 +175,32 @@ object TrainCompiler {
           s"<= $MaxChangepoints, got $other")
     }
 
+  /** prophet's `holidays` param in its BINDING form: a literal list of
+    * ISO dates (`holidays=['2024-01-01', '2024-12-25']`) becomes one
+    * indicator basis column per date — Prophet's holiday model (Taylor &
+    * Letham 2017 §3.3, indicator features with per-holiday effects). The
+    * reference's bare-name form (`holidays=us_holidays`, DSL.md:300)
+    * names a calendar table no deployment here provides and stays
+    * accepted-but-inert, surfaced via ignoredParams. */
+  def holidayDates(spec: TrainSpec): Option[List[String]] =
+    if (!spec.algorithm.equalsIgnoreCase("prophet")) None
+    else spec.params.collectFirst {
+      case ("holidays", Value.VList(xs)) =>
+        val dates = xs.map {
+          case Value.VStr(d) =>
+            try { java.time.LocalDate.parse(d); d }
+            catch { case _: java.time.format.DateTimeParseException =>
+              throw new IllegalArgumentException(
+                s"prophet holidays entries must be ISO dates, got '$d'") }
+          case other => throw new IllegalArgumentException(
+            s"prophet holidays entries must be ISO date strings, got $other")
+        }
+        require(dates.size <= 366,
+          s"prophet holidays: ${dates.size} dates exceed the 366 " +
+            "indicator-column cap; join a calendar table instead")
+        dates
+    }
+
   /** The clause the frame builder actually derives from: the statement's
     * WITH TIME COLUMN clause with prophet's BINDING `seasonality=[...]`
     * param merged in as extra Fourier granularities. Granularities are
@@ -226,7 +252,8 @@ object TrainCompiler {
       .filterNot(baseNames.contains).map(src.col)
     runtime.TimeSeries
       .withClauseFeatures(src.select(baseCols ++ extras: _*), ts,
-        changepoints = changepointCount(spec))
+        changepoints = changepointCount(spec),
+        holidays = holidayDates(spec).getOrElse(Nil))
       .select(featureNames(spec).map(col) :+ col(spec.target): _*)
   }
 
@@ -249,5 +276,6 @@ object TrainCompiler {
   def featureNames(spec: TrainSpec): Seq[String] =
     baseFeatureNames(spec) ++
       effectiveClause(spec).toSeq.flatMap(ts =>
-        runtime.TimeSeries.clauseFeatureNames(ts, changepointCount(spec)))
+        runtime.TimeSeries.clauseFeatureNames(ts, changepointCount(spec),
+          holidayDates(spec).getOrElse(Nil)))
 }

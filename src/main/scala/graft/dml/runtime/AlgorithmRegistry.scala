@@ -60,17 +60,19 @@ object AlgorithmRegistry {
     alg("neural_network", Classification, Some("maxIter"))(new MultilayerPerceptronClassifier()),
     alg("kmeans", Clustering, Some("maxIter"))(new KMeans()),
     // prophet has no Spark analog; documented Fourier + piecewise-linear
-    // regression stand-in (SURVEY §7.3). `seasonality=[...]` and
-    // `changepoints=k` BIND (extra Fourier granularities / trend hinge
-    // basis — consumed by the frame builder, see TrainCompiler
-    // .effectiveClause / changepointCount); `growth` validates (only
-    // 'linear' — the stand-in's trend — is expressible). The remaining two
-    // stay accepted-but-inert: `holidays` names a calendar table no
-    // deployment here provides (yet DSL.md:297-301 must fit, not fail),
-    // and `changepoint_prior_scale` is a per-delta Laplace prior — mapping
-    // it onto the solver's GLOBAL regularizer would shrink the seasonal
-    // terms too, distorting the fit it claims to tune, so inert-and-
-    // surfaced is the honest rendering.
+    // regression stand-in (SURVEY §7.3). `seasonality=[...]`,
+    // `changepoints=k`, and list-form `holidays=['2024-01-01', …]` BIND
+    // (extra Fourier granularities / trend hinge basis / per-date
+    // indicator features — consumed by the frame builder, see
+    // TrainCompiler.effectiveClause / changepointCount / holidayDates);
+    // `growth` validates (only 'linear' — the stand-in's trend — is
+    // expressible). Accepted-but-inert: bare-name `holidays=us_holidays`
+    // names a calendar table no deployment here provides (yet
+    // DSL.md:297-301 must fit, not fail), and `changepoint_prior_scale`
+    // is a per-delta Laplace prior — mapping it onto the solver's GLOBAL
+    // regularizer would shrink the seasonal terms too, distorting the
+    // fit it claims to tune, so inert-and-surfaced is the honest
+    // rendering.
     alg("prophet", Regression, Some("maxIter"),
       noop = Set("holidays", "changepoint_prior_scale"))(new LinearRegression()),
     // text classifiers: Tokenizer→HashingTF→IDF in front of the estimator

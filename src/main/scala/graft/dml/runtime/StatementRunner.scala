@@ -158,7 +158,8 @@ final class StatementRunner(
           // season_*/t_index columns
           val derived = TrainCompiler.effectiveClause(spec)
             .fold(withFeats)(ts => TimeSeries.withClauseFeatures(withFeats,
-              ts, changepoints = TrainCompiler.changepointCount(spec)))
+              ts, changepoints = TrainCompiler.changepointCount(spec),
+              holidays = TrainCompiler.holidayDates(spec).getOrElse(Nil)))
           val data = applyForClause(derived, raw)
           // the UNFILTERED frame is the contribution baseline — a
           // single-FOR-row batch must not be its own mean

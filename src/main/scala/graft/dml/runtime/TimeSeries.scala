@@ -177,21 +177,33 @@ object TimeSeries {
         col("t_index") - lit(changepointPosition(distinctSteps, k, j))))
     }
 
+  /** Holiday indicator basis (prophet's `holidays=[dates]` binding,
+    * Taylor & Letham 2017 §3.3): holiday_j = 1.0 on date j, else 0 —
+    * pure per-row projections, shared by training and forecast. */
+  private[dml] def withHolidays(
+      df: DataFrame, time: Column, holidays: Seq[String]): DataFrame =
+    holidays.zipWithIndex.foldLeft(df) { case (acc, (d, j)) =>
+      acc.withColumn(s"holiday_${j + 1}",
+        when(to_date(time) === lit(d).cast("date"), 1.0).otherwise(0.0))
+    }
+
   def withClauseFeatures(
       df: DataFrame, ts: graft.dml.TimeSeriesClause,
       maxDistinctSteps: Long = 1000000L,
-      changepoints: Option[Int] = None): DataFrame = {
+      changepoints: Option[Int] = None,
+      holidays: Seq[String] = Nil): DataFrame = {
     val t = col(ts.timeColumn)
     // NULL time values carry no position on the timeline and are dropped
     // UP FRONT — otherwise the trend's inner step join would silently
     // remove them only when TREND is present, training on different row
     // sets depending on the clause mix
     val timed = df.filter(t.isNotNull)
-    val seasonal = ts.seasonal.foldLeft(timed) { (acc, g) =>
+    val seasonal0 = ts.seasonal.foldLeft(timed) { (acc, g) =>
       seasonalColumns(t, g).foldLeft(acc) { case (a, (name, c)) =>
         a.withColumn(name, c)
       }
     }
+    val seasonal = withHolidays(seasonal0, t, holidays)
     ts.trend match {
       case None =>
         require(changepoints.isEmpty,
@@ -226,14 +238,17 @@ object TimeSeries {
   }
 
   /** Names the clause contributes to the training frame, in order —
-    * season components, trend index, then changepoint hinges. */
+    * season components, trend index, changepoint hinges, then holiday
+    * indicators. */
   def clauseFeatureNames(
       ts: graft.dml.TimeSeriesClause,
-      changepoints: Option[Int] = None): Seq[String] =
+      changepoints: Option[Int] = None,
+      holidays: Seq[String] = Nil): Seq[String] =
     ts.seasonal.flatMap(g =>
       Seq(s"season_$g", s"season_${g}_sin", s"season_${g}_cos")) ++
       ts.trend.map(_ => "t_index") ++
-      changepoints.toSeq.flatMap(k => (1 to k).map(j => s"cp_$j"))
+      changepoints.toSeq.flatMap(k => (1 to k).map(j => s"cp_$j")) ++
+      holidays.indices.map(j => s"holiday_${j + 1}")
 
   /** Inverse normal CDF (Acklam's rational approximation, max rel error
     * ~1.15e-9) — the z for a symmetric confidence band without any stats
@@ -333,13 +348,17 @@ object TimeSeries {
     // their last observed slope: every future t_index exceeds every knot
     // (knots live in the first 80% of history), so the hinge is linear
     // there — exactly Prophet's default non-Bayesian extrapolation
-    val feats = graft.dml.TrainCompiler.changepointCount(spec)
+    val hinged = graft.dml.TrainCompiler.changepointCount(spec)
       .fold(seasonalFeats) { k =>
         (1 to k).foldLeft(seasonalFeats) { (acc, j) =>
           acc.withColumn(s"cp_$j", greatest(lit(0.0), col("t_index") -
             changepointPositionCol(col("_steps"), k, j)))
         }
       }
+    // holiday indicators on the future dates (a future row CAN land on a
+    // bound holiday — the effect extrapolates, exactly Prophet's model)
+    val feats = withHolidays(hinged, col(ts.timeColumn),
+      graft.dml.TrainCompiler.holidayDates(spec).getOrElse(Nil))
     // the fitted pipeline's label-cast stage references the target column;
     // future rows have no observed target, so feed a placeholder (the
     // prediction never reads it)

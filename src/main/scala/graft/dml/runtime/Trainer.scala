@@ -139,9 +139,14 @@ object Trainer {
     // prophet stand-in param routing (SURVEY §7.3): `seasonality` /
     // `changepoints` / `growth` BIND in the frame builder (extra Fourier
     // granularities / trend hinges / trend-shape validation) and are
-    // consumed here — never sent to the estimator. Misuse fails loud.
+    // consumed here — never sent to the estimator; `holidays` binds too
+    // when given as a literal ISO-date list (per-date indicator basis),
+    // while the bare-name calendar form stays inert. Misuse fails loud.
+    val boundHolidays = TrainCompiler.holidayDates(spec).isDefined
     val consumedParams: Set[String] =
-      if (alg.name == "prophet") Set("seasonality", "changepoints", "growth")
+      if (alg.name == "prophet")
+        Set("seasonality", "changepoints", "growth") ++
+          (if (boundHolidays) Set("holidays") else Set.empty[String])
       else Set.empty
     if (alg.name == "prophet") {
       spec.params.collectFirst { case ("growth", v) => v }.foreach {
@@ -159,6 +164,10 @@ object Trainer {
       if (spec.params.exists(_._1 == "seasonality") && spec.timeSeries.isEmpty)
         throw new IllegalArgumentException(
           "prophet seasonality=[...] derives Fourier features from the " +
+            "time column: add WITH TIME COLUMN to the statement")
+      if (boundHolidays && spec.timeSeries.isEmpty)
+        throw new IllegalArgumentException(
+          "prophet holidays=[dates] derives indicator features from the " +
             "time column: add WITH TIME COLUMN to the statement")
     }
     AlgorithmRegistry.applyParams(est,
@@ -268,7 +277,9 @@ object Trainer {
 
     TrainReport(spec, model, metrics, epochs, checkpoints,
       namedSplits.map { case (k, d) => k -> d.count() },
-      ignoredParams = spec.params.map(_._1).filter(alg.noopParams))
+      // a param that BOUND this run (list-form holidays) is not inert
+      ignoredParams = spec.params.map(_._1)
+        .filter(n => alg.noopParams(n) && !consumedParams(n)))
   }
 
   /** Training DataFrame with scale() stripped; returns whether any feature

@@ -153,6 +153,43 @@ class TimeSeriesDslSpec extends AnyFunSuite {
       Seq(16.0, 32.0, 47.0, 63.0, 79.0))
   }
 
+  test("holidays=[dates] binds as indicator features; bad dates refuse") {
+    val s = spark
+    import s.implicits._
+    // noise-free flat series with two planted holiday spikes
+    (0 until 60).map { i =>
+      val day = java.time.LocalDate.of(2024, 1, 1).plusDays(i.toLong)
+      val y = 10.0 + (if (i == 14 || i == 42) 25.0 else 0.0)
+      (java.sql.Timestamp.valueOf(day.atStartOfDay), y)
+    }.toDF("day", "y").createOrReplaceTempView("ts_holidays")
+    def fit(dml: String) =
+      Trainer.train(s, DmlParser.parse(dml).asInstanceOf[TrainSpec])
+    val bound = fit(
+      "TRAIN MODEL m_hol USING prophet(" +
+        "holidays=['2024-01-15', '2024-02-12']) " +
+        "FROM ts_holidays PREDICT y " +
+        "WITH TIME COLUMN day AND FEATURES(TREND linear)")
+    val plain = fit(
+      "TRAIN MODEL m_plain USING prophet FROM ts_holidays PREDICT y " +
+        "WITH TIME COLUMN day AND FEATURES(TREND linear)")
+    assert(bound.ignoredParams.isEmpty,
+      "list-form holidays bind; nothing is inert")
+    assert(bound.metrics("rmse") < 0.2 * plain.metrics("rmse"),
+      s"holiday indicators must absorb the planted spikes: " +
+        s"bound=${bound.metrics("rmse")} plain=${plain.metrics("rmse")}")
+    val spec = DmlParser.parse(
+      "TRAIN MODEL m USING prophet(holidays=['2024-01-15']) " +
+        "FROM ts_holidays PREDICT y " +
+        "WITH TIME COLUMN day AND FEATURES(TREND linear)")
+      .asInstanceOf[TrainSpec]
+    assert(TrainCompiler.featureNames(spec) == Seq("t_index", "holiday_1"))
+    val e = intercept[IllegalArgumentException](fit(
+      "TRAIN MODEL m USING prophet(holidays=['not-a-date']) " +
+        "FROM ts_holidays PREDICT y " +
+        "WITH TIME COLUMN day AND FEATURES(TREND linear)"))
+    assert(e.getMessage.contains("ISO dates"))
+  }
+
   test("forecast extrapolates a changepointed trend at the final slope") {
     val s = spark
     import s.implicits._
