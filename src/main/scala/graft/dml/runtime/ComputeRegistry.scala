@@ -192,6 +192,43 @@ object ComputeRegistry {
       val flags = graft.llm.Similarity.semanticDedup(embs, semanticSeeds(embs))
         .select(col("vec_id").as("doc_id"), col("is_semdup").as(out))
       df.join(flags, Seq("doc_id"))
+    },
+    // CCNet head/middle/tail bucket over (text, lang) input columns:
+    // per-LANGUAGE perplexity percent-rank cut at 1/3 and 2/3; docs with
+    // < 2 tokens carry a NULL bucket (no perplexity to rank)
+    "ccnet_bucket" -> { (df, ins, out) =>
+      require(ins.length >= 2,
+        s"ccnet_bucket needs (text, lang) input columns, got $ins")
+      require(df.columns.contains("doc_id"),
+        s"table kernels require a 'doc_id' key column; relation has " +
+          s"[${df.columns.mkString(", ")}]")
+      val docs = df.select(col("doc_id"), col(ins.head).as("text"),
+        col(ins(1)).as("lang"))
+      val buckets = graft.llm.Curation.ccnetBuckets(docs)
+        .select(col("doc_id"), col("bucket").as(out))
+      df.join(buckets, Seq("doc_id"), "left")
+    },
+    // Efraimidis–Spirakis weighted sample over a WEIGHT input column —
+    // relation-shrinking like domain_cap: keeps the 50 winning docs;
+    // INTO column(...) names the selection-rank column
+    "weighted_sample" -> { (df, ins, out) =>
+      require(df.columns.contains("doc_id"),
+        s"table kernels require a 'doc_id' key column; relation has " +
+          s"[${df.columns.mkString(", ")}]")
+      val kept = graft.llm.Sampling.weightedSample(
+        df.select(col("doc_id"), col(ins.head)), k = 50,
+        weightCol = ins.head)
+        .select(col("doc_id"), col("sel_rank").as(out))
+      df.join(kept, Seq("doc_id"))
+    },
+    // signed random projection of an EMBEDDING input column to 16 dims
+    // (JL sketch — the coarse-ANN / clustering preprocessor); a pure
+    // zero-shuffle native projection
+    "rp_project" -> { (df, ins, out) =>
+      val dim = graft.llm.Similarity.embeddingDim(
+        df.select(col(ins.head).as("embedding")))
+      df.withColumn(out, graft.functions.MatchExpressions
+        .signedProjection(col(ins.head), 16, dim))
     })
 
   tableBuiltins.foreach { case (k, v) => tableKernels.put(k, v) }

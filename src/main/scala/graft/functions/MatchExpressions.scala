@@ -298,6 +298,92 @@ case class LshSignature(child: Expression, planes: Int, dim: Int)
       newChild: Expression): LshSignature = copy(child = newChild)
 }
 
+/** Signed random projection (Achlioptas ±1 / Johnson–Lindenstrauss):
+  * out_k = Σ_d sign(d, k) · x_d for k < outDim, with the ±1 matrix from
+  * the same MD5-parity constants as [[LshSignature]]
+  * ([[graft.llm.Similarity.planeSign]] — reproducible on any cluster, no
+  * RNG state). No 1/√outDim scaling: every downstream use is cosine,
+  * which is scale-invariant, and both engines then agree bit-for-bit
+  * without a shared constant.
+  *
+  * One dim-major fused loop per row (the per-plane HOF form would build
+  * outDim interpreted `aggregate` lambdas); a row whose width disagrees
+  * with `dim` raises (a silently truncated projection would mis-rank
+  * neighbors), a NULL element null-propagates the whole projection
+  * (cosine over a partial sum is meaningless), and a NULL array is NULL
+  * (standard unary-expression semantics). */
+case class SignedProjection(child: Expression, outDim: Int, dim: Int)
+    extends UnaryExpression {
+  require(outDim > 0 && dim > 0,
+    s"signed_projection needs outDim > 0 and dim > 0, got $outDim/$dim")
+
+  override def prettyName: String = "signed_projection"
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case o => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<float|double> argument, got ${o.sql}")
+  }
+
+  /** signs(k * dim + d) = planeSign(d, k) — computed once driver-side,
+    * shipped with the expression (same layout as [[LshSignature]]). */
+  @transient private lazy val signs: Array[Double] =
+    Array.tabulate(outDim * dim)(i =>
+      graft.llm.Similarity.planeSign(i % dim, i / dim))
+
+  @transient private lazy val childIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  /** public: called from generated code. Null (boxed) when any element is
+    * NULL. */
+  def project(x: ArrayData): Any = {
+    val n = x.numElements()
+    if (n != dim) throw new IllegalStateException(
+      s"signed_projection built for $dim-dim embeddings, got $n")
+    var d = 0
+    while (d < n) {
+      if (x.isNullAt(d)) return null
+      d += 1
+    }
+    val out = new Array[Double](outDim)
+    var k = 0
+    while (k < outDim) {
+      var acc = 0.0
+      val base = k * dim
+      var i = 0
+      while (i < dim) {
+        val v = if (childIsFloat) x.getFloat(i).toDouble else x.getDouble(i)
+        acc += v * signs(base + i)
+        i += 1
+      }
+      out(k) = acc
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def nullSafeEval(a: Any): Any = project(a.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("signedProjection", this,
+      classOf[SignedProjection].getName)
+    nullSafeCodeGen(ctx, ev, a => s"""
+      Object ${ev.value}_o = $ref.project($a);
+      if (${ev.value}_o == null) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) ${ev.value}_o;
+      }""")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): SignedProjection = copy(child = newChild)
+}
+
 object MatchExpressions {
   def intVecDot(a: Column, b: Column): Column =
     ColumnBridge.column(IntVecDot(
@@ -314,4 +400,8 @@ object MatchExpressions {
   def lshSignature(emb: Column, planes: Int, dim: Int): Column =
     ColumnBridge.column(LshSignature(
       ColumnBridge.expression(emb), planes, dim))
+
+  def signedProjection(emb: Column, outDim: Int, dim: Int): Column =
+    ColumnBridge.column(SignedProjection(
+      ColumnBridge.expression(emb), outDim, dim))
 }

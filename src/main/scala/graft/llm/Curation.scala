@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -168,6 +169,60 @@ object Curation {
       round(-avg(col("_lp")), 6).as("cross_entropy"),
       round(exp(-avg(col("_lp"))), 6).as("perplexity"))
     docs.select("doc_id").join(agg, Seq("doc_id"), "left")
+  }
+
+  /** CCNet head/middle/tail bucketing (Wenzek et al. 2020 §4.3): rank
+    * every document's [[lmPerplexity]] WITHIN ITS LANGUAGE and cut the
+    * per-language distribution at `loCut`/`hiCut` — head = the
+    * lowest-perplexity (most fluent) third, tail = the highest. Ranking
+    * per language is the point of the design: a single global cut would
+    * assign whole low-resource languages to the tail because their LM is
+    * worse calibrated, exactly the bias CCNet's per-language percentile
+    * scheme removes.
+    *
+    * percent_rank is computed from the per-language VALUE HISTOGRAM
+    * (count per (lang, perplexity), prefix-sum over the distinct values,
+    * broadcast join back — [[Sampling.percentRank]]'s trick with a
+    * language partition key) rather than a per-language row window: the
+    * window form makes one partition per language, and at corpus scale
+    * the dominant language IS most of the corpus in one task. The
+    * histogram is distinct-(lang, 6-dp-perplexity)-sized; its prefix-sum
+    * window orders ties identically to SQL percent_rank (ties share the
+    * strictly-smaller count).
+    *
+    * Docs with < 2 tokens have NULL perplexity — no rank, NULL bucket,
+    * row preserved (CCNet drops them downstream; the keep/drop policy
+    * belongs to the caller, not the scorer). */
+  def ccnetBuckets(
+      docs: DataFrame, loCut: Double = 1.0 / 3, hiCut: Double = 2.0 / 3,
+      alpha: Double = 0.5): DataFrame = {
+    require(loCut > 0 && hiCut > loCut && hiCut < 1,
+      s"need 0 < loCut < hiCut < 1, got $loCut/$hiCut")
+    val scored = lmPerplexity(docs, alpha)
+      .select(col("doc_id"), col("perplexity"))
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    val hist = scored.filter(col("perplexity").isNotNull)
+      .groupBy("lang", "perplexity").agg(count(lit(1)).as("_c"))
+    val wPrev = Window.partitionBy("lang").orderBy("perplexity")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy("lang")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val ranked = hist
+      .withColumn("_smaller", coalesce(sum("_c").over(wPrev), lit(0L)))
+      .withColumn("_n", sum("_c").over(wAll))
+      .withColumn("percent_rank",
+        when(col("_n") > 1,
+          round(col("_smaller").cast("double") /
+            (col("_n") - 1).cast("double"), 6))
+          .otherwise(lit(0.0)))
+      .select("lang", "perplexity", "percent_rank")
+    scored.join(broadcast(ranked), Seq("lang", "perplexity"), "left")
+      .withColumn("bucket",
+        when(col("percent_rank").isNull, lit(null).cast("string"))
+          .when(col("percent_rank") < loCut, lit("head"))
+          .when(col("percent_rank") < hiCut, lit("middle"))
+          .otherwise(lit("tail")))
+      .select("doc_id", "lang", "perplexity", "percent_rank", "bucket")
   }
 
   /** RE2-compatible patterns (identical semantics in Java regex and DuckDB,

@@ -92,4 +92,41 @@ object Relevance {
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(topN)
   }
+
+  /** Hybrid retrieval: reciprocal-rank fusion (Cormack et al. 2009) of a
+    * BM25 lexical ranking and an embedding-cosine semantic ranking —
+    * rrf = Σ 1/(kRrf + rank), summed over the lists that retrieved the
+    * doc. The de-facto fusion in every production RAG/retrieval stack:
+    * rank-based, so the two incomparable score scales never mix.
+    *
+    * Determinism across engines: both input rankings are already
+    * deterministic (6-dp-rounded scores, doc-id tie-breaks); the fused
+    * score adds the two reciprocals in a fixed order (bm25 term first)
+    * and rounds to 6 dp before the final rank.
+    *
+    * Scale shape: both arms end in bounded top-`armK` lists, so the
+    * fusion joins two ≤armK-row frames — driver-trivial at any corpus
+    * size; the expensive work (BM25 aggregation, ANN) keeps each arm's
+    * own scale shape. The final windows run over ≤2·armK rows. Documents
+    * and embeddings are joined positionally: embedding vec_id = doc_id
+    * (the fixture contract, FIXTURES.md). */
+  def hybridRrf(
+      docs: DataFrame, embeddings: DataFrame, terms: Seq[String],
+      queryVecId: Long, armK: Int = 20, kRrf: Int = 60, topN: Int = 20)
+      : DataFrame = {
+    val wBm = Window.orderBy(col("score").desc, col("doc_id").asc)
+    val bm = bm25TopDocs(docs, terms, armK)
+      .select(col("doc_id"),
+        row_number().over(wBm).cast("int").as("bm25_rank"))
+    val cos = Similarity.bruteForceTopK(embeddings, Seq(queryVecId), armK)
+      .select(col("vec_id").as("doc_id"), col("rank").as("cos_rank"))
+    val fused = bm.join(cos, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_score", round(
+        coalesce(lit(1.0) / (lit(kRrf) + col("bm25_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(kRrf) + col("cos_rank")), lit(0.0)), 6))
+    val wF = Window.orderBy(col("rrf_score").desc, col("doc_id").asc)
+    fused.withColumn("rank", row_number().over(wF).cast("int"))
+      .filter(col("rank") <= topN)
+      .select("doc_id", "bm25_rank", "cos_rank", "rrf_score", "rank")
+  }
 }

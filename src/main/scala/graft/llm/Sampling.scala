@@ -239,4 +239,41 @@ object Sampling {
       Seq(domainCol), Seq(negate(col("doc_id"))), cap)
       .select(col("doc_id"), col(domainCol), col("rank").as("cap_rank"))
   }
+
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES,
+    * exponential-jumps form): each row draws priority = −ln(u)/w — an
+    * Exponential(w) variate — and the k SMALLEST priorities win, which
+    * is distribution-identical to sequential weighted draws without
+    * replacement. The workhorse for "sample 1M docs proportional to
+    * quality score" where [[stratifiedHashSample]]'s per-stratum rates
+    * are too coarse.
+    *
+    * u comes from the same md5 derivation as [[hashSample]]'s bucket
+    * ((first-8-hex-digits + 0.5) / 2³², never 0 or 1) — rerun-stable,
+    * join-consistent, no RNG state, and replayable by the DuckDB oracle.
+    * Priorities are rounded to 9 dp before ranking (they live in
+    * (0, 22.2/min-weight] — 9 dp keeps ~5 significant digits at weight
+    * 10⁴) and ties break on the id.
+    *
+    * Scale shape: the draw is a zero-shuffle projection; the global
+    * smallest-k is sort+limit — Spark plans TakeOrderedAndProject, the
+    * per-partition bounded heap + single ≤ k·partitions merge, never a
+    * global sort. Rows with NULL or non-positive weight cannot be
+    * sampled (weight 0 = "never pick") and are filtered, documented
+    * here. */
+  def weightedSample(
+      docs: DataFrame, k: Int, weightCol: String = "n_chars",
+      idCol: String = "doc_id"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val u = (conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("double") + lit(0.5)) / lit(4294967296.0)
+    val sampled = docs
+      .filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("priority",
+        round(-log(u) / col(weightCol).cast("double"), 9))
+      .orderBy(col("priority").asc, col(idCol).asc)
+      .limit(k)
+    val w = Window.orderBy(col("priority").asc, col(idCol).asc)
+    sampled.withColumn("sel_rank", row_number().over(w).cast("int"))
+  }
 }

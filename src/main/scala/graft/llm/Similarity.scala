@@ -84,6 +84,53 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Two-stage ANN via signed random projection (Johnson–Lindenstrauss):
+    * project every embedding to `outDim` dims with the ±1 MD5-parity
+    * matrix ([[graft.functions.SignedProjection]] — one zero-shuffle
+    * native pass), take the `rerank` nearest per query by PROJECTED
+    * cosine, then rescore only those candidates at full precision. The
+    * coarse pass touches outDim doubles per vector instead of dim (4×
+    * less memory traffic at 64→16), and the exact pass touches only
+    * `rerank` rows per query — the standard coarse-filter/exact-rescore
+    * shape, with a deterministic projection so the whole pipeline
+    * replays in the DuckDB oracle.
+    *
+    * Scale shape: the projection is a per-row native expression (no
+    * shuffle); the coarse top-`rerank` runs through the bounded-heap
+    * [[graft.plans.TopK]] carrying only (query_id, vec_id, score); the
+    * rescore joins candidates back to the embedding store by vec_id —
+    * `rerank·|queries|` rows, broadcast-joinable. Recall vs the exact
+    * top-k is pinned in `SimilaritySpec`. */
+  def rpTopK(
+      embeddings: DataFrame, queryIds: Seq[Long], k: Int = 10,
+      outDim: Int = 16, rerank: Int = 30): DataFrame = {
+    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+    val dim = embeddingDim(embeddings)
+    val proj = embeddings
+      .filter(col("embedding").isNotNull)
+      .select(col("vec_id"),
+        graft.functions.MatchExpressions
+          .signedProjection(col("embedding"), outDim, dim).as("_rp"))
+    val queries = proj.filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("query_id"), col("_rp").as("_q_rp"))
+    val coarse = proj.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        normZero(round(cosine(col("_q_rp"), col("_rp")), 6)).as("rp_sim"))
+    val cand = graft.plans.TopK.topKPerKey(coarse, Seq("query_id"),
+      Seq(col("rp_sim"), negate(col("vec_id"))), rerank)
+      .select("query_id", "vec_id")
+    val qEmb = embeddings.filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("query_id"), col("embedding").as("_q_emb"))
+    val rescored = cand
+      .join(broadcast(qEmb), Seq("query_id"))
+      .join(embeddings.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        normZero(round(cosine(col("_q_emb"), col("embedding")), 6))
+          .as("cos_sim"))
+    rankTopK(rescored, k)
+  }
+
   /** Per-vector symmetric int8 quantization: scale = max|x|/127, element
     * q = round(x/scale) ∈ [−127, 127] — the standard first compression
     * step for an embedding store (4× smaller than float32, ~16× smaller

@@ -57,6 +57,13 @@ object CurationQueries {
       Curation.lmPerplexity(docs(s, dir), alpha = 0.5)
     },
 
+    // CCNet head/middle/tail buckets: per-LANGUAGE percent-rank of the
+    // bigram-LM perplexity, cut at 1/3 and 2/3 — the per-language
+    // histogram rank, never a one-partition-per-language row window
+    "q_ccnet_buckets" -> { (s, dir) =>
+      Curation.ccnetBuckets(docs(s, dir))
+    },
+
     // the corpus has no real PII, so deterministic addresses/numbers are
     // injected into every 7th doc — the scrub and its audit counts are
     // exercised on non-trivial input and the oracle injects identically
@@ -245,6 +252,48 @@ object CurationQueries {
         |FROM (SELECT doc_id FROM documents) d
         |LEFT JOIN agg a USING (doc_id)""".stripMargin,
 
+    // algorithm-independent oracle: the q_lm_perplexity pipeline + a plain
+    // per-language window percent_rank — the histogram rank must equal the
+    // window definition exactly ((rank-1)/(n-1), ties share)
+    "q_ccnet_buckets" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w
+        |  FROM documents),
+        |uc AS (
+        |  SELECT token, count(*) AS cu
+        |  FROM (SELECT unnest(w) AS token FROM base) GROUP BY token),
+        |v AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM uc),
+        |bg AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(w)),
+        |    i -> w[i] || ' ' || w[i+1])) AS gram
+        |  FROM base),
+        |bc AS (SELECT gram, count(*) AS cb FROM bg GROUP BY gram),
+        |lp AS (
+        |  SELECT b.doc_id,
+        |    ln((bc.cb + 0.5) / (uc.cu + 0.5 * v.v)) AS lp
+        |  FROM bg b
+        |  JOIN bc ON b.gram = bc.gram
+        |  JOIN uc ON string_split(b.gram, ' ')[1] = uc.token
+        |  CROSS JOIN v),
+        |perp AS (
+        |  SELECT doc_id, round(exp(-avg(lp)), 6) AS perplexity
+        |  FROM lp GROUP BY doc_id),
+        |scored AS (
+        |  SELECT d.doc_id, d.lang, p.perplexity
+        |  FROM documents d LEFT JOIN perp p USING (doc_id)),
+        |ranked AS (
+        |  SELECT doc_id, lang, perplexity,
+        |    round(percent_rank() OVER (
+        |      PARTITION BY lang ORDER BY perplexity), 6) AS percent_rank
+        |  FROM scored WHERE perplexity IS NOT NULL)
+        |SELECT s.doc_id, s.lang, s.perplexity, r.percent_rank,
+        |  CASE
+        |    WHEN r.percent_rank IS NULL THEN NULL
+        |    WHEN r.percent_rank < 1.0 / 3 THEN 'head'
+        |    WHEN r.percent_rank < 2.0 / 3 THEN 'middle'
+        |    ELSE 'tail' END AS bucket
+        |FROM scored s LEFT JOIN ranked r USING (doc_id)""".stripMargin,
+
     "q_pii_scrub" -> {
       val email = Curation.EmailRe
       val phone = Curation.PhoneRe
@@ -407,6 +456,7 @@ object CurationQueries {
     "q_quality_repetition" -> Seq("doc_id"),
     "q_gopher_filter" -> Seq("doc_id"),
     "q_lm_perplexity" -> Seq("doc_id"),
+    "q_ccnet_buckets" -> Seq("doc_id"),
     "q_pii_scrub" -> Seq("doc_id"),
     "q_dedup_groups" -> Seq("doc_id"),
     "q_dedup_groups_cc" -> Seq("doc_id"),

@@ -247,6 +247,16 @@ object LlmQueries {
         .orderBy("query_id", "rank")
     },
 
+    // random-projection ANN (JL coarse filter → exact rescore): the
+    // 64→16-dim signed projection is an MD5-parity constant matrix, so
+    // the ENTIRE two-stage pipeline — project, coarse top-30 by projected
+    // cosine, full-precision rescore, top-10 — replays in DuckDB
+    "q_ann_rp_topk" -> { (s, dir) =>
+      Similarity.rpTopK(embs(s, dir), annQueryIds, k = 10,
+        outDim = 16, rerank = 30)
+        .orderBy("query_id", "rank")
+    },
+
     // composite corpus filter — the end-to-end training-data pipeline:
     // keep docs that pass quality, are dedup group leaders, and whose
     // heuristic language agrees with the labeled one. One scan + one
@@ -835,6 +845,67 @@ object LlmQueries {
          |  FROM banded c JOIN q
          |    ON c.band_idx = q.band_idx AND c.band_key = q.band_key
          |  WHERE c.vec_id <> q.query_id),
+         |scored AS (
+         |  SELECT cand.query_id, cand.vec_id,
+         |    round(
+         |      list_sum(list_transform(range(1, len(qe.embedding) + 1),
+         |        i -> CAST(qe.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+         |      / (sqrt(list_sum(list_transform(range(1, len(qe.embedding) + 1),
+         |           i -> CAST(qe.embedding[i] AS DOUBLE) * CAST(qe.embedding[i] AS DOUBLE))))
+         |       * sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+         |           i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))))
+         |    , 6) AS cos_sim
+         |  FROM cand
+         |  JOIN embeddings qe ON qe.vec_id = cand.query_id
+         |  JOIN embeddings e ON e.vec_id = cand.vec_id),
+         |r AS (
+         |  SELECT query_id, vec_id, cos_sim,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos_sim DESC, vec_id ASC) AS INT) AS rank
+         |  FROM scored)
+         |SELECT query_id, vec_id, cos_sim, rank FROM r WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin
+    },
+
+    // replays the two-stage random-projection pipeline: project with the
+    // same ±1 MD5-parity matrix (literal sign arrays, element-order
+    // list_sum matching the native expression's ascending-index loop),
+    // coarse top-30 per query by projected cosine, exact full-precision
+    // rescore, top-10
+    "q_ann_rp_topk" -> {
+      val dim = 64; val outDim = 16; val rerank = 30
+      val projCols = (0 until outDim).map { k =>
+        val signs = (0 until dim)
+          .map(d => if (graft.llm.Similarity.planeSign(d, k) > 0) "1.0" else "-1.0")
+          .mkString(", ")
+        s"""list_sum(list_transform(range(1, ${dim + 1}),
+           |      i -> CAST(embedding[i] AS DOUBLE) * ([$signs])[i]))""".stripMargin
+      }.mkString(",\n    ")
+      s"""WITH rp AS (
+         |  SELECT vec_id, [
+         |    $projCols] AS rpv
+         |  FROM embeddings),
+         |q AS (
+         |  SELECT vec_id AS query_id, rpv AS q_rpv FROM rp
+         |  WHERE vec_id IN (0, 1, 2, 3, 4)),
+         |coarse AS (
+         |  SELECT q.query_id, e.vec_id,
+         |    round(
+         |      list_sum(list_transform(range(1, $outDim + 1),
+         |        i -> q.q_rpv[i] * e.rpv[i]))
+         |      / (sqrt(list_sum(list_transform(range(1, $outDim + 1),
+         |           i -> q.q_rpv[i] * q.q_rpv[i])))
+         |       * sqrt(list_sum(list_transform(range(1, $outDim + 1),
+         |           i -> e.rpv[i] * e.rpv[i]))))
+         |    , 6) AS rp_sim
+         |  FROM rp e, q WHERE e.vec_id <> q.query_id),
+         |cand AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY rp_sim DESC, vec_id ASC) AS rn
+         |    FROM coarse)
+         |  WHERE rn <= $rerank),
          |scored AS (
          |  SELECT cand.query_id, cand.vec_id,
          |    round(

@@ -17,6 +17,10 @@ object RelevanceQueries {
     Tables.register(s, dir); s.table("documents")
   }
 
+  private def embs(s: SparkSession, dir: String): DataFrame = {
+    Tables.register(s, dir); s.table("embeddings")
+  }
+
   /** Shared tokenizer CTE (whitespace split, empty tokens dropped). */
   private val toksCte =
     """toks AS (
@@ -33,6 +37,17 @@ object RelevanceQueries {
     "q_bm25_search" -> { (s, dir) =>
       Relevance.bm25TopDocs(
         docs(s, dir), Seq("spark", "vector", "stream"), topN = 20)
+    },
+
+    // hybrid retrieval: reciprocal-rank fusion of the BM25 lexical arm
+    // (same terms as q_bm25_search) and the embedding-cosine semantic arm
+    // (query = vec 0, the fixture's doc_id = vec_id contract) — both arms
+    // and the fusion replay exactly in DuckDB
+    "q_hybrid_rrf" -> { (s, dir) =>
+      Relevance.hybridRrf(docs(s, dir), embs(s, dir),
+        Seq("spark", "vector", "stream"), queryVecId = 0L,
+        armK = 20, kRrf = 60, topN = 20)
+        .orderBy("rank")
     })
 
   def oracles: Map[String, String] = Map(
@@ -89,7 +104,80 @@ object RelevanceQueries {
          |  CAST(count(*) AS BIGINT) AS n_terms_matched
          |FROM c GROUP BY doc_id
          |ORDER BY score DESC, doc_id ASC
-         |LIMIT 20""".stripMargin)
+         |LIMIT 20""".stripMargin,
+
+    // the BM25 arm is the q_bm25_search pipeline verbatim (top-20 with a
+    // rank), the cosine arm is the q_ann_cosine_topk pipeline for query
+    // vec 0; rrf adds the two reciprocals bm25-first and rounds to 6 dp
+    // before the fused rank, exactly the Column algebra
+    "q_hybrid_rrf" ->
+      s"""WITH $toksCte,
+         |dl AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+         |  FROM toks GROUP BY doc_id),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |s AS (
+         |  SELECT CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+         |  FROM dl),
+         |tf AS (
+         |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks
+         |  WHERE term IN ('spark', 'vector', 'stream')
+         |  GROUP BY doc_id, term),
+         |df AS (SELECT term, count(*) AS term_df FROM tf GROUP BY term),
+         |c AS (
+         |  SELECT tf.doc_id,
+         |    CAST(round(
+         |      ln((CAST(n.n_docs AS DOUBLE) - CAST(df.term_df AS DOUBLE) + 0.5)
+         |          / (CAST(df.term_df AS DOUBLE) + 0.5) + 1.0)
+         |        * (CAST(tf.tf AS DOUBLE) * 2.2)
+         |        / (CAST(tf.tf AS DOUBLE)
+         |           + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) / s.avgdl)),
+         |      6) AS DECIMAL(18,6)) AS contrib
+         |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+         |  CROSS JOIN n CROSS JOIN s),
+         |bmtop AS (
+         |  SELECT doc_id, CAST(sum(contrib) AS DOUBLE) AS score
+         |  FROM c GROUP BY doc_id
+         |  ORDER BY score DESC, doc_id ASC
+         |  LIMIT 20),
+         |bm AS (
+         |  SELECT doc_id,
+         |    CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT)
+         |      AS bm25_rank
+         |  FROM bmtop),
+         |q AS (
+         |  SELECT vec_id AS query_id, embedding AS q_emb
+         |  FROM embeddings WHERE vec_id = 0),
+         |cs AS (
+         |  SELECT e.vec_id,
+         |    round(
+         |      list_sum(list_transform(range(1, len(q.q_emb) + 1),
+         |        i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+         |      / (sqrt(list_sum(list_transform(range(1, len(q.q_emb) + 1),
+         |           i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE))))
+         |       * sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+         |           i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))))
+         |    , 6) AS cos_sim
+         |  FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+         |cosr AS (
+         |  SELECT vec_id AS doc_id,
+         |    CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id ASC) AS INT)
+         |      AS cos_rank
+         |  FROM cs ORDER BY cos_rank LIMIT 20),
+         |f AS (
+         |  SELECT coalesce(bm.doc_id, cosr.doc_id) AS doc_id,
+         |    bm.bm25_rank, cosr.cos_rank,
+         |    round(
+         |      coalesce(1.0 / (60 + bm.bm25_rank), 0.0) +
+         |      coalesce(1.0 / (60 + cosr.cos_rank), 0.0), 6) AS rrf_score
+         |  FROM bm FULL OUTER JOIN cosr ON bm.doc_id = cosr.doc_id),
+         |r AS (
+         |  SELECT doc_id, bm25_rank, cos_rank, rrf_score,
+         |    CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id ASC)
+         |      AS INT) AS rank
+         |  FROM f)
+         |SELECT doc_id, bm25_rank, cos_rank, rrf_score, rank
+         |FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin)
 
   def verifySort: Map[String, Seq[String]] = Map(
     "q_tfidf_topterms" -> Seq("doc_id", "rank"))

@@ -73,6 +73,15 @@ object SamplingQueries {
       Sampling.domainCap(docs(s, dir), "source", cap = 10)
     },
 
+    // Efraimidis–Spirakis weighted sample without replacement: 50 docs
+    // proportional to n_chars, md5-derived uniforms — rerun-stable and
+    // fully oracle-replayable; the selection is a TakeOrdered, no global
+    // sort
+    "q_weighted_sample" -> { (s, dir) =>
+      Sampling.weightedSample(
+        docs(s, dir).select("doc_id", "source", "n_chars"), k = 50)
+    },
+
     // the capstone composition: exact-dedup keep → n_chars quantile filter
     // (≥ p25 of the deduped corpus) → stratified per-domain sample →
     // deterministic shuffle positions over the survivors. Four operators
@@ -180,6 +189,23 @@ object SamplingQueries {
         |SELECT doc_id, n_chars, percent_rank
         |FROM r WHERE percent_rank >= 0.25""".stripMargin,
 
+    // replays the A-ES draw exactly: u = (first-8-md5-hex + 0.5)/2^32,
+    // priority = round(-ln(u)/weight, 9), k smallest win, id tie-break
+    "q_weighted_sample" ->
+      """WITH drawn AS (
+        |  SELECT doc_id, source, n_chars,
+        |    round(-ln((CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+        |        AS BIGINT) + 0.5) / 4294967296.0)
+        |      / CAST(n_chars AS DOUBLE), 9) AS priority
+        |  FROM documents
+        |  WHERE n_chars IS NOT NULL AND n_chars > 0),
+        |topk AS (
+        |  SELECT * FROM drawn ORDER BY priority ASC, doc_id ASC LIMIT 50)
+        |SELECT doc_id, source, n_chars, priority,
+        |  CAST(row_number() OVER (ORDER BY priority ASC, doc_id ASC) AS INT)
+        |    AS sel_rank
+        |FROM topk""".stripMargin,
+
     // algorithm-independent oracle: the per-domain row_number window the
     // bounded heap must reproduce exactly
     "q_domain_cap" ->
@@ -198,5 +224,6 @@ object SamplingQueries {
     "q_percent_rank_cont" -> Seq("doc_id"),
     "q_quantile_filter" -> Seq("doc_id"),
     "q_domain_cap" -> Seq("doc_id"),
+    "q_weighted_sample" -> Seq("doc_id"),
     "q_corpus_pipeline" -> Seq("doc_id"))
 }

@@ -306,4 +306,36 @@ class ComputeSpec2 extends AnyFunSuite {
       "documents")
     assert(hb.filter(col("bucket") < 0 || col("bucket") >= 100).count() == 0)
   }
+
+  test("ccnet_bucket, weighted_sample and rp_project kernels reach the " +
+    "new pipeline operators from the DSL") {
+    val s = spark
+    // ccnet: every multi-token doc gets a bucket, all three appear
+    val cb = ComputeRegistry.runOnce(s,
+      parse("COMPUTE cb FROM table(text, lang) INTO column(bucket) " +
+        "USING ccnet_bucket"),
+      "documents")
+    assert(cb.count() == s.table("documents").count())
+    val buckets = cb.select("bucket").na.drop().distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(buckets == Set("head", "middle", "tail"))
+    // weighted sample: exactly 50 winners, rank column attached
+    val ws = ComputeRegistry.runOnce(s,
+      parse("COMPUTE ws FROM table(n_chars) INTO column(sel_rank) " +
+        "USING weighted_sample"),
+      "documents")
+    assert(ws.count() == 50)
+    assert(ws.select("sel_rank").collect().map(_.getInt(0)).sorted.toSeq ==
+      (1 to 50))
+    // rp_project: 16-dim sketch per embedding, no row change
+    s.table("embeddings").withColumnRenamed("vec_id", "doc_id")
+      .createOrReplaceTempView("emb_docs")
+    val rp = ComputeRegistry.runOnce(s,
+      parse("COMPUTE rp FROM table(embedding) INTO column(sketch) " +
+        "USING rp_project"),
+      "emb_docs")
+    assert(rp.count() == s.table("embeddings").count())
+    assert(rp.select(size(col("sketch"))).distinct().collect()
+      .map(_.getInt(0)).toSeq == Seq(16))
+  }
 }

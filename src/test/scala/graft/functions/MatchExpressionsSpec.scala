@@ -342,4 +342,47 @@ class MatchExpressionsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("built for 5-dim") ||
       Option(e.getCause).exists(_.getMessage.contains("built for 5-dim")))
   }
+
+  /** The per-plane HOF reference: out_k = aggregate over the ±1-weighted
+    * elements, ascending index — the exact loop SignedProjection fuses. */
+  private def signedProjectionComposed(
+      emb: Column, outDim: Int, dim: Int): Column =
+    array((0 until outDim).map { k =>
+      val signs = (0 until dim).map(d => graft.llm.Similarity.planeSign(d, k))
+      aggregate(
+        zip_with(emb.cast("array<double>"),
+          typedLit(signs), (x, sgn) => x * sgn),
+        lit(0.0), (acc, v) => acc + v)
+    }: _*)
+
+  test("SignedProjection matches the per-plane aggregate chain exactly") {
+    val s = spark
+    val e = s.table("embeddings").select("vec_id", "embedding")
+    for (outDim <- Seq(4, 16)) {
+      assertNoDiff(e,
+        MatchExpressions.signedProjection(col("embedding"), outDim, 64),
+        signedProjectionComposed(col("embedding"), outDim, 64))
+    }
+  }
+
+  test("SignedProjection edges: null array, null element, width mismatch") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      (1L, Seq[java.lang.Float](1f, -2f, 3f, -4f)),
+      (2L, null.asInstanceOf[Seq[java.lang.Float]]),
+      (3L, Seq[java.lang.Float](1f, null, 3f, -4f)))
+      .toDF("id", "emb")
+    val got = rows.select(col("id"),
+      MatchExpressions.signedProjection(col("emb"), 8, 4).as("p"))
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(!got(1L)) // clean row projects
+    assert(got(2L)) // NULL array null-propagates
+    assert(got(3L)) // NULL element nulls the whole projection
+    val e = intercept[Exception](
+      rows.filter(col("id") === 1L).select(
+        MatchExpressions.signedProjection(col("emb"), 8, 5)).collect())
+    assert(e.getMessage.contains("built for 5-dim") ||
+      Option(e.getCause).exists(_.getMessage.contains("built for 5-dim")))
+  }
 }

@@ -311,4 +311,34 @@ class CurationSpec extends AnyFunSuite {
     // every identical copy lands in its original's group
     (0L until 10L).foreach { id => assert(g(id + 100000L) == g(id)) }
   }
+
+  test("ccnetBuckets: per-language cuts are monotone in perplexity and " +
+    "every language fills roughly even thirds") {
+    val s = spark
+    val out = Curation.ccnetBuckets(s.table("documents")).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        if (r.isNullAt(4)) None else Some(r.getString(4))))
+    assert(out.length == s.table("documents").count())
+    // bucket is defined exactly when perplexity is
+    assert(out.forall(t => t._3.isDefined == t._4.isDefined))
+    val byLang = out.filter(_._3.isDefined).groupBy(_._2)
+    byLang.foreach { case (lang, rows) =>
+      val perp = (b: String) =>
+        rows.filter(_._4.contains(b)).flatMap(_._3)
+      val (h, m, t) = (perp("head"), perp("middle"), perp("tail"))
+      // monotone: every head perplexity <= every middle <= every tail
+      if (h.nonEmpty && m.nonEmpty) assert(h.max <= m.min, s"$lang head>middle")
+      if (m.nonEmpty && t.nonEmpty) assert(m.max <= t.min, s"$lang middle>tail")
+      // thirds within a tie-tolerant band
+      val n = rows.length.toDouble
+      Seq(h, m, t).foreach(b =>
+        assert(b.length / n > 0.15 && b.length / n < 0.55,
+          s"$lang bucket share off: ${h.length}/${m.length}/${t.length}"))
+    }
+    // the per-language design: heads exist in EVERY language, so a
+    // low-resource language is never wholesale relegated to the tail
+    assert(byLang.keySet.forall(l =>
+      byLang(l).exists(_._4.contains("head"))))
+  }
 }

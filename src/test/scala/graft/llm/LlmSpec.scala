@@ -450,6 +450,34 @@ class LlmSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"LSH recall $recall too low")
   }
 
+  test("random-projection ANN: exact rescore, solid recall vs brute force") {
+    val s = spark
+    val e = s.table("embeddings")
+    val qids = Seq(0L, 1L, 2L, 3L, 4L)
+    val exact = Similarity.bruteForceTopK(e, qids, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val rp = Similarity.rpTopK(e, qids, k = 10, outDim = 16, rerank = 30)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // the rescore stage is FULL precision: every surviving pair's score
+    // must equal the brute-force cosine for that pair bit for bit
+    rp.foreach { case (pair, score) =>
+      exact.get(pair).foreach(ex => assert(ex == score,
+        s"rescored $pair diverges: rp=$score exact=$ex"))
+    }
+    val recall = rp.keySet.intersect(exact.keySet).size.toDouble / exact.size
+    // random 64-dim fixtures are the JL worst case (all near-orthogonal);
+    // a 16-dim sketch with 3x rerank still recovers well above chance
+    assert(recall >= 0.3, s"RP recall $recall too low")
+    // a planted exact duplicate survives ANY projection: its projected
+    // cosine is exactly 1, so it tops the coarse list and rescores to 1
+    val dup = e.filter(col("vec_id") === 0L)
+      .select(lit(9999L).as("vec_id"), col("embedding"), col("label"))
+    val withDup = Similarity.rpTopK(e.unionAll(dup), Seq(0L), k = 1,
+      outDim = 16, rerank = 30).collect()
+    assert(withDup.head.getLong(1) == 9999L &&
+      withDup.head.getDouble(2) == 1.0)
+  }
+
   test("cosine near-dup finds planted duplicate embeddings") {
     val s = spark
     val e = s.table("embeddings").filter(col("vec_id") < 50)

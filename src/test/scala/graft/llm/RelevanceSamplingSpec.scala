@@ -279,4 +279,63 @@ class RelevanceSamplingSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(viaReserved == baseline && viaSpace == baseline)
   }
+
+  test("hybridRrf: fused score is the reciprocal-rank formula and " +
+    "two-arm docs outrank every single-arm doc") {
+    val s = spark
+    val fused = Relevance.hybridRrf(
+      s.table("documents"), s.table("embeddings"),
+      Seq("spark", "vector", "stream"), queryVecId = 0L,
+      armK = 20, kRrf = 60, topN = 40).collect()
+    assert(fused.nonEmpty && fused.length <= 40)
+    def rr(r: org.apache.spark.sql.Row, i: Int): Double =
+      if (r.isNullAt(i)) 0.0 else 1.0 / (60 + r.getInt(i))
+    fused.foreach { r =>
+      val want = BigDecimal(rr(r, 1) + rr(r, 2))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getDouble(3) - want) < 1e-12,
+        s"rrf formula mismatch on $r")
+    }
+    // with armK=20 and kRrf=60, worst two-arm score 2/80 = 0.025 beats
+    // best one-arm score 1/61 ≈ 0.0164 — so fusion strictly prefers
+    // agreement, and the rank order must reflect it
+    val both = fused.filter(r => !r.isNullAt(1) && !r.isNullAt(2))
+    val single = fused.filter(r => r.isNullAt(1) || r.isNullAt(2))
+    if (both.nonEmpty && single.nonEmpty)
+      assert(both.map(_.getInt(4)).max < single.map(_.getInt(4)).min)
+    // ranks are dense from 1
+    assert(fused.map(_.getInt(4)).sorted.toSeq == (1 to fused.length))
+  }
+
+  test("weightedSample: A-ES draw is deterministic, excludes nonpositive " +
+    "weights, and prefers heavy rows") {
+    val s = spark
+    import s.implicits._
+    // even ids weigh 1, odd ids weigh 10000, a few rows unsampleable
+    val docs = (0L until 1000L)
+      .map(i => (i, "d", if (i >= 990) 0L else if (i % 2 == 1) 10000L else 1L))
+      .toDF("doc_id", "source", "n_chars")
+    val got = Sampling.weightedSample(docs, k = 100).collect()
+    assert(got.length == 100)
+    assert(got.forall(_.getLong(2) > 0), "weight-0 rows can never be drawn")
+    val odd = got.count(_.getLong(0) % 2 == 1)
+    assert(odd >= 90, s"10000:1 weights should dominate the sample: $odd/100")
+    // the priority column is exactly the documented formula
+    got.take(10).foreach { r =>
+      val id = r.getLong(0)
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      val u = (java.lang.Long.parseLong(hex, 16) + 0.5) / 4294967296.0
+      val want = BigDecimal(-math.log(u) / r.getLong(2))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(3) == want, s"priority formula mismatch on $r")
+    }
+    // rerun-stable
+    val again = Sampling.weightedSample(docs, k = 100).collect()
+    assert(got.map(_.toString).sameElements(again.map(_.toString)))
+    // sel_rank follows ascending priority
+    assert(got.sortBy(_.getInt(4)).map(_.getDouble(3)).toSeq ==
+      got.map(_.getDouble(3)).sorted.toSeq)
+  }
 }
