@@ -340,4 +340,45 @@ class PlanAuditSpec extends AnyFunSuite {
       spark, SparkTestSession.fixtureDir)
     assert(df.count() > 0)
   }
+
+  test("q_ann_rp_topk fuses the projection, heaps the coarse pass, and " +
+    "never goes cartesian") {
+    val p = plan("q_ann_rp_topk")
+    assert(p.contains("signed_projection"),
+      s"the JL sketch must be the fused native expression:\n$p")
+    assert(p.contains("ObjectHashAggregate"),
+      s"the coarse top-rerank must be the bounded-heap aggregate:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"query fan-out is a broadcast, rescore joins are equi-joins:\n$p")
+  }
+
+  test("q_weighted_sample selects via TakeOrdered — never a global sort") {
+    val p = plan("q_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the k smallest priorities must use the per-partition heap merge:\n$p")
+    assert(!p.contains("rangepartitioning"),
+      s"a range-partitioned global Sort defeats the bounded selection:\n$p")
+  }
+
+  test("q_ccnet_buckets joins the per-language histogram back via " +
+    "broadcast and windows only the distinct-value table") {
+    val p = plan("q_ccnet_buckets")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the (lang, perplexity) rank table is distinct-value-sized and " +
+        s"must broadcast back:\n$p")
+    assert(p.contains("windowspecdefinition(lang"),
+      s"the prefix-sum window must be keyed by language over the " +
+        s"histogram — an unkeyed window funnels everything through one " +
+        s"task:\n$p")
+  }
+
+  test("q_hybrid_rrf keeps both arms bounded and fuses tiny frames") {
+    val p = plan("q_hybrid_rrf")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the BM25 arm must end in a bounded sort+limit:\n$p")
+    assert(p.contains("ObjectHashAggregate"),
+      s"the cosine arm must rank through the bounded heap:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"no stage of the fusion may degrade to a cartesian:\n$p")
+  }
 }
