@@ -1,0 +1,105 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer TRAINING (Sennrich et al. 2016) as a
+  * distributed pipeline — the piece [[TextOps.buildVocab]] (word-level
+  * vocab fit) and the token-count heuristics stop short of: learn the
+  * subword merge table itself from corpus statistics.
+  *
+  * Algorithm shape on Spark:
+  *  1. one corpus-sized aggregation builds the (word, freq) table —
+  *     the ONLY corpus-scale stage, persisted once;
+  *  2. each word is symbolized as its characters joined by a TWO-SPACE
+  *     separator plus a trailing `_` end-of-word marker
+  *     ("cat" → "c  a  t  _");
+  *  3. each merge round counts adjacent symbol pairs over the VOCAB
+  *     table weighted by word freq (vocabulary-sized, never corpus-
+  *     sized), picks the most frequent pair (ties break on the pair
+  *     string ascending), and rewrites every word with one
+  *     `regexp_replace` — `(^| )A  B( |$)` → `$1AB$2`.
+  *
+  * The two-space separator is what makes the single regex pass EXACTLY
+  * the left-to-right non-overlapping merge BPE specifies: each match
+  * consumes at most one boundary space, so adjacent occurrences
+  * ("a  b  a  b") still both merge, while a one-space join would let
+  * the first match swallow the second's boundary. Both Java regex and
+  * RE2 replace leftmost-non-overlapping, so the DuckDB oracle replays
+  * the rewrite verbatim.
+  *
+  * Determinism contract: only words matching `^[a-z0-9]+$` participate
+  * (symbols then stay in `[a-z0-9_]+` — no regex metacharacters ever
+  * reach the dynamically-built pattern), counts are exact longs, and
+  * the argmax tie-break is binary string order — identical in both
+  * engines.
+  *
+  * Scale shape: after the one corpus aggregation, every stage is
+  * vocabulary-bounded. The per-round argmax is a 1-row driver collect —
+  * the same bounded index-metadata envelope as IVF seeds and PQ
+  * codebooks. A 100 TB corpus with a 10M-word vocabulary pays the
+  * corpus scan once and then 10M-row rounds.
+  */
+object Bpe {
+
+  /** (merge table, final vocab symbolization). Merge table: one row per
+    * round — (round, lhs, rhs, merged, pair_count); vocab: (word, freq,
+    * syms, n_tokens) after all merges. */
+  case class BpeModel(merges: DataFrame, vocab: DataFrame)
+
+  private[llm] def initialVocab(docs: DataFrame): DataFrame =
+    docs.select(explode(split(coalesce(col("text"), lit("")), " "))
+        .as("word"))
+      .filter(col("word").rlike("^[a-z0-9]+$"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      // "cat" → "c  a  t  _": every char emits itself + the two-space
+      // separator, then the end-of-word marker (identical one-regex
+      // derivation in the DuckDB oracle — no split-on-empty edge cases)
+      .withColumn("syms",
+        concat(regexp_replace(col("word"), "(.)", "$1  "), lit("_")))
+
+  /** Train `nMerges` BPE merges on the corpus. Requires the corpus to
+    * support that many merges (each round must find at least one pair) —
+    * a corpus too small to sustain the budget raises rather than
+    * silently returning a shorter table. */
+  def train(spark: SparkSession, docs: DataFrame, nMerges: Int): BpeModel = {
+    require(nMerges > 0 && nMerges <= 1000,
+      s"nMerges must be in [1, 1000], got $nMerges")
+    import spark.implicits._
+    // the one corpus-sized stage: persist so the k rounds re-read a
+    // vocabulary-sized cache, not the corpus
+    var vocab = PipelineCaches.track(initialVocab(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    vocab.count()
+    val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+    for (round <- 1 to nMerges) {
+      // fully-merged one-symbol words have no pairs: sequence(1, 0)
+      // counts DOWN in Spark and arr[1] errors under ANSI, so the guard
+      // is load-bearing, not cosmetic
+      val pairs = vocab
+        .select(col("freq"), split(col("syms"), "  ").as("_l"))
+        .select(col("freq"), explode(expr(
+          "CASE WHEN size(_l) >= 2 THEN transform(sequence(1, size(_l) - 1), " +
+            "i -> concat(_l[i - 1], ' ', _l[i])) " +
+            "ELSE CAST(array() AS array<string>) END")).as("pair"))
+        .groupBy("pair").agg(sum("freq").as("c"))
+      // bounded driver collect: ONE row of index metadata per round
+      val best = pairs.orderBy(col("c").desc, col("pair").asc)
+        .limit(1).collect()
+      require(best.nonEmpty,
+        s"corpus exhausted at merge round $round of $nMerges — every " +
+          "word is a single symbol; lower the merge budget")
+      val Array(lhs, rhs) = best.head.getString(0).split(" ", 2)
+      merges += ((round, lhs, rhs, lhs + rhs, best.head.getLong(1)))
+      // symbols are [a-z0-9_]+ by construction — safe as regex literals
+      vocab = vocab.withColumn("syms", regexp_replace(col("syms"),
+        s"(^| )$lhs  $rhs( |$$)", s"$$1$lhs$rhs$$2"))
+    }
+    val mergeDf = merges.result()
+      .toDF("round", "lhs", "rhs", "merged", "pair_count")
+    val finalVocab = vocab.withColumn("n_tokens",
+      size(split(col("syms"), "  ")).cast("bigint"))
+      .select("word", "freq", "syms", "n_tokens")
+    BpeModel(mergeDf, finalVocab)
+  }
+}

@@ -64,6 +64,21 @@ object CurationQueries {
       Curation.ccnetBuckets(docs(s, dir))
     },
 
+    // BPE tokenizer TRAINING (Sennrich 2016): 8 merge rounds learned
+    // from corpus pair statistics — one corpus-sized aggregation, then
+    // vocabulary-bounded rounds; the oracle replays all 8 unrolled
+    // rounds including each round's argmax
+    "q_bpe_merges" -> { (s, dir) =>
+      graft.llm.Bpe.train(s, docs(s, dir), nMerges = 8)
+        .merges.orderBy("round")
+    },
+
+    // the trained model APPLIED: every vocab word's final subword
+    // symbolization + token count after the same 8 merges
+    "q_bpe_vocab" -> { (s, dir) =>
+      graft.llm.Bpe.train(s, docs(s, dir), nMerges = 8).vocab
+    },
+
     // the corpus has no real PII, so deterministic addresses/numbers are
     // injected into every 7th doc — the scrub and its audit counts are
     // exercised on non-trivial input and the oracle injects identically
@@ -134,7 +149,65 @@ object CurationQueries {
         graft.llm.TextOps.buildVocab(d, vocabSize = 16))
     })
 
+  /** DuckDB replay of [[graft.llm.Bpe.train]]: `n` UNROLLED merge
+    * rounds — each stage recounts adjacent pairs from the previous
+    * symbolization, picks the argmax inside SQL (ORDER BY c DESC, pair
+    * ASC LIMIT 1), and rewrites the vocab with the identical
+    * two-space-separator regex (RE2 and Java regex agree on
+    * leftmost-non-overlapping global replace). `finalSelect` consumes
+    * the generated CTEs: b1..bN hold each round's chosen pair, vN the
+    * final symbolization. */
+  private def bpeOracleCtes(n: Int): String = {
+    val head =
+      """w AS (
+        |  SELECT t AS word, CAST(count(*) AS BIGINT) AS freq FROM (
+        |    SELECT unnest(string_split(coalesce(text, ''), ' ')) AS t
+        |    FROM documents)
+        |  WHERE regexp_matches(t, '^[a-z0-9]+$')
+        |  GROUP BY t),
+        |v0 AS (
+        |  SELECT word, freq,
+        |    regexp_replace(word, '(.)', '\1  ', 'g') || '_' AS syms
+        |  FROM w)""".stripMargin
+    val stages = (1 to n).map { r =>
+      s"""p$r AS (
+         |  SELECT pair, CAST(sum(freq) AS BIGINT) AS c FROM (
+         |    SELECT freq,
+         |      unnest(list_transform(range(1, len(l)),
+         |        i -> l[i] || ' ' || l[i + 1])) AS pair
+         |    FROM (SELECT freq, string_split(syms, '  ') AS l FROM v${r - 1}))
+         |  GROUP BY pair),
+         |b$r AS (SELECT pair, c FROM p$r ORDER BY c DESC, pair ASC LIMIT 1),
+         |v$r AS (
+         |  SELECT v.word, v.freq,
+         |    regexp_replace(v.syms,
+         |      '(^| )' || replace(b.pair, ' ', '  ') || '( |$$)',
+         |      '\\1' || replace(b.pair, ' ', '') || '\\2', 'g') AS syms
+         |  FROM v${r - 1} v CROSS JOIN b$r b)""".stripMargin
+    }
+    (head +: stages).mkString(",\n")
+  }
+
   def oracles: Map[String, String] = Map(
+    "q_bpe_merges" -> {
+      val n = 8
+      val rows = (1 to n).map(r =>
+        s"""  SELECT $r AS round, string_split(pair, ' ')[1] AS lhs,
+           |    string_split(pair, ' ')[2] AS rhs,
+           |    replace(pair, ' ', '') AS merged, c AS pair_count FROM b$r""".stripMargin)
+        .mkString("\n  UNION ALL\n")
+      s"""WITH ${bpeOracleCtes(n)}
+         |SELECT round, lhs, rhs, merged, pair_count FROM (
+         |$rows)
+         |ORDER BY round""".stripMargin
+    },
+
+    "q_bpe_vocab" ->
+      s"""WITH ${bpeOracleCtes(8)}
+         |SELECT word, freq, syms,
+         |  CAST(len(string_split(syms, '  ')) AS BIGINT) AS n_tokens
+         |FROM v8""".stripMargin,
+
     "q_decontaminate" -> {
       // k=5 word grams; md5 gram keys; DISTINCT per doc (list_distinct)
       val grams =
@@ -457,6 +530,7 @@ object CurationQueries {
     "q_gopher_filter" -> Seq("doc_id"),
     "q_lm_perplexity" -> Seq("doc_id"),
     "q_ccnet_buckets" -> Seq("doc_id"),
+    "q_bpe_vocab" -> Seq("word"),
     "q_pii_scrub" -> Seq("doc_id"),
     "q_dedup_groups" -> Seq("doc_id"),
     "q_dedup_groups_cc" -> Seq("doc_id"),

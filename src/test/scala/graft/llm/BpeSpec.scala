@@ -1,0 +1,85 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** BPE merge learning must reproduce the hand-derivable merge sequence
+  * on the classic Sennrich corpus, apply merges left-to-right
+  * non-overlapping within a word, and fail loudly when the corpus
+  * cannot sustain the merge budget. */
+class BpeSpec extends AnyFunSuite {
+
+  private def spark = SparkTestSession.withTables()
+
+  private def corpus(s: org.apache.spark.sql.SparkSession,
+      words: (String, Int)*) = {
+    import s.implicits._
+    words.zipWithIndex.map { case ((w, n), i) =>
+      (i.toLong, Seq.fill(n)(w).mkString(" "))
+    }.toDF("doc_id", "text")
+  }
+
+  test("reproduces the Sennrich example's merge sequence exactly") {
+    val s = spark
+    // {low:5, lower:2, newest:6, widest:3} — the BPE paper's worked
+    // example (with `_` as the end-of-word marker). Hand derivation:
+    // (e,s) (es,t) (est,_) all count 9 in tie order, then (l,o) (lo,w)
+    // at 7, then (e,w) wins the 6-count tie against (n,e) and (w,est_).
+    val docs = corpus(s, ("low", 5), ("lower", 2),
+      ("newest", 6), ("widest", 3))
+    val model = Bpe.train(s, docs, nMerges = 6)
+    val got = model.merges.orderBy("round").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      ("e", "s", 9L), ("es", "t", 9L), ("est", "_", 9L),
+      ("l", "o", 7L), ("lo", "w", 7L), ("e", "w", 6L)))
+    val vocab = model.vocab.collect()
+      .map(r => r.getString(0) -> (r.getString(2), r.getLong(3))).toMap
+    assert(vocab("low") == (("low  _", 2L)))
+    assert(vocab("newest") == (("n  ew  est_", 3L)))
+    assert(vocab("widest") == (("w  i  d  est_", 4L)))
+  }
+
+  test("merges adjacent occurrences in one pass, left to right") {
+    val s = spark
+    // "abab": pair (a,b) counts twice per word and must merge BOTH
+    // occurrences in one round — the two-space separator guarantees the
+    // second match keeps its boundary space
+    val docs = corpus(s, ("abab", 2), ("cd", 1))
+    val model = Bpe.train(s, docs, nMerges = 1)
+    val m = model.merges.collect().head
+    assert((m.getString(1), m.getString(2), m.getLong(4)) == (("a", "b", 4L)))
+    val syms = model.vocab.collect()
+      .map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(syms("abab") == "ab  ab  _")
+  }
+
+  test("greedy left-to-right on odd runs: aaa -> [aa, a]") {
+    val s = spark
+    val docs = corpus(s, ("aaa", 3))
+    // round 1 merges (a,a); within "a  a  a  _" only the FIRST pair
+    // merges (the middle a's boundary was consumed), like reference BPE
+    val model = Bpe.train(s, docs, nMerges = 1)
+    val syms = model.vocab.collect().head.getString(2)
+    assert(syms == "aa  a  _")
+  }
+
+  test("raises when the corpus cannot sustain the merge budget") {
+    val s = spark
+    val docs = corpus(s, ("ab", 1))
+    // "a  b  _" supports exactly 2 merges; the 3rd round finds no pairs
+    val e = intercept[IllegalArgumentException](
+      Bpe.train(s, docs, nMerges = 3))
+    assert(e.getMessage.contains("exhausted at merge round 3"))
+  }
+
+  test("non-alnum words never reach the symbol table") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((0L, "ok ok C:\\path (x)* [a-z]+ $5 ok"))
+      .toDF("doc_id", "text")
+    val model = Bpe.train(s, docs, nMerges = 2)
+    assert(model.vocab.collect().map(_.getString(0)).toSet == Set("ok"))
+  }
+}
