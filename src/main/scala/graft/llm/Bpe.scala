@@ -102,4 +102,30 @@ object Bpe {
       .select("word", "freq", "syms", "n_tokens")
     BpeModel(mergeDf, finalVocab)
   }
+
+  /** Apply a trained model to the corpus: per-doc word and subword-token
+    * counts. The vocab is vocabulary-sized and BROADCAST — the corpus
+    * side explodes to (doc_id, word) and aggregates straight back to
+    * doc_id, so nothing corpus-sized ever shuffles by word. Words outside
+    * the trainable alphabet (non-`[a-z0-9]+` — dropped at training time)
+    * count toward `n_words` but contribute no subword tokens, reported
+    * separately as `n_oov_words`. */
+  def encode(docs: DataFrame, model: BpeModel): DataFrame = {
+    val words = docs.select(col("doc_id"),
+      explode(split(coalesce(col("text"), lit("")), " ")).as("word"))
+      .filter(col("word") =!= "")
+    val agg = words
+      .join(broadcast(model.vocab.select("word", "n_tokens")),
+        Seq("word"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("_nw"),
+        sum(when(col("n_tokens").isNull, 1L).otherwise(0L)).as("_noov"),
+        coalesce(sum("n_tokens"), lit(0L)).as("_nbpe"))
+    // empty/NULL-text docs have no words — preserved with zero counts
+    docs.select("doc_id").join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("_nw"), lit(0L)).as("n_words"),
+        coalesce(col("_noov"), lit(0L)).as("n_oov_words"),
+        coalesce(col("_nbpe"), lit(0L)).as("n_bpe_tokens"))
+  }
 }

@@ -79,6 +79,13 @@ object CurationQueries {
       graft.llm.Bpe.train(s, docs(s, dir), nMerges = 8).vocab
     },
 
+    // corpus-side apply: per-doc word / OOV / subword-token counts via a
+    // broadcast vocab join — the corpus never shuffles by word
+    "q_bpe_encode" -> { (s, dir) =>
+      val d = docs(s, dir)
+      graft.llm.Bpe.encode(d, graft.llm.Bpe.train(s, d, nMerges = 8))
+    },
+
     // the corpus has no real PII, so deterministic addresses/numbers are
     // injected into every 7th doc — the scrub and its audit counts are
     // exercised on non-trivial input and the oracle injects identically
@@ -207,6 +214,33 @@ object CurationQueries {
          |SELECT word, freq, syms,
          |  CAST(len(string_split(syms, '  ')) AS BIGINT) AS n_tokens
          |FROM v8""".stripMargin,
+
+    "q_bpe_encode" ->
+      s"""WITH ${bpeOracleCtes(8)},
+         |vt AS (
+         |  SELECT word,
+         |    CAST(len(string_split(syms, '  ')) AS BIGINT) AS n_tokens
+         |  FROM v8),
+         |wd AS (
+         |  SELECT doc_id, t AS word FROM (
+         |    SELECT doc_id,
+         |      unnest(string_split(coalesce(text, ''), ' ')) AS t
+         |    FROM documents)
+         |  WHERE t <> ''),
+         |agg AS (
+         |  SELECT wd.doc_id,
+         |    CAST(count(*) AS BIGINT) AS n_words,
+         |    CAST(sum(CASE WHEN vt.n_tokens IS NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_oov_words,
+         |    CAST(coalesce(sum(vt.n_tokens), 0) AS BIGINT) AS n_bpe_tokens
+         |  FROM wd LEFT JOIN vt USING (word)
+         |  GROUP BY wd.doc_id)
+         |SELECT d.doc_id,
+         |  coalesce(a.n_words, 0) AS n_words,
+         |  coalesce(a.n_oov_words, 0) AS n_oov_words,
+         |  coalesce(a.n_bpe_tokens, 0) AS n_bpe_tokens
+         |FROM (SELECT doc_id FROM documents) d
+         |LEFT JOIN agg a USING (doc_id)""".stripMargin,
 
     "q_decontaminate" -> {
       // k=5 word grams; md5 gram keys; DISTINCT per doc (list_distinct)
@@ -531,6 +565,7 @@ object CurationQueries {
     "q_lm_perplexity" -> Seq("doc_id"),
     "q_ccnet_buckets" -> Seq("doc_id"),
     "q_bpe_vocab" -> Seq("word"),
+    "q_bpe_encode" -> Seq("doc_id"),
     "q_pii_scrub" -> Seq("doc_id"),
     "q_dedup_groups" -> Seq("doc_id"),
     "q_dedup_groups_cc" -> Seq("doc_id"),

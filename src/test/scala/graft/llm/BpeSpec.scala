@@ -74,6 +74,25 @@ class BpeSpec extends AnyFunSuite {
     assert(e.getMessage.contains("exhausted at merge round 3"))
   }
 
+  test("encode counts words, OOV, and subword tokens per doc") {
+    val s = spark
+    import s.implicits._
+    val train = corpus(s, ("low", 5), ("lower", 2),
+      ("newest", 6), ("widest", 3))
+    val model = Bpe.train(s, train, nMerges = 6)
+    val apply = Seq(
+      (0L, "low newest C:\\oov low"), // 4 words, 1 OOV
+      (1L, ""), // empty text must survive with zeros
+      (2L, "widest")).toDF("doc_id", "text")
+    val got = Bpe.encode(apply, model).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // low = [low, _] (2), newest = [n, ew, est_] (3), widest = 4
+    assert(got(0L) == ((4L, 1L, 2L + 3L + 2L)))
+    assert(got(1L) == ((0L, 0L, 0L)))
+    assert(got(2L) == ((1L, 0L, 4L)))
+  }
+
   test("non-alnum words never reach the symbol table") {
     val s = spark
     import s.implicits._
