@@ -101,4 +101,46 @@ class BpeSpec extends AnyFunSuite {
     val model = Bpe.train(s, docs, nMerges = 2)
     assert(model.vocab.collect().map(_.getString(0)).toSet == Set("ok"))
   }
+
+  test("property: merges conserve every word's character mass and the " +
+    "per-round pair count never increases") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val s = spark
+    import s.implicits._
+    val wordGen = Gen.choose(1, 6)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf("abcde".toSeq)).map(_.mkString))
+    val gen = for {
+      words <- Gen.listOfN(8, wordGen)
+      reps <- Gen.listOfN(8, Gen.choose(1, 5))
+      k <- Gen.choose(1, 4)
+    } yield (words.zip(reps), k)
+    val prop = Prop.forAll(gen) { case (weighted, k) =>
+      val docs = weighted.zipWithIndex.map { case ((w, n), i) =>
+        (i.toLong, Seq.fill(n)(w).mkString(" "))
+      }.toDF("doc_id", "text")
+      try {
+        val model = Bpe.train(s, docs, nMerges = k)
+        val vocab = model.vocab.collect()
+          .map(r => (r.getString(0), r.getString(2)))
+        // removing separators must reconstruct word + marker exactly —
+        // merges rearrange boundaries, never characters
+        val mass = vocab.forall { case (w, syms) =>
+          syms.replace(" ", "") == w + "_"
+        }
+        // a merge can only create pairs at most as frequent as itself,
+        // so the argmax sequence is non-increasing
+        val counts = model.merges.orderBy("round").collect()
+          .map(_.getLong(4))
+        mass && counts.zip(counts.drop(1)).forall { case (a, b) => a >= b }
+      } catch {
+        // a tiny random corpus can exhaust before k merges — that path
+        // is the documented error, not a property failure
+        case e: IllegalArgumentException
+          if e.getMessage.contains("exhausted") => true
+      }
+    }
+    val result = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(result.passed, result.status.toString)
+  }
 }
