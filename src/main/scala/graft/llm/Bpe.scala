@@ -71,6 +71,11 @@ object Bpe {
     var vocab = PipelineCaches.track(initialVocab(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     vocab.count()
+    // each round persists its rewrite and releases the previous round
+    // once the new one has materialized (the argmax action below does) —
+    // without this, round r's argmax replays r chained regexes from the
+    // initial cache and the loop is O(k²) in the merge budget
+    var prev: Option[DataFrame] = None
     val merges = Seq.newBuilder[(Int, String, String, String, Long)]
     for (round <- 1 to nMerges) {
       // fully-merged one-symbol words have no pairs: sequence(1, 0)
@@ -86,14 +91,20 @@ object Bpe {
       // bounded driver collect: ONE row of index metadata per round
       val best = pairs.orderBy(col("c").desc, col("pair").asc)
         .limit(1).collect()
+      // this action materialized the current round's persisted vocab —
+      // the previous round's cache is now dead weight
+      prev.foreach(_.unpersist(blocking = false))
       require(best.nonEmpty,
         s"corpus exhausted at merge round $round of $nMerges — every " +
           "word is a single symbol; lower the merge budget")
       val Array(lhs, rhs) = best.head.getString(0).split(" ", 2)
       merges += ((round, lhs, rhs, lhs + rhs, best.head.getLong(1)))
+      prev = Some(vocab)
       // symbols are [a-z0-9_]+ by construction — safe as regex literals
-      vocab = vocab.withColumn("syms", regexp_replace(col("syms"),
-        s"(^| )$lhs  $rhs( |$$)", s"$$1$lhs$rhs$$2"))
+      vocab = PipelineCaches.track(
+        vocab.withColumn("syms", regexp_replace(col("syms"),
+          s"(^| )$lhs  $rhs( |$$)", s"$$1$lhs$rhs$$2"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     }
     val mergeDf = merges.result()
       .toDF("round", "lhs", "rhs", "merged", "pair_count")

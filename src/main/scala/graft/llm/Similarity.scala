@@ -104,13 +104,29 @@ object Similarity {
   def rpTopK(
       embeddings: DataFrame, queryIds: Seq[Long], k: Int = 10,
       outDim: Int = 16, rerank: Int = 30): DataFrame = {
-    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
     val dim = embeddingDim(embeddings)
-    val proj = embeddings
+    val proj = rpSketches(embeddings, outDim, dim)
+    searchRp(proj, embeddings, queryIds, k, rerank)
+  }
+
+  /** The storable sketch table: (vec_id, _rp) — outDim doubles per
+    * vector, the coarse half of a persisted [[saveRpIndex]] store. The
+    * ±1 matrix is derived from MD5-parity constants, so the "index"
+    * carries no model artifact beyond its two dimensions. */
+  def rpSketches(embeddings: DataFrame, outDim: Int, dim: Int): DataFrame =
+    embeddings
       .filter(col("embedding").isNotNull)
       .select(col("vec_id"),
         graft.functions.MatchExpressions
           .signedProjection(col("embedding"), outDim, dim).as("_rp"))
+
+  /** Search a sketch table (inline-built or [[loadRpIndex]]-loaded):
+    * coarse top-`rerank` per query by projected cosine, exact rescore
+    * against the full-precision store by id. */
+  def searchRp(
+      proj: DataFrame, embeddings: DataFrame, queryIds: Seq[Long],
+      k: Int = 10, rerank: Int = 30): DataFrame = {
+    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
     val queries = proj.filter(col("vec_id").isInCollection(queryIds))
       .select(col("vec_id").as("query_id"), col("_rp").as("_q_rp"))
     val coarse = proj.crossJoin(broadcast(queries))
@@ -127,6 +143,60 @@ object Similarity {
       .join(embeddings.select(col("vec_id"), col("embedding")), Seq("vec_id"))
       .select(col("query_id"), col("vec_id"),
         normZero(round(cosine(col("_q_emb"), col("embedding")), 6))
+          .as("cos_sim"))
+    rankTopK(rescored, k)
+  }
+
+  /** Persist the RP sketch store: the sketch table plus a one-row meta
+    * table (outDim, dim). No codebook artifact exists — the projection
+    * matrix regenerates from its MD5-parity definition on load, so the
+    * store is valid on any cluster that shares the code. Composes with
+    * [[graft.scale.StoreMaint.replaceStore]] like the PQ store. */
+  def saveRpIndex(
+      embeddings: DataFrame, path: String, outDim: Int = 16): Unit = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val dim = embeddingDim(embeddings)
+    rpSketches(embeddings, outDim, dim)
+      .write.mode("overwrite").parquet(s"$path/sketches")
+    Seq((outDim, dim)).toDF("out_dim", "dim")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Reload: meta is a one-row collect; sketches stay a distributed
+    * scan. Returns (sketches, outDim, dim). */
+  def loadRpIndex(spark: org.apache.spark.sql.SparkSession, path: String)
+      : (DataFrame, Int, Int) = {
+    val meta = spark.read.parquet(s"$path/meta").collect().head
+    (spark.read.parquet(s"$path/sketches"), meta.getInt(0), meta.getInt(1))
+  }
+
+  /** [[searchRp]] for EXTERNAL query vectors (the serving path): queries
+    * arrive as (query_id, q_emb) rows rather than corpus ids — each is
+    * projected with the same matrix, coarse-matched against the sketch
+    * store, and exactly rescored against the full-precision store. A
+    * query_id that happens to exist in the corpus still excludes its
+    * self-match, so serving a corpus vector equals [[rpTopK]] for it. */
+  def searchRpQueries(
+      proj: DataFrame, store: DataFrame, queryVecs: DataFrame,
+      outDim: Int, dim: Int, k: Int = 10, rerank: Int = 30): DataFrame = {
+    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+    val q = queryVecs.select(col("query_id"),
+      graft.functions.MatchExpressions
+        .signedProjection(col("q_emb"), outDim, dim).as("_q_rp"),
+      col("q_emb"))
+    val coarse = proj.crossJoin(broadcast(q.select("query_id", "_q_rp")))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        normZero(round(cosine(col("_q_rp"), col("_rp")), 6)).as("rp_sim"))
+    val cand = graft.plans.TopK.topKPerKey(coarse, Seq("query_id"),
+      Seq(col("rp_sim"), negate(col("vec_id"))), rerank)
+      .select("query_id", "vec_id")
+    val rescored = cand
+      .join(broadcast(q.select("query_id", "q_emb")), Seq("query_id"))
+      .join(store.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        normZero(round(cosine(col("q_emb"), col("embedding")), 6))
           .as("cos_sim"))
     rankTopK(rescored, k)
   }

@@ -160,6 +160,40 @@ object StreamingPipeline {
     checkpointDir.fold(w)(d => w.option("checkpointLocation", d)).start()
   }
 
+  /** Continuous ANN SERVING over a query-vector stream (query_id, q_emb)
+    * against a STATIC persisted RP index — the online half of
+    * [[graft.llm.Similarity.saveRpIndex]]: per micro-batch each arriving
+    * vector is projected with the shared MD5-parity matrix, coarse-
+    * matched against the sketch store, exactly rescored against the
+    * full-precision store, and the batch's top-k lists go to
+    * `onResults`. The index never mutates here (contrast
+    * [[semanticDupStream]], which appends) — store refresh is a
+    * [[graft.scale.StoreMaint.replaceStore]] swap between runs.
+    *
+    * Scale shape per batch: the sketch scan is the only corpus-sized
+    * input and it reads outDim doubles per vector; the batch side is
+    * broadcast; rescore touches `rerank` rows per arriving query. */
+  def annServeStream(
+      queries: DataFrame, sketches: DataFrame, store: DataFrame,
+      outDim: Int, dim: Int,
+      onResults: (Long, DataFrame) => Unit,
+      k: Int = 10, rerank: Int = 30,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L),
+      checkpointDir: Option[String] = None): StreamingQuery = {
+    val w = queries.writeStream
+      .outputMode("append")
+      .queryName("ann_serve_stream")
+      .trigger(trigger)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        onResults(batchId, graft.llm.Similarity.searchRpQueries(
+          sketches, store, batch.select("query_id", "q_emb"),
+          outDim, dim, k, rerank))
+        ()
+      }
+    checkpointDir.fold(w)(d => w.option("checkpointLocation", d)).start()
+  }
+
   /** A closed user session (emitted once the gap passes or event-time
     * timeout fires). */
   final case class Session(

@@ -478,6 +478,27 @@ class LlmSpec extends AnyFunSuite {
       withDup.head.getDouble(2) == 1.0)
   }
 
+  test("RP index round-trips through parquet and serves the identical " +
+    "search") {
+    val s = spark
+    val e = s.table("embeddings")
+    val qids = Seq(0L, 1L, 2L)
+    val dir = java.nio.file.Files.createTempDirectory("rpidx").toString
+    try {
+      Similarity.saveRpIndex(e, dir, outDim = 16)
+      val (sketches, outDim, dim) = Similarity.loadRpIndex(s, dir)
+      assert(outDim == 16 && dim == 64)
+      val fromStore = Similarity.searchRp(sketches, e, qids, k = 10,
+        rerank = 30).collect().map(_.toString).sorted
+      val inline = Similarity.rpTopK(e, qids, k = 10, outDim = 16,
+        rerank = 30).collect().map(_.toString).sorted
+      assert(fromStore.sameElements(inline),
+        "persisted sketches must rank exactly like the inline projection")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("cosine near-dup finds planted duplicate embeddings") {
     val s = spark
     val e = s.table("embeddings").filter(col("vec_id") < 50)

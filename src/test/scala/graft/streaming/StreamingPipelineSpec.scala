@@ -144,6 +144,47 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(idx.size == 51 + 30L)
   }
 
+  test("streaming ANN serve answers each query batch from the persisted " +
+    "RP index, identically to the batch search") {
+    val s = spark
+    val e = s.table("embeddings")
+    val idxDir = Files.createTempDirectory("graft-rpidx").toString
+    val qDir = Files.createTempDirectory("graft-rpq").toString
+    val ckpt = Files.createTempDirectory("graft-rpq-ckpt").toString
+    graft.llm.Similarity.saveRpIndex(e, idxDir, outDim = 16)
+    val (sketches, outDim, dim) = graft.llm.Similarity.loadRpIndex(s, idxDir)
+
+    // two query files = two micro-batches, query vectors from the corpus
+    e.filter(col("vec_id").isin(0L, 1L))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .repartition(1).write.mode("append").parquet(qDir)
+    Thread.sleep(1100)
+    e.filter(col("vec_id") === 2L)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .repartition(1).write.mode("append").parquet(qDir)
+
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Double, Int)]
+    val stream = s.readStream
+      .schema("query_id BIGINT, q_emb ARRAY<FLOAT>")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(qDir)
+    val q = StreamingPipeline.annServeStream(stream, sketches, e,
+      outDim, dim, (_, res) =>
+        got ++= res.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))),
+      k = 10, rerank = 30,
+      trigger = Trigger.AvailableNow(), checkpointDir = Some(ckpt))
+    try q.awaitTermination(180000) finally q.stop()
+
+    // corpus-vector queries must answer exactly like the batch pipeline
+    val batch = graft.llm.Similarity.rpTopK(e, Seq(0L, 1L, 2L), k = 10,
+      outDim = 16, rerank = 30).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(got.sorted.toSeq == batch.sorted.toSeq,
+      s"serve diverges from batch: got=${got.size} want=${batch.length}")
+  }
+
   test("streaming drain delivers each micro-batch in priority order") {
     val s = spark
     val dir = Files.createTempDirectory("graft-prio-stream").toString
