@@ -221,6 +221,17 @@ object ComputeRegistry {
         .select(col("doc_id"), col("sel_rank").as(out))
       df.join(kept, Seq("doc_id"))
     },
+    // BPE subword-token count over a TEXT input column: train 8 merges
+    // on the relation itself, then the broadcast-vocab encode — the
+    // budget-estimation primitive ("how many tokens is this corpus
+    // under a learned tokenizer")
+    "bpe_token_count" -> { (df, ins, out) =>
+      val keyedDf = keyed(df, ins.head)
+      val model = graft.llm.Bpe.train(df.sparkSession, keyedDf, nMerges = 8)
+      val enc = graft.llm.Bpe.encode(keyedDf, model)
+        .select(col("doc_id"), col("n_bpe_tokens").as(out))
+      df.join(enc, Seq("doc_id"))
+    },
     // signed random projection of an EMBEDDING input column to 16 dims
     // (JL sketch — the coarse-ANN / clustering preprocessor); a pure
     // zero-shuffle native projection

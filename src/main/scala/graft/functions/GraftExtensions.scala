@@ -53,6 +53,24 @@ object GraftExtensions {
         val (a, b) = (args(0), args(1))
         Divide(VecDot(a, b),
           Multiply(Sqrt(VecDot(a, a)), Sqrt(VecDot(b, b))))
+      }),
+    // the JL sketch as SQL — dims must be literals (the sign matrix is a
+    // plan-time constant shipped with the expression)
+    (FunctionIdentifier("signed_projection"),
+      new ExpressionInfo(classOf[SignedProjection].getName, null,
+        "signed_projection",
+        "signed_projection(emb, out_dim, dim) - ±1 MD5-parity random " +
+          "projection of a numeric array to out_dim dimensions", ""),
+      (args: Seq[Expression]) => {
+        arity("signed_projection", 3, args)
+        def intLit(e: Expression, what: String): Int = e match {
+          case org.apache.spark.sql.catalyst.expressions
+            .Literal(v: Int, _) => v
+          case o => throw new IllegalArgumentException(
+            s"signed_projection: $what must be an integer literal, got $o")
+        }
+        SignedProjection(args(0), intLit(args(1), "out_dim"),
+          intLit(args(2), "dim"))
       })) ++ textFunctions
 
   /** The text-analysis tier as SQL functions: each builder round-trips the

@@ -327,6 +327,20 @@ class ComputeSpec2 extends AnyFunSuite {
     assert(ws.count() == 50)
     assert(ws.select("sel_rank").collect().map(_.getInt(0)).sorted.toSeq ==
       (1 to 50))
+    // bpe_token_count: fewer subword tokens than chars+markers, more
+    // than words — the learned merges genuinely compress
+    val bt = ComputeRegistry.runOnce(s,
+      parse("COMPUTE bt FROM table(text) INTO column(n_bpe) " +
+        "USING bpe_token_count"),
+      "documents")
+    assert(bt.count() == s.table("documents").count())
+    val sums = bt.agg(sum(col("n_bpe")),
+      sum(size(split(col("text"), " "))),
+      sum(length(col("text")))).collect().head
+    assert(sums.getLong(0) > sums.getLong(1),
+      "subword tokens must outnumber whole words")
+    assert(sums.getLong(0) < sums.getLong(2),
+      "8 merges must compress below character count")
     // rp_project: 16-dim sketch per embedding, no row change
     s.table("embeddings").withColumnRenamed("vec_id", "doc_id")
       .createOrReplaceTempView("emb_docs")

@@ -89,6 +89,24 @@ class VecDotSpec extends AnyFunSuite {
     new GraftExtensions()(new org.apache.spark.sql.SparkSessionExtensions())
   }
 
+  test("signed_projection is callable from SQL and matches the Column API") {
+    val s = spark
+    GraftExtensions.register(s)
+    val viaSql = s.sql(
+      """SELECT vec_id, signed_projection(embedding, 8, 64) AS p
+        |FROM embeddings ORDER BY vec_id LIMIT 10""".stripMargin)
+      .collect().map(_.getSeq[Double](1).toSeq)
+    val viaCol = s.table("embeddings").orderBy("vec_id").limit(10)
+      .select(MatchExpressions.signedProjection(col("embedding"), 8, 64))
+      .collect().map(_.getSeq[Double](0).toSeq)
+    assert(viaSql.toSeq == viaCol.toSeq)
+    // dims must be literals — the sign matrix is a plan-time constant
+    val err = intercept[Exception](s.sql(
+      "SELECT signed_projection(embedding, vec_id, 64) FROM embeddings")
+      .head())
+    assert(err.getMessage.contains("must be an integer literal"))
+  }
+
   test("text-analysis functions are callable from plain SQL") {
     val s = spark
     GraftExtensions.register(s)
