@@ -312,6 +312,41 @@ object Dedup {
       .select("doc_a", "doc_b", "est_jaccard", "jaccard")
   }
 
+  /** Exact shingle CONTAINMENT for a candidate pair set — the asymmetric
+    * companion to [[jaccardRescore]]: containment_a = |A∩B| / |A| (how
+    * much of doc_a lives inside doc_b), and symmetrically containment_b.
+    * Jaccard misses subset duplication by construction — a short doc
+    * quoted whole inside a long one scores |A|/|B| ≈ 0 Jaccard but
+    * containment_a = 1 — and "wholly-contained document" is its own
+    * standard dedup rule (Broder 1997's resemblance vs containment
+    * split). Same joins and scale shape as the Jaccard rescore; all
+    * three scores come out of one pass. Counts are exact ints so the
+    * double divisions replay bit-identically in the oracle. */
+  def containmentRescore(
+      docs: DataFrame, candidates: DataFrame, k: Int = 3): DataFrame = {
+    val sh = withShingleCol(docs, k).select(col("doc_id"),
+      expr("explode(array_distinct(_shingles))").as("shingle"))
+    val counts = sh.groupBy("doc_id").count().withColumnRenamed("count", "n_sh")
+    val inter = candidates
+      .join(sh.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"))
+      .join(sh.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("shingle", "shingle_b"), Seq("doc_b"))
+      .filter(col("shingle") === col("shingle_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+    candidates
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .na.fill(0, Seq("n_inter"))
+      .join(counts.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_sh", "n_a"), Seq("doc_a"))
+      .join(counts.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_sh", "n_b"), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("n_inter").cast("double") / col("n_a")).as("containment_a"),
+        (col("n_inter").cast("double") / col("n_b")).as("containment_b"),
+        (col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter"))).as("jaccard"))
+  }
+
   /** 64-bit SimHash from token md5s: bit b of each token's hash votes ±1;
     * the sign of the per-bit vote sum is bit b of the signature (stored as
     * a 64-char bitstring — overflow-free and join-friendly). Near-dups have

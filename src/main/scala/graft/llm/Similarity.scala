@@ -735,15 +735,15 @@ object Similarity {
       .collect().map(_.getLong(0)).toSeq
   }
 
-  def semanticDedup(
-      embeddings: DataFrame, cellSeedIds: Seq[Long],
-      threshold: Double = 0.95,
-      maxCellSize: Int = Int.MaxValue): DataFrame = {
+  /** Centroids = embeddings of the pinned seed ids, in sorted-seed
+    * order (cell i = i-th smallest seed). Bounded driver collect —
+    * k vectors of index metadata. Cast → array<double> before collecting
+    * so a caller whose embedding column is array<double> works instead
+    * of throwing an opaque Float ClassCastException; float sources
+    * convert exactly. */
+  private def seedCenters(
+      embeddings: DataFrame, cellSeedIds: Seq[Long]): Array[Array[Double]] = {
     val seeds = cellSeedIds.distinct.sorted
-    // cast → array<double> before collecting so a caller whose embedding
-    // column is array<double> (user-supplied embeddings) works instead of
-    // throwing an opaque Float ClassCastException; float sources convert
-    // exactly
     val byId = embeddings.filter(col("vec_id").isInCollection(seeds))
       .select(col("vec_id"), col("embedding").cast("array<double>"))
       .collect()
@@ -751,7 +751,34 @@ object Similarity {
       .toMap
     val missing = seeds.filterNot(byId.contains)
     require(missing.isEmpty, s"seed vec_ids absent from corpus: $missing")
-    val centers = seeds.map(byId).toArray
+    seeds.map(byId).toArray
+  }
+
+  /** Cluster-balanced (diversity) sampling: assign every vector to its
+    * max-cosine seeded cell and keep the `cap` smallest ids per cell —
+    * the embedding-space twin of [[Sampling.domainCap]], and the
+    * standard down-sampling that follows SemDeDup in a curation stack
+    * (cap each semantic neighborhood instead of letting one dense topic
+    * dominate the training mix). Assignment is a per-row projection;
+    * the cap is the bounded-heap TopK, so the shuffle carries ≤
+    * cap·partitions rows per cell no matter how dense a topic is. Fully
+    * deterministic (seeded cells, id ordering) ⇒ hash-oracled. */
+  def clusterBalancedSample(
+      embeddings: DataFrame, cellSeedIds: Seq[Long], cap: Int): DataFrame = {
+    require(cap > 0, s"cap must be positive, got $cap")
+    val centers = seedCenters(embeddings, cellSeedIds)
+    val assigned = embeddings.select(col("vec_id"),
+      cosCellCol(col("embedding"), centers).as("cell"))
+    graft.plans.TopK.topKPerKey(assigned, Seq("cell"),
+      Seq(negate(col("vec_id"))), cap)
+      .select(col("vec_id"), col("cell"), col("rank").as("cell_rank"))
+  }
+
+  def semanticDedup(
+      embeddings: DataFrame, cellSeedIds: Seq[Long],
+      threshold: Double = 0.95,
+      maxCellSize: Int = Int.MaxValue): DataFrame = {
+    val centers = seedCenters(embeddings, cellSeedIds)
     // cell assignment costs Θ(k·d) per row (one cosine per centroid) and
     // is referenced by FOUR consumers (the size relation, both pair
     // sides, and the output join) — materialize it once or the

@@ -293,6 +293,29 @@ object LlmQueries {
         maxHamming = 3, blocks = 4)
     },
 
+    // asymmetric shingle containment (Broder's resemblance-vs-containment
+    // split): every doc paired with its own first-15-words excerpt — the
+    // excerpt is WHOLLY contained (containment_a = 1) while Jaccard
+    // scores it low, exactly the subset-duplication Jaccard misses
+    "q_dedup_containment" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val excerpt = d.select(
+        (col("doc_id") + 100000L).as("doc_id"),
+        expr("array_join(slice(split(text, ' '), 1, 15), ' ')").as("text"))
+      val corpus = d.select("doc_id", "text").unionAll(excerpt)
+      val candidates = d.select(
+        (col("doc_id") + 100000L).as("doc_a"),
+        col("doc_id").as("doc_b"))
+      Dedup.containmentRescore(corpus, candidates, k = 3)
+    },
+
+    // cluster-balanced diversity sampling: cap each seeded max-cosine
+    // cell at 20 members (smallest ids win) — the embedding-space twin
+    // of q_domain_cap, bounded-heap per cell, never a window
+    "q_cluster_balanced_sample" -> { (s, dir) =>
+      Similarity.clusterBalancedSample(embs(s, dir), ivfSeedIds, cap = 20)
+    },
+
     // exact n-gram Jaccard (dedup method 4 of 5) rescoring a deterministic
     // candidate set: every doc paired with its 12-char-trimmed copy
     "q_dedup_ngram_jaccard" -> { (s, dir) =>
@@ -621,6 +644,59 @@ object LlmQueries {
         |    / (len(a.s) + len(b.s)
         |       - len(list_distinct(list_intersect(a.s, b.s)))) AS jaccard
         |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 100000""".stripMargin,
+
+    // containment twin of the Jaccard oracle: same shingle sets, the
+    // asymmetric |A∩B|/|A| and |A∩B|/|B| divisions — exact-int-derived
+    // doubles, no rounding needed
+    "q_dedup_containment" ->
+      """WITH u AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id,
+        |    array_to_string(string_split(text, ' ')[1:15], ' ') AS text
+        |  FROM documents),
+        |t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM u),
+        |sh AS (SELECT doc_id,
+        |  list_distinct(CASE WHEN len(w) < 3 THEN [text]
+        |    ELSE list_transform(range(1, len(w) - 1),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS s
+        |  FROM t)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(len(list_distinct(list_intersect(a.s, b.s))) AS DOUBLE)
+        |    / len(a.s) AS containment_a,
+        |  CAST(len(list_distinct(list_intersect(a.s, b.s))) AS DOUBLE)
+        |    / len(b.s) AS containment_b,
+        |  CAST(len(list_distinct(list_intersect(a.s, b.s))) AS DOUBLE)
+        |    / (len(a.s) + len(b.s)
+        |       - len(list_distinct(list_intersect(a.s, b.s)))) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id = b.doc_id + 100000""".stripMargin,
+
+    // cell assignment replayed as in q_dedup_semantic; the cap is a plain
+    // per-cell row_number window (the algorithm-independent reference the
+    // bounded heap must equal)
+    "q_cluster_balanced_sample" -> {
+      val seedList = ivfSeedIds.mkString(", ")
+      s"""WITH c AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS list,
+         |    embedding AS cemb
+         |  FROM embeddings WHERE vec_id IN ($seedList)),
+         |sim AS (
+         |  SELECT e.vec_id, c.list,
+         |    ${cosSql("e.embedding", "c.cemb")} AS cs
+         |  FROM embeddings e CROSS JOIN c),
+         |asg AS (
+         |  SELECT vec_id, CAST(list AS INT) AS cell FROM (
+         |    SELECT vec_id, list,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, list)
+         |        AS rn
+         |    FROM sim) WHERE rn = 1)
+         |SELECT vec_id, cell, cell_rank FROM (
+         |  SELECT vec_id, cell,
+         |    CAST(row_number() OVER (PARTITION BY cell ORDER BY vec_id)
+         |      AS INT) AS cell_rank
+         |  FROM asg)
+         |WHERE cell_rank <= 20""".stripMargin
+    },
 
     // the rewrite's output is a plain id-pair set, so the oracle is the
     // exact all-pairs threshold join — recall-1-by-construction makes the
@@ -1122,6 +1198,8 @@ object LlmQueries {
     "q_dedup_incremental" -> Seq("doc_a", "doc_b"),
     "q_dedup_simhash" -> Seq("doc_id"),
     "q_dedup_ngram_jaccard" -> Seq("doc_a"),
+    "q_dedup_containment" -> Seq("doc_a"),
+    "q_cluster_balanced_sample" -> Seq("vec_id"),
     "q_dedup_embcos" -> Seq("vec_a", "vec_b"),
     "q_dedup_semantic" -> Seq("vec_id"),
     "q_dedup_semantic_auto" -> Seq("vec_id"),

@@ -352,6 +352,59 @@ class LlmSpec extends AnyFunSuite {
     graft.llm.PipelineCaches.clear()
   }
 
+  test("containment rescore catches subset duplication Jaccard misses") {
+    val s = spark
+    val d = s.table("documents").filter(col("doc_id") < 50)
+    val excerpt = d.select((col("doc_id") + 100000L).as("doc_id"),
+      expr("array_join(slice(split(text, ' '), 1, 15), ' ')").as("text"))
+    val corpus = d.select("doc_id", "text").unionAll(excerpt)
+    val cands = d.select((col("doc_id") + 100000L).as("doc_a"),
+      col("doc_id").as("doc_b"))
+    val nWords = d.select(col("doc_id"), size(split(col("text"), " ")))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val r = Dedup.containmentRescore(corpus, cands, k = 3).collect()
+      .map(x => (x.getLong(0), x.getDouble(2), x.getDouble(3), x.getDouble(4)))
+    assert(r.length == 50)
+    r.foreach { case (a, ca, cb, j) =>
+      // the excerpt's shingles are a subset of its source's
+      assert(ca == 1.0, s"excerpt $a must be wholly contained, got $ca")
+      assert(j <= cb + 1e-12 && cb <= ca + 1e-12)
+      // for genuinely longer sources the symmetric scores stay well
+      // below a dup threshold — the case a Jaccard-only rule waves
+      // through (a ≤15-word doc's excerpt IS the doc; skip those)
+      if (nWords(a - 100000L) >= 30)
+        assert(j < 0.7 && cb < 0.7, s"excerpt $a: j=$j cb=$cb")
+    }
+    assert(nWords.values.count(_ >= 30) >= 20,
+      "fixture must exercise the long-source case broadly")
+  }
+
+  test("cluster-balanced sample caps each cell and equals the window rank") {
+    val s = spark
+    val e = s.table("embeddings")
+    val seeds = (1 to 16).map(_ * 5L)
+    val got = Similarity.clusterBalancedSample(e, seeds, cap = 20)
+    val perCell = got.groupBy("cell").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(perCell.values.forall(_ <= 20))
+    // algorithm-independent reference: per-cell row_number over the same
+    // assignment
+    val centers = e.filter(col("vec_id").isin(seeds: _*))
+      .orderBy("vec_id").collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    val ref = e.select(col("vec_id"),
+      graft.functions.CellExpressions
+        .maxCosineCell(col("embedding"), centers).as("cell"))
+      .withColumn("cell_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("cell")
+          .orderBy("vec_id")))
+      .filter(col("cell_rank") <= 20)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).sorted
+    val gotRows = got.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).sorted
+    assert(gotRows.toSeq == ref.toSeq)
+  }
+
   test("jaccard rescore gives 1.0 for identical docs") {
     val s = spark
     val d = s.table("documents").select("doc_id", "text").filter(col("doc_id") < 10)
