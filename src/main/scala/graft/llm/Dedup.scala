@@ -282,14 +282,15 @@ object Dedup {
       .filter(col("est_jaccard") >= minEstJaccard)
   }
 
-  /** Exact n-gram Jaccard for a candidate pair set (rescoring step after
-    * LSH pruning): |A∩B| / |A∪B| over distinct k-shingles. */
-  def jaccardRescore(
-      docs: DataFrame, candidates: DataFrame, k: Int = 3): DataFrame = {
-    // the exploded shingle set feeds three consumers, but no cache is
-    // needed: they sit behind the same shuffle and ReuseExchange serves
-    // all three from one execution (measured — a persist+materialize here
-    // changed nothing)
+  /** Shared scaffold of the exact rescorers: candidate pairs annotated
+    * with (n_inter, n_a, n_b) — distinct-shingle intersection and the
+    * two set sizes. The exploded shingle set feeds three consumers, but
+    * no cache is needed: they sit behind the same shuffle and
+    * ReuseExchange serves all three from one execution (measured — a
+    * persist+materialize here changed nothing). Candidate columns pass
+    * through, so callers keep extras like est_jaccard. */
+  private def pairShingleCounts(
+      docs: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
     val sh = withShingleCol(docs, k).select(col("doc_id"),
       expr("explode(array_distinct(_shingles))").as("shingle"))
     val counts = sh.groupBy("doc_id").count().withColumnRenamed("count", "n_sh")
@@ -306,11 +307,17 @@ object Dedup {
         .withColumnRenamed("n_sh", "n_a"), Seq("doc_a"))
       .join(counts.withColumnRenamed("doc_id", "doc_b")
         .withColumnRenamed("n_sh", "n_b"), Seq("doc_b"))
+  }
+
+  /** Exact n-gram Jaccard for a candidate pair set (rescoring step after
+    * LSH pruning): |A∩B| / |A∪B| over distinct k-shingles. */
+  def jaccardRescore(
+      docs: DataFrame, candidates: DataFrame, k: Int = 3): DataFrame =
+    pairShingleCounts(docs, candidates, k)
       .withColumn("jaccard",
         col("n_inter").cast("double") /
           (col("n_a") + col("n_b") - col("n_inter")))
       .select("doc_a", "doc_b", "est_jaccard", "jaccard")
-  }
 
   /** Exact shingle CONTAINMENT for a candidate pair set — the asymmetric
     * companion to [[jaccardRescore]]: containment_a = |A∩B| / |A| (how
@@ -323,29 +330,13 @@ object Dedup {
     * three scores come out of one pass. Counts are exact ints so the
     * double divisions replay bit-identically in the oracle. */
   def containmentRescore(
-      docs: DataFrame, candidates: DataFrame, k: Int = 3): DataFrame = {
-    val sh = withShingleCol(docs, k).select(col("doc_id"),
-      expr("explode(array_distinct(_shingles))").as("shingle"))
-    val counts = sh.groupBy("doc_id").count().withColumnRenamed("count", "n_sh")
-    val inter = candidates
-      .join(sh.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"))
-      .join(sh.withColumnRenamed("doc_id", "doc_b")
-        .withColumnRenamed("shingle", "shingle_b"), Seq("doc_b"))
-      .filter(col("shingle") === col("shingle_b"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
-    candidates
-      .join(inter, Seq("doc_a", "doc_b"), "left")
-      .na.fill(0, Seq("n_inter"))
-      .join(counts.withColumnRenamed("doc_id", "doc_a")
-        .withColumnRenamed("n_sh", "n_a"), Seq("doc_a"))
-      .join(counts.withColumnRenamed("doc_id", "doc_b")
-        .withColumnRenamed("n_sh", "n_b"), Seq("doc_b"))
+      docs: DataFrame, candidates: DataFrame, k: Int = 3): DataFrame =
+    pairShingleCounts(docs, candidates, k)
       .select(col("doc_a"), col("doc_b"),
         (col("n_inter").cast("double") / col("n_a")).as("containment_a"),
         (col("n_inter").cast("double") / col("n_b")).as("containment_b"),
         (col("n_inter").cast("double") /
           (col("n_a") + col("n_b") - col("n_inter"))).as("jaccard"))
-  }
 
   /** 64-bit SimHash from token md5s: bit b of each token's hash votes ±1;
     * the sign of the per-bit vote sum is bit b of the signature (stored as

@@ -112,9 +112,19 @@ object Similarity {
   /** The storable sketch table: (vec_id, _rp) — outDim doubles per
     * vector, the coarse half of a persisted [[saveRpIndex]] store. The
     * ±1 matrix is derived from MD5-parity constants, so the "index"
-    * carries no model artifact beyond its two dimensions. */
+    * carries no model artifact beyond its two dimensions. dim 0 (an
+    * empty corpus, [[embeddingDim]]'s documented signal) yields an
+    * empty sketch table with the right schema — zero rows downstream,
+    * never an expression-construction crash. */
   def rpSketches(embeddings: DataFrame, outDim: Int, dim: Int): DataFrame =
-    embeddings
+    if (dim == 0)
+      // NULL (not an empty-array literal): the zero-row branch still
+      // constant-folds projected expressions, and cosine over a folded
+      // empty array is an ANSI 0/0 at PLAN time; cosine(NULL) folds to
+      // NULL instead
+      embeddings.filter(lit(false)).select(col("vec_id"),
+        lit(null).cast("array<double>").as("_rp"))
+    else embeddings
       .filter(col("embedding").isNotNull)
       .select(col("vec_id"),
         graft.functions.MatchExpressions
@@ -174,19 +184,33 @@ object Similarity {
   /** [[searchRp]] for EXTERNAL query vectors (the serving path): queries
     * arrive as (query_id, q_emb) rows rather than corpus ids — each is
     * projected with the same matrix, coarse-matched against the sketch
-    * store, and exactly rescored against the full-precision store. A
-    * query_id that happens to exist in the corpus still excludes its
-    * self-match, so serving a corpus vector equals [[rpTopK]] for it. */
+    * store, and exactly rescored against the full-precision store.
+    *
+    * `excludeSelfId` is OFF by default, deliberately: stream-assigned
+    * query ids and store vec_ids are INDEPENDENT namespaces (both
+    * usually small sequential longs), so an id-equality filter would
+    * silently drop an unrelated corpus vector that merely shares the
+    * number — possibly the true nearest neighbor. Set it true ONLY when
+    * query_id is known to reference the same vector as the store row
+    * (re-querying the corpus by id), where it reproduces [[rpTopK]]'s
+    * self-exclusion. */
   def searchRpQueries(
       proj: DataFrame, store: DataFrame, queryVecs: DataFrame,
-      outDim: Int, dim: Int, k: Int = 10, rerank: Int = 30): DataFrame = {
+      outDim: Int, dim: Int, k: Int = 10, rerank: Int = 30,
+      excludeSelfId: Boolean = false): DataFrame = {
     require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+    if (dim == 0)
+      return queryVecs.filter(lit(false)).select(
+        col("query_id"), col("query_id").as("vec_id"),
+        lit(0.0).as("cos_sim"), lit(0).cast("int").as("rank"))
     val q = queryVecs.select(col("query_id"),
       graft.functions.MatchExpressions
         .signedProjection(col("q_emb"), outDim, dim).as("_q_rp"),
       col("q_emb"))
-    val coarse = proj.crossJoin(broadcast(q.select("query_id", "_q_rp")))
-      .filter(col("vec_id") =!= col("query_id"))
+    val fanned = proj.crossJoin(broadcast(q.select("query_id", "_q_rp")))
+    val coarse = (if (excludeSelfId)
+        fanned.filter(col("vec_id") =!= col("query_id"))
+      else fanned)
       .select(col("query_id"), col("vec_id"),
         normZero(round(cosine(col("_q_rp"), col("_rp")), 6)).as("rp_sim"))
     val cand = graft.plans.TopK.topKPerKey(coarse, Seq("query_id"),

@@ -178,6 +178,7 @@ object StreamingPipeline {
       outDim: Int, dim: Int,
       onResults: (Long, DataFrame) => Unit,
       k: Int = 10, rerank: Int = 30,
+      excludeSelfId: Boolean = false,
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L),
       checkpointDir: Option[String] = None): StreamingQuery = {
@@ -188,7 +189,7 @@ object StreamingPipeline {
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
         onResults(batchId, graft.llm.Similarity.searchRpQueries(
           sketches, store, batch.select("query_id", "q_emb"),
-          outDim, dim, k, rerank))
+          outDim, dim, k, rerank, excludeSelfId))
         ()
       }
     checkpointDir.fold(w)(d => w.option("checkpointLocation", d)).start()

@@ -552,6 +552,29 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("RP serving default keeps id-colliding corpus vectors; empty " +
+    "corpus yields zero rows, not a crash") {
+    val s = spark
+    val e = s.table("embeddings")
+    val proj = Similarity.rpSketches(e, 16, 64)
+    // external query whose stream-assigned id happens to equal the TRUE
+    // nearest neighbor's vec_id — the exclusion filter would silently
+    // drop the right answer
+    val qv = e.filter(col("vec_id") === 7L)
+      .select(lit(7L).as("query_id"), col("embedding").as("q_emb"))
+    val top = Similarity.searchRpQueries(proj, e, qv, 16, 64, k = 5)
+      .orderBy("rank").collect()
+    assert(top.head.getLong(1) == 7L && top.head.getDouble(2) == 1.0,
+      "the id-colliding corpus vector must stay eligible by default")
+    // the opt-in exclusion reproduces corpus-requery semantics
+    val excl = Similarity.searchRpQueries(proj, e, qv, 16, 64, k = 5,
+      excludeSelfId = true).collect().map(_.getLong(1))
+    assert(!excl.contains(7L))
+    // embeddingDim's empty-corpus contract: zero rows, right schema
+    val empty = e.filter(lit(false))
+    assert(Similarity.rpTopK(empty, Seq(0L), k = 5).count() == 0)
+  }
+
   test("cosine near-dup finds planted duplicate embeddings") {
     val s = spark
     val e = s.table("embeddings").filter(col("vec_id") < 50)

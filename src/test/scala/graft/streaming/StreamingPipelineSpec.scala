@@ -169,11 +169,14 @@ class StreamingPipelineSpec extends AnyFunSuite {
       .schema("query_id BIGINT, q_emb ARRAY<FLOAT>")
       .option("maxFilesPerTrigger", 1)
       .parquet(qDir)
+    // queries here ARE corpus vectors re-queried by id, the one case
+    // where excludeSelfId is correct (and makes serve comparable to
+    // rpTopK's self-excluding semantics)
     val q = StreamingPipeline.annServeStream(stream, sketches, e,
       outDim, dim, (_, res) =>
         got ++= res.collect().map(r =>
           (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))),
-      k = 10, rerank = 30,
+      k = 10, rerank = 30, excludeSelfId = true,
       trigger = Trigger.AvailableNow(), checkpointDir = Some(ckpt))
     try q.awaitTermination(180000) finally q.stop()
 
