@@ -114,6 +114,76 @@ object Bpe {
     BpeModel(mergeDf, finalVocab)
   }
 
+  /** The REAL-BUDGET training path (Sennrich's learn_bpe / HF tokenizers
+    * do exactly this): ONE corpus-sized aggregation builds the word-freq
+    * table, the top-`maxVocab` words by (freq desc, word asc) are
+    * collected — a bounded driver table, the same envelope as
+    * [[TextOps.buildVocab]] — and the merge loop runs driver-local,
+    * where 32k rounds cost milliseconds instead of 64k Spark jobs.
+    * [[train]]'s distributed rounds stay the uncapped-vocabulary path
+    * (and the oracle-replayed reference); this is the production fast
+    * path, pinned merge-for-merge identical to it in `BpeSpec` (same
+    * counts, same pair tie-break — symbols are ASCII, so JVM string
+    * order equals Spark's UTF8 binary order). */
+  def trainLocal(
+      spark: SparkSession, docs: DataFrame, nMerges: Int,
+      maxVocab: Int = 1000000): BpeModel = {
+    require(nMerges > 0, s"nMerges must be positive, got $nMerges")
+    require(maxVocab > 0, s"maxVocab must be positive, got $maxVocab")
+    import spark.implicits._
+    val collected = initialVocab(docs)
+      .orderBy(col("freq").desc, col("word").asc).limit(maxVocab)
+      .select("word", "freq").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    // symbol sequences, mutable per word: chars + end-of-word marker
+    val words = collected.map { case (w, f) =>
+      (scala.collection.mutable.ArrayBuffer(
+        w.map(_.toString) :+ "_": _*), f)
+    }
+    val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+    var round = 1
+    while (round <= nMerges) {
+      val counts = scala.collection.mutable.HashMap
+        .empty[(String, String), Long]
+      words.foreach { case (syms, f) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val key = (syms(i), syms(i + 1))
+          counts.update(key, counts.getOrElse(key, 0L) + f)
+          i += 1
+        }
+      }
+      require(counts.nonEmpty,
+        s"corpus exhausted at merge round $round of $nMerges — every " +
+          "word is a single symbol; lower the merge budget")
+      // argmax with the distributed tie-break: count desc, then the
+      // "lhs rhs" pair string ascending (ASCII ⇒ same order both ways)
+      val ((lhs, rhs), c) = counts.minBy { case ((a, b), n) =>
+        (-n, a + " " + b)
+      }
+      merges += ((round, lhs, rhs, lhs + rhs, c))
+      // left-to-right non-overlapping in-place merge — the regex pass
+      words.foreach { case (syms, _) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          if (syms(i) == lhs && syms(i + 1) == rhs) {
+            syms(i) = lhs + rhs
+            syms.remove(i + 1)
+          }
+          i += 1
+        }
+      }
+      round += 1
+    }
+    val mergeDf = merges.result()
+      .toDF("round", "lhs", "rhs", "merged", "pair_count")
+    val finalVocab = words.toSeq.zip(collected).map {
+      case ((syms, f), (w, _)) =>
+        (w, f, syms.mkString("  "), syms.length.toLong)
+    }.toDF("word", "freq", "syms", "n_tokens")
+    BpeModel(mergeDf, finalVocab)
+  }
+
   /** Apply a trained model to the corpus: per-doc word and subword-token
     * counts. The vocab is vocabulary-sized and BROADCAST — the corpus
     * side explodes to (doc_id, word) and aggregates straight back to

@@ -93,6 +93,27 @@ class BpeSpec extends AnyFunSuite {
     assert(got(2L) == ((1L, 0L, 4L)))
   }
 
+  test("trainLocal is merge-for-merge identical to the distributed rounds") {
+    val s = spark
+    for (docs <- Seq(
+        corpus(s, ("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)),
+        s.table("documents"))) {
+      val dist = Bpe.train(s, docs, nMerges = 8)
+      val local = Bpe.trainLocal(s, docs, nMerges = 8)
+      assert(local.merges.orderBy("round").collect().map(_.toString).toSeq ==
+        dist.merges.orderBy("round").collect().map(_.toString).toSeq)
+      val lv = local.vocab.collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getString(2))).toMap
+      val dv = dist.vocab.collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getString(2))).toMap
+      assert(lv == dv)
+    }
+    // a 200-round budget runs driver-local in one pass over the collected
+    // vocab — the path a real 32k-merge budget takes
+    val big = Bpe.trainLocal(s, s.table("documents"), nMerges = 30)
+    assert(big.merges.count() == 30)
+  }
+
   test("non-alnum words never reach the symbol table") {
     val s = spark
     import s.implicits._
