@@ -92,6 +92,67 @@ object EventQueries {
     result
   }
 
+  /** [[streamReplay]] for TWO input streams (stream-stream joins): each
+    * side gets its own scratch dir and file-per-micro-batch cadence; the
+    * transform sees both unbounded frames. Same drain/cleanup/sort
+    * discipline as the single-stream form. */
+  private def streamReplay2(
+      s: SparkSession, left: Seq[DataFrame], right: Seq[DataFrame],
+      transform: (DataFrame, DataFrame) => DataFrame,
+      sortCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    def stamped(batches: Seq[DataFrame]): java.io.File = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_replay2").toFile
+      batches.zipWithIndex.foreach { case (df, i) =>
+        val before = tmp.listFiles().map(_.getName).toSet
+        df.coalesce(1).write.mode("append").parquet(tmp.toString)
+        val stamp = System.currentTimeMillis() - (batches.size - 1 - i) * 10000L
+        tmp.listFiles()
+          .filter(f => f.getName.startsWith("part-") && !before(f.getName))
+          .foreach(f => require(f.setLastModified(stamp),
+            s"cannot stamp ${f.getName} — batch order would scramble"))
+      }
+      tmp
+    }
+    def readSchema(batches: Seq[DataFrame]) =
+      org.apache.spark.sql.types.StructType(
+        batches.head.schema.map { f =>
+          if (f.dataType == org.apache.spark.sql.types.TimestampNTZType)
+            f.copy(dataType = org.apache.spark.sql.types.TimestampType)
+          else f
+        })
+    val (lDir, rDir) = (stamped(left), stamped(right))
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_replay2_ck").toString
+    val sink = "replay2_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val restore = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", 8)
+    try {
+      val q = transform(
+        s.readStream.schema(readSchema(left))
+          .option("maxFilesPerTrigger", 1).parquet(lDir.toString),
+        s.readStream.schema(readSchema(right))
+          .option("maxFilesPerTrigger", 1).parquet(rDir.toString))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      if (!q.awaitTermination(180000)) {
+        q.stop()
+        throw new IllegalStateException(
+          "streaming replay did not drain within 180s")
+      }
+    } finally s.conf.set("spark.sql.shuffle.partitions", restore)
+    val result = s.table(sink).orderBy(sortCols.map(col): _*)
+      .localCheckpoint(true)
+    s.catalog.dropTempView(sink)
+    def rmTree(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
+    }
+    rmTree(lDir); rmTree(rDir); rmTree(new java.io.File(ckpt))
+    result
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // hourly per-type metrics roll-up — tumbling windows via date_trunc
     "q_events_windowed" -> { (s, dir) =>
@@ -198,6 +259,41 @@ object EventQueries {
             gapSeconds = 6 * 3600, watermark = "1 hour")
           .toDF.select("user_id", "session_start", "session_end", "n_events"),
         Seq("user_id", "session_start"))
+    },
+
+    // STREAM-STREAM watermarked interval join under the hash gate: views
+    // and purchases arrive as two independent multi-batch streams and
+    // join on (user, purchase within 2h after the view) — attribution,
+    // the canonical stream-stream workload. Each side is split into
+    // interleaved micro-batches (halves by event_id parity), so matches
+    // routinely pair rows from DIFFERENT batches and both sides' state
+    // buffering is genuinely exercised. Watermarks are generous (90
+    // days — the fixture spans one month) so nothing expires: an inner interval join then emits
+    // exactly the batch join — the algorithm-independent oracle — no
+    // matter how the files are sliced. The tight-watermark expiry
+    // behavior (late views dropping matches) is pinned separately in
+    // EventQueriesSpec.
+    "q_stream_interval_join" -> { (s, dir) =>
+      val e = events(s, dir).select("event_id", "ts", "user_id", "event_type")
+      def halves(df: DataFrame): Seq[DataFrame] =
+        (0 to 1).map(i => df.filter(col("event_id") % 2 === i))
+      streamReplay2(s,
+        halves(e.filter(col("event_type") === "view")),
+        halves(e.filter(col("event_type") === "purchase")),
+        (views, purchases) => {
+          val v = views.withWatermark("ts", "90 days")
+            .select(col("event_id").as("view_id"), col("ts").as("view_ts"),
+              col("user_id"))
+          val p = purchases.withWatermark("ts", "90 days")
+            .select(col("event_id").as("purchase_id"),
+              col("ts").as("purchase_ts"), col("user_id").as("p_user"))
+          v.join(p, col("user_id") === col("p_user") &&
+            col("purchase_ts") >= col("view_ts") &&
+            col("purchase_ts") <= col("view_ts") + expr("INTERVAL 2 HOURS"))
+            .select("view_id", "purchase_id", "user_id",
+              "view_ts", "purchase_ts")
+        },
+        Seq("view_id", "purchase_id"))
     },
 
     // per-user funnel: stage counts + view→purchase conversion flag
@@ -346,6 +442,22 @@ object EventQueries {
     // Replays the 4-batch watermark protocol statically: Spark's event-time
     // watermark is the ms-FLOORED max event time minus the 48h delay
     // (EventTimeWatermarkExec tracks µs/1000), hence the epoch_ms
+    // algorithm-independent oracle: the plain batch interval join — with
+    // generous watermarks nothing expires, so the streamed inner join
+    // must emit exactly this set regardless of file slicing
+    "q_stream_interval_join" ->
+      """WITH v AS (
+        |  SELECT event_id AS view_id, ts AS view_ts, user_id
+        |  FROM events WHERE event_type = 'view'),
+        |p AS (
+        |  SELECT event_id AS purchase_id, ts AS purchase_ts, user_id
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT v.view_id, p.purchase_id, v.user_id, v.view_ts, p.purchase_ts
+        |FROM v JOIN p ON v.user_id = p.user_id
+        |  AND p.purchase_ts >= v.view_ts
+        |  AND p.purchase_ts <= v.view_ts + INTERVAL 2 HOUR
+        |ORDER BY view_id, purchase_id""".stripMargin,
+
     // round-trip. The late filter for the held batch is the watermark the
     // PREVIOUS (mid) batch ran with — max of batch-1 timestamps − 48h
     // (SPARK-40925's lag-one model, empirically pinned by this entry) —

@@ -47,4 +47,85 @@ class EventQueriesSpec extends AnyFunSuite {
       Tables.register(s, src)
     }
   }
+
+  test("stream-stream interval join: a tight watermark expires view " +
+    "state and drops the late match a generous one keeps") {
+    val s = SparkTestSession.spark
+    import s.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(offsetMin: Long) =
+      new java.sql.Timestamp(t0.getTime + offsetMin * 60000L)
+
+    def writeBatches(rows: Seq[Seq[(Long, java.sql.Timestamp, Long)]])
+        : java.io.File = {
+      val dir = Files.createTempDirectory("ssj").toFile
+      rows.zipWithIndex.foreach { case (batch, i) =>
+        val before = dir.listFiles().map(_.getName).toSet
+        batch.toDF("event_id", "ts", "user_id").coalesce(1)
+          .write.mode("append").parquet(dir.toString)
+        val stamp = System.currentTimeMillis() - (rows.size - 1 - i) * 10000L
+        dir.listFiles()
+          .filter(f => f.getName.startsWith("part-") && !before(f.getName))
+          .foreach(f => assert(f.setLastModified(stamp)))
+      }
+      dir
+    }
+
+    def run(delay: String): Seq[(Long, Long)] = {
+      // batch 1: one view (user 1) + one unrelated purchase;
+      // batches 2-3: BOTH sources advance event time 30 days (two
+      // batches, because the watermark a batch OBSERVES lags the batch
+      // that produced it — the same lag-one model the late-watermark
+      // entries pin);
+      // batch 4: user 1's purchase 60 min after the view — arriving
+      // long after the advance
+      val adv = 30L * 24 * 60
+      val vDir = writeBatches(Seq(
+        Seq((1L, ts(0), 1L)),
+        Seq((2L, ts(adv), -1L)),
+        Seq((3L, ts(adv + 1), -1L)),
+        Seq((4L, ts(adv + 2), -1L))))
+      val pDir = writeBatches(Seq(
+        Seq((100L, ts(0), 999L)),
+        Seq((101L, ts(adv), -2L)),
+        Seq((103L, ts(adv + 1), -2L)),
+        Seq((102L, ts(60), 1L))))
+      val schema = "event_id BIGINT, ts TIMESTAMP, user_id BIGINT"
+      val v = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(vDir.toString)
+        .withWatermark("ts", delay)
+        .select(col("event_id").as("view_id"), col("ts").as("view_ts"),
+          col("user_id"))
+      val p = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(pDir.toString)
+        .withWatermark("ts", delay)
+        .select(col("event_id").as("purchase_id"),
+          col("ts").as("purchase_ts"), col("user_id").as("p_user"))
+      val sink = "ssj_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val ckpt = Files.createTempDirectory("ssj_ck").toString
+      val q = v.join(p, col("user_id") === col("p_user") &&
+          col("purchase_ts") >= col("view_ts") &&
+          col("purchase_ts") <= col("view_ts") + expr("INTERVAL 2 HOURS"))
+        .select("view_id", "purchase_id")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(180000))
+      val out = s.table(sink).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      s.catalog.dropTempView(sink)
+      out
+    }
+
+    // generous: nothing expires, the cross-batch match lands
+    assert(run("365 days") == Seq((1L, 102L)),
+      "generous watermark must keep the view buffered for its match")
+    // tight: the 30-day advance pushes the watermark far past the
+    // view's join horizon (view_ts + 2h + 1h delay), its state is
+    // evicted, and the late purchase finds nothing — bounded state
+    // traded for completeness, exactly the documented semantics
+    assert(run("1 hour").isEmpty,
+      "tight watermark must expire the view before the late purchase")
+  }
 }
