@@ -118,8 +118,11 @@ object Bpe {
     * do exactly this): ONE corpus-sized aggregation builds the word-freq
     * table, the top-`maxVocab` words by (freq desc, word asc) are
     * collected — a bounded driver table, the same envelope as
-    * [[TextOps.buildVocab]] — and the merge loop runs driver-local,
-    * where 32k rounds cost milliseconds instead of 64k Spark jobs.
+    * [[TextOps.buildVocab]] — and the merge loop runs driver-local with
+    * learn_bpe's incremental structure (pair counts + inverted
+    * occurrence index + ordered argmax), so a round costs O(occurrences
+    * of the merged pair), not O(total symbols): a 32k-merge budget is
+    * seconds, not 64k Spark jobs.
     * [[train]]'s distributed rounds stay the uncapped-vocabulary path
     * (and the oracle-replayed reference); this is the production fast
     * path, pinned merge-for-merge identical to it in `BpeSpec` (same
@@ -131,48 +134,94 @@ object Bpe {
     require(nMerges > 0, s"nMerges must be positive, got $nMerges")
     require(maxVocab > 0, s"maxVocab must be positive, got $maxVocab")
     import spark.implicits._
+    import scala.collection.mutable
     val collected = initialVocab(docs)
       .orderBy(col("freq").desc, col("word").asc).limit(maxVocab)
       .select("word", "freq").collect()
       .map(r => (r.getString(0), r.getLong(1)))
     // symbol sequences, mutable per word: chars + end-of-word marker
     val words = collected.map { case (w, f) =>
-      (scala.collection.mutable.ArrayBuffer(
-        w.map(_.toString) :+ "_": _*), f)
+      (mutable.ArrayBuffer(w.map(_.toString) :+ "_": _*), f)
+    }
+    // learn_bpe's incremental structure: global pair counts, an inverted
+    // pair → word-index occurrence set (lazily stale — merged-away words
+    // are skipped on touch), and an ordered view for argmax, so a round
+    // costs O(occurrences of the merged pair), not O(total symbols).
+    // The ordering is the distributed tie-break exactly: count desc,
+    // then the "lhs rhs" pair string ascending (symbols are ASCII, so
+    // JVM string order equals Spark's UTF8 binary order).
+    val counts = mutable.HashMap.empty[(String, String), Long]
+    val occurs = mutable.HashMap.empty[(String, String), mutable.Set[Int]]
+    val ord = new java.util.TreeSet[(String, String)](
+      new java.util.Comparator[(String, String)] {
+        def compare(p: (String, String), q: (String, String)): Int = {
+          val c = java.lang.Long.compare(
+            counts.getOrElse(q, 0L), counts.getOrElse(p, 0L))
+          if (c != 0) c
+          else (p._1 + " " + p._2).compareTo(q._1 + " " + q._2)
+        }
+      })
+    def wordPairs(syms: mutable.ArrayBuffer[String])
+        : mutable.HashMap[(String, String), Long] = {
+      val m = mutable.HashMap.empty[(String, String), Long]
+      var i = 0
+      while (i < syms.length - 1) {
+        val key = (syms(i), syms(i + 1))
+        m.update(key, m.getOrElse(key, 0L) + 1L)
+        i += 1
+      }
+      m
+    }
+    // the TreeSet comparator reads `counts`, so every count change must
+    // remove-first / re-add-after or the tree's invariants break
+    def bump(p: (String, String), wi: Int, delta: Long): Unit = {
+      ord.remove(p)
+      val next = counts.getOrElse(p, 0L) + delta
+      if (next > 0) {
+        counts(p) = next
+        ord.add(p)
+        if (delta > 0) occurs.getOrElseUpdate(p, mutable.Set.empty) += wi
+      } else {
+        counts.remove(p); occurs.remove(p)
+      }
+      ()
+    }
+    words.zipWithIndex.foreach { case ((syms, f), wi) =>
+      wordPairs(syms).foreach { case (p, n) => bump(p, wi, n * f) }
     }
     val merges = Seq.newBuilder[(Int, String, String, String, Long)]
     var round = 1
     while (round <= nMerges) {
-      val counts = scala.collection.mutable.HashMap
-        .empty[(String, String), Long]
-      words.foreach { case (syms, f) =>
-        var i = 0
-        while (i < syms.length - 1) {
-          val key = (syms(i), syms(i + 1))
-          counts.update(key, counts.getOrElse(key, 0L) + f)
-          i += 1
-        }
-      }
-      require(counts.nonEmpty,
+      require(!ord.isEmpty,
         s"corpus exhausted at merge round $round of $nMerges — every " +
           "word is a single symbol; lower the merge budget")
-      // argmax with the distributed tie-break: count desc, then the
-      // "lhs rhs" pair string ascending (ASCII ⇒ same order both ways)
-      val ((lhs, rhs), c) = counts.minBy { case ((a, b), n) =>
-        (-n, a + " " + b)
-      }
-      merges += ((round, lhs, rhs, lhs + rhs, c))
-      // left-to-right non-overlapping in-place merge — the regex pass
-      words.foreach { case (syms, _) =>
-        var i = 0
-        while (i < syms.length - 1) {
-          if (syms(i) == lhs && syms(i + 1) == rhs) {
-            syms(i) = lhs + rhs
-            syms.remove(i + 1)
+      val best @ (lhs, rhs) = ord.first()
+      merges += ((round, lhs, rhs, lhs + rhs, counts(best)))
+      // touch ONLY the words that (ever) contained the pair; recompute
+      // each one's pair multiset before/after the in-place left-to-right
+      // non-overlapping merge and apply weighted deltas
+      occurs.get(best).map(_.toArray).getOrElse(Array.empty).foreach { wi =>
+        val (syms, f) = words(wi)
+        val before = wordPairs(syms)
+        if (before.contains(best)) {
+          var i = 0
+          while (i < syms.length - 1) {
+            if (syms(i) == lhs && syms(i + 1) == rhs) {
+              syms(i) = lhs + rhs
+              syms.remove(i + 1)
+            }
+            i += 1
           }
-          i += 1
+          val after = wordPairs(syms)
+          (before.keySet ++ after.keySet).foreach { p =>
+            val d = after.getOrElse(p, 0L) - before.getOrElse(p, 0L)
+            if (d != 0) bump(p, wi, d * f)
+          }
         }
       }
+      // all occurrences merged away ⇒ the pair's count reached zero via
+      // the deltas; drop any residue defensively
+      ord.remove(best); counts.remove(best); occurs.remove(best)
       round += 1
     }
     val mergeDf = merges.result()

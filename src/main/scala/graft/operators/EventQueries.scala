@@ -33,23 +33,27 @@ object EventQueries {
     * default) because every partition is a per-micro-batch state-store
     * commit. On a real cluster this would scale with key cardinality,
     * not executor count. */
-  private def streamReplay(
-      s: SparkSession, batches: Seq[DataFrame],
-      transform: DataFrame => DataFrame, sortCols: Seq[String]): DataFrame = {
-    import org.apache.spark.sql.streaming.Trigger
-    // event-time operators (withWatermark, dropDuplicatesWithinWatermark)
-    // reject TIMESTAMP_NTZ; the fixtures are NTZ parquet. Read through a
-    // TIMESTAMP schema instead — the session runs UTC, so the instants
-    // are identical and the DuckDB oracle compares unchanged
-    val schema = org.apache.spark.sql.types.StructType(
-      batches.head.schema.map { f =>
+  private def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
+  }
+
+  /** Event-time operators (withWatermark, dropDuplicatesWithinWatermark)
+    * reject TIMESTAMP_NTZ; the fixtures are NTZ parquet. Read through a
+    * TIMESTAMP schema instead — the session runs UTC, so the instants
+    * are identical and the DuckDB oracle compares unchanged. */
+  private def tsSchema(df: DataFrame): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(
+      df.schema.map { f =>
         if (f.dataType == org.apache.spark.sql.types.TimestampNTZType)
           f.copy(dataType = org.apache.spark.sql.types.TimestampType)
         else f
       })
+
+  /** One scratch dir per stream: each `batches` frame becomes exactly
+    * one parquet part-file with planted mtimes 10s apart, so
+    * maxFilesPerTrigger=1 replays them as ordered micro-batches. */
+  private def stampedDir(batches: Seq[DataFrame]): java.io.File = {
     val tmp = java.nio.file.Files.createTempDirectory("graft_replay").toFile
-    val ckpt = java.nio.file.Files
-      .createTempDirectory("graft_replay_ck").toString
     batches.zipWithIndex.foreach { case (df, i) =>
       val before = tmp.listFiles().map(_.getName).toSet
       df.coalesce(1).write.mode("append").parquet(tmp.toString)
@@ -59,14 +63,27 @@ object EventQueries {
         .foreach(f => require(f.setLastModified(stamp),
           s"cannot stamp ${f.getName} — batch order would scramble"))
     }
+    tmp
+  }
+
+  /** Shared drain: run the streaming `plan` to a memory sink under
+    * AvailableNow, return the pinned sorted rows. EVERY exit — success,
+    * transform failure, or drain timeout — restores shuffle.partitions
+    * and removes the checkpoint, the scratch dirs, and the temp view
+    * (the bench re-executes entry closures, so a failure path that
+    * leaks would accumulate scratch for the life of the process). */
+  private def drainReplay(
+      s: SparkSession, plan: DataFrame, sortCols: Seq[String],
+      scratch: Seq[java.io.File]): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_replay_ck").toString
     val sink = "replay_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
     val restore = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", 8)
     try {
-      val q = transform(
-        s.readStream.schema(schema)
-          .option("maxFilesPerTrigger", 1).parquet(tmp.toString))
+      val q = plan
         .writeStream.format("memory").queryName(sink)
         .outputMode("append").option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow()).start()
@@ -78,18 +95,28 @@ object EventQueries {
         throw new IllegalStateException(
           "streaming replay did not drain within 180s")
       }
-    } finally s.conf.set("spark.sql.shuffle.partitions", restore)
-    // pin the (driver-resident) sink rows, then drop the temp view and
-    // scratch dirs
-    val result = s.table(sink).orderBy(sortCols.map(col): _*)
-      .localCheckpoint(true)
-    s.catalog.dropTempView(sink)
-    def rmTree(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
+      // pin the (driver-resident) sink rows before the view drops
+      s.table(sink).orderBy(sortCols.map(col): _*).localCheckpoint(true)
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", restore)
+      try s.catalog.dropTempView(sink) catch { case _: Exception => () }
+      scratch.foreach(rmTree)
+      rmTree(new java.io.File(ckpt))
     }
-    rmTree(tmp)
-    rmTree(new java.io.File(ckpt))
-    result
+  }
+
+  private def streamReplay(
+      s: SparkSession, batches: Seq[DataFrame],
+      transform: DataFrame => DataFrame, sortCols: Seq[String]): DataFrame = {
+    val tmp = stampedDir(batches)
+    try {
+      val plan = transform(
+        s.readStream.schema(tsSchema(batches.head))
+          .option("maxFilesPerTrigger", 1).parquet(tmp.toString))
+      drainReplay(s, plan, sortCols, Seq(tmp))
+    } catch {
+      case e: Throwable => rmTree(tmp); throw e
+    }
   }
 
   /** [[streamReplay]] for TWO input streams (stream-stream joins): each
@@ -100,57 +127,20 @@ object EventQueries {
       s: SparkSession, left: Seq[DataFrame], right: Seq[DataFrame],
       transform: (DataFrame, DataFrame) => DataFrame,
       sortCols: Seq[String]): DataFrame = {
-    import org.apache.spark.sql.streaming.Trigger
-    def stamped(batches: Seq[DataFrame]): java.io.File = {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_replay2").toFile
-      batches.zipWithIndex.foreach { case (df, i) =>
-        val before = tmp.listFiles().map(_.getName).toSet
-        df.coalesce(1).write.mode("append").parquet(tmp.toString)
-        val stamp = System.currentTimeMillis() - (batches.size - 1 - i) * 10000L
-        tmp.listFiles()
-          .filter(f => f.getName.startsWith("part-") && !before(f.getName))
-          .foreach(f => require(f.setLastModified(stamp),
-            s"cannot stamp ${f.getName} — batch order would scramble"))
-      }
-      tmp
-    }
-    def readSchema(batches: Seq[DataFrame]) =
-      org.apache.spark.sql.types.StructType(
-        batches.head.schema.map { f =>
-          if (f.dataType == org.apache.spark.sql.types.TimestampNTZType)
-            f.copy(dataType = org.apache.spark.sql.types.TimestampType)
-          else f
-        })
-    val (lDir, rDir) = (stamped(left), stamped(right))
-    val ckpt = java.nio.file.Files
-      .createTempDirectory("graft_replay2_ck").toString
-    val sink = "replay2_" +
-      java.util.UUID.randomUUID().toString.replace("-", "")
-    val restore = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", 8)
+    val lDir = stampedDir(left)
+    val rDir =
+      try stampedDir(right)
+      catch { case e: Throwable => rmTree(lDir); throw e }
     try {
-      val q = transform(
-        s.readStream.schema(readSchema(left))
+      val plan = transform(
+        s.readStream.schema(tsSchema(left.head))
           .option("maxFilesPerTrigger", 1).parquet(lDir.toString),
-        s.readStream.schema(readSchema(right))
+        s.readStream.schema(tsSchema(right.head))
           .option("maxFilesPerTrigger", 1).parquet(rDir.toString))
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("append").option("checkpointLocation", ckpt)
-        .trigger(Trigger.AvailableNow()).start()
-      if (!q.awaitTermination(180000)) {
-        q.stop()
-        throw new IllegalStateException(
-          "streaming replay did not drain within 180s")
-      }
-    } finally s.conf.set("spark.sql.shuffle.partitions", restore)
-    val result = s.table(sink).orderBy(sortCols.map(col): _*)
-      .localCheckpoint(true)
-    s.catalog.dropTempView(sink)
-    def rmTree(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
+      drainReplay(s, plan, sortCols, Seq(lDir, rDir))
+    } catch {
+      case e: Throwable => rmTree(lDir); rmTree(rDir); throw e
     }
-    rmTree(lDir); rmTree(rDir); rmTree(new java.io.File(ckpt))
-    result
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -439,9 +429,6 @@ object EventQueries {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
 
-    // Replays the 4-batch watermark protocol statically: Spark's event-time
-    // watermark is the ms-FLOORED max event time minus the 48h delay
-    // (EventTimeWatermarkExec tracks µs/1000), hence the epoch_ms
     // algorithm-independent oracle: the plain batch interval join — with
     // generous watermarks nothing expires, so the streamed inner join
     // must emit exactly this set regardless of file slicing
@@ -458,6 +445,9 @@ object EventQueries {
         |  AND p.purchase_ts <= v.view_ts + INTERVAL 2 HOUR
         |ORDER BY view_id, purchase_id""".stripMargin,
 
+    // Replays the 4-batch watermark protocol statically: Spark's event-time
+    // watermark is the ms-FLOORED max event time minus the 48h delay
+    // (EventTimeWatermarkExec tracks µs/1000), hence the epoch_ms
     // round-trip. The late filter for the held batch is the watermark the
     // PREVIOUS (mid) batch ran with — max of batch-1 timestamps − 48h
     // (SPARK-40925's lag-one model, empirically pinned by this entry) —

@@ -108,10 +108,29 @@ class BpeSpec extends AnyFunSuite {
         .map(r => r.getString(0) -> (r.getLong(1), r.getString(2))).toMap
       assert(lv == dv)
     }
-    // a 200-round budget runs driver-local in one pass over the collected
-    // vocab — the path a real 32k-merge budget takes
-    val big = Bpe.trainLocal(s, s.table("documents"), nMerges = 30)
-    assert(big.merges.count() == 30)
+    // the incremental structure sustains a multi-hundred-round budget —
+    // the path a real 32k-merge budget takes. A synthetic 400-word
+    // corpus of 12-char words supports well over 300 merges; every
+    // merge must keep conserving character mass
+    import s.implicits._
+    val rng = new scala.util.Random(7)
+    val longWords = (0 until 400).map(_ =>
+      (0 until 12).map(_ => ('a' + rng.nextInt(6)).toChar).mkString)
+    val bigDocs = longWords.grouped(20).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+      .toSeq.toDF("doc_id", "text")
+    val big = Bpe.trainLocal(s, bigDocs, nMerges = 300)
+    assert(big.merges.count() == 300)
+    assert(big.vocab.collect().forall(r =>
+      r.getString(2).replace(" ", "") == r.getString(0) + "_"))
+    // and the incremental structure agrees with the distributed rounds
+    // on this corpus too (depth 8 — the oracle's budget; deeper parity
+    // is covered transitively by the mass/monotonicity properties)
+    val dist8 = Bpe.train(s, bigDocs, nMerges = 8)
+      .merges.orderBy("round").collect().map(_.toString).toSeq
+    val local8 = Bpe.trainLocal(s, bigDocs, nMerges = 8)
+      .merges.orderBy("round").collect().map(_.toString).toSeq
+    assert(local8 == dist8)
   }
 
   test("non-alnum words never reach the symbol table") {
