@@ -286,6 +286,68 @@ object EventQueries {
         Seq("view_id", "purchase_id"))
     },
 
+    // LEFT OUTER stream-stream interval join: the null (no-conversion)
+    // rows can only emit when the WATERMARK passes a view's join
+    // horizon — outer emission is watermark-driven state finalization,
+    // the semantics this entry pins. Batches are TIME-ordered (month
+    // halves) so a 1h delay never late-drops anything: a purchase can
+    // only match a view whose horizon is still open, and a view is only
+    // finalized once every purchase that could match it must already
+    // have arrived — which is exactly why the streamed result equals
+    // the batch LEFT JOIN. A far-future advance batch on BOTH sides
+    // (min-watermark policy) pushes the final watermark past every real
+    // view's horizon so the last views finalize too; the advance view's
+    // own null row is filtered by user_id >= 0.
+    "q_stream_interval_join_outer" -> { (s, dir) =>
+      val e = events(s, dir).select("event_id", "ts", "user_id", "event_type")
+      val mid = lit("2024-01-16 00:00:00").cast("timestamp")
+      val maxMs = e.agg(max(unix_millis(col("ts").cast("timestamp"))))
+        .collect()(0).getLong(0)
+      def advance(id: Long, user: Long, tpe: String, offMs: Long): DataFrame =
+        s.range(1).select(lit(id).as("event_id"),
+          timestamp_millis(lit(maxMs + offMs)).as("ts"),
+          lit(user).as("user_id"), lit(tpe).as("event_type"))
+      // TWO advance batches per side: outer-join null emission is
+      // watermark-driven state finalization, and the watermark a batch
+      // observes lags the batch that produced it — the first advance
+      // raises the watermark, the second commits under it (the final
+      // no-data batch alone measured 10 month-tail views short)
+      def halves(df: DataFrame, adv: Long => DataFrame): Seq[DataFrame] =
+        Seq(df.filter(col("ts") < mid), df.filter(col("ts") >= mid),
+          adv(86400000L), adv(172800000L))
+      // the VIEW-side advance keeps one constant far-future ts in both
+      // advance batches: its own join horizon then sits past every
+      // watermark the replay reaches and it never finalizes (a stepped
+      // view advance measured one spurious null row — the first step's
+      // horizon fell under the second step's watermark)
+      streamReplay2(s,
+        halves(e.filter(col("event_type") === "view"),
+          _ => advance(-1L, -1L, "view", 172800000L)),
+        halves(e.filter(col("event_type") === "purchase"),
+          off => advance(-2L, -2L, "purchase", off)),
+        (views, purchases) => {
+          val v = views.withWatermark("ts", "1 hour")
+            .select(col("event_id").as("view_id"), col("ts").as("view_ts"),
+              col("user_id"))
+          val p = purchases.withWatermark("ts", "1 hour")
+            .select(col("event_id").as("purchase_id"),
+              col("ts").as("purchase_ts"), col("user_id").as("p_user"))
+          // NO output filter: a predicate like user_id >= 0 gets pushed
+          // below the watermark collector and silently kills the advance
+          // rows before they advance anything (measured: the join saw 0
+          // input rows in every post-advance batch). None is needed —
+          // the advance view's own horizon sits beyond every watermark
+          // the replay reaches, so it never finalizes and never emits
+          v.join(p, col("user_id") === col("p_user") &&
+            col("purchase_ts") >= col("view_ts") &&
+            col("purchase_ts") <= col("view_ts") + expr("INTERVAL 2 HOURS"),
+            "left_outer")
+            .select("view_id", "purchase_id", "user_id",
+              "view_ts", "purchase_ts")
+        },
+        Seq("view_id", "purchase_id"))
+    },
+
     // per-user funnel: stage counts + view→purchase conversion flag
     "q_events_funnel" -> { (s, dir) =>
       events(s, dir)
@@ -444,6 +506,21 @@ object EventQueries {
         |  AND p.purchase_ts >= v.view_ts
         |  AND p.purchase_ts <= v.view_ts + INTERVAL 2 HOUR
         |ORDER BY view_id, purchase_id""".stripMargin,
+
+    // algorithm-independent oracle for the OUTER form: the batch LEFT
+    // JOIN — watermark-driven finalization must add exactly the
+    // unmatched views as null rows and nothing else
+    "q_stream_interval_join_outer" ->
+      """WITH v AS (
+        |  SELECT event_id AS view_id, ts AS view_ts, user_id
+        |  FROM events WHERE event_type = 'view'),
+        |p AS (
+        |  SELECT event_id AS purchase_id, ts AS purchase_ts, user_id
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT v.view_id, p.purchase_id, v.user_id, v.view_ts, p.purchase_ts
+        |FROM v LEFT JOIN p ON v.user_id = p.user_id
+        |  AND p.purchase_ts >= v.view_ts
+        |  AND p.purchase_ts <= v.view_ts + INTERVAL 2 HOUR""".stripMargin,
 
     // Replays the 4-batch watermark protocol statically: Spark's event-time
     // watermark is the ms-FLOORED max event time minus the 48h delay
@@ -663,5 +740,6 @@ object EventQueries {
     "q_events_psi" -> Seq("event_type"),
     "q_events_priority" -> Seq("deliver_pos"),
     "q_events_retention" -> Seq("cohort_day", "day_offset"),
-    "q_events_sessions" -> Seq("user_id", "session_idx"))
+    "q_events_sessions" -> Seq("user_id", "session_idx"),
+    "q_stream_interval_join_outer" -> Seq("view_id", "purchase_id"))
 }
