@@ -145,6 +145,23 @@ object EventQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // hourly per-type metrics roll-up — tumbling windows via date_trunc
+    // STREAM-STATIC enrichment join, completing the streaming join
+    // matrix (static / stream-stream inner / stream-stream outer): each
+    // micro-batch joins against the broadcast-able static dimension with
+    // NO state at all — which is exactly why the replay must equal the
+    // batch join for ANY batch slicing, pinned here across 3 batches
+    "q_stream_static_join" -> { (s, dir) =>
+      val e = events(s, dir).select("event_id", "ts", "user_id", "event_type")
+      val dim = s.table("customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"))
+      streamReplay(s,
+        (0 to 2).map(i => e.filter(col("event_id") % 3 === i)),
+        src => src.join(dim, col("user_id") === col("c_custkey"))
+          .select(col("event_id"), col("event_type"),
+            col("c_mktsegment"), col("c_nationkey")),
+        Seq("event_id"))
+    },
+
     "q_events_windowed" -> { (s, dir) =>
       events(s, dir)
         .groupBy(date_trunc("HOUR", col("ts")).as("hour"), col("event_type"))
@@ -490,6 +507,13 @@ object EventQueries {
         |  COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+
+    // algorithm-independent oracle: the plain batch join — a stream-
+    // static join is stateless per batch, so slicing can never matter
+    "q_stream_static_join" ->
+      """SELECT e.event_id, e.event_type, c.c_mktsegment, c.c_nationkey
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |ORDER BY e.event_id""".stripMargin,
 
     // algorithm-independent oracle: the plain batch interval join — with
     // generous watermarks nothing expires, so the streamed inner join
