@@ -221,13 +221,17 @@ object ComputeRegistry {
         .select(col("doc_id"), col("sel_rank").as(out))
       df.join(kept, Seq("doc_id"))
     },
-    // BPE subword-token count over a TEXT input column: train 8 merges
-    // on the relation itself, then the broadcast-vocab encode — the
-    // budget-estimation primitive ("how many tokens is this corpus
-    // under a learned tokenizer")
+    // BPE subword-token count over a TEXT input column: train up to 8
+    // merges on the relation itself, then the broadcast-vocab encode —
+    // the budget-estimation primitive ("how many tokens is this corpus
+    // under a learned tokenizer"). strict=false clamps the budget to
+    // what the relation sustains: a DSL caller never chose the 8, so a
+    // small/low-diversity relation trains fewer merges instead of
+    // raising about a knob the kernel does not expose
     "bpe_token_count" -> { (df, ins, out) =>
       val keyedDf = keyed(df, ins.head)
-      val model = graft.llm.Bpe.train(df.sparkSession, keyedDf, nMerges = 8)
+      val model = graft.llm.Bpe.train(df.sparkSession, keyedDf,
+        nMerges = 8, strict = false)
       val enc = graft.llm.Bpe.encode(keyedDf, model)
         .select(col("doc_id"), col("n_bpe_tokens").as(out))
       df.join(enc, Seq("doc_id"))
@@ -240,6 +244,72 @@ object ComputeRegistry {
         df.select(col(ins.head).as("embedding")))
       df.withColumn(out, graft.functions.MatchExpressions
         .signedProjection(col(ins.head), 16, dim))
+    },
+    // hybrid RRF retrieval over (text, embedding) input columns:
+    // reciprocal-rank fusion of the BM25 lexical arm and the
+    // embedding-cosine semantic arm; the fused rank (1..20) attaches as
+    // the output column, NULL for docs neither arm retrieved.
+    // Deterministic without caller params: the query terms are the
+    // relation's 3 most-common per-doc top-TF-IDF terms and the query
+    // vector is the smallest doc_id's — both bounded driver collects
+    // (3 strings + 1 long, the index-metadata envelope)
+    "hybrid_rrf" -> { (df, ins, out) =>
+      require(ins.length >= 2,
+        s"hybrid_rrf needs (text, embedding) input columns, got $ins")
+      val docsDf = keyed(df, ins.head)
+      val embsDf = df.select(col("doc_id").cast("long").as("vec_id"),
+        col(ins(1)).as("embedding"))
+      val terms = graft.llm.Relevance.tfidfTopTerms(docsDf, topN = 1)
+        .groupBy("term").agg(count(lit(1)).as("_n"))
+        .orderBy(col("_n").desc, col("term").asc).limit(3)
+        .collect().map(_.getString(0)).toSeq
+      require(terms.nonEmpty,
+        "hybrid_rrf: relation has no scoreable terms (all texts empty?)")
+      val qid = df.agg(min(col("doc_id")).cast("long"))
+        .collect().head.getLong(0)
+      val ranked = graft.llm.Relevance
+        .hybridRrf(docsDf, embsDf, terms, queryVecId = qid)
+        .select(col("doc_id"), col("rank").as(out))
+      df.join(ranked, Seq("doc_id"), "left")
+    },
+    // exact shingle-containment score over a TEXT input column (Broder's
+    // resemblance-vs-containment split): banded-MinHash candidates, then
+    // the containment rescore; the per-doc MAX containment in either
+    // direction ("how much of this doc lives inside some near-duplicate
+    // partner, or of a partner inside it") attaches as the output
+    // column — NULL when LSH produced no candidate pair for the doc
+    "containment" -> { (df, ins, out) =>
+      val d = keyed(df, ins.head)
+      val cands = graft.llm.Dedup.minhashCandidates(d)
+      val scored = graft.llm.Dedup.containmentRescore(d, cands)
+      val perDoc = scored
+        .select(col("doc_a").as("doc_id"), col("containment_a").as("_c"))
+        .unionAll(scored
+          .select(col("doc_b").as("doc_id"), col("containment_b").as("_c")))
+        .groupBy("doc_id").agg(max("_c").as(out))
+      df.join(perDoc, Seq("doc_id"), "left")
+    },
+    // cluster-balanced (diversity) sampling over an EMBEDDING input
+    // column — relation-SHRINKING like domain_cap: assign each row to
+    // its auto-k seeded max-cosine semantic cell and keep the 10
+    // smallest doc_ids per cell (cap each semantic neighborhood instead
+    // of letting one dense topic dominate); INTO column(...) names the
+    // within-cell rank column
+    "cluster_balanced_sample" -> { (df, ins, out) =>
+      require(df.columns.contains("doc_id"),
+        s"table kernels require a 'doc_id' key column; relation has " +
+          s"[${df.columns.mkString(", ")}]")
+      // persist: the embedding projection feeds the auto-k count, the
+      // seed collect, and the assignment — same discipline as
+      // semantic_dedup above
+      val embs = graft.llm.PipelineCaches.track(
+        df.select(col("doc_id").cast("long").as("vec_id"),
+          col(ins.head).as("embedding"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val kept = graft.llm.Similarity.clusterBalancedSample(
+        embs, semanticSeeds(embs), cap = 10)
+        .select(col("vec_id").as("doc_id"), col("cell_rank").as(out))
+      df.join(kept, Seq("doc_id"))
     })
 
   tableBuiltins.foreach { case (k, v) => tableKernels.put(k, v) }

@@ -58,11 +58,16 @@ object Bpe {
       .withColumn("syms",
         concat(regexp_replace(col("word"), "(.)", "$1  "), lit("_")))
 
-  /** Train `nMerges` BPE merges on the corpus. Requires the corpus to
-    * support that many merges (each round must find at least one pair) —
-    * a corpus too small to sustain the budget raises rather than
-    * silently returning a shorter table. */
-  def train(spark: SparkSession, docs: DataFrame, nMerges: Int): BpeModel = {
+  /** Train `nMerges` BPE merges on the corpus. With `strict` (the
+    * default) the corpus must support the full budget (each round must
+    * find at least one pair) — too small a corpus raises rather than
+    * silently returning a shorter table. `strict = false` clamps to what
+    * the corpus sustains instead (the DSL `bpe_token_count` kernel's
+    * contract: a caller who never chose the budget must not be failed by
+    * it), stopping at the first exhausted round. */
+  def train(
+      spark: SparkSession, docs: DataFrame, nMerges: Int,
+      strict: Boolean = true): BpeModel = {
     require(nMerges > 0 && nMerges <= 1000,
       s"nMerges must be in [1, 1000], got $nMerges")
     import spark.implicits._
@@ -77,7 +82,9 @@ object Bpe {
     // initial cache and the loop is O(k²) in the merge budget
     var prev: Option[DataFrame] = None
     val merges = Seq.newBuilder[(Int, String, String, String, Long)]
-    for (round <- 1 to nMerges) {
+    var round = 1
+    var exhausted = false
+    while (round <= nMerges && !exhausted) {
       // fully-merged one-symbol words have no pairs: sequence(1, 0)
       // counts DOWN in Spark and arr[1] errors under ANSI, so the guard
       // is load-bearing, not cosmetic
@@ -94,17 +101,22 @@ object Bpe {
       // this action materialized the current round's persisted vocab —
       // the previous round's cache is now dead weight
       prev.foreach(_.unpersist(blocking = false))
-      require(best.nonEmpty,
-        s"corpus exhausted at merge round $round of $nMerges — every " +
-          "word is a single symbol; lower the merge budget")
-      val Array(lhs, rhs) = best.head.getString(0).split(" ", 2)
-      merges += ((round, lhs, rhs, lhs + rhs, best.head.getLong(1)))
-      prev = Some(vocab)
-      // symbols are [a-z0-9_]+ by construction — safe as regex literals
-      vocab = PipelineCaches.track(
-        vocab.withColumn("syms", regexp_replace(col("syms"),
-          s"(^| )$lhs  $rhs( |$$)", s"$$1$lhs$rhs$$2"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      if (best.isEmpty) {
+        require(!strict,
+          s"corpus exhausted at merge round $round of $nMerges — every " +
+            "word is a single symbol; lower the merge budget")
+        exhausted = true
+      } else {
+        val Array(lhs, rhs) = best.head.getString(0).split(" ", 2)
+        merges += ((round, lhs, rhs, lhs + rhs, best.head.getLong(1)))
+        prev = Some(vocab)
+        // symbols are [a-z0-9_]+ by construction — safe as regex literals
+        vocab = PipelineCaches.track(
+          vocab.withColumn("syms", regexp_replace(col("syms"),
+            s"(^| )$lhs  $rhs( |$$)", s"$$1$lhs$rhs$$2"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        round += 1
+      }
     }
     val mergeDf = merges.result()
       .toDF("round", "lhs", "rhs", "merged", "pair_count")

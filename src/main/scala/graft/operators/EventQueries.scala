@@ -313,8 +313,10 @@ object EventQueries {
     // have arrived — which is exactly why the streamed result equals
     // the batch LEFT JOIN. A far-future advance batch on BOTH sides
     // (min-watermark policy) pushes the final watermark past every real
-    // view's horizon so the last views finalize too; the advance view's
-    // own null row is filtered by user_id >= 0.
+    // view's horizon so the last views finalize too; the advance view
+    // itself never finalizes (its constant far-future horizon outruns
+    // every watermark the replay reaches), so no output filter is needed
+    // — and none is safe to add (see the pushdown note below).
     "q_stream_interval_join_outer" -> { (s, dir) =>
       val e = events(s, dir).select("event_id", "ts", "user_id", "event_type")
       val mid = lit("2024-01-16 00:00:00").cast("timestamp")

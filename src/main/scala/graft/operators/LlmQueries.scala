@@ -452,8 +452,9 @@ object LlmQueries {
           col("label"), col("emb_dim"), col("media.byte_len").as("byte_len"))
     },
 
-    // mapPartitions feature-extraction stub — deterministic bytes math, so
-    // it carries a real oracle despite the imperative inner loop
+    // feature extraction over the binary payload — a native struct
+    // projection (MediaFeatures, whole-stage-fused with the join) since
+    // round 10; the stub decode is deterministic byte math the oracle pins
     "q_multimodal_features" -> { (s, dir) =>
       Multimodal.extractFeaturesStub(
         Multimodal.joined(docs(s, dir), embs(s, dir)))

@@ -352,4 +352,64 @@ class ComputeSpec2 extends AnyFunSuite {
     assert(rp.select(size(col("sketch"))).distinct().collect()
       .map(_.getInt(0)).toSeq == Seq(16))
   }
+
+  test("bpe_token_count clamps the merge budget to what the relation " +
+    "sustains instead of raising") {
+    val s = spark
+    import s.implicits._
+    // two single-char words: one merge ("a_" after 'a'+'_') per word at
+    // most — nowhere near the kernel's 8-round budget
+    Seq((1L, "a b a"), (2L, "b a b")).toDF("doc_id", "text")
+      .createOrReplaceTempView("tiny_docs")
+    val out = ComputeRegistry.runOnce(s,
+      parse("COMPUTE bt FROM table(text) INTO column(n_bpe) " +
+        "USING bpe_token_count"),
+      "tiny_docs")
+    assert(out.count() == 2)
+    // fully merged: every word collapses to one symbol -> 3 tokens/doc
+    assert(out.select("n_bpe").collect().map(_.getLong(0)).toSeq ==
+      Seq(3L, 3L))
+  }
+
+  test("hybrid_rrf, containment and cluster_balanced_sample kernels " +
+    "reach the round-10 operators from the DSL") {
+    val s = spark
+    // a relation carrying BOTH text and embedding (fixture contract:
+    // embedding vec_id = doc_id)
+    s.table("documents").join(
+      s.table("embeddings"),
+      col("doc_id") === col("vec_id"))
+      .drop("vec_id").createOrReplaceTempView("doc_embs")
+    val nDocs = s.table("doc_embs").count()
+    // hybrid_rrf: every input row preserved, fused ranks are a prefix
+    // permutation (1..n_retrieved, n_retrieved <= 20), rest NULL
+    val hr = ComputeRegistry.runOnce(s,
+      parse("COMPUTE hr FROM table(text, embedding) INTO column(rrf_rank) " +
+        "USING hybrid_rrf"),
+      "doc_embs")
+    assert(hr.count() == nDocs)
+    val ranks = hr.select("rrf_rank").na.drop().collect()
+      .map(_.getInt(0)).sorted.toSeq
+    assert(ranks.nonEmpty && ranks.last <= 20)
+    assert(ranks == (1 to ranks.length))
+    // containment: every input row preserved; scores live in [0, 1]
+    val ct = ComputeRegistry.runOnce(s,
+      parse("COMPUTE ct FROM table(text) INTO column(containment) " +
+        "USING containment"),
+      "doc_embs")
+    assert(ct.count() == nDocs)
+    assert(ct.filter(col("containment") < 0 || col("containment") > 1)
+      .count() == 0)
+    // cluster_balanced_sample: relation-shrinking, <= 10 rows per cell,
+    // within-cell ranks are 1..k
+    val cbs = ComputeRegistry.runOnce(s,
+      parse("COMPUTE cbs FROM table(embedding) INTO column(cell_rank) " +
+        "USING cluster_balanced_sample"),
+      "doc_embs")
+    assert(cbs.count() <= nDocs && cbs.count() > 0)
+    // ranks 1..cap only; the per-cell cap itself is pinned by the
+    // operator's own oracle entry (q_cluster_balanced_sample)
+    assert(cbs.filter(col("cell_rank") < 1 || col("cell_rank") > 10)
+      .count() == 0)
+  }
 }
