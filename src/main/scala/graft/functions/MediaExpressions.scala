@@ -113,10 +113,75 @@ case class ImageHeader(child: Expression) extends UnaryExpression {
       : ImageHeader = copy(child = newChild)
 }
 
+/** The frame-sampling stub's demux as one array projection: the payload's
+  * fixed 64-byte "frames", keeping every `every`-th, each as
+  * (frame_idx, frame) — `explode` above it restores the 1-to-N generator
+  * shape (GenerateExec stays inside whole-stage codegen), replacing the
+  * catalog's last `mapPartitions` path. STUB: production swaps the
+  * fixed-width slicing inside [[FrameSlices.slices]] for a demuxer; the
+  * expression shape (binary in, array of typed frames out) is what that
+  * code would use. Empty payload yields an empty array (zero rows after
+  * explode — the flatMap contract); NULL payload yields NULL (callers
+  * coalesce NULL-text docs to empty bytes first). */
+case class FrameSlices(child: Expression, every: Int)
+    extends UnaryExpression {
+  require(every > 0, s"sampling stride must be positive, got $every")
+
+  override def prettyName: String = "frame_slices"
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("frame", BinaryType, nullable = false))),
+    containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${t.sql}")
+  }
+
+  /** public: called from generated code. */
+  def slices(bytes: Array[Byte]): GenericArrayData = {
+    // ---- STUB demux: fixed 64-byte frames, keep every nth ----
+    val nFrames = (bytes.length + 63) / 64
+    val out = new Array[Any]((nFrames + every - 1) / every)
+    var i = 0
+    var j = 0
+    while (i < nFrames) {
+      if (i % every == 0) {
+        val start = i * 64
+        out(j) = InternalRow(i, java.util.Arrays.copyOfRange(
+          bytes, start, math.min(start + 64, bytes.length)))
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    slices(a.asInstanceOf[Array[Byte]])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("frameSlices", this,
+      classOf[FrameSlices].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.slices($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : FrameSlices = copy(child = newChild)
+}
+
 object MediaExpressions {
   def mediaFeatures(payload: Column): Column =
     ColumnBridge.column(MediaFeatures(ColumnBridge.expression(payload)))
 
   def imageHeader(payload: Column): Column =
     ColumnBridge.column(ImageHeader(ColumnBridge.expression(payload)))
+
+  def frameSlices(payload: Column, every: Int): Column =
+    ColumnBridge.column(
+      FrameSlices(ColumnBridge.expression(payload), every))
 }

@@ -1,19 +1,21 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
 
 /** Multimodal columns (SURVEY §2.8): opaque binary payloads + typed
-  * metadata, joined with their embeddings, with a partition-wise
-  * feature-extraction stage.
+  * metadata, joined with their embeddings, with native decode /
+  * feature-extract / resize / frame-sample stages.
   *
-  * The container has no image/audio codecs, so the decode step is a
-  * clearly-marked deterministic STUB — but the Spark-side plumbing that the
-  * brief asks for is real and tested: binary column + metadata struct
-  * schema, docs⋈embeddings join, and a mapPartitions batch pass with an
-  * explicit output schema (the same shape a Pandas-UDF/mapInPandas decode
-  * would have on a cluster with codecs installed).
+  * The container has no image/audio codecs, so the decode steps are
+  * clearly-marked deterministic STUBs — but the Spark-side plumbing that
+  * the brief asks for is real and tested: binary column + metadata struct
+  * schema, docs⋈embeddings join, and every per-payload stage as a native
+  * codegen projection ([[graft.functions.MediaFeatures]] /
+  * [[graft.functions.ImageHeader]] / [[graft.functions.FrameSlices]] or
+  * plain built-ins) — whole-stage-fused, no partition loops; a cluster
+  * with codecs installed swaps the stub byte math inside those
+  * expressions for codec calls.
   */
 object Multimodal {
 
@@ -38,56 +40,29 @@ object Multimodal {
   private def payloadOrEmpty: org.apache.spark.sql.Column =
     coalesce(col("media.payload"), lit(Array.emptyByteArray))
 
-  private val resizeSchema = StructType(Seq(
-    StructField("doc_id", LongType),
-    StructField("src_bytes", IntegerType),
-    StructField("thumb_dim", IntegerType),
-    StructField("thumb", BinaryType)))
-
-  /** Shared scaffold for the partition-wise decode stubs: project
-    * (doc_id, payload), run the per-doc function over each partition with
-    * an explicit output schema. NULL payloads (NULL-text docs) arrive as
-    * empty byte arrays — the same first-class treatment Dedup gives them. */
-  private def payloadPass(joinedDf: DataFrame, schema: StructType)(
-      perDoc: (Long, Array[Byte]) => Iterator[Row]): DataFrame = {
-    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
-      .encoderFor(schema)
-    joinedDf.select(col("doc_id"), col("media.payload").as("payload"))
-      .mapPartitions { rows: Iterator[Row] =>
-        rows.flatMap { r =>
-          val bytes = Option(r.getAs[Array[Byte]](1))
-            .getOrElse(Array.emptyByteArray)
-          perDoc(r.getLong(0), bytes)
-        }
-      }(enc)
-  }
-
-  /** Partition-wise "resize" pass: STUB — production swaps the byte
-    * truncation for a codec resize; the batch shape (one row in → one
-    * smaller binary out, explicit schema) is the real contract. */
+  /** The "resize" pass: STUB — production swaps the byte truncation for
+    * a codec resize (one row in → one smaller binary out, same contract).
+    * Pure built-in projections (`octet_length` + binary `substring`),
+    * whole-stage-fused with the join — no partition loop. */
   def resizeStub(joinedDf: DataFrame, maxDim: Int = 8): DataFrame =
-    payloadPass(joinedDf, resizeSchema) { (id, bytes) =>
+    joinedDf.select(col("doc_id"),
+      octet_length(payloadOrEmpty).as("src_bytes"),
+      lit(maxDim).as("thumb_dim"),
       // ---- STUB resize: a real codec downsamples here ----
-      Iterator.single(Row(id, bytes.length, maxDim, bytes.take(maxDim * maxDim)))
-    }
+      substring(payloadOrEmpty, 1, maxDim * maxDim).as("thumb"))
 
-  private val frameSchema = StructType(Seq(
-    StructField("doc_id", LongType),
-    StructField("frame_idx", IntegerType),
-    StructField("frame", BinaryType)))
-
-  /** Partition-wise frame sampling: every `every`-th 64-byte "frame"
-    * becomes its own row — the 1-to-N flatMap shape real video sampling
-    * has. STUB: production replaces the fixed-width slicing with a
-    * demuxer. */
+  /** Frame sampling: every `every`-th 64-byte "frame" becomes its own
+    * row — the 1-to-N generator shape real video sampling has, as the
+    * native [[graft.functions.FrameSlices]] array projection + `explode`
+    * (stays inside whole-stage codegen — no partition loop). STUB:
+    * production replaces the fixed-width slicing inside the expression
+    * with a demuxer. Zero-byte payloads demux to zero rows. */
   def frameSampleStub(joinedDf: DataFrame, every: Int = 4): DataFrame = {
     require(every > 0, "sampling stride must be positive")
-    payloadPass(joinedDf, frameSchema) { (id, bytes) =>
-      // ---- STUB demux: fixed 64-byte frames, keep every nth ----
-      bytes.grouped(64).zipWithIndex
-        .filter(_._2 % every == 0)
-        .map { case (frame, idx) => Row(id, idx, frame) }
-    }
+    joinedDf.select(col("doc_id"),
+        explode(graft.functions.MediaExpressions
+          .frameSlices(payloadOrEmpty, every)).as("_f"))
+      .select(col("doc_id"), col("_f.frame_idx"), col("_f.frame"))
   }
 
   private val pngMagic =

@@ -279,11 +279,13 @@ class PlanAuditSpec extends AnyFunSuite {
 
   test("the multimodal feature/header stages are fused projections — " +
     "no mapPartitions barrier") {
-    // round 10 moved the catalog's last imperative hot paths
-    // (extractFeaturesStub, imageHeaders) onto native expressions; a
+    // rounds 10-11 moved the catalog's imperative hot paths
+    // (extractFeaturesStub, imageHeaders, then frameSampleStub's demux —
+    // the last mapPartitions in src/main) onto native expressions; a
     // reappearing DeserializeToObject/MapPartitions pair means someone
     // reintroduced a partition loop that blocks whole-stage fusion
-    for (name <- Seq("q_multimodal_features", "q_multimodal_headers")) {
+    for (name <- Seq("q_multimodal_features", "q_multimodal_headers",
+        "q_multimodal_frames")) {
       val p = plan(name)
       assert(!p.contains("MapPartitions") && !p.contains("SerializeFromObject"),
         s"$name must stay a native-expression projection:\n$p")
