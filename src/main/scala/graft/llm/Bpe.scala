@@ -47,7 +47,7 @@ object Bpe {
     * syms, n_tokens) after all merges. */
   case class BpeModel(merges: DataFrame, vocab: DataFrame)
 
-  private[llm] def initialVocab(docs: DataFrame): DataFrame =
+  private[graft] def initialVocab(docs: DataFrame): DataFrame =
     docs.select(explode(split(coalesce(col("text"), lit("")), " "))
         .as("word"))
       .filter(col("word").rlike("^[a-z0-9]+$"))
@@ -143,14 +143,23 @@ object Bpe {
   def trainLocal(
       spark: SparkSession, docs: DataFrame, nMerges: Int,
       maxVocab: Int = 1000000): BpeModel = {
-    require(nMerges > 0, s"nMerges must be positive, got $nMerges")
     require(maxVocab > 0, s"maxVocab must be positive, got $maxVocab")
-    import spark.implicits._
-    import scala.collection.mutable
     val collected = initialVocab(docs)
       .orderBy(col("freq").desc, col("word").asc).limit(maxVocab)
       .select("word", "freq").collect()
       .map(r => (r.getString(0), r.getLong(1)))
+    trainLocalVocab(spark, collected, nMerges)
+  }
+
+  /** [[trainLocal]]'s driver-local merge loop over an already-collected
+    * (word, freq) table — split out so the loop's cost can be measured
+    * independently of the corpus aggregation ([[graft.tools.BpeProbe]]). */
+  private[graft] def trainLocalVocab(
+      spark: SparkSession, collected: Array[(String, Long)],
+      nMerges: Int): BpeModel = {
+    require(nMerges > 0, s"nMerges must be positive, got $nMerges")
+    import spark.implicits._
+    import scala.collection.mutable
     // symbol sequences, mutable per word: chars + end-of-word marker
     val words = collected.map { case (w, f) =>
       (mutable.ArrayBuffer(w.map(_.toString) :+ "_": _*), f)
@@ -244,6 +253,24 @@ object Bpe {
     }.toDF("word", "freq", "syms", "n_tokens")
     BpeModel(mergeDf, finalVocab)
   }
+
+  /** Persist a trained model: merges (one small file — merge-budget
+    * rows) + vocab parquet under `path`, the trained-artifact store the
+    * RP/PQ indexes already have. Refreshing a LIVE store goes through
+    * [[graft.scale.StoreMaint.replaceStore]] (crash-safe swap) exactly
+    * like the signature index; this writes the initial layout. */
+  def saveBpeModel(model: BpeModel, path: String): Unit = {
+    model.merges.coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/merges")
+    model.vocab.write.mode("overwrite").parquet(s"$path/vocab")
+  }
+
+  /** Reload a persisted model. Both tables stay distributed scans (the
+    * vocab can be 10M rows at corpus scale); [[encode]] broadcasts only
+    * the (word, n_tokens) projection it needs. */
+  def loadBpeModel(spark: SparkSession, path: String): BpeModel =
+    BpeModel(spark.read.parquet(s"$path/merges"),
+      spark.read.parquet(s"$path/vocab"))
 
   /** Apply a trained model to the corpus: per-doc word and subword-token
     * counts. The vocab is vocabulary-sized and BROADCAST — the corpus

@@ -29,10 +29,13 @@ object EventQueries {
     * bench re-executes entry closures, so nothing may leak per run.
     *
     * State partitions are fixed at first run from shuffle.partitions;
-    * they are sized here to the replay's small state (8, not the session
-    * default) because every partition is a per-micro-batch state-store
-    * commit. On a real cluster this would scale with key cardinality,
-    * not executor count. */
+    * they are sized here to the replay's small state (2, not the session
+    * default 32) because every partition pays a state-store commit PER
+    * MICRO-BATCH and the replays are commit-bound, not compute-bound —
+    * measured across 8/4/2/1: monotone improvement down to 2 (the outer
+    * interval join 6.4→4.9 s), then worse at 1 (state work goes
+    * single-threaded). On a real cluster this would scale with key
+    * cardinality, not executor count. */
   private def rmTree(f: java.io.File): Unit = {
     Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
   }
@@ -81,7 +84,7 @@ object EventQueries {
     val sink = "replay_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
     val restore = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", 8)
+    s.conf.set("spark.sql.shuffle.partitions", 2)
     try {
       val q = plan
         .writeStream.format("memory").queryName(sink)

@@ -183,4 +183,44 @@ class BpeSpec extends AnyFunSuite {
       SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
     assert(result.passed, result.status.toString)
   }
+
+  test("non-strict training clamps to what the corpus sustains") {
+    val s = spark
+    // "ab" sustains exactly 2 merges (a+b, ab+_); budget of 8 clamps
+    val docs = corpus(s, ("ab", 3))
+    val model = Bpe.train(s, docs, nMerges = 8, strict = false)
+    assert(model.merges.count() == 2)
+    val syms = model.vocab.collect().map(_.getString(2)).toSeq
+    assert(syms == Seq("ab_"))
+    // strict default still raises on the same corpus
+    val e = intercept[IllegalArgumentException] {
+      Bpe.train(s, docs, nMerges = 8)
+    }
+    assert(e.getMessage.contains("exhausted"))
+  }
+
+  test("save/load round-trips the model; encode from the loaded store " +
+    "is identical to inline") {
+    val s = spark
+    val docs = s.table("documents")
+    val model = Bpe.train(s, docs, nMerges = 8)
+    val dir = java.nio.file.Files
+      .createTempDirectory("bpe_store").toString
+    try {
+      Bpe.saveBpeModel(model, dir)
+      val loaded = Bpe.loadBpeModel(s, dir)
+      // merge table round-trips row-for-row
+      assert(loaded.merges.orderBy("round").collect().toSeq ==
+        model.merges.orderBy("round").collect().toSeq)
+      // encode from the loaded store == encode from the inline model
+      val a = Bpe.encode(docs, model).orderBy("doc_id").collect().toSeq
+      val b = Bpe.encode(docs, loaded).orderBy("doc_id").collect().toSeq
+      assert(a == b)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
 }
