@@ -175,13 +175,18 @@ object TrainCompiler {
           s"<= $MaxChangepoints, got $other")
     }
 
-  /** prophet's `holidays` param in its BINDING form: a literal list of
-    * ISO dates (`holidays=['2024-01-01', '2024-12-25']`) becomes one
-    * indicator basis column per date — Prophet's holiday model (Taylor &
-    * Letham 2017 §3.3, indicator features with per-holiday effects). The
-    * reference's bare-name form (`holidays=us_holidays`, DSL.md:300)
-    * names a calendar table no deployment here provides and stays
-    * accepted-but-inert, surfaced via ignoredParams. */
+  /** prophet's `holidays` param, BINDING in both reference forms: a
+    * literal list of ISO dates (`holidays=['2024-01-01', '2024-12-25']`)
+    * becomes one indicator basis column per date — Prophet's holiday
+    * model (Taylor & Letham 2017 §3.3, indicator features with
+    * per-holiday effects) — and the bare-name calendar form
+    * (`holidays=us_holidays`, reference DSL.md:300) resolves a
+    * REGISTERED table/view of that name through the active session: its
+    * `ds` column (prophet's calendar convention) or, failing that, its
+    * first date/timestamp column supplies the dates. The calendar
+    * collect is bounded by the same 366-indicator cap as the literal
+    * form — never corpus-sized. An unregistered name fails loud with
+    * registration instructions instead of silently no-opping. */
   def holidayDates(spec: TrainSpec): Option[List[String]] =
     if (!spec.algorithm.equalsIgnoreCase("prophet")) None
     else spec.params.collectFirst {
@@ -199,7 +204,43 @@ object TrainCompiler {
           s"prophet holidays: ${dates.size} dates exceed the 366 " +
             "indicator-column cap; join a calendar table instead")
         dates
+      case ("holidays", Value.VStr(name)) => calendarDates(name)
+      case ("holidays", other) => throw new IllegalArgumentException(
+        "prophet holidays must be a literal ISO-date list or the name " +
+          s"of a registered calendar view, got $other")
     }
+
+  /** Resolve the bare-name calendar form: the registered view's distinct
+    * non-NULL dates, ascending (deterministic feature order). */
+  private def calendarDates(name: String): List[String] = {
+    val session = SparkSession.active
+    require(session.catalog.tableExists(name),
+      s"prophet holidays=$name names a calendar table, but no table or " +
+        s"view '$name' is registered: CREATE TEMP VIEW $name with a " +
+        "date column 'ds' (or any date/timestamp column), or pass a " +
+        "literal ISO-date list")
+    val cal = session.table(name)
+    val dsCol = cal.schema.fields.find(_.name.equalsIgnoreCase("ds"))
+      .orElse(cal.schema.fields.find(f => f.dataType match {
+        case org.apache.spark.sql.types.DateType |
+             org.apache.spark.sql.types.TimestampType |
+             org.apache.spark.sql.types.TimestampNTZType => true
+        case _ => false
+      }))
+      .getOrElse(throw new IllegalArgumentException(
+        s"calendar '$name' has no 'ds' column and no date/timestamp " +
+          s"column (schema: ${cal.schema.simpleString})"))
+    val dates = cal
+      .select(col(dsCol.name).cast("date").cast("string").as("_d"))
+      .filter(col("_d").isNotNull).distinct().orderBy("_d")
+      .limit(367).collect().map(_.getString(0)).toList
+    require(dates.nonEmpty,
+      s"calendar '$name' is empty — no holiday dates to bind")
+    require(dates.size <= 366,
+      s"calendar '$name' carries more than the 366-indicator cap; " +
+        "filter it to the modeled horizon first")
+    dates
+  }
 
   /** The clause the frame builder actually derives from: the statement's
     * WITH TIME COLUMN clause with prophet's BINDING `seasonality=[...]`

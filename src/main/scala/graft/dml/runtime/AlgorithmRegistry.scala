@@ -61,20 +61,20 @@ object AlgorithmRegistry {
     alg("kmeans", Clustering, Some("maxIter"))(new KMeans()),
     // prophet has no Spark analog; documented Fourier + piecewise-linear
     // regression stand-in (SURVEY §7.3). `seasonality=[...]`,
-    // `changepoints=k`, and list-form `holidays=['2024-01-01', …]` BIND
-    // (extra Fourier granularities / trend hinge basis / per-date
-    // indicator features — consumed by the frame builder, see
-    // TrainCompiler.effectiveClause / changepointCount / holidayDates);
-    // `growth` validates (only 'linear' — the stand-in's trend — is
-    // expressible). Accepted-but-inert: bare-name `holidays=us_holidays`
-    // names a calendar table no deployment here provides (yet
-    // DSL.md:297-301 must fit, not fail), and `changepoint_prior_scale`
-    // is a per-delta Laplace prior — mapping it onto the solver's GLOBAL
-    // regularizer would shrink the seasonal terms too, distorting the
-    // fit it claims to tune, so inert-and-surfaced is the honest
+    // `changepoints=k`, and BOTH `holidays` forms BIND — the literal
+    // ISO-date list and (since r11) the bare-name calendar form
+    // (`holidays=us_holidays`, DSL.md:300), which resolves a registered
+    // view of that name; an unregistered calendar fails loud. All are
+    // consumed by the frame builder (TrainCompiler.effectiveClause /
+    // changepointCount / holidayDates); `growth` validates (only
+    // 'linear' — the stand-in's trend — is expressible). The ONE
+    // accepted-but-inert knob: `changepoint_prior_scale` is a per-delta
+    // Laplace prior — mapping it onto the solver's GLOBAL regularizer
+    // would shrink the seasonal terms too, distorting the fit it claims
+    // to tune, so inert-and-surfaced (ignoredParams) is the honest
     // rendering.
     alg("prophet", Regression, Some("maxIter"),
-      noop = Set("holidays", "changepoint_prior_scale"))(new LinearRegression()),
+      noop = Set("changepoint_prior_scale"))(new LinearRegression()),
     // text classifiers: Tokenizer→HashingTF→IDF in front of the estimator
     alg("tfidf_logreg", Classification, Some("maxIter"), text = true)(
       new LogisticRegression()),

@@ -139,9 +139,10 @@ object Trainer {
     // prophet stand-in param routing (SURVEY §7.3): `seasonality` /
     // `changepoints` / `growth` BIND in the frame builder (extra Fourier
     // granularities / trend hinges / trend-shape validation) and are
-    // consumed here — never sent to the estimator; `holidays` binds too
-    // when given as a literal ISO-date list (per-date indicator basis),
-    // while the bare-name calendar form stays inert. Misuse fails loud.
+    // consumed here — never sent to the estimator; `holidays` binds in
+    // BOTH its forms (literal ISO-date list, or a bare name resolving a
+    // registered calendar view — per-date indicator basis either way).
+    // Misuse fails loud.
     val boundHolidays = TrainCompiler.holidayDates(spec).isDefined
     val consumedParams: Set[String] =
       if (alg.name == "prophet")

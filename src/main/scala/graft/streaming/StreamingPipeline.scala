@@ -195,6 +195,54 @@ object StreamingPipeline {
     checkpointDir.fold(w)(d => w.option("checkpointLocation", d)).start()
   }
 
+  /** Streaming tokenizer-vocabulary DRIFT monitor over a document stream
+    * (doc_id, text) against a trained — typically
+    * [[graft.llm.Bpe.loadBpeModel]]-persisted — BPE model: the
+    * monitoring loop the reference's AGENTS.md sketches (WHEN drift >
+    * threshold THEN PUBLISH), composed from three existing tiers. Per
+    * micro-batch the arriving docs are re-encoded against the static
+    * vocabulary ([[graft.llm.Bpe.encode]] — the bounded (word, n_tokens)
+    * projection broadcasts; the corpus side aggregates straight back to
+    * doc_id), the batch OOV rate (words outside the trained vocabulary ÷
+    * all words) folds from ONE further 1-row aggregation, and a rate
+    * above `threshold` publishes a `vocab_drift` event through the
+    * [[graft.dml.events.EventBus]] — the same alert contract as
+    * [[graft.dml.events.Agents.driftAgent]]. `onBatch` receives
+    * (batchId, oovRate) for metrics/test pinning; empty batches report
+    * rate 0 and never alert. Vocabulary refresh between runs is a
+    * [[graft.scale.StoreMaint.replaceStore]] swap, like the RP serve
+    * path's index. */
+  def vocabDriftStream(
+      docs: DataFrame, model: graft.llm.Bpe.BpeModel,
+      bus: graft.dml.events.EventBus,
+      threshold: Double = 0.2,
+      onBatch: (Long, Double) => Unit = (_, _) => (),
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L),
+      checkpointDir: Option[String] = None): StreamingQuery = {
+    val w = docs.writeStream
+      .outputMode("append")
+      .queryName("vocab_drift_stream")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val agg = graft.llm.Bpe.encode(batch.select("doc_id", "text"), model)
+          .agg(org.apache.spark.sql.functions.sum("n_words"),
+            org.apache.spark.sql.functions.sum("n_oov_words"))
+          .collect().head // 1 row — the bounded-metadata envelope
+        val nWords = if (agg.isNullAt(0)) 0L else agg.getLong(0)
+        val nOov = if (agg.isNullAt(1)) 0L else agg.getLong(1)
+        val rate = if (nWords == 0L) 0.0 else nOov.toDouble / nWords
+        if (nWords > 0L && rate > threshold)
+          bus.publish("vocab_drift", Map(
+            "batch_id" -> batchId.toString,
+            "oov_rate" -> f"$rate%.6f",
+            "n_words" -> nWords.toString), value = rate)
+        onBatch(batchId, rate)
+        ()
+      }
+    checkpointDir.fold(w)(d => w.option("checkpointLocation", d)).start()
+  }
+
   /** A closed user session (emitted once the gap passes or event-time
     * timeout fires). */
   final case class Session(

@@ -58,13 +58,20 @@ class TimeSeriesDslSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("between 0 and 1"))
   }
 
-  test("prophet params: seasonality binds, the residual knobs stay surfaced") {
-    // DSL.md:297-301 knobs on the stand-in: the statement must PARSE (the
-    // reference's own example fits), `seasonality=[...]` now BINDS as
-    // extra Fourier granularities in the derived frame, and the genuinely
-    // inert knobs (holidays — no calendar table exists; the per-delta
-    // prior scale — no per-coefficient prior on the solver) come back as
-    // ignoredParams: reduced fidelity is documented, never silent.
+  test("prophet params: seasonality and calendar holidays bind, the one " +
+    "residual knob stays surfaced") {
+    // DSL.md:297-301 knobs on the stand-in: the reference's own example
+    // must fit. `seasonality=[...]` BINDS as extra Fourier granularities;
+    // since r11 the bare-name `holidays=us_holidays` BINDS too by
+    // resolving a registered calendar view of that name; the ONE
+    // genuinely inert knob (the per-delta prior scale — no
+    // per-coefficient prior on the solver) comes back as ignoredParams:
+    // reduced fidelity is documented, never silent.
+    val s = spark
+    import s.implicits._
+    Seq("1995-01-02", "1995-07-04", "1995-12-25")
+      .toDF("ds").select(col("ds").cast("date").as("ds"))
+      .createOrReplaceTempView("us_holidays")
     val spec = DmlParser.parse(
       "TRAIN MODEL m USING prophet(seasonality=['yearly', 'weekly'], " +
         "holidays=us_holidays, changepoint_prior_scale=0.05, max_iter=5) " +
@@ -76,12 +83,27 @@ class TimeSeriesDslSpec extends AnyFunSuite {
     assert(TrainCompiler.featureNames(spec) ==
       Seq("season_yearly", "season_yearly_sin", "season_yearly_cos",
         "season_weekly", "season_weekly_sin", "season_weekly_cos",
-        "t_index"),
-      "the seasonality param must contribute Fourier columns")
-    val report = Trainer.train(spark, spec)
-    assert(report.ignoredParams ==
-      Seq("holidays", "changepoint_prior_scale"),
-      "inert stand-in knobs must be reported, binding ones must not")
+        "t_index", "holiday_1", "holiday_2", "holiday_3"),
+      "seasonality must contribute Fourier columns and the registered " +
+        "calendar its per-date indicators")
+    val report = Trainer.train(s, spec)
+    assert(report.ignoredParams == Seq("changepoint_prior_scale"),
+      "the inert stand-in knob must be reported, binding ones must not")
+  }
+
+  test("bare-name holidays with no registered calendar fails loud") {
+    val s = spark
+    val spec = DmlParser.parse(
+      "TRAIN MODEL m USING prophet(holidays=missing_calendar) " +
+        "FROM orders PREDICT o_totalprice " +
+        "WITH TIME COLUMN o_orderdate AND FEATURES(TREND linear)")
+      .asInstanceOf[TrainSpec]
+    val e = intercept[IllegalArgumentException] {
+      Trainer.train(s, spec)
+    }
+    assert(e.getMessage.contains("missing_calendar") &&
+      e.getMessage.contains("register"),
+      s"must point at the missing registration: ${e.getMessage}")
   }
 
   test("seasonality param dedupes against SEASONAL markers by period") {

@@ -188,6 +188,48 @@ class StreamingPipelineSpec extends AnyFunSuite {
       s"serve diverges from batch: got=${got.size} want=${batch.length}")
   }
 
+  test("streaming vocab-drift monitor re-encodes each batch against the " +
+    "persisted BPE store and alerts through the event bus") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft-vdrift").toString
+    val ckpt = Files.createTempDirectory("graft-vdrift-ckpt").toString
+    val busDir = Files.createTempDirectory("graft-vdrift-bus").toString
+    val store = Files.createTempDirectory("graft-vdrift-store").toString
+
+    val trainDocs = Seq((1L, "alpha beta gamma alpha"), (2L, "beta gamma"))
+      .toDF("doc_id", "text")
+    graft.llm.Bpe.saveBpeModel(
+      graft.llm.Bpe.trainLocal(s, trainDocs, nMerges = 3), store)
+    val model = graft.llm.Bpe.loadBpeModel(s, store)
+
+    // batch 1: fully in-vocab (rate 0 — below threshold, no alert);
+    // batch 2: fully OOV (rate 1 — alert)
+    Seq((10L, "alpha beta"), (11L, "gamma alpha beta"))
+      .toDF("doc_id", "text").repartition(1).write.mode("append").parquet(dir)
+    Thread.sleep(1100) // distinct mtimes => deterministic batch order
+    Seq((20L, "zeta epsilon zeta"), (21L, "epsilon"))
+      .toDF("doc_id", "text").repartition(1).write.mode("append").parquet(dir)
+
+    val bus = new graft.dml.events.EventBus(s, busDir)
+    val rates = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    val q = StreamingPipeline.vocabDriftStream(
+      s.readStream.schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", 1).parquet(dir),
+      model, bus, threshold = 0.2,
+      onBatch = (b, r) => { rates += ((b, r)); () },
+      trigger = Trigger.AvailableNow(), checkpointDir = Some(ckpt))
+    try q.awaitTermination(180000) finally q.stop()
+
+    assert(rates.sortBy(_._1).map(_._2).toSeq == Seq(0.0, 1.0),
+      s"per-batch OOV rates off: $rates")
+    val alerts = bus.subscribe("vocab_drift").collect()
+    assert(alerts.length == 1, s"exactly the OOV batch must alert: " +
+      s"${alerts.length}")
+    assert(alerts.head.getAs[Double]("value") == 1.0)
+    assert(alerts.head.getAs[String]("props").contains("\"n_words\": \"4\""))
+  }
+
   test("streaming drain delivers each micro-batch in priority order") {
     val s = spark
     val dir = Files.createTempDirectory("graft-prio-stream").toString
