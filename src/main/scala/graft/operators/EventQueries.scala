@@ -36,7 +36,7 @@ object EventQueries {
     * interval join 6.4→4.9 s), then worse at 1 (state work goes
     * single-threaded). On a real cluster this would scale with key
     * cardinality, not executor count. */
-  private def rmTree(f: java.io.File): Unit = {
+  private[operators] def rmTree(f: java.io.File): Unit = {
     Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
   }
 
@@ -55,7 +55,7 @@ object EventQueries {
   /** One scratch dir per stream: each `batches` frame becomes exactly
     * one parquet part-file with planted mtimes 10s apart, so
     * maxFilesPerTrigger=1 replays them as ordered micro-batches. */
-  private def stampedDir(batches: Seq[DataFrame]): java.io.File = {
+  private[operators] def stampedDir(batches: Seq[DataFrame]): java.io.File = {
     val tmp = java.nio.file.Files.createTempDirectory("graft_replay").toFile
     batches.zipWithIndex.foreach { case (df, i) =>
       val before = tmp.listFiles().map(_.getName).toSet

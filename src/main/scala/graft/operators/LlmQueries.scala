@@ -480,6 +480,71 @@ object LlmQueries {
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_sampled"),
           max(col("frame_idx")).as("last_frame_idx"))
+    },
+
+    // resize stub under the hash gate (completing the multimodal set):
+    // thumb = the first maxDim² payload BYTES via built-in binary
+    // substring, emitted HEX (the engine-agnostic dump format — Spark's
+    // base64 MIME-chunks at 76 chars, hex is unchunked in both engines).
+    // The oracle byte-slices through a TEXT substring — legal because
+    // the fixture is all-ASCII, which the oracle itself verifies
+    // (a multibyte doc takes its NULL branch and breaks the hash)
+    "q_multimodal_resize" -> { (s, dir) =>
+      Multimodal.resizeStub(
+          Multimodal.joined(docs(s, dir), embs(s, dir)), maxDim = 8)
+        .select(col("doc_id"), col("src_bytes"), col("thumb_dim"),
+          hex(col("thumb")).as("thumb_hex"))
+    },
+
+    // the STREAMING vocab-drift monitor under the hash gate: train the
+    // tokenizer on the even half of the corpus, then replay the odd half
+    // as two deterministic micro-batches — batch 0 verbatim (its words
+    // live in the trained vocabulary: OOV 0, no alert), batch 1 through
+    // a fixed alphabet rotation (drifted text: OOV ≈ 1, alert). The
+    // entry runs the REAL vocabDriftStream (foreachBatch re-encode +
+    // EventBus publish into scratch, removed after the drain) and
+    // returns the per-batch OOV rates + alert verdicts; the rate is a
+    // division of two exact longs, so DuckDB replays it bit-for-bit.
+    // The bus-side alert payload/event semantics are pinned in
+    // StreamingPipelineSpec.
+    "q_stream_vocab_drift" -> { (s, dir) =>
+      import org.apache.spark.sql.streaming.Trigger
+      val d = docs(s, dir).select("doc_id", "text")
+      val model = graft.llm.Bpe.train(
+        s, d.filter(col("doc_id") % 2 === 0), nMerges = 8)
+      val abc = "abcdefghijklmnopqrstuvwxyz"
+      val rot = abc.drop(5) + abc.take(5)
+      val batches = Seq(
+        d.filter(col("doc_id") % 4 === 1),
+        d.filter(col("doc_id") % 4 === 3)
+          .select(col("doc_id"), translate(col("text"), abc, rot).as("text")))
+      val tmp = EventQueries.stampedDir(batches)
+      val busDir = java.nio.file.Files
+        .createTempDirectory("graft_vdrift_bus").toFile
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_vdrift_ck").toFile
+      val rates = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+      try {
+        val q = graft.streaming.StreamingPipeline.vocabDriftStream(
+          s.readStream.schema("doc_id BIGINT, text STRING")
+            .option("maxFilesPerTrigger", 1).parquet(tmp.toString),
+          model, new graft.dml.events.EventBus(s, busDir.toString),
+          threshold = 0.15,
+          onBatch = (b, r) => { rates.synchronized { rates += ((b, r)) }; () },
+          trigger = Trigger.AvailableNow(),
+          checkpointDir = Some(ckpt.toString))
+        if (!q.awaitTermination(180000)) {
+          q.stop()
+          throw new IllegalStateException(
+            "vocab-drift replay did not drain within 180s")
+        }
+      } finally {
+        Seq(tmp, busDir, ckpt).foreach(EventQueries.rmTree)
+      }
+      import s.implicits._
+      rates.sortBy(_._1).toSeq
+        .toDF("batch_id", "oov_rate")
+        .withColumn("alerted", col("oov_rate") > 0.15)
     })
 
   private val stopwordList = "'the', 'a', 'of', 'and', 'to', 'in', 'is'"
@@ -1191,7 +1256,52 @@ object LlmQueries {
         |  CAST(4 * ((frames - 1) // 4) AS INT) AS last_frame_idx
         |FROM f
         |WHERE frames > 0 -- zero-byte docs emit no frames on the engine side
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin,
+
+    // Byte-slice replay through a TEXT substring, SELF-VERIFYING its
+    // all-ASCII premise: a multibyte doc takes the NULL branch and
+    // breaks the hash loudly instead of comparing a wrong slice.
+    "q_multimodal_resize" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(coalesce(text, ''))) AS INTEGER)
+        |    AS src_bytes,
+        |  CAST(8 AS INTEGER) AS thumb_dim,
+        |  CASE WHEN octet_length(encode(coalesce(text, '')))
+        |         = length(coalesce(text, ''))
+        |    THEN hex(encode(substring(coalesce(text, ''), 1, 64)))
+        |    ELSE NULL END AS thumb_hex
+        |FROM documents JOIN embeddings ON doc_id = vec_id
+        |ORDER BY doc_id""".stripMargin,
+
+    // Replays the monitor's arithmetic exactly: the trained vocabulary
+    // is every [a-z0-9]+ word of the even half; per batch, n_words
+    // counts non-empty words and n_oov the words outside that
+    // vocabulary; the rate is one exact-long division (bit-identical in
+    // both engines), alerted = rate > threshold.
+    "q_stream_vocab_drift" ->
+      """WITH vocab AS (
+        |  SELECT DISTINCT w FROM (
+        |    SELECT unnest(string_split(coalesce(text, ''), ' ')) AS w
+        |    FROM documents WHERE doc_id % 2 = 0) t
+        |  WHERE regexp_full_match(w, '[a-z0-9]+')),
+        |b AS (
+        |  SELECT CASE WHEN doc_id % 4 = 1 THEN 0 ELSE 1 END AS batch_id,
+        |    unnest(string_split(
+        |      CASE WHEN doc_id % 4 = 1 THEN coalesce(text, '')
+        |        ELSE translate(coalesce(text, ''),
+        |          'abcdefghijklmnopqrstuvwxyz',
+        |          'fghijklmnopqrstuvwxyzabcde') END, ' ')) AS w
+        |  FROM documents WHERE doc_id % 4 IN (1, 3)),
+        |c AS (
+        |  SELECT batch_id,
+        |    count(*) FILTER (WHERE w <> '') AS n_words,
+        |    count(*) FILTER (WHERE w <> ''
+        |      AND w NOT IN (SELECT w FROM vocab)) AS n_oov
+        |  FROM b GROUP BY 1)
+        |SELECT CAST(batch_id AS BIGINT) AS batch_id,
+        |  CAST(n_oov AS DOUBLE) / n_words AS oov_rate,
+        |  CAST(n_oov AS DOUBLE) / n_words > 0.15 AS alerted
+        |FROM c ORDER BY batch_id""".stripMargin)
 
   def verifySort: Map[String, Seq[String]] = Map(
     "q_dedup_minhash_pairs" -> Seq("doc_a", "doc_b"),
@@ -1213,5 +1323,7 @@ object LlmQueries {
     "q_multimodal_join" -> Seq("doc_id"),
     "q_multimodal_features" -> Seq("doc_id"),
     "q_multimodal_headers" -> Seq("doc_id"),
-    "q_multimodal_frames" -> Seq("doc_id"))
+    "q_multimodal_frames" -> Seq("doc_id"),
+    "q_multimodal_resize" -> Seq("doc_id"),
+    "q_stream_vocab_drift" -> Seq("batch_id"))
 }
