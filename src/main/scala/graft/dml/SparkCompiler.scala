@@ -210,6 +210,24 @@ object TrainCompiler {
           s"of a registered calendar view, got $other")
     }
 
+  /** Resolve a bare-name calendar EXACTLY ONCE: rewrite
+    * `holidays=name` into the literal resolved date list. Call this at
+    * the train entry point ([[graft.dml.runtime.Trainer.train]] does) —
+    * [[holidayDates]] is consulted from several sites (frame build,
+    * feature naming, training, forecast, explain), and re-resolving a
+    * LIVE view at each would both pay a catalog lookup + collect per
+    * call and, worse, let a view redefined after training silently remap
+    * `holiday_j` onto a different date than the one its fitted
+    * coefficient was trained on. After this rewrite the spec is a pure
+    * value again and every consumer binds the same dates. */
+  def withResolvedCalendar(spec: TrainSpec): TrainSpec =
+    if (!spec.algorithm.equalsIgnoreCase("prophet")) spec
+    else spec.copy(params = spec.params.map {
+      case ("holidays", Value.VStr(name)) =>
+        ("holidays", Value.VList(calendarDates(name).map(Value.VStr(_))))
+      case p => p
+    })
+
   /** Resolve the bare-name calendar form: the registered view's distinct
     * non-NULL dates, ascending (deterministic feature order). */
   private def calendarDates(name: String): List[String] = {

@@ -46,7 +46,11 @@ final class StatementRunner(
     case t: TrainSpec =>
       val report = Trainer.train(spark, t)
       val v = registry.register(report)
-      trainSpecs(t.name) = t
+      // record the RESOLVED spec (bare-name holiday calendars rewritten
+      // to literal dates by Trainer.train) so the explain/forecast
+      // paths re-derive exactly the trained feature layout even if the
+      // calendar view is later redefined
+      trainSpecs(t.name) = report.spec
       RunResult("train", s"model '${t.name}' v$v fitted " +
         s"(${report.metrics.toSeq.sortBy(_._1).mkString(", ")})")
 

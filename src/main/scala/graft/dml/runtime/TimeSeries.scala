@@ -356,9 +356,13 @@ object TimeSeries {
         }
       }
     // holiday indicators on the future dates (a future row CAN land on a
-    // bound holiday — the effect extrapolates, exactly Prophet's model)
+    // bound holiday — the effect extrapolates, exactly Prophet's model).
+    // Dates come from the TRAINED spec (report.spec — bare-name
+    // calendars resolved once by Trainer.train), so a calendar view
+    // redefined after training can never remap holiday_j onto a date
+    // its fitted coefficient never saw
     val feats = withHolidays(hinged, col(ts.timeColumn),
-      graft.dml.TrainCompiler.holidayDates(spec).getOrElse(Nil))
+      graft.dml.TrainCompiler.holidayDates(report.spec).getOrElse(Nil))
     // the fitted pipeline's label-cast stage references the target column;
     // future rows have no observed target, so feed a placeholder (the
     // prediction never reads it)

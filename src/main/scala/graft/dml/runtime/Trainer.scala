@@ -47,7 +47,19 @@ object Trainer {
       spark: SparkSession,
       spec: TrainSpec,
       checkpointDir: Option[String] = None,
-      seed: Long = 42L): TrainReport = {
+      seed: Long = 42L): TrainReport =
+    // resolve a bare-name holiday calendar ONCE, up front: every later
+    // holidayDates consumer (frame build, feature naming, forecast via
+    // report.spec, explain) then binds the same literal dates — a view
+    // redefined mid-lifecycle can never remap a fitted coefficient
+    trainResolved(spark, TrainCompiler.withResolvedCalendar(spec),
+      checkpointDir, seed)
+
+  private def trainResolved(
+      spark: SparkSession,
+      spec: TrainSpec,
+      checkpointDir: Option[String],
+      seed: Long): TrainReport = {
 
     val alg = AlgorithmRegistry.resolve(spec.algorithm)
     val featureNames = TrainCompiler.featureNames(spec)

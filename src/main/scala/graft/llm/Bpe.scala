@@ -143,6 +143,9 @@ object Bpe {
   def trainLocal(
       spark: SparkSession, docs: DataFrame, nMerges: Int,
       maxVocab: Int = 1000000): BpeModel = {
+    // fail fast: the corpus aggregation below is the expensive stage —
+    // an invalid budget must not pay it first
+    require(nMerges > 0, s"nMerges must be positive, got $nMerges")
     require(maxVocab > 0, s"maxVocab must be positive, got $maxVocab")
     val collected = initialVocab(docs)
       .orderBy(col("freq").desc, col("word").asc).limit(maxVocab)

@@ -1299,8 +1299,10 @@ object LlmQueries {
         |      AND w NOT IN (SELECT w FROM vocab)) AS n_oov
         |  FROM b GROUP BY 1)
         |SELECT CAST(batch_id AS BIGINT) AS batch_id,
-        |  CAST(n_oov AS DOUBLE) / n_words AS oov_rate,
-        |  CAST(n_oov AS DOUBLE) / n_words > 0.15 AS alerted
+        |  CASE WHEN n_words = 0 THEN 0.0
+        |    ELSE CAST(n_oov AS DOUBLE) / n_words END AS oov_rate,
+        |  CASE WHEN n_words = 0 THEN FALSE
+        |    ELSE CAST(n_oov AS DOUBLE) / n_words > 0.15 END AS alerted
         |FROM c ORDER BY batch_id""".stripMargin)
 
   def verifySort: Map[String, Seq[String]] = Map(

@@ -211,7 +211,13 @@ object StreamingPipeline {
     * (batchId, oovRate) for metrics/test pinning; empty batches report
     * rate 0 and never alert. Vocabulary refresh between runs is a
     * [[graft.scale.StoreMaint.replaceStore]] swap, like the RP serve
-    * path's index. */
+    * path's index.
+    *
+    * Delivery contract: foreachBatch is AT-LEAST-ONCE — a failure after
+    * the publish but before the batch commits replays the batch on
+    * recovery and re-publishes its alert. The `batch_id` in the payload
+    * is the idempotency key: downstream consumers dedup on it (batch
+    * ids are stable across a checkpointed replay). */
   def vocabDriftStream(
       docs: DataFrame, model: graft.llm.Bpe.BpeModel,
       bus: graft.dml.events.EventBus,

@@ -91,6 +91,33 @@ class TimeSeriesDslSpec extends AnyFunSuite {
       "the inert stand-in knob must be reported, binding ones must not")
   }
 
+  test("bare-name calendar resolves ONCE at train time; a redefined " +
+    "view cannot remap the fitted holiday basis") {
+    val s = spark
+    import s.implicits._
+    Seq("1995-03-01").toDF("ds").select(col("ds").cast("date").as("ds"))
+      .createOrReplaceTempView("cal_once")
+    val spec = DmlParser.parse(
+      "TRAIN MODEL m_cal USING prophet(holidays=cal_once) " +
+        "FROM orders PREDICT o_totalprice " +
+        "WITH TIME COLUMN o_orderdate AND FEATURES(TREND linear) " +
+        "FORECAST 3 days AHEAD").asInstanceOf[TrainSpec]
+    val report = Trainer.train(s, spec)
+    // the trained spec carries the resolved LITERAL list, not the name
+    assert(TrainCompiler.holidayDates(report.spec) ==
+      Some(List("1995-03-01")))
+    // redefining the view afterwards changes nothing the model sees:
+    // forecast binds from report.spec and still produces the fitted
+    // single-holiday basis
+    Seq("1990-01-01", "1991-01-01").toDF("ds")
+      .select(col("ds").cast("date").as("ds"))
+      .createOrReplaceTempView("cal_once")
+    assert(TrainCompiler.holidayDates(report.spec) ==
+      Some(List("1995-03-01")))
+    val fc = TimeSeries.forecast(s, spec, report)
+    assert(fc.count() == 3)
+  }
+
   test("bare-name holidays with no registered calendar fails loud") {
     val s = spark
     val spec = DmlParser.parse(
