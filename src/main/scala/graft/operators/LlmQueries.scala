@@ -510,7 +510,13 @@ object LlmQueries {
     "q_stream_vocab_drift" -> { (s, dir) =>
       import org.apache.spark.sql.streaming.Trigger
       val d = docs(s, dir).select("doc_id", "text")
-      val model = graft.llm.Bpe.train(
+      // trainLocal — the PRODUCTION training path (one corpus
+      // aggregation + driver-local merge loop): the monitor needs only
+      // the vocabulary for OOV membership, and the oracle replays
+      // membership, not merges, so the real-budget path is both the
+      // honest deployment shape and ~1.5 s cheaper than the
+      // distributed oracle-reference rounds the q_bpe_* entries pin
+      val model = graft.llm.Bpe.trainLocal(
         s, d.filter(col("doc_id") % 2 === 0), nMerges = 8)
       val abc = "abcdefghijklmnopqrstuvwxyz"
       val rot = abc.drop(5) + abc.take(5)
