@@ -275,6 +275,32 @@ object Bpe {
     BpeModel(spark.read.parquet(s"$path/merges"),
       spark.read.parquet(s"$path/vocab"))
 
+  /** FULL tokenizer apply: subword-tokenize every distinct trainable
+    * word of the corpus against the trained merge table — including
+    * words the training corpus never saw, the capability [[encode]]'s
+    * vocab-membership join deliberately stops short of (an OOV word
+    * there counts toward `n_oov_words` and contributes no tokens; here
+    * it gets its true subword decomposition, like a deployed
+    * subword-nmt/HF tokenizer). One native codegen projection per word
+    * ([[graft.functions.BpeTokens]] — rank-based apply, merge table as
+    * a bounded reference object); the corpus side aggregates to
+    * DISTINCT words first, so the expression runs once per word, not
+    * once per occurrence. Returns (word, syms, n_tokens) in the
+    * training vocab's two-space symbolization. */
+  def tokenize(docs: DataFrame, model: BpeModel): DataFrame = {
+    // merge-budget rows of driver metadata — the IVF-seed envelope
+    val merges = model.merges.orderBy("round").select("lhs", "rhs")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    docs.select(explode(split(coalesce(col("text"), lit("")), " "))
+        .as("word"))
+      .filter(col("word").rlike("^[a-z0-9]+$"))
+      .distinct()
+      .select(col("word"), graft.functions.BpeExpressions
+        .bpeTokens(col("word"), merges).as("_t"))
+      .select(col("word"), array_join(col("_t"), "  ").as("syms"),
+        size(col("_t")).cast("bigint").as("n_tokens"))
+  }
+
   /** Apply a trained model to the corpus: per-doc word and subword-token
     * counts. The vocab is vocabulary-sized and BROADCAST — the corpus
     * side explodes to (doc_id, word) and aggregates straight back to

@@ -86,6 +86,24 @@ object CurationQueries {
       graft.llm.Bpe.encode(d, graft.llm.Bpe.train(s, d, nMerges = 8))
     },
 
+    // FULL tokenizer apply on OUT-OF-VOCABULARY text: train on the
+    // original corpus, tokenize the alphabet-rotated corpus — every
+    // rotated word is unseen, and the native rank-based apply
+    // (BpeTokens) must decompose it exactly as replaying the trained
+    // rounds would. The oracle replays precisely that: the training
+    // CTE's per-round argmax pairs applied to the rotated words as the
+    // same regex chain — legal because a merge learned at round r can
+    // never gain NEW adjacencies from later rounds, so round-sequential
+    // apply equals the rank-based tokenizer
+    "q_bpe_tokenize" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val abc = "abcdefghijklmnopqrstuvwxyz"
+      val rot = abc.drop(5) + abc.take(5)
+      val rotated = d.select(col("doc_id"),
+        translate(col("text"), abc, rot).as("text"))
+      graft.llm.Bpe.tokenize(rotated, graft.llm.Bpe.train(s, d, nMerges = 8))
+    },
+
     // the corpus has no real PII, so deterministic addresses/numbers are
     // injected into every 7th doc — the scrub and its audit counts are
     // exercised on non-trivial input and the oracle injects identically
@@ -214,6 +232,38 @@ object CurationQueries {
          |SELECT word, freq, syms,
          |  CAST(len(string_split(syms, '  ')) AS BIGINT) AS n_tokens
          |FROM v8""".stripMargin,
+
+    // Replays the rank-based tokenizer as the training rounds' regex
+    // chain over the ROTATED words (round-sequential apply == rank-based
+    // apply — later rounds can never create an earlier pair's
+    // adjacency): a0 symbolizes each distinct rotated word, a1..a8 fold
+    // it through the same per-round argmax pair b1..b8 the training
+    // replay derives.
+    "q_bpe_tokenize" -> {
+      val applyStages = (1 to 8).map { r =>
+        s"""a$r AS (
+           |  SELECT a.word,
+           |    regexp_replace(a.syms,
+           |      '(^| )' || replace(b.pair, ' ', '  ') || '( |$$)',
+           |      '\\1' || replace(b.pair, ' ', '') || '\\2', 'g') AS syms
+           |  FROM a${r - 1} a CROSS JOIN b$r b)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ${bpeOracleCtes(8)},
+         |a0 AS (
+         |  SELECT DISTINCT t AS word,
+         |    regexp_replace(t, '(.)', '\\1  ', 'g') || '_' AS syms
+         |  FROM (
+         |    SELECT unnest(string_split(
+         |      translate(coalesce(text, ''),
+         |        'abcdefghijklmnopqrstuvwxyz',
+         |        'fghijklmnopqrstuvwxyzabcde'), ' ')) AS t
+         |    FROM documents)
+         |  WHERE regexp_matches(t, '^[a-z0-9]+$$')),
+         |$applyStages
+         |SELECT word, syms,
+         |  CAST(len(string_split(syms, '  ')) AS BIGINT) AS n_tokens
+         |FROM a8 ORDER BY word""".stripMargin
+    },
 
     "q_bpe_encode" ->
       s"""WITH ${bpeOracleCtes(8)},
@@ -566,6 +616,7 @@ object CurationQueries {
     "q_ccnet_buckets" -> Seq("doc_id"),
     "q_bpe_vocab" -> Seq("word"),
     "q_bpe_encode" -> Seq("doc_id"),
+    "q_bpe_tokenize" -> Seq("word"),
     "q_pii_scrub" -> Seq("doc_id"),
     "q_dedup_groups" -> Seq("doc_id"),
     "q_dedup_groups_cc" -> Seq("doc_id"),

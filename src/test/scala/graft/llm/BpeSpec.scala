@@ -184,6 +184,27 @@ class BpeSpec extends AnyFunSuite {
     assert(result.passed, result.status.toString)
   }
 
+  test("tokenize (rank-based apply) equals the trained symbolization on " +
+    "the training corpus and decomposes unseen words") {
+    val s = spark
+    val docs = corpus(s, ("low", 5), ("lower", 2),
+      ("newest", 6), ("widest", 3))
+    val model = Bpe.train(s, docs, nMerges = 6)
+    // rank-based apply == round-sequential training rewrite, word for
+    // word, on every training word (the equivalence the oracle relies on)
+    val applied = Bpe.tokenize(docs, model).collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getLong(2))).toMap
+    val trained = model.vocab.collect()
+      .map(r => r.getString(0) -> (r.getString(2), r.getLong(3))).toMap
+    assert(applied == trained)
+    // the OOV capability encode() lacks: "lowest" was never trained,
+    // yet the merge table decomposes it into the learned subwords
+    // (l o w e s t _ -> es -> est -> est_ -> lo -> low -> "low est_")
+    val oov = corpus(s, ("lowest", 1))
+    val got = Bpe.tokenize(oov, model).collect().head
+    assert(got.getString(1) == "low  est_" && got.getLong(2) == 2L)
+  }
+
   test("non-strict training clamps to what the corpus sustains") {
     val s = spark
     // "ab" sustains exactly 2 merges (a+b, ab+_); budget of 8 clamps
