@@ -245,6 +245,18 @@ object ComputeRegistry {
       df.withColumn(out, graft.functions.MatchExpressions
         .signedProjection(col(ins.head), 16, dim))
     },
+    // FULL tokenizer apply over a TEXT input column — relation-
+    // EXPANDING like chunk_docs: one row per distinct trainable word,
+    // tokenized (rank-based BpeTokens apply) against merges trained on
+    // the relation itself with the same clamped budget as
+    // bpe_token_count; INTO column(...) names the symbolization column
+    // (n_tokens rides along)
+    "bpe_tokenize" -> { (df, ins, out) =>
+      val keyedDf = keyed(df, ins.head)
+      val model = graft.llm.Bpe.train(df.sparkSession, keyedDf,
+        nMerges = 8, strict = false)
+      graft.llm.Bpe.tokenize(keyedDf, model).withColumnRenamed("syms", out)
+    },
     // hybrid RRF retrieval over (text, embedding) input columns:
     // reciprocal-rank fusion of the BM25 lexical arm and the
     // embedding-cosine semantic arm; the fused rank (1..20) attaches as

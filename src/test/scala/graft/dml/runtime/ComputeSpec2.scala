@@ -411,5 +411,15 @@ class ComputeSpec2 extends AnyFunSuite {
     // operator's own oracle entry (q_cluster_balanced_sample)
     assert(cbs.filter(col("cell_rank") < 1 || col("cell_rank") > 10)
       .count() == 0)
+    // bpe_tokenize: relation-expanding — one row per distinct trainable
+    // word; every word's symbols re-concatenate to word + "_"
+    val bt = ComputeRegistry.runOnce(s,
+      parse("COMPUTE bt FROM table(text) INTO column(syms) " +
+        "USING bpe_tokenize"),
+      "doc_embs")
+    assert(bt.count() > 0)
+    assert(bt.filter(
+      regexp_replace(col("syms"), "  ", "") =!= concat(col("word"), lit("_")))
+      .count() == 0, "symbolization must conserve character mass")
   }
 }
