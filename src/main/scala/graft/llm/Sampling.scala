@@ -109,6 +109,42 @@ object Sampling {
         when(col("n_copies") >= 1, expr("sequence(1, n_copies)"))
           .otherwise(expr("array()"))))
 
+  /** Temperature-scaled domain mixture (the multilingual-training
+    * standard, Lample & Conneau 2019 §3.1 / XLM-R): resampling shares
+    * p_i ∝ (n_i/N)^alpha renormalized — alpha < 1 flattens the natural
+    * distribution (upweights rare domains), alpha = 1 keeps it, 0 is
+    * uniform. Returns the per-domain mix table (domain, n_docs,
+    * natural_share, temp_share, factor) where factor = temp_share /
+    * natural_share is the up/down-sampling multiplier [[domainMix]]
+    * materializes.
+    *
+    * Scale shape: ONE aggregation keyed by domain; everything after
+    * runs on the domain-sized table (broadcast one-row totals, the
+    * TF-IDF N pattern — no driver collect). Cross-engine determinism:
+    * the pow weights are rounded to 6 dp and summed as DECIMAL before
+    * normalizing, so neither libm's last pow ulp nor partial-sum order
+    * can flip an oracle hash. */
+  def temperatureShares(
+      docs: DataFrame, domainCol: String, alpha: Double): DataFrame = {
+    require(alpha >= 0, s"temperature alpha must be >= 0, got $alpha")
+    val counts = docs.groupBy(col(domainCol).as("domain"))
+      .agg(count(lit(1)).as("n_docs"))
+    val tot = counts.agg(sum("n_docs").as("_n"))
+    val w = counts.crossJoin(broadcast(tot))
+      .withColumn("_nat", col("n_docs").cast("double") / col("_n"))
+      .withColumn("_w",
+        round(pow(col("_nat"), lit(alpha)), 6)
+          .cast(org.apache.spark.sql.types.DecimalType(28, 12)))
+    val z = w.agg(sum("_w").as("_z"))
+    w.crossJoin(broadcast(z))
+      .select(col("domain"), col("n_docs"),
+        round(col("_nat"), 6).as("natural_share"),
+        round(col("_w").cast("double") / col("_z").cast("double"), 6)
+          .as("temp_share"),
+        round((col("_w").cast("double") / col("_z").cast("double")) /
+          col("_nat"), 6).as("factor"))
+  }
+
   /** Attach the `valueCol` percent_rank (value-ties share a rank, SQL
     * semantics) to every row as a `percent_rank` column. Rows with NULL
     * values are preserved with a NULL rank — they are not comparable, and

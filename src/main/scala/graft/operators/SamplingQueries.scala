@@ -47,6 +47,21 @@ object SamplingQueries {
         expr("1 + (CAST(replace(source, 'src', '') AS INT) % 3)"))
     },
 
+    // temperature-scaled mixture (XLM-style p^alpha flattening) over a
+    // deterministically SKEWED derived domain (the fixture's sources
+    // are uniform, which would make flattening a no-op): alpha=0.3
+    // upweights the rare domain, downweights the common one; the mix
+    // table is domain-sized and every number is 6-dp-rounded /
+    // decimal-summed so both engines hash identically
+    "q_temperature_mix" -> { (s, dir) =>
+      Sampling.temperatureShares(
+        docs(s, dir).select(col("doc_id"),
+          expr("CASE WHEN doc_id % 7 = 0 THEN 'rare' " +
+            "WHEN doc_id % 3 = 0 THEN 'mid' ELSE 'common' END")
+            .as("domain")),
+        "domain", alpha = 0.3)
+    },
+
     // keep docs at or above the 25th percentile of n_chars — computed
     // from the value histogram, not a global row sort
     "q_quantile_filter" -> { (s, dir) =>
@@ -162,6 +177,32 @@ object SamplingQueries {
         |  FROM documents)
         |WHERE bucket < keep_rate""".stripMargin,
 
+    // Replays the share math exactly: pow weights rounded to 6 dp and
+    // summed as DECIMAL (partial-sum-order-proof), then double division
+    // for the normalized shares — identical arithmetic on both engines.
+    "q_temperature_mix" ->
+      """WITH d AS (
+        |  SELECT CASE WHEN doc_id % 7 = 0 THEN 'rare'
+        |    WHEN doc_id % 3 = 0 THEN 'mid' ELSE 'common' END AS domain
+        |  FROM documents),
+        |c AS (
+        |  SELECT domain, CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM d GROUP BY domain),
+        |t AS (SELECT sum(n_docs) AS n FROM c),
+        |w AS (
+        |  SELECT domain, n_docs,
+        |    CAST(n_docs AS DOUBLE) / n AS nat,
+        |    CAST(round(pow(CAST(n_docs AS DOUBLE) / n, 0.3), 6)
+        |      AS DECIMAL(28, 12)) AS w
+        |  FROM c CROSS JOIN t),
+        |z AS (SELECT sum(w) AS z FROM w)
+        |SELECT domain, n_docs,
+        |  round(nat, 6) AS natural_share,
+        |  round(CAST(w AS DOUBLE) / CAST(z AS DOUBLE), 6) AS temp_share,
+        |  round((CAST(w AS DOUBLE) / CAST(z AS DOUBLE)) / nat, 6) AS factor
+        |FROM w CROSS JOIN z
+        |ORDER BY domain""".stripMargin,
+
     "q_domain_mix" ->
       """SELECT doc_id, source, n_copies,
         |  CAST(unnest(range(1, n_copies + 1)) AS INTEGER) AS copy_idx
@@ -221,6 +262,7 @@ object SamplingQueries {
     "q_hash_sample" -> Seq("doc_id"),
     "q_stratified_sample" -> Seq("doc_id"),
     "q_domain_mix" -> Seq("doc_id", "copy_idx"),
+    "q_temperature_mix" -> Seq("domain"),
     "q_percent_rank_cont" -> Seq("doc_id"),
     "q_quantile_filter" -> Seq("doc_id"),
     "q_domain_cap" -> Seq("doc_id"),

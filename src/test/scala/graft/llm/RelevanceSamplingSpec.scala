@@ -338,4 +338,30 @@ class RelevanceSamplingSpec extends AnyFunSuite {
     assert(got.sortBy(_.getInt(4)).map(_.getDouble(3)).toSeq ==
       got.map(_.getDouble(3)).sorted.toSeq)
   }
+
+  test("temperatureShares: alpha=1 is the natural mix, alpha=0 uniform, " +
+    "alpha<1 flattens toward the rare domain") {
+    val s = spark
+    import s.implicits._
+    // 80 / 15 / 5 split
+    val docs = ((1 to 80).map(i => (i.toLong, "common")) ++
+      (81 to 95).map(i => (i.toLong, "mid")) ++
+      (96 to 100).map(i => (i.toLong, "rare"))).toDF("doc_id", "domain")
+    def shares(alpha: Double): Map[String, (Double, Double)] =
+      Sampling.temperatureShares(docs, "domain", alpha).collect()
+        .map(r => r.getString(0) -> (r.getDouble(3), r.getDouble(4))).toMap
+    val nat = shares(1.0)
+    assert(nat("common")._1 == 0.8 && nat("rare")._1 == 0.05)
+    assert(nat.values.forall { case (_, f) => math.abs(f - 1.0) < 1e-5 },
+      s"alpha=1 must be the identity mix: $nat")
+    val uni = shares(0.0)
+    assert(uni.values.forall { case (ts, _) =>
+      math.abs(ts - 1.0 / 3) < 1e-5 }, s"alpha=0 must be uniform: $uni")
+    val t = shares(0.3)
+    // flattening: rare upweighted, common downweighted, shares sum to 1
+    assert(t("rare")._2 > 1.0 && t("common")._2 < 1.0)
+    assert(math.abs(t.values.map(_._1).sum - 1.0) < 1e-4)
+    // monotonicity preserved: common still the largest share
+    assert(t("common")._1 > t("mid")._1 && t("mid")._1 > t("rare")._1)
+  }
 }
