@@ -204,11 +204,15 @@ class StreamingPipelineSpec extends AnyFunSuite {
     val model = graft.llm.Bpe.loadBpeModel(s, store)
 
     // batch 1: fully in-vocab (rate 0 — below threshold, no alert);
-    // batch 2: fully OOV (rate 1 — alert)
+    // batch 2: fully OOV (rate 1 — alert); batch 3: zero words (empty
+    // texts — the n_words=0 guard: rate 0, never an alert, no NaN)
     Seq((10L, "alpha beta"), (11L, "gamma alpha beta"))
       .toDF("doc_id", "text").repartition(1).write.mode("append").parquet(dir)
     Thread.sleep(1100) // distinct mtimes => deterministic batch order
     Seq((20L, "zeta epsilon zeta"), (21L, "epsilon"))
+      .toDF("doc_id", "text").repartition(1).write.mode("append").parquet(dir)
+    Thread.sleep(1100)
+    Seq((30L, ""), (31L, ""))
       .toDF("doc_id", "text").repartition(1).write.mode("append").parquet(dir)
 
     val bus = new graft.dml.events.EventBus(s, busDir)
@@ -221,7 +225,7 @@ class StreamingPipelineSpec extends AnyFunSuite {
       trigger = Trigger.AvailableNow(), checkpointDir = Some(ckpt))
     try q.awaitTermination(180000) finally q.stop()
 
-    assert(rates.sortBy(_._1).map(_._2).toSeq == Seq(0.0, 1.0),
+    assert(rates.sortBy(_._1).map(_._2).toSeq == Seq(0.0, 1.0, 0.0),
       s"per-batch OOV rates off: $rates")
     val alerts = bus.subscribe("vocab_drift").collect()
     assert(alerts.length == 1, s"exactly the OOV batch must alert: " +
