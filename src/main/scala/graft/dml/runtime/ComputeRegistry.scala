@@ -251,7 +251,13 @@ object ComputeRegistry {
     // the relation itself with the same clamped budget as
     // bpe_token_count; INTO column(...) names the symbolization column
     // (n_tokens rides along)
+    // NOTE the output shape: WORD-level (word, <out>, n_tokens) — a word
+    // maps to many docs, so unlike chunk_docs there is no doc_id to
+    // carry and the result does not chain into doc_id-keyed kernels
     "bpe_tokenize" -> { (df, ins, out) =>
+      require(out != "word" && out != "n_tokens",
+        s"bpe_tokenize reserves output columns 'word' and 'n_tokens'; " +
+          s"pick another INTO column name (got '$out')")
       val keyedDf = keyed(df, ins.head)
       val model = graft.llm.Bpe.train(df.sparkSession, keyedDf,
         nMerges = 8, strict = false)

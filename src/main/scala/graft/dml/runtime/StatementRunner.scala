@@ -38,19 +38,25 @@ final class StatementRunner(
   private val whenRules = mutable.ArrayBuffer.empty[WhenSpec]
   private val monitors = mutable.ArrayBuffer.empty[MonitorSpec]
   private val ensembles = mutable.LinkedHashMap.empty[String, EnsembleSpec]
-  // last TrainSpec per model, for the built-in `retrain` WHEN action (the
-  // registry persists algorithm/features/config but not the source query)
+  // last TrainSpec per model, TWO resolutions with different contracts:
+  // trainSpecs holds the RESOLVED spec (bare-name holiday calendars
+  // rewritten to literal dates by Trainer.train) for the explain paths,
+  // which must re-derive exactly the TRAINED feature layout even if the
+  // calendar view is later redefined; rawSpecs holds the statement as
+  // written, for the built-in `retrain` WHEN action — a retrain is a NEW
+  // fit, and a bare calendar name must re-resolve the CURRENT view
+  // (frozen dates would silently train next year's model on last year's
+  // holidays). The registry persists algorithm/features/config but not
+  // the source query, hence both live here.
   private val trainSpecs = mutable.LinkedHashMap.empty[String, TrainSpec]
+  private val rawSpecs = mutable.LinkedHashMap.empty[String, TrainSpec]
 
   def run(stmt: Statement): RunResult = stmt match {
     case t: TrainSpec =>
       val report = Trainer.train(spark, t)
       val v = registry.register(report)
-      // record the RESOLVED spec (bare-name holiday calendars rewritten
-      // to literal dates by Trainer.train) so the explain/forecast
-      // paths re-derive exactly the trained feature layout even if the
-      // calendar view is later redefined
       trainSpecs(t.name) = report.spec
+      rawSpecs(t.name) = t
       RunResult("train", s"model '${t.name}' v$v fitted " +
         s"(${report.metrics.toSeq.sortBy(_._1).mkString(", ")})")
 
@@ -245,11 +251,16 @@ final class StatementRunner(
             bus.publish("model_rollback",
               Map("model" -> model, "to_version" -> v.toString))
           case "retrain" =>
-            val spec = trainSpecs.getOrElse(model,
+            // the RAW spec: a retrain is a new fit, so a bare calendar
+            // name re-resolves the current view (see the map contract)
+            val spec = rawSpecs.getOrElse(model,
               throw new IllegalArgumentException(
                 s"no TrainSpec recorded for '$model' — retrain needs the " +
                   s"model to have been trained through this runner"))
-            val v = registry.register(Trainer.train(spark, spec))
+            val report = Trainer.train(spark, spec)
+            // the explain map now describes the NEW registered fit
+            trainSpecs(model) = report.spec
+            val v = registry.register(report)
             bus.publish("model_retrained",
               Map("model" -> model, "version" -> v.toString))
           case _ => actionFor(w.action)(spark.emptyDataFrame)

@@ -368,9 +368,14 @@ object TimeSeries {
     // prediction never reads it)
     val scored = report.model.transform(
       feats.withColumn(spec.target, lit(0.0)))
-    // residual RMSE on the training frame — σ for the normal band
+    // residual RMSE on the training frame — σ for the normal band.
+    // Rebuilt from report.spec (the TRAINED resolution), like the
+    // holiday indicators above: the caller's spec may still carry a
+    // bare calendar name whose view was redefined — or dropped — after
+    // training, and the σ frame must be the frame the model was fitted
+    // on, not a re-resolution of live session state
     val trained = report.model.transform(
-      graft.dml.TrainCompiler.trainingDataFrame(spark, spec))
+      graft.dml.TrainCompiler.trainingDataFrame(spark, report.spec))
     val sigma = trained.agg(
       sqrt(avg(pow(col("prediction") - col(spec.target), 2))))
       .collect()(0).getDouble(0)

@@ -121,9 +121,13 @@ object Sampling {
     * Scale shape: ONE aggregation keyed by domain; everything after
     * runs on the domain-sized table (broadcast one-row totals, the
     * TF-IDF N pattern — no driver collect). Cross-engine determinism:
-    * the pow weights are rounded to 6 dp and summed as DECIMAL before
-    * normalizing, so neither libm's last pow ulp nor partial-sum order
-    * can flip an oracle hash. */
+    * the pow weights are rounded to 12 dp (6 dp would zero any domain
+    * with natural_share^alpha < 5e-7 — a 4-doc domain in a 10M-doc
+    * corpus at alpha=1 — and a zero weight means factor 0, i.e. the
+    * domain silently DROPPED from the mix; at 12 dp the underflow
+    * point sits past any realistic corpus) and summed as DECIMAL
+    * before normalizing, so neither libm's last pow ulp nor
+    * partial-sum order can flip an oracle hash. */
   def temperatureShares(
       docs: DataFrame, domainCol: String, alpha: Double): DataFrame = {
     require(alpha >= 0, s"temperature alpha must be >= 0, got $alpha")
@@ -133,7 +137,7 @@ object Sampling {
     val w = counts.crossJoin(broadcast(tot))
       .withColumn("_nat", col("n_docs").cast("double") / col("_n"))
       .withColumn("_w",
-        round(pow(col("_nat"), lit(alpha)), 6)
+        round(pow(col("_nat"), lit(alpha)), 12)
           .cast(org.apache.spark.sql.types.DecimalType(28, 12)))
     val z = w.agg(sum("_w").as("_z"))
     w.crossJoin(broadcast(z))

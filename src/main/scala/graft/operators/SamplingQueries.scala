@@ -51,7 +51,7 @@ object SamplingQueries {
     // deterministically SKEWED derived domain (the fixture's sources
     // are uniform, which would make flattening a no-op): alpha=0.3
     // upweights the rare domain, downweights the common one; the mix
-    // table is domain-sized and every number is 6-dp-rounded /
+    // table is domain-sized and the pow weights are 12-dp-rounded /
     // decimal-summed so both engines hash identically
     "q_temperature_mix" -> { (s, dir) =>
       Sampling.temperatureShares(
@@ -177,7 +177,8 @@ object SamplingQueries {
         |  FROM documents)
         |WHERE bucket < keep_rate""".stripMargin,
 
-    // Replays the share math exactly: pow weights rounded to 6 dp and
+    // Replays the share math exactly: pow weights rounded to 12 dp
+    // (6 dp would zero ultra-rare domains — see temperatureShares) and
     // summed as DECIMAL (partial-sum-order-proof), then double division
     // for the normalized shares — identical arithmetic on both engines.
     "q_temperature_mix" ->
@@ -192,7 +193,7 @@ object SamplingQueries {
         |w AS (
         |  SELECT domain, n_docs,
         |    CAST(n_docs AS DOUBLE) / n AS nat,
-        |    CAST(round(pow(CAST(n_docs AS DOUBLE) / n, 0.3), 6)
+        |    CAST(round(pow(CAST(n_docs AS DOUBLE) / n, 0.3), 12)
         |      AS DECIMAL(28, 12)) AS w
         |  FROM c CROSS JOIN t),
         |z AS (SELECT sum(w) AS z FROM w)

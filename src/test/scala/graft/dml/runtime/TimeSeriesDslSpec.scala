@@ -114,6 +114,10 @@ class TimeSeriesDslSpec extends AnyFunSuite {
       .createOrReplaceTempView("cal_once")
     assert(TrainCompiler.holidayDates(report.spec) ==
       Some(List("1995-03-01")))
+    // the strongest form: DROP the view entirely — forecast (both the
+    // future-row holiday indicators AND the residual-σ training-frame
+    // rebuild) must run purely from report.spec's captured dates
+    s.catalog.dropTempView("cal_once")
     val fc = TimeSeries.forecast(s, spec, report)
     assert(fc.count() == 3)
   }
