@@ -251,6 +251,17 @@ object ComputeRegistry {
     // the relation itself with the same clamped budget as
     // bpe_token_count; INTO column(...) names the symbolization column
     // (n_tokens rides along)
+    // temperature-scaled mixture factor over a DOMAIN input column
+    // (XLM-style p^alpha flattening at alpha=0.3): each row gets its
+    // domain's up/down-sampling factor as the output column — feed it
+    // to domain_mix-style materialization. The mix table is
+    // domain-sized and broadcast back; every input row is preserved
+    "temperature_mix" -> { (df, ins, out) =>
+      val shares = graft.llm.Sampling
+        .temperatureShares(df, ins.head, alpha = 0.3)
+        .select(col("domain").as(ins.head), col("factor").as(out))
+      df.join(broadcast(shares), Seq(ins.head), "left")
+    },
     // NOTE the output shape: WORD-level (word, <out>, n_tokens) — a word
     // maps to many docs, so unlike chunk_docs there is no doc_id to
     // carry and the result does not chain into doc_id-keyed kernels

@@ -411,6 +411,16 @@ class ComputeSpec2 extends AnyFunSuite {
     // operator's own oracle entry (q_cluster_balanced_sample)
     assert(cbs.filter(col("cell_rank") < 1 || col("cell_rank") > 10)
       .count() == 0)
+    // temperature_mix: every row preserved, factor attached per domain;
+    // within a domain the factor is constant and positive
+    val tm = ComputeRegistry.runOnce(s,
+      parse("COMPUTE tm FROM table(source) INTO column(mix_factor) " +
+        "USING temperature_mix"),
+      "doc_embs")
+    assert(tm.count() == nDocs)
+    assert(tm.filter(col("mix_factor") <= 0).count() == 0)
+    assert(tm.groupBy("source").agg(countDistinct("mix_factor").as("k"))
+      .filter(col("k") =!= 1).count() == 0)
     // bpe_tokenize: relation-expanding — one row per distinct trainable
     // word; every word's symbols re-concatenate to word + "_"
     val bt = ComputeRegistry.runOnce(s,
