@@ -171,7 +171,16 @@ class BpeSpec extends AnyFunSuite {
         // so the argmax sequence is non-increasing
         val counts = model.merges.orderBy("round").collect()
           .map(_.getLong(4))
-        mass && counts.zip(counts.drop(1)).forall { case (a, b) => a >= b }
+        // the rank-based tokenizer apply must reproduce the training
+        // rewrite on every training word, for ANY random corpus and
+        // budget — the equivalence the q_bpe_tokenize oracle rests on
+        val applied = Bpe.tokenize(docs, model).collect()
+          .map(r => (r.getString(0), r.getString(1))).toMap
+        val applyParity = vocab.forall { case (w, syms) =>
+          applied.get(w).contains(syms)
+        }
+        mass && applyParity &&
+          counts.zip(counts.drop(1)).forall { case (a, b) => a >= b }
       } catch {
         // a tiny random corpus can exhaust before k merges — that path
         // is the documented error, not a property failure
