@@ -301,6 +301,29 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q_temperature_mix runs the share math on broadcast one-row " +
+    "totals — no window, no cartesian blowup") {
+    val p = plan("q_temperature_mix")
+    assert(!p.contains("CartesianProduct"),
+      s"totals must broadcast, not cartesian:\n$p")
+    assert(!p.contains("Window"),
+      s"the mix table must come from aggregation, never a window:\n$p")
+    // only the broadcast one-row totals (N, Z) may nested-loop: the N
+    // join appears twice (the weighted branch feeds both Z and the
+    // output — recomputed, domain-sized, harmless) plus the Z join
+    val nlj = """\(\d+\) BroadcastNestedLoopJoin""".r.findAllIn(p).length
+    assert(nlj <= 3,
+      s"only the broadcast one-row totals may nested-loop, got $nlj:\n$p")
+  }
+
+  test("q_bpe_tokenize applies merges as ONE native expression over " +
+    "distinct words") {
+    val p = plan("q_bpe_tokenize")
+    assert(p.contains("bpe_tokens"),
+      s"the apply must be the native BpeTokens expression:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
   test("q_lm_perplexity keeps the count joins as equi-joins; only the " +
     "1-row V relation may nested-loop") {
     val p = plan("q_lm_perplexity")
