@@ -245,26 +245,33 @@ object ComputeRegistry {
       df.withColumn(out, graft.functions.MatchExpressions
         .signedProjection(col(ins.head), 16, dim))
     },
-    // FULL tokenizer apply over a TEXT input column — relation-
-    // EXPANDING like chunk_docs: one row per distinct trainable word,
-    // tokenized (rank-based BpeTokens apply) against merges trained on
-    // the relation itself with the same clamped budget as
-    // bpe_token_count; INTO column(...) names the symbolization column
-    // (n_tokens rides along)
     // temperature-scaled mixture factor over a DOMAIN input column
     // (XLM-style p^alpha flattening at alpha=0.3): each row gets its
     // domain's up/down-sampling factor as the output column — feed it
     // to domain_mix-style materialization. The mix table is
-    // domain-sized and broadcast back; every input row is preserved
+    // domain-sized and broadcast back; every input row is preserved,
+    // and the join is NULL-SAFE: rows with a NULL domain form their own
+    // mixture group (temperatureShares' groupBy already counts them),
+    // so they carry that group's factor instead of a silent NULL that
+    // a downstream materialization would drop
     "temperature_mix" -> { (df, ins, out) =>
+      require(out != ins.head,
+        s"temperature_mix cannot write its factor over the domain " +
+          s"input column '$out'; pick another INTO column name")
       val shares = graft.llm.Sampling
         .temperatureShares(df, ins.head, alpha = 0.3)
-        .select(col("domain").as(ins.head), col("factor").as(out))
-      df.join(broadcast(shares), Seq(ins.head), "left")
+        .select(col("domain").as("_tm_domain"), col("factor").as(out))
+      df.join(broadcast(shares),
+          df(ins.head) <=> col("_tm_domain"), "left")
+        .drop("_tm_domain")
     },
-    // NOTE the output shape: WORD-level (word, <out>, n_tokens) — a word
-    // maps to many docs, so unlike chunk_docs there is no doc_id to
-    // carry and the result does not chain into doc_id-keyed kernels
+    // FULL tokenizer apply over a TEXT input column — relation-
+    // EXPANDING like chunk_docs, but note the output shape: WORD-level
+    // (word, <out>, n_tokens) — a word maps to many docs, so there is
+    // no doc_id to carry and the result does not chain into
+    // doc_id-keyed kernels. Merges are trained on the relation itself
+    // with the same clamped budget as bpe_token_count; INTO column(...)
+    // names the symbolization column (n_tokens rides along)
     "bpe_tokenize" -> { (df, ins, out) =>
       require(out != "word" && out != "n_tokens",
         s"bpe_tokenize reserves output columns 'word' and 'n_tokens'; " +

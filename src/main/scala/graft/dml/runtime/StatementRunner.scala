@@ -47,7 +47,12 @@ final class StatementRunner(
   // fit, and a bare calendar name must re-resolve the CURRENT view
   // (frozen dates would silently train next year's model on last year's
   // holidays). The registry persists algorithm/features/config but not
-  // the source query, hence both live here.
+  // the source query, hence both live here. One slot per model is
+  // correct because `registry.load(name)` resolves the latest
+  // REGISTERED version — the same fit trainSpecs tracks; `rollback`
+  // flips the serving ENDPOINT, never the registry head, so explain and
+  // the slot can only disagree if register itself fails (guarded by the
+  // register-before-update order at both train sites).
   private val trainSpecs = mutable.LinkedHashMap.empty[String, TrainSpec]
   private val rawSpecs = mutable.LinkedHashMap.empty[String, TrainSpec]
 
@@ -258,9 +263,11 @@ final class StatementRunner(
                 s"no TrainSpec recorded for '$model' — retrain needs the " +
                   s"model to have been trained through this runner"))
             val report = Trainer.train(spark, spec)
-            // the explain map now describes the NEW registered fit
-            trainSpecs(model) = report.spec
+            // register FIRST (the `case t: TrainSpec` order): a failed
+            // register must not leave the explain map describing a fit
+            // the registry never accepted
             val v = registry.register(report)
+            trainSpecs(model) = report.spec
             bus.publish("model_retrained",
               Map("model" -> model, "version" -> v.toString))
           case _ => actionFor(w.action)(spark.emptyDataFrame)

@@ -297,13 +297,22 @@ object TimeSeries {
       spark: org.apache.spark.sql.SparkSession,
       spec: graft.dml.TrainSpec,
       report: Trainer.TrainReport): DataFrame = {
+    // EVERYTHING below derives from report.spec — the TRAINED
+    // resolution (bare-name holiday calendars rewritten to literal
+    // dates by Trainer.train). The `spec` parameter is kept for call
+    // shape but must describe the same statement; deriving half the
+    // features from a caller-held unresolved spec and half from the
+    // trained one would silently mix resolutions (the only param
+    // resolution rewrites is `holidays`, but one source of truth
+    // removes the divergence class entirely).
+    val rs = report.spec
     // the EFFECTIVE clause: prophet's binding seasonality=[...] param
     // merged in, so future rows carry every Fourier column the fitted
     // assembler expects
-    val ts = graft.dml.TrainCompiler.effectiveClause(spec)
+    val ts = graft.dml.TrainCompiler.effectiveClause(rs)
       .getOrElse(throw new IllegalArgumentException(
         "forecast requires a TRAIN statement WITH TIME COLUMN"))
-    require(spec.features.isEmpty,
+    require(rs.features.isEmpty,
       "FORECAST n AHEAD supports clause features only (SEASONAL/TREND); " +
         "exogenous regressors need future values supplied by the caller")
     val n = ts.horizon.getOrElse(throw new IllegalArgumentException(
@@ -317,7 +326,7 @@ object TimeSeries {
         s"unsupported FORECAST unit: $other")
     }
     val src = spark.sql(
-      s"SELECT * FROM ${graft.dml.TrainCompiler.sourceFragment(spec)}")
+      s"SELECT * FROM ${graft.dml.TrainCompiler.sourceFragment(rs)}")
     // a DATE time column cannot carry sub-day steps: casting the
     // timestampadd result back to DATE would silently truncate every
     // future hour onto the same date (n duplicate forecast rows) —
@@ -348,7 +357,7 @@ object TimeSeries {
     // their last observed slope: every future t_index exceeds every knot
     // (knots live in the first 80% of history), so the hinge is linear
     // there — exactly Prophet's default non-Bayesian extrapolation
-    val hinged = graft.dml.TrainCompiler.changepointCount(spec)
+    val hinged = graft.dml.TrainCompiler.changepointCount(rs)
       .fold(seasonalFeats) { k =>
         (1 to k).foldLeft(seasonalFeats) { (acc, j) =>
           acc.withColumn(s"cp_$j", greatest(lit(0.0), col("t_index") -
@@ -362,12 +371,12 @@ object TimeSeries {
     // redefined after training can never remap holiday_j onto a date
     // its fitted coefficient never saw
     val feats = withHolidays(hinged, col(ts.timeColumn),
-      graft.dml.TrainCompiler.holidayDates(report.spec).getOrElse(Nil))
+      graft.dml.TrainCompiler.holidayDates(rs).getOrElse(Nil))
     // the fitted pipeline's label-cast stage references the target column;
     // future rows have no observed target, so feed a placeholder (the
     // prediction never reads it)
     val scored = report.model.transform(
-      feats.withColumn(spec.target, lit(0.0)))
+      feats.withColumn(rs.target, lit(0.0)))
     // residual RMSE on the training frame — σ for the normal band.
     // Rebuilt from report.spec (the TRAINED resolution), like the
     // holiday indicators above: the caller's spec may still carry a
@@ -375,9 +384,9 @@ object TimeSeries {
     // training, and the σ frame must be the frame the model was fitted
     // on, not a re-resolution of live session state
     val trained = report.model.transform(
-      graft.dml.TrainCompiler.trainingDataFrame(spark, report.spec))
+      graft.dml.TrainCompiler.trainingDataFrame(spark, rs))
     val sigma = trained.agg(
-      sqrt(avg(pow(col("prediction") - col(spec.target), 2))))
+      sqrt(avg(pow(col("prediction") - col(rs.target), 2))))
       .collect()(0).getDouble(0)
     val out = ts.confidence.foldLeft(
       scored.select(col(ts.timeColumn), col("t_index"), col("prediction"))) {

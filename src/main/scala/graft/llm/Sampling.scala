@@ -116,7 +116,10 @@ object Sampling {
     * uniform. Returns the per-domain mix table (domain, n_docs,
     * natural_share, temp_share, factor) where factor = temp_share /
     * natural_share is the up/down-sampling multiplier [[domainMix]]
-    * materializes.
+    * materializes. NULL domains form their own first-class mixture
+    * group (both engines' GROUP BY puts NULLs in one group) — consumers
+    * joining the table back per-row must join null-safely (`<=>`), as
+    * the `temperature_mix` DSL kernel does.
     *
     * Scale shape: ONE aggregation keyed by domain; everything after
     * runs on the domain-sized table (broadcast one-row totals, the

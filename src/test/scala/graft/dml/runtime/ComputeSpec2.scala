@@ -419,8 +419,22 @@ class ComputeSpec2 extends AnyFunSuite {
       "doc_embs")
     assert(tm.count() == nDocs)
     assert(tm.filter(col("mix_factor") <= 0).count() == 0)
+    assert(tm.filter(col("mix_factor").isNull).count() == 0)
     assert(tm.groupBy("source").agg(countDistinct("mix_factor").as("k"))
       .filter(col("k") =!= 1).count() == 0)
+    // NULL domains are a first-class mixture group, not silently-NULL
+    // factors (the null-safe join contract)
+    s.table("doc_embs")
+      .withColumn("source",
+        when(col("doc_id") % 5 === 0, lit(null)).otherwise(col("source")))
+      .createOrReplaceTempView("doc_embs_nulls")
+    val tmN = ComputeRegistry.runOnce(s,
+      parse("COMPUTE tm FROM table(source) INTO column(mix_factor) " +
+        "USING temperature_mix"),
+      "doc_embs_nulls")
+    assert(tmN.filter(col("source").isNull).count() > 0)
+    assert(tmN.filter(col("mix_factor").isNull).count() == 0,
+      "NULL-domain rows must carry the NULL group's factor")
     // bpe_tokenize: relation-expanding — one row per distinct trainable
     // word; every word's symbols re-concatenate to word + "_"
     val bt = ComputeRegistry.runOnce(s,
