@@ -477,6 +477,29 @@ object Curation {
     (labeled, round)
   }
 
+  /** Representative selection after dup-grouping — the PRODUCTION keep
+    * rule: keep the BEST-scoring member of every dup group instead of
+    * [[dupGroups]]' min-id convention — Lee et al. 2022 keep the
+    * longest member, C4-style stacks the highest quality score. One
+    * bounded-state partial aggregation: `max_by(doc_id, (score,
+    * −doc_id))` per group (the −doc_id makes the argmax key unique, so
+    * ties break to the SMALLEST id and the result is partition-order-
+    * independent ⇒ hash-oracled); the shuffle carries one argmax state
+    * per (group, partition), never a group's member list, so a
+    * million-member boilerplate group costs the same shuffle as a pair.
+    * `groups` = (doc_id, dup_group); `scores` = (doc_id, score).
+    * Returns every doc with its group, score, the group's kept doc and
+    * an `is_kept` flag — filter `is_kept` for the deduped corpus. */
+  def keepBestPerGroup(groups: DataFrame, scores: DataFrame): DataFrame = {
+    val scored = groups.join(scores, Seq("doc_id"))
+    val kept = scored.groupBy("dup_group")
+      .agg(max_by(col("doc_id"),
+        struct(col("score"), col("doc_id") * lit(-1L))).as("kept_doc"))
+    scored.join(kept, Seq("dup_group"))
+      .select(col("doc_id"), col("dup_group"), col("score"),
+        col("kept_doc"), (col("doc_id") === col("kept_doc")).as("is_kept"))
+  }
+
   /** Repeated-span removal (the exact-substring dedup of Lee et al. 2021,
     * "Deduplicating Training Data Makes Language Models Better",
     * arXiv:2107.06499, at segment granularity): documents are cut into

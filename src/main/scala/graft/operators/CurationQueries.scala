@@ -142,6 +142,25 @@ object CurationQueries {
       Curation.dupGroupsAlternating(corpus.select("doc_id"), cands)
     },
 
+    // representative selection after dup-grouping — the PRODUCTION keep
+    // rule: keep the LONGEST member of every near-dup group (Lee et al.
+    // keep-longest; here the original always beats its trimmed copy),
+    // ties to the smallest id, via one bounded-state max_by aggregation
+    // — never a per-group member list or window
+    "q_dedup_keep_best" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val corpus = d.select("doc_id", "text").unionAll(trimmed(d))
+      val cands = Dedup.minhashCandidates(
+        corpus, k = 3, numHashes = 8, bands = 4, minEstJaccard = 0.5,
+        oracleHashes = true)
+      val groups = Curation.dupGroupsAlternating(
+        corpus.select("doc_id"), cands)
+      val scores = corpus.select(col("doc_id"),
+        octet_length(coalesce(col("text"), lit(""))).cast("double")
+          .as("score"))
+      Curation.keepBestPerGroup(groups, scores)
+    },
+
     // shard-local GPT-style sequence packing: each doc's span in the
     // concatenated token stream of its shard (no global sort anywhere)
     "q_seq_pack" -> { (s, dir) =>
@@ -515,6 +534,36 @@ object CurationQueries {
          |  SELECT e.dst AS doc_id, r.label FROM e JOIN r ON r.doc_id = e.src)
          |SELECT doc_id, min(label) AS dup_group FROM r GROUP BY doc_id""".stripMargin,
 
+    // the algorithm-independent group closure (as q_dedup_groups_cc)
+    // joined with byte-length scores; the kept doc replays as the
+    // (score DESC, doc_id ASC) window argmax per group
+    "q_dedup_keep_best" ->
+      s"""WITH RECURSIVE ${LlmQueries.minhashPairsCtes},
+         |fpairs AS (
+         |  SELECT doc_a, doc_b FROM scored WHERE est_jaccard >= 0.5),
+         |e AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM fpairs
+         |  UNION ALL
+         |  SELECT doc_b AS src, doc_a AS dst FROM fpairs),
+         |r AS (
+         |  SELECT doc_id, doc_id AS label FROM u
+         |  UNION
+         |  SELECT e.dst AS doc_id, r.label FROM e JOIN r ON r.doc_id = e.src),
+         |g AS (SELECT doc_id, min(label) AS dup_group FROM r GROUP BY doc_id),
+         |sc AS (
+         |  SELECT g.doc_id, g.dup_group,
+         |    CAST(octet_length(encode(coalesce(u.text, ''))) AS DOUBLE)
+         |      AS score
+         |  FROM g JOIN u USING (doc_id)),
+         |k AS (
+         |  SELECT dup_group, doc_id AS kept_doc,
+         |    row_number() OVER (PARTITION BY dup_group
+         |      ORDER BY score DESC, doc_id ASC) AS rn
+         |  FROM sc)
+         |SELECT sc.doc_id, sc.dup_group, sc.score, k.kept_doc,
+         |  sc.doc_id = k.kept_doc AS is_kept
+         |FROM sc JOIN k ON sc.dup_group = k.dup_group AND k.rn = 1""".stripMargin,
+
     "q_seq_pack" ->
       """WITH t AS (
         |  SELECT doc_id, doc_id % 8 AS shard,
@@ -620,6 +669,7 @@ object CurationQueries {
     "q_pii_scrub" -> Seq("doc_id"),
     "q_dedup_groups" -> Seq("doc_id"),
     "q_dedup_groups_cc" -> Seq("doc_id"),
+    "q_dedup_keep_best" -> Seq("doc_id"),
     "q_seq_pack" -> Seq("doc_id"),
     "q_dedup_spans" -> Seq("doc_id"),
     "q_chunk_docs" -> Seq("doc_id", "chunk_idx"),

@@ -341,4 +341,23 @@ class CurationSpec extends AnyFunSuite {
     assert(byLang.keySet.forall(l =>
       byLang(l).exists(_._4.contains("head"))))
   }
+
+  test("keepBestPerGroup keeps the best score per group, ties to the " +
+    "smallest id, singletons keep themselves") {
+    val s = spark
+    import s.implicits._
+    // group 10: scores 3 < 7 -> doc 2 kept; group 20: tie at 5 -> doc 3
+    // (smallest id) kept; group 30: singleton keeps itself
+    val groups = Seq((1L, 10L), (2L, 10L), (3L, 20L), (4L, 20L), (5L, 30L))
+      .toDF("doc_id", "dup_group")
+    val scores = Seq((1L, 3.0), (2L, 7.0), (3L, 5.0), (4L, 5.0), (5L, 1.0))
+      .toDF("doc_id", "score")
+    val out = Curation.keepBestPerGroup(groups, scores)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getBoolean(4)))
+    assert(out.toSeq == Seq(
+      (1L, 2L, false), (2L, 2L, true),
+      (3L, 3L, true), (4L, 3L, false),
+      (5L, 5L, true)))
+  }
 }
