@@ -90,6 +90,22 @@ object ComputeRegistry {
         .withColumnRenamed("dup_group", out)
       df.join(groups, Seq("doc_id"))
     },
+    // minhash near-dup groups -> keep-BEST flag (the production keep
+    // rule: longest member wins, ties to the smallest id) — the
+    // keep-side companion of minhash_dedup's group labels; filter on
+    // the output for the deduped corpus
+    "keep_best_dedup" -> { (df, ins, out) =>
+      val d = keyed(df, ins.head)
+      val cands = graft.llm.Dedup.minhashCandidates(d)
+      val groups = graft.llm.Curation
+        .dupGroupsAlternating(df.select("doc_id"), cands)
+      val scores = d.select(col("doc_id"),
+        octet_length(coalesce(col("text"), lit(""))).cast("double")
+          .as("score"))
+      val kept = graft.llm.Curation.keepBestPerGroup(groups, scores)
+        .select(col("doc_id"), col("is_kept").as(out))
+      df.join(kept, Seq("doc_id"))
+    },
     // normalized-hash exact dedup -> boolean dup flag
     "exact_dedup" -> { (df, ins, out) =>
       val flags = graft.llm.TextOps.exactDedup(keyed(df, ins.head))

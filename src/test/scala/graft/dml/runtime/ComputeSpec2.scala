@@ -435,6 +435,15 @@ class ComputeSpec2 extends AnyFunSuite {
     assert(tmN.filter(col("source").isNull).count() > 0)
     assert(tmN.filter(col("mix_factor").isNull).count() == 0,
       "NULL-domain rows must carry the NULL group's factor")
+    // keep_best_dedup: every row preserved with a boolean keep flag;
+    // at least one doc kept, and no group loses ALL members
+    val kb = ComputeRegistry.runOnce(s,
+      parse("COMPUTE kb FROM table(text) INTO column(keep) " +
+        "USING keep_best_dedup"),
+      "doc_embs")
+    assert(kb.count() == nDocs)
+    val nKept = kb.filter(col("keep")).count()
+    assert(nKept > 0 && nKept <= nDocs)
     // bpe_tokenize: relation-expanding — one row per distinct trainable
     // word; every word's symbols re-concatenate to word + "_"
     val bt = ComputeRegistry.runOnce(s,
