@@ -77,16 +77,22 @@ object ComputeRegistry {
   private[runtime] def semanticSeeds(embs: DataFrame): Seq[Long] =
     graft.llm.Similarity.autoCellSeeds(embs)
 
+  /** The shared near-dup group pipeline of the dedup kernels: banded
+    * MinHash candidates over the keyed (doc_id, text) frame, then
+    * alternating-star connected components — O(log n) rounds on ANY
+    * candidate graph (the min-label form needs one round per diameter
+    * hop), so a long near-dup chain in an arbitrary user corpus cannot
+    * degrade it. One definition so `minhash_dedup` and
+    * `keep_best_dedup` can never diverge on candidate parameters. */
+  private def textDupGroups(df: DataFrame, keyedDf: DataFrame): DataFrame =
+    graft.llm.Curation.dupGroupsAlternating(df.select("doc_id"),
+      graft.llm.Dedup.minhashCandidates(keyedDf))
+
   private val tableBuiltins: Map[String, TableKernel] = Map(
-    // banded MinHash candidates -> alternating-star connected components
-    // -> group id. The star algorithm converges in O(log n) rounds on ANY
-    // candidate graph (dupGroups' min-label propagation needs one round
-    // per diameter hop), so the production kernel can't be degraded by a
-    // long near-dup chain in an arbitrary user corpus.
+    // banded MinHash candidates -> alternating-star CC -> group id
+    // (see textDupGroups)
     "minhash_dedup" -> { (df, ins, out) =>
-      val cands = graft.llm.Dedup.minhashCandidates(keyed(df, ins.head))
-      val groups = graft.llm.Curation
-        .dupGroupsAlternating(df.select("doc_id"), cands)
+      val groups = textDupGroups(df, keyed(df, ins.head))
         .withColumnRenamed("dup_group", out)
       df.join(groups, Seq("doc_id"))
     },
@@ -96,13 +102,8 @@ object ComputeRegistry {
     // the output for the deduped corpus
     "keep_best_dedup" -> { (df, ins, out) =>
       val d = keyed(df, ins.head)
-      val cands = graft.llm.Dedup.minhashCandidates(d)
-      val groups = graft.llm.Curation
-        .dupGroupsAlternating(df.select("doc_id"), cands)
-      val scores = d.select(col("doc_id"),
-        octet_length(coalesce(col("text"), lit(""))).cast("double")
-          .as("score"))
-      val kept = graft.llm.Curation.keepBestPerGroup(groups, scores)
+      val kept = graft.llm.Curation.keepBestPerGroup(
+        textDupGroups(df, d), graft.llm.Curation.byteLenScore(d))
         .select(col("doc_id"), col("is_kept").as(out))
       df.join(kept, Seq("doc_id"))
     },

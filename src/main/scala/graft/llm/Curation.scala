@@ -487,11 +487,20 @@ object Curation {
     * independent ⇒ hash-oracled); the shuffle carries one argmax state
     * per (group, partition), never a group's member list, so a
     * million-member boilerplate group costs the same shuffle as a pair.
-    * `groups` = (doc_id, dup_group); `scores` = (doc_id, score).
-    * Returns every doc with its group, score, the group's kept doc and
-    * an `is_kept` flag — filter `is_kept` for the deduped corpus. */
+    * `groups` = (doc_id, dup_group); `scores` = (doc_id, score) — ONE
+    * row per doc (a duplicate-keyed score table is a caller contract
+    * violation and would duplicate output rows). Returns EVERY doc in
+    * `groups` with its group, score, the group's kept doc and an
+    * `is_kept` flag — filter `is_kept` for the deduped corpus. A doc
+    * missing from `scores` still participates (LEFT join, score −∞):
+    * it can only be kept if its whole group is unscored — the smallest
+    * id then wins — and it surfaces with score −∞ rather than silently
+    * vanishing from the output (an inner join would delete it from the
+    * deduped corpus with no error). */
   def keepBestPerGroup(groups: DataFrame, scores: DataFrame): DataFrame = {
-    val scored = groups.join(scores, Seq("doc_id"))
+    val scored = groups.join(scores, Seq("doc_id"), "left")
+      .withColumn("score",
+        coalesce(col("score"), lit(Double.NegativeInfinity)))
     val kept = scored.groupBy("dup_group")
       .agg(max_by(col("doc_id"),
         struct(col("score"), col("doc_id") * lit(-1L))).as("kept_doc"))
@@ -499,6 +508,14 @@ object Curation {
       .select(col("doc_id"), col("dup_group"), col("score"),
         col("kept_doc"), (col("doc_id") === col("kept_doc")).as("is_kept"))
   }
+
+  /** The default keep score: UTF-8 byte length of the text (Lee et al.
+    * keep-longest) — shared by the oracle entry and the DSL kernel so
+    * the two can never diverge. */
+  def byteLenScore(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      octet_length(coalesce(col("text"), lit(""))).cast("double")
+        .as("score"))
 
   /** Repeated-span removal (the exact-substring dedup of Lee et al. 2021,
     * "Deduplicating Training Data Makes Language Models Better",

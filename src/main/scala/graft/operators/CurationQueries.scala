@@ -155,10 +155,7 @@ object CurationQueries {
         oracleHashes = true)
       val groups = Curation.dupGroupsAlternating(
         corpus.select("doc_id"), cands)
-      val scores = corpus.select(col("doc_id"),
-        octet_length(coalesce(col("text"), lit(""))).cast("double")
-          .as("score"))
-      Curation.keepBestPerGroup(groups, scores)
+      Curation.keepBestPerGroup(groups, Curation.byteLenScore(corpus))
     },
 
     // shard-local GPT-style sequence packing: each doc's span in the

@@ -435,13 +435,16 @@ class ComputeSpec2 extends AnyFunSuite {
     assert(tmN.filter(col("source").isNull).count() > 0)
     assert(tmN.filter(col("mix_factor").isNull).count() == 0,
       "NULL-domain rows must carry the NULL group's factor")
-    // keep_best_dedup: every row preserved with a boolean keep flag;
-    // at least one doc kept, and no group loses ALL members
+    // keep_best_dedup: every row preserved with a NON-NULL boolean keep
+    // flag, at least one doc kept (per-group survival — every group
+    // keeps exactly one member — is pinned on visible groups in
+    // CurationSpec's keepBestPerGroup case)
     val kb = ComputeRegistry.runOnce(s,
       parse("COMPUTE kb FROM table(text) INTO column(keep) " +
         "USING keep_best_dedup"),
       "doc_embs")
     assert(kb.count() == nDocs)
+    assert(kb.filter(col("keep").isNull).count() == 0)
     val nKept = kb.filter(col("keep")).count()
     assert(nKept > 0 && nKept <= nDocs)
     // bpe_tokenize: relation-expanding — one row per distinct trainable

@@ -359,5 +359,24 @@ class CurationSpec extends AnyFunSuite {
       (1L, 2L, false), (2L, 2L, true),
       (3L, 3L, true), (4L, 3L, false),
       (5L, 5L, true)))
+    // every group keeps EXACTLY one member — the survival invariant
+    val byGroup = Curation.keepBestPerGroup(groups, scores)
+      .groupBy("dup_group")
+      .agg(sum(col("is_kept").cast("int")).as("n_kept")).collect()
+    assert(byGroup.forall(_.getLong(1) == 1L))
+    // unscored docs are preserved (LEFT join, score -inf), can only be
+    // kept when their whole group is unscored (smallest id wins), and
+    // never vanish from the output
+    val partial = Seq((1L, 3.0), (3L, 5.0), (4L, 5.0))
+      .toDF("doc_id", "score") // docs 2 and 5 unscored
+    val p = Curation.keepBestPerGroup(groups, partial)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getBoolean(4)))
+    assert(p.length == 5, "no doc may vanish for lack of a score")
+    assert(p.toSeq == Seq(
+      (1L, 3.0, true), // doc 2 unscored -> scored doc 1 wins group 10
+      (2L, Double.NegativeInfinity, false),
+      (3L, 5.0, true), (4L, 5.0, false),
+      (5L, Double.NegativeInfinity, true))) // all-unscored group keeps min id
   }
 }
