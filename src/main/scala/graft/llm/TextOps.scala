@@ -122,6 +122,40 @@ object TextOps {
 
   def langGuess(text: Column): Column = langGuessW(tokens(text))
 
+  /** Mixed-language detection — the CCNet-stack "language consistency"
+    * check (a doc whose segments disagree on language is dropped or
+    * routed for splitting, the way per-doc language ID alone cannot
+    * detect): fixed NON-overlapping `window`-word segments through
+    * [[chunkDocs]], each language-guessed by [[langGuess]]'s n-gram
+    * heuristic, rolled up per doc to segment count, distinct guessed
+    * languages, the majority language (ties to the alphabetically-first
+    * language — `min_by` over (−count, lang), a unique key ⇒
+    * partition-order-independent ⇒ hash-oracled) and its share, plus an
+    * `is_mixed` flag.
+    *
+    * Scale shape: chunking + per-segment guess is the zero-shuffle
+    * projection chain; the rollup is two partial aggregations keyed by
+    * (doc_id, lang) then doc_id — aggregation state is docs × ≤5
+    * languages, never segment-sized. */
+  def langMixture(docs: DataFrame, window: Int = 16): DataFrame = {
+    val segs = chunkDocs(docs, chunkSize = window, stride = window)
+      .select(col("doc_id"), langGuess(col("chunk_text")).as("seg_lang"))
+    val perLang = segs.groupBy("doc_id", "seg_lang")
+      .agg(count(lit(1)).as("_n"))
+    perLang.groupBy("doc_id")
+      .agg(sum("_n").as("n_segments"),
+        count(lit(1)).as("n_langs"),
+        min_by(col("seg_lang"),
+          struct(col("_n") * lit(-1L), col("seg_lang")))
+          .as("majority_lang"),
+        max("_n").as("_max"))
+      .select(col("doc_id"), col("n_segments"), col("n_langs"),
+        col("majority_lang"),
+        round(col("_max").cast("double") / col("n_segments"), 6)
+          .as("majority_frac"),
+        (col("n_langs") > 1).as("is_mixed"))
+  }
+
   /** Per-document stats projection. The token array is materialized once per
     * row (`_w`), so token_count / avg_token_len / stopword_ratio / quality
     * share one split instead of re-splitting per metric. */

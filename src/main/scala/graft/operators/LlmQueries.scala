@@ -159,6 +159,21 @@ object LlmQueries {
         TextOps.langGuess(col("text")).as("lang_guess"))
     },
 
+    // mixed-language detection over 16-word segments: the fixture is
+    // monolingual, so mixture is PLANTED — copies at +100000 carry an
+    // 18-word French-stopword tail whose final segments guess 'fr',
+    // flipping is_mixed exactly for the planted half (the oracle
+    // replays the concat, the windowing, and the per-segment guess)
+    "q_lang_mixture" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val planted = d.select((col("doc_id") + 100000L).as("doc_id"),
+        concat(coalesce(col("text"), lit("")),
+          lit(" le la et le la et le la et le la et le la et le la et"))
+          .as("text"))
+      TextOps.langMixture(
+        d.select("doc_id", "text").unionAll(planted), window = 16)
+    },
+
     "q_dedup_exact" -> { (s, dir) => TextOps.exactDedup(docs(s, dir)) },
 
     "q_dedup_minhash_sigs" -> { (s, dir) =>
@@ -590,6 +605,59 @@ object LlmQueries {
         |       WHEN de_s >= es_s THEN 'de'
         |       ELSE 'es' END AS lang_guess
         |FROM s""".stripMargin,
+
+    // Replays the windowing (chunkDocs' non-overlapping 16-word slices),
+    // the per-segment profile guess (q_lang_guess's CASE chain), and the
+    // (count DESC, lang ASC) majority argmax.
+    "q_lang_mixture" ->
+      """WITH u AS (
+        |  SELECT doc_id, coalesce(text, '') AS text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id,
+        |    coalesce(text, '') ||
+        |    ' le la et le la et le la et le la et le la et le la et' AS text
+        |  FROM documents),
+        |t AS (SELECT doc_id, string_split(text, ' ') AS w FROM u),
+        |c AS (
+        |  SELECT doc_id, w,
+        |    CASE WHEN len(w) <= 16 THEN 1
+        |      ELSE CAST(ceil((len(w) - 16) / 16.0) AS BIGINT) + 1 END AS nc
+        |  FROM t),
+        |seg AS (
+        |  SELECT doc_id, w[(i*16+1):(i*16+16)] AS sw
+        |  FROM c, unnest(range(nc)) AS r(i)),
+        |g AS (
+        |  SELECT doc_id,
+        |    len(list_filter(sw, t -> t IN ('the', 'and', 'of'))) AS en_s,
+        |    len(list_filter(sw, t -> t IN ('le', 'la', 'et'))) AS fr_s,
+        |    len(list_filter(sw, t -> t IN ('der', 'und', 'das'))) AS de_s,
+        |    len(list_filter(sw, t -> t IN ('el', 'los', 'que'))) AS es_s
+        |  FROM seg),
+        |l AS (
+        |  SELECT doc_id,
+        |    CASE WHEN greatest(en_s, fr_s, de_s, es_s) = 0 THEN 'und'
+        |         WHEN en_s >= fr_s AND en_s >= de_s AND en_s >= es_s THEN 'en'
+        |         WHEN fr_s >= de_s AND fr_s >= es_s THEN 'fr'
+        |         WHEN de_s >= es_s THEN 'de'
+        |         ELSE 'es' END AS seg_lang
+        |  FROM g),
+        |p AS (
+        |  SELECT doc_id, seg_lang, CAST(count(*) AS BIGINT) AS n
+        |  FROM l GROUP BY 1, 2),
+        |a AS (
+        |  SELECT doc_id, sum(n) AS n_segments,
+        |    CAST(count(*) AS BIGINT) AS n_langs, max(n) AS mx
+        |  FROM p GROUP BY 1),
+        |m AS (
+        |  SELECT doc_id, seg_lang AS majority_lang,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY n DESC, seg_lang ASC) AS rn
+        |  FROM p)
+        |SELECT a.doc_id, a.n_segments, a.n_langs, m.majority_lang,
+        |  round(CAST(mx AS DOUBLE) / n_segments, 6) AS majority_frac,
+        |  a.n_langs > 1 AS is_mixed
+        |FROM a JOIN m ON a.doc_id = m.doc_id AND m.rn = 1
+        |ORDER BY a.doc_id""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT doc_id,
@@ -1326,6 +1394,7 @@ object LlmQueries {
     "q_corpus_filter" -> Seq("doc_id"),
     "q_text_stats" -> Seq("doc_id"),
     "q_lang_guess" -> Seq("doc_id"),
+    "q_lang_mixture" -> Seq("doc_id"),
     "q_dedup_exact" -> Seq("doc_id"),
     "q_dedup_minhash_sigs" -> Seq("doc_id"),
     "q_multimodal_join" -> Seq("doc_id"),

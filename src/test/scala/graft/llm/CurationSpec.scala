@@ -379,4 +379,24 @@ class CurationSpec extends AnyFunSuite {
       (3L, 5.0, true), (4L, 5.0, false),
       (5L, Double.NegativeInfinity, true))) // all-unscored group keeps min id
   }
+
+  test("langMixture flags segment-level language disagreement") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      // 24 en words -> 2 segments, both en: consistent
+      (1L, ("the and of " * 8).trim),
+      // 18 en + 18 fr words -> 3 segments, head en / tail fr: MIXED
+      (2L, ("the and of " * 6).trim + " " + ("le la et " * 6).trim),
+      // no profile hits -> single und segment, not mixed
+      (3L, "xyz qqq zzz")).toDF("doc_id", "text")
+    val out = TextOps.langMixture(docs, window = 16).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getString(3), r.getBoolean(5)))).toMap
+    assert(out(1L) == ((1L, "en", false)))
+    assert(out(2L)._1 == 2L && out(2L)._3,
+      s"planted en+fr doc must flag mixed: ${out(2L)}")
+    assert(Set("en", "fr").contains(out(2L)._2))
+    assert(out(3L) == ((1L, "und", false)))
+  }
 }
