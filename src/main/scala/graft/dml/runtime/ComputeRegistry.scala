@@ -119,6 +119,15 @@ object ComputeRegistry {
         .select(col("doc_id"), col("simhash_bits").as(out))
       df.join(sigs, Seq("doc_id"))
     },
+    // segment-level language-consistency flag over a TEXT input column
+    // (TextOps.langMixture, 16-word segments): TRUE when a doc's
+    // segments disagree on language — the CCNet-stack mixed-language
+    // drop/route signal; every input row preserved
+    "lang_mixture" -> { (df, ins, out) =>
+      val mix = graft.llm.TextOps.langMixture(keyed(df, ins.head))
+        .select(col("doc_id"), col("is_mixed").as(out))
+      df.join(mix, Seq("doc_id"))
+    },
     // highest-TF-IDF term per doc (rank 1 of Relevance.tfidfTopTerms)
     "tfidf_top_term" -> { (df, ins, out) =>
       val top = graft.llm.Relevance.tfidfTopTerms(keyed(df, ins.head), topN = 1)

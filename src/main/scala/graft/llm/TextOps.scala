@@ -131,7 +131,10 @@ object TextOps {
     * languages, the majority language (ties to the alphabetically-first
     * language — `min_by` over (−count, lang), a unique key ⇒
     * partition-order-independent ⇒ hash-oracled) and its share, plus an
-    * `is_mixed` flag.
+    * `is_mixed` flag. `is_mixed` counts only KNOWN languages: an 'und'
+    * segment (no profile hits) carries no language signal, and a doc
+    * whose segments guess {en, und} is low-signal, not mixed — without
+    * this rule most short-segment corpora would flag wholesale.
     *
     * Scale shape: chunking + per-segment guess is the zero-shuffle
     * projection chain; the rollup is two partial aggregations keyed by
@@ -145,6 +148,8 @@ object TextOps {
     perLang.groupBy("doc_id")
       .agg(sum("_n").as("n_segments"),
         count(lit(1)).as("n_langs"),
+        sum(when(col("seg_lang") =!= "und", 1L).otherwise(0L))
+          .as("_n_known"),
         min_by(col("seg_lang"),
           struct(col("_n") * lit(-1L), col("seg_lang")))
           .as("majority_lang"),
@@ -153,7 +158,7 @@ object TextOps {
         col("majority_lang"),
         round(col("_max").cast("double") / col("n_segments"), 6)
           .as("majority_frac"),
-        (col("n_langs") > 1).as("is_mixed"))
+        (col("_n_known") > 1).as("is_mixed"))
   }
 
   /** Per-document stats projection. The token array is materialized once per

@@ -161,9 +161,13 @@ object LlmQueries {
 
     // mixed-language detection over 16-word segments: the fixture is
     // monolingual, so mixture is PLANTED — copies at +100000 carry an
-    // 18-word French-stopword tail whose final segments guess 'fr',
-    // flipping is_mixed exactly for the planted half (the oracle
-    // replays the concat, the windowing, and the per-segment guess)
+    // 18-word French-stopword tail whose final segments guess 'fr';
+    // is_mixed counts KNOWN languages only ('und' segments are
+    // no-signal, not disagreement), so it flips exactly for planted
+    // copies whose body contributes an 'en' segment (an und-only body
+    // gains just the one known language) and never for the originals
+    // (the oracle replays the concat, the windowing, the guess, and
+    // the known-language rule)
     "q_lang_mixture" -> { (s, dir) =>
       val d = docs(s, dir)
       val planted = d.select((col("doc_id") + 100000L).as("doc_id"),
@@ -646,7 +650,8 @@ object LlmQueries {
         |  FROM l GROUP BY 1, 2),
         |a AS (
         |  SELECT doc_id, sum(n) AS n_segments,
-        |    CAST(count(*) AS BIGINT) AS n_langs, max(n) AS mx
+        |    CAST(count(*) AS BIGINT) AS n_langs, max(n) AS mx,
+        |    count(*) FILTER (WHERE seg_lang <> 'und') AS n_known
         |  FROM p GROUP BY 1),
         |m AS (
         |  SELECT doc_id, seg_lang AS majority_lang,
@@ -655,7 +660,7 @@ object LlmQueries {
         |  FROM p)
         |SELECT a.doc_id, a.n_segments, a.n_langs, m.majority_lang,
         |  round(CAST(mx AS DOUBLE) / n_segments, 6) AS majority_frac,
-        |  a.n_langs > 1 AS is_mixed
+        |  a.n_known > 1 AS is_mixed
         |FROM a JOIN m ON a.doc_id = m.doc_id AND m.rn = 1
         |ORDER BY a.doc_id""".stripMargin,
 

@@ -435,6 +435,16 @@ class ComputeSpec2 extends AnyFunSuite {
     assert(tmN.filter(col("source").isNull).count() > 0)
     assert(tmN.filter(col("mix_factor").isNull).count() == 0,
       "NULL-domain rows must carry the NULL group's factor")
+    // lang_mixture: every row preserved with a non-NULL boolean flag
+    // (the monolingual fixture never mixes)
+    val lm = ComputeRegistry.runOnce(s,
+      parse("COMPUTE lm FROM table(text) INTO column(mixed) " +
+        "USING lang_mixture"),
+      "doc_embs")
+    assert(lm.count() == nDocs)
+    assert(lm.filter(col("mixed").isNull).count() == 0)
+    assert(lm.filter(col("mixed")).count() == 0,
+      "the monolingual fixture must never flag mixture")
     // keep_best_dedup: every row preserved with a NON-NULL boolean keep
     // flag, at least one doc kept (per-group survival — every group
     // keeps exactly one member — is pinned on visible groups in
