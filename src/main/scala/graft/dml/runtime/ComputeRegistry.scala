@@ -122,7 +122,9 @@ object ComputeRegistry {
     // segment-level language-consistency flag over a TEXT input column
     // (TextOps.langMixture, 16-word segments): TRUE when a doc's
     // segments disagree on language — the CCNet-stack mixed-language
-    // drop/route signal; every input row preserved
+    // drop/route signal; every doc_id-KEYED row preserved (doc_id is
+    // the kernel-family key — a NULL id has no identity to join back
+    // on, here as in the simhash/tfidf siblings)
     "lang_mixture" -> { (df, ins, out) =>
       val mix = graft.llm.TextOps.langMixture(keyed(df, ins.head))
         .select(col("doc_id"), col("is_mixed").as(out))

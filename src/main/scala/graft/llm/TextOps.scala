@@ -141,8 +141,23 @@ object TextOps {
     * (doc_id, lang) then doc_id — aggregation state is docs × ≤5
     * languages, never segment-sized. */
   def langMixture(docs: DataFrame, window: Int = 16): DataFrame = {
-    val segs = chunkDocs(docs, chunkSize = window, stride = window)
-      .select(col("doc_id"), langGuess(col("chunk_text")).as("seg_lang"))
+    // the [[chunkDocs]] windowing (same chunk-count formula the oracle
+    // replays, at stride = window), but guessing straight off the
+    // token-ARRAY slice — chunkDocs' chunk_text would be array_joined
+    // only for langGuess to immediately re-split it, a per-segment
+    // join+regex round-trip on the hot path for nothing
+    val segs = docs
+      .withColumn("_w", split(coalesce(col("text"), lit("")), " "))
+      .withColumn("_n", size(col("_w")).cast("bigint"))
+      .withColumn("_nc",
+        when(col("_n") <= window, lit(1L))
+          .otherwise(ceil((col("_n") - window) / lit(window.toDouble))
+            .cast("bigint") + 1L))
+      .select(col("doc_id"),
+        explode(sequence(lit(0L), col("_nc") - 1)).as("_ci"), col("_w"))
+      .select(col("doc_id"), langGuessW(
+        slice(col("_w"), (col("_ci") * window + 1).cast("int"),
+          lit(window))).as("seg_lang"))
     val perLang = segs.groupBy("doc_id", "seg_lang")
       .agg(count(lit(1)).as("_n"))
     perLang.groupBy("doc_id")
