@@ -175,6 +175,31 @@ object TrainCompiler {
           s"<= $MaxChangepoints, got $other")
     }
 
+  /** prophet's `changepoint_prior_scale=tau` (reference DSL.md:296-313;
+    * Taylor & Letham 2017 §3.1's Laplace(0, tau) prior on the trend
+    * deltas). The stand-in renders it as a RIDGE penalty applied ONLY to
+    * the hinge basis, expressed standardization-aware: each hinge column
+    * is pre-multiplied by tau ([[runtime.TimeSeries.withClauseFeatures]])
+    * and the solver runs with feature standardization OFF and a small
+    * global L2 term, so the effective per-hinge penalty is
+    * lambda/tau^2 — smaller tau = stiffer trend, exactly the knob's
+    * contract — while the unscaled season/trend columns see only the
+    * negligible global lambda. The fitted model's output term for hinge
+    * j is beta_j * tau * hinge_j(t); every consumer (train, forecast,
+    * explain) builds the SAME scaled basis, so coefficients never need
+    * re-mapping. */
+  def changepointPriorScale(spec: TrainSpec): Option[Double] =
+    if (!spec.algorithm.equalsIgnoreCase("prophet")) None
+    else spec.params.collectFirst {
+      case ("changepoint_prior_scale", v) => v
+    }.map {
+      case Value.VFloat(t) if t > 0 && java.lang.Double.isFinite(t) => t
+      case Value.VInt(t) if t > 0 => t.toDouble
+      case other => throw new IllegalArgumentException(
+        "prophet changepoint_prior_scale must be a positive finite " +
+          s"number, got $other")
+    }
+
   /** prophet's `holidays` param, BINDING in both reference forms: a
     * literal list of ISO dates (`holidays=['2024-01-01', '2024-12-25']`)
     * becomes one indicator basis column per date — Prophet's holiday
@@ -204,7 +229,8 @@ object TrainCompiler {
           s"prophet holidays: ${dates.size} dates exceed the 366 " +
             "indicator-column cap; join a calendar table instead")
         dates
-      case ("holidays", Value.VStr(name)) => calendarDates(name)
+      case ("holidays", Value.VStr(name)) =>
+        calendarDates(name, SparkSession.active)
       case ("holidays", other) => throw new IllegalArgumentException(
         "prophet holidays must be a literal ISO-date list or the name " +
           s"of a registered calendar view, got $other")
@@ -220,18 +246,22 @@ object TrainCompiler {
     * `holiday_j` onto a different date than the one its fitted
     * coefficient was trained on. After this rewrite the spec is a pure
     * value again and every consumer binds the same dates. */
-  def withResolvedCalendar(spec: TrainSpec): TrainSpec =
+  def withResolvedCalendar(spec: TrainSpec,
+      session: SparkSession = SparkSession.active): TrainSpec =
     if (!spec.algorithm.equalsIgnoreCase("prophet")) spec
     else spec.copy(params = spec.params.map {
       case ("holidays", Value.VStr(name)) =>
-        ("holidays", Value.VList(calendarDates(name).map(Value.VStr(_))))
+        ("holidays",
+          Value.VList(calendarDates(name, session).map(Value.VStr(_))))
       case p => p
     })
 
   /** Resolve the bare-name calendar form: the registered view's distinct
-    * non-NULL dates, ascending (deterministic feature order). */
-  private def calendarDates(name: String): List[String] = {
-    val session = SparkSession.active
+    * non-NULL dates, ascending (deterministic feature order). Looks the
+    * view up in the GIVEN session's catalog — with concurrent sessions,
+    * the thread-local active session may not be the caller's. */
+  private def calendarDates(name: String,
+      session: SparkSession): List[String] = {
     require(session.catalog.tableExists(name),
       s"prophet holidays=$name names a calendar table, but no table or " +
         s"view '$name' is registered: CREATE TEMP VIEW $name with a " +
@@ -312,7 +342,8 @@ object TrainCompiler {
     runtime.TimeSeries
       .withClauseFeatures(src.select(baseCols ++ extras: _*), ts,
         changepoints = changepointCount(spec),
-        holidays = holidayDates(spec).getOrElse(Nil))
+        holidays = holidayDates(spec).getOrElse(Nil),
+        cpScale = changepointPriorScale(spec).getOrElse(1.0))
       .select(featureNames(spec).map(col) :+ col(spec.target): _*)
   }
 

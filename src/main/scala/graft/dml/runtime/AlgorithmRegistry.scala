@@ -67,14 +67,13 @@ object AlgorithmRegistry {
     // view of that name; an unregistered calendar fails loud. All are
     // consumed by the frame builder (TrainCompiler.effectiveClause /
     // changepointCount / holidayDates); `growth` validates (only
-    // 'linear' — the stand-in's trend — is expressible). The ONE
-    // accepted-but-inert knob: `changepoint_prior_scale` is a per-delta
-    // Laplace prior — mapping it onto the solver's GLOBAL regularizer
-    // would shrink the seasonal terms too, distorting the fit it claims
-    // to tune, so inert-and-surfaced (ignoredParams) is the honest
-    // rendering.
-    alg("prophet", Regression, Some("maxIter"),
-      noop = Set("changepoint_prior_scale"))(new LinearRegression()),
+    // 'linear' — the stand-in's trend — is expressible).
+    // `changepoint_prior_scale` BINDS too (since r12) as a per-column
+    // ridge on the hinge basis via standardization-aware rescaling
+    // (TrainCompiler.changepointPriorScale) — NOT the global regularizer,
+    // which would shrink the seasonal terms alongside the deltas it
+    // claims to tune.
+    alg("prophet", Regression, Some("maxIter"))(new LinearRegression()),
     // text classifiers: Tokenizer→HashingTF→IDF in front of the estimator
     alg("tfidf_logreg", Classification, Some("maxIter"), text = true)(
       new LogisticRegression()),

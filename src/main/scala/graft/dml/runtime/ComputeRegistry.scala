@@ -329,8 +329,10 @@ object ComputeRegistry {
         .collect().map(_.getString(0)).toSeq
       require(terms.nonEmpty,
         "hybrid_rrf: relation has no scoreable terms (all texts empty?)")
-      val qid = df.agg(min(col("doc_id")).cast("long"))
-        .collect().head.getLong(0)
+      val qidRow = df.agg(min(col("doc_id")).cast("long")).collect().head
+      require(!qidRow.isNullAt(0),
+        "hybrid_rrf: no non-NULL doc_id to seed the query vector")
+      val qid = qidRow.getLong(0)
       val ranked = graft.llm.Relevance
         .hybridRrf(docsDf, embsDf, terms, queryVecId = qid)
         .select(col("doc_id"), col("rank").as(out))

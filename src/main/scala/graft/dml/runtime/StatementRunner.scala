@@ -66,14 +66,38 @@ final class StatementRunner(
         s"(${report.metrics.toSeq.sortBy(_._1).mkString(", ")})")
 
     case c: ComputeSpec =>
-      val table = c.inputs.flatMap { ins =>
-        graft.Tables.names.find { t =>
-          val cols = spark.table(t).columns.toSet
+      // table inference: fixture tables first (stable, documented order),
+      // then any OTHER session temp view alphabetically — so a user's own
+      // registered relation (e.g. a doc_id-keyed embedding view) can feed
+      // a kernel without being one of the 10 fixtures. A candidate must
+      // carry the input columns AND satisfy the kernel's own contract
+      // (e.g. the doc_id key) — kernels validate at PLAN-BUILD time, so
+      // trying a candidate is lazy and cheap; the first acceptor wins.
+      val ins = c.inputs.getOrElse(throw new IllegalArgumentException(
+        s"COMPUTE '${c.name}' names no FROM table(...) input columns"))
+      val candidates = (graft.Tables.names ++
+        spark.catalog.listTables().collect().map(_.name)
+          .filterNot(graft.Tables.names.contains).sorted)
+        .filter { t =>
+          val cols =
+            try spark.table(t).columns.toSet
+            catch { case _: Exception => Set.empty[String] }
           ins.forall(cols.contains)
         }
-      }.getOrElse(throw new IllegalArgumentException(
-        s"no registered table has columns ${c.inputs}"))
-      val out = ComputeRegistry.runOnce(spark, c, table)
+      if (candidates.isEmpty) throw new IllegalArgumentException(
+        s"no registered table or temp view has columns ${c.inputs}")
+      // if NO candidate accepts, rethrow the first candidate's own error —
+      // it names the actual contract violation (missing doc_id, arity)
+      // instead of a vague "nothing matched"
+      var firstErr: IllegalArgumentException = null
+      val (table, out) = candidates.view.flatMap { t =>
+        try Some((t, ComputeRegistry.runOnce(spark, c, t)))
+        catch {
+          case e: IllegalArgumentException =>
+            if (firstErr == null) firstErr = e
+            None
+        }
+      }.headOption.getOrElse(throw firstErr)
       RunResult("compute", s"kernel '${c.kernel}' over '$table'", Some(out))
 
     case p: PredictSpec =>
@@ -174,7 +198,9 @@ final class StatementRunner(
           val derived = TrainCompiler.effectiveClause(spec)
             .fold(withFeats)(ts => TimeSeries.withClauseFeatures(withFeats,
               ts, changepoints = TrainCompiler.changepointCount(spec),
-              holidays = TrainCompiler.holidayDates(spec).getOrElse(Nil)))
+              holidays = TrainCompiler.holidayDates(spec).getOrElse(Nil),
+              cpScale = TrainCompiler.changepointPriorScale(spec)
+                .getOrElse(1.0)))
           val data = applyForClause(derived, raw)
           // the UNFILTERED frame is the contribution baseline — a
           // single-FOR-row batch must not be its own mean

@@ -169,12 +169,23 @@ object TimeSeries {
     * max(0, t_index − s_j) whose fitted coefficients are the trend's slope
     * deltas — exactly Prophet's changepoint parameterization (Taylor &
     * Letham 2017 eq. 4, a(t)·δ with a(t) the hinge indicator integrated
-    * over t). Pure per-row projections off t_index: no extra shuffle. */
+    * over t). Pure per-row projections off t_index: no extra shuffle.
+    *
+    * `cpScale` pre-multiplies every hinge — the standardization-aware
+    * rendering of `changepoint_prior_scale=tau`
+    * ([[graft.dml.TrainCompiler.changepointPriorScale]]): with
+    * standardization off and a global L2 term lambda, a tau-scaled
+    * hinge's coefficient carries an effective ridge of lambda/tau^2,
+    * so ONLY the trend deltas stiffen as tau shrinks. 1.0 (no knob) is
+    * the identity. */
   private def withChangepoints(
-      df: DataFrame, distinctSteps: Long, k: Int): DataFrame =
+      df: DataFrame, distinctSteps: Long, k: Int,
+      cpScale: Double): DataFrame =
     (1 to k).foldLeft(df) { (acc, j) =>
-      acc.withColumn(s"cp_$j", greatest(lit(0.0),
-        col("t_index") - lit(changepointPosition(distinctSteps, k, j))))
+      val hinge = greatest(lit(0.0),
+        col("t_index") - lit(changepointPosition(distinctSteps, k, j)))
+      acc.withColumn(s"cp_$j",
+        if (cpScale == 1.0) hinge else hinge * lit(cpScale))
     }
 
   /** Holiday indicator basis (prophet's `holidays=[dates]` binding,
@@ -191,7 +202,8 @@ object TimeSeries {
       df: DataFrame, ts: graft.dml.TimeSeriesClause,
       maxDistinctSteps: Long = 1000000L,
       changepoints: Option[Int] = None,
-      holidays: Seq[String] = Nil): DataFrame = {
+      holidays: Seq[String] = Nil,
+      cpScale: Double = 1.0): DataFrame = {
     val t = col(ts.timeColumn)
     // NULL time values carry no position on the timeline and are dropped
     // UP FRONT — otherwise the trend's inner step join would silently
@@ -231,7 +243,8 @@ object TimeSeries {
         val ranked = steps
           .withColumn("t_index", row_number().over(w).cast("double"))
         val trended = seasonal.join(broadcast(ranked), Seq(ts.timeColumn))
-        changepoints.fold(trended)(withChangepoints(trended, distinct, _))
+        changepoints.fold(trended)(
+          withChangepoints(trended, distinct, _, cpScale))
       case Some(other) => throw new IllegalArgumentException(
         s"unsupported TREND type: $other (only 'linear' is implemented)")
     }
@@ -357,11 +370,19 @@ object TimeSeries {
     // their last observed slope: every future t_index exceeds every knot
     // (knots live in the first 80% of history), so the hinge is linear
     // there — exactly Prophet's default non-Bayesian extrapolation
+    // changepoint_prior_scale's tau pre-multiplies the future hinges the
+    // same way it pre-multiplied the training basis — the fitted
+    // coefficients bind against the SCALED columns, so the forecast frame
+    // must scale identically or every trend delta would inflate by 1/tau
+    val cpScale = graft.dml.TrainCompiler.changepointPriorScale(rs)
+      .getOrElse(1.0)
     val hinged = graft.dml.TrainCompiler.changepointCount(rs)
       .fold(seasonalFeats) { k =>
         (1 to k).foldLeft(seasonalFeats) { (acc, j) =>
-          acc.withColumn(s"cp_$j", greatest(lit(0.0), col("t_index") -
-            changepointPositionCol(col("_steps"), k, j)))
+          val hinge = greatest(lit(0.0), col("t_index") -
+            changepointPositionCol(col("_steps"), k, j))
+          acc.withColumn(s"cp_$j",
+            if (cpScale == 1.0) hinge else hinge * lit(cpScale))
         }
       }
     // holiday indicators on the future dates (a future row CAN land on a

@@ -31,6 +31,13 @@ import AlgorithmRegistry.{Classification, Clustering, Regression, Task}
   */
 object Trainer {
 
+  /** Global L2 base for the changepoint_prior_scale rendering: small
+    * enough to leave the unscaled season/trend coefficients essentially
+    * unpenalized, large enough that the hinge-side lambda/tau^2 binds at
+    * Prophet's default tau=0.05 (0.001/0.05^2 = 0.4). Overridden by an
+    * explicit `regularization` param. */
+  private[runtime] val ChangepointPriorBaseLambda = 1e-3
+
   final case class TrainReport(
       spec: TrainSpec,
       model: PipelineModel,
@@ -52,7 +59,7 @@ object Trainer {
     // holidayDates consumer (frame build, feature naming, forecast via
     // report.spec, explain) then binds the same literal dates — a view
     // redefined mid-lifecycle can never remap a fitted coefficient
-    trainResolved(spark, TrainCompiler.withResolvedCalendar(spec),
+    trainResolved(spark, TrainCompiler.withResolvedCalendar(spec, spark),
       checkpointDir, seed)
 
   private def trainResolved(
@@ -156,9 +163,11 @@ object Trainer {
     // registered calendar view — per-date indicator basis either way).
     // Misuse fails loud.
     val boundHolidays = TrainCompiler.holidayDates(spec).isDefined
+    val cpPrior = TrainCompiler.changepointPriorScale(spec)
     val consumedParams: Set[String] =
       if (alg.name == "prophet")
-        Set("seasonality", "changepoints", "growth") ++
+        Set("seasonality", "changepoints", "growth",
+          "changepoint_prior_scale") ++
           (if (boundHolidays) Set("holidays") else Set.empty[String])
       else Set.empty
     if (alg.name == "prophet") {
@@ -182,11 +191,40 @@ object Trainer {
         throw new IllegalArgumentException(
           "prophet holidays=[dates] derives indicator features from the " +
             "time column: add WITH TIME COLUMN to the statement")
+      if (cpPrior.isDefined) {
+        if (TrainCompiler.changepointCount(spec).isEmpty)
+          throw new IllegalArgumentException(
+            "prophet changepoint_prior_scale tunes the changepoint trend " +
+              "deltas: add changepoints=k (k > 0) to the statement")
+        if (needScale)
+          throw new IllegalArgumentException(
+            "prophet changepoint_prior_scale binds through the hinge " +
+              "feature scale (ridge-by-rescaling), which a scale() " +
+              "standardization stage would undo — drop scale() from the " +
+              "FEATURES clause or the prior-scale param")
+      }
     }
     AlgorithmRegistry.applyParams(est,
       applicableParams.filterNot(p =>
         alg.noopParams(p._1) || consumedParams(p._1)))
     configure(est, alg.task, weightCol, seed)
+    // changepoint_prior_scale=tau BINDS (since r12): the hinge basis is
+    // pre-scaled by tau (TimeSeries.withChangepoints), so with solver-side
+    // standardization OFF and a global L2 lambda the per-hinge effective
+    // ridge is lambda/tau^2 — only the trend deltas stiffen as tau
+    // shrinks, while the unscaled season/trend columns see just the
+    // negligible global term. Standardization MUST be off here: MLlib's
+    // internal per-feature std-divide would cancel the tau scaling and
+    // return the knob to inert. An explicit user `regularization` wins
+    // over the default lambda.
+    if (cpPrior.isDefined) est match {
+      case lr: org.apache.spark.ml.regression.LinearRegression =>
+        lr.setStandardization(false)
+        val userReg = spec.params.exists(p =>
+          p._1 == "regularization" || p._1 == "reg_param")
+        if (!userReg) lr.setRegParam(ChangepointPriorBaseLambda)
+      case _ => () // prophet resolves to LinearRegression; defensive only
+    }
     est match {
       case mlp: MultilayerPerceptronClassifier =>
         val hidden = mlpHidden.getOrElse(List(8)).toArray

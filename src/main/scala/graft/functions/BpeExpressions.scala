@@ -44,14 +44,20 @@ case class BpeTokens(child: Expression, merges: Seq[(String, String)])
       s"$prettyName requires string, got ${t.sql}")
   }
 
-  // pair -> training round (lower = earlier = higher priority). BOXED
-  // Integer values: a Scala-Int-valued java.util.HashMap unboxes a
-  // missing key's null to 0, which would hand every unknown pair rank 0
-  // and spin the apply loop forever on a pair that never matches.
-  private lazy val rank: java.util.HashMap[(String, String), Integer] = {
-    val m = new java.util.HashMap[(String, String), Integer]()
-    merges.zipWithIndex.foreach { case (p, i) =>
-      if (!m.containsKey(p)) m.put(p, Integer.valueOf(i))
+  // lhs -> (rhs -> training round); lower round = earlier = higher
+  // priority. Two-level so the per-adjacent-pair lookup on the hot path
+  // allocates NOTHING (a tuple or concatenated-string key would box per
+  // probe). BOXED Integer values: a Scala-Int-valued java.util.HashMap
+  // unboxes a missing key's null to 0, which would hand every unknown
+  // pair rank 0 and spin the apply loop forever on a pair that never
+  // matches.
+  private lazy val rank
+      : java.util.HashMap[String, java.util.HashMap[String, Integer]] = {
+    val m = new java.util.HashMap[String, java.util.HashMap[String, Integer]]()
+    merges.zipWithIndex.foreach { case ((lhs, rhs), i) =>
+      val inner = m.computeIfAbsent(lhs,
+        _ => new java.util.HashMap[String, Integer]())
+      if (!inner.containsKey(rhs)) inner.put(rhs, Integer.valueOf(i))
     }
     m
   }
@@ -69,8 +75,11 @@ case class BpeTokens(child: Expression, merges: Seq[(String, String)])
       var best = Int.MaxValue
       var j = 0
       while (j < syms.size - 1) {
-        val r: Integer = rank.get((syms.get(j), syms.get(j + 1)))
-        if (r != null && r.intValue < best) best = r.intValue
+        val inner = rank.get(syms.get(j))
+        if (inner != null) {
+          val r: Integer = inner.get(syms.get(j + 1))
+          if (r != null && r.intValue < best) best = r.intValue
+        }
         j += 1
       }
       if (best == Int.MaxValue) done = true

@@ -51,6 +51,110 @@ object Curation {
         (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** Build the benchmark's Bloom fingerprint: every distinct k-gram key
+    * sets `hashes` bits (independent md5 slices mod mBits — see
+    * [[graft.functions.BloomHit]]). The collect is bounded by mBits
+    * DISTINCT positions (64k longs worst case, index-metadata-sized),
+    * never by benchmark row count. */
+  def bloomBits(benchmark: DataFrame, k: Int = 5,
+      mBits: Int = 65536, hashes: Int = 3): Array[Long] = {
+    require(mBits > 0 && mBits % 64 == 0,
+      s"mBits must be a positive multiple of 64, got $mBits")
+    require(hashes >= 1 && hashes <= 4,
+      s"hashes must be in [1,4], got $hashes")
+    val slices = (0 until hashes).map(j =>
+      conv(substring(col("gram_key"), 1 + 8 * j, 8), 16, 10)
+        .cast("long") % mBits)
+    val positions = gramKeys(benchmark, k).select("gram_key").distinct()
+      .select(explode(array(slices: _*)).as("_pos"))
+      .distinct().collect().map(_.getLong(0))
+    val bits = new Array[Long](mBits / 64)
+    positions.foreach { p =>
+      bits((p >>> 6).toInt) |= (1L << (p & 63).toInt)
+    }
+    bits
+  }
+
+  /** Bloom-fingerprint decontamination: [[decontaminate]]'s semantics with
+    * the benchmark compressed to an mBits bitset instead of a broadcast
+    * gram table — the shape for benchmarks too large (or too many: every
+    * eval suite at once) to ship as a set, or for reuse across many
+    * training runs (the fingerprint is a tiny, persistable artifact). A
+    * gram "hits" when ALL `hashes` of its bit positions are set; a doc is
+    * flagged when ANY gram hits. May over-flag (Bloom false positives —
+    * safe in the contamination direction: a false positive only quarantines
+    * a clean doc) but never under-flags; with deterministic md5-slice
+    * positions the exact false-positive set is reproducible, and the
+    * DuckDB oracle hash-gates it rather than waving at an error rate.
+    *
+    * Scale shape: the train side is ONE zero-join projection (the bitset
+    * rides along as a codegen reference object) followed by the per-doc
+    * aggregation — no benchmark-side join at any corpus size. */
+  def decontaminateBloom(train: DataFrame, bits: Array[Long], k: Int = 5,
+      mBits: Int = 65536, hashes: Int = 3): DataFrame = {
+    val hitRows = gramKeys(train, k)
+      .select(col("doc_id"), graft.functions.BloomExpressions
+        .bloomHit(col("gram_key"), bits, mBits, hashes).as("_hit"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("_hit"), 1L).otherwise(0L)).as("n_gram_hits"))
+    train.select("doc_id")
+      .join(hitRows, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_gram_hits"), lit(0L)).as("n_gram_hits"),
+        (coalesce(col("n_gram_hits"), lit(0L)) > 0)
+          .as("contaminated_bloom"))
+  }
+
+  /** DSIR data-selection importance weights (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"): score
+    * every raw-corpus document by how target-domain-like its hashed
+    * unigram distribution is. Features are md5-bucketed tokens (the
+    * repo's cross-engine hash convention, `buckets` bins); the target
+    * and raw bucket distributions get add-alpha smoothing, and a doc's
+    * log importance weight is the sum over its tokens of
+    * log p_target(bucket) - log p_raw(bucket). Resampling composes
+    * downstream: feed exp(log_weight) to [[Sampling.weightedSample]]
+    * (A-ES), exactly the paper's sampled-without-replacement step.
+    *
+    * Scale shape: both n-gram distributions are BUCKET-keyed partial
+    * aggregations bounded by `buckets` (1024 rows, not corpus rows); the
+    * per-bucket log-ratio table broadcasts; the only corpus-sized
+    * shuffle is the per-doc weight aggregation keyed by doc_id. The
+    * target corpus is typically MB-scale (a quality seed like wiki) but
+    * nothing here requires it — both sides stream through the same
+    * bounded-bucket agg. Docs with no tokens keep a NULL weight (rows
+    * preserved, the decontaminate convention). */
+  def dsirWeights(raw: DataFrame, target: DataFrame,
+      buckets: Int = 1024, alpha: Double = 0.5): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    require(alpha > 0, s"alpha must be positive, got $alpha")
+    def bucketed(df: DataFrame): DataFrame = df
+      .withColumn("_t", coalesce(col("text"), lit("")))
+      .select(col("doc_id"),
+        explode(TextOps.tokens(col("_t"))).as("_w"))
+      .select(col("doc_id"),
+        (conv(substring(md5(col("_w")), 1, 8), 16, 10).cast("long")
+          % buckets).as("_b"))
+    val rawTok = bucketed(raw)
+    val tgtC = bucketed(target).groupBy("_b").agg(count(lit(1)).as("_ct"))
+    val rawC = rawTok.groupBy("_b").agg(count(lit(1)).as("_cr"))
+    val tgtN = tgtC.agg(sum("_ct").cast("double").as("_nt"))
+    val rawN = rawC.agg(sum("_cr").cast("double").as("_nr"))
+    // <= `buckets` rows after the outer join; absent side counts are 0
+    val ratio = tgtC.join(rawC, Seq("_b"), "full")
+      .crossJoin(broadcast(tgtN)).crossJoin(broadcast(rawN))
+      .select(col("_b"),
+        (log((coalesce(col("_ct"), lit(0L)) + alpha) /
+            (col("_nt") + alpha * buckets)) -
+          log((coalesce(col("_cr"), lit(0L)) + alpha) /
+            (col("_nr") + alpha * buckets))).as("_lw"))
+    val agg = rawTok.join(broadcast(ratio), Seq("_b"))
+      .groupBy("doc_id").agg(
+        count(lit(1)).cast("bigint").as("n_tokens"),
+        round(sum(col("_lw")), 6).as("log_weight"))
+    raw.select("doc_id").join(agg, Seq("doc_id"), "left")
+  }
+
   /** Gopher-style repetition metrics per doc: duplicate-word ratio,
     * most-frequent-bigram mass fraction, and singleton-word fraction. High
     * dup ratio / top-bigram mass marks boilerplate and degenerate repeated
@@ -145,30 +249,72 @@ object Curation {
     * corpus-sized shuffle is the per-doc aggregation keyed by doc_id.
     * The 1-row V relation is an explicit broadcast. Docs with < 2 tokens
     * have no bigrams: NULL entropy, rows preserved. */
-  def lmPerplexity(docs: DataFrame, alpha: Double = 0.5): DataFrame = {
+  def lmPerplexity(docs: DataFrame, alpha: Double = 0.5): DataFrame =
+    lmPerplexityAgainst(docs, docs, alpha)
+
+  /** [[lmPerplexity]] with the FIT decoupled from the SCORE: the bigram
+    * model fits on `lmCorpus` and scores `docs`. Self-scoring
+    * (`lmCorpus eq docs`) is exactly the original operator — every
+    * scored gram is then present in the counts, so the left joins below
+    * never miss. Cross-scoring is the Moore–Lewis half: grams/tokens the
+    * LM corpus never saw take count 0 and survive on the add-alpha
+    * floor alone (P = alpha / (c_prev + alpha*V) — the standard
+    * unseen-event smoothing, no special OOV token needed). */
+  def lmPerplexityAgainst(docs: DataFrame, lmCorpus: DataFrame,
+      alpha: Double = 0.5): DataFrame = {
     require(alpha > 0, s"alpha must be positive, got $alpha")
-    val base = docs
+    def prep(df: DataFrame): DataFrame = df
       .withColumn("_t", coalesce(col("text"), lit("")))
       .withColumn("_w", TextOps.tokens(col("_t")))
-    val uni = base.select(explode(col("_w")).as("_prev"))
+    val lmBase = prep(lmCorpus)
+    val uni = lmBase.select(explode(col("_w")).as("_prev"))
       .groupBy("_prev").agg(count(lit(1)).as("_cu"))
     val vdf = uni.agg(count(lit(1)).cast("double").as("_v"))
-    val grams = base.select(col("doc_id"),
+    def grams(df: DataFrame): DataFrame = df.select(col("doc_id"),
       explode(graft.functions.Kgrams.kgrams(
         col("_t"), 2, keepShortWhole = false)).as("gram"))
-    val bc = grams.groupBy("gram").agg(count(lit(1)).as("_cb"))
-    val scored = grams
-      .join(bc, Seq("gram"))
+    val bc = grams(lmBase).groupBy("gram").agg(count(lit(1)).as("_cb"))
+    val scored = grams(prep(docs))
+      .join(bc, Seq("gram"), "left")
       .withColumn("_prev", split(col("gram"), " ").getItem(0))
-      .join(uni, Seq("_prev"))
+      .join(uni, Seq("_prev"), "left")
       .crossJoin(broadcast(vdf))
       .withColumn("_lp",
-        log((col("_cb") + alpha) / (col("_cu") + col("_v") * alpha)))
+        log((coalesce(col("_cb"), lit(0L)) + alpha) /
+          (coalesce(col("_cu"), lit(0L)) + col("_v") * alpha)))
     val agg = scored.groupBy("doc_id").agg(
       count(lit(1)).cast("bigint").as("n_bigrams"),
       round(-avg(col("_lp")), 6).as("cross_entropy"),
       round(exp(-avg(col("_lp"))), 6).as("perplexity"))
     docs.select("doc_id").join(agg, Seq("doc_id"), "left")
+  }
+
+  /** Moore–Lewis cross-entropy-difference selection (Moore & Lewis 2010,
+    * "Intelligent Selection of Language Model Training Data"): score
+    * every raw doc under TWO bigram LMs — one fitted on the target
+    * domain, one on the raw corpus itself — and rank by the difference
+    * H_target(doc) - H_raw(doc). Strongly negative = reads much more
+    * like the target than like generic corpus text; the classic
+    * domain-data selection filter (threshold or take the bottom
+    * fraction), and DSIR's generative-classifier sibling
+    * ([[dsirWeights]] ranks by hashed-feature likelihood ratio; this
+    * ranks by sequence likelihood ratio).
+    *
+    * Scale shape: two vocabulary-bounded count relations per LM (AQE
+    * broadcasts them when small); the corpus-sized work is the shared
+    * gram explode and the final doc_id aggregations — the same envelope
+    * as running [[lmPerplexity]] twice. */
+  def crossEntropyDelta(raw: DataFrame, target: DataFrame,
+      alpha: Double = 0.5): DataFrame = {
+    val tgt = lmPerplexityAgainst(raw, target, alpha)
+      .select(col("doc_id"), col("n_bigrams"),
+        col("cross_entropy").as("ce_target"))
+    val self = lmPerplexityAgainst(raw, raw, alpha)
+      .select(col("doc_id"), col("cross_entropy").as("ce_raw"))
+    tgt.join(self, Seq("doc_id"))
+      .select(col("doc_id"), col("n_bigrams"), col("ce_target"),
+        col("ce_raw"),
+        round(col("ce_target") - col("ce_raw"), 6).as("ce_delta"))
   }
 
   /** CCNet head/middle/tail bucketing (Wenzek et al. 2020 §4.3): rank
@@ -223,6 +369,32 @@ object Curation {
           .when(col("percent_rank") < hiCut, lit("middle"))
           .otherwise(lit("tail")))
       .select("doc_id", "lang", "perplexity", "percent_rank", "bucket")
+  }
+
+  /** Corpus data card: the per-(lang, source) statistics sheet every
+    * curated-release ships (docs, token volume, length profile, exact-dup
+    * mass), with ROLLUP margins so the same pass yields per-language and
+    * whole-corpus totals. One grouping-sets aggregation (partial aggs per
+    * grouping, no per-group windows) plus the exact-dup hash join — the
+    * [[graft.llm.TextOps.exactDedup]] md5(lower(text)) convention — so
+    * the report stays two shuffles at any corpus size. */
+  def corpusReport(docs: DataFrame): DataFrame = {
+    val enriched = docs
+      .withColumn("_tok",
+        TextOps.tokenCount(coalesce(col("text"), lit(""))).cast("long"))
+      .withColumn("_h", md5(lower(coalesce(col("text"), lit("")))))
+    // aliased self-join: dupCounts shares enriched's lineage, and the
+    // post-join rollup columns would otherwise be flagged ambiguous
+    val dupCounts = enriched.groupBy("_h").agg(count(lit(1)).as("_nh"))
+    enriched.alias("d")
+      .join(dupCounts.alias("c"), col("d._h") === col("c._h"))
+      .rollup(col("d.lang").as("lang"), col("d.source").as("source")).agg(
+        count(lit(1)).cast("bigint").as("n_docs"),
+        sum("_tok").cast("bigint").as("total_tokens"),
+        round(avg(col("_tok").cast("double")), 6).as("avg_doc_tokens"),
+        round(avg(col("n_chars").cast("double")), 6).as("avg_chars"),
+        sum(when(col("_nh") > 1, 1L).otherwise(0L)).cast("bigint")
+          .as("n_exact_dup"))
   }
 
   /** RE2-compatible patterns (identical semantics in Java regex and DuckDB,

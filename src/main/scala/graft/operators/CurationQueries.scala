@@ -41,6 +41,43 @@ object CurationQueries {
       Curation.repetitionMetrics(docs(s, dir))
     },
 
+    // Bloom-fingerprint decontamination: q_decontaminate's bench/train
+    // construction, but the benchmark ships as a 64k-bit bitset reference
+    // object instead of a broadcast gram table — deterministic md5-slice
+    // positions, so the oracle replays false positives exactly
+    "q_decontaminate_bloom" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val bench = d.filter(col("doc_id") % 10 === 0).select("doc_id", "text")
+      val train = d.filter(col("doc_id") % 10 =!= 0).select("doc_id", "text")
+        .unionAll(trimmed(bench))
+      Curation.decontaminateBloom(train,
+        Curation.bloomBits(bench, k = 5), k = 5)
+    },
+
+    // DSIR importance weights (Xie et al. 2023): English docs as the
+    // target domain, the whole corpus as raw; hashed-unigram (1024
+    // md5 buckets) log-likelihood-ratio per doc
+    "q_dsir_weights" -> { (s, dir) =>
+      val d = docs(s, dir)
+      Curation.dsirWeights(d, d.filter(col("lang") === "en"),
+        buckets = 1024, alpha = 0.5)
+    },
+
+    // Moore-Lewis cross-entropy difference (2010): every doc scored
+    // under the English-target bigram LM minus the raw-corpus LM;
+    // strongly negative = domain-like
+    "q_ce_delta" -> { (s, dir) =>
+      val d = docs(s, dir)
+      Curation.crossEntropyDelta(d, d.filter(col("lang") === "en"),
+        alpha = 0.5)
+    },
+
+    // corpus data card: ROLLUP(lang, source) doc/token/length/exact-dup
+    // statistics — one grouping-sets pass + the dup-hash join
+    "q_corpus_report" -> { (s, dir) =>
+      Curation.corpusReport(docs(s, dir))
+    },
+
     // Gopher document-quality rules with per-rule audit booleans; bands
     // chosen so every rule discriminates on the fixture corpus (keeps
     // ~60%: word count 20-90, avg len >= 4.0, >= 2 stopwords, top-word
@@ -396,6 +433,173 @@ object CurationQueries {
         |    stopword_hits >= 2 AND top_word_frac <= 0.12 AS keep
         |FROM m""".stripMargin,
 
+    // Bloom positions are pure hash arithmetic, so DuckDB reproduces the
+    // bitset semantics as a semi-join against the DISTINCT bench position
+    // set: a train gram "hits" iff all 3 of its md5-slice positions land
+    // in that set — INCLUDING false positives, replayed exactly
+    "q_decontaminate_bloom" ->
+      """WITH bench AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+        |train AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id,
+        |    substring(text, 1, greatest(length(text) - 12, 1)) AS text
+        |  FROM bench),
+        |bw AS (
+        |  SELECT doc_id, coalesce(text, '') AS t,
+        |    string_split(coalesce(text, ''), ' ') AS w FROM bench),
+        |bg AS (
+        |  SELECT DISTINCT md5(g) AS gram_key FROM (
+        |    SELECT unnest(CASE WHEN len(w) < 5 THEN [t]
+        |      ELSE list_transform(range(1, len(w) - 3),
+        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+        |             w[i+3] || ' ' || w[i+4]) END) AS g
+        |    FROM bw)),
+        |bpos AS (
+        |  SELECT DISTINCT
+        |    CAST('0x' || substring(gram_key, 1 + 8*j, 8) AS BIGINT)
+        |      % 65536 AS pos
+        |  FROM bg, (SELECT unnest([0, 1, 2]) AS j)),
+        |tw AS (
+        |  SELECT doc_id, coalesce(text, '') AS t,
+        |    string_split(coalesce(text, ''), ' ') AS w FROM train),
+        |tg AS (
+        |  SELECT DISTINCT doc_id, md5(g) AS gram_key FROM (
+        |    SELECT doc_id, unnest(CASE WHEN len(w) < 5 THEN [t]
+        |      ELSE list_transform(range(1, len(w) - 3),
+        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+        |             w[i+3] || ' ' || w[i+4]) END) AS g
+        |    FROM tw)),
+        |tpos AS (
+        |  SELECT doc_id, gram_key, j,
+        |    CAST('0x' || substring(gram_key, 1 + 8*j, 8) AS BIGINT)
+        |      % 65536 AS pos
+        |  FROM tg, (SELECT unnest([0, 1, 2]) AS j)),
+        |hits AS (
+        |  SELECT doc_id, gram_key FROM tpos JOIN bpos USING (pos)
+        |  GROUP BY 1, 2 HAVING count(DISTINCT j) = 3),
+        |agg AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_gram_hits
+        |  FROM hits GROUP BY 1)
+        |SELECT t.doc_id,
+        |  CAST(coalesce(a.n_gram_hits, 0) AS BIGINT) AS n_gram_hits,
+        |  coalesce(a.n_gram_hits, 0) > 0 AS contaminated_bloom
+        |FROM train t LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
+    // hashed-unigram DSIR: md5 bucket + smoothed log-likelihood ratio,
+    // replayed bucket for bucket
+    "q_dsir_weights" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(coalesce(text, ''), ' ')) AS w
+        |  FROM documents),
+        |tb AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substring(md5(w), 1, 8) AS BIGINT) % 1024 AS b
+        |  FROM tok),
+        |tgt AS (
+        |  SELECT CAST('0x' || substring(md5(w), 1, 8) AS BIGINT)
+        |    % 1024 AS b
+        |  FROM (SELECT unnest(string_split(coalesce(text, ''), ' ')) AS w
+        |        FROM documents WHERE lang = 'en')),
+        |tc AS (SELECT b, count(*) AS ct FROM tgt GROUP BY 1),
+        |rc AS (SELECT b, count(*) AS cr FROM tb GROUP BY 1),
+        |nt AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM tgt),
+        |nr AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM tb),
+        |ratio AS (
+        |  SELECT coalesce(tc.b, rc.b) AS b,
+        |    ln((coalesce(ct, 0) + 0.5) / (nt.n + 0.5 * 1024)) -
+        |    ln((coalesce(cr, 0) + 0.5) / (nr.n + 0.5 * 1024)) AS lw
+        |  FROM tc FULL JOIN rc ON tc.b = rc.b, nt, nr),
+        |agg AS (
+        |  SELECT tb.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    round(sum(lw), 6) AS log_weight
+        |  FROM tb JOIN ratio ON tb.b = ratio.b GROUP BY 1)
+        |SELECT d.doc_id, a.n_tokens, a.log_weight
+        |FROM (SELECT doc_id FROM documents) d
+        |LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
+    // Moore-Lewis: the q_lm_perplexity pipeline TWICE (English-target fit
+    // and raw self-fit, left joins so unseen grams take the add-alpha
+    // floor), differenced
+    "q_ce_delta" ->
+      """WITH rawb AS (
+        |  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w
+        |  FROM documents),
+        |tgtb AS (
+        |  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w
+        |  FROM documents WHERE lang = 'en'),
+        |tuc AS (
+        |  SELECT token, count(*) AS cu
+        |  FROM (SELECT unnest(w) AS token FROM tgtb) GROUP BY token),
+        |tv AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM tuc),
+        |tbc AS (
+        |  SELECT gram, count(*) AS cb FROM (
+        |    SELECT unnest(list_transform(range(1, len(w)),
+        |      i -> w[i] || ' ' || w[i+1])) AS gram FROM tgtb)
+        |  GROUP BY gram),
+        |ruc AS (
+        |  SELECT token, count(*) AS cu
+        |  FROM (SELECT unnest(w) AS token FROM rawb) GROUP BY token),
+        |rv AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM ruc),
+        |rbc AS (
+        |  SELECT gram, count(*) AS cb FROM (
+        |    SELECT unnest(list_transform(range(1, len(w)),
+        |      i -> w[i] || ' ' || w[i+1])) AS gram FROM rawb)
+        |  GROUP BY gram),
+        |bg AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(w)),
+        |    i -> w[i] || ' ' || w[i+1])) AS gram
+        |  FROM rawb),
+        |ts AS (
+        |  SELECT b.doc_id,
+        |    ln((coalesce(tbc.cb, 0) + 0.5) /
+        |       (coalesce(tuc.cu, 0) + 0.5 * tv.v)) AS lp
+        |  FROM bg b
+        |  LEFT JOIN tbc ON b.gram = tbc.gram
+        |  LEFT JOIN tuc ON string_split(b.gram, ' ')[1] = tuc.token
+        |  CROSS JOIN tv),
+        |tagg AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |    round(-avg(lp), 6) AS ce_target
+        |  FROM ts GROUP BY doc_id),
+        |rs AS (
+        |  SELECT b.doc_id,
+        |    ln((coalesce(rbc.cb, 0) + 0.5) /
+        |       (coalesce(ruc.cu, 0) + 0.5 * rv.v)) AS lp
+        |  FROM bg b
+        |  LEFT JOIN rbc ON b.gram = rbc.gram
+        |  LEFT JOIN ruc ON string_split(b.gram, ' ')[1] = ruc.token
+        |  CROSS JOIN rv),
+        |ragg AS (
+        |  SELECT doc_id, round(-avg(lp), 6) AS ce_raw
+        |  FROM rs GROUP BY doc_id)
+        |SELECT d.doc_id, t.n_bigrams, t.ce_target, r.ce_raw,
+        |  round(t.ce_target - r.ce_raw, 6) AS ce_delta
+        |FROM (SELECT doc_id FROM documents) d
+        |LEFT JOIN tagg t USING (doc_id)
+        |LEFT JOIN ragg r USING (doc_id)""".stripMargin,
+
+    "q_corpus_report" ->
+      """WITH dup AS (
+        |  SELECT md5(lower(coalesce(text, ''))) AS h, count(*) AS nh
+        |  FROM documents GROUP BY 1),
+        |base AS (
+        |  SELECT d.lang, d.source,
+        |    len(string_split(coalesce(d.text, ''), ' ')) AS tok,
+        |    d.n_chars, dup.nh
+        |  FROM documents d
+        |  JOIN dup ON md5(lower(coalesce(d.text, ''))) = dup.h)
+        |SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(tok) AS BIGINT) AS total_tokens,
+        |  round(avg(CAST(tok AS DOUBLE)), 6) AS avg_doc_tokens,
+        |  round(avg(CAST(n_chars AS DOUBLE)), 6) AS avg_chars,
+        |  CAST(sum(CASE WHEN nh > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_exact_dup
+        |FROM base
+        |GROUP BY ROLLUP (lang, source)""".stripMargin,
+
     "q_lm_perplexity" ->
       """WITH base AS (
         |  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w
@@ -670,5 +874,9 @@ object CurationQueries {
     "q_seq_pack" -> Seq("doc_id"),
     "q_dedup_spans" -> Seq("doc_id"),
     "q_chunk_docs" -> Seq("doc_id", "chunk_idx"),
-    "q_vocab_encode" -> Seq("doc_id"))
+    "q_vocab_encode" -> Seq("doc_id"),
+    "q_decontaminate_bloom" -> Seq("doc_id"),
+    "q_dsir_weights" -> Seq("doc_id"),
+    "q_ce_delta" -> Seq("doc_id"),
+    "q_corpus_report" -> Seq("lang", "source"))
 }

@@ -544,10 +544,8 @@ object LlmQueries {
         d.filter(col("doc_id") % 4 === 3)
           .select(col("doc_id"), translate(col("text"), abc, rot).as("text")))
       val tmp = EventQueries.stampedDir(batches)
-      val busDir = java.nio.file.Files
-        .createTempDirectory("graft_vdrift_bus").toFile
-      val ckpt = java.nio.file.Files
-        .createTempDirectory("graft_vdrift_ck").toFile
+      val busDir = EventQueries.scratchDir("graft_vdrift_bus").toFile
+      val ckpt = EventQueries.scratchDir("graft_vdrift_ck").toFile
       val rates = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
       try {
         val q = graft.streaming.StreamingPipeline.vocabDriftStream(
@@ -558,11 +556,11 @@ object LlmQueries {
           onBatch = (b, r) => { rates.synchronized { rates += ((b, r)) }; () },
           trigger = Trigger.AvailableNow(),
           checkpointDir = Some(ckpt.toString))
-        if (!q.awaitTermination(180000)) {
-          q.stop()
-          throw new IllegalStateException(
-            "vocab-drift replay did not drain within 180s")
-        }
+        try {
+          if (!q.awaitTermination(180000))
+            throw new IllegalStateException(
+              "vocab-drift replay did not drain within 180s")
+        } finally q.stop() // stop BEFORE dir cleanup, even on interrupt
       } finally {
         Seq(tmp, busDir, ckpt).foreach(EventQueries.rmTree)
       }
@@ -649,7 +647,7 @@ object LlmQueries {
         |  SELECT doc_id, seg_lang, CAST(count(*) AS BIGINT) AS n
         |  FROM l GROUP BY 1, 2),
         |a AS (
-        |  SELECT doc_id, sum(n) AS n_segments,
+        |  SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_segments,
         |    CAST(count(*) AS BIGINT) AS n_langs, max(n) AS mx,
         |    count(*) FILTER (WHERE seg_lang <> 'und') AS n_known
         |  FROM p GROUP BY 1),

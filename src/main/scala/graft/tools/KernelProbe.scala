@@ -1,0 +1,99 @@
+// Measures the DSL KERNEL LAYER itself, not just the catalog twins it
+// wraps: each probe drives a full `COMPUTE ... USING <kernel>` statement
+// through StatementRunner (parser -> table inference -> ComputeRegistry
+// dispatch -> pipeline-cache tracking), forces the result with a noop
+// write, and times it against the equivalent SparkEntry catalog entry in
+// the same JVM. The delta is the dispatch overhead (session-state
+// resolution, cache reclaim, the join-back of the kernel column) that
+// the per-entry bench never sees. Gate: no kernel > 1.3x its twin
+// (BASELINE.md records the medians).
+// Run: sbt "runMain graft.tools.KernelProbe [samples]"
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.dml.{ComputeSpec, DmlParser}
+import graft.dml.events.EventBus
+import graft.dml.runtime.{ComputeRegistry, ModelRegistry, StatementRunner}
+
+object KernelProbe {
+
+  /** (kernel label, COMPUTE statement, catalog twin entry). The twin is
+    * the closest catalog operator — same core computation, minus the DSL
+    * dispatch; bpe_tokenize's twin trains at the same 8-merge budget the
+    * kernel hard-codes. */
+  private val probes: Seq[(String, String, String)] = Seq(
+    ("minhash_dedup",
+      "COMPUTE d FROM table(text) INTO column(dup_group) USING minhash_dedup",
+      "q_dedup_groups"),
+    ("keep_best_dedup",
+      "COMPUTE k FROM table(text) INTO column(is_kept) USING keep_best_dedup",
+      "q_dedup_keep_best"),
+    ("semantic_dedup",
+      "COMPUTE s FROM table(embedding) INTO column(is_semdup) " +
+        "USING semantic_dedup",
+      "q_dedup_semantic_auto"),
+    ("bpe_tokenize",
+      "COMPUTE b FROM table(text) INTO column(syms_out) USING bpe_tokenize",
+      "q_bpe_tokenize"))
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val samples = if (args.nonEmpty) args(0).toInt else 3
+    graft.Tables.register(spark, dir)
+    // semantic_dedup needs a doc_id-KEYED embedding relation; the fixture
+    // embeddings table is vec_id-keyed, so register the keyed view the
+    // runner's temp-view inference (fixtures first, then views) resolves
+    import org.apache.spark.sql.functions.col
+    spark.table("embeddings")
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+      .createOrReplaceTempView("emb_docs")
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_kernel_probe").toString
+    val runner = new StatementRunner(spark,
+      new ModelRegistry(spark, s"$base/registry"),
+      new EventBus(spark, s"$base/events"))
+
+    def force(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    def timed(body: => Unit): Double = {
+      spark.catalog.clearCache()
+      graft.llm.PipelineCaches.clear()
+      val t0 = System.nanoTime()
+      body
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+
+    var worst = 0.0
+    for ((label, dml, twin) <- probes) {
+      val spec = DmlParser.parse(dml).asInstanceOf[ComputeSpec]
+      val kTimes = (1 to samples).map { _ =>
+        timed {
+          force(runner.run(spec).data.getOrElse(
+            sys.error(s"kernel $label returned no relation")))
+          ComputeRegistry.reclaimScheduled(spec.name)
+        }
+      }
+      val twinFn = graft.SparkEntry.queries(twin)
+      val tTimes = (1 to samples).map(_ => timed(force(twinFn(spark, dir))))
+      val (km, tm) = (median(kTimes), median(tTimes))
+      val ratio = km / tm
+      worst = math.max(worst, ratio)
+      println(f"[kernelprobe] $label%-18s kernel ${km}%.3fs " +
+        f"(${kTimes.map(t => f"$t%.2f").mkString(" ")})  " +
+        f"twin $twin%-22s ${tm}%.3fs " +
+        f"(${tTimes.map(t => f"$t%.2f").mkString(" ")})  ratio $ratio%.2fx")
+    }
+    println(f"[kernelprobe] worst kernel/twin ratio $worst%.2fx " +
+      s"(gate: <= 1.30x)")
+    spark.stop()
+  }
+}

@@ -51,6 +51,37 @@ class StatementRunnerSpec extends AnyFunSuite {
       .subsetOf(Set("o_totalprice", "o_custkey")))
   }
 
+  test("COMPUTE table inference reaches user temp views, and a " +
+    "contract violation surfaces the kernel's own message") {
+    val (runner, _, _) = freshRunner()
+    val s = spark
+    // the fixture embeddings table is vec_id-keyed and CANNOT feed a
+    // doc_id-keyed kernel; a user's keyed view must be found instead
+    // (fixtures are tried first, fail their require lazily, then views)
+    s.table("embeddings")
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+      .createOrReplaceTempView("runner_emb_docs")
+    try {
+      val out = runner.run(DmlParser.parse(
+        "COMPUTE sd FROM table(embedding) INTO column(is_semdup) " +
+          "USING semantic_dedup"))
+      assert(out.summary.contains("runner_emb_docs"),
+        s"inference must pick the keyed view: ${out.summary}")
+      assert(out.data.get.columns.contains("is_semdup"))
+      // with the view gone, the fixture's own contract error must
+      // surface verbatim — not a vague "nothing matched"
+      s.catalog.dropTempView("runner_emb_docs")
+      val e = intercept[IllegalArgumentException](runner.run(DmlParser.parse(
+        "COMPUTE sd2 FROM table(embedding) INTO column(is_semdup) " +
+          "USING semantic_dedup")))
+      assert(e.getMessage.contains("doc_id"))
+    } finally {
+      try s.catalog.dropTempView("runner_emb_docs")
+      catch { case _: Exception => () }
+      graft.llm.PipelineCaches.clear()
+    }
+  }
+
   test("ensemble over two registered models validates on a table") {
     val (runner, _, _) = freshRunner()
     runner.run(DmlParser.parse(trainDml))

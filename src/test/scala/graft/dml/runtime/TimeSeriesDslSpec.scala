@@ -58,15 +58,14 @@ class TimeSeriesDslSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("between 0 and 1"))
   }
 
-  test("prophet params: seasonality and calendar holidays bind, the one " +
-    "residual knob stays surfaced") {
+  test("prophet params: every DSL.md knob binds — seasonality, calendar " +
+    "holidays, and (since r12) changepoint_prior_scale") {
     // DSL.md:297-301 knobs on the stand-in: the reference's own example
     // must fit. `seasonality=[...]` BINDS as extra Fourier granularities;
-    // since r11 the bare-name `holidays=us_holidays` BINDS too by
-    // resolving a registered calendar view of that name; the ONE
-    // genuinely inert knob (the per-delta prior scale — no
-    // per-coefficient prior on the solver) comes back as ignoredParams:
-    // reduced fidelity is documented, never silent.
+    // the bare-name `holidays=us_holidays` BINDS by resolving a
+    // registered calendar view of that name; `changepoint_prior_scale`
+    // BINDS as a per-hinge ridge via standardization-aware rescaling —
+    // ignoredParams must come back EMPTY: no inert knobs remain.
     val s = spark
     import s.implicits._
     Seq("1995-01-02", "1995-07-04", "1995-12-25")
@@ -74,21 +73,116 @@ class TimeSeriesDslSpec extends AnyFunSuite {
       .createOrReplaceTempView("us_holidays")
     val spec = DmlParser.parse(
       "TRAIN MODEL m USING prophet(seasonality=['yearly', 'weekly'], " +
-        "holidays=us_holidays, changepoint_prior_scale=0.05, max_iter=5) " +
+        "holidays=us_holidays, changepoints=2, " +
+        "changepoint_prior_scale=0.05, max_iter=5) " +
         "FROM orders PREDICT o_totalprice " +
         "WITH TIME COLUMN o_orderdate AND FEATURES(TREND linear)")
       .asInstanceOf[TrainSpec]
     assert(spec.params.map(_._1) ==
-      List("seasonality", "holidays", "changepoint_prior_scale", "max_iter"))
+      List("seasonality", "holidays", "changepoints",
+        "changepoint_prior_scale", "max_iter"))
     assert(TrainCompiler.featureNames(spec) ==
       Seq("season_yearly", "season_yearly_sin", "season_yearly_cos",
         "season_weekly", "season_weekly_sin", "season_weekly_cos",
-        "t_index", "holiday_1", "holiday_2", "holiday_3"),
+        "t_index", "cp_1", "cp_2", "holiday_1", "holiday_2", "holiday_3"),
       "seasonality must contribute Fourier columns and the registered " +
         "calendar its per-date indicators")
     val report = Trainer.train(s, spec)
-    assert(report.ignoredParams == Seq("changepoint_prior_scale"),
-      "the inert stand-in knob must be reported, binding ones must not")
+    assert(report.ignoredParams.isEmpty,
+      "no prophet knob is inert any more — ignoredParams must be empty")
+  }
+
+  test("changepoint_prior_scale stiffens ONLY the trend deltas " +
+    "(ridge-by-rescaling, standardization-aware)") {
+    val s = spark
+    import s.implicits._
+    // noise-free tent series: slope +0.5 for 60 days, then -1.0. A loose
+    // prior must let the hinges bend to fit it; a near-zero prior must
+    // pin the deltas at ~0, collapsing the fit to the single global line.
+    (0 until 100).map { i =>
+      val day = java.time.LocalDate.of(2024, 1, 1).plusDays(i.toLong)
+      val y = if (i < 60) 10.0 + 0.5 * i else 10.0 + 0.5 * 60 - 1.0 * (i - 60)
+      (java.sql.Timestamp.valueOf(day.atStartOfDay), y)
+    }.toDF("day", "y").createOrReplaceTempView("ts_prior")
+    def fit(tau: String): Trainer.TrainReport = Trainer.train(s,
+      DmlParser.parse(
+        s"TRAIN MODEL m USING prophet(changepoints=5, " +
+          s"changepoint_prior_scale=$tau) FROM ts_prior PREDICT y " +
+          "WITH TIME COLUMN day AND FEATURES(TREND linear)")
+        .asInstanceOf[TrainSpec])
+    val loose = fit("10.0")
+    val stiff = fit("0.0001")
+    // behavior level: loose bends around the slope break, stiff cannot
+    assert(loose.metrics("rmse") < 0.3 * stiff.metrics("rmse"),
+      s"loose prior must fit the tent (rmse=${loose.metrics("rmse")}), " +
+        s"stiff must stay near-linear (rmse=${stiff.metrics("rmse")})")
+    // coefficient level: the EFFECTIVE slope delta of hinge j is
+    // beta_j * tau (the basis is tau * hinge); near-zero tau must crush it
+    def effectiveDeltas(r: Trainer.TrainReport, tau: Double): Double = {
+      val lr = r.model.stages.collectFirst {
+        case m: org.apache.spark.ml.regression.LinearRegressionModel => m
+      }.get
+      val names = TrainCompiler.featureNames(r.spec)
+      names.zipWithIndex.collect {
+        case (n, i) if n.startsWith("cp_") =>
+          math.abs(lr.coefficients(i) * tau)
+      }.sum
+    }
+    val looseBend = effectiveDeltas(loose, 10.0)
+    val stiffBend = effectiveDeltas(stiff, 0.0001)
+    assert(stiffBend < 0.05 * looseBend,
+      s"lambda/tau^2 must shrink the deltas: stiff=$stiffBend " +
+        s"loose=$looseBend")
+    // an explicit nonzero changepoints fit WITHOUT the knob keeps the
+    // legacy unpenalized path (no regParam injected): rmse stays tiny
+    val plain = Trainer.train(s, DmlParser.parse(
+      "TRAIN MODEL m USING prophet(changepoints=5) FROM ts_prior " +
+        "PREDICT y WITH TIME COLUMN day AND FEATURES(TREND linear)")
+      .asInstanceOf[TrainSpec])
+    assert(plain.metrics("rmse") < 1.0)
+  }
+
+  test("changepoint_prior_scale forecast uses the SAME scaled basis the " +
+    "coefficients were fitted on") {
+    val s = spark
+    import s.implicits._
+    (0 until 100).map { i =>
+      val day = java.time.LocalDate.of(2024, 1, 1).plusDays(i.toLong)
+      val y = if (i < 60) 10.0 + 0.5 * i else 10.0 + 0.5 * 60 - 1.0 * (i - 60)
+      (java.sql.Timestamp.valueOf(day.atStartOfDay), y)
+    }.toDF("day", "y").createOrReplaceTempView("ts_prior_fc")
+    val spec = DmlParser.parse(
+      "TRAIN MODEL m USING prophet(changepoints=5, " +
+        "changepoint_prior_scale=10.0) FROM ts_prior_fc PREDICT y " +
+        "WITH TIME COLUMN day AND FEATURES(TREND linear) " +
+        "FORECAST 10 days AHEAD").asInstanceOf[TrainSpec]
+    val report = Trainer.train(s, spec)
+    val fc = TimeSeries.forecast(s, spec, report).orderBy("t_index").collect()
+    // a basis mismatch would multiply every hinge contribution by 1/tau
+    // (here 10x) and wreck the extrapolated slope; the -1.0/day final
+    // segment must continue
+    val deltas = fc.sliding(2).map(p =>
+      p(1).getAs[Double]("prediction") - p(0).getAs[Double]("prediction"))
+    deltas.foreach(d => assert(math.abs(d - (-1.0)) < 0.2,
+      s"future step slope $d should continue the last trend segment"))
+  }
+
+  test("changepoint_prior_scale misuse refuses loud") {
+    val s = spark
+    def train(dml: String) =
+      Trainer.train(s, DmlParser.parse(dml).asInstanceOf[TrainSpec])
+    // without changepoints there are no deltas to tune
+    val e1 = intercept[IllegalArgumentException](train(
+      "TRAIN MODEL m USING prophet(changepoint_prior_scale=0.05) " +
+        "FROM orders PREDICT o_totalprice " +
+        "WITH TIME COLUMN o_orderdate AND FEATURES(TREND linear)"))
+    assert(e1.getMessage.contains("add changepoints=k"))
+    // non-positive / non-numeric scales refuse at parse-out
+    val e2 = intercept[IllegalArgumentException](train(
+      "TRAIN MODEL m USING prophet(changepoints=2, " +
+        "changepoint_prior_scale=0) FROM orders PREDICT o_totalprice " +
+        "WITH TIME COLUMN o_orderdate AND FEATURES(TREND linear)"))
+    assert(e2.getMessage.contains("positive finite"))
   }
 
   test("bare-name calendar resolves ONCE at train time; a redefined " +

@@ -43,6 +43,105 @@ class CurationSpec extends AnyFunSuite {
     assert(out(10L) && !out(11L))
   }
 
+  test("bloom decontamination never under-flags vs the exact operator, " +
+    "and clean disjoint text stays clean at 64k bits") {
+    val s = spark
+    import s.implicits._
+    val bench = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val train = Seq(
+      (10L, "prefix alpha beta gamma delta epsilon zeta suffix"),
+      (11L, "zeta epsilon delta gamma beta alpha"),
+      (12L, "one two three four five six")).toDF("doc_id", "text")
+    val bits = Curation.bloomBits(bench, k = 5)
+    val bloom = Curation.decontaminateBloom(train, bits, k = 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    val exact = Curation.decontaminate(train, bench, k = 5)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    // Bloom may over-flag, NEVER under-flag
+    exact.foreach { case (id, c) => if (c) assert(bloom(id)._2,
+      s"doc $id contaminated exactly but missed by the bloom filter") }
+    assert(bloom(10L) == ((2L, true))) // both bench 5-grams hit
+    // 2 bench grams * 3 hashes = 6 set bits of 65536: a false positive
+    // needs a 3-bit collision — these tiny fixtures must stay clean
+    assert(!bloom(11L)._2 && !bloom(12L)._2)
+  }
+
+  test("bloomBits validates its geometry") {
+    val s = spark
+    import s.implicits._
+    val bench = Seq((1L, "a b")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException](
+      Curation.bloomBits(bench, mBits = 100)) // not a multiple of 64
+    intercept[IllegalArgumentException](
+      Curation.bloomBits(bench, hashes = 5))
+  }
+
+  test("dsirWeights ranks target-vocabulary docs above off-domain docs") {
+    val s = spark
+    import s.implicits._
+    val target = Seq(
+      (100L, "science method theory experiment data"),
+      (101L, "theory data science experiment method analysis")
+    ).toDF("doc_id", "text")
+    val raw = Seq(
+      (1L, "science theory data experiment"), // pure target vocabulary
+      (2L, "football goal striker penalty"),  // disjoint vocabulary
+      (3L, "science theory football goal")    // half-half
+    ).toDF("doc_id", "text").unionAll(target)
+    val w = Curation.dsirWeights(raw, target)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(w(1L) > w(3L) && w(3L) > w(2L),
+      s"target-like must outrank mixed must outrank off-domain: $w")
+    assert(w(2L) < 0, "off-domain mass must score below the raw prior")
+  }
+
+  test("crossEntropyDelta: target-domain docs sit in the negative tail") {
+    val s = spark
+    import s.implicits._
+    // target LM = repeated bigram pattern; domain doc reuses it verbatim,
+    // the off-domain doc shares no bigram with the target
+    val target = Seq(
+      (100L, "the cat sat on the mat"),
+      (101L, "the cat sat on the rug")).toDF("doc_id", "text")
+    val raw = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "quantum flux harmonics resonate deeply")).toDF("doc_id", "text")
+      .unionAll(target)
+    val out = Curation.crossEntropyDelta(raw, target)
+      .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(out(1L) < 0, s"domain doc must read more target-like: $out")
+    assert(out(1L) < out(2L),
+      s"domain doc must rank below off-domain in ce_delta: $out")
+  }
+
+  test("lmPerplexityAgainst self-fit equals lmPerplexity exactly") {
+    val s = spark
+    val d = s.table("documents").limit(50)
+    val a = Curation.lmPerplexity(d).orderBy("doc_id").collect()
+    val b = Curation.lmPerplexityAgainst(d, d).orderBy("doc_id").collect()
+    assert(a.sameElements(b))
+  }
+
+  test("corpusReport: rollup rows reconcile with their margins") {
+    val s = spark
+    val rep = Curation.corpusReport(s.table("documents"))
+      .collect().map(r => (Option(r.getString(0)), Option(r.getString(1)),
+        r.getLong(2), r.getLong(3), r.getLong(6))).toSeq
+    val total = rep.find(r => r._1.isEmpty && r._2.isEmpty).get
+    assert(total._3 == s.table("documents").count())
+    // per-lang margins sum to the grand total, leaf rows to their lang
+    val langRows = rep.filter(r => r._1.nonEmpty && r._2.isEmpty)
+    assert(langRows.map(_._3).sum == total._3)
+    assert(langRows.map(_._4).sum == total._4)
+    val leafRows = rep.filter(r => r._1.nonEmpty && r._2.nonEmpty)
+    langRows.foreach { lr =>
+      val leaves = leafRows.filter(_._1 == lr._1)
+      assert(leaves.map(_._3).sum == lr._3)
+    }
+  }
+
   test("repetition metrics: degenerate repeated text vs all-distinct text") {
     val s = spark
     import s.implicits._

@@ -30,6 +30,32 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 
+def dtype_family(s: pd.Series) -> str:
+    """Coarse dtype family for gate parity with the driver's TYPED hash.
+
+    The driver hashes values together with their dtype, so an oracle that
+    drifts to HUGEINT/DECIMAL (pandas float64/object) against Spark's int64
+    fails there even when every value is numerically equal. Timestamps are
+    exempt: the driver normalizes us-vs-ns resolution differences.
+    """
+    t = s.dtype
+    if pd.api.types.is_datetime64_any_dtype(t):
+        return "datetime"
+    if pd.api.types.is_bool_dtype(t):
+        return "bool"
+    if pd.api.types.is_integer_dtype(t):
+        return "int"
+    if pd.api.types.is_float_dtype(t):
+        return "float"
+    if t == object and len(s):
+        v = s.dropna()
+        if len(v):
+            import decimal
+            if isinstance(v.iloc[0], decimal.Decimal):
+                return "decimal"
+    return "other"
+
+
 def compare(name: str, got: pd.DataFrame, exp: pd.DataFrame) -> list[str]:
     errs = []
     got, exp = norm(got), norm(exp)
@@ -37,6 +63,16 @@ def compare(name: str, got: pd.DataFrame, exp: pd.DataFrame) -> list[str]:
         return [f"columns differ: spark={list(got.columns)} oracle={list(exp.columns)}"]
     if len(got) != len(exp):
         return [f"row count differs: spark={len(got)} oracle={len(exp)}"]
+    for c in got.columns:
+        gf, ef = dtype_family(got[c]), dtype_family(exp[c])
+        if gf != ef and "datetime" not in (gf, ef):
+            # int-vs-float (e.g. DuckDB HUGEINT sum) or int-vs-decimal drift:
+            # values may compare equal below, but the driver's typed hash
+            # will NOT match. Fail loudly here so it never ships.
+            errs.append(f"col {c}: dtype family mismatch spark={gf}({got[c].dtype}) "
+                        f"oracle={ef}({exp[c].dtype}) — driver's typed hash will fail")
+    if errs:
+        return errs
     for c in got.columns:
         g, e = got[c], exp[c]
         for i in range(len(g)):
