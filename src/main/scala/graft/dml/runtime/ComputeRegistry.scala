@@ -376,6 +376,83 @@ object ComputeRegistry {
         embs, semanticSeeds(embs), cap = 10)
         .select(col("vec_id").as("doc_id"), col("cell_rank").as(out))
       df.join(kept, Seq("doc_id"))
+    },
+    // DSIR importance weights over (text, is_target) input columns: the
+    // target side is the relation's OWN rows whose second input column
+    // is true (the in-relation quality-seed flag — a curated slice, a
+    // wiki domain marker), raw = every row. Each row gets its hashed-
+    // unigram log importance weight (Xie et al. 2023) as the output
+    // column; token-free docs carry NULL (rows preserved)
+    "dsir_weights" -> { (df, ins, out) =>
+      require(ins.length >= 2,
+        s"dsir_weights needs (text, is_target) input columns, got $ins")
+      val d = keyed(df, ins.head)
+      val tgt = keyed(
+        df.filter(col(ins(1)).cast("boolean") <=> lit(true)), ins.head)
+      require(!tgt.isEmpty,
+        s"dsir_weights: no target rows (column '${ins(1)}' is never true)")
+      // the Agg variant: one corpus join (straight onto df), not the
+      // operator's row-preserving join plus a second join-back
+      val w = graft.llm.Curation.dsirWeightsAgg(d, tgt)
+        .select(col("doc_id"), col("log_weight").as(out))
+      df.join(w, Seq("doc_id"), "left")
+    },
+    // Moore–Lewis cross-entropy-difference selection over
+    // (text, is_target) input columns: target-LM-vs-self-LM score delta
+    // (negative = target-like) attached as the output column; docs with
+    // < 2 tokens carry NULL (no bigram to score; rows preserved)
+    "ce_delta" -> { (df, ins, out) =>
+      require(ins.length >= 2,
+        s"ce_delta needs (text, is_target) input columns, got $ins")
+      val d = keyed(df, ins.head)
+      val tgt = keyed(
+        df.filter(col(ins(1)).cast("boolean") <=> lit(true)), ins.head)
+      require(!tgt.isEmpty,
+        s"ce_delta: no target rows (column '${ins(1)}' is never true)")
+      val scored = graft.llm.Curation.crossEntropyDeltaAgg(d, tgt)
+        .select(col("doc_id"), col("ce_delta").as(out))
+      df.join(scored, Seq("doc_id"), "left")
+    },
+    // Bloom-fingerprint decontamination over (text, is_benchmark) input
+    // columns: the flagged rows' k-grams fold into an O(mBits) bitset
+    // (a codegen reference object — no benchmark-side join), and every
+    // row gets the may-be-contaminated boolean as the output column.
+    // Benchmark rows flag themselves by construction (their grams are
+    // in the fingerprint) — filter on NOT is_benchmark downstream
+    "bloom_decontaminate" -> { (df, ins, out) =>
+      require(ins.length >= 2,
+        s"bloom_decontaminate needs (text, is_benchmark) input " +
+          s"columns, got $ins")
+      val d = keyed(df, ins.head)
+      val bench = keyed(
+        df.filter(col(ins(1)).cast("boolean") <=> lit(true)), ins.head)
+      require(!bench.isEmpty,
+        s"bloom_decontaminate: no benchmark rows (column '${ins(1)}' " +
+          "is never true)")
+      val bits = graft.llm.Curation.bloomBits(bench)
+      val flags = graft.llm.Curation.decontaminateBloom(d, bits)
+        .select(col("doc_id"), col("contaminated_bloom").as(out))
+      df.join(flags, Seq("doc_id"))
+    },
+    // Corpus data card — relation-REPLACING like chunk_docs: emits the
+    // ROLLUP (lang, source) statistics sheet (per-group and margin
+    // rows), NOT one row per input doc. Requires lang/source/n_chars
+    // companion columns; INTO column(...) names the doc-count column
+    "corpus_report" -> { (df, ins, out) =>
+      val needed = Seq("lang", "source", "n_chars")
+      val missing = needed.filterNot(df.columns.contains)
+      require(missing.isEmpty,
+        s"corpus_report needs companion columns ${needed.mkString("/")}; " +
+          s"relation is missing [${missing.mkString(", ")}]")
+      require(!Seq("lang", "source", "total_tokens", "avg_doc_tokens",
+          "avg_chars", "n_exact_dup").contains(out),
+        s"corpus_report reserves its report column names; pick another " +
+          s"INTO column name (got '$out')")
+      val docs = keyed(df, ins.head)
+        .join(df.select(col("doc_id"), col("lang"), col("source"),
+          col("n_chars")), Seq("doc_id"))
+      graft.llm.Curation.corpusReport(docs)
+        .withColumnRenamed("n_docs", out)
     })
 
   tableBuiltins.foreach { case (k, v) => tableKernels.put(k, v) }

@@ -125,6 +125,15 @@ object Curation {
     * bounded-bucket agg. Docs with no tokens keep a NULL weight (rows
     * preserved, the decontaminate convention). */
   def dsirWeights(raw: DataFrame, target: DataFrame,
+      buckets: Int = 1024, alpha: Double = 0.5): DataFrame =
+    raw.select("doc_id")
+      .join(dsirWeightsAgg(raw, target, buckets, alpha), Seq("doc_id"),
+        "left")
+
+  /** [[dsirWeights]] without the row-preserving join: one row per doc
+    * WITH tokens. The DSL kernel path attaches this straight onto the
+    * user relation (one corpus join instead of two). */
+  private[graft] def dsirWeightsAgg(raw: DataFrame, target: DataFrame,
       buckets: Int = 1024, alpha: Double = 0.5): DataFrame = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
     require(alpha > 0, s"alpha must be positive, got $alpha")
@@ -148,11 +157,10 @@ object Curation {
             (col("_nt") + alpha * buckets)) -
           log((coalesce(col("_cr"), lit(0L)) + alpha) /
             (col("_nr") + alpha * buckets))).as("_lw"))
-    val agg = rawTok.join(broadcast(ratio), Seq("_b"))
+    rawTok.join(broadcast(ratio), Seq("_b"))
       .groupBy("doc_id").agg(
         count(lit(1)).cast("bigint").as("n_tokens"),
         round(sum(col("_lw")), 6).as("log_weight"))
-    raw.select("doc_id").join(agg, Seq("doc_id"), "left")
   }
 
   /** Gopher-style repetition metrics per doc: duplicate-word ratio,
@@ -261,7 +269,16 @@ object Curation {
     * floor alone (P = alpha / (c_prev + alpha*V) — the standard
     * unseen-event smoothing, no special OOV token needed). */
   def lmPerplexityAgainst(docs: DataFrame, lmCorpus: DataFrame,
-      alpha: Double = 0.5): DataFrame = {
+      alpha: Double = 0.5): DataFrame =
+    docs.select("doc_id")
+      .join(lmPerplexityAgainstAgg(docs, lmCorpus, alpha), Seq("doc_id"),
+        "left")
+
+  /** [[lmPerplexityAgainst]] without the row-preserving join: one row per
+    * doc WITH >= 1 bigram ([[crossEntropyDelta]] composes two of these
+    * and re-preserves rows once at the end). */
+  private[graft] def lmPerplexityAgainstAgg(docs: DataFrame,
+      lmCorpus: DataFrame, alpha: Double = 0.5): DataFrame = {
     require(alpha > 0, s"alpha must be positive, got $alpha")
     def prep(df: DataFrame): DataFrame = df
       .withColumn("_t", coalesce(col("text"), lit("")))
@@ -282,11 +299,10 @@ object Curation {
       .withColumn("_lp",
         log((coalesce(col("_cb"), lit(0L)) + alpha) /
           (coalesce(col("_cu"), lit(0L)) + col("_v") * alpha)))
-    val agg = scored.groupBy("doc_id").agg(
+    scored.groupBy("doc_id").agg(
       count(lit(1)).cast("bigint").as("n_bigrams"),
       round(-avg(col("_lp")), 6).as("cross_entropy"),
       round(exp(-avg(col("_lp"))), 6).as("perplexity"))
-    docs.select("doc_id").join(agg, Seq("doc_id"), "left")
   }
 
   /** Moore–Lewis cross-entropy-difference selection (Moore & Lewis 2010,
@@ -305,12 +321,21 @@ object Curation {
     * gram explode and the final doc_id aggregations — the same envelope
     * as running [[lmPerplexity]] twice. */
   def crossEntropyDelta(raw: DataFrame, target: DataFrame,
-      alpha: Double = 0.5): DataFrame = {
-    val tgt = lmPerplexityAgainst(raw, target, alpha)
+      alpha: Double = 0.5): DataFrame =
+    raw.select("doc_id")
+      .join(crossEntropyDeltaAgg(raw, target, alpha), Seq("doc_id"), "left")
+
+  /** [[crossEntropyDelta]] without the row-preserving join: one row per
+    * doc WITH >= 1 bigram (the DSL kernel attaches this straight onto
+    * the user relation — one corpus join instead of two). */
+  private[graft] def crossEntropyDeltaAgg(raw: DataFrame,
+      target: DataFrame, alpha: Double = 0.5): DataFrame = {
+    val tgt = lmPerplexityAgainstAgg(raw, target, alpha)
       .select(col("doc_id"), col("n_bigrams"),
         col("cross_entropy").as("ce_target"))
-    val self = lmPerplexityAgainst(raw, raw, alpha)
+    val self = lmPerplexityAgainstAgg(raw, raw, alpha)
       .select(col("doc_id"), col("cross_entropy").as("ce_raw"))
+    // inner join: both sides carry exactly the docs with >= 1 bigram
     tgt.join(self, Seq("doc_id"))
       .select(col("doc_id"), col("n_bigrams"), col("ce_target"),
         col("ce_raw"),

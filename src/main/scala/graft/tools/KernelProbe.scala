@@ -35,7 +35,21 @@ object KernelProbe {
       "q_dedup_semantic_auto"),
     ("bpe_tokenize",
       "COMPUTE b FROM table(text) INTO column(syms_out) USING bpe_tokenize",
-      "q_bpe_tokenize"))
+      "q_bpe_tokenize"),
+    ("dsir_weights",
+      "COMPUTE w FROM table(text, is_en) INTO column(log_w) " +
+        "USING dsir_weights",
+      "q_dsir_weights"),
+    ("ce_delta",
+      "COMPUTE c FROM table(text, is_en) INTO column(ced) USING ce_delta",
+      "q_ce_delta"),
+    ("bloom_decontaminate",
+      "COMPUTE b FROM table(text, is_bench) INTO column(contam) " +
+        "USING bloom_decontaminate",
+      "q_decontaminate_bloom"),
+    ("corpus_report",
+      "COMPUTE r FROM table(text) INTO column(n_docs) USING corpus_report",
+      "q_corpus_report"))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
@@ -53,6 +67,14 @@ object KernelProbe {
     spark.table("embeddings")
       .select(col("vec_id").as("doc_id"), col("embedding"))
       .createOrReplaceTempView("emb_docs")
+    // the two-corpus kernels take their target/benchmark side as an
+    // in-relation flag column; mirror the catalog twins' constructions
+    // (q_dsir_weights/q_ce_delta: lang = en; q_decontaminate_bloom:
+    // doc_id % 10 = 0)
+    spark.table("documents")
+      .withColumn("is_en", col("lang") === "en")
+      .withColumn("is_bench", col("doc_id") % 10 === 0)
+      .createOrReplaceTempView("flagged_docs")
     val base = java.nio.file.Files
       .createTempDirectory("graft_kernel_probe").toString
     val runner = new StatementRunner(spark,

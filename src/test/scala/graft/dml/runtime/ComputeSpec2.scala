@@ -468,4 +468,75 @@ class ComputeSpec2 extends AnyFunSuite {
       regexp_replace(col("syms"), "  ", "") =!= concat(col("word"), lit("_")))
       .count() == 0, "symbolization must conserve character mass")
   }
+
+  test("dsir_weights / ce_delta / bloom_decontaminate / corpus_report " +
+    "kernels reach the round-12 curation operators from the DSL") {
+    val s = spark
+    // flag one source's docs as the in-relation target/benchmark side
+    s.table("documents")
+      .withColumn("is_wiki", col("source") === "src1")
+      .createOrReplaceTempView("flagged_docs")
+    val nDocs = s.table("flagged_docs").count()
+    val nWiki = s.table("flagged_docs").filter(col("is_wiki")).count()
+    assert(nWiki > 0 && nWiki < nDocs, "fixture must have both sides")
+    // dsir_weights: rows preserved; weights exist wherever tokens do;
+    // target docs average HIGHER target-likeness than the rest
+    val dw = ComputeRegistry.runOnce(s,
+      parse("COMPUTE dw FROM table(text, is_wiki) INTO column(log_w) " +
+        "USING dsir_weights"),
+      "flagged_docs")
+    assert(dw.count() == nDocs)
+    assert(dw.filter(col("log_w").isNull && length(col("text")) > 0)
+      .count() == 0)
+    val meanTgt = dw.filter(col("is_wiki"))
+      .agg(avg("log_w")).collect()(0).getDouble(0)
+    val meanRest = dw.filter(!col("is_wiki"))
+      .agg(avg("log_w")).collect()(0).getDouble(0)
+    assert(meanTgt > meanRest,
+      s"target docs must score more target-like ($meanTgt vs $meanRest)")
+    // ce_delta: rows preserved; target docs average LOWER (more
+    // target-like) cross-entropy difference
+    val cd = ComputeRegistry.runOnce(s,
+      parse("COMPUTE cd FROM table(text, is_wiki) INTO column(ced) " +
+        "USING ce_delta"),
+      "flagged_docs")
+    assert(cd.count() == nDocs)
+    val ceTgt = cd.filter(col("is_wiki"))
+      .agg(avg("ced")).collect()(0).getDouble(0)
+    val ceRest = cd.filter(!col("is_wiki"))
+      .agg(avg("ced")).collect()(0).getDouble(0)
+    assert(ceTgt < ceRest,
+      s"target docs must read more target-like ($ceTgt vs $ceRest)")
+    // bloom_decontaminate: rows preserved, non-NULL boolean; benchmark
+    // rows with >= 5 tokens flag themselves (their grams are in the
+    // fingerprint by construction — the guaranteed-recall direction)
+    val bd = ComputeRegistry.runOnce(s,
+      parse("COMPUTE bd FROM table(text, is_wiki) INTO column(contam) " +
+        "USING bloom_decontaminate"),
+      "flagged_docs")
+    assert(bd.count() == nDocs)
+    assert(bd.filter(col("contam").isNull).count() == 0)
+    assert(bd.filter(col("is_wiki") && !col("contam") &&
+      size(split(trim(col("text")), "\\s+")) >= 5).count() == 0,
+      "a benchmark doc with a full gram can never miss its own fingerprint")
+    // corpus_report: relation-replacing ROLLUP card — grand-total row
+    // (NULL, NULL) counts every doc
+    val cr = ComputeRegistry.runOnce(s,
+      parse("COMPUTE cr FROM table(text) INTO column(n_docs) " +
+        "USING corpus_report"),
+      "flagged_docs")
+    val total = cr.filter(col("lang").isNull && col("source").isNull)
+    assert(total.count() == 1)
+    assert(total.collect()(0).getAs[Long]("n_docs") == nDocs)
+    // contract errors: an all-false flag column refuses loud
+    s.table("documents").withColumn("no_tgt", lit(false))
+      .createOrReplaceTempView("no_target_docs")
+    val err = intercept[IllegalArgumentException] {
+      ComputeRegistry.runOnce(s,
+        parse("COMPUTE dw FROM table(text, no_tgt) INTO column(w) " +
+          "USING dsir_weights"),
+        "no_target_docs")
+    }
+    assert(err.getMessage.contains("no target rows"))
+  }
 }
