@@ -406,4 +406,60 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"),
       s"no stage of the fusion may degrade to a cartesian:\n$p")
   }
+
+  test("q_decontaminate_bloom never joins the benchmark — ONE join " +
+    "total (the row-preserving doc_id join)") {
+    val p = plan("q_decontaminate_bloom")
+    // the whole point of the bitset reference object: the train side is
+    // projection -> per-doc agg; the benchmark exists only inside the
+    // BloomHit expression. A second join means the gram-table join from
+    // q_decontaminate crept back in
+    val joins = """\(\d+\) [A-Za-z]*Join""".r.findAllIn(p).length
+    assert(joins == 1,
+      s"expected exactly the row-preserving doc_id join, found $joins:\n$p")
+    assert(p.contains("bloom_hit"),
+      s"membership must run through the native BloomHit expression:\n$p")
+  }
+
+  test("q_dsir_weights broadcasts the bucket-ratio table; only the two " +
+    "1-row total relations may nested-loop") {
+    val p = plan("q_dsir_weights")
+    assert(!p.contains("CartesianProduct"),
+      s"the ratio join must stay an equi-join on the hash bucket:\n$p")
+    val nlj = """\(\d+\) BroadcastNestedLoopJoin""".r.findAllIn(p).length
+    assert(nlj <= 2,
+      s"only the broadcast 1-row token-total relations may nested-loop, " +
+        s"found $nlj:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the <=1024-row log-ratio table must broadcast onto the token " +
+        s"stream — a shuffle here repartitions the whole corpus by " +
+        s"hash bucket:\n$p")
+  }
+
+  test("q_ce_delta keeps both LMs' count joins as equi-joins; only the " +
+    "two 1-row V relations may nested-loop") {
+    val p = plan("q_ce_delta")
+    assert(!p.contains("CartesianProduct"),
+      s"count joins must stay equi-joins on gram/token:\n$p")
+    val nlj = """\(\d+\) BroadcastNestedLoopJoin""".r.findAllIn(p).length
+    assert(nlj <= 2,
+      s"only the two broadcast 1-row vocabulary-size relations (one per " +
+        s"LM) may nested-loop, found $nlj:\n$p")
+  }
+
+  test("q_corpus_report rolls up in ONE Expand pass with two shuffles") {
+    val p = plan("q_corpus_report")
+    assert(p.contains("Expand"),
+      s"ROLLUP must plan as grouping-sets Expand, not one scan per " +
+        s"margin:\n$p")
+    // two shuffles by design: the dup-hash count agg and the rollup agg
+    // (BroadcastExchange prints distinctly and is not counted)
+    val shuffles = """\(\d+\) Exchange""".r.findAllIn(p).length
+    assert(shuffles <= 2,
+      s"the data card must stay two shuffles at any corpus size, " +
+        s"found $shuffles:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"the dup-count join must stay an equi-join on the text hash:\n$p")
+  }
 }
