@@ -129,4 +129,58 @@ object Relevance {
       .filter(col("rank") <= topN)
       .select("doc_id", "bm25_rank", "cos_rank", "rrf_score", "rank")
   }
+
+  /** Top-`topN` term pairs by document-level pointwise mutual
+    * information — the word-association card (collocation mining,
+    * template/boilerplate signature discovery): for terms a < b,
+    * pmi = ln(n_ab · N / (n_a · n_b)) over DOCUMENT co-occurrence
+    * counts (a term counts once per doc). `minPairDocs` floors the
+    * joint count (PMI's classic rare-pair pathology — a hapax pair
+    * maxes the score); ties break on (term_a, term_b) so the cut is
+    * stable across engines.
+    *
+    * Scale shape: the vocabulary is CAPPED FIRST — top-`maxVocab` terms
+    * by document frequency (bounded sort+limit, tie to term asc),
+    * broadcast back as a semi-join filter — so pair generation is
+    * bounded by maxVocab² regardless of corpus vocabulary, and the
+    * per-doc pair explode is a zero-join array HOF over the doc's own
+    * (sorted, capped) distinct-term array: k·(k−1)/2 structs per doc,
+    * no self-join of the corpus term table. The pair aggregation keys
+    * on ≤ maxVocab² pairs; doc frequencies re-broadcast for the PMI
+    * arithmetic; the result is a bounded TakeOrdered. */
+  def pmiPairs(docs: DataFrame, topN: Int = 20, minPairDocs: Int = 5,
+      maxVocab: Int = 1000): DataFrame = {
+    val dw = tokens(docs).distinct()
+    val vocab = dw.groupBy("term")
+      .agg(count(lit(1)).as("n_term"))
+      .orderBy(col("n_term").desc, col("term").asc)
+      .limit(maxVocab)
+    val nDocs = docs.select(countDistinct("doc_id").as("n_docs"))
+    // per-doc sorted capped-vocab term array -> all a<b pairs via HOFs
+    val docTerms = dw.join(broadcast(vocab.select("term")), Seq("term"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_set(col("term"))).as("_ts"))
+    val pairs = docTerms.select(explode(flatten(
+      transform(col("_ts"), (a, i) =>
+        transform(slice(col("_ts"), i + lit(2),
+          greatest(size(col("_ts")) - i - 1, lit(0))),
+          b => struct(a.as("term_a"), b.as("term_b")))))).as("_p"))
+      .select(col("_p.term_a"), col("_p.term_b"))
+      .groupBy("term_a", "term_b").agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minPairDocs)
+    pairs
+      .join(broadcast(vocab.select(col("term").as("term_a"),
+        col("n_term").as("n_a"))), Seq("term_a"))
+      .join(broadcast(vocab.select(col("term").as("term_b"),
+        col("n_term").as("n_b"))), Seq("term_b"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("term_a"), col("term_b"), col("n_pair"),
+        col("n_a"), col("n_b"),
+        round(log(col("n_pair").cast("double") *
+            col("n_docs").cast("double") /
+          (col("n_a").cast("double") * col("n_b").cast("double"))), 6)
+          .as("pmi"))
+      .orderBy(col("pmi").desc, col("term_a").asc, col("term_b").asc)
+      .limit(topN)
+  }
 }

@@ -152,6 +152,48 @@ object Sampling {
           col("_nat"), 6).as("factor"))
   }
 
+  /** Per-domain token-budget allocation — the epoch-planning card of a
+    * training-mix design: given a total token `budget` and temperature
+    * `alpha`, each domain's temperature share of the budget (XLM-style
+    * p^alpha flattening of the TOKEN distribution) becomes its target
+    * token count; `sampling_rate` = target/available, and rates above 1
+    * mean the domain repeats — `epochs` = ceil(rate), the
+    * data-constrained repeat regime (Muennighoff et al. 2023).
+    *
+    * Scale shape: ONE domain-keyed aggregation (map-side combined) over
+    * the corpus; everything downstream runs on the domain-sized table
+    * with 1-row broadcast totals. Temperature weights sum as 12-dp
+    * DECIMAL so the normalizer is partition-order independent (the
+    * [[temperatureShares]] convention). */
+  def tokenBudget(docs: DataFrame, domainCol: String, tokenCol: String,
+      budget: Long, alpha: Double): DataFrame = {
+    require(budget > 0, s"token budget must be positive, got $budget")
+    require(alpha >= 0, s"temperature alpha must be >= 0, got $alpha")
+    val counts = docs.groupBy(col(domainCol).as("domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(tokenCol)).cast("long").as("n_tokens"))
+    val tot = counts.agg(sum("n_tokens").as("_n"))
+    val w = counts.crossJoin(broadcast(tot))
+      .withColumn("_nat",
+        col("n_tokens").cast("double") / col("_n").cast("double"))
+      .withColumn("_w",
+        round(pow(col("_nat"), lit(alpha)), 12)
+          .cast(org.apache.spark.sql.types.DecimalType(28, 12)))
+    val z = w.agg(sum("_w").as("_z"))
+    w.crossJoin(broadcast(z))
+      .withColumn("_q", col("_w").cast("double") / col("_z").cast("double"))
+      .withColumn("target_tokens",
+        round(col("_q") * lit(budget.toDouble)).cast("bigint"))
+      .select(col("domain"), col("n_docs"), col("n_tokens"),
+        round(col("_nat"), 6).as("natural_share"),
+        round(col("_q"), 6).as("temp_share"),
+        col("target_tokens"),
+        round(col("target_tokens").cast("double") /
+          col("n_tokens").cast("double"), 6).as("sampling_rate"),
+        ceil(col("target_tokens").cast("double") /
+          col("n_tokens").cast("double")).cast("bigint").as("epochs"))
+  }
+
   /** Attach the `valueCol` percent_rank (value-ties share a rank, SQL
     * semantics) to every row as a `percent_rank` column. Rows with NULL
     * values are preserved with a NULL rank — they are not comparable, and

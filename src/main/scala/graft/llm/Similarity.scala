@@ -798,6 +798,48 @@ object Similarity {
       .select(col("vec_id"), col("cell"), col("rank").as("cell_rank"))
   }
 
+  /** Embedding-coverage card — the diversity sheet of a corpus release:
+    * assign every vector to its seeded max-cosine cell (the
+    * [[semanticDedup]] quantizer) and report the occupancy distribution
+    * in ONE row — occupied cells, Shannon entropy of the cell shares
+    * (nats), normalized entropy (entropy / ln k; 1.0 = perfectly even
+    * semantic coverage), and the biggest cell's share (topical
+    * concentration). Read next to [[Curation.corpusReport]]: low
+    * normalized entropy means the corpus crowds a few semantic
+    * neighborhoods and the mix needs rebalancing
+    * ([[clusterBalancedSample]] is the corrective twin).
+    *
+    * Scale shape: assignment is a zero-shuffle projection against the
+    * broadcast centroid reference object; the card is one cell-keyed
+    * aggregation (≤ k rows) plus a 1-row rollup. Entropy terms round to
+    * 12 dp and sum as DECIMAL (partition-order-proof, the
+    * temperatureShares convention), so the card hash-replays in DuckDB. */
+  def coverageCard(
+      embeddings: DataFrame, cellSeedIds: Seq[Long]): DataFrame = {
+    val k = cellSeedIds.size
+    val centers = seedCenters(embeddings, cellSeedIds)
+    val assigned = embeddings.select(col("vec_id"),
+      cosCellCol(col("embedding"), centers).as("cell"))
+    val cells = assigned.groupBy("cell").agg(count(lit(1)).as("_nc"))
+    val tot = cells.agg(sum("_nc").as("_n"))
+    val terms = cells.crossJoin(broadcast(tot))
+      .withColumn("_share",
+        col("_nc").cast("double") / col("_n").cast("double"))
+      .withColumn("_term",
+        round(-col("_share") * log(col("_share")), 12)
+          .cast(org.apache.spark.sql.types.DecimalType(28, 12)))
+    val entropy = round(sum(col("_term")).cast("double"), 6)
+    terms.agg(
+      max(col("_n")).cast("bigint").as("n_vecs"),
+      lit(k).as("k_cells"),
+      count(lit(1)).cast("bigint").as("occupied_cells"),
+      entropy.as("entropy"),
+      (if (k > 1) round(sum(col("_term")).cast("double") /
+          lit(math.log(k.toDouble)), 6)
+        else lit(null).cast("double")).as("norm_entropy"),
+      round(max(col("_share")), 6).as("max_share"))
+  }
+
   def semanticDedup(
       embeddings: DataFrame, cellSeedIds: Seq[Long],
       threshold: Double = 0.95,

@@ -122,6 +122,32 @@ object TextOps {
 
   def langGuess(text: Column): Column = langGuessW(tokens(text))
 
+  /** Flesch reading-ease readability (Flesch 1948; the curation-stack
+    * readability signal, e.g. FineWeb-Edu's difficulty axis): syllables
+    * estimated as vowel-group runs per word with a floor of 1 (the
+    * standard dictionary-free estimator — "nth"-style words still carry
+    * a syllable). The corpus has no sentence markers, so the whole
+    * document is ONE sentence (words/sentence = n_words); that term's
+    * weight is a constant of the convention and the relative ORDER of
+    * scores — what a percentile quality cut consumes — is what the
+    * operator delivers. Zero-shuffle per-row projection; round(6) + the
+    * portable `[aeiouy]+` regex keep the DuckDB oracle bit-exact. */
+  def readability(docs: DataFrame): DataFrame = {
+    val w = tokens(coalesce(col("text"), lit("")))
+    val syl = aggregate(
+      transform(w, x =>
+        greatest(size(regexp_extract_all(x, lit("[aeiouy]+"), lit(0))),
+          lit(1))),
+      lit(0L), (acc, x) => acc + x)
+    val n = size(w)
+    docs.select(col("doc_id"),
+      n.cast("bigint").as("n_words"),
+      syl.cast("bigint").as("n_syllables"),
+      round(lit(206.835) - lit(1.015) * n.cast("double") -
+        lit(84.6) * (syl.cast("double") / n.cast("double")), 6)
+        .as("flesch"))
+  }
+
   /** Mixed-language detection — the CCNet-stack "language consistency"
     * check (a doc whose segments disagree on language is dropped or
     * routed for splitting, the way per-doc language ID alone cannot

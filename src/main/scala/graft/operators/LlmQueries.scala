@@ -159,6 +159,11 @@ object LlmQueries {
         TextOps.langGuess(col("text")).as("lang_guess"))
     },
 
+    // Flesch reading-ease: vowel-group syllable estimate (floor 1/word),
+    // whole doc as one sentence (no sentence markers in the corpus) —
+    // zero-shuffle projection, bit-exact in DuckDB
+    "q_readability" -> { (s, dir) => TextOps.readability(docs(s, dir)) },
+
     // mixed-language detection over 16-word segments: the fixture is
     // monolingual, so mixture is PLANTED — copies at +100000 carry an
     // 18-word French-stopword tail whose final segments guess 'fr';
@@ -432,6 +437,14 @@ object LlmQueries {
         threshold = 0.95)
     },
 
+    // embedding-coverage card: the seeded-cell occupancy distribution as
+    // a one-row diversity sheet (occupied cells, DECIMAL-summed Shannon
+    // entropy, normalized entropy, max cell share)
+    "q_embedding_coverage" -> { (s, dir) =>
+      Similarity.coverageCard(
+        embs(s, dir).select("vec_id", "embedding"), ivfSeedIds)
+    },
+
     // the PRODUCTION configuration of semantic dedup: cell count grows
     // with the corpus (autoCellSeeds — occupancy pinned, within-cell pair
     // work ~linear), the exact path the `semantic_dedup` DSL kernel takes
@@ -607,6 +620,24 @@ object LlmQueries {
         |       WHEN de_s >= es_s THEN 'de'
         |       ELSE 'es' END AS lang_guess
         |FROM s""".stripMargin,
+
+    "q_readability" ->
+      """WITH s AS (
+        |  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+        |    CAST(list_sum(list_transform(w,
+        |      x -> greatest(len(regexp_extract_all(x, '[aeiouy]+')), 1)))
+        |      AS BIGINT) AS n_syllables
+        |  FROM s)
+        |SELECT doc_id, n_words, n_syllables,
+        |  round(CAST(206.835 AS DOUBLE)
+        |    - CAST(1.015 AS DOUBLE) * CAST(n_words AS DOUBLE)
+        |    - CAST(84.6 AS DOUBLE) *
+        |      (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)), 6)
+        |    AS flesch
+        |FROM m""".stripMargin,
 
     // Replays the windowing (chunkDocs' non-overlapping 16-word slices),
     // the per-segment profile guess (q_lang_guess's CASE chain), and the
@@ -915,6 +946,46 @@ object LlmQueries {
          |  d.vec_id IS NOT NULL AS is_semdup,
          |  false AS cell_oversized
          |FROM asg g LEFT JOIN dup d ON d.vec_id = g.vec_id""".stripMargin
+    },
+
+    // replays the card: q_dedup_semantic's cell assignment over the raw
+    // embeddings table, then shares -> 12-dp entropy terms summed as
+    // DECIMAL -> the one-row rollup; ln(16) is injected as the
+    // Scala-computed double literal so both engines divide by the same
+    // bits (libm ln is not guaranteed correctly rounded)
+    "q_embedding_coverage" -> {
+      val seedList = ivfSeedIds.mkString(", ")
+      val lnK = math.log(16.0).toString
+      s"""WITH c AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS list,
+         |    embedding AS cemb
+         |  FROM embeddings WHERE vec_id IN ($seedList)),
+         |sim AS (
+         |  SELECT e.vec_id, c.list,
+         |    ${cosSql("e.embedding", "c.cemb")} AS cs
+         |  FROM embeddings e CROSS JOIN c),
+         |asg AS (
+         |  SELECT vec_id, CAST(list AS INT) AS cell FROM (
+         |    SELECT vec_id, list,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, list)
+         |        AS rn
+         |    FROM sim) WHERE rn = 1),
+         |cells AS (SELECT cell, count(*) AS nc FROM asg GROUP BY cell),
+         |t AS (SELECT sum(nc) AS n FROM cells),
+         |terms AS (
+         |  SELECT nc, n,
+         |    CAST(nc AS DOUBLE) / CAST(n AS DOUBLE) AS share,
+         |    CAST(round(-(CAST(nc AS DOUBLE) / CAST(n AS DOUBLE)) *
+         |        ln(CAST(nc AS DOUBLE) / CAST(n AS DOUBLE)), 12)
+         |      AS DECIMAL(28, 12)) AS term
+         |  FROM cells CROSS JOIN t)
+         |SELECT CAST(max(n) AS BIGINT) AS n_vecs,
+         |  CAST(16 AS INT) AS k_cells,
+         |  CAST(count(*) AS BIGINT) AS occupied_cells,
+         |  round(CAST(sum(term) AS DOUBLE), 6) AS entropy,
+         |  round(CAST(sum(term) AS DOUBLE) / $lnK, 6) AS norm_entropy,
+         |  round(max(share), 6) AS max_share
+         |FROM terms""".stripMargin
     },
 
     // auto-k twin: k = ceil(n / 256) (Similarity.autoCellCount's
@@ -1397,6 +1468,7 @@ object LlmQueries {
     "q_corpus_filter" -> Seq("doc_id"),
     "q_text_stats" -> Seq("doc_id"),
     "q_lang_guess" -> Seq("doc_id"),
+    "q_readability" -> Seq("doc_id"),
     "q_lang_mixture" -> Seq("doc_id"),
     "q_dedup_exact" -> Seq("doc_id"),
     "q_dedup_minhash_sigs" -> Seq("doc_id"),

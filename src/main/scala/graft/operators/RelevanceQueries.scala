@@ -48,6 +48,14 @@ object RelevanceQueries {
         Seq("spark", "vector", "stream"), queryVecId = 0L,
         armK = 20, kRrf = 60, topN = 20)
         .orderBy("rank")
+    },
+
+    // word-association card: top-20 term pairs by document-level PMI,
+    // joint-count floor 5, vocabulary capped (top-1000 by DF) BEFORE
+    // pair generation so pair work is bounded at any corpus size
+    "q_pmi_pairs" -> { (s, dir) =>
+      Relevance.pmiPairs(docs(s, dir), topN = 20, minPairDocs = 5,
+        maxVocab = 1000)
     })
 
   def oracles: Map[String, String] = Map(
@@ -177,7 +185,36 @@ object RelevanceQueries {
          |      AS INT) AS rank
          |  FROM f)
          |SELECT doc_id, bm25_rank, cos_rank, rrf_score, rank
-         |FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin)
+         |FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin,
+
+    // doc-level co-occurrence PMI: distinct (doc, term), DF-capped
+    // vocabulary, a<b pairs, ln(n_pair*N/(n_a*n_b)) with the same
+    // double-arithmetic order as the Column algebra
+    "q_pmi_pairs" ->
+      s"""WITH $toksCte,
+         |dw AS (SELECT DISTINCT doc_id, term FROM toks),
+         |vocab AS (
+         |  SELECT term, count(*) AS n_term FROM dw GROUP BY term
+         |  ORDER BY n_term DESC, term ASC LIMIT 1000),
+         |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+         |pairs AS (
+         |  SELECT a.term AS term_a, b.term AS term_b, count(*) AS n_pair
+         |  FROM dw a JOIN dw b ON a.doc_id = b.doc_id AND a.term < b.term
+         |  WHERE a.term IN (SELECT term FROM vocab)
+         |    AND b.term IN (SELECT term FROM vocab)
+         |  GROUP BY 1, 2 HAVING count(*) >= 5)
+         |SELECT term_a, term_b, CAST(n_pair AS BIGINT) AS n_pair,
+         |  CAST(va.n_term AS BIGINT) AS n_a,
+         |  CAST(vb.n_term AS BIGINT) AS n_b,
+         |  round(ln(CAST(n_pair AS DOUBLE) * CAST(n_docs AS DOUBLE)
+         |    / (CAST(va.n_term AS DOUBLE) * CAST(vb.n_term AS DOUBLE))), 6)
+         |    AS pmi
+         |FROM pairs
+         |JOIN vocab va ON term_a = va.term
+         |JOIN vocab vb ON term_b = vb.term
+         |CROSS JOIN nd
+         |ORDER BY pmi DESC, term_a ASC, term_b ASC
+         |LIMIT 20""".stripMargin)
 
   def verifySort: Map[String, Seq[String]] = Map(
     "q_tfidf_topterms" -> Seq("doc_id", "rank"))

@@ -62,6 +62,21 @@ object SamplingQueries {
         "domain", alpha = 0.3)
     },
 
+    // per-domain token-budget allocation (epoch planning): the
+    // q_temperature_mix skewed domains, but shares computed over TOKEN
+    // mass; a 100k budget at alpha=0.3 gives the rare domain a
+    // sampling rate > its natural share (epochs = ceil(rate) shows the
+    // repeat regime)
+    "q_token_budget" -> { (s, dir) =>
+      Sampling.tokenBudget(
+        docs(s, dir).select(col("doc_id"),
+          expr("CASE WHEN doc_id % 7 = 0 THEN 'rare' " +
+            "WHEN doc_id % 3 = 0 THEN 'mid' ELSE 'common' END")
+            .as("domain"),
+          size(split(coalesce(col("text"), lit("")), " ")).as("n_tok")),
+        "domain", "n_tok", budget = 100000L, alpha = 0.3)
+    },
+
     // keep docs at or above the 25th percentile of n_chars — computed
     // from the value histogram, not a global row sort
     "q_quantile_filter" -> { (s, dir) =>
@@ -204,6 +219,44 @@ object SamplingQueries {
         |FROM w CROSS JOIN z
         |ORDER BY domain""".stripMargin,
 
+    // Same share math as q_temperature_mix (12-dp pow weights,
+    // DECIMAL-summed normalizer) over token mass; target_tokens via
+    // double round (half-away-from-zero on both engines for positive
+    // values), epochs via ceil of the UNROUNDED rate
+    "q_token_budget" ->
+      """WITH d AS (
+        |  SELECT CASE WHEN doc_id % 7 = 0 THEN 'rare'
+        |    WHEN doc_id % 3 = 0 THEN 'mid' ELSE 'common' END AS domain,
+        |    len(string_split(coalesce(text, ''), ' ')) AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_tok) AS BIGINT) AS n_tokens
+        |  FROM d GROUP BY domain),
+        |t AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS n FROM c),
+        |w AS (
+        |  SELECT domain, n_docs, n_tokens,
+        |    CAST(n_tokens AS DOUBLE) / n AS nat,
+        |    CAST(round(pow(CAST(n_tokens AS DOUBLE) / n, 0.3), 12)
+        |      AS DECIMAL(28, 12)) AS w
+        |  FROM c CROSS JOIN t),
+        |z AS (SELECT sum(w) AS z FROM w),
+        |q AS (
+        |  SELECT domain, n_docs, n_tokens, nat,
+        |    CAST(w AS DOUBLE) / CAST(z AS DOUBLE) AS q,
+        |    CAST(round(CAST(w AS DOUBLE) / CAST(z AS DOUBLE) * 100000.0)
+        |      AS BIGINT) AS target_tokens
+        |  FROM w CROSS JOIN z)
+        |SELECT domain, n_docs, n_tokens,
+        |  round(nat, 6) AS natural_share,
+        |  round(q, 6) AS temp_share,
+        |  target_tokens,
+        |  round(CAST(target_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+        |    AS sampling_rate,
+        |  CAST(ceil(CAST(target_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+        |    AS BIGINT) AS epochs
+        |FROM q ORDER BY domain""".stripMargin,
+
     "q_domain_mix" ->
       """SELECT doc_id, source, n_copies,
         |  CAST(unnest(range(1, n_copies + 1)) AS INTEGER) AS copy_idx
@@ -264,6 +317,7 @@ object SamplingQueries {
     "q_stratified_sample" -> Seq("doc_id"),
     "q_domain_mix" -> Seq("doc_id", "copy_idx"),
     "q_temperature_mix" -> Seq("domain"),
+    "q_token_budget" -> Seq("domain"),
     "q_percent_rank_cont" -> Seq("doc_id"),
     "q_quantile_filter" -> Seq("doc_id"),
     "q_domain_cap" -> Seq("doc_id"),

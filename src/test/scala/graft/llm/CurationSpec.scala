@@ -500,4 +500,28 @@ class CurationSpec extends AnyFunSuite {
     assert(out(2L)._2 == "fr")
     assert(out(3L) == ((1L, "und", false)))
   }
+
+  test("readability: hand-counted syllables, vowel-less floor, and the " +
+    "monosyllable-vs-polysyllable ordering") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      // the(1) cat(1) sat(1) -> 3 words, 3 syllables
+      (1L, "the cat sat"),
+      // university(5: u-i-e-i-y) ... 'university' vowel groups: u,i,e,i,y
+      // = 5; anemone: a-e-o-e = 4; idea: i-ea = 2 -> 3 words, 11 syl
+      (2L, "university anemone idea"),
+      // vowel-less words floor at 1 syllable each
+      (3L, "nth tsk shh")).toDF("doc_id", "text")
+    val out = TextOps.readability(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    assert(out(1L)._1 == 3L && out(1L)._2 == 3L)
+    assert(out(2L)._2 == 11L)
+    assert(out(3L)._2 == 3L)
+    // same word count, more syllables -> strictly lower reading ease
+    assert(out(2L)._3 < out(1L)._3)
+    // the formula itself, replayed: 206.835 - 1.015*3 - 84.6*(3/3)
+    assert(math.abs(out(1L)._3 - (206.835 - 1.015 * 3 - 84.6)) < 1e-6)
+  }
 }

@@ -89,6 +89,35 @@ class LlmSpec extends AnyFunSuite {
     assert(capped.exists(r => r.getBoolean(3)), "oversized cells audited")
   }
 
+  test("coverageCard: hand-built 4/2/1/1 occupancy yields the exact " +
+    "Shannon entropy and shares") {
+    val s = spark
+    import s.implicits._
+    // 4 orthogonal axis seeds (ids 0-3); members repeat an axis scaled,
+    // cosine assignment is exact: occupancy 4/2/1/1 over 8 vectors
+    def axis(i: Int, scale: Float): Array[Float] = {
+      val a = Array.fill(4)(0.0f); a(i) = scale; a
+    }
+    val rows = Seq(
+      0L -> axis(0, 1f), 1L -> axis(1, 1f), 2L -> axis(2, 1f),
+      3L -> axis(3, 1f),
+      10L -> axis(0, 2f), 11L -> axis(0, 3f), 12L -> axis(0, 4f),
+      13L -> axis(1, 2f))
+    val embs = rows.toDF("vec_id", "embedding")
+    val card = Similarity.coverageCard(embs, Seq(0L, 1L, 2L, 3L))
+      .collect()(0)
+    assert(card.getLong(0) == 8L)       // n_vecs
+    assert(card.getInt(1) == 4)         // k_cells
+    assert(card.getLong(2) == 4L)       // occupied_cells
+    val expected = // -(.5 ln .5 + .25 ln .25 + 2 * .125 ln .125)
+      -(0.5 * math.log(0.5) + 0.25 * math.log(0.25) +
+        2 * 0.125 * math.log(0.125))
+    assert(math.abs(card.getDouble(3) - expected) < 1e-6,
+      s"entropy ${card.getDouble(3)} != $expected")
+    assert(math.abs(card.getDouble(4) - expected / math.log(4.0)) < 1e-6)
+    assert(card.getDouble(5) == 0.5)    // max_share
+  }
+
   test("an all-zero embedding survives dedup and is no one's duplicate") {
     val s = spark
     // bad upstream featurization happens at corpus scale: the zero

@@ -69,6 +69,46 @@ class RelevanceSamplingSpec extends AnyFunSuite {
     assert(scoredIds.subsetOf(containIds))
   }
 
+  test("pmi: always-together pair scores ln(N/n), independent pair " +
+    "scores ~0, floor excludes rare pairs") {
+    val s = spark
+    import s.implicits._
+    // a+b always co-occur (2 of 4 docs); c appears everywhere (so any
+    // pair with c has pmi ln(N*n_xc/(n_x*N)) ... c-with-a: n=2,
+    // n_a=2, n_c=4, N=4 -> ln(2*4/(2*4)) = 0; rare r appears once
+    val docs = Seq(
+      (1L, "a b c"), (2L, "a b c"), (3L, "c d r"), (4L, "c d")).toDF(
+      "doc_id", "text")
+    val out = Relevance.pmiPairs(docs, topN = 10, minPairDocs = 2,
+      maxVocab = 100).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2),
+        r.getDouble(5))).toSeq
+    val byPair = out.map(t => t._1 -> t._3).toMap
+    // (a,b): n_pair=2, n_a=2, n_b=2, N=4 -> ln(2*4/4) = ln 2
+    assert(math.abs(byPair(("a", "b")) - math.log(2.0)) < 1e-6)
+    // (a,c): ln(2*4/(2*4)) = 0
+    assert(byPair(("a", "c")) == 0.0)
+    // the floor drops every pair containing the single-doc term r
+    assert(!out.exists(t => t._1._1 == "r" || t._1._2 == "r"))
+    // ordering: pmi descending with (term_a, term_b) tie-break
+    val pmis = out.map(_._3)
+    assert(pmis == pmis.sorted.reverse)
+  }
+
+  test("pmi: the vocabulary cap bounds pair generation and keeps the " +
+    "highest-DF terms") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "big big x1"), (2L, "big small x2"), (3L, "big small x3"),
+      (4L, "big small x4"), (5L, "big small x5")).toDF("doc_id", "text")
+    // cap 2 keeps {big, small} (DF 5 and 4); every xN pair is excluded
+    val out = Relevance.pmiPairs(docs, topN = 10, minPairDocs = 2,
+      maxVocab = 2).collect()
+    assert(out.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("big", "small")))
+  }
+
   // --- Sampling ----------------------------------------------------------
 
   test("corpusShuffle: positions are an exact permutation and match the " +
@@ -363,5 +403,39 @@ class RelevanceSamplingSpec extends AnyFunSuite {
     assert(math.abs(t.values.map(_._1).sum - 1.0) < 1e-4)
     // monotonicity preserved: common still the largest share
     assert(t("common")._1 > t("mid")._1 && t("mid")._1 > t("rare")._1)
+  }
+
+  test("tokenBudget: targets sum to ~budget, alpha=1 equalizes rates, " +
+    "alpha<1 oversamples the rare domain into the epoch regime") {
+    val s = spark
+    import s.implicits._
+    // token mass 8000 / 1500 / 500
+    val docs = ((1 to 80).map(i => (i.toLong, "common", 100)) ++
+      (81 to 95).map(i => (i.toLong, "mid", 100)) ++
+      (96 to 100).map(i => (i.toLong, "rare", 100))).toDF(
+      "doc_id", "domain", "n_tok")
+    def plan(alpha: Double): Map[String, (Long, Double, Long)] =
+      Sampling.tokenBudget(docs, "domain", "n_tok", budget = 5000L, alpha)
+        .collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(5), r.getDouble(6), r.getLong(7)))).toMap
+    val nat = plan(1.0)
+    // alpha=1: every domain samples at budget/total = 0.5, one epoch
+    assert(nat.values.forall { case (_, rate, ep) =>
+      math.abs(rate - 0.5) < 1e-4 && ep == 1L })
+    assert(math.abs(nat.values.map(_._1).sum - 5000L) <= 2,
+      s"targets must sum to ~budget: $nat")
+    val t = plan(0.3)
+    assert(math.abs(t.values.map(_._1).sum - 5000L) <= 2)
+    // flattening: the rare domain's rate exceeds the common domain's,
+    // and crosses 1.0 into the repeat regime (500 tokens, >1897 target)
+    assert(t("rare")._2 > 1.0 && t("rare")._3 >= 2L,
+      s"rare domain must repeat: $t")
+    assert(t("rare")._2 > t("common")._2)
+    // epochs is always ceil(rate)
+    t.values.foreach { case (_, rate, ep) =>
+      assert(ep == math.ceil(rate - 1e-9).toLong ||
+        ep == math.ceil(rate).toLong)
+    }
   }
 }
