@@ -453,6 +453,62 @@ object ComputeRegistry {
           col("n_chars")), Seq("doc_id"))
       graft.llm.Curation.corpusReport(docs)
         .withColumnRenamed("n_docs", out)
+    },
+    // Word-association card — relation-REPLACING like corpus_report:
+    // top-20 term pairs by document-level PMI over a TEXT input column
+    // (vocabulary DF-capped at 1000 BEFORE pair generation, joint-count
+    // floor 5 — the catalog q_pmi_pairs configuration); INTO column(...)
+    // names the pmi column ((term_a, term_b, n_pair, n_a, n_b) ride)
+    "pmi_pairs" -> { (df, ins, out) =>
+      require(!Seq("term_a", "term_b", "n_pair", "n_a", "n_b").contains(out),
+        s"pmi_pairs reserves its pair-card column names; pick another " +
+          s"INTO column name (got '$out')")
+      graft.llm.Relevance.pmiPairs(keyed(df, ins.head),
+        topN = 20, minPairDocs = 5, maxVocab = 1000)
+        .withColumnRenamed("pmi", out)
+    },
+    // Mass-preserving token-budget plan — relation-REPLACING: one row
+    // per domain over (domain, token_count) input columns. The budget is
+    // the relation's OWN total token mass, read off the domain aggregate
+    // the plan already computes (tokenBudgetSelf — no second corpus
+    // pass, no driver collect), so the alpha=0.3 temperature shares
+    // REDISTRIBUTE the same mass: rates > 1 mark repeat-regime domains,
+    // < 1 subsampled ones — the parameter-free epoch-planning card. A
+    // zero/NULL-mass relation refuses loud at execution (raise_error
+    // rides inside the pass). INTO column(...) names the target-token
+    // column
+    "token_budget" -> { (df, ins, out) =>
+      require(ins.length >= 2,
+        s"token_budget needs (domain, token_count) input columns, got $ins")
+      require(!Seq("domain", "n_docs", "n_tokens", "natural_share",
+          "temp_share", "sampling_rate", "epochs").contains(out),
+        s"token_budget reserves its plan column names; pick another " +
+          s"INTO column name (got '$out')")
+      graft.llm.Sampling.tokenBudgetSelf(df, ins.head, ins(1), alpha = 0.3)
+        .withColumnRenamed("target_tokens", out)
+    },
+    // Embedding-coverage card — relation-REPLACING, ONE row: semantic
+    // cell-occupancy entropy over an EMBEDDING input column with the
+    // auto-k seeded quantizer (the semantic_dedup/cluster_balanced
+    // seeds, occupancy ~256); INTO column(...) names the normalized-
+    // entropy column — the headline diversity signal
+    "embedding_coverage" -> { (df, ins, out) =>
+      require(df.columns.contains("doc_id"),
+        s"table kernels require a 'doc_id' key column; relation has " +
+          s"[${df.columns.mkString(", ")}]")
+      require(!Seq("n_vecs", "k_cells", "occupied_cells", "entropy",
+          "max_share").contains(out),
+        s"embedding_coverage reserves its card column names; pick " +
+          s"another INTO column name (got '$out')")
+      // NO persist, unlike cluster_balanced_sample: of the three jobs
+      // (auto-k count, seed-id collect, assignment scan) only the LAST
+      // reads the embedding payload — unpersisted, column pruning makes
+      // the first two embedding-free, while a persist would materialize
+      // the full payload for jobs that never touch it
+      val embs = df.select(col("doc_id").cast("long").as("vec_id"),
+        col(ins.head).as("embedding"))
+      graft.llm.Similarity.coverageCard(embs, semanticSeeds(embs))
+        .withColumnRenamed("norm_entropy", out)
     })
 
   tableBuiltins.foreach { case (k, v) => tableKernels.put(k, v) }
@@ -463,6 +519,9 @@ object ComputeRegistry {
   kernels.put("token_count", cols => graft.llm.TextOps.tokenCount(cols.head))
   kernels.put("fingerprint", cols => graft.llm.TextOps.fingerprint(cols.head))
   kernels.put("pii_scrub", cols => graft.llm.Curation.scrub(cols.head))
+  // Flesch reading-ease over a text column — a pure zero-shuffle
+  // projection (TextOps.flesch), the readability quality axis
+  kernels.put("readability", cols => graft.llm.TextOps.flesch(cols.head))
   // stable md5 sampling bucket (0-99) of any id column: filter on the
   // output for a rerun-stable, join-consistent sample (Sampling.hashSample)
   kernels.put("hash_bucket", cols =>

@@ -168,11 +168,34 @@ object Sampling {
   def tokenBudget(docs: DataFrame, domainCol: String, tokenCol: String,
       budget: Long, alpha: Double): DataFrame = {
     require(budget > 0, s"token budget must be positive, got $budget")
+    tokenBudgetCore(docs, domainCol, tokenCol, lit(budget.toDouble), alpha)
+  }
+
+  /** [[tokenBudget]] with the budget = the relation's OWN total token
+    * mass (the mass-preserving rebalance — rates average 1, the flattening
+    * only REDISTRIBUTES): the total is read off the domain aggregate the
+    * plan already computes, so there is no second corpus pass and no
+    * driver collect — the `token_budget` DSL kernel's parameter-free
+    * form. */
+  def tokenBudgetSelf(docs: DataFrame, domainCol: String, tokenCol: String,
+      alpha: Double): DataFrame =
+    tokenBudgetCore(docs, domainCol, tokenCol, col("_n").cast("double"),
+      alpha)
+
+  private def tokenBudgetCore(docs: DataFrame, domainCol: String,
+      tokenCol: String, budgetCol: Column, alpha: Double): DataFrame = {
     require(alpha >= 0, s"temperature alpha must be >= 0, got $alpha")
     val counts = docs.groupBy(col(domainCol).as("domain"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col(tokenCol)).cast("long").as("n_tokens"))
-    val tot = counts.agg(sum("n_tokens").as("_n"))
+    // the zero/NULL-mass contract error rides INSIDE the one pass
+    // (raise_error at execution, before the share divisions) instead of
+    // a separate driver-side guard pass
+    val tot = counts.agg(sum("n_tokens").as("_t"))
+      .select(when(col("_t").isNull || col("_t") <= 0,
+        raise_error(lit("token_budget: relation has no token mass " +
+          "(token column sums to NULL or 0)")).cast("bigint"))
+        .otherwise(col("_t")).as("_n"))
     val w = counts.crossJoin(broadcast(tot))
       .withColumn("_nat",
         col("n_tokens").cast("double") / col("_n").cast("double"))
@@ -183,7 +206,7 @@ object Sampling {
     w.crossJoin(broadcast(z))
       .withColumn("_q", col("_w").cast("double") / col("_z").cast("double"))
       .withColumn("target_tokens",
-        round(col("_q") * lit(budget.toDouble)).cast("bigint"))
+        round(col("_q") * budgetCol).cast("bigint"))
       .select(col("domain"), col("n_docs"), col("n_tokens"),
         round(col("_nat"), 6).as("natural_share"),
         round(col("_q"), 6).as("temp_share"),

@@ -134,19 +134,30 @@ object TextOps {
     * portable `[aeiouy]+` regex keep the DuckDB oracle bit-exact. */
   def readability(docs: DataFrame): DataFrame = {
     val w = tokens(coalesce(col("text"), lit("")))
-    val syl = aggregate(
-      transform(w, x =>
-        greatest(size(regexp_extract_all(x, lit("[aeiouy]+"), lit(0))),
-          lit(1))),
-      lit(0L), (acc, x) => acc + x)
-    val n = size(w)
     docs.select(col("doc_id"),
-      n.cast("bigint").as("n_words"),
-      syl.cast("bigint").as("n_syllables"),
-      round(lit(206.835) - lit(1.015) * n.cast("double") -
-        lit(84.6) * (syl.cast("double") / n.cast("double")), 6)
-        .as("flesch"))
+      size(w).cast("bigint").as("n_words"),
+      syllables(w).cast("bigint").as("n_syllables"),
+      fleschW(w).as("flesch"))
   }
+
+  /** Vowel-group syllable estimate over a token array (floor 1/word). */
+  private def syllables(w: Column): Column = aggregate(
+    transform(w, x =>
+      greatest(size(regexp_extract_all(x, lit("[aeiouy]+"), lit(0))),
+        lit(1))),
+    lit(0L), (acc, x) => acc + x)
+
+  private def fleschW(w: Column): Column = {
+    val n = size(w)
+    round(lit(206.835) - lit(1.015) * n.cast("double") -
+      lit(84.6) * (syllables(w).cast("double") / n.cast("double")), 6)
+  }
+
+  /** The Flesch score as a pure Column over a text column — the
+    * `readability` DSL kernel's zero-join, zero-shuffle projection form
+    * of [[readability]]. */
+  def flesch(text: Column): Column =
+    fleschW(tokens(coalesce(text, lit(""))))
 
   /** Mixed-language detection — the CCNet-stack "language consistency"
     * check (a doc whose segments disagree on language is dropped or

@@ -49,7 +49,21 @@ object KernelProbe {
       "q_decontaminate_bloom"),
     ("corpus_report",
       "COMPUTE r FROM table(text) INTO column(n_docs) USING corpus_report",
-      "q_corpus_report"))
+      "q_corpus_report"),
+    ("readability",
+      "COMPUTE f FROM table(text) INTO column(flesch_k) USING readability",
+      "q_readability"),
+    ("pmi_pairs",
+      "COMPUTE p FROM table(text) INTO column(pmi_k) USING pmi_pairs",
+      "q_pmi_pairs"),
+    ("token_budget",
+      "COMPUTE t FROM table(dom, n_tok) INTO column(tgt) " +
+        "USING token_budget",
+      "q_token_budget"),
+    ("embedding_coverage",
+      "COMPUTE e FROM table(embedding) INTO column(norm_h) " +
+        "USING embedding_coverage",
+      "q_embedding_coverage"))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
@@ -75,6 +89,15 @@ object KernelProbe {
       .withColumn("is_en", col("lang") === "en")
       .withColumn("is_bench", col("doc_id") % 10 === 0)
       .createOrReplaceTempView("flagged_docs")
+    // token_budget needs a (domain, token_count) relation; mirror the
+    // q_token_budget catalog construction (doc_id-mod domains, whitespace
+    // token counts)
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, size, split}
+    spark.table("documents")
+      .withColumn("dom", expr("CASE WHEN doc_id % 7 = 0 THEN 'rare' " +
+        "WHEN doc_id % 3 = 0 THEN 'mid' ELSE 'common' END"))
+      .withColumn("n_tok", size(split(coalesce(col("text"), lit("")), " ")))
+      .createOrReplaceTempView("budget_docs")
     val base = java.nio.file.Files
       .createTempDirectory("graft_kernel_probe").toString
     val runner = new StatementRunner(spark,

@@ -539,4 +539,87 @@ class ComputeSpec2 extends AnyFunSuite {
     }
     assert(err.getMessage.contains("no target rows"))
   }
+
+  test("readability / pmi_pairs / token_budget / embedding_coverage " +
+    "kernels reach the round-12 analysis operators from the DSL") {
+    val s = spark
+    // readability: pure column kernel — matches the operator's flesch
+    // on every doc (same projection, no join)
+    val rd = ComputeRegistry.runOnce(s,
+      parse("COMPUTE rd FROM table(text) INTO column(flesch_k) " +
+        "USING readability"),
+      "documents")
+    val twin = graft.llm.TextOps.readability(
+      s.table("documents").select("doc_id", "text"))
+      .select(col("doc_id"), col("flesch"))
+    assert(rd.select("doc_id", "flesch_k")
+      .join(twin, Seq("doc_id"))
+      .filter(!(col("flesch_k") <=> col("flesch"))).count() == 0)
+    // pmi_pairs: relation-replacing card, <= 20 rows, ordered by pmi
+    // desc, and the reserved-name guard refuses loud
+    val pp = ComputeRegistry.runOnce(s,
+      parse("COMPUTE pp FROM table(text) INTO column(pmi_k) " +
+        "USING pmi_pairs"),
+      "documents").collect()
+    assert(pp.length > 0 && pp.length <= 20)
+    val pmis = pp.map(_.getAs[Double]("pmi_k")).toSeq
+    assert(pmis == pmis.sorted.reverse)
+    val ppErr = intercept[IllegalArgumentException] {
+      ComputeRegistry.runOnce(s,
+        parse("COMPUTE pp FROM table(text) INTO column(term_a) " +
+          "USING pmi_pairs"),
+        "documents")
+    }
+    assert(ppErr.getMessage.contains("reserves"))
+    // token_budget: mass-preserving plan — targets sum to ~the
+    // relation's own token mass, rare domain lands in the repeat regime
+    s.table("documents")
+      .withColumn("dom", when(col("doc_id") % 7 === 0, "rare")
+        .otherwise("common"))
+      .withColumn("n_tok",
+        size(split(coalesce(col("text"), lit("")), " ")))
+      .createOrReplaceTempView("dom_docs")
+    val tb = ComputeRegistry.runOnce(s,
+      parse("COMPUTE tb FROM table(dom, n_tok) INTO column(tgt) " +
+        "USING token_budget"),
+      "dom_docs")
+    val mass = s.table("dom_docs").agg(sum("n_tok")).collect()(0).getLong(0)
+    val plan = tb.collect().map(r =>
+      r.getAs[String]("domain") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("tgt"),
+          r.getAs[Double]("sampling_rate")))).toMap
+    assert(math.abs(plan.values.map(_._2).sum - mass) <= 2,
+      s"mass-preserving: targets must sum to ~$mass, got $plan")
+    // alpha=0.3 flattening: the rare domain oversamples, common under
+    assert(plan("rare")._3 > 1.0 && plan("common")._3 < 1.0, s"$plan")
+    // embedding_coverage: one-row card over the keyed embeddings; the
+    // entropy is positive and normalized entropy lands in (0, 1]
+    s.table("embeddings")
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+      .createOrReplaceTempView("emb_docs_cov")
+    val cov = ComputeRegistry.runOnce(s,
+      parse("COMPUTE ec FROM table(embedding) INTO column(norm_h) " +
+        "USING embedding_coverage"),
+      "emb_docs_cov").collect()
+    assert(cov.length == 1)
+    val card = cov(0)
+    assert(card.getAs[Long]("n_vecs") ==
+      s.table("embeddings").count())
+    assert(card.getAs[Double]("entropy") > 0.0)
+    val nh = card.getAs[Double]("norm_h")
+    assert(nh > 0.0 && nh <= 1.0, s"norm entropy out of range: $nh")
+    // token_budget contract error: zero token mass refuses loud at
+    // execution (the raise_error guard rides inside the one pass — no
+    // separate guard job)
+    s.table("documents").withColumn("z", lit(0))
+      .createOrReplaceTempView("zero_tok_docs")
+    val tbErr = intercept[Exception] {
+      ComputeRegistry.runOnce(s,
+        parse("COMPUTE tb FROM table(source, z) INTO column(t) " +
+          "USING token_budget"),
+        "zero_tok_docs").collect()
+    }
+    assert(tbErr.getMessage.contains("no token mass"),
+      s"unexpected error: ${tbErr.getMessage}")
+  }
 }
