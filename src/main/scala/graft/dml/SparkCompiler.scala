@@ -146,7 +146,10 @@ object TrainCompiler {
       spec.source
     }
 
-  def trainingDataFrame(spark: SparkSession, spec: TrainSpec): DataFrame = {
+  def trainingDataFrame(spark: SparkSession, rawSpec: TrainSpec): DataFrame = {
+    // resolve a bare-name calendar against the CALLER's session (never
+    // the thread-local active one) before any holidayDates consultation
+    val spec = withResolvedCalendar(rawSpec, spark)
     val src = spark.sql(s"SELECT * FROM ${sourceFragment(spec)}")
     spec.timeSeries match {
       case None =>
@@ -230,7 +233,13 @@ object TrainCompiler {
             "indicator-column cap; join a calendar table instead")
         dates
       case ("holidays", Value.VStr(name)) =>
-        calendarDates(name, SparkSession.active)
+        // a bare name here means the spec skipped the train entry point's
+        // resolve-once rewrite; resolving against the thread-local active
+        // session would risk the WRONG catalog under concurrent sessions
+        throw new IllegalStateException(
+          s"prophet holidays=$name is an unresolved calendar name: pass " +
+            "the spec through TrainCompiler.withResolvedCalendar(spec, " +
+            "session) (Trainer.train does) before consulting holidayDates")
       case ("holidays", other) => throw new IllegalArgumentException(
         "prophet holidays must be a literal ISO-date list or the name " +
           s"of a registered calendar view, got $other")
@@ -247,7 +256,7 @@ object TrainCompiler {
     * coefficient was trained on. After this rewrite the spec is a pure
     * value again and every consumer binds the same dates. */
   def withResolvedCalendar(spec: TrainSpec,
-      session: SparkSession = SparkSession.active): TrainSpec =
+      session: SparkSession): TrainSpec =
     if (!spec.algorithm.equalsIgnoreCase("prophet")) spec
     else spec.copy(params = spec.params.map {
       case ("holidays", Value.VStr(name)) =>

@@ -81,7 +81,11 @@ class TimeSeriesDslSpec extends AnyFunSuite {
     assert(spec.params.map(_._1) ==
       List("seasonality", "holidays", "changepoints",
         "changepoint_prior_scale", "max_iter"))
-    assert(TrainCompiler.featureNames(spec) ==
+    // feature naming on a bare-name-calendar spec goes through the
+    // explicit-session resolve first (r12: holidayDates no longer falls
+    // back to the thread-local active session)
+    assert(TrainCompiler.featureNames(
+      TrainCompiler.withResolvedCalendar(spec, s)) ==
       Seq("season_yearly", "season_yearly_sin", "season_yearly_cos",
         "season_weekly", "season_weekly_sin", "season_weekly_cos",
         "t_index", "cp_1", "cp_2", "holiday_1", "holiday_2", "holiday_3"),
@@ -229,6 +233,31 @@ class TimeSeriesDslSpec extends AnyFunSuite {
     assert(e.getMessage.contains("missing_calendar") &&
       e.getMessage.contains("register"),
       s"must point at the missing registration: ${e.getMessage}")
+  }
+
+  test("holidayDates on an UNRESOLVED bare-name spec refuses loud — " +
+    "it never falls back to the thread-local active session's catalog") {
+    val s = spark
+    import s.implicits._
+    // even with the view REGISTERED in the active session, consulting
+    // holidayDates before the resolve-once rewrite is a contract error:
+    // under concurrent sessions the thread-local lookup could bind a
+    // different catalog's view than the caller's
+    Seq("1995-03-01").toDF("ds").select(col("ds").cast("date").as("ds"))
+      .createOrReplaceTempView("cal_unresolved")
+    val spec = DmlParser.parse(
+      "TRAIN MODEL m USING prophet(holidays=cal_unresolved) " +
+        "FROM orders PREDICT o_totalprice " +
+        "WITH TIME COLUMN o_orderdate AND FEATURES(TREND linear)")
+      .asInstanceOf[TrainSpec]
+    val e = intercept[IllegalStateException] {
+      TrainCompiler.holidayDates(spec)
+    }
+    assert(e.getMessage.contains("withResolvedCalendar"), e.getMessage)
+    // the rewrite with an EXPLICIT session is the sanctioned path
+    assert(TrainCompiler.holidayDates(
+      TrainCompiler.withResolvedCalendar(spec, s)) ==
+      Some(List("1995-03-01")))
   }
 
   test("seasonality param dedupes against SEASONAL markers by period") {
