@@ -147,11 +147,15 @@ object Curation {
     val rawTok = bucketed(raw)
     val tgtC = bucketed(target).groupBy("_b").agg(count(lit(1)).as("_ct"))
     val rawC = rawTok.groupBy("_b").agg(count(lit(1)).as("_cr"))
-    val tgtN = tgtC.agg(sum("_ct").cast("double").as("_nt"))
-    val rawN = rawC.agg(sum("_cr").cast("double").as("_nr"))
-    // <= `buckets` rows after the outer join; absent side counts are 0
+    // <= `buckets` rows after the outer join; absent side counts are 0.
+    // Totals ride whole-relation windows over the bucket-bounded joined
+    // table: sum() skips NULLs, so sum(_ct) over the full join equals the
+    // tgtC total exactly. Broadcast-agg totals here would plan BOTH
+    // corpus tokenize passes twice (the same-lineage crossJoin trap —
+    // see Sampling.allRows)
     val ratio = tgtC.join(rawC, Seq("_b"), "full")
-      .crossJoin(broadcast(tgtN)).crossJoin(broadcast(rawN))
+      .withColumn("_nt", sum("_ct").over(Sampling.allRows).cast("double"))
+      .withColumn("_nr", sum("_cr").over(Sampling.allRows).cast("double"))
       .select(col("_b"),
         (log((coalesce(col("_ct"), lit(0L)) + alpha) /
             (col("_nt") + alpha * buckets)) -

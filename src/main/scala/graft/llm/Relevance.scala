@@ -151,6 +151,14 @@ object Relevance {
   def pmiPairs(docs: DataFrame, topN: Int = 20, minPairDocs: Int = 5,
       maxVocab: Int = 1000): DataFrame = {
     val dw = tokens(docs).distinct()
+    // the vocab lineage appears under three consumers (the cap semi-join
+    // and both count joins) — statically three copies of the corpus
+    // tokenize+distinct, but all three exchange subtrees are canonically
+    // IDENTICAL, so AQE's stage reuse runs the shuffle once and serves
+    // the other two from the same map output (measured: splitting the
+    // vocab out via a driver collect ran 1.5x SLOWER at sf0.1 because it
+    // forces two sequential corpus jobs). PlanAuditSpec pins the runtime
+    // reuse, not the static scan count.
     val vocab = dw.groupBy("term")
       .agg(count(lit(1)).as("n_term"))
       .orderBy(col("n_term").desc, col("term").asc)

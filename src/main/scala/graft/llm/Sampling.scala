@@ -17,6 +17,18 @@ object Sampling {
 
   private def md5Key(id: Column): Column = md5(id.cast("string"))
 
+  /** Whole-relation window for attaching global totals to an already-tiny
+    * aggregate (domain/bucket-cardinality rows). A `crossJoin(broadcast(
+    * rel.agg(...)))` here would put the SAME corpus-derived lineage on
+    * both sides of the join — Spark plans each side independently, so the
+    * corpus gets scanned once per reuse (measured: 4 full scans on the
+    * token-budget card). A window total stays inside the one linear plan:
+    * one corpus pass, then a single-partition shuffle of the tiny
+    * aggregate only. Constant partition key (not `partitionBy()`) so the
+    * planner doesn't emit the moving-all-data warning for what is a
+    * deliberate bounded-relation collapse. */
+  private[llm] val allRows = Window.partitionBy(lit(0))
+
   /** Deterministic global shuffle: every doc gets a position in a
     * pseudo-random total order (md5 of doc_id, ties impossible beyond the
     * id itself) plus a round-robin shard assignment — the "shuffle the
@@ -136,14 +148,16 @@ object Sampling {
     require(alpha >= 0, s"temperature alpha must be >= 0, got $alpha")
     val counts = docs.groupBy(col(domainCol).as("domain"))
       .agg(count(lit(1)).as("n_docs"))
-    val tot = counts.agg(sum("n_docs").as("_n"))
-    val w = counts.crossJoin(broadcast(tot))
+    // totals as whole-relation windows over the domain-sized table (see
+    // allRows): the corpus aggregation runs ONCE; broadcast-agg totals
+    // here would re-scan the corpus per total
+    val w = counts
+      .withColumn("_n", sum("n_docs").over(allRows))
       .withColumn("_nat", col("n_docs").cast("double") / col("_n"))
       .withColumn("_w",
         round(pow(col("_nat"), lit(alpha)), 12)
           .cast(org.apache.spark.sql.types.DecimalType(28, 12)))
-    val z = w.agg(sum("_w").as("_z"))
-    w.crossJoin(broadcast(z))
+    w.withColumn("_z", sum("_w").over(allRows))
       .select(col("domain"), col("n_docs"),
         round(col("_nat"), 6).as("natural_share"),
         round(col("_w").cast("double") / col("_z").cast("double"), 6)
@@ -188,22 +202,24 @@ object Sampling {
     val counts = docs.groupBy(col(domainCol).as("domain"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col(tokenCol)).cast("long").as("n_tokens"))
-    // the zero/NULL-mass contract error rides INSIDE the one pass
-    // (raise_error at execution, before the share divisions) instead of
-    // a separate driver-side guard pass
-    val tot = counts.agg(sum("n_tokens").as("_t"))
-      .select(when(col("_t").isNull || col("_t") <= 0,
-        raise_error(lit("token_budget: relation has no token mass " +
-          "(token column sums to NULL or 0)")).cast("bigint"))
-        .otherwise(col("_t")).as("_n"))
-    val w = counts.crossJoin(broadcast(tot))
+    // totals as whole-relation windows over the domain-sized table (see
+    // allRows — broadcast-agg totals would re-scan the corpus per total,
+    // measured 4 full scans on this very card). The zero/NULL-mass
+    // contract error still rides INSIDE the pass (raise_error at
+    // execution, before the share divisions), never a separate guard job
+    val tot = sum("n_tokens").over(allRows)
+    val w = counts
+      .withColumn("_n",
+        when(tot.isNull || tot <= 0,
+          raise_error(lit("token_budget: relation has no token mass " +
+            "(token column sums to NULL or 0)")).cast("bigint"))
+          .otherwise(tot))
       .withColumn("_nat",
         col("n_tokens").cast("double") / col("_n").cast("double"))
       .withColumn("_w",
         round(pow(col("_nat"), lit(alpha)), 12)
           .cast(org.apache.spark.sql.types.DecimalType(28, 12)))
-    val z = w.agg(sum("_w").as("_z"))
-    w.crossJoin(broadcast(z))
+    w.withColumn("_z", sum("_w").over(allRows))
       .withColumn("_q", col("_w").cast("double") / col("_z").cast("double"))
       .withColumn("target_tokens",
         round(col("_q") * budgetCol).cast("bigint"))

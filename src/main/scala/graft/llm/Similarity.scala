@@ -821,8 +821,12 @@ object Similarity {
     val assigned = embeddings.select(col("vec_id"),
       cosCellCol(col("embedding"), centers).as("cell"))
     val cells = assigned.groupBy("cell").agg(count(lit(1)).as("_nc"))
-    val tot = cells.agg(sum("_nc").as("_n"))
-    val terms = cells.crossJoin(broadcast(tot))
+    // the total rides a whole-relation window over the k-row cell table
+    // (Sampling.allRows) — a broadcast-agg total would plan the embedding
+    // scan + assignment TWICE, and this is the one operator whose scan
+    // reads the full payload column
+    val terms = cells
+      .withColumn("_n", sum("_nc").over(Sampling.allRows))
       .withColumn("_share",
         col("_nc").cast("double") / col("_n").cast("double"))
       .withColumn("_term",

@@ -33,7 +33,9 @@ object ExplainPlans {
     // on construction, and q_cosine_join_rewrite materializes under its
     // conf gate — their shapes are pinned in PlanAuditSpec / in-entry
     // requires instead.
-    interesting.foreach { name =>
+    // trailing args (after the sf dir) select specific entries instead
+    val selected = if (args.length > 1) args.drop(1).toSeq else interesting
+    selected.foreach { name =>
       println(s"\n========== $name ==========")
       graft.SparkEntry.queries(name)(spark, dir).explain("formatted")
       // entries that persist intermediates (band buckets) must not pin

@@ -301,20 +301,10 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
-  test("q_temperature_mix runs the share math on broadcast one-row " +
-    "totals — no window, no cartesian blowup") {
-    val p = plan("q_temperature_mix")
-    assert(!p.contains("CartesianProduct"),
-      s"totals must broadcast, not cartesian:\n$p")
-    assert(!p.contains("Window"),
-      s"the mix table must come from aggregation, never a window:\n$p")
-    // only the broadcast one-row totals (N, Z) may nested-loop: the N
-    // join appears twice (the weighted branch feeds both Z and the
-    // output — recomputed, domain-sized, harmless) plus the Z join
-    val nlj = """\(\d+\) BroadcastNestedLoopJoin""".r.findAllIn(p).length
-    assert(nlj <= 3,
-      s"only the broadcast one-row totals may nested-loop, got $nlj:\n$p")
-  }
+  // (the r11 pin asserting q_temperature_mix used broadcast one-row
+  // totals with no Window is superseded: the "recomputed, domain-sized,
+  // harmless" branch it tolerated was in fact a full corpus re-scan per
+  // total — the one-scan window pin below is the r12 invariant)
 
   test("q_bpe_tokenize applies merges as ONE native expression over " +
     "distinct words") {
@@ -421,19 +411,103 @@ class PlanAuditSpec extends AnyFunSuite {
       s"membership must run through the native BloomHit expression:\n$p")
   }
 
-  test("q_dsir_weights broadcasts the bucket-ratio table; only the two " +
-    "1-row total relations may nested-loop") {
+  test("q_dsir_weights broadcasts the bucket-ratio table; totals ride " +
+    "windows, so the corpus tokenizes at most 3 times") {
     val p = plan("q_dsir_weights")
     assert(!p.contains("CartesianProduct"),
       s"the ratio join must stay an equi-join on the hash bucket:\n$p")
     val nlj = """\(\d+\) BroadcastNestedLoopJoin""".r.findAllIn(p).length
-    assert(nlj <= 2,
-      s"only the broadcast 1-row token-total relations may nested-loop, " +
-        s"found $nlj:\n$p")
+    assert(nlj == 0,
+      s"the token totals ride whole-relation windows over the " +
+        s"bucket-bounded ratio table — a nested-loop total join means a " +
+        s"duplicated corpus lineage crept back, found $nlj:\n$p")
     assert(p.contains("BroadcastHashJoin"),
       s"the <=1024-row log-ratio table must broadcast onto the token " +
         s"stream — a shuffle here repartitions the whole corpus by " +
         s"hash bucket:\n$p")
+    val scans = """\(\d+\) Scan parquet""".r.findAllIn(p).length
+    assert(scans <= 4,
+      s"DSIR is two profile passes + one apply pass (plus the cheap " +
+        s"doc_id-only scan) — more means a total re-derived the corpus " +
+        s"lineage, found $scans:\n$p")
+  }
+
+  test("the four analysis cards run ONE corpus pass each: totals as " +
+    "whole-relation windows, never same-lineage broadcast joins") {
+    // (entry, max 'Scan parquet' nodes) — the scan count IS the pin: a
+    // crossJoin(broadcast(rel.agg)) total plans rel's corpus lineage once
+    // per reuse (q_token_budget measured 4 full text scans before r12)
+    for ((name, maxScans) <- Seq(
+        ("q_token_budget", 1), ("q_temperature_mix", 1),
+        ("q_embedding_coverage", 1))) {
+      val p = plan(name)
+      val scans = """\(\d+\) Scan parquet""".r.findAllIn(p).length
+      assert(scans <= maxScans,
+        s"$name must read its corpus ONCE, found $scans scans:\n$p")
+      assert(p.contains("Window"),
+        s"$name totals must ride whole-relation windows over the " +
+          s"bounded aggregate:\n$p")
+      assert(!p.contains("Join"), s"$name needs no join at all:\n$p")
+    }
+  }
+
+  test("q_pmi_pairs: bounded top-k, no cartesian; vocab lineage is " +
+    "statically shared-shaped (identical exchanges AQE reuses at runtime)") {
+    val p = plan("q_pmi_pairs")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-N pairs must be a bounded sort+limit, not a global sort:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"pair generation is per-doc array HOFs, never a self-join:\n$p")
+    val nlj = """\(\d+\) BroadcastNestedLoopJoin""".r.findAllIn(p).length
+    assert(nlj <= 1,
+      s"only the 1-row n_docs relation may nested-loop, found $nlj:\n$p")
+  }
+
+  test("q_pmi_pairs reads the corpus at most TWICE at runtime — AQE " +
+    "stage reuse serves every vocab consumer from one shuffle") {
+    // the static plan shows the tokenize+distinct lineage under three
+    // consumers, but all three exchange subtrees are canonically
+    // identical, so AQE materializes the shuffle once. This is a RUNTIME
+    // property — pin it with the task input metrics, not the explain.
+    // (A driver-collected local vocab would make the static plan
+    // two-scan, but measured 1.5x slower: it forces two sequential
+    // corpus jobs where stage reuse already gives one.)
+    val s = spark
+    val nDocs = s.read
+      .parquet(s"${SparkTestSession.fixtureDir}/documents.parquet").count()
+    val records = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null)
+          records.addAndGet(t.taskMetrics.inputMetrics.recordsRead)
+    }
+    s.sparkContext.addSparkListener(listener)
+    try {
+      records.set(0L)
+      SparkEntry.queries("q_pmi_pairs")(s, SparkTestSession.fixtureDir)
+        .collect()
+      // the listener bus is async: poll until the counter is stable
+      var last = -1L
+      var spins = 0
+      while (records.get != last && spins < 40) {
+        last = records.get; spins += 1; Thread.sleep(250)
+      }
+      // one text pass (stage-reused) + the doc_id-only n_docs pass;
+      // small slack for speculative/metric noise
+      assert(records.get <= nDocs * 2 + nDocs / 2,
+        s"q_pmi_pairs read ${records.get} records for a $nDocs-doc " +
+          s"corpus — the vocab lineage is no longer stage-reused")
+    } finally s.sparkContext.removeSparkListener(listener)
+  }
+
+  test("q_readability is a zero-shuffle projection reading only " +
+    "(doc_id, text)") {
+    val p = plan("q_readability")
+    assert(!p.contains("Exchange"),
+      s"the Flesch card is a pure projection — no shuffle:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"column pruning must reach the scan:\n$p")
   }
 
   test("q_ce_delta keeps both LMs' count joins as equi-joins; only the " +
