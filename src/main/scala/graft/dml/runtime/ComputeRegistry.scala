@@ -107,6 +107,55 @@ object ComputeRegistry {
         .select(col("doc_id"), col("is_kept").as(out))
       df.join(kept, Seq("doc_id"))
     },
+    // minhash near-dup groups -> leakage-safe 80/10/10 split: whole
+    // groups land in one split (md5 bucket of the GROUP label, the
+    // hashSample family), so a near-dup of a held-out doc can never sit
+    // in train; (dup_group, bucket) ride, INTO column(...) names the
+    // split column
+    "leakage_split" -> { (df, ins, out) =>
+      require(!Seq("dup_group", "bucket").contains(out),
+        s"leakage_split reserves its group/bucket column names; pick " +
+          s"another INTO column name (got '$out')")
+      val splits = graft.llm.Curation.leakageSafeSplit(
+        textDupGroups(df, keyed(df, ins.head)), trainPct = 80, valPct = 10)
+        .select(col("doc_id"), col("dup_group"), col("bucket"),
+          col("split").as(out))
+      df.join(splits, Seq("doc_id"))
+    },
+    // context-length packing planner — relation-REPLACING, ONE row:
+    // token-count quantiles, overflow at seqLen=64, the concatenation-
+    // packing sequence count (the catalog q_pack_plan configuration);
+    // INTO column(...) names the padding-waste column
+    "pack_plan" -> { (df, ins, out) =>
+      require(!Seq("n_docs", "total_tokens", "p50_tokens", "p90_tokens",
+          "p99_tokens", "seq_len", "n_overlong", "overflow_tokens",
+          "packed_seqs").contains(out),
+        s"pack_plan reserves its card column names; pick another INTO " +
+          s"column name (got '$out')")
+      graft.llm.TextOps.packPlan(keyed(df, ins.head), seqLen = 64)
+        .withColumnRenamed("pad_waste_pct", out)
+    },
+    // corpus-overlap sketch over (text, is_b) input columns —
+    // relation-REPLACING, ONE row: union-MinHash Jaccard estimate
+    // between the unflagged rows (corpus a) and the flagged rows
+    // (corpus b) — the cheap overlap probe before an exact gram join;
+    // INTO column(...) names the estimate column
+    "corpus_overlap" -> { (df, ins, out) =>
+      require(ins.length >= 2,
+        s"corpus_overlap needs (text, is_b) input columns, got $ins")
+      require(!Seq("n_docs_a", "n_docs_b", "n_hashes", "n_agree")
+          .contains(out),
+        s"corpus_overlap reserves its sketch column names; pick another " +
+          s"INTO column name (got '$out')")
+      val flag = col(ins(1)).cast("boolean") <=> lit(true)
+      val a = keyed(df.filter(!flag), ins.head)
+      val b = keyed(df.filter(flag), ins.head)
+      require(!b.isEmpty,
+        s"corpus_overlap: no b-side rows (column '${ins(1)}' is never " +
+          "true)")
+      graft.llm.Dedup.corpusOverlapSketch(a, b)
+        .withColumnRenamed("est_jaccard", out)
+    },
     // normalized-hash exact dedup -> boolean dup flag
     "exact_dedup" -> { (df, ins, out) =>
       val flags = graft.llm.TextOps.exactDedup(keyed(df, ins.head))

@@ -710,6 +710,36 @@ object Curation {
         col("kept_doc"), (col("doc_id") === col("kept_doc")).as("is_kept"))
   }
 
+  /** Leakage-safe train/val/test assignment: every member of a near-dup
+    * group lands in the SAME split, so near-duplicates of a held-out doc
+    * can never sit in train — the eval-contamination channel that
+    * doc-level hash splitting leaves wide open (a trimmed or lightly
+    * edited copy hashes to a different bucket than its original).
+    * Splits by the [[Sampling.md5Bucket]] of the GROUP label: rerun-
+    * stable, independent of group membership order, and consistent with
+    * every other hash-sampled artifact of the corpus. Buckets 0 to
+    * trainPct−1 → train, to trainPct+valPct−1 → val, rest → test.
+    *
+    * Scale shape: a pure projection over the `groups` relation (from
+    * [[dupGroups]]/[[dupGroupsAlternating]]) — zero additional shuffle
+    * at any corpus size; the group machinery is the whole cost.
+    *
+    * @param groups (doc_id, dup_group) as produced by the dup-group
+    *               operators (singletons carry their own id) */
+  def leakageSafeSplit(
+      groups: DataFrame, trainPct: Int, valPct: Int): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,
+      s"split percentages must satisfy trainPct > 0, valPct >= 0, " +
+        s"trainPct + valPct < 100 (the remainder is test); got " +
+        s"train=$trainPct val=$valPct")
+    groups.select(col("doc_id"), col("dup_group"),
+      Sampling.md5Bucket(col("dup_group")).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < trainPct, "train")
+          .when(col("bucket") < trainPct + valPct, "val")
+          .otherwise("test"))
+  }
+
   /** The default keep score: UTF-8 byte length of the text (Lee et al.
     * keep-longest) — shared by the oracle entry and the DSL kernel so
     * the two can never diverge. */

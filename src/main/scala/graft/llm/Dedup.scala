@@ -56,6 +56,42 @@ object Dedup {
           element_at(col("_sigs"), j + 1).as(s"sig_$j")): _*)
   }
 
+  /** One-row corpus-overlap card: union-MinHash Jaccard estimate between
+    * two corpora's k-shingle sets — "how much n-gram content do these
+    * datasets share" (Broder resemblance at CORPUS granularity), the
+    * cross-snapshot / train-vs-benchmark overlap probe that needs no
+    * join, no pair generation, and no shared partitioning at all. The
+    * union sketch of a corpus is the component-wise min over its docs'
+    * minhash signatures (min of per-doc mins = min over the shingle
+    * UNION — the sketch composes), so each corpus costs exactly ONE
+    * `numHashes`-wide partial-aggregated pass; the estimate is the
+    * fraction of agreeing components, with ±1/numHashes resolution.
+    * md5 family ([[minhashSignatures]]) — DuckDB-replayable, so the
+    * card is oracle-hashed, not just sanity-checked.
+    *
+    * Scale shape: two independent corpus scans reducing to one row each
+    * (map-side combine carries numHashes strings per partition); the
+    * final crossJoin is 1-row × 1-row over DIFFERENT lineages. This is
+    * the cheap first question to ask before paying for
+    * [[Curation.decontaminate]]'s exact gram join. */
+  def corpusOverlapSketch(
+      a: DataFrame, b: DataFrame, k: Int = 3, numHashes: Int = 8)
+      : DataFrame = {
+    def sketch(docs: DataFrame, side: String, nName: String): DataFrame =
+      minhashSignatures(docs, k, numHashes).agg(
+        count(lit(1)).cast("bigint").as(nName),
+        (0 until numHashes)
+          .map(j => min(col(s"sig_$j")).as(s"${side}_$j")): _*)
+    val agree = (0 until numHashes)
+      .map(j => when(col(s"a_$j") === col(s"b_$j"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    sketch(a, "a", "n_docs_a").crossJoin(sketch(b, "b", "n_docs_b"))
+      .select(col("n_docs_a"), col("n_docs_b"),
+        lit(numHashes).as("n_hashes"),
+        agree.cast("bigint").as("n_agree"),
+        round(agree.cast("double") / numHashes, 6).as("est_jaccard"))
+  }
+
   /** Fast minhash signatures for the candidate-generation path: ONE
     * xxhash64 per shingle, then `numHashes` affine rehashes
     * (a_j·h + b_j, wrapping 64-bit arithmetic — deterministic). ~8× fewer

@@ -76,8 +76,14 @@ object Sampling {
     * so an idCol containing spaces/quotes/reserved words resolves like any
     * other column reference instead of breaking (or re-parsing as) an
     * expression. */
-  private def md5Bucket(idCol: String): Column =
-    conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+  private def md5Bucket(idCol: String): Column = md5Bucket(col(idCol))
+
+  /** The shared stable sampling bucket (0–99): first 8 hex chars of
+    * md5(id as string), base-16 → long, mod 100. Everything split- or
+    * sample-shaped in the library keys off THIS bucket so samples nest
+    * and joins stay consistent ([[hashSample]] docs). */
+  private[llm] def md5Bucket(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 8), 16, 10)
       .cast("long") % 100
 
   /** Stable hash sample: keep a doc iff its md5 bucket (0–99) falls below

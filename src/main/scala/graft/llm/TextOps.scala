@@ -269,6 +269,67 @@ object TextOps {
           .as("last_chunk"))
   }
 
+  /** One-row context-length packing planner: the card an epoch planner
+    * reads before choosing a sequence length — token-count quantiles,
+    * how many docs overflow `seqLen` (and how many tokens truncation
+    * would cut), the concatenation-packing sequence count
+    * (ceil(effective/seqLen), the GPT-style [[seqPack]] lower bound),
+    * and the padding waste of the naive one-doc-per-sequence layout at
+    * the same length.
+    *
+    * Quantiles are histogram-exact (type-1: the smallest count with
+    * cumulative frequency ≥ ceil(q·n)) — token counts are small
+    * integers, so the histogram is value-bounded regardless of corpus
+    * rows, the [[graft.llm.Sampling.percentRank]] argument. Scale
+    * shape: ONE corpus pass (the histogram aggregation), then windows
+    * and one final aggregate over the histogram only.
+    */
+  def packPlan(docs: DataFrame, seqLen: Int): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    val hist = docs
+      .select(tokenCount(coalesce(col("text"), lit("")))
+        .cast("bigint").as("_n"))
+      .groupBy("_n").agg(count(lit(1)).as("_c"))
+    val wAll = Window
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wCum = Window.orderBy("_n")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // the histogram is value-bounded, so the single-partition windows
+    // collapse a tiny relation (the Sampling.allRows rationale)
+    val cum = hist
+      .withColumn("_cum", sum("_c").over(wCum))
+      .withColumn("_docs", sum("_c").over(wAll))
+    // INTEGER-EXACT everywhere the two engines must agree bit-for-bit:
+    // cm >= ceil(pct·n/100) over integers is 100·cm >= pct·n (no float
+    // ceil whose product can land 1 ulp past an exact boundary), the
+    // packing count is a ceil-div, and the waste fraction goes through
+    // a half-up integer ppm (a 6-dp double round here measured a
+    // half-case ulp split between Spark and DuckDB)
+    def quantile(pct: Int): Column =
+      min(when(col("_cum") * 100 >= col("_docs") * pct, col("_n")))
+    val base = cum.agg(
+      sum("_c").cast("bigint").as("n_docs"),
+      sum(col("_n") * col("_c")).cast("bigint").as("total_tokens"),
+      quantile(50).cast("bigint").as("p50_tokens"),
+      quantile(90).cast("bigint").as("p90_tokens"),
+      quantile(99).cast("bigint").as("p99_tokens"),
+      lit(seqLen).as("seq_len"),
+      coalesce(sum(when(col("_n") > seqLen, col("_c"))), lit(0L))
+        .cast("bigint").as("n_overlong"),
+      coalesce(sum(greatest(col("_n") - seqLen, lit(0L)) * col("_c")),
+        lit(0L)).cast("bigint").as("overflow_tokens"),
+      sum(least(col("_n"), lit(seqLen.toLong)) * col("_c"))
+        .cast("bigint").as("_eff"))
+    base.select(col("n_docs"), col("total_tokens"), col("p50_tokens"),
+      col("p90_tokens"), col("p99_tokens"), col("seq_len"),
+      col("n_overlong"), col("overflow_tokens"),
+      expr(s"(_eff + ${seqLen - 1}) div $seqLen").cast("bigint")
+        .as("packed_seqs"),
+      (expr(s"((n_docs * $seqLen - _eff) * 2000000 + n_docs * $seqLen) " +
+        s"div (2 * n_docs * $seqLen)").cast("double") / 1000000.0)
+        .as("pad_waste_pct"))
+  }
+
   /** RAG-style sliding-window chunker: each document becomes overlapping
     * `chunkSize`-token chunks every `stride` tokens (overlap =
     * chunkSize − stride), the standard preprocessing for embedding /

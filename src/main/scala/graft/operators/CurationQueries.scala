@@ -195,6 +195,28 @@ object CurationQueries {
       Curation.keepBestPerGroup(groups, Curation.byteLenScore(corpus))
     },
 
+    // leakage-safe 80/10/10 split over the same doubled corpus: every
+    // near-dup group (original + trimmed copy) lands WHOLE in one split,
+    // keyed by the md5 bucket of the group label — a trimmed copy can
+    // never sit in train while its original is held out
+    "q_leakage_split" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val corpus = d.select("doc_id", "text").unionAll(trimmed(d))
+      val cands = Dedup.minhashCandidates(
+        corpus, k = 3, numHashes = 8, bands = 4, minEstJaccard = 0.5,
+        oracleHashes = true)
+      Curation.leakageSafeSplit(
+        Curation.dupGroupsAlternating(corpus.select("doc_id"), cands),
+        trainPct = 80, valPct = 10)
+    },
+
+    // context-length packing planner: one-row card of token-count
+    // quantiles, overflow at seqLen=64, the concatenation-packing
+    // sequence count, and the one-doc-per-sequence padding waste
+    "q_pack_plan" -> { (s, dir) =>
+      graft.llm.TextOps.packPlan(docs(s, dir), seqLen = 64)
+    },
+
     // shard-local GPT-style sequence packing: each doc's span in the
     // concatenated token stream of its shard (no global sort anywhere)
     "q_seq_pack" -> { (s, dir) =>
@@ -765,6 +787,67 @@ object CurationQueries {
          |  sc.doc_id = k.kept_doc AS is_kept
          |FROM sc JOIN k ON sc.dup_group = k.dup_group AND k.rn = 1""".stripMargin,
 
+    // group closure (as q_dedup_groups_cc), then the split is pure
+    // bucket arithmetic on the group label — replayed exactly
+    "q_leakage_split" ->
+      s"""WITH RECURSIVE ${LlmQueries.minhashPairsCtes},
+         |fpairs AS (
+         |  SELECT doc_a, doc_b FROM scored WHERE est_jaccard >= 0.5),
+         |e AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM fpairs
+         |  UNION ALL
+         |  SELECT doc_b AS src, doc_a AS dst FROM fpairs),
+         |r AS (
+         |  SELECT doc_id, doc_id AS label FROM u
+         |  UNION
+         |  SELECT e.dst AS doc_id, r.label FROM e JOIN r ON r.doc_id = e.src),
+         |g AS (SELECT doc_id, min(label) AS dup_group FROM r GROUP BY doc_id),
+         |bk AS (
+         |  SELECT doc_id, dup_group,
+         |    CAST('0x' || substring(md5(CAST(dup_group AS VARCHAR)), 1, 8)
+         |      AS BIGINT) % 100 AS bucket
+         |  FROM g)
+         |SELECT doc_id, dup_group, bucket,
+         |  CASE WHEN bucket < 80 THEN 'train'
+         |       WHEN bucket < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM bk""".stripMargin,
+
+    "q_pack_plan" ->
+      """WITH t AS (
+        |  SELECT CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT)
+        |    AS n
+        |  FROM documents),
+        |h AS (SELECT n, count(*) AS c FROM t GROUP BY n),
+        |cum AS (
+        |  SELECT n, c,
+        |    sum(c) OVER (ORDER BY n
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm,
+        |    sum(c) OVER () AS docs
+        |  FROM h),
+        |a AS (
+        |  SELECT CAST(sum(c) AS BIGINT) AS n_docs,
+        |    CAST(sum(n * c) AS BIGINT) AS total_tokens,
+        |    CAST(min(CASE WHEN cm * 100 >= docs * 50 THEN n END) AS BIGINT)
+        |      AS p50_tokens,
+        |    CAST(min(CASE WHEN cm * 100 >= docs * 90 THEN n END) AS BIGINT)
+        |      AS p90_tokens,
+        |    CAST(min(CASE WHEN cm * 100 >= docs * 99 THEN n END) AS BIGINT)
+        |      AS p99_tokens,
+        |    CAST(64 AS INTEGER) AS seq_len,
+        |    CAST(coalesce(sum(CASE WHEN n > 64 THEN c END), 0) AS BIGINT)
+        |      AS n_overlong,
+        |    CAST(coalesce(sum(CASE WHEN n > 64 THEN (n - 64) * c END), 0)
+        |      AS BIGINT) AS overflow_tokens,
+        |    CAST(sum(least(n, 64) * c) AS BIGINT) AS eff
+        |  FROM cum)
+        |SELECT n_docs, total_tokens, p50_tokens, p90_tokens, p99_tokens,
+        |  seq_len, n_overlong, overflow_tokens,
+        |  CAST((eff + 63) // 64 AS BIGINT) AS packed_seqs,
+        |  CAST(((n_docs * 64 - eff) * 2000000 + n_docs * 64)
+        |    // (2 * n_docs * 64) AS DOUBLE) / 1000000.0 AS pad_waste_pct
+        |FROM a""".stripMargin,
+
     "q_seq_pack" ->
       """WITH t AS (
         |  SELECT doc_id, doc_id % 8 AS shard,
@@ -878,5 +961,6 @@ object CurationQueries {
     "q_decontaminate_bloom" -> Seq("doc_id"),
     "q_dsir_weights" -> Seq("doc_id"),
     "q_ce_delta" -> Seq("doc_id"),
-    "q_corpus_report" -> Seq("lang", "source"))
+    "q_corpus_report" -> Seq("lang", "source"),
+    "q_leakage_split" -> Seq("doc_id"))
 }

@@ -42,17 +42,21 @@ object LlmQueries {
   /** DuckDB CTE block replaying the banded MinHash pipeline over an
     * arbitrary corpus CTE body `uBody` (md5 hash family —
     * DuckDB-reproducible): ends at `scored(doc_a, doc_b, est_jaccard)`. */
+  private val shinglesSql =
+    """CASE WHEN len(w) < 3 THEN [text]
+      |ELSE list_transform(range(1, len(w) - 1),
+      |  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END""".stripMargin
+
+  // family = 8-hex-char slices of ceil(8/4)=2 md5s per shingle,
+  // mirroring Dedup.minhashSignatures' derivation
+  private val sigArrSql = (0 until 8).map { j =>
+    val (m, c) = (j / 4, j % 4)
+    s"list_aggregate(list_transform(h$m, h -> substring(h, ${1 + 8 * c}, 8)), 'min')"
+  }.mkString("[", ",\n   ", "]")
+
   private[operators] def minhashCtesOver(uBody: String): String = {
-    val shingles =
-      """CASE WHEN len(w) < 3 THEN [text]
-        |ELSE list_transform(range(1, len(w) - 1),
-        |  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END""".stripMargin
-    // family = 8-hex-char slices of ceil(8/4)=2 md5s per shingle,
-    // mirroring Dedup.minhashSignatures' derivation
-    val sigArr = (0 until 8).map { j =>
-      val (m, c) = (j / 4, j % 4)
-      s"list_aggregate(list_transform(h$m, h -> substring(h, ${1 + 8 * c}, 8)), 'min')"
-    }.mkString("[", ",\n   ", "]")
+    val shingles = shinglesSql
+    val sigArr = sigArrSql
     s"""u AS (
        |$uBody),
        |t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM u),
@@ -144,6 +148,28 @@ object LlmQueries {
   /** The standard corpus for the dedup-family oracles: every doc plus a
     * trimmed near-dup copy at doc_id + 100000. Used by the candidate-pair
     * oracle here and the dup-group oracles in [[CurationQueries]]. */
+  /** Per-corpus union-MinHash sketch CTEs over an arbitrary corpus body:
+    * ends at `sk<tag>(n_docs_<tag>, <tag>_0..<tag>_7)` — component-wise
+    * mins of the per-doc md5-family signatures, mirroring
+    * [[Dedup.corpusOverlapSketch]]'s min-of-mins derivation. */
+  private def corpusSketchCtes(tag: String, body: String): String = {
+    val mins = (0 until 8)
+      .map(j => s"min(sig[${j + 1}]) AS ${tag}_$j").mkString(",\n    ")
+    s"""u$tag AS (
+       |$body),
+       |t$tag AS (SELECT doc_id, text, string_split(text, ' ') AS w
+       |  FROM u$tag),
+       |sh$tag AS (SELECT doc_id, $shinglesSql AS s FROM t$tag),
+       |hh$tag AS (SELECT doc_id,
+       |  list_transform(s, x -> md5(x || '#0')) AS h0,
+       |  list_transform(s, x -> md5(x || '#1')) AS h1 FROM sh$tag),
+       |sig$tag AS (SELECT doc_id, $sigArrSql AS sig FROM hh$tag),
+       |sk$tag AS (
+       |  SELECT count(*) AS n_docs_$tag,
+       |    $mins
+       |  FROM sig$tag)""".stripMargin
+  }
+
   private[operators] val minhashPairsCtes: String = minhashCtesOver(
     """  SELECT doc_id, text FROM documents
       |  UNION ALL
@@ -202,6 +228,19 @@ object LlmQueries {
         d.select("doc_id", "text").unionAll(mutated),
         k = 3, numHashes = 8, bands = 4, minEstJaccard = 0.5,
         oracleHashes = true)
+    },
+
+    // corpus-granularity overlap: union-MinHash Jaccard estimate between
+    // the full corpus and a half-shared / half-rot13'd variant — one
+    // bounded aggregation per corpus, no pair generation anywhere
+    "q_corpus_overlap" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val b = d.filter(col("doc_id") % 2 === 0).select("doc_id", "text")
+        .unionAll(d.filter(col("doc_id") % 2 === 1).select(col("doc_id"),
+          translate(col("text"), "abcdefghijklmnopqrstuvwxyz",
+            "nopqrstuvwxyzabcdefghijklm").as("text")))
+      Dedup.corpusOverlapSketch(
+        d.select("doc_id", "text"), b, k = 3, numHashes = 8)
     },
 
     // incremental dedup: a new batch (every 5th doc + trimmed copies of
@@ -778,6 +817,28 @@ object LlmQueries {
 
     // replays the full banded pipeline: md5 minhash family (8 sigs), 4
     // bands of 2, bucket self-join, est_jaccard = matching components / 8
+    // both corpora's union sketches replayed component-for-component;
+    // the estimate is pure arithmetic over the two 1-row sketches
+    "q_corpus_overlap" -> {
+      val agree = (0 until 8)
+        .map(j => s"CASE WHEN a_$j = b_$j THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      val bBody =
+        """  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+          |  UNION ALL
+          |  SELECT doc_id, translate(text, 'abcdefghijklmnopqrstuvwxyz',
+          |    'nopqrstuvwxyzabcdefghijklm') AS text
+          |  FROM documents WHERE doc_id % 2 = 1""".stripMargin
+      s"""WITH ${corpusSketchCtes("a", "  SELECT doc_id, text FROM documents")},
+         |${corpusSketchCtes("b", bBody)}
+         |SELECT CAST(n_docs_a AS BIGINT) AS n_docs_a,
+         |  CAST(n_docs_b AS BIGINT) AS n_docs_b,
+         |  CAST(8 AS INTEGER) AS n_hashes,
+         |  CAST($agree AS BIGINT) AS n_agree,
+         |  round(($agree) / 8.0, 6) AS est_jaccard
+         |FROM ska, skb""".stripMargin
+    },
+
     "q_dedup_minhash_pairs" ->
       s"""WITH $minhashPairsCtes
          |SELECT doc_a, doc_b, est_jaccard FROM scored

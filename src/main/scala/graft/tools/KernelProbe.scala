@@ -63,7 +63,18 @@ object KernelProbe {
     ("embedding_coverage",
       "COMPUTE e FROM table(embedding) INTO column(norm_h) " +
         "USING embedding_coverage",
-      "q_embedding_coverage"))
+      "q_embedding_coverage"),
+    ("leakage_split",
+      "COMPUTE l FROM table(text) INTO column(split_k) " +
+        "USING leakage_split",
+      "q_leakage_split"),
+    ("pack_plan",
+      "COMPUTE p FROM table(text) INTO column(waste) USING pack_plan",
+      "q_pack_plan"),
+    ("corpus_overlap",
+      "COMPUTE o FROM table(text, is_bench) INTO column(est_j) " +
+        "USING corpus_overlap",
+      "q_corpus_overlap"))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")

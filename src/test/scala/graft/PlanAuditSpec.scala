@@ -439,7 +439,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // per reuse (q_token_budget measured 4 full text scans before r12)
     for ((name, maxScans) <- Seq(
         ("q_token_budget", 1), ("q_temperature_mix", 1),
-        ("q_embedding_coverage", 1))) {
+        ("q_embedding_coverage", 1), ("q_pack_plan", 1))) {
       val p = plan(name)
       val scans = """\(\d+\) Scan parquet""".r.findAllIn(p).length
       assert(scans <= maxScans,
@@ -499,6 +499,21 @@ class PlanAuditSpec extends AnyFunSuite {
         s"q_pmi_pairs read ${records.get} records for a $nDocs-doc " +
           s"corpus — the vocab lineage is no longer stage-reused")
     } finally s.sparkContext.removeSparkListener(listener)
+  }
+
+  test("q_corpus_overlap is two independent 1-row sketch passes — no " +
+    "pair generation, no corpus join") {
+    val p = plan("q_corpus_overlap")
+    val scans = """\(\d+\) Scan parquet""".r.findAllIn(p).length
+    assert(scans <= 3,
+      s"one pass per corpus (the variant corpus unions two branches of " +
+        s"the same table) — more means a sketch re-derived its corpus, " +
+        s"found $scans:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the only join is the 1-row x 1-row sketch combine:\n$p")
+    val joins = """\(\d+\) [A-Za-z]*Join""".r.findAllIn(p).length
+    assert(joins <= 1,
+      s"no corpus-side join may appear, found $joins:\n$p")
   }
 
   test("q_readability is a zero-shuffle projection reading only " +

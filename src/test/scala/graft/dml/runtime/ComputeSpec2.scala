@@ -622,4 +622,58 @@ class ComputeSpec2 extends AnyFunSuite {
     assert(tbErr.getMessage.contains("no token mass"),
       s"unexpected error: ${tbErr.getMessage}")
   }
+
+  test("leakage_split / pack_plan / corpus_overlap kernels reach the " +
+    "round-12 planning operators from the DSL") {
+    val s = spark
+    // leakage_split: whole dup groups share a split; rows preserved
+    val ls = ComputeRegistry.runOnce(s,
+      parse("COMPUTE ls FROM table(text) INTO column(split_k) " +
+        "USING leakage_split"),
+      "documents")
+    assert(ls.count() == s.table("documents").count())
+    assert(ls.groupBy("dup_group")
+      .agg(countDistinct(col("split_k")).as("n")).filter(col("n") > 1)
+      .count() == 0, "a dup group must never straddle splits")
+    assert(ls.select("split_k").distinct().collect()
+      .map(_.getString(0)).toSet.subsetOf(Set("train", "val", "test")))
+    // pack_plan: one-row card matching the operator at the same seqLen
+    val pp = ComputeRegistry.runOnce(s,
+      parse("COMPUTE pp FROM table(text) INTO column(waste) " +
+        "USING pack_plan"),
+      "documents").collect()
+    assert(pp.length == 1)
+    val twin = graft.llm.TextOps.packPlan(
+      s.table("documents").select("doc_id", "text"), seqLen = 64)
+      .collect()(0)
+    assert(pp(0).getAs[Long]("packed_seqs") ==
+      twin.getAs[Long]("packed_seqs"))
+    assert(pp(0).getAs[Double]("waste") ==
+      twin.getAs[Double]("pad_waste_pct"))
+    // corpus_overlap: flagged split of the same corpus -> the flagged
+    // rows are a SUBSET, so the sketch can only agree where the a-side
+    // minimum survives; the card is one row with a [0,1] estimate
+    s.table("documents")
+      .withColumn("is_b", col("doc_id") % 2 === 0)
+      .createOrReplaceTempView("overlap_docs")
+    val ov = ComputeRegistry.runOnce(s,
+      parse("COMPUTE ov FROM table(text, is_b) INTO column(est_j) " +
+        "USING corpus_overlap"),
+      "overlap_docs").collect()
+    assert(ov.length == 1)
+    val est = ov(0).getAs[Double]("est_j")
+    assert(est >= 0.0 && est <= 1.0)
+    assert(ov(0).getAs[Long]("n_docs_a") + ov(0).getAs[Long]("n_docs_b") ==
+      s.table("documents").count())
+    // contract error: no b-side rows refuses loud
+    s.table("documents").withColumn("never", lit(false))
+      .createOrReplaceTempView("never_b_docs")
+    val ovErr = intercept[IllegalArgumentException] {
+      ComputeRegistry.runOnce(s,
+        parse("COMPUTE ov FROM table(text, never) INTO column(e) " +
+          "USING corpus_overlap"),
+        "never_b_docs")
+    }
+    assert(ovErr.getMessage.contains("no b-side rows"))
+  }
 }

@@ -524,4 +524,97 @@ class CurationSpec extends AnyFunSuite {
     // the formula itself, replayed: 206.835 - 1.015*3 - 84.6*(3/3)
     assert(math.abs(out(1L)._3 - (206.835 - 1.015 * 3 - 84.6)) < 1e-6)
   }
+
+  test("leakageSafeSplit: whole groups share a split, the bucket replays " +
+    "the md5 formula, and bad percentages refuse") {
+    val s = spark
+    import s.implicits._
+    val groups = Seq(
+      (1L, 10L), (2L, 10L), (3L, 10L), // one 3-member group
+      (4L, 40L), (5L, 40L), // a pair
+      (6L, 60L)) // a singleton
+      .toDF("doc_id", "dup_group")
+    val out = Curation.leakageSafeSplit(groups, trainPct = 80, valPct = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.length == 6)
+    // every member of a group carries the same bucket and split
+    val byGroup = out.groupBy(_._2)
+    assert(byGroup.forall { case (_, rows) =>
+      rows.map(r => (r._3, r._4)).distinct.size == 1 })
+    // the bucket IS the md5 formula on the group label (JVM replay)
+    def expectedBucket(label: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(label.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      java.lang.Long.parseLong(hex, 16) % 100
+    }
+    assert(out.forall { case (_, g, b, split) =>
+      val eb = expectedBucket(g)
+      b == eb && split == (if (eb < 80) "train"
+        else if (eb < 90) "val" else "test")
+    })
+    val e = intercept[IllegalArgumentException] {
+      Curation.leakageSafeSplit(groups, trainPct = 90, valPct = 10)
+    }
+    assert(e.getMessage.contains("trainPct + valPct < 100"))
+  }
+
+  test("packPlan: hand-computed card over token counts [2, 4, 4, 10] " +
+    "at seqLen 4") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "a b"),
+      (2L, "a b c d"),
+      (3L, "w x y z"),
+      (4L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val r = TextOps.packPlan(docs, seqLen = 4).collect()(0)
+    assert(r.getAs[Long]("n_docs") == 4L)
+    assert(r.getAs[Long]("total_tokens") == 20L)
+    // hist cum: (2,1),(4,3),(10,4); thresholds 100*cum >= pct*4
+    assert(r.getAs[Long]("p50_tokens") == 4L) // cum 3 covers 50%
+    assert(r.getAs[Long]("p90_tokens") == 10L) // needs cum >= 3.6
+    assert(r.getAs[Long]("p99_tokens") == 10L)
+    assert(r.getAs[Int]("seq_len") == 4)
+    assert(r.getAs[Long]("n_overlong") == 1L) // only the 10-token doc
+    assert(r.getAs[Long]("overflow_tokens") == 6L) // 10 - 4
+    // effective = 2+4+4+4 = 14 -> ceil(14/4) = 4 packed sequences
+    assert(r.getAs[Long]("packed_seqs") == 4L)
+    // 1 - 14/16 = 0.125, exact through the integer ppm path
+    assert(r.getAs[Double]("pad_waste_pct") == 0.125)
+    val e = intercept[IllegalArgumentException] {
+      TextOps.packPlan(docs, seqLen = 0)
+    }
+    assert(e.getMessage.contains("positive"))
+  }
+
+  test("corpusOverlapSketch: identical corpora estimate 1.0, " +
+    "disjoint-vocabulary corpora 0.0") {
+    val s = spark
+    import s.implicits._
+    val a = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "epsilon zeta eta theta iota")).toDF("doc_id", "text")
+    val same = Dedup.corpusOverlapSketch(a, a).collect()(0)
+    assert(same.getAs[Long]("n_docs_a") == 2L)
+    assert(same.getAs[Long]("n_docs_b") == 2L)
+    assert(same.getAs[Int]("n_hashes") == 8)
+    assert(same.getAs[Long]("n_agree") == 8L)
+    assert(same.getAs[Double]("est_jaccard") == 1.0)
+    val b = Seq(
+      (1L, "uno dos tres cuatro"),
+      (2L, "cinco seis siete ocho nueve")).toDF("doc_id", "text")
+    val disj = Dedup.corpusOverlapSketch(a, b).collect()(0)
+    assert(disj.getAs[Long]("n_agree") == 0L)
+    assert(disj.getAs[Double]("est_jaccard") == 0.0)
+    // a union sketch only ever shrinks componentwise: sketching A
+    // against A∪B agrees wherever B never undercuts A's minimum, so
+    // the estimate is strictly between the two extremes here
+    val ab = a.unionAll(b.select(col("doc_id") + 10L, col("text")))
+    val partial = Dedup.corpusOverlapSketch(a, ab).collect()(0)
+    assert(partial.getAs[Long]("n_agree") > 0L &&
+      partial.getAs[Long]("n_agree") < 8L)
+  }
 }
