@@ -1,6 +1,7 @@
 package graft.dml.events
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.dml.{TrainSpec, Value}
@@ -309,41 +310,44 @@ object Agents {
     * counting the side that exists) instead of being dropped by an inner
     * totals join: a drift monitor must never omit the most-drifted group.
     *
-    * Plan shape: one count aggregation per side keyed by (group, bin),
-    * a full-outer bin join (bins absent from both sides contribute
-    * exactly 0 and need no row), and tiny per-group totals left-joined
-    * back — the shuffles carry bin counts, never events. */
+    * Plan shape: ONE count aggregation per side keyed by (group, bin)
+    * — the only passes over event rows — then a full-outer bin join
+    * (bins absent from both sides contribute exactly 0 and need no
+    * row) with the per-group totals as windows over the joined
+    * (groups × bins)-bounded relation. Totals as separate `.agg`
+    * relations here would replay each side's event scan (ScanMeter
+    * measured 4 event passes where 2 suffice); a group total is 0 iff
+    * the group is absent from that side (every present bin counts
+    * ≥ 1), which keys the one-sided → +∞ rule. */
   def psiDrift(
       reference: DataFrame, current: DataFrame, valueCol: String,
       groupCols: Seq[String], binWidth: Double, nBins: Int): DataFrame = {
     require(binWidth > 0 && nBins > 1, "binWidth > 0 and nBins > 1 required")
     val g = groupCols.map(col)
-    def binned(df: DataFrame, side: String): (DataFrame, DataFrame) = {
-      val b = df.filter(col(valueCol).isNotNull)
+    def binned(df: DataFrame, side: String): DataFrame =
+      df.filter(col(valueCol).isNotNull)
         .select((g :+
           least(greatest(floor(col(valueCol) / binWidth).cast("int"), lit(0)),
             lit(nBins - 1)).as("bin")): _*)
         .groupBy((g :+ col("bin")): _*)
         .agg(count(lit(1)).as(s"c_$side"))
-      val t = b.groupBy(g: _*).agg(sum(s"c_$side").as(s"n_$side"))
-      (b, t)
-    }
-    val (rb, rt) = binned(reference, "ref")
-    val (cb, ct) = binned(current, "cur")
+    val wG = Window.partitionBy(g: _*)
     val p = (col("c_ref") + 1).cast("double") /
       (col("n_ref") + nBins).cast("double")
     val q = (col("c_cur") + 1).cast("double") /
       (col("n_cur") + nBins).cast("double")
-    rb.join(cb, groupCols :+ "bin", "full_outer")
+    binned(reference, "ref")
+      .join(binned(current, "cur"), groupCols :+ "bin", "full_outer")
       .na.fill(0L, Seq("c_ref", "c_cur"))
-      .join(rt, groupCols.toSeq, "left").join(ct, groupCols.toSeq, "left")
+      .withColumn("n_ref", sum("c_ref").over(wG))
+      .withColumn("n_cur", sum("c_cur").over(wG))
       .withColumn("_contrib",
-        when(col("n_ref").isNull || col("n_cur").isNull, lit(null))
+        when(col("n_ref") === 0 || col("n_cur") === 0, lit(null))
           .otherwise(round((p - q) * log(p / q), 6).cast("decimal(18,6)")))
       .groupBy(g: _*)
       .agg(
-        when(max(col("n_ref").isNull.cast("int")) === 1 ||
-          max(col("n_cur").isNull.cast("int")) === 1,
+        when(max((col("n_ref") === 0).cast("int")) === 1 ||
+          max((col("n_cur") === 0).cast("int")) === 1,
           lit(Double.PositiveInfinity))
           .otherwise(sum("_contrib").cast("double")).as("psi"),
         count(lit(1)).as("n_bins"))

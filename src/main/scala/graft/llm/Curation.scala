@@ -281,21 +281,33 @@ object Curation {
   /** [[lmPerplexityAgainst]] without the row-preserving join: one row per
     * doc WITH >= 1 bigram ([[crossEntropyDelta]] composes two of these
     * and re-preserves rows once at the end). */
+  private def lmPrep(df: DataFrame): DataFrame = df
+    .withColumn("_t", coalesce(col("text"), lit("")))
+    .withColumn("_w", TextOps.tokens(col("_t")))
+
+  private def lmGrams(df: DataFrame): DataFrame = df.select(col("doc_id"),
+    explode(graft.functions.Kgrams.kgrams(
+      col("_t"), 2, keepShortWhole = false)).as("gram"))
+
+  /** Persisted unigram count table of a prepped LM corpus. The persist
+    * matters: the table has TWO consumers (the _prev count join and the
+    * vocabulary-size V aggregate) and is vocabulary-bounded, while
+    * unpersisted each consumer replays the corpus explode+aggregate —
+    * ScanMeter measured the vdf reuse as a full extra corpus pass per
+    * LM fit. */
+  private def lmUnigrams(prepped: DataFrame): DataFrame =
+    PipelineCaches.track(prepped.select(explode(col("_w")).as("_prev"))
+      .groupBy("_prev").agg(count(lit(1)).as("_cu"))
+      .persist(StorageLevel.MEMORY_AND_DISK))
+
   private[graft] def lmPerplexityAgainstAgg(docs: DataFrame,
       lmCorpus: DataFrame, alpha: Double = 0.5): DataFrame = {
     require(alpha > 0, s"alpha must be positive, got $alpha")
-    def prep(df: DataFrame): DataFrame = df
-      .withColumn("_t", coalesce(col("text"), lit("")))
-      .withColumn("_w", TextOps.tokens(col("_t")))
-    val lmBase = prep(lmCorpus)
-    val uni = lmBase.select(explode(col("_w")).as("_prev"))
-      .groupBy("_prev").agg(count(lit(1)).as("_cu"))
+    val lmBase = lmPrep(lmCorpus)
+    val uni = lmUnigrams(lmBase)
     val vdf = uni.agg(count(lit(1)).cast("double").as("_v"))
-    def grams(df: DataFrame): DataFrame = df.select(col("doc_id"),
-      explode(graft.functions.Kgrams.kgrams(
-        col("_t"), 2, keepShortWhole = false)).as("gram"))
-    val bc = grams(lmBase).groupBy("gram").agg(count(lit(1)).as("_cb"))
-    val scored = grams(prep(docs))
+    val bc = lmGrams(lmBase).groupBy("gram").agg(count(lit(1)).as("_cb"))
+    val scored = lmGrams(lmPrep(docs))
       .join(bc, Seq("gram"), "left")
       .withColumn("_prev", split(col("gram"), " ").getItem(0))
       .join(uni, Seq("_prev"), "left")
@@ -334,13 +346,39 @@ object Curation {
     * the user relation — one corpus join instead of two). */
   private[graft] def crossEntropyDeltaAgg(raw: DataFrame,
       target: DataFrame, alpha: Double = 0.5): DataFrame = {
-    val tgt = lmPerplexityAgainstAgg(raw, target, alpha)
-      .select(col("doc_id"), col("n_bigrams"),
-        col("cross_entropy").as("ce_target"))
-    val self = lmPerplexityAgainstAgg(raw, raw, alpha)
-      .select(col("doc_id"), col("cross_entropy").as("ce_raw"))
-    // inner join: both sides carry exactly the docs with >= 1 bigram
-    tgt.join(self, Seq("doc_id"))
+    require(alpha > 0, s"alpha must be positive, got $alpha")
+    // ONE fused scoring pass under BOTH LMs, not two
+    // lmPerplexityAgainstAgg calls: composing the single-LM scorer
+    // twice explodes the raw corpus's gram stream twice and joins it
+    // back on doc_id — ScanMeter measured the composed form at 9 corpus
+    // passes vs 5 fused (two LM fits, one scoring pass, value-identical
+    // per-gram arithmetic)
+    val rawP = lmPrep(raw)
+    val tgtP = lmPrep(target)
+    val uniT = lmUnigrams(tgtP)
+    val uniR = lmUnigrams(rawP)
+    val vT = uniT.agg(count(lit(1)).cast("double").as("_vt"))
+    val vR = uniR.agg(count(lit(1)).cast("double").as("_vr"))
+    val bcT = lmGrams(tgtP).groupBy("gram").agg(count(lit(1)).as("_cbt"))
+    val bcR = lmGrams(rawP).groupBy("gram").agg(count(lit(1)).as("_cbr"))
+    val scored = lmGrams(rawP)
+      .join(bcT, Seq("gram"), "left")
+      .join(bcR, Seq("gram"), "left")
+      .withColumn("_prev", split(col("gram"), " ").getItem(0))
+      .join(uniT.withColumnRenamed("_cu", "_cut"), Seq("_prev"), "left")
+      .join(uniR.withColumnRenamed("_cu", "_cur"), Seq("_prev"), "left")
+      .crossJoin(broadcast(vT))
+      .crossJoin(broadcast(vR))
+      .withColumn("_lpt",
+        log((coalesce(col("_cbt"), lit(0L)) + alpha) /
+          (coalesce(col("_cut"), lit(0L)) + col("_vt") * alpha)))
+      .withColumn("_lpr",
+        log((coalesce(col("_cbr"), lit(0L)) + alpha) /
+          (coalesce(col("_cur"), lit(0L)) + col("_vr") * alpha)))
+    scored.groupBy("doc_id").agg(
+        count(lit(1)).cast("bigint").as("n_bigrams"),
+        round(-avg(col("_lpt")), 6).as("ce_target"),
+        round(-avg(col("_lpr")), 6).as("ce_raw"))
       .select(col("doc_id"), col("n_bigrams"), col("ce_target"),
         col("ce_raw"),
         round(col("ce_target") - col("ce_raw"), 6).as("ce_delta"))
@@ -373,9 +411,16 @@ object Curation {
       alpha: Double = 0.5): DataFrame = {
     require(loCut > 0 && hiCut > loCut && hiCut < 1,
       s"need 0 < loCut < hiCut < 1, got $loCut/$hiCut")
-    val scored = lmPerplexity(docs, alpha)
-      .select(col("doc_id"), col("perplexity"))
-      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    // row preservation and the lang attach fused into ONE join: going
+    // through row-preserving lmPerplexity here would add a doc_id-only
+    // corpus pass just to re-preserve rows this join already preserves.
+    // Persisted (3 narrow columns, the percentRankContinuous pattern)
+    // because BOTH the histogram and the output join consume it —
+    // unpersisted, each replays the whole LM fit+score lineage
+    val scored = PipelineCaches.track(docs.select(col("doc_id"), col("lang"))
+      .join(lmPerplexityAgainstAgg(docs, docs, alpha)
+        .select(col("doc_id"), col("perplexity")), Seq("doc_id"), "left")
+      .persist(StorageLevel.MEMORY_AND_DISK))
     val hist = scored.filter(col("perplexity").isNotNull)
       .groupBy("lang", "perplexity").agg(count(lit(1)).as("_c"))
     val wPrev = Window.partitionBy("lang").orderBy("perplexity")

@@ -65,7 +65,13 @@ object Relevance {
       docs: DataFrame, terms: Seq[String], topN: Int = 20,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val toks = tokens(docs)
-    val doclen = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    // persisted: two consumers (the per-doc length join and the corpus
+    // stats aggregate), two narrow columns, one row per doc — each
+    // consumer otherwise replays the corpus tokenize (ScanMeter: 3 full
+    // text passes where 2 suffice)
+    val doclen = PipelineCaches.track(
+      toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // one-row corpus stats: doc count + exact total token count
     val stats = docs.agg(count(lit(1)).as("_n_docs"))
       .crossJoin(doclen.agg(
