@@ -516,6 +516,52 @@ class PlanAuditSpec extends AnyFunSuite {
       s"no corpus-side join may appear, found $joins:\n$p")
   }
 
+  test("scan-work budgets hold at RUNTIME for the operators the r12 " +
+    "sweep fixed — totals and row-preservation never re-derive corpora") {
+    // task-input-metrics budgets (in corpus rows read, cache reads
+    // included) for the entries whose duplicated lineage ScanMeter
+    // exposed; a regression here means a total/row-preserve re-derives
+    // its corpus again. Budgets carry ~20% slack over the measured
+    // post-fix counts to absorb metric noise, not another corpus pass.
+    val s = spark
+    val nDocs = s.read
+      .parquet(s"${SparkTestSession.fixtureDir}/documents.parquet").count()
+    val nEvents = s.read
+      .parquet(s"${SparkTestSession.fixtureDir}/events.parquet").count()
+    // (entry, budget in input rows): measured post-fix at sf0.001/0.01 —
+    // ce_delta 6 corpus passes, ccnet 4, lm_perplexity 4, psi 2 event
+    // passes + bin-cache, bm25 4 row-passes (2 text + id + cache)
+    val budgets = Seq(
+      ("q_ce_delta", nDocs * 13 / 2),
+      ("q_ccnet_buckets", nDocs * 9 / 2),
+      ("q_lm_perplexity", nDocs * 9 / 2),
+      ("q_events_psi", nEvents * 5 / 2),
+      ("q_bm25_search", nDocs * 5))
+    val records = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null)
+          records.addAndGet(t.taskMetrics.inputMetrics.recordsRead)
+    }
+    s.sparkContext.addSparkListener(listener)
+    try {
+      for ((name, budget) <- budgets) {
+        records.set(0L)
+        SparkEntry.queries(name)(s, SparkTestSession.fixtureDir).collect()
+        graft.llm.PipelineCaches.clear()
+        var last = -1L
+        var spins = 0
+        while (records.get != last && spins < 40) {
+          last = records.get; spins += 1; Thread.sleep(250)
+        }
+        assert(records.get <= budget,
+          s"$name read ${records.get} input rows, budget $budget — a " +
+            s"total or row-preserving join is re-deriving its corpus")
+      }
+    } finally s.sparkContext.removeSparkListener(listener)
+  }
+
   test("q_readability is a zero-shuffle projection reading only " +
     "(doc_id, text)") {
     val p = plan("q_readability")
