@@ -156,6 +156,32 @@ object ComputeRegistry {
       graft.llm.Dedup.corpusOverlapSketch(a, b)
         .withColumnRenamed("est_jaccard", out)
     },
+    // robust median/MAD outlier scores over a NUMERIC input column
+    // (Iglewicz–Hoaglin modified z, k=3.5 — the catalog q_mad_outliers
+    // configuration): robust_z attaches as the output column,
+    // is_outlier rides; NULL values keep their rows (NULL score/flag)
+    "mad_outlier" -> { (df, ins, out) =>
+      require(out != "is_outlier",
+        s"mad_outlier reserves 'is_outlier'; pick another INTO column " +
+          s"name (got '$out')")
+      graft.llm.Sampling.madOutliers(df, ins.head, k = 3.5)
+        .withColumnRenamed("robust_z", out)
+    },
+    // per-group centroid cosine over (group, embedding) input columns:
+    // each row's cosine to its own group's sum-vector centroid attaches
+    // as the output column — the embedding-space outlier/quality signal
+    "centroid_cos" -> { (df, ins, out) =>
+      require(ins.length >= 2,
+        s"centroid_cos needs (group, embedding) input columns, got $ins")
+      require(df.columns.contains("doc_id"),
+        s"table kernels require a 'doc_id' key column; relation has " +
+          s"[${df.columns.mkString(", ")}]")
+      val e = df.select(col("doc_id").cast("long").as("vec_id"),
+        col(ins.head).as("_grp"), col(ins(1)).as("embedding"))
+      val scored = graft.llm.Similarity.centroidCosine(e, "_grp")
+        .select(col("vec_id").as("doc_id"), col("centroid_cos").as(out))
+      df.join(scored, Seq("doc_id"))
+    },
     // normalized-hash exact dedup -> boolean dup flag
     "exact_dedup" -> { (df, ins, out) =>
       val flags = graft.llm.TextOps.exactDedup(keyed(df, ins.head))

@@ -293,6 +293,65 @@ object Sampling {
     docs.join(broadcast(ranked), Seq(valueCol), "left")
   }
 
+  /** Robust outlier scoring via median/MAD — the quality-filter
+    * primitive for heavy-tailed corpus statistics (doc lengths, scores)
+    * where mean/σ z-scores are themselves dragged by the outliers they
+    * should flag. robust_z = |x − median| / (1.4826·MAD) (the
+    * normal-consistency constant); `is_outlier` = robust_z > k
+    * (k=3.5, Iglewicz–Hoaglin's modified-z cutoff). Both the median and
+    * the MAD are TYPE-1 histogram quantiles (smallest value with
+    * 2·cum ≥ n — an integer compare, engine-exact), computed over the
+    * SAME persisted value histogram: the deviation histogram is a tiny
+    * re-aggregation of the cached one, never a second corpus pass, so
+    * the whole operator costs one corpus aggregation plus the
+    * row-preserving attach. Cardinality-guarded like [[percentRank]].
+    *
+    * Degenerate spread (MAD = 0, i.e. more than half the values
+    * identical): robust_z is NULL (the scale is undefined) and
+    * `is_outlier` = value ≠ median — under zero spread ANY deviation
+    * from the majority value is anomalous. NULL values: NULL score,
+    * NULL flag, row preserved. */
+  def madOutliers(docs: DataFrame, valueCol: String, k: Double = 3.5,
+      maxDistinctValues: Long = 1000000L): DataFrame = {
+    require(k > 0, s"outlier cutoff k must be positive, got $k")
+    val hist = PipelineCaches.track(
+      docs.filter(col(valueCol).isNotNull)
+        .groupBy(valueCol).agg(count(lit(1)).as("_c"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val distinct = hist.count()
+    require(distinct <= maxDistinctValues,
+      s"madOutliers('$valueCol'): $distinct distinct values exceed " +
+        s"maxDistinctValues=$maxDistinctValues; discretize the column " +
+        "first (e.g. round(score, 3)) or raise the cap explicitly.")
+    def histMedian(h: DataFrame, vCol: String, as: String): DataFrame = {
+      val wCum = Window.orderBy(vCol)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wTot = Window
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      h.withColumn("_cum", sum("_c").over(wCum))
+        .withColumn("_n", sum("_c").over(wTot))
+        .agg(min(when(col("_cum") * 2 >= col("_n"), col(vCol))).as(as))
+    }
+    val med = histMedian(hist, valueCol, "_med")
+    val devHist = hist.crossJoin(broadcast(med))
+      .select(abs(col(valueCol) - col("_med")).as("_dev"), col("_c"))
+      .groupBy("_dev").agg(sum("_c").as("_c"))
+    val mad = histMedian(devHist, "_dev", "_mad")
+    val z = round(
+      abs(col(valueCol).cast("double") - col("_med").cast("double")) /
+        (lit(1.4826) * col("_mad").cast("double")), 6)
+    docs.crossJoin(broadcast(med)).crossJoin(broadcast(mad))
+      .withColumn("robust_z",
+        when(col(valueCol).isNull || col("_mad") === 0,
+          lit(null).cast("double")).otherwise(z))
+      .withColumn("is_outlier",
+        when(col(valueCol).isNull, lit(null).cast("boolean"))
+          .when(col("_mad") === 0,
+            col(valueCol).cast("double") =!= col("_med").cast("double"))
+          .otherwise(col("robust_z") > k))
+      .drop("_med", "_mad")
+  }
+
   /** Quantile-threshold filter: keep rows whose `valueCol` percent_rank is
     * ≥ `minPercentRank`. NULL-valued rows have no rank and are dropped —
     * see [[percentRank]] (which preserves them) for the attach-only form

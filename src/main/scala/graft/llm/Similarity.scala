@@ -68,6 +68,37 @@ object Similarity {
       .otherwise(nanvl(dot(a, b) / den, lit(null).cast("double")))
   }
 
+  /** Per-group centroid cosine — the embedding-space quality/outlier
+    * signal (a doc far from its own domain's centroid is mislabeled,
+    * noise, or genuinely novel; SemDeDup's cluster-distance cousin).
+    * Because cosine is scale-invariant, the centroid never needs the
+    * division by n: the group SUM vector points the same direction, so
+    * the per-dim sums — accumulated as 12-dp DECIMAL after a 12-dp
+    * pre-round of each float (the temperatureShares convention: the
+    * pre-round makes the decimal cast exact, the DECIMAL sum makes it
+    * partition-order independent) — ARE the centroid, exactly
+    * DuckDB-replayable with no decimal-division semantics in sight.
+    *
+    * Scale shape: one posexplode pass partial-aggregated to
+    * (groups × dims) rows, rebuilt into per-group arrays (bounded), then
+    * broadcast back onto the embedding relation — the corpus is read
+    * twice (sum pass + attach), shuffles carry only the bounded sums.
+    * Zero-norm vectors or centroids score NULL ([[cosineOrNull]]). */
+  def centroidCosine(embs: DataFrame, groupCol: String): DataFrame = {
+    val dims = embs.select(col(groupCol).as("_g"),
+      posexplode(col("embedding")).as(Seq("_pos", "_x")))
+    val sums = dims.groupBy("_g", "_pos")
+      .agg(sum(round(col("_x").cast("double"), 12)
+        .cast(org.apache.spark.sql.types.DecimalType(28, 12))).as("_s"))
+    val cents = sums.groupBy("_g")
+      .agg(transform(array_sort(collect_list(struct(col("_pos"), col("_s")))),
+        s => s.getField("_s").cast("double")).as("_cent"))
+    embs.join(broadcast(cents), col(groupCol) === col("_g"))
+      .select(col("vec_id"), col(groupCol),
+        round(cosineOrNull(col("embedding"), col("_cent")), 6)
+          .as("centroid_cos"))
+  }
+
   /** Brute-force cosine top-k: for each query vector (by vec_id), the k
     * nearest other vectors. Rank on the rounded score with vec_id
     * tie-break (deterministic across engines). */

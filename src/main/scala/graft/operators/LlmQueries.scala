@@ -476,6 +476,14 @@ object LlmQueries {
         threshold = 0.95)
     },
 
+    // per-label centroid cosine: scale-invariance makes the group's
+    // 12-dp-DECIMAL SUM vector the centroid (no division anywhere), so
+    // the outlier signal replays exactly
+    "q_centroid_cos" -> { (s, dir) =>
+      Similarity.centroidCosine(
+        embs(s, dir).select("vec_id", "label", "embedding"), "label")
+    },
+
     // embedding-coverage card: the seeded-cell occupancy distribution as
     // a one-row diversity sheet (occupied cells, DECIMAL-summed Shannon
     // entropy, normalized entropy, max cell share)
@@ -1011,6 +1019,22 @@ object LlmQueries {
 
     // replays the card: q_dedup_semantic's cell assignment over the raw
     // embeddings table, then shares -> 12-dp entropy terms summed as
+    // the sum-vector centroid replayed per (label, dim) as exact DECIMAL
+    // sums of the 12-dp-pre-rounded floats, then the plain cosine replay
+    "q_centroid_cos" ->
+      s"""WITH d AS (
+         |  SELECT label AS g, i AS pos,
+         |    CAST(round(CAST(embedding[i] AS DOUBLE), 12)
+         |      AS DECIMAL(28,12)) AS x
+         |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS r(i)),
+         |s AS (SELECT g, pos, sum(x) AS sx FROM d GROUP BY g, pos),
+         |c AS (
+         |  SELECT g, list(CAST(sx AS DOUBLE) ORDER BY pos) AS cent
+         |  FROM s GROUP BY g)
+         |SELECT e.vec_id, e.label,
+         |  ${cosSql("e.embedding", "c.cent")} AS centroid_cos
+         |FROM embeddings e JOIN c ON c.g = e.label""".stripMargin,
+
     // DECIMAL -> the one-row rollup; ln(16) is injected as the
     // Scala-computed double literal so both engines divide by the same
     // bits (libm ln is not guaranteed correctly rounded)
@@ -1516,6 +1540,7 @@ object LlmQueries {
 
   def verifySort: Map[String, Seq[String]] = Map(
     "q_dedup_minhash_pairs" -> Seq("doc_a", "doc_b"),
+    "q_centroid_cos" -> Seq("vec_id"),
     "q_dedup_simhash_pairs" -> Seq("doc_a", "doc_b"),
     "q_dedup_incremental" -> Seq("doc_a", "doc_b"),
     "q_dedup_simhash" -> Seq("doc_id"),

@@ -77,6 +77,14 @@ object SamplingQueries {
         "domain", "n_tok", budget = 100000L, alpha = 0.3)
     },
 
+    // robust median/MAD outlier scores on n_chars (Iglewicz–Hoaglin
+    // modified z, k=3.5): both medians are type-1 histogram quantiles
+    // over ONE persisted value histogram
+    "q_mad_outliers" -> { (s, dir) =>
+      Sampling.madOutliers(
+        docs(s, dir).select("doc_id", "n_chars"), "n_chars", k = 3.5)
+    },
+
     // keep docs at or above the 25th percentile of n_chars — computed
     // from the value histogram, not a global row sort
     "q_quantile_filter" -> { (s, dir) =>
@@ -276,6 +284,40 @@ object SamplingQueries {
 
     // algorithm-independent oracle: the window percent_rank definition the
     // histogram method must reproduce exactly
+    // both medians replayed as type-1 histogram quantiles (2*cum >= n,
+    // integer compare), then the modified-z formula over the constants
+    "q_mad_outliers" ->
+      """WITH h AS (
+        |  SELECT n_chars AS v, count(*) AS c FROM documents
+        |  WHERE n_chars IS NOT NULL GROUP BY v),
+        |c1 AS (
+        |  SELECT v, c,
+        |    sum(c) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(c) OVER () AS n
+        |  FROM h),
+        |m AS (SELECT min(CASE WHEN cum * 2 >= n THEN v END) AS med FROM c1),
+        |dh AS (
+        |  SELECT abs(v - m.med) AS dev, sum(c) AS c
+        |  FROM h, m GROUP BY 1),
+        |c2 AS (
+        |  SELECT dev, c,
+        |    sum(c) OVER (ORDER BY dev
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(c) OVER () AS n
+        |  FROM dh),
+        |mm AS (SELECT min(CASE WHEN cum * 2 >= n THEN dev END) AS mad
+        |  FROM c2)
+        |SELECT d.doc_id, d.n_chars,
+        |  CASE WHEN d.n_chars IS NULL OR mm.mad = 0 THEN NULL
+        |    ELSE round(abs(CAST(d.n_chars AS DOUBLE) - CAST(m.med AS DOUBLE))
+        |      / (1.4826 * CAST(mm.mad AS DOUBLE)), 6) END AS robust_z,
+        |  CASE WHEN d.n_chars IS NULL THEN NULL
+        |    WHEN mm.mad = 0 THEN CAST(d.n_chars AS DOUBLE) <> CAST(m.med AS DOUBLE)
+        |    ELSE round(abs(CAST(d.n_chars AS DOUBLE) - CAST(m.med AS DOUBLE))
+        |      / (1.4826 * CAST(mm.mad AS DOUBLE)), 6) > 3.5 END AS is_outlier
+        |FROM documents d, m, mm""".stripMargin,
+
     "q_quantile_filter" ->
       """WITH r AS (
         |  SELECT doc_id, n_chars,
@@ -318,6 +360,7 @@ object SamplingQueries {
     "q_domain_mix" -> Seq("doc_id", "copy_idx"),
     "q_temperature_mix" -> Seq("domain"),
     "q_token_budget" -> Seq("domain"),
+    "q_mad_outliers" -> Seq("doc_id"),
     "q_percent_rank_cont" -> Seq("doc_id"),
     "q_quantile_filter" -> Seq("doc_id"),
     "q_domain_cap" -> Seq("doc_id"),

@@ -74,7 +74,14 @@ object KernelProbe {
     ("corpus_overlap",
       "COMPUTE o FROM table(text, is_bench) INTO column(est_j) " +
         "USING corpus_overlap",
-      "q_corpus_overlap"))
+      "q_corpus_overlap"),
+    ("mad_outlier",
+      "COMPUTE m FROM table(n_chars) INTO column(rz) USING mad_outlier",
+      "q_mad_outliers"),
+    ("centroid_cos",
+      "COMPUTE c FROM table(label, embedding) INTO column(ccos) " +
+        "USING centroid_cos",
+      "q_centroid_cos"))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
@@ -113,6 +120,10 @@ object KernelProbe {
         "WHEN doc_id % 3 = 0 THEN 'mid' ELSE 'common' END"))
       .withColumn("n_tok", size(split(coalesce(col("text"), lit("")), " ")))
       .createOrReplaceTempView("budget_docs")
+    // centroid_cos needs a (label, embedding) relation keyed by doc_id
+    spark.table("embeddings")
+      .select(col("vec_id").as("doc_id"), col("label"), col("embedding"))
+      .createOrReplaceTempView("emb_label_docs")
     val base = java.nio.file.Files
       .createTempDirectory("graft_kernel_probe").toString
     val runner = new StatementRunner(spark,

@@ -562,6 +562,39 @@ class PlanAuditSpec extends AnyFunSuite {
     } finally s.sparkContext.removeSparkListener(listener)
   }
 
+  test("q_mad_outliers computes both medians from ONE cached histogram: " +
+    "two corpus scans, all quantile machinery on InMemory reads") {
+    val p = plan("q_mad_outliers")
+    val scans = """\(\d+\) Scan parquet""".r.findAllIn(p).length
+    assert(scans <= 2,
+      s"histogram build + row-preserving attach are the only corpus " +
+        s"scans — the deviation histogram must re-aggregate the CACHED " +
+        s"one, found $scans:\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      s"the med/MAD derivations must read the persisted histogram:\n$p")
+    val nlj = """\(\d+\) BroadcastNestedLoopJoin""".r.findAllIn(p).length
+    assert(nlj <= 3,
+      s"only the 1-row median/MAD relations may nested-loop, " +
+        s"found $nlj:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"the attach must broadcast the 1-row constants:\n$p")
+    graft.llm.PipelineCaches.clear()
+  }
+
+  test("q_centroid_cos is one sum pass + one broadcast attach — " +
+    "no window, no decimal division, no corpus self-join") {
+    val p = plan("q_centroid_cos")
+    val scans = """\(\d+\) Scan parquet""".r.findAllIn(p).length
+    assert(scans <= 2,
+      s"dim-sum pass + attach are the only embedding scans, " +
+        s"found $scans:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the (groups x dims)-bounded centroid table must broadcast onto " +
+        s"the embedding relation:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"a shuffle join here repartitions the embedding payload:\n$p")
+  }
+
   test("q_readability is a zero-shuffle projection reading only " +
     "(doc_id, text)") {
     val p = plan("q_readability")

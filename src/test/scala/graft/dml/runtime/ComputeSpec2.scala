@@ -676,4 +676,42 @@ class ComputeSpec2 extends AnyFunSuite {
     }
     assert(ovErr.getMessage.contains("no b-side rows"))
   }
+
+  test("mad_outlier / centroid_cos kernels reach the round-12 quality " +
+    "operators from the DSL") {
+    val s = spark
+    // mad_outlier: matches the operator on every row; rows preserved
+    val mo = ComputeRegistry.runOnce(s,
+      parse("COMPUTE mo FROM table(n_chars) INTO column(rz) " +
+        "USING mad_outlier"),
+      "documents")
+    assert(mo.count() == s.table("documents").count())
+    val twin = graft.llm.Sampling.madOutliers(
+      s.table("documents").select("doc_id", "n_chars"), "n_chars")
+      .select(col("doc_id"), col("robust_z"))
+    assert(mo.select("doc_id", "rz").join(twin, Seq("doc_id"))
+      .filter(!(col("rz") <=> col("robust_z"))).count() == 0)
+    val moErr = intercept[IllegalArgumentException] {
+      ComputeRegistry.runOnce(s,
+        parse("COMPUTE mo FROM table(n_chars) INTO column(is_outlier) " +
+          "USING mad_outlier"),
+        "documents")
+    }
+    assert(moErr.getMessage.contains("reserves"))
+    // centroid_cos: keyed embedding relation; every score in [-1, 1]
+    s.table("embeddings")
+      .select(col("vec_id").as("doc_id"), col("label"), col("embedding"))
+      .createOrReplaceTempView("emb_lbl_docs")
+    val cc = ComputeRegistry.runOnce(s,
+      parse("COMPUTE cc FROM table(label, embedding) INTO column(ccos) " +
+        "USING centroid_cos"),
+      "emb_lbl_docs")
+    assert(cc.count() == s.table("embeddings").count())
+    val ccTwin = graft.llm.Similarity.centroidCosine(
+      s.table("embeddings").select("vec_id", "label", "embedding"),
+      "label")
+      .select(col("vec_id").as("doc_id"), col("centroid_cos"))
+    assert(cc.select("doc_id", "ccos").join(ccTwin, Seq("doc_id"))
+      .filter(!(col("ccos") <=> col("centroid_cos"))).count() == 0)
+  }
 }

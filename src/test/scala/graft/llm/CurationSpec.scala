@@ -590,6 +590,68 @@ class CurationSpec extends AnyFunSuite {
     assert(e.getMessage.contains("positive"))
   }
 
+  test("madOutliers: hand-computed median/MAD, the zero-MAD degenerate " +
+    "branch, and NULL preservation") {
+    val s = spark
+    import s.implicits._
+    // values 1..9 and 100: median 5 (type-1), deviations median -> MAD 2
+    val docs = ((1L to 9L).map(i => (i, i)) :+ (10L, 100L))
+      .toDF("doc_id", "v")
+    val out = Sampling.madOutliers(docs, "v", k = 3.5)
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(2)).map(_.asInstanceOf[Double]),
+          Option(r.get(3)).map(_.asInstanceOf[Boolean])))).toMap
+    val denom = 1.4826 * 2.0
+    assert(out(10L)._1.get == math.floor(95.0 / denom * 1e6 + 0.5) / 1e6)
+    assert(out(10L)._2.contains(true))
+    assert(out(9L)._1.get == math.floor(4.0 / denom * 1e6 + 0.5) / 1e6)
+    assert(out(9L)._2.contains(false))
+    assert(out(5L)._1.contains(0.0) && out(5L)._2.contains(false))
+    // zero-MAD: {1,1,1,1,2,3,10} -> median 1, deviation median 0; the
+    // scale is undefined (NULL z) and any value != median is an outlier
+    val degen = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (5L, 2L),
+      (6L, 3L), (7L, 10L)).toDF("doc_id", "v")
+    val dg = Sampling.madOutliers(degen, "v")
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(2)), Option(r.get(3)).map(_.asInstanceOf[Boolean]))))
+      .toMap
+    assert(dg.values.forall(_._1.isEmpty), "zero MAD must NULL the score")
+    assert(dg(1L)._2.contains(false) && dg(5L)._2.contains(true) &&
+      dg(7L)._2.contains(true))
+    // NULL value: preserved with NULL score and NULL flag
+    val withNull = Seq((1L, Some(1L)), (2L, None), (3L, Some(5L)),
+      (4L, Some(9L))).toDF("doc_id", "v")
+    val nu = Sampling.madOutliers(withNull, "v").collect()
+    assert(nu.length == 4)
+    val r2 = nu.find(_.getLong(0) == 2L).get
+    assert(r2.isNullAt(2) && r2.isNullAt(3))
+    val e = intercept[IllegalArgumentException] {
+      Sampling.madOutliers(docs, "v", k = 0)
+    }
+    assert(e.getMessage.contains("positive"))
+  }
+
+  test("centroidCosine: the group SUM vector is the centroid — " +
+    "hand-computed 2-d groups, singleton identity, zero-vector NULL") {
+    val s = spark
+    import s.implicits._
+    val embs = Seq(
+      (1L, "a", Seq(1.0f, 0.0f)),
+      (2L, "a", Seq(0.0f, 1.0f)),
+      (3L, "b", Seq(3.0f, 4.0f)),
+      (4L, "c", Seq(0.0f, 0.0f))).toDF("vec_id", "label", "embedding")
+    val out = Similarity.centroidCosine(embs, "label")
+      .collect().map(r => r.getLong(0) ->
+        Option(r.get(2)).map(_.asInstanceOf[Double])).toMap
+    // group a: sum (1,1); cos((1,0),(1,1)) = 1/sqrt(2)
+    val expected = math.floor(1.0 / math.sqrt(2.0) * 1e6 + 0.5) / 1e6
+    assert(out(1L).contains(expected) && out(2L).contains(expected))
+    // a singleton's centroid is itself: cosine exactly 1
+    assert(out(3L).contains(1.0))
+    // zero vector: NULL score (and its group centroid is the zero sum)
+    assert(out(4L).isEmpty)
+  }
+
   test("corpusOverlapSketch: identical corpora estimate 1.0, " +
     "disjoint-vocabulary corpora 0.0") {
     val s = spark
