@@ -186,6 +186,114 @@ class CurationPropertySpec extends AnyFunSuite {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("property_token_budget_self_preserves_mass_and_order") {
+    val s = SparkTestSession.spark
+    import s.implicits._
+    // arbitrary domain labels and token counts: targets must sum back to
+    // the relation's own token mass (+-1 rounding per domain), and at
+    // alpha < 1 the flattening can only PULL shares toward uniform —
+    // the rarest domain's rate >= the commonest domain's rate
+    val gen = Gen.listOfN(30, for {
+      d <- Gen.oneOf("a", "b", "c", "d")
+      n <- Gen.choose(1L, 500L)
+    } yield (d, n))
+    val prop = Prop.forAll(gen) { rows =>
+      val df = rows.zipWithIndex
+        .map { case ((d, n), i) => (i.toLong, d, n) }
+        .toDF("doc_id", "dom", "n_tok")
+      val plan = Sampling.tokenBudgetSelf(df, "dom", "n_tok", alpha = 0.3)
+        .collect().map(r => (r.getAs[String]("domain"),
+          r.getAs[Long]("n_tokens"), r.getAs[Long]("target_tokens"),
+          r.getAs[Double]("sampling_rate")))
+      val mass = rows.map(_._2).sum
+      val massOk = math.abs(plan.map(_._3).sum - mass) <= plan.length
+      val sorted = plan.sortBy(_._2)
+      val monotone = sorted.zip(sorted.tail).forall {
+        case ((_, _, _, rSmall), (_, _, _, rBig)) => rSmall >= rBig - 1e-9
+      }
+      massOk && monotone
+    }
+    val result = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(result.passed, result.status.toString)
+  }
+
+  test("property_mad_outlier_median_is_type1_and_flags_are_consistent") {
+    val s = SparkTestSession.spark
+    import s.implicits._
+    val gen = Gen.nonEmptyListOf(Gen.choose(0L, 40L)).map(_.take(40))
+    val prop = Prop.forAll(gen) { values =>
+      val df = values.zipWithIndex
+        .map { case (v, i) => (i.toLong, v) }.toDF("doc_id", "v")
+      val out = Sampling.madOutliers(df, "v").collect()
+        .map(r => (r.getLong(1), Option(r.get(2)), r.getBoolean(3)))
+      val sorted = values.sorted
+      val med = sorted((values.size - 1) / 2) // type-1: smallest v with 2*cum >= n
+      val devs = values.map(v => math.abs(v - med)).sorted
+      val mad = devs((values.size - 1) / 2)
+      out.forall { case (v, z, flag) =>
+        if (mad == 0L) z.isEmpty && flag == (v != med)
+        else {
+          val expected = math.abs(v.toDouble - med) / (1.4826 * mad)
+          z.exists(zz => math.abs(zz.asInstanceOf[Double] - expected) < 1e-5) &&
+            flag == (math.floor(expected * 1e6 + 0.5) / 1e6 > 3.5)
+        }
+      }
+    }
+    val result = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(result.passed, result.status.toString)
+  }
+
+  test("property_pack_plan_bounds_hold") {
+    val s = SparkTestSession.spark
+    import s.implicits._
+    val gen = for {
+      texts <- Gen.nonEmptyListOf(
+        Gen.choose(0, 20).map(n => List.fill(n)("w").mkString(" ")))
+        .map(_.take(25))
+      seqLen <- Gen.choose(1, 12)
+    } yield (texts, seqLen)
+    val prop = Prop.forAll(gen) { case (texts, seqLen) =>
+      val df = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val r = TextOps.packPlan(df, seqLen).collect()(0)
+      val counts = texts.map(t => t.split(" ", -1).length.toLong)
+      val eff = counts.map(math.min(_, seqLen.toLong)).sum
+      r.getAs[Long]("n_docs") == counts.size &&
+        r.getAs[Long]("total_tokens") == counts.sum &&
+        r.getAs[Long]("packed_seqs") == (eff + seqLen - 1) / seqLen &&
+        r.getAs[Long]("n_overlong") == counts.count(_ > seqLen) &&
+        r.getAs[Long]("overflow_tokens") ==
+          counts.map(n => math.max(n - seqLen, 0L)).sum &&
+        r.getAs[Double]("pad_waste_pct") >= 0.0 &&
+        r.getAs[Double]("pad_waste_pct") < 1.0 &&
+        Seq(50, 90, 99).map(p => counts.sorted.apply(
+          math.max(((p * counts.size + 99) / 100) - 1, 0))).zip(
+          Seq(r.getAs[Long]("p50_tokens"), r.getAs[Long]("p90_tokens"),
+            r.getAs[Long]("p99_tokens"))).forall { case (e, g) => e == g }
+    }
+    val result = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(result.passed, result.status.toString)
+  }
+
+  test("property_leakage_split_never_straddles_groups") {
+    val s = SparkTestSession.spark
+    import s.implicits._
+    val gen = Gen.listOfN(30, Gen.choose(0L, 9L))
+    val prop = Prop.forAll(gen) { labels =>
+      val groups = labels.zipWithIndex
+        .map { case (g, i) => (i.toLong, g) }.toDF("doc_id", "dup_group")
+      val out = Curation.leakageSafeSplit(groups, 80, 10)
+        .collect().map(r => (r.getLong(1), r.getString(3)))
+      out.groupBy(_._1).values.forall(_.map(_._2).distinct.size == 1)
+    }
+    val result = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(result.passed, result.status.toString)
+  }
+
   test("reliable-checkpoint mode gives the identical labeling") {
     val s = SparkTestSession.spark
     import s.implicits._
