@@ -24,7 +24,11 @@ object ExplainPlans {
       "q_tfidf_topterms", "q_bm25_search", "q_corpus_shuffle",
       "q_hash_sample", "q_stratified_sample", "q_domain_mix",
       "q_quantile_filter", "q_dedup_incremental", "q_ann_int8_topk",
-      "q_events_range_join")
+      "q_events_range_join",
+      // round-12 additions
+      "q_readability", "q_pmi_pairs", "q_token_budget",
+      "q_embedding_coverage", "q_pack_plan", "q_corpus_overlap",
+      "q_mad_outliers", "q_centroid_cos")
     // q_dedup_groups is deliberately absent: building its DataFrame RUNS
     // the propagation rounds (eager per-round materialization), so its
     // "plan" is an InMemoryTableScan of the final round — nothing to audit.
