@@ -509,6 +509,34 @@ object ComputeRegistry {
         .select(col("doc_id"), col("contaminated_bloom").as(out))
       df.join(flags, Seq("doc_id"))
     },
+    // per-doc boilerplate fraction over a TEXT input column: the share
+    // of each doc's distinct 5-grams occurring in >= 2 docs (the
+    // Dolma/RefinedWeb duplicate-content score — ranks syndication
+    // victims that keep-one dedup legitimately leaves in place);
+    // n_grams/shared_grams ride, every doc_id-keyed row preserved
+    "boilerplate_frac" -> { (df, ins, out) =>
+      require(!Seq("n_grams", "shared_grams").contains(out),
+        s"boilerplate_frac reserves its count column names; pick " +
+          s"another INTO column name (got '$out')")
+      val scored = graft.llm.Curation
+        .boilerplateFrac(keyed(df, ins.head), k = 5, minDocs = 2)
+        .withColumnRenamed("boilerplate_frac", out)
+      df.join(scored, Seq("doc_id"))
+    },
+    // Vocabulary-growth card — relation-REPLACING, ONE row: token/type
+    // totals, TTR, hapax share, top-10 head coverage, and the Zipf
+    // log-log OLS slope over the top-100 ranks (the catalog
+    // q_vocab_card configuration — natural corpora fit ~ -1, templated
+    // or machine-generated corpora deviate); INTO column(...) names the
+    // slope column
+    "vocab_card" -> { (df, ins, out) =>
+      require(!Seq("n_tokens", "n_types", "ttr", "hapax_types",
+          "hapax_share", "top10_coverage", "zipf_k").contains(out),
+        s"vocab_card reserves its card column names; pick another " +
+          s"INTO column name (got '$out')")
+      graft.llm.TextOps.vocabCard(keyed(df, ins.head), zipfK = 100)
+        .withColumnRenamed("zipf_slope", out)
+    },
     // Corpus data card — relation-REPLACING like chunk_docs: emits the
     // ROLLUP (lang, source) statistics sheet (per-group and margin
     // rows), NOT one row per input doc. Requires lang/source/n_chars
@@ -597,6 +625,12 @@ object ComputeRegistry {
   // Flesch reading-ease over a text column — a pure zero-shuffle
   // projection (TextOps.flesch), the readability quality axis
   kernels.put("readability", cols => graft.llm.TextOps.flesch(cols.head))
+  // character-distribution Shannon entropy over a text column — the
+  // gibberish/encoding-damage axis (fused CharStats codepoint pass,
+  // zero-shuffle; NULL text scores as empty = 0.0)
+  kernels.put("char_entropy", cols =>
+    graft.functions.CharStats.charStats(coalesce(cols.head, lit("")))
+      .getField("char_entropy"))
   // stable md5 sampling bucket (0-99) of any id column: filter on the
   // output for a rerun-stable, join-consistent sample (Sampling.hashSample)
   kernels.put("hash_bucket", cols =>

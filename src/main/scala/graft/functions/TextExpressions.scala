@@ -533,3 +533,96 @@ object FastMinhashSigs {
     ColumnBridge.column(FastMinhashSigs(
       ColumnBridge.expression(text), k, numHashes))
 }
+
+/** Per-document character statistics — the gibberish/encoding-damage
+  * signal tier in ONE compiled pass over the codepoint stream: codepoint
+  * count, distinct codepoints, the dominant codepoint's share, and the
+  * Shannon entropy of the character distribution. Natural text sits in a
+  * narrow entropy band per script; base64 blobs, binary spills, and
+  * key-mash gibberish sit high, single-character run damage sits low —
+  * a char-level quality filter no token statistic can express.
+  *
+  * The composable form would explode the corpus to (doc, char) rows and
+  * shuffle character counts at corpus scale for what is a per-row
+  * function of the text; this expression is a zero-shuffle projection.
+  *
+  * Parity contract (oracle-replayed): granularity is Unicode CODEPOINTS
+  * — DuckDB's `string_split(t, '')` characters — not UTF-16 units or
+  * bytes (invalid UTF-8 input takes the JVM replacement-char decode; the
+  * oracle gate runs on valid-UTF-8 fixtures). The entropy is the exact
+  * order-independent DECIMAL replay of the catalog convention
+  * ([[graft.llm.Similarity]].coverageCard): per-character term
+  * `round(-p·ln p, 12)` (Spark `round` = BigDecimal HALF_UP, then the
+  * double→DECIMAL(28,12) cast), terms summed EXACTLY as decimals, the
+  * sum cast to double and rounded to 6 — so JVM and DuckDB cannot drift
+  * on float addition order. An empty document (0 codepoints) reports
+  * zero counts, share 0.0, entropy 0.0. */
+case class CharStats(child: Expression) extends UnaryExpression {
+
+  override def prettyName: String = "char_stats"
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_chars", LongType, nullable = false),
+    StructField("n_distinct_chars", LongType, nullable = false),
+    StructField("top_char_frac", DoubleType, nullable = false),
+    StructField("char_entropy", DoubleType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${t.sql}")
+  }
+
+  /** public: called from generated code. */
+  def stats(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val s = text.toString
+    val counts = new java.util.HashMap[Integer, Long](64)
+    var n = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      counts.merge(Integer.valueOf(cp), 1L, (a, b) => a + b)
+      n += 1
+      i += Character.charCount(cp)
+    }
+    var top = 0L
+    var entropySum = JBD.ZERO
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next()
+      if (c > top) top = c
+      val p = c.toDouble / n.toDouble
+      // Spark round(x, 12) then the double→DECIMAL(28,12) cast, exactly
+      val rounded = JBD.valueOf(-p * math.log(p))
+        .setScale(12, RoundingMode.HALF_UP).doubleValue
+      entropySum = entropySum.add(
+        JBD.valueOf(rounded).setScale(12, RoundingMode.HALF_UP))
+    }
+    val topFrac = if (n == 0L) 0.0
+      else JBD.valueOf(top.toDouble / n.toDouble)
+        .setScale(6, RoundingMode.HALF_UP).doubleValue
+    val entropy = if (n == 0L) 0.0
+      else JBD.valueOf(entropySum.doubleValue)
+        .setScale(6, RoundingMode.HALF_UP).doubleValue
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n, counts.size.toLong, topFrac, entropy))
+  }
+
+  override def nullSafeEval(a: Any): Any = stats(a.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("charStats", this,
+      classOf[CharStats].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.stats($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : CharStats = copy(child = newChild)
+}
+
+object CharStats {
+  def charStats(text: Column): Column =
+    ColumnBridge.column(CharStats(ColumnBridge.expression(text)))
+}

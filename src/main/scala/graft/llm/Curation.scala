@@ -844,4 +844,41 @@ object Curation {
           "collect_list(struct(seg_idx, _keep, seg))), " +
           "x -> x._keep = 1), x -> x.seg), ' ')").as("clean_text"))
   }
+
+  /** Per-document boilerplate fraction: the share of a doc's DISTINCT word
+    * k-grams that also occur in ≥ `minDocs` DISTINCT documents — the
+    * Dolma/RefinedWeb "duplicate-content fraction" signal. [[spanDedup]]
+    * REMOVES corpus-repeated segments; this SCORES each document by how
+    * much of it is corpus-repeated, so a pipeline can rank and threshold
+    * (a doc that is 90% syndicated boilerplate is a drop candidate even
+    * though each of its grams legitimately survives keep-one dedup).
+    *
+    * Plan shape at 100 TB: gram keys are the shared [[gramKeys]]
+    * projection (md5 constant-width keys, prose never in a shuffle);
+    * the per-gram document count is a partial-aggregated groupBy over the
+    * distinct-gram-bounded key space; the join back is keyed by gram_key
+    * and the final aggregate by doc_id — the standard two-shuffle
+    * dedup-tier shape, no global sort, rows preserved (every doc emits ≥ 1
+    * gram via the keep-short-whole branch; a whole-text gram shared by
+    * `minDocs` exact copies counts as boilerplate, which is the right
+    * verdict). The gram relation is persisted for its two consumers
+    * (count side, join side) so the corpus shingles once. */
+  def boilerplateFrac(docs: DataFrame, k: Int = 5, minDocs: Int = 2)
+      : DataFrame = {
+    require(minDocs >= 2, s"minDocs must be at least 2, got $minDocs")
+    val grams = PipelineCaches.track(
+      gramKeys(docs, k).persist(StorageLevel.MEMORY_AND_DISK))
+    val gramDocs = grams
+      // gramKeys is distinct per doc, so count(*) = distinct docs
+      .groupBy("gram_key").agg(count(lit(1)).as("_nd"))
+      .filter(col("_nd") >= minDocs)
+    grams.join(gramDocs, Seq("gram_key"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("bigint").as("n_grams"),
+        sum(when(col("_nd").isNotNull, 1L).otherwise(0L)).cast("bigint")
+          .as("shared_grams"))
+      .withColumn("boilerplate_frac",
+        round(col("shared_grams").cast("double") /
+          col("n_grams").cast("double"), 6))
+  }
 }

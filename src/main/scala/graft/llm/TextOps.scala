@@ -418,4 +418,89 @@ object TextOps {
       .orderBy(col("n_occurrences").desc, col("gram").asc)
       .limit(n)
   }
+
+  /** Character-level gibberish/encoding-damage card: codepoint count,
+    * distinct codepoints, dominant-codepoint share, and Shannon entropy of
+    * each document's character distribution. Natural text per script sits
+    * in a narrow entropy band; base64/binary spills sit high, run damage
+    * ("aaaa…") sits low — the standard char-level quality filter that no
+    * token statistic expresses.
+    *
+    * ONE zero-shuffle projection over the fused
+    * [[graft.functions.CharStats]] pass (the composable form would explode
+    * the corpus to (doc, char) rows and shuffle character counts at corpus
+    * scale for a per-row function of the text). Entropy replays exactly in
+    * DuckDB via the catalog's DECIMAL-summed-terms convention. */
+  def charStats(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("_s", graft.functions.CharStats.charStats(
+        coalesce(col("text"), lit(""))))
+      .select(col("doc_id"),
+        col("_s.n_chars").as("n_chars"),
+        col("_s.n_distinct_chars").as("n_distinct_chars"),
+        col("_s.top_char_frac").as("top_char_frac"),
+        col("_s.char_entropy").as("char_entropy"))
+
+  /** Corpus vocabulary-growth card (one row): token/type totals,
+    * type-token ratio, hapax legomena share (Heaps'-law tail mass — the
+    * "how much of this corpus is words seen once" signal that predicts
+    * tokenizer OOV pressure), head coverage of the top-10 words, and the
+    * Zipf log-log slope fitted by OLS over the top-`zipfK` ranks (natural
+    * corpora fit ≈ −1; machine-generated or templated corpora deviate —
+    * a one-number corpus-health check).
+    *
+    * Scale shape: ONE corpus explode → map-side-combined word count (the
+    * only corpus-sized work); the count table is vocabulary-bounded and
+    * persisted for its two consumers (totals aggregate; top-K rank). The
+    * rank cut is sort+limit (TakeOrderedAndProject — each partition ships
+    * its own top K), and the OLS runs over the K-row table only, with
+    * every sum a 12-dp DECIMAL (order-independent, so the slope replays
+    * exactly in DuckDB: slope = (K·Σxy − Σx·Σy)/(K·Σx² − (Σx)²) over
+    * x = ln rank, y = ln count). */
+  def vocabCard(docs: DataFrame, zipfK: Int = 100): DataFrame = {
+    require(zipfK >= 2, s"zipfK must be at least 2, got $zipfK")
+    val dec = org.apache.spark.sql.types.DecimalType(28, 12)
+    val counts = PipelineCaches.track(docs
+      .select(explode(split(coalesce(col("text"), lit("")), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val totals = counts.agg(
+      sum(col("c")).cast("bigint").as("n_tokens"),
+      count(lit(1)).cast("bigint").as("n_types"),
+      sum(when(col("c") === 1L, 1L).otherwise(0L)).cast("bigint")
+        .as("hapax_types"))
+    val ranked = counts
+      .orderBy(col("c").desc, col("token").asc)
+      .limit(zipfK)
+      .withColumn("r", row_number().over(
+          Window.orderBy(col("c").desc, col("token").asc))
+        .cast("bigint"))
+    val z = ranked
+      .withColumn("_lx", log(col("r").cast("double")))
+      .withColumn("_ly", log(col("c").cast("double")))
+      .agg(
+        count(lit(1)).cast("bigint").as("zipf_k"),
+        sum(round(col("_lx"), 12).cast(dec)).cast("double").as("_sx"),
+        sum(round(col("_ly"), 12).cast(dec)).cast("double").as("_sy"),
+        sum(round(col("_lx") * col("_ly"), 12).cast(dec)).cast("double")
+          .as("_sxy"),
+        sum(round(col("_lx") * col("_lx"), 12).cast(dec)).cast("double")
+          .as("_sxx"),
+        sum(when(col("r") <= 10L, col("c")).otherwise(0L)).cast("bigint")
+          .as("_top10"))
+    totals.crossJoin(z).select(
+      col("n_tokens"), col("n_types"),
+      round(col("n_types").cast("double") /
+        col("n_tokens").cast("double"), 6).as("ttr"),
+      col("hapax_types"),
+      round(col("hapax_types").cast("double") /
+        col("n_types").cast("double"), 6).as("hapax_share"),
+      round(col("_top10").cast("double") /
+        col("n_tokens").cast("double"), 6).as("top10_coverage"),
+      col("zipf_k"),
+      round((col("zipf_k").cast("double") * col("_sxy") -
+          col("_sx") * col("_sy")) /
+        (col("zipf_k").cast("double") * col("_sxx") -
+          col("_sx") * col("_sx")), 6).as("zipf_slope"))
+  }
 }

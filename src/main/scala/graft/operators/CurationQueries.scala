@@ -41,6 +41,18 @@ object CurationQueries {
       Curation.repetitionMetrics(docs(s, dir))
     },
 
+    // per-doc boilerplate fraction (share of a doc's distinct 5-grams
+    // occurring in >= 2 docs): corpus = originals + trimmed copies of
+    // every 5th doc, so cross-doc gram overlap is PLANTED — copies and
+    // their sources score high, unrelated docs score ~0
+    "q_boilerplate_frac" -> { (s, dir) =>
+      val d = docs(s, dir)
+      Curation.boilerplateFrac(
+        d.select("doc_id", "text")
+          .unionAll(trimmed(d.filter(col("doc_id") % 5 === 0))),
+        k = 5, minDocs = 2)
+    },
+
     // Bloom-fingerprint decontamination: q_decontaminate's bench/train
     // construction, but the benchmark ships as a 64k-bit bitset reference
     // object instead of a broadcast gram table — deterministic md5-slice
@@ -366,6 +378,36 @@ object CurationQueries {
          |  coalesce(a.n_bpe_tokens, 0) AS n_bpe_tokens
          |FROM (SELECT doc_id FROM documents) d
          |LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
+    // Replays the union+trim corpus construction, the distinct-per-doc
+    // md5 gram keys, the per-gram doc count, and the >= 2 share.
+    "q_boilerplate_frac" -> {
+      val grams =
+        """CASE WHEN len(w) < 5 THEN [coalesce(text, '')]
+          |ELSE list_transform(range(1, len(w) - 3),
+          |  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]) END""".stripMargin
+      s"""WITH u AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000 AS doc_id,
+         |    substring(text, 1, greatest(length(text) - 12, 1)) AS text
+         |  FROM documents WHERE doc_id % 5 = 0),
+         |g AS (
+         |  SELECT DISTINCT doc_id, md5(g) AS gram_key FROM (
+         |    SELECT doc_id, unnest(list_distinct($grams)) AS g
+         |    FROM (SELECT doc_id, text,
+         |      string_split(coalesce(text, ''), ' ') AS w FROM u))),
+         |nd AS (
+         |  SELECT gram_key, count(*) AS ndocs FROM g GROUP BY gram_key)
+         |SELECT g.doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_grams,
+         |  CAST(sum(CASE WHEN nd.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS shared_grams,
+         |  round(sum(CASE WHEN nd.ndocs >= 2 THEN 1 ELSE 0 END)
+         |    / CAST(count(*) AS DOUBLE), 6) AS boilerplate_frac
+         |FROM g JOIN nd USING (gram_key)
+         |GROUP BY g.doc_id""".stripMargin
+    },
 
     "q_decontaminate" -> {
       // k=5 word grams; md5 gram keys; DISTINCT per doc (list_distinct)
@@ -944,6 +986,7 @@ object CurationQueries {
   def verifySort: Map[String, Seq[String]] = Map(
     "q_decontaminate" -> Seq("doc_id"),
     "q_quality_repetition" -> Seq("doc_id"),
+    "q_boilerplate_frac" -> Seq("doc_id"),
     "q_gopher_filter" -> Seq("doc_id"),
     "q_lm_perplexity" -> Seq("doc_id"),
     "q_ccnet_buckets" -> Seq("doc_id"),

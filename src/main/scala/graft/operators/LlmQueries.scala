@@ -190,6 +190,18 @@ object LlmQueries {
     // zero-shuffle projection, bit-exact in DuckDB
     "q_readability" -> { (s, dir) => TextOps.readability(docs(s, dir)) },
 
+    // character-level gibberish/encoding-damage card: ONE zero-shuffle
+    // projection over the fused CharStats codepoint pass; the entropy is
+    // the catalog's DECIMAL-summed-terms convention, so DuckDB replays it
+    // exactly (no float-addition-order drift)
+    "q_char_entropy" -> { (s, dir) => TextOps.charStats(docs(s, dir)) },
+
+    // one-row corpus vocabulary-growth card: token/type totals, TTR,
+    // hapax share, top-10 head coverage, and the Zipf log-log OLS slope
+    // over the top-100 ranks (12-dp DECIMAL sums → exact cross-engine
+    // slope replay)
+    "q_vocab_card" -> { (s, dir) => TextOps.vocabCard(docs(s, dir)) },
+
     // mixed-language detection over 16-word segments: the fixture is
     // monolingual, so mixture is PLANTED — copies at +100000 carry an
     // 18-word French-stopword tail whose final segments guess 'fr';
@@ -685,6 +697,73 @@ object LlmQueries {
         |      (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)), 6)
         |    AS flesch
         |FROM m""".stripMargin,
+
+    // Per-doc character counts, then the DECIMAL-summed entropy: term =
+    // round(-p·ln p, 12) as DECIMAL(28,12), exact sum, final round 6 —
+    // the coverage-card convention, so addition order cannot drift
+    // between engines. The doc total n rides a per-doc window over the
+    // (doc × distinct-char)-bounded count table.
+    "q_char_entropy" ->
+      """WITH ch AS (
+        |  SELECT doc_id, unnest(string_split(coalesce(text, ''), '')) AS c
+        |  FROM documents),
+        |cc AS (
+        |  SELECT doc_id, c, CAST(count(*) AS BIGINT) AS n FROM ch
+        |  GROUP BY doc_id, c),
+        |cn AS (
+        |  SELECT doc_id, n, sum(n) OVER (PARTITION BY doc_id) AS tot
+        |  FROM cc)
+        |SELECT doc_id,
+        |  CAST(max(tot) AS BIGINT) AS n_chars,
+        |  CAST(count(*) AS BIGINT) AS n_distinct_chars,
+        |  round(max(n) / CAST(max(tot) AS DOUBLE), 6) AS top_char_frac,
+        |  round(CAST(sum(CAST(round(
+        |      -(n / CAST(tot AS DOUBLE)) * ln(n / CAST(tot AS DOUBLE)), 12)
+        |    AS DECIMAL(28,12))) AS DOUBLE), 6) AS char_entropy
+        |FROM cn GROUP BY doc_id""".stripMargin,
+
+    // Replays the word-count fit, the (count DESC, token ASC) rank, and
+    // the 12-dp DECIMAL OLS sums for the Zipf slope — decimal sums are
+    // order-independent, so the slope is exact across engines.
+    "q_vocab_card" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split(coalesce(text, ''), ' ')) AS token
+        |  FROM documents),
+        |counts AS (
+        |  SELECT token, CAST(count(*) AS BIGINT) AS c FROM tok
+        |  GROUP BY token),
+        |totals AS (
+        |  SELECT CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    CAST(count(*) AS BIGINT) AS n_types,
+        |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS hapax_types
+        |  FROM counts),
+        |ranked AS (
+        |  SELECT c, token,
+        |    row_number() OVER (ORDER BY c DESC, token ASC) AS r
+        |  FROM counts QUALIFY r <= 100),
+        |z AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS zipf_k,
+        |    CAST(sum(CAST(round(ln(CAST(r AS DOUBLE)), 12)
+        |      AS DECIMAL(28,12))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(round(ln(CAST(c AS DOUBLE)), 12)
+        |      AS DECIMAL(28,12))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(round(ln(CAST(r AS DOUBLE)) * ln(CAST(c AS DOUBLE)), 12)
+        |      AS DECIMAL(28,12))) AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(round(ln(CAST(r AS DOUBLE)) * ln(CAST(r AS DOUBLE)), 12)
+        |      AS DECIMAL(28,12))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CASE WHEN r <= 10 THEN c ELSE 0 END) AS BIGINT)
+        |      AS top10
+        |  FROM ranked)
+        |SELECT t.n_tokens, t.n_types,
+        |  round(t.n_types / CAST(t.n_tokens AS DOUBLE), 6) AS ttr,
+        |  t.hapax_types,
+        |  round(t.hapax_types / CAST(t.n_types AS DOUBLE), 6) AS hapax_share,
+        |  round(z.top10 / CAST(t.n_tokens AS DOUBLE), 6) AS top10_coverage,
+        |  z.zipf_k,
+        |  round((z.zipf_k * z.sxy - z.sx * z.sy)
+        |    / (z.zipf_k * z.sxx - z.sx * z.sx), 6) AS zipf_slope
+        |FROM totals t, z""".stripMargin,
 
     // Replays the windowing (chunkDocs' non-overlapping 16-word slices),
     // the per-segment profile guess (q_lang_guess's CASE chain), and the
@@ -1555,6 +1634,7 @@ object LlmQueries {
     "q_text_stats" -> Seq("doc_id"),
     "q_lang_guess" -> Seq("doc_id"),
     "q_readability" -> Seq("doc_id"),
+    "q_char_entropy" -> Seq("doc_id"),
     "q_lang_mixture" -> Seq("doc_id"),
     "q_dedup_exact" -> Seq("doc_id"),
     "q_dedup_minhash_sigs" -> Seq("doc_id"),

@@ -28,7 +28,8 @@ object ExplainPlans {
       // round-12 additions
       "q_readability", "q_pmi_pairs", "q_token_budget",
       "q_embedding_coverage", "q_pack_plan", "q_corpus_overlap",
-      "q_mad_outliers", "q_centroid_cos")
+      "q_mad_outliers", "q_centroid_cos",
+      "q_char_entropy", "q_vocab_card", "q_boilerplate_frac")
     // q_dedup_groups is deliberately absent: building its DataFrame RUNS
     // the propagation rounds (eager per-round materialization), so its
     // "plan" is an InMemoryTableScan of the final round — nothing to audit.

@@ -81,7 +81,19 @@ object KernelProbe {
     ("centroid_cos",
       "COMPUTE c FROM table(label, embedding) INTO column(ccos) " +
         "USING centroid_cos",
-      "q_centroid_cos"))
+      "q_centroid_cos"),
+    ("char_entropy",
+      "COMPUTE c FROM table(text) INTO column(ent) USING char_entropy",
+      "q_char_entropy"),
+    ("vocab_card",
+      "COMPUTE v FROM table(text) INTO column(slope) USING vocab_card",
+      "q_vocab_card"),
+    // the catalog twin scores the union+trimmed 120%-corpus; the kernel
+    // scores the plain relation — the twin is the CLOSER-shaped bound
+    ("boilerplate_frac",
+      "COMPUTE b FROM table(text) INTO column(bfrac) " +
+        "USING boilerplate_frac",
+      "q_boilerplate_frac"))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")

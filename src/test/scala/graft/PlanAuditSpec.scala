@@ -615,6 +615,54 @@ class PlanAuditSpec extends AnyFunSuite {
         s"LM) may nested-loop, found $nlj:\n$p")
   }
 
+  test("q_char_entropy is a zero-shuffle fused projection reading only " +
+    "(doc_id, text)") {
+    val p = plan("q_char_entropy")
+    assert(!p.contains("Exchange"),
+      s"the char card is a pure CharStats projection — no shuffle:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"column pruning must reach the scan:\n$p")
+    assert(p.contains("char_stats"),
+      s"the fused native expression must be in the plan, not a " +
+        s"composable chain:\n$p")
+  }
+
+  test("q_vocab_card scans the corpus ONCE; totals and the Zipf fit read " +
+    "the persisted vocab-bounded count table") {
+    val p = plan("q_vocab_card")
+    val scans = """\(\d+\) Scan parquet""".r.findAllIn(p).length
+    assert(scans <= 1,
+      s"the word-count fit is the only corpus pass, found $scans:\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      s"both consumers must read the persisted count table:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the top-K rank cut must heap per partition, not globally " +
+        s"sort:\n$p")
+    val nlj = """\(\d+\) BroadcastNestedLoopJoin""".r.findAllIn(p).length
+    assert(nlj <= 1 && !p.contains("SortMergeJoin") &&
+      !p.contains("CartesianProduct"),
+      s"only the two 1-row card halves may nested-loop, found $nlj:\n$p")
+    graft.llm.PipelineCaches.clear()
+  }
+
+  test("q_boilerplate_frac shingles the corpus ONCE and joins back on " +
+    "the md5 gram key — no cartesian, no payload re-shingle") {
+    val p = plan("q_boilerplate_frac")
+    val scans = """\(\d+\) Scan parquet""".r.findAllIn(p).length
+    // 2 = the entry's union corpus construction (originals + trimmed
+    // copies — two arms over the same file); the gram relation itself
+    // shingles that union ONCE and is persisted for both consumers
+    assert(scans <= 2,
+      s"the persisted gram relation feeds both the count side and the " +
+        s"join side — only the union arms may scan, found $scans:\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      s"both consumers must read the persisted gram keys:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"the count join must stay an equi-join on gram_key:\n$p")
+    graft.llm.PipelineCaches.clear()
+  }
+
   test("q_corpus_report rolls up in ONE Expand pass with two shuffles") {
     val p = plan("q_corpus_report")
     assert(p.contains("Expand"),

@@ -714,4 +714,44 @@ class ComputeSpec2 extends AnyFunSuite {
     assert(cc.select("doc_id", "ccos").join(ccTwin, Seq("doc_id"))
       .filter(!(col("ccos") <=> col("centroid_cos"))).count() == 0)
   }
+
+  test("char_entropy / vocab_card / boilerplate_frac kernels reach the " +
+    "round-12 text tier from the DSL") {
+    val s = spark
+    // char_entropy: pure column kernel, matches the operator per row
+    val ce = ComputeRegistry.runOnce(s,
+      parse("COMPUTE ce FROM table(text) INTO column(ent) " +
+        "USING char_entropy"),
+      "documents")
+    assert(ce.count() == s.table("documents").count())
+    val ceTwin = graft.llm.TextOps.charStats(s.table("documents"))
+      .select(col("doc_id"), col("char_entropy"))
+    assert(ce.select("doc_id", "ent").join(ceTwin, Seq("doc_id"))
+      .filter(!(col("ent") <=> col("char_entropy"))).count() == 0)
+    // vocab_card: relation-replacing one-row card; reserved names refuse
+    val vc = ComputeRegistry.runOnce(s,
+      parse("COMPUTE vc FROM table(text) INTO column(slope) " +
+        "USING vocab_card"),
+      "documents")
+    assert(vc.count() == 1)
+    assert(vc.columns.contains("slope") && vc.columns.contains("ttr"))
+    val vcErr = intercept[IllegalArgumentException] {
+      ComputeRegistry.runOnce(s,
+        parse("COMPUTE vc FROM table(text) INTO column(ttr) " +
+          "USING vocab_card"),
+        "documents")
+    }
+    assert(vcErr.getMessage.contains("reserves"))
+    // boilerplate_frac: rows preserved, matches the operator
+    val bf = ComputeRegistry.runOnce(s,
+      parse("COMPUTE bf FROM table(text) INTO column(bfrac) " +
+        "USING boilerplate_frac"),
+      "documents")
+    assert(bf.count() == s.table("documents").count())
+    val bfTwin = graft.llm.Curation.boilerplateFrac(
+        s.table("documents").select("doc_id", "text"))
+      .select(col("doc_id"), col("boilerplate_frac"))
+    assert(bf.select("doc_id", "bfrac").join(bfTwin, Seq("doc_id"))
+      .filter(!(col("bfrac") <=> col("boilerplate_frac"))).count() == 0)
+  }
 }

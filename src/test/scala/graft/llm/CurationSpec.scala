@@ -525,6 +525,85 @@ class CurationSpec extends AnyFunSuite {
     assert(math.abs(out(1L)._3 - (206.835 - 1.015 * 3 - 84.6)) < 1e-6)
   }
 
+  test("charStats: hand-computed entropy, codepoint granularity, and " +
+    "degenerate docs") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "aab"),
+      (2L, "aaaa"), // single-char run: zero entropy
+      (3L, ""),
+      (4L, "ééa"), // é is ONE codepoint, not two UTF-8/UTF-16 units
+      (5L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = TextOps.charStats(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    // aab: 3 codepoints, 2 distinct, top 2/3, entropy
+    // -(2/3)ln(2/3) - (1/3)ln(1/3) = 0.6365141683 -> 0.636514
+    assert(out(1L) == ((3L, 2L, 0.666667, 0.636514)))
+    assert(out(2L) == ((4L, 1L, 1.0, 0.0)))
+    assert(out(3L) == ((0L, 0L, 0.0, 0.0)))
+    assert(out(4L) == ((3L, 2L, 0.666667, 0.636514)))
+    // NULL text scores as empty
+    assert(out(5L) == ((0L, 0L, 0.0, 0.0)))
+  }
+
+  test("vocabCard: hand-computed totals, deterministic rank ties, and " +
+    "the OLS zipf slope replay") {
+    val s = spark
+    import s.implicits._
+    // counts: a=4 b=3 c=1 d=1 -> ranks 1..4 (ties break token-asc)
+    val docs = Seq((1L, "a a a b b c"), (2L, "a b d"))
+      .toDF("doc_id", "text")
+    val r = TextOps.vocabCard(docs).collect()(0)
+    assert(r.getLong(0) == 9L, "n_tokens")
+    assert(r.getLong(1) == 4L, "n_types")
+    assert(r.getDouble(2) == 0.444444, "ttr")
+    assert(r.getLong(3) == 2L, "hapax_types")
+    assert(r.getDouble(4) == 0.5, "hapax_share")
+    assert(r.getDouble(5) == 1.0, "top10_coverage: all 4 types in top 10")
+    assert(r.getLong(6) == 4L, "zipf_k")
+    // the OLS formula replayed in plain doubles (12-dp DECIMAL terms
+    // perturb at most ~1e-11)
+    val xs = Seq(1, 2, 3, 4).map(i => math.log(i.toDouble))
+    val ys = Seq(4, 3, 1, 1).map(c => math.log(c.toDouble))
+    val sx = xs.sum; val sy = ys.sum
+    val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+    val sxx = xs.map(x => x * x).sum
+    val slope = (4.0 * sxy - sx * sy) / (4.0 * sxx - sx * sx)
+    assert(math.abs(r.getDouble(7) - slope) < 1e-5, "zipf_slope")
+    intercept[IllegalArgumentException] {
+      TextOps.vocabCard(docs, zipfK = 1)
+    }
+  }
+
+  test("boilerplateFrac: planted shared grams, the keep-short-whole " +
+    "branch, and the minDocs threshold") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "p q r s t u"), // grams: pqrst (shared w/ 2), qrstu
+      (2L, "p q r s t x"), // grams: pqrst, qrstx
+      (3L, "m n o v w"), // exactly one gram, unshared
+      (4L, "zz"), // whole-text gram, shared with 5
+      (5L, "zz")).toDF("doc_id", "text")
+    val out = Curation.boilerplateFrac(docs, k = 5, minDocs = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    assert(out(1L) == ((2L, 1L, 0.5)))
+    assert(out(2L) == ((2L, 1L, 0.5)))
+    assert(out(3L) == ((1L, 0L, 0.0)))
+    assert(out(4L) == ((1L, 1L, 1.0)))
+    assert(out(5L) == ((1L, 1L, 1.0)))
+    // minDocs = 3: the 2-doc overlaps fall below the threshold
+    val strict = Curation.boilerplateFrac(docs, k = 5, minDocs = 3)
+      .agg(sum("shared_grams")).collect()(0).getLong(0)
+    assert(strict == 0L)
+    intercept[IllegalArgumentException] {
+      Curation.boilerplateFrac(docs, minDocs = 1)
+    }
+  }
+
   test("leakageSafeSplit: whole groups share a split, the bucket replays " +
     "the md5 formula, and bad percentages refuse") {
     val s = spark
