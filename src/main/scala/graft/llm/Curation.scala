@@ -242,6 +242,40 @@ object Curation {
         col("ok_stopwords") && col("ok_top_word"))
   }
 
+  /** C4-style page-level cleaning rules (Raffel et al. 2020 §2.2,
+    * adapted to doc granularity on a whitespace corpus): the boilerplate
+    * MARKER drops — "lorem ipsum" placeholder text, a curly brace
+    * (source code), cookie/privacy-policy phrases, and
+    * enable-javascript notices — plus the minimum-length floor (C4's
+    * ≥-5-words-per-line rule at page granularity). Like
+    * [[gopherFilter]], every rule is emitted as its own boolean next to
+    * the conjunctive `keep`, so a pipeline audits WHY a page dropped.
+    *
+    * Marker matching is case-insensitive over a ONE-pass lowered copy of
+    * the text; each marker family is a plain `contains` disjunction —
+    * substring scans, no regex engine in the hot path. Pure per-row
+    * projection: ZERO shuffles at any corpus size, and every output is
+    * integer/boolean so the DuckDB oracle replays bit-for-bit. */
+  def c4Rules(docs: DataFrame, minWords: Int = 5): DataFrame = {
+    val lowered = lower(coalesce(col("text"), lit("")))
+    def anyMarker(markers: Seq[String]): Column =
+      markers.map(m => lowered.contains(m)).reduce(_ || _)
+    docs
+      .withColumn("n_words",
+        graft.functions.TokenStats.tokenStats(coalesce(col("text"), lit("")))
+          .getField("n_words").cast("bigint"))
+      .withColumn("has_lorem", anyMarker(Seq("lorem ipsum")))
+      .withColumn("has_brace", lowered.contains("{"))
+      .withColumn("has_policy", anyMarker(Seq(
+        "privacy policy", "cookie policy", "terms of use", "uses cookies")))
+      .withColumn("has_js", anyMarker(Seq("enable javascript", "javascript required")))
+      .withColumn("ok_words", col("n_words") >= minWords)
+      .select(col("doc_id"), col("n_words"), col("has_lorem"),
+        col("has_brace"), col("has_policy"), col("has_js"), col("ok_words"))
+      .withColumn("keep", col("ok_words") && !col("has_lorem") &&
+        !col("has_brace") && !col("has_policy") && !col("has_js"))
+  }
+
   /** CCNet-style LM quality scoring (Wenzek et al. 2020): fit an
     * add-α-smoothed word-bigram language model on the corpus itself, then
     * score every document by its cross-entropy under that model —

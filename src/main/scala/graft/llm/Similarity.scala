@@ -875,6 +875,52 @@ object Similarity {
       round(max(col("_share")), 6).as("max_share"))
   }
 
+  /** Per-dimension embedding-space health card: mean, population
+    * variance, and variance share for every dimension — the standard
+    * diagnostic for embedding collapse (dead dims show ~zero variance)
+    * and anisotropy (a few dims hoarding the variance share means the
+    * effective dimensionality is far below the nominal one; Ethayarajh
+    * 2019's contextual-anisotropy signal at the cheapest possible
+    * granularity).
+    *
+    * Cross-engine determinism: both moments accumulate as 12-dp DECIMAL
+    * sums of 12-dp pre-rounded doubles (the [[centroidCosine]]
+    * convention — the pre-round makes the decimal cast exact, the
+    * DECIMAL sum makes it partition-order independent), and the
+    * variance-share normalizer sums the 6-dp variances as
+    * DECIMAL(18,6), so no double ever folds in partition order.
+    *
+    * Scale shape: ONE posexplode pass partial-aggregated to dim-count
+    * rows (map-side combine does the heavy lifting — the shuffle
+    * carries dims × partitions rows, never the corpus); everything
+    * after runs on the dim-sized table. NULL embeddings are excluded
+    * up front. */
+  def embStats(embeddings: DataFrame): DataFrame = {
+    val dims = embeddings.filter(col("embedding").isNotNull)
+      .select(posexplode(col("embedding")).as(Seq("pos", "_x")))
+      .withColumn("_xd", col("_x").cast("double"))
+    val dec = org.apache.spark.sql.types.DecimalType(28, 12)
+    val m = dims.groupBy("pos").agg(
+      count(lit(1)).as("_n"),
+      sum(round(col("_xd"), 12).cast(dec)).as("_sx"),
+      sum(round(col("_xd") * col("_xd"), 12).cast(dec)).as("_sx2"))
+    val nD = col("_n").cast("double")
+    val sx = col("_sx").cast("double")
+    val sx2 = col("_sx2").cast("double")
+    val scored = m.select(
+      col("pos"), col("_n").cast("bigint").as("n_vecs"),
+      round(sx / nD, 6).as("mean"),
+      round((sx2 - sx * sx / nD) / nD, 6).as("variance"))
+    scored
+      .withColumn("_vd", col("variance")
+        .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+      .withColumn("_tot", sum("_vd").over(Sampling.allRows))
+      .select(col("pos"), col("n_vecs"), col("mean"), col("variance"),
+        when(col("_tot").cast("double") === 0, lit(null).cast("double"))
+          .otherwise(round(col("_vd").cast("double") /
+            col("_tot").cast("double"), 6)).as("var_share"))
+  }
+
   def semanticDedup(
       embeddings: DataFrame, cellSeedIds: Seq[Long],
       threshold: Double = 0.95,

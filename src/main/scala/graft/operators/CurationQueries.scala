@@ -100,6 +100,24 @@ object CurationQueries {
         minStopwordHits = 2, maxTopWordFrac = 0.12)
     },
 
+    // C4 page-level cleaning rules over a marker-planted corpus: the
+    // fixture text is clean word soup, so each %4 class of the planted
+    // copies carries exactly one marker family (lorem / brace / policy /
+    // javascript) and the original rows exercise only the word floor
+    "q_c4_filter" -> { (s, dir) =>
+      val d = docs(s, dir).select("doc_id", "text")
+      val planted = d.select(
+        (col("doc_id") + 100000L).as("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 4 === 0, lit(" lorem ipsum dolor sit"))
+            .when(col("doc_id") % 4 === 1, lit(" function() { return 1; }"))
+            .when(col("doc_id") % 4 === 2,
+              lit(" this site uses cookies see our privacy policy"))
+            .otherwise(lit(" please enable javascript to continue")))
+          .as("text"))
+      Curation.c4Rules(d.unionAll(planted), minWords = 30)
+    },
+
     // corpus-fitted bigram-LM cross-entropy / perplexity per doc
     // (CCNet-style quality scoring, add-0.5 smoothing)
     "q_lm_perplexity" -> { (s, dir) =>
@@ -501,6 +519,43 @@ object CurationQueries {
     // bitset semantics as a semi-join against the DISTINCT bench position
     // set: a train gram "hits" iff all 3 of its md5-slice positions land
     // in that set — INCLUDING false positives, replayed exactly
+    // the marker flags replay as plain substring scans over the lowered
+    // planted corpus; n_words is the string_split length (the TokenStats
+    // contract, same as q_gopher_filter)
+    "q_c4_filter" ->
+      """WITH u AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id,
+        |    text || CASE
+        |      WHEN doc_id % 4 = 0 THEN ' lorem ipsum dolor sit'
+        |      WHEN doc_id % 4 = 1 THEN ' function() { return 1; }'
+        |      WHEN doc_id % 4 = 2
+        |        THEN ' this site uses cookies see our privacy policy'
+        |      ELSE ' please enable javascript to continue' END AS text
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, lower(coalesce(text, '')) AS t,
+        |    CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT)
+        |      AS n_words
+        |  FROM u),
+        |f AS (
+        |  SELECT doc_id, n_words,
+        |    contains(t, 'lorem ipsum') AS has_lorem,
+        |    contains(t, '{') AS has_brace,
+        |    (contains(t, 'privacy policy') OR contains(t, 'cookie policy')
+        |      OR contains(t, 'terms of use') OR contains(t, 'uses cookies'))
+        |      AS has_policy,
+        |    (contains(t, 'enable javascript')
+        |      OR contains(t, 'javascript required')) AS has_js,
+        |    n_words >= 30 AS ok_words
+        |  FROM m)
+        |SELECT doc_id, n_words, has_lorem, has_brace, has_policy, has_js,
+        |  ok_words,
+        |  ok_words AND NOT has_lorem AND NOT has_brace AND NOT has_policy
+        |    AND NOT has_js AS keep
+        |FROM f""".stripMargin,
+
     "q_decontaminate_bloom" ->
       """WITH bench AS (
         |  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
@@ -1005,5 +1060,6 @@ object CurationQueries {
     "q_dsir_weights" -> Seq("doc_id"),
     "q_ce_delta" -> Seq("doc_id"),
     "q_corpus_report" -> Seq("lang", "source"),
-    "q_leakage_split" -> Seq("doc_id"))
+    "q_leakage_split" -> Seq("doc_id"),
+    "q_c4_filter" -> Seq("doc_id"))
 }

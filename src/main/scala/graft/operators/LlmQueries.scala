@@ -504,6 +504,13 @@ object LlmQueries {
         embs(s, dir).select("vec_id", "embedding"), ivfSeedIds)
     },
 
+    // per-dimension mean/variance/variance-share health card — the
+    // embedding-collapse and anisotropy diagnostic (one posexplode pass
+    // partial-aggregated to dim-count rows)
+    "q_emb_stats" -> { (s, dir) =>
+      Similarity.embStats(embs(s, dir).select("vec_id", "embedding"))
+    },
+
     // the PRODUCTION configuration of semantic dedup: cell count grows
     // with the corpus (autoCellSeeds — occupancy pinned, within-cell pair
     // work ~linear), the exact path the `semantic_dedup` DSL kernel takes
@@ -1152,6 +1159,34 @@ object LlmQueries {
          |FROM terms""".stripMargin
     },
 
+    // both moments replayed as DECIMAL sums of 12-dp pre-rounded doubles;
+    // the variance expression parses to the identical IEEE op sequence in
+    // both engines, and the share normalizer sums 6-dp variances as
+    // DECIMAL(18,6)
+    "q_emb_stats" ->
+      """WITH d AS (
+        |  SELECT i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS x
+        |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS r(i)
+        |  WHERE embedding IS NOT NULL),
+        |m AS (
+        |  SELECT pos, count(*) AS n,
+        |    sum(CAST(round(x, 12) AS DECIMAL(28,12))) AS sx,
+        |    sum(CAST(round(x * x, 12) AS DECIMAL(28,12))) AS sx2
+        |  FROM d GROUP BY pos),
+        |v AS (
+        |  SELECT CAST(pos AS INT) AS pos, CAST(n AS BIGINT) AS n_vecs,
+        |    round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean,
+        |    round((CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) *
+        |        CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE),
+        |      6) AS variance
+        |  FROM m),
+        |t AS (SELECT sum(CAST(variance AS DECIMAL(18,6))) AS tot FROM v)
+        |SELECT pos, n_vecs, mean, variance,
+        |  CASE WHEN CAST(tot AS DOUBLE) = 0 THEN NULL
+        |       ELSE round(CAST(CAST(variance AS DECIMAL(18,6)) AS DOUBLE)
+        |         / CAST(tot AS DOUBLE), 6) END AS var_share
+        |FROM v CROSS JOIN t""".stripMargin,
+
     // auto-k twin: k = ceil(n / 256) (Similarity.autoCellCount's
     // occupancy-256 policy) and seeds = the k smallest corpus vec_ids
     // (Similarity.autoCellSeeds) — both pure functions of the corpus, so
@@ -1643,5 +1678,6 @@ object LlmQueries {
     "q_multimodal_headers" -> Seq("doc_id"),
     "q_multimodal_frames" -> Seq("doc_id"),
     "q_multimodal_resize" -> Seq("doc_id"),
-    "q_stream_vocab_drift" -> Seq("batch_id"))
+    "q_stream_vocab_drift" -> Seq("batch_id"),
+    "q_emb_stats" -> Seq("pos"))
 }

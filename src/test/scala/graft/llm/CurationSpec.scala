@@ -710,6 +710,39 @@ class CurationSpec extends AnyFunSuite {
     assert(e.getMessage.contains("positive"))
   }
 
+  test("c4Rules: each marker family trips its own flag, the word floor " +
+    "gates short and NULL docs, clean text keeps") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "Lorem Ipsum dolor sit amet consectetur"),
+      (3L, "var f = function() { return 1; } end of snippet"),
+      (4L, "this website uses cookies and our Privacy Policy applies"),
+      (5L, "please enable JavaScript to view this page properly"),
+      (6L, "too short"),
+      (7L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = Curation.c4Rules(docs, minWords = 5).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def flags(id: Long): (Boolean, Boolean, Boolean, Boolean, Boolean, Boolean) = {
+      val r = out(id)
+      (r.getAs[Boolean]("has_lorem"), r.getAs[Boolean]("has_brace"),
+        r.getAs[Boolean]("has_policy"), r.getAs[Boolean]("has_js"),
+        r.getAs[Boolean]("ok_words"), r.getAs[Boolean]("keep"))
+    }
+    assert(flags(1L) == ((false, false, false, false, true, true)))
+    // markers match case-insensitively, one family per planted doc
+    assert(flags(2L) == ((true, false, false, false, true, false)))
+    assert(flags(3L) == ((false, true, false, false, true, false)))
+    assert(flags(4L) == ((false, false, true, false, true, false)))
+    assert(flags(5L) == ((false, false, false, true, true, false)))
+    // the word floor alone drops a clean-but-short doc
+    assert(flags(6L) == ((false, false, false, false, false, false)))
+    // NULL text counts like the empty string (1 split token)
+    assert(out(7L).getAs[Long]("n_words") == 1L)
+    assert(flags(7L) == ((false, false, false, false, false, false)))
+  }
+
   test("centroidCosine: the group SUM vector is the centroid — " +
     "hand-computed 2-d groups, singleton identity, zero-vector NULL") {
     val s = spark

@@ -118,6 +118,39 @@ class LlmSpec extends AnyFunSuite {
     assert(card.getDouble(5) == 0.5)    // max_share
   }
 
+  test("embStats: hand-computed per-dim moments, dead-dim share 0, " +
+    "all-constant corpus yields NULL shares") {
+    val s = spark
+    import s.implicits._
+    // [1,3],[3,5]: both dims mean±var (2,1) and (4,1) — equal shares
+    val even = Seq(1L -> Seq(1.0f, 3.0f), 2L -> Seq(3.0f, 5.0f))
+      .toDF("vec_id", "embedding")
+    val e = Similarity.embStats(even).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    assert(e(0).getAs[Long]("n_vecs") == 2L)
+    assert(e(0).getAs[Double]("mean") == 2.0)
+    assert(e(0).getAs[Double]("variance") == 1.0)
+    assert(e(0).getAs[Double]("var_share") == 0.5)
+    assert(e(1).getAs[Double]("mean") == 4.0)
+    assert(e(1).getAs[Double]("variance") == 1.0)
+    assert(e(1).getAs[Double]("var_share") == 0.5)
+    // a dead (constant) dim: zero variance, zero share; the live dim
+    // hoards share 1 — the collapse signal the card exists to surface
+    val dead = Seq(1L -> Seq(2.0f, 0.0f), 2L -> Seq(2.0f, 4.0f))
+      .toDF("vec_id", "embedding")
+    val d = Similarity.embStats(dead).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    assert(d(0).getAs[Double]("variance") == 0.0)
+    assert(d(0).getAs[Double]("var_share") == 0.0)
+    assert(d(1).getAs[Double]("variance") == 4.0)
+    assert(d(1).getAs[Double]("var_share") == 1.0)
+    // every dim constant: total variance 0 — shares are NULL, not 0/0
+    val const = Seq(1L -> Seq(1.0f, 1.0f), 2L -> Seq(1.0f, 1.0f))
+      .toDF("vec_id", "embedding")
+    val c = Similarity.embStats(const).collect()
+    assert(c.forall(_.isNullAt(4)))
+  }
+
   test("an all-zero embedding survives dedup and is no one's duplicate") {
     val s = spark
     // bad upstream featurization happens at corpus scale: the zero
