@@ -921,6 +921,65 @@ object Similarity {
             col("_tot").cast("double"), 6)).as("var_share"))
   }
 
+  /** One Lloyd refinement step of spherical k-means over the seeded
+    * quantizer: assign every vector to its max-cosine seed cell, update
+    * each cell's centroid, and reassign — reporting where each vector
+    * started (`cell_init`), where it landed (`cell`), whether it
+    * `moved`, and its cosine to the refined centroid (`cos_refined`,
+    * the per-row fit signal whose corpus mean is the spherical
+    * inertia). Clustering quality improves monotonically in this
+    * metric (MacQueen 1967 / Dhillon & Modha 2001 spherical form);
+    * chain the step to iterate, stop when `moved` drains.
+    *
+    * Because cosine is scale-invariant the updated centroid never needs
+    * the division by cell size: the cell's per-dim 12-dp DECIMAL sum
+    * vector ([[centroidCosine]]'s convention) IS the refined centroid,
+    * exactly DuckDB-replayable. Cells left empty by the first
+    * assignment keep their seed centroid (the standard Lloyd empty-cell
+    * convention), so `k` never silently shrinks.
+    *
+    * Scale shape: both assignments are zero-shuffle projections against
+    * broadcast centroid reference objects; the update is ONE posexplode
+    * pass partial-aggregated to (cells × dims) rows. The only collect is
+    * the k×dim refined-centroid table — bounded metadata, the IVF-seed
+    * convention. The first assignment is persisted for its two
+    * consumers (sum pass + reassign) so the corpus scans twice, never
+    * three times. */
+  def kmeansStep(embeddings: DataFrame, cellSeedIds: Seq[Long]): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val centers0 = seedCenters(embeddings, cellSeedIds)
+    val k = centers0.length
+    val assigned = PipelineCaches.track(
+      embeddings.filter(col("embedding").isNotNull)
+        .select(col("vec_id"), col("embedding"),
+          cosCellCol(col("embedding"), centers0).as("cell_init"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val dec = org.apache.spark.sql.types.DecimalType(28, 12)
+    val sumVecs = assigned
+      .select(col("cell_init").as("_c"),
+        posexplode(col("embedding")).as(Seq("_pos", "_x")))
+      .groupBy("_c", "_pos")
+      .agg(sum(round(col("_x").cast("double"), 12).cast(dec)).as("_s"))
+      .groupBy("_c")
+      .agg(transform(array_sort(collect_list(struct(col("_pos"), col("_s")))),
+        s => s.getField("_s").cast("double")).as("_cent"))
+      .collect() // bounded: ≤ k rows of dim doubles each
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+    val centers1 = (0 until k).map(i => sumVecs.getOrElse(i, centers0(i)))
+      .toArray
+    val centsDf = centers1.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("_cell", "_cent")
+    assigned
+      .select(col("vec_id"), col("embedding"), col("cell_init"),
+        cosCellCol(col("embedding"), centers1).as("cell"))
+      .join(broadcast(centsDf), col("cell") === col("_cell"))
+      .select(col("vec_id"), col("cell_init"), col("cell"),
+        (col("cell") =!= col("cell_init")).as("moved"),
+        normZero(round(cosineOrNull(col("embedding"), col("_cent")), 6))
+          .as("cos_refined"))
+  }
+
   def semanticDedup(
       embeddings: DataFrame, cellSeedIds: Seq[Long],
       threshold: Double = 0.95,

@@ -511,6 +511,14 @@ object LlmQueries {
       Similarity.embStats(embs(s, dir).select("vec_id", "embedding"))
     },
 
+    // one Lloyd step of spherical k-means over the 16 IVF seed cells:
+    // init assignment, DECIMAL-sum centroid update, reassignment with
+    // per-row moved flag and refined-centroid cosine
+    "q_kmeans_assign" -> { (s, dir) =>
+      Similarity.kmeansStep(
+        embs(s, dir).select("vec_id", "embedding"), ivfSeedIds)
+    },
+
     // the PRODUCTION configuration of semantic dedup: cell count grows
     // with the corpus (autoCellSeeds — occupancy pinned, within-cell pair
     // work ~linear), the exact path the `semantic_dedup` DSL kernel takes
@@ -1187,6 +1195,54 @@ object LlmQueries {
         |         / CAST(tot AS DOUBLE), 6) END AS var_share
         |FROM v CROSS JOIN t""".stripMargin,
 
+    // the Lloyd step replays in full: seeded assignment (the coverage
+    // oracle's argmax), refined centroids as per-(cell, dim) DECIMAL
+    // sums (the centroid_cos replay) with the seed embedding as the
+    // empty-cell fallback, then the same argmax against the refined set
+    "q_kmeans_assign" -> {
+      val seedList = ivfSeedIds.mkString(", ")
+      s"""WITH c0 AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cemb
+         |  FROM embeddings WHERE vec_id IN ($seedList)),
+         |sim0 AS (
+         |  SELECT e.vec_id, e.embedding, c.cell,
+         |    ${cosSql("e.embedding", "c.cemb")} AS cs
+         |  FROM embeddings e CROSS JOIN c0 c
+         |  WHERE e.embedding IS NOT NULL),
+         |a0 AS (
+         |  SELECT vec_id, embedding, cell AS cell_init FROM (
+         |    SELECT vec_id, embedding, cell,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell)
+         |        AS rn
+         |    FROM sim0) WHERE rn = 1),
+         |d AS (
+         |  SELECT cell_init AS c, i AS pos,
+         |    CAST(round(CAST(embedding[i] AS DOUBLE), 12)
+         |      AS DECIMAL(28,12)) AS x
+         |  FROM a0, unnest(range(1, len(embedding) + 1)) AS r(i)),
+         |s AS (SELECT c, pos, sum(x) AS sx FROM d GROUP BY c, pos),
+         |sv AS (
+         |  SELECT c, list(CAST(sx AS DOUBLE) ORDER BY pos) AS cent
+         |  FROM s GROUP BY c),
+         |c1 AS (
+         |  SELECT c0.cell, coalesce(sv.cent, c0.cemb) AS cent
+         |  FROM c0 LEFT JOIN sv ON sv.c = c0.cell),
+         |sim1 AS (
+         |  SELECT a.vec_id, a.cell_init, c.cell,
+         |    ${cosSql("a.embedding", "c.cent")} AS cs
+         |  FROM a0 a CROSS JOIN c1 c),
+         |a1 AS (
+         |  SELECT vec_id, cell_init, cell, cs FROM (
+         |    SELECT vec_id, cell_init, cell, cs,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell)
+         |        AS rn
+         |    FROM sim1) WHERE rn = 1)
+         |SELECT vec_id, cell_init, cell, cell <> cell_init AS moved,
+         |  cs AS cos_refined
+         |FROM a1""".stripMargin
+    },
+
     // auto-k twin: k = ceil(n / 256) (Similarity.autoCellCount's
     // occupancy-256 policy) and seeds = the k smallest corpus vec_ids
     // (Similarity.autoCellSeeds) — both pure functions of the corpus, so
@@ -1679,5 +1735,6 @@ object LlmQueries {
     "q_multimodal_frames" -> Seq("doc_id"),
     "q_multimodal_resize" -> Seq("doc_id"),
     "q_stream_vocab_drift" -> Seq("batch_id"),
-    "q_emb_stats" -> Seq("pos"))
+    "q_emb_stats" -> Seq("pos"),
+    "q_kmeans_assign" -> Seq("vec_id"))
 }

@@ -151,6 +151,32 @@ class LlmSpec extends AnyFunSuite {
     assert(c.forall(_.isNullAt(4)))
   }
 
+  test("kmeansStep: the centroid update pulls a boundary vector across " +
+    "— hand-computed move, stable members, exact refined cosines") {
+    val s = spark
+    import s.implicits._
+    // seeds: cell0 = [1,0], cell1 = [0,1]. The heavy outlier [5,-5]
+    // drags cell0's refined centroid to [6.8,-4.4], so the boundary
+    // vector [0.8,0.6] (init cos 0.8 vs 0.6 → cell0) re-scores
+    // 0.346 vs 0.6 and MOVES to cell1; everyone else stays put.
+    val embs = Seq(
+      0L -> Seq(1.0f, 0.0f), 1L -> Seq(0.0f, 1.0f),
+      10L -> Seq(0.8f, 0.6f), 11L -> Seq(0.0f, 5.0f),
+      12L -> Seq(5.0f, -5.0f)).toDF("vec_id", "embedding")
+    val out = Similarity.kmeansStep(embs, Seq(0L, 1L)).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.values.count(_.getAs[Boolean]("moved")) == 1)
+    val mover = out(10L)
+    assert(mover.getAs[Int]("cell_init") == 0)
+    assert(mover.getAs[Int]("cell") == 1)
+    // refined cell1 centroid is the sum [0,6]; cos([0.8,0.6],[0,6]) = 0.6
+    assert(mover.getAs[Double]("cos_refined") == 0.6)
+    // cell1's stable members sit exactly on the refined centroid ray
+    assert(out(1L).getAs[Double]("cos_refined") == 1.0)
+    assert(out(11L).getAs[Double]("cos_refined") == 1.0)
+    assert(out(0L).getAs[Int]("cell") == 0 && out(12L).getAs[Int]("cell") == 0)
+  }
+
   test("an all-zero embedding survives dedup and is no one's duplicate") {
     val s = spark
     // bad upstream featurization happens at corpus scale: the zero
