@@ -239,6 +239,64 @@ object Sampling {
           col("n_tokens").cast("double")).cast("bigint").as("epochs"))
   }
 
+  /** UniMax token allocation (Chung et al. 2023): spread a total token
+    * `budget` as UNIFORMLY as possible across domains, capping every
+    * domain at `epochCap` epochs of its own mass — the principled
+    * alternative to temperature mixing that never over-repeats a small
+    * domain. Closed form: ascending by capacity, a domain saturates iff
+    * its capacity fits the would-be equal share of what's left
+    * (`cap_i · remaining_domains ≤ budget − prefix_caps`); saturation is
+    * prefix-monotone in that order, so the unsaturated tail splits the
+    * post-saturation remainder evenly (the waterfill level). Boundary
+    * domains (capacity exactly at level) allocate identically under
+    * either label, so the closed form is label-stable.
+    *
+    * Cross-engine determinism: capacities are 6-dp-rounded
+    * DECIMAL(28,6), prefix/saturated sums stay DECIMAL, and the
+    * saturation comparison is all-DECIMAL — no double ever decides a
+    * boundary. Only the reported level/epochs divide as doubles, after
+    * rounding.
+    *
+    * Scale shape: ONE domain-keyed aggregation (map-side combined) over
+    * the corpus; the ordered windows run on the domain-sized table
+    * (the [[allRows]] convention — domains are a handful of rows at any
+    * corpus size). */
+  def unimaxAlloc(docs: DataFrame, domainCol: String, tokenCol: String,
+      budget: Long, epochCap: Double): DataFrame = {
+    require(budget > 0, s"token budget must be positive, got $budget")
+    require(epochCap > 0, s"epoch cap must be positive, got $epochCap")
+    val dec6 = org.apache.spark.sql.types.DecimalType(28, 6)
+    val zero6 = lit(0).cast(dec6)
+    val counts = docs.groupBy(col(domainCol).as("domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col(tokenCol)), lit(0L)).cast("long").as("n_tokens"))
+    val byCap = Window.partitionBy(lit(0)).orderBy(col("_cap"), col("domain"))
+    val ranked = counts
+      .withColumn("_cap",
+        round(lit(epochCap) * col("n_tokens").cast("double"), 6).cast(dec6))
+      .withColumn("_i", row_number().over(byCap))
+      .withColumn("_sprev", coalesce(
+        sum("_cap").over(byCap.rowsBetween(Window.unboundedPreceding, -1)),
+        zero6))
+      .withColumn("_n", count(lit(1)).over(allRows))
+      .withColumn("saturated",
+        col("_cap") * (col("_n") - col("_i") + 1) <= lit(budget) - col("_sprev"))
+    val level = (lit(budget).cast("double") -
+      sum(when(col("saturated"), col("_cap")).otherwise(zero6)).over(allRows)
+        .cast("double")) /
+      sum(when(col("saturated"), 0L).otherwise(1L)).over(allRows).cast("double")
+    ranked
+      .withColumn("allocated",
+        when(col("saturated"), col("_cap").cast("double"))
+          .otherwise(round(level, 6)))
+      .select(col("domain"), col("n_docs"), col("n_tokens"),
+        col("_cap").cast("double").as("capacity"), col("saturated"),
+        col("allocated"),
+        when(col("n_tokens") > 0,
+          round(col("allocated") / col("n_tokens").cast("double"), 6))
+          .as("epochs"))
+  }
+
   /** Attach the `valueCol` percent_rank (value-ties share a rank, SQL
     * semantics) to every row as a `percent_rank` column. Rows with NULL
     * values are preserved with a NULL rank — they are not comparable, and

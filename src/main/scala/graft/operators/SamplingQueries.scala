@@ -77,6 +77,16 @@ object SamplingQueries {
         "domain", "n_tok", budget = 100000L, alpha = 0.3)
     },
 
+    // UniMax epoch-capped waterfill over the per-language char mass:
+    // at sf0.01 the 1.2-epoch caps of the four small languages fit the
+    // 150k budget (saturated) and en takes the waterfill remainder — a
+    // mixed split on real masses, no planted skew needed
+    "q_unimax_alloc" -> { (s, dir) =>
+      Sampling.unimaxAlloc(
+        docs(s, dir).select(col("lang").as("domain"), col("n_chars")),
+        "domain", "n_chars", budget = 150000L, epochCap = 1.2)
+    },
+
     // robust median/MAD outlier scores on n_chars (Iglewicz–Hoaglin
     // modified z, k=3.5): both medians are type-1 histogram quantiles
     // over ONE persisted value histogram
@@ -265,6 +275,47 @@ object SamplingQueries {
         |    AS BIGINT) AS epochs
         |FROM q ORDER BY domain""".stripMargin,
 
+    // the waterfill replays all-DECIMAL: 6-dp capacities, exact prefix
+    // sums, and the prefix-monotone saturation test; only the reported
+    // level/epochs divide as doubles after the decision is made
+    "q_unimax_alloc" ->
+      """WITH counts AS (
+        |  SELECT lang AS domain, count(*) AS n_docs,
+        |    CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY lang),
+        |b AS (
+        |  SELECT domain, n_docs, n_tokens,
+        |    CAST(round(1.2 * CAST(n_tokens AS DOUBLE), 6) AS DECIMAL(28,6))
+        |      AS cap
+        |  FROM counts),
+        |r AS (
+        |  SELECT *, row_number() OVER (ORDER BY cap, domain) AS i,
+        |    coalesce(sum(cap) OVER (ORDER BY cap, domain
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      CAST(0 AS DECIMAL(28,6))) AS sprev,
+        |    count(*) OVER () AS n
+        |  FROM b),
+        |t AS (
+        |  SELECT *, cap * (n - i + 1) <= 150000 - sprev AS saturated
+        |  FROM r),
+        |f AS (
+        |  SELECT *,
+        |    sum(CASE WHEN saturated THEN cap
+        |        ELSE CAST(0 AS DECIMAL(28,6)) END) OVER () AS ssat,
+        |    sum(CASE WHEN saturated THEN 0 ELSE 1 END) OVER () AS nunsat
+        |  FROM t),
+        |a AS (
+        |  SELECT domain, n_docs, n_tokens, CAST(cap AS DOUBLE) AS capacity,
+        |    saturated,
+        |    CASE WHEN saturated THEN CAST(cap AS DOUBLE)
+        |      ELSE round((CAST(150000 AS DOUBLE) - CAST(ssat AS DOUBLE))
+        |        / CAST(nunsat AS DOUBLE), 6) END AS allocated
+        |  FROM f)
+        |SELECT domain, n_docs, n_tokens, capacity, saturated, allocated,
+        |  CASE WHEN n_tokens > 0
+        |    THEN round(allocated / CAST(n_tokens AS DOUBLE), 6) END AS epochs
+        |FROM a""".stripMargin,
+
     "q_domain_mix" ->
       """SELECT doc_id, source, n_copies,
         |  CAST(unnest(range(1, n_copies + 1)) AS INTEGER) AS copy_idx
@@ -360,6 +411,7 @@ object SamplingQueries {
     "q_domain_mix" -> Seq("doc_id", "copy_idx"),
     "q_temperature_mix" -> Seq("domain"),
     "q_token_budget" -> Seq("domain"),
+    "q_unimax_alloc" -> Seq("domain"),
     "q_mad_outliers" -> Seq("doc_id"),
     "q_percent_rank_cont" -> Seq("doc_id"),
     "q_quantile_filter" -> Seq("doc_id"),

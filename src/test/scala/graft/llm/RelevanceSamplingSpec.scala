@@ -438,4 +438,40 @@ class RelevanceSamplingSpec extends AnyFunSuite {
         ep == math.ceil(rate).toLong)
     }
   }
+
+  test("unimaxAlloc: hand-computed waterfill — saturated caps, the level " +
+    "on the remainder, all-saturated and all-unsaturated extremes") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "a", 100), (2L, "b", 200), (3L, "c", 1000),
+      (4L, "d", 0)).toDF("doc_id", "domain", "n_tok")
+    def plan(budget: Long): Map[String, (Double, Boolean, Double)] =
+      Sampling.unimaxAlloc(docs, "domain", "n_tok", budget, epochCap = 2.0)
+        .collect()
+        .map(r => r.getString(0) ->
+          ((r.getDouble(3), r.getBoolean(4), r.getDouble(5)))).toMap
+    // caps 200/400/2000/0, budget 1500: a and b (and empty d) saturate,
+    // c takes the remainder 1500-600 = 900
+    val mid = plan(1500L)
+    assert(mid("a") == ((200.0, true, 200.0)))
+    assert(mid("b") == ((400.0, true, 400.0)))
+    assert(mid("c") == ((2000.0, false, 900.0)))
+    assert(mid("d") == ((0.0, true, 0.0)))
+    // allocations exhaust the budget exactly in the mixed regime
+    assert(mid.values.map(_._3).sum == 1500.0)
+    // a zero-mass domain reports NULL epochs, never 0/0
+    val rows = Sampling.unimaxAlloc(docs, "domain", "n_tok", 1500L, 2.0)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(rows("d").isNullAt(6))
+    assert(rows("a").getDouble(6) == 2.0 && rows("c").getDouble(6) == 0.9)
+    // budget above total capacity: everyone saturates at epochCap
+    val big = plan(10000L)
+    assert(big.values.forall(_._2))
+    assert(big.values.map(_._3).sum == 2600.0)
+    // budget below the smallest positive cap x domains: a pure even split
+    // (the zero-mass domain still "saturates" at 0)
+    val small = plan(300L)
+    assert(!small("a")._2 && small("a")._3 == 100.0)
+    assert(small("b")._3 == 100.0 && small("c")._3 == 100.0)
+  }
 }
