@@ -449,4 +449,56 @@ object Dedup {
         hamming(col("sig_a"), col("sig_b")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** MinHash-LSH parameter planner — the (bands, rows) design card for a
+    * dedup run: for every factorization b·r = `nSig`, the S-curve
+    * P(match | s) = 1 − (1 − s^r)^b integrated on a midpoint grid gives
+    * the false-positive area below `threshold` and the false-negative
+    * area above it (Leskovec et al., MMDS §3.4); `is_best` marks the
+    * minimum-total-error row. Run this BEFORE a corpus-sized LSH job:
+    * banding is baked into every signature, so a mis-planned (b, r)
+    * costs a full re-shingle at 100 TB.
+    *
+    * Cross-engine determinism: both `pow` results round to 12 dp (the
+    * temperatureShares convention — last-ulp libm drift can't survive),
+    * grid terms sum as DECIMAL, and the grid uses midpoints so no
+    * sample ever sits exactly on the threshold. The relation is
+    * divisors × grid rows — driver-trivial, expressed as a plan so the
+    * card composes with the rest of the catalog. */
+  def lshPlan(spark: org.apache.spark.sql.SparkSession, nSig: Int,
+      threshold: Double, gridSteps: Int = 100): DataFrame = {
+    require(nSig > 0, s"signature length must be positive, got $nSig")
+    require(threshold > 0 && threshold < 1,
+      s"threshold must be in (0, 1), got $threshold")
+    require(gridSteps > 0, s"gridSteps must be positive, got $gridSteps")
+    import spark.implicits._
+    val dec = org.apache.spark.sql.types.DecimalType(28, 12)
+    val zero = lit(0).cast(dec)
+    val combos = (1 to nSig).filter(nSig % _ == 0)
+      .map(b => (b, nSig / b)).toDF("bands", "rows_per_band")
+    val grid = spark.range(1, gridSteps + 1L)
+      .select(((col("id").cast("double") - 0.5) / gridSteps).as("_s"))
+    val terms = combos.crossJoin(grid)
+      .withColumn("_sr",
+        round(pow(col("_s"), col("rows_per_band").cast("double")), 12))
+      .withColumn("_p", lit(1.0) -
+        round(pow(lit(1.0) - col("_sr"), col("bands").cast("double")), 12))
+      .withColumn("_fp", when(col("_s") < threshold,
+        round(col("_p"), 12).cast(dec)).otherwise(zero))
+      .withColumn("_fn", when(col("_s") >= threshold,
+        round(lit(1.0) - col("_p"), 12).cast(dec)).otherwise(zero))
+    val areas = terms.groupBy("bands", "rows_per_band")
+      .agg(
+        round(sum("_fp").cast("double") * (1.0 / gridSteps), 6).as("fp_area"),
+        round(sum("_fn").cast("double") * (1.0 / gridSteps), 6).as("fn_area"))
+      .withColumn("est_threshold",
+        round(pow(lit(1.0) / col("bands").cast("double"),
+          lit(1.0) / col("rows_per_band").cast("double")), 6))
+      .withColumn("total_err", round(col("fp_area") + col("fn_area"), 6))
+    areas.withColumn("is_best",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(lit(0)).orderBy(col("total_err"), col("bands"))) === 1)
+      .select("bands", "rows_per_band", "est_threshold", "fp_area",
+        "fn_area", "total_err", "is_best")
+  }
 }

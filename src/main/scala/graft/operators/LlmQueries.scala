@@ -255,6 +255,13 @@ object LlmQueries {
         d.select("doc_id", "text"), b, k = 3, numHashes = 8)
     },
 
+    // LSH design card: every (bands, rows) factorization of a 128-hash
+    // signature scored by S-curve FP/FN areas around threshold 0.8 —
+    // the planning step that precedes a corpus-sized banded-LSH job
+    "q_lsh_plan" -> { (s, _) =>
+      Dedup.lshPlan(s, nSig = 128, threshold = 0.8)
+    },
+
     // incremental dedup: a new batch (every 5th doc + trimmed copies of
     // every 10th) probes the persisted signature index of the rest of the
     // corpus — only the batch is re-hashed; the index side is pruned by a
@@ -1195,6 +1202,44 @@ object LlmQueries {
         |         / CAST(tot AS DOUBLE), 6) END AS var_share
         |FROM v CROSS JOIN t""".stripMargin,
 
+    // the S-curve integral replays with both pows rounded to 12 dp and
+    // grid terms DECIMAL-summed; midpoint samples never hit the
+    // threshold boundary
+    "q_lsh_plan" ->
+      """WITH combos AS (
+        |  SELECT CAST(b AS INT) AS bands, CAST(128 // b AS INT)
+        |      AS rows_per_band
+        |  FROM (SELECT unnest(range(1, 129)) AS b) WHERE 128 % b = 0),
+        |grid AS (
+        |  SELECT (CAST(j AS DOUBLE) - 0.5) / 100 AS s
+        |  FROM (SELECT unnest(range(1, 101)) AS j) g(j)),
+        |p AS (
+        |  SELECT bands, rows_per_band, s,
+        |    1.0 - round(pow(1.0 -
+        |      round(pow(s, CAST(rows_per_band AS DOUBLE)), 12),
+        |      CAST(bands AS DOUBLE)), 12) AS pp
+        |  FROM combos CROSS JOIN grid),
+        |terms AS (
+        |  SELECT bands, rows_per_band,
+        |    CASE WHEN s < 0.8 THEN CAST(round(pp, 12) AS DECIMAL(28,12))
+        |      ELSE CAST(0 AS DECIMAL(28,12)) END AS fp,
+        |    CASE WHEN s >= 0.8
+        |      THEN CAST(round(1.0 - pp, 12) AS DECIMAL(28,12))
+        |      ELSE CAST(0 AS DECIMAL(28,12)) END AS fn
+        |  FROM p),
+        |a AS (
+        |  SELECT bands, rows_per_band,
+        |    round(CAST(sum(fp) AS DOUBLE) * (1.0 / 100), 6) AS fp_area,
+        |    round(CAST(sum(fn) AS DOUBLE) * (1.0 / 100), 6) AS fn_area
+        |  FROM terms GROUP BY bands, rows_per_band)
+        |SELECT bands, rows_per_band,
+        |  round(pow(1.0 / CAST(bands AS DOUBLE),
+        |    1.0 / CAST(rows_per_band AS DOUBLE)), 6) AS est_threshold,
+        |  fp_area, fn_area, round(fp_area + fn_area, 6) AS total_err,
+        |  row_number() OVER (ORDER BY round(fp_area + fn_area, 6), bands)
+        |    = 1 AS is_best
+        |FROM a""".stripMargin,
+
     // the Lloyd step replays in full: seeded assignment (the coverage
     // oracle's argmax), refined centroids as per-(cell, dim) DECIMAL
     // sums (the centroid_cos replay) with the seed embedding as the
@@ -1736,5 +1781,6 @@ object LlmQueries {
     "q_multimodal_resize" -> Seq("doc_id"),
     "q_stream_vocab_drift" -> Seq("batch_id"),
     "q_emb_stats" -> Seq("pos"),
-    "q_kmeans_assign" -> Seq("vec_id"))
+    "q_kmeans_assign" -> Seq("vec_id"),
+    "q_lsh_plan" -> Seq("bands"))
 }

@@ -151,6 +151,29 @@ class LlmSpec extends AnyFunSuite {
     assert(c.forall(_.isNullAt(4)))
   }
 
+  test("lshPlan: exact hand-computed S-curve areas on a 2-point grid, " +
+    "the balanced factorization wins") {
+    val s = spark
+    // n=4, t=0.5, grid {0.25, 0.75}: P_b,r(s) = 1-(1-s^r)^b
+    //   (1,4): fp = .25^4/2 = .001953125, fn = (1-.31640625)/2 = .341796875
+    //   (2,2): fp = .12109375/2,          fn = .19140625/2
+    //   (4,1): the mirror of (1,4) — total ties at .34375, (2,2) wins
+    val out = Dedup.lshPlan(s, nSig = 4, threshold = 0.5, gridSteps = 2)
+      .collect().map(r => r.getInt(0) -> r).toMap
+    assert(out.size == 3)
+    assert(out(1).getAs[Double]("fp_area") == 0.001953)
+    assert(out(1).getAs[Double]("fn_area") == 0.341797)
+    assert(out(2).getAs[Double]("fp_area") == 0.060547)
+    assert(out(2).getAs[Double]("fn_area") == 0.095703)
+    assert(out(4).getAs[Double]("fp_area") == 0.341797)
+    assert(out(4).getAs[Double]("fn_area") == 0.001953)
+    assert(out(2).getAs[Boolean]("is_best"))
+    assert(!out(1).getAs[Boolean]("is_best") &&
+      !out(4).getAs[Boolean]("is_best"))
+    assert(out(2).getAs[Double]("est_threshold") == 0.707107)
+    assert(out(2).getAs[Double]("total_err") == 0.15625)
+  }
+
   test("kmeansStep: the centroid update pulls a boundary vector across " +
     "— hand-computed move, stable members, exact refined cosines") {
     val s = spark
