@@ -612,6 +612,71 @@ object ComputeRegistry {
         col(ins.head).as("embedding"))
       graft.llm.Similarity.coverageCard(embs, semanticSeeds(embs))
         .withColumnRenamed("norm_entropy", out)
+    },
+    // C4 page-level cleaning rules over a TEXT input column — the
+    // row-preserving keep verdict (marker drops + the 5-word floor,
+    // gopher_filter's C4 sibling); INTO column(...) names the verdict
+    "c4_filter" -> { (df, ins, out) =>
+      val verdict = graft.llm.Curation.c4Rules(keyed(df, ins.head))
+        .select(col("doc_id"), col("keep").as(out))
+      df.join(verdict, Seq("doc_id"))
+    },
+    // Per-dimension embedding-stats card — relation-REPLACING, one row
+    // per dimension: mean / population variance / variance share over an
+    // EMBEDDING input column (the collapse/anisotropy diagnostic); INTO
+    // column(...) names the variance-share column
+    "emb_stats" -> { (df, ins, out) =>
+      require(!Seq("pos", "n_vecs", "mean", "variance").contains(out),
+        s"emb_stats reserves its card column names; pick another INTO " +
+          s"column name (got '$out')")
+      graft.llm.Similarity.embStats(
+        df.select(col(ins.head).as("embedding")))
+        .withColumnRenamed("var_share", out)
+    },
+    // One spherical-k-means Lloyd step over an EMBEDDING input column
+    // with the auto-k seeded quantizer (the semantic_dedup seeds):
+    // refined cell attaches as the output column, (cell_init, moved,
+    // cos_refined) ride — chain repeated COMPUTEs to iterate
+    "kmeans_assign" -> { (df, ins, out) =>
+      require(df.columns.contains("doc_id"),
+        s"table kernels require a 'doc_id' key column; relation has " +
+          s"[${df.columns.mkString(", ")}]")
+      require(!Seq("cell_init", "moved", "cos_refined").contains(out),
+        s"kmeans_assign reserves its step column names; pick another " +
+          s"INTO column name (got '$out')")
+      val embs = df.select(col("doc_id").cast("long").as("vec_id"),
+        col(ins.head).as("embedding"))
+      val step = graft.llm.Similarity.kmeansStep(embs, semanticSeeds(embs))
+        .select(col("vec_id").as("doc_id"), col("cell_init"),
+          col("cell").as(out), col("moved"), col("cos_refined"))
+      df.join(step, Seq("doc_id"))
+    },
+    // UniMax epoch-capped waterfill — relation-REPLACING: one row per
+    // domain over (domain, token_count) input columns, budget 150000 at
+    // 1.2 epochs (the catalog q_unimax_alloc configuration); INTO
+    // column(...) names the allocation column
+    "unimax_alloc" -> { (df, ins, out) =>
+      require(ins.length >= 2,
+        s"unimax_alloc needs (domain, token_count) input columns, got $ins")
+      require(!Seq("domain", "n_docs", "n_tokens", "capacity", "saturated",
+          "epochs").contains(out),
+        s"unimax_alloc reserves its plan column names; pick another " +
+          s"INTO column name (got '$out')")
+      graft.llm.Sampling.unimaxAlloc(df, ins.head, ins(1),
+        budget = 150000L, epochCap = 1.2)
+        .withColumnRenamed("allocated", out)
+    },
+    // MinHash-LSH design card — relation-REPLACING: one row per
+    // (bands, rows) factorization of the 128-hash signature scored
+    // around threshold 0.8 (the catalog q_lsh_plan configuration);
+    // INTO column(...) names the winner flag
+    "lsh_plan" -> { (df, ins, out) =>
+      require(!Seq("bands", "rows_per_band", "est_threshold", "fp_area",
+          "fn_area", "total_err").contains(out),
+        s"lsh_plan reserves its card column names; pick another INTO " +
+          s"column name (got '$out')")
+      graft.llm.Dedup.lshPlan(df.sparkSession, nSig = 128, threshold = 0.8)
+        .withColumnRenamed("is_best", out)
     })
 
   tableBuiltins.foreach { case (k, v) => tableKernels.put(k, v) }

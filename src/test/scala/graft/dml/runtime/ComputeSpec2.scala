@@ -754,4 +754,63 @@ class ComputeSpec2 extends AnyFunSuite {
     assert(bf.select("doc_id", "bfrac").join(bfTwin, Seq("doc_id"))
       .filter(!(col("bfrac") <=> col("boilerplate_frac"))).count() == 0)
   }
+
+  test("c4_filter / emb_stats / kmeans_assign / unimax_alloc / lsh_plan " +
+    "kernels reach the round-12 additions from the DSL") {
+    val s = spark
+    // c4_filter: rows preserved, verdict matches the operator
+    val c4 = ComputeRegistry.runOnce(s,
+      parse("COMPUTE c4 FROM table(text) INTO column(ok) USING c4_filter"),
+      "documents")
+    assert(c4.count() == s.table("documents").count())
+    val c4Twin = graft.llm.Curation.c4Rules(
+        s.table("documents").select("doc_id", "text"))
+      .select(col("doc_id"), col("keep"))
+    assert(c4.select("doc_id", "ok").join(c4Twin, Seq("doc_id"))
+      .filter(!(col("ok") <=> col("keep"))).count() == 0)
+    // emb_stats: relation-replacing per-dim card (64 dims)
+    s.table("embeddings")
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+      .createOrReplaceTempView("emb_docs_r12")
+    val es = ComputeRegistry.runOnce(s,
+      parse("COMPUTE es FROM table(embedding) INTO column(share) " +
+        "USING emb_stats"),
+      "emb_docs_r12")
+    assert(es.count() == 64)
+    assert(es.columns.contains("share") && es.columns.contains("variance"))
+    val esErr = intercept[IllegalArgumentException] {
+      ComputeRegistry.runOnce(s,
+        parse("COMPUTE es FROM table(embedding) INTO column(variance) " +
+          "USING emb_stats"),
+        "emb_docs_r12")
+    }
+    assert(esErr.getMessage.contains("reserves"))
+    // kmeans_assign: rows preserved; matches the auto-k operator step
+    val km = ComputeRegistry.runOnce(s,
+      parse("COMPUTE km FROM table(embedding) INTO column(cl) " +
+        "USING kmeans_assign"),
+      "emb_docs_r12")
+    assert(km.count() == s.table("embeddings").count())
+    val embs = s.table("embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val kmTwin = graft.llm.Similarity.kmeansStep(embs,
+        graft.llm.Similarity.autoCellSeeds(embs))
+      .select(col("vec_id").as("doc_id"), col("cell"))
+    assert(km.select("doc_id", "cl").join(kmTwin, Seq("doc_id"))
+      .filter(!(col("cl") <=> col("cell"))).count() == 0)
+    // unimax_alloc: one row per domain; allocations never exceed capacity
+    val ua = ComputeRegistry.runOnce(s,
+      parse("COMPUTE ua FROM table(lang, n_chars) INTO column(alloc) " +
+        "USING unimax_alloc"),
+      "documents")
+    assert(ua.count() ==
+      s.table("documents").select("lang").distinct().count())
+    assert(ua.filter(col("alloc") > col("capacity") + 1e-6).count() == 0)
+    // lsh_plan: the 8 factorizations of 128, exactly one winner
+    val lp = ComputeRegistry.runOnce(s,
+      parse("COMPUTE lp FROM table(text) INTO column(best) USING lsh_plan"),
+      "documents")
+    assert(lp.count() == 8)
+    assert(lp.filter(col("best")).count() == 1)
+  }
 }
