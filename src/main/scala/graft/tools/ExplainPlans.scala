@@ -29,7 +29,9 @@ object ExplainPlans {
       "q_readability", "q_pmi_pairs", "q_token_budget",
       "q_embedding_coverage", "q_pack_plan", "q_corpus_overlap",
       "q_mad_outliers", "q_centroid_cos",
-      "q_char_entropy", "q_vocab_card", "q_boilerplate_frac")
+      "q_char_entropy", "q_vocab_card", "q_boilerplate_frac",
+      "q_c4_filter", "q_emb_stats", "q_kmeans_assign", "q_unimax_alloc",
+      "q_lsh_plan")
     // q_dedup_groups is deliberately absent: building its DataFrame RUNS
     // the propagation rounds (eager per-round materialization), so its
     // "plan" is an InMemoryTableScan of the final round — nothing to audit.

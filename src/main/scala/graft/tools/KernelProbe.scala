@@ -93,7 +93,27 @@ object KernelProbe {
     ("boilerplate_frac",
       "COMPUTE b FROM table(text) INTO column(bfrac) " +
         "USING boilerplate_frac",
-      "q_boilerplate_frac"))
+      "q_boilerplate_frac"),
+    // the twin scores the marker-planted 200%-corpus; the kernel scores
+    // the plain relation — the twin is the closer-shaped bound
+    ("c4_filter",
+      "COMPUTE c FROM table(text) INTO column(ok) USING c4_filter",
+      "q_c4_filter"),
+    ("emb_stats",
+      "COMPUTE e FROM table(embedding) INTO column(share) USING emb_stats",
+      "q_emb_stats"),
+    // the kernel steps the auto-k quantizer (~n/256 cells) vs the twin's
+    // fixed 16 IVF seeds — same corpus passes, more centroids
+    ("kmeans_assign",
+      "COMPUTE k FROM table(embedding) INTO column(cl) USING kmeans_assign",
+      "q_kmeans_assign"),
+    ("unimax_alloc",
+      "COMPUTE u FROM table(lang, n_chars) INTO column(alloc) " +
+        "USING unimax_alloc",
+      "q_unimax_alloc"),
+    ("lsh_plan",
+      "COMPUTE l FROM table(text) INTO column(best) USING lsh_plan",
+      "q_lsh_plan"))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")

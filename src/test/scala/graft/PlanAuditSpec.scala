@@ -663,6 +663,70 @@ class PlanAuditSpec extends AnyFunSuite {
     graft.llm.PipelineCaches.clear()
   }
 
+  test("q_c4_filter is a zero-shuffle projection over the union arms, " +
+    "reading only (doc_id, text)") {
+    val p = plan("q_c4_filter")
+    assert(!p.contains("Exchange"),
+      s"the C4 verdict is a pure per-row projection — no shuffle:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"column pruning must reach the scan:\n$p")
+    val scans = """\(\d+\) Scan parquet""".r.findAllIn(p).length
+    assert(scans <= 2,
+      s"only the two union arms (originals + planted copies) may scan, " +
+        s"found $scans:\n$p")
+  }
+
+  test("q_emb_stats is one posexplode pass with a map-side-combined " +
+    "dim aggregation; the share window runs on the dim-sized table") {
+    val p = plan("q_emb_stats")
+    val scans = """\(\d+\) Scan parquet""".r.findAllIn(p).length
+    assert(scans == 1, s"one corpus pass, found $scans:\n$p")
+    assert(p.contains("partial_sum"),
+      s"the moment sums must partial-aggregate before the shuffle — the " +
+        s"exchange carries dims x partitions rows, never the corpus:\n$p")
+    val shuffles = """\(\d+\) Exchange""".r.findAllIn(p).length
+    assert(shuffles <= 2,
+      s"the dim agg + the dim-sized share window are the only " +
+        s"exchanges, found $shuffles:\n$p")
+  }
+
+  test("q_kmeans_assign reassigns off the persisted init relation and " +
+    "broadcasts the refined centroids") {
+    // the seed collect and the centroid-sum collect run eagerly at
+    // construction (bounded metadata); the audited plan is the reassign
+    val p = plan("q_kmeans_assign")
+    assert(p.contains("InMemoryTableScan"),
+      s"the reassign must read the persisted init assignment, not " +
+        s"re-derive it:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the k-row centroid table must broadcast onto the corpus:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"no corpus-sized shuffle or cartesian in the step:\n$p")
+    val scans = """\(\d+\) Scan parquet""".r.findAllIn(p).length
+    assert(scans <= 1,
+      s"the persisted relation is the only corpus source, found $scans:\n$p")
+  }
+
+  test("q_unimax_alloc aggregates the corpus ONCE map-side-combined; " +
+    "the waterfill windows run on the domain-sized table") {
+    val p = plan("q_unimax_alloc")
+    val scans = """\(\d+\) Scan parquet""".r.findAllIn(p).length
+    assert(scans == 1, s"one corpus pass, found $scans:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"the domain agg must partial-aggregate before its shuffle:\n$p")
+    val shuffles = """\(\d+\) Exchange""".r.findAllIn(p).length
+    assert(shuffles <= 2,
+      s"the domain agg + the single-partition waterfill window are the " +
+        s"only exchanges, found $shuffles:\n$p")
+  }
+
+  test("q_lsh_plan never touches a corpus relation") {
+    val p = plan("q_lsh_plan")
+    assert(!p.contains("Scan parquet"),
+      s"the design card is pure parameter arithmetic — planning it must " +
+        s"not scan any table:\n$p")
+  }
+
   test("q_corpus_report rolls up in ONE Expand pass with two shuffles") {
     val p = plan("q_corpus_report")
     assert(p.contains("Expand"),
