@@ -410,6 +410,104 @@ object Sampling {
       .drop("_med", "_mad")
   }
 
+  /** Winsorize: clip `valueCol` at its [pLo, pHi] type-1 quantiles — the
+    * robust tail-taming a quality-score or length column gets before any
+    * mean/variance-based downstream use (a single 2 GB document must not
+    * set the scale of a z-score). The clipped value attaches as
+    * `winsorized` with `clipped_lo`/`clipped_hi` audit flags; NULL
+    * values stay NULL on all three.
+    *
+    * Both quantiles are type-1 (smallest value whose cumulative count
+    * reaches ceil(p·N)) read from ONE persisted value histogram — the
+    * [[madOutliers]] machinery pointed at two cut points, integer
+    * comparisons throughout, so the oracle replays exactly. The
+    * histogram is distinct-value-sized and cardinality-guarded like
+    * [[percentRank]]: discretize a continuous column first. */
+  def winsorize(docs: DataFrame, valueCol: String, pLo: Double = 0.01,
+      pHi: Double = 0.99, maxDistinctValues: Long = 1000000L): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi,
+      s"winsorize needs 0 <= pLo < pHi <= 1, got ($pLo, $pHi)")
+    val hist = PipelineCaches.track(
+      docs.filter(col(valueCol).isNotNull)
+        .groupBy(valueCol).agg(count(lit(1)).as("_c"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val distinct = hist.count()
+    require(distinct <= maxDistinctValues,
+      s"winsorize('$valueCol'): $distinct distinct values exceed " +
+        s"maxDistinctValues=$maxDistinctValues; discretize the column " +
+        "first (e.g. round(score, 3)) or raise the cap explicitly.")
+    val wCum = Window.orderBy(valueCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val qs = hist.withColumn("_cum", sum("_c").over(wCum))
+      .withColumn("_n", sum("_c").over(wTot))
+      .agg(
+        min(when(col("_cum") >= ceil(lit(pLo) * col("_n")), col(valueCol)))
+          .as("_qlo"),
+        min(when(col("_cum") >= ceil(lit(pHi) * col("_n")), col(valueCol)))
+          .as("_qhi"))
+    docs.crossJoin(broadcast(qs))
+      .withColumn("winsorized",
+        when(col(valueCol).isNull, col(valueCol))
+          .otherwise(least(greatest(col(valueCol), col("_qlo")),
+            col("_qhi"))))
+      .withColumn("clipped_lo",
+        when(col(valueCol).isNull, lit(null).cast("boolean"))
+          .otherwise(col(valueCol) < col("_qlo")))
+      .withColumn("clipped_hi",
+        when(col(valueCol).isNull, lit(null).cast("boolean"))
+          .otherwise(col(valueCol) > col("_qhi")))
+      .drop("_qlo", "_qhi")
+  }
+
+  /** Temporal train/test split with a purge gap: rows up to the
+    * `trainPct` time quantile are `train`, the next `gapMinutes` are
+    * `purged` (the leakage buffer standard in forecasting/backtest
+    * evaluation — de Prado's purged split: anything whose label window
+    * could straddle the boundary is excluded from both sides), the rest
+    * `test`. The time-ordered sibling of [[Curation.leakageSafeSplit]]:
+    * that one keys on CONTENT groups, this one on TIME.
+    *
+    * The cutoff is the type-1 quantile of the MINUTE-bucketed timestamp
+    * histogram (smallest minute whose cumulative row count reaches
+    * trainPct% — an all-integer comparison, exactly oracle-replayable).
+    * Minute bucketing keeps the histogram bounded by the time RANGE,
+    * not the row count — a 100 TB event stream still spans bounded
+    * minutes — at the documented cost that the cut lands on a minute
+    * boundary. NULL timestamps get a NULL split (rows preserved).
+    *
+    * Scale shape: one map-side-combined minute aggregation over the
+    * corpus; the quantile windows run on the minute-sized histogram;
+    * the 1-row cutoff broadcasts back. */
+  def temporalSplit(rows: DataFrame, tsCol: String, trainPct: Int = 80,
+      gapMinutes: Int = 60): DataFrame = {
+    require(trainPct > 0 && trainPct < 100,
+      s"trainPct must be in (0, 100), got $trainPct")
+    require(gapMinutes >= 0, s"gapMinutes must be >= 0, got $gapMinutes")
+    val wCum = Window.orderBy("_m")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cut = rows.filter(col(tsCol).isNotNull)
+      .select(date_trunc("minute", col(tsCol)).as("_m"))
+      .groupBy("_m").agg(count(lit(1)).as("_c"))
+      .withColumn("_cum", sum("_c").over(wCum))
+      .withColumn("_n", sum("_c").over(wTot))
+      .agg(min(when(col("_cum") * 100 >= col("_n") * trainPct, col("_m")))
+        .as("_cut"))
+    rows.crossJoin(broadcast(cut))
+      .withColumn("split",
+        when(col(tsCol).isNull, lit(null).cast("string"))
+          .when(date_trunc("minute", col(tsCol)) <= col("_cut"),
+            lit("train"))
+          .when(date_trunc("minute", col(tsCol)) <=
+            col("_cut") + expr(s"INTERVAL $gapMinutes MINUTES"),
+            lit("purged"))
+          .otherwise(lit("test")))
+      .drop("_cut")
+  }
+
   /** Quantile-threshold filter: keep rows whose `valueCol` percent_rank is
     * ≥ `minPercentRank`. NULL-valued rows have no rank and are dropped —
     * see [[percentRank]] (which preserves them) for the attach-only form

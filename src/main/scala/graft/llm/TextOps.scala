@@ -503,4 +503,64 @@ object TextOps {
         (col("zipf_k").cast("double") * col("_sxx") -
           col("_sx") * col("_sx")), 6).as("zipf_slope"))
   }
+
+  /** Vocabulary-overlap card between two corpora — ONE row: type counts,
+    * shared/union types, vocabulary Jaccard, and BOTH directed
+    * add-α-smoothed unigram KL divergences over the union vocabulary
+    * (the distribution-shift signal between a train mix and an eval
+    * domain, or between two crawl snapshots; the exact-vocabulary
+    * complement of [[Dedup.corpusOverlapSketch]]'s MinHash estimate).
+    * P_x(w) = (c_x(w) + α) / (N_x + α·V) with V = union vocabulary —
+    * smoothed over the SAME support, so both KLs are finite and sum
+    * their full mass.
+    *
+    * Cross-engine determinism: KL terms p·ln(p/q) round to 12 dp and
+    * sum as DECIMAL (the entropy-card convention). Scale shape: one
+    * map-side-combined word count per corpus (vocab-bounded), a
+    * vocab-sized full outer join, totals as whole-relation windows on
+    * that table, then the 1-row rollup — the corpora are each read
+    * once and never shuffled by row. */
+  def vocabOverlap(a: DataFrame, b: DataFrame,
+      alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0, s"smoothing alpha must be positive, got $alpha")
+    val dec = org.apache.spark.sql.types.DecimalType(28, 12)
+    def wc(d: DataFrame, as: String): DataFrame = d
+      .select(explode(split(coalesce(col("text"), lit("")), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as(as))
+    val joined = wc(a, "_ca").join(wc(b, "_cb"), Seq("token"), "full_outer")
+      .select(col("token"),
+        coalesce(col("_ca"), lit(0L)).as("_ca"),
+        coalesce(col("_cb"), lit(0L)).as("_cb"))
+    val allRows = Window
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val w = joined
+      .withColumn("_v", count(lit(1)).over(allRows))
+      .withColumn("_na", sum("_ca").over(allRows))
+      .withColumn("_nb", sum("_cb").over(allRows))
+    val pa = (col("_ca").cast("double") + alpha) /
+      (col("_na").cast("double") + lit(alpha) * col("_v").cast("double"))
+    val pb = (col("_cb").cast("double") + alpha) /
+      (col("_nb").cast("double") + lit(alpha) * col("_v").cast("double"))
+    w.withColumn("_tab", round(pa * log(pa / pb), 12).cast(dec))
+      .withColumn("_tba", round(pb * log(pb / pa), 12).cast(dec))
+      .agg(
+        sum(when(col("_ca") > 0, 1L).otherwise(0L)).cast("bigint")
+          .as("n_types_a"),
+        sum(when(col("_cb") > 0, 1L).otherwise(0L)).cast("bigint")
+          .as("n_types_b"),
+        sum(when(col("_ca") > 0 && col("_cb") > 0, 1L).otherwise(0L))
+          .cast("bigint").as("shared_types"),
+        max(col("_v")).cast("bigint").as("union_types"),
+        max(col("_na")).cast("bigint").as("n_tokens_a"),
+        max(col("_nb")).cast("bigint").as("n_tokens_b"),
+        sum(col("_tab")).cast("double").as("_klab"),
+        sum(col("_tba")).cast("double").as("_klba"))
+      .select(col("n_types_a"), col("n_types_b"), col("shared_types"),
+        col("union_types"),
+        round(col("shared_types").cast("double") /
+          col("union_types").cast("double"), 6).as("jaccard_vocab"),
+        col("n_tokens_a"), col("n_tokens_b"),
+        round(col("_klab"), 6).as("kl_ab"),
+        round(col("_klba"), 6).as("kl_ba"))
+  }
 }

@@ -440,6 +440,14 @@ object EventQueries {
     // (cohort, day-offset) the distinct users still active. Two keyed
     // partial aggregations + one user-keyed join — no windows, no
     // self-join; shuffles carry (user, day) pairs, never raw events
+    // purged temporal 80/gap/20 split: cut at the type-1 quantile of the
+    // minute-bucketed timestamp histogram, one day of purge buffer
+    "q_temporal_split" -> { (s, dir) =>
+      graft.llm.Sampling.temporalSplit(
+        events(s, dir).select("event_id", "ts"), "ts",
+        trainPct = 80, gapMinutes = 1440)
+    },
+
     "q_events_retention" -> { (s, dir) =>
       val activity = events(s, dir)
         .select(col("user_id"), date_trunc("DAY", col("ts")).as("day"))
@@ -677,6 +685,28 @@ object EventQueries {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)""".stripMargin,
 
+    // the minute-quantile cut replays all-integer (cum*100 >= n*pct)
+    "q_temporal_split" ->
+      """WITH m AS (
+        |  SELECT date_trunc('minute', ts) AS mn, count(*) AS c
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+        |w AS (
+        |  SELECT mn, c,
+        |    sum(c) OVER (ORDER BY mn
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(c) OVER () AS n
+        |  FROM m),
+        |q AS (
+        |  SELECT min(CASE WHEN cum * 100 >= n * 80 THEN mn END) AS cut
+        |  FROM w)
+        |SELECT event_id, ts,
+        |  CASE WHEN ts IS NULL THEN NULL
+        |    WHEN date_trunc('minute', ts) <= cut THEN 'train'
+        |    WHEN date_trunc('minute', ts) <= cut + INTERVAL 1440 MINUTE
+        |      THEN 'purged'
+        |    ELSE 'test' END AS split
+        |FROM events CROSS JOIN q""".stripMargin,
+
     "q_events_retention" ->
       """WITH a AS (
         |  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
@@ -786,6 +816,7 @@ object EventQueries {
     "q_events_psi" -> Seq("event_type"),
     "q_events_priority" -> Seq("deliver_pos"),
     "q_events_retention" -> Seq("cohort_day", "day_offset"),
+    "q_temporal_split" -> Seq("event_id"),
     "q_events_sessions" -> Seq("user_id", "session_idx"),
     "q_stream_interval_join_outer" -> Seq("view_id", "purchase_id"))
 }

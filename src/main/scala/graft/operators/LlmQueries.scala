@@ -255,6 +255,19 @@ object LlmQueries {
         d.select("doc_id", "text"), b, k = 3, numHashes = 8)
     },
 
+    // exact-vocabulary overlap + directed smoothed unigram KLs between
+    // the corpus and its half-shared/half-rot13 variant (the
+    // q_corpus_overlap construction — MinHash estimate there, exact
+    // type-level arithmetic here)
+    "q_vocab_overlap" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val b = d.filter(col("doc_id") % 2 === 0).select("doc_id", "text")
+        .unionAll(d.filter(col("doc_id") % 2 === 1).select(col("doc_id"),
+          translate(col("text"), "abcdefghijklmnopqrstuvwxyz",
+            "nopqrstuvwxyzabcdefghijklm").as("text")))
+      TextOps.vocabOverlap(d.select("doc_id", "text"), b)
+    },
+
     // LSH design card: every (bands, rows) factorization of a 128-hash
     // signature scored by S-curve FP/FN areas around threshold 0.8 —
     // the planning step that precedes a corpus-sized banded-LSH job
@@ -1201,6 +1214,60 @@ object LlmQueries {
         |       ELSE round(CAST(CAST(variance AS DECIMAL(18,6)) AS DOUBLE)
         |         / CAST(tot AS DOUBLE), 6) END AS var_share
         |FROM v CROSS JOIN t""".stripMargin,
+
+    // the KL terms replay with p*ln(p/q) rounded to 12 dp and
+    // DECIMAL-summed; probabilities are ratios of exact integers + 0.5
+    // so both engines divide the same bits
+    "q_vocab_overlap" ->
+      """WITH bsrc AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT doc_id,
+        |    translate(text, 'abcdefghijklmnopqrstuvwxyz',
+        |      'nopqrstuvwxyzabcdefghijklm') AS text
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |ca AS (
+        |  SELECT t AS token, count(*) AS c FROM (
+        |    SELECT unnest(string_split(coalesce(text, ''), ' ')) AS t
+        |    FROM documents) GROUP BY 1),
+        |cb AS (
+        |  SELECT t AS token, count(*) AS c FROM (
+        |    SELECT unnest(string_split(coalesce(text, ''), ' ')) AS t
+        |    FROM bsrc) GROUP BY 1),
+        |j AS (
+        |  SELECT coalesce(ca.c, 0) AS cca, coalesce(cb.c, 0) AS ccb
+        |  FROM ca FULL OUTER JOIN cb USING (token)),
+        |w AS (
+        |  SELECT cca, ccb, count(*) OVER () AS v,
+        |    sum(cca) OVER () AS na, sum(ccb) OVER () AS nb
+        |  FROM j),
+        |t AS (
+        |  SELECT cca, ccb, v, na, nb,
+        |    (CAST(cca AS DOUBLE) + 0.5)
+        |      / (CAST(na AS DOUBLE) + 0.5 * CAST(v AS DOUBLE)) AS pa,
+        |    (CAST(ccb AS DOUBLE) + 0.5)
+        |      / (CAST(nb AS DOUBLE) + 0.5 * CAST(v AS DOUBLE)) AS pb
+        |  FROM w),
+        |terms AS (
+        |  SELECT *,
+        |    CAST(round(pa * ln(pa / pb), 12) AS DECIMAL(28,12)) AS tab,
+        |    CAST(round(pb * ln(pb / pa), 12) AS DECIMAL(28,12)) AS tba
+        |  FROM t)
+        |SELECT
+        |  CAST(sum(CASE WHEN cca > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_types_a,
+        |  CAST(sum(CASE WHEN ccb > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_types_b,
+        |  CAST(sum(CASE WHEN cca > 0 AND ccb > 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS shared_types,
+        |  CAST(max(v) AS BIGINT) AS union_types,
+        |  round(CAST(sum(CASE WHEN cca > 0 AND ccb > 0 THEN 1 ELSE 0 END)
+        |      AS DOUBLE) / CAST(max(v) AS DOUBLE), 6) AS jaccard_vocab,
+        |  CAST(max(na) AS BIGINT) AS n_tokens_a,
+        |  CAST(max(nb) AS BIGINT) AS n_tokens_b,
+        |  round(CAST(sum(tab) AS DOUBLE), 6) AS kl_ab,
+        |  round(CAST(sum(tba) AS DOUBLE), 6) AS kl_ba
+        |FROM terms""".stripMargin,
 
     // the S-curve integral replays with both pows rounded to 12 dp and
     // grid terms DECIMAL-summed; midpoint samples never hit the

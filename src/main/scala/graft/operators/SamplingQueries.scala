@@ -103,6 +103,14 @@ object SamplingQueries {
         .select("doc_id", "n_chars", "percent_rank")
     },
 
+    // winsorize n_chars at its [5%, 95%] type-1 histogram quantiles:
+    // tails clip to the cut values, audit flags ride
+    "q_winsorize" -> { (s, dir) =>
+      Sampling.winsorize(
+        docs(s, dir).select("doc_id", "n_chars"), "n_chars",
+        pLo = 0.05, pHi = 0.95)
+    },
+
     // exact percent_rank on a CONTINUOUS (near-unique) score — the
     // cardinality regime the histogram-based percentRank refuses. The
     // doc_id-injected score is tie-free, so the position-based definition
@@ -275,6 +283,32 @@ object SamplingQueries {
         |    AS BIGINT) AS epochs
         |FROM q ORDER BY domain""".stripMargin,
 
+    // both cut points replay off the same cumulative histogram; ceil of
+    // the double product is engine-identical (same IEEE inputs and ops)
+    "q_winsorize" ->
+      """WITH h AS (
+        |  SELECT n_chars AS v, count(*) AS c FROM documents
+        |  WHERE n_chars IS NOT NULL GROUP BY 1),
+        |w AS (
+        |  SELECT v, c,
+        |    sum(c) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(c) OVER () AS n
+        |  FROM h),
+        |q AS (
+        |  SELECT
+        |    min(CASE WHEN cum >= ceil(0.05 * n) THEN v END) AS qlo,
+        |    min(CASE WHEN cum >= ceil(0.95 * n) THEN v END) AS qhi
+        |  FROM w)
+        |SELECT doc_id, n_chars,
+        |  CASE WHEN n_chars IS NULL THEN NULL
+        |    ELSE least(greatest(n_chars, qlo), qhi) END AS winsorized,
+        |  CASE WHEN n_chars IS NULL THEN NULL
+        |    ELSE n_chars < qlo END AS clipped_lo,
+        |  CASE WHEN n_chars IS NULL THEN NULL
+        |    ELSE n_chars > qhi END AS clipped_hi
+        |FROM documents CROSS JOIN q""".stripMargin,
+
     // the waterfill replays all-DECIMAL: 6-dp capacities, exact prefix
     // sums, and the prefix-monotone saturation test; only the reported
     // level/epochs divide as doubles after the decision is made
@@ -412,6 +446,7 @@ object SamplingQueries {
     "q_temperature_mix" -> Seq("domain"),
     "q_token_budget" -> Seq("domain"),
     "q_unimax_alloc" -> Seq("domain"),
+    "q_winsorize" -> Seq("doc_id"),
     "q_mad_outliers" -> Seq("doc_id"),
     "q_percent_rank_cont" -> Seq("doc_id"),
     "q_quantile_filter" -> Seq("doc_id"),

@@ -151,6 +151,33 @@ class LlmSpec extends AnyFunSuite {
     assert(c.forall(_.isNullAt(4)))
   }
 
+  test("vocabOverlap: identical corpora give zero KL and Jaccard 1; " +
+    "hand-computed symmetric shift; disjoint vocabularies share nothing") {
+    val s = spark
+    import s.implicits._
+    val a = Seq((1L, "x x y")).toDF("doc_id", "text")
+    val same = TextOps.vocabOverlap(a, a).collect()(0)
+    assert(same.getAs[Long]("shared_types") == 2L)
+    assert(same.getAs[Double]("jaccard_vocab") == 1.0)
+    assert(same.getAs[Double]("kl_ab") == 0.0 &&
+      same.getAs[Double]("kl_ba") == 0.0)
+    // b mirrors the counts (x:1, y:2): pa = (.625, .375), pb reversed,
+    // KL = 0.25 * ln(5/3) in both directions
+    val b = Seq((1L, "x y y")).toDF("doc_id", "text")
+    val m = TextOps.vocabOverlap(a, b).collect()(0)
+    val expected = 0.25 * math.log(5.0 / 3.0)
+    assert(math.abs(m.getAs[Double]("kl_ab") - expected) < 1e-6)
+    assert(m.getAs[Double]("kl_ab") == m.getAs[Double]("kl_ba"))
+    assert(m.getAs[Long]("n_tokens_a") == 3L &&
+      m.getAs[Long]("n_tokens_b") == 3L)
+    // disjoint vocabularies: zero shared types, both KLs positive
+    val c = Seq((1L, "p q r")).toDF("doc_id", "text")
+    val d = TextOps.vocabOverlap(a, c).collect()(0)
+    assert(d.getAs[Long]("shared_types") == 0L)
+    assert(d.getAs[Double]("jaccard_vocab") == 0.0)
+    assert(d.getAs[Double]("kl_ab") > 0 && d.getAs[Double]("kl_ba") > 0)
+  }
+
   test("lshPlan: exact hand-computed S-curve areas on a 2-point grid, " +
     "the balanced factorization wins") {
     val s = spark

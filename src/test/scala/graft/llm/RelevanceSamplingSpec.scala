@@ -439,6 +439,53 @@ class RelevanceSamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("winsorize: hand-computed type-1 cuts, tail clipping flags, " +
+    "NULL rows preserved") {
+    val s = spark
+    import s.implicits._
+    // values 1..10 plus outlier 100 (n=11): ceil(.1*11)=2 -> qlo=2,
+    // ceil(.9*11)=10 -> qhi=10
+    val docs = ((1 to 10).map(i => (i.toLong, Some(i.toLong))) :+
+      ((11L, Some(100L))) :+ ((12L, None: Option[Long])))
+      .toDF("doc_id", "v")
+    val out = Sampling.winsorize(docs, "v", pLo = 0.1, pHi = 0.9)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("winsorized") == 2L &&
+      out(1L).getAs[Boolean]("clipped_lo") &&
+      !out(1L).getAs[Boolean]("clipped_hi"))
+    assert(out(11L).getAs[Long]("winsorized") == 10L &&
+      out(11L).getAs[Boolean]("clipped_hi"))
+    (2 to 10).foreach { i =>
+      val r = out(i.toLong)
+      assert(r.getAs[Long]("winsorized") == i.toLong &&
+        !r.getAs[Boolean]("clipped_lo") && !r.getAs[Boolean]("clipped_hi"))
+    }
+    assert(out(12L).isNullAt(2) && out(12L).isNullAt(3) &&
+      out(12L).isNullAt(4))
+    val e = intercept[IllegalArgumentException] {
+      Sampling.winsorize(docs, "v", pLo = 0.9, pHi = 0.1)
+    }
+    assert(e.getMessage.contains("pLo"))
+  }
+
+  test("temporalSplit: the cut lands on the 80% minute, the gap purges, " +
+    "NULL timestamps get a NULL split") {
+    val s = spark
+    import s.implicits._
+    def ts(m: Int, sec: Int = 30): java.sql.Timestamp =
+      java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:$sec%02d")
+    // one event per minute 00..09: cum*100 >= 10*80 first at minute 07
+    val rows = (0 to 9).map(m => (m.toLong, Some(ts(m)))) :+
+      ((99L, None: Option[java.sql.Timestamp]))
+    val out = Sampling.temporalSplit(rows.toDF("event_id", "ts"), "ts",
+      trainPct = 80, gapMinutes = 1)
+      .collect().map(r => r.getLong(0) -> Option(r.getString(2))).toMap
+    (0 to 7).foreach(m => assert(out(m.toLong).contains("train"), s"min $m"))
+    assert(out(8L).contains("purged"))
+    assert(out(9L).contains("test"))
+    assert(out(99L).isEmpty)
+  }
+
   test("unimaxAlloc: hand-computed waterfill — saturated caps, the level " +
     "on the remainder, all-saturated and all-unsaturated extremes") {
     val s = spark
