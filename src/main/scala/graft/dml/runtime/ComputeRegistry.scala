@@ -666,6 +666,48 @@ object ComputeRegistry {
         budget = 150000L, epochCap = 1.2)
         .withColumnRenamed("allocated", out)
     },
+    // Winsorize a NUMERIC input column at its [5%, 95%] type-1 histogram
+    // quantiles (the catalog q_winsorize configuration): the clipped
+    // value attaches as the output column, clipped_lo/clipped_hi audit
+    // flags ride; NULL values keep their rows
+    "winsorize" -> { (df, ins, out) =>
+      require(!Seq("clipped_lo", "clipped_hi").contains(out) &&
+          out != ins.head,
+        s"winsorize reserves its flag columns and the input column; " +
+          s"pick another INTO column name (got '$out')")
+      graft.llm.Sampling.winsorize(df, ins.head, pLo = 0.05, pHi = 0.95)
+        .withColumnRenamed("winsorized", out)
+    },
+    // Purged temporal split over a TIMESTAMP input column (the catalog
+    // q_temporal_split configuration: 80% train cut at the minute-
+    // bucketed type-1 quantile, one day of purge buffer); the
+    // train/purged/test label attaches as the output column
+    "temporal_split" -> { (df, ins, out) =>
+      require(out != ins.head,
+        s"temporal_split cannot write its label over the timestamp " +
+          s"input column '$out'; pick another INTO column name")
+      graft.llm.Sampling.temporalSplit(df, ins.head,
+        trainPct = 80, gapMinutes = 1440)
+        .withColumnRenamed("split", out)
+    },
+    // Vocabulary-overlap card — relation-REPLACING, ONE row: exact type
+    // counts, vocabulary Jaccard, and both directed smoothed unigram
+    // KLs between the flag-split corpus halves over (text, is_b) input
+    // columns (the corpus_overlap convention); INTO column(...) names
+    // the a->b KL column
+    "vocab_overlap" -> { (df, ins, out) =>
+      require(ins.length >= 2,
+        s"vocab_overlap needs (text, is_b) input columns, got $ins")
+      require(!Seq("n_types_a", "n_types_b", "shared_types", "union_types",
+          "jaccard_vocab", "n_tokens_a", "n_tokens_b", "kl_ba")
+          .contains(out),
+        s"vocab_overlap reserves its card column names; pick another " +
+          s"INTO column name (got '$out')")
+      val flag = col(ins(1)).cast("boolean") <=> lit(true)
+      val a = keyed(df.filter(!flag), ins.head)
+      val b = keyed(df.filter(flag), ins.head)
+      graft.llm.TextOps.vocabOverlap(a, b).withColumnRenamed("kl_ab", out)
+    },
     // MinHash-LSH design card — relation-REPLACING: one row per
     // (bands, rows) factorization of the 128-hash signature scored
     // around threshold 0.8 (the catalog q_lsh_plan configuration);

@@ -527,16 +527,22 @@ object TextOps {
     def wc(d: DataFrame, as: String): DataFrame = d
       .select(explode(split(coalesce(col("text"), lit("")), " ")).as("token"))
       .groupBy("token").agg(count(lit(1)).as(as))
-    val joined = wc(a, "_ca").join(wc(b, "_cb"), Seq("token"), "full_outer")
-      .select(col("token"),
-        coalesce(col("_ca"), lit(0L)).as("_ca"),
-        coalesce(col("_cb"), lit(0L)).as("_cb"))
-    val allRows = Window
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val w = joined
-      .withColumn("_v", count(lit(1)).over(allRows))
-      .withColumn("_na", sum("_ca").over(allRows))
-      .withColumn("_nb", sum("_cb").over(allRows))
+    // the union-vocab table is persisted for its two consumers (the
+    // totals and the term sums): an allRows window here would funnel the
+    // whole VOCABULARY through one partition — fine for domain-sized
+    // tables, wrong for the billion-type vocabulary a web-scale corpus
+    // carries. Totals are a 1-row broadcast instead.
+    val joined = PipelineCaches.track(
+      wc(a, "_ca").join(wc(b, "_cb"), Seq("token"), "full_outer")
+        .select(col("token"),
+          coalesce(col("_ca"), lit(0L)).as("_ca"),
+          coalesce(col("_cb"), lit(0L)).as("_cb"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val totals = joined.agg(
+      count(lit(1)).as("_v"),
+      sum("_ca").as("_na"),
+      sum("_cb").as("_nb"))
+    val w = joined.crossJoin(broadcast(totals))
     val pa = (col("_ca").cast("double") + alpha) /
       (col("_na").cast("double") + lit(alpha) * col("_v").cast("double"))
     val pb = (col("_cb").cast("double") + alpha) /

@@ -113,7 +113,17 @@ object KernelProbe {
       "q_unimax_alloc"),
     ("lsh_plan",
       "COMPUTE l FROM table(text) INTO column(best) USING lsh_plan",
-      "q_lsh_plan"))
+      "q_lsh_plan"),
+    ("winsorize",
+      "COMPUTE w FROM table(n_chars) INTO column(nc_w) USING winsorize",
+      "q_winsorize"),
+    ("temporal_split",
+      "COMPUTE t FROM table(ts) INTO column(part) USING temporal_split",
+      "q_temporal_split"),
+    ("vocab_overlap",
+      "COMPUTE v FROM table(text, is_bench) INTO column(kl) " +
+        "USING vocab_overlap",
+      "q_vocab_overlap"))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")

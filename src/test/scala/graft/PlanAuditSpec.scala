@@ -720,6 +720,47 @@ class PlanAuditSpec extends AnyFunSuite {
         s"only exchanges, found $shuffles:\n$p")
   }
 
+  test("q_winsorize reads both quantiles off one persisted histogram " +
+    "and attaches them as a 1-row broadcast") {
+    val p = plan("q_winsorize")
+    assert(p.contains("InMemoryTableScan"),
+      s"both cut points must read the persisted value histogram:\n$p")
+    val nlj = """\(\d+\) BroadcastNestedLoopJoin""".r.findAllIn(p).length
+    assert(nlj <= 1,
+      s"only the 1-row (qlo, qhi) relation may nested-loop, found " +
+        s"$nlj:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"the attach must stay a broadcast of the 1-row cut relation:\n$p")
+    graft.llm.PipelineCaches.clear()
+  }
+
+  test("q_temporal_split derives the cut from a map-side-combined minute " +
+    "histogram and attaches it as a 1-row broadcast") {
+    val p = plan("q_temporal_split")
+    val scans = """\(\d+\) Scan parquet""".r.findAllIn(p).length
+    assert(scans <= 2,
+      s"the cut derivation and the label attach are the only corpus " +
+        s"passes, found $scans:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"the minute agg must partial-aggregate before its shuffle:\n$p")
+    val nlj = """\(\d+\) BroadcastNestedLoopJoin""".r.findAllIn(p).length
+    assert(nlj <= 1,
+      s"only the 1-row cutoff may nested-loop, found $nlj:\n$p")
+  }
+
+  test("q_vocab_overlap joins the two vocab-bounded count tables and " +
+    "never windows the vocabulary through one partition") {
+    val p = plan("q_vocab_overlap")
+    assert(!p.contains("Window"),
+      s"totals must be a 1-row broadcast, not an allRows window over " +
+        s"the vocabulary:\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      s"the union-vocab join must persist for its two consumers:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"word counts must partial-aggregate before their shuffles:\n$p")
+    graft.llm.PipelineCaches.clear()
+  }
+
   test("q_lsh_plan never touches a corpus relation") {
     val p = plan("q_lsh_plan")
     assert(!p.contains("Scan parquet"),

@@ -813,4 +813,56 @@ class ComputeSpec2 extends AnyFunSuite {
     assert(lp.count() == 8)
     assert(lp.filter(col("best")).count() == 1)
   }
+
+  test("winsorize / temporal_split / vocab_overlap kernels reach the " +
+    "round-12 split/overlap operators from the DSL") {
+    val s = spark
+    // winsorize: rows preserved, clipped values match the operator
+    val wz = ComputeRegistry.runOnce(s,
+      parse("COMPUTE w FROM table(n_chars) INTO column(nc_w) " +
+        "USING winsorize"),
+      "documents")
+    assert(wz.count() == s.table("documents").count())
+    val wzTwin = graft.llm.Sampling.winsorize(
+        s.table("documents").select("doc_id", "n_chars"), "n_chars",
+        pLo = 0.05, pHi = 0.95)
+      .select(col("doc_id"), col("winsorized"))
+    assert(wz.select("doc_id", "nc_w").join(wzTwin, Seq("doc_id"))
+      .filter(!(col("nc_w") <=> col("winsorized"))).count() == 0)
+    val wzErr = intercept[IllegalArgumentException] {
+      ComputeRegistry.runOnce(s,
+        parse("COMPUTE w FROM table(n_chars) INTO column(clipped_lo) " +
+          "USING winsorize"),
+        "documents")
+    }
+    assert(wzErr.getMessage.contains("reserves"))
+    // temporal_split: rows preserved, exactly the three labels, train
+    // share within a minute bucket of 80%
+    s.table("events").select(col("event_id").as("doc_id"), col("ts"))
+      .createOrReplaceTempView("ts_docs_r12")
+    val tsp = ComputeRegistry.runOnce(s,
+      parse("COMPUTE t FROM table(ts) INTO column(part) " +
+        "USING temporal_split"),
+      "ts_docs_r12")
+    val n = s.table("events").count()
+    assert(tsp.count() == n)
+    val trainN = tsp.filter(col("part") === "train").count()
+    assert(trainN >= (n * 0.8).toLong && trainN <= (n * 0.81).toLong + 1,
+      s"train share off: $trainN of $n")
+    assert(tsp.filter(col("part") === "test").count() > 0)
+    // vocab_overlap: one-row card over the flag-split halves; rot13'd
+    // odd half shares the even half's vocabulary only partially
+    s.table("documents")
+      .withColumn("is_b", col("doc_id") % 2 === 1)
+      .createOrReplaceTempView("vo_docs_r12")
+    val vo = ComputeRegistry.runOnce(s,
+      parse("COMPUTE v FROM table(text, is_b) INTO column(kl) " +
+        "USING vocab_overlap"),
+      "vo_docs_r12")
+    assert(vo.count() == 1)
+    val r = vo.collect()(0)
+    assert(r.getAs[Long]("shared_types") > 0)
+    assert(r.getAs[Double]("kl") >= 0.0)
+    assert(vo.columns.contains("jaccard_vocab"))
+  }
 }
