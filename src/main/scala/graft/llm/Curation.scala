@@ -276,6 +276,29 @@ object Curation {
         !col("has_brace") && !col("has_policy") && !col("has_js"))
   }
 
+  /** Exact-duplicate group-size distribution card — one row per group
+    * size: how many identical-text groups have that size, how many docs
+    * they hold, and their corpus share. The release-sheet view of
+    * duplication (Dolma/RefinedWeb report exactly this table): a heavy
+    * tail of large groups means crawl explosion, share at size 1 is the
+    * unique fraction.
+    *
+    * Scale shape: one md5-fingerprint aggregation over the corpus (the
+    * exactDedup key), then a size-keyed rollup on the group table; the
+    * share total rides a whole-relation window over the size-
+    * distribution table — a handful of rows at any corpus size. */
+  def dupSizeCard(docs: DataFrame): DataFrame = {
+    val sizes = docs
+      .withColumn("_fp", md5(coalesce(col("text"), lit(""))))
+      .groupBy("_fp").agg(count(lit(1)).as("_sz"))
+    sizes.groupBy(col("_sz").as("group_size"))
+      .agg(count(lit(1)).cast("bigint").as("n_groups"),
+        sum("_sz").cast("bigint").as("n_docs"))
+      .withColumn("share",
+        round(col("n_docs").cast("double") /
+          sum("n_docs").over(Sampling.allRows).cast("double"), 6))
+  }
+
   /** CCNet-style LM quality scoring (Wenzek et al. 2020): fit an
     * add-α-smoothed word-bigram language model on the corpus itself, then
     * score every document by its cross-entropy under that model —

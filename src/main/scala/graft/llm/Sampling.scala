@@ -461,6 +461,51 @@ object Sampling {
       .drop("_qlo", "_qhi")
   }
 
+  /** Per-group type-1 quantiles of a value column — the grouped
+    * length-distribution card (p10/p50/p90 of document length per
+    * language is the standard corpus data-sheet row; a language whose
+    * median length collapses after a filter change is the regression
+    * signal this surfaces). One output row per group with the row count
+    * and one column per requested quantile (`p10`, `p50`, ...).
+    *
+    * Same machinery as [[winsorize]] pointed at groups: ONE
+    * (group, value)-keyed histogram aggregation over the corpus
+    * (cardinality-guarded — discretize continuous columns first), then
+    * group-partitioned cumulative windows on the histogram; every
+    * quantile is the smallest value whose within-group cumulative count
+    * reaches ceil(p·N_g) — integer comparisons after an engine-identical
+    * ceil, exactly oracle-replayable. NULL values are excluded (they
+    * have no rank); groups that are all-NULL vanish with them. */
+  def groupedQuantiles(docs: DataFrame, groupCol: String, valueCol: String,
+      ps: Seq[Double] = Seq(0.1, 0.5, 0.9),
+      maxDistinctValues: Long = 1000000L): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1),
+      s"quantiles must be in (0, 1], got $ps")
+    val hist = PipelineCaches.track(
+      docs.filter(col(valueCol).isNotNull)
+        .groupBy(groupCol, valueCol).agg(count(lit(1)).as("_c"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val distinct = hist.count()
+    require(distinct <= maxDistinctValues,
+      s"groupedQuantiles('$groupCol', '$valueCol'): $distinct histogram " +
+        s"rows exceed maxDistinctValues=$maxDistinctValues; discretize " +
+        "the column first or raise the cap explicitly.")
+    val wCum = Window.partitionBy(groupCol).orderBy(valueCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy(groupCol)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cums = hist
+      .withColumn("_cum", sum("_c").over(wCum))
+      .withColumn("_n", sum("_c").over(wTot))
+    val qCols = ps.map { p =>
+      val label = "p" + math.round(p * 100).toInt
+      min(when(col("_cum") >= ceil(lit(p) * col("_n")), col(valueCol)))
+        .as(label)
+    }
+    cums.groupBy(groupCol)
+      .agg(max("_n").cast("bigint").as("n_rows"), qCols: _*)
+  }
+
   /** Temporal train/test split with a purge gap: rows up to the
     * `trainPct` time quantile are `train`, the next `gapMinutes` are
     * `purged` (the leakage buffer standard in forecasting/backtest

@@ -419,6 +419,37 @@ object TextOps {
       .limit(n)
   }
 
+  /** Distinct-n diversity card (Li et al. 2016's distinct-1/2/3, the
+    * standard templated-/generated-text detector at corpus granularity):
+    * one row per n with total and distinct word n-gram counts and their
+    * ratio — natural corpora keep distinct-2/3 high, boilerplate and
+    * model-generated spam collapse them.
+    *
+    * ONE corpus pass for every n: the per-n gram arrays are built in the
+    * same projection, tagged with n, and flattened before a single
+    * (n, gram)-keyed map-side-combined count — no per-n rescan. The
+    * rollup then runs on the (n × distinct-gram)-bounded table. Short
+    * docs contribute no grams for an n they can't fill (the counting
+    * convention, [[topNgrams]]). */
+  def distinctNgramCard(docs: DataFrame, ks: Seq[Int] = Seq(1, 2, 3))
+      : DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1),
+      s"n-gram orders must be >= 1, got $ks")
+    val t = coalesce(col("text"), lit(""))
+    val tagged = ks.map(k =>
+      transform(graft.functions.Kgrams.kgrams(t, k, keepShortWhole = false),
+        g => struct(lit(k).as("k"), g.as("g"))))
+    docs.select(explode(flatten(array(tagged: _*))).as("_kg"))
+      .select(col("_kg.k").as("k"), col("_kg.g").as("_g"))
+      .groupBy("k", "_g").agg(count(lit(1)).as("_c"))
+      .groupBy("k").agg(
+        sum("_c").cast("bigint").as("total_ngrams"),
+        count(lit(1)).cast("bigint").as("distinct_ngrams"))
+      .select(col("k"), col("total_ngrams"), col("distinct_ngrams"),
+        round(col("distinct_ngrams").cast("double") /
+          col("total_ngrams").cast("double"), 6).as("distinct_ratio"))
+  }
+
   /** Character-level gibberish/encoding-damage card: codepoint count,
     * distinct codepoints, dominant-codepoint share, and Shannon entropy of
     * each document's character distribution. Natural text per script sits

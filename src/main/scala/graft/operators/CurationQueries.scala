@@ -258,6 +258,24 @@ object CurationQueries {
       graft.llm.TextOps.topNgrams(docs(s, dir), k = 3, n = 20)
     },
 
+    // distinct-1/2/3 diversity card in ONE corpus pass (per-n gram
+    // arrays built in the same projection, flattened, counted once)
+    "q_distinct_ngrams" -> { (s, dir) =>
+      graft.llm.TextOps.distinctNgramCard(docs(s, dir), Seq(1, 2, 3))
+    },
+
+    // exact-dup group-size distribution over a planted corpus: every
+    // 5th doc gets one extra copy, every 10th two — sizes 1/2/3 with
+    // known counts
+    "q_dup_size_card" -> { (s, dir) =>
+      val d = docs(s, dir).select("doc_id", "text")
+      val copy1 = d.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+      val copy2 = d.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 200000L).as("doc_id"), col("text"))
+      graft.llm.Curation.dupSizeCard(d.unionAll(copy1).unionAll(copy2))
+    },
+
     // Lee-et-al-style repeated-span removal: 3-word segments occurring in
     // >= 2 distinct docs are kept only in the lowest-doc_id occurrence
     "q_dedup_spans" -> { (s, dir) =>
@@ -971,6 +989,52 @@ object CurationQueries {
         |ORDER BY n_occurrences DESC, gram ASC
         |LIMIT 20""".stripMargin,
 
+    // per-n grams replay via range(1, len-k+2) (empty below k words —
+    // the counting convention); the union of the three tagged sets
+    // reproduces the one-pass flatten
+    "q_distinct_ngrams" ->
+      """WITH w AS (
+        |  SELECT string_split(coalesce(text, ''), ' ') AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT 1 AS k, unnest(w) AS gram FROM w
+        |  UNION ALL
+        |  SELECT 2 AS k, unnest(list_transform(range(1, len(w)),
+        |    i -> w[i] || ' ' || w[i+1])) AS gram FROM w
+        |  UNION ALL
+        |  SELECT 3 AS k, unnest(list_transform(range(1, len(w) - 1),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram FROM w),
+        |c AS (SELECT k, gram, count(*) AS c FROM g GROUP BY k, gram)
+        |SELECT CAST(k AS INT) AS k,
+        |  CAST(sum(c) AS BIGINT) AS total_ngrams,
+        |  CAST(count(*) AS BIGINT) AS distinct_ngrams,
+        |  round(CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6)
+        |    AS distinct_ratio
+        |FROM c GROUP BY k""".stripMargin,
+
+    // group sizes replay off the md5 text fingerprint; the share total
+    // is the planted 170%-corpus size
+    "q_dup_size_card" ->
+      """WITH u AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, text FROM documents
+        |  WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 200000 AS doc_id, text FROM documents
+        |  WHERE doc_id % 10 = 0),
+        |g AS (
+        |  SELECT md5(coalesce(text, '')) AS fp, count(*) AS sz
+        |  FROM u GROUP BY 1),
+        |card AS (
+        |  SELECT sz AS group_size, CAST(count(*) AS BIGINT) AS n_groups,
+        |    CAST(sum(sz) AS BIGINT) AS n_docs
+        |  FROM g GROUP BY 1)
+        |SELECT group_size, n_groups, n_docs,
+        |  round(CAST(n_docs AS DOUBLE)
+        |    / CAST(sum(n_docs) OVER () AS DOUBLE), 6) AS share
+        |FROM card""".stripMargin,
+
     // DuckDB list slices are 1-based inclusive: w[a:b] = Spark
     // slice(w, a, b-a+1). string_agg skips the NULL (dropped) segments
     // and returns NULL when every segment dropped — coalesce to '' to
@@ -1061,5 +1125,7 @@ object CurationQueries {
     "q_ce_delta" -> Seq("doc_id"),
     "q_corpus_report" -> Seq("lang", "source"),
     "q_leakage_split" -> Seq("doc_id"),
-    "q_c4_filter" -> Seq("doc_id"))
+    "q_c4_filter" -> Seq("doc_id"),
+    "q_distinct_ngrams" -> Seq("k"),
+    "q_dup_size_card" -> Seq("group_size"))
 }

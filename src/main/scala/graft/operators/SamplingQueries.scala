@@ -111,6 +111,14 @@ object SamplingQueries {
         pLo = 0.05, pHi = 0.95)
     },
 
+    // per-language p10/p50/p90 length card — grouped type-1 quantiles
+    // off one (lang, n_chars) histogram
+    "q_len_quantiles" -> { (s, dir) =>
+      Sampling.groupedQuantiles(
+        docs(s, dir).select("lang", "n_chars"), "lang", "n_chars",
+        ps = Seq(0.1, 0.5, 0.9))
+    },
+
     // exact percent_rank on a CONTINUOUS (near-unique) score — the
     // cardinality regime the histogram-based percentRank refuses. The
     // doc_id-injected score is tie-free, so the position-based definition
@@ -283,6 +291,24 @@ object SamplingQueries {
         |    AS BIGINT) AS epochs
         |FROM q ORDER BY domain""".stripMargin,
 
+    // every quantile replays off the same group-partitioned cumulative
+    // histogram; ceil of the double product is engine-identical
+    "q_len_quantiles" ->
+      """WITH h AS (
+        |  SELECT lang, n_chars AS v, count(*) AS c FROM documents
+        |  WHERE n_chars IS NOT NULL GROUP BY 1, 2),
+        |w AS (
+        |  SELECT lang, v, c,
+        |    sum(c) OVER (PARTITION BY lang ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(c) OVER (PARTITION BY lang) AS n
+        |  FROM h)
+        |SELECT lang, CAST(max(n) AS BIGINT) AS n_rows,
+        |  min(CASE WHEN cum >= ceil(0.1 * n) THEN v END) AS p10,
+        |  min(CASE WHEN cum >= ceil(0.5 * n) THEN v END) AS p50,
+        |  min(CASE WHEN cum >= ceil(0.9 * n) THEN v END) AS p90
+        |FROM w GROUP BY lang""".stripMargin,
+
     // both cut points replay off the same cumulative histogram; ceil of
     // the double product is engine-identical (same IEEE inputs and ops)
     "q_winsorize" ->
@@ -447,6 +473,7 @@ object SamplingQueries {
     "q_token_budget" -> Seq("domain"),
     "q_unimax_alloc" -> Seq("domain"),
     "q_winsorize" -> Seq("doc_id"),
+    "q_len_quantiles" -> Seq("lang"),
     "q_mad_outliers" -> Seq("doc_id"),
     "q_percent_rank_cont" -> Seq("doc_id"),
     "q_quantile_filter" -> Seq("doc_id"),

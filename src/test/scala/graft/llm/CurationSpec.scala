@@ -743,6 +743,41 @@ class CurationSpec extends AnyFunSuite {
     assert(flags(7L) == ((false, false, false, false, false, false)))
   }
 
+  test("distinctNgramCard: hand-computed totals per order; short docs " +
+    "contribute nothing above their length") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "a b a"), (2L, "a b")).toDF("doc_id", "text")
+    val out = TextOps.distinctNgramCard(docs, Seq(1, 2, 3)).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    assert(out(1).getAs[Long]("total_ngrams") == 5L &&
+      out(1).getAs[Long]("distinct_ngrams") == 2L &&
+      out(1).getAs[Double]("distinct_ratio") == 0.4)
+    assert(out(2).getAs[Long]("total_ngrams") == 3L &&
+      out(2).getAs[Long]("distinct_ngrams") == 2L)
+    // only the 3-word doc yields a trigram
+    assert(out(3).getAs[Long]("total_ngrams") == 1L &&
+      out(3).getAs[Double]("distinct_ratio") == 1.0)
+  }
+
+  test("dupSizeCard: hand-built 1/2/3-sized groups with exact shares") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "x"), (2L, "x"), (3L, "y"), (4L, "z"), (5L, "z"),
+      (6L, "z")).toDF("doc_id", "text")
+    val out = Curation.dupSizeCard(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("n_groups") == 1L &&
+      out(1L).getAs[Long]("n_docs") == 1L)
+    assert(out(2L).getAs[Long]("n_groups") == 1L &&
+      out(2L).getAs[Long]("n_docs") == 2L)
+    assert(out(3L).getAs[Long]("n_groups") == 1L &&
+      out(3L).getAs[Long]("n_docs") == 3L)
+    assert(out(3L).getAs[Double]("share") == 0.5)
+    assert(math.abs(out.values.map(_.getAs[Double]("share")).sum - 1.0)
+      < 1e-6)
+  }
+
   test("centroidCosine: the group SUM vector is the centroid — " +
     "hand-computed 2-d groups, singleton identity, zero-vector NULL") {
     val s = spark

@@ -486,6 +486,30 @@ class RelevanceSamplingSpec extends AnyFunSuite {
     assert(out(99L).isEmpty)
   }
 
+  test("groupedQuantiles: hand-computed per-group type-1 cuts; ties and " +
+    "NULL-only groups handled") {
+    val s = spark
+    import s.implicits._
+    val docs = ((1 to 10).map(i => ("g1", Some(i.toLong))) ++
+      Seq(("g2", Some(5L)), ("g2", Some(5L)), ("g2", Some(5L)),
+        ("g2", Some(100L)), ("g3", None: Option[Long])))
+      .toDF("grp", "v")
+    val out = Sampling.groupedQuantiles(docs, "grp", "v",
+      ps = Seq(0.1, 0.5, 0.9)).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // g1 = 1..10: ceil(1)=1 -> 1, ceil(5)=5 -> 5, ceil(9)=9 -> 9
+    assert(out("g1").getAs[Long]("n_rows") == 10L)
+    assert(out("g1").getAs[Long]("p10") == 1L &&
+      out("g1").getAs[Long]("p50") == 5L &&
+      out("g1").getAs[Long]("p90") == 9L)
+    // g2 = [5,5,5,100]: the tie bucket absorbs p10/p50, the outlier p90
+    assert(out("g2").getAs[Long]("p10") == 5L &&
+      out("g2").getAs[Long]("p50") == 5L &&
+      out("g2").getAs[Long]("p90") == 100L)
+    // the all-NULL group has no ranked rows and vanishes
+    assert(!out.contains("g3"))
+  }
+
   test("unimaxAlloc: hand-computed waterfill — saturated caps, the level " +
     "on the remainder, all-saturated and all-unsaturated extremes") {
     val s = spark
