@@ -719,6 +719,43 @@ object ComputeRegistry {
           s"column name (got '$out')")
       graft.llm.Dedup.lshPlan(df.sparkSession, nSig = 128, threshold = 0.8)
         .withColumnRenamed("is_best", out)
+    },
+    // Distinct-n diversity card — relation-REPLACING, one row per n
+    // (1/2/3, the catalog q_distinct_ngrams configuration): total and
+    // distinct word n-gram counts plus their ratio, every n counted in
+    // ONE corpus pass; INTO column(...) names the ratio column
+    "distinct_ngrams" -> { (df, ins, out) =>
+      require(!Seq("k", "total_ngrams", "distinct_ngrams").contains(out),
+        s"distinct_ngrams reserves its card column names; pick another " +
+          s"INTO column name (got '$out')")
+      graft.llm.TextOps.distinctNgramCard(keyed(df, ins.head), Seq(1, 2, 3))
+        .withColumnRenamed("distinct_ratio", out)
+    },
+    // Exact-dup group-size distribution — relation-REPLACING, one row
+    // per group size with group/doc counts and corpus share (the
+    // release-sheet duplication table); INTO column(...) names the share
+    "dup_size_card" -> { (df, ins, out) =>
+      require(!Seq("group_size", "n_groups", "n_docs").contains(out),
+        s"dup_size_card reserves its card column names; pick another " +
+          s"INTO column name (got '$out')")
+      graft.llm.Curation.dupSizeCard(keyed(df, ins.head))
+        .withColumnRenamed("share", out)
+    },
+    // Per-group p10/p50/p90 type-1 quantiles of a NUMERIC column over
+    // (group, value) input columns (the catalog q_len_quantiles
+    // configuration) — relation-REPLACING, one row per group; INTO
+    // column(...) names the median (p50) column
+    "grouped_quantiles" -> { (df, ins, out) =>
+      require(ins.length >= 2,
+        s"grouped_quantiles needs (group, value) input columns, got $ins")
+      require(!Seq("n_rows", "p10", "p90").contains(out) &&
+          out != ins.head,
+        s"grouped_quantiles reserves its card column names; pick " +
+          s"another INTO column name (got '$out')")
+      graft.llm.Sampling.groupedQuantiles(
+          df.select(col(ins.head), col(ins(1))), ins.head, ins(1),
+          ps = Seq(0.1, 0.5, 0.9))
+        .withColumnRenamed("p50", out)
     })
 
   tableBuiltins.foreach { case (k, v) => tableKernels.put(k, v) }

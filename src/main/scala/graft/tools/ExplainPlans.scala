@@ -31,7 +31,8 @@ object ExplainPlans {
       "q_mad_outliers", "q_centroid_cos",
       "q_char_entropy", "q_vocab_card", "q_boilerplate_frac",
       "q_c4_filter", "q_emb_stats", "q_kmeans_assign", "q_unimax_alloc",
-      "q_lsh_plan", "q_winsorize", "q_temporal_split", "q_vocab_overlap")
+      "q_lsh_plan", "q_winsorize", "q_temporal_split", "q_vocab_overlap",
+      "q_distinct_ngrams", "q_dup_size_card", "q_len_quantiles")
     // q_dedup_groups is deliberately absent: building its DataFrame RUNS
     // the propagation rounds (eager per-round materialization), so its
     // "plan" is an InMemoryTableScan of the final round — nothing to audit.

@@ -123,7 +123,20 @@ object KernelProbe {
     ("vocab_overlap",
       "COMPUTE v FROM table(text, is_bench) INTO column(kl) " +
         "USING vocab_overlap",
-      "q_vocab_overlap"))
+      "q_vocab_overlap"),
+    ("distinct_ngrams",
+      "COMPUTE d FROM table(text) INTO column(ratio) " +
+        "USING distinct_ngrams",
+      "q_distinct_ngrams"),
+    // the kernel runs the card over the raw table; the catalog twin
+    // plants extra copies first, so the twin does strictly more work
+    ("dup_size_card",
+      "COMPUTE d FROM table(text) INTO column(frac) USING dup_size_card",
+      "q_dup_size_card"),
+    ("grouped_quantiles",
+      "COMPUTE g FROM table(lang, n_chars) INTO column(med) " +
+        "USING grouped_quantiles",
+      "q_len_quantiles"))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")

@@ -761,6 +761,44 @@ class PlanAuditSpec extends AnyFunSuite {
     graft.llm.PipelineCaches.clear()
   }
 
+  test("q_distinct_ngrams builds every n-gram order in ONE corpus pass") {
+    val p = plan("q_distinct_ngrams")
+    val scans = """\(\d+\) Scan parquet""".r.findAllIn(p).length
+    assert(scans <= 1,
+      s"all three gram orders must ride one projection over one scan, " +
+        s"found $scans:\n$p")
+    assert(p.contains("partial_count"),
+      s"the (n, gram) count must partial-aggregate before its shuffle:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"the card is agg-only — no joins:\n$p")
+  }
+
+  test("q_dup_size_card windows only the size-distribution table") {
+    val p = plan("q_dup_size_card")
+    assert(p.contains("partial_count"),
+      s"the fingerprint agg must partial-aggregate before its shuffle:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"the card is agg-only — no joins:\n$p")
+    // the share window runs AFTER the size rollup — over the
+    // handful-of-rows distribution table, never the corpus
+    val shuffles = """\(\d+\) Exchange""".r.findAllIn(p).length
+    assert(shuffles <= 4,
+      s"fingerprint agg + size rollup + the card window are the only " +
+        s"shuffles, found $shuffles:\n$p")
+  }
+
+  test("q_len_quantiles windows the persisted histogram, not the corpus") {
+    val p = plan("q_len_quantiles")
+    assert(p.contains("InMemoryTableScan"),
+      s"the cumulative windows and the final agg must read the persisted " +
+        s"(group, value) histogram:\n$p")
+    assert(p.contains("partial_count"),
+      s"the histogram agg must partial-aggregate before its shuffle:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"grouped quantiles are histogram arithmetic — no joins:\n$p")
+    graft.llm.PipelineCaches.clear()
+  }
+
   test("q_lsh_plan never touches a corpus relation") {
     val p = plan("q_lsh_plan")
     assert(!p.contains("Scan parquet"),

@@ -865,4 +865,50 @@ class ComputeSpec2 extends AnyFunSuite {
     assert(r.getAs[Double]("kl") >= 0.0)
     assert(vo.columns.contains("jaccard_vocab"))
   }
+
+  test("distinct_ngrams / dup_size_card / grouped_quantiles kernels reach " +
+    "the round-12 card operators from the DSL") {
+    val s = spark
+    // distinct_ngrams: one row per n in {1,2,3}, ratios in (0, 1]
+    val dn = ComputeRegistry.runOnce(s,
+      parse("COMPUTE d FROM table(text) INTO column(ratio) " +
+        "USING distinct_ngrams"),
+      "documents")
+    assert(dn.count() == 3)
+    assert(dn.filter(col("ratio") <= 0 || col("ratio") > 1).count() == 0)
+    assert(dn.columns.sorted.toSeq ==
+      Seq("distinct_ngrams", "k", "ratio", "total_ngrams"))
+    val dnErr = intercept[IllegalArgumentException] {
+      ComputeRegistry.runOnce(s,
+        parse("COMPUTE d FROM table(text) INTO column(k) " +
+          "USING distinct_ngrams"),
+        "documents")
+    }
+    assert(dnErr.getMessage.contains("reserves"))
+    // dup_size_card: shares sum to 1, doc counts sum to the corpus
+    val dc = ComputeRegistry.runOnce(s,
+      parse("COMPUTE d FROM table(text) INTO column(frac) " +
+        "USING dup_size_card"),
+      "documents")
+    val total = dc.agg(sum("n_docs")).collect()(0).getLong(0)
+    assert(total == s.table("documents").count())
+    val shareSum = dc.agg(sum("frac")).collect()(0).getDouble(0)
+    assert(math.abs(shareSum - 1.0) < 1e-4, s"shares sum to $shareSum")
+    // grouped_quantiles: one row per lang; p10 <= median <= p90 and the
+    // median matches the operator twin
+    val gq = ComputeRegistry.runOnce(s,
+      parse("COMPUTE g FROM table(lang, n_chars) INTO column(med) " +
+        "USING grouped_quantiles"),
+      "documents")
+    val langs = s.table("documents").select("lang").distinct().count()
+    assert(gq.count() == langs)
+    assert(gq.filter(col("p10") > col("med") ||
+      col("med") > col("p90")).count() == 0)
+    val gqTwin = graft.llm.Sampling.groupedQuantiles(
+        s.table("documents").select("lang", "n_chars"), "lang", "n_chars",
+        ps = Seq(0.5))
+      .select(col("lang"), col("p50"))
+    assert(gq.select("lang", "med").join(gqTwin, Seq("lang"))
+      .filter(!(col("med") <=> col("p50"))).count() == 0)
+  }
 }
