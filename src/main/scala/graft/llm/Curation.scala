@@ -299,6 +299,58 @@ object Curation {
           sum("n_docs").over(Sampling.allRows).cast("double"), 6))
   }
 
+  /** Domain-concentration card — ONE row of crawl-governance numbers
+    * over a domain/source column: document count, domain count,
+    * Herfindahl–Hirschman index (Σ share², the antitrust concentration
+    * measure — 1/k at perfect balance, 1.0 when one domain owns the
+    * corpus), the population Gini coefficient of per-domain mass, and
+    * the top-1 / top-10 domain shares. The release-sheet answer to
+    * "is this corpus secretly one website?" — RefinedWeb/Dolma report
+    * exactly these top-domain tables.
+    *
+    * Exactly oracle-replayable: every statistic reduces to INTEGER
+    * sums over the per-domain count table — HHI's numerator is
+    * Σ cnt² and Gini's is 2·Σ rank·cnt − (k+1)·Σ cnt with ranks
+    * ascending by (count, domain) — ties swap equal values between
+    * ranks, so the sum is order-stable. Floats appear only in the
+    * final 6-dp ratio rounding. NULL domains are excluded. Counts
+    * must stay < 3·10⁹ so Σ cnt² fits in BIGINT.
+    *
+    * Scale shape: one map-side-combined domain aggregation over the
+    * corpus; the rank windows and the closing 1-row aggregate run on
+    * the domain-bounded count table, never the corpus. */
+  def concentrationCard(docs: DataFrame, domainCol: String): DataFrame = {
+    val counts = PipelineCaches.track(docs
+      .filter(col(domainCol).isNotNull)
+      .groupBy(col(domainCol).as("_d")).agg(count(lit(1)).as("_c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val wAsc = Window.orderBy(col("_c").asc, col("_d").asc)
+    val wDesc = Window.orderBy(col("_c").desc, col("_d").asc)
+    counts
+      .withColumn("_r", row_number().over(wAsc))
+      .withColumn("_rd", row_number().over(wDesc))
+      .agg(
+        sum("_c").as("_n"), count(lit(1)).as("_k"),
+        sum(col("_c") * col("_c")).as("_s2"),
+        sum(col("_r") * col("_c")).as("_rx"),
+        max("_c").as("_mx"),
+        sum(when(col("_rd") <= 10, col("_c")).otherwise(0L)).as("_t10"))
+      .select(
+        col("_n").cast("bigint").as("n_docs"),
+        col("_k").cast("bigint").as("n_domains"),
+        round(col("_s2").cast("double") /
+          (col("_n").cast("double") * col("_n").cast("double")), 6)
+          .as("hhi"),
+        round((lit(2L) * col("_rx") - (col("_k") + 1L) * col("_n"))
+            .cast("double") /
+          (col("_k").cast("double") * col("_n").cast("double")), 6)
+          .as("gini"),
+        round(col("_mx").cast("double") / col("_n").cast("double"), 6)
+          .as("top1_share"),
+        round(col("_t10").cast("double") / col("_n").cast("double"), 6)
+          .as("top10_share"))
+  }
+
   /** CCNet-style LM quality scoring (Wenzek et al. 2020): fit an
     * add-α-smoothed word-bigram language model on the corpus itself, then
     * score every document by its cross-entropy under that model —

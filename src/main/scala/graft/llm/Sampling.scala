@@ -461,6 +461,64 @@ object Sampling {
       .drop("_qlo", "_qhi")
   }
 
+  /** Two-sample Kolmogorov–Smirnov drift card between two corpora's
+    * value distributions — the snapshot-over-snapshot regression check
+    * (did this crawl's length/quality/score distribution shift?). One
+    * row: side sizes, the KS statistic D = max |F_a − F_b|, the value
+    * where the gap peaks (`ks_at`, smallest on ties), the α=0.05
+    * critical value c(α)·sqrt((n_a+n_b)/(n_a·n_b)) with c(0.05)=1.358
+    * (Smirnov's asymptotic form), and the `drifted` verdict.
+    *
+    * Exactly oracle-replayable: both empirical CDFs ride ONE
+    * side-tagged value histogram (a single union scan, map-side
+    * combined), and the sup gap is compared as the INTEGER
+    * |cum_a·n_b − cum_b·n_a| — no float CDF division until the final
+    * 6-dp rounding of the one winning ratio. NULL values are excluded
+    * (they have no rank). The histogram is cardinality-guarded like
+    * [[winsorize]]; discretize continuous columns first. Side sizes
+    * are required < 3·10⁹ so the integer cross-products stay in BIGINT
+    * (shard the card beyond that). */
+  def ksDrift(a: DataFrame, b: DataFrame, valueCol: String,
+      maxDistinctValues: Long = 1000000L): DataFrame = {
+    val tagged = a.select(col(valueCol).as("_v"), lit(0).as("_side"))
+      .unionAll(b.select(col(valueCol).as("_v"), lit(1).as("_side")))
+      .filter(col("_v").isNotNull)
+    val hist = PipelineCaches.track(tagged.groupBy("_v")
+      .agg(sum(when(col("_side") === 0, 1L).otherwise(0L)).as("_ca"),
+        sum(when(col("_side") === 1, 1L).otherwise(0L)).as("_cb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val distinct = hist.count()
+    require(distinct <= maxDistinctValues,
+      s"ksDrift('$valueCol'): $distinct distinct values exceed " +
+        s"maxDistinctValues=$maxDistinctValues; discretize the column " +
+        "first or raise the cap explicitly.")
+    val Array(na, nb) = hist.agg(sum("_ca"), sum("_cb")).collect()(0)
+      .toSeq.map(v => Option(v).fold(0L)(_.asInstanceOf[Long])).toArray
+    require(na > 0 && nb > 0,
+      s"ksDrift('$valueCol'): both sides need non-NULL rows " +
+        s"(got n_a=$na, n_b=$nb)")
+    require(na < 3000000000L && nb < 3000000000L,
+      s"ksDrift('$valueCol'): side sizes must stay < 3e9 so the " +
+        s"integer D comparisons fit in BIGINT (got $na, $nb); " +
+        "shard the card per stratum instead.")
+    val wCum = Window.orderBy("_v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scored = PipelineCaches.track(hist
+      .withColumn("_dnum", abs(sum("_ca").over(wCum) * lit(nb) -
+        sum("_cb").over(wCum) * lit(na)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val dm = scored.agg(max("_dnum").as("_dm"))
+    val denom = na.toDouble * nb.toDouble
+    val crit = 1.358 * math.sqrt((na + nb).toDouble / denom)
+    scored.crossJoin(broadcast(dm)).filter(col("_dnum") === col("_dm"))
+      .agg(min("_v").as("ks_at"), max("_dnum").as("_dnum"))
+      .select(lit(na).as("n_a"), lit(nb).as("n_b"),
+        lit(distinct).as("n_values"), col("ks_at"),
+        round(col("_dnum").cast("double") / lit(denom), 6).as("ks_stat"),
+        round(lit(crit), 6).as("crit_05"))
+      .withColumn("drifted", col("ks_stat") > col("crit_05"))
+  }
+
   /** Per-group type-1 quantiles of a value column — the grouped
     * length-distribution card (p10/p50/p90 of document length per
     * language is the standard corpus data-sheet row; a language whose

@@ -921,6 +921,122 @@ object Similarity {
             col("_tot").cast("double"), 6)).as("var_share"))
   }
 
+  /** Top principal component of the embedding covariance via
+    * deterministic power iteration — the "All-but-the-top" anisotropy
+    * diagnostic (Mu & Viswanath 2018): embedding spaces concentrate
+    * mass on one dominant direction, and removing it improves
+    * similarity quality; this card surfaces that direction (per-dim
+    * `loading`, unit L2) and its dominance (`top_pc_share`, the
+    * Rayleigh share of total variance). A share near 1 means the space
+    * has collapsed onto a line (cosine loses discrimination); a share
+    * near 1/dims means isotropy.
+    *
+    * Every step is engine-exact so the DuckDB oracle hash-replays it:
+    * the covariance is built from 12-dp-rounded DECIMAL-summed moments
+    * (the [[embStats]] convention) and normalized by its max |entry|
+    * so all iteration arithmetic stays in [-1, 1] where 12-dp rounding
+    * is loss-free in doubles; each of the `iters` fixed iterations is
+    * round12(A·v) DECIMAL-summed then max-abs renormalized; the sign
+    * convention pins the largest-|loading| dim (lowest pos on ties)
+    * positive. Output is DEFINED as the `iters`-step iterate — the
+    * deterministic-spec convention used by [[kmeansStep]].
+    *
+    * Scale shape: ONE corpus pass builds all dims² second moments in
+    * the same projection (nested transform HOFs, map-side combined to
+    * dims² rows — no self-join, no shuffle growth with corpus size).
+    * The only collect is the dims²-row covariance (bounded metadata,
+    * the PQ-codebook convention); iterations run driver-local on that
+    * dims×dims table in exact decimal arithmetic. */
+  def embTopPc(embeddings: DataFrame, iters: Int = 12): DataFrame = {
+    require(iters >= 1, s"power iterations must be >= 1, got $iters")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val dec = org.apache.spark.sql.types.DecimalType(28, 12)
+    val e = embeddings.filter(col("embedding").isNotNull)
+    // one pass: per-dim sums AND all (i, j) product sums in the same
+    // projection — the pair arrays are built per row, exploded, and
+    // map-side combined down to dims² + dims keys
+    val pairs = e.select(explode(flatten(transform(col("embedding"),
+        (xi, i) => transform(col("embedding"),
+          (xj, j) => struct(i.as("i"), j.as("j"),
+            round(xi.cast("double") * xj.cast("double"), 12).as("p")))))
+      ).as("_t"))
+      .select(col("_t.i"), col("_t.j"), col("_t.p"))
+    val sij = pairs.groupBy("i", "j")
+      .agg(count(lit(1)).as("_n"), sum(col("p").cast(dec)).as("_s"))
+    val sums = e.select(posexplode(col("embedding")).as(Seq("pos", "_x")))
+      .groupBy("pos").agg(
+        sum(round(col("_x").cast("double"), 12).cast(dec)).as("_sx"))
+      .collect().map(r => r.getInt(0) -> r.getDecimal(1)).toMap
+    val rows = sij.collect()
+    require(rows.nonEmpty, "embTopPc: no non-null embeddings")
+    val dims = sums.keys.max + 1
+    val n = rows.head.getLong(2)
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    def r12(x: Double): JBD =
+      JBD.valueOf(x).setScale(12, RoundingMode.HALF_UP)
+    def r6(x: Double): Double =
+      JBD.valueOf(x).setScale(6, RoundingMode.HALF_UP).doubleValue()
+    // covariance: round12(S_ij/n - m_i*m_j) with m = round6(sx/n) —
+    // magnitudes stay O(max|x|^2), so the 12-dp round is loss-free
+    val m = (0 until dims).map { i =>
+      JBD.valueOf(sums(i).doubleValue() / n)
+        .setScale(6, RoundingMode.HALF_UP).doubleValue()
+    }
+    val cov = Array.ofDim[JBD](dims, dims)
+    rows.foreach { r =>
+      val (i, j) = (r.getInt(0), r.getInt(1))
+      cov(i)(j) = r12(r.getDecimal(3).doubleValue() / n - m(i) * m(j))
+    }
+    val maxC = cov.flatten.map(_.abs).max
+    if (maxC.signum == 0) {
+      // degenerate: no variance anywhere — a defined NULL card
+      return spark.range(dims).select(col("id").cast("int").as("pos"),
+        lit(n).as("n_vecs"), lit(null).cast("double").as("loading"),
+        lit(null).cast("double").as("top_pc_share"))
+    }
+    val a = cov.map(_.map(c => r12(c.doubleValue() / maxC.doubleValue())))
+    var v = Array.fill(dims)(r12(1.0))
+    var t = 0
+    while (t < iters) {
+      // w = A·v with 12-dp-rounded terms, exact decimal accumulation
+      val w = (0 until dims).map { i =>
+        (0 until dims).foldLeft(JBD.ZERO) { (acc, j) =>
+          acc.add(r12(a(i)(j).doubleValue() * v(j).doubleValue()))
+        }
+      }.toArray
+      val mu = w.map(_.abs).max
+      if (mu.signum == 0) { t = iters } // stuck at zero: keep prior v
+      else {
+        v = w.map(x => r12(x.doubleValue() / mu.doubleValue()))
+        t += 1
+      }
+    }
+    // sign: the largest-|v| dim (lowest pos on ties) points positive
+    val vAbs = v.map(_.abs)
+    val pStar = vAbs.zipWithIndex.maxBy { case (av, i) =>
+      (av, -i): (JBD, Int) }(Ordering.Tuple2(Ordering.ordered[JBD],
+      Ordering.Int))._2
+    if (v(pStar).signum < 0) v = v.map(_.negate)
+    // unit-L2 loadings + Rayleigh variance share (scale of A cancels)
+    val vv = v.foldLeft(JBD.ZERO)((acc, x) =>
+      acc.add(r12(x.doubleValue() * x.doubleValue())))
+    val nrm = math.sqrt(vv.doubleValue())
+    val vAv = (0 until dims).foldLeft(JBD.ZERO) { (acc, i) =>
+      (0 until dims).foldLeft(acc) { (acc2, j) =>
+        acc2.add(r12(v(i).doubleValue() * a(i)(j).doubleValue() *
+          v(j).doubleValue()))
+      }
+    }
+    val trA = (0 until dims).foldLeft(JBD.ZERO)((acc, i) =>
+      acc.add(a(i)(i)))
+    val share =
+      if (trA.signum == 0) Double.NaN
+      else r6((vAv.doubleValue() / vv.doubleValue()) / trA.doubleValue())
+    (0 until dims).map(i => (i, n, r6(v(i).doubleValue() / nrm), share))
+      .toDF("pos", "n_vecs", "loading", "top_pc_share")
+  }
+
   /** One Lloyd refinement step of spherical k-means over the seeded
     * quantizer: assign every vector to its max-cosine seed cell, update
     * each cell's centroid, and reassign — reporting where each vector

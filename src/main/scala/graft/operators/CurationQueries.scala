@@ -276,6 +276,13 @@ object CurationQueries {
       graft.llm.Curation.dupSizeCard(d.unionAll(copy1).unionAll(copy2))
     },
 
+    // source-concentration governance card: HHI, Gini, and top-domain
+    // shares — every statistic integer-exact over the per-source counts
+    "q_domain_hhi" -> { (s, dir) =>
+      graft.llm.Curation.concentrationCard(
+        docs(s, dir).select("doc_id", "source"), "source")
+    },
+
     // Lee-et-al-style repeated-span removal: 3-word segments occurring in
     // >= 2 distinct docs are kept only in the lowest-doc_id occurrence
     "q_dedup_spans" -> { (s, dir) =>
@@ -1034,6 +1041,31 @@ object CurationQueries {
         |  round(CAST(n_docs AS DOUBLE)
         |    / CAST(sum(n_docs) OVER () AS DOUBLE), 6) AS share
         |FROM card""".stripMargin,
+
+    // HHI/Gini numerators replay as INTEGER sums over the per-source
+    // count table; ranks ascend by (count, source) — ties swap equal
+    // values between ranks, so the rank-weighted sum is order-stable
+    "q_domain_hhi" ->
+      """WITH c AS (
+        |  SELECT source AS d, count(*) AS c FROM documents
+        |  WHERE source IS NOT NULL GROUP BY 1),
+        |r AS (
+        |  SELECT d, c,
+        |    row_number() OVER (ORDER BY c ASC, d ASC) AS rk,
+        |    row_number() OVER (ORDER BY c DESC, d ASC) AS rkd
+        |  FROM c)
+        |SELECT CAST(sum(c) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_domains,
+        |  round(CAST(sum(c * c) AS DOUBLE)
+        |    / (CAST(sum(c) AS DOUBLE) * CAST(sum(c) AS DOUBLE)), 6) AS hhi,
+        |  round(CAST(2 * sum(rk * c) - (count(*) + 1) * sum(c) AS DOUBLE)
+        |    / (CAST(count(*) AS DOUBLE) * CAST(sum(c) AS DOUBLE)), 6)
+        |    AS gini,
+        |  round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6)
+        |    AS top1_share,
+        |  round(CAST(sum(CASE WHEN rkd <= 10 THEN c ELSE 0 END) AS DOUBLE)
+        |    / CAST(sum(c) AS DOUBLE), 6) AS top10_share
+        |FROM r""".stripMargin,
 
     // DuckDB list slices are 1-based inclusive: w[a:b] = Spark
     // slice(w, a, b-a+1). string_agg skips the NULL (dropped) segments

@@ -28,6 +28,77 @@ object LlmQueries {
     Tables.register(s, dir); s.table("embeddings")
   }
 
+  /** DuckDB replay of [[graft.llm.Similarity.embTopPc]]: builds the
+    * `iters`-step power-iteration CTE chain. Every step mirrors the
+    * Scala spec bit-for-bit: 12-dp rounds of double products, DECIMAL
+    * sums (order-independent), double divisions of DECIMAL-cast
+    * operands in the same associativity. */
+  private def topPcOracleSql(iters: Int): String = {
+    val steps = (1 to iters).map { t =>
+      val (p, w, v) = (s"v${t - 1}", s"w$t", s"v$t")
+      s"""$w AS MATERIALIZED (
+         |  SELECT a0.i AS i,
+         |    sum(CAST(round(CAST(a0.a AS DOUBLE) * CAST($p.v AS DOUBLE),
+         |      12) AS DECIMAL(28,12))) AS w
+         |  FROM a0 JOIN $p ON a0.j = $p.i GROUP BY 1),
+         |$v AS MATERIALIZED (
+         |  SELECT i, CAST(round(CAST(w AS DOUBLE) /
+         |      (SELECT max(abs(CAST(w AS DOUBLE))) FROM $w), 12)
+         |    AS DECIMAL(28,12)) AS v
+         |  FROM $w)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH d AS MATERIALIZED (
+       |  SELECT vec_id, i - 1 AS i, CAST(embedding[i] AS DOUBLE) AS x
+       |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS r(i)
+       |  WHERE embedding IS NOT NULL),
+       |nn AS (
+       |  SELECT count(*) AS n FROM embeddings WHERE embedding IS NOT NULL),
+       |s AS MATERIALIZED (
+       |  SELECT a.i AS i, b.i AS j,
+       |    sum(CAST(round(a.x * b.x, 12) AS DECIMAL(28,12))) AS s
+       |  FROM d a JOIN d b USING (vec_id) GROUP BY 1, 2),
+       |mm AS MATERIALIZED (
+       |  SELECT i,
+       |    round(CAST(sum(CAST(round(x, 12) AS DECIMAL(28,12))) AS DOUBLE)
+       |      / CAST(count(*) AS DOUBLE), 6) AS m
+       |  FROM d GROUP BY i),
+       |c AS MATERIALIZED (
+       |  SELECT s.i, s.j,
+       |    CAST(round(CAST(s.s AS DOUBLE) / CAST(nn.n AS DOUBLE)
+       |      - ma.m * mb.m, 12) AS DECIMAL(28,12)) AS c
+       |  FROM s CROSS JOIN nn
+       |  JOIN mm ma ON s.i = ma.i JOIN mm mb ON s.j = mb.i),
+       |a0 AS MATERIALIZED (
+       |  SELECT i, j, CAST(round(CAST(c AS DOUBLE) /
+       |      (SELECT max(abs(CAST(c AS DOUBLE))) FROM c), 12)
+       |    AS DECIMAL(28,12)) AS a
+       |  FROM c),
+       |v0 AS MATERIALIZED (SELECT DISTINCT i, CAST(1 AS DECIMAL(28,12)) AS v FROM a0),
+       |$steps,
+       |sg AS (
+       |  SELECT CASE WHEN (SELECT v FROM v$iters
+       |      ORDER BY abs(v) DESC, i ASC LIMIT 1) < 0
+       |    THEN -1 ELSE 1 END AS s),
+       |vf AS MATERIALIZED (
+       |  SELECT i, CASE WHEN sg.s < 0 THEN -v ELSE v END AS v
+       |  FROM v$iters CROSS JOIN sg),
+       |vv AS (
+       |  SELECT sum(CAST(round(CAST(v AS DOUBLE) * CAST(v AS DOUBLE), 12)
+       |    AS DECIMAL(28,12))) AS vv FROM vf),
+       |va AS (
+       |  SELECT sum(CAST(round(CAST(vi.v AS DOUBLE) * CAST(a0.a AS DOUBLE)
+       |      * CAST(vj.v AS DOUBLE), 12) AS DECIMAL(28,12))) AS vav
+       |  FROM a0 JOIN vf vi ON a0.i = vi.i JOIN vf vj ON a0.j = vj.i),
+       |ta AS (SELECT sum(a) AS tr FROM a0 WHERE i = j)
+       |SELECT CAST(vf.i AS INT) AS pos, CAST(nn.n AS BIGINT) AS n_vecs,
+       |  round(CAST(vf.v AS DOUBLE) / sqrt(CAST(vv.vv AS DOUBLE)), 6)
+       |    AS loading,
+       |  round((CAST(va.vav AS DOUBLE) / CAST(vv.vv AS DOUBLE))
+       |    / CAST(ta.tr AS DOUBLE), 6) AS top_pc_share
+       |FROM vf CROSS JOIN nn CROSS JOIN vv CROSS JOIN va CROSS JOIN ta
+       |ORDER BY pos""".stripMargin
+  }
+
   private val annQueryIds: Seq[Long] = Seq(0L, 1L, 2L, 3L, 4L)
 
   /** Seed vec_ids for the deterministic IVF coarse quantizer — 16 cells,
@@ -529,6 +600,14 @@ object LlmQueries {
     // partial-aggregated to dim-count rows)
     "q_emb_stats" -> { (s, dir) =>
       Similarity.embStats(embs(s, dir).select("vec_id", "embedding"))
+    },
+
+    // top principal component of the embedding covariance via 12
+    // deterministic power iterations (All-but-the-top anisotropy card):
+    // per-dim unit loading + Rayleigh variance share
+    "q_emb_top_pc" -> { (s, dir) =>
+      Similarity.embTopPc(embs(s, dir).select("vec_id", "embedding"),
+        iters = 12)
     },
 
     // one Lloyd step of spherical k-means over the 16 IVF seed cells:
@@ -1215,6 +1294,13 @@ object LlmQueries {
         |         / CAST(tot AS DOUBLE), 6) END AS var_share
         |FROM v CROSS JOIN t""".stripMargin,
 
+    // the power iteration replays step-for-step: covariance from
+    // 12-dp-rounded DECIMAL-summed moments, max-|entry| normalization
+    // so all arithmetic stays in [-1, 1], each of the 12 iterations is
+    // round12(A*v) DECIMAL-summed then max-abs renormalized — the same
+    // spec the driver-local loop executes in exact decimal arithmetic
+    "q_emb_top_pc" -> topPcOracleSql(12),
+
     // the KL terms replay with p*ln(p/q) rounded to 12 dp and
     // DECIMAL-summed; probabilities are ratios of exact integers + 0.5
     // so both engines divide the same bits
@@ -1848,6 +1934,7 @@ object LlmQueries {
     "q_multimodal_resize" -> Seq("doc_id"),
     "q_stream_vocab_drift" -> Seq("batch_id"),
     "q_emb_stats" -> Seq("pos"),
+    "q_emb_top_pc" -> Seq("pos"),
     "q_kmeans_assign" -> Seq("vec_id"),
     "q_lsh_plan" -> Seq("bands"))
 }

@@ -119,6 +119,18 @@ object SamplingQueries {
         ps = Seq(0.1, 0.5, 0.9))
     },
 
+    // two-sample KS drift card with PLANTED drift: the odd-doc half's
+    // n_chars shift by +50, so the sup-CDF gap and the drifted verdict
+    // are real, not a same-distribution null result
+    "q_ks_drift" -> { (s, dir) =>
+      val d = docs(s, dir)
+      Sampling.ksDrift(
+        d.filter(col("doc_id") % 2 === 0).select("n_chars"),
+        d.filter(col("doc_id") % 2 === 1)
+          .select((col("n_chars") + 50L).as("n_chars")),
+        "n_chars")
+    },
+
     // exact percent_rank on a CONTINUOUS (near-unique) score — the
     // cardinality regime the histogram-based percentRank refuses. The
     // doc_id-injected score is tie-free, so the position-based definition
@@ -308,6 +320,46 @@ object SamplingQueries {
         |  min(CASE WHEN cum >= ceil(0.5 * n) THEN v END) AS p50,
         |  min(CASE WHEN cum >= ceil(0.9 * n) THEN v END) AS p90
         |FROM w GROUP BY lang""".stripMargin,
+
+    // the sup-CDF gap compares as the INTEGER |cum_a*n_b - cum_b*n_a|;
+    // floats appear only in the final 6-dp ratio/critical-value rounds
+    "q_ks_drift" ->
+      """WITH t AS (
+        |  SELECT n_chars AS v, 0 AS side FROM documents
+        |  WHERE doc_id % 2 = 0 AND n_chars IS NOT NULL
+        |  UNION ALL
+        |  SELECT n_chars + 50 AS v, 1 AS side FROM documents
+        |  WHERE doc_id % 2 = 1 AND n_chars IS NOT NULL),
+        |h AS (
+        |  SELECT v,
+        |    CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |  FROM t GROUP BY 1),
+        |n AS (
+        |  SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb,
+        |    CAST(count(*) AS BIGINT) AS nv
+        |  FROM h),
+        |w AS (
+        |  SELECT v,
+        |    abs(CAST(sum(ca) OVER (ORDER BY v
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |        * (SELECT nb FROM n) AS BIGINT)
+        |      - CAST(sum(cb) OVER (ORDER BY v
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |        * (SELECT na FROM n) AS BIGINT)) AS dnum
+        |  FROM h),
+        |d AS (SELECT max(dnum) AS dm FROM w)
+        |SELECT n.na AS n_a, n.nb AS n_b, n.nv AS n_values,
+        |  (SELECT min(v) FROM w, d WHERE w.dnum = d.dm) AS ks_at,
+        |  round(CAST(d.dm AS DOUBLE)
+        |    / (CAST(n.na AS DOUBLE) * CAST(n.nb AS DOUBLE)), 6) AS ks_stat,
+        |  round(1.358 * sqrt(CAST(n.na + n.nb AS DOUBLE)
+        |    / (CAST(n.na AS DOUBLE) * CAST(n.nb AS DOUBLE))), 6) AS crit_05,
+        |  round(CAST(d.dm AS DOUBLE)
+        |      / (CAST(n.na AS DOUBLE) * CAST(n.nb AS DOUBLE)), 6)
+        |    > round(1.358 * sqrt(CAST(n.na + n.nb AS DOUBLE)
+        |      / (CAST(n.na AS DOUBLE) * CAST(n.nb AS DOUBLE))), 6) AS drifted
+        |FROM n CROSS JOIN d""".stripMargin,
 
     // both cut points replay off the same cumulative histogram; ceil of
     // the double product is engine-identical (same IEEE inputs and ops)

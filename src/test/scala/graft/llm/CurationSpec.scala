@@ -778,6 +778,39 @@ class CurationSpec extends AnyFunSuite {
       < 1e-6)
   }
 
+  test("concentrationCard: hand-computed HHI/Gini/top shares, balanced " +
+    "corpus zeroes Gini, NULL domains drop") {
+    val s = spark
+    import s.implicits._
+    // A:6 B:3 C:1 over 10 docs: HHI = (36+9+1)/100; ascending ranks
+    // C(1),B(2),A(3) give Gini = (2*25 - 4*10)/(3*10) = 1/3
+    val docs = (Seq.fill(6)("A") ++ Seq.fill(3)("B") ++ Seq("C"))
+      .zipWithIndex.map { case (d, i) => (i.toLong, d) }
+      .toDF("doc_id", "source")
+    val c = graft.llm.Curation.concentrationCard(docs, "source")
+      .collect()(0)
+    assert(c.getAs[Long]("n_docs") == 10L)
+    assert(c.getAs[Long]("n_domains") == 3L)
+    assert(c.getAs[Double]("hhi") == 0.46)
+    assert(c.getAs[Double]("gini") == 0.333333)
+    assert(c.getAs[Double]("top1_share") == 0.6)
+    assert(c.getAs[Double]("top10_share") == 1.0)
+    // perfectly balanced: Gini 0, HHI = 1/k
+    val bal = Seq((1L, "x"), (2L, "y"), (3L, "z"), (4L, "x"), (5L, "y"),
+      (6L, "z")).toDF("doc_id", "source")
+    val b = graft.llm.Curation.concentrationCard(bal, "source")
+      .collect()(0)
+    assert(b.getAs[Double]("gini") == 0.0)
+    assert(b.getAs[Double]("hhi") == 0.333333)
+    // NULL domains are excluded from every statistic
+    val withNull = bal.unionAll(
+      Seq((7L, null.asInstanceOf[String])).toDF("doc_id", "source"))
+    val wn = graft.llm.Curation.concentrationCard(withNull, "source")
+      .collect()(0)
+    assert(wn.getAs[Long]("n_docs") == 6L)
+    graft.llm.PipelineCaches.clear()
+  }
+
   test("centroidCosine: the group SUM vector is the centroid — " +
     "hand-computed 2-d groups, singleton identity, zero-vector NULL") {
     val s = spark

@@ -151,6 +151,53 @@ class LlmSpec extends AnyFunSuite {
     assert(c.forall(_.isNullAt(4)))
   }
 
+  test("embTopPc: axis-aligned variance pins the loading exactly; a " +
+    "correlated pair loads the diagonal; all-constant is a NULL card") {
+    val s = spark
+    import s.implicits._
+    // variance only on dim 0: cov = [[1,0],[0,0]] — loading is e0,
+    // share 1 (every rounding step is exact on these integers)
+    val axis = Seq(1L -> Seq(1.0f, 0.0f), 2L -> Seq(-1.0f, 0.0f))
+      .toDF("vec_id", "embedding")
+    val a = Similarity.embTopPc(axis, iters = 12).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    assert(a(0).getAs[Long]("n_vecs") == 2L)
+    assert(a(0).getAs[Double]("loading") == 1.0)
+    assert(a(1).getAs[Double]("loading") == 0.0)
+    assert(a(0).getAs[Double]("top_pc_share") == 1.0)
+    // perfectly correlated dims: cov = [[1,1],[1,1]] — the diagonal
+    // direction, both loadings 1/sqrt(2), share still 1
+    val diag = Seq(1L -> Seq(1.0f, 1.0f), 2L -> Seq(-1.0f, -1.0f))
+      .toDF("vec_id", "embedding")
+    val d = Similarity.embTopPc(diag, iters = 12).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    assert(d(0).getAs[Double]("loading") == 0.707107)
+    assert(d(1).getAs[Double]("loading") == 0.707107)
+    assert(d(0).getAs[Double]("top_pc_share") == 1.0)
+    // all-constant corpus: zero covariance everywhere — defined NULLs
+    val const2 = Seq(1L -> Seq(2.0f, 2.0f), 2L -> Seq(2.0f, 2.0f))
+      .toDF("vec_id", "embedding")
+    val c2 = Similarity.embTopPc(const2, iters = 12).collect()
+    assert(c2.length == 2 && c2.forall(_.isNullAt(2)) &&
+      c2.forall(_.isNullAt(3)))
+    // fixture corpus: unit-L2 loadings, share in (0, 1], deterministic
+    val fx = Similarity.embTopPc(
+      s.table("embeddings").select("vec_id", "embedding"), iters = 12)
+    val rows = fx.collect()
+    val ss = rows.map(r => math.pow(r.getAs[Double]("loading"), 2)).sum
+    assert(math.abs(ss - 1.0) < 1e-4, s"loadings not unit-L2: $ss")
+    val share = rows.head.getAs[Double]("top_pc_share")
+    assert(share > 0 && share <= 1.0)
+    // sign convention: the largest-|loading| dim points positive
+    val domLoad = rows.map(_.getAs[Double]("loading")).maxBy(math.abs)
+    assert(domLoad > 0, s"dominant loading must be positive: $domLoad")
+    val again = Similarity.embTopPc(
+      s.table("embeddings").select("vec_id", "embedding"), iters = 12)
+      .collect()
+    assert(rows.map(_.toString).sorted.sameElements(
+      again.map(_.toString).sorted))
+  }
+
   test("vocabOverlap: identical corpora give zero KL and Jaccard 1; " +
     "hand-computed symmetric shift; disjoint vocabularies share nothing") {
     val s = spark

@@ -545,4 +545,41 @@ class RelevanceSamplingSpec extends AnyFunSuite {
     assert(!small("a")._2 && small("a")._3 == 100.0)
     assert(small("b")._3 == 100.0 && small("c")._3 == 100.0)
   }
+
+  test("ksDrift: hand-computed sup gap, identical halves stay under the " +
+    "critical value, empty side refuses") {
+    val s = spark
+    import s.implicits._
+    // a = {1,2,3,4}, b = {3,4,5,6}: cum gaps peak at |3*4 - 1*4| = 8
+    // from v=2 through v=4; smallest winner is v=2; D = 8/16 = 0.5
+    val a = Seq(1L, 2L, 3L, 4L).toDF("v")
+    val b = Seq(3L, 4L, 5L, 6L).toDF("v")
+    val card = Sampling.ksDrift(a, b, "v").collect()(0)
+    assert(card.getAs[Long]("n_a") == 4L && card.getAs[Long]("n_b") == 4L)
+    assert(card.getAs[Long]("n_values") == 6L)
+    assert(card.getAs[Long]("ks_at") == 2L)
+    assert(card.getAs[Double]("ks_stat") == 0.5)
+    // crit = round(1.358 * sqrt(8/16), 6) = 0.960251 — not drifted
+    assert(card.getAs[Double]("crit_05") == 0.960251)
+    assert(!card.getAs[Boolean]("drifted"))
+    // identical sides: D = 0, never drifted
+    val same = Sampling.ksDrift(a, a, "v").collect()(0)
+    assert(same.getAs[Double]("ks_stat") == 0.0)
+    assert(!same.getAs[Boolean]("drifted"))
+    // a support-disjoint shift: the CDFs separate completely, D = 1
+    val d = s.table("documents")
+    val planted = Sampling.ksDrift(
+      d.filter(col("doc_id") % 2 === 0).select("n_chars"),
+      d.filter(col("doc_id") % 2 === 1)
+        .select((col("n_chars") + 100000L).as("n_chars")),
+      "n_chars").collect()(0)
+    assert(planted.getAs[Double]("ks_stat") == 1.0)
+    assert(planted.getAs[Boolean]("drifted"))
+    // an empty side has no CDF — loud contract error
+    val err = intercept[IllegalArgumentException] {
+      Sampling.ksDrift(a.filter(col("v") > 100L), b, "v").collect()
+    }
+    assert(err.getMessage.contains("both sides"))
+    graft.llm.PipelineCaches.clear()
+  }
 }
