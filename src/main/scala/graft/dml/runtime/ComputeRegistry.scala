@@ -741,6 +741,45 @@ object ComputeRegistry {
       graft.llm.Curation.dupSizeCard(keyed(df, ins.head))
         .withColumnRenamed("share", out)
     },
+    // Top-principal-component anisotropy card over an EMBEDDING input
+    // column (12 deterministic power iterations, the catalog
+    // q_emb_top_pc configuration) — relation-REPLACING, one row per
+    // dim; INTO column(...) names the Rayleigh variance-share column
+    "emb_top_pc" -> { (df, ins, out) =>
+      require(!Seq("pos", "n_vecs", "loading").contains(out),
+        s"emb_top_pc reserves its card column names; pick another " +
+          s"INTO column name (got '$out')")
+      graft.llm.Similarity.embTopPc(
+        df.select(col(ins.head).as("embedding")), iters = 12)
+        .withColumnRenamed("top_pc_share", out)
+    },
+    // Two-sample KS drift card over (value, is_b) input columns (the
+    // vocab_overlap flag-split convention) — relation-REPLACING, ONE
+    // row; INTO column(...) names the KS-statistic column
+    "ks_drift" -> { (df, ins, out) =>
+      require(ins.length >= 2,
+        s"ks_drift needs (value, is_b) input columns, got $ins")
+      require(!Seq("n_a", "n_b", "n_values", "ks_at", "crit_05",
+          "drifted").contains(out),
+        s"ks_drift reserves its card column names; pick another INTO " +
+          s"column name (got '$out')")
+      val flag = col(ins(1)).cast("boolean") <=> lit(true)
+      graft.llm.Sampling.ksDrift(
+          df.filter(!flag).select(col(ins.head)),
+          df.filter(flag).select(col(ins.head)), ins.head)
+        .withColumnRenamed("ks_stat", out)
+    },
+    // Domain-concentration governance card over a domain/source input
+    // column — relation-REPLACING, ONE row (HHI, Gini, top shares);
+    // INTO column(...) names the HHI column
+    "domain_hhi" -> { (df, ins, out) =>
+      require(!Seq("n_docs", "n_domains", "gini", "top1_share",
+          "top10_share").contains(out),
+        s"domain_hhi reserves its card column names; pick another " +
+          s"INTO column name (got '$out')")
+      graft.llm.Curation.concentrationCard(df, ins.head)
+        .withColumnRenamed("hhi", out)
+    },
     // Per-group p10/p50/p90 type-1 quantiles of a NUMERIC column over
     // (group, value) input columns (the catalog q_len_quantiles
     // configuration) — relation-REPLACING, one row per group; INTO

@@ -105,6 +105,47 @@ object Curation {
           .as("contaminated_bloom"))
   }
 
+  /** Per-document n-gram NOVELTY against a reference corpus — the
+    * memorization/contamination complement (Carlini et al. 2022's
+    * k-gram overlap, the RefinedWeb release-sheet "fraction of test
+    * n-grams seen in train"): for every TEST doc, how many of its
+    * distinct word k-grams occur anywhere in TRAIN, and
+    * novelty = 1 − seen/total. Novelty ~0 means the doc is effectively
+    * memorized/leaked; ~1 means genuinely held out.
+    *
+    * Scale shape: the mirror of [[decontaminate]] — the TEST side is
+    * the small one by construction, so its DISTINCT gram keys broadcast
+    * to the train side; train grams semi-join against that broadcast
+    * (the 100 TB side never shuffles) down to a test-bounded seen-key
+    * set, which broadcasts back onto the per-test-doc gram table. Docs
+    * with no text still count their whole-text gram (the [[Dedup]]
+    * shingle convention); test docs absent from the gram table keep a
+    * NULL novelty. */
+  def ngramNovelty(train: DataFrame, test: DataFrame, k: Int = 8)
+      : DataFrame = {
+    val testGrams = PipelineCaches.track(gramKeys(test, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val distinctTest = testGrams.select("gram_key").distinct()
+    val seen = gramKeys(train, k)
+      .join(broadcast(distinctTest), Seq("gram_key"))
+      .select("gram_key").distinct()
+    val perDoc = testGrams
+      .join(broadcast(seen.withColumn("_seen", lit(1L))),
+        Seq("gram_key"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("_seen"), lit(0L))).as("n_seen"))
+    test.select("doc_id")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).cast("bigint").as("n_grams"),
+        coalesce(col("n_seen"), lit(0L)).cast("bigint").as("n_seen"),
+        when(coalesce(col("n_grams"), lit(0L)) === 0,
+          lit(null).cast("double"))
+          .otherwise(round(lit(1.0) - col("n_seen").cast("double") /
+            col("n_grams").cast("double"), 6)).as("novelty"))
+  }
+
   /** DSIR data-selection importance weights (Xie et al. 2023, "Data
     * Selection for Language Models via Importance Resampling"): score
     * every raw-corpus document by how target-domain-like its hashed

@@ -374,6 +374,37 @@ object Dedup {
         (col("n_inter").cast("double") /
           (col("n_a") + col("n_b") - col("n_inter"))).as("jaccard"))
 
+  /** Candidate-pair Jaccard HISTOGRAM — the LSH threshold-tuning card
+    * that closes the loop [[lshPlan]] opens: generate the banded
+    * candidate pairs, rescore each with EXACT shingle Jaccard, and
+    * bucket into 0.05-wide bins (one row per occupied bin with pair
+    * count and share). A mass of candidates below the intended
+    * threshold means the band/row split is over-recalling (wasted
+    * rescore work); an empty shoulder above it means near-dups are
+    * escaping candidate generation. Bin 20 holds exact duplicates
+    * (jaccard = 1 only — floor(1·20)).
+    *
+    * Exactly oracle-replayable: the Jaccard is a double of exact
+    * shingle-set integers, the bin is floor(j·20) on that double (both
+    * engines execute the same IEEE multiply), the share total windows
+    * the ≤21-row card. Scale shape: candidate generation is the banded
+    * self-join with skew caps ([[minhashCandidates]]), never all
+    * pairs; everything after the rescore is bin-bounded. */
+  def pairJaccardHist(docs: DataFrame, k: Int = 3, numHashes: Int = 8,
+      bands: Int = 4, oracleHashes: Boolean = false): DataFrame = {
+    val cands = minhashCandidates(docs, k, numHashes, bands,
+      minEstJaccard = 0.0, oracleHashes = oracleHashes)
+    val scored = jaccardRescore(docs, cands, k)
+    scored
+      .groupBy(floor(col("jaccard") * 20).cast("int").as("bin"))
+      .agg(count(lit(1)).as("_n"))
+      .select(col("bin"),
+        round(col("bin").cast("double") * 0.05, 2).as("bin_lo"),
+        col("_n").cast("bigint").as("n_pairs"),
+        round(col("_n").cast("double") /
+          sum("_n").over(Sampling.allRows).cast("double"), 6).as("share"))
+  }
+
   /** 64-bit SimHash from token md5s: bit b of each token's hash votes ±1;
     * the sign of the per-bit vote sum is bit b of the signature (stored as
     * a 64-char bitstring — overflow-free and join-friendly). Near-dups have

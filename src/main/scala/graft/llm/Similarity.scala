@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.CrossEngine.normZero
@@ -947,31 +948,42 @@ object Similarity {
     * The only collect is the dims²-row covariance (bounded metadata,
     * the PQ-codebook convention); iterations run driver-local on that
     * dims×dims table in exact decimal arithmetic. */
-  def embTopPc(embeddings: DataFrame, iters: Int = 12): DataFrame = {
+  def embTopPc(embeddings: DataFrame, iters: Int = 12,
+      maxVectors: Long = 1000000L): DataFrame = {
     require(iters >= 1, s"power iterations must be >= 1, got $iters")
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val dec = org.apache.spark.sql.types.DecimalType(28, 12)
     val e = embeddings.filter(col("embedding").isNotNull)
-    // one pass: per-dim sums AND all (i, j) product sums in the same
-    // projection — the pair arrays are built per row, exploded, and
-    // map-side combined down to dims² + dims keys
-    val pairs = e.select(explode(flatten(transform(col("embedding"),
-        (xi, i) => transform(col("embedding"),
-          (xj, j) => struct(i.as("i"), j.as("j"),
-            round(xi.cast("double") * xj.cast("double"), 12).as("p")))))
-      ).as("_t"))
-      .select(col("_t.i"), col("_t.j"), col("_t.p"))
-    val sij = pairs.groupBy("i", "j")
-      .agg(count(lit(1)).as("_n"), sum(col("p").cast(dec)).as("_s"))
+    // one pass: all (i, j) product sums in the same projection — the
+    // pair arrays are built per row, exploded, and map-side combined
+    // down to dims² keys. Moments accumulate as EXACT scaled integers
+    // (round(p·1e12) summed as BIGINT — no per-row decimal allocation
+    // on the dims²-per-row hot path); the (double)sum / 1e12
+    // reconstruction is the SAME two IEEE ops the oracle executes, so
+    // the engines agree bit-for-bit. The scaled sums need
+    // n·max|x|²·1e12 < 2^63, hence the maxVectors guard (shard the
+    // card or renormalize embeddings beyond it).
+    val pairs = e.select(size(col("embedding")).as("_d"),
+        posexplode(graft.functions.GramTerms.gramTerms(col("embedding")))
+          .as(Seq("_pos", "_p")))
+    val sij = pairs.groupBy(
+        (col("_pos") / col("_d")).cast("int").as("i"),
+        (col("_pos") % col("_d")).cast("int").as("j"))
+      .agg(count(lit(1)).as("_n"), sum("_p").as("_s"))
     val sums = e.select(posexplode(col("embedding")).as(Seq("pos", "_x")))
       .groupBy("pos").agg(
-        sum(round(col("_x").cast("double"), 12).cast(dec)).as("_sx"))
-      .collect().map(r => r.getInt(0) -> r.getDecimal(1)).toMap
+        sum(round(col("_x").cast("double") * lit(1e12)).cast("long"))
+          .as("_sx"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val rows = sij.collect()
     require(rows.nonEmpty, "embTopPc: no non-null embeddings")
     val dims = sums.keys.max + 1
     val n = rows.head.getLong(2)
+    require(n <= maxVectors,
+      s"embTopPc: $n vectors exceed maxVectors=$maxVectors — the exact " +
+        "scaled-integer moment sums would risk BIGINT overflow; shard " +
+        "the card (it is distribution-level) or raise the cap for " +
+        "unit-normalized embeddings.")
     import java.math.{BigDecimal => JBD, RoundingMode}
     def r12(x: Double): JBD =
       JBD.valueOf(x).setScale(12, RoundingMode.HALF_UP)
@@ -980,13 +992,13 @@ object Similarity {
     // covariance: round12(S_ij/n - m_i*m_j) with m = round6(sx/n) —
     // magnitudes stay O(max|x|^2), so the 12-dp round is loss-free
     val m = (0 until dims).map { i =>
-      JBD.valueOf(sums(i).doubleValue() / n)
+      JBD.valueOf(sums(i).toDouble / 1e12 / n)
         .setScale(6, RoundingMode.HALF_UP).doubleValue()
     }
     val cov = Array.ofDim[JBD](dims, dims)
     rows.foreach { r =>
       val (i, j) = (r.getInt(0), r.getInt(1))
-      cov(i)(j) = r12(r.getDecimal(3).doubleValue() / n - m(i) * m(j))
+      cov(i)(j) = r12(r.getLong(3).toDouble / 1e12 / n - m(i) * m(j))
     }
     val maxC = cov.flatten.map(_.abs).max
     if (maxC.signum == 0) {
@@ -1035,6 +1047,78 @@ object Similarity {
       else r6((vAv.doubleValue() / vv.doubleValue()) / trA.doubleValue())
     (0 until dims).map(i => (i, n, r6(v(i).doubleValue() / nrm), share))
       .toDF("pos", "n_vecs", "loading", "top_pc_share")
+  }
+
+  /** Clustering-quality card against a ground-truth label column —
+    * purity and NMI of the seeded max-cosine cell assignment (the
+    * semantic-dedup/IVF quantizer) vs `labelCol`: ONE row with vector /
+    * occupied-cell / label counts, purity = Σ_cell max_label n / N, and
+    * NMI = MI / sqrt(H_cell·H_label) (Strehl & Ghosh 2002). The
+    * embedding-space answer to "do my cells mean anything?" — purity
+    * near 1/n_labels says the quantizer ignores semantics, near 1 says
+    * cells track labels.
+    *
+    * Exactly oracle-replayable: the contingency table is integer
+    * counts; every entropy/MI term is a double of exact-integer ratios
+    * rounded to 12 dp and DECIMAL-summed (the KL-term convention);
+    * purity is one integer ratio. N and the integer cross-products
+    * need N < 3·10⁹ (BIGINT), the ksDrift guard. Degenerate one-cell or
+    * one-label corpora have zero entropy — NMI is NULL, not 0/0.
+    *
+    * Scale shape: assignment is a zero-shuffle projection against the
+    * broadcast centers; ONE map-side-combined (cell, label) aggregation
+    * bounds everything downstream by cells × labels, never corpus
+    * rows. */
+  def clusterPurity(embeddings: DataFrame, cellSeedIds: Seq[Long],
+      labelCol: String = "label"): DataFrame = {
+    val centers = seedCenters(
+      embeddings.select("vec_id", "embedding"), cellSeedIds)
+    val cont = PipelineCaches.track(embeddings
+      .filter(col("embedding").isNotNull && col(labelCol).isNotNull)
+      .select(cosCellCol(col("embedding"), centers).as("_c"),
+        col(labelCol).as("_l"))
+      .groupBy("_c", "_l").agg(count(lit(1)).as("_n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val dec = org.apache.spark.sql.types.DecimalType(28, 12)
+    val wAll = Sampling.allRows
+    val wCell = Window.partitionBy("_c")
+    val wLab = Window.partitionBy("_l")
+    // NB: the corpus-total column must not be spelled "_N" — Spark
+    // resolves column names case-insensitively by default, so
+    // withColumn("_N", ...) would silently REPLACE the per-pair "_n"
+    val terms = cont
+      .withColumn("_tot", sum("_n").over(wAll))
+      .withColumn("_nc", sum("_n").over(wCell))
+      .withColumn("_nl", sum("_n").over(wLab))
+    val nD = col("_tot").cast("double")
+    val agg = terms.agg(
+      max("_tot").cast("bigint").as("n_vecs"),
+      countDistinct("_c").cast("bigint").as("n_cells"),
+      countDistinct("_l").cast("bigint").as("n_labels"),
+      // MI: (n/N)·ln(n·N / (nc·nl)) per cell — integer products, one
+      // double division, 12-dp-rounded DECIMAL-summed terms
+      sum(round((col("_n").cast("double") / nD) *
+        log((col("_n") * col("_tot")).cast("double") /
+          (col("_nc") * col("_nl")).cast("double")), 12).cast(dec))
+        .as("_mi"),
+      // cell/label entropies from the same pass: each (c, l) row
+      // contributes its n/N share of its marginal's ln(N/marginal)
+      sum(round((col("_n").cast("double") / nD) *
+        log(nD / col("_nc").cast("double")), 12).cast(dec)).as("_hc"),
+      sum(round((col("_n").cast("double") / nD) *
+        log(nD / col("_nl").cast("double")), 12).cast(dec)).as("_hl"))
+    val purity = cont
+      .groupBy("_c").agg(max("_n").as("_mx"))
+      .agg(sum("_mx").cast("bigint").as("_pn"))
+    agg.crossJoin(broadcast(purity))
+      .select(col("n_vecs"), col("n_cells"), col("n_labels"),
+        round(col("_pn").cast("double") / col("n_vecs").cast("double"), 6)
+          .as("purity"),
+        when(col("_hc").cast("double") * col("_hl").cast("double") <= 0,
+          lit(null).cast("double"))
+          .otherwise(round(col("_mi").cast("double") /
+            sqrt(col("_hc").cast("double") * col("_hl").cast("double")),
+            6)).as("nmi"))
   }
 
   /** One Lloyd refinement step of spherical k-means over the seeded

@@ -283,6 +283,20 @@ object CurationQueries {
         docs(s, dir).select("doc_id", "source"), "source")
     },
 
+    // 8-gram novelty of a PLANTED test set: verbatim train copies
+    // (novelty 0) and alphabet-rotated docs (novelty 1) bracket the
+    // memorization scale
+    "q_ngram_novelty" -> { (s, dir) =>
+      val d = docs(s, dir).select("doc_id", "text")
+      val copies = d.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+      val novel = d.filter(col("doc_id") % 5 === 1)
+        .select((col("doc_id") + 200000L).as("doc_id"),
+          translate(col("text"), "abcdefghijklmnopqrstuvwxyz",
+            "nopqrstuvwxyzabcdefghijklm").as("text"))
+      graft.llm.Curation.ngramNovelty(d, copies.unionAll(novel), k = 8)
+    },
+
     // Lee-et-al-style repeated-span removal: 3-word segments occurring in
     // >= 2 distinct docs are kept only in the lowest-doc_id occurrence
     "q_dedup_spans" -> { (s, dir) =>
@@ -1042,6 +1056,53 @@ object CurationQueries {
         |    / CAST(sum(n_docs) OVER () AS DOUBLE), 6) AS share
         |FROM card""".stripMargin,
 
+    // seen/total replay over md5 8-gram keys; the seen set is the
+    // distinct test-gram ∩ train-gram key intersection
+    "q_ngram_novelty" -> {
+      // NB: no continuation line may START with "||" — the outer
+      // template's stripMargin would eat the first pipe
+      val grams =
+        """CASE WHEN len(w) < 8 THEN [coalesce(text, '')]
+          |ELSE list_transform(range(1, len(w) - 6),
+          |  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+          |    w[i+3] || ' ' || w[i+4] || ' ' || w[i+5] || ' ' ||
+          |    w[i+6] || ' ' || w[i+7]) END""".stripMargin
+      s"""WITH test AS (
+         |  SELECT doc_id + 100000 AS doc_id, text FROM documents
+         |  WHERE doc_id % 5 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 200000 AS doc_id,
+         |    translate(text, 'abcdefghijklmnopqrstuvwxyz',
+         |      'nopqrstuvwxyzabcdefghijklm') AS text
+         |  FROM documents WHERE doc_id % 5 = 1),
+         |tg AS (
+         |  SELECT doc_id, md5(g) AS gram_key FROM (
+         |    SELECT doc_id, unnest(list_distinct($grams)) AS g
+         |    FROM (SELECT doc_id, text,
+         |      string_split(coalesce(text, ''), ' ') AS w FROM test))),
+         |trg AS (
+         |  SELECT DISTINCT md5(g) AS gram_key FROM (
+         |    SELECT unnest(list_distinct($grams)) AS g
+         |    FROM (SELECT doc_id, text,
+         |      string_split(coalesce(text, ''), ' ') AS w FROM documents))),
+         |seen AS (
+         |  SELECT DISTINCT d.gram_key
+         |  FROM (SELECT DISTINCT gram_key FROM tg) d
+         |  JOIN trg USING (gram_key)),
+         |pd AS (
+         |  SELECT tg.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |    CAST(sum(CASE WHEN seen.gram_key IS NOT NULL THEN 1 ELSE 0
+         |      END) AS BIGINT) AS n_seen
+         |  FROM tg LEFT JOIN seen USING (gram_key) GROUP BY 1)
+         |SELECT t.doc_id,
+         |  coalesce(pd.n_grams, 0) AS n_grams,
+         |  coalesce(pd.n_seen, 0) AS n_seen,
+         |  CASE WHEN coalesce(pd.n_grams, 0) = 0 THEN NULL
+         |       ELSE round(1.0 - CAST(pd.n_seen AS DOUBLE)
+         |         / CAST(pd.n_grams AS DOUBLE), 6) END AS novelty
+         |FROM test t LEFT JOIN pd USING (doc_id)""".stripMargin
+    },
+
     // HHI/Gini numerators replay as INTEGER sums over the per-source
     // count table; ranks ascend by (count, source) — ties swap equal
     // values between ranks, so the rank-weighted sum is order-stable
@@ -1159,5 +1220,6 @@ object CurationQueries {
     "q_leakage_split" -> Seq("doc_id"),
     "q_c4_filter" -> Seq("doc_id"),
     "q_distinct_ngrams" -> Seq("k"),
-    "q_dup_size_card" -> Seq("group_size"))
+    "q_dup_size_card" -> Seq("group_size"),
+    "q_ngram_novelty" -> Seq("doc_id"))
 }

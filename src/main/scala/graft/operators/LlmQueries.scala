@@ -55,16 +55,16 @@ object LlmQueries {
        |  SELECT count(*) AS n FROM embeddings WHERE embedding IS NOT NULL),
        |s AS MATERIALIZED (
        |  SELECT a.i AS i, b.i AS j,
-       |    sum(CAST(round(a.x * b.x, 12) AS DECIMAL(28,12))) AS s
+       |    sum(CAST(round(a.x * b.x * 1e12) AS BIGINT)) AS s
        |  FROM d a JOIN d b USING (vec_id) GROUP BY 1, 2),
        |mm AS MATERIALIZED (
        |  SELECT i,
-       |    round(CAST(sum(CAST(round(x, 12) AS DECIMAL(28,12))) AS DOUBLE)
-       |      / CAST(count(*) AS DOUBLE), 6) AS m
+       |    round(CAST(sum(CAST(round(x * 1e12) AS BIGINT)) AS DOUBLE)
+       |      / 1e12 / CAST(count(*) AS DOUBLE), 6) AS m
        |  FROM d GROUP BY i),
        |c AS MATERIALIZED (
        |  SELECT s.i, s.j,
-       |    CAST(round(CAST(s.s AS DOUBLE) / CAST(nn.n AS DOUBLE)
+       |    CAST(round(CAST(s.s AS DOUBLE) / 1e12 / CAST(nn.n AS DOUBLE)
        |      - ma.m * mb.m, 12) AS DECIMAL(28,12)) AS c
        |  FROM s CROSS JOIN nn
        |  JOIN mm ma ON s.i = ma.i JOIN mm mb ON s.j = mb.i),
@@ -311,6 +311,26 @@ object LlmQueries {
         d.select("doc_id", "text").unionAll(mutated),
         k = 3, numHashes = 8, bands = 4, minEstJaccard = 0.5,
         oracleHashes = true)
+    },
+
+    // LSH threshold-tuning card: candidate pairs over the planted-trim
+    // corpus, exact-Jaccard rescored, bucketed into 0.05 bins
+    "q_pair_jaccard_hist" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val mutated = d.select(
+        (col("doc_id") + 100000L).as("doc_id"),
+        expr("substring(text, 1, greatest(length(text) - 12, 1))").as("text"))
+      Dedup.pairJaccardHist(
+        d.select("doc_id", "text").unionAll(mutated),
+        k = 3, numHashes = 8, bands = 4, oracleHashes = true)
+    },
+
+    // clustering-quality card: purity + NMI of the 16-cell seeded
+    // quantizer against the embeddings table's ground-truth label
+    "q_cluster_purity" -> { (s, dir) =>
+      Similarity.clusterPurity(
+        embs(s, dir).select("vec_id", "embedding", "label"),
+        ivfSeedIds, "label")
     },
 
     // corpus-granularity overlap: union-MinHash Jaccard estimate between
@@ -1045,6 +1065,27 @@ object LlmQueries {
          |SELECT doc_a, doc_b, est_jaccard FROM scored
          |WHERE est_jaccard >= 0.5""".stripMargin,
 
+    // the exact Jaccard per candidate pair replays the jaccardRescore
+    // list arithmetic; the bin is floor(j*20) on the identical double
+    "q_pair_jaccard_hist" ->
+      s"""WITH $minhashPairsCtes,
+         |ds AS (SELECT doc_id, list_distinct(s) AS s FROM sh),
+         |ex AS (
+         |  SELECT CAST(floor(
+         |      CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+         |      / (len(sa.s) + len(sb.s)
+         |         - len(list_intersect(sa.s, sb.s)))
+         |      * 20) AS INT) AS bin
+         |  FROM scored p
+         |  JOIN ds sa ON sa.doc_id = p.doc_a
+         |  JOIN ds sb ON sb.doc_id = p.doc_b),
+         |b AS (SELECT bin, count(*) AS n FROM ex GROUP BY 1)
+         |SELECT bin, round(CAST(bin AS DOUBLE) * 0.05, 2) AS bin_lo,
+         |  CAST(n AS BIGINT) AS n_pairs,
+         |  round(CAST(n AS DOUBLE) / CAST(sum(n) OVER () AS DOUBLE), 6)
+         |    AS share
+         |FROM b""".stripMargin,
+
     // algorithm-independent oracle: full-corpus banded recompute over
     // (old ∪ batch), restricted to pairs with at least one batch doc
     // (batch = doc_id % 5 = 4 originals and the +100000 trimmed copies)
@@ -1439,6 +1480,63 @@ object LlmQueries {
          |SELECT vec_id, cell_init, cell, cell <> cell_init AS moved,
          |  cs AS cos_refined
          |FROM a1""".stripMargin
+    },
+
+    // the assignment replays the seeded max-cosine quantizer (the
+    // q_kmeans_assign a0 block); purity and the MI/entropy terms are
+    // integer-ratio doubles, 12-dp-rounded and DECIMAL-summed
+    "q_cluster_purity" -> {
+      val seedList = ivfSeedIds.mkString(", ")
+      s"""WITH c0 AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+         |      AS cell,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cemb
+         |  FROM embeddings WHERE vec_id IN ($seedList)),
+         |sim0 AS (
+         |  SELECT e.vec_id, e.label, c.cell,
+         |    ${cosSql("e.embedding", "c.cemb")} AS cs
+         |  FROM embeddings e CROSS JOIN c0 c
+         |  WHERE e.embedding IS NOT NULL AND e.label IS NOT NULL),
+         |a0 AS (
+         |  SELECT vec_id, label, cell FROM (
+         |    SELECT vec_id, label, cell,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell)
+         |        AS rn
+         |    FROM sim0) WHERE rn = 1),
+         |ct AS (
+         |  SELECT cell AS c, label AS l, CAST(count(*) AS BIGINT) AS n
+         |  FROM a0 GROUP BY 1, 2),
+         |m AS (
+         |  SELECT c, l, n, sum(n) OVER () AS nn,
+         |    sum(n) OVER (PARTITION BY c) AS nc,
+         |    sum(n) OVER (PARTITION BY l) AS nl
+         |  FROM ct),
+         |ag AS (
+         |  SELECT CAST(max(nn) AS BIGINT) AS n_vecs,
+         |    CAST(count(DISTINCT c) AS BIGINT) AS n_cells,
+         |    CAST(count(DISTINCT l) AS BIGINT) AS n_labels,
+         |    sum(CAST(round((CAST(n AS DOUBLE) / CAST(nn AS DOUBLE))
+         |      * ln(CAST(n * nn AS DOUBLE) / CAST(nc * nl AS DOUBLE)), 12)
+         |      AS DECIMAL(28,12))) AS mi,
+         |    sum(CAST(round((CAST(n AS DOUBLE) / CAST(nn AS DOUBLE))
+         |      * ln(CAST(nn AS DOUBLE) / CAST(nc AS DOUBLE)), 12)
+         |      AS DECIMAL(28,12))) AS hc,
+         |    sum(CAST(round((CAST(n AS DOUBLE) / CAST(nn AS DOUBLE))
+         |      * ln(CAST(nn AS DOUBLE) / CAST(nl AS DOUBLE)), 12)
+         |      AS DECIMAL(28,12))) AS hl
+         |  FROM m),
+         |pu AS (
+         |  SELECT CAST(sum(mx) AS BIGINT) AS pn
+         |  FROM (SELECT max(n) AS mx FROM ct GROUP BY c))
+         |SELECT ag.n_vecs, ag.n_cells, ag.n_labels,
+         |  round(CAST(pu.pn AS DOUBLE) / CAST(ag.n_vecs AS DOUBLE), 6)
+         |    AS purity,
+         |  CASE WHEN CAST(ag.hc AS DOUBLE) * CAST(ag.hl AS DOUBLE) <= 0
+         |    THEN NULL
+         |    ELSE round(CAST(ag.mi AS DOUBLE)
+         |      / sqrt(CAST(ag.hc AS DOUBLE) * CAST(ag.hl AS DOUBLE)), 6)
+         |    END AS nmi
+         |FROM ag CROSS JOIN pu""".stripMargin
     },
 
     // auto-k twin: k = ceil(n / 256) (Similarity.autoCellCount's
@@ -1935,6 +2033,7 @@ object LlmQueries {
     "q_stream_vocab_drift" -> Seq("batch_id"),
     "q_emb_stats" -> Seq("pos"),
     "q_emb_top_pc" -> Seq("pos"),
+    "q_pair_jaccard_hist" -> Seq("bin"),
     "q_kmeans_assign" -> Seq("vec_id"),
     "q_lsh_plan" -> Seq("bands"))
 }

@@ -32,7 +32,13 @@ object ExplainPlans {
       "q_char_entropy", "q_vocab_card", "q_boilerplate_frac",
       "q_c4_filter", "q_emb_stats", "q_kmeans_assign", "q_unimax_alloc",
       "q_lsh_plan", "q_winsorize", "q_temporal_split", "q_vocab_overlap",
-      "q_distinct_ngrams", "q_dup_size_card", "q_len_quantiles")
+      "q_distinct_ngrams", "q_dup_size_card", "q_len_quantiles",
+      "q_ks_drift", "q_domain_hhi")
+    // q_emb_top_pc is deliberately absent like q_dedup_groups: building
+    // it RUNS the moment aggregations and the driver-local iterations,
+    // so its "plan" is a LocalTableScan of the finished card — the
+    // corpus-pass shape is pinned in PlanAuditSpec on the moment
+    // aggregation instead.
     // q_dedup_groups is deliberately absent: building its DataFrame RUNS
     // the propagation rounds (eager per-round materialization), so its
     // "plan" is an InMemoryTableScan of the final round — nothing to audit.

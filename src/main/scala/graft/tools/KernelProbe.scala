@@ -136,7 +136,21 @@ object KernelProbe {
     ("grouped_quantiles",
       "COMPUTE g FROM table(lang, n_chars) INTO column(med) " +
         "USING grouped_quantiles",
-      "q_len_quantiles"))
+      "q_len_quantiles"),
+    ("emb_top_pc",
+      "COMPUTE p FROM table(embedding) INTO column(share) " +
+        "USING emb_top_pc",
+      "q_emb_top_pc"),
+    // the kernel splits by the doc_id-parity flag on the RAW values;
+    // the catalog twin also shifts the odd side by +50 — same work
+    ("ks_drift",
+      "COMPUTE k FROM table(n_chars, is_bench) INTO column(ks) " +
+        "USING ks_drift",
+      "q_ks_drift"),
+    ("domain_hhi",
+      "COMPUTE h FROM table(source) INTO column(hhi_idx) " +
+        "USING domain_hhi",
+      "q_domain_hhi"))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")

@@ -799,6 +799,60 @@ class PlanAuditSpec extends AnyFunSuite {
     graft.llm.PipelineCaches.clear()
   }
 
+  test("q_ks_drift reads both CDFs off the persisted side-tagged " +
+    "histogram; only the 1-row max relation may nested-loop") {
+    val p = plan("q_ks_drift")
+    assert(p.contains("InMemoryTableScan"),
+      s"the sup-gap scan and the winning-value filter must read the " +
+        s"persisted histogram:\n$p")
+    val nlj = """\(\d+\) BroadcastNestedLoopJoin""".r.findAllIn(p).length
+    assert(nlj <= 1,
+      s"only the 1-row D-max relation may nested-loop, found $nlj:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"the card is histogram arithmetic — no corpus joins:\n$p")
+    graft.llm.PipelineCaches.clear()
+  }
+
+  test("q_domain_hhi aggregates the corpus ONCE map-side-combined; " +
+    "windows run on the domain-bounded count table") {
+    val p = plan("q_domain_hhi")
+    val scans = """\(\d+\) Scan parquet""".r.findAllIn(p).length
+    assert(scans <= 1,
+      s"one domain aggregation is the only corpus pass, found $scans:\n$p")
+    assert(p.contains("partial_count"),
+      s"the domain agg must partial-aggregate before its shuffle:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"the card is integer arithmetic over the count table — no " +
+        s"joins:\n$p")
+    graft.llm.PipelineCaches.clear()
+  }
+
+  test("embTopPc's moment pass builds all dims^2 products in ONE scan " +
+    "with map-side partial aggregation") {
+    // the catalog entry is eager (driver-local iterations), so pin the
+    // corpus-pass shape on the moment aggregation directly
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val e = s.table("embeddings").filter(col("embedding").isNotNull)
+    val pairs = e.select(size(col("embedding")).as("_d"),
+        posexplode(graft.functions.GramTerms.gramTerms(col("embedding")))
+          .as(Seq("_pos", "_p")))
+      .groupBy(
+        (col("_pos") / col("_d")).cast("int").as("i"),
+        (col("_pos") % col("_d")).cast("int").as("j"))
+      .agg(count(lit(1)).as("_n"), sum("_p").as("_s"))
+    val p = pairs.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    val scans = """\(\d+\) Scan parquet""".r.findAllIn(p).length
+    assert(scans == 1,
+      s"all dims^2 moments must ride one corpus scan, found $scans:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"the (i, j) moment agg must partial-aggregate before its " +
+        s"shuffle:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"the Gram pass is projection + aggregation — never a self-join:\n$p")
+  }
+
   test("q_lsh_plan never touches a corpus relation") {
     val p = plan("q_lsh_plan")
     assert(!p.contains("Scan parquet"),

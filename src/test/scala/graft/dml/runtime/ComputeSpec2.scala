@@ -911,4 +911,57 @@ class ComputeSpec2 extends AnyFunSuite {
     assert(gq.select("lang", "med").join(gqTwin, Seq("lang"))
       .filter(!(col("med") <=> col("p50"))).count() == 0)
   }
+
+  test("emb_top_pc / ks_drift / domain_hhi kernels reach the round-12 " +
+    "statistics cards from the DSL") {
+    val s = spark
+    // emb_top_pc: one row per dim, unit-L2 loadings, share in (0, 1]
+    s.table("embeddings")
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+      .createOrReplaceTempView("emb_docs_r12c")
+    val pc = ComputeRegistry.runOnce(s,
+      parse("COMPUTE p FROM table(embedding) INTO column(share) " +
+        "USING emb_top_pc"),
+      "emb_docs_r12c")
+    val pcRows = pc.collect()
+    assert(pcRows.length == 64)
+    val ss = pcRows.map(r =>
+      math.pow(r.getAs[Double]("loading"), 2)).sum
+    assert(math.abs(ss - 1.0) < 1e-4)
+    val share = pcRows.head.getAs[Double]("share")
+    assert(share > 0 && share <= 1.0)
+    val pcErr = intercept[IllegalArgumentException] {
+      ComputeRegistry.runOnce(s,
+        parse("COMPUTE p FROM table(embedding) INTO column(loading) " +
+          "USING emb_top_pc"),
+        "emb_docs_r12c")
+    }
+    assert(pcErr.getMessage.contains("reserves"))
+    // ks_drift: identical halves (same distribution both sides of the
+    // flag at fixture scale) produce a small-D one-row card
+    s.table("documents")
+      .withColumn("is_b", col("doc_id") % 2 === 1)
+      .createOrReplaceTempView("ks_docs_r12c")
+    val ks = ComputeRegistry.runOnce(s,
+      parse("COMPUTE k FROM table(n_chars, is_b) INTO column(ks) " +
+        "USING ks_drift"),
+      "ks_docs_r12c")
+    assert(ks.count() == 1)
+    val kr = ks.collect()(0)
+    assert(kr.getAs[Long]("n_a") > 0 && kr.getAs[Long]("n_b") > 0)
+    assert(kr.getAs[Double]("ks") >= 0.0 && kr.getAs[Double]("ks") <= 1.0)
+    assert(ks.columns.contains("crit_05") && ks.columns.contains("drifted"))
+    // domain_hhi: one-row card matching the operator twin exactly
+    val hh = ComputeRegistry.runOnce(s,
+      parse("COMPUTE h FROM table(source) INTO column(hhi_idx) " +
+        "USING domain_hhi"),
+      "documents")
+    assert(hh.count() == 1)
+    val hr = hh.collect()(0)
+    val twin = graft.llm.Curation.concentrationCard(
+      s.table("documents"), "source").collect()(0)
+    assert(hr.getAs[Double]("hhi_idx") == twin.getAs[Double]("hhi"))
+    assert(hr.getAs[Double]("gini") == twin.getAs[Double]("gini"))
+    assert(hr.getAs[Long]("n_domains") == twin.getAs[Long]("n_domains"))
+  }
 }

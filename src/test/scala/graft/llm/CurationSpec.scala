@@ -811,6 +811,47 @@ class CurationSpec extends AnyFunSuite {
     graft.llm.PipelineCaches.clear()
   }
 
+  test("ngramNovelty: verbatim copy 0, rotated 1, half-overlap 0.5, " +
+    "null text counts its single empty gram") {
+    val s = spark
+    import s.implicits._
+    val train = Seq((1L, "a b c d e f g h i")).toDF("doc_id", "text")
+    val test = Seq(
+      (10L, "a b c d e f g h i"),     // both 8-grams seen -> 0
+      (11L, "x y"),                   // whole-text gram, unseen -> 1
+      (12L, "a b c d e f g h z"),     // one of two grams seen -> 0.5
+      (13L, null.asInstanceOf[String])) // "" gram, unseen -> 1
+      .toDF("doc_id", "text")
+    val out = Curation.ngramNovelty(train, test, k = 8).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(10L).getAs[Long]("n_grams") == 2L &&
+      out(10L).getAs[Long]("n_seen") == 2L &&
+      out(10L).getAs[Double]("novelty") == 0.0)
+    assert(out(11L).getAs[Double]("novelty") == 1.0)
+    assert(out(12L).getAs[Long]("n_seen") == 1L &&
+      out(12L).getAs[Double]("novelty") == 0.5)
+    assert(out(13L).getAs[Long]("n_grams") == 1L &&
+      out(13L).getAs[Double]("novelty") == 1.0)
+    graft.llm.PipelineCaches.clear()
+  }
+
+  test("pairJaccardHist: an exact-dup pair lands in bin 20 and shares " +
+    "sum to 1") {
+    val s = spark
+    val d = s.table("documents").select("doc_id", "text")
+    val dupes = d.filter(col("doc_id") < 10)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+    val hist = Dedup.pairJaccardHist(d.unionAll(dupes), k = 3,
+      numHashes = 8, bands = 4)
+    val rows = hist.collect().map(r => r.getInt(0) -> r).toMap
+    // the 10 planted exact dups all reach bin 20 (jaccard exactly 1)
+    assert(rows.contains(20) && rows(20).getAs[Long]("n_pairs") >= 10L)
+    assert(rows(20).getAs[Double]("bin_lo") == 1.0)
+    val shareSum = hist.agg(sum("share")).collect()(0).getDouble(0)
+    assert(math.abs(shareSum - 1.0) < 1e-4, s"shares sum to $shareSum")
+    graft.llm.PipelineCaches.clear()
+  }
+
   test("centroidCosine: the group SUM vector is the centroid — " +
     "hand-computed 2-d groups, singleton identity, zero-vector NULL") {
     val s = spark

@@ -198,6 +198,40 @@ class LlmSpec extends AnyFunSuite {
       again.map(_.toString).sorted))
   }
 
+  test("clusterPurity: label-aligned cells score purity 1 / NMI 1, " +
+    "label-independent cells score NMI 0, one label is NULL NMI") {
+    val s = spark
+    import s.implicits._
+    def embsOf(rows: (Long, Seq[Float], Int)*) =
+      rows.toDF("vec_id", "embedding", "label")
+    // cells (seeds 1, 2) perfectly track labels: 2x2 diagonal
+    val perfect = embsOf(
+      (1L, Seq(10.0f, 0.0f), 0), (2L, Seq(0.0f, 10.0f), 1),
+      (3L, Seq(5.0f, 0.0f), 0), (4L, Seq(0.0f, 5.0f), 1))
+    val p = Similarity.clusterPurity(perfect, Seq(1L, 2L), "label")
+      .collect()(0)
+    assert(p.getAs[Long]("n_vecs") == 4L)
+    assert(p.getAs[Long]("n_cells") == 2L && p.getAs[Long]("n_labels") == 2L)
+    assert(p.getAs[Double]("purity") == 1.0)
+    assert(p.getAs[Double]("nmi") == 1.0)
+    // labels independent of cells: MI 0 -> NMI 0 (purity 1/2)
+    val indep = embsOf(
+      (1L, Seq(10.0f, 0.0f), 0), (2L, Seq(0.0f, 10.0f), 0),
+      (3L, Seq(5.0f, 0.0f), 1), (4L, Seq(0.0f, 5.0f), 1))
+    val i = Similarity.clusterPurity(indep, Seq(1L, 2L), "label")
+      .collect()(0)
+    assert(i.getAs[Double]("purity") == 0.5)
+    assert(i.getAs[Double]("nmi") == 0.0)
+    // a single label has zero entropy: NMI is NULL, not 0/0
+    val mono = embsOf(
+      (1L, Seq(10.0f, 0.0f), 7), (2L, Seq(0.0f, 10.0f), 7))
+    val m = Similarity.clusterPurity(mono, Seq(1L, 2L), "label")
+      .collect()(0)
+    assert(m.getAs[Double]("purity") == 1.0)
+    assert(m.isNullAt(m.fieldIndex("nmi")))
+    graft.llm.PipelineCaches.clear()
+  }
+
   test("vocabOverlap: identical corpora give zero KL and Jaccard 1; " +
     "hand-computed symmetric shift; disjoint vocabularies share nothing") {
     val s = spark
