@@ -365,8 +365,12 @@ object Curation {
       .filter(col(domainCol).isNotNull)
       .groupBy(col(domainCol).as("_d")).agg(count(lit(1)).as("_c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val wAsc = Window.orderBy(col("_c").asc, col("_d").asc)
-    val wDesc = Window.orderBy(col("_c").desc, col("_d").asc)
+    // deliberate single-partition rank over the domain-bounded count
+    // table — partitionBy(lit(0)) is the repo convention for bounded
+    // collapses (see Sampling.allRows) and silences the planner's
+    // moving-all-data warning
+    val wAsc = Window.partitionBy(lit(0)).orderBy(col("_c").asc, col("_d").asc)
+    val wDesc = Window.partitionBy(lit(0)).orderBy(col("_c").desc, col("_d").asc)
     counts
       .withColumn("_r", row_number().over(wAsc))
       .withColumn("_rd", row_number().over(wDesc))

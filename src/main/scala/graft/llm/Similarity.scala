@@ -970,15 +970,42 @@ object Similarity {
         (col("_pos") / col("_d")).cast("int").as("i"),
         (col("_pos") % col("_d")).cast("int").as("j"))
       .agg(count(lit(1)).as("_n"), sum("_p").as("_s"))
-    val sums = e.select(posexplode(col("embedding")).as(Seq("pos", "_x")))
+    // mean pass: per-dim scaled sums PLUS the row counts that define n.
+    // _cAll counts every exploded element, _cNn only non-NULL ones —
+    // a gap means a NULL element; differing per-pos counts mean mixed
+    // widths. Both violate the card's uniform-width contract and fail
+    // loudly here instead of silently skewing the covariance (the
+    // gram pass drops such rows wholesale via GramTerms' NULL result).
+    val meanRows = e
+      .select(posexplode(col("embedding")).as(Seq("pos", "_x")))
       .groupBy("pos").agg(
+        count(lit(1)).as("_cAll"), count(col("_x")).as("_cNn"),
         sum(round(col("_x").cast("double") * lit(1e12)).cast("long"))
           .as("_sx"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      .collect()
+    require(meanRows.nonEmpty, "embTopPc: no non-null embeddings")
+    meanRows.foreach { r =>
+      require(r.getLong(1) == r.getLong(2),
+        s"embTopPc: ${r.getLong(1) - r.getLong(2)} NULL embedding " +
+          s"element(s) at dim ${r.getInt(0)} — the covariance card " +
+          "requires fully populated vectors; filter or impute first.")
+    }
+    val widthCounts = meanRows.map(_.getLong(1)).distinct
+    require(widthCounts.length == 1,
+      "embTopPc: mixed embedding widths detected (per-dim row counts " +
+        s"${widthCounts.sorted.mkString(", ")} disagree) — the " +
+        "covariance card requires one uniform width.")
+    // n is DEFINED by the mean pass; the gram pass must agree exactly
+    val n = widthCounts.head
+    val sums = meanRows.map(r => r.getInt(0) -> r.getLong(3)).toMap
     val rows = sij.collect()
-    require(rows.nonEmpty, "embTopPc: no non-null embeddings")
+    require(rows.nonEmpty && rows.forall(_.getLong(2) == n),
+      s"embTopPc: the covariance pass saw ${
+        if (rows.isEmpty) 0L else rows.map(_.getLong(2)).min} of $n " +
+        "vectors — rows wider than GramTerms' 1024-dim per-row budget " +
+        "are dropped from the gram pass; shard or truncate embeddings " +
+        "to <= 1024 dims before calling this card.")
     val dims = sums.keys.max + 1
-    val n = rows.head.getLong(2)
     require(n <= maxVectors,
       s"embTopPc: $n vectors exceed maxVectors=$maxVectors — the exact " +
         "scaled-integer moment sums would risk BIGINT overflow; shard " +

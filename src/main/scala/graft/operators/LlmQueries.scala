@@ -60,7 +60,7 @@ object LlmQueries {
        |mm AS MATERIALIZED (
        |  SELECT i,
        |    round(CAST(sum(CAST(round(x * 1e12) AS BIGINT)) AS DOUBLE)
-       |      / 1e12 / CAST(count(*) AS DOUBLE), 6) AS m
+       |      / 1e12 / CAST((SELECT n FROM nn) AS DOUBLE), 6) AS m
        |  FROM d GROUP BY i),
        |c AS MATERIALIZED (
        |  SELECT s.i, s.j,

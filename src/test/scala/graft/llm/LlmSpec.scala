@@ -198,6 +198,39 @@ class LlmSpec extends AnyFunSuite {
       again.map(_.toString).sorted))
   }
 
+  test("embTopPc: NULL elements and mixed widths refuse loudly, never " +
+    "silently skew the covariance") {
+    val s = spark
+    import s.implicits._
+    // a NULL element: the mean pass sees the row, the gram pass would
+    // drop it — the card must refuse, naming the dim
+    val withNull = Seq(
+      1L -> Seq[java.lang.Float](1.0f, 2.0f),
+      2L -> Seq[java.lang.Float](1.0f, null)).toDF("vec_id", "embedding")
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.embTopPc(withNull).collect()
+    }
+    assert(e1.getMessage.contains("NULL embedding element"))
+    assert(e1.getMessage.contains("dim 1"))
+    // mixed widths: per-dim row counts disagree — refuse loudly
+    val mixed = Seq(1L -> Seq(1.0f, 2.0f), 2L -> Seq(1.0f, 2.0f, 3.0f))
+      .toDF("vec_id", "embedding")
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.embTopPc(mixed).collect()
+    }
+    assert(e2.getMessage.contains("mixed embedding widths"))
+    // width over GramTerms' 1024 budget: gram pass yields nothing —
+    // the card names the budget instead of claiming "no embeddings"
+    val wide = Seq(
+      1L -> Array.fill(1025)(1.0f).toSeq,
+      2L -> Array.tabulate(1025)(_.toFloat).toSeq)
+      .toDF("vec_id", "embedding")
+    val e3 = intercept[IllegalArgumentException] {
+      Similarity.embTopPc(wide).collect()
+    }
+    assert(e3.getMessage.contains("1024-dim per-row budget"))
+  }
+
   test("clusterPurity: label-aligned cells score purity 1 / NMI 1, " +
     "label-independent cells score NMI 0, one label is NULL NMI") {
     val s = spark
