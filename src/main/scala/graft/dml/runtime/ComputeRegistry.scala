@@ -795,6 +795,56 @@ object ComputeRegistry {
           df.select(col(ins.head), col(ins(1))), ins.head, ins(1),
           ps = Seq(0.1, 0.5, 0.9))
         .withColumnRenamed("p50", out)
+    },
+    // LSH threshold-tuning card over a TEXT input column — relation-
+    // REPLACING, one row per occupied 0.05-wide Jaccard bin of the
+    // banded-candidate pairs (the catalog q_pair_jaccard_hist shape:
+    // k=3 shingles, 8 hashes, 4 bands); INTO column(...) names the
+    // pair-share column
+    "pair_jaccard_hist" -> { (df, ins, out) =>
+      require(!Seq("bin", "bin_lo", "n_pairs").contains(out),
+        s"pair_jaccard_hist reserves its card column names; pick " +
+          s"another INTO column name (got '$out')")
+      graft.llm.Dedup.pairJaccardHist(
+          keyed(df, ins.head), k = 3, numHashes = 8, bands = 4)
+        .withColumnRenamed("share", out)
+    },
+    // Clustering-quality card over (embedding, label) input columns —
+    // relation-REPLACING, ONE row (purity + NMI of the seeded
+    // max-cosine cell assignment vs the label column); seeds are the
+    // corpus-adaptive semantic_dedup cells; INTO column(...) names the
+    // purity column
+    "cluster_purity" -> { (df, ins, out) =>
+      require(ins.length >= 2,
+        s"cluster_purity needs (embedding, label) input columns, got $ins")
+      require(df.columns.contains("doc_id"),
+        s"table kernels require a 'doc_id' key column; relation has " +
+          s"[${df.columns.mkString(", ")}]")
+      require(!Seq("n_vecs", "n_cells", "n_labels", "nmi").contains(out),
+        s"cluster_purity reserves its card column names; pick another " +
+          s"INTO column name (got '$out')")
+      val embs = df.select(col("doc_id").cast("long").as("vec_id"),
+        col(ins.head).as("embedding"), col(ins(1)).as("label"))
+      graft.llm.Similarity.clusterPurity(embs,
+          semanticSeeds(embs.select("vec_id", "embedding")), "label")
+        .withColumnRenamed("purity", out)
+    },
+    // Per-doc k-gram novelty over (text, is_test) input columns — the
+    // memorization/leakage card: rows flagged is_test are the held-out
+    // set, every other row is train; each test row gets its
+    // 1 − seen/total 8-gram novelty as the output column (train rows
+    // carry NULL; rows preserved, the dsir_weights flag convention)
+    "ngram_novelty" -> { (df, ins, out) =>
+      require(ins.length >= 2,
+        s"ngram_novelty needs (text, is_test) input columns, got $ins")
+      val flag = col(ins(1)).cast("boolean") <=> lit(true)
+      val test = keyed(df.filter(flag), ins.head)
+      require(!test.isEmpty,
+        s"ngram_novelty: no test rows (column '${ins(1)}' is never true)")
+      val nov = graft.llm.Curation.ngramNovelty(
+          keyed(df.filter(!flag), ins.head), test, k = 8)
+        .select(col("doc_id"), col("novelty").as(out))
+      df.join(nov, Seq("doc_id"), "left")
     })
 
   tableBuiltins.foreach { case (k, v) => tableKernels.put(k, v) }

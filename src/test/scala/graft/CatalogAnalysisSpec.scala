@@ -36,4 +36,22 @@ class CatalogAnalysisSpec extends AnyFunSuite {
     assert(orphanOracles.isEmpty, s"oracles without queries: $orphanOracles")
     assert(orphanSorts.isEmpty, s"verifySort without queries: $orphanSorts")
   }
+
+  test("every catalog entry has a recorded floor in BASELINE_QUERIES.json " +
+    "(the driver regression gate must see every entry)") {
+    // the round-12 straggler pattern: entries landing without floors are
+    // invisible to the per-query regression gate. This keeps the two
+    // keysets moving in the same commit.
+    val text = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("BASELINE_QUERIES.json")), "UTF-8")
+    val floorKeys = """"(q_[a-z0-9_]+)"""".r
+      .findAllMatchIn(text).map(_.group(1)).toSet
+    val qs = SparkEntry.queries.keySet
+    val unfloored = qs.diff(floorKeys)
+    val stale = floorKeys.diff(qs)
+    assert(unfloored.isEmpty,
+      s"catalog entries without a floor (run graft.tools.QProbe and " +
+        s"record min warm time): $unfloored")
+    assert(stale.isEmpty, s"floors without catalog entries: $stale")
+  }
 }

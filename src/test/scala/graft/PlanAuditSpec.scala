@@ -853,6 +853,48 @@ class PlanAuditSpec extends AnyFunSuite {
       s"the Gram pass is projection + aggregation — never a self-join:\n$p")
   }
 
+  test("q_pair_jaccard_hist generates candidates via the capped band " +
+    "join and bins them map-side — never all pairs") {
+    val p = plan("q_pair_jaccard_hist")
+    assert(!p.contains("CartesianProduct"),
+      s"candidate pairs must come from the banded equi-join, never a " +
+        s"cartesian:\n$p")
+    assert(p.contains("partial_count"),
+      s"the bin histogram must partial-aggregate before its shuffle:\n$p")
+    // the share window runs AFTER the bin agg — over the <=21-row
+    // histogram, never the pair stream
+    assert(p.contains("Window"), s"the share total is a window over the " +
+      s"bin-bounded card:\n$p")
+  }
+
+  test("q_cluster_purity bounds everything by ONE map-side (cell, label) " +
+    "aggregation; only the 1-row purity relation may nested-loop") {
+    val p = plan("q_cluster_purity")
+    assert(p.contains("InMemoryTableScan"),
+      s"both the NMI terms and the purity max must read the persisted " +
+        s"contingency table:\n$p")
+    assert(p.contains("partial_count"),
+      s"the (cell, label) agg must partial-aggregate before its " +
+        s"shuffle:\n$p")
+    val nlj = """\(\d+\) BroadcastNestedLoopJoin""".r.findAllIn(p).length
+    assert(nlj <= 1,
+      s"only the 1-row purity relation may nested-loop, found $nlj:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"assignment is a zero-shuffle projection against broadcast " +
+        s"centers — no corpus joins:\n$p")
+  }
+
+  test("q_ngram_novelty broadcasts the test-gram set both ways — the " +
+    "train side never shuffles on gram keys") {
+    val p = plan("q_ngram_novelty")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
+      s"the (small) distinct test-gram side must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"a sort-merge join here shuffles the full train gram stream:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"every join is keyed on gram_key or doc_id:\n$p")
+  }
+
   test("q_lsh_plan never touches a corpus relation") {
     val p = plan("q_lsh_plan")
     assert(!p.contains("Scan parquet"),

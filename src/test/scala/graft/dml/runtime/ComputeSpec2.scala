@@ -964,4 +964,73 @@ class ComputeSpec2 extends AnyFunSuite {
     assert(hr.getAs[Double]("gini") == twin.getAs[Double]("gini"))
     assert(hr.getAs[Long]("n_domains") == twin.getAs[Long]("n_domains"))
   }
+
+  test("pair_jaccard_hist / cluster_purity / ngram_novelty kernels reach " +
+    "the straggler cards from the DSL") {
+    val s = spark
+    // pair_jaccard_hist: bin-bounded card, shares sum to 1, exact dups
+    // (doc unioned with itself under a new id) land in bin 20
+    s.table("documents").select(col("doc_id"), col("text"))
+      .unionAll(s.table("documents")
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+      .createOrReplaceTempView("pjh_docs_r13")
+    val pj = ComputeRegistry.runOnce(s,
+      parse("COMPUTE p FROM table(text) INTO column(pair_share) " +
+        "USING pair_jaccard_hist"),
+      "pjh_docs_r13")
+    val pjRows = pj.collect()
+    assert(pjRows.nonEmpty && pjRows.length <= 21)
+    assert(pjRows.exists(_.getAs[Int]("bin") == 20))
+    val shareSum = pjRows.map(_.getAs[Double]("pair_share")).sum
+    assert(math.abs(shareSum - 1.0) < 1e-3, s"shares sum to $shareSum")
+    val pjErr = intercept[IllegalArgumentException] {
+      ComputeRegistry.runOnce(s,
+        parse("COMPUTE p FROM table(text) INTO column(n_pairs) " +
+          "USING pair_jaccard_hist"),
+        "pjh_docs_r13")
+    }
+    assert(pjErr.getMessage.contains("reserves"))
+    // cluster_purity: one-row card, purity in (0, 1], counts positive
+    s.table("embeddings")
+      .select(col("vec_id").as("doc_id"), col("embedding"), col("label"))
+      .createOrReplaceTempView("cp_embs_r13")
+    val cp = ComputeRegistry.runOnce(s,
+      parse("COMPUTE c FROM table(embedding, label) INTO column(pur) " +
+        "USING cluster_purity"),
+      "cp_embs_r13")
+    assert(cp.count() == 1)
+    val cr = cp.collect()(0)
+    assert(cr.getAs[Long]("n_vecs") > 0 && cr.getAs[Long]("n_cells") > 0)
+    val pur = cr.getAs[Double]("pur")
+    assert(pur > 0.0 && pur <= 1.0)
+    assert(cp.columns.contains("nmi"))
+    // ngram_novelty: verbatim copies score 0, rotated text scores 1,
+    // train rows carry NULL (rows preserved)
+    val base = s.table("documents").select(col("doc_id"), col("text"))
+    base.withColumn("is_test", lit(false))
+      .unionAll(base.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+        .withColumn("is_test", lit(true)))
+      .unionAll(base.filter(col("doc_id") % 5 === 1)
+        .select((col("doc_id") + 200000L).as("doc_id"),
+          translate(col("text"), "abcdefghijklmnopqrstuvwxyz",
+            "nopqrstuvwxyzabcdefghijklm").as("text"))
+        .withColumn("is_test", lit(true)))
+      .createOrReplaceTempView("nn_docs_r13")
+    val nn = ComputeRegistry.runOnce(s,
+      parse("COMPUTE n FROM table(text, is_test) INTO column(nov) " +
+        "USING ngram_novelty"),
+      "nn_docs_r13")
+    assert(nn.count() == s.sql(
+      "SELECT count(*) FROM nn_docs_r13").collect()(0).getLong(0))
+    val copies = nn.filter(col("doc_id") >= 100000L && col("doc_id") < 200000L)
+      .select("nov").collect().map(_.getAs[Double]("nov"))
+    assert(copies.nonEmpty && copies.forall(_ == 0.0),
+      s"verbatim copies must have novelty 0: ${copies.take(3).mkString(",")}")
+    val rotated = nn.filter(col("doc_id") >= 200000L)
+      .select("nov").collect().map(_.getAs[Double]("nov"))
+    assert(rotated.nonEmpty && rotated.forall(_ > 0.9))
+    assert(nn.filter(col("doc_id") < 100000L).select("nov")
+      .collect().forall(_.isNullAt(0)))
+  }
 }
