@@ -147,10 +147,17 @@ object CurationQueries {
     },
 
     // corpus-side apply: per-doc word / OOV / subword-token counts via a
-    // broadcast vocab join — the corpus never shuffles by word
+    // broadcast vocab join — the corpus never shuffles by word. Training
+    // here is the PRODUCTION path (trainLocal: one corpus agg, driver-
+    // local merge loop — BpeSpec pins it merge-for-merge identical to
+    // the distributed rounds, and the DuckDB oracle re-proves the
+    // equality every round): the distributed-rounds twin q_bpe_vocab /
+    // q_bpe_merges already oracle that path, and its 8-round multi-job
+    // shape made THIS entry the bench's one scheduler-pressure
+    // amplifier (r12 driver flag: 3.43x under load, 1.16x isolated)
     "q_bpe_encode" -> { (s, dir) =>
       val d = docs(s, dir)
-      graft.llm.Bpe.encode(d, graft.llm.Bpe.train(s, d, nMerges = 8))
+      graft.llm.Bpe.encode(d, graft.llm.Bpe.trainLocal(s, d, nMerges = 8))
     },
 
     // FULL tokenizer apply on OUT-OF-VOCABULARY text: train on the
