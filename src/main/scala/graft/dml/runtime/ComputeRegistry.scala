@@ -845,6 +845,28 @@ object ComputeRegistry {
           keyed(df.filter(!flag), ins.head), test, k = 8)
         .select(col("doc_id"), col("novelty").as(out))
       df.join(nov, Seq("doc_id"), "left")
+    },
+    // THE RELEASE SHEET over a TEXT input column — relation-REPLACING:
+    // C4 filter → exact-dedup groups → leakage-safe 80/10/10 split,
+    // then the five governance cards (split volumes, train packing plan
+    // at seq 64, (lang, source) ROLLUP report, dup-size distribution,
+    // source concentration) as one (section, row_key, n1, n2, ...)
+    // sheet off ONE persisted corpus pass; the relation must also carry
+    // lang/source/n_chars; INTO column(...) names the primary-ratio
+    // column (split share / pad waste / avg tokens / dup share / HHI)
+    "corpus_release" -> { (df, ins, out) =>
+      Seq("doc_id", "lang", "source", "n_chars").foreach { c =>
+        require(df.columns.contains(c),
+          s"corpus_release needs a '$c' column; relation has " +
+            s"[${df.columns.mkString(", ")}]")
+      }
+      require(!Seq("section", "row_key", "n1", "n2", "v2").contains(out),
+        s"corpus_release reserves its sheet column names; pick another " +
+          s"INTO column name (got '$out')")
+      graft.llm.Curation.releaseSheet(
+          df.select(col("doc_id"), col("lang"), col("source"),
+            col("n_chars"), col(ins.head).as("text")))
+        .withColumnRenamed("v1", out)
     })
 
   tableBuiltins.foreach { case (k, v) => tableKernels.put(k, v) }

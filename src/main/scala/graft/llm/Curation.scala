@@ -297,6 +297,29 @@ object Curation {
     * substring scans, no regex engine in the hot path. Pure per-row
     * projection: ZERO shuffles at any corpus size, and every output is
     * integer/boolean so the DuckDB oracle replays bit-for-bit. */
+  private val LoremMarkers = Seq("lorem ipsum")
+  private val PolicyMarkers = Seq(
+    "privacy policy", "cookie policy", "terms of use", "uses cookies")
+  private val JsMarkers = Seq("enable javascript", "javascript required")
+
+  /** [[c4Rules]]'s page-level keep predicate as ONE reusable Column over
+    * the `text` column — the zero-join form compositions filter with
+    * (the release-sheet pipeline applies it straight on its persisted
+    * base relation instead of joining the audit card back by doc_id).
+    * Kept definitionally identical to `c4Rules(...).filter(col("keep"))`
+    * by sharing the marker lists; `CurationSpec` pins the equality. */
+  def c4Keep(minWords: Int = 5): Column = {
+    val lowered = lower(coalesce(col("text"), lit("")))
+    def anyMarker(markers: Seq[String]): Column =
+      markers.map(m => lowered.contains(m)).reduce(_ || _)
+    val nWords = graft.functions.TokenStats
+      .tokenStats(coalesce(col("text"), lit("")))
+      .getField("n_words").cast("bigint")
+    (nWords >= minWords) && !anyMarker(LoremMarkers) &&
+      !lowered.contains("{") && !anyMarker(PolicyMarkers) &&
+      !anyMarker(JsMarkers)
+  }
+
   def c4Rules(docs: DataFrame, minWords: Int = 5): DataFrame = {
     val lowered = lower(coalesce(col("text"), lit("")))
     def anyMarker(markers: Seq[String]): Column =
@@ -305,11 +328,10 @@ object Curation {
       .withColumn("n_words",
         graft.functions.TokenStats.tokenStats(coalesce(col("text"), lit("")))
           .getField("n_words").cast("bigint"))
-      .withColumn("has_lorem", anyMarker(Seq("lorem ipsum")))
+      .withColumn("has_lorem", anyMarker(LoremMarkers))
       .withColumn("has_brace", lowered.contains("{"))
-      .withColumn("has_policy", anyMarker(Seq(
-        "privacy policy", "cookie policy", "terms of use", "uses cookies")))
-      .withColumn("has_js", anyMarker(Seq("enable javascript", "javascript required")))
+      .withColumn("has_policy", anyMarker(PolicyMarkers))
+      .withColumn("has_js", anyMarker(JsMarkers))
       .withColumn("ok_words", col("n_words") >= minWords)
       .select(col("doc_id"), col("n_words"), col("has_lorem"),
         col("has_brace"), col("has_policy"), col("has_js"), col("ok_words"))
@@ -394,6 +416,75 @@ object Curation {
           .as("top1_share"),
         round(col("_t10").cast("double") / col("_n").cast("double"), 6)
           .as("top10_share"))
+  }
+
+  /** THE RELEASE SHEET — the governance tier composed the way a
+    * pretraining-data team ships it (the Dolma/RefinedWeb release
+    * artifact): C4 page filter → exact-dedup groups → leakage-safe
+    * train/val/test split, then FIVE release cards (per-split volumes,
+    * train-split packing plan at `seqLen`, per-(lang, source) ROLLUP
+    * report, dup-size distribution, source concentration), normalized
+    * to one (section, row_key, n1, n2, v1, v2) sheet schema so a single
+    * hash gate covers every card.
+    *
+    * Scale shape: the corpus is scanned ONCE — the C4-kept base
+    * persists and every stage/card reads the cache (PlanAuditSpec pins
+    * `Scan parquet` ≤ 1 in the whole sheet plan); all joins are the
+    * doc_id split attach and the bounded dup-count attach. Input needs
+    * doc_id, lang, source, n_chars, text. */
+  def releaseSheet(docs: DataFrame, seqLen: Int = 64,
+      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val wAll = Window.partitionBy(lit(0)) // bounded card-row collapse
+    val kept = PipelineCaches.track(docs
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("n_chars"), col("text"))
+      .filter(c4Keep(minWords = 5))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val splits = leakageSafeSplit(
+      TextOps.exactDedup(kept).select("doc_id", "dup_group"),
+      trainPct, valPct).select("doc_id", "split")
+    val keptSplit = PipelineCaches.track(kept
+      .join(splits, Seq("doc_id"))
+      .withColumn("n_tokens",
+        TextOps.tokenCount(coalesce(col("text"), lit(""))).cast("bigint"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val nullD = lit(null).cast("double")
+    val splitCard = keptSplit.groupBy("split")
+      .agg(count(lit(1)).cast("bigint").as("n1"),
+        sum("n_tokens").cast("bigint").as("n2"))
+      .select(lit("split").as("section"), col("split").as("row_key"),
+        col("n1"), col("n2"),
+        round(col("n1").cast("double") /
+          sum("n1").over(wAll).cast("double"), 6).as("v1"),
+        nullD.as("v2"))
+    val packCard = TextOps
+      .packPlan(keptSplit.filter(col("split") === "train"), seqLen)
+      .select(lit("pack").as("section"),
+        lit(s"train_seq$seqLen").as("row_key"),
+        col("packed_seqs").cast("bigint").as("n1"),
+        col("overflow_tokens").cast("bigint").as("n2"),
+        col("pad_waste_pct").cast("double").as("v1"),
+        col("p90_tokens").cast("double").as("v2"))
+    val reportCard = corpusReport(kept)
+      .select(lit("report").as("section"),
+        concat(coalesce(col("lang"), lit("ALL")), lit("/"),
+          coalesce(col("source"), lit("ALL"))).as("row_key"),
+        col("n_docs").as("n1"), col("total_tokens").as("n2"),
+        col("avg_doc_tokens").cast("double").as("v1"),
+        col("n_exact_dup").cast("double").as("v2"))
+    val dupCard = dupSizeCard(kept)
+      .select(lit("dup_size").as("section"),
+        col("group_size").cast("string").as("row_key"),
+        col("n_groups").as("n1"), col("n_docs").as("n2"),
+        col("share").cast("double").as("v1"), nullD.as("v2"))
+    val concCard = concentrationCard(kept, "source")
+      .select(lit("concentration").as("section"),
+        lit("source").as("row_key"),
+        col("n_docs").as("n1"), col("n_domains").as("n2"),
+        col("hhi").cast("double").as("v1"),
+        col("gini").cast("double").as("v2"))
+    splitCard.unionAll(packCard).unionAll(reportCard)
+      .unionAll(dupCard).unionAll(concCard)
   }
 
   /** CCNet-style LM quality scoring (Wenzek et al. 2020): fit an

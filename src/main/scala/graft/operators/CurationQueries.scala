@@ -290,6 +290,21 @@ object CurationQueries {
         docs(s, dir).select("doc_id", "source"), "source")
     },
 
+    // THE RELEASE SHEET (round-13 capstone): the governance tier
+    // composed the way a pretraining-data team ships it (Dolma /
+    // RefinedWeb release sheet) — C4 page filter → exact-dedup groups →
+    // leakage-safe 80/10/10 split, then FIVE release cards (per-split
+    // volumes, train-split packing plan, per-(lang, source) ROLLUP
+    // report, dup-size distribution, source concentration) all reading
+    // the SAME persisted relations. Corpus scans: ONE — the filtered
+    // base persists and every stage/card reads the cache (plan-pinned).
+    // Cards normalize to one (section, row_key, n1, n2, v1, v2) sheet
+    // schema so a single hash gate covers all of them.
+    "q_corpus_release" -> { (s, dir) =>
+      graft.llm.Curation.releaseSheet(docs(s, dir), seqLen = 64,
+        trainPct = 80, valPct = 10)
+    },
+
     // 8-gram novelty of a PLANTED test set: verbatim train copies
     // (novelty 0) and alphabet-rotated docs (novelty 1) bracket the
     // memorization scale
@@ -1135,6 +1150,125 @@ object CurationQueries {
         |    / CAST(sum(c) AS DOUBLE), 6) AS top10_share
         |FROM r""".stripMargin,
 
+    // the release sheet: every card CTE replays its standalone oracle's
+    // arithmetic verbatim, only re-rooted on the C4-kept corpus; the
+    // split CTE replays exactDedup's md5(lower(text)) group + the
+    // md5-bucket split
+    "q_corpus_release" ->
+      """WITH m AS (
+        |  SELECT doc_id, lang, source, n_chars, text,
+        |    lower(coalesce(text, '')) AS t,
+        |    CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents),
+        |kept AS (
+        |  SELECT doc_id, lang, source, n_chars, text, n_tokens FROM m
+        |  WHERE n_tokens >= 5
+        |    AND NOT contains(t, 'lorem ipsum')
+        |    AND NOT contains(t, '{')
+        |    AND NOT (contains(t, 'privacy policy')
+        |      OR contains(t, 'cookie policy')
+        |      OR contains(t, 'terms of use') OR contains(t, 'uses cookies'))
+        |    AND NOT (contains(t, 'enable javascript')
+        |      OR contains(t, 'javascript required'))),
+        |grp AS (
+        |  SELECT doc_id,
+        |    min(doc_id) OVER (PARTITION BY md5(lower(text))) AS dup_group
+        |  FROM kept),
+        |spl AS (
+        |  SELECT doc_id,
+        |    CASE WHEN CAST('0x' || substring(md5(CAST(dup_group AS VARCHAR)),
+        |        1, 8) AS BIGINT) % 100 < 80 THEN 'train'
+        |      WHEN CAST('0x' || substring(md5(CAST(dup_group AS VARCHAR)),
+        |        1, 8) AS BIGINT) % 100 < 90 THEN 'val'
+        |      ELSE 'test' END AS split
+        |  FROM grp),
+        |ks AS (
+        |  SELECT k.doc_id, k.lang, k.source, k.n_chars, k.text,
+        |    k.n_tokens, s.split
+        |  FROM kept k JOIN spl s USING (doc_id)),
+        |splitcard AS (
+        |  SELECT 'split' AS section, split AS row_key,
+        |    CAST(count(*) AS BIGINT) AS n1,
+        |    CAST(sum(n_tokens) AS BIGINT) AS n2,
+        |    round(CAST(count(*) AS DOUBLE)
+        |      / CAST((SELECT count(*) FROM ks) AS DOUBLE), 6) AS v1,
+        |    CAST(NULL AS DOUBLE) AS v2
+        |  FROM ks GROUP BY split),
+        |ph AS (
+        |  SELECT n_tokens AS n, count(*) AS c FROM ks
+        |  WHERE split = 'train' GROUP BY 1),
+        |pc AS (
+        |  SELECT n, c,
+        |    sum(c) OVER (ORDER BY n
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm,
+        |    sum(c) OVER () AS docs
+        |  FROM ph),
+        |pa AS (
+        |  SELECT CAST(sum(c) AS BIGINT) AS n_docs,
+        |    CAST(min(CASE WHEN cm * 100 >= docs * 90 THEN n END) AS BIGINT)
+        |      AS p90,
+        |    CAST(coalesce(sum(CASE WHEN n > 64 THEN (n - 64) * c END), 0)
+        |      AS BIGINT) AS overflow,
+        |    CAST(sum(least(n, 64) * c) AS BIGINT) AS eff
+        |  FROM pc),
+        |packcard AS (
+        |  SELECT 'pack' AS section, 'train_seq64' AS row_key,
+        |    CAST((eff + 63) // 64 AS BIGINT) AS n1,
+        |    overflow AS n2,
+        |    CAST(((n_docs * 64 - eff) * 2000000 + n_docs * 64)
+        |      // (2 * n_docs * 64) AS DOUBLE) / 1000000.0 AS v1,
+        |    CAST(p90 AS DOUBLE) AS v2
+        |  FROM pa),
+        |rdup AS (
+        |  SELECT md5(lower(coalesce(text, ''))) AS h, count(*) AS nh
+        |  FROM kept GROUP BY 1),
+        |rbase AS (
+        |  SELECT k.lang, k.source, k.n_tokens AS tok, rdup.nh
+        |  FROM kept k
+        |  JOIN rdup ON md5(lower(coalesce(k.text, ''))) = rdup.h),
+        |report AS (
+        |  SELECT 'report' AS section,
+        |    coalesce(lang, 'ALL') || '/' || coalesce(source, 'ALL')
+        |      AS row_key,
+        |    CAST(count(*) AS BIGINT) AS n1,
+        |    CAST(sum(tok) AS BIGINT) AS n2,
+        |    round(avg(CAST(tok AS DOUBLE)), 6) AS v1,
+        |    CAST(sum(CASE WHEN nh > 1 THEN 1 ELSE 0 END) AS DOUBLE) AS v2
+        |  FROM rbase GROUP BY ROLLUP (lang, source)),
+        |dg AS (
+        |  SELECT md5(coalesce(text, '')) AS fp, count(*) AS sz
+        |  FROM kept GROUP BY 1),
+        |dupcard AS (
+        |  SELECT 'dup_size' AS section, CAST(sz AS VARCHAR) AS row_key,
+        |    CAST(count(*) AS BIGINT) AS n1,
+        |    CAST(sum(sz) AS BIGINT) AS n2,
+        |    round(CAST(sum(sz) AS DOUBLE)
+        |      / CAST((SELECT sum(sz) FROM dg) AS DOUBLE), 6) AS v1,
+        |    CAST(NULL AS DOUBLE) AS v2
+        |  FROM dg GROUP BY sz),
+        |cc AS (
+        |  SELECT source AS dd, count(*) AS c FROM kept
+        |  WHERE source IS NOT NULL GROUP BY 1),
+        |cr AS (
+        |  SELECT dd, c, row_number() OVER (ORDER BY c ASC, dd ASC) AS rk
+        |  FROM cc),
+        |conccard AS (
+        |  SELECT 'concentration' AS section, 'source' AS row_key,
+        |    CAST(sum(c) AS BIGINT) AS n1,
+        |    CAST(count(*) AS BIGINT) AS n2,
+        |    round(CAST(sum(c * c) AS DOUBLE)
+        |      / (CAST(sum(c) AS DOUBLE) * CAST(sum(c) AS DOUBLE)), 6) AS v1,
+        |    round(CAST(2 * sum(rk * c) - (count(*) + 1) * sum(c) AS DOUBLE)
+        |      / (CAST(count(*) AS DOUBLE) * CAST(sum(c) AS DOUBLE)), 6)
+        |      AS v2
+        |  FROM cr)
+        |SELECT * FROM splitcard
+        |UNION ALL SELECT * FROM packcard
+        |UNION ALL SELECT * FROM report
+        |UNION ALL SELECT * FROM dupcard
+        |UNION ALL SELECT * FROM conccard""".stripMargin,
+
     // DuckDB list slices are 1-based inclusive: w[a:b] = Spark
     // slice(w, a, b-a+1). string_agg skips the NULL (dropped) segments
     // and returns NULL when every segment dropped — coalesce to '' to
@@ -1228,5 +1362,6 @@ object CurationQueries {
     "q_c4_filter" -> Seq("doc_id"),
     "q_distinct_ngrams" -> Seq("k"),
     "q_dup_size_card" -> Seq("group_size"),
-    "q_ngram_novelty" -> Seq("doc_id"))
+    "q_ngram_novelty" -> Seq("doc_id"),
+    "q_corpus_release" -> Seq("section", "row_key"))
 }

@@ -895,6 +895,22 @@ class PlanAuditSpec extends AnyFunSuite {
       s"every join is keyed on gram_key or doc_id:\n$p")
   }
 
+  test("q_corpus_release reads the corpus ONCE — every stage and card " +
+    "runs off the persisted base/split relations") {
+    val p = plan("q_corpus_release")
+    val scans = """\(\d+\) Scan parquet""".r.findAllIn(p).length
+    assert(scans <= 1,
+      s"the release sheet's whole point is composing the governance " +
+        s"cards over ONE corpus pass; found $scans parquet scans:\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      s"split machinery and all five cards must read the persisted " +
+        s"kept/keptSplit relations:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"the only joins are the doc_id split attach and the bounded " +
+        s"dup-count attach — broadcast/hash, never cartesian or a " +
+        s"corpus sort-merge:\n$p")
+  }
+
   test("q_lsh_plan never touches a corpus relation") {
     val p = plan("q_lsh_plan")
     assert(!p.contains("Scan parquet"),

@@ -1033,4 +1033,30 @@ class ComputeSpec2 extends AnyFunSuite {
     assert(nn.filter(col("doc_id") < 100000L).select("nov")
       .collect().forall(_.isNullAt(0)))
   }
+
+  test("corpus_release kernel ships the five-card release sheet from " +
+    "the DSL, matching the operator twin") {
+    val s = spark
+    val sheet = ComputeRegistry.runOnce(s,
+      parse("COMPUTE r FROM table(text) INTO column(ratio) " +
+        "USING corpus_release"),
+      "documents")
+    val rows = sheet.collect()
+    graft.llm.PipelineCaches.clear()
+    assert(rows.map(_.getString(0)).toSet == Set("split", "pack",
+      "report", "dup_size", "concentration"))
+    assert(sheet.columns.contains("ratio"))
+    val twin = graft.llm.Curation.releaseSheet(s.table("documents"))
+      .collect()
+    graft.llm.PipelineCaches.clear()
+    assert(rows.map(_.toString).sorted.sameElements(
+      twin.map(_.toString).sorted))
+    val err = intercept[IllegalArgumentException] {
+      ComputeRegistry.runOnce(s,
+        parse("COMPUTE r FROM table(text) INTO column(section) " +
+          "USING corpus_release"),
+        "documents")
+    }
+    assert(err.getMessage.contains("reserves"))
+  }
 }

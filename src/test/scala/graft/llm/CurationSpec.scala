@@ -710,6 +710,50 @@ class CurationSpec extends AnyFunSuite {
     assert(e.getMessage.contains("positive"))
   }
 
+  test("c4Keep is definitionally the c4Rules keep column — the zero-join " +
+    "filter form can never drift from the audit card") {
+    val s = spark
+    val d = s.table("documents").select("doc_id", "text")
+    val viaRules = Curation.c4Rules(d, minWords = 5)
+      .filter(col("keep")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val viaKeep = d.filter(Curation.c4Keep(minWords = 5)).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(viaRules == viaKeep,
+      s"symmetric diff: ${(viaRules diff viaKeep) ++ (viaKeep diff viaRules)}")
+    assert(viaKeep.nonEmpty)
+  }
+
+  test("q_corpus_release card rows equal their standalone operator twins " +
+    "over the same kept corpus") {
+    val s = spark
+    val sheet = graft.SparkEntry.queries("q_corpus_release")(
+      s, graft.SparkTestSession.fixtureDir).collect()
+    graft.llm.PipelineCaches.clear()
+    val sections = sheet.map(_.getString(0)).toSet
+    assert(sections == Set("split", "pack", "report", "dup_size",
+      "concentration"))
+    // splits partition the kept corpus: doc shares sum to 1
+    val splitRows = sheet.filter(_.getString(0) == "split")
+    assert(splitRows.map(_.getString(1)).toSet.subsetOf(
+      Set("train", "val", "test")))
+    assert(math.abs(splitRows.map(_.getDouble(4)).sum - 1.0) < 2e-6)
+    // the concentration row equals the standalone card on kept docs
+    val kept = s.table("documents")
+      .select("doc_id", "lang", "source", "n_chars", "text")
+      .filter(Curation.c4Keep(minWords = 5))
+    val twin = Curation.concentrationCard(kept, "source").collect()(0)
+    val conc = sheet.find(_.getString(0) == "concentration").get
+    assert(conc.getLong(2) == twin.getAs[Long]("n_docs"))
+    assert(conc.getLong(3) == twin.getAs[Long]("n_domains"))
+    assert(conc.getDouble(4) == twin.getAs[Double]("hhi"))
+    assert(conc.getDouble(5) == twin.getAs[Double]("gini"))
+    // the dup_size section's doc total is the kept corpus
+    val dupDocs = sheet.filter(_.getString(0) == "dup_size")
+      .map(_.getLong(3)).sum
+    assert(dupDocs == kept.count())
+  }
+
   test("c4Rules: each marker family trips its own flag, the word floor " +
     "gates short and NULL docs, clean text keeps") {
     val s = spark
