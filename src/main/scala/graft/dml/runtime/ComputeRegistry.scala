@@ -135,6 +135,22 @@ object ComputeRegistry {
       graft.llm.TextOps.packPlan(keyed(df, ins.head), seqLen = 64)
         .withColumnRenamed("pad_waste_pct", out)
     },
+    // the packing card budgeted by REAL tokenizer tokens: trains the
+    // production BPE path (trainLocal, 8 merges) on the relation's own
+    // text and plans at seq 64 over per-doc subword counts — relation-
+    // REPLACING, ONE row; INTO column(...) names the pad-waste column
+    "pack_plan_bpe" -> { (df, ins, out) =>
+      require(!Seq("n_docs", "total_tokens", "p50_tokens", "p90_tokens",
+          "p99_tokens", "seq_len", "n_overlong", "overflow_tokens",
+          "packed_seqs").contains(out),
+        s"pack_plan_bpe reserves its card column names; pick another " +
+          s"INTO column name (got '$out')")
+      val d = keyed(df, ins.head)
+      graft.llm.TextOps.packPlanBpe(d,
+          graft.llm.Bpe.trainLocal(df.sparkSession, d, nMerges = 8),
+          seqLen = 64)
+        .withColumnRenamed("pad_waste_pct", out)
+    },
     // corpus-overlap sketch over (text, is_b) input columns —
     // relation-REPLACING, ONE row: union-MinHash Jaccard estimate
     // between the unflagged rows (corpus a) and the flagged rows

@@ -309,21 +309,27 @@ object Bpe {
     * count toward `n_words` but contribute no subword tokens, reported
     * separately as `n_oov_words`. */
   def encode(docs: DataFrame, model: BpeModel): DataFrame = {
-    val words = docs.select(col("doc_id"),
-      explode(split(coalesce(col("text"), lit("")), " ")).as("word"))
+    // empty/NULL-text docs have no words — preserved with zero counts
+    docs.select("doc_id").join(encodeAgg(docs, model), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("_nw"), lit(0L)).as("n_words"),
+        coalesce(col("_noov"), lit(0L)).as("n_oov_words"),
+        coalesce(col("_nbpe"), lit(0L)).as("n_bpe_tokens"))
+  }
+
+  /** [[encode]]'s per-doc aggregation over docs that HAVE words — split
+    * out so card-level consumers ([[TextOps.packPlanBpe]]) can zero-fill
+    * wordless docs from a 1-row corpus count instead of paying the
+    * corpus-sized doc_id join-back that the row-preserving [[encode]]
+    * output needs. */
+  private[llm] def encodeAgg(docs: DataFrame, model: BpeModel): DataFrame =
+    docs.select(col("doc_id"),
+        explode(split(coalesce(col("text"), lit("")), " ")).as("word"))
       .filter(col("word") =!= "")
-    val agg = words
       .join(broadcast(model.vocab.select("word", "n_tokens")),
         Seq("word"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("_nw"),
         sum(when(col("n_tokens").isNull, 1L).otherwise(0L)).as("_noov"),
         coalesce(sum("n_tokens"), lit(0L)).as("_nbpe"))
-    // empty/NULL-text docs have no words — preserved with zero counts
-    docs.select("doc_id").join(agg, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("_nw"), lit(0L)).as("n_words"),
-        coalesce(col("_noov"), lit(0L)).as("n_oov_words"),
-        coalesce(col("_nbpe"), lit(0L)).as("n_bpe_tokens"))
-  }
 }

@@ -284,12 +284,49 @@ object TextOps {
     * shape: ONE corpus pass (the histogram aggregation), then windows
     * and one final aggregate over the histogram only.
     */
-  def packPlan(docs: DataFrame, seqLen: Int): DataFrame = {
-    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
-    val hist = docs
-      .select(tokenCount(coalesce(col("text"), lit("")))
-        .cast("bigint").as("_n"))
+  def packPlan(docs: DataFrame, seqLen: Int): DataFrame =
+    packPlanOf(docs.select(tokenCount(coalesce(col("text"), lit("")))
+      .cast("bigint").as("_n")), seqLen)
+
+  /** [[packPlan]] budgeted by REAL tokenizer tokens instead of
+    * whitespace words — context-length planning against the tokenizer
+    * that will actually consume the corpus. Per-doc counts come from
+    * [[Bpe.encodeAgg]]'s broadcast-vocab apply (`n_bpe_tokens`), so the
+    * corpus never shuffles by word; wordless docs (empty/NULL text) are
+    * zero-filled INTO THE HISTOGRAM from a 1-row corpus count — the
+    * card never pays [[Bpe.encode]]'s row-preserving corpus join-back
+    * (semantically identical: the per-doc count multiset is the same).
+    * Train-or-load the model once ([[Bpe.trainLocal]] /
+    * [[Bpe.loadBpeModel]]) and reuse it across cards. OOV words
+    * contribute no subword tokens (the encode convention). */
+  def packPlanBpe(docs: DataFrame, model: Bpe.BpeModel, seqLen: Int)
+      : DataFrame = {
+    val hist = Bpe.encodeAgg(docs, model)
+      .select(col("_nbpe").cast("bigint").as("_n"))
       .groupBy("_n").agg(count(lit(1)).as("_c"))
+    // wordless docs never reach the word explode: merge their 0-token
+    // bucket from two 1-row aggregates (all-OOV docs already sit at
+    // _n = 0 in the histogram, hence the re-group)
+    val zeroFill = docs.agg(count(lit(1)).as("_t"))
+      .crossJoin(broadcast(hist.agg(coalesce(sum("_c"), lit(0L)).as("_s"))))
+      .select(lit(0L).as("_n"), (col("_t") - col("_s")).as("_c"))
+      .filter(col("_c") > 0)
+    packPlanHist(
+      hist.unionAll(zeroFill).groupBy("_n").agg(sum("_c").as("_c")),
+      seqLen)
+  }
+
+  /** The shared packing-card arithmetic over an already-computed
+    * one-column (`_n` BIGINT) token-count relation. */
+  private[llm] def packPlanOf(counts: DataFrame, seqLen: Int): DataFrame =
+    packPlanHist(counts.groupBy("_n").agg(count(lit(1)).as("_c")), seqLen)
+
+  /** The packing card over a pre-built (`_n`, `_c`) token-count
+    * HISTOGRAM (value-bounded at any corpus size). */
+  private[llm] def packPlanHist(histogram: DataFrame, seqLen: Int)
+      : DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    val hist = histogram
     val wAll = Window
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val wCum = Window.orderBy("_n")

@@ -290,6 +290,16 @@ object CurationQueries {
         docs(s, dir).select("doc_id", "source"), "source")
     },
 
+    // context-length planning against the REAL tokenizer: the packing
+    // card budgeted by trained-BPE subword tokens (the production
+    // trainLocal path + the broadcast-vocab encode) instead of
+    // whitespace words — no new corpus shuffle beyond encode's own
+    "q_pack_plan_bpe" -> { (s, dir) =>
+      val d = docs(s, dir)
+      graft.llm.TextOps.packPlanBpe(
+        d, graft.llm.Bpe.trainLocal(s, d, nMerges = 8), seqLen = 64)
+    },
+
     // THE RELEASE SHEET (round-13 capstone): the governance tier
     // composed the way a pretraining-data team ships it (Dolma /
     // RefinedWeb release sheet) — C4 page filter → exact-dedup groups →
@@ -1149,6 +1159,60 @@ object CurationQueries {
         |  round(CAST(sum(CASE WHEN rkd <= 10 THEN c ELSE 0 END) AS DOUBLE)
         |    / CAST(sum(c) AS DOUBLE), 6) AS top10_share
         |FROM r""".stripMargin,
+
+    // BPE-budgeted packing card: the trained-tokenizer replay (the
+    // q_bpe_encode CTEs) feeds per-doc n_bpe_tokens into the q_pack_plan
+    // histogram arithmetic verbatim
+    "q_pack_plan_bpe" ->
+      s"""WITH ${bpeOracleCtes(8)},
+         |vt AS (
+         |  SELECT word,
+         |    CAST(len(string_split(syms, '  ')) AS BIGINT) AS n_tokens
+         |  FROM v8),
+         |wd AS (
+         |  SELECT doc_id, t AS word FROM (
+         |    SELECT doc_id,
+         |      unnest(string_split(coalesce(text, ''), ' ')) AS t
+         |    FROM documents)
+         |  WHERE t <> ''),
+         |agg AS (
+         |  SELECT wd.doc_id,
+         |    CAST(coalesce(sum(vt.n_tokens), 0) AS BIGINT) AS n_bpe_tokens
+         |  FROM wd LEFT JOIN vt USING (word)
+         |  GROUP BY wd.doc_id),
+         |tk AS (
+         |  SELECT coalesce(a.n_bpe_tokens, 0) AS n
+         |  FROM (SELECT doc_id FROM documents) d
+         |  LEFT JOIN agg a USING (doc_id)),
+         |hh AS (SELECT n, count(*) AS c FROM tk GROUP BY n),
+         |cm2 AS (
+         |  SELECT n, c,
+         |    sum(c) OVER (ORDER BY n
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm,
+         |    sum(c) OVER () AS docs
+         |  FROM hh),
+         |pp AS (
+         |  SELECT CAST(sum(c) AS BIGINT) AS n_docs,
+         |    CAST(sum(n * c) AS BIGINT) AS total_tokens,
+         |    CAST(min(CASE WHEN cm * 100 >= docs * 50 THEN n END) AS BIGINT)
+         |      AS p50_tokens,
+         |    CAST(min(CASE WHEN cm * 100 >= docs * 90 THEN n END) AS BIGINT)
+         |      AS p90_tokens,
+         |    CAST(min(CASE WHEN cm * 100 >= docs * 99 THEN n END) AS BIGINT)
+         |      AS p99_tokens,
+         |    CAST(64 AS INTEGER) AS seq_len,
+         |    CAST(coalesce(sum(CASE WHEN n > 64 THEN c END), 0) AS BIGINT)
+         |      AS n_overlong,
+         |    CAST(coalesce(sum(CASE WHEN n > 64 THEN (n - 64) * c END), 0)
+         |      AS BIGINT) AS overflow_tokens,
+         |    CAST(sum(least(n, 64) * c) AS BIGINT) AS eff
+         |  FROM cm2)
+         |SELECT n_docs, total_tokens, p50_tokens, p90_tokens, p99_tokens,
+         |  seq_len, n_overlong, overflow_tokens,
+         |  CAST((eff + 63) // 64 AS BIGINT) AS packed_seqs,
+         |  CAST(((n_docs * 64 - eff) * 2000000 + n_docs * 64)
+         |    // (2 * n_docs * 64) AS DOUBLE) / 1000000.0 AS pad_waste_pct
+         |FROM pp""".stripMargin,
 
     // the release sheet: every card CTE replays its standalone oracle's
     // arithmetic verbatim, only re-rooted on the C4-kept corpus; the

@@ -911,6 +911,19 @@ class PlanAuditSpec extends AnyFunSuite {
         s"corpus sort-merge:\n$p")
   }
 
+  test("q_pack_plan_bpe broadcasts the trained vocab to the corpus side " +
+    "— encode adds no corpus shuffle beyond its doc_id agg") {
+    val p = plan("q_pack_plan_bpe")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
+      s"the (vocabulary-bounded) BPE vocab must broadcast onto the " +
+        s"exploded corpus words:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"a sort-merge join here shuffles the corpus word stream by " +
+        s"word:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"every join is keyed on word or doc_id:\n$p")
+  }
+
   test("q_lsh_plan never touches a corpus relation") {
     val p = plan("q_lsh_plan")
     assert(!p.contains("Scan parquet"),

@@ -1059,4 +1059,29 @@ class ComputeSpec2 extends AnyFunSuite {
     }
     assert(err.getMessage.contains("reserves"))
   }
+
+  test("pack_plan_bpe kernel plans by trained subword tokens from the " +
+    "DSL, matching the operator twin") {
+    val s = spark
+    val pp = ComputeRegistry.runOnce(s,
+      parse("COMPUTE p FROM table(text) INTO column(waste) " +
+        "USING pack_plan_bpe"),
+      "documents").collect()
+    assert(pp.length == 1)
+    val d = s.table("documents").select("doc_id", "text")
+    val twin = graft.llm.TextOps.packPlanBpe(d,
+      graft.llm.Bpe.trainLocal(s, d, nMerges = 8), seqLen = 64)
+      .collect()(0)
+    assert(pp(0).getAs[Long]("packed_seqs") ==
+      twin.getAs[Long]("packed_seqs"))
+    assert(pp(0).getAs[Long]("total_tokens") ==
+      twin.getAs[Long]("total_tokens"))
+    assert(pp(0).getAs[Double]("waste") ==
+      twin.getAs[Double]("pad_waste_pct"))
+    // BPE budget differs from the whitespace budget (it counts
+    // subwords): the two cards must not silently coincide
+    val ws = graft.llm.TextOps.packPlan(d, seqLen = 64).collect()(0)
+    assert(twin.getAs[Long]("total_tokens") !=
+      ws.getAs[Long]("total_tokens"))
+  }
 }

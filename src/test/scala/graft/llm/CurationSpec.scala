@@ -639,6 +639,30 @@ class CurationSpec extends AnyFunSuite {
     assert(e.getMessage.contains("trainPct + valPct < 100"))
   }
 
+  test("packPlanBpe: hand-computed card — 1 merge on {ab x3, b} budgets " +
+    "by subword tokens [6, 1] at seqLen 4") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "ab ab ab"), (2L, "b")).toDF("doc_id", "text")
+    // vocab ab(3): a b _, b(1): b _; pair counts (a,b)=3, (b,_)=4 —
+    // merge 1 is (b,_) -> ab = [a, b_] (2 toks), b = [b_] (1 tok);
+    // doc1 = 3*2 = 6 bpe tokens, doc2 = 1
+    val model = Bpe.trainLocal(s, docs, nMerges = 1)
+    val m = model.merges.collect()(0)
+    assert(m.getAs[String]("lhs") == "b" && m.getAs[String]("rhs") == "_")
+    val r = TextOps.packPlanBpe(docs, model, seqLen = 4).collect()(0)
+    assert(r.getAs[Long]("n_docs") == 2L)
+    assert(r.getAs[Long]("total_tokens") == 7L)
+    assert(r.getAs[Long]("p50_tokens") == 1L)
+    assert(r.getAs[Long]("p90_tokens") == 6L)
+    assert(r.getAs[Long]("n_overlong") == 1L)
+    assert(r.getAs[Long]("overflow_tokens") == 2L)
+    // effective = 4 + 1 = 5 -> ceil(5/4) = 2 packed sequences
+    assert(r.getAs[Long]("packed_seqs") == 2L)
+    // 1 - 5/8 = 0.375, exact through the integer ppm path
+    assert(r.getAs[Double]("pad_waste_pct") == 0.375)
+  }
+
   test("packPlan: hand-computed card over token counts [2, 4, 4, 10] " +
     "at seqLen 4") {
     val s = spark
