@@ -862,6 +862,23 @@ object ComputeRegistry {
         .select(col("doc_id"), col("novelty").as(out))
       df.join(nov, Seq("doc_id"), "left")
     },
+    // per-language tokenizer-fertility card over (text, lang) input
+    // columns — relation-REPLACING, one row per lang: subword tokens
+    // per in-vocab word + OOV rate from a trainLocal(8) model fit on
+    // the relation's own text; INTO column(...) names the fertility
+    // column
+    "bpe_fertility" -> { (df, ins, out) =>
+      require(ins.length >= 2,
+        s"bpe_fertility needs (text, lang) input columns, got $ins")
+      require(!Seq("lang", "n_words", "n_oov_words", "n_bpe_tokens",
+          "oov_rate").contains(out),
+        s"bpe_fertility reserves its card column names; pick another " +
+          s"INTO column name (got '$out')")
+      val d = df.select(col(ins.head).as("text"), col(ins(1)).as("lang"))
+      graft.llm.Bpe.fertilityCard(d,
+          graft.llm.Bpe.trainLocal(df.sparkSession, d, nMerges = 8))
+        .withColumnRenamed("fertility", out)
+    },
     // THE RELEASE SHEET over a TEXT input column — relation-REPLACING:
     // C4 filter → exact-dedup groups → leakage-safe 80/10/10 split,
     // then the five governance cards (split volumes, train packing plan

@@ -317,6 +317,41 @@ object Bpe {
         coalesce(col("_nbpe"), lit(0L)).as("n_bpe_tokens"))
   }
 
+  /** Per-language tokenizer FERTILITY card — the release-sheet row that
+    * says how efficiently the trained tokenizer spends context budget on
+    * each language (HF tokenizer-analysis fertility: subword tokens per
+    * word; a lang at 2.5x another's fertility gets 2.5x less text per
+    * sequence — the classic multilingual-tokenizer inequity number).
+    * One row per lang: word/OOV/subword counts, fertility = subwords
+    * per IN-VOCAB word (NULL when every word is OOV — no silent 0/0),
+    * and the OOV rate.
+    *
+    * Scale shape: ONE corpus pass — words explode with their lang
+    * carried, the vocabulary-bounded (word, n_tokens) table broadcasts
+    * on, and a lang-keyed map-side-combined aggregation bounds the
+    * output by language count. No doc_id join anywhere. */
+  def fertilityCard(docs: DataFrame, model: BpeModel): DataFrame =
+    docs.select(col("lang"),
+        explode(split(coalesce(col("text"), lit("")), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .join(broadcast(model.vocab.select("word", "n_tokens")),
+        Seq("word"), "left")
+      .groupBy("lang")
+      .agg(count(lit(1)).cast("bigint").as("n_words"),
+        sum(when(col("n_tokens").isNull, 1L).otherwise(0L)).cast("bigint")
+          .as("n_oov_words"),
+        coalesce(sum("n_tokens"), lit(0L)).cast("bigint")
+          .as("n_bpe_tokens"))
+      .select(col("lang"), col("n_words"), col("n_oov_words"),
+        col("n_bpe_tokens"),
+        when(col("n_words") === col("n_oov_words"),
+          lit(null).cast("double"))
+          .otherwise(round(col("n_bpe_tokens").cast("double") /
+            (col("n_words") - col("n_oov_words")).cast("double"), 6))
+          .as("fertility"),
+        round(col("n_oov_words").cast("double") /
+          col("n_words").cast("double"), 6).as("oov_rate"))
+
   /** [[encode]]'s per-doc aggregation over docs that HAVE words — split
     * out so card-level consumers ([[TextOps.packPlanBpe]]) can zero-fill
     * wordless docs from a 1-row corpus count instead of paying the

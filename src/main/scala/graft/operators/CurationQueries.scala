@@ -290,6 +290,16 @@ object CurationQueries {
         docs(s, dir).select("doc_id", "source"), "source")
     },
 
+    // per-language tokenizer fertility: subword tokens per in-vocab
+    // word + OOV rate from the trained model — the multilingual
+    // context-budget inequity row; one corpus pass, lang carried
+    // through the word explode, vocab broadcast, no doc_id join
+    "q_bpe_fertility" -> { (s, dir) =>
+      val d = docs(s, dir)
+      graft.llm.Bpe.fertilityCard(
+        d, graft.llm.Bpe.trainLocal(s, d, nMerges = 8))
+    },
+
     // context-length planning against the REAL tokenizer: the packing
     // card budgeted by trained-BPE subword tokens (the production
     // trainLocal path + the broadcast-vocab encode) instead of
@@ -1160,6 +1170,36 @@ object CurationQueries {
         |    / CAST(sum(c) AS DOUBLE), 6) AS top10_share
         |FROM r""".stripMargin,
 
+    // fertility card: the trained-vocab replay joined onto the
+    // lang-carried word explode, grouped by lang
+    "q_bpe_fertility" ->
+      s"""WITH ${bpeOracleCtes(8)},
+         |vt AS (
+         |  SELECT word,
+         |    CAST(len(string_split(syms, '  ')) AS BIGINT) AS n_tokens
+         |  FROM v8),
+         |wd AS (
+         |  SELECT lang, t AS word FROM (
+         |    SELECT lang,
+         |      unnest(string_split(coalesce(text, ''), ' ')) AS t
+         |    FROM documents)
+         |  WHERE t <> ''),
+         |agg AS (
+         |  SELECT wd.lang,
+         |    CAST(count(*) AS BIGINT) AS n_words,
+         |    CAST(sum(CASE WHEN vt.n_tokens IS NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_oov_words,
+         |    CAST(coalesce(sum(vt.n_tokens), 0) AS BIGINT) AS n_bpe_tokens
+         |  FROM wd LEFT JOIN vt USING (word)
+         |  GROUP BY wd.lang)
+         |SELECT lang, n_words, n_oov_words, n_bpe_tokens,
+         |  CASE WHEN n_words = n_oov_words THEN NULL
+         |    ELSE round(CAST(n_bpe_tokens AS DOUBLE)
+         |      / CAST(n_words - n_oov_words AS DOUBLE), 6) END AS fertility,
+         |  round(CAST(n_oov_words AS DOUBLE) / CAST(n_words AS DOUBLE), 6)
+         |    AS oov_rate
+         |FROM agg""".stripMargin,
+
     // BPE-budgeted packing card: the trained-tokenizer replay (the
     // q_bpe_encode CTEs) feeds per-doc n_bpe_tokens into the q_pack_plan
     // histogram arithmetic verbatim
@@ -1427,5 +1467,6 @@ object CurationQueries {
     "q_distinct_ngrams" -> Seq("k"),
     "q_dup_size_card" -> Seq("group_size"),
     "q_ngram_novelty" -> Seq("doc_id"),
-    "q_corpus_release" -> Seq("section", "row_key"))
+    "q_corpus_release" -> Seq("section", "row_key"),
+    "q_bpe_fertility" -> Seq("lang"))
 }

@@ -150,7 +150,34 @@ object KernelProbe {
     ("domain_hhi",
       "COMPUTE h FROM table(source) INTO column(hhi_idx) " +
         "USING domain_hhi",
-      "q_domain_hhi"))
+      "q_domain_hhi"),
+    // round-13: the kernel runs the card over the RAW table while the
+    // catalog twin plants trim-mutant copies first (strictly more work
+    // on the twin side — the dup_size_card asymmetry)
+    ("pair_jaccard_hist",
+      "COMPUTE p FROM table(text) INTO column(pair_share) " +
+        "USING pair_jaccard_hist",
+      "q_pair_jaccard_hist"),
+    // kernel seeds = corpus-adaptive semantic cells; twin = the fixed
+    // 16 IVF seeds — same assignment/contingency machinery
+    ("cluster_purity",
+      "COMPUTE c FROM table(embedding, label) INTO column(pur) " +
+        "USING cluster_purity",
+      "q_cluster_purity"),
+    // kernel test side = the is_bench tenth; twin plants copies +
+    // rotations (a larger test side — twin does more work)
+    ("ngram_novelty",
+      "COMPUTE n FROM table(text, is_bench) INTO column(nov) " +
+        "USING ngram_novelty",
+      "q_ngram_novelty"),
+    ("corpus_release",
+      "COMPUTE r FROM table(text) INTO column(ratio) " +
+        "USING corpus_release",
+      "q_corpus_release"),
+    ("pack_plan_bpe",
+      "COMPUTE p FROM table(text) INTO column(waste) " +
+        "USING pack_plan_bpe",
+      "q_pack_plan_bpe"))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")

@@ -924,6 +924,19 @@ class PlanAuditSpec extends AnyFunSuite {
       s"every join is keyed on word or doc_id:\n$p")
   }
 
+  test("q_bpe_fertility carries lang through the word explode — one " +
+    "corpus pass, broadcast vocab, no doc_id join") {
+    val p = plan("q_bpe_fertility")
+    val scans = """\(\d+\) Scan parquet""".r.findAllIn(p).length
+    assert(scans <= 1,
+      s"lang rides the explode, so ONE corpus scan feeds the card; " +
+        s"found $scans:\n$p")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
+      s"the vocabulary-bounded (word, n_tokens) table must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"no corpus-side shuffle joins in the fertility card:\n$p")
+  }
+
   test("q_lsh_plan never touches a corpus relation") {
     val p = plan("q_lsh_plan")
     assert(!p.contains("Scan parquet"),

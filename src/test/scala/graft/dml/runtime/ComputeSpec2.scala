@@ -1060,6 +1060,34 @@ class ComputeSpec2 extends AnyFunSuite {
     assert(err.getMessage.contains("reserves"))
   }
 
+  test("bpe_fertility kernel ships the per-lang fertility card from the " +
+    "DSL, matching the operator twin") {
+    val s = spark
+    val f = ComputeRegistry.runOnce(s,
+      parse("COMPUTE f FROM table(text, lang) INTO column(fert) " +
+        "USING bpe_fertility"),
+      "documents")
+    val rows = f.collect().map(r => r.getString(0) -> r).toMap
+    val d = s.table("documents").select("lang", "text")
+    val twin = graft.llm.Bpe.fertilityCard(d,
+        graft.llm.Bpe.trainLocal(s, d, nMerges = 8))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == twin.keySet && rows.nonEmpty)
+    rows.foreach { case (lang, r) =>
+      assert(r.getAs[Double]("fert") ==
+        twin(lang).getAs[Double]("fertility"), s"lang $lang")
+      assert(r.getAs[Long]("n_bpe_tokens") ==
+        twin(lang).getAs[Long]("n_bpe_tokens"), s"lang $lang")
+    }
+    val err = intercept[IllegalArgumentException] {
+      ComputeRegistry.runOnce(s,
+        parse("COMPUTE f FROM table(text, lang) INTO column(oov_rate) " +
+          "USING bpe_fertility"),
+        "documents")
+    }
+    assert(err.getMessage.contains("reserves"))
+  }
+
   test("pack_plan_bpe kernel plans by trained subword tokens from the " +
     "DSL, matching the operator twin") {
     val s = spark

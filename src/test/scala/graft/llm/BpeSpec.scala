@@ -74,6 +74,28 @@ class BpeSpec extends AnyFunSuite {
     assert(e.getMessage.contains("exhausted at merge round 3"))
   }
 
+  test("fertilityCard: hand-computed per-lang subwords-per-word, OOV " +
+    "rate, and the all-OOV NULL branch") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(("en", "ab ab ab"), ("fr", "b"), ("xx", "!!"))
+      .toDF("lang", "text")
+    // trainable words: ab(3), b(1) — "!!" never reaches the symbol
+    // table; merge 1 is (b, _): ab = [a, b_] (2 toks), b = [b_] (1)
+    val model = Bpe.trainLocal(s, docs, nMerges = 1)
+    val r = Bpe.fertilityCard(docs, model).collect()
+      .map(x => x.getString(0) -> x).toMap
+    assert(r("en").getAs[Long]("n_words") == 3L)
+    assert(r("en").getAs[Long]("n_bpe_tokens") == 6L)
+    assert(r("en").getAs[Double]("fertility") == 2.0)
+    assert(r("en").getAs[Double]("oov_rate") == 0.0)
+    assert(r("fr").getAs[Double]("fertility") == 1.0)
+    // every xx word is OOV: fertility is a defined NULL, never 0/0
+    assert(r("xx").getAs[Long]("n_oov_words") == 1L)
+    assert(r("xx").isNullAt(r("xx").fieldIndex("fertility")))
+    assert(r("xx").getAs[Double]("oov_rate") == 1.0)
+  }
+
   test("encode counts words, OOV, and subword tokens per doc") {
     val s = spark
     import s.implicits._
