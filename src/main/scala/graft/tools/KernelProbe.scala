@@ -177,7 +177,11 @@ object KernelProbe {
     ("pack_plan_bpe",
       "COMPUTE p FROM table(text) INTO column(waste) " +
         "USING pack_plan_bpe",
-      "q_pack_plan_bpe"))
+      "q_pack_plan_bpe"),
+    ("bpe_fertility",
+      "COMPUTE f FROM table(text, lang) INTO column(fert) " +
+        "USING bpe_fertility",
+      "q_bpe_fertility"))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
