@@ -862,6 +862,23 @@ object ComputeRegistry {
         .select(col("doc_id"), col("novelty").as(out))
       df.join(nov, Seq("doc_id"), "left")
     },
+    // per-dim embedding drift card over (embedding, is_b) input columns
+    // (the ks_drift flag-split convention) — relation-REPLACING, one
+    // row per dim: both means/variances, the shift, Welch z, and the
+    // 5% two-sided verdict; INTO column(...) names the z column
+    "emb_drift" -> { (df, ins, out) =>
+      require(ins.length >= 2,
+        s"emb_drift needs (embedding, is_b) input columns, got $ins")
+      require(!Seq("pos", "n_a", "n_b", "mean_a", "mean_b", "var_a",
+          "var_b", "delta", "drifted").contains(out),
+        s"emb_drift reserves its card column names; pick another INTO " +
+          s"column name (got '$out')")
+      val flag = col(ins(1)).cast("boolean") <=> lit(true)
+      graft.llm.Similarity.embDrift(
+          df.filter(!flag).select(col(ins.head).as("embedding")),
+          df.filter(flag).select(col(ins.head).as("embedding")))
+        .withColumnRenamed("z", out)
+    },
     // per-language tokenizer-fertility card over (text, lang) input
     // columns — relation-REPLACING, one row per lang: subword tokens
     // per in-vocab word + OOV rate from a trainLocal(8) model fit on

@@ -922,6 +922,70 @@ object Similarity {
             col("_tot").cast("double"), 6)).as("var_share"))
   }
 
+  /** Per-dimension embedding DRIFT card between two corpora — the
+    * monitoring row an embedding pipeline checks when the encoder, the
+    * preprocessing, or the data mix changes: for every dim, both means,
+    * the shift, and Welch's two-sample z = (mean_a − mean_b) /
+    * sqrt(var_a/n_a + var_b/n_b), with `drifted` at the two-sided 5%
+    * normal critical value (1.959964, the [[Sampling.ksDrift]]
+    * convention — n is corpus-scale here, so normal vs t is immaterial
+    * and the constant keeps the oracle exact). A dim with zero variance
+    * on both sides and equal means is NULL-z (no evidence), but a mean
+    * shift with zero pooled variance is infinite evidence — flagged
+    * drifted with NULL z rather than a fake number.
+    *
+    * Exactly oracle-replayable: the [[embStats]] moment convention
+    * (12-dp rounds, DECIMAL sums) on a side-tagged union, then one
+    * double expression of the six aggregates rounded to 6 dp.
+    *
+    * Scale shape: ONE union scan of both corpora → a (pos, side)
+    * map-side-combined aggregation — state is 2·dims rows, never
+    * corpus rows. */
+  def embDrift(a: DataFrame, b: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 12)
+    def side(df: DataFrame, tag: Int) =
+      df.filter(col("embedding").isNotNull)
+        .select(posexplode(col("embedding")).as(Seq("pos", "_x")))
+        .withColumn("_s", lit(tag))
+        .withColumn("_xd", col("_x").cast("double"))
+    val m = side(a, 0).unionAll(side(b, 1))
+      .groupBy("pos", "_s").agg(
+        count(lit(1)).as("_n"),
+        sum(round(col("_xd"), 12).cast(dec)).as("_sx"),
+        sum(round(col("_xd") * col("_xd"), 12).cast(dec)).as("_sx2"))
+    def pick(c: String, s: Int) = max(when(col("_s") === s, col(c)))
+    val wide = m.groupBy("pos").agg(
+      pick("_n", 0).as("_na"), pick("_sx", 0).as("_sxa"),
+      pick("_sx2", 0).as("_sx2a"),
+      pick("_n", 1).as("_nb"), pick("_sx", 1).as("_sxb"),
+      pick("_sx2", 1).as("_sx2b"))
+    def meanOf(sx: Column, n: Column) =
+      round(sx.cast("double") / n.cast("double"), 6)
+    def varOf(sx: Column, sx2: Column, n: Column) = {
+      val nD = n.cast("double")
+      round((sx2.cast("double") - sx.cast("double") * sx.cast("double")
+        / nD) / nD, 6)
+    }
+    val se2 = col("var_a") / col("_na").cast("double") +
+      col("var_b") / col("_nb").cast("double")
+    wide
+      .withColumn("mean_a", meanOf(col("_sxa"), col("_na")))
+      .withColumn("mean_b", meanOf(col("_sxb"), col("_nb")))
+      .withColumn("var_a", varOf(col("_sxa"), col("_sx2a"), col("_na")))
+      .withColumn("var_b", varOf(col("_sxb"), col("_sx2b"), col("_nb")))
+      .withColumn("delta", round(col("mean_a") - col("mean_b"), 6))
+      .withColumn("z",
+        when(se2 === 0, lit(null).cast("double"))
+          .otherwise(round(col("delta") / sqrt(se2), 6)))
+      .withColumn("drifted",
+        when(se2 === 0, col("delta") =!= 0.0)
+          .otherwise(abs(col("z")) > lit(1.959964)))
+      .select(col("pos"), col("_na").cast("bigint").as("n_a"),
+        col("_nb").cast("bigint").as("n_b"),
+        col("mean_a"), col("mean_b"), col("var_a"), col("var_b"),
+        col("delta"), col("z"), col("drifted"))
+  }
+
   /** Top principal component of the embedding covariance via
     * deterministic power iteration — the "All-but-the-top" anisotropy
     * diagnostic (Mu & Viswanath 2018): embedding spaces concentrate

@@ -622,6 +622,19 @@ object LlmQueries {
       Similarity.embStats(embs(s, dir).select("vec_id", "embedding"))
     },
 
+    // per-dim two-sample drift card between the even-id half and the
+    // odd-id half with a +0.5 shift PLANTED on dim 3 (double-exact in
+    // both engines): dim 3 must flag drifted, the Welch z machinery
+    // hash-replays on every other dim
+    "q_emb_drift" -> { (s, dir) =>
+      val e = embs(s, dir).select("vec_id", "embedding")
+      Similarity.embDrift(
+        e.filter(col("vec_id") % 2 === 0),
+        e.filter(col("vec_id") % 2 === 1).select(col("vec_id"),
+          expr("transform(CAST(embedding AS array<double>), (x, i) -> " +
+            "CASE WHEN i = 3 THEN x + 0.5D ELSE x END)").as("embedding")))
+    },
+
     // top principal component of the embedding covariance via 12
     // deterministic power iterations (All-but-the-top anisotropy card):
     // per-dim unit loading + Rayleigh variance share
@@ -1311,6 +1324,59 @@ object LlmQueries {
     // the variance expression parses to the identical IEEE op sequence in
     // both engines, and the share normalizer sums 6-dp variances as
     // DECIMAL(18,6)
+    // side-tagged union replay of the embStats moment convention, then
+    // one double expression per dim; the +0.5 plant on dim 3 is an
+    // exact double op in both engines
+    "q_emb_drift" ->
+      """WITH ex AS (
+        |  SELECT 0 AS s, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS x
+        |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS r(i)
+        |  WHERE embedding IS NOT NULL AND vec_id % 2 = 0
+        |  UNION ALL
+        |  SELECT 1 AS s, i - 1 AS pos,
+        |    CAST(embedding[i] AS DOUBLE)
+        |      + (CASE WHEN i - 1 = 3 THEN 0.5 ELSE 0.0 END) AS x
+        |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS r(i)
+        |  WHERE embedding IS NOT NULL AND vec_id % 2 = 1),
+        |w0 AS (
+        |  SELECT pos, s, count(*) AS n,
+        |    sum(CAST(round(x, 12) AS DECIMAL(28,12))) AS sx,
+        |    sum(CAST(round(x * x, 12) AS DECIMAL(28,12))) AS sx2
+        |  FROM ex GROUP BY pos, s),
+        |w AS (
+        |  SELECT pos,
+        |    max(CASE WHEN s = 0 THEN n END) AS na,
+        |    max(CASE WHEN s = 0 THEN sx END) AS sxa,
+        |    max(CASE WHEN s = 0 THEN sx2 END) AS sx2a,
+        |    max(CASE WHEN s = 1 THEN n END) AS nb,
+        |    max(CASE WHEN s = 1 THEN sx END) AS sxb,
+        |    max(CASE WHEN s = 1 THEN sx2 END) AS sx2b
+        |  FROM w0 GROUP BY pos),
+        |c AS (
+        |  SELECT pos, na, nb,
+        |    round(CAST(sxa AS DOUBLE) / CAST(na AS DOUBLE), 6) AS mean_a,
+        |    round(CAST(sxb AS DOUBLE) / CAST(nb AS DOUBLE), 6) AS mean_b,
+        |    round((CAST(sx2a AS DOUBLE) - CAST(sxa AS DOUBLE)
+        |      * CAST(sxa AS DOUBLE) / CAST(na AS DOUBLE))
+        |      / CAST(na AS DOUBLE), 6) AS var_a,
+        |    round((CAST(sx2b AS DOUBLE) - CAST(sxb AS DOUBLE)
+        |      * CAST(sxb AS DOUBLE) / CAST(nb AS DOUBLE))
+        |      / CAST(nb AS DOUBLE), 6) AS var_b
+        |  FROM w),
+        |e AS (
+        |  SELECT pos, na, nb, mean_a, mean_b, var_a, var_b,
+        |    round(mean_a - mean_b, 6) AS delta,
+        |    var_a / CAST(na AS DOUBLE) + var_b / CAST(nb AS DOUBLE) AS se2
+        |  FROM c)
+        |SELECT CAST(pos AS INT) AS pos,
+        |  CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |  mean_a, mean_b, var_a, var_b, delta,
+        |  CASE WHEN se2 = 0 THEN NULL
+        |    ELSE round(delta / sqrt(se2), 6) END AS z,
+        |  CASE WHEN se2 = 0 THEN delta <> 0.0
+        |    ELSE abs(round(delta / sqrt(se2), 6)) > 1.959964 END AS drifted
+        |FROM e""".stripMargin,
+
     "q_emb_stats" ->
       """WITH d AS (
         |  SELECT i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS x
@@ -2032,6 +2098,7 @@ object LlmQueries {
     "q_multimodal_resize" -> Seq("doc_id"),
     "q_stream_vocab_drift" -> Seq("batch_id"),
     "q_emb_stats" -> Seq("pos"),
+    "q_emb_drift" -> Seq("pos"),
     "q_emb_top_pc" -> Seq("pos"),
     "q_pair_jaccard_hist" -> Seq("bin"),
     "q_kmeans_assign" -> Seq("vec_id"),

@@ -181,7 +181,13 @@ object KernelProbe {
     ("bpe_fertility",
       "COMPUTE f FROM table(text, lang) INTO column(fert) " +
         "USING bpe_fertility",
-      "q_bpe_fertility"))
+      "q_bpe_fertility"),
+    // the kernel splits the raw table by id parity; the twin also
+    // plants the +0.5 dim-3 shift on the odd side — same moment work
+    ("emb_drift",
+      "COMPUTE d FROM table(embedding, is_b) INTO column(zed) " +
+        "USING emb_drift",
+      "q_emb_drift"))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
@@ -224,6 +230,11 @@ object KernelProbe {
     spark.table("embeddings")
       .select(col("vec_id").as("doc_id"), col("label"), col("embedding"))
       .createOrReplaceTempView("emb_label_docs")
+    // emb_drift / cluster_purity need flagged/labelled embedding views
+    spark.table("embeddings")
+      .select(col("vec_id").as("doc_id"), col("embedding"), col("label"),
+        (col("vec_id") % 2 === 1).as("is_b"))
+      .createOrReplaceTempView("drift_embs")
     val base = java.nio.file.Files
       .createTempDirectory("graft_kernel_probe").toString
     val runner = new StatementRunner(spark,

@@ -937,6 +937,21 @@ class PlanAuditSpec extends AnyFunSuite {
       s"no corpus-side shuffle joins in the fertility card:\n$p")
   }
 
+  test("q_emb_drift is one side-tagged union pass with a map-side " +
+    "(pos, side) aggregation — no joins, state 2x dims") {
+    val p = plan("q_emb_drift")
+    assert(p.contains("partial_count"),
+      s"the (pos, side) moment agg must partial-aggregate before its " +
+        s"shuffle:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct") &&
+      !p.contains("BroadcastHashJoin"),
+      s"the card is pure union + aggregation — no joins anywhere:\n$p")
+    val scans = """\(\d+\) Scan parquet""".r.findAllIn(p).length
+    assert(scans <= 2,
+      s"one scan per union arm (the two id-parity filters of the same " +
+        s"table), found $scans:\n$p")
+  }
+
   test("q_lsh_plan never touches a corpus relation") {
     val p = plan("q_lsh_plan")
     assert(!p.contains("Scan parquet"),

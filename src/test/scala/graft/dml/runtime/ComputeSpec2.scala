@@ -1060,6 +1060,31 @@ class ComputeSpec2 extends AnyFunSuite {
     assert(err.getMessage.contains("reserves"))
   }
 
+  test("emb_drift kernel splits by the flag column and ships the per-dim " +
+    "Welch card from the DSL") {
+    val s = spark
+    s.table("embeddings")
+      .select(col("vec_id").as("doc_id"), col("embedding"),
+        (col("vec_id") % 2 === 1).as("is_b"))
+      .createOrReplaceTempView("drift_embs_r13")
+    val dr = ComputeRegistry.runOnce(s,
+      parse("COMPUTE d FROM table(embedding, is_b) INTO column(zed) " +
+        "USING emb_drift"),
+      "drift_embs_r13")
+    val rows = dr.collect()
+    assert(rows.length == 64)
+    assert(rows.forall(r => r.getAs[Long]("n_a") > 0 &&
+      r.getAs[Long]("n_b") > 0))
+    assert(dr.columns.contains("zed") && dr.columns.contains("drifted"))
+    val err = intercept[IllegalArgumentException] {
+      ComputeRegistry.runOnce(s,
+        parse("COMPUTE d FROM table(embedding, is_b) INTO column(delta) " +
+          "USING emb_drift"),
+        "drift_embs_r13")
+    }
+    assert(err.getMessage.contains("reserves"))
+  }
+
   test("bpe_fertility kernel ships the per-lang fertility card from the " +
     "DSL, matching the operator twin") {
     val s = spark

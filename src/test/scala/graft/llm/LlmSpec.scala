@@ -151,6 +151,36 @@ class LlmSpec extends AnyFunSuite {
     assert(c.forall(_.isNullAt(4)))
   }
 
+  test("embDrift: hand-computed Welch z, the planted-shift TRUE, the " +
+    "equal-constant NULL-z FALSE, and zero-variance shift = drifted " +
+    "with NULL z") {
+    val s = spark
+    import s.implicits._
+    val a = Seq(0L -> Seq(1.0f, 1.0f), 2L -> Seq(1.0f, 3.0f))
+      .toDF("vec_id", "embedding")
+    val b = Seq(1L -> Seq(1.0f, 5.0f), 3L -> Seq(1.0f, 5.0f))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.embDrift(a, b).collect()
+      .map(x => x.getInt(0) -> x).toMap
+    // dim 0: both sides constant 1 — no evidence, defined non-drift
+    assert(r(0).getAs[Double]("delta") == 0.0)
+    assert(r(0).isNullAt(r(0).fieldIndex("z")))
+    assert(!r(0).getAs[Boolean]("drifted"))
+    // dim 1: mean_a 2 (var 1), mean_b 5 (var 0) — z = -3/sqrt(1/2)
+    assert(r(1).getAs[Double]("mean_a") == 2.0)
+    assert(r(1).getAs[Double]("var_a") == 1.0)
+    assert(r(1).getAs[Double]("delta") == -3.0)
+    assert(r(1).getAs[Double]("z") == -4.242641)
+    assert(r(1).getAs[Boolean]("drifted"))
+    // zero pooled variance WITH a shift: infinite evidence — drifted
+    // true, z a defined NULL (never a fake number)
+    val c = Seq(1L -> Seq(2.0f), 3L -> Seq(2.0f)).toDF("vec_id", "embedding")
+    val a1 = Seq(0L -> Seq(1.0f), 2L -> Seq(1.0f)).toDF("vec_id", "embedding")
+    val zv = Similarity.embDrift(a1, c).collect()(0)
+    assert(zv.isNullAt(zv.fieldIndex("z")))
+    assert(zv.getAs[Boolean]("drifted"))
+  }
+
   test("embTopPc: axis-aligned variance pins the loading exactly; a " +
     "correlated pair loads the diagonal; all-constant is a NULL card") {
     val s = spark
