@@ -862,6 +862,31 @@ object ComputeRegistry {
         .select(col("doc_id"), col("novelty").as(out))
       df.join(nov, Seq("doc_id"), "left")
     },
+    // PQ reconstruction-distortion card over an EMBEDDING input column
+    // — relation-REPLACING, ONE row (mse + mean cosine of every vector
+    // vs its decoded codes); codebooks seed from the 16 smallest
+    // doc_ids (the seededCodebooks convention), m = 8 subspaces; INTO
+    // column(...) names the mse column
+    "pq_distortion" -> { (df, ins, out) =>
+      require(df.columns.contains("doc_id"),
+        s"table kernels require a 'doc_id' key column; relation has " +
+          s"[${df.columns.mkString(", ")}]")
+      require(!Seq("n_vecs", "n_sub", "ksub", "mean_cos").contains(out),
+        s"pq_distortion reserves its card column names; pick another " +
+          s"INTO column name (got '$out')")
+      val embs = df.select(col("doc_id").cast("long").as("vec_id"),
+        col(ins.head).as("embedding"))
+      // ONE bounded TakeOrdered collects the 16 smallest seed ROWS (the
+      // PQ-codebook metadata envelope) — codebooks build from them
+      // directly, no second seed-fetch scan
+      val seedRows = embs
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .orderBy("vec_id").limit(16).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toSeq
+      graft.llm.Pq.pqDistortionWith(embs,
+          graft.llm.Pq.codebooksFromRows(seedRows, m = 8))
+        .withColumnRenamed("mse", out)
+    },
     // per-dim embedding drift card over (embedding, is_b) input columns
     // (the ks_drift flag-split convention) — relation-REPLACING, one
     // row per dim: both means/variances, the shift, Welch z, and the

@@ -67,6 +67,33 @@ object Pq {
     }
   }
 
+  /** Codebooks straight from already-collected seed rows (vec_id asc =
+    * codeword order, the [[seededCodebooks]] convention) — lets a caller
+    * that DISCOVERS its seeds (e.g. the `pq_distortion` DSL kernel's
+    * 16-smallest-ids TakeOrdered) build codebooks from that one job's
+    * rows instead of paying a second seed-fetch scan. */
+  def codebooksFromRows(rows: Seq[(Long, Array[Double])], m: Int)
+      : Array[Array[Array[Double]]] = {
+    require(m > 0, s"m must be positive, got $m")
+    require(rows.nonEmpty, "codebooksFromRows: no seed rows")
+    val ordered = rows.sortBy(_._1).map(_._2)
+    val dim = ordered.head.length
+    require(ordered.forall(_.length == dim),
+      "codebooksFromRows: seed embeddings disagree on width")
+    require(dim % m == 0, s"m=$m must divide the embedding dim $dim")
+    val dsub = dim / m
+    Array.tabulate(m) { j =>
+      ordered.map(v => v.slice(j * dsub, (j + 1) * dsub)).toArray
+    }
+  }
+
+  /** [[pqDistortion]] against pre-built codebooks — the entry point for
+    * callers that already hold them (seed-discovering kernels, a loaded
+    * [[loadPqIndex]] store). */
+  def pqDistortionWith(embeddings: DataFrame,
+      cb: Array[Array[Array[Double]]]): DataFrame =
+    pqDistortionCard(embeddings, cb)
+
   /** m-code encoding of `emb` as an array<int> Column — per subspace, the
     * nearest codeword by the same rounded-L2 rule the IVF coarse
     * quantizer uses. The codebooks ship as a codegen reference object
@@ -131,6 +158,61 @@ object Pq {
     val cb = seededCodebooks(embeddings, seedIds, m)
     searchPq(embeddings, cb,
       embeddings.filter(col("vec_id").isInCollection(queryIds)), k)
+  }
+
+  /** PQ reconstruction-DISTORTION card — the governance row an ANN
+    * store ships next to its index (faiss's index-factory evaluation
+    * loop measures exactly this before choosing m): ONE row with the
+    * mean squared reconstruction error |x − r|² and the mean
+    * cosine(x, r) of every vector against its decoded codes, where
+    * r = concat_j codebook_j[code_j]. mean_cos near 1 says the code
+    * budget preserves direction (cosine ANN is safe); a fat mse tail
+    * says raise m or ksub.
+    *
+    * Exactly oracle-replayable: |x|² and x·r fold in element/subspace
+    * order (VecDot / PqAdc — the proven ANN conventions), |r|² folds
+    * per-codeword squared norms (driver-computed in element order, an
+    * m×ksub literal — bounded codebook metadata) in subspace order;
+    * per-row terms are 12-dp-rounded DECIMAL sums, card ratios 6-dp.
+    * Zero-norm rows keep a NULL cosine and are excluded from its mean.
+    *
+    * Scale shape: one corpus pass — encode + three per-row folds in
+    * the same projection, then a 1-row aggregate; no joins. */
+  def pqDistortion(embeddings: DataFrame, seedIds: Seq[Long], m: Int = 8)
+      : DataFrame =
+    pqDistortionCard(embeddings, seededCodebooks(embeddings, seedIds, m))
+
+  private def pqDistortionCard(embeddings: DataFrame,
+      cb: Array[Array[Array[Double]]]): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 12)
+    val nsq = array(cb.map(sub => array(
+      sub.map(v => lit(v.foldLeft(0.0)((a, x) => a + x * x))): _*)): _*)
+    val terms = embeddings.filter(col("embedding").isNotNull)
+      .select(col("embedding"),
+        encodeCol(col("embedding"), cb).as("_codes"))
+      .select(
+        graft.functions.VecDot.vecDot(col("embedding"), col("embedding"))
+          .as("_xx"),
+        graft.functions.CellExpressions
+          .pqAdc(col("embedding"), col("_codes"), cb).as("_xr"),
+        aggregate(
+          transform(col("_codes"), (c, j) =>
+            element_at(element_at(nsq, j + lit(1)), c + lit(1))),
+          lit(0.0), (a, v) => a + v).as("_rr"))
+    val perRow = terms.select(
+      round(col("_xx") - lit(2.0) * col("_xr") + col("_rr"), 12)
+        .cast(dec).as("_err"),
+      when(col("_xx") * col("_rr") === 0, lit(null).cast(dec))
+        .otherwise(round(col("_xr") / sqrt(col("_xx") * col("_rr")), 12)
+          .cast(dec)).as("_cos"))
+    perRow.agg(
+      count(lit(1)).cast("bigint").as("n_vecs"),
+      lit(cb.length).cast("int").as("n_sub"),
+      lit(cb.head.length).cast("int").as("ksub"),
+      round(sum("_err").cast("double") /
+        count(lit(1)).cast("double"), 6).as("mse"),
+      round(sum("_cos").cast("double") /
+        count(col("_cos")).cast("double"), 6).as("mean_cos"))
   }
 
   /** Persist an encoded corpus + its codebooks: codes as a parquet table

@@ -174,7 +174,9 @@ object LlmQueries {
     * (ties on code index), full-precision query, per-subspace partial
     * dots summed in subspace order via an ORDER BY j list fold (the same
     * left fold the Spark expression builds), rounded to 6 dp. */
-  private def pqScoredCtes(m: Int, dsub: Int): String = {
+  /** The encode half of [[pqScoredCtes]] — codebooks + per-vector codes
+    * (pcb/psub/penc/pcodes), reused alone by the distortion oracle. */
+  private def pqCodesCtes(m: Int, dsub: Int): String = {
     val seedList = pqSeedIds.mkString(", ")
     val r = s"range(1, ${dsub + 1})"
     s"""pcb AS (
@@ -200,7 +202,12 @@ object LlmQueries {
        |    SELECT vec_id, j, c,
        |      row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, c)
        |        AS rn
-       |    FROM penc) WHERE rn = 1),
+       |    FROM penc) WHERE rn = 1)""".stripMargin
+  }
+
+  private def pqScoredCtes(m: Int, dsub: Int): String = {
+    val r = s"range(1, ${dsub + 1})"
+    s"""${pqCodesCtes(m, dsub)},
        |pparts AS (
        |  SELECT cand.query_id, cand.vec_id, co.j,
        |    list_sum(list_transform($r, i ->
@@ -422,6 +429,14 @@ object LlmQueries {
     "q_ann_pq_topk" -> { (s, dir) =>
       Pq.pqTopKSeeded(embs(s, dir), pqSeedIds, annQueryIds, k = 10, m = 8)
         .orderBy("query_id", "rank")
+    },
+
+    // PQ reconstruction-distortion governance card: mean |x - decode|^2
+    // and mean cosine(x, decode) over the whole corpus — the index-
+    // quality row shipped beside the PQ store; one corpus pass, no joins
+    "q_pq_distortion" -> { (s, dir) =>
+      Pq.pqDistortion(embs(s, dir).select("vec_id", "embedding"),
+        pqSeedIds, m = 8)
     },
 
     // IVF-PQ: seeded coarse cells choose WHICH candidates are scored, PQ
@@ -1893,6 +1908,48 @@ object LlmQueries {
          |SELECT query_id, vec_id, cos_sim, rank FROM r WHERE rank <= 10
          |ORDER BY query_id, rank""".stripMargin
     },
+
+    // distortion replay: the encode CTEs, then per-vector |x|^2 / x·r /
+    // |r|^2 in the proven fold orders, 12-dp DECIMAL-summed terms
+    "q_pq_distortion" ->
+      s"""WITH ${pqCodesCtes(m = 8, dsub = 8)},
+         |vx AS (
+         |  SELECT vec_id,
+         |    list_sum(list_transform(range(1, len(embedding) + 1), i ->
+         |      CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))
+         |      AS xx
+         |  FROM embeddings WHERE embedding IS NOT NULL),
+         |parts AS (
+         |  SELECT co.vec_id, co.j,
+         |    list_sum(list_transform(range(1, 9), i ->
+         |      CAST(ve.embedding[co.j*8+i] AS DOUBLE)
+         |        * CAST(b.cemb[co.j*8+i] AS DOUBLE))) AS xr_j,
+         |    list_sum(list_transform(range(1, 9), i ->
+         |      CAST(b.cemb[co.j*8+i] AS DOUBLE)
+         |        * CAST(b.cemb[co.j*8+i] AS DOUBLE))) AS rr_j
+         |  FROM pcodes co
+         |  JOIN pcb b ON b.c = co.code
+         |  JOIN embeddings ve ON ve.vec_id = co.vec_id),
+         |pr AS (
+         |  SELECT vec_id,
+         |    list_sum(list(xr_j ORDER BY j)) AS xr,
+         |    list_sum(list(rr_j ORDER BY j)) AS rr
+         |  FROM parts GROUP BY vec_id),
+         |terms AS (
+         |  SELECT vx.vec_id,
+         |    CAST(round(vx.xx - 2.0 * pr.xr + pr.rr, 12)
+         |      AS DECIMAL(28,12)) AS err,
+         |    CASE WHEN vx.xx * pr.rr = 0 THEN NULL
+         |      ELSE CAST(round(pr.xr / sqrt(vx.xx * pr.rr), 12)
+         |        AS DECIMAL(28,12)) END AS cosv
+         |  FROM vx JOIN pr USING (vec_id))
+         |SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+         |  CAST(8 AS INT) AS n_sub, CAST(16 AS INT) AS ksub,
+         |  round(CAST(sum(err) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+         |    AS mse,
+         |  round(CAST(sum(cosv) AS DOUBLE) / CAST(count(cosv) AS DOUBLE), 6)
+         |    AS mean_cos
+         |FROM terms""".stripMargin,
 
     // replays seeded-PQ encode + brute-force ADC: codebook entry c of
     // subspace j = subvector j of the c-th smallest pq seed; every

@@ -182,6 +182,12 @@ object KernelProbe {
       "COMPUTE f FROM table(text, lang) INTO column(fert) " +
         "USING bpe_fertility",
       "q_bpe_fertility"),
+    // kernel seeds from the 16 smallest doc_ids; the twin uses the 16
+    // pinned pq seed ids — same encode + fold work
+    ("pq_distortion",
+      "COMPUTE q FROM table(embedding) INTO column(rec_mse) " +
+        "USING pq_distortion",
+      "q_pq_distortion"),
     // the kernel splits the raw table by id parity; the twin also
     // plants the +0.5 dim-3 shift on the odd side — same moment work
     ("emb_drift",

@@ -952,6 +952,18 @@ class PlanAuditSpec extends AnyFunSuite {
         s"table), found $scans:\n$p")
   }
 
+  test("q_pq_distortion is one corpus projection + a 1-row aggregate — " +
+    "encode and all three folds in the same pass, no joins") {
+    val p = plan("q_pq_distortion")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct") &&
+      !p.contains("BroadcastHashJoin"),
+      s"the distortion card never joins — codes decode against the " +
+        s"codebook reference object and the m x ksub norm literal:\n$p")
+    val scans = """\(\d+\) Scan parquet""".r.findAllIn(p).length
+    assert(scans <= 1,
+      s"one corpus pass computes every per-row term, found $scans:\n$p")
+  }
+
   test("q_lsh_plan never touches a corpus relation") {
     val p = plan("q_lsh_plan")
     assert(!p.contains("Scan parquet"),

@@ -1085,6 +1085,34 @@ class ComputeSpec2 extends AnyFunSuite {
     assert(err.getMessage.contains("reserves"))
   }
 
+  test("pq_distortion kernel ships the reconstruction card from the DSL, " +
+    "matching the 16-smallest-seed operator twin") {
+    val s = spark
+    s.table("embeddings")
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+      .createOrReplaceTempView("pqd_embs_r13")
+    val d = ComputeRegistry.runOnce(s,
+      parse("COMPUTE q FROM table(embedding) INTO column(rec_mse) " +
+        "USING pq_distortion"),
+      "pqd_embs_r13")
+    assert(d.count() == 1)
+    val r = d.collect()(0)
+    val embs = s.table("embeddings").select("vec_id", "embedding")
+    val seeds = embs.select("vec_id").orderBy("vec_id").limit(16)
+      .collect().map(_.getLong(0)).toSeq
+    val twin = graft.llm.Pq.pqDistortion(embs, seeds, m = 8).collect()(0)
+    assert(r.getAs[Double]("rec_mse") == twin.getAs[Double]("mse"))
+    assert(r.getAs[Double]("mean_cos") == twin.getAs[Double]("mean_cos"))
+    assert(r.getAs[Long]("n_vecs") == twin.getAs[Long]("n_vecs"))
+    val err = intercept[IllegalArgumentException] {
+      ComputeRegistry.runOnce(s,
+        parse("COMPUTE q FROM table(embedding) INTO column(mean_cos) " +
+          "USING pq_distortion"),
+        "pqd_embs_r13")
+    }
+    assert(err.getMessage.contains("reserves"))
+  }
+
   test("bpe_fertility kernel ships the per-lang fertility card from the " +
     "DSL, matching the operator twin") {
     val s = spark

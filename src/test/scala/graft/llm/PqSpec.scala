@@ -34,6 +34,35 @@ class PqSpec extends AnyFunSuite {
       .map { case (qid, rows) => qid -> rows.map(_.getLong(1)).toSet }
   }
 
+  test("pqDistortion: hand-computed mse and mean cosine on a 2-d, " +
+    "2-codeword corpus; seeds reconstruct exactly") {
+    val s = spark
+    import s.implicits._
+    // codebook (m=1, dsub=2): c0 = [1,0] (seed 10), c1 = [0,1] (seed 11)
+    val corpus = Seq(
+      10L -> Seq(1.0f, 0.0f), 11L -> Seq(0.0f, 1.0f), // the seeds
+      0L -> Seq(1.0f, 0.0f),  // exact codeword: err 0, cos 1
+      1L -> Seq(2.0f, 0.0f),  // code 0: err 4-4+1 = 1, cos 2/sqrt(4) = 1
+      2L -> Seq(0.0f, 3.0f),  // code 1: err 9-6+1 = 4, cos 1
+      3L -> Seq(1.0f, 1.0f))  // dist tie -> code 0; err 1, cos 1/sqrt(2)
+      .toDF("vec_id", "embedding")
+    val r = Pq.pqDistortion(corpus, Seq(10L, 11L), m = 1).collect()(0)
+    assert(r.getAs[Long]("n_vecs") == 6L)
+    assert(r.getAs[Int]("n_sub") == 1 && r.getAs[Int]("ksub") == 2)
+    // (0 + 0 + 0 + 1 + 4 + 1) / 6
+    assert(r.getAs[Double]("mse") == 1.0)
+    // (5 + round12(1/sqrt(2))) / 6 = 0.951184 at 6 dp
+    assert(r.getAs[Double]("mean_cos") == 0.951184)
+    // a zero vector keeps a NULL cosine but still counts in mse
+    val withZero = corpus.unionAll(
+      Seq(4L -> Seq(0.0f, 0.0f)).toDF("vec_id", "embedding"))
+    val z = Pq.pqDistortion(withZero, Seq(10L, 11L), m = 1).collect()(0)
+    assert(z.getAs[Long]("n_vecs") == 7L)
+    // zero vec -> code 0 ([1,0]): err = 0 - 0 + 1 = 1 -> mse 7/7 = 1
+    assert(z.getAs[Double]("mse") == 1.0)
+    assert(z.getAs[Double]("mean_cos") == 0.951184) // mean over 6 non-null
+  }
+
   test("a seed vector encodes to its own codeword in every subspace") {
     val s = spark
     val e = s.table("embeddings").select("vec_id", "embedding")
