@@ -862,6 +862,17 @@ object ComputeRegistry {
         .select(col("doc_id"), col("novelty").as(out))
       df.join(nov, Seq("doc_id"), "left")
     },
+    // int8 reconstruction-distortion card over an EMBEDDING input
+    // column — relation-REPLACING, ONE row (mse + mean cosine vs the
+    // dequantized int8 vector); INTO column(...) names the mse column
+    "int8_distortion" -> { (df, ins, out) =>
+      require(!Seq("n_vecs", "mean_cos").contains(out),
+        s"int8_distortion reserves its card column names; pick another " +
+          s"INTO column name (got '$out')")
+      graft.llm.Similarity.int8Distortion(
+          df.select(col(ins.head).as("embedding")))
+        .withColumnRenamed("mse", out)
+    },
     // PQ reconstruction-distortion card over an EMBEDDING input column
     // — relation-REPLACING, ONE row (mse + mean cosine of every vector
     // vs its decoded codes); codebooks seed from the 16 smallest

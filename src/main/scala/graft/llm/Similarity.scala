@@ -273,6 +273,45 @@ object Similarity {
           x => round(x.cast("double") / col("scale")).cast("int")))
   }
 
+  /** Int8 reconstruction-DISTORTION card — [[Pq.pqDistortion]]'s twin
+    * for the symmetric-int8 store ([[quantizeInt8]]): ONE row with the
+    * mean squared error |x − scale·q|² and mean cosine(x, q) over the
+    * corpus (scale cancels in the cosine). The 4×-compression quality
+    * row; read next to the PQ card when choosing the store format.
+    *
+    * Exactly oracle-replayable: the integer self-dot is exact
+    * (order-independent), |x|² and x·q fold in element order (VecDot),
+    * err combines as ((xx − (2·scale)·xq) + (scale·scale)·qq) — the
+    * associativity the oracle spells out; per-row terms 12-dp DECIMAL
+    * sums. Zero vectors err 0 with a NULL cosine (excluded from the
+    * cosine mean only).
+    *
+    * Scale shape: one corpus projection (quantize + three folds), then
+    * a 1-row aggregate; no joins, no shuffle beyond the final agg. */
+  def int8Distortion(embeddings: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 12)
+    val terms = quantizeInt8(embeddings.filter(col("embedding").isNotNull))
+      .select(col("scale"),
+        graft.functions.VecDot.vecDot(col("embedding"), col("embedding"))
+          .as("_xx"),
+        graft.functions.VecDot.vecDot(col("embedding"),
+          col("qvec").cast("array<double>")).as("_xq"),
+        graft.functions.MatchExpressions.intVecDot(col("qvec"), col("qvec"))
+          .cast("double").as("_qq"))
+    val perRow = terms.select(
+      round(col("_xx") - lit(2.0) * col("scale") * col("_xq") +
+        col("scale") * col("scale") * col("_qq"), 12).cast(dec).as("_err"),
+      when(col("_xx") * col("_qq") === 0, lit(null).cast(dec))
+        .otherwise(round(col("_xq") / sqrt(col("_xx") * col("_qq")), 12)
+          .cast(dec)).as("_cos"))
+    perRow.agg(
+      count(lit(1)).cast("bigint").as("n_vecs"),
+      round(sum("_err").cast("double") /
+        count(lit(1)).cast("double"), 6).as("mse"),
+      round(sum("_cos").cast("double") /
+        count(col("_cos")).cast("double"), 6).as("mean_cos"))
+  }
+
   /** Exact integer dot of two int8 vectors (element-order fold; ≤ 127²
     * per element never overflows the long accumulator). Native codegen
     * expression ([[graft.functions.IntVecDot]]) — result-identical to the

@@ -431,6 +431,13 @@ object LlmQueries {
         .orderBy("query_id", "rank")
     },
 
+    // int8 reconstruction-distortion card: the PQ card's twin for the
+    // 4x symmetric-int8 store — read the two together when choosing
+    // the store format; one corpus projection, no joins
+    "q_int8_distortion" -> { (s, dir) =>
+      Similarity.int8Distortion(embs(s, dir).select("vec_id", "embedding"))
+    },
+
     // PQ reconstruction-distortion governance card: mean |x - decode|^2
     // and mean cosine(x, decode) over the whole corpus — the index-
     // quality row shipped beside the PQ store; one corpus pass, no joins
@@ -1908,6 +1915,47 @@ object LlmQueries {
          |SELECT query_id, vec_id, cos_sim, rank FROM r WHERE rank <= 10
          |ORDER BY query_id, rank""".stripMargin
     },
+
+    // int8 distortion replay: the proven quantization CTE, then the
+    // three folds with the associativity the Scala side uses
+    "q_int8_distortion" ->
+      """WITH qz AS (
+        |  SELECT vec_id, embedding,
+        |    CASE WHEN mx = 0 THEN 1.0
+        |      ELSE CAST(mx AS DOUBLE) / 127.0 END AS scale,
+        |    list_transform(embedding, x ->
+        |      CAST(round(CAST(x AS DOUBLE) /
+        |        (CASE WHEN mx = 0 THEN 1.0 ELSE CAST(mx AS DOUBLE) / 127.0
+        |          END)) AS INTEGER)) AS qvec
+        |  FROM (
+        |    SELECT vec_id, embedding,
+        |      list_max(list_transform(embedding, x -> abs(x))) AS mx
+        |    FROM embeddings WHERE embedding IS NOT NULL)),
+        |t AS (
+        |  SELECT scale,
+        |    list_sum(list_transform(range(1, len(embedding) + 1), i ->
+        |      CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))
+        |      AS xx,
+        |    list_sum(list_transform(range(1, len(embedding) + 1), i ->
+        |      CAST(embedding[i] AS DOUBLE) * CAST(qvec[i] AS DOUBLE)))
+        |      AS xq,
+        |    CAST(list_sum(list_transform(range(1, len(qvec) + 1), i ->
+        |      qvec[i] * qvec[i])) AS DOUBLE) AS qq
+        |  FROM qz),
+        |terms AS (
+        |  SELECT
+        |    CAST(round(xx - (2.0 * scale) * xq + (scale * scale) * qq, 12)
+        |      AS DECIMAL(28,12)) AS err,
+        |    CASE WHEN xx * qq = 0 THEN NULL
+        |      ELSE CAST(round(xq / sqrt(xx * qq), 12)
+        |        AS DECIMAL(28,12)) END AS cosv
+        |  FROM t)
+        |SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+        |  round(CAST(sum(err) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+        |    AS mse,
+        |  round(CAST(sum(cosv) AS DOUBLE) / CAST(count(cosv) AS DOUBLE), 6)
+        |    AS mean_cos
+        |FROM terms""".stripMargin,
 
     // distortion replay: the encode CTEs, then per-vector |x|^2 / x·r /
     // |r|^2 in the proven fold orders, 12-dp DECIMAL-summed terms

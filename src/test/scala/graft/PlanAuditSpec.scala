@@ -964,6 +964,17 @@ class PlanAuditSpec extends AnyFunSuite {
       s"one corpus pass computes every per-row term, found $scans:\n$p")
   }
 
+  test("q_int8_distortion is one corpus projection + a 1-row aggregate " +
+    "— quantize and all three folds in the same pass, no joins") {
+    val p = plan("q_int8_distortion")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct") &&
+      !p.contains("BroadcastHashJoin"),
+      s"the card never joins:\n$p")
+    val scans = """\(\d+\) Scan parquet""".r.findAllIn(p).length
+    assert(scans <= 1,
+      s"one corpus pass computes every per-row term, found $scans:\n$p")
+  }
+
   test("q_lsh_plan never touches a corpus relation") {
     val p = plan("q_lsh_plan")
     assert(!p.contains("Scan parquet"),

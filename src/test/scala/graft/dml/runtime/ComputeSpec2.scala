@@ -1085,6 +1085,31 @@ class ComputeSpec2 extends AnyFunSuite {
     assert(err.getMessage.contains("reserves"))
   }
 
+  test("int8_distortion kernel ships the dequantization card from the " +
+    "DSL, matching the operator twin") {
+    val s = spark
+    s.table("embeddings")
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+      .createOrReplaceTempView("i8d_embs_r13")
+    val d = ComputeRegistry.runOnce(s,
+      parse("COMPUTE q FROM table(embedding) INTO column(rec_mse) " +
+        "USING int8_distortion"),
+      "i8d_embs_r13")
+    assert(d.count() == 1)
+    val r = d.collect()(0)
+    val twin = graft.llm.Similarity.int8Distortion(
+      s.table("embeddings").select("vec_id", "embedding")).collect()(0)
+    assert(r.getAs[Double]("rec_mse") == twin.getAs[Double]("mse"))
+    assert(r.getAs[Double]("mean_cos") == twin.getAs[Double]("mean_cos"))
+    val err = intercept[IllegalArgumentException] {
+      ComputeRegistry.runOnce(s,
+        parse("COMPUTE q FROM table(embedding) INTO column(mean_cos) " +
+          "USING int8_distortion"),
+        "i8d_embs_r13")
+    }
+    assert(err.getMessage.contains("reserves"))
+  }
+
   test("pq_distortion kernel ships the reconstruction card from the DSL, " +
     "matching the 16-smallest-seed operator twin") {
     val s = spark

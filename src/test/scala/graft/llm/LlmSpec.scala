@@ -739,6 +739,32 @@ class LlmSpec extends AnyFunSuite {
     assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
   }
 
+  test("int8Distortion: exactly-representable vectors reconstruct with " +
+    "zero error; half-rounding costs a positive err; zero vec is NULL " +
+    "cosine") {
+    val s = spark
+    import s.implicits._
+    // [127, 0]: scale 1, qvec exact -> err 0, cos 1
+    // [64, 127]: scale 1, exact -> err 0, cos 1
+    // [1, 0.5]: scale 1/127, q = [127, 64] (63.5 rounds up) -> err > 0
+    // [0, 0]: scale 1, qvec zeros -> err 0, NULL cosine
+    val exact = Seq(1L -> Seq(127.0f, 0.0f), 2L -> Seq(64.0f, 127.0f))
+      .toDF("vec_id", "embedding")
+    val re = Similarity.int8Distortion(exact).collect()(0)
+    assert(re.getAs[Long]("n_vecs") == 2L)
+    assert(re.getAs[Double]("mse") == 0.0)
+    assert(re.getAs[Double]("mean_cos") == 1.0)
+    val mixed = exact.unionAll(Seq(
+      3L -> Seq(1.0f, 0.5f), 4L -> Seq(0.0f, 0.0f))
+      .toDF("vec_id", "embedding"))
+    val rm = Similarity.int8Distortion(mixed).collect()(0)
+    assert(rm.getAs[Long]("n_vecs") == 4L)
+    assert(rm.getAs[Double]("mse") > 0.0 && rm.getAs[Double]("mse") < 1e-4)
+    // cosine mean over the 3 non-null rows, all ~1
+    assert(rm.getAs[Double]("mean_cos") > 0.999 &&
+      rm.getAs[Double]("mean_cos") <= 1.0)
+  }
+
   test("int8 quantized top-k closely tracks the exact float-dot ranking") {
     val s = spark
     val e = s.table("embeddings").select("vec_id", "embedding")
