@@ -182,6 +182,10 @@ object KernelProbe {
       "COMPUTE f FROM table(text, lang) INTO column(fert) " +
         "USING bpe_fertility",
       "q_bpe_fertility"),
+    ("int8_distortion",
+      "COMPUTE q FROM table(embedding) INTO column(rec_mse) " +
+        "USING int8_distortion",
+      "q_int8_distortion"),
     // kernel seeds from the 16 smallest doc_ids; the twin uses the 16
     // pinned pq seed ids — same encode + fold work
     ("pq_distortion",
