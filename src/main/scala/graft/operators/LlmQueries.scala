@@ -767,6 +767,50 @@ object LlmQueries {
     // division of two exact longs, so DuckDB replays it bit-for-bit.
     // The bus-side alert payload/event semantics are pinned in
     // StreamingPipelineSpec.
+    // INCREMENTAL release counts: the corpus-report aggregation run as
+    // a stateful streaming agg over a two-batch file replay — per-source
+    // docs/tokens accumulate in streaming state (complete-mode memory
+    // sink), and the drained result hash-matches the static oracle over
+    // the union. The governance tier's streaming story: release counts
+    // stay current as shards land, no batch recompute
+    "q_stream_corpus_report" -> { (s, dir) =>
+      import org.apache.spark.sql.streaming.Trigger
+      val d = docs(s, dir).select("doc_id", "source", "text")
+      val batches = Seq(
+        d.filter(col("doc_id") % 2 === 0),
+        d.filter(col("doc_id") % 2 === 1))
+      val tmp = EventQueries.stampedDir(batches)
+      val ckpt = EventQueries.scratchDir("graft_screport_ck").toFile
+      val sink = s"graft_stream_report_${System.nanoTime()}"
+      try {
+        val q = s.readStream
+          .schema("doc_id BIGINT, source STRING, text STRING")
+          .option("maxFilesPerTrigger", 1).parquet(tmp.toString)
+          .withColumn("_tok", graft.llm.TextOps
+            .tokenCount(coalesce(col("text"), lit(""))).cast("bigint"))
+          .groupBy("source")
+          .agg(count(lit(1)).cast("bigint").as("n_docs"),
+            sum("_tok").cast("bigint").as("n_tokens"))
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("complete")
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(Trigger.AvailableNow()).start()
+        try {
+          if (!q.awaitTermination(180000))
+            throw new IllegalStateException(
+              "streaming corpus report did not drain within 180s")
+        } finally q.stop()
+        // materialize off the memory sink before the scratch dirs go
+        val s2 = s
+        import s2.implicits._
+        s.table(sink).collect().toSeq
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+          .toDF("source", "n_docs", "n_tokens")
+      } finally {
+        Seq(tmp, ckpt).foreach(EventQueries.rmTree)
+      }
+    },
+
     "q_stream_vocab_drift" -> { (s, dir) =>
       import org.apache.spark.sql.streaming.Trigger
       val d = docs(s, dir).select("doc_id", "text")
@@ -2148,6 +2192,16 @@ object LlmQueries {
     // counts non-empty words and n_oov the words outside that
     // vocabulary; the rate is one exact-long division (bit-identical in
     // both engines), alerted = rate > threshold.
+    // the streaming state is per-source counts; after the drain they
+    // equal the static aggregation over the whole corpus (both replay
+    // batches partition the documents table)
+    "q_stream_corpus_report" ->
+      """SELECT source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(string_split(coalesce(text, ''), ' '))) AS BIGINT)
+        |    AS n_tokens
+        |FROM documents GROUP BY source""".stripMargin,
+
     "q_stream_vocab_drift" ->
       """WITH vocab AS (
         |  SELECT DISTINCT w FROM (
@@ -2202,6 +2256,7 @@ object LlmQueries {
     "q_multimodal_frames" -> Seq("doc_id"),
     "q_multimodal_resize" -> Seq("doc_id"),
     "q_stream_vocab_drift" -> Seq("batch_id"),
+    "q_stream_corpus_report" -> Seq("source"),
     "q_emb_stats" -> Seq("pos"),
     "q_emb_drift" -> Seq("pos"),
     "q_emb_top_pc" -> Seq("pos"),
