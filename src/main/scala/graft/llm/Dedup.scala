@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Near-duplicate detection: MinHash + banded LSH and SimHash
@@ -403,6 +404,25 @@ object Dedup {
         col("_n").cast("bigint").as("n_pairs"),
         round(col("_n").cast("double") /
           sum("_n").over(Sampling.allRows).cast("double"), 6).as("share"))
+  }
+
+  /** LSH threshold-SENSITIVITY curve — [[pairJaccardHist]] read the way
+    * a dedup operator tunes it: for every 0.05 Jaccard bin, how many
+    * candidate pairs sit AT OR ABOVE it (`n_pairs_ge` and its share).
+    * Pick the dedup threshold where the curve knees: everything below
+    * is rescore work the banding wasted, everything above is dup mass
+    * the threshold would keep. Windows run over the ≤21-row bin card —
+    * never the pair stream. */
+  def lshSensitivity(docs: DataFrame, k: Int = 3, numHashes: Int = 8,
+      bands: Int = 4, oracleHashes: Boolean = false): DataFrame = {
+    val hist = pairJaccardHist(docs, k, numHashes, bands, oracleHashes)
+    val wDesc = Window.partitionBy(lit(0)).orderBy(col("bin").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist.select(col("bin"), col("bin_lo"), col("n_pairs"),
+      sum("n_pairs").over(wDesc).cast("bigint").as("n_pairs_ge"),
+      round(sum("n_pairs").over(wDesc).cast("double") /
+        sum("n_pairs").over(Sampling.allRows).cast("double"), 6)
+        .as("share_ge"))
   }
 
   /** 64-bit SimHash from token md5s: bit b of each token's hash votes ±1;

@@ -332,6 +332,19 @@ object LlmQueries {
         k = 3, numHashes = 8, bands = 4, oracleHashes = true)
     },
 
+    // the threshold-tuning READ of the pair histogram: cumulative pair
+    // mass at or above each Jaccard bin — pick the dedup threshold at
+    // the knee; windows see only the <=21-row bin card
+    "q_lsh_sensitivity" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val mutated = d.select(
+        (col("doc_id") + 100000L).as("doc_id"),
+        expr("substring(text, 1, greatest(length(text) - 12, 1))").as("text"))
+      Dedup.lshSensitivity(
+        d.select("doc_id", "text").unionAll(mutated),
+        k = 3, numHashes = 8, bands = 4, oracleHashes = true)
+    },
+
     // clustering-quality card: purity + NMI of the 16-cell seeded
     // quantizer against the embeddings table's ground-truth label
     "q_cluster_purity" -> { (s, dir) =>
@@ -1164,6 +1177,33 @@ object LlmQueries {
          |  round(CAST(n AS DOUBLE) / CAST(sum(n) OVER () AS DOUBLE), 6)
          |    AS share
          |FROM b""".stripMargin,
+
+    // the hist CTEs + the descending cumulative window (both over the
+    // bin-bounded card)
+    "q_lsh_sensitivity" ->
+      s"""WITH $minhashPairsCtes,
+         |ds AS (SELECT doc_id, list_distinct(s) AS s FROM sh),
+         |ex AS (
+         |  SELECT CAST(floor(
+         |      CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+         |      / (len(sa.s) + len(sb.s)
+         |         - len(list_intersect(sa.s, sb.s)))
+         |      * 20) AS INT) AS bin
+         |  FROM scored p
+         |  JOIN ds sa ON sa.doc_id = p.doc_a
+         |  JOIN ds sb ON sb.doc_id = p.doc_b),
+         |b AS (SELECT bin, count(*) AS n FROM ex GROUP BY 1),
+         |h AS (
+         |  SELECT bin, round(CAST(bin AS DOUBLE) * 0.05, 2) AS bin_lo,
+         |    CAST(n AS BIGINT) AS n_pairs FROM b)
+         |SELECT bin, bin_lo, n_pairs,
+         |  CAST(sum(n_pairs) OVER (ORDER BY bin DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS n_pairs_ge,
+         |  round(CAST(sum(n_pairs) OVER (ORDER BY bin DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         |    / CAST(sum(n_pairs) OVER () AS DOUBLE), 6) AS share_ge
+         |FROM h""".stripMargin,
 
     // algorithm-independent oracle: full-corpus banded recompute over
     // (old ∪ batch), restricted to pairs with at least one batch doc
@@ -2261,6 +2301,7 @@ object LlmQueries {
     "q_emb_drift" -> Seq("pos"),
     "q_emb_top_pc" -> Seq("pos"),
     "q_pair_jaccard_hist" -> Seq("bin"),
+    "q_lsh_sensitivity" -> Seq("bin"),
     "q_kmeans_assign" -> Seq("vec_id"),
     "q_lsh_plan" -> Seq("bands"))
 }

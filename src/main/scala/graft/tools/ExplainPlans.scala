@@ -33,7 +33,12 @@ object ExplainPlans {
       "q_c4_filter", "q_emb_stats", "q_kmeans_assign", "q_unimax_alloc",
       "q_lsh_plan", "q_winsorize", "q_temporal_split", "q_vocab_overlap",
       "q_distinct_ngrams", "q_dup_size_card", "q_len_quantiles",
-      "q_ks_drift", "q_domain_hhi")
+      "q_ks_drift", "q_domain_hhi",
+      // round-13 additions
+      "q_pair_jaccard_hist", "q_cluster_purity", "q_ngram_novelty",
+      "q_corpus_release", "q_pack_plan_bpe", "q_bpe_fertility",
+      "q_emb_drift", "q_pq_distortion", "q_int8_distortion",
+      "q_lsh_sensitivity")
     // q_emb_top_pc is deliberately absent like q_dedup_groups: building
     // it RUNS the moment aggregations and the driver-local iterations,
     // so its "plan" is a LocalTableScan of the finished card — the

@@ -920,6 +920,29 @@ class CurationSpec extends AnyFunSuite {
     graft.llm.PipelineCaches.clear()
   }
 
+  test("lshSensitivity: cumulative-from-the-top pair mass — the top bin " +
+    "equals its own count, the bottom bin covers every pair") {
+    val s = spark
+    val d = s.table("documents").select("doc_id", "text")
+    val dupes = d.filter(col("doc_id") < 10)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+    val sens = Dedup.lshSensitivity(d.unionAll(dupes), k = 3,
+      numHashes = 8, bands = 4)
+    val rows = sens.collect().sortBy(_.getInt(0))
+    val total = rows.map(_.getAs[Long]("n_pairs")).sum
+    // lowest bin's cumulative-ge covers ALL pairs (share_ge = 1)
+    assert(rows.head.getAs[Long]("n_pairs_ge") == total)
+    assert(rows.head.getAs[Double]("share_ge") == 1.0)
+    // highest bin's cumulative equals its own count
+    assert(rows.last.getAs[Long]("n_pairs_ge") ==
+      rows.last.getAs[Long]("n_pairs"))
+    // monotone nonincreasing in bin
+    rows.sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo.getAs[Long]("n_pairs_ge") >= hi.getAs[Long]("n_pairs_ge"))
+    }
+    graft.llm.PipelineCaches.clear()
+  }
+
   test("centroidCosine: the group SUM vector is the centroid — " +
     "hand-computed 2-d groups, singleton identity, zero-vector NULL") {
     val s = spark
