@@ -862,6 +862,19 @@ object ComputeRegistry {
         .select(col("doc_id"), col("novelty").as(out))
       df.join(nov, Seq("doc_id"), "left")
     },
+    // EXACT similarity self-join over a TEXT input column — relation-
+    // REPLACING: every (doc_a < doc_b) pair with distinct-3-shingle
+    // Jaccard >= 0.8, complete by the prefix-filter construction (the
+    // recall-1.0 tool for decontamination sign-off); INTO column(...)
+    // names the jaccard column
+    "jaccard_join_exact" -> { (df, ins, out) =>
+      require(!Seq("doc_a", "doc_b").contains(out),
+        s"jaccard_join_exact reserves its pair column names; pick " +
+          s"another INTO column name (got '$out')")
+      graft.llm.Dedup.jaccardJoinExact(
+          keyed(df, ins.head), threshold = 0.8, k = 3)
+        .withColumnRenamed("jaccard", out)
+    },
     // int8 reconstruction-distortion card over an EMBEDDING input
     // column — relation-REPLACING, ONE row (mse + mean cosine vs the
     // dequantized int8 vector); INTO column(...) names the mse column

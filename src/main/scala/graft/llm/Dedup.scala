@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -404,6 +404,67 @@ object Dedup {
         col("_n").cast("bigint").as("n_pairs"),
         round(col("_n").cast("double") /
           sum("_n").over(Sampling.allRows).cast("double"), 6).as("share"))
+  }
+
+  /** EXACT set-similarity self-join via PREFIX FILTERING (Chaudhuri et
+    * al. 2006's prefix lemma / Bayardo et al. 2007 "Scaling Up All
+    * Pairs"): EVERY pair (doc_a < doc_b) whose distinct-k-shingle
+    * Jaccard ≥ `threshold` — complete by construction, unlike the
+    * probabilistic MinHash band join, and without all-pairs work. The
+    * tool for when recall 1.0 is a REQUIREMENT (benchmark
+    * decontamination sign-off, legal dedup attestations).
+    *
+    * How: a qualifying pair shares o ≥ ceil(t·|x|) shingles with BOTH
+    * endpoints' sizes, so under one global shingle order
+    * (document-frequency ascending — rare first — then shingle) each
+    * doc only needs to index its first |x| − ceil(t·|x|) + 1 shingles:
+    * two qualifying docs MUST collide on an indexed prefix shingle
+    * (pigeonhole). Candidates = the prefix equi-self-join + the
+    * size-compatibility filter t·|x| ≤ |y| (both directions), then the
+    * exact rescore keeps jaccard ≥ t. The α = ceil(t·sz) bounds are
+    * computed as ceil(t·sz − 1e-9): the epsilon can only LOWER α
+    * (longer prefix, more candidates) when float noise lands t·sz a
+    * hair above an integer — conservative, so exactness never hinges
+    * on float rounding. The oracle proves completeness, not a replay:
+    * DuckDB computes the UNPRUNED all-pairs join and the hash gate
+    * asserts set equality.
+    *
+    * Scale shape: the df table is a shingle-keyed partial agg; the
+    * rank is a per-doc window; candidate generation is an equi-join on
+    * prefix shingles whose buckets the rare-first order keeps small
+    * (the AllPairs observation), with the size filter pruning inside a
+    * bucket; the rescore is candidate-bounded. No stage is
+    * corpus-quadratic unless the output itself is. */
+  def jaccardJoinExact(docs: DataFrame, threshold: Double, k: Int = 3)
+      : DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val sh = PipelineCaches.track(withShingleCol(docs, k)
+      .select(col("doc_id"),
+        expr("explode(array_distinct(_shingles))").as("shingle"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("_sz"))
+    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("_df"))
+    def alphaCeil(sz: Column): Column =
+      ceil(sz.cast("double") * lit(threshold) - lit(1e-9))
+    val prefix = sh.join(dfreq, Seq("shingle"))
+      .join(sizes, Seq("doc_id"))
+      .withColumn("_r", row_number().over(Window.partitionBy("doc_id")
+        .orderBy(col("_df").asc, col("shingle").asc)))
+      .filter(col("_r") <= col("_sz") - alphaCeil(col("_sz")) + 1)
+      .select("shingle", "doc_id", "_sz")
+    val cands = prefix
+      .select(col("shingle"), col("doc_id").as("doc_a"),
+        col("_sz").as("_sza"))
+      .join(prefix.select(col("shingle"), col("doc_id").as("doc_b"),
+        col("_sz").as("_szb")), Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .filter(col("_szb") >= alphaCeil(col("_sza")) &&
+        col("_sza") >= alphaCeil(col("_szb")))
+      .select("doc_a", "doc_b").distinct()
+    containmentRescore(docs, cands, k)
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
   }
 
   /** LSH threshold-SENSITIVITY curve — [[pairJaccardHist]] read the way

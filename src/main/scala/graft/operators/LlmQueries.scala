@@ -332,6 +332,20 @@ object LlmQueries {
         k = 3, numHashes = 8, bands = 4, oracleHashes = true)
     },
 
+    // EXACT similarity join (prefix filter, recall 1.0 by construction):
+    // every trim-mutant pair with shingle Jaccard >= 0.8 — the oracle
+    // computes the UNPRUNED all-pairs join, so the hash gate proves the
+    // pruned algorithm COMPLETE, not merely replayed
+    "q_jaccard_join_exact" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val mutated = d.select(
+        (col("doc_id") + 100000L).as("doc_id"),
+        expr("substring(text, 1, greatest(length(text) - 12, 1))").as("text"))
+      Dedup.jaccardJoinExact(
+        d.select("doc_id", "text").unionAll(mutated),
+        threshold = 0.8, k = 3)
+    },
+
     // the threshold-tuning READ of the pair histogram: cumulative pair
     // mass at or above each Jaccard bin — pick the dedup threshold at
     // the knee; windows see only the <=21-row bin card
@@ -1177,6 +1191,28 @@ object LlmQueries {
          |  round(CAST(n AS DOUBLE) / CAST(sum(n) OVER () AS DOUBLE), 6)
          |    AS share
          |FROM b""".stripMargin,
+
+    // ground truth, no pruning: the FULL all-pairs Jaccard join over the
+    // planted corpus — equality with Spark's prefix-filtered result IS
+    // the completeness proof
+    "q_jaccard_join_exact" ->
+      s"""WITH u AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000 AS doc_id,
+         |    substring(text, 1, greatest(length(text) - 12, 1)) AS text
+         |  FROM documents),
+         |t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM u),
+         |shx AS (SELECT doc_id, $shinglesSql AS s FROM t),
+         |ds AS (SELECT doc_id, list_distinct(s) AS s FROM shx),
+         |pj AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+         |      AS jaccard
+         |  FROM ds a JOIN ds b ON a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, jaccard FROM pj
+         |WHERE jaccard >= 0.8""".stripMargin,
 
     // the hist CTEs + the descending cumulative window (both over the
     // bin-bounded card)
@@ -2302,6 +2338,7 @@ object LlmQueries {
     "q_emb_top_pc" -> Seq("pos"),
     "q_pair_jaccard_hist" -> Seq("bin"),
     "q_lsh_sensitivity" -> Seq("bin"),
+    "q_jaccard_join_exact" -> Seq("doc_a", "doc_b"),
     "q_kmeans_assign" -> Seq("vec_id"),
     "q_lsh_plan" -> Seq("bands"))
 }

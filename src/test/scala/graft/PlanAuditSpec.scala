@@ -975,6 +975,17 @@ class PlanAuditSpec extends AnyFunSuite {
       s"one corpus pass computes every per-row term, found $scans:\n$p")
   }
 
+  test("q_jaccard_join_exact generates candidates via the prefix " +
+    "equi-join — exactness without a cartesian anywhere") {
+    val p = plan("q_jaccard_join_exact")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"the whole point: recall 1.0 WITHOUT all-pairs work — candidates " +
+        s"ride the prefix-shingle equi-join:\n$p")
+    assert(p.contains("Window"),
+      s"the rare-first prefix rank is a per-doc window:\n$p")
+  }
+
   test("q_lsh_plan never touches a corpus relation") {
     val p = plan("q_lsh_plan")
     assert(!p.contains("Scan parquet"),

@@ -1085,6 +1085,34 @@ class ComputeSpec2 extends AnyFunSuite {
     assert(err.getMessage.contains("reserves"))
   }
 
+  test("jaccard_join_exact kernel ships the complete pair relation from " +
+    "the DSL — planted copies found, threshold respected") {
+    val s = spark
+    s.table("documents").select(col("doc_id"), col("text"))
+      .unionAll(s.table("documents").filter(col("doc_id") < 10)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+      .createOrReplaceTempView("jje_docs_r13")
+    val j = ComputeRegistry.runOnce(s,
+      parse("COMPUTE j FROM table(text) INTO column(jac) " +
+        "USING jaccard_join_exact"),
+      "jje_docs_r13")
+    val rows = j.collect()
+    graft.llm.PipelineCaches.clear()
+    // the 10 planted verbatim copies are Jaccard-1 pairs
+    val planted = rows.filter(r =>
+      r.getAs[Long]("doc_b") == r.getAs[Long]("doc_a") + 100000L)
+    assert(planted.length == 10)
+    assert(planted.forall(_.getAs[Double]("jac") == 1.0))
+    assert(rows.forall(_.getAs[Double]("jac") >= 0.8))
+    val err = intercept[IllegalArgumentException] {
+      ComputeRegistry.runOnce(s,
+        parse("COMPUTE j FROM table(text) INTO column(doc_a) " +
+          "USING jaccard_join_exact"),
+        "jje_docs_r13")
+    }
+    assert(err.getMessage.contains("reserves"))
+  }
+
   test("int8_distortion kernel ships the dequantization card from the " +
     "DSL, matching the operator twin") {
     val s = spark

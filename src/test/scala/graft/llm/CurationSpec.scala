@@ -920,6 +920,44 @@ class CurationSpec extends AnyFunSuite {
     graft.llm.PipelineCaches.clear()
   }
 
+  test("jaccardJoinExact equals the brute-force all-pairs join on the " +
+    "fixture, and keeps the exact-threshold boundary pair") {
+    val s = spark
+    import s.implicits._
+    val d = s.table("documents").select("doc_id", "text")
+    val dupes = d.filter(col("doc_id") < 20)
+      .select((col("doc_id") + 100000L).as("doc_id"),
+        expr("substring(text, 1, greatest(length(text) - 12, 1))")
+          .as("text"))
+    val corpus = d.unionAll(dupes)
+    val got = Dedup.jaccardJoinExact(corpus, threshold = 0.5, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.llm.PipelineCaches.clear()
+    // brute force: every pair, exact rescore, same filter
+    val ids = corpus.select("doc_id")
+    val allPairs = ids.select(col("doc_id").as("doc_a"))
+      .crossJoin(ids.select(col("doc_id").as("doc_b")))
+      .filter(col("doc_a") < col("doc_b"))
+    val want = Dedup.containmentRescore(corpus, allPairs, k = 3)
+      .filter(col("jaccard") >= 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want,
+      s"missing=${(want diff got).take(5)} extra=${(got diff want).take(5)}")
+    assert(got.nonEmpty)
+    // boundary: |x| = 10 words, |y| = 7 all shared -> J = 7/10 exactly
+    // the 0.7 threshold; the conservative alpha must not prune it
+    val w = (1 to 10).map(i => s"w$i")
+    val edge = Seq(
+      1L -> w.mkString(" "),
+      2L -> w.take(7).mkString(" ")).toDF("doc_id", "text")
+    val hits = Dedup.jaccardJoinExact(edge, threshold = 0.7, k = 1)
+      .collect()
+    graft.llm.PipelineCaches.clear()
+    assert(hits.length == 1 && hits(0).getLong(0) == 1L &&
+      hits(0).getLong(1) == 2L)
+    assert(hits(0).getDouble(2) == 0.7)
+  }
+
   test("lshSensitivity: cumulative-from-the-top pair mass — the top bin " +
     "equals its own count, the bottom bin covers every pair") {
     val s = spark
