@@ -182,6 +182,12 @@ object KernelProbe {
       "COMPUTE f FROM table(text, lang) INTO column(fert) " +
         "USING bpe_fertility",
       "q_bpe_fertility"),
+    // kernel joins the raw table at t=0.8; the twin also plants trim
+    // mutants (more qualifying pairs — twin does more work)
+    ("jaccard_join_exact",
+      "COMPUTE j FROM table(text) INTO column(jac) " +
+        "USING jaccard_join_exact",
+      "q_jaccard_join_exact"),
     ("int8_distortion",
       "COMPUTE q FROM table(embedding) INTO column(rec_mse) " +
         "USING int8_distortion",
