@@ -504,6 +504,24 @@ object ComputeRegistry {
         .select(col("doc_id"), col("ce_delta").as(out))
       df.join(scored, Seq("doc_id"), "left")
     },
+    // discriminative quality classifier over (text, is_positive) input
+    // columns: 5 in-plan full-batch GD steps of logistic regression on
+    // hashed unigram buckets + intercept; every row gets the
+    // final-weights log-odds score as the output column (positive =
+    // reads like the flagged class; the sign IS the predicted label)
+    "logistic_quality" -> { (df, ins, out) =>
+      require(ins.length >= 2,
+        s"logistic_quality needs (text, is_positive) input columns, " +
+          s"got $ins")
+      require(df.columns.contains("doc_id"),
+        s"table kernels require a 'doc_id' key column; relation has " +
+          s"[${df.columns.mkString(", ")}]")
+      val base = df.select(col("doc_id"), col(ins.head).as("text"),
+        (col(ins(1)).cast("boolean") <=> lit(true)).as("_pos"))
+      val scored = graft.llm.Curation.logisticQuality(base, col("_pos"))
+        .select(col("doc_id"), col("score").as(out))
+      df.join(scored, Seq("doc_id"), "left")
+    },
     // Bloom-fingerprint decontamination over (text, is_benchmark) input
     // columns: the flagged rows' k-grams fold into an O(mBits) bitset
     // (a codegen reference object — no benchmark-side join), and every

@@ -208,6 +208,113 @@ object Curation {
         round(sum(col("_lw")), 6).as("log_weight"))
   }
 
+  /** Discriminative quality classifier — [[dsirWeights]]' sibling on the
+    * other side of the generative/discriminative divide: full-batch
+    * gradient-descent LOGISTIC REGRESSION over hashed bag-of-words
+    * features, trained entirely in-plan. The GPT-3/LLaMA-style curation
+    * stage ("train a linear classifier on trusted-vs-raw pages, keep
+    * what scores trusted") re-expressed as Spark aggregations whose
+    * training arithmetic is EXACT: bucket counts are integers, weights
+    * and probabilities live on a 6-dp decimal lattice, and every
+    * gradient is an exact DECIMAL sum — so an independent engine can
+    * replay all `iters` gradient steps bit-for-bit (the oracle does).
+    *
+    * Model: features are md5-bucketed unigram counts (the [[dsirWeights]]
+    * bucket convention) plus an intercept carried as synthetic bucket -1
+    * with count 1 per doc — one code path trains bias and weights. Each
+    * step, with w on the 6-dp lattice:
+    * score_d = Σ_b c_db·w_b (exact decimal), p_d = round(σ(score_d), 6),
+    * g_b = Σ_d c_db·(p_d − y_d) (exact decimal),
+    * w'_b = round(w_b − lr·g_b/n, 6). Rounding p and w each step is the
+    * SPEC, not sloppiness: it pins the whole trajectory to a
+    * cross-engine-reproducible lattice (the [[Similarity.embTopPc]]
+    * exact-decimal discipline), at a precision far below any effect on
+    * classifier quality.
+    *
+    * Scale shape: the classifier's entire view of the corpus is the
+    * persisted (doc_id, y, bucket, count) relation — built once, read
+    * `iters`+1 times. Weights are ≤ buckets+1 rows: they broadcast out
+    * and the per-bucket gradient collects back (bounded metadata, the
+    * centroid-table convention). Per iteration the distributed work is
+    * one broadcast join + doc-keyed partial agg + doc-keyed join back +
+    * bucket-keyed partial agg — no shuffle ever carries more than the
+    * count relation, and nothing driver-side grows with the corpus. */
+  def logisticQuality(docs: DataFrame, isPositive: Column,
+      buckets: Int = 256, iters: Int = 5, lr: Double = 0.5): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(lr > 0, s"lr must be positive, got $lr")
+    val spark = docs.sparkSession
+    val base = docs.select(col("doc_id"),
+      when(isPositive, lit(1)).otherwise(lit(0)).as("_y"),
+      coalesce(col("text"), lit("")).as("_t"))
+    // (doc_id, y, bucket, count) + the intercept row per doc: counts as
+    // DECIMAL(12,0) so every downstream product/sum stays exact decimal
+    val c = PipelineCaches.track(base
+      .select(col("doc_id"), col("_y"),
+        explode(TextOps.tokens(col("_t"))).as("_w"))
+      .select(col("doc_id"), col("_y"),
+        (conv(substring(md5(col("_w")), 1, 8), 16, 10).cast("long")
+          % buckets).as("_b"))
+      .groupBy("doc_id", "_y", "_b")
+      .agg(count(lit(1)).cast("decimal(12,0)").as("_c"))
+      .unionByName(base.select(col("doc_id"), col("_y"),
+        lit(-1L).as("_b"), lit(1).cast("decimal(12,0)").as("_c")))
+      // persist PRE-PARTITIONED on doc_id: every iteration's sigmoid agg
+      // and gradient join-back are doc_id-keyed, so the cached
+      // partitioning satisfies both and no iteration ever re-shuffles
+      // the corpus-sized count relation (measured 4.66s -> see floor)
+      .repartition(col("doc_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK))
+    val n = docs.count()
+    require(n > 0, "logisticQuality: empty corpus")
+    // occupied buckets only: an unhit bucket's gradient is 0 forever, so
+    // its weight stays 0 — bounded driver state (<= buckets + 1 rows)
+    val bSet: Seq[Long] = c.select("_b").distinct()
+      .collect().map(_.getLong(0)).toSeq.sorted
+    var w: Map[Long, BigDecimal] =
+      bSet.map(_ -> BigDecimal(0).setScale(6)).toMap
+    // re-literalized per step via plain strings -> DECIMAL(18,6): exact,
+    // and each iteration's lineage starts from a literal weight table
+    // instead of the whole training history
+    def wDf: DataFrame = {
+      import spark.implicits._
+      w.toSeq.map { case (b, v) => (b, v.underlying.toPlainString) }
+        .toDF("_b", "_ws")
+        .select(col("_b"), col("_ws").cast("decimal(18,6)").as("_wt"))
+    }
+    for (_ <- 1 to iters) {
+      val p = c.join(broadcast(wDf), Seq("_b"))
+        .groupBy("doc_id").agg(max("_y").as("_y"),
+          sum(col("_c") * col("_wt")).as("_s"))
+        .select(col("doc_id"), col("_y"),
+          round(lit(1.0) / (lit(1.0) + exp(-col("_s").cast("double"))), 6)
+            .cast("decimal(18,6)").as("_p"))
+      val g = c.join(p.select("doc_id", "_p"), Seq("doc_id"))
+        .groupBy("_b")
+        .agg(sum(col("_c") * (col("_p") - col("_y"))).as("_g"))
+        .collect().map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+      // the double expression mirrors the oracle's
+      // round(w - lr*g/n, 6) verbatim; BigDecimal(double).setScale is
+      // Spark's own Round semantic for DoubleType
+      w = w.map { case (b, wv) =>
+        val gd = g.get(b).map(_.doubleValue).getOrElse(0.0)
+        b -> BigDecimal(wv.doubleValue - lr * gd / n)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      }
+    }
+    c.join(broadcast(wDf), Seq("_b"))
+      .groupBy("doc_id").agg(
+        sum(when(col("_b") >= 0, col("_c")).otherwise(lit(0)))
+          .cast("bigint").as("n_tokens"),
+        sum(col("_c") * col("_wt")).as("_s"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("_s").cast("double"), 6).as("score"),
+        round(lit(1.0) / (lit(1.0) + exp(-col("_s").cast("double"))), 6)
+          .as("prob"),
+        (col("_s") > 0).as("predicted"))
+  }
+
   /** Gopher-style repetition metrics per doc: duplicate-word ratio,
     * most-frequent-bigram mass fraction, and singleton-word fraction. High
     * dup ratio / top-bigram mass marks boilerplate and degenerate repeated

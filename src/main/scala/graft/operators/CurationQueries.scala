@@ -84,6 +84,17 @@ object CurationQueries {
         alpha = 0.5)
     },
 
+    // discriminative quality classifier (the GPT-3-style curated-vs-raw
+    // linear filter): 5 full-batch gradient-descent steps of logistic
+    // regression over 256 hashed-unigram buckets + intercept, positives
+    // = src0 docs; exact-decimal gradients on a 6-dp weight/probability
+    // lattice, so the oracle REPLAYS the entire training trajectory and
+    // then scores every doc with the same final weights
+    "q_quality_classifier" -> { (s, dir) =>
+      Curation.logisticQuality(docs(s, dir), col("source") === "src0",
+        buckets = 256, iters = 5, lr = 0.5)
+    },
+
     // corpus data card: ROLLUP(lang, source) doc/token/length/exact-dup
     // statistics — one grouping-sets pass + the dup-hash join
     "q_corpus_report" -> { (s, dir) =>
@@ -399,7 +410,58 @@ object CurationQueries {
     (head +: stages).mkString(",\n")
   }
 
+  /** Generated training-REPLAY oracle for [[Curation.logisticQuality]]:
+    * one (p{t}, w{t}) CTE pair per gradient step. Every gradient is an
+    * exact DECIMAL sum and weights/probabilities live on the 6-dp
+    * lattice, so DuckDB's trajectory equals Spark's bit-for-bit — the
+    * hash gate verifies the TRAINING, not just the final scoring pass. */
+  private def lrOracleSql(buckets: Int, iters: Int, lr: Double): String = {
+    val steps = (1 to iters).map { t =>
+      s"""p$t AS MATERIALIZED (
+         |  SELECT c.doc_id, max(c.y) AS y,
+         |    CAST(round(1 / (1 + exp(-CAST(sum(c.c * w.wt) AS DOUBLE))), 6)
+         |      AS DECIMAL(18,6)) AS p
+         |  FROM c JOIN w${t - 1} w USING (b) GROUP BY 1),
+         |w$t AS MATERIALIZED (
+         |  SELECT w.b, CAST(round(CAST(w.wt AS DOUBLE)
+         |      - $lr * CAST(g.g AS DOUBLE) / (SELECT n FROM nn), 6)
+         |    AS DECIMAL(18,6)) AS wt
+         |  FROM w${t - 1} w JOIN (
+         |    SELECT c.b, sum(c.c * (p.p - p.y)) AS g
+         |    FROM c JOIN p$t p USING (doc_id) GROUP BY 1) g USING (b))"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH d0 AS MATERIALIZED (
+       |  SELECT doc_id, CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS y,
+       |    string_split(coalesce(text, ''), ' ') AS w
+       |  FROM documents),
+       |c AS MATERIALIZED (
+       |  SELECT doc_id, y, b, CAST(count(*) AS BIGINT) AS c FROM (
+       |    SELECT doc_id, y,
+       |      CAST('0x' || substring(md5(t), 1, 8) AS BIGINT) % $buckets AS b
+       |    FROM (SELECT doc_id, y, unnest(w) AS t FROM d0))
+       |  GROUP BY 1, 2, 3
+       |  UNION ALL
+       |  SELECT doc_id, y, CAST(-1 AS BIGINT) AS b, CAST(1 AS BIGINT) AS c
+       |  FROM d0),
+       |nn AS (SELECT count(*) AS n FROM d0),
+       |w0 AS MATERIALIZED (
+       |  SELECT DISTINCT b, CAST(0 AS DECIMAL(18,6)) AS wt FROM c),
+       |$steps,
+       |fs AS (
+       |  SELECT c.doc_id,
+       |    sum(CASE WHEN c.b >= 0 THEN c.c ELSE 0 END) AS n_tokens,
+       |    sum(c.c * w.wt) AS score
+       |  FROM c JOIN w$iters w USING (b) GROUP BY 1)
+       |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  round(CAST(score AS DOUBLE), 6) AS score,
+       |  round(1 / (1 + exp(-CAST(score AS DOUBLE))), 6) AS prob,
+       |  score > 0 AS predicted
+       |FROM fs""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
+    "q_quality_classifier" -> lrOracleSql(256, 5, 0.5),
     "q_bpe_merges" -> {
       val n = 8
       val rows = (1 to n).map(r =>
@@ -1461,6 +1523,7 @@ object CurationQueries {
     "q_decontaminate_bloom" -> Seq("doc_id"),
     "q_dsir_weights" -> Seq("doc_id"),
     "q_ce_delta" -> Seq("doc_id"),
+    "q_quality_classifier" -> Seq("doc_id"),
     "q_corpus_report" -> Seq("lang", "source"),
     "q_leakage_split" -> Seq("doc_id"),
     "q_c4_filter" -> Seq("doc_id"),

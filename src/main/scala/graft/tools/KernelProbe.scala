@@ -192,6 +192,10 @@ object KernelProbe {
       "COMPUTE q FROM table(embedding) INTO column(rec_mse) " +
         "USING int8_distortion",
       "q_int8_distortion"),
+    ("logistic_quality",
+      "COMPUTE q FROM table(text, is_en) INTO column(lq_score) " +
+        "USING logistic_quality",
+      "q_quality_classifier"),
     // kernel seeds from the 16 smallest doc_ids; the twin uses the 16
     // pinned pq seed ids — same encode + fold work
     ("pq_distortion",

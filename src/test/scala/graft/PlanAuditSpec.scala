@@ -1008,4 +1008,21 @@ class PlanAuditSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"),
       s"the dup-count join must stay an equi-join on the text hash:\n$p")
   }
+
+  test("q_quality_classifier scores via a broadcast weight join over " +
+    "the persisted count relation — no corpus-side shuffle on buckets") {
+    val p = plan("q_quality_classifier")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the <=257-row weight table must broadcast onto the count " +
+        s"relation:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"a sort-merge weight join would shuffle the corpus-sized count " +
+        s"relation for a literal table:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"no degenerate joins in the scoring pass:\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      s"the (doc_id, y, bucket, count) relation is built ONCE and " +
+        s"persisted across the iters+1 passes:\n$p")
+  }
 }

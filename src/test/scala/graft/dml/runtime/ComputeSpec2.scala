@@ -540,6 +540,38 @@ class ComputeSpec2 extends AnyFunSuite {
     assert(err.getMessage.contains("no target rows"))
   }
 
+  test("logistic_quality kernel trains the discriminative classifier " +
+    "from the DSL: rows preserved, planted signal separates") {
+    val s = spark
+    import s.implicits._
+    // planted vocabulary signal (the fixture corpus's sources share one
+    // word distribution, so source labels carry no unigram signal)
+    Seq(
+      (1L, "clean prose reads well here", true),
+      (2L, "clean tidy prose again", true),
+      (3L, "well formed clean text", true),
+      (4L, "spam junk casino junk", false),
+      (5L, "casino spam spam offer", false),
+      (6L, "junk offer casino spam", false))
+      .toDF("doc_id", "text", "is_curated")
+      .createOrReplaceTempView("lq_docs")
+    val lq = ComputeRegistry.runOnce(s,
+      parse("COMPUTE lq FROM table(text, is_curated) INTO column(lq_score) " +
+        "USING logistic_quality"),
+      "lq_docs")
+    assert(lq.count() == 6)
+    assert(lq.filter(col("lq_score").isNull).count() == 0,
+      "every doc has >= 1 feature row (the intercept), so every doc scores")
+    val minPos = lq.filter(col("is_curated"))
+      .agg(min("lq_score")).collect()(0).getDouble(0)
+    val maxNeg = lq.filter(!col("is_curated"))
+      .agg(max("lq_score")).collect()(0).getDouble(0)
+    assert(minPos > 0 && maxNeg < 0,
+      s"planted classes must separate through the DSL path " +
+        s"($minPos vs $maxNeg)")
+    graft.llm.PipelineCaches.clear()
+  }
+
   test("readability / pmi_pairs / token_budget / embedding_coverage " +
     "kernels reach the round-12 analysis operators from the DSL") {
     val s = spark

@@ -1029,4 +1029,63 @@ class CurationSpec extends AnyFunSuite {
     assert(partial.getAs[Long]("n_agree") > 0L &&
       partial.getAs[Long]("n_agree") < 8L)
   }
+
+  test("logisticQuality: one GD step on a one-doc corpus is the " +
+    "hand-computed p=0.5 update; two steps pin the HALF_UP lattice tie") {
+    val s = spark
+    import s.implicits._
+    val d = Seq((1L, "a")).toDF("doc_id", "text")
+    // iter 1: score 0, p exactly 0.5, g = -0.5 for token AND intercept
+    // buckets, w1 = 0 - 0.5*(-0.5)/1 = 0.25 each -> final score 0.5
+    val one = Curation.logisticQuality(d, lit(true), buckets = 64,
+      iters = 1, lr = 0.5).collect()(0)
+    assert(one.getAs[Long]("n_tokens") == 1L)
+    assert(one.getAs[Double]("score") == 0.5)
+    assert(one.getAs[Double]("prob") == 0.622459) // round(sigma(0.5), 6)
+    assert(one.getAs[Boolean]("predicted"))
+    // iter 2: p = round(sigma(0.5),6) = 0.622459, g = -0.377541,
+    // w2 = round(0.25 + 0.5*0.377541, 6) = round(0.4387705, 6) — an
+    // EXACT half-tie on the 6-dp lattice, HALF_UP -> 0.438771; the
+    // final score 2*w2 = 0.877542 pins the rounding mode itself
+    val two = Curation.logisticQuality(d, lit(true), buckets = 64,
+      iters = 2, lr = 0.5).collect()(0)
+    assert(two.getAs[Double]("score") == 0.877542)
+    graft.llm.PipelineCaches.clear()
+  }
+
+  test("logisticQuality separates a separable corpus and refuses bad " +
+    "hyperparameters loudly") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1L, "good good good filler", "pos"), (2L, "good good the", "pos"),
+      (3L, "filler good good a", "pos"), (4L, "good the good", "pos"),
+      (5L, "bad bad bad filler", "neg"), (6L, "bad bad the", "neg"),
+      (7L, "filler bad bad a", "neg"), (8L, "bad the bad", "neg"))
+      .toDF("doc_id", "text", "src")
+    val out = Curation.logisticQuality(d, col("src") === "pos",
+      buckets = 64, iters = 5, lr = 0.5)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    (1L to 4L).foreach(i => assert(out(i).getAs[Boolean]("predicted"),
+      s"doc $i should score positive"))
+    (5L to 8L).foreach(i => assert(!out(i).getAs[Boolean]("predicted"),
+      s"doc $i should score negative"))
+    val minPos = (1L to 4L).map(out(_).getAs[Double]("score")).min
+    val maxNeg = (5L to 8L).map(out(_).getAs[Double]("score")).max
+    assert(minPos > maxNeg, s"class separation: $minPos vs $maxNeg")
+    graft.llm.PipelineCaches.clear()
+    val e1 = intercept[IllegalArgumentException](
+      Curation.logisticQuality(d, lit(true), iters = 0))
+    assert(e1.getMessage.contains("iters"))
+    val e2 = intercept[IllegalArgumentException](
+      Curation.logisticQuality(d, lit(true), lr = 0.0))
+    assert(e2.getMessage.contains("lr"))
+    val e3 = intercept[IllegalArgumentException](
+      Curation.logisticQuality(d, lit(true), buckets = 0))
+    assert(e3.getMessage.contains("buckets"))
+    val e4 = intercept[IllegalArgumentException](
+      Curation.logisticQuality(d.filter(lit(false)), lit(true)))
+    assert(e4.getMessage.contains("empty corpus"))
+    graft.llm.PipelineCaches.clear()
+  }
 }
