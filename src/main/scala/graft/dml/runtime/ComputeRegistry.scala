@@ -504,6 +504,23 @@ object ComputeRegistry {
         .select(col("doc_id"), col("ce_delta").as(out))
       df.join(scored, Seq("doc_id"), "left")
     },
+    // per-group HyperLogLog distinct-token card over (text, group) input
+    // columns — relation-REPLACING: one row per group with the exact
+    // audit count, empty-register count, deterministic md5 HLL estimate,
+    // and relative error; INTO column(...) names the estimate column
+    "hll_card" -> { (df, ins, out) =>
+      require(ins.length >= 2,
+        s"hll_card needs (text, group) input columns, got $ins")
+      require(!Seq("n_exact", "v_empty", "rel_err").contains(out),
+        s"hll_card reserves its card column names; pick another INTO " +
+          s"column name (got '$out')")
+      val d = keyed(df, ins.head)
+        .join(df.select(col("doc_id"), col(ins(1)).as("_grp")),
+          Seq("doc_id"))
+      graft.llm.TextOps.hllCard(d, groupCol = "_grp")
+        .withColumnRenamed("_grp", ins(1))
+        .withColumnRenamed("hll_est", out)
+    },
     // discriminative quality classifier over (text, is_positive) input
     // columns: 5 in-plan full-batch GD steps of logistic regression on
     // hashed unigram buckets + intercept; every row gets the

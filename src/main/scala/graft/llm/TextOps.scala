@@ -487,6 +487,74 @@ object TextOps {
           col("total_ngrams").cast("double"), 6).as("distinct_ratio"))
   }
 
+  /** Per-group HyperLogLog distinct-token card (Flajolet et al. 2007) —
+    * THE bounded-state distinct counter at 100 TB, here built
+    * DETERMINISTICALLY from md5 bits so an independent engine replays
+    * the registers themselves: register j = the hash's first
+    * `regHexChars` hex chars, rank = leading-zero count of the next 32
+    * bits + 1 (integer-exact via the binary-string length — no float
+    * log2 anywhere in register construction). The estimator applies the
+    * paper's small-range (linear counting) and large-range (32-bit
+    * collision) corrections.
+    *
+    * The card reports the EXACT distinct count alongside as the audit
+    * column: `n_exact` pays the (group, token)-keyed distinct shuffle —
+    * vocabulary-scale state, fixture-tier honesty about sketch error.
+    * The production path at 100 TB is the register branch alone: a
+    * map-side-combined (group, register) max with state ≤ groups × m —
+    * no shuffle ever carries tokens, and sketches merge across shards /
+    * days / corpora by register-wise max (the property count(distinct)
+    * can never have).
+    *
+    * Register-sum determinism: every 2^-rank term and every partial sum
+    * is an exact dyadic rational well inside double's 53 bits (rank ≤
+    * 33, m ≤ 65536), so the register sum is order-independent and
+    * engine-exact; only the final ln-based corrections are float, and
+    * they live behind round(6). */
+  def hllCard(docs: DataFrame, groupCol: String = "source",
+      regHexChars: Int = 2): DataFrame = {
+    require(regHexChars >= 1 && regHexChars <= 4,
+      s"regHexChars must be in [1, 4] (16..65536 registers), " +
+        s"got $regHexChars")
+    val m = math.pow(16, regHexChars).toInt
+    // Flajolet et al. alpha_m; the >= 128 formula is written as a Column
+    // expression so both engines evaluate the identical IEEE sequence
+    val alphaM2: Column = (m match {
+      case 16 => lit(0.673) // the paper's small-m constant; m >= 256 below
+      case _  => lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m))
+    }) * lit(m) * lit(m)
+    val tok = docs.select(col(groupCol).as("grp"),
+      explode(tokens(coalesce(col("text"), lit("")))).as("_w"))
+    val regs = tok.select(col("grp"), md5(col("_w")).as("_h"))
+      .select(col("grp"),
+        conv(substring(col("_h"), 1, regHexChars), 16, 10).cast("long")
+          .as("_j"),
+        conv(substring(col("_h"), regHexChars + 1, 8), 16, 10).cast("long")
+          .as("_wnd"))
+      .withColumn("_rho", when(col("_wnd") === 0, lit(33))
+        .otherwise(lit(33) - length(bin(col("_wnd")))))
+      .groupBy("grp", "_j").agg(max("_rho").as("_mj"))
+    val exact = tok.groupBy("grp")
+      .agg(countDistinct("_w").cast("bigint").as("n_exact"))
+    val two32 = 4294967296.0
+    val card = regs.groupBy("grp").agg(
+        count(lit(1)).as("_used"),
+        sum(pow(lit(2.0), -col("_mj"))).as("_s"))
+      .withColumn("_v", lit(m) - col("_used"))
+      .withColumn("_e", alphaM2 / (col("_s") + col("_v")))
+      .withColumn("hll_est", round(
+        when(col("_e") <= lit(2.5 * m) && col("_v") > 0,
+          lit(m) * log(lit(m.toDouble) / col("_v")))
+          .when(col("_e") > lit(two32 / 30.0),
+            lit(-two32) * log(lit(1.0) - col("_e") / lit(two32)))
+          .otherwise(col("_e")), 6))
+    card.join(broadcast(exact), Seq("grp"))
+      .select(col("grp").as(groupCol), col("n_exact"),
+        col("_v").cast("bigint").as("v_empty"), col("hll_est"),
+        round((col("hll_est") - col("n_exact")) /
+          col("n_exact").cast("double"), 6).as("rel_err"))
+  }
+
   /** Character-level gibberish/encoding-damage card: codepoint count,
     * distinct codepoints, dominant-codepoint share, and Shannon entropy of
     * each document's character distribution. Natural text per script sits

@@ -280,6 +280,16 @@ object LlmQueries {
     // slope replay)
     "q_vocab_card" -> { (s, dir) => TextOps.vocabCard(docs(s, dir)) },
 
+    // per-source HyperLogLog distinct-token card, built DETERMINISTICALLY
+    // from md5 bits (register = the hash's first byte, rank =
+    // integer-exact leading-zero count of the next 32 bits) with the
+    // paper's small/large-range corrections — the oracle replays the
+    // REGISTERS themselves, not just the estimate; n_exact is the audit
+    // column the production path drops at 100 TB (register state is
+    // sources x 256 and merges by max; the exact column alone pays a
+    // vocabulary-scale distinct shuffle)
+    "q_hll_card" -> { (s, dir) => TextOps.hllCard(docs(s, dir)) },
+
     // mixed-language detection over 16-word segments: the fixture is
     // monolingual, so mixture is PLANTED — copies at +100000 carry an
     // 18-word French-stopword tail whose final segments guess 'fr';
@@ -961,6 +971,53 @@ object LlmQueries {
         |      -(n / CAST(tot AS DOUBLE)) * ln(n / CAST(tot AS DOUBLE)), 12)
         |    AS DECIMAL(28,12))) AS DOUBLE), 6) AS char_entropy
         |FROM cn GROUP BY doc_id""".stripMargin,
+
+    // Replays the HLL REGISTERS: md5-byte register index, integer
+    // leading-zero rank via the binary-string length (no float log2),
+    // register-wise max, then the estimator with both corrections. The
+    // 2^-rank register sum is exact dyadic arithmetic in double (rank <=
+    // 33, 256 registers — every partial sum fits 53 bits), so the only
+    // cross-engine float is the ln inside the corrections, behind
+    // round(6).
+    "q_hll_card" ->
+      """WITH tok AS MATERIALIZED (
+        |  SELECT source AS grp,
+        |    unnest(string_split(coalesce(text, ''), ' ')) AS w
+        |  FROM documents),
+        |r AS (
+        |  SELECT grp,
+        |    CAST('0x' || substring(h, 1, 2) AS BIGINT) AS j,
+        |    CAST('0x' || substring(h, 3, 8) AS BIGINT) AS wnd
+        |  FROM (SELECT grp, md5(w) AS h FROM tok)),
+        |regs AS (
+        |  SELECT grp, j,
+        |    max(CASE WHEN wnd = 0 THEN 33
+        |             ELSE 33 - length(bin(wnd)) END) AS mj
+        |  FROM r GROUP BY 1, 2),
+        |ex AS (
+        |  SELECT grp, CAST(count(DISTINCT w) AS BIGINT) AS n_exact
+        |  FROM tok GROUP BY 1),
+        |card AS (
+        |  SELECT grp, count(*) AS used, sum(pow(2.0, -mj)) AS s
+        |  FROM regs GROUP BY 1),
+        |est AS (
+        |  SELECT grp, 256 - used AS v,
+        |    0.7213/(1+1.079/256)*256*256 / (s + (256 - used)) AS e
+        |  FROM card),
+        |fin AS (
+        |  SELECT grp, v,
+        |    round(CASE
+        |      WHEN e <= 2.5*256 AND v > 0
+        |        THEN 256 * ln(CAST(256 AS DOUBLE) / v)
+        |      WHEN e > 4294967296.0/30
+        |        THEN -4294967296.0 * ln(1 - e/4294967296.0)
+        |      ELSE e END, 6) AS hll_est
+        |  FROM est)
+        |SELECT f.grp AS source, ex.n_exact,
+        |  CAST(f.v AS BIGINT) AS v_empty, f.hll_est,
+        |  round((f.hll_est - ex.n_exact) / CAST(ex.n_exact AS DOUBLE), 6)
+        |    AS rel_err
+        |FROM fin f JOIN ex USING (grp)""".stripMargin,
 
     // Replays the word-count fit, the (count DESC, token ASC) rank, and
     // the 12-dp DECIMAL OLS sums for the Zipf slope — decimal sums are
@@ -2323,6 +2380,7 @@ object LlmQueries {
     "q_lang_guess" -> Seq("doc_id"),
     "q_readability" -> Seq("doc_id"),
     "q_char_entropy" -> Seq("doc_id"),
+    "q_hll_card" -> Seq("source"),
     "q_lang_mixture" -> Seq("doc_id"),
     "q_dedup_exact" -> Seq("doc_id"),
     "q_dedup_minhash_sigs" -> Seq("doc_id"),

@@ -192,6 +192,10 @@ object KernelProbe {
       "COMPUTE q FROM table(embedding) INTO column(rec_mse) " +
         "USING int8_distortion",
       "q_int8_distortion"),
+    ("hll_card",
+      "COMPUTE h FROM table(text, source) INTO column(est) " +
+        "USING hll_card",
+      "q_hll_card"),
     ("logistic_quality",
       "COMPUTE q FROM table(text, is_en) INTO column(lq_score) " +
         "USING logistic_quality",

@@ -1009,6 +1009,23 @@ class PlanAuditSpec extends AnyFunSuite {
       s"the dup-count join must stay an equi-join on the text hash:\n$p")
   }
 
+  test("q_hll_card builds registers via a map-side partial aggregation " +
+    "— sketch state is groups x 256, never token-keyed") {
+    val p = plan("q_hll_card")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the audit-column join rides a broadcast of the per-group exact " +
+        s"counts:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"nothing here is big enough to sort-merge — both join sides are " +
+        s"post-aggregation group cards:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"no degenerate joins:\n$p")
+    val partials = "partial_max".r.findAllIn(p).length
+    assert(partials >= 1,
+      s"the register max must combine map-side (the 100 TB path):\n$p")
+  }
+
   test("q_quality_classifier scores via a broadcast weight join over " +
     "the persisted count relation — no corpus-side shuffle on buckets") {
     val p = plan("q_quality_classifier")

@@ -540,6 +540,27 @@ class ComputeSpec2 extends AnyFunSuite {
     assert(err.getMessage.contains("no target rows"))
   }
 
+  test("hll_card kernel sketches per-group distinct tokens from the DSL " +
+    "and matches the catalog twin") {
+    val s = spark
+    val twin = graft.llm.TextOps.hllCard(s.table("documents"))
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("hll_est")).toMap
+    val k = ComputeRegistry.runOnce(s,
+      parse("COMPUTE h FROM table(text, source) INTO column(est) " +
+        "USING hll_card"),
+      "documents")
+    val got = k.collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Double]("est")).toMap
+    assert(got == twin, "kernel estimates must equal the catalog twin")
+    val err = intercept[IllegalArgumentException] {
+      ComputeRegistry.runOnce(s,
+        parse("COMPUTE h FROM table(text, source) INTO column(rel_err) " +
+          "USING hll_card"),
+        "documents")
+    }
+    assert(err.getMessage.contains("reserves"))
+  }
+
   test("logistic_quality kernel trains the discriminative classifier " +
     "from the DSL: rows preserved, planted signal separates") {
     val s = spark

@@ -1030,6 +1030,40 @@ class CurationSpec extends AnyFunSuite {
       partial.getAs[Long]("n_agree") < 8L)
   }
 
+  test("hllCard: hand-computed registers on {a,b,c}, duplicate " +
+    "idempotence, and sketch accuracy on the fixture corpus") {
+    val s = spark
+    import s.implicits._
+    // md5 registers: a -> (12, rho 1), b -> (146, 1), c -> (74, 1); all
+    // distinct -> used 3, v_empty 253; raw E 184.96 <= 2.5m with v > 0
+    // -> linear counting 256*ln(256/253) = 3.017717
+    val abc = Seq((1L, "a b", "s1"), (2L, "c", "s1"))
+      .toDF("doc_id", "text", "source")
+    val card = TextOps.hllCard(abc).collect()(0)
+    assert(card.getAs[Long]("n_exact") == 3L)
+    assert(card.getAs[Long]("v_empty") == 253L)
+    assert(card.getAs[Double]("hll_est") == 3.017717)
+    assert(card.getAs[Double]("rel_err") == 0.005906)
+    // max is idempotent: token multiplicity cannot move a register
+    val dup = Seq((1L, "a a a b", "s1"), (2L, "c c", "s1"))
+      .toDF("doc_id", "text", "source")
+    val card2 = TextOps.hllCard(dup).collect()(0)
+    assert(card2.getAs[Double]("hll_est") == 3.017717 &&
+      card2.getAs[Long]("v_empty") == 253L,
+      "duplicates must not change the sketch")
+    // fixture corpus: every source's estimate lands within HLL accuracy
+    val real = TextOps.hllCard(s.table("documents")).collect()
+    assert(real.nonEmpty)
+    real.foreach { r =>
+      val err = math.abs(r.getAs[Double]("rel_err"))
+      assert(err < 0.2,
+        s"source ${r.getString(0)}: rel_err $err out of sketch range")
+    }
+    val e = intercept[IllegalArgumentException](
+      TextOps.hllCard(abc, regHexChars = 5))
+    assert(e.getMessage.contains("regHexChars"))
+  }
+
   test("logisticQuality: one GD step on a one-doc corpus is the " +
     "hand-computed p=0.5 update; two steps pin the HALF_UP lattice tie") {
     val s = spark
