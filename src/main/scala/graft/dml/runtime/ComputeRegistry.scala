@@ -504,6 +504,21 @@ object ComputeRegistry {
         .select(col("doc_id"), col("ce_delta").as(out))
       df.join(scored, Seq("doc_id"), "left")
     },
+    // MMR diversified re-rank over an EMBEDDING input column — relation-
+    // REPLACING: the 5-pick greedy card for query doc_id 0 (rank,
+    // vec_id, rel, mmr score); INTO column(...) names the mmr column
+    "mmr_rerank" -> { (df, ins, out) =>
+      require(df.columns.contains("doc_id"),
+        s"table kernels require a 'doc_id' key column; relation has " +
+          s"[${df.columns.mkString(", ")}]")
+      require(!Seq("rank", "vec_id", "rel").contains(out),
+        s"mmr_rerank reserves its card column names; pick another INTO " +
+          s"column name (got '$out')")
+      val embs = df.select(col("doc_id").cast("long").as("vec_id"),
+        col(ins.head).as("embedding"))
+      graft.llm.Similarity.mmrRerank(embs, queryId = 0L, k = 5, pool = 16)
+        .withColumnRenamed("mmr_score", out)
+    },
     // per-group HyperLogLog distinct-token card over (text, group) input
     // columns — relation-REPLACING: one row per group with the exact
     // audit count, empty-register count, deterministic md5 HLL estimate,

@@ -116,6 +116,89 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** MMR diversified re-rank (Carbonell & Goldstein 1998, "The Use of
+    * MMR ... in Retrieval and Summarization") — the RAG-tier answer to
+    * near-duplicate retrieval hits: greedily pick `k` of the `pool`
+    * most-relevant candidates, each next pick maximizing
+    * λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s) (ties → smaller vec_id).
+    * First pick's redundancy term is max over ∅, defined 0.
+    *
+    * Determinism is the catalog's decimal discipline: rel and pairwise
+    * sims are 6-dp-rounded cosines (the proven [[cosine]]/oracle pair),
+    * λ is an exact decimal, so every MMR score is an exact 7-dp decimal
+    * and the greedy argmax ordering is engine-independent — the oracle
+    * replays all k picks as a generated CTE chain.
+    *
+    * Scale shape: relevance scoring is the [[bruteForceTopK]] envelope
+    * (broadcast one query, one corpus projection, TakeOrdered pool
+    * rows); everything after is pool-bounded — the pool×pool sim matrix
+    * (distributed, then collected: pool² ≤ 256 rows, the centroid-table
+    * convention) and a driver-local greedy over ≤ pool decimals. At
+    * 100 TB swap the candidate generator for [[lshTopK]]/[[searchIvf]];
+    * the MMR stage is scale-free. */
+  /** [[mmrRerank]]'s corpus-scale half, split out so the plan audit can
+    * pin its shape: broadcast one query row, one scored corpus
+    * projection, TakeOrdered `pool` rows. */
+  private[graft] def mmrCandidates(embeddings: DataFrame, queryId: Long,
+      pool: Int): DataFrame = {
+    val qv = embeddings.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("_q"))
+    embeddings.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id"),
+        normZero(round(cosine(col("_q"), col("embedding")), 6)).as("rel"),
+        col("embedding"))
+      .orderBy(col("rel").desc, col("vec_id").asc).limit(pool)
+  }
+
+  def mmrRerank(embeddings: DataFrame, queryId: Long = 0L, k: Int = 5,
+      pool: Int = 16, lambda: BigDecimal = BigDecimal("0.7")): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(pool >= k, s"pool must be >= k, got pool=$pool k=$k")
+    require(lambda > 0 && lambda <= 1,
+      s"lambda must be in (0, 1], got $lambda")
+    val spark = embeddings.sparkSession
+    val qv = embeddings.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("_q"))
+    require(!qv.isEmpty, s"mmrRerank: query vec_id $queryId not found")
+    val cands = PipelineCaches.track(
+      mmrCandidates(embeddings, queryId, pool)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // bounded collects: pool (vec_id, rel) rows + the pool^2 sim matrix
+    val rel: Seq[(Long, BigDecimal)] = cands.select("vec_id", "rel")
+      .collect().map(r => r.getLong(0) -> BigDecimal(r.getDouble(1))).toSeq
+    val a = cands.select(col("vec_id").as("_va"), col("embedding").as("_ea"))
+    val b = cands.select(col("vec_id").as("_vb"), col("embedding").as("_eb"))
+    val sim: Map[(Long, Long), BigDecimal] = a.crossJoin(broadcast(b))
+      .filter(col("_va") =!= col("_vb"))
+      .select(col("_va"), col("_vb"),
+        normZero(round(cosine(col("_ea"), col("_eb")), 6)).as("_s"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> BigDecimal(r.getDouble(2)))
+      .toMap
+    val oneMinus = BigDecimal(1) - lambda
+    val picked = scala.collection.mutable.ListBuffer.empty[(Int, Long,
+      BigDecimal, BigDecimal)]
+    val remaining = scala.collection.mutable.LinkedHashMap(rel: _*)
+    var rank = 1
+    while (rank <= k && remaining.nonEmpty) {
+      val scoredRem = remaining.toSeq.map { case (v, r) =>
+        val ms =
+          if (picked.isEmpty) BigDecimal(0)
+          else picked.map(p => sim((v, p._2))).max
+        (v, r, lambda * r - oneMinus * ms)
+      }
+      val (v, r, s) = scoredRem.minBy { case (v, _, s) => (-s, v) }
+      picked += ((rank, v, r, s))
+      remaining.remove(v)
+      rank += 1
+    }
+    import spark.implicits._
+    picked.toSeq
+      .map(p => (p._1, p._2, p._3.doubleValue, p._4.doubleValue))
+      .toDF("rank", "vec_id", "rel", "mmr_score")
+  }
+
   /** Two-stage ANN via signed random projection (Johnson–Lindenstrauss):
     * project every embedding to `outDim` dims with the ±1 MD5-parity
     * matrix ([[graft.functions.SignedProjection]] — one zero-shuffle

@@ -167,6 +167,52 @@ object LlmQueries {
        |           i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))))
        |    , 6)""".stripMargin
 
+  /** Generated greedy-replay oracle for [[Similarity.mmrRerank]]: one
+    * CTE per pick. rel and pairwise sims are 6-dp DECIMALs, λ literals
+    * are exact decimals, so every MMR score is an exact 7-dp decimal and
+    * each pick's argmax (mmr DESC, vec_id ASC) is engine-independent —
+    * the hash gate verifies the greedy TRAJECTORY, not just the result
+    * set. */
+  private def mmrOracleSql(queryId: Long, k: Int, pool: Int): String = {
+    def selSet(t: Int): String =
+      (1 to t).map(i => s"SELECT vec_id FROM p$i").mkString(" UNION ALL ")
+    val picks = (2 to k).map { t =>
+      s"""p$t AS MATERIALIZED (
+         |  SELECT c.vec_id, c.rel,
+         |    CAST(0.7 * c.rel - 0.3 * ms.m AS DECIMAL(20,7)) AS mmr
+         |  FROM cands c JOIN (
+         |    SELECT va AS vec_id, max(s) AS m FROM sims
+         |    WHERE vb IN (${selSet(t - 1)}) GROUP BY 1) ms USING (vec_id)
+         |  WHERE c.vec_id NOT IN (${selSet(t - 1)})
+         |  ORDER BY mmr DESC, c.vec_id ASC LIMIT 1)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to k).map(t =>
+      s"""  SELECT CAST($t AS INT) AS rank, vec_id,
+         |    CAST(rel AS DOUBLE) AS rel, CAST(mmr AS DOUBLE) AS mmr_score
+         |  FROM p$t""".stripMargin).mkString("\n  UNION ALL\n")
+    s"""WITH qv AS (
+       |  SELECT embedding AS q FROM embeddings WHERE vec_id = $queryId),
+       |sc AS (
+       |  SELECT e.vec_id, ${cosSql("qv.q", "e.embedding")} AS rel,
+       |    e.embedding
+       |  FROM embeddings e, qv WHERE e.vec_id <> $queryId),
+       |cands AS MATERIALIZED (
+       |  SELECT vec_id, CAST(rel AS DECIMAL(18,6)) AS rel, embedding
+       |  FROM sc ORDER BY rel DESC, vec_id ASC LIMIT $pool),
+       |sims AS MATERIALIZED (
+       |  SELECT a.vec_id AS va, b.vec_id AS vb,
+       |    CAST(${cosSql("a.embedding", "b.embedding")} AS DECIMAL(18,6))
+       |      AS s
+       |  FROM cands a JOIN cands b ON a.vec_id <> b.vec_id),
+       |p1 AS MATERIALIZED (
+       |  SELECT vec_id, rel, CAST(0.7 * rel AS DECIMAL(20,7)) AS mmr
+       |  FROM cands ORDER BY rel DESC, vec_id ASC LIMIT 1),
+       |$picks
+       |SELECT * FROM (
+       |$out)
+       |ORDER BY rank""".stripMargin
+  }
+
   /** DuckDB CTE block replaying seeded-PQ encode + ADC scoring over a
     * candidate CTE `cand(query_id, vec_id)` that must be defined BEFORE
     * this block: ends at `scored(query_id, vec_id, score)`. Mirrors
@@ -430,6 +476,16 @@ object LlmQueries {
     "q_ann_cosine_topk" -> { (s, dir) =>
       Similarity.bruteForceTopK(embs(s, dir), annQueryIds, k = 10)
         .orderBy("query_id", "rank")
+    },
+
+    // MMR diversified re-rank (Carbonell & Goldstein 1998): top-16
+    // cosine pool for query vec 0, then 5 greedy picks maximizing
+    // 0.7*rel - 0.3*max-sim-to-selected — every score an exact 7-dp
+    // decimal over the 6-dp rounded cosines, so the oracle replays ALL
+    // five greedy argmax picks as a CTE chain
+    "q_mmr_rerank" -> { (s, dir) =>
+      Similarity.mmrRerank(embs(s, dir), queryId = 0L, k = 5, pool = 16)
+        .orderBy("rank")
     },
 
     // LSH-bucketed ANN — the 100 TB path. The hyperplanes are md5-parity
@@ -1606,6 +1662,7 @@ object LlmQueries {
     // round12(A*v) DECIMAL-summed then max-abs renormalized — the same
     // spec the driver-local loop executes in exact decimal arithmetic
     "q_emb_top_pc" -> topPcOracleSql(12),
+    "q_mmr_rerank" -> mmrOracleSql(0L, 5, 16),
 
     // the KL terms replay with p*ln(p/q) rounded to 12 dp and
     // DECIMAL-summed; probabilities are ratios of exact integers + 0.5

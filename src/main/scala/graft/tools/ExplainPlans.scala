@@ -44,6 +44,11 @@ object ExplainPlans {
     // so its "plan" is a LocalTableScan of the finished card — the
     // corpus-pass shape is pinned in PlanAuditSpec on the moment
     // aggregation instead.
+    // q_mmr_rerank is deliberately absent for the same reason: entry
+    // construction runs candidate generation + the driver-local greedy,
+    // so its "plan" is the k-row local result — the corpus-pass shape
+    // (broadcast query, TakeOrdered pool) is pinned in PlanAuditSpec on
+    // Similarity.mmrCandidates instead.
     // q_dedup_groups is deliberately absent: building its DataFrame RUNS
     // the propagation rounds (eager per-round materialization), so its
     // "plan" is an InMemoryTableScan of the final round — nothing to audit.

@@ -192,6 +192,10 @@ object KernelProbe {
       "COMPUTE q FROM table(embedding) INTO column(rec_mse) " +
         "USING int8_distortion",
       "q_int8_distortion"),
+    ("mmr_rerank",
+      "COMPUTE m FROM table(embedding) INTO column(mmr) " +
+        "USING mmr_rerank",
+      "q_mmr_rerank"),
     ("hll_card",
       "COMPUTE h FROM table(text, source) INTO column(est) " +
         "USING hll_card",

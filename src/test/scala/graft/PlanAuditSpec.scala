@@ -1009,6 +1009,23 @@ class PlanAuditSpec extends AnyFunSuite {
       s"the dup-count join must stay an equi-join on the text hash:\n$p")
   }
 
+  test("mmr candidate pool broadcasts the one query row and TakeOrders " +
+    "the pool — everything downstream of it is pool-bounded") {
+    val s = spark
+    graft.Tables.register(s, SparkTestSession.fixtureDir)
+    val p = graft.llm.Similarity
+      .mmrCandidates(s.table("embeddings"), 0L, 16)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the pool cut must be a bounded-heap TakeOrdered, not a global " +
+        s"sort:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"the single query row broadcasts onto the corpus projection:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no corpus-side shuffle anywhere in candidate generation:\n$p")
+  }
+
   test("q_hll_card builds registers via a map-side partial aggregation " +
     "— sketch state is groups x 256, never token-keyed") {
     val p = plan("q_hll_card")

@@ -540,6 +540,31 @@ class ComputeSpec2 extends AnyFunSuite {
     assert(err.getMessage.contains("no target rows"))
   }
 
+  test("mmr_rerank kernel emits the 5-pick greedy card from the DSL and " +
+    "matches the catalog twin") {
+    val s = spark
+    s.table("embeddings")
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+      .createOrReplaceTempView("emb_docs_mmr")
+    val twin = graft.llm.Similarity
+      .mmrRerank(s.table("embeddings"), queryId = 0L, k = 5, pool = 16)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(3)))
+    graft.llm.PipelineCaches.clear()
+    val k = ComputeRegistry.runOnce(s,
+      parse("COMPUTE m FROM table(embedding) INTO column(mmr) " +
+        "USING mmr_rerank"),
+      "emb_docs_mmr")
+    val got = k.orderBy("rank").collect()
+      .map(r => (r.getAs[Int]("rank"), r.getAs[Long]("vec_id"),
+        r.getAs[Double]("mmr")))
+    assert(got.toSeq == twin.toSeq,
+      "kernel greedy card must equal the catalog twin")
+    assert(got.length == 5 && got.map(_._3).sliding(2)
+      .forall(p => p(0) >= p(1) || p.length < 2),
+      "mmr scores are non-increasing down the greedy ranks")
+    graft.llm.PipelineCaches.clear()
+  }
+
   test("hll_card kernel sketches per-group distinct tokens from the DSL " +
     "and matches the catalog twin") {
     val s = spark

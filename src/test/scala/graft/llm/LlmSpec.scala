@@ -1032,4 +1032,36 @@ class LlmSpec extends AnyFunSuite {
       col("count") =!= ceil(ceil(col("bl") / 64.0) / 4.0).cast("long"))
     assert(bad.count() == 0)
   }
+
+  test("mmrRerank: hand-computed greedy trajectory — a perfect near-dup " +
+    "is demoted below the diverse candidate, ties break on vec_id") {
+    val s = spark
+    import s.implicits._
+    // integer 3-D vectors (exact float32, perfect-square norms): query
+    // (1,0,0); all three candidates tie at rel .8 — id2 is PARALLEL to
+    // id1 (sim 1.0), id3 is diverse (sim .64 to both)
+    val embs = Seq(
+      (0L, Seq(1f, 0f, 0f)), (1L, Seq(4f, 0f, 3f)),
+      (2L, Seq(8f, 0f, 6f)), (3L, Seq(4f, 3f, 0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.mmrRerank(embs, queryId = 0L, k = 3, pool = 3)
+      .collect().map(r => (r.getInt(0), r.getLong(1),
+        r.getDouble(2), r.getDouble(3)))
+    // pure relevance (rel desc, vec_id asc) would order 1, 2, 3 — MMR
+    // demotes the exact near-dup id2 BELOW the equally-relevant diverse
+    // id3; the rank-1 three-way rel tie resolves to the smallest vec_id
+    assert(out.toSeq == Seq(
+      (1, 1L, 0.8, 0.56),     // 0.7*0.8, redundancy term over empty set
+      (2, 3L, 0.8, 0.368),    // 0.56 - 0.3*0.64
+      (3, 2L, 0.8, 0.26)),    // 0.56 - 0.3*1.0
+      s"greedy trajectory mismatch: ${out.toSeq}")
+    graft.llm.PipelineCaches.clear()
+    val e1 = intercept[IllegalArgumentException](
+      Similarity.mmrRerank(embs, queryId = 99L))
+    assert(e1.getMessage.contains("not found"))
+    val e2 = intercept[IllegalArgumentException](
+      Similarity.mmrRerank(embs, queryId = 0L, k = 6, pool = 4))
+    assert(e2.getMessage.contains("pool"))
+    graft.llm.PipelineCaches.clear()
+  }
 }
