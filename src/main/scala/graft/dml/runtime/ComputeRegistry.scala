@@ -912,6 +912,23 @@ object ComputeRegistry {
         .select(col("doc_id"), col("novelty").as(out))
       df.join(nov, Seq("doc_id"), "left")
     },
+    // longest-verbatim-overlap contamination card over (text, is_test)
+    // input columns: test rows get the longest train-shared token-span
+    // length as the output column (the LENGTH read of decontamination);
+    // train rows keep NULL
+    "contamination_span" -> { (df, ins, out) =>
+      require(ins.length >= 2,
+        s"contamination_span needs (text, is_test) input columns, got $ins")
+      val flag = col(ins(1)).cast("boolean") <=> lit(true)
+      val test = keyed(df.filter(flag), ins.head)
+      require(!test.isEmpty,
+        s"contamination_span: no test rows (column '${ins(1)}' is never " +
+          s"true)")
+      val span = graft.llm.Curation.contaminationSpan(
+          keyed(df.filter(!flag), ins.head), test, k = 8)
+        .select(col("doc_id"), col("longest_span").as(out))
+      df.join(span, Seq("doc_id"), "left")
+    },
     // EXACT similarity self-join over a TEXT input column — relation-
     // REPLACING: every (doc_a < doc_b) pair with distinct-3-shingle
     // Jaccard >= 0.8, complete by the prefix-filter construction (the

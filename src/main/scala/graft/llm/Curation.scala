@@ -146,6 +146,65 @@ object Curation {
             col("n_grams").cast("double"), 6)).as("novelty"))
   }
 
+  /** Longest-verbatim-overlap contamination card — the LENGTH read the
+    * contamination studies actually report (Lee et al. 2021 / GPT-3
+    * appendix C style), where [[decontaminate]] answers yes/no and
+    * [[ngramNovelty]] answers how-much: for each TEST doc, the longest
+    * run of consecutive token positions whose k-grams all occur
+    * somewhere in train, i.e. the longest shared verbatim token span
+    * (≥ k, via run + k − 1; whole-short-doc matches cap at the doc's
+    * own token count). A 50-token span is memorization evidence; five
+    * scattered 8-gram hits are phrase reuse — this card separates them.
+    *
+    * Integer-exact end to end (run lengths via the pos − row_number
+    * islands identity), so the oracle replays it bit-for-bit.
+    *
+    * Scale shape: [[ngramNovelty]]'s broadcast discipline — distinct
+    * TEST gram keys broadcast to train, the seen-key set broadcasts
+    * back onto the positional test gram stream; the 100 TB train side
+    * never shuffles on gram keys. The islands window partitions by test
+    * doc_id (benchmark-sized relation, per-doc partitions). */
+  def contaminationSpan(train: DataFrame, test: DataFrame, k: Int = 8)
+      : DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val grams = PipelineCaches.track(test
+      .withColumn("_t", coalesce(col("text"), lit("")))
+      .select(col("doc_id"),
+        size(TextOps.tokens(col("_t"))).cast("bigint").as("n_tokens"),
+        posexplode(graft.functions.Kgrams.kgrams(
+          col("_t"), k, keepShortWhole = true)).as(Seq("pos", "_g")))
+      .select(col("doc_id"), col("n_tokens"), col("pos"),
+        md5(col("_g")).as("gram_key"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val distinctTest = grams.select("gram_key").distinct()
+    val seen = gramKeys(train, k)
+      .join(broadcast(distinctTest), Seq("gram_key"))
+      .select("gram_key").distinct()
+    val hits = grams
+      .join(broadcast(seen.withColumn("_hit", lit(1))), Seq("gram_key"))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy("pos")))
+      .groupBy(col("doc_id"), (col("pos") - col("_rn")).as("_isl"))
+      .agg(count(lit(1)).as("_run"))
+      .groupBy("doc_id").agg(
+        sum("_run").cast("bigint").as("n_matched"),
+        max("_run").as("_maxrun"))
+    val perDoc = grams.groupBy("doc_id").agg(
+      max("n_tokens").as("n_tokens"),
+      count(lit(1)).cast("bigint").as("n_grams"))
+    perDoc.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("n_grams"),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"),
+        // explicit NULL branch: least() SKIPS nulls in both engines, so
+        // coalesce(least(NULL + k-1, n), 0) would silently yield n
+        when(col("_maxrun").isNull, lit(0L))
+          .otherwise(least(col("_maxrun") + lit(k - 1), col("n_tokens")))
+          .cast("bigint").as("longest_span"))
+      .withColumn("contam_frac", round(
+        col("longest_span").cast("double") /
+          col("n_tokens").cast("double"), 6))
+  }
+
   /** DSIR data-selection importance weights (Xie et al. 2023, "Data
     * Selection for Language Models via Importance Resampling"): score
     * every raw-corpus document by how target-domain-like its hashed

@@ -84,6 +84,19 @@ object CurationQueries {
         alpha = 0.5)
     },
 
+    // longest-verbatim-overlap contamination card (the LENGTH read of
+    // decontamination): per benchmark doc, the longest run of
+    // consecutive positions whose 8-grams all occur in train -> longest
+    // shared token span; train carries trimmed benchmark copies, so
+    // long spans are PLANTED and scattered phrase hits stay short
+    "q_contamination_span" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val bench = d.filter(col("doc_id") % 10 === 0).select("doc_id", "text")
+      val train = d.filter(col("doc_id") % 10 =!= 0).select("doc_id", "text")
+        .unionAll(trimmed(bench))
+      Curation.contaminationSpan(train, bench, k = 8)
+    },
+
     // discriminative quality classifier (the GPT-3-style curated-vs-raw
     // linear filter): 5 full-batch gradient-descent steps of logistic
     // regression over 256 hashed-unigram buckets + intercept, positives
@@ -462,6 +475,63 @@ object CurationQueries {
 
   def oracles: Map[String, String] = Map(
     "q_quality_classifier" -> lrOracleSql(256, 5, 0.5),
+
+    // Replays the positional 8-gram stream, the train-side membership
+    // set, and the pos - row_number islands identity — integer-exact end
+    // to end.
+    "q_contamination_span" -> {
+      val g8 = (1 to 8).map(j => s"w[i+${j - 1}]").mkString(" || ' ' || ")
+      val grams8 =
+        s"""CASE WHEN len(w) < 8 THEN [coalesce(text, '')]
+           |ELSE list_transform(range(1, len(w) - 6), i -> $g8) END"""
+          .stripMargin
+      s"""WITH bench AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+         |train AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0
+         |  UNION ALL
+         |  SELECT doc_id + 100000 AS doc_id,
+         |    substring(text, 1, greatest(length(text) - 12, 1)) AS text
+         |  FROM bench),
+         |bw AS (
+         |  SELECT doc_id, coalesce(text, '') AS text,
+         |    string_split(coalesce(text, ''), ' ') AS w
+         |  FROM bench),
+         |bg AS MATERIALIZED (
+         |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens, i AS pos,
+         |    md5(CASE WHEN len(w) < 8 THEN text ELSE $g8 END) AS gram_key
+         |  FROM bw, unnest(range(1, greatest(len(w) - 6, 2))) AS r(i)),
+         |tg AS (
+         |  SELECT DISTINCT md5(g) AS gram_key FROM (
+         |    SELECT unnest(list_distinct($grams8)) AS g
+         |    FROM (SELECT doc_id, text,
+         |      string_split(coalesce(text, ''), ' ') AS w FROM train))),
+         |hit AS (
+         |  SELECT bg.doc_id, bg.pos,
+         |    row_number() OVER (PARTITION BY bg.doc_id ORDER BY bg.pos)
+         |      AS rn
+         |  FROM bg JOIN tg USING (gram_key)),
+         |runs AS (
+         |  SELECT doc_id, pos - rn AS isl, count(*) AS run
+         |  FROM hit GROUP BY 1, 2),
+         |hs AS (
+         |  SELECT doc_id, CAST(sum(run) AS BIGINT) AS n_matched,
+         |    max(run) AS maxrun
+         |  FROM runs GROUP BY 1),
+         |pd AS (
+         |  SELECT doc_id, CAST(max(n_tokens) AS BIGINT) AS n_tokens,
+         |    CAST(count(*) AS BIGINT) AS n_grams
+         |  FROM bg GROUP BY 1)
+         |SELECT pd.doc_id, pd.n_tokens, pd.n_grams,
+         |  coalesce(hs.n_matched, 0) AS n_matched,
+         |  CAST(CASE WHEN hs.maxrun IS NULL THEN 0
+         |    ELSE least(hs.maxrun + 7, pd.n_tokens) END AS BIGINT)
+         |    AS longest_span,
+         |  round(CAST(CASE WHEN hs.maxrun IS NULL THEN 0
+         |      ELSE least(hs.maxrun + 7, pd.n_tokens) END
+         |      AS DOUBLE) / pd.n_tokens, 6) AS contam_frac
+         |FROM pd LEFT JOIN hs USING (doc_id)""".stripMargin
+    },
     "q_bpe_merges" -> {
       val n = 8
       val rows = (1 to n).map(r =>
@@ -1524,6 +1594,7 @@ object CurationQueries {
     "q_dsir_weights" -> Seq("doc_id"),
     "q_ce_delta" -> Seq("doc_id"),
     "q_quality_classifier" -> Seq("doc_id"),
+    "q_contamination_span" -> Seq("doc_id"),
     "q_corpus_report" -> Seq("lang", "source"),
     "q_leakage_split" -> Seq("doc_id"),
     "q_c4_filter" -> Seq("doc_id"),

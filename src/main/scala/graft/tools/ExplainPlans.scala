@@ -38,7 +38,8 @@ object ExplainPlans {
       "q_pair_jaccard_hist", "q_cluster_purity", "q_ngram_novelty",
       "q_corpus_release", "q_pack_plan_bpe", "q_bpe_fertility",
       "q_emb_drift", "q_pq_distortion", "q_int8_distortion",
-      "q_lsh_sensitivity", "q_quality_classifier", "q_hll_card")
+      "q_lsh_sensitivity", "q_quality_classifier", "q_hll_card",
+      "q_contamination_span")
     // q_emb_top_pc is deliberately absent like q_dedup_groups: building
     // it RUNS the moment aggregations and the driver-local iterations,
     // so its "plan" is a LocalTableScan of the finished card — the

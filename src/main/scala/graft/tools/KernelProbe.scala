@@ -192,6 +192,10 @@ object KernelProbe {
       "COMPUTE q FROM table(embedding) INTO column(rec_mse) " +
         "USING int8_distortion",
       "q_int8_distortion"),
+    ("contamination_span",
+      "COMPUTE c FROM table(text, is_bench) INTO column(span) " +
+        "USING contamination_span",
+      "q_contamination_span"),
     ("mmr_rerank",
       "COMPUTE m FROM table(embedding) INTO column(mmr) " +
         "USING mmr_rerank",

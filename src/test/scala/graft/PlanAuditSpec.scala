@@ -1009,6 +1009,21 @@ class PlanAuditSpec extends AnyFunSuite {
       s"the dup-count join must stay an equi-join on the text hash:\n$p")
   }
 
+  test("q_contamination_span broadcasts gram membership both ways and " +
+    "windows only per test doc — train never shuffles on gram keys") {
+    val p = plan("q_contamination_span")
+    assert(p.contains("BroadcastHashJoin"),
+      s"distinct test grams broadcast to train; the seen set broadcasts " +
+        s"back:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"a sort-merge gram join would shuffle the train gram stream:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"no degenerate joins:\n$p")
+    assert(p.contains("Window"),
+      s"the islands row_number is a per-test-doc window:\n$p")
+  }
+
   test("mmr candidate pool broadcasts the one query row and TakeOrders " +
     "the pool — everything downstream of it is pool-bounded") {
     val s = spark

@@ -540,6 +540,27 @@ class ComputeSpec2 extends AnyFunSuite {
     assert(err.getMessage.contains("no target rows"))
   }
 
+  test("contamination_span kernel: a verbatim planted copy spans its " +
+    "whole doc from the DSL; train rows stay NULL") {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (1L, "a b c d e f g h i j", false),  // train
+      (2L, "a b c d e f g h i j", true),   // verbatim copy -> span 10
+      (3L, "q w e r t y u i", true))       // disjoint -> 0
+      .toDF("doc_id", "text", "is_test")
+      .createOrReplaceTempView("span_docs")
+    val out = ComputeRegistry.runOnce(s,
+      parse("COMPUTE c FROM table(text, is_test) INTO column(span) " +
+        "USING contamination_span"),
+      "span_docs")
+      .collect().map(r => r.getLong(0) -> Option(r.getAs[Any]("span"))).toMap
+    assert(out(1L).isEmpty, "train rows keep NULL span")
+    assert(out(2L).contains(10L))
+    assert(out(3L).contains(0L))
+    graft.llm.PipelineCaches.clear()
+  }
+
   test("mmr_rerank kernel emits the 5-pick greedy card from the DSL and " +
     "matches the catalog twin") {
     val s = spark

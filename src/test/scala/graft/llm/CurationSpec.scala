@@ -1030,6 +1030,34 @@ class CurationSpec extends AnyFunSuite {
       partial.getAs[Long]("n_agree") < 8L)
   }
 
+  test("contaminationSpan: verbatim copy spans the whole doc, scattered " +
+    "hits stay k-long, short whole-text matches cap at doc length") {
+    val s = spark
+    import s.implicits._
+    val train = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b")).toDF("doc_id", "text")
+    val test = Seq(
+      (10L, "a b c d e f g h i j"),  // all 3 grams matched -> span 10
+      (11L, "a b c d e f g h x y z w q r s t"), // pos 0 only -> span 8
+      (12L, "z1 z2 z3 z4 z5 z6 z7 z8"),         // no hits -> 0
+      (13L, "a b"),                  // whole-text gram -> capped span 2
+      // two NON-consecutive matched grams (pos 0 and 9): islands keep
+      // the longest span at 8, not 2 + 7
+      (14L, "a b c d e f g h QQQ c d e f g h i j"))
+      .toDF("doc_id", "text")
+    val out = Curation.contaminationSpan(train, test, k = 8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5))).toMap
+    assert(out(10L) == ((10L, 3L, 3L, 10L, 1.0)))
+    assert(out(11L) == ((16L, 9L, 1L, 8L, 0.5)))
+    assert(out(12L) == ((8L, 1L, 0L, 0L, 0.0)))
+    assert(out(13L) == ((2L, 1L, 1L, 2L, 1.0)))
+    assert(out(14L) == ((17L, 10L, 2L, 8L, 0.470588)))
+    graft.llm.PipelineCaches.clear()
+  }
+
   test("hllCard: hand-computed registers on {a,b,c}, duplicate " +
     "idempotence, and sketch accuracy on the fixture corpus") {
     val s = spark
