@@ -929,6 +929,18 @@ object ComputeRegistry {
         .select(col("doc_id"), col("longest_span").as(out))
       df.join(span, Seq("doc_id"), "left")
     },
+    // measured LSH recall audit over a TEXT input column — relation-
+    // REPLACING, ONE row: exact-join ground truth vs banded candidates
+    // at threshold 0.8 (n_truth / n_candidates / n_hit / recall /
+    // candidate_precision); INTO column(...) names the recall column
+    "lsh_recall_audit" -> { (df, ins, out) =>
+      require(!Seq("threshold", "n_truth", "n_candidates", "n_hit",
+          "candidate_precision").contains(out),
+        s"lsh_recall_audit reserves its card column names; pick another " +
+          s"INTO column name (got '$out')")
+      graft.llm.Dedup.lshRecallAudit(keyed(df, ins.head), threshold = 0.8)
+        .withColumnRenamed("recall", out)
+    },
     // EXACT similarity self-join over a TEXT input column — relation-
     // REPLACING: every (doc_a < doc_b) pair with distinct-3-shingle
     // Jaccard >= 0.8, complete by the prefix-filter construction (the

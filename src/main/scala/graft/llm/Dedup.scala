@@ -474,6 +474,48 @@ object Dedup {
     * is rescore work the banding wasted, everything above is dup mass
     * the threshold would keep. Windows run over the ≤21-row bin card —
     * never the pair stream. */
+  /** Measured LSH recall/precision audit — the governance row the exact
+    * join unlocks: run [[jaccardJoinExact]] (ground truth, recall 1.0
+    * by construction) and the banded [[minhashCandidates]] (the
+    * production path) over the SAME corpus and report how many true
+    * ≥-threshold pairs the bands actually caught. [[lshPlan]] predicts
+    * the S-curve from (bands, rows); this card MEASURES it on real
+    * data — the number a dedup run's release sheet should quote.
+    *
+    * One full-outer merge of the two pair relations feeds a single
+    * 1-row aggregate (no per-side count jobs, no one-row cross joins);
+    * every statistic is an integer or a guarded integer ratio.
+    *
+    * Scale shape: both inputs are pair-bounded relations with
+    * non-quadratic generation (prefix filter / banded buckets); the
+    * merge is an equi-join on the pair key. Run it on an AUDIT SAMPLE
+    * at 100 TB — the exact join prices by 1−t, which is the point of
+    * sampling the audit rather than skipping it. */
+  def lshRecallAudit(docs: DataFrame, threshold: Double = 0.8,
+      k: Int = 3, numHashes: Int = 8, bands: Int = 4,
+      oracleHashes: Boolean = false): DataFrame = {
+    val truth = jaccardJoinExact(docs, threshold, k)
+      .select("doc_a", "doc_b").withColumn("_t", lit(1L))
+    val cand = minhashCandidates(docs, k, numHashes, bands,
+        minEstJaccard = 0.0, oracleHashes = oracleHashes)
+      .select("doc_a", "doc_b").withColumn("_c", lit(1L))
+    truth.join(cand, Seq("doc_a", "doc_b"), "full")
+      .agg(
+        coalesce(sum("_t"), lit(0L)).cast("bigint").as("n_truth"),
+        coalesce(sum("_c"), lit(0L)).cast("bigint").as("n_candidates"),
+        sum(when(col("_t").isNotNull && col("_c").isNotNull, 1L)
+          .otherwise(0L)).cast("bigint").as("n_hit"))
+      .select(lit(threshold).as("threshold"),
+        col("n_truth"), col("n_candidates"), col("n_hit"),
+        when(col("n_truth") === 0, lit(null).cast("double"))
+          .otherwise(round(col("n_hit").cast("double") /
+            col("n_truth").cast("double"), 6)).as("recall"),
+        when(col("n_candidates") === 0, lit(null).cast("double"))
+          .otherwise(round(col("n_hit").cast("double") /
+            col("n_candidates").cast("double"), 6))
+          .as("candidate_precision"))
+  }
+
   def lshSensitivity(docs: DataFrame, k: Int = 3, numHashes: Int = 8,
       bands: Int = 4, oracleHashes: Boolean = false): DataFrame = {
     val hist = pairJaccardHist(docs, k, numHashes, bands, oracleHashes)

@@ -402,6 +402,22 @@ object LlmQueries {
         threshold = 0.8, k = 3)
     },
 
+    // measured LSH recall audit: the exact prefix-filtered join (ground
+    // truth) vs the banded MinHash candidates over the SAME planted
+    // corpus — the release-sheet number (recall the bands actually
+    // achieved at the dedup threshold), where q_lsh_plan only predicts
+    // the S-curve
+    "q_lsh_recall_audit" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val mutated = d.select(
+        (col("doc_id") + 100000L).as("doc_id"),
+        expr("substring(text, 1, greatest(length(text) - 12, 1))").as("text"))
+      Dedup.lshRecallAudit(
+        d.select("doc_id", "text").unionAll(mutated),
+        threshold = 0.8, k = 3, numHashes = 8, bands = 4,
+        oracleHashes = true)
+    },
+
     // the threshold-tuning READ of the pair histogram: cumulative pair
     // mass at or above each Jaccard bin — pick the dedup threshold at
     // the knee; windows see only the <=21-row bin card
@@ -1283,6 +1299,37 @@ object LlmQueries {
       s"""WITH $minhashPairsCtes
          |SELECT doc_a, doc_b, est_jaccard FROM scored
          |WHERE est_jaccard >= 0.5""".stripMargin,
+
+    // truth = the unpruned all-pairs join at the threshold; candidates =
+    // the banded replay (scored, unfiltered); one FULL JOIN merge feeds
+    // the 1-row audit — integers and guarded ratios only
+    "q_lsh_recall_audit" ->
+      s"""WITH $minhashPairsCtes,
+         |ds AS (SELECT doc_id, list_distinct(s) AS s FROM sh),
+         |truth AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, 1 AS tf
+         |  FROM ds a JOIN ds b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+         |      >= 0.8),
+         |cand AS (SELECT DISTINCT doc_a, doc_b, 1 AS cf FROM scored),
+         |mg AS (
+         |  SELECT tf, cf FROM truth FULL JOIN cand USING (doc_a, doc_b)),
+         |ag AS (
+         |  SELECT coalesce(sum(tf), 0) AS nt, coalesce(sum(cf), 0) AS nc,
+         |    sum(CASE WHEN tf IS NOT NULL AND cf IS NOT NULL
+         |        THEN 1 ELSE 0 END) AS nh
+         |  FROM mg)
+         |SELECT CAST(0.8 AS DOUBLE) AS threshold,
+         |  CAST(nt AS BIGINT) AS n_truth,
+         |  CAST(nc AS BIGINT) AS n_candidates,
+         |  CAST(nh AS BIGINT) AS n_hit,
+         |  CASE WHEN nt = 0 THEN NULL
+         |    ELSE round(CAST(nh AS DOUBLE) / nt, 6) END AS recall,
+         |  CASE WHEN nc = 0 THEN NULL
+         |    ELSE round(CAST(nh AS DOUBLE) / nc, 6) END
+         |    AS candidate_precision
+         |FROM ag""".stripMargin,
 
     // the exact Jaccard per candidate pair replays the jaccardRescore
     // list arithmetic; the bin is floor(j*20) on the identical double

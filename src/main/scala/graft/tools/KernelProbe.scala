@@ -192,6 +192,10 @@ object KernelProbe {
       "COMPUTE q FROM table(embedding) INTO column(rec_mse) " +
         "USING int8_distortion",
       "q_int8_distortion"),
+    ("lsh_recall_audit",
+      "COMPUTE a FROM table(text) INTO column(lsh_recall) " +
+        "USING lsh_recall_audit",
+      "q_lsh_recall_audit"),
     ("contamination_span",
       "COMPUTE c FROM table(text, is_bench) INTO column(span) " +
         "USING contamination_span",

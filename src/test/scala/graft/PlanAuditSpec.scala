@@ -1009,6 +1009,18 @@ class PlanAuditSpec extends AnyFunSuite {
       s"the dup-count join must stay an equi-join on the text hash:\n$p")
   }
 
+  test("q_lsh_recall_audit merges two non-quadratic pair relations — " +
+    "no cartesian anywhere despite computing ground truth") {
+    val p = plan("q_lsh_recall_audit")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"truth rides the prefix equi-join, candidates the band equi-join, " +
+        s"the audit a pair-key equi-join:\n$p")
+    assert(p.contains("Window"),
+      s"the rare-first prefix rank window must be present (the exact " +
+        s"side is really running):\n$p")
+  }
+
   test("q_contamination_span broadcasts gram membership both ways and " +
     "windows only per test doc — train never shuffles on gram keys") {
     val p = plan("q_contamination_span")

@@ -540,6 +540,29 @@ class ComputeSpec2 extends AnyFunSuite {
     assert(err.getMessage.contains("no target rows"))
   }
 
+  test("lsh_recall_audit kernel: planted identical pair gives recall 1 " +
+    "from the DSL; reserved card names refuse") {
+    val s = spark
+    import s.implicits._
+    Seq((1L, "a b c d e f"), (2L, "a b c d e f"),
+      (3L, "q w e r t y u i o p"))
+      .toDF("doc_id", "text").createOrReplaceTempView("audit_docs")
+    val card = ComputeRegistry.runOnce(s,
+      parse("COMPUTE a FROM table(text) INTO column(lsh_recall) " +
+        "USING lsh_recall_audit"),
+      "audit_docs").collect()(0)
+    assert(card.getAs[Long]("n_truth") == 1L &&
+      card.getAs[Double]("lsh_recall") == 1.0)
+    graft.llm.PipelineCaches.clear()
+    val err = intercept[IllegalArgumentException] {
+      ComputeRegistry.runOnce(s,
+        parse("COMPUTE a FROM table(text) INTO column(n_hit) " +
+          "USING lsh_recall_audit"),
+        "audit_docs")
+    }
+    assert(err.getMessage.contains("reserves"))
+  }
+
   test("contamination_span kernel: a verbatim planted copy spans its " +
     "whole doc from the DSL; train rows stay NULL") {
     val s = spark

@@ -958,6 +958,30 @@ class CurationSpec extends AnyFunSuite {
     assert(hits(0).getDouble(2) == 0.7)
   }
 
+  test("lshRecallAudit: identical docs are both truth and candidate " +
+    "(recall 1), all-distinct corpus yields NULL guarded ratios") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1L, "a b c d e f"), (2L, "a b c d e f"),
+      (3L, "q w e r t y u i o p")).toDF("doc_id", "text")
+    val card = Dedup.lshRecallAudit(d, threshold = 0.8).collect()(0)
+    assert(card.getAs[Double]("threshold") == 0.8)
+    assert(card.getAs[Long]("n_truth") == 1L)
+    assert(card.getAs[Long]("n_hit") == 1L,
+      "identical signatures MUST collide in every band")
+    assert(card.getAs[Double]("recall") == 1.0)
+    assert(card.getAs[Double]("candidate_precision") <= 1.0)
+    graft.llm.PipelineCaches.clear()
+    val distinct = Seq(
+      (1L, "a b c"), (2L, "x y z"), (3L, "m n o")).toDF("doc_id", "text")
+    val c2 = Dedup.lshRecallAudit(distinct, threshold = 0.9).collect()(0)
+    assert(c2.getAs[Long]("n_truth") == 0L)
+    assert(c2.isNullAt(c2.fieldIndex("recall")),
+      "zero truth pairs must yield NULL recall, not a division blowup")
+    graft.llm.PipelineCaches.clear()
+  }
+
   test("lshSensitivity: cumulative-from-the-top pair mass — the top bin " +
     "equals its own count, the bottom bin covers every pair") {
     val s = spark
