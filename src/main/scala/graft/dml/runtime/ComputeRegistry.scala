@@ -519,6 +519,17 @@ object ComputeRegistry {
       graft.llm.Similarity.mmrRerank(embs, queryId = 0L, k = 5, pool = 16)
         .withColumnRenamed("mmr_score", out)
     },
+    // Count-Min sketch heavy-hitter card over a TEXT input column —
+    // relation-REPLACING: the exact top-20 tokens with their 4x256
+    // sketch estimates and overcounts; INTO column(...) names the
+    // estimate column
+    "cms_topk" -> { (df, ins, out) =>
+      require(!Seq("token", "n_exact", "overcount").contains(out),
+        s"cms_topk reserves its card column names; pick another INTO " +
+          s"column name (got '$out')")
+      graft.llm.TextOps.cmsTopK(keyed(df, ins.head))
+        .withColumnRenamed("cms_est", out)
+    },
     // per-group HyperLogLog distinct-token card over (text, group) input
     // columns — relation-REPLACING: one row per group with the exact
     // audit count, empty-register count, deterministic md5 HLL estimate,

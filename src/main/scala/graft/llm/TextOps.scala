@@ -555,6 +555,53 @@ object TextOps {
           col("n_exact").cast("double"), 6).as("rel_err"))
   }
 
+  /** Count-Min sketch heavy-hitter card (Cormode & Muthukrishnan 2005)
+    * — [[hllCard]]'s frequency twin, completing the bounded-state sketch
+    * tier: a depth×width counter grid (md5-salted buckets, integer
+    * increments) estimates any token's frequency as the MIN over its
+    * depth counters, with the classic ONE-SIDED guarantee est ≥ exact
+    * (collisions only ever inflate). The card reports the exact top-N
+    * tokens with their sketch estimates and overcounts — all-integer
+    * end to end, so the oracle replays the sketch bit-for-bit.
+    *
+    * Scale shape: the sketch build is a map-side-combined (row, bucket)
+    * agg with state = depth×width regardless of corpus size, and
+    * sketches merge by cell-wise ADD across shards/days (the mergeable
+    * property exact counts lack at stream boundaries). The exact top-N
+    * is the audit side (token-keyed agg + TakeOrdered); production at
+    * 100 TB keeps the sketch and drops the audit columns. */
+  def cmsTopK(docs: DataFrame, depth: Int = 4, width: Int = 256,
+      topN: Int = 20): DataFrame = {
+    require(depth >= 1 && depth <= 8, s"depth must be in [1, 8], got $depth")
+    require(width > 0, s"width must be positive, got $width")
+    require(topN >= 1, s"topN must be >= 1, got $topN")
+    def bucket(r: Int, tok: Column): Column =
+      conv(substring(md5(concat(lit(s"$r:"), tok)), 1, 8), 16, 10)
+        .cast("long") % width
+    val tok = docs.select(
+      explode(tokens(coalesce(col("text"), lit("")))).as("_w"))
+    val sketch = tok.select(explode(array((0 until depth).map(r =>
+        struct(lit(r).as("_r"), bucket(r, col("_w")).as("_b"))): _*))
+        .as("_rb"))
+      .groupBy(col("_rb._r").as("_r"), col("_rb._b").as("_b"))
+      .agg(count(lit(1)).as("_cnt"))
+    val top = tok.groupBy("_w")
+      .agg(count(lit(1)).cast("bigint").as("n_exact"))
+      .orderBy(col("n_exact").desc, col("_w").asc).limit(topN)
+    val probes = top.select(col("_w"), col("n_exact"),
+      explode(array((0 until depth).map(r =>
+        struct(lit(r).as("_r"), bucket(r, col("_w")).as("_b"))): _*))
+        .as("_rb"))
+      .select(col("_w"), col("n_exact"),
+        col("_rb._r").as("_r"), col("_rb._b").as("_b"))
+    probes.join(broadcast(sketch), Seq("_r", "_b"))
+      .groupBy("_w", "n_exact")
+      .agg(min("_cnt").cast("bigint").as("cms_est"))
+      .select(col("_w").as("token"), col("n_exact"), col("cms_est"),
+        (col("cms_est") - col("n_exact")).cast("bigint").as("overcount"))
+      .orderBy(col("n_exact").desc, col("token").asc)
+  }
+
   /** Character-level gibberish/encoding-damage card: codepoint count,
     * distinct codepoints, dominant-codepoint share, and Shannon entropy of
     * each document's character distribution. Natural text per script sits

@@ -336,6 +336,13 @@ object LlmQueries {
     // vocabulary-scale distinct shuffle)
     "q_hll_card" -> { (s, dir) => TextOps.hllCard(docs(s, dir)) },
 
+    // Count-Min sketch heavy-hitter card, the HLL card's frequency twin:
+    // a 4x256 md5-salted counter grid estimates every exact-top-20
+    // token's count as the min over its 4 counters (one-sided: est >=
+    // exact, collisions only inflate) — all-integer, the oracle replays
+    // the sketch cells themselves; the exact side is the audit half
+    "q_cms_topk" -> { (s, dir) => TextOps.cmsTopK(docs(s, dir)) },
+
     // mixed-language detection over 16-word segments: the fixture is
     // monolingual, so mixture is PLANTED — copies at +100000 carry an
     // 18-word French-stopword tail whose final segments guess 'fr';
@@ -1090,6 +1097,37 @@ object LlmQueries {
         |  round((f.hll_est - ex.n_exact) / CAST(ex.n_exact AS DOUBLE), 6)
         |    AS rel_err
         |FROM fin f JOIN ex USING (grp)""".stripMargin,
+
+    // Replays the 4x256 sketch grid (salted md5 buckets, integer cell
+    // counts), the exact top-20, and the min-over-rows estimate —
+    // all-integer, bit-exact.
+    "q_cms_topk" -> {
+      val rows = (0 until 4).map(r =>
+        s"SELECT $r AS r, CAST('0x' || substring(md5('$r:' || w), 1, 8) " +
+          s"AS BIGINT) % 256 AS b, w FROM tok").mkString("\n  UNION ALL\n  ")
+      s"""WITH tok AS MATERIALIZED (
+         |  SELECT unnest(string_split(coalesce(text, ''), ' ')) AS w
+         |  FROM documents),
+         |rb AS MATERIALIZED (
+         |  $rows),
+         |sk AS (
+         |  SELECT r, b, count(*) AS cnt FROM rb GROUP BY 1, 2),
+         |top AS (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS n_exact FROM tok
+         |  GROUP BY 1 ORDER BY n_exact DESC, w ASC LIMIT 20),
+         |pr AS (
+         |  SELECT t.w, t.n_exact, rr.r,
+         |    CAST('0x' || substring(
+         |      md5(CAST(rr.r AS VARCHAR) || ':' || t.w), 1, 8)
+         |      AS BIGINT) % 256 AS b
+         |  FROM top t CROSS JOIN (SELECT unnest(range(0, 4)) AS r) rr),
+         |est AS (
+         |  SELECT pr.w, pr.n_exact, min(sk.cnt) AS cms_est
+         |  FROM pr JOIN sk USING (r, b) GROUP BY 1, 2)
+         |SELECT w AS token, n_exact, CAST(cms_est AS BIGINT) AS cms_est,
+         |  CAST(cms_est - n_exact AS BIGINT) AS overcount
+         |FROM est ORDER BY n_exact DESC, token ASC""".stripMargin
+    },
 
     // Replays the word-count fit, the (count DESC, token ASC) rank, and
     // the 12-dp DECIMAL OLS sums for the Zipf slope — decimal sums are

@@ -204,6 +204,9 @@ object KernelProbe {
       "COMPUTE m FROM table(embedding) INTO column(mmr) " +
         "USING mmr_rerank",
       "q_mmr_rerank"),
+    ("cms_topk",
+      "COMPUTE c FROM table(text) INTO column(est) USING cms_topk",
+      "q_cms_topk"),
     ("hll_card",
       "COMPUTE h FROM table(text, source) INTO column(est) " +
         "USING hll_card",

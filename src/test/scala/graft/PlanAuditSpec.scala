@@ -1070,6 +1070,21 @@ class PlanAuditSpec extends AnyFunSuite {
       s"the register max must combine map-side (the 100 TB path):\n$p")
   }
 
+  test("q_cms_topk builds the counter grid map-side and broadcasts it " +
+    "onto the probe rows — sketch state is depth x width, mergeable") {
+    val p = plan("q_cms_topk")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the exact top-N is a bounded-heap TakeOrdered:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the <= depth*width sketch broadcasts onto the N*depth probe " +
+        s"rows:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"nothing here justifies a shuffle join:\n$p")
+    val partials = "partial_count".r.findAllIn(p).length
+    assert(partials >= 1,
+      s"the cell counts must combine map-side:\n$p")
+  }
+
   test("q_quality_classifier scores via a broadcast weight join over " +
     "the persisted count relation — no corpus-side shuffle on buckets") {
     val p = plan("q_quality_classifier")

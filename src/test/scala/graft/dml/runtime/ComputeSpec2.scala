@@ -609,6 +609,27 @@ class ComputeSpec2 extends AnyFunSuite {
     graft.llm.PipelineCaches.clear()
   }
 
+  test("cms_topk kernel reaches the sketch card from the DSL and " +
+    "matches the catalog twin") {
+    val s = spark
+    val twin = graft.llm.TextOps.cmsTopK(s.table("documents"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val k = ComputeRegistry.runOnce(s,
+      parse("COMPUTE c FROM table(text) INTO column(est) USING cms_topk"),
+      "documents")
+      .orderBy(col("n_exact").desc, col("token").asc).collect()
+      .map(r => (r.getAs[String]("token"), r.getAs[Long]("n_exact"),
+        r.getAs[Long]("est")))
+    assert(k.toSeq == twin.toSeq)
+    val err = intercept[IllegalArgumentException] {
+      ComputeRegistry.runOnce(s,
+        parse("COMPUTE c FROM table(text) INTO column(overcount) " +
+          "USING cms_topk"),
+        "documents")
+    }
+    assert(err.getMessage.contains("reserves"))
+  }
+
   test("hll_card kernel sketches per-group distinct tokens from the DSL " +
     "and matches the catalog twin") {
     val s = spark

@@ -1082,6 +1082,34 @@ class CurationSpec extends AnyFunSuite {
     graft.llm.PipelineCaches.clear()
   }
 
+  test("cmsTopK: collision-free grid is exact, width-1 grid degenerates " +
+    "to the total, overcounts never negative on the fixture corpus") {
+    val s = spark
+    import s.implicits._
+    val d = Seq((1L, "a a a b b c")).toDF("doc_id", "text")
+    // 4x256: three tokens cannot collide enough to inflate the min —
+    // est == exact, overcount 0 for all three
+    val out = TextOps.cmsTopK(d).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out("a") == ((3L, 3L, 0L)))
+    assert(out("b") == ((2L, 2L, 0L)))
+    assert(out("c") == ((1L, 1L, 0L)))
+    // width 1, depth 1: every token shares the one cell -> est = total
+    // mass 6 for everything (the degenerate bound, exactly)
+    val deg = TextOps.cmsTopK(d, depth = 1, width = 1).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(deg == Map("a" -> 6L, "b" -> 6L, "c" -> 6L))
+    // the one-sided guarantee on real data: collisions only inflate
+    val real = TextOps.cmsTopK(s.table("documents")).collect()
+    assert(real.length == 20)
+    assert(real.forall(_.getLong(3) >= 0L),
+      "CMS must never undercount")
+    val e = intercept[IllegalArgumentException](
+      TextOps.cmsTopK(d, depth = 0))
+    assert(e.getMessage.contains("depth"))
+  }
+
   test("hllCard: hand-computed registers on {a,b,c}, duplicate " +
     "idempotence, and sketch accuracy on the fixture corpus") {
     val s = spark
