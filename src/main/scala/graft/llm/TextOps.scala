@@ -517,12 +517,6 @@ object TextOps {
       s"regHexChars must be in [1, 4] (16..65536 registers), " +
         s"got $regHexChars")
     val m = math.pow(16, regHexChars).toInt
-    // Flajolet et al. alpha_m; the >= 128 formula is written as a Column
-    // expression so both engines evaluate the identical IEEE sequence
-    val alphaM2: Column = (m match {
-      case 16 => lit(0.673) // the paper's small-m constant; m >= 256 below
-      case _  => lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m))
-    }) * lit(m) * lit(m)
     val tok = docs.select(col(groupCol).as("grp"),
       explode(tokens(coalesce(col("text"), lit("")))).as("_w"))
     val regs = tok.select(col("grp"), md5(col("_w")).as("_h"))
@@ -536,8 +530,26 @@ object TextOps {
       .groupBy("grp", "_j").agg(max("_rho").as("_mj"))
     val exact = tok.groupBy("grp")
       .agg(countDistinct("_w").cast("bigint").as("n_exact"))
+    hllEstimator(regs, m).join(broadcast(exact), Seq("grp"))
+      .select(col("grp").as(groupCol), col("n_exact"),
+        col("v_empty"), col("hll_est"),
+        round((col("hll_est") - col("n_exact")) /
+          col("n_exact").cast("double"), 6).as("rel_err"))
+  }
+
+  /** The estimator tail of [[hllCard]] over a finished register table
+    * (grp, _j, _mj) — split out because register tables ARRIVE from
+    * more than one place: the batch pass, and drained STREAMING state
+    * (registers merge by max across micro-batches exactly as they do
+    * across shards; `q_stream_hll` pins that the two agree under the
+    * hash gate). */
+  private[graft] def hllEstimator(regs: DataFrame, m: Int): DataFrame = {
+    val alphaM2: Column = (m match {
+      case 16 => lit(0.673)
+      case _  => lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m))
+    }) * lit(m) * lit(m)
     val two32 = 4294967296.0
-    val card = regs.groupBy("grp").agg(
+    regs.groupBy("grp").agg(
         count(lit(1)).as("_used"),
         sum(pow(lit(2.0), -col("_mj"))).as("_s"))
       .withColumn("_v", lit(m) - col("_used"))
@@ -548,11 +560,8 @@ object TextOps {
           .when(col("_e") > lit(two32 / 30.0),
             lit(-two32) * log(lit(1.0) - col("_e") / lit(two32)))
           .otherwise(col("_e")), 6))
-    card.join(broadcast(exact), Seq("grp"))
-      .select(col("grp").as(groupCol), col("n_exact"),
-        col("_v").cast("bigint").as("v_empty"), col("hll_est"),
-        round((col("hll_est") - col("n_exact")) /
-          col("n_exact").cast("double"), 6).as("rel_err"))
+      .select(col("grp"), col("_v").cast("bigint").as("v_empty"),
+        col("hll_est"))
   }
 
   /** Count-Min sketch heavy-hitter card (Cormode & Muthukrishnan 2005)

@@ -927,6 +927,58 @@ object LlmQueries {
       }
     },
 
+    // STREAMING sketch state: the HLL register build run as a stateful
+    // streaming max-agg over a two-batch file replay (complete-mode
+    // memory sink) — registers merge across micro-batches by max exactly
+    // as they merge across shards, and the drained state pushed through
+    // the SAME estimator hash-matches the batch card's register replay.
+    // The sketch tier's streaming story: distinct counts stay current as
+    // shards land, state bounded at sources x 256 forever
+    "q_stream_hll" -> { (s, dir) =>
+      import org.apache.spark.sql.streaming.Trigger
+      val d = docs(s, dir).select("doc_id", "source", "text")
+      val batches = Seq(
+        d.filter(col("doc_id") % 2 === 0),
+        d.filter(col("doc_id") % 2 === 1))
+      val tmp = EventQueries.stampedDir(batches)
+      val ckpt = EventQueries.scratchDir("graft_shll_ck").toFile
+      val sink = s"graft_stream_hll_${System.nanoTime()}"
+      try {
+        val q = s.readStream
+          .schema("doc_id BIGINT, source STRING, text STRING")
+          .option("maxFilesPerTrigger", 1).parquet(tmp.toString)
+          .select(col("source").as("grp"),
+            explode(split(coalesce(col("text"), lit("")), " ")).as("_w"))
+          .select(col("grp"), md5(col("_w")).as("_h"))
+          .select(col("grp"),
+            conv(substring(col("_h"), 1, 2), 16, 10).cast("long").as("_j"),
+            conv(substring(col("_h"), 3, 8), 16, 10).cast("long")
+              .as("_wnd"))
+          .withColumn("_rho", when(col("_wnd") === 0, lit(33))
+            .otherwise(lit(33) - length(bin(col("_wnd")))))
+          .groupBy("grp", "_j").agg(max("_rho").as("_mj"))
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("complete")
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(Trigger.AvailableNow()).start()
+        try {
+          if (!q.awaitTermination(180000))
+            throw new IllegalStateException(
+              "streaming HLL did not drain within 180s")
+        } finally q.stop()
+        // materialize the drained registers before the scratch dirs go
+        val s2 = s
+        import s2.implicits._
+        val regs = s.table(sink).collect().toSeq
+          .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+          .toDF("grp", "_j", "_mj")
+        graft.llm.TextOps.hllEstimator(regs, 256)
+          .select(col("grp").as("source"), col("v_empty"), col("hll_est"))
+      } finally {
+        Seq(tmp, ckpt).foreach(EventQueries.rmTree)
+      }
+    },
+
     "q_stream_vocab_drift" -> { (s, dir) =>
       import org.apache.spark.sql.streaming.Trigger
       val d = docs(s, dir).select("doc_id", "text")
@@ -1097,6 +1149,40 @@ object LlmQueries {
         |  round((f.hll_est - ex.n_exact) / CAST(ex.n_exact AS DOUBLE), 6)
         |    AS rel_err
         |FROM fin f JOIN ex USING (grp)""".stripMargin,
+
+    // The streamed register state over both batches equals the batch
+    // register table (max is order- and batch-insensitive), so the
+    // oracle is the batch replay minus the audit column.
+    "q_stream_hll" ->
+      """WITH tok AS (
+        |  SELECT source AS grp,
+        |    unnest(string_split(coalesce(text, ''), ' ')) AS w
+        |  FROM documents),
+        |r AS (
+        |  SELECT grp,
+        |    CAST('0x' || substring(h, 1, 2) AS BIGINT) AS j,
+        |    CAST('0x' || substring(h, 3, 8) AS BIGINT) AS wnd
+        |  FROM (SELECT grp, md5(w) AS h FROM tok)),
+        |regs AS (
+        |  SELECT grp, j,
+        |    max(CASE WHEN wnd = 0 THEN 33
+        |             ELSE 33 - length(bin(wnd)) END) AS mj
+        |  FROM r GROUP BY 1, 2),
+        |card AS (
+        |  SELECT grp, count(*) AS used, sum(pow(2.0, -mj)) AS s
+        |  FROM regs GROUP BY 1),
+        |est AS (
+        |  SELECT grp, 256 - used AS v,
+        |    0.7213/(1+1.079/256)*256*256 / (s + (256 - used)) AS e
+        |  FROM card)
+        |SELECT grp AS source, CAST(v AS BIGINT) AS v_empty,
+        |  round(CASE
+        |    WHEN e <= 2.5*256 AND v > 0
+        |      THEN 256 * ln(CAST(256 AS DOUBLE) / v)
+        |    WHEN e > 4294967296.0/30
+        |      THEN -4294967296.0 * ln(1 - e/4294967296.0)
+        |    ELSE e END, 6) AS hll_est
+        |FROM est""".stripMargin,
 
     // Replays the 4x256 sketch grid (salted md5 buckets, integer cell
     // counts), the exact top-20, and the min-over-rows estimate —
@@ -2533,6 +2619,7 @@ object LlmQueries {
     "q_multimodal_resize" -> Seq("doc_id"),
     "q_stream_vocab_drift" -> Seq("batch_id"),
     "q_stream_corpus_report" -> Seq("source"),
+    "q_stream_hll" -> Seq("source"),
     "q_emb_stats" -> Seq("pos"),
     "q_emb_drift" -> Seq("pos"),
     "q_emb_top_pc" -> Seq("pos"),

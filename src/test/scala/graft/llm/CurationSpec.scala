@@ -1082,6 +1082,28 @@ class CurationSpec extends AnyFunSuite {
     graft.llm.PipelineCaches.clear()
   }
 
+  test("hllEstimator: hand register table reproduces the {a,b,c} card " +
+    "and shard registers merge by max into the same estimate") {
+    val s = spark
+    import s.implicits._
+    // the {a,b,c} registers from the hllCard pin: (12,1) (146,1) (74,1)
+    val regs = Seq(("s1", 12L, 1), ("s1", 146L, 1), ("s1", 74L, 1))
+      .toDF("grp", "_j", "_mj")
+    val card = TextOps.hllEstimator(regs, 256).collect()(0)
+    assert(card.getAs[Long]("v_empty") == 253L)
+    assert(card.getAs[Double]("hll_est") == 3.017717)
+    // two shards' registers, merged by per-(grp, j) max — the streaming
+    // state transition and the cross-shard merge are the SAME operation
+    val shardA = Seq(("s1", 12L, 1), ("s1", 74L, 3)).toDF("grp", "_j", "_mj")
+    val shardB = Seq(("s1", 12L, 2), ("s1", 146L, 1)).toDF("grp", "_j", "_mj")
+    val merged = shardA.unionAll(shardB)
+      .groupBy("grp", "_j").agg(max("_mj").as("_mj"))
+    val direct = Seq(("s1", 12L, 2), ("s1", 74L, 3), ("s1", 146L, 1))
+      .toDF("grp", "_j", "_mj")
+    assert(TextOps.hllEstimator(merged, 256).collect()(0) ==
+      TextOps.hllEstimator(direct, 256).collect()(0))
+  }
+
   test("cmsTopK: collision-free grid is exact, width-1 grid degenerates " +
     "to the total, overcounts never negative on the fixture corpus") {
     val s = spark
