@@ -519,6 +519,18 @@ object ComputeRegistry {
       graft.llm.Similarity.mmrRerank(embs, queryId = 0L, k = 5, pool = 16)
         .withColumnRenamed("mmr_score", out)
     },
+    // length-bucketed batching plan over a TEXT input column — relation-
+    // REPLACING: per power-of-two length bucket, docs/tokens/padded/
+    // waste, plus the NULL-bucket pad-to-max total row; INTO column(...)
+    // names the waste-fraction column
+    "length_buckets" -> { (df, ins, out) =>
+      require(!Seq("bucket_max", "n_docs", "n_tokens", "padded_tokens",
+          "waste_tokens").contains(out),
+        s"length_buckets reserves its card column names; pick another " +
+          s"INTO column name (got '$out')")
+      graft.llm.TextOps.lengthBucketPlan(keyed(df, ins.head))
+        .withColumnRenamed("waste_frac", out)
+    },
     // Count-Min sketch heavy-hitter card over a TEXT input column —
     // relation-REPLACING: the exact top-20 tokens with their 4x256
     // sketch estimates and overcounts; INTO column(...) names the

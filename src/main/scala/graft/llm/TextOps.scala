@@ -564,6 +564,52 @@ object TextOps {
         col("hll_est"))
   }
 
+  /** Length-bucketed batching plan — the padded-batch waste card
+    * ([[seqPack]] plans concatenation packing; THIS plans the
+    * pad-to-batch-max training reality): assign every doc to its
+    * next-power-of-two token-length bucket and report, per bucket, the
+    * padding waste if batches are drawn within the bucket (every doc
+    * pads to the bucket ceiling), plus a NULL-bucket TOTAL row costing
+    * the naive alternative — every doc padded to the corpus max. The
+    * gap between the bucket-sum and the total row is the % of compute
+    * length-bucketed batching saves; all-integer except the waste
+    * ratios.
+    *
+    * The bucket ceiling is integer-exact: shiftleft(1, bits(n−1)) via
+    * the binary-string length (the [[hllCard]] device — no float log2).
+    * One corpus projection → a map-side agg with ~log2(max_len) groups;
+    * nothing downstream exceeds the bucket-count card. */
+  def lengthBucketPlan(docs: DataFrame): DataFrame = {
+    val n = tokenCount(coalesce(col("text"), lit(""))).cast("long")
+    // 2^bits is a dyadic double well under 53 bits -> the long cast is
+    // exact (the functions-API shiftleft only takes a literal shift)
+    val ceilPow2 = when(n <= 1, lit(1L))
+      .otherwise(pow(lit(2.0), length(bin(n - 1)).cast("double"))
+        .cast("long"))
+    val base = docs.select(ceilPow2.as("bucket_max"), n.as("_n"))
+    val perBucket = base.groupBy("bucket_max").agg(
+      count(lit(1)).cast("bigint").as("n_docs"),
+      sum("_n").cast("bigint").as("n_tokens"))
+    val total = base.agg(
+      count(lit(1)).cast("bigint").as("n_docs"),
+      sum("_n").cast("bigint").as("n_tokens"),
+      max("_n").as("_max"))
+      .select(lit(null).cast("bigint").as("bucket_max"),
+        col("n_docs"), col("n_tokens"),
+        (col("n_docs") * col("_max")).cast("bigint").as("padded_tokens"))
+    perBucket
+      .select(col("bucket_max"), col("n_docs"), col("n_tokens"),
+        (col("n_docs") * col("bucket_max")).cast("bigint")
+          .as("padded_tokens"))
+      .unionByName(total)
+      .select(col("bucket_max"), col("n_docs"), col("n_tokens"),
+        col("padded_tokens"),
+        (col("padded_tokens") - col("n_tokens")).cast("bigint")
+          .as("waste_tokens"),
+        round((col("padded_tokens") - col("n_tokens")).cast("double") /
+          col("padded_tokens").cast("double"), 6).as("waste_frac"))
+  }
+
   /** Count-Min sketch heavy-hitter card (Cormode & Muthukrishnan 2005)
     * — [[hllCard]]'s frequency twin, completing the bounded-state sketch
     * tier: a depth×width counter grid (md5-salted buckets, integer

@@ -336,6 +336,14 @@ object LlmQueries {
     // vocabulary-scale distinct shuffle)
     "q_hll_card" -> { (s, dir) => TextOps.hllCard(docs(s, dir)) },
 
+    // length-bucketed batching plan: per power-of-two length bucket, the
+    // pad-to-bucket-ceiling waste, plus the NULL-bucket TOTAL row
+    // costing pad-to-corpus-max — the gap is what dynamic batching
+    // saves; integer-exact ceilings via shiftleft(1, bits(n-1))
+    "q_length_buckets" -> { (s, dir) =>
+      TextOps.lengthBucketPlan(docs(s, dir))
+    },
+
     // Count-Min sketch heavy-hitter card, the HLL card's frequency twin:
     // a 4x256 md5-salted counter grid estimates every exact-top-20
     // token's count as the min over its 4 counters (one-sided: est >=
@@ -1149,6 +1157,35 @@ object LlmQueries {
         |  round((f.hll_est - ex.n_exact) / CAST(ex.n_exact AS DOUBLE), 6)
         |    AS rel_err
         |FROM fin f JOIN ex USING (grp)""".stripMargin,
+
+    // Replays the power-of-two ceiling (binary-string bit length, no
+    // float log2), the bucket agg, and the naive-total row.
+    "q_length_buckets" ->
+      """WITH d AS (
+        |  SELECT CAST(len(string_split(coalesce(text, ''), ' '))
+        |    AS BIGINT) AS n
+        |  FROM documents),
+        |b AS (
+        |  SELECT CASE WHEN n <= 1 THEN 1
+        |    ELSE (1 << length(bin(n - 1))) END AS bucket_max, n
+        |  FROM d),
+        |pb AS (
+        |  SELECT CAST(bucket_max AS BIGINT) AS bucket_max,
+        |    CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n) AS BIGINT) AS n_tokens,
+        |    CAST(count(*) * bucket_max AS BIGINT) AS padded_tokens
+        |  FROM b GROUP BY bucket_max
+        |  UNION ALL
+        |  SELECT NULL AS bucket_max,
+        |    CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n) AS BIGINT) AS n_tokens,
+        |    CAST(count(*) * max(n) AS BIGINT) AS padded_tokens
+        |  FROM b)
+        |SELECT bucket_max, n_docs, n_tokens, padded_tokens,
+        |  CAST(padded_tokens - n_tokens AS BIGINT) AS waste_tokens,
+        |  round(CAST(padded_tokens - n_tokens AS DOUBLE)
+        |    / padded_tokens, 6) AS waste_frac
+        |FROM pb""".stripMargin,
 
     // The streamed register state over both batches equals the batch
     // register table (max is order- and batch-insensitive), so the
@@ -2620,6 +2657,7 @@ object LlmQueries {
     "q_stream_vocab_drift" -> Seq("batch_id"),
     "q_stream_corpus_report" -> Seq("source"),
     "q_stream_hll" -> Seq("source"),
+    "q_length_buckets" -> Seq("bucket_max"),
     "q_emb_stats" -> Seq("pos"),
     "q_emb_drift" -> Seq("pos"),
     "q_emb_top_pc" -> Seq("pos"),

@@ -204,6 +204,10 @@ object KernelProbe {
       "COMPUTE m FROM table(embedding) INTO column(mmr) " +
         "USING mmr_rerank",
       "q_mmr_rerank"),
+    ("length_buckets",
+      "COMPUTE l FROM table(text) INTO column(wfrac) " +
+        "USING length_buckets",
+      "q_length_buckets"),
     ("cms_topk",
       "COMPUTE c FROM table(text) INTO column(est) USING cms_topk",
       "q_cms_topk"),

@@ -1070,6 +1070,15 @@ class PlanAuditSpec extends AnyFunSuite {
       s"the register max must combine map-side (the 100 TB path):\n$p")
   }
 
+  test("q_length_buckets is two aggregations over one projection — " +
+    "no joins, no windows, bucket-count output") {
+    val p = plan("q_length_buckets")
+    assert(!p.contains("Join"), s"a pure agg card must not join:\n$p")
+    assert(!p.contains("Window"), s"no windows needed:\n$p")
+    val partials = "partial_count".r.findAllIn(p).length
+    assert(partials >= 1, s"the bucket agg must combine map-side:\n$p")
+  }
+
   test("q_cms_topk builds the counter grid map-side and broadcasts it " +
     "onto the probe rows — sketch state is depth x width, mergeable") {
     val p = plan("q_cms_topk")

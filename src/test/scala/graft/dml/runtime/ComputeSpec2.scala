@@ -609,6 +609,26 @@ class ComputeSpec2 extends AnyFunSuite {
     graft.llm.PipelineCaches.clear()
   }
 
+  test("length_buckets kernel reaches the batching plan from the DSL") {
+    val s = spark
+    val twin = graft.llm.TextOps.lengthBucketPlan(s.table("documents"))
+      .collect().map(r => Option(r.get(0)) -> r.getLong(3)).toMap
+    val k = ComputeRegistry.runOnce(s,
+      parse("COMPUTE l FROM table(text) INTO column(wfrac) " +
+        "USING length_buckets"),
+      "documents")
+      .collect().map(r => Option(r.get(0)) ->
+        r.getAs[Long]("padded_tokens")).toMap
+    assert(k == twin)
+    val err = intercept[IllegalArgumentException] {
+      ComputeRegistry.runOnce(s,
+        parse("COMPUTE l FROM table(text) INTO column(n_docs) " +
+          "USING length_buckets"),
+        "documents")
+    }
+    assert(err.getMessage.contains("reserves"))
+  }
+
   test("cms_topk kernel reaches the sketch card from the DSL and " +
     "matches the catalog twin") {
     val s = spark

@@ -1082,6 +1082,27 @@ class CurationSpec extends AnyFunSuite {
     graft.llm.PipelineCaches.clear()
   }
 
+  test("lengthBucketPlan: hand-computed power-of-two buckets and the " +
+    "naive-total row; bucketing strictly beats pad-to-max") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1L, "a"), (2L, "a b c"), (3L, "a b c d"),
+      (4L, "t1 t2 t3 t4 t5 t6 t7 t8 t9")).toDF("doc_id", "text")
+    val rows = TextOps.lengthBucketPlan(d).collect()
+      .map(r => Option(r.get(0)).map(_.asInstanceOf[Long]) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5))).toMap
+    assert(rows(Some(1L)) == ((1L, 1L, 1L, 0L, 0.0)))
+    assert(rows(Some(4L)) == ((2L, 7L, 8L, 1L, 0.125)))
+    assert(rows(Some(16L)) == ((1L, 9L, 16L, 7L, 0.4375)))
+    assert(rows(None) == ((4L, 17L, 36L, 19L, 0.527778)))
+    val bucketPadded = rows.collect {
+      case (Some(_), (_, _, p, _, _)) => p }.sum
+    assert(bucketPadded < rows(None)._3,
+      "bucketed padding must strictly beat pad-to-corpus-max here")
+  }
+
   test("hllEstimator: hand register table reproduces the {a,b,c} card " +
     "and shard registers merge by max into the same estimate") {
     val s = spark
