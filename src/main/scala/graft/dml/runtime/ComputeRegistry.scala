@@ -559,6 +559,26 @@ object ComputeRegistry {
         .withColumnRenamed("_grp", ins(1))
         .withColumnRenamed("hll_est", out)
     },
+    // calibration audit of the in-plan classifier over (text,
+    // is_positive) input columns — relation-REPLACING: decile
+    // reliability rows + the NULL-bin ECE total; INTO column(...) names
+    // the gap/ECE column
+    "classifier_calibration" -> { (df, ins, out) =>
+      require(ins.length >= 2,
+        s"classifier_calibration needs (text, is_positive) input " +
+          s"columns, got $ins")
+      require(!Seq("bin", "n", "n_pos", "mean_prob", "frac_pos")
+          .contains(out),
+        s"classifier_calibration reserves its card column names; pick " +
+          s"another INTO column name (got '$out')")
+      require(df.columns.contains("doc_id"),
+        s"table kernels require a 'doc_id' key column; relation has " +
+          s"[${df.columns.mkString(", ")}]")
+      val base = df.select(col("doc_id"), col(ins.head).as("text"),
+        (col(ins(1)).cast("boolean") <=> lit(true)).as("_pos"))
+      graft.llm.Curation.calibrationCard(base, col("_pos"))
+        .withColumnRenamed("gap", out)
+    },
     // discriminative quality classifier over (text, is_positive) input
     // columns: 5 in-plan full-batch GD steps of logistic regression on
     // hashed unigram buckets + intercept; every row gets the

@@ -374,6 +374,47 @@ object Curation {
         (col("_s") > 0).as("predicted"))
   }
 
+  /** Calibration audit of [[logisticQuality]] — the reliability-diagram
+    * card (Guo et al. 2017's ECE read): bin every doc by predicted
+    * probability (decile bins, INTEGER-exact off the 6-dp probability
+    * lattice — no float×10 boundary hazard), compare each bin's mean
+    * predicted probability against its empirical positive rate, and
+    * close with a NULL-bin total row whose gap column is the expected
+    * calibration error. Train in-plan, audit in-plan: a quality filter
+    * whose threshold means what it says, or a card that shows it
+    * doesn't.
+    *
+    * Scale shape: one extra doc-keyed join + a bins-bounded agg on top
+    * of the classifier's own envelope; everything after the per-bin agg
+    * reads a ≤ bins-row card. */
+  def calibrationCard(docs: DataFrame, isPositive: Column,
+      buckets: Int = 256, iters: Int = 5, lr: Double = 0.5): DataFrame = {
+    val scored = logisticQuality(docs, isPositive, buckets, iters, lr)
+    val y = docs.select(col("doc_id"),
+      when(isPositive, lit(1L)).otherwise(lit(0L)).as("_y"))
+    val perBin = scored.join(y, Seq("doc_id"))
+      .withColumn("_pd", col("prob").cast("decimal(18,6)"))
+      .withColumn("bin",
+        least(floor(col("_pd") * 10).cast("int"), lit(9)))
+      .groupBy("bin").agg(
+        count(lit(1)).cast("bigint").as("n"),
+        sum("_y").cast("bigint").as("n_pos"),
+        round(sum("_pd").cast("double") / count(lit(1)), 6)
+          .as("mean_prob"),
+        round(sum("_y").cast("double") / count(lit(1)), 6).as("frac_pos"))
+      .withColumn("gap",
+        round(abs(col("mean_prob") - col("frac_pos")), 6))
+    val total = perBin.agg(
+        sum("n").cast("bigint").as("n"),
+        sum("n_pos").cast("bigint").as("n_pos"),
+        round(sum(col("gap") * col("n")) / sum("n"), 6).as("gap"))
+      .select(lit(null).cast("int").as("bin"), col("n"), col("n_pos"),
+        lit(null).cast("double").as("mean_prob"),
+        lit(null).cast("double").as("frac_pos"), col("gap"))
+    perBin.select("bin", "n", "n_pos", "mean_prob", "frac_pos", "gap")
+      .unionByName(total)
+  }
+
   /** Gopher-style repetition metrics per doc: duplicate-word ratio,
     * most-frequent-bigram mass fraction, and singleton-word fraction. High
     * dup ratio / top-bigram mass marks boilerplate and degenerate repeated

@@ -84,6 +84,15 @@ object CurationQueries {
         alpha = 0.5)
     },
 
+    // calibration audit of the in-plan classifier: decile reliability
+    // rows (mean predicted prob vs empirical positive rate, bins
+    // integer-exact off the 6-dp probability lattice) + the NULL-bin
+    // ECE total — train in-plan, audit in-plan
+    "q_classifier_calibration" -> { (s, dir) =>
+      Curation.calibrationCard(docs(s, dir), col("source") === "src0",
+        buckets = 256, iters = 5, lr = 0.5)
+    },
+
     // longest-verbatim-overlap contamination card (the LENGTH read of
     // decontamination): per benchmark doc, the longest run of
     // consecutive positions whose 8-grams all occur in train -> longest
@@ -428,7 +437,7 @@ object CurationQueries {
     * exact DECIMAL sum and weights/probabilities live on the 6-dp
     * lattice, so DuckDB's trajectory equals Spark's bit-for-bit — the
     * hash gate verifies the TRAINING, not just the final scoring pass. */
-  private def lrOracleSql(buckets: Int, iters: Int, lr: Double): String = {
+  private def lrCtes(buckets: Int, iters: Int, lr: Double): String = {
     val steps = (1 to iters).map { t =>
       s"""p$t AS MATERIALIZED (
          |  SELECT c.doc_id, max(c.y) AS y,
@@ -444,7 +453,7 @@ object CurationQueries {
          |    FROM c JOIN p$t p USING (doc_id) GROUP BY 1) g USING (b))"""
         .stripMargin
     }.mkString(",\n")
-    s"""WITH d0 AS MATERIALIZED (
+    s"""d0 AS MATERIALIZED (
        |  SELECT doc_id, CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS y,
        |    string_split(coalesce(text, ''), ' ') AS w
        |  FROM documents),
@@ -462,19 +471,54 @@ object CurationQueries {
        |  SELECT DISTINCT b, CAST(0 AS DECIMAL(18,6)) AS wt FROM c),
        |$steps,
        |fs AS (
-       |  SELECT c.doc_id,
+       |  SELECT c.doc_id, max(c.y) AS y,
        |    sum(CASE WHEN c.b >= 0 THEN c.c ELSE 0 END) AS n_tokens,
        |    sum(c.c * w.wt) AS score
-       |  FROM c JOIN w$iters w USING (b) GROUP BY 1)
+       |  FROM c JOIN w$iters w USING (b) GROUP BY 1)""".stripMargin
+  }
+
+  private def lrOracleSql(buckets: Int, iters: Int, lr: Double): String =
+    s"""WITH ${lrCtes(buckets, iters, lr)}
        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
        |  round(CAST(score AS DOUBLE), 6) AS score,
        |  round(1 / (1 + exp(-CAST(score AS DOUBLE))), 6) AS prob,
        |  score > 0 AS predicted
        |FROM fs""".stripMargin
-  }
+
+  /** The calibration tail over the same training CTEs: decile bins off
+    * the 6-dp probability lattice (decimal ×10 floor — integer-exact),
+    * per-bin reliability rows, and the NULL-bin ECE total. */
+  private def calibrationOracleSql(buckets: Int, iters: Int,
+      lr: Double): String =
+    s"""WITH ${lrCtes(buckets, iters, lr)},
+       |sc AS (
+       |  SELECT doc_id, y,
+       |    CAST(round(1 / (1 + exp(-CAST(score AS DOUBLE))), 6)
+       |      AS DECIMAL(18,6)) AS pd
+       |  FROM fs),
+       |pb AS (
+       |  SELECT least(CAST(floor(pd * 10) AS INT), 9) AS bin,
+       |    CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(y) AS BIGINT) AS n_pos,
+       |    round(CAST(sum(pd) AS DOUBLE) / count(*), 6) AS mean_prob,
+       |    round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS frac_pos
+       |  FROM sc GROUP BY 1),
+       |pg AS (
+       |  SELECT bin, n, n_pos, mean_prob, frac_pos,
+       |    round(abs(mean_prob - frac_pos), 6) AS gap
+       |  FROM pb)
+       |SELECT bin, n, n_pos, mean_prob, frac_pos, gap FROM pg
+       |UNION ALL
+       |SELECT CAST(NULL AS INT) AS bin,
+       |  CAST(sum(n) AS BIGINT) AS n, CAST(sum(n_pos) AS BIGINT) AS n_pos,
+       |  CAST(NULL AS DOUBLE) AS mean_prob,
+       |  CAST(NULL AS DOUBLE) AS frac_pos,
+       |  round(sum(gap * n) / sum(n), 6) AS gap
+       |FROM pg""".stripMargin
 
   def oracles: Map[String, String] = Map(
     "q_quality_classifier" -> lrOracleSql(256, 5, 0.5),
+    "q_classifier_calibration" -> calibrationOracleSql(256, 5, 0.5),
 
     // Replays the positional 8-gram stream, the train-side membership
     // set, and the pos - row_number islands identity — integer-exact end
@@ -1595,6 +1639,7 @@ object CurationQueries {
     "q_ce_delta" -> Seq("doc_id"),
     "q_quality_classifier" -> Seq("doc_id"),
     "q_contamination_span" -> Seq("doc_id"),
+    "q_classifier_calibration" -> Seq("bin"),
     "q_corpus_report" -> Seq("lang", "source"),
     "q_leakage_split" -> Seq("doc_id"),
     "q_c4_filter" -> Seq("doc_id"),

@@ -215,6 +215,10 @@ object KernelProbe {
       "COMPUTE h FROM table(text, source) INTO column(est) " +
         "USING hll_card",
       "q_hll_card"),
+    ("classifier_calibration",
+      "COMPUTE c FROM table(text, is_en) INTO column(ece) " +
+        "USING classifier_calibration",
+      "q_classifier_calibration"),
     ("logistic_quality",
       "COMPUTE q FROM table(text, is_en) INTO column(lq_score) " +
         "USING logistic_quality",

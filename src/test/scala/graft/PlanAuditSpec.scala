@@ -1070,6 +1070,19 @@ class PlanAuditSpec extends AnyFunSuite {
       s"the register max must combine map-side (the 100 TB path):\n$p")
   }
 
+  test("q_classifier_calibration stays on the classifier's envelope — " +
+    "broadcast weight join, persisted count relation, no cartesian") {
+    val p = plan("q_classifier_calibration")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the weight table still broadcasts in the scoring pass:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"no degenerate joins in the audit:\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      s"the audit reads the SAME persisted count relation the training " +
+        s"used:\n$p")
+  }
+
   test("q_length_buckets is two aggregations over one projection — " +
     "no joins, no windows, bucket-count output") {
     val p = plan("q_length_buckets")

@@ -671,6 +671,32 @@ class ComputeSpec2 extends AnyFunSuite {
     assert(err.getMessage.contains("reserves"))
   }
 
+  test("classifier_calibration kernel emits the reliability card from " +
+    "the DSL with one ECE total row") {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (1L, "clean prose reads well here", true),
+      (2L, "clean tidy prose again", true),
+      (3L, "well formed clean text", true),
+      (4L, "spam junk casino junk", false),
+      (5L, "casino spam spam offer", false),
+      (6L, "junk offer casino spam", false))
+      .toDF("doc_id", "text", "is_curated")
+      .createOrReplaceTempView("calib_docs")
+    val rows = ComputeRegistry.runOnce(s,
+      parse("COMPUTE c FROM table(text, is_curated) INTO column(ece) " +
+        "USING classifier_calibration"),
+      "calib_docs").collect()
+    assert(rows.count(_.isNullAt(0)) == 1, "one NULL-bin total")
+    val total = rows.find(_.isNullAt(0)).get
+    assert(total.getAs[Long]("n") == 6L &&
+      total.getAs[Long]("n_pos") == 3L)
+    assert(total.getAs[Double]("ece") >= 0.0 &&
+      total.getAs[Double]("ece") <= 1.0)
+    graft.llm.PipelineCaches.clear()
+  }
+
   test("logistic_quality kernel trains the discriminative classifier " +
     "from the DSL: rows preserved, planted signal separates") {
     val s = spark

@@ -1210,6 +1210,41 @@ class CurationSpec extends AnyFunSuite {
     graft.llm.PipelineCaches.clear()
   }
 
+  test("calibrationCard: separable corpus splits into a high and a low " +
+    "bin with coherent gaps and an exact ECE total") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1L, "good good good filler", "pos"), (2L, "good good the", "pos"),
+      (3L, "filler good good a", "pos"), (4L, "good the good", "pos"),
+      (5L, "bad bad bad filler", "neg"), (6L, "bad bad the", "neg"),
+      (7L, "filler bad bad a", "neg"), (8L, "bad the bad", "neg"))
+      .toDF("doc_id", "text", "src")
+    val rows = Curation.calibrationCard(d, col("src") === "pos",
+      buckets = 64).collect()
+    val binRows = rows.filter(!_.isNullAt(0))
+    val totals = rows.filter(_.isNullAt(0))
+    assert(totals.length == 1, "exactly one NULL-bin ECE total row")
+    assert(binRows.forall(r => r.getInt(0) >= 0 && r.getInt(0) <= 9))
+    assert(binRows.length >= 2,
+      s"separable classes must land in distinct probability bins: " +
+        s"${binRows.mkString(";")}")
+    binRows.foreach { r =>
+      val gap = BigDecimal(r.getDouble(5))
+      val expect = BigDecimal(
+        math.abs(r.getDouble(3) - r.getDouble(4)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      assert(gap == expect, s"gap identity broken on $r")
+    }
+    val t = totals(0)
+    assert(t.getLong(1) == 8L && t.getLong(2) == 4L)
+    val ece = BigDecimal(binRows.map(r =>
+        r.getDouble(5) * r.getLong(1)).sum / 8.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(t.getDouble(5) == ece, "total gap must equal the weighted ECE")
+    graft.llm.PipelineCaches.clear()
+  }
+
   test("logisticQuality separates a separable corpus and refuses bad " +
     "hyperparameters loudly") {
     val s = spark
