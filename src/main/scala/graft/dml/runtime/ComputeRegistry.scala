@@ -504,6 +504,21 @@ object ComputeRegistry {
         .select(col("doc_id"), col("ce_delta").as(out))
       df.join(scored, Seq("doc_id"), "left")
     },
+    // embedding norm-health card over an EMBEDDING input column —
+    // relation-REPLACING, ONE row (null/non-finite/zero counts, mean,
+    // p10/p50/p90 of finite norms); INTO column(...) names the mean
+    "emb_norm_card" -> { (df, ins, out) =>
+      require(!Seq("n_vecs", "n_null", "n_nonfinite", "n_zero",
+          "p10", "p50", "p90").contains(out),
+        s"emb_norm_card reserves its card column names; pick another " +
+          s"INTO column name (got '$out')")
+      require(df.columns.contains("doc_id"),
+        s"table kernels require a 'doc_id' key column; relation has " +
+          s"[${df.columns.mkString(", ")}]")
+      graft.llm.Similarity.embNormCard(
+          df.select(col(ins.head).as("embedding")))
+        .withColumnRenamed("mean_norm", out)
+    },
     // MMR diversified re-rank over an EMBEDDING input column — relation-
     // REPLACING: the 5-pick greedy card for query doc_id 0 (rank,
     // vec_id, rel, mmr score); INTO column(...) names the mmr column

@@ -116,6 +116,63 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Embedding L2-norm distribution card — the featurization-health
+    * read no similarity operator should run without: NULL embeddings,
+    * non-finite norms (a NaN/Inf element anywhere surfaces here), exact
+    * zero vectors (dead encoders — silently "similar" to nothing under
+    * [[cosineOrNull]] and loudly fatal under [[cosine]]), plus the
+    * mean and type-1 p10/p50/p90 of the finite norms.
+    *
+    * ONE corpus pass: everything reads a single (6-dp-norm, count)
+    * histogram — counts are CASE sums over it, the mean is an exact
+    * DECIMAL weighted sum, and the quantiles are the established
+    * cumulative-histogram mins ([[Sampling.groupedQuantiles]]'s trick
+    * on one group, with the same cardinality guard: distinct 6-dp norms
+    * are data-dependent, so the guard refuses loudly rather than
+    * letting the histogram grow corpus-sized — discretize coarser at
+    * 100 TB). */
+  def embNormCard(embs: DataFrame,
+      maxDistinctNorms: Long = 1000000L): DataFrame = {
+    val hist = PipelineCaches.track(embs
+      .select(when(col("embedding").isNull, lit(null).cast("double"))
+        .otherwise(round(norm(col("embedding")), 6)).as("_nrm"))
+      .groupBy("_nrm").agg(count(lit(1)).as("_c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val distinct = hist.count()
+    require(distinct <= maxDistinctNorms,
+      s"embNormCard: $distinct distinct 6-dp norms exceed " +
+        s"maxDistinctNorms=$maxDistinctNorms; discretize the norms " +
+        "coarser or raise the cap explicitly.")
+    val bad = isnan(col("_nrm")) || col("_nrm") === Double.PositiveInfinity
+    val clean = col("_nrm").isNotNull && !bad
+    val counts = hist.agg(
+      sum("_c").cast("bigint").as("n_vecs"),
+      coalesce(sum(when(col("_nrm").isNull, col("_c"))), lit(0L))
+        .cast("bigint").as("n_null"),
+      coalesce(sum(when(col("_nrm").isNotNull && bad, col("_c"))),
+        lit(0L)).cast("bigint").as("n_nonfinite"),
+      coalesce(sum(when(col("_nrm") === 0.0, col("_c"))), lit(0L))
+        .cast("bigint").as("n_zero"),
+      round(sum(when(clean, col("_nrm").cast("decimal(18,6)") * col("_c")))
+          .cast("double") /
+        sum(when(clean, col("_c"))), 6).as("mean_norm"))
+    val wCum = Window.partitionBy(lit(0)).orderBy("_nrm")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy(lit(0))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val q = hist.filter(clean)
+      .withColumn("_cum", sum("_c").over(wCum))
+      .withColumn("_n", sum("_c").over(wTot))
+      .agg(
+        min(when(col("_cum") >= ceil(lit(0.1) * col("_n")), col("_nrm")))
+          .as("p10"),
+        min(when(col("_cum") >= ceil(lit(0.5) * col("_n")), col("_nrm")))
+          .as("p50"),
+        min(when(col("_cum") >= ceil(lit(0.9) * col("_n")), col("_nrm")))
+          .as("p90"))
+    counts.crossJoin(broadcast(q))
+  }
+
   /** MMR diversified re-rank (Carbonell & Goldstein 1998, "The Use of
     * MMR ... in Retrieval and Summarization") — the RAG-tier answer to
     * near-duplicate retrieval hits: greedily pick `k` of the `pool`

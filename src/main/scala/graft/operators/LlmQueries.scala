@@ -509,6 +509,13 @@ object LlmQueries {
         .orderBy("query_id", "rank")
     },
 
+    // embedding norm-health card: NULL / non-finite / zero-vector counts
+    // plus mean and p10/p50/p90 of the finite 6-dp norms — everything
+    // off ONE (norm, count) histogram
+    "q_emb_norm_card" -> { (s, dir) =>
+      Similarity.embNormCard(embs(s, dir))
+    },
+
     // MMR diversified re-rank (Carbonell & Goldstein 1998): top-16
     // cosine pool for query vec 0, then 5 greedy picks maximizing
     // 0.7*rel - 0.3*max-sim-to-selected — every score an exact 7-dp
@@ -1186,6 +1193,45 @@ object LlmQueries {
         |  round(CAST(padded_tokens - n_tokens AS DOUBLE)
         |    / padded_tokens, 6) AS waste_frac
         |FROM pb""".stripMargin,
+
+    // Replays the 6-dp norm histogram, the CASE-sum counts, the DECIMAL
+    // weighted mean, and the cumulative type-1 quantile mins.
+    "q_emb_norm_card" ->
+      """WITH nr AS (
+        |  SELECT CASE WHEN embedding IS NULL THEN NULL
+        |    ELSE round(sqrt(list_sum(list_transform(
+        |      range(1, len(embedding) + 1),
+        |      i -> CAST(embedding[i] AS DOUBLE)
+        |         * CAST(embedding[i] AS DOUBLE)))), 6) END AS nrm
+        |  FROM embeddings),
+        |h AS (SELECT nrm, count(*) AS c FROM nr GROUP BY 1),
+        |cnt AS (
+        |  SELECT CAST(sum(c) AS BIGINT) AS n_vecs,
+        |    CAST(coalesce(sum(CASE WHEN nrm IS NULL THEN c END), 0)
+        |      AS BIGINT) AS n_null,
+        |    CAST(coalesce(sum(CASE WHEN nrm IS NOT NULL
+        |      AND NOT isfinite(nrm) THEN c END), 0) AS BIGINT)
+        |      AS n_nonfinite,
+        |    CAST(coalesce(sum(CASE WHEN nrm = 0 THEN c END), 0)
+        |      AS BIGINT) AS n_zero,
+        |    round(CAST(sum(CASE WHEN nrm IS NOT NULL AND isfinite(nrm)
+        |        THEN CAST(nrm AS DECIMAL(18,6)) * c END) AS DOUBLE)
+        |      / sum(CASE WHEN nrm IS NOT NULL AND isfinite(nrm)
+        |        THEN c END), 6) AS mean_norm
+        |  FROM h),
+        |cm AS (
+        |  SELECT nrm, sum(c) OVER (ORDER BY nrm) AS cum,
+        |    sum(c) OVER () AS n
+        |  FROM h WHERE nrm IS NOT NULL AND isfinite(nrm)),
+        |q AS (
+        |  SELECT
+        |    min(CASE WHEN cum >= ceil(0.1 * n) THEN nrm END) AS p10,
+        |    min(CASE WHEN cum >= ceil(0.5 * n) THEN nrm END) AS p50,
+        |    min(CASE WHEN cum >= ceil(0.9 * n) THEN nrm END) AS p90
+        |  FROM cm)
+        |SELECT cnt.n_vecs, cnt.n_null, cnt.n_nonfinite, cnt.n_zero,
+        |  cnt.mean_norm, q.p10, q.p50, q.p90
+        |FROM cnt, q""".stripMargin,
 
     // The streamed register state over both batches equals the batch
     // register table (max is order- and batch-insensitive), so the

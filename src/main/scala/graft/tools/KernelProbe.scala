@@ -200,6 +200,10 @@ object KernelProbe {
       "COMPUTE c FROM table(text, is_bench) INTO column(span) " +
         "USING contamination_span",
       "q_contamination_span"),
+    ("emb_norm_card",
+      "COMPUTE e FROM table(embedding) INTO column(mnorm) " +
+        "USING emb_norm_card",
+      "q_emb_norm_card"),
     ("mmr_rerank",
       "COMPUTE m FROM table(embedding) INTO column(mmr) " +
         "USING mmr_rerank",

@@ -1070,6 +1070,19 @@ class PlanAuditSpec extends AnyFunSuite {
       s"the register max must combine map-side (the 100 TB path):\n$p")
   }
 
+  test("q_emb_norm_card reads one persisted norm histogram for every " +
+    "statistic — single corpus pass, bounded windows") {
+    val p = plan("q_emb_norm_card")
+    // the formatted explain renders the persisted histogram's CACHED
+    // lineage (including its parquet scan) under every InMemoryTableScan
+    // reference, so scan-counting the text over-counts; the pin is that
+    // every consumer goes through the cache at all
+    assert(p.contains("InMemoryTableScan"),
+      s"all consumers read the persisted (norm, count) histogram:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"the final card join is a broadcast of a 1-row agg:\n$p")
+  }
+
   test("q_classifier_calibration stays on the classifier's envelope — " +
     "broadcast weight join, persisted count relation, no cartesian") {
     val p = plan("q_classifier_calibration")

@@ -584,6 +584,24 @@ class ComputeSpec2 extends AnyFunSuite {
     graft.llm.PipelineCaches.clear()
   }
 
+  test("emb_norm_card kernel emits the norm-health card from the DSL") {
+    val s = spark
+    s.table("embeddings")
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+      .createOrReplaceTempView("emb_docs_norm")
+    val twin = graft.llm.Similarity.embNormCard(s.table("embeddings"))
+      .collect()(0)
+    graft.llm.PipelineCaches.clear()
+    val card = ComputeRegistry.runOnce(s,
+      parse("COMPUTE e FROM table(embedding) INTO column(mnorm) " +
+        "USING emb_norm_card"),
+      "emb_docs_norm").collect()(0)
+    assert(card.getAs[Long]("n_vecs") == twin.getAs[Long]("n_vecs"))
+    assert(card.getAs[Double]("mnorm") == twin.getAs[Double]("mean_norm"))
+    assert(card.getAs[Double]("p50") == twin.getAs[Double]("p50"))
+    graft.llm.PipelineCaches.clear()
+  }
+
   test("mmr_rerank kernel emits the 5-pick greedy card from the DSL and " +
     "matches the catalog twin") {
     val s = spark

@@ -1033,6 +1033,32 @@ class LlmSpec extends AnyFunSuite {
     assert(bad.count() == 0)
   }
 
+  test("embNormCard: planted NULL/NaN/zero vectors are counted apart " +
+    "and the finite-norm stats are hand-exact") {
+    val s = spark
+    import s.implicits._
+    val embs = Seq(
+      (1L, Seq(3f, 4f)), (2L, Seq(0f, 0f)), (3L, null: Seq[Float]),
+      (4L, Seq(Float.NaN, 1f)), (5L, Seq(1f, 0f)), (6L, Seq(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val c = Similarity.embNormCard(embs).collect()(0)
+    assert(c.getAs[Long]("n_vecs") == 6L)
+    assert(c.getAs[Long]("n_null") == 1L)
+    assert(c.getAs[Long]("n_nonfinite") == 1L)
+    assert(c.getAs[Long]("n_zero") == 1L)
+    // finite norms {5, 0, 1, 1}: mean 1.75; sorted [0,1,1,5] type-1
+    // p10 = 0, p50 = 1, p90 = 5
+    assert(c.getAs[Double]("mean_norm") == 1.75)
+    assert(c.getAs[Double]("p10") == 0.0)
+    assert(c.getAs[Double]("p50") == 1.0)
+    assert(c.getAs[Double]("p90") == 5.0)
+    graft.llm.PipelineCaches.clear()
+    val e = intercept[IllegalArgumentException](
+      Similarity.embNormCard(embs, maxDistinctNorms = 1L))
+    assert(e.getMessage.contains("maxDistinctNorms"))
+    graft.llm.PipelineCaches.clear()
+  }
+
   test("mmrRerank: hand-computed greedy trajectory — a perfect near-dup " +
     "is demoted below the diverse candidate, ties break on vec_id") {
     val s = spark
