@@ -534,6 +534,17 @@ object ComputeRegistry {
       graft.llm.Similarity.mmrRerank(embs, queryId = 0L, k = 5, pool = 16)
         .withColumnRenamed("mmr_score", out)
     },
+    // join-skew planning card over a KEY input column — relation-
+    // REPLACING: top-20 hot keys of the relation's self-join on that key
+    // (n_l x n_r output rows each) + the NULL-key total row; INTO
+    // column(...) names the share column. Key-generic: needs no doc_id
+    "join_skew" -> { (df, ins, out) =>
+      require(!Seq("key", "n_left", "n_right", "out_rows").contains(out),
+        s"join_skew reserves its card column names; pick another INTO " +
+          s"column name (got '$out')")
+      graft.plans.JoinSkew.joinSkewCard(df, df, ins.head)
+        .withColumnRenamed("out_share", out)
+    },
     // length-bucketed batching plan over a TEXT input column — relation-
     // REPLACING: per power-of-two length bucket, docs/tokens/padded/
     // waste, plus the NULL-bucket pad-to-max total row; INTO column(...)

@@ -164,6 +164,16 @@ object EventQueries {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // join-skew planning card for the events × events self-join on
+    // user_id: top-20 hot keys by output rows (n_l × n_r, the salting
+    // decision quantity) + the NULL-key total row whose share column is
+    // the top-20 output concentration — exact via key-count tables,
+    // never the data join itself
+    "q_join_skew_card" -> { (s, dir) =>
+      val e = events(s, dir).select("user_id")
+      graft.plans.JoinSkew.joinSkewCard(e, e, "user_id", topN = 20)
+    },
+
     // hourly per-type metrics roll-up — tumbling windows via date_trunc
     // STREAM-STATIC enrichment join, completing the streaming join
     // matrix (static / stream-stream inner / stream-stream outer): each
@@ -532,6 +542,36 @@ object EventQueries {
     })
 
   def oracles: Map[String, String] = Map(
+    // replays the key-count tables, the hot-key top-20 (out_rows DESC,
+    // key ASC), and the NULL-key total with top-20 concentration
+    "q_join_skew_card" ->
+      """WITH c AS (
+        |  SELECT user_id AS key, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1),
+        |j AS (
+        |  SELECT key, n AS n_left, n AS n_right,
+        |    CAST(n * n AS BIGINT) AS out_rows
+        |  FROM c),
+        |tot AS (
+        |  SELECT CAST(sum(n_left) AS BIGINT) AS n_left,
+        |    CAST(sum(n_right) AS BIGINT) AS n_right,
+        |    CAST(sum(out_rows) AS BIGINT) AS out_rows
+        |  FROM j),
+        |top AS (
+        |  SELECT * FROM j ORDER BY out_rows DESC, key ASC LIMIT 20)
+        |SELECT t.key, t.n_left, t.n_right, t.out_rows,
+        |  CASE WHEN tot.out_rows = 0 THEN NULL
+        |    ELSE round(CAST(t.out_rows AS DOUBLE) / tot.out_rows, 6) END
+        |    AS out_share
+        |FROM top t CROSS JOIN tot
+        |UNION ALL
+        |SELECT CAST(NULL AS BIGINT) AS key, tot.n_left, tot.n_right,
+        |  tot.out_rows,
+        |  CASE WHEN tot.out_rows = 0 THEN NULL
+        |    ELSE round(CAST((SELECT sum(out_rows) FROM top) AS DOUBLE)
+        |      / tot.out_rows, 6) END AS out_share
+        |FROM tot""".stripMargin,
+
     "q_events_windowed" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         |  COUNT(*) AS n,
@@ -810,6 +850,7 @@ object EventQueries {
         |FROM events GROUP BY 1 ORDER BY win""".stripMargin)
 
   def verifySort: Map[String, Seq[String]] = Map(
+    "q_join_skew_card" -> Seq("key"),
     "q_events_lag" -> Seq("user_id", "event_id"),
     "q_events_asof" -> Seq("event_id"),
     "q_events_range_join" -> Seq("event_id", "window_id"),

@@ -40,7 +40,8 @@ object ExplainPlans {
       "q_emb_drift", "q_pq_distortion", "q_int8_distortion",
       "q_lsh_sensitivity", "q_quality_classifier", "q_hll_card",
       "q_contamination_span", "q_lsh_recall_audit", "q_cms_topk",
-      "q_length_buckets", "q_classifier_calibration", "q_emb_norm_card")
+      "q_length_buckets", "q_classifier_calibration", "q_emb_norm_card",
+      "q_join_skew_card")
     // q_emb_top_pc is deliberately absent like q_dedup_groups: building
     // it RUNS the moment aggregations and the driver-local iterations,
     // so its "plan" is a LocalTableScan of the finished card — the

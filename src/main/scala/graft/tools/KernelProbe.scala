@@ -200,6 +200,10 @@ object KernelProbe {
       "COMPUTE c FROM table(text, is_bench) INTO column(span) " +
         "USING contamination_span",
       "q_contamination_span"),
+    ("join_skew",
+      "COMPUTE j FROM table(user_id) INTO column(share) " +
+        "USING join_skew",
+      "q_join_skew_card"),
     ("emb_norm_card",
       "COMPUTE e FROM table(embedding) INTO column(mnorm) " +
         "USING emb_norm_card",

@@ -1096,6 +1096,18 @@ class PlanAuditSpec extends AnyFunSuite {
         s"used:\n$p")
   }
 
+  test("q_join_skew_card never runs the data join — count tables only, " +
+    "bounded-heap hot-key cut") {
+    val p = plan("q_join_skew_card")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the hot-key cut is a bounded-heap TakeOrdered:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"only 1-row broadcast combines allowed:\n$p")
+    val partials = "partial_count".r.findAllIn(p).length
+    assert(partials >= 1,
+      s"the key counts must combine map-side:\n$p")
+  }
+
   test("q_length_buckets is two aggregations over one projection — " +
     "no joins, no windows, bucket-count output") {
     val p = plan("q_length_buckets")

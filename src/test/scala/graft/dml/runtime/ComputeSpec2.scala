@@ -627,6 +627,27 @@ class ComputeSpec2 extends AnyFunSuite {
     graft.llm.PipelineCaches.clear()
   }
 
+  test("join_skew kernel emits the self-join skew card from the DSL") {
+    val s = spark
+    val twin = graft.plans.JoinSkew.joinSkewCard(
+        s.table("events"), s.table("events"), "user_id")
+      .collect().map(r => Option(r.get(0)) -> r.getLong(3)).toMap
+    val k = ComputeRegistry.runOnce(s,
+      parse("COMPUTE j FROM table(user_id) INTO column(share) " +
+        "USING join_skew"),
+      "events")
+      .collect().map(r => Option(r.get(0)) ->
+        r.getAs[Long]("out_rows")).toMap
+    assert(k == twin)
+    val err = intercept[IllegalArgumentException] {
+      ComputeRegistry.runOnce(s,
+        parse("COMPUTE j FROM table(user_id) INTO column(out_rows) " +
+          "USING join_skew"),
+        "events")
+    }
+    assert(err.getMessage.contains("reserves"))
+  }
+
   test("length_buckets kernel reaches the batching plan from the DSL") {
     val s = spark
     val twin = graft.llm.TextOps.lengthBucketPlan(s.table("documents"))
