@@ -585,6 +585,24 @@ object ComputeRegistry {
         .withColumnRenamed("_grp", ins(1))
         .withColumnRenamed("hll_est", out)
     },
+    // exact Mann-Whitney ROC-AUC of the in-plan classifier over (text,
+    // is_positive) input columns — relation-REPLACING, ONE row (n_pos,
+    // n_neg, the integer 2U, auc); INTO column(...) names the auc
+    "classifier_auc" -> { (df, ins, out) =>
+      require(ins.length >= 2,
+        s"classifier_auc needs (text, is_positive) input columns, " +
+          s"got $ins")
+      require(!Seq("n_pos", "n_neg", "u2").contains(out),
+        s"classifier_auc reserves its card column names; pick another " +
+          s"INTO column name (got '$out')")
+      require(df.columns.contains("doc_id"),
+        s"table kernels require a 'doc_id' key column; relation has " +
+          s"[${df.columns.mkString(", ")}]")
+      val base = df.select(col("doc_id"), col(ins.head).as("text"),
+        (col(ins(1)).cast("boolean") <=> lit(true)).as("_pos"))
+      graft.llm.Curation.classifierAuc(base, col("_pos"))
+        .withColumnRenamed("auc", out)
+    },
     // calibration audit of the in-plan classifier over (text,
     // is_positive) input columns — relation-REPLACING: decile
     // reliability rows + the NULL-bin ECE total; INTO column(...) names

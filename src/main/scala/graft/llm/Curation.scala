@@ -415,6 +415,51 @@ object Curation {
       .unionByName(total)
   }
 
+  /** Exact ROC-AUC of [[logisticQuality]] via the Mann–Whitney U
+    * identity — [[calibrationCard]] audits whether the probabilities
+    * MEAN anything; this audits whether the RANKING works (a filter
+    * keeps the top X%, so ranking quality is the operational metric).
+    * Tie handling is the textbook half-credit, computed ALL-INTEGER on
+    * the 6-dp score lattice: over the (score, n_pos, n_neg) histogram,
+    * 2U = Σ_s n_pos(s) · (2·Σ_{s'<s} n_neg(s') + n_neg(s)), and
+    * AUC = 2U / (2·n_pos·n_neg) — one division at the very end, so the
+    * oracle replays the statistic bit-for-bit.
+    *
+    * One-row card: n_pos, n_neg, u2 (the integer 2U — the auditable
+    * raw statistic), auc. Degenerate one-class corpora get NULL auc
+    * (never a fake 0.5). Scale shape: the classifier's envelope + a
+    * score-histogram agg whose size is bounded by distinct 6-dp scores,
+    * with the cumulative window over that histogram only. */
+  def classifierAuc(docs: DataFrame, isPositive: Column,
+      buckets: Int = 256, iters: Int = 5, lr: Double = 0.5): DataFrame = {
+    val scored = logisticQuality(docs, isPositive, buckets, iters, lr)
+    val y = docs.select(col("doc_id"),
+      when(isPositive, lit(1L)).otherwise(lit(0L)).as("_y"))
+    // histogram on the exact decimal score (finer than prob and
+    // monotone-equivalent: same AUC, fewer tie groups)
+    val hist = scored.join(y, Seq("doc_id"))
+      .select(round(col("score"), 6).cast("decimal(18,6)").as("_s"),
+        col("_y"))
+      .groupBy("_s").agg(
+        sum("_y").cast("bigint").as("_np"),
+        sum(lit(1L) - col("_y")).cast("bigint").as("_nn"))
+    // deliberate single-partition window over the score HISTOGRAM only
+    // (the Sampling.allRows convention — bounded by distinct 6-dp scores)
+    val cum = hist.withColumn("_nnBelow",
+      coalesce(sum("_nn").over(Window.partitionBy(lit(0)).orderBy("_s")
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    cum.agg(
+        sum("_np").cast("bigint").as("n_pos"),
+        sum("_nn").cast("bigint").as("n_neg"),
+        sum(col("_np") * (lit(2L) * col("_nnBelow") + col("_nn")))
+          .cast("bigint").as("u2"))
+      .select(col("n_pos"), col("n_neg"), col("u2"),
+        when(col("n_pos") === 0 || col("n_neg") === 0,
+          lit(null).cast("double"))
+          .otherwise(round(col("u2").cast("double") /
+            (lit(2.0) * col("n_pos") * col("n_neg")), 6)).as("auc"))
+  }
+
   /** Gopher-style repetition metrics per doc: duplicate-word ratio,
     * most-frequent-bigram mass fraction, and singleton-word fraction. High
     * dup ratio / top-bigram mass marks boilerplate and degenerate repeated

@@ -84,6 +84,15 @@ object CurationQueries {
         alpha = 0.5)
     },
 
+    // exact Mann-Whitney ROC-AUC of the in-plan classifier: 2U computed
+    // all-integer over the 6-dp score histogram (textbook half-credit
+    // ties), one division at the very end — the RANKING audit next to
+    // the calibration card's probability audit
+    "q_classifier_auc" -> { (s, dir) =>
+      Curation.classifierAuc(docs(s, dir), col("source") === "src0",
+        buckets = 256, iters = 5, lr = 0.5)
+    },
+
     // calibration audit of the in-plan classifier: decile reliability
     // rows (mean predicted prob vs empirical positive rate, bins
     // integer-exact off the 6-dp probability lattice) + the NULL-bin
@@ -516,9 +525,39 @@ object CurationQueries {
        |  round(sum(gap * n) / sum(n), 6) AS gap
        |FROM pg""".stripMargin
 
+  /** The AUC tail over the same training CTEs: all-integer 2U over the
+    * 6-dp score histogram, a single final division. */
+  private def aucOracleSql(buckets: Int, iters: Int, lr: Double): String =
+    s"""WITH ${lrCtes(buckets, iters, lr)},
+       |sc AS (
+       |  SELECT CAST(round(CAST(score AS DOUBLE), 6) AS DECIMAL(18,6))
+       |    AS s, y
+       |  FROM fs),
+       |h AS (
+       |  SELECT s, CAST(sum(y) AS BIGINT) AS np,
+       |    CAST(sum(1 - y) AS BIGINT) AS nn
+       |  FROM sc GROUP BY 1),
+       |cm AS (
+       |  SELECT np, nn,
+       |    coalesce(sum(nn) OVER (ORDER BY s
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS nnb
+       |  FROM h),
+       |ag AS (
+       |  SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+       |    CAST(sum(nn) AS BIGINT) AS n_neg,
+       |    CAST(sum(np * (2 * nnb + nn)) AS BIGINT) AS u2
+       |  FROM cm)
+       |SELECT n_pos, n_neg, u2,
+       |  CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+       |    ELSE round(CAST(u2 AS DOUBLE) / (2.0 * n_pos * n_neg), 6) END
+       |    AS auc
+       |FROM ag""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "q_quality_classifier" -> lrOracleSql(256, 5, 0.5),
     "q_classifier_calibration" -> calibrationOracleSql(256, 5, 0.5),
+    "q_classifier_auc" -> aucOracleSql(256, 5, 0.5),
 
     // Replays the positional 8-gram stream, the train-side membership
     // set, and the pos - row_number islands identity — integer-exact end

@@ -223,6 +223,10 @@ object KernelProbe {
       "COMPUTE h FROM table(text, source) INTO column(est) " +
         "USING hll_card",
       "q_hll_card"),
+    ("classifier_auc",
+      "COMPUTE a FROM table(text, is_en) INTO column(auc) " +
+        "USING classifier_auc",
+      "q_classifier_auc"),
     ("classifier_calibration",
       "COMPUTE c FROM table(text, is_en) INTO column(ece) " +
         "USING classifier_calibration",

@@ -1083,6 +1083,17 @@ class PlanAuditSpec extends AnyFunSuite {
       s"the final card join is a broadcast of a 1-row agg:\n$p")
   }
 
+  test("q_classifier_auc windows only the score histogram — the " +
+    "single-partition window is bounded by distinct 6-dp scores") {
+    val p = plan("q_classifier_auc")
+    assert(p.contains("Window"),
+      s"the below-cumulative rides the histogram window:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the weight scoring join still broadcasts:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"no cartesian anywhere:\n$p")
+  }
+
   test("q_classifier_calibration stays on the classifier's envelope — " +
     "broadcast weight join, persisted count relation, no cartesian") {
     val p = plan("q_classifier_calibration")

@@ -710,6 +710,29 @@ class ComputeSpec2 extends AnyFunSuite {
     assert(err.getMessage.contains("reserves"))
   }
 
+  test("classifier_auc kernel: perfect planted separation ranks 1.0 " +
+    "from the DSL") {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (1L, "clean prose reads well here", true),
+      (2L, "clean tidy prose again", true),
+      (3L, "well formed clean text", true),
+      (4L, "spam junk casino junk", false),
+      (5L, "casino spam spam offer", false),
+      (6L, "junk offer casino spam", false))
+      .toDF("doc_id", "text", "is_curated")
+      .createOrReplaceTempView("auc_docs")
+    val card = ComputeRegistry.runOnce(s,
+      parse("COMPUTE a FROM table(text, is_curated) INTO column(auc) " +
+        "USING classifier_auc"),
+      "auc_docs").collect()(0)
+    assert(card.getAs[Long]("n_pos") == 3L &&
+      card.getAs[Long]("n_neg") == 3L)
+    assert(card.getAs[Double]("auc") == 1.0)
+    graft.llm.PipelineCaches.clear()
+  }
+
   test("classifier_calibration kernel emits the reliability card from " +
     "the DSL with one ECE total row") {
     val s = spark

@@ -1245,6 +1245,39 @@ class CurationSpec extends AnyFunSuite {
     graft.llm.PipelineCaches.clear()
   }
 
+  test("classifierAuc: separable corpus scores 1.0, identical docs tie " +
+    "to exactly 0.5, one-class corpus yields NULL") {
+    val s = spark
+    import s.implicits._
+    val sep = Seq(
+      (1L, "good good good filler", "pos"), (2L, "good good the", "pos"),
+      (3L, "filler good good a", "pos"), (4L, "good the good", "pos"),
+      (5L, "bad bad bad filler", "neg"), (6L, "bad bad the", "neg"),
+      (7L, "filler bad bad a", "neg"), (8L, "bad the bad", "neg"))
+      .toDF("doc_id", "text", "src")
+    val a1 = Curation.classifierAuc(sep, col("src") === "pos",
+      buckets = 64).collect()(0)
+    assert(a1.getAs[Long]("n_pos") == 4L && a1.getAs[Long]("n_neg") == 4L)
+    assert(a1.getAs[Double]("auc") == 1.0,
+      s"perfect separation must rank perfectly, got $a1")
+    graft.llm.PipelineCaches.clear()
+    // identical text -> one score for everything -> all-tie half credit:
+    // 2U = np*nn exactly, auc exactly 0.5
+    val tie = Seq(
+      (1L, "same text", true), (2L, "same text", false),
+      (3L, "same text", true), (4L, "same text", false))
+      .toDF("doc_id", "text", "pos")
+    val a2 = Curation.classifierAuc(tie, col("pos")).collect()(0)
+    assert(a2.getAs[Long]("u2") == 4L && a2.getAs[Double]("auc") == 0.5)
+    graft.llm.PipelineCaches.clear()
+    val one = Seq((1L, "a", true), (2L, "b", true)).toDF("doc_id", "text",
+      "pos")
+    val a3 = Curation.classifierAuc(one, col("pos")).collect()(0)
+    assert(a3.isNullAt(a3.fieldIndex("auc")),
+      "one-class AUC must be NULL, never a fake 0.5")
+    graft.llm.PipelineCaches.clear()
+  }
+
   test("logisticQuality separates a separable corpus and refuses bad " +
     "hyperparameters loudly") {
     val s = spark
