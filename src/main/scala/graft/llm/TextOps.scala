@@ -625,28 +625,39 @@ object TextOps {
     * property exact counts lack at stream boundaries). The exact top-N
     * is the audit side (token-keyed agg + TakeOrdered); production at
     * 100 TB keeps the sketch and drops the audit columns. */
+  private[graft] def cmsBucket(r: Int, tok: Column, width: Int): Column =
+    conv(substring(md5(concat(lit(s"$r:"), tok)), 1, 8), 16, 10)
+      .cast("long") % width
+
   def cmsTopK(docs: DataFrame, depth: Int = 4, width: Int = 256,
       topN: Int = 20): DataFrame = {
     require(depth >= 1 && depth <= 8, s"depth must be in [1, 8], got $depth")
     require(width > 0, s"width must be positive, got $width")
     require(topN >= 1, s"topN must be >= 1, got $topN")
-    def bucket(r: Int, tok: Column): Column =
-      conv(substring(md5(concat(lit(s"$r:"), tok)), 1, 8), 16, 10)
-        .cast("long") % width
     val tok = docs.select(
       explode(tokens(coalesce(col("text"), lit("")))).as("_w"))
     val sketch = tok.select(explode(array((0 until depth).map(r =>
-        struct(lit(r).as("_r"), bucket(r, col("_w")).as("_b"))): _*))
-        .as("_rb"))
+        struct(lit(r).as("_r"), cmsBucket(r, col("_w"), width).as("_b")))
+        : _*)).as("_rb"))
       .groupBy(col("_rb._r").as("_r"), col("_rb._b").as("_b"))
       .agg(count(lit(1)).as("_cnt"))
     val top = tok.groupBy("_w")
       .agg(count(lit(1)).cast("bigint").as("n_exact"))
       .orderBy(col("n_exact").desc, col("_w").asc).limit(topN)
+    cmsEstimate(sketch, top, depth, width)
+  }
+
+  /** The probe/estimate tail of [[cmsTopK]] over a finished cell grid
+    * (_r, _b, _cnt) — split out because grids ARRIVE from more than one
+    * place: the batch pass, and drained STREAMING state (cells merge by
+    * SUM across micro-batches exactly as across shards; `q_stream_cms`
+    * pins the agreement under the hash gate). */
+  private[graft] def cmsEstimate(sketch: DataFrame, top: DataFrame,
+      depth: Int, width: Int): DataFrame = {
     val probes = top.select(col("_w"), col("n_exact"),
       explode(array((0 until depth).map(r =>
-        struct(lit(r).as("_r"), bucket(r, col("_w")).as("_b"))): _*))
-        .as("_rb"))
+        struct(lit(r).as("_r"), cmsBucket(r, col("_w"), width).as("_b")))
+        : _*)).as("_rb"))
       .select(col("_w"), col("n_exact"),
         col("_rb._r").as("_r"), col("_rb._b").as("_b"))
     probes.join(broadcast(sketch), Seq("_r", "_b"))

@@ -167,6 +167,39 @@ object LlmQueries {
        |           i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))))
        |    , 6)""".stripMargin
 
+  /** Shared replay of the 4x256 CMS grid (salted md5 buckets, integer
+    * cell counts), the exact top-20, and the min-over-rows estimate —
+    * all-integer, bit-exact. Serves BOTH q_cms_topk and q_stream_cms:
+    * cell sums are batch-insensitive, so the streamed grid equals the
+    * batch grid by construction. */
+  private val cmsOracleSql: String = {
+    val rows = (0 until 4).map(r =>
+      s"SELECT $r AS r, CAST('0x' || substring(md5('$r:' || w), 1, 8) " +
+        s"AS BIGINT) % 256 AS b, w FROM tok").mkString("\n  UNION ALL\n  ")
+    s"""WITH tok AS MATERIALIZED (
+       |  SELECT unnest(string_split(coalesce(text, ''), ' ')) AS w
+       |  FROM documents),
+       |rb AS MATERIALIZED (
+       |  $rows),
+       |sk AS (
+       |  SELECT r, b, count(*) AS cnt FROM rb GROUP BY 1, 2),
+       |top AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS n_exact FROM tok
+       |  GROUP BY 1 ORDER BY n_exact DESC, w ASC LIMIT 20),
+       |pr AS (
+       |  SELECT t.w, t.n_exact, rr.r,
+       |    CAST('0x' || substring(
+       |      md5(CAST(rr.r AS VARCHAR) || ':' || t.w), 1, 8)
+       |      AS BIGINT) % 256 AS b
+       |  FROM top t CROSS JOIN (SELECT unnest(range(0, 4)) AS r) rr),
+       |est AS (
+       |  SELECT pr.w, pr.n_exact, min(sk.cnt) AS cms_est
+       |  FROM pr JOIN sk USING (r, b) GROUP BY 1, 2)
+       |SELECT w AS token, n_exact, CAST(cms_est AS BIGINT) AS cms_est,
+       |  CAST(cms_est - n_exact AS BIGINT) AS overcount
+       |FROM est ORDER BY n_exact DESC, token ASC""".stripMargin
+  }
+
   /** Generated greedy-replay oracle for [[Similarity.mmrRerank]]: one
     * CTE per pick. rel and pairwise sims are 6-dp DECIMALs, λ literals
     * are exact decimals, so every MMR score is an exact 7-dp decimal and
@@ -994,6 +1027,58 @@ object LlmQueries {
       }
     },
 
+    // STREAMING CMS state — stream_hll's ADD-merge sibling: the 4x256
+    // cell grid as a stateful streaming SUM-agg over the two-batch
+    // replay; the drained cells through the SAME probe/estimate tail
+    // (exact top-20 from the batch audit side) hash-match the batch
+    // card. Counters merge by addition across micro-batches exactly as
+    // across shards — state bounded at depth x width forever
+    "q_stream_cms" -> { (s, dir) =>
+      import org.apache.spark.sql.streaming.Trigger
+      val d = docs(s, dir).select("doc_id", "text")
+      val batches = Seq(
+        d.filter(col("doc_id") % 2 === 0),
+        d.filter(col("doc_id") % 2 === 1))
+      val tmp = EventQueries.stampedDir(batches)
+      val ckpt = EventQueries.scratchDir("graft_scms_ck").toFile
+      val sink = s"graft_stream_cms_${System.nanoTime()}"
+      try {
+        val q = s.readStream
+          .schema("doc_id BIGINT, text STRING")
+          .option("maxFilesPerTrigger", 1).parquet(tmp.toString)
+          .select(explode(split(coalesce(col("text"), lit("")), " "))
+            .as("_w"))
+          .select(explode(array((0 until 4).map(r =>
+            struct(lit(r).as("_r"),
+              graft.llm.TextOps.cmsBucket(r, col("_w"), 256).as("_b")))
+            : _*)).as("_rb"))
+          .groupBy(col("_rb._r").as("_r"), col("_rb._b").as("_b"))
+          .agg(count(lit(1)).as("_cnt"))
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("complete")
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(Trigger.AvailableNow()).start()
+        try {
+          if (!q.awaitTermination(180000))
+            throw new IllegalStateException(
+              "streaming CMS did not drain within 180s")
+        } finally q.stop()
+        val s2 = s
+        import s2.implicits._
+        val cells = s.table(sink).collect().toSeq
+          .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+          .toDF("_r", "_b", "_cnt")
+        val top = d
+          .select(explode(graft.llm.TextOps.tokens(
+            coalesce(col("text"), lit("")))).as("_w"))
+          .groupBy("_w").agg(count(lit(1)).cast("bigint").as("n_exact"))
+          .orderBy(col("n_exact").desc, col("_w").asc).limit(20)
+        graft.llm.TextOps.cmsEstimate(cells, top, 4, 256)
+      } finally {
+        Seq(tmp, ckpt).foreach(EventQueries.rmTree)
+      }
+    },
+
     "q_stream_vocab_drift" -> { (s, dir) =>
       import org.apache.spark.sql.streaming.Trigger
       val d = docs(s, dir).select("doc_id", "text")
@@ -1267,36 +1352,14 @@ object LlmQueries {
         |    ELSE e END, 6) AS hll_est
         |FROM est""".stripMargin,
 
+    // The streamed cell grid over both batches equals the batch grid
+    // (sum is batch-insensitive), so the oracle is the batch replay.
+    "q_stream_cms" -> cmsOracleSql,
+
     // Replays the 4x256 sketch grid (salted md5 buckets, integer cell
     // counts), the exact top-20, and the min-over-rows estimate —
     // all-integer, bit-exact.
-    "q_cms_topk" -> {
-      val rows = (0 until 4).map(r =>
-        s"SELECT $r AS r, CAST('0x' || substring(md5('$r:' || w), 1, 8) " +
-          s"AS BIGINT) % 256 AS b, w FROM tok").mkString("\n  UNION ALL\n  ")
-      s"""WITH tok AS MATERIALIZED (
-         |  SELECT unnest(string_split(coalesce(text, ''), ' ')) AS w
-         |  FROM documents),
-         |rb AS MATERIALIZED (
-         |  $rows),
-         |sk AS (
-         |  SELECT r, b, count(*) AS cnt FROM rb GROUP BY 1, 2),
-         |top AS (
-         |  SELECT w, CAST(count(*) AS BIGINT) AS n_exact FROM tok
-         |  GROUP BY 1 ORDER BY n_exact DESC, w ASC LIMIT 20),
-         |pr AS (
-         |  SELECT t.w, t.n_exact, rr.r,
-         |    CAST('0x' || substring(
-         |      md5(CAST(rr.r AS VARCHAR) || ':' || t.w), 1, 8)
-         |      AS BIGINT) % 256 AS b
-         |  FROM top t CROSS JOIN (SELECT unnest(range(0, 4)) AS r) rr),
-         |est AS (
-         |  SELECT pr.w, pr.n_exact, min(sk.cnt) AS cms_est
-         |  FROM pr JOIN sk USING (r, b) GROUP BY 1, 2)
-         |SELECT w AS token, n_exact, CAST(cms_est AS BIGINT) AS cms_est,
-         |  CAST(cms_est - n_exact AS BIGINT) AS overcount
-         |FROM est ORDER BY n_exact DESC, token ASC""".stripMargin
-    },
+    "q_cms_topk" -> cmsOracleSql,
 
     // Replays the word-count fit, the (count DESC, token ASC) rank, and
     // the 12-dp DECIMAL OLS sums for the Zipf slope — decimal sums are

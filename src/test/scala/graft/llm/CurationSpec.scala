@@ -1125,6 +1125,35 @@ class CurationSpec extends AnyFunSuite {
       TextOps.hllEstimator(direct, 256).collect()(0))
   }
 
+  test("cmsEstimate: shard grids merge by cell-wise SUM into the same " +
+    "estimates — the streaming transition IS the shard merge") {
+    val s = spark
+    import s.implicits._
+    val d = Seq((1L, "a a a b b c")).toDF("doc_id", "text")
+    val full = TextOps.cmsTopK(d).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    // the same corpus split across two "shards", grids summed cell-wise
+    val dA = Seq((1L, "a a b")).toDF("doc_id", "text")
+    val dB = Seq((2L, "a b c")).toDF("doc_id", "text")
+    def grid(df: org.apache.spark.sql.DataFrame) = df
+      .select(explode(TextOps.tokens(coalesce(col("text"), lit(""))))
+        .as("_w"))
+      .select(explode(array((0 until 4).map(r =>
+        struct(lit(r).as("_r"), TextOps.cmsBucket(r, col("_w"), 256)
+          .as("_b"))): _*)).as("_rb"))
+      .groupBy(col("_rb._r").as("_r"), col("_rb._b").as("_b"))
+      .agg(count(lit(1)).as("_cnt"))
+    val merged = grid(dA).unionAll(grid(dB))
+      .groupBy("_r", "_b").agg(sum("_cnt").as("_cnt"))
+    val top = d.select(explode(TextOps.tokens(col("text"))).as("_w"))
+      .groupBy("_w").agg(count(lit(1)).cast("bigint").as("n_exact"))
+      .orderBy(col("n_exact").desc, col("_w").asc).limit(20)
+    val viaMerge = TextOps.cmsEstimate(merged, top, 4, 256).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(viaMerge == full,
+      "sum-merged shard grids must estimate identically to the whole")
+  }
+
   test("cmsTopK: collision-free grid is exact, width-1 grid degenerates " +
     "to the total, overcounts never negative on the fixture corpus") {
     val s = spark
