@@ -585,6 +585,22 @@ object ComputeRegistry {
         .withColumnRenamed("_grp", ins(1))
         .withColumnRenamed("hll_est", out)
     },
+    // domain long-tail coverage over (text, domain) input columns —
+    // relation-REPLACING, ONE row (domains/shares at 50/90/99% token
+    // mass); INTO column(...) names the p90 domain count
+    "domain_tail" -> { (df, ins, out) =>
+      require(ins.length >= 2,
+        s"domain_tail needs (text, domain) input columns, got $ins")
+      require(!Seq("n_domains", "total_tokens", "domains_p50",
+          "share_p50", "share_p90", "domains_p99", "share_p99")
+          .contains(out),
+        s"domain_tail reserves its card column names; pick another " +
+          s"INTO column name (got '$out')")
+      graft.llm.Curation.domainTailCard(
+          df.select(col(ins.head).as("text"), col(ins(1)).as("_dom")),
+          groupCol = "_dom")
+        .withColumnRenamed("domains_p90", out)
+    },
     // exact Mann-Whitney ROC-AUC of the in-plan classifier over (text,
     // is_positive) input columns — relation-REPLACING, ONE row (n_pos,
     // n_neg, the integer 2U, auc); INTO column(...) names the auc

@@ -374,6 +374,52 @@ object Curation {
         (col("_s") > 0).as("predicted"))
   }
 
+  /** Domain long-tail coverage card — [[concentrationCard]]'s
+    * complement (HHI/Gini say how concentrated the head is; THIS says
+    * how long the tail is): the number of domains, largest-first, needed
+    * to cover 50 / 90 / 99% of total token mass, with each cutoff's
+    * exact covered share. A corpus where 3 of 900 sources carry 90% of
+    * tokens and the remaining 897 carry noise is a different curation
+    * problem from a flat one — this row is how release sheets say which.
+    *
+    * All-integer decisions: a domain counts toward the k% cutoff while
+    * 100·cum_tokens < k·total_tokens fails, i.e. the cutoff rank is the
+    * first where 100·cum ≥ k·total — integer comparisons only, the
+    * ks_drift cross-multiplication trick. One map-side domain agg; the
+    * rank windows see only the domain-count table. */
+  def domainTailCard(docs: DataFrame, groupCol: String = "source")
+      : DataFrame = {
+    val dom = docs
+      .select(col(groupCol).as("_d"),
+        TextOps.tokenCount(coalesce(col("text"), lit("")))
+          .cast("long").as("_t"))
+      .groupBy("_d").agg(sum("_t").as("_tok"))
+    // deliberate single-partition windows over the domain-count table
+    // (bounded by domain cardinality — the Sampling.allRows convention)
+    val wCum = Window.partitionBy(lit(0))
+      .orderBy(col("_tok").desc, col("_d").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(lit(0))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val ranked = dom
+      .withColumn("_cum", sum("_tok").over(wCum))
+      .withColumn("_tot", sum("_tok").over(wAll))
+      .withColumn("_rk", row_number().over(Window.partitionBy(lit(0))
+        .orderBy(col("_tok").desc, col("_d").asc)))
+    val cuts = Seq(50, 90, 99)
+    val aggs = cuts.flatMap { k =>
+      val reached = col("_cum") * 100 >= col("_tot") * k
+      Seq(
+        min(when(reached, col("_rk"))).cast("bigint")
+          .as(s"domains_p$k"),
+        round(min(when(reached, col("_cum"))).cast("double") /
+          max("_tot").cast("double"), 6).as(s"share_p$k"))
+    }
+    ranked.agg(
+      count(lit(1)).cast("bigint").as("n_domains"),
+      (max("_tot").cast("bigint").as("total_tokens") +: aggs): _*)
+  }
+
   /** Calibration audit of [[logisticQuality]] — the reliability-diagram
     * card (Guo et al. 2017's ECE read): bin every doc by predicted
     * probability (decile bins, INTEGER-exact off the 6-dp probability

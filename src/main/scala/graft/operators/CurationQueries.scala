@@ -84,6 +84,13 @@ object CurationQueries {
         alpha = 0.5)
     },
 
+    // domain long-tail coverage: how many sources (largest-first) cover
+    // 50/90/99% of token mass — cutoffs decided by integer
+    // cross-multiplication, the concentrationCard's tail-side complement
+    "q_domain_tail" -> { (s, dir) =>
+      Curation.domainTailCard(docs(s, dir))
+    },
+
     // exact Mann-Whitney ROC-AUC of the in-plan classifier: 2U computed
     // all-integer over the 6-dp score histogram (textbook half-credit
     // ties), one division at the very end — the RANKING audit next to
@@ -558,6 +565,36 @@ object CurationQueries {
     "q_quality_classifier" -> lrOracleSql(256, 5, 0.5),
     "q_classifier_calibration" -> calibrationOracleSql(256, 5, 0.5),
     "q_classifier_auc" -> aucOracleSql(256, 5, 0.5),
+
+    // replays the domain token agg, the largest-first rank, and the
+    // integer cross-multiplied coverage cutoffs
+    "q_domain_tail" ->
+      """WITH dom AS (
+        |  SELECT source AS d,
+        |    CAST(sum(len(string_split(coalesce(text, ''), ' ')))
+        |      AS BIGINT) AS tok
+        |  FROM documents GROUP BY 1),
+        |rk AS (
+        |  SELECT d, tok,
+        |    sum(tok) OVER (ORDER BY tok DESC, d ASC) AS cum,
+        |    sum(tok) OVER () AS tot,
+        |    row_number() OVER (ORDER BY tok DESC, d ASC) AS r
+        |  FROM dom)
+        |SELECT CAST(count(*) AS BIGINT) AS n_domains,
+        |  CAST(max(tot) AS BIGINT) AS total_tokens,
+        |  CAST(min(CASE WHEN cum * 100 >= tot * 50 THEN r END)
+        |    AS BIGINT) AS domains_p50,
+        |  round(CAST(min(CASE WHEN cum * 100 >= tot * 50 THEN cum END)
+        |    AS DOUBLE) / CAST(max(tot) AS DOUBLE), 6) AS share_p50,
+        |  CAST(min(CASE WHEN cum * 100 >= tot * 90 THEN r END)
+        |    AS BIGINT) AS domains_p90,
+        |  round(CAST(min(CASE WHEN cum * 100 >= tot * 90 THEN cum END)
+        |    AS DOUBLE) / CAST(max(tot) AS DOUBLE), 6) AS share_p90,
+        |  CAST(min(CASE WHEN cum * 100 >= tot * 99 THEN r END)
+        |    AS BIGINT) AS domains_p99,
+        |  round(CAST(min(CASE WHEN cum * 100 >= tot * 99 THEN cum END)
+        |    AS DOUBLE) / CAST(max(tot) AS DOUBLE), 6) AS share_p99
+        |FROM rk""".stripMargin,
 
     // Replays the positional 8-gram stream, the train-side membership
     // set, and the pos - row_number islands identity — integer-exact end

@@ -200,6 +200,10 @@ object KernelProbe {
       "COMPUTE c FROM table(text, is_bench) INTO column(span) " +
         "USING contamination_span",
       "q_contamination_span"),
+    ("domain_tail",
+      "COMPUTE d FROM table(text, source) INTO column(dp90) " +
+        "USING domain_tail",
+      "q_domain_tail"),
     ("join_skew",
       "COMPUTE j FROM table(user_id) INTO column(share) " +
         "USING join_skew",

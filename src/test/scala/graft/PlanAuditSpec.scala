@@ -1083,6 +1083,16 @@ class PlanAuditSpec extends AnyFunSuite {
       s"the final card join is a broadcast of a 1-row agg:\n$p")
   }
 
+  test("q_domain_tail windows only the domain-count table") {
+    val p = plan("q_domain_tail")
+    assert(p.contains("Window"),
+      s"the largest-first rank rides the bounded domain table:\n$p")
+    assert(!p.contains("Join"), s"a pure agg card must not join:\n$p")
+    val partials = "partial_sum".r.findAllIn(p).length
+    assert(partials >= 1,
+      s"the domain token agg must combine map-side:\n$p")
+  }
+
   test("q_classifier_auc windows only the score histogram — the " +
     "single-partition window is bounded by distinct 6-dp scores") {
     val p = plan("q_classifier_auc")

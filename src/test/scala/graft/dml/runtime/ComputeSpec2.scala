@@ -710,6 +710,20 @@ class ComputeSpec2 extends AnyFunSuite {
     assert(err.getMessage.contains("reserves"))
   }
 
+  test("domain_tail kernel reaches the coverage card from the DSL") {
+    val s = spark
+    val twin = graft.llm.Curation.domainTailCard(s.table("documents"))
+      .collect()(0)
+    val card = ComputeRegistry.runOnce(s,
+      parse("COMPUTE d FROM table(text, source) INTO column(dp90) " +
+        "USING domain_tail"),
+      "documents").collect()(0)
+    assert(card.getAs[Long]("n_domains") == twin.getAs[Long]("n_domains"))
+    assert(card.getAs[Long]("dp90") == twin.getAs[Long]("domains_p90"))
+    assert(card.getAs[Double]("share_p99") ==
+      twin.getAs[Double]("share_p99"))
+  }
+
   test("classifier_auc kernel: perfect planted separation ranks 1.0 " +
     "from the DSL") {
     val s = spark

@@ -1125,6 +1125,26 @@ class CurationSpec extends AnyFunSuite {
       TextOps.hllEstimator(direct, 256).collect()(0))
   }
 
+  test("domainTailCard: hand-computed 50/30/15/5 masses give cutoff " +
+    "ranks 1/3/4 with exact covered shares") {
+    val s = spark
+    import s.implicits._
+    def txt(n: Int) = Seq.fill(n)("t").mkString(" ")
+    val d = Seq(
+      (1L, txt(50), "A"), (2L, txt(30), "B"),
+      (3L, txt(15), "C"), (4L, txt(5), "D"))
+      .toDF("doc_id", "text", "source")
+    val c = Curation.domainTailCard(d).collect()(0)
+    assert(c.getAs[Long]("n_domains") == 4L)
+    assert(c.getAs[Long]("total_tokens") == 100L)
+    assert(c.getAs[Long]("domains_p50") == 1L &&
+      c.getAs[Double]("share_p50") == 0.5)
+    assert(c.getAs[Long]("domains_p90") == 3L &&
+      c.getAs[Double]("share_p90") == 0.95)
+    assert(c.getAs[Long]("domains_p99") == 4L &&
+      c.getAs[Double]("share_p99") == 1.0)
+  }
+
   test("cmsEstimate: shard grids merge by cell-wise SUM into the same " +
     "estimates — the streaming transition IS the shard merge") {
     val s = spark
