@@ -585,6 +585,23 @@ object ComputeRegistry {
         .withColumnRenamed("_grp", ins(1))
         .withColumnRenamed("hll_est", out)
     },
+    // corpus snapshot changelog over (text, is_new) input columns —
+    // relation-REPLACING: the flagged rows are the NEW snapshot, the
+    // rest the OLD; one row per added/removed/changed/unchanged status;
+    // INTO column(...) names the token-delta column
+    "corpus_diff" -> { (df, ins, out) =>
+      require(ins.length >= 2,
+        s"corpus_diff needs (text, is_new) input columns, got $ins")
+      require(!Seq("status", "n_docs", "tokens_old", "tokens_new")
+          .contains(out),
+        s"corpus_diff reserves its card column names; pick another " +
+          s"INTO column name (got '$out')")
+      val flag = col(ins(1)).cast("boolean") <=> lit(true)
+      graft.llm.Curation.corpusDiff(
+          keyed(df.filter(!flag), ins.head),
+          keyed(df.filter(flag), ins.head))
+        .withColumnRenamed("token_delta", out)
+    },
     // domain long-tail coverage over (text, domain) input columns —
     // relation-REPLACING, ONE row (domains/shares at 50/90/99% token
     // mass); INTO column(...) names the p90 domain count

@@ -420,6 +420,39 @@ object Curation {
       (max("_tot").cast("bigint").as("total_tokens") +: aggs): _*)
   }
 
+  /** Corpus snapshot diff — the release CHANGELOG between two corpus
+    * versions ([[corpusReport]] describes one snapshot; release
+    * engineering needs what moved between two): per status
+    * added/removed/changed/unchanged, doc counts and old/new/delta
+    * token masses, decided by doc_id presence and an md5 content
+    * fingerprint. The row a "what changed since v1.2" audit actually
+    * reads; all-integer.
+    *
+    * Scale shape: each side reduces to (doc_id, fingerprint,
+    * token_count) — constant width regardless of document size — and
+    * the diff is one doc_id-keyed full join + a 4-group agg. Nothing
+    * carries text past the fingerprint projection. */
+  def corpusDiff(oldCorpus: DataFrame, newCorpus: DataFrame): DataFrame = {
+    def prep(df: DataFrame, f: String, t: String): DataFrame =
+      df.select(col("doc_id"),
+        md5(coalesce(col("text"), lit(""))).as(f),
+        TextOps.tokenCount(coalesce(col("text"), lit("")))
+          .cast("long").as(t))
+    prep(oldCorpus, "_fa", "_ta")
+      .join(prep(newCorpus, "_fb", "_tb"), Seq("doc_id"), "full")
+      .withColumn("status",
+        when(col("_fa").isNull, lit("added"))
+          .when(col("_fb").isNull, lit("removed"))
+          .when(col("_fa") === col("_fb"), lit("unchanged"))
+          .otherwise(lit("changed")))
+      .groupBy("status").agg(
+        count(lit(1)).cast("bigint").as("n_docs"),
+        coalesce(sum("_ta"), lit(0L)).cast("bigint").as("tokens_old"),
+        coalesce(sum("_tb"), lit(0L)).cast("bigint").as("tokens_new"))
+      .withColumn("token_delta",
+        (col("tokens_new") - col("tokens_old")).cast("bigint"))
+  }
+
   /** Calibration audit of [[logisticQuality]] — the reliability-diagram
     * card (Guo et al. 2017's ECE read): bin every doc by predicted
     * probability (decile bins, INTEGER-exact off the 6-dp probability

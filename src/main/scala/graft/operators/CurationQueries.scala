@@ -84,6 +84,21 @@ object CurationQueries {
         alpha = 0.5)
     },
 
+    // corpus snapshot CHANGELOG with all four statuses PLANTED: v_old
+    // drops id%3==1, v_new drops id%3==0 (adds/removes), and v_new trims
+    // id%5==0 survivors (changed fingerprints); everything else is
+    // unchanged
+    "q_corpus_diff" -> { (s, dir) =>
+      val d = docs(s, dir).select("doc_id", "text")
+      val vOld = d.filter(col("doc_id") % 3 =!= 1)
+      val vNew = d.filter(col("doc_id") % 3 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0,
+            expr("substring(text, 1, greatest(length(text) - 12, 1))"))
+            .otherwise(col("text")).as("text"))
+      Curation.corpusDiff(vOld, vNew)
+    },
+
     // domain long-tail coverage: how many sources (largest-first) cover
     // 50/90/99% of token mass — cutoffs decided by integer
     // cross-multiplication, the concentrationCard's tail-side complement
@@ -565,6 +580,38 @@ object CurationQueries {
     "q_quality_classifier" -> lrOracleSql(256, 5, 0.5),
     "q_classifier_calibration" -> calibrationOracleSql(256, 5, 0.5),
     "q_classifier_auc" -> aucOracleSql(256, 5, 0.5),
+
+    // replays the fingerprint projections, the doc_id full join, and
+    // the four-status agg
+    "q_corpus_diff" ->
+      """WITH a AS (
+        |  SELECT doc_id, md5(coalesce(text, '')) AS fa,
+        |    CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT)
+        |      AS ta
+        |  FROM documents WHERE doc_id % 3 <> 1),
+        |b0 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0
+        |      THEN substring(text, 1, greatest(length(text) - 12, 1))
+        |      ELSE text END AS text
+        |  FROM documents WHERE doc_id % 3 <> 0),
+        |b AS (
+        |  SELECT doc_id, md5(coalesce(text, '')) AS fb,
+        |    CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT)
+        |      AS tb
+        |  FROM b0),
+        |j AS (
+        |  SELECT CASE WHEN fa IS NULL THEN 'added'
+        |    WHEN fb IS NULL THEN 'removed'
+        |    WHEN fa = fb THEN 'unchanged'
+        |    ELSE 'changed' END AS status, ta, tb
+        |  FROM a FULL JOIN b USING (doc_id))
+        |SELECT status, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(coalesce(sum(ta), 0) AS BIGINT) AS tokens_old,
+        |  CAST(coalesce(sum(tb), 0) AS BIGINT) AS tokens_new,
+        |  CAST(coalesce(sum(tb), 0) - coalesce(sum(ta), 0) AS BIGINT)
+        |    AS token_delta
+        |FROM j GROUP BY 1""".stripMargin,
 
     // replays the domain token agg, the largest-first rank, and the
     // integer cross-multiplied coverage cutoffs
@@ -1716,6 +1763,7 @@ object CurationQueries {
     "q_quality_classifier" -> Seq("doc_id"),
     "q_contamination_span" -> Seq("doc_id"),
     "q_classifier_calibration" -> Seq("bin"),
+    "q_corpus_diff" -> Seq("status"),
     "q_corpus_report" -> Seq("lang", "source"),
     "q_leakage_split" -> Seq("doc_id"),
     "q_c4_filter" -> Seq("doc_id"),

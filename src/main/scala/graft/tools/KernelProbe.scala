@@ -200,6 +200,10 @@ object KernelProbe {
       "COMPUTE c FROM table(text, is_bench) INTO column(span) " +
         "USING contamination_span",
       "q_contamination_span"),
+    ("corpus_diff",
+      "COMPUTE d FROM table(text, is_bench) INTO column(tdelta) " +
+        "USING corpus_diff",
+      "q_corpus_diff"),
     ("domain_tail",
       "COMPUTE d FROM table(text, source) INTO column(dp90) " +
         "USING domain_tail",

@@ -1083,6 +1083,21 @@ class PlanAuditSpec extends AnyFunSuite {
       s"the final card join is a broadcast of a 1-row agg:\n$p")
   }
 
+  test("q_corpus_diff joins constant-width fingerprint projections — " +
+    "text never crosses the shuffle") {
+    val p = plan("q_corpus_diff")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"the diff is a doc_id equi-join:\n$p")
+    assert(!p.contains("Window"), s"no windows needed:\n$p")
+    // constant-width shuffle: the join keys/payload are (doc_id, md5,
+    // count) — the fingerprint projection must sit below the exchange,
+    // so no exchange output carries the text column
+    val exchanges = "Exchange[^\\n]*".r.findAllIn(p).toList
+    assert(exchanges.nonEmpty && exchanges.forall(!_.contains("text#")),
+      s"text must be consumed by the projection below the join:\n$p")
+  }
+
   test("q_domain_tail windows only the domain-count table") {
     val p = plan("q_domain_tail")
     assert(p.contains("Window"),

@@ -710,6 +710,24 @@ class ComputeSpec2 extends AnyFunSuite {
     assert(err.getMessage.contains("reserves"))
   }
 
+  test("corpus_diff kernel: flagged rows are the new snapshot; planted " +
+    "statuses come through the DSL") {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (1L, "a b", false), (2L, "c", false), (3L, "d d d", false),
+      (12L, "c", true), (13L, "x", true), (14L, "e e", true))
+      .toDF("doc_id", "text", "is_new")
+      .createOrReplaceTempView("diff_docs")
+    val out = ComputeRegistry.runOnce(s,
+      parse("COMPUTE d FROM table(text, is_new) INTO column(tdelta) " +
+        "USING corpus_diff"),
+      "diff_docs")
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("tdelta")).toMap
+    // disjoint doc_ids: everything old is removed, everything new added
+    assert(out == Map("removed" -> -6L, "added" -> 4L))
+  }
+
   test("domain_tail kernel reaches the coverage card from the DSL") {
     val s = spark
     val twin = graft.llm.Curation.domainTailCard(s.table("documents"))

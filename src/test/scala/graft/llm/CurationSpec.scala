@@ -1125,6 +1125,23 @@ class CurationSpec extends AnyFunSuite {
       TextOps.hllEstimator(direct, 256).collect()(0))
   }
 
+  test("corpusDiff: all four statuses with hand-exact token deltas") {
+    val s = spark
+    import s.implicits._
+    val vOld = Seq((1L, "a b"), (2L, "c"), (3L, "d d d"))
+      .toDF("doc_id", "text")
+    val vNew = Seq((2L, "c"), (3L, "x"), (4L, "e e"))
+      .toDF("doc_id", "text")
+    val out = Curation.corpusDiff(vOld, vNew).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out == Map(
+      "removed" -> ((1L, 2L, 0L, -2L)),
+      "unchanged" -> ((1L, 1L, 1L, 0L)),
+      "changed" -> ((1L, 3L, 1L, -2L)),
+      "added" -> ((1L, 0L, 2L, 2L))))
+  }
+
   test("domainTailCard: hand-computed 50/30/15/5 masses give cutoff " +
     "ranks 1/3/4 with exact covered shares") {
     val s = spark
