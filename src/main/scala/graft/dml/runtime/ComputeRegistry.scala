@@ -585,6 +585,19 @@ object ComputeRegistry {
         .withColumnRenamed("_grp", ins(1))
         .withColumnRenamed("hll_est", out)
     },
+    // language-ID confusion audit over (text, lang) input columns —
+    // relation-REPLACING: one (label, guess) cell per row with counts;
+    // INTO column(...) names the within-label share column
+    "langid_confusion" -> { (df, ins, out) =>
+      require(ins.length >= 2,
+        s"langid_confusion needs (text, lang) input columns, got $ins")
+      require(!Seq("lang", "lang_guess", "n").contains(out),
+        s"langid_confusion reserves its card column names; pick " +
+          s"another INTO column name (got '$out')")
+      graft.llm.TextOps.langidConfusion(
+          df.select(col(ins.head).as("text"), col(ins(1)).as("lang")))
+        .withColumnRenamed("share", out)
+    },
     // corpus snapshot changelog over (text, is_new) input columns —
     // relation-REPLACING: the flagged rows are the NEW snapshot, the
     // rest the OLD; one row per added/removed/changed/unchanged status;

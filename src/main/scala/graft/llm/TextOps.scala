@@ -564,6 +564,27 @@ object TextOps {
         col("hll_est"))
   }
 
+  /** Language-ID confusion matrix — the audit of [[langGuess]] against
+    * the labeled `lang` column: one row per (label, guess) cell with
+    * count and within-label share (the per-language recall lives on the
+    * diagonal). The card that says WHERE the heuristic fails — e.g.
+    * "12% of 'de' docs guess 'und'" — before anyone trusts a per-lang
+    * mixture built on it.
+    *
+    * One zero-shuffle guess projection → a map-side (label, guess) agg
+    * bounded by langs²; the share window rides that table only. */
+  def langidConfusion(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docs.select(col("lang"),
+        langGuess(coalesce(col("text"), lit(""))).as("lang_guess"))
+      .groupBy("lang", "lang_guess")
+      .agg(count(lit(1)).cast("bigint").as("n"))
+      .withColumn("share", round(col("n").cast("double") /
+        sum("n").over(Window.partitionBy("lang")
+          .rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)).cast("double"), 6))
+  }
+
   /** Length-bucketed batching plan — the padded-batch waste card
     * ([[seqPack]] plans concatenation packing; THIS plans the
     * pad-to-batch-max training reality): assign every doc to its

@@ -369,6 +369,13 @@ object LlmQueries {
     // vocabulary-scale distinct shuffle)
     "q_hll_card" -> { (s, dir) => TextOps.hllCard(docs(s, dir)) },
 
+    // language-ID confusion matrix vs the labeled lang column: one row
+    // per (label, guess) cell with within-label share — the audit run
+    // before trusting any per-lang mixture built on the heuristic
+    "q_langid_confusion" -> { (s, dir) =>
+      TextOps.langidConfusion(docs(s, dir))
+    },
+
     // length-bucketed batching plan: per power-of-two length bucket, the
     // pad-to-bucket-ceiling waste, plus the NULL-bucket TOTAL row
     // costing pad-to-corpus-max — the gap is what dynamic batching
@@ -1249,6 +1256,37 @@ object LlmQueries {
         |  round((f.hll_est - ex.n_exact) / CAST(ex.n_exact AS DOUBLE), 6)
         |    AS rel_err
         |FROM fin f JOIN ex USING (grp)""".stripMargin,
+
+    // the q_lang_guess CASE block grouped into (label, guess) cells with
+    // within-label shares
+    "q_langid_confusion" ->
+      """WITH s AS (
+        |  SELECT lang,
+        |    len(list_filter(string_split(coalesce(text, ''), ' '),
+        |      t -> t IN ('the', 'and', 'of'))) AS en_s,
+        |    len(list_filter(string_split(coalesce(text, ''), ' '),
+        |      t -> t IN ('le', 'la', 'et'))) AS fr_s,
+        |    len(list_filter(string_split(coalesce(text, ''), ' '),
+        |      t -> t IN ('der', 'und', 'das'))) AS de_s,
+        |    len(list_filter(string_split(coalesce(text, ''), ' '),
+        |      t -> t IN ('el', 'los', 'que'))) AS es_s
+        |  FROM documents),
+        |g AS (
+        |  SELECT lang,
+        |    CASE WHEN greatest(en_s, fr_s, de_s, es_s) = 0 THEN 'und'
+        |         WHEN en_s >= fr_s AND en_s >= de_s AND en_s >= es_s
+        |           THEN 'en'
+        |         WHEN fr_s >= de_s AND fr_s >= es_s THEN 'fr'
+        |         WHEN de_s >= es_s THEN 'de'
+        |         ELSE 'es' END AS lang_guess
+        |  FROM s),
+        |c AS (
+        |  SELECT lang, lang_guess, CAST(count(*) AS BIGINT) AS n
+        |  FROM g GROUP BY 1, 2)
+        |SELECT lang, lang_guess, n,
+        |  round(CAST(n AS DOUBLE) /
+        |    CAST(sum(n) OVER (PARTITION BY lang) AS DOUBLE), 6) AS share
+        |FROM c""".stripMargin,
 
     // Replays the power-of-two ceiling (binary-string bit length, no
     // float log2), the bucket agg, and the naive-total row.
@@ -2767,6 +2805,7 @@ object LlmQueries {
     "q_stream_corpus_report" -> Seq("source"),
     "q_stream_hll" -> Seq("source"),
     "q_length_buckets" -> Seq("bucket_max"),
+    "q_langid_confusion" -> Seq("lang", "lang_guess"),
     "q_emb_stats" -> Seq("pos"),
     "q_emb_drift" -> Seq("pos"),
     "q_emb_top_pc" -> Seq("pos"),

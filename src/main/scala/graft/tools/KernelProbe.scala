@@ -200,6 +200,10 @@ object KernelProbe {
       "COMPUTE c FROM table(text, is_bench) INTO column(span) " +
         "USING contamination_span",
       "q_contamination_span"),
+    ("langid_confusion",
+      "COMPUTE l FROM table(text, lang) INTO column(cell_share) " +
+        "USING langid_confusion",
+      "q_langid_confusion"),
     ("corpus_diff",
       "COMPUTE d FROM table(text, is_bench) INTO column(tdelta) " +
         "USING corpus_diff",

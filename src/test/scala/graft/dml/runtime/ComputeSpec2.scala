@@ -710,6 +710,20 @@ class ComputeSpec2 extends AnyFunSuite {
     assert(err.getMessage.contains("reserves"))
   }
 
+  test("langid_confusion kernel matches the catalog twin from the DSL") {
+    val s = spark
+    val twin = graft.llm.TextOps.langidConfusion(s.table("documents"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val k = ComputeRegistry.runOnce(s,
+      parse("COMPUTE l FROM table(text, lang) INTO column(cell_share) " +
+        "USING langid_confusion"),
+      "documents")
+      .collect().map(r => (r.getAs[String]("lang"),
+        r.getAs[String]("lang_guess")) -> r.getAs[Long]("n")).toMap
+    assert(k == twin)
+  }
+
   test("corpus_diff kernel: flagged rows are the new snapshot; planted " +
     "statuses come through the DSL") {
     val s = spark

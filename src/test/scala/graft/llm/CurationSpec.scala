@@ -1125,6 +1125,24 @@ class CurationSpec extends AnyFunSuite {
       TextOps.hllEstimator(direct, 256).collect()(0))
   }
 
+  test("langidConfusion: planted cells with exact within-label shares") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1L, "the and of", "en"),    // -> en (correct)
+      (2L, "the cat sat", "en"),   // -> en (correct)
+      (3L, "xyz qqq", "en"),       // -> und (miss)
+      (4L, "le la et", "fr"))      // -> fr (correct)
+      .toDF("doc_id", "text", "lang")
+    val out = TextOps.langidConfusion(d).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(out == Map(
+      ("en", "en") -> ((2L, 0.666667)),
+      ("en", "und") -> ((1L, 0.333333)),
+      ("fr", "fr") -> ((1L, 1.0))))
+  }
+
   test("corpusDiff: all four statuses with hand-exact token deltas") {
     val s = spark
     import s.implicits._
