@@ -116,6 +116,47 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** ANN recall/MRR governance card — the measured-quality row shipped
+    * beside every approximate index ([[lshRecallAudit]] is dedup's;
+    * this is retrieval's): per method, recall@k against the brute-force
+    * ground truth and the mean reciprocal rank of each query's TRUE
+    * top-1 inside the method's list (absent → 0 contribution). The
+    * number that decides whether an index's speed is worth its misses.
+    *
+    * Reciprocal ranks are 12-dp-decimal rounded then exactly summed
+    * (order-independent), one division per statistic at the end — the
+    * catalog's decimal discipline, so the oracle composes the per-method
+    * replay oracles and hash-matches.
+    *
+    * Scale shape: each method pipeline keeps its own envelope; the card
+    * itself joins (queries×k)-bounded rank relations — the brute table
+    * persists once and serves every method comparison. */
+  def annRecallCard(brute: DataFrame, methods: Seq[(String, DataFrame)],
+      nQueries: Int, k: Int): DataFrame = {
+    require(nQueries > 0, s"nQueries must be positive, got $nQueries")
+    require(k > 0, s"k must be positive, got $k")
+    require(methods.nonEmpty, "need at least one method to audit")
+    val b = PipelineCaches.track(brute
+      .select("query_id", "vec_id", "rank")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    methods.map { case (name, m) =>
+      val mm = m.select(col("query_id"), col("vec_id"),
+        col("rank").as("_mrank"))
+      b.join(mm, Seq("query_id", "vec_id"))
+        .agg(
+          count(lit(1)).as("_match"),
+          coalesce(sum(when(col("rank") === 1,
+              round(lit(1.0) / col("_mrank"), 12)
+                .cast("decimal(16,12)"))),
+            lit(0).cast("decimal(16,12)")).as("_rrsum"))
+        .select(lit(name).as("method"),
+          round(col("_match").cast("double") /
+            lit((nQueries * k).toDouble), 6).as("recall_at_k"),
+          round(col("_rrsum").cast("double") /
+            lit(nQueries.toDouble), 6).as("mrr"))
+    }.reduce(_.unionByName(_)).orderBy("method")
+  }
+
   /** Embedding L2-norm distribution card — the featurization-health
     * read no similarity operator should run without: NULL embeddings,
     * non-finite norms (a NaN/Inf element anywhere surfaces here), exact

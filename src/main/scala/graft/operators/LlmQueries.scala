@@ -549,6 +549,22 @@ object LlmQueries {
         .orderBy("query_id", "rank")
     },
 
+    // ANN recall/MRR governance card: ivf/lsh/rp measured against the
+    // brute-force ground truth at k=10 over the 5 pinned queries — the
+    // oracle composes the per-method replay oracles as subqueries
+    "q_ann_recall_card" -> { (s, dir) =>
+      val e = embs(s, dir)
+      val brute = Similarity.bruteForceTopK(e, annQueryIds, k = 10)
+      Similarity.annRecallCard(brute, Seq(
+        "ivf" -> Similarity.ivfTopKSeeded(e, ivfSeedIds, annQueryIds,
+          k = 10, nProbe = 4),
+        "lsh" -> Similarity.lshTopK(e, annQueryIds, k = 10,
+          planes = 12, bands = 4),
+        "rp" -> Similarity.rpTopK(e, annQueryIds, k = 10,
+          outDim = 16, rerank = 30)),
+        nQueries = annQueryIds.length, k = 10)
+    },
+
     // embedding norm-health card: NULL / non-finite / zero-vector counts
     // plus mean and p10/p50/p90 of the finite 6-dp norms — everything
     // off ONE (norm, count) histogram
@@ -1132,7 +1148,39 @@ object LlmQueries {
 
   private val stopwordList = "'the', 'a', 'of', 'and', 'to', 'in', 'is'"
 
-  def oracles: Map[String, String] = Map(
+  /** The recall/MRR card's oracle COMPOSES the proven per-method replay
+    * oracles as subqueries (ground truth = the brute replay): recall@10
+    * is a pair-set intersection count, MRR the 12-dp-decimal-summed
+    * reciprocal rank of each query's true top-1 in the method list
+    * (absent → 0). One division per statistic at the end. */
+  private lazy val annRecallCardOracleSql: String = {
+    val nq = annQueryIds.length
+    val k = 10
+    def m(method: String, sql: String): String =
+      s"""SELECT '$method' AS method,
+         |  round(CAST((SELECT count(*)
+         |      FROM ($bruteSubquery) b JOIN ($sql) mm
+         |      USING (query_id, vec_id)) AS DOUBLE) / ${nq * k}, 6)
+         |    AS recall_at_k,
+         |  round(CAST((SELECT coalesce(sum(
+         |        CAST(round(CAST(1 AS DOUBLE) / mm.rank, 12)
+         |          AS DECIMAL(16,12))), 0)
+         |      FROM ($bruteSubquery) b JOIN ($sql) mm
+         |      USING (query_id, vec_id) WHERE b.rank = 1) AS DOUBLE)
+         |    / $nq, 6) AS mrr""".stripMargin
+    Seq(
+      m("ivf", baseOracles("q_ann_ivf_topk")),
+      m("lsh", baseOracles("q_ann_lsh_topk")),
+      m("rp", baseOracles("q_ann_rp_topk")))
+      .mkString("\nUNION ALL\n") + "\nORDER BY method"
+  }
+
+  private lazy val bruteSubquery: String = baseOracles("q_ann_cosine_topk")
+
+  def oracles: Map[String, String] =
+    baseOracles + ("q_ann_recall_card" -> annRecallCardOracleSql)
+
+  private lazy val baseOracles: Map[String, String] = Map(
     "q_text_stats" ->
       s"""SELECT doc_id,
          |  CAST(len(string_split(text, ' ')) AS BIGINT) AS token_count,

@@ -1033,6 +1033,35 @@ class LlmSpec extends AnyFunSuite {
     assert(bad.count() == 0)
   }
 
+  test("annRecallCard: perfect/swapped/missing method lists give " +
+    "hand-exact recall and MRR") {
+    val s = spark
+    import s.implicits._
+    val brute = Seq((0L, 10L, 1), (0L, 11L, 2))
+      .toDF("query_id", "vec_id", "rank")
+    val perfect = Seq((0L, 10L, 1), (0L, 11L, 2))
+      .toDF("query_id", "vec_id", "rank")
+    val swapped = Seq((0L, 11L, 1), (0L, 10L, 2))
+      .toDF("query_id", "vec_id", "rank")
+    val missTop = Seq((0L, 11L, 1), (0L, 99L, 2))
+      .toDF("query_id", "vec_id", "rank")
+    val out = Similarity.annRecallCard(brute,
+        Seq("a_perfect" -> perfect, "b_swapped" -> swapped,
+          "c_misstop" -> missTop), nQueries = 1, k = 2)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2))).toMap
+    assert(out("a_perfect") == ((1.0, 1.0)))
+    assert(out("b_swapped") == ((1.0, 0.5)),
+      "full recall but the true top-1 sits at rank 2")
+    assert(out("c_misstop") == ((0.5, 0.0)),
+      "half the set found, the true top-1 absent -> 0 MRR")
+    graft.llm.PipelineCaches.clear()
+    val e = intercept[IllegalArgumentException](
+      Similarity.annRecallCard(brute, Seq.empty, 1, 2))
+    assert(e.getMessage.contains("at least one method"))
+    graft.llm.PipelineCaches.clear()
+  }
+
   test("embNormCard: planted NULL/NaN/zero vectors are counted apart " +
     "and the finite-norm stats are hand-exact") {
     val s = spark
