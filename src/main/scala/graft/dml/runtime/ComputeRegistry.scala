@@ -585,6 +585,23 @@ object ComputeRegistry {
         .withColumnRenamed("_grp", ins(1))
         .withColumnRenamed("hll_est", out)
     },
+    // exact-N stratified sampler over (stratum) input column — relation-
+    // PRESERVING: every row gains its stratum quota and the selected
+    // flag (Hamilton apportionment of 100 rows, md5-rank selection);
+    // INTO column(...) names the selected column
+    "strat_alloc" -> { (df, ins, out) =>
+      require(!Seq("quota").contains(out),
+        s"strat_alloc reserves 'quota'; pick another INTO column name " +
+          s"(got '$out')")
+      require(df.columns.contains("doc_id"),
+        s"table kernels require a 'doc_id' key column; relation has " +
+          s"[${df.columns.mkString(", ")}]")
+      graft.llm.Sampling.stratAlloc(
+          df.select(col("doc_id"), col(ins.head).as("_stratum")),
+          "_stratum", targetN = 100L)
+        .withColumnRenamed("_stratum", ins.head)
+        .withColumnRenamed("selected", out)
+    },
     // language-ID confusion audit over (text, lang) input columns —
     // relation-REPLACING: one (label, guess) cell per row with counts;
     // INTO column(...) names the within-label share column

@@ -91,6 +91,55 @@ object Sampling {
     * join-consistent across tables/runs — the property that matters when
     * a 100 TB corpus and its derived features must sample identically.
     * Pure projection + filter: no shuffle at any scale. */
+  /** EXACT-N stratified sampler via largest-remainder (Hamilton)
+    * apportionment — [[stratifiedHashSample]] keeps a RATE (sample size
+    * binomially distributed); evaluation sets and fixed-budget
+    * annotation batches need an exact target: exactly `targetN` rows
+    * total, allocated proportionally across strata with the floor
+    * quotas topped up by largest fractional remainder (tie → stratum
+    * asc), selection within a stratum by md5(doc_id) rank (tie →
+    * doc_id) — fully deterministic, no RNG state. The quota arithmetic
+    * is ALL-INTEGER: floor = (targetN·c) div total, remainder =
+    * (targetN·c) mod total — no float shares anywhere.
+    *
+    * Returns every row with its stratum quota and a `selected` flag
+    * (rows preserved — callers filter). Scale note: exact-N inherently
+    * ranks within strata (a per-stratum window); the rate-based
+    * [[hashSample]] family is the zero-shuffle path when a binomial
+    * sample size is acceptable. Quotas never exceed stratum sizes:
+    * floor < c when targetN < total, so +1 still fits. */
+  def stratAlloc(docs: DataFrame, groupCol: String, targetN: Long,
+      idCol: String = "doc_id"): DataFrame = {
+    require(targetN >= 0, s"targetN must be >= 0, got $targetN")
+    require(targetN <= docs.count(),
+      s"stratAlloc: targetN=$targetN exceeds the corpus size")
+    val counts = docs.groupBy(col(groupCol).as("_g"))
+      .agg(count(lit(1)).as("_c"))
+    // all-integer apportionment (long div/mod — exact while c·targetN
+    // fits 63 bits; pre-scale the target at truly absurd products); all
+    // windows ride the stratum-count table (bounded by strata)
+    val wAll = Window.partitionBy(lit(0))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wRem = Window.partitionBy(lit(0))
+      .orderBy(col("_rem").desc, col("_g").asc)
+    val quotas = counts
+      .withColumn("_tot", sum("_c").over(wAll))
+      .withColumn("_fl", expr(s"(_c * ${targetN}L) div _tot"))
+      .withColumn("_rem", expr(s"(_c * ${targetN}L) % _tot"))
+      .withColumn("_deficit", lit(targetN) - sum("_fl").over(wAll))
+      .withColumn("_rrank", row_number().over(wRem))
+      .select(col("_g"),
+        (col("_fl") + when(col("_rrank") <= col("_deficit"), 1L)
+          .otherwise(0L)).cast("bigint").as("quota"))
+    val wSel = Window.partitionBy("_g")
+      .orderBy(md5(col(idCol).cast("string")).asc, col(idCol).asc)
+    docs.withColumn("_g", col(groupCol))
+      .withColumn("_srank", row_number().over(wSel))
+      .join(broadcast(quotas), Seq("_g"))
+      .select(col(idCol), col("_g").as(groupCol), col("quota"),
+        (col("_srank") <= col("quota")).as("selected"))
+  }
+
   def hashSample(docs: DataFrame, pct: Int, idCol: String = "doc_id")
       : DataFrame = {
     require(pct >= 0 && pct <= 100, s"pct must be in [0,100], got $pct")

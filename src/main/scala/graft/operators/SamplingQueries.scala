@@ -19,6 +19,17 @@ object SamplingQueries {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // EXACT-N stratified sampler: largest-remainder (Hamilton)
+    // apportionment of 137 rows across sources — all-integer quotas
+    // (div/mod, no float shares), md5-rank selection within stratum;
+    // 137 is deliberately coprime to the stratum structure so the
+    // remainder top-up path is exercised, not idle
+    "q_strat_alloc" -> { (s, dir) =>
+      Sampling.stratAlloc(
+        docs(s, dir).select("doc_id", "source"),
+        "source", targetN = 137L)
+    },
+
     // distributed sort-rank permutation (range partition + offset compose,
     // never a single global window) + round-robin shard assignment
     "q_corpus_shuffle" -> { (s, dir) =>
@@ -179,6 +190,34 @@ object SamplingQueries {
     })
 
   def oracles: Map[String, String] = Map(
+    // replays the integer div/mod quotas, the largest-remainder top-up
+    // rank, and the per-stratum md5 selection rank
+    "q_strat_alloc" ->
+      """WITH c AS (
+        |  SELECT source AS g, CAST(count(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1),
+        |q0 AS (
+        |  SELECT g, c, sum(c) OVER () AS tot,
+        |    (c * 137) // sum(c) OVER () AS fl,
+        |    (c * 137) % sum(c) OVER () AS rem
+        |  FROM c),
+        |q AS (
+        |  SELECT g,
+        |    CAST(fl + CASE WHEN row_number()
+        |        OVER (ORDER BY rem DESC, g ASC)
+        |        <= 137 - sum(fl) OVER () THEN 1 ELSE 0 END
+        |      AS BIGINT) AS quota
+        |  FROM q0),
+        |r AS (
+        |  SELECT doc_id, source AS g,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC)
+        |      AS srank
+        |  FROM documents)
+        |SELECT r.doc_id, r.g AS source, q.quota,
+        |  r.srank <= q.quota AS selected
+        |FROM r JOIN q USING (g)""".stripMargin,
+
     "q_corpus_pipeline" ->
       """WITH dd AS (
         |  SELECT doc_id, source, n_chars,
@@ -517,6 +556,7 @@ object SamplingQueries {
         |WHERE cap_rank <= 10""".stripMargin)
 
   def verifySort: Map[String, Seq[String]] = Map(
+    "q_strat_alloc" -> Seq("doc_id"),
     "q_corpus_shuffle" -> Seq("doc_id"),
     "q_hash_sample" -> Seq("doc_id"),
     "q_stratified_sample" -> Seq("doc_id"),

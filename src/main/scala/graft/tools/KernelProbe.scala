@@ -200,6 +200,10 @@ object KernelProbe {
       "COMPUTE c FROM table(text, is_bench) INTO column(span) " +
         "USING contamination_span",
       "q_contamination_span"),
+    ("strat_alloc",
+      "COMPUTE a FROM table(source) INTO column(keep) " +
+        "USING strat_alloc",
+      "q_strat_alloc"),
     ("langid_confusion",
       "COMPUTE l FROM table(text, lang) INTO column(cell_share) " +
         "USING langid_confusion",

@@ -710,6 +710,16 @@ class ComputeSpec2 extends AnyFunSuite {
     assert(err.getMessage.contains("reserves"))
   }
 
+  test("strat_alloc kernel selects exactly 100 rows from the DSL") {
+    val s = spark
+    val k = ComputeRegistry.runOnce(s,
+      parse("COMPUTE a FROM table(source) INTO column(keep) " +
+        "USING strat_alloc"),
+      "documents")
+    assert(k.count() == s.table("documents").count(), "rows preserved")
+    assert(k.filter(col("keep")).count() == 100L, "exact-N contract")
+  }
+
   test("langid_confusion kernel matches the catalog twin from the DSL") {
     val s = spark
     val twin = graft.llm.TextOps.langidConfusion(s.table("documents"))

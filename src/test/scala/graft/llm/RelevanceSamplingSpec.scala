@@ -582,4 +582,31 @@ class RelevanceSamplingSpec extends AnyFunSuite {
     assert(err.getMessage.contains("both sides"))
     graft.llm.PipelineCaches.clear()
   }
+
+  test("stratAlloc: hand-computed Hamilton quotas 4/2/1 for 7 of " +
+    "5/3/2, selection exactly fills each quota") {
+    val s = spark
+    import s.implicits._
+    val d = ((1L to 5L).map(i => (i, "A")) ++
+      (11L to 13L).map(i => (i, "B")) ++
+      (21L to 22L).map(i => (i, "C"))).toDF("doc_id", "grp")
+    val out = Sampling.stratAlloc(d, "grp", targetN = 7L)
+    val rows = out.collect()
+    assert(rows.length == 10, "rows preserved")
+    val quotas = rows.map(r => r.getString(1) -> r.getLong(2)).toMap
+    // products: A 5*7=35 -> fl 3 rem 5; B 21 -> 2 rem 1; C 14 -> 1
+    // rem 4; deficit 1 -> the largest remainder (A) tops up
+    assert(quotas == Map("A" -> 4L, "B" -> 2L, "C" -> 1L))
+    val selected = rows.filter(_.getBoolean(3))
+      .groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    assert(selected == Map("A" -> 4, "B" -> 2, "C" -> 1))
+    // exactness on the fixture corpus at a deliberately awkward N
+    val real = Sampling.stratAlloc(
+      s.table("documents").select("doc_id", "source"), "source", 137L)
+    assert(real.filter(col("selected")).count() == 137L,
+      "exact-N is the contract")
+    val err = intercept[IllegalArgumentException](
+      Sampling.stratAlloc(d, "grp", targetN = 11L).collect())
+    assert(err.getMessage.contains("exceeds"))
+  }
 }
