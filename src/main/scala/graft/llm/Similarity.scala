@@ -1360,6 +1360,58 @@ object Similarity {
       .toDF("pos", "n_vecs", "loading", "top_pc_share")
   }
 
+  /** All-but-the-top APPLIED (Mu & Viswanath 2018) — [[embTopPc]] is
+    * the diagnosis, this is the treatment: mean-center every embedding
+    * and remove its top-principal-component projection,
+    * x' = (x−μ) − ((x−μ)·u)·u — the standard post-processing that
+    * strips the anisotropic common direction and measurably improves
+    * cosine similarity tasks. Emits per vector the removed component
+    * `proj` and the 6-dp `resid_norm` of the transformed vector — the
+    * pair that pins the entire element-wise arithmetic chain without
+    * hashing float-array strings.
+    *
+    * μ and u are the card's own 6-dp decimals (dims-bounded driver
+    * constants — broadcast as literal arrays), so the transform itself
+    * is a ZERO-SHUFFLE projection: zip_with centering, one index-order
+    * VecDot fold per vector for proj (rounded 6 before reuse — the
+    * cross-engine pin), one more for the residual norm. At 100 TB this
+    * is exactly the shape wanted: two bounded driver solves, then one
+    * scan-through transform. */
+  def abttTransform(embeddings: DataFrame, iters: Int = 12,
+      maxVectors: Long = 1000000L): DataFrame = {
+    import graft.functions.CrossEngine.normZero
+    val card = embTopPc(embeddings, iters, maxVectors).collect()
+    require(card.nonEmpty && !card.exists(_.isNullAt(2)),
+      "abttTransform: degenerate zero-variance corpus — no top " +
+        "component to remove")
+    val u = card.sortBy(_.getInt(0)).map(_.getDouble(2))
+    // the means, by the card's own spec: round6((Σ round(x·1e12))/1e12/n)
+    // — one extra bounded agg rather than re-plumbing the card internals
+    val e = embeddings.filter(col("embedding").isNotNull)
+    val meanRows = e
+      .select(posexplode(col("embedding")).as(Seq("pos", "_x")))
+      .groupBy("pos").agg(count(lit(1)).as("_c"),
+        sum(round(col("_x").cast("double") * lit(1e12)).cast("long"))
+          .as("_sx"))
+      .collect().sortBy(_.getInt(0))
+    val n = meanRows.head.getLong(1)
+    val m = meanRows.map { r =>
+      java.math.BigDecimal.valueOf(r.getLong(2).toDouble / 1e12 / n)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    }
+    val uArr = array(u.map(lit): _*)
+    val mArr = array(m.map(lit): _*)
+    val centered = zip_with(col("embedding"), mArr,
+      (x, mu) => x.cast("double") - mu)
+    val withC = e.select(col("vec_id"), centered.as("_ce"))
+      .withColumn("_proj",
+        normZero(round(dot(col("_ce"), uArr), 6)))
+    val out = zip_with(col("_ce"), uArr,
+      (c, uu) => c - col("_proj") * uu)
+    withC.select(col("vec_id"), col("_proj").as("proj"),
+      normZero(round(sqrt(dot(out, out)), 6)).as("resid_norm"))
+  }
+
   /** Clustering-quality card against a ground-truth label column —
     * purity and NMI of the seeded max-cosine cell assignment (the
     * semantic-dedup/IVF quantizer) vs `labelCol`: ONE row with vector /

@@ -33,7 +33,10 @@ object LlmQueries {
     * Scala spec bit-for-bit: 12-dp rounds of double products, DECIMAL
     * sums (order-independent), double divisions of DECIMAL-cast
     * operands in the same associativity. */
-  private def topPcOracleSql(iters: Int): String = {
+  /** CTE chain shared by the top-PC card and the applied ABTT
+    * transform: moments, covariance, `iters` power iterations, the
+    * sign-fixed vector `vf`, and its norm `vv`. */
+  private def topPcCtes(iters: Int): String = {
     val steps = (1 to iters).map { t =>
       val (p, w, v) = (s"v${t - 1}", s"w$t", s"v$t")
       s"""$w AS MATERIALIZED (
@@ -47,7 +50,7 @@ object LlmQueries {
          |    AS DECIMAL(28,12)) AS v
          |  FROM $w)""".stripMargin
     }.mkString(",\n")
-    s"""WITH d AS MATERIALIZED (
+    s"""d AS MATERIALIZED (
        |  SELECT vec_id, i - 1 AS i, CAST(embedding[i] AS DOUBLE) AS x
        |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS r(i)
        |  WHERE embedding IS NOT NULL),
@@ -84,7 +87,11 @@ object LlmQueries {
        |  FROM v$iters CROSS JOIN sg),
        |vv AS (
        |  SELECT sum(CAST(round(CAST(v AS DOUBLE) * CAST(v AS DOUBLE), 12)
-       |    AS DECIMAL(28,12))) AS vv FROM vf),
+       |    AS DECIMAL(28,12))) AS vv FROM vf)""".stripMargin
+  }
+
+  private def topPcOracleSql(iters: Int): String =
+    s"""WITH ${topPcCtes(iters)},
        |va AS (
        |  SELECT sum(CAST(round(CAST(vi.v AS DOUBLE) * CAST(a0.a AS DOUBLE)
        |      * CAST(vj.v AS DOUBLE), 12) AS DECIMAL(28,12))) AS vav
@@ -97,7 +104,40 @@ object LlmQueries {
        |    / CAST(ta.tr AS DOUBLE), 6) AS top_pc_share
        |FROM vf CROSS JOIN nn CROSS JOIN vv CROSS JOIN va CROSS JOIN ta
        |ORDER BY pos""".stripMargin
-  }
+
+  /** The applied ABTT tail over the same chain: 6-dp means and unit
+    * loadings gathered into POSITION-ORDERED lists, then per vector the
+    * centered projection (ordered list fold — matches VecDot's
+    * index-order accumulation) and the residual norm after removing the
+    * top component. */
+  private def abttOracleSql(iters: Int): String =
+    s"""WITH ${topPcCtes(iters)},
+       |lt AS (
+       |  SELECT i, round(CAST(v AS DOUBLE) / sqrt(CAST(vv.vv AS DOUBLE)),
+       |    6) AS u
+       |  FROM vf CROSS JOIN vv),
+       |ua AS (SELECT list(u ORDER BY i) AS u FROM lt),
+       |ma AS (SELECT list(m ORDER BY i) AS m FROM mm),
+       |t AS (
+       |  SELECT e.vec_id,
+       |    list_transform(range(1, len(e.embedding) + 1),
+       |      k -> CAST(e.embedding[k] AS DOUBLE) - ma.m[k]) AS ce
+       |  FROM embeddings e CROSS JOIN ma
+       |  WHERE e.embedding IS NOT NULL),
+       |p AS (
+       |  SELECT t.vec_id, t.ce, ua.u,
+       |    round(list_sum(list_transform(range(1, len(ce) + 1),
+       |      k -> ce[k] * ua.u[k])), 6) AS proj
+       |  FROM t CROSS JOIN ua),
+       |o AS (
+       |  SELECT vec_id, proj,
+       |    list_transform(range(1, len(ce) + 1),
+       |      k -> ce[k] - proj * u[k]) AS o
+       |  FROM p)
+       |SELECT vec_id, proj,
+       |  round(sqrt(list_sum(list_transform(range(1, len(o) + 1),
+       |    k -> o[k] * o[k]))), 6) AS resid_norm
+       |FROM o""".stripMargin
 
   private val annQueryIds: Seq[Long] = Seq(0L, 1L, 2L, 3L, 4L)
 
@@ -547,6 +587,15 @@ object LlmQueries {
     "q_ann_cosine_topk" -> { (s, dir) =>
       Similarity.bruteForceTopK(embs(s, dir), annQueryIds, k = 10)
         .orderBy("query_id", "rank")
+    },
+
+    // All-but-the-top APPLIED: mean-center + remove the top-PC
+    // projection per vector (the q_emb_top_pc card is the diagnosis,
+    // this is the treatment); per-vector proj + residual norm pin the
+    // whole element-wise chain — the oracle replays the 12-iteration
+    // solve AND the transform
+    "q_abtt_transform" -> { (s, dir) =>
+      Similarity.abttTransform(embs(s, dir), iters = 12)
     },
 
     // ANN recall/MRR governance card: ivf/lsh/rp measured against the
@@ -2065,6 +2114,7 @@ object LlmQueries {
     // round12(A*v) DECIMAL-summed then max-abs renormalized — the same
     // spec the driver-local loop executes in exact decimal arithmetic
     "q_emb_top_pc" -> topPcOracleSql(12),
+    "q_abtt_transform" -> abttOracleSql(12),
     "q_mmr_rerank" -> mmrOracleSql(0L, 5, 16),
 
     // the KL terms replay with p*ln(p/q) rounded to 12 dp and
@@ -2857,6 +2907,7 @@ object LlmQueries {
     "q_emb_stats" -> Seq("pos"),
     "q_emb_drift" -> Seq("pos"),
     "q_emb_top_pc" -> Seq("pos"),
+    "q_abtt_transform" -> Seq("vec_id"),
     "q_pair_jaccard_hist" -> Seq("bin"),
     "q_lsh_sensitivity" -> Seq("bin"),
     "q_jaccard_join_exact" -> Seq("doc_a", "doc_b"),

@@ -1033,6 +1033,27 @@ class LlmSpec extends AnyFunSuite {
     assert(bad.count() == 0)
   }
 
+  test("abttTransform: an axis-aligned corpus collapses to zero " +
+    "residuals with proj = the centered coordinate") {
+    val s = spark
+    import s.implicits._
+    // variance only on dim 0: mean (3, 0), top PC = +x, so removal
+    // eliminates everything — proj is the centered x, residual 0
+    val embs = Seq(
+      (1L, Seq(1f, 0f)), (2L, Seq(3f, 0f)), (3L, Seq(5f, 0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.abttTransform(embs).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(out == Map(
+      1L -> ((-2.0, 0.0)), 2L -> ((0.0, 0.0)), 3L -> ((2.0, 0.0))),
+      s"axis corpus must collapse exactly: $out")
+    val e = intercept[IllegalArgumentException](
+      Similarity.abttTransform(Seq((1L, Seq(2f, 2f)), (2L, Seq(2f, 2f)))
+        .toDF("vec_id", "embedding")))
+    assert(e.getMessage.contains("degenerate"))
+    graft.llm.PipelineCaches.clear()
+  }
+
   test("annRecallCard: perfect/swapped/missing method lists give " +
     "hand-exact recall and MRR") {
     val s = spark
