@@ -585,6 +585,17 @@ object ComputeRegistry {
         .withColumnRenamed("_grp", ins(1))
         .withColumnRenamed("hll_est", out)
     },
+    // quality-filter threshold sweep over a TEXT input column —
+    // relation-REPLACING: per 10-point Flesch bucket, surviving docs/
+    // tokens and shares; INTO column(...) names the token-share column
+    "filter_sweep" -> { (df, ins, out) =>
+      require(!Seq("threshold", "n_docs_ge", "n_tokens_ge", "doc_share")
+          .contains(out),
+        s"filter_sweep reserves its card column names; pick another " +
+          s"INTO column name (got '$out')")
+      graft.llm.TextOps.filterSweep(keyed(df, ins.head))
+        .withColumnRenamed("token_share", out)
+    },
     // exact-N stratified sampler over (stratum) input column — relation-
     // PRESERVING: every row gains its stratum quota and the selected
     // flag (Hamilton apportionment of 100 rows, md5-rank selection);

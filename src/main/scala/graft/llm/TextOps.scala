@@ -564,6 +564,42 @@ object TextOps {
         col("hll_est"))
   }
 
+  /** Quality-filter threshold sweep — the curve a curation engineer
+    * reads BEFORE fixing a cutoff ([[Dedup.lshSensitivity]]'s sibling
+    * for score filters): for every 10-point Flesch bucket, the docs and
+    * tokens that SURVIVE a "score ≥ bucket floor" filter and their
+    * corpus shares — pick the threshold at the knee, knowing exactly
+    * what it costs in tokens, not just docs (the two diverge whenever
+    * quality correlates with length).
+    *
+    * One zero-shuffle score projection → a ~25-bucket map-side agg; the
+    * cumulative-from-the-top windows ride the bucket card only. */
+  def filterSweep(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = tokens(coalesce(col("text"), lit("")))
+    val binned = docs
+      .select(floor(fleschW(w) / 10).cast("long").as("_b"),
+        size(w).cast("long").as("_t"))
+      .groupBy("_b").agg(
+        count(lit(1)).as("_n"), sum("_t").as("_tk"))
+    val wGe = Window.partitionBy(lit(0)).orderBy(col("_b").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(lit(0))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    binned
+      .withColumn("_nGe", sum("_n").over(wGe))
+      .withColumn("_tGe", sum("_tk").over(wGe))
+      .withColumn("_nAll", sum("_n").over(wAll))
+      .withColumn("_tAll", sum("_tk").over(wAll))
+      .select((col("_b") * 10).cast("bigint").as("threshold"),
+        col("_nGe").cast("bigint").as("n_docs_ge"),
+        col("_tGe").cast("bigint").as("n_tokens_ge"),
+        round(col("_nGe").cast("double") / col("_nAll"), 6)
+          .as("doc_share"),
+        round(col("_tGe").cast("double") / col("_tAll"), 6)
+          .as("token_share"))
+  }
+
   /** Language-ID confusion matrix — the audit of [[langGuess]] against
     * the labeled `lang` column: one row per (label, guess) cell with
     * count and within-label share (the per-language recall lives on the

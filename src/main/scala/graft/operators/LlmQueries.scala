@@ -409,6 +409,12 @@ object LlmQueries {
     // vocabulary-scale distinct shuffle)
     "q_hll_card" -> { (s, dir) => TextOps.hllCard(docs(s, dir)) },
 
+    // quality-filter threshold sweep: per 10-point Flesch bucket, docs/
+    // tokens surviving "score >= bucket floor" with corpus shares — the
+    // lsh_sensitivity read for score filters (thresholds cost tokens,
+    // not just docs)
+    "q_filter_sweep" -> { (s, dir) => TextOps.filterSweep(docs(s, dir)) },
+
     // language-ID confusion matrix vs the labeled lang column: one row
     // per (label, guess) cell with within-label share — the audit run
     // before trusting any per-lang mixture built on the heuristic
@@ -1353,6 +1359,40 @@ object LlmQueries {
         |  round((f.hll_est - ex.n_exact) / CAST(ex.n_exact AS DOUBLE), 6)
         |    AS rel_err
         |FROM fin f JOIN ex USING (grp)""".stripMargin,
+
+    // the readability oracle's flesch computation, floored into
+    // 10-point buckets, with the descending cumulative windows over the
+    // bucket card
+    "q_filter_sweep" ->
+      """WITH s AS (
+        |  SELECT string_split(coalesce(text, ''), ' ') AS w
+        |  FROM documents),
+        |m AS (
+        |  SELECT CAST(len(w) AS BIGINT) AS n_words,
+        |    CAST(list_sum(list_transform(w,
+        |      x -> greatest(len(regexp_extract_all(x, '[aeiouy]+')), 1)))
+        |      AS BIGINT) AS n_syl
+        |  FROM s),
+        |f AS (
+        |  SELECT CAST(floor(round(CAST(206.835 AS DOUBLE)
+        |      - CAST(1.015 AS DOUBLE) * CAST(n_words AS DOUBLE)
+        |      - CAST(84.6 AS DOUBLE) *
+        |        (CAST(n_syl AS DOUBLE) / CAST(n_words AS DOUBLE)), 6)
+        |      / 10) AS BIGINT) AS b,
+        |    n_words AS t
+        |  FROM m),
+        |c AS (
+        |  SELECT b, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(t) AS BIGINT) AS tk
+        |  FROM f GROUP BY 1)
+        |SELECT CAST(b * 10 AS BIGINT) AS threshold,
+        |  CAST(sum(n) OVER (ORDER BY b DESC) AS BIGINT) AS n_docs_ge,
+        |  CAST(sum(tk) OVER (ORDER BY b DESC) AS BIGINT) AS n_tokens_ge,
+        |  round(CAST(sum(n) OVER (ORDER BY b DESC) AS DOUBLE)
+        |    / sum(n) OVER (), 6) AS doc_share,
+        |  round(CAST(sum(tk) OVER (ORDER BY b DESC) AS DOUBLE)
+        |    / sum(tk) OVER (), 6) AS token_share
+        |FROM c""".stripMargin,
 
     // the q_lang_guess CASE block grouped into (label, guess) cells with
     // within-label shares
@@ -2904,6 +2944,7 @@ object LlmQueries {
     "q_stream_hll" -> Seq("source"),
     "q_length_buckets" -> Seq("bucket_max"),
     "q_langid_confusion" -> Seq("lang", "lang_guess"),
+    "q_filter_sweep" -> Seq("threshold"),
     "q_emb_stats" -> Seq("pos"),
     "q_emb_drift" -> Seq("pos"),
     "q_emb_top_pc" -> Seq("pos"),

@@ -200,6 +200,10 @@ object KernelProbe {
       "COMPUTE c FROM table(text, is_bench) INTO column(span) " +
         "USING contamination_span",
       "q_contamination_span"),
+    ("filter_sweep",
+      "COMPUTE f FROM table(text) INTO column(tok_share) " +
+        "USING filter_sweep",
+      "q_filter_sweep"),
     ("strat_alloc",
       "COMPUTE a FROM table(source) INTO column(keep) " +
         "USING strat_alloc",

@@ -710,6 +710,19 @@ class ComputeSpec2 extends AnyFunSuite {
     assert(err.getMessage.contains("reserves"))
   }
 
+  test("filter_sweep kernel matches the catalog twin from the DSL") {
+    val s = spark
+    val twin = graft.llm.TextOps.filterSweep(s.table("documents"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val k = ComputeRegistry.runOnce(s,
+      parse("COMPUTE f FROM table(text) INTO column(tok_share) " +
+        "USING filter_sweep"),
+      "documents")
+      .collect().map(r => r.getAs[Long]("threshold") ->
+        r.getAs[Long]("n_docs_ge")).toMap
+    assert(k == twin)
+  }
+
   test("strat_alloc kernel selects exactly 100 rows from the DSL") {
     val s = spark
     val k = ComputeRegistry.runOnce(s,

@@ -1125,6 +1125,30 @@ class CurationSpec extends AnyFunSuite {
       TextOps.hllEstimator(direct, 256).collect()(0))
   }
 
+  test("filterSweep: monotone survival, bottom threshold covers " +
+    "everything, doc and token shares diverge on length-skewed input") {
+    val s = spark
+    import s.implicits._
+    def txt(n: Int) = Seq.fill(n)("go").mkString(" ")
+    // short docs score high on Flesch (few words), long docs low — so
+    // the high-threshold bucket keeps many docs but few tokens
+    val d = (1L to 8L).map(i => (i, txt(2))) ++ Seq((9L, txt(80)))
+    val out = TextOps.filterSweep(d.toDF("doc_id", "text"))
+      .orderBy(col("threshold").desc).collect()
+    val bottom = out.last
+    assert(bottom.getLong(1) == 9L && bottom.getDouble(3) == 1.0 &&
+      bottom.getDouble(4) == 1.0,
+      "the lowest threshold must keep the whole corpus")
+    // survival counts never increase as the threshold rises
+    assert(out.map(_.getLong(1)).toSeq ==
+      out.map(_.getLong(1)).toSeq.sorted,
+      "doc survival must be monotone in the threshold")
+    val top = out.head
+    assert(top.getDouble(3) > top.getDouble(4),
+      "short high-scoring docs: doc share must exceed token share at " +
+        "the top threshold")
+  }
+
   test("langidConfusion: planted cells with exact within-label shares") {
     val s = spark
     import s.implicits._
