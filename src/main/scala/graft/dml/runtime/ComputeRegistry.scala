@@ -585,6 +585,17 @@ object ComputeRegistry {
         .withColumnRenamed("_grp", ins(1))
         .withColumnRenamed("hll_est", out)
     },
+    // n-gram entropy card over a TEXT input column — relation-
+    // REPLACING, ONE row (H(W), H(W1,W2), conditional); INTO
+    // column(...) names the conditional-entropy column
+    "gram_entropy" -> { (df, ins, out) =>
+      require(!Seq("n_tokens", "distinct_unigrams", "h_unigram",
+          "n_bigrams", "distinct_bigrams", "h_bigram").contains(out),
+        s"gram_entropy reserves its card column names; pick another " +
+          s"INTO column name (got '$out')")
+      graft.llm.TextOps.gramEntropy(keyed(df, ins.head))
+        .withColumnRenamed("h_cond", out)
+    },
     // quality-filter threshold sweep over a TEXT input column —
     // relation-REPLACING: per 10-point Flesch bucket, surviving docs/
     // tokens and shares; INTO column(...) names the token-share column

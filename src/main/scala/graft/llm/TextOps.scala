@@ -564,6 +564,46 @@ object TextOps {
         col("hll_est"))
   }
 
+  /** Corpus n-gram entropy card — the model-free predictability read
+    * beside [[Curation.lmPerplexity]]'s fitted one: unigram entropy
+    * H(W), bigram entropy H(W1,W2), and the conditional entropy
+    * H(W2|W1) = H(W1,W2) − H(W1) — how many nats the previous token
+    * buys. Natural text sits well below independence
+    * (H(W2|W1) ≪ H(W)); templated/generated spam collapses the gap
+    * from one side, shuffled or encrypted text from the other.
+    *
+    * Entropy terms follow the [[charStats]] DECIMAL discipline:
+    * round(−p·ln p, 12) summed exactly (order-independent), final
+    * round(6). Two count tables (vocabulary- and distinct-bigram-
+    * bounded — the same envelope the bigram LM fit pays); every window
+    * rides them, never the corpus. */
+  def gramEntropy(docs: DataFrame): DataFrame = {
+    val w = tokens(coalesce(col("text"), lit("")))
+    val uni = docs.select(explode(w).as("_w"))
+      .groupBy("_w").agg(count(lit(1)).as("_c"))
+    val bi = docs.select(explode(graft.functions.Kgrams.kgrams(
+        coalesce(col("text"), lit("")), 2, keepShortWhole = false))
+        .as("_g"))
+      .groupBy("_g").agg(count(lit(1)).as("_c"))
+    def entropy(counts: DataFrame, nName: String, dName: String,
+        hName: String): DataFrame = {
+      val wAll = Window.partitionBy(lit(0)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      counts.withColumn("_n", sum("_c").over(wAll))
+        .agg(
+          max("_n").cast("bigint").as(nName),
+          count(lit(1)).cast("bigint").as(dName),
+          round(sum(round(-(col("_c").cast("double") / col("_n")) *
+              log(col("_c").cast("double") / col("_n")), 12)
+            .cast("decimal(28,12)")).cast("double"), 6).as(hName))
+    }
+    entropy(uni, "n_tokens", "distinct_unigrams", "h_unigram")
+      .crossJoin(broadcast(
+        entropy(bi, "n_bigrams", "distinct_bigrams", "h_bigram")))
+      .withColumn("h_cond",
+        round(col("h_bigram") - col("h_unigram"), 6))
+  }
+
   /** Quality-filter threshold sweep — the curve a curation engineer
     * reads BEFORE fixing a cutoff ([[Dedup.lshSensitivity]]'s sibling
     * for score filters): for every 10-point Flesch bucket, the docs and

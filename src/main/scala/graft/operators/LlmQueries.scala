@@ -409,6 +409,11 @@ object LlmQueries {
     // vocabulary-scale distinct shuffle)
     "q_hll_card" -> { (s, dir) => TextOps.hllCard(docs(s, dir)) },
 
+    // corpus n-gram entropy card: H(W), H(W1,W2), and the conditional
+    // H(W2|W1) — how many nats the previous token buys; DECIMAL-summed
+    // terms, one row
+    "q_gram_entropy" -> { (s, dir) => TextOps.gramEntropy(docs(s, dir)) },
+
     // quality-filter threshold sweep: per 10-point Flesch bucket, docs/
     // tokens surviving "score >= bucket floor" with corpus shares — the
     // lsh_sensitivity read for score filters (thresholds cost tokens,
@@ -1359,6 +1364,42 @@ object LlmQueries {
         |  round((f.hll_est - ex.n_exact) / CAST(ex.n_exact AS DOUBLE), 6)
         |    AS rel_err
         |FROM fin f JOIN ex USING (grp)""".stripMargin,
+
+    // two count tables + the 12-dp DECIMAL entropy sums; h_cond is the
+    // rounded difference of the two rounded entropies
+    "q_gram_entropy" ->
+      """WITH tok AS (
+        |  SELECT string_split(coalesce(text, ''), ' ') AS w
+        |  FROM documents),
+        |uc AS (
+        |  SELECT t, count(*) AS c FROM (SELECT unnest(w) AS t FROM tok)
+        |  GROUP BY 1),
+        |un AS (SELECT sum(c) AS n FROM uc),
+        |uh AS (
+        |  SELECT CAST(un.n AS BIGINT) AS n_tokens,
+        |    CAST(count(*) AS BIGINT) AS distinct_unigrams,
+        |    round(CAST(sum(CAST(round(
+        |        -(CAST(c AS DOUBLE) / un.n) * ln(CAST(c AS DOUBLE) / un.n),
+        |        12) AS DECIMAL(28,12))) AS DOUBLE), 6) AS h_unigram
+        |  FROM uc CROSS JOIN un GROUP BY un.n),
+        |bc AS (
+        |  SELECT g, count(*) AS c FROM (
+        |    SELECT unnest(list_transform(range(1, len(w)),
+        |      i -> w[i] || ' ' || w[i+1])) AS g
+        |    FROM tok)
+        |  GROUP BY 1),
+        |bn AS (SELECT sum(c) AS n FROM bc),
+        |bh AS (
+        |  SELECT CAST(bn.n AS BIGINT) AS n_bigrams,
+        |    CAST(count(*) AS BIGINT) AS distinct_bigrams,
+        |    round(CAST(sum(CAST(round(
+        |        -(CAST(c AS DOUBLE) / bn.n) * ln(CAST(c AS DOUBLE) / bn.n),
+        |        12) AS DECIMAL(28,12))) AS DOUBLE), 6) AS h_bigram
+        |  FROM bc CROSS JOIN bn GROUP BY bn.n)
+        |SELECT uh.n_tokens, uh.distinct_unigrams, uh.h_unigram,
+        |  bh.n_bigrams, bh.distinct_bigrams, bh.h_bigram,
+        |  round(bh.h_bigram - uh.h_unigram, 6) AS h_cond
+        |FROM uh CROSS JOIN bh""".stripMargin,
 
     // the readability oracle's flesch computation, floored into
     // 10-point buckets, with the descending cumulative windows over the

@@ -200,6 +200,9 @@ object KernelProbe {
       "COMPUTE c FROM table(text, is_bench) INTO column(span) " +
         "USING contamination_span",
       "q_contamination_span"),
+    ("gram_entropy",
+      "COMPUTE g FROM table(text) INTO column(hc) USING gram_entropy",
+      "q_gram_entropy"),
     ("filter_sweep",
       "COMPUTE f FROM table(text) INTO column(tok_share) " +
         "USING filter_sweep",

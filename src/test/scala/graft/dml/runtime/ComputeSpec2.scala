@@ -710,6 +710,18 @@ class ComputeSpec2 extends AnyFunSuite {
     assert(err.getMessage.contains("reserves"))
   }
 
+  test("gram_entropy kernel matches the catalog twin from the DSL") {
+    val s = spark
+    val twin = graft.llm.TextOps.gramEntropy(s.table("documents"))
+      .collect()(0)
+    val k = ComputeRegistry.runOnce(s,
+      parse("COMPUTE g FROM table(text) INTO column(hc) " +
+        "USING gram_entropy"),
+      "documents").collect()(0)
+    assert(k.getAs[Double]("hc") == twin.getAs[Double]("h_cond"))
+    assert(k.getAs[Double]("h_unigram") == twin.getAs[Double]("h_unigram"))
+  }
+
   test("filter_sweep kernel matches the catalog twin from the DSL") {
     val s = spark
     val twin = graft.llm.TextOps.filterSweep(s.table("documents"))

@@ -1125,6 +1125,27 @@ class CurationSpec extends AnyFunSuite {
       TextOps.hllEstimator(direct, 256).collect()(0))
   }
 
+  test("gramEntropy: hand-computed H(W), H(W1,W2), H(W2|W1) on a " +
+    "4-token doc; deterministic text collapses the conditional") {
+    val s = spark
+    import s.implicits._
+    val d = Seq((1L, "a a b a")).toDF("doc_id", "text")
+    val c = TextOps.gramEntropy(d).collect()(0)
+    assert(c.getAs[Long]("n_tokens") == 4L &&
+      c.getAs[Long]("distinct_unigrams") == 2L)
+    assert(c.getAs[Double]("h_unigram") == 0.562335)
+    assert(c.getAs[Long]("n_bigrams") == 3L &&
+      c.getAs[Long]("distinct_bigrams") == 3L)
+    assert(c.getAs[Double]("h_bigram") == 1.098612) // ln 3
+    assert(c.getAs[Double]("h_cond") == 0.536277)
+    // fully deterministic sequence: every bigram determined by its
+    // predecessor -> conditional entropy exactly 0
+    val det = Seq((1L, "x y x y x y x y x y")).toDF("doc_id", "text")
+    val c2 = TextOps.gramEntropy(det).collect()(0)
+    assert(c2.getAs[Double]("h_cond") < 0.08,
+      s"alternating text is near-deterministic: ${c2.mkString(",")}")
+  }
+
   test("filterSweep: monotone survival, bottom threshold covers " +
     "everything, doc and token shares diverge on length-skewed input") {
     val s = spark
