@@ -534,6 +534,17 @@ object ComputeRegistry {
       graft.llm.Similarity.mmrRerank(embs, queryId = 0L, k = 5, pool = 16)
         .withColumnRenamed("mmr_score", out)
     },
+    // salting plan over a KEY input column — relation-REPLACING: per
+    // hot self-join key, the integer-ceil salt factor at 50k rows/task;
+    // INTO column(...) names the salt column
+    "salting_plan" -> { (df, ins, out) =>
+      require(!Seq("key", "n_left", "n_right", "out_rows").contains(out),
+        s"salting_plan reserves its card column names; pick another " +
+          s"INTO column name (got '$out')")
+      graft.plans.JoinSkew.saltingPlan(df, df, ins.head,
+          targetRows = 50000L)
+        .withColumnRenamed("salt", out)
+    },
     // join-skew planning card over a KEY input column — relation-
     // REPLACING: top-20 hot keys of the relation's self-join on that key
     // (n_l x n_r output rows each) + the NULL-key total row; INTO

@@ -174,6 +174,15 @@ object EventQueries {
       graft.plans.JoinSkew.joinSkewCard(e, e, "user_id", topN = 20)
     },
 
+    // the skew card's actionable half: per hot user_id, the salt factor
+    // capping its self-join output at 50k rows/task — integer ceil
+    // division, same count-table-only envelope
+    "q_salting_plan" -> { (s, dir) =>
+      val e = events(s, dir).select("user_id")
+      graft.plans.JoinSkew.saltingPlan(e, e, "user_id",
+        targetRows = 50000L, topN = 20)
+    },
+
     // hourly per-type metrics roll-up — tumbling windows via date_trunc
     // STREAM-STATIC enrichment join, completing the streaming join
     // matrix (static / stream-stream inner / stream-stream outer): each
@@ -572,6 +581,22 @@ object EventQueries {
         |      / tot.out_rows, 6) END AS out_share
         |FROM tot""".stripMargin,
 
+    // the skew-card replay filtered to key rows with the integer-ceil
+    // salt factor
+    "q_salting_plan" ->
+      """WITH c AS (
+        |  SELECT user_id AS key, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1),
+        |j AS (
+        |  SELECT key, n AS n_left, n AS n_right,
+        |    CAST(n * n AS BIGINT) AS out_rows
+        |  FROM c),
+        |top AS (
+        |  SELECT * FROM j ORDER BY out_rows DESC, key ASC LIMIT 20)
+        |SELECT key, n_left, n_right, out_rows,
+        |  CAST((out_rows + 50000 - 1) // 50000 AS BIGINT) AS salt
+        |FROM top""".stripMargin,
+
     "q_events_windowed" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         |  COUNT(*) AS n,
@@ -851,6 +876,7 @@ object EventQueries {
 
   def verifySort: Map[String, Seq[String]] = Map(
     "q_join_skew_card" -> Seq("key"),
+    "q_salting_plan" -> Seq("key"),
     "q_events_lag" -> Seq("user_id", "event_id"),
     "q_events_asof" -> Seq("event_id"),
     "q_events_range_join" -> Seq("event_id", "window_id"),

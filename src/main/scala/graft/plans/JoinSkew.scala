@@ -20,6 +20,24 @@ import org.apache.spark.sql.functions._
   */
 object JoinSkew {
 
+  /** The actionable half of [[joinSkewCard]]: per hot key, the SALT
+    * factor that caps its join output at `targetRows` per task —
+    * salt = ceil(out_rows / targetRows), integer arithmetic
+    * ((out + target − 1) div target). Keys with salt 1 need nothing;
+    * the ones above are exactly the keys a salted-join rewrite (or
+    * AQE's skew split, whose thresholds this card lets you SET) must
+    * replicate. Same count-table-only cost envelope as the skew card.
+    */
+  def saltingPlan(left: DataFrame, right: DataFrame, keyCol: String,
+      targetRows: Long, topN: Int = 20): DataFrame = {
+    require(targetRows >= 1, s"targetRows must be >= 1, got $targetRows")
+    joinSkewCard(left, right, keyCol, topN)
+      .filter(col("key").isNotNull)
+      .select(col("key"), col("n_left"), col("n_right"), col("out_rows"),
+        expr(s"(out_rows + ${targetRows}L - 1) div ${targetRows}L")
+          .cast("bigint").as("salt"))
+  }
+
   def joinSkewCard(left: DataFrame, right: DataFrame, keyCol: String,
       topN: Int = 20): DataFrame = {
     require(topN >= 1, s"topN must be >= 1, got $topN")

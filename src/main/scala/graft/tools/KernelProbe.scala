@@ -223,6 +223,10 @@ object KernelProbe {
       "COMPUTE d FROM table(text, source) INTO column(dp90) " +
         "USING domain_tail",
       "q_domain_tail"),
+    ("salting_plan",
+      "COMPUTE p FROM table(user_id) INTO column(salt_f) " +
+        "USING salting_plan",
+      "q_salting_plan"),
     ("join_skew",
       "COMPUTE j FROM table(user_id) INTO column(share) " +
         "USING join_skew",

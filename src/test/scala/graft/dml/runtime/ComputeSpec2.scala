@@ -627,6 +627,20 @@ class ComputeSpec2 extends AnyFunSuite {
     graft.llm.PipelineCaches.clear()
   }
 
+  test("salting_plan kernel emits integer salt factors from the DSL") {
+    val s = spark
+    val twin = graft.plans.JoinSkew.saltingPlan(
+        s.table("events"), s.table("events"), "user_id", 50000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    val k = ComputeRegistry.runOnce(s,
+      parse("COMPUTE p FROM table(user_id) INTO column(salt_f) " +
+        "USING salting_plan"),
+      "events")
+      .collect().map(r => r.getAs[Long]("key") ->
+        r.getAs[Long]("salt_f")).toMap
+    assert(k == twin)
+  }
+
   test("join_skew kernel emits the self-join skew card from the DSL") {
     val s = spark
     val twin = graft.plans.JoinSkew.joinSkewCard(

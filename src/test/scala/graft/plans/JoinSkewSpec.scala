@@ -34,6 +34,22 @@ class JoinSkewSpec extends AnyFunSuite {
       "top-2 keys own the whole join output here")
   }
 
+  test("saltingPlan: integer-ceil salt factors at a hand target") {
+    val s = spark
+    import s.implicits._
+    // key 1: 3*4 = 12 rows -> salt ceil(12/5) = 3; key 2: 1*5 = 5 ->
+    // exactly one task; key 3: 0 output -> salt 0? no: ceil(0/5) = 0,
+    // but a key with no output emits nothing to salt — verify 0
+    val left = (Seq.fill(3)(1L) ++ Seq(2L) ++ Seq(3L)).toDF("k")
+    val right = (Seq.fill(4)(1L) ++ Seq.fill(5)(2L)).toDF("k")
+    val rows = JoinSkew.saltingPlan(left, right, "k", targetRows = 5L)
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(rows == Map(1L -> 3L, 2L -> 1L, 3L -> 0L))
+    val e = intercept[IllegalArgumentException](
+      JoinSkew.saltingPlan(left, right, "k", targetRows = 0L))
+    assert(e.getMessage.contains("targetRows"))
+  }
+
   test("joinSkewCard: disjoint keys yield zero output and NULL shares") {
     val s = spark
     import s.implicits._
