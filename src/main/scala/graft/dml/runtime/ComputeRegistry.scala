@@ -648,6 +648,16 @@ object ComputeRegistry {
           df.select(col(ins.head).as("text"), col(ins(1)).as("lang")))
         .withColumnRenamed("share", out)
     },
+    // exact-dup token-savings card over a TEXT input column — relation-
+    // REPLACING, ONE row; INTO column(...) names the saved-fraction
+    "dedup_savings" -> { (df, ins, out) =>
+      require(!Seq("n_docs", "n_distinct", "n_dup_docs", "tokens_total",
+          "tokens_saved").contains(out),
+        s"dedup_savings reserves its card column names; pick another " +
+          s"INTO column name (got '$out')")
+      graft.llm.Curation.dedupSavings(keyed(df, ins.head))
+        .withColumnRenamed("saved_frac", out)
+    },
     // corpus snapshot changelog over (text, is_new) input columns —
     // relation-REPLACING: the flagged rows are the NEW snapshot, the
     // rest the OLD; one row per added/removed/changed/unchanged status;

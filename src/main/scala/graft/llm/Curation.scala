@@ -420,6 +420,42 @@ object Curation {
       (max("_tot").cast("bigint").as("total_tokens") +: aggs): _*)
   }
 
+  /** Exact-dup token-savings card — the number release notes actually
+    * quote ("dedup removed X% of tokens"): group by content
+    * fingerprint, keep the smallest doc_id per group (the established
+    * keeper policy), and price everything else in docs AND tokens.
+    * [[dupSizeCard]] describes the group-size distribution; this card
+    * prices it.
+    *
+    * One fingerprint-keyed agg carrying (count, token sum, min id,
+    * keeper's tokens) — per-group state is four numbers, and the final
+    * card is a 1-row aggregate over the group table. All-integer. */
+  def dedupSavings(docs: DataFrame): DataFrame = {
+    val t = TextOps.tokenCount(coalesce(col("text"), lit("")))
+      .cast("long")
+    val groups = docs
+      .select(md5(coalesce(col("text"), lit(""))).as("_fp"),
+        col("doc_id"), t.as("_t"))
+      .groupBy("_fp").agg(
+        count(lit(1)).as("_n"),
+        sum("_t").as("_tok"),
+        // identical text -> identical token count, so the keeper's
+        // tokens are any member's tokens
+        min("_t").as("_keepTok"))
+    groups.agg(
+        sum("_n").cast("bigint").as("n_docs"),
+        count(lit(1)).cast("bigint").as("n_distinct"),
+        sum("_tok").cast("bigint").as("tokens_total"),
+        sum(col("_tok") - col("_keepTok")).cast("bigint")
+          .as("tokens_saved"))
+      .select(col("n_docs"), col("n_distinct"),
+        (col("n_docs") - col("n_distinct")).cast("bigint")
+          .as("n_dup_docs"),
+        col("tokens_total"), col("tokens_saved"),
+        round(col("tokens_saved").cast("double") /
+          col("tokens_total").cast("double"), 6).as("saved_frac"))
+  }
+
   /** Corpus snapshot diff — the release CHANGELOG between two corpus
     * versions ([[corpusReport]] describes one snapshot; release
     * engineering needs what moved between two): per status

@@ -84,6 +84,16 @@ object CurationQueries {
         alpha = 0.5)
     },
 
+    // exact-dup token-savings card over a corpus with PLANTED exact
+    // copies (every 4th doc duplicated at +100000): the release-notes
+    // "dedup saved X% of tokens" row, all-integer
+    "q_dedup_savings" -> { (s, dir) =>
+      val d = docs(s, dir).select("doc_id", "text")
+      Curation.dedupSavings(d.unionAll(
+        d.filter(col("doc_id") % 4 === 0)
+          .select((col("doc_id") + 100000L).as("doc_id"), col("text"))))
+    },
+
     // corpus snapshot CHANGELOG with all four statuses PLANTED: v_old
     // drops id%3==1, v_new drops id%3==0 (adds/removes), and v_new trims
     // id%5==0 survivors (changed fingerprints); everything else is
@@ -580,6 +590,30 @@ object CurationQueries {
     "q_quality_classifier" -> lrOracleSql(256, 5, 0.5),
     "q_classifier_calibration" -> calibrationOracleSql(256, 5, 0.5),
     "q_classifier_auc" -> aucOracleSql(256, 5, 0.5),
+
+    // replays the fingerprint groups and the keeper pricing
+    "q_dedup_savings" ->
+      """WITH u AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, text FROM documents
+        |  WHERE doc_id % 4 = 0),
+        |g AS (
+        |  SELECT md5(coalesce(text, '')) AS fp,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(len(string_split(coalesce(text, ''), ' ')))
+        |      AS BIGINT) AS tok,
+        |    CAST(min(len(string_split(coalesce(text, ''), ' ')))
+        |      AS BIGINT) AS keeptok
+        |  FROM u GROUP BY 1)
+        |SELECT CAST(sum(n) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_distinct,
+        |  CAST(sum(n) - count(*) AS BIGINT) AS n_dup_docs,
+        |  CAST(sum(tok) AS BIGINT) AS tokens_total,
+        |  CAST(sum(tok - keeptok) AS BIGINT) AS tokens_saved,
+        |  round(CAST(sum(tok - keeptok) AS DOUBLE)
+        |    / CAST(sum(tok) AS DOUBLE), 6) AS saved_frac
+        |FROM g""".stripMargin,
 
     // replays the fingerprint projections, the doc_id full join, and
     // the four-status agg

@@ -215,6 +215,10 @@ object KernelProbe {
       "COMPUTE l FROM table(text, lang) INTO column(cell_share) " +
         "USING langid_confusion",
       "q_langid_confusion"),
+    ("dedup_savings",
+      "COMPUTE d FROM table(text) INTO column(sfrac) " +
+        "USING dedup_savings",
+      "q_dedup_savings"),
     ("corpus_diff",
       "COMPUTE d FROM table(text, is_bench) INTO column(tdelta) " +
         "USING corpus_diff",

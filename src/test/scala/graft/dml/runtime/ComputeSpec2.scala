@@ -773,6 +773,19 @@ class ComputeSpec2 extends AnyFunSuite {
     assert(k == twin)
   }
 
+  test("dedup_savings kernel matches the catalog twin from the DSL") {
+    val s = spark
+    val twin = graft.llm.Curation.dedupSavings(s.table("documents"))
+      .collect()(0)
+    val k = ComputeRegistry.runOnce(s,
+      parse("COMPUTE d FROM table(text) INTO column(sfrac) " +
+        "USING dedup_savings"),
+      "documents").collect()(0)
+    assert(k.getAs[Long]("tokens_saved") ==
+      twin.getAs[Long]("tokens_saved"))
+    assert(k.getAs[Double]("sfrac") == twin.getAs[Double]("saved_frac"))
+  }
+
   test("corpus_diff kernel: flagged rows are the new snapshot; planted " +
     "statuses come through the DSL") {
     val s = spark

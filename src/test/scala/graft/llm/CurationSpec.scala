@@ -1188,6 +1188,23 @@ class CurationSpec extends AnyFunSuite {
       ("fr", "fr") -> ((1L, 1.0))))
   }
 
+  test("dedupSavings: hand-priced duplicate groups") {
+    val s = spark
+    import s.implicits._
+    // "a b c" x3 (3 tokens, 2 dup copies -> 6 saved), "x y" x1, "z" x2
+    // (1 token, 1 dup -> 1 saved): 6 docs, 3 distinct, saved 7 of 13
+    val d = Seq(
+      (1L, "a b c"), (2L, "a b c"), (3L, "a b c"),
+      (4L, "x y"), (5L, "z"), (6L, "z")).toDF("doc_id", "text")
+    val c = Curation.dedupSavings(d).collect()(0)
+    assert(c.getAs[Long]("n_docs") == 6L)
+    assert(c.getAs[Long]("n_distinct") == 3L)
+    assert(c.getAs[Long]("n_dup_docs") == 3L)
+    assert(c.getAs[Long]("tokens_total") == 13L)
+    assert(c.getAs[Long]("tokens_saved") == 7L)
+    assert(c.getAs[Double]("saved_frac") == 0.538462)
+  }
+
   test("corpusDiff: all four statuses with hand-exact token deltas") {
     val s = spark
     import s.implicits._
