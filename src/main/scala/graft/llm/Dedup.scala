@@ -474,6 +474,37 @@ object Dedup {
     * is rescore work the banding wasted, everything above is dup mass
     * the threshold would keep. Windows run over the ≤21-row bin card —
     * never the pair stream. */
+  /** MinHash ESTIMATOR-error card — the third leg of the sketch-audit
+    * family (HLL and CMS ship theirs; this audits the signature
+    * estimate itself): over every banded candidate pair, compare the
+    * signature's est_jaccard (a k/numHashes rational) against the exact
+    * shingle Jaccard and report mean/max absolute error plus the share
+    * of pairs within one estimator notch (1/numHashes). A mean error
+    * far above the binomial expectation means the hash family or band
+    * layout is biased, not just noisy.
+    *
+    * Error terms are 12-dp rounded then DECIMAL-summed
+    * (order-independent); the card is a 1-row agg over the
+    * candidate-bounded pair relation. */
+  def minhashEstQuality(docs: DataFrame, k: Int = 3, numHashes: Int = 8,
+      bands: Int = 4, oracleHashes: Boolean = false): DataFrame = {
+    val cands = minhashCandidates(docs, k, numHashes, bands,
+      minEstJaccard = 0.0, oracleHashes = oracleHashes)
+    val err = containmentRescore(docs,
+        cands.select("doc_a", "doc_b"), k)
+      .join(cands, Seq("doc_a", "doc_b"))
+      .select(round(abs(col("est_jaccard") - col("jaccard")), 12)
+        .as("_e"))
+    val notch = 1.0 / numHashes
+    err.agg(
+      count(lit(1)).cast("bigint").as("n_pairs"),
+      round(sum(col("_e").cast("decimal(28,12)")).cast("double") /
+        count(lit(1)), 6).as("mean_abs_err"),
+      round(max("_e"), 6).as("max_abs_err"),
+      round(sum(when(col("_e") <= notch, 1L).otherwise(0L))
+        .cast("double") / count(lit(1)), 6).as("share_within_notch"))
+  }
+
   /** Measured LSH recall/precision audit — the governance row the exact
     * join unlocks: run [[jaccardJoinExact]] (ground truth, recall 1.0
     * by construction) and the banded [[minhashCandidates]] (the

@@ -508,6 +508,19 @@ object LlmQueries {
         threshold = 0.8, k = 3)
     },
 
+    // MinHash estimator-error audit (the sketch-audit family's third
+    // leg): per candidate pair, |est_jaccard - exact jaccard| -> mean/
+    // max error + share within one 1/8 estimator notch
+    "q_minhash_est_quality" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val mutated = d.select(
+        (col("doc_id") + 100000L).as("doc_id"),
+        expr("substring(text, 1, greatest(length(text) - 12, 1))").as("text"))
+      Dedup.minhashEstQuality(
+        d.select("doc_id", "text").unionAll(mutated),
+        k = 3, numHashes = 8, bands = 4, oracleHashes = true)
+    },
+
     // measured LSH recall audit: the exact prefix-filtered join (ground
     // truth) vs the banded MinHash candidates over the SAME planted
     // corpus — the release-sheet number (recall the bands actually
@@ -1785,6 +1798,26 @@ object LlmQueries {
       s"""WITH $minhashPairsCtes
          |SELECT doc_a, doc_b, est_jaccard FROM scored
          |WHERE est_jaccard >= 0.5""".stripMargin,
+
+    // per-pair |est - exact| with 12-dp DECIMAL-summed errors
+    "q_minhash_est_quality" ->
+      s"""WITH $minhashPairsCtes,
+         |ds AS (SELECT doc_id, list_distinct(s) AS s FROM sh),
+         |ex AS (
+         |  SELECT round(abs(p.est_jaccard -
+         |    CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+         |    / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))),
+         |    12) AS e
+         |  FROM scored p
+         |  JOIN ds sa ON sa.doc_id = p.doc_a
+         |  JOIN ds sb ON sb.doc_id = p.doc_b)
+         |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         |  round(CAST(sum(CAST(e AS DECIMAL(28,12))) AS DOUBLE)
+         |    / count(*), 6) AS mean_abs_err,
+         |  round(max(e), 6) AS max_abs_err,
+         |  round(CAST(sum(CASE WHEN e <= 0.125 THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / count(*), 6) AS share_within_notch
+         |FROM ex""".stripMargin,
 
     // truth = the unpruned all-pairs join at the threshold; candidates =
     // the banded replay (scored, unfiltered); one FULL JOIN merge feeds

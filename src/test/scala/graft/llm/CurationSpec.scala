@@ -958,6 +958,21 @@ class CurationSpec extends AnyFunSuite {
     assert(hits(0).getDouble(2) == 0.7)
   }
 
+  test("minhashEstQuality: identical docs estimate exactly, card is " +
+    "a zero-error row") {
+    val s = spark
+    import s.implicits._
+    val d = Seq((1L, "a b c d e f"), (2L, "a b c d e f"),
+      (3L, "q w e r t y u i o p")).toDF("doc_id", "text")
+    val c = Dedup.minhashEstQuality(d).collect()(0)
+    assert(c.getAs[Long]("n_pairs") >= 1L)
+    assert(c.getAs[Double]("max_abs_err") == 0.0,
+      "identical signatures on identical shingle sets cannot mis-" +
+        s"estimate: ${c.mkString(",")}")
+    assert(c.getAs[Double]("share_within_notch") == 1.0)
+    graft.llm.PipelineCaches.clear()
+  }
+
   test("lshRecallAudit: identical docs are both truth and candidate " +
     "(recall 1), all-distinct corpus yields NULL guarded ratios") {
     val s = spark
