@@ -596,6 +596,18 @@ object ComputeRegistry {
         .withColumnRenamed("_grp", ins(1))
         .withColumnRenamed("hll_est", out)
     },
+    // character-class shares over a TEXT input column — relation-
+    // PRESERVING per-doc fractions; INTO column(...) names the
+    // other-class share (the damage signal)
+    "script_shares" -> { (df, ins, out) =>
+      require(!Seq("n_chars", "letter_frac", "digit_frac", "space_frac")
+          .contains(out),
+        s"script_shares reserves its card column names; pick another " +
+          s"INTO column name (got '$out')")
+      val scored = graft.llm.TextOps.scriptShares(keyed(df, ins.head))
+        .select(col("doc_id"), col("other_frac").as(out))
+      df.join(scored, Seq("doc_id"), "left")
+    },
     // n-gram entropy card over a TEXT input column — relation-
     // REPLACING, ONE row (H(W), H(W1,W2), conditional); INTO
     // column(...) names the conditional-entropy column

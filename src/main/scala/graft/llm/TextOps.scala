@@ -564,6 +564,35 @@ object TextOps {
         col("hll_est"))
   }
 
+  /** Per-doc character-class composition — the cheap encoding-damage /
+    * wrong-content signal beside [[charStats]]' entropy: shares of
+    * lowercase letters, digits, spaces, and everything else. Base64
+    * spills read digit-heavy, binary spills read other-heavy, and a
+    * prose corpus holds a tight (letter, space) band. Counts via
+    * length-difference after class removal — integer-exact, zero
+    * shuffle, trivially oracle-portable (no regex-engine count
+    * semantics involved). */
+  def scriptShares(docs: DataFrame): DataFrame = {
+    val t = coalesce(col("text"), lit(""))
+    val n = length(t)
+    def removed(pattern: String): Column =
+      n - length(regexp_replace(t, pattern, ""))
+    val letters = removed("[a-z]")
+    val digits = removed("[0-9]")
+    val spaces = removed(" ")
+    docs.select(col("doc_id"), n.cast("bigint").as("n_chars"),
+      when(n === 0, lit(null).cast("double"))
+        .otherwise(round(letters.cast("double") / n, 6))
+        .as("letter_frac"),
+      when(n === 0, lit(null).cast("double"))
+        .otherwise(round(digits.cast("double") / n, 6)).as("digit_frac"),
+      when(n === 0, lit(null).cast("double"))
+        .otherwise(round(spaces.cast("double") / n, 6)).as("space_frac"),
+      when(n === 0, lit(null).cast("double"))
+        .otherwise(round((n - letters - digits - spaces).cast("double")
+          / n, 6)).as("other_frac"))
+  }
+
   /** Corpus n-gram entropy card — the model-free predictability read
     * beside [[Curation.lmPerplexity]]'s fitted one: unigram entropy
     * H(W), bigram entropy H(W1,W2), and the conditional entropy

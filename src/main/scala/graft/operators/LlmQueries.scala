@@ -409,6 +409,13 @@ object LlmQueries {
     // vocabulary-scale distinct shuffle)
     "q_hll_card" -> { (s, dir) => TextOps.hllCard(docs(s, dir)) },
 
+    // per-doc character-class shares (letters/digits/spaces/other) via
+    // integer length-difference counts — the cheap encoding-damage
+    // signal; zero shuffle
+    "q_script_shares" -> { (s, dir) =>
+      TextOps.scriptShares(docs(s, dir))
+    },
+
     // corpus n-gram entropy card: H(W), H(W1,W2), and the conditional
     // H(W2|W1) — how many nats the previous token buys; DECIMAL-summed
     // terms, one row
@@ -1377,6 +1384,30 @@ object LlmQueries {
         |  round((f.hll_est - ex.n_exact) / CAST(ex.n_exact AS DOUBLE), 6)
         |    AS rel_err
         |FROM fin f JOIN ex USING (grp)""".stripMargin,
+
+    // length-difference class counts, integer-exact
+    "q_script_shares" ->
+      """WITH s AS (
+        |  SELECT doc_id, coalesce(text, '') AS t,
+        |    CAST(length(coalesce(text, '')) AS BIGINT) AS n
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n,
+        |    n - length(regexp_replace(t, '[a-z]', '', 'g')) AS lt,
+        |    n - length(regexp_replace(t, '[0-9]', '', 'g')) AS dg,
+        |    n - length(regexp_replace(t, ' ', '', 'g')) AS sp
+        |  FROM s)
+        |SELECT doc_id, n AS n_chars,
+        |  CASE WHEN n = 0 THEN NULL
+        |    ELSE round(CAST(lt AS DOUBLE) / n, 6) END AS letter_frac,
+        |  CASE WHEN n = 0 THEN NULL
+        |    ELSE round(CAST(dg AS DOUBLE) / n, 6) END AS digit_frac,
+        |  CASE WHEN n = 0 THEN NULL
+        |    ELSE round(CAST(sp AS DOUBLE) / n, 6) END AS space_frac,
+        |  CASE WHEN n = 0 THEN NULL
+        |    ELSE round(CAST(n - lt - dg - sp AS DOUBLE) / n, 6) END
+        |    AS other_frac
+        |FROM c""".stripMargin,
 
     // two count tables + the 12-dp DECIMAL entropy sums; h_cond is the
     // rounded difference of the two rounded entropies
@@ -3019,6 +3050,7 @@ object LlmQueries {
     "q_length_buckets" -> Seq("bucket_max"),
     "q_langid_confusion" -> Seq("lang", "lang_guess"),
     "q_filter_sweep" -> Seq("threshold"),
+    "q_script_shares" -> Seq("doc_id"),
     "q_emb_stats" -> Seq("pos"),
     "q_emb_drift" -> Seq("pos"),
     "q_emb_top_pc" -> Seq("pos"),

@@ -44,7 +44,7 @@ object ExplainPlans {
       "q_join_skew_card", "q_classifier_auc", "q_domain_tail",
       "q_corpus_diff", "q_langid_confusion", "q_ann_recall_card",
       "q_strat_alloc", "q_filter_sweep", "q_gram_entropy",
-      "q_salting_plan", "q_dedup_savings")
+      "q_salting_plan", "q_dedup_savings", "q_script_shares")
     // q_emb_top_pc is deliberately absent like q_dedup_groups: building
     // it RUNS the moment aggregations and the driver-local iterations,
     // so its "plan" is a LocalTableScan of the finished card — the

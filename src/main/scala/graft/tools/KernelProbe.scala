@@ -200,6 +200,9 @@ object KernelProbe {
       "COMPUTE c FROM table(text, is_bench) INTO column(span) " +
         "USING contamination_span",
       "q_contamination_span"),
+    ("script_shares",
+      "COMPUTE c FROM table(text) INTO column(dmg) USING script_shares",
+      "q_script_shares"),
     ("gram_entropy",
       "COMPUTE g FROM table(text) INTO column(hc) USING gram_entropy",
       "q_gram_entropy"),

@@ -724,6 +724,18 @@ class ComputeSpec2 extends AnyFunSuite {
     assert(err.getMessage.contains("reserves"))
   }
 
+  test("script_shares kernel attaches the damage signal from the DSL") {
+    val s = spark
+    val nDocs = s.table("documents").count()
+    val k = ComputeRegistry.runOnce(s,
+      parse("COMPUTE c FROM table(text) INTO column(dmg) " +
+        "USING script_shares"),
+      "documents")
+    assert(k.count() == nDocs, "rows preserved")
+    assert(k.filter(col("dmg").isNull).count() == 0,
+      "fixture docs are non-empty, every row scores")
+  }
+
   test("gram_entropy kernel matches the catalog twin from the DSL") {
     val s = spark
     val twin = graft.llm.TextOps.gramEntropy(s.table("documents"))

@@ -1140,6 +1140,22 @@ class CurationSpec extends AnyFunSuite {
       TextOps.hllEstimator(direct, 256).collect()(0))
   }
 
+  test("scriptShares: hand-exact class fractions, empty text NULL") {
+    val s = spark
+    import s.implicits._
+    // "ab 12 ?!" -> 8 chars: 2 letters, 2 digits, 2 spaces, 2 other
+    val d = Seq((1L, "ab 12 ?!"), (2L, ""), (3L, null: String))
+      .toDF("doc_id", "text")
+    val out = TextOps.scriptShares(d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getLong(1) == 8L)
+    assert(r1.getDouble(2) == 0.25 && r1.getDouble(3) == 0.25 &&
+      r1.getDouble(4) == 0.25 && r1.getDouble(5) == 0.25)
+    assert(out(2L).isNullAt(2) && out(3L).isNullAt(2),
+      "zero-length text gets NULL shares, never 0/0")
+  }
+
   test("gramEntropy: hand-computed H(W), H(W1,W2), H(W2|W1) on a " +
     "4-token doc; deterministic text collapses the conditional") {
     val s = spark
