@@ -174,6 +174,28 @@ object EventQueries {
       graft.plans.JoinSkew.joinSkewCard(e, e, "user_id", topN = 20)
     },
 
+    // event-type Markov transition matrix: per (from, to) cell, counts
+    // and P(to | from) — the funnel-analytics read of user journeys
+    // (gram_entropy's events-tier sibling). Per-user lead over the
+    // unique (ts, event_id) order; the prob window rides the
+    // types²-bounded cell table
+    "q_event_transitions" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val e = events(s, dir)
+        .select("user_id", "ts", "event_id", "event_type")
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      e.withColumn("_next", lead("event_type", 1).over(w))
+        .filter(col("_next").isNotNull)
+        .groupBy(col("event_type").as("from_type"),
+          col("_next").as("to_type"))
+        .agg(count(lit(1)).cast("bigint").as("n"))
+        .withColumn("prob", round(col("n").cast("double") /
+          sum("n").over(Window.partitionBy("from_type")
+            .rowsBetween(Window.unboundedPreceding,
+              Window.unboundedFollowing)).cast("double"), 6))
+    },
+
     // the skew card's actionable half: per hot user_id, the salt factor
     // capping its self-join output at 50k rows/task — integer ceil
     // division, same count-table-only envelope
@@ -581,6 +603,24 @@ object EventQueries {
         |      / tot.out_rows, 6) END AS out_share
         |FROM tot""".stripMargin,
 
+    // per-user lead over the unique (ts, event_id) order, cell counts,
+    // and the partitioned row-share window
+    "q_event_transitions" ->
+      """WITH t AS (
+        |  SELECT event_type AS f,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts ASC, event_id ASC) AS nx
+        |  FROM events),
+        |c AS (
+        |  SELECT f AS from_type, nx AS to_type,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM t WHERE nx IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  round(CAST(n AS DOUBLE) /
+        |    CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE), 6)
+        |    AS prob
+        |FROM c""".stripMargin,
+
     // the skew-card replay filtered to key rows with the integer-ceil
     // salt factor
     "q_salting_plan" ->
@@ -877,6 +917,7 @@ object EventQueries {
   def verifySort: Map[String, Seq[String]] = Map(
     "q_join_skew_card" -> Seq("key"),
     "q_salting_plan" -> Seq("key"),
+    "q_event_transitions" -> Seq("from_type", "to_type"),
     "q_events_lag" -> Seq("user_id", "event_id"),
     "q_events_asof" -> Seq("event_id"),
     "q_events_range_join" -> Seq("event_id", "window_id"),

@@ -128,4 +128,29 @@ class EventQueriesSpec extends AnyFunSuite {
     assert(run("1 hour").isEmpty,
       "tight watermark must expire the view before the late purchase")
   }
+
+  test("q_event_transitions: hand-computed Markov cells over planted " +
+    "user journeys") {
+    val s = SparkTestSession.withTables()
+    import s.implicits._
+    import java.sql.Timestamp
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    // user 1: A -> B -> A -> C; user 2: B -> A
+    Seq(
+      (1L, ts(1), 10L, "A"), (1L, ts(2), 11L, "B"),
+      (1L, ts(3), 12L, "A"), (1L, ts(4), 13L, "C"),
+      (2L, ts(1), 20L, "B"), (2L, ts(2), 21L, "A"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+      .createOrReplaceTempView("events")
+    val out = graft.SparkEntry.queries("q_event_transitions")(
+        s, SparkTestSession.fixtureDir)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    // NOTE: the entry re-registers fixture tables, but temp views win
+    // name resolution over the registered fixtures
+    assert(out == Map(
+      ("A", "B") -> ((1L, 0.5)), ("A", "C") -> ((1L, 0.5)),
+      ("B", "A") -> ((2L, 1.0))))
+    s.catalog.dropTempView("events")
+  }
 }
