@@ -151,6 +151,10 @@ class EventQueriesSpec extends AnyFunSuite {
     assert(out == Map(
       ("A", "B") -> ((1L, 0.5)), ("A", "C") -> ((1L, 0.5)),
       ("B", "A") -> ((2L, 1.0))))
-    s.catalog.dropTempView("events")
+    // restore the REAL fixture view for the shared session: register()
+    // is no-op-guarded by spark.graft.registeredDir, so a plain drop
+    // would leave every later events consumer viewless
+    s.conf.unset("spark.graft.registeredDir")
+    Tables.register(s, SparkTestSession.fixtureDir)
   }
 }
