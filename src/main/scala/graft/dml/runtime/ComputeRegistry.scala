@@ -632,8 +632,12 @@ object ComputeRegistry {
     },
     // exact-N stratified sampler over (stratum) input column — relation-
     // PRESERVING: every row gains its stratum quota and the selected
-    // flag (Hamilton apportionment of 100 rows, md5-rank selection);
-    // INTO column(...) names the selected column
+    // flag (Hamilton apportionment, md5-rank selection); INTO
+    // column(...) names the selected column. Policy: the kernel targets
+    // min(100, rowCount) — COMPUTE syntax has no parameter slot, and a
+    // fixed 100 made every relation under 100 rows throw stratAlloc's
+    // targetN<=count guard (round-14 advice fix); callers needing a
+    // different budget use the library operator directly
     "strat_alloc" -> { (df, ins, out) =>
       require(!Seq("quota").contains(out),
         s"strat_alloc reserves 'quota'; pick another INTO column name " +
@@ -643,7 +647,7 @@ object ComputeRegistry {
           s"[${df.columns.mkString(", ")}]")
       graft.llm.Sampling.stratAlloc(
           df.select(col("doc_id"), col(ins.head).as("_stratum")),
-          "_stratum", targetN = 100L)
+          "_stratum", targetN = math.min(100L, df.count()))
         .withColumnRenamed("_stratum", ins.head)
         .withColumnRenamed("selected", out)
     },

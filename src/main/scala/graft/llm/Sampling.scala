@@ -133,9 +133,14 @@ object Sampling {
           .otherwise(0L)).cast("bigint").as("quota"))
     val wSel = Window.partitionBy("_g")
       .orderBy(md5(col(idCol).cast("string")).asc, col(idCol).asc)
+    // NULL-SAFE quota attach: groupBy keeps a NULL stratum as its own
+    // group, so the join back must match it too (<=>) — an equi-join
+    // would silently drop every NULL-stratum row and the operator could
+    // return fewer than targetN selected rows (round-14 advice fix)
     docs.withColumn("_g", col(groupCol))
       .withColumn("_srank", row_number().over(wSel))
-      .join(broadcast(quotas), Seq("_g"))
+      .join(broadcast(quotas.withColumnRenamed("_g", "_gq")),
+        col("_g") <=> col("_gq"))
       .select(col(idCol), col("_g").as(groupCol), col("quota"),
         (col("_srank") <= col("quota")).as("selected"))
   }

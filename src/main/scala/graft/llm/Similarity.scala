@@ -139,6 +139,15 @@ object Similarity {
     val b = PipelineCaches.track(brute
       .select("query_id", "vec_id", "rank")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // recall denominator = the ACTUAL ground-truth row count, not the
+    // assumed nQueries*k: a corpus smaller than k+1 (or a filtered query
+    // set) yields fewer brute rows per query, and dividing by the
+    // assumption would understate recall with no way to ever reach 1.0
+    // (round-14 advice fix). The count is one bounded action on the
+    // already-persisted (queries×k)-max relation; at fixture scale it
+    // equals nQueries*k, so established oracle hashes are unchanged.
+    val gtRows = b.count()
+    require(gtRows > 0, "annRecallCard: empty ground-truth relation")
     methods.map { case (name, m) =>
       val mm = m.select(col("query_id"), col("vec_id"),
         col("rank").as("_mrank"))
@@ -151,7 +160,7 @@ object Similarity {
             lit(0).cast("decimal(16,12)")).as("_rrsum"))
         .select(lit(name).as("method"),
           round(col("_match").cast("double") /
-            lit((nQueries * k).toDouble), 6).as("recall_at_k"),
+            lit(gtRows.toDouble), 6).as("recall_at_k"),
           round(col("_rrsum").cast("double") /
             lit(nQueries.toDouble), 6).as("mrr"))
     }.reduce(_.unionByName(_)).orderBy("method")

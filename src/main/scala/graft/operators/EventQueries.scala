@@ -590,14 +590,14 @@ object EventQueries {
         |  FROM j),
         |top AS (
         |  SELECT * FROM j ORDER BY out_rows DESC, key ASC LIMIT 20)
-        |SELECT t.key, t.n_left, t.n_right, t.out_rows,
+        |SELECT t.key, false AS is_total, t.n_left, t.n_right, t.out_rows,
         |  CASE WHEN tot.out_rows = 0 THEN NULL
         |    ELSE round(CAST(t.out_rows AS DOUBLE) / tot.out_rows, 6) END
         |    AS out_share
         |FROM top t CROSS JOIN tot
         |UNION ALL
-        |SELECT CAST(NULL AS BIGINT) AS key, tot.n_left, tot.n_right,
-        |  tot.out_rows,
+        |SELECT CAST(NULL AS BIGINT) AS key, true AS is_total,
+        |  tot.n_left, tot.n_right, tot.out_rows,
         |  CASE WHEN tot.out_rows = 0 THEN NULL
         |    ELSE round(CAST((SELECT sum(out_rows) FROM top) AS DOUBLE)
         |      / tot.out_rows, 6) END AS out_share
@@ -915,7 +915,7 @@ object EventQueries {
         |FROM events GROUP BY 1 ORDER BY win""".stripMargin)
 
   def verifySort: Map[String, Seq[String]] = Map(
-    "q_join_skew_card" -> Seq("key"),
+    "q_join_skew_card" -> Seq("is_total", "key"),
     "q_salting_plan" -> Seq("key"),
     "q_event_transitions" -> Seq("from_type", "to_type"),
     "q_events_lag" -> Seq("user_id", "event_id"),

@@ -609,4 +609,21 @@ class RelevanceSamplingSpec extends AnyFunSuite {
       Sampling.stratAlloc(d, "grp", targetN = 11L).collect())
     assert(err.getMessage.contains("exceeds"))
   }
+
+  test("stratAlloc: a NULL stratum is a first-class group — rows " +
+    "preserved, quota allocated, exact-N still holds (advice fix: the " +
+    "quota join must be null-safe or NULL-group rows silently vanish)") {
+    val s = spark
+    import s.implicits._
+    val d = ((1L to 6L).map(i => (i, Some("A"))) ++
+      (11L to 13L).map(i => (i, Option.empty[String]))).toDF("doc_id", "grp")
+    val out = Sampling.stratAlloc(d, "grp", targetN = 6L).collect()
+    assert(out.length == 9, "every row returns, including NULL stratum")
+    val nullRows = out.filter(_.isNullAt(1))
+    assert(nullRows.length == 3, "NULL-stratum rows preserved")
+    // 6 of 9: A 6*6=36 -> fl 4 rem 0; NULL 18 -> fl 2 rem 0; no deficit
+    assert(nullRows.forall(_.getLong(2) == 2L))
+    assert(out.count(_.getBoolean(3)) == 6, "exact-N across NULL strata")
+    assert(nullRows.count(_.getBoolean(3)) == 2)
+  }
 }
