@@ -14,6 +14,13 @@ import org.apache.spark.storage.StorageLevel
   * the only iteration is label propagation in [[dupGroups]], which
   * materializes per-round state like any Pregel-style computation.
   */
+/** A trained [[Curation.logisticQuality]] classifier as a persistable
+  * artifact: the (bucket, weight) table (≤ buckets+1 rows, bucket -1 =
+  * intercept) plus the training hyperparameters, mirroring
+  * [[Bpe.BpeModel]]'s store shape. */
+case class LrModel(weights: DataFrame, buckets: Int, iters: Int,
+  lr: Double)
+
 object Curation {
 
   /** Distinct word k-grams per doc as (doc_id, gram_key) rows, gram_key =
@@ -300,16 +307,43 @@ object Curation {
     * count relation, and nothing driver-side grows with the corpus. */
   def logisticQuality(docs: DataFrame, isPositive: Column,
       buckets: Int = 256, iters: Int = 5, lr: Double = 0.5): DataFrame = {
+    val (c, wDf) = lrTrainImpl(docs, isPositive, buckets, iters, lr)
+    scoreLrCounts(c, wDf)
+  }
+
+  /** Train only — the final (bucket, weight) table of
+    * [[logisticQuality]]'s trajectory, for persisting via
+    * [[saveLrModel]]. Production trains ONCE and audits/scores many
+    * times against the store; retraining inside every audit (the r13
+    * bench shape) triples the most expensive stage of the tier. */
+  def lrWeights(docs: DataFrame, isPositive: Column,
+      buckets: Int = 256, iters: Int = 5, lr: Double = 0.5): DataFrame = {
+    val (_, wDf) = lrTrainImpl(docs, isPositive, buckets, iters, lr)
+    wDf
+  }
+
+  /** Score a corpus against a trained/stored weight table — the apply
+    * half of the classifier, shaped exactly like [[logisticQuality]]'s
+    * final projection: one token explode + doc-keyed agg against the
+    * broadcast weights. Buckets unseen at training time carry weight 0
+    * (left join + coalesce), matching what training would have learned
+    * for a never-hit bucket. */
+  def scoreWithLr(docs: DataFrame, weights: DataFrame,
+      buckets: Int = 256): DataFrame =
+    scoreLrCounts(lrCounts(docs, lit(false), buckets), weights)
+
+  /** The (doc_id, y, bucket, count) relation both training and scoring
+    * read: md5-bucketed unigram counts + the intercept row (synthetic
+    * bucket -1, count 1) per doc; counts as DECIMAL(12,0) so every
+    * downstream product/sum stays exact decimal. NOT persisted here —
+    * training persists it (read iters+1 times), scoring reads it once. */
+  private def lrCounts(docs: DataFrame, isPositive: Column,
+      buckets: Int): DataFrame = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
-    require(iters >= 1, s"iters must be >= 1, got $iters")
-    require(lr > 0, s"lr must be positive, got $lr")
-    val spark = docs.sparkSession
     val base = docs.select(col("doc_id"),
       when(isPositive, lit(1)).otherwise(lit(0)).as("_y"),
       coalesce(col("text"), lit("")).as("_t"))
-    // (doc_id, y, bucket, count) + the intercept row per doc: counts as
-    // DECIMAL(12,0) so every downstream product/sum stays exact decimal
-    val c = PipelineCaches.track(base
+    base
       .select(col("doc_id"), col("_y"),
         explode(TextOps.tokens(col("_t"))).as("_w"))
       .select(col("doc_id"), col("_y"),
@@ -319,10 +353,36 @@ object Curation {
       .agg(count(lit(1)).cast("decimal(12,0)").as("_c"))
       .unionByName(base.select(col("doc_id"), col("_y"),
         lit(-1L).as("_b"), lit(1).cast("decimal(12,0)").as("_c")))
-      // persist PRE-PARTITIONED on doc_id: every iteration's sigmoid agg
-      // and gradient join-back are doc_id-keyed, so the cached
-      // partitioning satisfies both and no iteration ever re-shuffles
-      // the corpus-sized count relation (measured 4.66s -> see floor)
+  }
+
+  /** Final scoring projection over a count relation and a weight table:
+    * (doc_id, n_tokens, score, prob, predicted). Left join so unseen
+    * buckets score 0 instead of silently dropping their token counts. */
+  private def scoreLrCounts(c: DataFrame, weights: DataFrame): DataFrame =
+    c.join(broadcast(weights), Seq("_b"), "left")
+      .withColumn("_wt0",
+        coalesce(col("_wt"), lit(0).cast("decimal(18,6)")))
+      .groupBy("doc_id").agg(
+        sum(when(col("_b") >= 0, col("_c")).otherwise(lit(0)))
+          .cast("bigint").as("n_tokens"),
+        sum(col("_c") * col("_wt0")).as("_s"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("_s").cast("double"), 6).as("score"),
+        round(lit(1.0) / (lit(1.0) + exp(-col("_s").cast("double"))), 6)
+          .as("prob"),
+        (col("_s") > 0).as("predicted"))
+
+  private def lrTrainImpl(docs: DataFrame, isPositive: Column,
+      buckets: Int, iters: Int, lr: Double): (DataFrame, DataFrame) = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(lr > 0, s"lr must be positive, got $lr")
+    val spark = docs.sparkSession
+    // persist PRE-PARTITIONED on doc_id: every iteration's sigmoid agg
+    // and gradient join-back are doc_id-keyed, so the cached
+    // partitioning satisfies both and no iteration ever re-shuffles
+    // the corpus-sized count relation (measured 4.66s -> see floor)
+    val c = PipelineCaches.track(lrCounts(docs, isPositive, buckets)
       .repartition(col("doc_id"))
       .persist(StorageLevel.MEMORY_AND_DISK))
     val n = docs.count()
@@ -362,16 +422,33 @@ object Curation {
           .setScale(6, BigDecimal.RoundingMode.HALF_UP)
       }
     }
-    c.join(broadcast(wDf), Seq("_b"))
-      .groupBy("doc_id").agg(
-        sum(when(col("_b") >= 0, col("_c")).otherwise(lit(0)))
-          .cast("bigint").as("n_tokens"),
-        sum(col("_c") * col("_wt")).as("_s"))
-      .select(col("doc_id"), col("n_tokens"),
-        round(col("_s").cast("double"), 6).as("score"),
-        round(lit(1.0) / (lit(1.0) + exp(-col("_s").cast("double"))), 6)
-          .as("prob"),
-        (col("_s") > 0).as("predicted"))
+    (c, wDf)
+  }
+
+  /** Persist a trained classifier: the (bucket, weight) table plus a
+    * one-row meta (buckets, iters, lr) — the [[graft.llm.Bpe.saveBpeModel]]
+    * trained-artifact layout. Refreshing a LIVE store goes through
+    * [[graft.scale.StoreMaint.replaceStore]]; this writes the initial
+    * layout. */
+  def saveLrModel(model: LrModel, path: String): Unit = {
+    model.weights.coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/weights")
+    val spark = model.weights.sparkSession
+    spark.range(1).select(
+      lit(model.buckets).as("buckets"),
+      lit(model.iters).as("iters"),
+      lit(model.lr).as("lr"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Reload a persisted classifier. The weight table is bounded
+    * (≤ buckets+1 rows) and broadcasts at every scoring site. */
+  def loadLrModel(spark: org.apache.spark.sql.SparkSession,
+      path: String): LrModel = {
+    val meta = spark.read.parquet(s"$path/meta").collect()(0)
+    LrModel(spark.read.parquet(s"$path/weights"),
+      meta.getAs[Int]("buckets"), meta.getAs[Int]("iters"),
+      meta.getAs[Double]("lr"))
   }
 
   /** Domain long-tail coverage card — [[concentrationCard]]'s
@@ -503,10 +580,16 @@ object Curation {
     * of the classifier's own envelope; everything after the per-bin agg
     * reads a ≤ bins-row card. */
   def calibrationCard(docs: DataFrame, isPositive: Column,
-      buckets: Int = 256, iters: Int = 5, lr: Double = 0.5): DataFrame = {
-    val scored = logisticQuality(docs, isPositive, buckets, iters, lr)
-    val y = docs.select(col("doc_id"),
-      when(isPositive, lit(1L)).otherwise(lit(0L)).as("_y"))
+      buckets: Int = 256, iters: Int = 5, lr: Double = 0.5): DataFrame =
+    calibrationFromScored(
+      logisticQuality(docs, isPositive, buckets, iters, lr),
+      docs.select(col("doc_id"),
+        when(isPositive, lit(1L)).otherwise(lit(0L)).as("_y")))
+
+  /** [[calibrationCard]] over an ALREADY-SCORED relation (the
+    * production shape: score once against the [[loadLrModel]] store,
+    * audit many). `y` = (doc_id, _y ∈ {0,1}). */
+  def calibrationFromScored(scored: DataFrame, y: DataFrame): DataFrame = {
     val perBin = scored.join(y, Seq("doc_id"))
       .withColumn("_pd", col("prob").cast("decimal(18,6)"))
       .withColumn("bin",
@@ -546,10 +629,15 @@ object Curation {
     * score-histogram agg whose size is bounded by distinct 6-dp scores,
     * with the cumulative window over that histogram only. */
   def classifierAuc(docs: DataFrame, isPositive: Column,
-      buckets: Int = 256, iters: Int = 5, lr: Double = 0.5): DataFrame = {
-    val scored = logisticQuality(docs, isPositive, buckets, iters, lr)
-    val y = docs.select(col("doc_id"),
-      when(isPositive, lit(1L)).otherwise(lit(0L)).as("_y"))
+      buckets: Int = 256, iters: Int = 5, lr: Double = 0.5): DataFrame =
+    aucFromScored(logisticQuality(docs, isPositive, buckets, iters, lr),
+      docs.select(col("doc_id"),
+        when(isPositive, lit(1L)).otherwise(lit(0L)).as("_y")))
+
+  /** [[classifierAuc]] over an ALREADY-SCORED relation (score once
+    * against the [[loadLrModel]] store, audit many). `y` = (doc_id,
+    * _y ∈ {0,1}). */
+  def aucFromScored(scored: DataFrame, y: DataFrame): DataFrame = {
     // histogram on the exact decimal score (finer than prob and
     // monotone-equivalent: same AUC, fewer tie groups)
     val hist = scored.join(y, Seq("doc_id"))

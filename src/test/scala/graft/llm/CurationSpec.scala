@@ -1490,4 +1490,53 @@ class CurationSpec extends AnyFunSuite {
     assert(e4.getMessage.contains("empty corpus"))
     graft.llm.PipelineCaches.clear()
   }
+
+  test("LrModel store round-trip: save+load+scoreWithLr is row-for-row " +
+    "identical to inline logisticQuality, and the audits match (the " +
+    "RP-index store convention — the persisted artifact must change " +
+    "nothing)") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1L, "good good good filler", "pos"), (2L, "good good the", "pos"),
+      (3L, "filler good good a", "pos"), (4L, "good the good", "pos"),
+      (5L, "bad bad bad filler", "neg"), (6L, "bad bad the", "neg"),
+      (7L, "filler bad bad a", "neg"), (8L, "bad the bad", "neg"))
+      .toDF("doc_id", "text", "src")
+    val isPos = col("src") === "pos"
+    val inline = Curation.logisticQuality(d, isPos, buckets = 64,
+      iters = 5, lr = 0.5).collect().map(_.toSeq).sortBy(_.head.toString)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_lr_rt")
+    try {
+      val w = Curation.lrWeights(d, isPos, buckets = 64, iters = 5,
+        lr = 0.5)
+      Curation.saveLrModel(LrModel(w, 64, 5, 0.5), tmp.toString)
+      val loaded = Curation.loadLrModel(s, tmp.toString)
+      assert((loaded.buckets, loaded.iters, loaded.lr) == ((64, 5, 0.5)))
+      val stored = Curation.scoreWithLr(d, loaded.weights, loaded.buckets)
+        .collect().map(_.toSeq).sortBy(_.head.toString)
+      assert(stored.toSeq == inline.toSeq,
+        "store round-trip must be bit-identical to inline training")
+      // the audits read the same scored relation either way
+      val y = d.select(col("doc_id"),
+        when(isPos, 1L).otherwise(0L).as("_y"))
+      val aucStored = Curation.aucFromScored(
+        Curation.scoreWithLr(d, loaded.weights, 64), y).collect()(0)
+      val aucInline = Curation.classifierAuc(d, isPos, buckets = 64,
+        iters = 5, lr = 0.5).collect()(0)
+      assert(aucStored.toSeq == aucInline.toSeq)
+      // unseen-bucket policy: scoring NEW docs against the store keeps
+      // every token in n_tokens (left join), weight 0 for unseen buckets
+      val fresh = Seq((9L, "zzz qqq unseen words")).toDF("doc_id", "text")
+      val freshRow = Curation.scoreWithLr(fresh, loaded.weights, 64)
+        .collect()(0)
+      assert(freshRow.getAs[Long]("n_tokens") == 4L,
+        "unseen buckets must not drop token counts")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+      graft.llm.PipelineCaches.clear()
+    }
+  }
 }
