@@ -205,6 +205,25 @@ object EventQueries {
         targetRows = 50000L, topN = 20)
     },
 
+    // the salting TREATMENT (r13 verdict task 3, the diagnosis→
+    // treatment pairing): a planted hot key (every 3rd event lands on
+    // k=0, the rest spread over ≤500 user buckets) joined to its
+    // per-key count table through the salted path — hot keys' left
+    // rows split across salt sub-keys, right rows replicated, cold
+    // keys through the plain join, the two paths unioned. The oracle
+    // is the PLAIN join, so the hash gate is the result-identity proof
+    "q_salted_join" -> { (s, dir) =>
+      val e = events(s, dir).select(col("event_id"),
+        when(col("event_id") % 3 === 0, 0L)
+          .otherwise(pmod(col("user_id"), lit(500L)) + 1L).as("k"),
+        col("value"))
+      val r = e.groupBy("k").agg(count(lit(1)).cast("bigint").as("n_r"))
+      // targetRows 200: the hot key salts at every fixture scale
+      // (sf0.001 ~333 rows -> salt 2; sf0.1 ~33k -> salt 167)
+      graft.plans.JoinSkew.saltedJoin(e, r, "k",
+        targetRows = 200L, topN = 5)
+    },
+
     // hourly per-type metrics roll-up — tumbling windows via date_trunc
     // STREAM-STATIC enrichment join, completing the streaming join
     // matrix (static / stream-stream inner / stream-stream outer): each
@@ -621,6 +640,19 @@ object EventQueries {
         |    AS prob
         |FROM c""".stripMargin,
 
+    // algorithm-independent oracle: the PLAIN inner join — the salted
+    // union (hot sub-key path + cold path) must emit exactly this set
+    "q_salted_join" ->
+      """WITH l AS (
+        |  SELECT event_id,
+        |    CASE WHEN event_id % 3 = 0 THEN 0
+        |      ELSE user_id % 500 + 1 END AS k,
+        |    value
+        |  FROM events),
+        |r AS (SELECT k, CAST(count(*) AS BIGINT) AS n_r FROM l GROUP BY 1)
+        |SELECT l.event_id, l.k, l.value, r.n_r
+        |FROM l JOIN r USING (k)""".stripMargin,
+
     // the skew-card replay filtered to key rows with the integer-ceil
     // salt factor
     "q_salting_plan" ->
@@ -917,6 +949,7 @@ object EventQueries {
   def verifySort: Map[String, Seq[String]] = Map(
     "q_join_skew_card" -> Seq("is_total", "key"),
     "q_salting_plan" -> Seq("key"),
+    "q_salted_join" -> Seq("event_id"),
     "q_event_transitions" -> Seq("from_type", "to_type"),
     "q_events_lag" -> Seq("user_id", "event_id"),
     "q_events_asof" -> Seq("event_id"),

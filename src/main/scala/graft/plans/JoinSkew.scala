@@ -2,6 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Join-skew diagnostic card — the planning read a 100 TB engineer wants
   * BEFORE running a many-to-many join: per hot key, how many rows each
@@ -92,5 +93,97 @@ object JoinSkew {
           .otherwise(round(col("_topsum").cast("double") /
             col("out_rows").cast("double"), 6)).as("out_share"))
     topRows.unionByName(summary)
+  }
+
+  /** The salting TREATMENT for [[saltingPlan]]'s diagnosis — a salted
+    * inner equi-join that is RESULT-IDENTICAL to
+    * `left.join(right, Seq(keyCol))` (the same diagnosis→treatment
+    * pairing as `embTopPc`→`abttTransform`): hot keys' LEFT rows are
+    * split across `salt` sub-keys and the RIGHT rows replicated once
+    * per sub-key, so no single shuffle partition ever receives more
+    * than ~targetRows of one key's join output; every other key flows
+    * through the plain join path untouched, and the two paths union.
+    *
+    * `plan` = (key, salt) rows, normally [[saltingPlan]]'s output
+    * (computed ONCE per recurring join at 100 TB and reused — hence the
+    * explicit-plan primary form). Only rows with salt ≥ 2 get the
+    * treatment; the plan relation must stay hot-key-bounded (topN rows)
+    * because it broadcasts to both sides and multiplies the right side
+    * by its salt factor.
+    *
+    * Row-to-sub-key assignment is `pmod(monotonically_increasing_id(),
+    * salt)` — a round-robin within each scan partition, NOT a hash of
+    * the row payload: a hot key's rows are often near-identical (that
+    * is why the key is hot), and content hashing would pile them all
+    * onto one sub-key, silently undoing the treatment. The assignment
+    * affects only WHERE a row is processed, never the joined output.
+    *
+    * NULL join keys take the cold path and vanish there, exactly as
+    * the plain inner equi-join drops them. Scale shape: two broadcast
+    * tag joins (plan ≤ topN rows), the cold shuffle join, and the hot
+    * shuffle join on (key, _salt) — no new corpus-sized shuffles beyond
+    * the join being treated. */
+  private def validateSaltedJoin(left: DataFrame, right: DataFrame,
+      keyCol: String): Unit = {
+    val lcols = left.columns.toSeq
+    val rcols = right.columns.toSeq.filterNot(_ == keyCol)
+    require(lcols.contains(keyCol) && right.columns.contains(keyCol),
+      s"both sides need the join key column '$keyCol'")
+    require(lcols.intersect(rcols).isEmpty,
+      s"non-key columns must not collide across sides, got " +
+        s"${lcols.intersect(rcols).mkString(", ")}")
+    require(!lcols.contains("_salt") && !rcols.contains("_salt"),
+      "saltedJoin reserves the _salt column name")
+  }
+
+  def saltedJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      plan: DataFrame): DataFrame = {
+    validateSaltedJoin(left, right, keyCol)
+    val lcols = left.columns.toSeq
+    val rcols = right.columns.toSeq.filterNot(_ == keyCol)
+    val outCols = (lcols ++ rcols).map(col)
+    // materialize the ≤topN-row plan ONCE as bounded driver metadata
+    // (the seed/centroid-table convention): it is consumed by two tag
+    // joins, and leaving it lazy would re-run the two side aggregations
+    // per consumer and drag the skew-card lineage (with its deliberate
+    // 1-row cross joins) into every executed salted-join plan
+    val keyType = left.schema(keyCol).dataType
+    val hotRows = plan
+      .filter(col("salt") >= 2L && col("key").isNotNull)
+      .select(col("key").cast(keyType).as("_sk"),
+        col("salt").cast(LongType).as("_sf"))
+      .collect().toSeq
+    if (hotRows.isEmpty) return left.join(right, Seq(keyCol))
+    val spark = left.sparkSession
+    val hot = broadcast(spark.createDataFrame(
+      spark.sparkContext.parallelize(hotRows, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("_sk", keyType),
+        org.apache.spark.sql.types.StructField("_sf", LongType)))))
+    val lTag = left.join(hot, col(keyCol) === col("_sk"), "left")
+    val rTag = right.join(hot, col(keyCol) === col("_sk"), "left")
+    val coldJoin = lTag.filter(col("_sf").isNull)
+      .select(lcols.map(col): _*)
+      .join(rTag.filter(col("_sf").isNull)
+        .select((keyCol +: rcols).map(col): _*), Seq(keyCol))
+    val hotJoin = lTag.filter(col("_sf").isNotNull)
+      .withColumn("_salt", pmod(monotonically_increasing_id(), col("_sf")))
+      .select((lcols.map(col) :+ col("_salt")): _*)
+      .join(rTag.filter(col("_sf").isNotNull)
+          .withColumn("_salt",
+            explode(sequence(lit(0L), col("_sf") - 1L)))
+          .select(((keyCol +: rcols).map(col) :+ col("_salt")): _*),
+        Seq(keyCol, "_salt"))
+    coldJoin.select(outCols: _*).unionByName(hotJoin.select(outCols: _*))
+  }
+
+  /** Convenience form: diagnose and treat in one call (fixture/test
+    * scale — a recurring 100 TB join should persist the plan once via
+    * [[saltingPlan]] and pass it to the primary form). */
+  def saltedJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      targetRows: Long, topN: Int): DataFrame = {
+    validateSaltedJoin(left, right, keyCol)
+    saltedJoin(left, right, keyCol,
+      saltingPlan(left, right, keyCol, targetRows, topN))
   }
 }

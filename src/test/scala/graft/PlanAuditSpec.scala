@@ -50,6 +50,23 @@ class PlanAuditSpec extends AnyFunSuite {
       s"no degenerate join strategies:\n$p")
   }
 
+  test("q_salted_join: the plan broadcasts to tag both sides (plan is " +
+    "hot-key-bounded), no cartesian, and the union carries the two " +
+    "join paths") {
+    val p = plan("q_salted_join")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"the treatment must never degenerate:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the ≤topN salt plan must broadcast onto both sides:\n$p")
+    assert(p.contains("Union"),
+      s"cold path + hot path must union:\n$p")
+    // the hot-side replication is a generator over sequence(0, salt-1),
+    // never a join against an exploded corpus-sized relation
+    assert(p.contains("Generate"),
+      s"right-side replication must be a generator:\n$p")
+  }
+
   test("q_decontaminate broadcasts the benchmark gram set") {
     val p = plan("q_decontaminate")
     assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),

@@ -80,6 +80,99 @@ class JoinSkewSpec extends AnyFunSuite {
     assert(e.getMessage.contains("targetRows"))
   }
 
+  test("saltedJoin: result-identical to the plain inner join on a " +
+    "planted-skew corpus (hot key, cold keys, NULL keys, one-sided " +
+    "keys), and the hot key's max per-task shuffle read drops") {
+    val s = spark
+    import s.implicits._
+    // 2000 rows on hot key 0, 40 cold keys x 50 rows, NULL keys both
+    // sides, a left-only and a right-only key
+    val left = ((1L to 2000L).map(i => (Some(0L), i)) ++
+      (1L to 40L).flatMap(k => (1L to 50L).map(i => (Some(k), k * 1000 + i))) ++
+      Seq((Option.empty[Long], 900001L), (Some(777L), 900002L)))
+      .toDF("k", "l_payload")
+    val right = ((1L to 2L).map(j => (Some(0L), j)) ++
+      (1L to 40L).map(k => (Some(k), k)) ++
+      Seq((Option.empty[Long], 800001L), (Some(888L), 800002L)))
+      .toDF("k", "r_payload")
+    val plain = left.join(right, Seq("k"))
+    val salted = JoinSkew.saltedJoin(left, right, "k",
+      targetRows = 200L, topN = 5)
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(canon(salted) == canon(plain),
+      "salted join must be row-for-row the plain inner join " +
+        "(NULL keys dropped, one-sided keys dropped, duplicates kept)")
+    // no cartesian anywhere in the treatment
+    val phys = salted.queryExecution.executedPlan.toString
+    assert(!phys.contains("CartesianProduct"), phys)
+
+    // measured treatment: with AQE's own skew handling off and
+    // broadcast disabled (so both paths shuffle), the max per-task
+    // shuffle read of the salted plan must be well under the plain
+    // plan's hot-partition read
+    val conf = s.conf
+    val aqe = conf.get("spark.sql.adaptive.enabled", "true")
+    val bct = conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    val maxRead = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null)
+          maxRead.updateAndGet(m => math.max(m,
+            t.taskMetrics.shuffleReadMetrics.recordsRead))
+    }
+    def measure(body: => Unit): Long = {
+      maxRead.set(0L)
+      body
+      var last = -1L; var spins = 0
+      while (maxRead.get != last && spins < 40) {
+        last = maxRead.get; spins += 1; Thread.sleep(250)
+      }
+      maxRead.get
+    }
+    conf.set("spark.sql.adaptive.enabled", "false")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.sparkContext.addSparkListener(listener)
+    try {
+      val maxPlain = measure(left.join(right, Seq("k")).write
+        .format("noop").mode("overwrite").save())
+      val maxSalted = measure(JoinSkew.saltedJoin(left, right, "k",
+        targetRows = 200L, topN = 5).write
+        .format("noop").mode("overwrite").save())
+      // hot key: 2000 left rows in ONE task plain; salt 20 spreads its
+      // sub-keys over the 4 shuffle partitions (~500 + replicated
+      // right rows per task)
+      assert(maxPlain >= 2000L,
+        s"fixture must actually be skewed, max plain read $maxPlain")
+      assert(maxSalted * 2 <= maxPlain,
+        s"salting must at least halve the max task read at 4 " +
+          s"partitions: plain $maxPlain vs salted $maxSalted")
+    } finally {
+      s.sparkContext.removeSparkListener(listener)
+      conf.set("spark.sql.adaptive.enabled", aqe)
+      conf.set("spark.sql.autoBroadcastJoinThreshold", bct)
+    }
+  }
+
+  test("saltedJoin: guards — missing key column, colliding payload " +
+    "columns, reserved _salt name") {
+    val s = spark
+    import s.implicits._
+    val l = Seq((1L, 2L)).toDF("k", "v")
+    val r = Seq((1L, 3L)).toDF("k", "w")
+    val e1 = intercept[IllegalArgumentException](
+      JoinSkew.saltedJoin(l, r.withColumnRenamed("k", "kk"), "k", 10L, 5))
+    assert(e1.getMessage.contains("join key"))
+    val e2 = intercept[IllegalArgumentException](
+      JoinSkew.saltedJoin(l, r.withColumnRenamed("w", "v"), "k", 10L, 5))
+    assert(e2.getMessage.contains("collide"))
+    val e3 = intercept[IllegalArgumentException](
+      JoinSkew.saltedJoin(l.withColumnRenamed("v", "_salt"), r, "k",
+        10L, 5))
+    assert(e3.getMessage.contains("_salt"))
+  }
+
   test("joinSkewCard: disjoint keys yield zero output and NULL shares") {
     val s = spark
     import s.implicits._
