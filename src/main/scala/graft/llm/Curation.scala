@@ -1545,6 +1545,82 @@ object Curation {
           "x -> x._keep = 1), x -> x.seg), ' ')").as("clean_text"))
   }
 
+  /** Shifted-span exact-substring dedup (r13 verdict task 4 — the
+    * suffix-array capability of Lee et al. 2021 at candidate-pair
+    * granularity): for each candidate near-dup pair, the LONGEST run of
+    * consecutive token positions in doc_a whose stride-1 k-grams all
+    * occur in doc_b — i.e. the longest verbatim shared token span at
+    * ANY alignment. [[spanDedup]] cuts NON-overlapping fixed windows,
+    * so a repeated span offset by fewer than `window` words escapes it
+    * entirely (both docs' segment grids are misaligned); this operator
+    * uses stride-1 positional grams + the pos − row_number islands
+    * identity ([[contaminationSpan]]'s machinery pointed at
+    * train×train), so NO offset can hide a span ≥ k tokens.
+    *
+    * Returns one row per candidate pair: (doc_a, doc_b, n_tokens_a,
+    * n_grams_a, n_matched, longest_span, span_frac) — rows preserved
+    * (an LSH false-positive pair with zero shared grams keeps
+    * longest_span 0). Integer-exact end to end, so the oracle replays
+    * it bit-for-bit.
+    *
+    * Scale shape: pair work is CANDIDATE-BOUNDED — the positional gram
+    * stream is built once (one corpus pass, persisted), the a-side
+    * expands only per candidate partner, and the membership join is
+    * keyed (doc_b, gram_key) — constant-width keys, prose never in a
+    * shuffle; the islands window partitions by pair. The banded
+    * candidate generator's skew caps bound the per-doc expansion
+    * exactly as they do for the Jaccard rescorers. */
+  def sharedSpans(docs: DataFrame, candidates: DataFrame, k: Int = 3)
+      : DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    // positional grams ONLY for docs that appear in a candidate pair —
+    // at corpus scale the candidate doc set is orders of magnitude
+    // smaller than the corpus, and non-candidate docs contribute
+    // nothing to any pair span
+    val candIds = candidates.select(col("doc_a").as("doc_id"))
+      .unionByName(candidates.select(col("doc_b").as("doc_id")))
+      .distinct()
+    val grams = PipelineCaches.track(docs
+      .join(candIds, Seq("doc_id"), "left_semi")
+      .withColumn("_t", coalesce(col("text"), lit("")))
+      .select(col("doc_id"),
+        size(TextOps.tokens(col("_t"))).cast("bigint").as("n_tokens"),
+        posexplode(graft.functions.Kgrams.kgrams(
+          col("_t"), k, keepShortWhole = true)).as(Seq("pos", "_g")))
+      .select(col("doc_id"), col("n_tokens"), col("pos"),
+        md5(col("_g")).as("gram_key"))
+      .persist(StorageLevel.MEMORY_AND_DISK))
+    val bSet = grams.select(col("doc_id").as("doc_b"), col("gram_key"))
+      .distinct()
+    val cand = candidates.select("doc_a", "doc_b")
+    val hits = cand
+      .join(grams.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"))
+      .join(bSet, Seq("doc_b", "gram_key"))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy("doc_a", "doc_b").orderBy("pos")))
+      .groupBy(col("doc_a"), col("doc_b"),
+        (col("pos") - col("_rn")).as("_isl"))
+      .agg(count(lit(1)).as("_run"))
+      .groupBy("doc_a", "doc_b").agg(
+        sum("_run").cast("bigint").as("n_matched"),
+        max("_run").as("_maxrun"))
+    val aMeta = grams.groupBy(col("doc_id").as("doc_a")).agg(
+      max("n_tokens").as("n_tokens_a"),
+      count(lit(1)).cast("bigint").as("n_grams_a"))
+    cand.join(aMeta, Seq("doc_a"))
+      .join(hits, Seq("doc_a", "doc_b"), "left")
+      .select(col("doc_a"), col("doc_b"), col("n_tokens_a"),
+        col("n_grams_a"),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"),
+        // explicit NULL branch: least() skips NULLs in both engines
+        when(col("_maxrun").isNull, lit(0L))
+          .otherwise(least(col("_maxrun") + lit(k - 1),
+            col("n_tokens_a"))).cast("bigint").as("longest_span"))
+      .withColumn("span_frac", round(
+        col("longest_span").cast("double") /
+          col("n_tokens_a").cast("double"), 6))
+  }
+
   /** Per-document boilerplate fraction: the share of a doc's DISTINCT word
     * k-grams that also occur in ≥ `minDocs` DISTINCT documents — the
     * Dolma/RefinedWeb "duplicate-content fraction" signal. [[spanDedup]]

@@ -452,6 +452,24 @@ object CurationQueries {
       Curation.spanDedup(docs(s, dir), window = 3, minDocs = 2)
     },
 
+    // SHIFTED-span exact-substring dedup (r13 verdict task 4): every
+    // 10th doc gets a copy with a 2-word filler prefix — an offset
+    // spanDedup's non-overlapping window=3 grid can NEVER catch (the
+    // segment grids misalign; CurationSpec pins the miss), while the
+    // stride-1 positional grams + islands identity catch the WHOLE doc
+    // as one shared span at any alignment. Pair work candidate-bounded
+    // by the banded minhash generator
+    "q_dedup_spans_shifted" -> { (s, dir) =>
+      val d = docs(s, dir).select("doc_id", "text")
+      val planted = d.filter(col("doc_id") % 10 === 0).select(
+        (col("doc_id") + 100000L).as("doc_id"),
+        concat(lit("zq zr "), col("text")).as("text"))
+      val corpus = d.unionAll(planted)
+      val cands = Dedup.minhashCandidates(corpus, k = 3, numHashes = 8,
+        bands = 4, minEstJaccard = 0.5, oracleHashes = true)
+      Curation.sharedSpans(corpus, cands, k = 3)
+    },
+
     // RAG sliding-window chunker: 32-token windows every 24 tokens
     // (8-token overlap); pure projection, zero shuffles
     "q_chunk_docs" -> { (s, dir) =>
@@ -1768,6 +1786,56 @@ object CurationQueries {
         |    ORDER BY seg_idx), '') AS clean_text
         |FROM j GROUP BY doc_id""".stripMargin,
 
+    // Replays the banded minhash candidates over the shifted-copy
+    // corpus, the stride-1 positional 3-gram stream, the b-side
+    // membership set, and the pos - row_number islands identity —
+    // integer-exact end to end. Reuses LlmQueries' shared minhash CTE
+    // scaffold (t/sh/sig/banded/scored over u).
+    "q_dedup_spans_shifted" -> {
+      val g3 = "w[i] || ' ' || w[i+1] || ' ' || w[i+2]"
+      s"""WITH ${LlmQueries.minhashCtesOver(
+        """  SELECT doc_id, text FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 100000 AS doc_id, 'zq zr ' || text AS text
+          |  FROM documents WHERE doc_id % 10 = 0""".stripMargin)},
+         |cand AS (
+         |  SELECT doc_a, doc_b FROM scored WHERE est_jaccard >= 0.5),
+         |ag AS MATERIALIZED (
+         |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens, i AS pos,
+         |    md5(CASE WHEN len(w) < 3 THEN text ELSE $g3 END) AS gram_key
+         |  FROM t, unnest(range(1, greatest(len(w) - 1, 2))) AS r(i)),
+         |gs AS (SELECT DISTINCT doc_id AS doc_b, gram_key FROM ag),
+         |hit AS (
+         |  SELECT c.doc_a, c.doc_b, ag.pos,
+         |    row_number() OVER (PARTITION BY c.doc_a, c.doc_b
+         |      ORDER BY ag.pos) AS rn
+         |  FROM cand c
+         |  JOIN ag ON ag.doc_id = c.doc_a
+         |  JOIN gs ON gs.doc_b = c.doc_b AND gs.gram_key = ag.gram_key),
+         |runs AS (
+         |  SELECT doc_a, doc_b, pos - rn AS isl, count(*) AS run
+         |  FROM hit GROUP BY 1, 2, 3),
+         |hs AS (
+         |  SELECT doc_a, doc_b, CAST(sum(run) AS BIGINT) AS n_matched,
+         |    max(run) AS maxrun
+         |  FROM runs GROUP BY 1, 2),
+         |am AS (
+         |  SELECT doc_id AS doc_a, CAST(max(n_tokens) AS BIGINT)
+         |      AS n_tokens_a,
+         |    CAST(count(*) AS BIGINT) AS n_grams_a
+         |  FROM ag GROUP BY 1)
+         |SELECT c.doc_a, c.doc_b, am.n_tokens_a, am.n_grams_a,
+         |  coalesce(hs.n_matched, 0) AS n_matched,
+         |  CAST(CASE WHEN hs.maxrun IS NULL THEN 0
+         |    ELSE least(hs.maxrun + 2, am.n_tokens_a) END AS BIGINT)
+         |    AS longest_span,
+         |  round(CAST(CASE WHEN hs.maxrun IS NULL THEN 0
+         |      ELSE least(hs.maxrun + 2, am.n_tokens_a) END AS DOUBLE)
+         |    / am.n_tokens_a, 6) AS span_frac
+         |FROM cand c JOIN am USING (doc_a)
+         |LEFT JOIN hs USING (doc_a, doc_b)""".stripMargin
+    },
+
     "q_chunk_docs" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w
@@ -1822,6 +1890,7 @@ object CurationQueries {
     "q_dedup_keep_best" -> Seq("doc_id"),
     "q_seq_pack" -> Seq("doc_id"),
     "q_dedup_spans" -> Seq("doc_id"),
+    "q_dedup_spans_shifted" -> Seq("doc_a", "doc_b"),
     "q_chunk_docs" -> Seq("doc_id", "chunk_idx"),
     "q_vocab_encode" -> Seq("doc_id"),
     "q_decontaminate_bloom" -> Seq("doc_id"),

@@ -67,6 +67,15 @@ class PlanAuditSpec extends AnyFunSuite {
       s"right-side replication must be a generator:\n$p")
   }
 
+  test("q_dedup_spans_shifted: pair work rides the banded candidates — " +
+    "no cartesian, no nested-loop, and the membership join is keyed " +
+    "(constant-width gram keys)") {
+    val p = plan("q_dedup_spans_shifted")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"shifted-span detection must stay candidate-bounded:\n$p")
+  }
+
   test("q_decontaminate broadcasts the benchmark gram set") {
     val p = plan("q_decontaminate")
     assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),

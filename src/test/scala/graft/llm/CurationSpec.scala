@@ -1491,6 +1491,63 @@ class CurationSpec extends AnyFunSuite {
     graft.llm.PipelineCaches.clear()
   }
 
+  test("sharedSpans catches the offset-shifted repeat that spanDedup's " +
+    "non-overlapping segment grid provably misses (r13 verdict task 4: " +
+    "the Lee-et-al any-alignment guarantee)") {
+    val s = spark
+    import s.implicits._
+    // docB = 2 filler words + all of docA: every window=3 segment of B
+    // is misaligned against A's grid, so spanDedup sees ZERO shared
+    // segments at exactly this offset (< window)
+    val a = "w1 w2 w3 w4 w5 w6 w7 w8"
+    val d = Seq((1L, a), (2L, s"zq zr $a")).toDF("doc_id", "text")
+    val sd = Curation.spanDedup(d, window = 3, minDocs = 2).collect()
+    assert(sd.forall(_.getAs[Long]("n_dropped") == 0L),
+      "the miss this operator exists to fix: the shifted copy must " +
+        "escape the aligned-segment detector")
+    // sharedSpans: all 6 of A's stride-1 3-grams occur in B -> one
+    // island of run 6 -> span 6 + 2 = 8 = the WHOLE of A
+    val cand = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    val out = Curation.sharedSpans(d, cand, k = 3).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_tokens_a") == 8L)
+    assert(r.getAs[Long]("n_grams_a") == 6L)
+    assert(r.getAs[Long]("n_matched") == 6L)
+    assert(r.getAs[Long]("longest_span") == 8L,
+      "the full doc is one shared span at a 2-word shift")
+    assert(r.getAs[Double]("span_frac") == 1.0)
+    graft.llm.PipelineCaches.clear()
+  }
+
+  test("sharedSpans: a zero-overlap candidate pair keeps its row with " +
+    "span 0, and a mid-doc shared span reports run + k - 1 exactly") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1L, "a1 a2 a3 s1 s2 s3 s4 s5 a4 a5"),
+      (2L, "b1 b2 s1 s2 s3 s4 s5 b3 b4 b5 b6"),
+      (3L, "c1 c2 c3 c4 c5 c6")).toDF("doc_id", "text")
+    val cand = Seq((1L, 2L), (1L, 3L)).toDF("doc_a", "doc_b")
+    val out = Curation.sharedSpans(d, cand, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    // pair (1,2): A's grams at s1..s5 positions -> 3 consecutive gram
+    // hits (s1 s2 s3)(s2 s3 s4)(s3 s4 s5) -> run 3 -> span 3 + 2 = 5
+    val p12 = out((1L, 2L))
+    assert(p12.getAs[Long]("n_matched") == 3L)
+    assert(p12.getAs[Long]("longest_span") == 5L,
+      "the shared 5-token span is reported at its exact token length")
+    // pair (1,3): no shared grams -> row preserved, span 0
+    val p13 = out((1L, 3L))
+    assert(p13.getAs[Long]("n_matched") == 0L)
+    assert(p13.getAs[Long]("longest_span") == 0L)
+    assert(p13.getAs[Double]("span_frac") == 0.0)
+    val e = intercept[IllegalArgumentException](
+      Curation.sharedSpans(d, cand, k = 0))
+    assert(e.getMessage.contains("k must be"))
+    graft.llm.PipelineCaches.clear()
+  }
+
   test("LrModel store round-trip: save+load+scoreWithLr is row-for-row " +
     "identical to inline logisticQuality, and the audits match (the " +
     "RP-index store convention — the persisted artifact must change " +
