@@ -889,12 +889,66 @@ object Curation {
     * doc_id, lang, source, n_chars, text. */
   def releaseSheet(docs: DataFrame, seqLen: Int = 64,
       trainPct: Int = 80, valPct: Int = 10): DataFrame = {
-    val wAll = Window.partitionBy(lit(0)) // bounded card-row collapse
     val kept = PipelineCaches.track(docs
       .select(col("doc_id"), col("lang"), col("source"),
         col("n_chars"), col("text"))
       .filter(c4Keep(minWords = 5))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    releaseCards(kept, seqLen, trainPct, valPct)
+  }
+
+  /** [[releaseSheet]] with the CLASSIFIER as the page filter — the
+    * GPT-3/LLaMA pipeline shape the classifier tier exists for: keep
+    * the top `keepSharePct`% of docs by stored-[[LrModel]] score (an
+    * absolute prob cut is the wrong production filter — a classifier's
+    * calibration drifts with the corpus mix, so real pipelines rank
+    * and keep a share), then ship the same five governance cards.
+    *
+    * The cutoff is the exact type-1 (100−keepSharePct) percentile off
+    * the 6-dp score histogram — integer cross-multiplied comparisons
+    * on a decimal lattice, so DuckDB replays the threshold bit-for-bit;
+    * ties at the cutoff are all kept (deterministic, never a
+    * rank-order lottery). The corpus still scans ONCE: the projected
+    * base persists first, the scoring pass and keep-join read the
+    * cache, every card reads the kept cache; the histogram and its
+    * windows are bounded by distinct 6-dp scores. */
+  def releaseSheetScored(docs: DataFrame, weights: DataFrame,
+      buckets: Int = 256, keepSharePct: Int = 50, seqLen: Int = 64,
+      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(keepSharePct >= 1 && keepSharePct <= 100,
+      s"keepSharePct must be in [1,100], got $keepSharePct")
+    val base = PipelineCaches.track(docs
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("n_chars"), col("text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val scored = PipelineCaches.track(
+      scoreWithLr(base, weights, buckets)
+        .select(col("doc_id"),
+          col("score").cast("decimal(18,6)").as("_s"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val wCum = Window.partitionBy(lit(0)).orderBy("_s")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cut = scored.groupBy("_s").agg(count(lit(1)).as("_c"))
+      .withColumn("_cum", sum("_c").over(wCum))
+      .withColumn("_n", sum("_c").over(Sampling.allRows))
+      // smallest s with 100*cum >= n*(100-keep): everything >= s is
+      // the kept top share (plus cutoff ties)
+      .agg(min(when(col("_cum") * 100 >= col("_n") * (100 - keepSharePct),
+        col("_s"))).as("_cut"))
+    val kept = PipelineCaches.track(base
+      .join(scored.crossJoin(broadcast(cut))
+        .filter(col("_s") >= col("_cut")).select("doc_id"),
+        Seq("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    releaseCards(kept, seqLen, trainPct, valPct)
+  }
+
+  /** The five-card sheet over an already-persisted kept base —
+    * [[releaseSheet]]'s body, shared by the C4-filtered and
+    * classifier-scored variants so the two can never drift. */
+  private def releaseCards(kept: DataFrame, seqLen: Int,
+      trainPct: Int, valPct: Int): DataFrame = {
+    val wAll = Window.partitionBy(lit(0)) // bounded card-row collapse
     val splits = leakageSafeSplit(
       TextOps.exactDedup(kept).select("doc_id", "dup_group"),
       trainPct, valPct).select("doc_id", "split")

@@ -432,6 +432,19 @@ object CurationQueries {
         trainPct = 80, valPct = 10)
     },
 
+    // the CLASSIFIER-SCORED release sheet (r13 verdict task 5 — the
+    // GPT-3/LLaMA pipeline shape): page filter = keep the top 50% by
+    // stored-classifier score (exact histogram-median cutoff, ties
+    // kept) instead of C4 rules, same five cards, same one-corpus-scan
+    // discipline (projected base persists first; scoring pass,
+    // keep-join, and every card read caches). The oracle replays the
+    // full training trajectory + the rank-and-keep filter + the sheet
+    "q_corpus_release_scored" -> { (s, dir) =>
+      graft.llm.Curation.releaseSheetScored(docs(s, dir),
+        lrModelFor(s, dir).weights, buckets = 256, keepSharePct = 50,
+        seqLen = 64, trainPct = 80, valPct = 10)
+    },
+
     // 8-gram novelty of a PLANTED test set: verbatim train copies
     // (novelty 0) and alphabet-rotated docs (novelty 1) bracket the
     // memorization scale
@@ -636,6 +649,118 @@ object CurationQueries {
        |    ELSE round(CAST(u2 AS DOUBLE) / (2.0 * n_pos * n_neg), 6) END
        |    AS auc
        |FROM ag""".stripMargin
+
+  /** The five-card release-sheet replay over any `kept(doc_id, lang,
+    * source, n_chars, text, n_tokens)` CTE chain — shared by the
+    * C4-filtered and classifier-scored sheet oracles exactly as
+    * `Curation.releaseCards` is shared by the operators. */
+  private def releaseSheetSqlOver(keptCtes: String): String =
+    s"""WITH $keptCtes,
+       |grp AS (
+       |  SELECT doc_id,
+       |    min(doc_id) OVER (PARTITION BY md5(lower(text))) AS dup_group
+       |  FROM kept),
+       |spl AS (
+       |  SELECT doc_id,
+       |    CASE WHEN CAST('0x' || substring(md5(CAST(dup_group AS VARCHAR)),
+       |        1, 8) AS BIGINT) % 100 < 80 THEN 'train'
+       |      WHEN CAST('0x' || substring(md5(CAST(dup_group AS VARCHAR)),
+       |        1, 8) AS BIGINT) % 100 < 90 THEN 'val'
+       |      ELSE 'test' END AS split
+       |  FROM grp),
+       |ks AS (
+       |  SELECT k.doc_id, k.lang, k.source, k.n_chars, k.text,
+       |    k.n_tokens, s.split
+       |  FROM kept k JOIN spl s USING (doc_id)),
+       |splitcard AS (
+       |  SELECT 'split' AS section, split AS row_key,
+       |    CAST(count(*) AS BIGINT) AS n1,
+       |    CAST(sum(n_tokens) AS BIGINT) AS n2,
+       |    round(CAST(count(*) AS DOUBLE)
+       |      / CAST((SELECT count(*) FROM ks) AS DOUBLE), 6) AS v1,
+       |    CAST(NULL AS DOUBLE) AS v2
+       |  FROM ks GROUP BY split),
+       |ph AS (
+       |  SELECT n_tokens AS n, count(*) AS c FROM ks
+       |  WHERE split = 'train' GROUP BY 1),
+       |pc AS (
+       |  SELECT n, c,
+       |    sum(c) OVER (ORDER BY n
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm,
+       |    sum(c) OVER () AS docs
+       |  FROM ph),
+       |pa AS (
+       |  SELECT CAST(sum(c) AS BIGINT) AS n_docs,
+       |    CAST(min(CASE WHEN cm * 100 >= docs * 90 THEN n END) AS BIGINT)
+       |      AS p90,
+       |    CAST(coalesce(sum(CASE WHEN n > 64 THEN (n - 64) * c END), 0)
+       |      AS BIGINT) AS overflow,
+       |    CAST(sum(least(n, 64) * c) AS BIGINT) AS eff
+       |  FROM pc),
+       |packcard AS (
+       |  SELECT 'pack' AS section, 'train_seq64' AS row_key,
+       |    CAST((eff + 63) // 64 AS BIGINT) AS n1,
+       |    overflow AS n2,
+       |    CAST(((n_docs * 64 - eff) * 2000000 + n_docs * 64)
+       |      // (2 * n_docs * 64) AS DOUBLE) / 1000000.0 AS v1,
+       |    CAST(p90 AS DOUBLE) AS v2
+       |  FROM pa),
+       |rdup AS (
+       |  SELECT md5(lower(coalesce(text, ''))) AS h, count(*) AS nh
+       |  FROM kept GROUP BY 1),
+       |rbase AS (
+       |  SELECT k.lang, k.source, k.n_tokens AS tok, rdup.nh
+       |  FROM kept k
+       |  JOIN rdup ON md5(lower(coalesce(k.text, ''))) = rdup.h),
+       |report AS (
+       |  SELECT 'report' AS section,
+       |    coalesce(lang, 'ALL') || '/' || coalesce(source, 'ALL')
+       |      AS row_key,
+       |    CAST(count(*) AS BIGINT) AS n1,
+       |    CAST(sum(tok) AS BIGINT) AS n2,
+       |    round(avg(CAST(tok AS DOUBLE)), 6) AS v1,
+       |    CAST(sum(CASE WHEN nh > 1 THEN 1 ELSE 0 END) AS DOUBLE) AS v2
+       |  FROM rbase GROUP BY ROLLUP (lang, source)),
+       |dg AS (
+       |  SELECT md5(coalesce(text, '')) AS fp, count(*) AS sz
+       |  FROM kept GROUP BY 1),
+       |dupcard AS (
+       |  SELECT 'dup_size' AS section, CAST(sz AS VARCHAR) AS row_key,
+       |    CAST(count(*) AS BIGINT) AS n1,
+       |    CAST(sum(sz) AS BIGINT) AS n2,
+       |    round(CAST(sum(sz) AS DOUBLE)
+       |      / CAST((SELECT sum(sz) FROM dg) AS DOUBLE), 6) AS v1,
+       |    CAST(NULL AS DOUBLE) AS v2
+       |  FROM dg GROUP BY sz),
+       |cc AS (
+       |  SELECT source AS dd, count(*) AS c FROM kept
+       |  WHERE source IS NOT NULL GROUP BY 1),
+       |cr AS (
+       |  SELECT dd, c, row_number() OVER (ORDER BY c ASC, dd ASC) AS rk
+       |  FROM cc),
+       |conccard AS (
+       |  SELECT 'concentration' AS section, 'source' AS row_key,
+       |    CAST(sum(c) AS BIGINT) AS n1,
+       |    CAST(count(*) AS BIGINT) AS n2,
+       |    round(CAST(sum(c * c) AS DOUBLE)
+       |      / (CAST(sum(c) AS DOUBLE) * CAST(sum(c) AS DOUBLE)), 6) AS v1,
+       |    round(CAST(2 * sum(rk * c) - (count(*) + 1) * sum(c) AS DOUBLE)
+       |      / (CAST(count(*) AS DOUBLE) * CAST(sum(c) AS DOUBLE)), 6)
+       |      AS v2
+       |  FROM cr)
+       |SELECT * FROM splitcard
+       |UNION ALL SELECT * FROM packcard
+       |UNION ALL SELECT * FROM report
+       |UNION ALL SELECT * FROM dupcard
+       |UNION ALL SELECT * FROM conccard""".stripMargin
+
+  private val mCte: String =
+    """m AS (
+      |  SELECT doc_id, lang, source, n_chars, text,
+      |    lower(coalesce(text, '')) AS t,
+      |    CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT)
+      |      AS n_tokens
+      |  FROM documents)""".stripMargin
 
   def oracles: Map[String, String] = Map(
     "q_quality_classifier" -> lrOracleSql(256, 5, 0.5),
@@ -1642,120 +1767,47 @@ object CurationQueries {
     // arithmetic verbatim, only re-rooted on the C4-kept corpus; the
     // split CTE replays exactDedup's md5(lower(text)) group + the
     // md5-bucket split
-    "q_corpus_release" ->
-      """WITH m AS (
-        |  SELECT doc_id, lang, source, n_chars, text,
-        |    lower(coalesce(text, '')) AS t,
-        |    CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT)
-        |      AS n_tokens
-        |  FROM documents),
-        |kept AS (
-        |  SELECT doc_id, lang, source, n_chars, text, n_tokens FROM m
-        |  WHERE n_tokens >= 5
-        |    AND NOT contains(t, 'lorem ipsum')
-        |    AND NOT contains(t, '{')
-        |    AND NOT (contains(t, 'privacy policy')
-        |      OR contains(t, 'cookie policy')
-        |      OR contains(t, 'terms of use') OR contains(t, 'uses cookies'))
-        |    AND NOT (contains(t, 'enable javascript')
-        |      OR contains(t, 'javascript required'))),
-        |grp AS (
-        |  SELECT doc_id,
-        |    min(doc_id) OVER (PARTITION BY md5(lower(text))) AS dup_group
-        |  FROM kept),
-        |spl AS (
-        |  SELECT doc_id,
-        |    CASE WHEN CAST('0x' || substring(md5(CAST(dup_group AS VARCHAR)),
-        |        1, 8) AS BIGINT) % 100 < 80 THEN 'train'
-        |      WHEN CAST('0x' || substring(md5(CAST(dup_group AS VARCHAR)),
-        |        1, 8) AS BIGINT) % 100 < 90 THEN 'val'
-        |      ELSE 'test' END AS split
-        |  FROM grp),
-        |ks AS (
-        |  SELECT k.doc_id, k.lang, k.source, k.n_chars, k.text,
-        |    k.n_tokens, s.split
-        |  FROM kept k JOIN spl s USING (doc_id)),
-        |splitcard AS (
-        |  SELECT 'split' AS section, split AS row_key,
-        |    CAST(count(*) AS BIGINT) AS n1,
-        |    CAST(sum(n_tokens) AS BIGINT) AS n2,
-        |    round(CAST(count(*) AS DOUBLE)
-        |      / CAST((SELECT count(*) FROM ks) AS DOUBLE), 6) AS v1,
-        |    CAST(NULL AS DOUBLE) AS v2
-        |  FROM ks GROUP BY split),
-        |ph AS (
-        |  SELECT n_tokens AS n, count(*) AS c FROM ks
-        |  WHERE split = 'train' GROUP BY 1),
-        |pc AS (
-        |  SELECT n, c,
-        |    sum(c) OVER (ORDER BY n
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm,
-        |    sum(c) OVER () AS docs
-        |  FROM ph),
-        |pa AS (
-        |  SELECT CAST(sum(c) AS BIGINT) AS n_docs,
-        |    CAST(min(CASE WHEN cm * 100 >= docs * 90 THEN n END) AS BIGINT)
-        |      AS p90,
-        |    CAST(coalesce(sum(CASE WHEN n > 64 THEN (n - 64) * c END), 0)
-        |      AS BIGINT) AS overflow,
-        |    CAST(sum(least(n, 64) * c) AS BIGINT) AS eff
-        |  FROM pc),
-        |packcard AS (
-        |  SELECT 'pack' AS section, 'train_seq64' AS row_key,
-        |    CAST((eff + 63) // 64 AS BIGINT) AS n1,
-        |    overflow AS n2,
-        |    CAST(((n_docs * 64 - eff) * 2000000 + n_docs * 64)
-        |      // (2 * n_docs * 64) AS DOUBLE) / 1000000.0 AS v1,
-        |    CAST(p90 AS DOUBLE) AS v2
-        |  FROM pa),
-        |rdup AS (
-        |  SELECT md5(lower(coalesce(text, ''))) AS h, count(*) AS nh
-        |  FROM kept GROUP BY 1),
-        |rbase AS (
-        |  SELECT k.lang, k.source, k.n_tokens AS tok, rdup.nh
-        |  FROM kept k
-        |  JOIN rdup ON md5(lower(coalesce(k.text, ''))) = rdup.h),
-        |report AS (
-        |  SELECT 'report' AS section,
-        |    coalesce(lang, 'ALL') || '/' || coalesce(source, 'ALL')
-        |      AS row_key,
-        |    CAST(count(*) AS BIGINT) AS n1,
-        |    CAST(sum(tok) AS BIGINT) AS n2,
-        |    round(avg(CAST(tok AS DOUBLE)), 6) AS v1,
-        |    CAST(sum(CASE WHEN nh > 1 THEN 1 ELSE 0 END) AS DOUBLE) AS v2
-        |  FROM rbase GROUP BY ROLLUP (lang, source)),
-        |dg AS (
-        |  SELECT md5(coalesce(text, '')) AS fp, count(*) AS sz
-        |  FROM kept GROUP BY 1),
-        |dupcard AS (
-        |  SELECT 'dup_size' AS section, CAST(sz AS VARCHAR) AS row_key,
-        |    CAST(count(*) AS BIGINT) AS n1,
-        |    CAST(sum(sz) AS BIGINT) AS n2,
-        |    round(CAST(sum(sz) AS DOUBLE)
-        |      / CAST((SELECT sum(sz) FROM dg) AS DOUBLE), 6) AS v1,
-        |    CAST(NULL AS DOUBLE) AS v2
-        |  FROM dg GROUP BY sz),
-        |cc AS (
-        |  SELECT source AS dd, count(*) AS c FROM kept
-        |  WHERE source IS NOT NULL GROUP BY 1),
-        |cr AS (
-        |  SELECT dd, c, row_number() OVER (ORDER BY c ASC, dd ASC) AS rk
-        |  FROM cc),
-        |conccard AS (
-        |  SELECT 'concentration' AS section, 'source' AS row_key,
-        |    CAST(sum(c) AS BIGINT) AS n1,
-        |    CAST(count(*) AS BIGINT) AS n2,
-        |    round(CAST(sum(c * c) AS DOUBLE)
-        |      / (CAST(sum(c) AS DOUBLE) * CAST(sum(c) AS DOUBLE)), 6) AS v1,
-        |    round(CAST(2 * sum(rk * c) - (count(*) + 1) * sum(c) AS DOUBLE)
-        |      / (CAST(count(*) AS DOUBLE) * CAST(sum(c) AS DOUBLE)), 6)
-        |      AS v2
-        |  FROM cr)
-        |SELECT * FROM splitcard
-        |UNION ALL SELECT * FROM packcard
-        |UNION ALL SELECT * FROM report
-        |UNION ALL SELECT * FROM dupcard
-        |UNION ALL SELECT * FROM conccard""".stripMargin,
+    "q_corpus_release" -> releaseSheetSqlOver(
+      s"""$mCte,
+         |kept AS (
+         |  SELECT doc_id, lang, source, n_chars, text, n_tokens FROM m
+         |  WHERE n_tokens >= 5
+         |    AND NOT contains(t, 'lorem ipsum')
+         |    AND NOT contains(t, '{')
+         |    AND NOT (contains(t, 'privacy policy')
+         |      OR contains(t, 'cookie policy')
+         |      OR contains(t, 'terms of use') OR contains(t, 'uses cookies'))
+         |    AND NOT (contains(t, 'enable javascript')
+         |      OR contains(t, 'javascript required')))""".stripMargin),
+
+    // the classifier-scored sheet: the SAME five-card tail, re-rooted
+    // on the classifier-kept corpus — the lrCtes trajectory replay
+    // scores every doc, and the filter keeps the top 50% by score via
+    // the exact type-1 median off the 6-dp score histogram (integer
+    // cross-multiplied cutoff; ties at the cut all kept), exactly the
+    // stored-model rank-and-keep filter the Spark entry applies
+    "q_corpus_release_scored" -> releaseSheetSqlOver(
+      s"""${lrCtes(256, 5, 0.5)},
+         |sx AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    CAST(round(CAST(score AS DOUBLE), 6) AS DECIMAL(18,6)) AS s
+         |  FROM fs),
+         |sh2 AS (SELECT s, count(*) AS c FROM sx GROUP BY 1),
+         |scm AS (
+         |  SELECT s, c,
+         |    sum(c) OVER (ORDER BY s
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |    sum(c) OVER () AS n
+         |  FROM sh2),
+         |cut AS (
+         |  SELECT min(CASE WHEN cum * 100 >= n * 50 THEN s END) AS v
+         |  FROM scm),
+         |$mCte,
+         |kept AS (
+         |  SELECT m.doc_id, m.lang, m.source, m.n_chars, m.text,
+         |    m.n_tokens
+         |  FROM m JOIN sx ON sx.doc_id = m.doc_id
+         |  WHERE sx.s >= (SELECT v FROM cut))""".stripMargin),
 
     // DuckDB list slices are 1-based inclusive: w[a:b] = Spark
     // slice(w, a, b-a+1). string_agg skips the NULL (dropped) segments
@@ -1907,5 +1959,6 @@ object CurationQueries {
     "q_dup_size_card" -> Seq("group_size"),
     "q_ngram_novelty" -> Seq("doc_id"),
     "q_corpus_release" -> Seq("section", "row_key"),
+    "q_corpus_release_scored" -> Seq("section", "row_key"),
     "q_bpe_fertility" -> Seq("lang"))
 }

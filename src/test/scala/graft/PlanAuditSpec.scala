@@ -937,6 +937,25 @@ class PlanAuditSpec extends AnyFunSuite {
         s"corpus sort-merge:\n$p")
   }
 
+  test("q_corpus_release_scored keeps the one-corpus-scan discipline " +
+    "with the classifier filter in the loop — scoring pass, cutoff, " +
+    "keep-join, and all five cards read persisted relations") {
+    val p = plan("q_corpus_release_scored")
+    // the stored weights are their own (bounded, ≤257-row) parquet
+    // store — the CORPUS still scans once; allow the store reads
+    val scans = """\(\d+\) Scan parquet""".r.findAllIn(p).length
+    val docScans = """Scan parquet[^\n]*documents""".r.findAllIn(p).length
+    assert(docScans <= 1,
+      s"the corpus must scan once; found $docScans documents scans " +
+        s"($scans total parquet scans):\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      s"scoring, cutoff, keep-join, and the cards must read the " +
+        s"persisted base/scored/kept relations:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the cutoff attach is a broadcast one-row cross (the N " +
+        s"pattern), never a real cartesian:\n$p")
+  }
+
   test("q_pack_plan_bpe broadcasts the trained vocab to the corpus side " +
     "— encode adds no corpus shuffle beyond its doc_id agg") {
     val p = plan("q_pack_plan_bpe")
