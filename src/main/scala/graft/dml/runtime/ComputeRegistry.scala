@@ -550,7 +550,8 @@ object ComputeRegistry {
     // (n_l x n_r output rows each) + the NULL-key total row; INTO
     // column(...) names the share column. Key-generic: needs no doc_id
     "join_skew" -> { (df, ins, out) =>
-      require(!Seq("key", "n_left", "n_right", "out_rows").contains(out),
+      require(!Seq("key", "is_total", "n_left", "n_right", "out_rows")
+          .contains(out),
         s"join_skew reserves its card column names; pick another INTO " +
           s"column name (got '$out')")
       graft.plans.JoinSkew.joinSkewCard(df, df, ins.head)
@@ -1149,6 +1150,76 @@ object ComputeRegistry {
           s"INTO column name (got '$out')")
       graft.llm.Dedup.lshRecallAudit(keyed(df, ins.head), threshold = 0.8)
         .withColumnRenamed("recall", out)
+    },
+    // estimated-Jaccard S-curve sweep over a TEXT input column —
+    // relation-REPLACING: per 1/8 estimator notch, pair counts and the
+    // >=-bin cumulative share (the measured survival curve lshPlan
+    // predicts); INTO column(...) names the cumulative-share column
+    "lsh_sensitivity" -> { (df, ins, out) =>
+      require(!Seq("bin", "bin_lo", "n_pairs", "n_pairs_ge").contains(out),
+        s"lsh_sensitivity reserves its card column names; pick another " +
+          s"INTO column name (got '$out')")
+      graft.llm.Dedup.lshSensitivity(keyed(df, ins.head),
+          k = 3, numHashes = 8, bands = 4)
+        .withColumnRenamed("share_ge", out)
+    },
+    // MinHash estimator-error audit over a TEXT input column —
+    // relation-REPLACING, ONE row (|est − exact| mean/max over the
+    // banded candidate pairs + the within-one-notch share); INTO
+    // column(...) names the mean-error column
+    "minhash_est_quality" -> { (df, ins, out) =>
+      require(!Seq("n_pairs", "max_abs_err", "share_within_notch")
+          .contains(out),
+        s"minhash_est_quality reserves its card column names; pick " +
+          s"another INTO column name (got '$out')")
+      graft.llm.Dedup.minhashEstQuality(keyed(df, ins.head),
+          k = 3, numHashes = 8, bands = 4)
+        .withColumnRenamed("mean_abs_err", out)
+    },
+    // All-but-the-top APPLIED over an EMBEDDING input column —
+    // relation-PRESERVING: every row gains its top-PC projection and
+    // the post-removal residual norm (the anisotropy treatment); INTO
+    // column(...) names the residual-norm column
+    "abtt_transform" -> { (df, ins, out) =>
+      require(df.columns.contains("doc_id"),
+        s"table kernels require a 'doc_id' key column; relation has " +
+          s"[${df.columns.mkString(", ")}]")
+      require(!Seq("proj").contains(out),
+        s"abtt_transform reserves 'proj'; pick another INTO column " +
+          s"name (got '$out')")
+      val embs = df.select(col("doc_id").cast("long").as("vec_id"),
+        col(ins.head).as("embedding"))
+      val step = graft.llm.Similarity.abttTransform(embs, iters = 12)
+        .select(col("vec_id").as("doc_id"), col("proj"),
+          col("resid_norm").as(out))
+      df.join(step, Seq("doc_id"))
+    },
+    // ANN recall@10/MRR governance card over an EMBEDDING input column
+    // — relation-REPLACING: ivf/lsh/rp measured against brute-force
+    // ground truth; queries = the 5 smallest doc_ids, IVF cells = the
+    // corpus-adaptive semantic_dedup seeds (both bounded metadata);
+    // INTO column(...) names the recall column
+    "ann_recall_card" -> { (df, ins, out) =>
+      require(df.columns.contains("doc_id"),
+        s"table kernels require a 'doc_id' key column; relation has " +
+          s"[${df.columns.mkString(", ")}]")
+      require(!Seq("method", "mrr").contains(out),
+        s"ann_recall_card reserves its card column names; pick " +
+          s"another INTO column name (got '$out')")
+      val embs = df.select(col("doc_id").cast("long").as("vec_id"),
+        col(ins.head).as("embedding"))
+      val qIds = embs.select("vec_id").orderBy("vec_id").limit(5)
+        .collect().map(_.getLong(0)).toSeq
+      require(qIds.nonEmpty, "ann_recall_card: empty relation")
+      val S = graft.llm.Similarity
+      val brute = S.bruteForceTopK(embs, qIds, k = 10)
+      S.annRecallCard(brute, Seq(
+          "ivf" -> S.ivfTopKSeeded(embs, semanticSeeds(embs), qIds,
+            k = 10, nProbe = 4),
+          "lsh" -> S.lshTopK(embs, qIds, k = 10, planes = 12, bands = 4),
+          "rp" -> S.rpTopK(embs, qIds, k = 10, outDim = 16, rerank = 30)),
+          nQueries = qIds.length, k = 10)
+        .withColumnRenamed("recall_at_k", out)
     },
     // EXACT similarity self-join over a TEXT input column — relation-
     // REPLACING: every (doc_a < doc_b) pair with distinct-3-shingle

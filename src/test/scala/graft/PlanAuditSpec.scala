@@ -1164,17 +1164,16 @@ class PlanAuditSpec extends AnyFunSuite {
       s"no cartesian anywhere:\n$p")
   }
 
-  test("q_classifier_calibration stays on the classifier's envelope — " +
-    "broadcast weight join, persisted count relation, no cartesian") {
+  test("q_classifier_calibration audits the STORED weights — broadcast " +
+    "scoring join, bins-bounded agg, no cartesian (train-once store; " +
+    "no training loop in the audit's plan)") {
     val p = plan("q_classifier_calibration")
     assert(p.contains("BroadcastHashJoin"),
-      s"the weight table still broadcasts in the scoring pass:\n$p")
+      s"the stored weight table still broadcasts in the scoring " +
+        s"pass:\n$p")
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"),
       s"no degenerate joins in the audit:\n$p")
-    assert(p.contains("InMemoryTableScan"),
-      s"the audit reads the SAME persisted count relation the training " +
-        s"used:\n$p")
   }
 
   test("q_join_skew_card never runs the data join — count tables only, " +
@@ -1213,20 +1212,78 @@ class PlanAuditSpec extends AnyFunSuite {
       s"the cell counts must combine map-side:\n$p")
   }
 
-  test("q_quality_classifier scores via a broadcast weight join over " +
-    "the persisted count relation — no corpus-side shuffle on buckets") {
+  test("r13-addition card tier holds the no-degenerate-join invariant " +
+    "(the r13 verdict's unpinned list): q_dedup_savings, " +
+    "q_filter_sweep, q_gram_entropy, q_langid_confusion, " +
+    "q_script_shares, q_strat_alloc, q_lsh_sensitivity, " +
+    "q_minhash_est_quality, q_event_transitions — no cartesian, no " +
+    "corpus sort-merge join; 1-row broadcast combines (the N pattern) " +
+    "are the only nested loops allowed") {
+    // entries whose 1-row totals ride a broadcast nested-loop cross
+    // (the established bounded N pattern) — everything else must have
+    // NO nested loop at all
+    val oneRowCross = Set("q_gram_entropy", "q_strat_alloc",
+      "q_lsh_sensitivity", "q_minhash_est_quality")
+    // dedup-audit cards whose sort-merge joins carry CANDIDATE-PAIR
+    // relations (banded generation, skew-capped) — pair-bounded by
+    // construction, never the corpus
+    val pairBounded = Set("q_lsh_sensitivity", "q_minhash_est_quality")
+    for (name <- Seq("q_dedup_savings", "q_filter_sweep",
+        "q_gram_entropy", "q_langid_confusion", "q_script_shares",
+        "q_strat_alloc", "q_lsh_sensitivity", "q_minhash_est_quality",
+        "q_event_transitions")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"),
+        s"$name: no real cartesian ever:\n$p")
+      if (!pairBounded(name))
+        assert(!p.contains("SortMergeJoin"),
+          s"$name: a card must never shuffle-join its corpus:\n$p")
+      if (!oneRowCross(name))
+        assert(!p.contains("BroadcastNestedLoopJoin"),
+          s"$name: no nested-loop join expected in this card:\n$p")
+      // q_script_shares is a pure zero-shuffle projection + one
+      // complete-mode agg — nothing to combine map-side
+      if (name != "q_script_shares") {
+        val partials = "partial_".r.findAllIn(p).length
+        assert(partials >= 1,
+          s"$name: the card's aggregation must combine map-side:\n$p")
+      }
+    }
+  }
+
+  test("q_salting_plan inherits the skew card's count-table envelope — " +
+    "bounded-heap hot-key cut, map-side key counts, no data join") {
+    val p = plan("q_salting_plan")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the hot-key cut is a bounded-heap TakeOrdered:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"only 1-row broadcast combines allowed:\n$p")
+    // the full null-safe key-count merge may sort-merge — it joins two
+    // KEY-CARDINALITY count tables, never the data relations it prices
+    val partials = "partial_count".r.findAllIn(p).length
+    assert(partials >= 1,
+      s"the key counts must combine map-side:\n$p")
+  }
+
+  test("q_quality_classifier scores the STORED weights via a broadcast " +
+    "join — one corpus pass, no corpus-side shuffle on buckets (the " +
+    "train-once store replaced the in-entry persisted training loop)") {
     val p = plan("q_quality_classifier")
     assert(p.contains("BroadcastHashJoin"),
-      s"the <=257-row weight table must broadcast onto the count " +
-        s"relation:\n$p")
+      s"the <=257-row stored weight table must broadcast onto the " +
+        s"count relation:\n$p")
     assert(!p.contains("SortMergeJoin"),
       s"a sort-merge weight join would shuffle the corpus-sized count " +
-        s"relation for a literal table:\n$p")
+        s"relation for a bounded store:\n$p")
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"),
       s"no degenerate joins in the scoring pass:\n$p")
-    assert(p.contains("InMemoryTableScan"),
-      s"the (doc_id, y, bucket, count) relation is built ONCE and " +
-        s"persisted across the iters+1 passes:\n$p")
+    // scoring builds its count relation in ONE pass and aggregates by
+    // doc_id — the iters+1-pass persisted relation lives only in
+    // training (lrTrainImpl), which this entry no longer runs
+    val docScans = """Scan parquet[^\n]*documents""".r.findAllIn(p).length
+    assert(docScans <= 2,
+      s"the token branch and the intercept branch are the only corpus " +
+        s"reads (one scan each under union), found $docScans:\n$p")
   }
 }

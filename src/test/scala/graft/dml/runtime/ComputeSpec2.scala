@@ -645,7 +645,8 @@ class ComputeSpec2 extends AnyFunSuite {
     val s = spark
     val twin = graft.plans.JoinSkew.joinSkewCard(
         s.table("events"), s.table("events"), "user_id")
-      .collect().map(r => Option(r.get(0)) -> r.getLong(3)).toMap
+      .collect().map(r => Option(r.get(0)) ->
+        r.getAs[Long]("out_rows")).toMap
     val k = ComputeRegistry.runOnce(s,
       parse("COMPUTE j FROM table(user_id) INTO column(share) " +
         "USING join_skew"),
@@ -1588,5 +1589,82 @@ class ComputeSpec2 extends AnyFunSuite {
     val ws = graft.llm.TextOps.packPlan(d, seqLen = 64).collect()(0)
     assert(twin.getAs[Long]("total_tokens") !=
       ws.getAs[Long]("total_tokens"))
+  }
+
+  test("lsh_sensitivity / minhash_est_quality kernels reach the DSL " +
+    "(r13 verdict task 6) and match their library twins; reserved " +
+    "names refuse") {
+    val s = spark
+    import s.implicits._
+    Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g h"),
+      (3L, "a b c d e f x y"), (4L, "q w e r t y u i"))
+      .toDF("doc_id", "text").createOrReplaceTempView("sens_docs")
+    val sens = ComputeRegistry.runOnce(s,
+      parse("COMPUTE a FROM table(text) INTO column(surv) " +
+        "USING lsh_sensitivity"),
+      "sens_docs").collect()
+    val twin = graft.llm.Dedup.lshSensitivity(
+      s.table("sens_docs"), k = 3, numHashes = 8, bands = 4).collect()
+    assert(sens.map(_.getAs[Long]("n_pairs")).sorted.toSeq ==
+      twin.map(_.getAs[Long]("n_pairs")).sorted.toSeq)
+    graft.llm.PipelineCaches.clear()
+    val q = ComputeRegistry.runOnce(s,
+      parse("COMPUTE a FROM table(text) INTO column(mean_err) " +
+        "USING minhash_est_quality"),
+      "sens_docs").collect()(0)
+    // the identical pair (1,2) is a candidate with exact jaccard 1 and
+    // est 1 -> zero error contributes to the mean
+    assert(q.getAs[Long]("n_pairs") >= 1L)
+    assert(q.getAs[Double]("mean_err") >= 0.0)
+    graft.llm.PipelineCaches.clear()
+    val e1 = intercept[IllegalArgumentException](ComputeRegistry.runOnce(s,
+      parse("COMPUTE a FROM table(text) INTO column(n_pairs_ge) " +
+        "USING lsh_sensitivity"), "sens_docs"))
+    assert(e1.getMessage.contains("reserves"))
+    val e2 = intercept[IllegalArgumentException](ComputeRegistry.runOnce(s,
+      parse("COMPUTE a FROM table(text) INTO column(max_abs_err) " +
+        "USING minhash_est_quality"), "sens_docs"))
+    assert(e2.getMessage.contains("reserves"))
+  }
+
+  test("abtt_transform / ann_recall_card kernels reach the DSL " +
+    "(r13 verdict task 6): rows preserved with proj riding, the card " +
+    "reports all three methods; reserved names refuse") {
+    val s = spark
+    val embs = s.table("embeddings").limit(64)
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    embs.createOrReplaceTempView("abtt_embs")
+    val at = ComputeRegistry.runOnce(s,
+      parse("COMPUTE a FROM table(embedding) INTO column(resid) " +
+        "USING abtt_transform"),
+      "abtt_embs")
+    assert(at.count() == 64L, "relation-preserving")
+    assert(at.columns.contains("proj") && at.columns.contains("resid"))
+    val twin = graft.llm.Similarity.abttTransform(
+      s.table("abtt_embs").select(col("doc_id").as("vec_id"),
+        col("embedding")), iters = 12)
+      .orderBy("vec_id").collect()
+    val got = at.orderBy("doc_id").collect()
+    assert(got.map(_.getAs[Double]("resid")).toSeq ==
+      twin.map(_.getAs[Double]("resid_norm")).toSeq,
+      "kernel must equal the library transform")
+    graft.llm.PipelineCaches.clear()
+    val card = ComputeRegistry.runOnce(s,
+      parse("COMPUTE a FROM table(embedding) INTO column(recall10) " +
+        "USING ann_recall_card"),
+      "abtt_embs").collect()
+    assert(card.map(_.getAs[String]("method")).sorted.toSeq ==
+      Seq("ivf", "lsh", "rp"))
+    assert(card.forall(r => r.getAs[Double]("recall10") >= 0.0 &&
+      r.getAs[Double]("recall10") <= 1.0))
+    graft.llm.PipelineCaches.clear()
+    val e1 = intercept[IllegalArgumentException](ComputeRegistry.runOnce(s,
+      parse("COMPUTE a FROM table(embedding) INTO column(proj) " +
+        "USING abtt_transform"), "abtt_embs"))
+    assert(e1.getMessage.contains("reserves"))
+    val e2 = intercept[IllegalArgumentException](ComputeRegistry.runOnce(s,
+      parse("COMPUTE a FROM table(embedding) INTO column(mrr) " +
+        "USING ann_recall_card"), "abtt_embs"))
+    assert(e2.getMessage.contains("reserves"))
   }
 }
