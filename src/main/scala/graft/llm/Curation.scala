@@ -1675,6 +1675,93 @@ object Curation {
           col("n_tokens_a").cast("double"), 6))
   }
 
+  /** Shift-aware repeated-span REMOVAL — [[sharedSpans]]' treatment
+    * half (detection says WHERE the any-alignment repeats are; this
+    * CUTS them): for every candidate pair, the higher doc_id loses the
+    * tokens covered by any shared island of ≥ `minSpanTokens` tokens
+    * (keep-one at the span level — the lowest doc_id keeps its copy,
+    * the Lee et al. 2021 policy [[spanDedup]] applies per aligned
+    * segment, here applied at ANY alignment). Docs outside every
+    * qualifying island — non-candidates included — return their text
+    * untouched; rows preserved.
+    *
+    * Returns (doc_id, n_tokens, n_removed, clean_text). Integer-exact:
+    * islands via pos − row_number, coverage [start, start+run+k−2]
+    * clamped to the doc, token rebuild by sorted position — the oracle
+    * replays all of it.
+    *
+    * Scale shape: [[sharedSpans]]' candidate-bounded envelope with the
+    * roles flipped (positional grams ride the HIGHER side of each
+    * pair, membership is the lower side's key set); coverage explodes
+    * only qualifying island ranges; the rebuild aggregates by doc_id.
+    * Prose crosses a shuffle exactly once — the final per-doc token
+    * reassembly, the same cost class as [[spanDedup]]'s. */
+  def removeSharedSpans(docs: DataFrame, candidates: DataFrame,
+      k: Int = 3, minSpanTokens: Int = 5): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(minSpanTokens >= k,
+      s"minSpanTokens must be >= k ($k), got $minSpanTokens")
+    val candIds = candidates.select(col("doc_a").as("doc_id"))
+      .unionByName(candidates.select(col("doc_b").as("doc_id")))
+      .distinct()
+    val grams = PipelineCaches.track(docs
+      .join(candIds, Seq("doc_id"), "left_semi")
+      .withColumn("_t", coalesce(col("text"), lit("")))
+      .select(col("doc_id"),
+        size(TextOps.tokens(col("_t"))).cast("bigint").as("n_tokens"),
+        posexplode(graft.functions.Kgrams.kgrams(
+          col("_t"), k, keepShortWhole = true)).as(Seq("pos", "_g")))
+      .select(col("doc_id"), col("n_tokens"), col("pos").cast("bigint")
+        .as("pos"), md5(col("_g")).as("gram_key"))
+      .persist(StorageLevel.MEMORY_AND_DISK))
+    // membership = the LOWER side's key set; positions = the HIGHER
+    // side's gram stream (roles flipped vs sharedSpans: we cut from
+    // the doc that loses keep-one)
+    val aSet = grams.select(col("doc_id").as("doc_a"), col("gram_key"))
+      .distinct()
+    val islands = candidates.select("doc_a", "doc_b")
+      .join(grams.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"))
+      .join(aSet, Seq("doc_a", "gram_key"))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy("doc_b", "doc_a").orderBy("pos")))
+      .groupBy(col("doc_b"), col("doc_a"),
+        (col("pos") - col("_rn")).as("_isl"))
+      .agg(count(lit(1)).as("_run"), min("pos").as("_start"),
+        min("n_tokens").as("_n"))
+      .filter(least(col("_run") + lit(k - 1), col("_n")) >=
+        minSpanTokens)
+    val covered = islands.select(col("doc_b").as("doc_id"),
+        explode(sequence(col("_start"),
+          least(col("_start") + col("_run") + lit(k - 2),
+            col("_n") - 1))).as("tok_pos"))
+      .distinct()
+    val toks = docs.join(candIds, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), posexplode(TextOps.tokens(
+        coalesce(col("text"), lit("")))).as(Seq("tok_pos", "_w")))
+      .withColumn("tok_pos", col("tok_pos").cast("bigint"))
+    val rebuilt = toks
+      .join(covered, Seq("doc_id", "tok_pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("bigint").as("_kept"),
+        expr("array_join(transform(array_sort(" +
+          "collect_list(struct(tok_pos, _w))), x -> x._w), ' ')")
+          .as("_clean"))
+    val base = docs.select(col("doc_id"),
+      size(TextOps.tokens(coalesce(col("text"), lit(""))))
+        .cast("bigint").as("n_tokens"),
+      coalesce(col("text"), lit("")).as("_orig"))
+    base.join(covered.groupBy("doc_id")
+          .agg(count(lit(1)).cast("bigint").as("_ncov")),
+        Seq("doc_id"), "left")
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("_ncov"), lit(0L)).as("n_removed"),
+        // untouched docs (no coverage) keep their ORIGINAL text —
+        // including whitespace shape, not a retokenized join
+        when(col("_ncov").isNull, col("_orig"))
+          .otherwise(coalesce(col("_clean"), lit(""))).as("clean_text"))
+  }
+
   /** Per-document boilerplate fraction: the share of a doc's DISTINCT word
     * k-grams that also occur in ≥ `minDocs` DISTINCT documents — the
     * Dolma/RefinedWeb "duplicate-content fraction" signal. [[spanDedup]]

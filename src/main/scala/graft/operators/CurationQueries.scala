@@ -465,6 +465,23 @@ object CurationQueries {
       Curation.spanDedup(docs(s, dir), window = 3, minDocs = 2)
     },
 
+    // the shifted-span TREATMENT: the same planted corpus, but the
+    // repeats are CUT — every +100000 copy loses exactly its copied
+    // span (clean_text collapses to the 2-word filler prefix) while
+    // the original keeps its text verbatim (keep-one at any
+    // alignment); sub-threshold organic overlaps stay untouched
+    "q_dedup_spans_clean" -> { (s, dir) =>
+      val d = docs(s, dir).select("doc_id", "text")
+      val planted = d.filter(col("doc_id") % 10 === 0).select(
+        (col("doc_id") + 100000L).as("doc_id"),
+        concat(lit("zq zr "), col("text")).as("text"))
+      val corpus = d.unionAll(planted)
+      val cands = Dedup.minhashCandidates(corpus, k = 3, numHashes = 8,
+        bands = 4, minEstJaccard = 0.5, oracleHashes = true)
+      Curation.removeSharedSpans(corpus, cands, k = 3,
+        minSpanTokens = 5)
+    },
+
     // SHIFTED-span exact-substring dedup (r13 verdict task 4): every
     // 10th doc gets a copy with a 2-word filler prefix — an offset
     // spanDedup's non-overlapping window=3 grid can NEVER catch (the
@@ -1838,6 +1855,68 @@ object CurationQueries {
         |    ORDER BY seg_idx), '') AS clean_text
         |FROM j GROUP BY doc_id""".stripMargin,
 
+    // The treatment replay: islands on the HIGHER side of each pair
+    // (roles flipped), qualifying spans (clamped run + k - 1 >= 5)
+    // exploded to covered token positions, the rebuild an ordered
+    // string_agg over uncovered tokens; untouched docs keep their
+    // ORIGINAL text verbatim (CASE on coverage, not a retokenized
+    // join).
+    "q_dedup_spans_clean" -> {
+      val g3 = "w[i] || ' ' || w[i+1] || ' ' || w[i+2]"
+      s"""WITH ${LlmQueries.minhashCtesOver(
+        """  SELECT doc_id, text FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 100000 AS doc_id, 'zq zr ' || text AS text
+          |  FROM documents WHERE doc_id % 10 = 0""".stripMargin)},
+         |cand AS (
+         |  SELECT doc_a, doc_b FROM scored WHERE est_jaccard >= 0.5),
+         |ag AS MATERIALIZED (
+         |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens, i AS pos,
+         |    md5(CASE WHEN len(w) < 3 THEN text ELSE $g3 END) AS gram_key
+         |  FROM t, unnest(range(1, greatest(len(w) - 1, 2))) AS r(i)),
+         |ga AS (SELECT DISTINCT doc_id AS doc_a, gram_key FROM ag),
+         |hit2 AS (
+         |  SELECT c.doc_b, c.doc_a, ag.pos, ag.n_tokens,
+         |    row_number() OVER (PARTITION BY c.doc_b, c.doc_a
+         |      ORDER BY ag.pos) AS rn
+         |  FROM cand c
+         |  JOIN ag ON ag.doc_id = c.doc_b
+         |  JOIN ga ON ga.doc_a = c.doc_a AND ga.gram_key = ag.gram_key),
+         |runs2 AS (
+         |  SELECT doc_b, doc_a, pos - rn AS isl,
+         |    count(*) AS run, min(pos) AS start, min(n_tokens) AS n
+         |  FROM hit2 GROUP BY 1, 2, 3),
+         |spans AS (
+         |  SELECT doc_b, start, run, n FROM runs2
+         |  WHERE least(run + 2, n) >= 5),
+         |cov AS (
+         |  SELECT DISTINCT doc_b AS doc_id, tp FROM spans,
+         |    unnest(range(start, least(start + run + 1, n) + 1))
+         |      AS r(tp)),
+         |nc AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS ncov
+         |  FROM cov GROUP BY 1),
+         |tok AS (
+         |  SELECT t.doc_id, i AS tp, w[i] AS wd
+         |  FROM t, unnest(range(1, len(w) + 1)) AS r(i)
+         |  WHERE t.doc_id IN (SELECT doc_id FROM nc)),
+         |rebuilt AS (
+         |  SELECT tok.doc_id,
+         |    coalesce(string_agg(CASE WHEN cov.tp IS NULL THEN wd END,
+         |      ' ' ORDER BY tok.tp), '') AS clean
+         |  FROM tok LEFT JOIN cov
+         |    ON cov.doc_id = tok.doc_id AND cov.tp = tok.tp
+         |  GROUP BY 1)
+         |SELECT t.doc_id,
+         |  CAST(len(w) AS BIGINT) AS n_tokens,
+         |  coalesce(nc.ncov, 0) AS n_removed,
+         |  CASE WHEN nc.doc_id IS NULL THEN coalesce(t.text, '')
+         |    ELSE rebuilt.clean END AS clean_text
+         |FROM t
+         |LEFT JOIN nc USING (doc_id)
+         |LEFT JOIN rebuilt ON rebuilt.doc_id = t.doc_id""".stripMargin
+    },
+
     // Replays the banded minhash candidates over the shifted-copy
     // corpus, the stride-1 positional 3-gram stream, the b-side
     // membership set, and the pos - row_number islands identity —
@@ -1943,6 +2022,7 @@ object CurationQueries {
     "q_seq_pack" -> Seq("doc_id"),
     "q_dedup_spans" -> Seq("doc_id"),
     "q_dedup_spans_shifted" -> Seq("doc_a", "doc_b"),
+    "q_dedup_spans_clean" -> Seq("doc_id"),
     "q_chunk_docs" -> Seq("doc_id", "chunk_idx"),
     "q_vocab_encode" -> Seq("doc_id"),
     "q_decontaminate_bloom" -> Seq("doc_id"),

@@ -76,6 +76,17 @@ class PlanAuditSpec extends AnyFunSuite {
       s"shifted-span detection must stay candidate-bounded:\n$p")
   }
 
+  test("q_dedup_spans_clean: the treatment stays candidate-bounded too " +
+    "— coverage explodes only qualifying islands, rebuild aggregates " +
+    "by doc_id, no cartesian or nested loop anywhere") {
+    val p = plan("q_dedup_spans_clean")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"span removal must stay candidate-bounded:\n$p")
+    assert(p.contains("Generate"),
+      s"coverage ranges are a generator over island rows:\n$p")
+  }
+
   test("q_decontaminate broadcasts the benchmark gram set") {
     val p = plan("q_decontaminate")
     assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),

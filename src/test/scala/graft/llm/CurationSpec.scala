@@ -1548,6 +1548,69 @@ class CurationSpec extends AnyFunSuite {
     graft.llm.PipelineCaches.clear()
   }
 
+  test("removeSharedSpans cuts the offset-shifted repeat from the " +
+    "HIGHER doc only (keep-one at any alignment), leaves sub-threshold " +
+    "overlaps and non-candidates untouched with their original text") {
+    val s = spark
+    import s.implicits._
+    val a = "w1 w2 w3 w4 w5 w6 w7 w8"
+    val d = Seq(
+      (1L, a),                       // keeper
+      (2L, s"zq zr $a"),             // shifted copy -> loses all 8
+      (3L, "p1 p2 s1 s2 s3 p3 p4"),  // 3-token overlap with 4 (< min 5)
+      (4L, "q1 s1 s2 s3 q2 q3 q4"),
+      (5L, "lone  doc   untouched")) // non-candidate, odd whitespace
+      .toDF("doc_id", "text")
+    val cand = Seq((1L, 2L), (3L, 4L)).toDF("doc_a", "doc_b")
+    val out = Curation.removeSharedSpans(d, cand, k = 3,
+      minSpanTokens = 5).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[String]("clean_text") == a,
+      "the keeper (lowest doc_id) is untouched")
+    assert(out(1L).getAs[Long]("n_removed") == 0L)
+    assert(out(2L).getAs[String]("clean_text") == "zq zr",
+      "the shifted copy loses exactly the copied span")
+    assert(out(2L).getAs[Long]("n_removed") == 8L)
+    // 3-token shared run: span 3+2 = 5? no — grams (s1 s2 s3) is ONE
+    // matching gram -> run 1 -> span 1+2 = 3 < 5 -> untouched
+    assert(out(4L).getAs[Long]("n_removed") == 0L)
+    assert(out(4L).getAs[String]("clean_text") ==
+      "q1 s1 s2 s3 q2 q3 q4")
+    assert(out(5L).getAs[String]("clean_text") ==
+      "lone  doc   untouched",
+      "non-candidates keep their original text verbatim, whitespace " +
+        "included")
+    val e = intercept[IllegalArgumentException](
+      Curation.removeSharedSpans(d, cand, k = 3, minSpanTokens = 2))
+    assert(e.getMessage.contains("minSpanTokens"))
+    graft.llm.PipelineCaches.clear()
+  }
+
+  test("removeSharedSpans: a doc that is keeper in one pair and copy " +
+    "in another loses only the span shared with its LOWER partner, " +
+    "and clamped end-of-doc islands never overflow") {
+    val s = spark
+    import s.implicits._
+    // doc 2 shares "m1..m6" with doc 1 (lower -> 2 loses it) and
+    // "t1..t5" with doc 3 (higher -> 2 keeps it; 3 loses it at the
+    // very END of its text, exercising the coverage clamp)
+    val d = Seq(
+      (1L, "m1 m2 m3 m4 m5 m6"),
+      (2L, "m1 m2 m3 m4 m5 m6 x1 t1 t2 t3 t4 t5"),
+      (3L, "y1 y2 t1 t2 t3 t4 t5")).toDF("doc_id", "text")
+    val cand = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val out = Curation.removeSharedSpans(d, cand, k = 3,
+      minSpanTokens = 5).collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("n_removed") == 0L)
+    assert(out(2L).getAs[String]("clean_text") == "x1 t1 t2 t3 t4 t5",
+      "doc 2 loses the m-span (lower partner) and keeps the t-span " +
+        "(higher partner)")
+    assert(out(3L).getAs[String]("clean_text") == "y1 y2",
+      "the end-of-doc island is cut exactly to the doc boundary")
+    assert(out(3L).getAs[Long]("n_removed") == 5L)
+    graft.llm.PipelineCaches.clear()
+  }
+
   test("LrModel store round-trip: save+load+scoreWithLr is row-for-row " +
     "identical to inline logisticQuality, and the audits match (the " +
     "RP-index store convention — the persisted artifact must change " +
