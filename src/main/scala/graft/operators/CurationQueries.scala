@@ -465,6 +465,43 @@ object CurationQueries {
       Curation.spanDedup(docs(s, dir), window = 3, minDocs = 2)
     },
 
+    // STREAMING model-apply: the stored classifier scoring a two-batch
+    // document replay shard by shard (foreachBatch scoreWithLr →
+    // parquet append) — stateless by construction (a doc's bucket
+    // counts are its own), so the drained scores hash-match the BATCH
+    // classifier's own trajectory-replay oracle: per-shard scoring ==
+    // whole-corpus scoring, re-proven every round
+    "q_stream_quality" -> { (s, dir) =>
+      import org.apache.spark.sql.streaming.Trigger
+      val d = docs(s, dir).select("doc_id", "text")
+      val wts = lrModelFor(s, dir).weights
+      val batches = Seq(
+        d.filter(col("doc_id") % 2 === 0),
+        d.filter(col("doc_id") % 2 === 1))
+      val tmp = EventQueries.stampedDir(batches)
+      val ckpt = EventQueries.scratchDir("graft_squality_ck").toFile
+      val outDir = EventQueries.scratchDir("graft_squality_out").toFile
+      try {
+        val stream = s.readStream
+          .schema("doc_id BIGINT, text STRING")
+          .option("maxFilesPerTrigger", 1).parquet(tmp.toString)
+        val q = graft.streaming.StreamingPipeline.qualityScoreStream(
+          stream, wts, buckets = 256,
+          outPath = outDir.toString,
+          trigger = Trigger.AvailableNow(),
+          checkpointDir = Some(ckpt.toString))
+        try {
+          if (!q.awaitTermination(180000))
+            throw new IllegalStateException(
+              "streaming quality scoring did not drain within 180s")
+        } finally q.stop()
+        // detach from the scratch dir before it is removed
+        s.read.parquet(outDir.toString).localCheckpoint(true)
+      } finally {
+        Seq(tmp, ckpt, outDir).foreach(EventQueries.rmTree)
+      }
+    },
+
     // the shifted-span TREATMENT: the same planted corpus, but the
     // repeats are CUT — every +100000 copy loses exactly its copied
     // span (clean_text collapses to the 2-word filler prefix) while
@@ -781,6 +818,9 @@ object CurationQueries {
 
   def oracles: Map[String, String] = Map(
     "q_quality_classifier" -> lrOracleSql(256, 5, 0.5),
+    // the streaming replay must equal the batch classifier exactly —
+    // SAME oracle, so the hash gate is the statelessness proof
+    "q_stream_quality" -> lrOracleSql(256, 5, 0.5),
     "q_classifier_calibration" -> calibrationOracleSql(256, 5, 0.5),
     "q_classifier_auc" -> aucOracleSql(256, 5, 0.5),
 
@@ -2029,6 +2069,7 @@ object CurationQueries {
     "q_dsir_weights" -> Seq("doc_id"),
     "q_ce_delta" -> Seq("doc_id"),
     "q_quality_classifier" -> Seq("doc_id"),
+    "q_stream_quality" -> Seq("doc_id"),
     "q_contamination_span" -> Seq("doc_id"),
     "q_classifier_calibration" -> Seq("bin"),
     "q_corpus_diff" -> Seq("status"),

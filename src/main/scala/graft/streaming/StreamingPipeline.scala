@@ -195,6 +195,44 @@ object StreamingPipeline {
     checkpointDir.fold(w)(d => w.option("checkpointLocation", d)).start()
   }
 
+  /** Streaming quality-classifier SCORING over a document stream
+    * (doc_id, text) against a stored — [[graft.llm.Curation.loadLrModel]]
+    * — weight table: the model-APPLY half of the classifier tier run
+    * continuously, the way a production pipeline scores shards as they
+    * land instead of re-batching the corpus. Per micro-batch the
+    * arriving docs score through [[graft.llm.Curation.scoreWithLr]]
+    * (one token pass + the broadcast ≤ buckets+1 weight join) and the
+    * scored rows append to `outPath` parquet. STATELESS by
+    * construction: a doc's hashed-unigram counts are entirely its own,
+    * so per-shard scoring equals whole-corpus batch scoring row for
+    * row — the replay entry's oracle IS the batch classifier's oracle,
+    * and a green hash re-proves the equality every round. Model
+    * refresh between runs is a
+    * [[graft.scale.StoreMaint.replaceStore]] swap, like the RP serve
+    * index and the BPE vocabulary.
+    *
+    * Delivery contract: foreachBatch is AT-LEAST-ONCE — a replayed
+    * batch re-appends its rows; downstream consumers dedup on doc_id
+    * (or read through a replaceStore-swapped compaction), the
+    * vocab-drift monitor's batch_id discipline at row granularity. */
+  def qualityScoreStream(
+      docs: DataFrame, weights: DataFrame, buckets: Int,
+      outPath: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L),
+      checkpointDir: Option[String] = None): StreamingQuery = {
+    val w = docs.writeStream
+      .outputMode("append")
+      .queryName("quality_score_stream")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.llm.Curation.scoreWithLr(batch, weights, buckets)
+          .write.mode("append").parquet(outPath)
+        ()
+      }
+    checkpointDir.fold(w)(d => w.option("checkpointLocation", d)).start()
+  }
+
   /** Streaming tokenizer-vocabulary DRIFT monitor over a document stream
     * (doc_id, text) against a trained — typically
     * [[graft.llm.Bpe.loadBpeModel]]-persisted — BPE model: the
