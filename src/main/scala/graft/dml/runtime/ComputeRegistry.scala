@@ -1234,6 +1234,19 @@ object ComputeRegistry {
           keyed(df, ins.head), threshold = 0.8, k = 3)
         .withColumnRenamed("jaccard", out)
     },
+    // EXACT ordered-pair CONTAINMENT self-join over a TEXT input
+    // column — relation-REPLACING: every (doc_a, doc_b) with doc_a at
+    // least 0.8-contained in doc_b, complete by the one-sided prefix
+    // filter (the excerpt-dedup ground truth Jaccard provably misses);
+    // INTO column(...) names the containment column
+    "containment_join_exact" -> { (df, ins, out) =>
+      require(!Seq("doc_a", "doc_b").contains(out),
+        s"containment_join_exact reserves its pair column names; pick " +
+          s"another INTO column name (got '$out')")
+      graft.llm.Dedup.containmentJoinExact(
+          keyed(df, ins.head), threshold = 0.8, k = 3)
+        .withColumnRenamed("containment_a", out)
+    },
     // int8 reconstruction-distortion card over an EMBEDDING input
     // column — relation-REPLACING, ONE row (mse + mean cosine vs the
     // dequantized int8 vector); INTO column(...) names the mse column

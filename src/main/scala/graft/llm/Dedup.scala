@@ -467,6 +467,65 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** EXACT set-CONTAINMENT self-join — [[jaccardJoinExact]]'s
+    * asymmetric twin, recall 1.0 by construction: every ORDERED pair
+    * (doc_a, doc_b), a ≠ b, with |Sa ∩ Sb| / |Sa| ≥ threshold — doc_a
+    * at least threshold-contained in doc_b. Jaccard dedup provably
+    * misses subset duplication (a half-doc excerpt scores ~0.5 Jaccard
+    * but containment 1 — Broder 1997's resemblance/containment split);
+    * this join is the ground truth an excerpt-dedup release sheet
+    * quotes, exactly as the Jaccard exact join grounds the LSH audit.
+    *
+    * Prefix-filter completeness (the AllPairs argument, one-sided): in
+    * the global (df asc, shingle asc) order, if B misses ALL of A's
+    * first |A| − ceil(t·|A|) + 1 shingles then |A∩B| ≤ ceil(t·|A|) − 1
+    * < t·|A| — so joining A-prefixes against the FULL shingle index
+    * loses nothing. Containment admits only one size prune (|B| ≥
+    * ceil(t·|A|) — a host smaller than the required intersection is
+    * impossible); unlike the symmetric join the HOST side cannot be
+    * prefixed, so this join prices by the df mass of prefix shingles —
+    * rare-first ordering keeps that the rare tail. The conservative
+    * ceil(x − 1e-9) only LENGTHENS prefixes under float noise (more
+    * candidates, never fewer — the completeness direction).
+    *
+    * Scale shape: one shingle explode (persisted, three consumers),
+    * df/size aggs, the prefix row_number over per-doc shingle lists,
+    * one shingle-keyed equi-join, and the exact rescore on the
+    * candidate-bounded pairs. Plan-pinned no-cartesian. Run on an
+    * audit sample at 100 TB — like the exact Jaccard join, it prices
+    * by 1 − t. */
+  def containmentJoinExact(docs: DataFrame, threshold: Double,
+      k: Int = 3): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val sh = PipelineCaches.track(withShingleCol(docs, k)
+      .select(col("doc_id"),
+        expr("explode(array_distinct(_shingles))").as("shingle"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("_sz"))
+    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("_df"))
+    def alphaCeil(sz: Column): Column =
+      ceil(sz.cast("double") * lit(threshold) - lit(1e-9))
+    val prefix = sh.join(dfreq, Seq("shingle"))
+      .join(sizes, Seq("doc_id"))
+      .withColumn("_r", row_number().over(Window.partitionBy("doc_id")
+        .orderBy(col("_df").asc, col("shingle").asc)))
+      .filter(col("_r") <= col("_sz") - alphaCeil(col("_sz")) + 1)
+      .select(col("shingle"), col("doc_id").as("doc_a"),
+        col("_sz").as("_sza"))
+    val cands = prefix
+      .join(sh.select(col("shingle"), col("doc_id").as("doc_b")),
+        Seq("shingle"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .join(sizes.select(col("doc_id").as("doc_b"),
+        col("_sz").as("_szb")), Seq("doc_b"))
+      .filter(col("_szb") >= alphaCeil(col("_sza")))
+      .select("doc_a", "doc_b").distinct()
+    containmentRescore(docs, cands, k)
+      .filter(col("containment_a") >= threshold)
+      .select("doc_a", "doc_b", "containment_a")
+  }
+
   /** LSH threshold-SENSITIVITY curve — [[pairJaccardHist]] read the way
     * a dedup operator tunes it: for every 0.05 Jaccard bin, how many
     * candidate pairs sit AT OR ABOVE it (`n_pairs_ge` and its share).

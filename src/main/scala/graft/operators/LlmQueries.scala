@@ -515,6 +515,24 @@ object LlmQueries {
         threshold = 0.8, k = 3)
     },
 
+    // EXACT ordered-pair CONTAINMENT join over a planted-excerpt
+    // corpus: every 7th doc gets a first-half excerpt copy — ~0.5
+    // Jaccard (the 0.8 Jaccard exact join provably misses it) but
+    // containment_a = 1 in the excerpt→original direction. The oracle
+    // is the UNPRUNED all-ordered-pairs join, so the hash gate proves
+    // the one-sided prefix filter COMPLETE, not merely replayed
+    "q_containment_join_exact" -> { (s, dir) =>
+      val d = docs(s, dir).select("doc_id", "text")
+      val excerpts = d.filter(col("doc_id") % 7 === 0)
+        .withColumn("_w", split(col("text"), " "))
+        .select((col("doc_id") + 300000L).as("doc_id"),
+          array_join(slice(col("_w"), lit(1),
+            greatest((size(col("_w")) / 2).cast("int"), lit(5))), " ")
+            .as("text"))
+      Dedup.containmentJoinExact(d.unionAll(excerpts),
+        threshold = 0.8, k = 3)
+    },
+
     // MinHash estimator-error audit (the sketch-audit family's third
     // leg): per candidate pair, |est_jaccard - exact jaccard| -> mean/
     // max error + share within one 1/8 estimator notch
@@ -1924,6 +1942,28 @@ object LlmQueries {
          |SELECT doc_a, doc_b, jaccard FROM pj
          |WHERE jaccard >= 0.8""".stripMargin,
 
+    // ground truth, no pruning: the FULL all-ORDERED-pairs containment
+    // join over the excerpt-planted corpus — equality with Spark's
+    // one-sided prefix-filtered result IS the completeness proof
+    "q_containment_join_exact" ->
+      s"""WITH u AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 300000 AS doc_id,
+         |    array_to_string(w[1:greatest(len(w) // 2, 5)], ' ') AS text
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS w
+         |        FROM documents WHERE doc_id % 7 = 0)),
+         |t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM u),
+         |shx AS (SELECT doc_id, $shinglesSql AS s FROM t),
+         |ds AS (SELECT doc_id, list_distinct(s) AS s FROM shx),
+         |pj AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s)
+         |      AS containment_a
+         |  FROM ds a JOIN ds b ON a.doc_id <> b.doc_id)
+         |SELECT doc_a, doc_b, containment_a FROM pj
+         |WHERE containment_a >= 0.8""".stripMargin,
+
     // the hist CTEs + the descending cumulative window (both over the
     // bin-bounded card)
     "q_lsh_sensitivity" ->
@@ -3058,6 +3098,7 @@ object LlmQueries {
     "q_pair_jaccard_hist" -> Seq("bin"),
     "q_lsh_sensitivity" -> Seq("bin"),
     "q_jaccard_join_exact" -> Seq("doc_a", "doc_b"),
+    "q_containment_join_exact" -> Seq("doc_a", "doc_b"),
     "q_kmeans_assign" -> Seq("vec_id"),
     "q_lsh_plan" -> Seq("bands"))
 }

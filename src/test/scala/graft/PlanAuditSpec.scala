@@ -1042,6 +1042,17 @@ class PlanAuditSpec extends AnyFunSuite {
       s"the rare-first prefix rank is a per-doc window:\n$p")
   }
 
+  test("q_containment_join_exact: the one-sided prefix filter still " +
+    "rides keyed equi-joins — exactness without a cartesian anywhere") {
+    val p = plan("q_containment_join_exact")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"recall 1.0 WITHOUT all-pairs work — the A-prefix joins the " +
+        s"full shingle index on the shingle key:\n$p")
+    assert(p.contains("Window"),
+      s"the rare-first prefix rank is a per-doc window:\n$p")
+  }
+
   test("q_lsh_plan never touches a corpus relation") {
     val p = plan("q_lsh_plan")
     assert(!p.contains("Scan parquet"),

@@ -1591,6 +1591,30 @@ class ComputeSpec2 extends AnyFunSuite {
       ws.getAs[Long]("total_tokens"))
   }
 
+  test("containment_join_exact kernel: a planted whole-doc excerpt is " +
+    "caught in the contained->host direction from the DSL; reserved " +
+    "names refuse") {
+    val s = spark
+    import s.implicits._
+    Seq((1L, "a b c d e f g h i j"), (2L, "a b c d e f"),
+      (3L, "q w e r t y u i o p"))
+      .toDF("doc_id", "text").createOrReplaceTempView("contain_docs")
+    val pairs = ComputeRegistry.runOnce(s,
+      parse("COMPUTE c FROM table(text) INTO column(containment) " +
+        "USING containment_join_exact"),
+      "contain_docs").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs.contains((2L, 1L)) && pairs((2L, 1L)) == 1.0,
+      "the excerpt is fully contained in its host")
+    assert(!pairs.contains((1L, 2L)),
+      "the host is NOT 0.8-contained in its excerpt")
+    graft.llm.PipelineCaches.clear()
+    val err = intercept[IllegalArgumentException](ComputeRegistry.runOnce(s,
+      parse("COMPUTE c FROM table(text) INTO column(doc_a) " +
+        "USING containment_join_exact"), "contain_docs"))
+    assert(err.getMessage.contains("reserves"))
+  }
+
   test("lsh_sensitivity / minhash_est_quality kernels reach the DSL " +
     "(r13 verdict task 6) and match their library twins; reserved " +
     "names refuse") {

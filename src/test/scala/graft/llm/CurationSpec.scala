@@ -958,6 +958,61 @@ class CurationSpec extends AnyFunSuite {
     assert(hits(0).getDouble(2) == 0.7)
   }
 
+  test("containmentJoinExact equals the brute-force all-ordered-pairs " +
+    "join on the fixture, catches the excerpt Jaccard provably misses, " +
+    "and keeps the exact-threshold boundary pair") {
+    val s = spark
+    import s.implicits._
+    val d = s.table("documents").select("doc_id", "text")
+    val excerpts = d.filter(col("doc_id") < 20)
+      .withColumn("_w", split(col("text"), " "))
+      .select((col("doc_id") + 300000L).as("doc_id"),
+        array_join(slice(col("_w"), lit(1),
+          greatest((size(col("_w")) / 2).cast("int"), lit(5))), " ")
+          .as("text"))
+    val corpus = d.unionAll(excerpts)
+    val got = Dedup.containmentJoinExact(corpus, threshold = 0.8, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.llm.PipelineCaches.clear()
+    val ids = corpus.select("doc_id")
+    val allPairs = ids.select(col("doc_id").as("doc_a"))
+      .crossJoin(ids.select(col("doc_id").as("doc_b")))
+      .filter(col("doc_a") =!= col("doc_b"))
+    val want = Dedup.containmentRescore(corpus, allPairs, k = 3)
+      .filter(col("containment_a") >= 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want,
+      s"missing=${(want diff got).take(5)} extra=${(got diff want).take(5)}")
+    // the capability gap this join exists for: every planted excerpt
+    // is containment-caught in the excerpt -> original direction, and
+    // the 0.8 JACCARD exact join sees none of those pairs
+    val planted = got.filter { case (a, b) =>
+      a >= 300000L && b == a - 300000L }
+    assert(planted.size == excerpts.count(),
+      "every excerpt must be caught as contained in its original")
+    val jac = Dedup.jaccardJoinExact(corpus, threshold = 0.8, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.llm.PipelineCaches.clear()
+    assert(planted.forall { case (a, b) =>
+      !jac.contains((a, b)) && !jac.contains((b, a)) },
+      "half-doc excerpts sit near Jaccard 0.5 — the symmetric join " +
+        "must miss them, which is why containment is its own operator")
+    // boundary: |A| = 5 shingles (k=1 words), 4 of 5 in B -> exactly
+    // 0.8; the conservative alpha must not prune it
+    val edge = Seq(
+      1L -> "a b c d e",
+      2L -> "a b c d x y z q").toDF("doc_id", "text")
+    val hits = Dedup.containmentJoinExact(edge, threshold = 0.8, k = 1)
+      .collect()
+    graft.llm.PipelineCaches.clear()
+    assert(hits.length == 1 && hits(0).getLong(0) == 1L &&
+      hits(0).getLong(1) == 2L)
+    assert(hits(0).getDouble(2) == 0.8)
+    val e = intercept[IllegalArgumentException](
+      Dedup.containmentJoinExact(edge, threshold = 0.0))
+    assert(e.getMessage.contains("threshold"))
+  }
+
   test("minhashEstQuality: identical docs estimate exactly, card is " +
     "a zero-error row") {
     val s = spark
