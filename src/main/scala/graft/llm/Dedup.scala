@@ -606,6 +606,49 @@ object Dedup {
           .as("candidate_precision"))
   }
 
+  /** Containment-recall governance audit — [[lshRecallAudit]]'s twin
+    * for the ASYMMETRIC threshold the exact containment join grounds:
+    * how many true containment-≥t ordered pairs does the banded
+    * Jaccard-MinHash candidate generator actually surface? This number
+    * is EXPECTED to be low — Jaccard-based LSH is blind to
+    * low-Jaccard/high-containment pairs BY CONSTRUCTION (a half-doc
+    * excerpt sits near J 0.5, far below the band S-curve's knee at
+    * 0.8) — and that measured gap is precisely the governance row
+    * justifying [[containmentJoinExact]] (or a dedicated containment
+    * index) in an excerpt-dedup pipeline: "the dedup run's candidate
+    * generator missed X% of whole-excerpt duplication" is a release-
+    * sheet sentence, not a guess.
+    *
+    * Truth = the exact ordered containment pairs; a truth pair counts
+    * as HIT when its unordered pair appears among the banded
+    * candidates. Same merge-and-one-agg shape as the Jaccard audit;
+    * run on an audit sample at 100 TB (the exact side prices by the
+    * prefix df mass). */
+  def containmentRecallAudit(docs: DataFrame, threshold: Double = 0.8,
+      k: Int = 3, numHashes: Int = 8, bands: Int = 4,
+      oracleHashes: Boolean = false): DataFrame = {
+    val truth = containmentJoinExact(docs, threshold, k)
+      .select("doc_a", "doc_b").withColumn("_t", lit(1L))
+    // candidates are unordered (doc_a < doc_b); orient each truth pair
+    // onto that key
+    val cand = minhashCandidates(docs, k, numHashes, bands,
+        minEstJaccard = 0.0, oracleHashes = oracleHashes)
+      .select(col("doc_a").as("_lo"), col("doc_b").as("_hi"))
+      .withColumn("_c", lit(1L))
+    truth
+      .withColumn("_lo", least(col("doc_a"), col("doc_b")))
+      .withColumn("_hi", greatest(col("doc_a"), col("doc_b")))
+      .join(cand, Seq("_lo", "_hi"), "left")
+      .agg(
+        count(lit(1)).cast("bigint").as("n_truth"),
+        coalesce(sum("_c"), lit(0L)).cast("bigint").as("n_hit"))
+      .select(lit(threshold).as("threshold"),
+        col("n_truth"), col("n_hit"),
+        when(col("n_truth") === 0, lit(null).cast("double"))
+          .otherwise(round(col("n_hit").cast("double") /
+            col("n_truth").cast("double"), 6)).as("recall"))
+  }
+
   def lshSensitivity(docs: DataFrame, k: Int = 3, numHashes: Int = 8,
       bands: Int = 4, oracleHashes: Boolean = false): DataFrame = {
     val hist = pairJaccardHist(docs, k, numHashes, bands, oracleHashes)

@@ -533,6 +533,25 @@ object LlmQueries {
         threshold = 0.8, k = 3)
     },
 
+    // containment-recall governance audit: how much of the TRUE
+    // containment-0.8 ordered-pair mass do the banded Jaccard
+    // candidates surface? Expected LOW on the excerpt-planted corpus —
+    // Jaccard LSH is blind to low-J/high-containment pairs by
+    // construction, and the measured gap is the release-sheet line
+    // justifying the exact containment join in an excerpt-dedup run
+    "q_containment_recall_audit" -> { (s, dir) =>
+      val d = docs(s, dir).select("doc_id", "text")
+      val excerpts = d.filter(col("doc_id") % 7 === 0)
+        .withColumn("_w", split(col("text"), " "))
+        .select((col("doc_id") + 300000L).as("doc_id"),
+          array_join(slice(col("_w"), lit(1),
+            greatest((size(col("_w")) / 2).cast("int"), lit(5))), " ")
+            .as("text"))
+      Dedup.containmentRecallAudit(d.unionAll(excerpts),
+        threshold = 0.8, k = 3, numHashes = 8, bands = 4,
+        oracleHashes = true)
+    },
+
     // MinHash estimator-error audit (the sketch-audit family's third
     // leg): per candidate pair, |est_jaccard - exact jaccard| -> mean/
     // max error + share within one 1/8 estimator notch
@@ -1963,6 +1982,35 @@ object LlmQueries {
          |  FROM ds a JOIN ds b ON a.doc_id <> b.doc_id)
          |SELECT doc_a, doc_b, containment_a FROM pj
          |WHERE containment_a >= 0.8""".stripMargin,
+
+    // truth = the unpruned ordered containment join; candidates = the
+    // banded replay (scored, unfiltered); one LEFT-JOIN merge feeds
+    // the 1-row audit
+    "q_containment_recall_audit" -> {
+      s"""WITH ${LlmQueries.minhashCtesOver(
+        """  SELECT doc_id, text FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 300000 AS doc_id,
+          |    array_to_string(w[1:greatest(len(w) // 2, 5)], ' ') AS text
+          |  FROM (SELECT doc_id, string_split(text, ' ') AS w
+          |        FROM documents WHERE doc_id % 7 = 0)""".stripMargin)},
+         |ds AS (SELECT doc_id, list_distinct(s) AS s FROM sh),
+         |truth AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM ds a JOIN ds b ON a.doc_id <> b.doc_id
+         |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |    / len(a.s) >= 0.8),
+         |cd AS (SELECT doc_a AS lo, doc_b AS hi, 1 AS c FROM scored)
+         |SELECT CAST(0.8 AS DOUBLE) AS threshold,
+         |  CAST(count(*) AS BIGINT) AS n_truth,
+         |  CAST(coalesce(sum(cd.c), 0) AS BIGINT) AS n_hit,
+         |  CASE WHEN count(*) = 0 THEN NULL
+         |    ELSE round(CAST(coalesce(sum(cd.c), 0) AS DOUBLE)
+         |      / count(*), 6) END AS recall
+         |FROM truth LEFT JOIN cd
+         |  ON cd.lo = least(truth.doc_a, truth.doc_b)
+         | AND cd.hi = greatest(truth.doc_a, truth.doc_b)""".stripMargin
+    },
 
     // the hist CTEs + the descending cumulative window (both over the
     // bin-bounded card)

@@ -1053,6 +1053,16 @@ class PlanAuditSpec extends AnyFunSuite {
       s"the rare-first prefix rank is a per-doc window:\n$p")
   }
 
+  test("q_containment_recall_audit merges two pair-bounded relations " +
+    "into one 1-row agg — no cartesian, prefix window present") {
+    val p = plan("q_containment_recall_audit")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"truth and candidates are both non-quadratic generations:\n$p")
+    assert(p.contains("Window"),
+      s"the exact side's rare-first prefix rank is a per-doc window:\n$p")
+  }
+
   test("q_lsh_plan never touches a corpus relation") {
     val p = plan("q_lsh_plan")
     assert(!p.contains("Scan parquet"),

@@ -1013,6 +1013,31 @@ class CurationSpec extends AnyFunSuite {
     assert(e.getMessage.contains("threshold"))
   }
 
+  test("containmentRecallAudit: a short excerpt inside a long host is " +
+    "containment truth the Jaccard bands miss — the audit measures " +
+    "exactly that gap; an identical pair is truth the bands catch") {
+    val s = spark
+    import s.implicits._
+    val host = (1 to 60).map(i => s"h$i").mkString(" ")
+    val d = Seq(
+      1L -> host,
+      2L -> (1 to 6).map(i => s"h$i").mkString(" "), // J ~0.09, C = 1
+      3L -> "z1 z2 z3 z4 z5 z6 z7 z8",
+      4L -> "z1 z2 z3 z4 z5 z6 z7 z8")                // identical pair
+      .toDF("doc_id", "text")
+    val card = Dedup.containmentRecallAudit(d, threshold = 0.8, k = 3)
+      .collect()(0)
+    graft.llm.PipelineCaches.clear()
+    // truth: (2 in 1), (3 in 4), (4 in 3) = 3 ordered pairs
+    assert(card.getAs[Long]("n_truth") == 3L)
+    // the identical pair's two orientations hit (J = 1 collides in
+    // every band); the excerpt pair at J ~0.09 has no band collision
+    // in the deterministic md5 family — the measured blindness
+    assert(card.getAs[Long]("n_hit") == 2L)
+    assert(card.getAs[Double]("recall") == 0.666667)
+    graft.llm.PipelineCaches.clear()
+  }
+
   test("minhashEstQuality: identical docs estimate exactly, card is " +
     "a zero-error row") {
     val s = spark
