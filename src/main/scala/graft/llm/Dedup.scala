@@ -606,6 +606,45 @@ object Dedup {
           .as("candidate_precision"))
   }
 
+  /** Containment-dedup TREATMENT — the drop rule the exact join
+    * grounds (diagnosis [[containmentJoinExact]] → audit
+    * [[containmentRecallAudit]] → THIS): drop every doc that is
+    * ≥ threshold contained in a doc that survives, under the
+    * deterministic Broder-style rule
+    *   drop a  ⇔  ∃ b: C(a,b) ≥ t ∧ (C(b,a) < t ∨ b < a)
+    * — a strictly-contained doc (an excerpt) always drops in favor of
+    * its host; mutually-contained docs (near-identical) keep the
+    * LOWEST doc_id (the keep-one convention of the whole dedup tier).
+    * The rule needs no iteration: a mutual-containment CHAIN keeps
+    * exactly its minimum (every other member sees a lower mutual
+    * partner), and a strict containment a⊂b never needs b to survive —
+    * b can only itself drop toward an even larger host or a lower
+    * mutual twin, and transitivity of ≥t containment does NOT hold in
+    * general, so the safe (and standard) contract is "dropped by
+    * SOME witness pair", which this one-pass rule implements exactly.
+    *
+    * Returns every doc with (is_dropped, n_hosts — the number of
+    * witness pairs). Rows preserved; pair work is the exact join's
+    * envelope plus one pair-keyed merge and a doc-keyed agg. */
+  def dropContained(docs: DataFrame, threshold: Double = 0.8,
+      k: Int = 3): DataFrame = {
+    val pairs = PipelineCaches.track(
+      containmentJoinExact(docs, threshold, k)
+        .select(col("doc_a"), col("doc_b"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // orient: does the reverse pair exist (mutual containment)?
+    val rev = pairs.select(col("doc_a").as("doc_b"),
+      col("doc_b").as("doc_a")).withColumn("_mutual", lit(1))
+    val witnesses = pairs.join(rev, Seq("doc_a", "doc_b"), "left")
+      .filter(col("_mutual").isNull || col("doc_b") < col("doc_a"))
+    val dropped = witnesses.groupBy(col("doc_a").as("doc_id"))
+      .agg(count(lit(1)).cast("bigint").as("n_hosts"))
+    docs.select("doc_id").join(dropped, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        col("n_hosts").isNotNull.as("is_dropped"),
+        coalesce(col("n_hosts"), lit(0L)).as("n_hosts"))
+  }
+
   /** Containment-recall governance audit — [[lshRecallAudit]]'s twin
     * for the ASYMMETRIC threshold the exact containment join grounds:
     * how many true containment-≥t ordered pairs does the banded

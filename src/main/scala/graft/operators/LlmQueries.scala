@@ -533,6 +533,22 @@ object LlmQueries {
         threshold = 0.8, k = 3)
     },
 
+    // the containment TREATMENT: drop every doc ≥0.8-contained in a
+    // surviving doc — planted excerpts drop in favor of their hosts
+    // (strict containment), exact-duplicate planted copies keep the
+    // lowest doc_id (mutual containment), everything else survives;
+    // the oracle replays the witness rule over the unpruned join
+    "q_dedup_drop_contained" -> { (s, dir) =>
+      val d = docs(s, dir).select("doc_id", "text")
+      val excerpts = d.filter(col("doc_id") % 7 === 0)
+        .withColumn("_w", split(col("text"), " "))
+        .select((col("doc_id") + 300000L).as("doc_id"),
+          array_join(slice(col("_w"), lit(1),
+            greatest((size(col("_w")) / 2).cast("int"), lit(5))), " ")
+            .as("text"))
+      Dedup.dropContained(d.unionAll(excerpts), threshold = 0.8, k = 3)
+    },
+
     // containment-recall governance audit: how much of the TRUE
     // containment-0.8 ordered-pair mass do the banded Jaccard
     // candidates surface? Expected LOW on the excerpt-planted corpus —
@@ -1983,6 +1999,37 @@ object LlmQueries {
          |SELECT doc_a, doc_b, containment_a FROM pj
          |WHERE containment_a >= 0.8""".stripMargin,
 
+    // the witness rule over the UNPRUNED ordered containment join:
+    // drop a iff some b has C(a,b) >= 0.8 and (C(b,a) < 0.8 or b < a)
+    "q_dedup_drop_contained" -> {
+      s"""WITH u AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 300000 AS doc_id,
+         |    array_to_string(w[1:greatest(len(w) // 2, 5)], ' ') AS text
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS w
+         |        FROM documents WHERE doc_id % 7 = 0)),
+         |t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM u),
+         |shx AS (SELECT doc_id, $shinglesSql AS s FROM t),
+         |ds AS (SELECT doc_id, list_distinct(s) AS s FROM shx),
+         |pj AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s)
+         |      AS ca,
+         |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(b.s)
+         |      AS cb
+         |  FROM ds a JOIN ds b ON a.doc_id <> b.doc_id),
+         |wit AS (
+         |  SELECT doc_a FROM pj
+         |  WHERE ca >= 0.8 AND (cb < 0.8 OR doc_b < doc_a)),
+         |dr AS (
+         |  SELECT doc_a AS doc_id, CAST(count(*) AS BIGINT) AS n_hosts
+         |  FROM wit GROUP BY 1)
+         |SELECT u.doc_id, dr.doc_id IS NOT NULL AS is_dropped,
+         |  coalesce(dr.n_hosts, 0) AS n_hosts
+         |FROM u LEFT JOIN dr USING (doc_id)""".stripMargin
+    },
+
     // truth = the unpruned ordered containment join; candidates = the
     // banded replay (scored, unfiltered); one LEFT-JOIN merge feeds
     // the 1-row audit
@@ -3147,6 +3194,8 @@ object LlmQueries {
     "q_lsh_sensitivity" -> Seq("bin"),
     "q_jaccard_join_exact" -> Seq("doc_a", "doc_b"),
     "q_containment_join_exact" -> Seq("doc_a", "doc_b"),
+    "q_containment_recall_audit" -> Seq("threshold"),
+    "q_dedup_drop_contained" -> Seq("doc_id"),
     "q_kmeans_assign" -> Seq("vec_id"),
     "q_lsh_plan" -> Seq("bands"))
 }

@@ -1063,6 +1063,14 @@ class PlanAuditSpec extends AnyFunSuite {
       s"the exact side's rare-first prefix rank is a per-doc window:\n$p")
   }
 
+  test("q_dedup_drop_contained rides the exact join's envelope — " +
+    "pair-keyed witness merge, doc-keyed agg, no cartesian") {
+    val p = plan("q_dedup_drop_contained")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"the drop rule adds only keyed joins to the exact join:\n$p")
+  }
+
   test("q_lsh_plan never touches a corpus relation") {
     val p = plan("q_lsh_plan")
     assert(!p.contains("Scan parquet"),

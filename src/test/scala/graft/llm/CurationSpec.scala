@@ -1013,6 +1013,35 @@ class CurationSpec extends AnyFunSuite {
     assert(e.getMessage.contains("threshold"))
   }
 
+  test("dropContained: strict excerpts drop toward their hosts, " +
+    "mutual-containment chains keep exactly their minimum, untouched " +
+    "docs survive — the witness rule needs no iteration") {
+    val s = spark
+    import s.implicits._
+    val body = (1 to 12).map(i => s"w$i").mkString(" ")
+    val d = Seq(
+      1L -> body,                                  // host, survives
+      2L -> (1 to 6).map(i => s"w$i").mkString(" "), // excerpt of 1
+      3L -> body,                                  // mutual chain ...
+      4L -> body,                                  // ... keeps min (1)
+      5L -> "z1 z2 z3 z4 z5 z6 z7 z8")             // unrelated
+      .toDF("doc_id", "text")
+    val out = Dedup.dropContained(d, threshold = 0.8, k = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getLong(2))).toMap
+    graft.llm.PipelineCaches.clear()
+    assert(!out(1L)._1, "the minimum of the mutual chain survives")
+    assert(out(2L)._1, "the strict excerpt drops")
+    assert(out(3L)._1 && out(4L)._1,
+      "every non-minimum chain member sees a lower mutual witness")
+    assert(!out(5L)._1 && out(5L)._2 == 0L)
+    // doc 4's witnesses are exactly its two lower mutual twins (1, 3);
+    // the excerpt's are all three chain members
+    assert(out(4L)._2 == 2L)
+    assert(out(2L)._2 == 3L)
+    assert(out.size == 5, "rows preserved")
+  }
+
   test("containmentRecallAudit: a short excerpt inside a long host is " +
     "containment truth the Jaccard bands miss — the audit measures " +
     "exactly that gap; an identical pair is truth the bands catch") {
