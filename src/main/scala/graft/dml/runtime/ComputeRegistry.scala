@@ -1247,6 +1247,63 @@ object ComputeRegistry {
           keyed(df, ins.head), threshold = 0.8, k = 3)
         .withColumnRenamed("containment_a", out)
     },
+    // containment-recall audit over a TEXT input column — relation-
+    // REPLACING, ONE row: of the true containment-0.8 ordered pairs,
+    // the share the banded Jaccard candidates surface (expected < 1 —
+    // the measured LSH blindness to excerpt duplication); INTO
+    // column(...) names the recall column
+    "containment_recall_audit" -> { (df, ins, out) =>
+      require(!Seq("threshold", "n_truth", "n_hit").contains(out),
+        s"containment_recall_audit reserves its card column names; " +
+          s"pick another INTO column name (got '$out')")
+      graft.llm.Dedup.containmentRecallAudit(keyed(df, ins.head),
+          threshold = 0.8, k = 3)
+        .withColumnRenamed("recall", out)
+    },
+    // containment-dedup treatment over a TEXT input column — relation-
+    // PRESERVING: every row gains the witness-rule drop flag (strict
+    // excerpts drop toward hosts, mutual chains keep their minimum)
+    // and its witness count; INTO column(...) names the drop flag
+    "drop_contained" -> { (df, ins, out) =>
+      require(!Seq("n_hosts").contains(out),
+        s"drop_contained reserves 'n_hosts'; pick another INTO column " +
+          s"name (got '$out')")
+      df.join(graft.llm.Dedup.dropContained(
+          keyed(df, ins.head), threshold = 0.8, k = 3)
+          .withColumnRenamed("is_dropped", out)
+          .select("doc_id", out, "n_hosts"),
+        Seq("doc_id"))
+    },
+    // shifted-span detection over a TEXT input column — relation-
+    // REPLACING: per banded candidate pair, the longest any-alignment
+    // shared token span (stride-1 grams + islands); INTO column(...)
+    // names the span-fraction column
+    "shared_spans" -> { (df, ins, out) =>
+      require(!Seq("doc_a", "doc_b", "n_tokens_a", "n_grams_a",
+          "n_matched", "longest_span").contains(out),
+        s"shared_spans reserves its pair column names; pick another " +
+          s"INTO column name (got '$out')")
+      val kd = keyed(df, ins.head)
+      graft.llm.Curation.sharedSpans(kd,
+          graft.llm.Dedup.minhashCandidates(kd), k = 3)
+        .withColumnRenamed("span_frac", out)
+    },
+    // shifted-span REMOVAL over a TEXT input column — relation-
+    // PRESERVING: every row gains token counts, removed-token count,
+    // and the cleaned text with any ≥5-token any-alignment repeat cut
+    // from the higher doc of each candidate pair; INTO column(...)
+    // names the cleaned-text column
+    "remove_shared_spans" -> { (df, ins, out) =>
+      require(!Seq("n_tokens", "n_removed").contains(out),
+        s"remove_shared_spans reserves its count column names; pick " +
+          s"another INTO column name (got '$out')")
+      val kd = keyed(df, ins.head)
+      df.join(graft.llm.Curation.removeSharedSpans(kd,
+          graft.llm.Dedup.minhashCandidates(kd), k = 3,
+          minSpanTokens = 5)
+          .withColumnRenamed("clean_text", out),
+        Seq("doc_id"))
+    },
     // int8 reconstruction-distortion card over an EMBEDDING input
     // column — relation-REPLACING, ONE row (mse + mean cosine vs the
     // dequantized int8 vector); INTO column(...) names the mse column

@@ -132,10 +132,13 @@ class CatalogAnalysisSpec extends AnyFunSuite {
     val ghost = legacyUnpinned.diff(qs)
     assert(ghost.isEmpty,
       s"exemption-list names no longer in the catalog: $ghost")
-    // the r13-verdict straggler kernels exist in the DSL registry
+    // the r13-verdict straggler kernels + the r14 operator kernels
+    // exist in the DSL registry
     val kernels = graft.dml.runtime.ComputeRegistry.known
     for (k <- Seq("abtt_transform", "ann_recall_card",
-        "lsh_sensitivity", "minhash_est_quality"))
+        "lsh_sensitivity", "minhash_est_quality",
+        "containment_join_exact", "containment_recall_audit",
+        "drop_contained", "shared_spans", "remove_shared_spans"))
       assert(kernels.contains(k), s"kernel $k must stay registered")
   }
 }

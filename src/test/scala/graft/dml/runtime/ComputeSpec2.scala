@@ -1615,6 +1615,63 @@ class ComputeSpec2 extends AnyFunSuite {
     assert(err.getMessage.contains("reserves"))
   }
 
+  test("round-14 containment/span kernels reach the DSL: " +
+    "containment_recall_audit, drop_contained, shared_spans, " +
+    "remove_shared_spans — planted semantics + reserved names") {
+    val s = spark
+    import s.implicits._
+    val a = "w1 w2 w3 w4 w5 w6 w7 w8"
+    Seq((1L, a), (2L, s"zq zr $a"), (3L, "q w e r t y u i o p"))
+      .toDF("doc_id", "text").createOrReplaceTempView("r14k_docs")
+    // drop_contained: the shifted copy CONTAINS the original -> the
+    // original (mutually... no: strict) — original fully contained in
+    // copy, copy NOT contained in original (2 extra words of 10 ->
+    // C(copy, orig) = 6/8 = 0.75 < 0.8 by shingles) -> doc 1 drops
+    val dc = ComputeRegistry.runOnce(s,
+      parse("COMPUTE d FROM table(text) INTO column(dropped) " +
+        "USING drop_contained"),
+      "r14k_docs").collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Boolean]("dropped")).toMap
+    assert(dc(1L), "the contained original drops toward its superset")
+    assert(!dc(3L), "unrelated docs survive")
+    assert(dc.size == 3, "relation-preserving")
+    graft.llm.PipelineCaches.clear()
+    // shared_spans: the candidate pair (1,2) spans the whole of doc 1
+    val ss = ComputeRegistry.runOnce(s,
+      parse("COMPUTE x FROM table(text) INTO column(frac) " +
+        "USING shared_spans"),
+      "r14k_docs").collect()
+    assert(ss.exists(r => r.getAs[Long]("doc_a") == 1L &&
+      r.getAs[Long]("doc_b") == 2L && r.getAs[Double]("frac") == 1.0))
+    graft.llm.PipelineCaches.clear()
+    // remove_shared_spans: the higher doc of the pair loses the span
+    val rs = ComputeRegistry.runOnce(s,
+      parse("COMPUTE x FROM table(text) INTO column(cleaned) " +
+        "USING remove_shared_spans"),
+      "r14k_docs").collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("cleaned")).toMap
+    assert(rs(2L) == "zq zr" && rs(1L) == a)
+    graft.llm.PipelineCaches.clear()
+    // recall audit card shape
+    val ra = ComputeRegistry.runOnce(s,
+      parse("COMPUTE x FROM table(text) INTO column(rec) " +
+        "USING containment_recall_audit"),
+      "r14k_docs").collect()(0)
+    assert(ra.getAs[Long]("n_truth") >= 1L)
+    graft.llm.PipelineCaches.clear()
+    for ((kern, bad) <- Seq(
+        ("containment_recall_audit", "n_truth"),
+        ("drop_contained", "n_hosts"),
+        ("shared_spans", "longest_span"),
+        ("remove_shared_spans", "n_removed"))) {
+      val err = intercept[IllegalArgumentException](
+        ComputeRegistry.runOnce(s,
+          parse(s"COMPUTE x FROM table(text) INTO column($bad) " +
+            s"USING $kern"), "r14k_docs"))
+      assert(err.getMessage.contains("reserves"), kern)
+    }
+  }
+
   test("lsh_sensitivity / minhash_est_quality kernels reach the DSL " +
     "(r13 verdict task 6) and match their library twins; reserved " +
     "names refuse") {
