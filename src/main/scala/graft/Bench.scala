@@ -104,7 +104,11 @@ object Bench {
     // contention window from the self-report.
     val cpuBound = Set("q_uuid_shape", "q_pii_scrub", "q_ts_anomaly",
       "q_ts_forecast_input", "q_percent_rank_cont", "q_rollup_pricing",
-      "q_vocab_encode")
+      "q_vocab_encode",
+      // zero-shuffle projection+agg card: swung 1.4x/1.9x across the
+      // two r14 full runs while scan-bound neighbors held steady —
+      // the documented single-thread-CPU noise class
+      "q_script_shares")
     val loadAvgStart = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     var results = SparkEntry.queries.toSeq.sortBy(_._1).map {
