@@ -78,8 +78,14 @@ class CatalogAnalysisSpec extends AnyFunSuite {
     * the events tier (q_event.. / q_stream..) and TRAIN/compute entries
     * carry no DSL table kernel — kernels cover the llm/curation
     * operator tier; the four r13 stragglers (abtt_transform,
-    * ann_recall_card, lsh_sensitivity, minhash_est_quality) are
-    * asserted registered below. */
+    * ann_recall_card, lsh_sensitivity, minhash_est_quality) and the
+    * r14 operator kernels are asserted registered below. Further
+    * explicit kernel exemptions: `salted_join` takes TWO arbitrary
+    * relations (the COMPUTE syntax is single-relation; the self-join
+    * diagnostics join_skew/salting_plan cover the DSL surface) and
+    * `corpus_release_scored`/`stream_quality` require a stored model
+    * artifact the one-shot COMPUTE contract cannot reference (their
+    * batch halves corpus_release/logistic_quality ARE kernels). */
   test("every catalog entry is plan-pinned or explicitly exempt, and " +
     "the r13-straggler kernels are registered") {
     val legacyUnpinned = Set(
