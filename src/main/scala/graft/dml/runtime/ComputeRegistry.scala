@@ -646,9 +646,13 @@ object ComputeRegistry {
       require(df.columns.contains("doc_id"),
         s"table kernels require a 'doc_id' key column; relation has " +
           s"[${df.columns.mkString(", ")}]")
+      // count ONCE: targetN derives from this count, so the same value
+      // satisfies stratAlloc's guard without a second action over the
+      // relation (round-15 advice fix)
+      val n = df.count()
       graft.llm.Sampling.stratAlloc(
           df.select(col("doc_id"), col(ins.head).as("_stratum")),
-          "_stratum", targetN = math.min(100L, df.count()))
+          "_stratum", targetN = math.min(100L, n), knownCount = Some(n))
         .withColumnRenamed("_stratum", ins.head)
         .withColumnRenamed("selected", out)
     },

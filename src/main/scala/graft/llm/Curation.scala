@@ -1661,7 +1661,11 @@ object Curation {
     val aMeta = grams.groupBy(col("doc_id").as("doc_a")).agg(
       max("n_tokens").as("n_tokens_a"),
       count(lit(1)).cast("bigint").as("n_grams_a"))
-    cand.join(aMeta, Seq("doc_a"))
+    // LEFT join (round-15 advice fix): a stale candidate pair whose
+    // doc_a is absent from docs keeps its row with NULL meta (and
+    // span_frac NULL) — surfacing the inconsistency beats silently
+    // discarding it, and "rows preserved" stays literally true
+    cand.join(aMeta, Seq("doc_a"), "left")
       .join(hits, Seq("doc_a", "doc_b"), "left")
       .select(col("doc_a"), col("doc_b"), col("n_tokens_a"),
         col("n_grams_a"),
@@ -1701,8 +1705,19 @@ object Curation {
     require(k >= 1, s"k must be >= 1, got $k")
     require(minSpanTokens >= k,
       s"minSpanTokens must be >= k ($k), got $minSpanTokens")
-    val candIds = candidates.select(col("doc_a").as("doc_id"))
-      .unionByName(candidates.select(col("doc_b").as("doc_id")))
+    // normalize orientation INSIDE the operator (round-15 advice fix):
+    // keep-one means the HIGHER doc_id loses its copy, so a caller
+    // passing ordered pairs (e.g. containmentJoinExact emits BOTH
+    // orientations of a mutual near-dup) must not make both docs lose —
+    // (least, greatest) + distinct restores the unordered contract; the
+    // distinct rides the candidate-bounded pair relation
+    val cands = candidates
+      .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+        greatest(col("doc_a"), col("doc_b")).as("doc_b"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .distinct()
+    val candIds = cands.select(col("doc_a").as("doc_id"))
+      .unionByName(cands.select(col("doc_b").as("doc_id")))
       .distinct()
     val grams = PipelineCaches.track(docs
       .join(candIds, Seq("doc_id"), "left_semi")
@@ -1719,7 +1734,7 @@ object Curation {
     // the doc that loses keep-one)
     val aSet = grams.select(col("doc_id").as("doc_a"), col("gram_key"))
       .distinct()
-    val islands = candidates.select("doc_a", "doc_b")
+    val islands = cands
       .join(grams.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"))
       .join(aSet, Seq("doc_a", "gram_key"))
       .withColumn("_rn", row_number().over(

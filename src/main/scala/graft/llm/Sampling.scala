@@ -109,19 +109,29 @@ object Sampling {
     * sample size is acceptable. Quotas never exceed stratum sizes:
     * floor < c when targetN < total, so +1 still fits. */
   def stratAlloc(docs: DataFrame, groupCol: String, targetN: Long,
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id", knownCount: Option[Long] = None)
+      : DataFrame = {
     require(targetN >= 0, s"targetN must be >= 0, got $targetN")
-    require(targetN <= docs.count(),
+    // knownCount lets a caller that already counted the relation (the
+    // strat_alloc kernel derives targetN from the same count) skip the
+    // guard's extra action (round-15 advice fix)
+    require(targetN <= knownCount.getOrElse(docs.count()),
       s"stratAlloc: targetN=$targetN exceeds the corpus size")
     val counts = docs.groupBy(col(groupCol).as("_g"))
       .agg(count(lit(1)).as("_c"))
     // all-integer apportionment (long div/mod — exact while c·targetN
     // fits 63 bits; pre-scale the target at truly absurd products); all
-    // windows ride the stratum-count table (bounded by strata)
+    // windows ride the stratum-count table (bounded by strata).
+    // NULLS LAST on the remainder tie-break: the NULL stratum is
+    // first-class (null-safe quota join below), and Spark's asc is
+    // nulls-first where DuckDB's is nulls-last — without the explicit
+    // ordering a remainder tie involving the NULL stratum would land
+    // the +1 quota on different strata in the two engines (the
+    // joinSkewCard convention, round-15 advice fix)
     val wAll = Window.partitionBy(lit(0))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val wRem = Window.partitionBy(lit(0))
-      .orderBy(col("_rem").desc, col("_g").asc)
+      .orderBy(col("_rem").desc, col("_g").asc_nulls_last)
     val quotas = counts
       .withColumn("_tot", sum("_c").over(wAll))
       .withColumn("_fl", expr(s"(_c * ${targetN}L) div _tot"))

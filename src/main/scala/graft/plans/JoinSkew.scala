@@ -111,12 +111,24 @@ object JoinSkew {
     * because it broadcasts to both sides and multiplies the right side
     * by its salt factor.
     *
-    * Row-to-sub-key assignment is `pmod(monotonically_increasing_id(),
-    * salt)` — a round-robin within each scan partition, NOT a hash of
-    * the row payload: a hot key's rows are often near-identical (that
-    * is why the key is hot), and content hashing would pile them all
-    * onto one sub-key, silently undoing the treatment. The assignment
-    * affects only WHERE a row is processed, never the joined output.
+    * Row-to-sub-key assignment is `pmod(xxhash64(every left column),
+    * salt)` — DETERMINISTIC in the row's full payload, never in its
+    * arrival order. This matters under failure: a nondeterministic
+    * assignment (round-robin over `monotonically_increasing_id()`)
+    * feeding a shuffle partition key can change a row's salt between a
+    * map stage's original run and its post-fetch-failure recompute,
+    * duplicating or dropping hot-key rows — the classic
+    * nondeterministic-repartition hazard, unacceptable for the 100 TB
+    * production joins this operator targets where stage retries are
+    * routine. Hot-key rows are near-identical in the KEY by definition
+    * but almost always differ in some payload column (an id, a
+    * timestamp), so the full-row hash still spreads them; rows that
+    * are byte-identical across EVERY column co-locate — set
+    * `roundRobinSalt = true` to trade that residual pile-up risk for
+    * the stage-retry exposure above (documented fallback, only for
+    * pipelines that disable stage retries or checkpoint the left
+    * side). The assignment affects only WHERE a row is processed,
+    * never the joined output.
     *
     * NULL join keys take the cold path and vanish there, exactly as
     * the plain inner equi-join drops them. Scale shape: two broadcast
@@ -137,7 +149,7 @@ object JoinSkew {
   }
 
   def saltedJoin(left: DataFrame, right: DataFrame, keyCol: String,
-      plan: DataFrame): DataFrame = {
+      plan: DataFrame, roundRobinSalt: Boolean = false): DataFrame = {
     validateSaltedJoin(left, right, keyCol)
     val lcols = left.columns.toSeq
     val rcols = right.columns.toSeq.filterNot(_ == keyCol)
@@ -166,8 +178,11 @@ object JoinSkew {
       .select(lcols.map(col): _*)
       .join(rTag.filter(col("_sf").isNull)
         .select((keyCol +: rcols).map(col): _*), Seq(keyCol))
+    val saltAssign =
+      if (roundRobinSalt) pmod(monotonically_increasing_id(), col("_sf"))
+      else pmod(xxhash64(lcols.map(col): _*), col("_sf"))
     val hotJoin = lTag.filter(col("_sf").isNotNull)
-      .withColumn("_salt", pmod(monotonically_increasing_id(), col("_sf")))
+      .withColumn("_salt", saltAssign)
       .select((lcols.map(col) :+ col("_salt")): _*)
       .join(rTag.filter(col("_sf").isNotNull)
           .withColumn("_salt",
