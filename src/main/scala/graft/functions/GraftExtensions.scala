@@ -22,6 +22,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftExtensions.functions.foreach(ext.injectFunction)
     // opt-in AQP rewrite: inert until spark.graft.cosineJoin.rewrite=true
     ext.injectOptimizerRule(graft.plans.CosineJoinRewrite(_))
+    // opt-in stats-driven skew treatment: inert until
+    // spark.graft.skewJoin.rewrite=true
+    ext.injectOptimizerRule(graft.plans.SkewJoinRewrite(_))
   }
 }
 
@@ -116,9 +119,11 @@ object GraftExtensions {
       spark.sessionState.functionRegistry
         .registerFunction(ident, info, builder)
     }
-    val rule = graft.plans.CosineJoinRewrite(spark)
-    if (!spark.experimental.extraOptimizations.contains(rule))
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ rule
+    Seq(graft.plans.CosineJoinRewrite(spark),
+        graft.plans.SkewJoinRewrite(spark)).foreach { rule =>
+      if (!spark.experimental.extraOptimizations.contains(rule))
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ rule
+    }
   }
 }

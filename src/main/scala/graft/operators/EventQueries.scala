@@ -224,6 +224,52 @@ object EventQueries {
         targetRows = 200L, topN = 5)
     },
 
+    // the salting treatment as ENGINE BEHAVIOR (r14 verdict task 2): the
+    // SAME planted-hot-key join written as a PLAIN inner join, salted
+    // automatically by the conf-gated SkewJoinRewrite optimizer rule
+    // (plans/SkewJoinRewrite.scala) — the rule runs the count-table
+    // diagnosis at plan time, finds the hot key tripping targetRows=200,
+    // and swaps in the salted decomposition. The oracle is the plain
+    // join, so the hash gate re-proves the rewrite's result identity
+    // every round. auto-broadcast is disabled while the conf is on
+    // because the fixture sides are tiny and the rule (correctly)
+    // declines to salt a join the planner would broadcast — the 100 TB
+    // case this simulates has both sides far above the threshold. The
+    // entry hard-fails if the rewrite did not fire and eagerly
+    // materializes before the confs restore.
+    "q_salted_join_rewrite" -> { (s, dir) =>
+      graft.functions.GraftExtensions.register(s)
+      val e = events(s, dir).select(col("event_id"),
+        when(col("event_id") % 3 === 0, 0L)
+          .otherwise(pmod(col("user_id"), lit(500L)) + 1L).as("k"),
+        col("value"))
+      val r = e.groupBy("k").agg(count(lit(1)).cast("bigint").as("n_r"))
+      val prevOn = s.conf.get("spark.graft.skewJoin.rewrite", "false")
+      val prevTarget = s.conf.get("spark.graft.skewJoin.targetRows", "5000000")
+      val prevTop = s.conf.get("spark.graft.skewJoin.topN", "20")
+      val prevBcast = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      s.conf.set("spark.graft.skewJoin.rewrite", "true")
+      s.conf.set("spark.graft.skewJoin.targetRows", "200")
+      s.conf.set("spark.graft.skewJoin.topN", "5")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val out = e.join(r, Seq("k"))
+          .select("event_id", "k", "value", "n_r")
+        val plan = out.queryExecution.executedPlan.toString
+        require(plan.contains("__graft_skew"),
+          "skew-join rewrite did not fire; the entry would not exercise it")
+        require(!plan.contains("CartesianProduct") &&
+          !plan.contains("BroadcastNestedLoopJoin"),
+          "skew-join rewrite must not introduce a cartesian")
+        out.localCheckpoint(true)
+      } finally {
+        s.conf.set("spark.graft.skewJoin.rewrite", prevOn)
+        s.conf.set("spark.graft.skewJoin.targetRows", prevTarget)
+        s.conf.set("spark.graft.skewJoin.topN", prevTop)
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBcast)
+      }
+    },
+
     // hourly per-type metrics roll-up — tumbling windows via date_trunc
     // STREAM-STATIC enrichment join, completing the streaming join
     // matrix (static / stream-stream inner / stream-stream outer): each
@@ -653,6 +699,19 @@ object EventQueries {
         |SELECT l.event_id, l.k, l.value, r.n_r
         |FROM l JOIN r USING (k)""".stripMargin,
 
+    // identical plain-join oracle: the optimizer-rule path must emit
+    // exactly the same set as the library-call path above
+    "q_salted_join_rewrite" ->
+      """WITH l AS (
+        |  SELECT event_id,
+        |    CASE WHEN event_id % 3 = 0 THEN 0
+        |      ELSE user_id % 500 + 1 END AS k,
+        |    value
+        |  FROM events),
+        |r AS (SELECT k, CAST(count(*) AS BIGINT) AS n_r FROM l GROUP BY 1)
+        |SELECT l.event_id, l.k, l.value, r.n_r
+        |FROM l JOIN r USING (k)""".stripMargin,
+
     // the skew-card replay filtered to key rows with the integer-ceil
     // salt factor
     "q_salting_plan" ->
@@ -950,6 +1009,7 @@ object EventQueries {
     "q_join_skew_card" -> Seq("is_total", "key"),
     "q_salting_plan" -> Seq("key"),
     "q_salted_join" -> Seq("event_id"),
+    "q_salted_join_rewrite" -> Seq("event_id"),
     "q_event_transitions" -> Seq("from_type", "to_type"),
     "q_events_lag" -> Seq("user_id", "event_id"),
     "q_events_asof" -> Seq("event_id"),

@@ -393,6 +393,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(df.count() > 0)
   }
 
+  test("q_salted_join_rewrite's in-entry fired/no-cartesian requires " +
+    "hold") {
+    // same contract as the cosine rewrite entry: the rule-fired and
+    // no-cartesian assertions are requires INSIDE the entry (on the
+    // pre-checkpoint executed plan), so constructing it here runs them —
+    // a silently-disabled rewrite throws instead of passing vacuously
+    val df = SparkEntry.queries("q_salted_join_rewrite")(
+      spark, SparkTestSession.fixtureDir)
+    assert(df.count() > 0)
+  }
+
   test("q_ann_rp_topk fuses the projection, heaps the coarse pass, and " +
     "never goes cartesian") {
     val p = plan("q_ann_rp_topk")

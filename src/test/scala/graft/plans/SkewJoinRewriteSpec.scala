@@ -1,0 +1,170 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.functions.GraftExtensions
+
+/** The conf-gated automatic skew-join rewrite: an inner equi-join whose
+  * key counts trip the salting threshold is swapped for the salted
+  * decomposition at plan time — result-identical, no cartesian, and
+  * inert for joins that don't need (or can't use) the treatment. */
+class SkewJoinRewriteSpec extends AnyFunSuite {
+
+  private def spark = SparkTestSession.withTables()
+
+  /** Left side with a planted hot key 0 (half the rows) over 50 cold
+    * keys; right side one row per key. */
+  private def sides(s: SparkSession): (DataFrame, DataFrame) = {
+    val left = s.range(0, 2000).select(
+      col("id").as("lid"),
+      when(col("id") % 2 === 0, 0L).otherwise(col("id") % 50 + 1).as("k"),
+      (col("id") * 2).as("lv"))
+    val right = s.range(0, 51).select(
+      col("id").as("k"), (col("id") + 100).as("rv"))
+    (left, right)
+  }
+
+  private def rows(df: DataFrame): Set[(Long, Long, Long, Long)] =
+    df.select("lid", "k", "lv", "rv").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+
+  private def withRewrite[T](s: SparkSession, targetRows: Long = 100L)
+      (body: => T): T = {
+    GraftExtensions.register(s)
+    val prevBcast = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    s.conf.set("spark.graft.skewJoin.rewrite", "true")
+    s.conf.set("spark.graft.skewJoin.targetRows", targetRows.toString)
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try body
+    finally {
+      s.conf.set("spark.graft.skewJoin.rewrite", "false")
+      s.conf.set("spark.graft.skewJoin.targetRows", "5000000")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBcast)
+    }
+  }
+
+  test("hot-key join is rewritten to the salted shape and stays " +
+    "result-identical to the plain join") {
+    val s = spark
+    val (l, r) = sides(s)
+    val plain = rows(l.join(r, Seq("k")))
+    withRewrite(s) {
+      val j = l.join(r, Seq("k"))
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("__graft_skew"), s"rewrite did not fire:\n$p")
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"rewrite must not degenerate:\n$p")
+      assert(p.contains("Union"), s"cold + hot paths must union:\n$p")
+      assert(rows(j) == plain)
+    }
+  }
+
+  test("explicit-condition form (both key attributes in the output) is " +
+    "also rewritten and restores the right key attribute") {
+    val s = spark
+    val (l, r0) = sides(s)
+    val r = r0.withColumnRenamed("k", "rk")
+    def q = l.join(r, col("k") === col("rk"))
+      .select("lid", "k", "rk", "lv", "rv")
+    val plain = q.collect().map(_.toSeq).toSet
+    withRewrite(s) {
+      val p = q.queryExecution.executedPlan.toString
+      assert(p.contains("__graft_skew"), s"rewrite did not fire:\n$p")
+      val got = q.collect().map(_.toSeq).toSet
+      assert(got == plain)
+      // the restored right key equals the left key on every row
+      assert(q.filter(col("k") =!= col("rk")).count() == 0)
+    }
+  }
+
+  test("no hot keys -> join left untouched") {
+    val s = spark
+    val (_, r) = sides(s)
+    val flat = s.range(0, 500).select(
+      col("id").as("lid"), (col("id") % 50).as("k"), col("id").as("lv"))
+    withRewrite(s, targetRows = 1000L) {
+      val p = flat.join(r, Seq("k")).queryExecution.executedPlan.toString
+      assert(!p.contains("__graft_skew"),
+        s"a flat join must not be salted:\n$p")
+    }
+  }
+
+  test("disabled conf leaves everything alone") {
+    val s = spark
+    GraftExtensions.register(s)
+    s.conf.set("spark.graft.skewJoin.rewrite", "false")
+    val (l, r) = sides(s)
+    val p = l.join(r, Seq("k")).queryExecution.executedPlan.toString
+    assert(!p.contains("__graft_skew"))
+  }
+
+  test("a broadcastable side vetoes the rewrite (no shuffle on the key " +
+    "means no skew to treat)") {
+    val s = spark
+    GraftExtensions.register(s)
+    val (l, r) = sides(s)
+    s.conf.set("spark.graft.skewJoin.rewrite", "true")
+    s.conf.set("spark.graft.skewJoin.targetRows", "100")
+    // default autoBroadcastJoinThreshold (10MB) — the tiny right side
+    // broadcasts, so the rule must decline
+    try {
+      val p = l.join(r, Seq("k")).queryExecution.executedPlan.toString
+      assert(!p.contains("__graft_skew"),
+        s"rule must decline a broadcastable join:\n$p")
+      assert(p.contains("BroadcastHashJoin"), p)
+    } finally {
+      s.conf.set("spark.graft.skewJoin.rewrite", "false")
+      s.conf.set("spark.graft.skewJoin.targetRows", "5000000")
+    }
+  }
+
+  test("multi-equality and non-inner joins are left alone") {
+    val s = spark
+    val (l, r0) = sides(s)
+    val r = r0.withColumnRenamed("k", "rk").withColumn("rv2", col("rv"))
+    withRewrite(s) {
+      val multi = l.join(r,
+        col("k") === col("rk") && col("lv") === col("rv2"))
+      assert(!multi.queryExecution.executedPlan.toString
+        .contains("__graft_skew"))
+      val louter = l.join(r, col("k") === col("rk"), "left")
+      assert(!louter.queryExecution.executedPlan.toString
+        .contains("__graft_skew"))
+    }
+  }
+
+  test("same-named payload columns on both sides survive the internal " +
+    "renaming") {
+    val s = spark
+    val l = s.range(0, 1000).select(
+      col("id").as("lid"),
+      when(col("id") % 2 === 0, 0L).otherwise(col("id") % 20 + 1).as("k"),
+      col("id").as("v"))
+    val r = s.range(0, 21).select(col("id").as("k"), (col("id") * 10).as("v"))
+    def q = l.join(r, Seq("k")).select(col("lid"), col("k"),
+      l("v").as("lv"), r("v").as("rv"))
+    val plain = q.collect().map(_.toSeq).toSet
+    withRewrite(s) {
+      val p = q.queryExecution.executedPlan.toString
+      assert(p.contains("__graft_skew"), s"rewrite did not fire:\n$p")
+      assert(q.collect().map(_.toSeq).toSet == plain)
+    }
+  }
+
+  test("NULL join keys vanish in both paths (inner-join semantics)") {
+    val s = spark
+    val (l0, r) = sides(s)
+    val l = l0.select(col("lid"),
+      when(col("lid") % 7 === 0, lit(null).cast("bigint"))
+        .otherwise(col("k")).as("k"), col("lv"))
+    val plain = rows(l.join(r, Seq("k")))
+    withRewrite(s) {
+      assert(rows(l.join(r, Seq("k"))) == plain)
+    }
+  }
+}
