@@ -261,16 +261,122 @@ object Pq {
     val cb = seededCodebooks(embeddings, pqSeedIds, m)
     val corpus = cells.assigned.select(col("vec_id"), col("_list"),
       encodeCol(col("embedding"), cb).as("codes"))
-    val probed = embeddings.filter(col("vec_id").isInCollection(queryIds))
+    searchIvfPqCodes(corpus, cells.centers, cb,
+      embeddings.filter(col("vec_id").isInCollection(queryIds)),
+      k, nProbe)
+  }
+
+  /** ADC top-k against an already-encoded IVF-PQ corpus table
+    * (vec_id, _list, codes) — the entry point a persisted
+    * [[saveIvfPqIndex]] store serves directly. `queries` needs
+    * (vec_id, embedding); self-matches excluded by id. */
+  def searchIvfPqCodes(
+      corpus: DataFrame, centers: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]], queries: DataFrame,
+      k: Int = 10, nProbe: Int = 4): DataFrame = {
+    val probed = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         explode(Similarity.probeCellsCol(
-          col("embedding"), cells.centers, nProbe)).as("_list"))
+          col("embedding"), centers, nProbe)).as("_list"))
     val scored = corpus.join(broadcast(probed), Seq("_list"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        adcCol(col("q_emb"), col("codes"), cb).as("score"))
+        adcCol(col("q_emb"), col("codes"), codebooks).as("score"))
     graft.plans.TopK.topKPerKey(scored, Seq("query_id"),
       Seq(col("score"), negate(col("vec_id"))), k)
       .select("query_id", "vec_id", "score", "rank")
   }
+
+  /** One-pass IVF-PQ encoding: cell assignment (nearest center, the
+    * [[Similarity.buildIvfIndexSeeded]] rule) + PQ codes in one
+    * projection — the (vec_id, _list, codes) corpus table of the store.
+    * Zero shuffle; no embedding survives into the output. */
+  def encodeIvfPq(embeddings: DataFrame, centers: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]]): DataFrame =
+    embeddings.select(col("vec_id"),
+      element_at(Similarity.probeCellsCol(
+        col("embedding"), centers, 1), 1).as("_list"),
+      encodeCol(col("embedding"), codebooks).as("codes"))
+
+  /** Persist a full IVF-PQ store: the encoded corpus (at scale, write
+    * bucketed on `_list` so [[searchIvfPqCodes]]'s cell join needs no
+    * exchange) plus centers and codebooks metadata beside it. */
+  def saveIvfPqIndex(embeddings: DataFrame,
+      centers: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]], path: String): Unit = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    encodeIvfPq(embeddings, centers, codebooks)
+      .write.mode("overwrite").parquet(s"$path/assigned")
+    centers.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
+      .toDF("list", "center")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centers")
+    codebooks.zipWithIndex.flatMap { case (book, j) =>
+      book.zipWithIndex.map { case (cw, c) => (j, c, cw.toSeq) }
+    }.toSeq.toDF("j", "c", "codeword")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+  }
+
+  /** Reload an IVF-PQ store: (assigned codes, centers, codebooks) —
+    * metadata collected once, the code table a distributed scan. */
+  def loadIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String)
+      : (DataFrame, Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    val centers = spark.read.parquet(s"$path/centers").orderBy("list")
+      .collect().map(_.getSeq[Double](1).toArray)
+    val rows = spark.read.parquet(s"$path/codebooks")
+      .orderBy("j", "c").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val codebooks = rows.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (_, cws) => cws.sortBy(_._2).map(_._3) }.toArray
+    (spark.read.parquet(s"$path/assigned"), centers, codebooks)
+  }
+
+  /** APPEND a new shard to a persisted [[saveIvfPqIndex]] store (r14
+    * verdict task 3): only the shard pays assignment + encoding cost —
+    * the quantizers are FROZEN store metadata (seeded centers and
+    * codebooks), which is precisely why append == rebuild: both paths
+    * assign and encode with identical constants, so the appended store's
+    * search results match a from-scratch rebuild row for row (the oracle
+    * entry re-proves it). Ids must be disjoint from the stored ones. A
+    * shard whose embedding width disagrees with the codebooks fails
+    * loudly before anything is written. */
+  def appendToIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, newShard: DataFrame): Unit = {
+    val centers = spark.read.parquet(s"$path/centers").orderBy("list")
+      .collect().map(_.getSeq[Double](1).toArray)
+    val rows = spark.read.parquet(s"$path/codebooks")
+      .orderBy("j", "c").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val codebooks = rows.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (_, cws) => cws.sortBy(_._2).map(_._3) }.toArray
+    val dim = codebooks.map(_.head.length).sum
+    val shardDim = Similarity.embeddingDim(newShard)
+    require(shardDim == 0 || shardDim == dim,
+      s"appendToIvfPqIndex: shard embedding dim $shardDim != store dim $dim")
+    encodeIvfPq(newShard, centers, codebooks)
+      .write.mode("append").parquet(s"$path/assigned")
+  }
+
+  /** Retire vectors from a loaded IVF-PQ code table — one broadcast
+    * anti-join pass, the [[graft.llm.Dedup.retireFromIndex]] contract. */
+  def retireFromIvfPqIndex(assigned: DataFrame, retiredIds: DataFrame)
+      : DataFrame =
+    assigned.join(broadcast(retiredIds.select(col("vec_id"))),
+      Seq("vec_id"), "left_anti")
+
+  /** [[retireFromIvfPqIndex]] for a driver-held id batch. */
+  def retireFromIvfPqIndex(assigned: DataFrame, retiredIds: Seq[Long])
+      : DataFrame =
+    assigned.filter(!col("vec_id").isInCollection(retiredIds))
+
+  /** In-place maintenance of a persisted IVF-PQ store: drop retired ids
+    * and rewrite the code table once (compacting append small-files),
+    * swap safety via [[graft.scale.StoreMaint.replaceStore]]. Returns
+    * retained rows. */
+  def compactIvfPqIndexStore(spark: org.apache.spark.sql.SparkSession,
+      path: String, retiredIds: Seq[Long]): Long =
+    graft.scale.StoreMaint.replaceStore(spark, s"$path/assigned",
+      retireFromIvfPqIndex(
+        spark.read.parquet(s"$path/assigned"), retiredIds))
 }

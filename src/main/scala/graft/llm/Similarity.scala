@@ -403,6 +403,53 @@ object Similarity {
     (spark.read.parquet(s"$path/sketches"), meta.getInt(0), meta.getInt(1))
   }
 
+  /** APPEND a new shard to a persisted [[saveRpIndex]] store without
+    * touching the existing corpus (r14 verdict task 3 — production index
+    * upkeep is append + retire, not full rebuild): only the shard pays
+    * projection cost, written as an append to the sketch table. Search
+    * over the appended store is EXACTLY search over a full rebuild —
+    * the ±1 matrix is a pure function of the store's (outDim, dim) meta,
+    * so there is no model artifact that could drift between the original
+    * build and the append (the oracle entry re-proves the equality every
+    * round). Ids must be disjoint from the stored ones (the
+    * [[graft.llm.Dedup.incrementalCandidates]] contract). A shard whose
+    * embedding width disagrees with the store's meta fails loudly here —
+    * silently mis-projected sketches would corrupt every later search. */
+  def appendToRpIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, newShard: DataFrame): Unit = {
+    val meta = spark.read.parquet(s"$path/meta").collect().head
+    val (outDim, dim) = (meta.getInt(0), meta.getInt(1))
+    val shardDim = embeddingDim(newShard)
+    require(shardDim == 0 || shardDim == dim,
+      s"appendToRpIndex: shard embedding dim $shardDim != store dim $dim")
+    rpSketches(newShard, outDim, dim)
+      .write.mode("append").parquet(s"$path/sketches")
+  }
+
+  /** Retire vectors from a loaded RP sketch table without re-projecting
+    * anything — the id set anti-joins away in one pass (broadcast: retire
+    * batches are small relative to any corpus). The
+    * [[graft.llm.Dedup.retireFromIndex]] contract for the ANN tier. */
+  def retireFromRpIndex(sketches: DataFrame, retiredIds: DataFrame)
+      : DataFrame =
+    sketches.join(broadcast(retiredIds.select(col("vec_id"))),
+      Seq("vec_id"), "left_anti")
+
+  /** [[retireFromRpIndex]] for a driver-held id batch. */
+  def retireFromRpIndex(sketches: DataFrame, retiredIds: Seq[Long])
+      : DataFrame =
+    sketches.filter(!col("vec_id").isInCollection(retiredIds))
+
+  /** In-place maintenance of a parquet-persisted RP store: drop retired
+    * vectors and rewrite the sketch table once — also compacting the
+    * small files appends accumulate (the
+    * [[graft.llm.Dedup.compactIndexStore]] discipline; swap safety via
+    * [[graft.scale.StoreMaint.replaceStore]]). Returns retained rows. */
+  def compactRpIndexStore(spark: org.apache.spark.sql.SparkSession,
+      path: String, retiredIds: Seq[Long]): Long =
+    graft.scale.StoreMaint.replaceStore(spark, s"$path/sketches",
+      retireFromRpIndex(spark.read.parquet(s"$path/sketches"), retiredIds))
+
   /** [[searchRp]] for EXTERNAL query vectors (the serving path): queries
     * arrive as (query_id, q_emb) rows rather than corpus ids — each is
     * projected with the same matrix, coarse-matched against the sketch

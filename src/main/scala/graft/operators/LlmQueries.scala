@@ -785,6 +785,50 @@ object LlmQueries {
         .orderBy("query_id", "rank")
     },
 
+    // incremental ANN index maintenance (r14 verdict task 3): an RP
+    // store built from HALF the corpus, the other half APPENDED (only
+    // the shard pays projection cost — the ±1 matrix is pure (outDim,
+    // dim) metadata, nothing to drift), then searched through the
+    // loaded store. The oracle is q_ann_rp_topk's full-corpus replay:
+    // a green hash IS the append==rebuild proof, re-proven every round
+    "q_ann_index_append" -> { (s, dir) =>
+      val e = embs(s, dir).select("vec_id", "embedding")
+      val tmp = EventQueries.scratchDir("graft_rp_store").toFile
+      try {
+        Similarity.saveRpIndex(e.filter(col("vec_id") % 2 === 0),
+          tmp.toString, outDim = 16)
+        Similarity.appendToRpIndex(s, tmp.toString,
+          e.filter(col("vec_id") % 2 === 1))
+        val (sk, _, _) = Similarity.loadRpIndex(s, tmp.toString)
+        Similarity.searchRp(sk, e, annQueryIds, k = 10, rerank = 30)
+          .localCheckpoint(true).orderBy("query_id", "rank")
+      } finally EventQueries.rmTree(tmp)
+    },
+
+    // the IVF-PQ twin: quantizer metadata (seeded centers + codebooks)
+    // is FROZEN at store build; the appended shard is assigned and
+    // encoded with those stored constants, which is exactly why
+    // append == rebuild — proven by hashing against q_ann_ivfpq_topk's
+    // from-scratch replay oracle
+    "q_ann_ivfpq_append" -> { (s, dir) =>
+      val e = embs(s, dir).select("vec_id", "embedding")
+      val centers = Similarity.buildIvfIndexSeeded(e, ivfSeedIds,
+        persist = false).centers
+      val cb = Pq.seededCodebooks(e, pqSeedIds, m = 8)
+      val tmp = EventQueries.scratchDir("graft_ivfpq_store").toFile
+      try {
+        Pq.saveIvfPqIndex(e.filter(col("vec_id") % 2 === 0), centers,
+          cb, tmp.toString)
+        Pq.appendToIvfPqIndex(s, tmp.toString,
+          e.filter(col("vec_id") % 2 === 1))
+        val (assigned, c2, cb2) = Pq.loadIvfPqIndex(s, tmp.toString)
+        Pq.searchIvfPqCodes(assigned, c2, cb2,
+          e.filter(col("vec_id").isInCollection(annQueryIds)),
+          k = 10, nProbe = 4)
+          .localCheckpoint(true).orderBy("query_id", "rank")
+      } finally EventQueries.rmTree(tmp)
+    },
+
     // composite corpus filter — the end-to-end training-data pipeline:
     // keep docs that pass quality, are dedup group leaders, and whose
     // heuristic language agrees with the labeled one. One scan + one
@@ -1311,7 +1355,11 @@ object LlmQueries {
   private lazy val bruteSubquery: String = baseOracles("q_ann_cosine_topk")
 
   def oracles: Map[String, String] =
-    baseOracles + ("q_ann_recall_card" -> annRecallCardOracleSql)
+    baseOracles + ("q_ann_recall_card" -> annRecallCardOracleSql) +
+      // append==rebuild by construction: the appended stores must hash
+      // exactly to the from-scratch full-corpus replays
+      ("q_ann_index_append" -> baseOracles("q_ann_rp_topk")) +
+      ("q_ann_ivfpq_append" -> baseOracles("q_ann_ivfpq_topk"))
 
   private lazy val baseOracles: Map[String, String] = Map(
     "q_text_stats" ->

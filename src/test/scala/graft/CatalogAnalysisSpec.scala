@@ -85,7 +85,12 @@ class CatalogAnalysisSpec extends AnyFunSuite {
     * diagnostics join_skew/salting_plan cover the DSL surface) and
     * `corpus_release_scored`/`stream_quality` require a stored model
     * artifact the one-shot COMPUTE contract cannot reference (their
-    * batch halves corpus_release/logistic_quality ARE kernels). */
+    * batch halves corpus_release/logistic_quality ARE kernels), and the
+    * r15 store-maintenance entries `ann_index_append`/`ann_ivfpq_append`
+    * are save→append→load round-trips over persisted stores — the same
+    * stored-artifact exemption; their search halves are covered by the
+    * existing ANN kernels. `salted_join_rewrite` is the two-relation
+    * `salted_join` exemption applied through the optimizer rule. */
   test("every catalog entry is plan-pinned or explicitly exempt, and " +
     "the r13-straggler kernels are registered") {
     val legacyUnpinned = Set(

@@ -404,6 +404,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(df.count() > 0)
   }
 
+  test("q_ann_index_append / q_ann_ivfpq_append: store round-trips run " +
+    "and the appended stores serve full top-k lists") {
+    // constructing these entries RUNS the save → append → load → search
+    // round-trip (the returned frame is a checkpoint scan); 50 rows =
+    // 5 queries × k 10, so a silently-empty appended store cannot pass.
+    // Search-plan shape (broadcast query fan-out, heap top-k, no
+    // cartesian at corpus scale) is pinned by the q_ann_rp_topk /
+    // q_ann_ivfpq_topk family pins — these entries reuse those plans.
+    for (name <- Seq("q_ann_index_append", "q_ann_ivfpq_append")) {
+      val df = SparkEntry.queries(name)(spark, SparkTestSession.fixtureDir)
+      assert(df.count() == 50, s"$name must serve 5 full top-10 lists")
+    }
+  }
+
   test("q_ann_rp_topk fuses the projection, heaps the coarse pass, and " +
     "never goes cartesian") {
     val p = plan("q_ann_rp_topk")

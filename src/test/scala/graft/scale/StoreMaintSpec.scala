@@ -148,4 +148,95 @@ class StoreMaintSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("no backup"))
   }
+
+  private def embCorpus(s: org.apache.spark.sql.SparkSession) =
+    s.table("embeddings").select(col("vec_id"), col("embedding"))
+
+  private def topkRows(df: org.apache.spark.sql.DataFrame)
+      : Seq[(Long, Long, Int)] =
+    df.select("query_id", "vec_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+      .sortBy(t => (t._1, t._3))
+
+  test("RP store: append == rebuild, retire + compact == filtered " +
+    "rebuild (search-result identity both ways)") {
+    import graft.llm.Similarity
+    val s = spark
+    val e = embCorpus(s)
+    val qids = Seq(0L, 1L, 2L)
+    val dir = Files.createTempDirectory("graft-rp-maint").toString
+
+    Similarity.saveRpIndex(e.filter(col("vec_id") % 2 === 0), dir,
+      outDim = 16)
+    Similarity.appendToRpIndex(s, dir, e.filter(col("vec_id") % 2 === 1))
+    val (sk, outDim, dim) = Similarity.loadRpIndex(s, dir)
+    assert(outDim == 16 && dim == 64)
+    val appended = topkRows(Similarity.searchRp(sk, e, qids, k = 5))
+    val rebuilt = topkRows(Similarity.rpTopK(e, qids, k = 5))
+    assert(appended == rebuilt, "append must equal a full rebuild")
+
+    // retire a handful of ids; compaction rewrites the store in place
+    val retired = Seq(10L, 11L, 12L, 13L)
+    val kept = Similarity.compactRpIndexStore(s, dir, retired)
+    val (sk2, _, _) = Similarity.loadRpIndex(s, dir)
+    assert(kept == sk2.count())
+    assert(sk2.filter(col("vec_id").isInCollection(retired)).count() == 0)
+    val pruned = e.filter(!col("vec_id").isInCollection(retired))
+    val afterRetire =
+      topkRows(Similarity.searchRp(sk2, pruned, qids, k = 5))
+    val filteredRebuild = topkRows(Similarity.rpTopK(pruned, qids, k = 5))
+    assert(afterRetire == filteredRebuild,
+      "retire + compact must equal a rebuild over the pruned corpus")
+
+    // loud failure on a width-mismatched shard: nothing must be written
+    val bad = e.limit(1).select((col("vec_id") + 900000L).as("vec_id"),
+      expr("slice(embedding, 1, 32)").as("embedding"))
+    intercept[IllegalArgumentException] {
+      Similarity.appendToRpIndex(s, dir, bad)
+    }
+  }
+
+  test("IVF-PQ store: append == rebuild, retire + compact == filtered " +
+    "rebuild, dim-mismatched shards rejected") {
+    import graft.llm.{Pq, Similarity}
+    val s = spark
+    val e = embCorpus(s)
+    val qids = Seq(0L, 1L, 2L)
+    val seeds = (1 to 8).map(_ * 5L)
+    val centers =
+      Similarity.buildIvfIndexSeeded(e, seeds, persist = false).centers
+    val cb = Pq.seededCodebooks(e, seeds, m = 8)
+    val dir = Files.createTempDirectory("graft-ivfpq-maint").toString
+
+    Pq.saveIvfPqIndex(e.filter(col("vec_id") % 2 === 0), centers, cb, dir)
+    Pq.appendToIvfPqIndex(s, dir, e.filter(col("vec_id") % 2 === 1))
+    val (assigned, c2, cb2) = Pq.loadIvfPqIndex(s, dir)
+    val q = e.filter(col("vec_id").isInCollection(qids))
+    val appended =
+      topkRows(Pq.searchIvfPqCodes(assigned, c2, cb2, q, k = 5))
+    val rebuilt = topkRows(
+      Pq.ivfPqTopKSeeded(e, seeds, seeds, qids, k = 5, m = 8))
+    assert(appended == rebuilt, "append must equal a full rebuild")
+
+    // non-seed ids: the rebuild side must still find every quantizer seed
+    val retired = Seq(21L, 22L, 23L)
+    val kept = Pq.compactIvfPqIndexStore(s, dir, retired)
+    val (a3, _, _) = Pq.loadIvfPqIndex(s, dir)
+    assert(kept == a3.count())
+    assert(a3.filter(col("vec_id").isInCollection(retired)).count() == 0)
+    val pruned = e.filter(!col("vec_id").isInCollection(retired))
+    val afterRetire = topkRows(Pq.searchIvfPqCodes(a3, c2, cb2,
+      pruned.filter(col("vec_id").isInCollection(qids)), k = 5))
+    val filteredRebuild = topkRows(
+      Pq.ivfPqTopKSeeded(pruned, seeds, seeds, qids, k = 5, m = 8))
+    assert(afterRetire == filteredRebuild,
+      "retire + compact must equal a rebuild over the pruned corpus")
+
+    // loud failure on a width-mismatched shard: nothing must be written
+    val bad = e.limit(1).select((col("vec_id") + 900000L).as("vec_id"),
+      expr("slice(embedding, 1, 32)").as("embedding"))
+    intercept[IllegalArgumentException] {
+      Pq.appendToIvfPqIndex(s, dir, bad)
+    }
+  }
 }
