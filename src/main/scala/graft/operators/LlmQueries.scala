@@ -568,6 +568,53 @@ object LlmQueries {
         oracleHashes = true)
     },
 
+    // STREAMING containment index (r14 verdict task 4 — the online twin
+    // of the containment family): the SAME excerpt-planted corpus
+    // replayed as a two-batch document stream through a real
+    // Structured Streaming query; each arriving batch is shingled once,
+    // probed as excerpt AND host against the accumulated index (the
+    // NearDupIndex pattern pointed at exact containment), and appended.
+    // Every doc arrives in some batch, so the drained union of
+    // batch-touching pairs is ALL ordered ≥0.8-containment pairs — the
+    // oracle is q_containment_join_exact's unpruned all-ordered-pairs
+    // join, and a green hash proves the incremental path loses nothing
+    "q_stream_containment" -> { (s, dir) =>
+      import org.apache.spark.sql.streaming.Trigger
+      val d = docs(s, dir).select("doc_id", "text")
+      val excerpts = d.filter(col("doc_id") % 7 === 0)
+        .withColumn("_w", split(col("text"), " "))
+        .select((col("doc_id") + 300000L).as("doc_id"),
+          array_join(slice(col("_w"), lit(1),
+            greatest((size(col("_w")) / 2).cast("int"), lit(5))), " ")
+            .as("text"))
+      val corpus = d.unionAll(excerpts)
+      val batches = Seq(corpus.filter(col("doc_id") % 2 === 0),
+        corpus.filter(col("doc_id") % 2 === 1))
+      val tmp = EventQueries.stampedDir(batches)
+      val ckpt = EventQueries.scratchDir("graft_scont_ck").toFile
+      val outDir = EventQueries.scratchDir("graft_scont_out").toFile
+      try {
+        val stream = s.readStream
+          .schema("doc_id BIGINT, text STRING")
+          .option("maxFilesPerTrigger", 1).parquet(tmp.toString)
+        val idx = new graft.streaming.StreamingPipeline.ContainmentIndex(
+          k = 3, threshold = 0.8)
+        val q = graft.streaming.StreamingPipeline.containmentStream(
+          stream, idx,
+          (_, pairs) => pairs.write.mode("append").parquet(outDir.toString),
+          trigger = Trigger.AvailableNow(),
+          checkpointDir = Some(ckpt.toString))
+        try {
+          if (!q.awaitTermination(180000))
+            throw new IllegalStateException(
+              "streaming containment did not drain within 180s")
+        } finally q.stop()
+        s.read.parquet(outDir.toString).localCheckpoint(true)
+      } finally {
+        Seq(tmp, ckpt, outDir).foreach(EventQueries.rmTree)
+      }
+    },
+
     // MinHash estimator-error audit (the sketch-audit family's third
     // leg): per candidate pair, |est_jaccard - exact jaccard| -> mean/
     // max error + share within one 1/8 estimator notch
@@ -1359,7 +1406,9 @@ object LlmQueries {
       // append==rebuild by construction: the appended stores must hash
       // exactly to the from-scratch full-corpus replays
       ("q_ann_index_append" -> baseOracles("q_ann_rp_topk")) +
-      ("q_ann_ivfpq_append" -> baseOracles("q_ann_ivfpq_topk"))
+      ("q_ann_ivfpq_append" -> baseOracles("q_ann_ivfpq_topk")) +
+      // the fully-replayed stream must equal the batch exact join
+      ("q_stream_containment" -> baseOracles("q_containment_join_exact"))
 
   private lazy val baseOracles: Map[String, String] = Map(
     "q_text_stats" ->
@@ -3242,6 +3291,7 @@ object LlmQueries {
     "q_lsh_sensitivity" -> Seq("bin"),
     "q_jaccard_join_exact" -> Seq("doc_a", "doc_b"),
     "q_containment_join_exact" -> Seq("doc_a", "doc_b"),
+    "q_stream_containment" -> Seq("doc_a", "doc_b"),
     "q_containment_recall_audit" -> Seq("threshold"),
     "q_dedup_drop_contained" -> Seq("doc_id"),
     "q_kmeans_assign" -> Seq("vec_id"),

@@ -87,6 +87,62 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(idx.size == (51 + 30) * 4L)
   }
 
+  test("streaming containment catches an excerpt arriving AFTER its " +
+    "host, BEFORE its host, and in the same batch — both orientations") {
+    val s = spark
+    val dir = Files.createTempDirectory("graft-contain").toString
+    val ckpt = Files.createTempDirectory("graft-contain-ckpt").toString
+    val d = s.table("documents").select("doc_id", "text")
+    def halfExcerpt(src: org.apache.spark.sql.DataFrame, offset: Long) =
+      src.withColumn("_w", split(col("text"), " "))
+        .select((col("doc_id") + offset).as("doc_id"),
+          array_join(slice(col("_w"), lit(1),
+            greatest((size(col("_w")) / 2).cast("int"), lit(5))), " ")
+            .as("text"))
+
+    // file 1: hosts 0-29, an excerpt of host 40 whose FULL doc only
+    // arrives in batch 2 (excerpt-before-host), and an in-batch
+    // excerpt of host 3
+    d.filter(col("doc_id") < 30)
+      .unionAll(halfExcerpt(d.filter(col("doc_id") === 40), 300000L))
+      .unionAll(halfExcerpt(d.filter(col("doc_id") === 3), 400000L))
+      .repartition(1).write.mode("append").parquet(dir)
+    Thread.sleep(1100)
+    // file 2: excerpts of batch-1 hosts 5 and 6 (excerpt-after-host),
+    // plus host 40 itself
+    halfExcerpt(d.filter(col("doc_id").isin(5L, 6L)), 500000L)
+      .unionAll(d.filter(col("doc_id") === 40))
+      .repartition(1).write.mode("append").parquet(dir)
+
+    val found = scala.collection.mutable
+      .ArrayBuffer.empty[(Long, Long, Long)]
+    val idx = new StreamingPipeline.ContainmentIndex(
+      k = 3, threshold = 0.8, compactEvery = 2)
+    val stream = s.readStream
+      .schema("doc_id BIGINT, text STRING")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+    val q = StreamingPipeline.containmentStream(stream, idx,
+      (batchId, pairs) => found ++= pairs.collect().map(r =>
+        (batchId, r.getLong(0), r.getLong(1))),
+      trigger = Trigger.AvailableNow(), checkpointDir = Some(ckpt))
+    try q.awaitTermination(180000) finally q.stop()
+
+    val pairs = found.map(p => (p._2, p._3)).toSet
+    // in-batch (batch 1): excerpt 400003 contained in host 3
+    assert(pairs.contains((400003L, 3L)), s"in-batch excerpt missed: $pairs")
+    // excerpt-after-host (batch 2 probes the index)
+    assert(pairs.contains((500005L, 5L)) && pairs.contains((500006L, 6L)),
+      s"after-host excerpts missed: $pairs")
+    // excerpt-BEFORE-host: host 40 arrives in batch 2 and must be
+    // recognized as HOST of the batch-1 excerpt sitting in the index
+    assert(pairs.contains((300040L, 40L)),
+      s"before-host excerpt missed — the host orientation is broken: $pairs")
+    // no pair reported twice across the run
+    val all = found.map(p => (p._2, p._3))
+    assert(all.distinct.size == all.size)
+  }
+
   test("streaming semantic dedup probes each batch's embeddings against " +
     "the growing cell index") {
     val s = spark
