@@ -355,6 +355,21 @@ object ComputeRegistry {
         .select(col("doc_id"), col("n_bpe_tokens").as(out))
       df.join(enc, Seq("doc_id"))
     },
+    // unigram-LM (SentencePiece-style) tokenizer TRAINING over a TEXT
+    // input column — relation-REPLACING: the trained piece card
+    // (piece, n_uses, logp, rank + the keep flag); INTO column(...)
+    // names the keep column. The other tokenizer family beside
+    // bpe_token_count; fixed small-budget parameters like the BPE
+    // kernel (COMPUTE syntax has no parameter slot)
+    "unigram_lm" -> { (df, ins, out) =>
+      require(!Seq("piece", "n_uses", "logp", "rank").contains(out),
+        s"unigram_lm reserves its card column names; pick another " +
+          s"INTO column name (got '$out')")
+      graft.llm.Unigram.unigramLmCard(df.sparkSession,
+          keyed(df, ins.head),
+          maxPieceLen = 4, seedSize = 60, iters = 2, vocabSize = 40)
+        .withColumnRenamed("keep", out)
+    },
     // signed random projection of an EMBEDDING input column to 16 dims
     // (JL sketch — the coarse-ANN / clustering preprocessor); a pure
     // zero-shuffle native projection

@@ -331,10 +331,17 @@ object Bpe {
     * on, and a lang-keyed map-side-combined aggregation bounds the
     * output by language count. No doc_id join anywhere. */
   def fertilityCard(docs: DataFrame, model: BpeModel): DataFrame =
+    fertilityCard(docs, model.vocab)
+
+  /** [[fertilityCard]] against any tokenizer's (word, n_tokens) vocab
+    * table — BPE's symbolization or [[Unigram]]'s Viterbi segmentation
+    * (`model.vocab`) plug in identically (r14 verdict task 5: the card
+    * accepts either model family). */
+  def fertilityCard(docs: DataFrame, vocab: DataFrame): DataFrame =
     docs.select(col("lang"),
         explode(split(coalesce(col("text"), lit("")), " ")).as("word"))
       .filter(col("word") =!= "")
-      .join(broadcast(model.vocab.select("word", "n_tokens")),
+      .join(broadcast(vocab.select("word", "n_tokens")),
         Seq("word"), "left")
       .groupBy("lang")
       .agg(count(lit(1)).cast("bigint").as("n_words"),

@@ -407,6 +407,32 @@ object CurationQueries {
         d, graft.llm.Bpe.trainLocal(s, d, nMerges = 8))
     },
 
+    // Unigram-LM (SentencePiece-style) tokenizer TRAINING (Kudo 2018;
+    // r14 verdict task 5 — the other production tokenizer family
+    // beside BPE): seeded substring vocabulary, 2 hard-EM rounds of
+    // Viterbi segmentation + smoothed re-estimation, all on the exact-
+    // decimal lattice. The oracle unrolls the ENTIRE trajectory —
+    // seeding, every DP position of every EM round, both
+    // re-estimations — so a green hash proves the TRAINING, not just
+    // a final table
+    "q_unigram_lm" -> { (s, dir) =>
+      graft.llm.Unigram.unigramLmCard(s, docs(s, dir),
+        maxPieceLen = 4, seedSize = 60, iters = 2, vocabSize = 40)
+    },
+
+    // the fertility card ACCEPTING the unigram model (verdict task 5's
+    // second half): Bpe.fertilityCard consumes the Viterbi-segmented
+    // (word, n_tokens) vocab exactly as it consumes a BPE
+    // symbolization — one card, either tokenizer family. The oracle
+    // replays training PLUS a final segmentation pass under the
+    // trained probabilities, then the fertility tail
+    "q_unigram_fertility" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val m = graft.llm.Unigram.train(s, d,
+        maxPieceLen = 4, seedSize = 60, iters = 2)
+      graft.llm.Bpe.fertilityCard(d, m.vocab)
+    },
+
     // context-length planning against the REAL tokenizer: the packing
     // card budgeted by trained-BPE subword tokens (the production
     // trainLocal path + the broadcast-vocab encode) instead of
@@ -589,6 +615,98 @@ object CurationQueries {
          |  FROM v${r - 1} v CROSS JOIN b$r b)""".stripMargin
     }
     (head +: stages).mkString(",\n")
+  }
+
+  /** DuckDB replay of [[graft.llm.Unigram.train]]: seeding (substring
+    * counts → top-`seedSize` ∪ single-chars → smoothed v0) and `iters`
+    * UNROLLED hard-EM rounds, each round's Viterbi DP unrolled per
+    * position (`lMax` stages — a corpus word longer than lMax would
+    * fall out of the replay, so lMax carries headroom over the fixture
+    * max of 8). Every CTE is MATERIALIZED: the DP chain references
+    * earlier positions up to maxPieceLen deep, and inlining would
+    * re-expand the whole prefix per reference. `extraSegRound` appends
+    * one more DP pass against the FINAL probabilities (no
+    * re-estimation) — the apply/segmentation view the fertility oracle
+    * consumes, exactly [[graft.llm.Unigram.UnigramModel.vocab]]. */
+  private def unigramCtes(maxP: Int, seedSize: Int, iters: Int,
+      lMax: Int, extraSegRound: Boolean = false): String = {
+    def dpStages(r: Int, withUpdate: Boolean): String = {
+      val init = s"dp${r}_0 AS MATERIALIZED (SELECT word, freq, " +
+        "CAST(0 AS DECIMAL(18,6)) AS s, '' AS seg FROM w)"
+      val stages = (1 to lMax).map { j =>
+        val branches = (1 to math.min(maxP, j)).map { l =>
+          val i = j - l
+          s"""SELECT word, freq, s, seg,
+             |        substring(word, ${i + 1}, $l) AS piece
+             |      FROM dp${r}_$i WHERE len(word) >= $j""".stripMargin
+        }.mkString("\n      UNION ALL\n      ")
+        s"""dpc${r}_$j AS MATERIALIZED (
+           |      $branches),
+           |dp${r}_$j AS MATERIALIZED (
+           |  SELECT word, freq, s, seg FROM (
+           |    SELECT c.word, c.freq,
+           |      CAST(c.s + v.logp AS DECIMAL(18,6)) AS s,
+           |      CASE WHEN c.seg = '' THEN c.piece
+           |        ELSE c.seg || ' ' || c.piece END AS seg,
+           |      row_number() OVER (PARTITION BY c.word
+           |        ORDER BY CAST(c.s + v.logp AS DECIMAL(18,6)) DESC,
+           |          CASE WHEN c.seg = '' THEN c.piece
+           |            ELSE c.seg || ' ' || c.piece END DESC) AS rk
+           |    FROM dpc${r}_$j c JOIN v${r - 1} v USING (piece))
+           |  WHERE rk = 1)""".stripMargin
+      }
+      val fin = (1 to lMax).map(j =>
+        s"SELECT word, freq, seg FROM dp${r}_$j WHERE len(word) = $j")
+        .mkString("\n    UNION ALL\n    ")
+      val seg = s"""seg$r AS MATERIALIZED (
+         |    $fin)""".stripMargin
+      val update = s""",
+         |cnt$r AS MATERIALIZED (
+         |  SELECT v.piece, coalesce(u.c, 0) AS cnt
+         |  FROM (SELECT piece FROM v${r - 1}) v LEFT JOIN (
+         |    SELECT piece, CAST(sum(freq) AS BIGINT) AS c FROM (
+         |      SELECT freq, unnest(string_split(seg, ' ')) AS piece
+         |      FROM seg$r)
+         |    GROUP BY 1) u USING (piece)),
+         |v$r AS MATERIALIZED (
+         |  SELECT piece, CAST(round(ln((cnt + 1.0) /
+         |      ((SELECT sum(cnt) FROM cnt$r) +
+         |       (SELECT count(*) FROM cnt$r))), 6)
+         |    AS DECIMAL(18,6)) AS logp
+         |  FROM cnt$r)""".stripMargin
+      ((init +: stages) :+ (seg + (if (withUpdate) update else "")))
+        .mkString(",\n")
+    }
+    val head = s"""w AS MATERIALIZED (
+       |  SELECT t AS word, CAST(count(*) AS BIGINT) AS freq FROM (
+       |    SELECT unnest(string_split(coalesce(text, ''), ' ')) AS t
+       |    FROM documents)
+       |  WHERE regexp_matches(t, '^[a-z0-9]+$$')
+       |  GROUP BY t),
+       |us1 AS (SELECT word, freq, unnest(range(0, len(word))) AS i FROM w),
+       |us2 AS (SELECT word, freq, i,
+       |  unnest(range(1, least($maxP, len(word) - i) + 1)) AS l FROM us1),
+       |ucands AS MATERIALIZED (
+       |  SELECT substring(word, i + 1, l) AS piece,
+       |    CAST(sum(freq) AS BIGINT) AS cnt
+       |  FROM us2 GROUP BY 1),
+       |usel AS MATERIALIZED (
+       |  SELECT piece, cnt FROM (
+       |    SELECT piece, cnt,
+       |      row_number() OVER (ORDER BY cnt DESC, piece ASC) AS rk
+       |    FROM ucands) WHERE rk <= $seedSize
+       |  UNION
+       |  SELECT piece, cnt FROM ucands WHERE len(piece) = 1),
+       |v0 AS MATERIALIZED (
+       |  SELECT piece, CAST(round(ln((cnt + 1.0) /
+       |      ((SELECT sum(cnt) FROM usel) +
+       |       (SELECT count(*) FROM usel))), 6)
+       |    AS DECIMAL(18,6)) AS logp
+       |  FROM usel)""".stripMargin
+    val rounds = (1 to iters).map(dpStages(_, withUpdate = true)) ++
+      (if (extraSegRound) Seq(dpStages(iters + 1, withUpdate = false))
+       else Nil)
+    (head +: rounds).mkString(",\n")
   }
 
   /** Generated training-REPLAY oracle for [[Curation.logisticQuality]]:
@@ -1738,6 +1856,51 @@ object CurationQueries {
 
     // fertility card: the trained-vocab replay joined onto the
     // lang-carried word explode, grouped by lang
+    // the full unigram-LM training trajectory: seeding + 2 unrolled
+    // hard-EM rounds (every Viterbi DP position a generated CTE), then
+    // the rank-and-keep card off the final counts and probs
+    "q_unigram_lm" ->
+      s"""WITH ${unigramCtes(4, 60, 2, 12)}
+         |SELECT piece, cnt AS n_uses,
+         |  round(CAST(logp AS DOUBLE), 6) AS logp,
+         |  CAST(rank AS INT) AS rank, rank <= 40 AS keep
+         |FROM (
+         |  SELECT c.piece, c.cnt, v.logp,
+         |    row_number() OVER (ORDER BY c.cnt DESC, c.piece ASC) AS rank
+         |  FROM cnt2 c JOIN v2 v USING (piece))""".stripMargin,
+
+    // training replay + ONE more DP pass under the final probabilities
+    // (the model's apply view), then the per-lang fertility tail — the
+    // same tail as q_bpe_fertility, proving the card is
+    // tokenizer-family-agnostic
+    "q_unigram_fertility" ->
+      s"""WITH ${unigramCtes(4, 60, 2, 12, extraSegRound = true)},
+         |vt AS (
+         |  SELECT word,
+         |    CAST(len(string_split(seg, ' ')) AS BIGINT) AS n_tokens
+         |  FROM seg3),
+         |wd AS (
+         |  SELECT lang, t AS word FROM (
+         |    SELECT lang,
+         |      unnest(string_split(coalesce(text, ''), ' ')) AS t
+         |    FROM documents)
+         |  WHERE t <> ''),
+         |agg AS (
+         |  SELECT wd.lang,
+         |    CAST(count(*) AS BIGINT) AS n_words,
+         |    CAST(sum(CASE WHEN vt.n_tokens IS NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_oov_words,
+         |    CAST(coalesce(sum(vt.n_tokens), 0) AS BIGINT) AS n_bpe_tokens
+         |  FROM wd LEFT JOIN vt USING (word)
+         |  GROUP BY wd.lang)
+         |SELECT lang, n_words, n_oov_words, n_bpe_tokens,
+         |  CASE WHEN n_words = n_oov_words THEN NULL
+         |    ELSE round(CAST(n_bpe_tokens AS DOUBLE)
+         |      / CAST(n_words - n_oov_words AS DOUBLE), 6) END AS fertility,
+         |  round(CAST(n_oov_words AS DOUBLE) / CAST(n_words AS DOUBLE), 6)
+         |    AS oov_rate
+         |FROM agg""".stripMargin,
+
     "q_bpe_fertility" ->
       s"""WITH ${bpeOracleCtes(8)},
          |vt AS (
@@ -2053,6 +2216,8 @@ object CurationQueries {
     "q_lm_perplexity" -> Seq("doc_id"),
     "q_ccnet_buckets" -> Seq("doc_id"),
     "q_bpe_vocab" -> Seq("word"),
+    "q_unigram_lm" -> Seq("piece"),
+    "q_unigram_fertility" -> Seq("lang"),
     "q_bpe_encode" -> Seq("doc_id"),
     "q_bpe_tokenize" -> Seq("word"),
     "q_pii_scrub" -> Seq("doc_id"),

@@ -150,7 +150,8 @@ class CatalogAnalysisSpec extends AnyFunSuite {
     for (k <- Seq("abtt_transform", "ann_recall_card",
         "lsh_sensitivity", "minhash_est_quality",
         "containment_join_exact", "containment_recall_audit",
-        "drop_contained", "shared_spans", "remove_shared_spans"))
+        "drop_contained", "shared_spans", "remove_shared_spans",
+        "unigram_lm"))
       assert(kernels.contains(k), s"kernel $k must stay registered")
   }
 }

@@ -418,6 +418,27 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q_unigram_fertility: the corpus word explode joins a BROADCAST " +
+    "vocabulary — no corpus-sized shuffle by word, no cartesian") {
+    val p = plan("q_unigram_fertility")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the segmented vocab must broadcast onto the word explode:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"no degenerate joins:\n$p")
+  }
+
+  test("q_unigram_lm: the card is bounded driver metadata (a local " +
+    "relation), the logisticQuality trained-artifact shape") {
+    // training collects only vocabulary-bounded (piece, count) rows per
+    // EM round; the resulting card must therefore plan as a local scan
+    // with a bounded window — nothing corpus-sized may survive into it
+    val p = plan("q_unigram_lm")
+    assert(p.contains("LocalTableScan") || p.contains("Scan ExistingRDD"),
+      s"the final card must be bounded literal metadata:\n$p")
+    assert(!p.contains("Scan parquet"),
+      s"no corpus scan may survive into the card lineage:\n$p")
+  }
+
   test("q_ann_rp_topk fuses the projection, heaps the coarse pass, and " +
     "never goes cartesian") {
     val p = plan("q_ann_rp_topk")

@@ -1,0 +1,144 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Hand pins for the unigram-LM tokenizer (the BpeSpec discipline):
+  * seeding, Viterbi segmentation incl. tie-breaks, EM count updates,
+  * OOV behavior on unseen text, the either-model fertility card, and
+  * the store round trip. */
+class UnigramSpec extends AnyFunSuite {
+
+  private def spark = SparkTestSession.withTables()
+
+  private def corpus(rows: (Long, String)*) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("wordFreq mirrors the BPE convention: split, alnum filter, freq") {
+    val d = corpus((1L, "ab ab X cd-e"), (2L, "ab cd9"))
+    val got = Unigram.wordFreq(d).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // "X" (uppercase) and "cd-e" (hyphen) are untrainable
+    assert(got == Map("ab" -> 3L, "cd9" -> 1L))
+  }
+
+  test("viterbi segments by probability, not greedily — a strong whole " +
+    "piece beats char-by-char, a weak one loses") {
+    val s = spark
+    import s.implicits._
+    val words = Seq(("abc", 1L)).toDF("word", "freq")
+    def vocab(abcLogp: String) = Seq(
+      ("a", "-1.000000"), ("b", "-1.000000"), ("c", "-1.000000"),
+      ("abc", abcLogp)).toDF("piece", "_ls")
+      .select(col("piece"), col("_ls").cast("decimal(18,6)").as("logp"))
+    // abc at -2.0 beats a+b+c at -3.0
+    val strong = Unigram.viterbiSegment(words, vocab("-2.000000"), 4)
+      .collect().head
+    assert(strong.getString(2) == "abc" && strong.getLong(3) == 1L)
+    // abc at -3.5 loses to a+b+c at -3.0
+    val weak = Unigram.viterbiSegment(words, vocab("-3.500000"), 4)
+      .collect().head
+    assert(weak.getString(2) == "a b c" && weak.getLong(3) == 3L)
+  }
+
+  test("viterbi tie-break is (score, seg) max — deterministic and " +
+    "engine-shared") {
+    val s = spark
+    import s.implicits._
+    val words = Seq(("ab", 1L)).toDF("word", "freq")
+    // "ab" (1 piece at -2.0) ties "a b" (2 pieces at -1.0 each):
+    // lexicographically "ab" > "a b" (space < 'b'), so "ab" wins
+    val vocab = Seq(("a", "-1.000000"), ("b", "-1.000000"),
+      ("ab", "-2.000000")).toDF("piece", "_ls")
+      .select(col("piece"), col("_ls").cast("decimal(18,6)").as("logp"))
+    val got = Unigram.viterbiSegment(words, vocab, 4).collect().head
+    assert(got.getString(2) == "ab")
+  }
+
+  test("a word with a character outside the vocabulary keeps NULL seg " +
+    "(the OOV apply contract)") {
+    val s = spark
+    import s.implicits._
+    val words = Seq(("axb", 1L)).toDF("word", "freq")
+    val vocab = Seq(("a", "-1.000000"), ("b", "-1.000000"))
+      .toDF("piece", "_ls")
+      .select(col("piece"), col("_ls").cast("decimal(18,6)").as("logp"))
+    val got = Unigram.viterbiSegment(words, vocab, 4).collect().head
+    assert(got.isNullAt(2) && got.isNullAt(3))
+  }
+
+  test("train: every corpus character survives seeding, counts are " +
+    "freq-weighted Viterbi usage, and probs live on the 6-dp lattice") {
+    val s = spark
+    // "aaab" x2, "ab" x1 — tiny corpus, seedSize 3 forces the
+    // single-char union branch to matter
+    val d = corpus((1L, "aaab aaab ab"))
+    val m = Unigram.train(s, d, maxPieceLen = 3, seedSize = 3, iters = 2)
+    val pieces = m.pieces.collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    // single chars a and b are present regardless of the top-3 cut
+    assert(pieces.contains("a") && pieces.contains("b"))
+    // usage counts: total piece uses equal total pieces across the
+    // freq-weighted segmentations of the final-iteration round
+    val vocabRows = m.vocab.collect()
+    assert(vocabRows.forall(!_.isNullAt(2)),
+      "every training word must segment (all chars seeded)")
+    // logp scale 6 decimals
+    val lp = m.pieces.select("logp").collect().map(_.getDecimal(0))
+    assert(lp.forall(_.scale == 6))
+  }
+
+  test("unigramLmCard: rank is (n_uses desc, piece asc), keep flags the " +
+    "top vocabSize, and single-char coverage holds on the fixture") {
+    val s = spark
+    val card = Unigram.unigramLmCard(s, s.table("documents"),
+      maxPieceLen = 4, seedSize = 60, iters = 2, vocabSize = 40)
+      .collect()
+    val byRank = card.sortBy(_.getInt(3))
+    assert(byRank.map(_.getInt(3)).toSeq == (1 to card.length))
+    // rank order: n_uses non-increasing, piece asc within ties
+    byRank.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(1) > b.getLong(1) ||
+        (a.getLong(1) == b.getLong(1) &&
+          a.getString(0) < b.getString(0)))
+    }
+    assert(card.count(_.getBoolean(4)) == math.min(40, card.length))
+    // multi-char pieces actually won usage (EM did something)
+    assert(card.exists(r => r.getString(0).length > 1 && r.getLong(1) > 0))
+  }
+
+  test("fertilityCard accepts the unigram vocab: in-vocab words count " +
+    "pieces, untrainable words count as OOV") {
+    val s = spark
+    import s.implicits._
+    val d = Seq((1L, "en", "aaab ab X!"), (2L, "fr", "ab"))
+      .toDF("doc_id", "lang", "text")
+    val m = Unigram.train(s, d, maxPieceLen = 3, seedSize = 8, iters = 1)
+    val card = Bpe.fertilityCard(d, m.vocab).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // en: words aaab, ab, X! -> X! is OOV (untrainable)
+    assert(card("en").getLong(1) == 3L && card("en").getLong(2) == 1L)
+    assert(card("fr").getLong(1) == 1L && card("fr").getLong(2) == 0L)
+    // fertility = pieces per in-vocab word, > 0
+    assert(card("en").getDouble(4) > 0.0)
+  }
+
+  test("save/load round trip preserves pieces, vocab, and meta") {
+    val s = spark
+    val d = corpus((1L, "abc abd abc"))
+    val m = Unigram.train(s, d, maxPieceLen = 3, seedSize = 6, iters = 1)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-unigram").toString
+    Unigram.saveUnigramModel(m, dir)
+    val back = Unigram.loadUnigramModel(s, dir)
+    assert(back.maxPieceLen == 3)
+    assert(back.pieces.collect().map(_.getString(0)).sorted.toSeq ==
+      m.pieces.collect().map(_.getString(0)).sorted.toSeq)
+    assert(back.vocab.count() == m.vocab.count())
+  }
+}
