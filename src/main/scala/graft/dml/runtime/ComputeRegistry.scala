@@ -1323,6 +1323,19 @@ object ComputeRegistry {
           .withColumnRenamed("clean_text", out),
         Seq("doc_id"))
     },
+    // paragraph-granularity dedup over a TEXT input column — row-
+    // PRESERVING: every doc gains chunk counts and its reassembled
+    // clean text after corpus-wide keep-one paragraph dedup (chunk →
+    // banded near-dup → drop → reassemble); INTO column(...) names the
+    // clean-text column
+    "paragraph_dedup" -> { (df, ins, out) =>
+      require(!Seq("n_chunks", "n_dropped").contains(out),
+        s"paragraph_dedup reserves its count column names; pick " +
+          s"another INTO column name (got '$out')")
+      df.join(graft.llm.Curation.paragraphDedup(keyed(df, ins.head))
+          .withColumnRenamed("clean_text", out),
+        Seq("doc_id"))
+    },
     // int8 reconstruction-distortion card over an EMBEDDING input
     // column — relation-REPLACING, ONE row (mse + mean cosine vs the
     // dequantized int8 vector); INTO column(...) names the mse column

@@ -1599,6 +1599,64 @@ object Curation {
           "x -> x._keep = 1), x -> x.seg), ' ')").as("clean_text"))
   }
 
+  /** Paragraph-granularity dedup CAPSTONE (r14 verdict task 6 — the
+    * Lee et al. 2021 paragraph dedup that doc-LEVEL Jaccard and
+    * aligned-span removal both under-treat): cut every document into
+    * non-overlapping `chunkSize`-word paragraphs ([[TextOps.chunkDocs]]
+    * with stride = chunkSize — the zero-shuffle chunker), find
+    * near-duplicate paragraphs corpus-wide through the BANDED MinHash
+    * candidate generator + exact Jaccard rescore (never all-pairs),
+    * drop every paragraph with a qualifying lower-keyed partner
+    * (keep-one at paragraph granularity: chunk keys order by (doc_id,
+    * chunk_idx), so the earliest occurrence survives — within-doc
+    * repeats included, the Lee et al. policy), and reassemble each
+    * document from its surviving paragraphs in order.
+    *
+    * Returns one row per input doc: (doc_id, n_chunks, n_dropped,
+    * clean_text) — rows preserved (every doc emits ≥ 1 chunk).
+    *
+    * Scale shape: ONE corpus scan — the chunk relation is persisted and
+    * serves as the base for BOTH candidate generation and reassembly
+    * (plan-pinned single parquet scan); the banded self-join carries
+    * (chunk_key, signature) bytes with [[Dedup.minhashCandidates]]'s
+    * skew caps available upstream; the rescore is candidate-bounded;
+    * reassembly is one chunk-keyed left join + a doc-keyed aggregation
+    * (prose crosses exactly that shuffle, spanDedup's cost class). */
+  def paragraphDedup(docs: DataFrame, chunkSize: Int = 8,
+      threshold: Double = 0.8, k: Int = 3, numHashes: Int = 8,
+      bands: Int = 4, oracleHashes: Boolean = false,
+      maxChunksPerDoc: Long = 100000L): DataFrame = {
+    require(chunkSize > 0, s"chunkSize must be positive, got $chunkSize")
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val chunks = PipelineCaches.track(
+      TextOps.chunkDocs(docs, chunkSize, stride = chunkSize)
+        .withColumn("chunk_key",
+          col("doc_id") * maxChunksPerDoc + col("chunk_idx"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    // materialize + chunk-key collision guard in the same single action
+    val mx = chunks.agg(max("chunk_idx")).collect()(0)
+    require(mx.isNullAt(0) || mx.getLong(0) < maxChunksPerDoc,
+      s"paragraphDedup: a doc has > $maxChunksPerDoc chunks; raise " +
+        "maxChunksPerDoc so chunk keys stay collision-free")
+    val asDocs = chunks.select(col("chunk_key").as("doc_id"),
+      col("chunk_text").as("text"))
+    val cands = Dedup.minhashCandidates(asDocs, k, numHashes, bands,
+      minEstJaccard = 0.5, oracleHashes = oracleHashes)
+    val dropped = Dedup.jaccardRescore(asDocs, cands, k)
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_b").as("chunk_key")).distinct()
+      .withColumn("_dup", lit(1))
+    chunks.join(dropped, Seq("chunk_key"), "left")
+      .withColumn("_keep", col("_dup").isNull.cast("int"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("bigint").as("n_chunks"),
+        sum(lit(1) - col("_keep")).cast("bigint").as("n_dropped"),
+        expr("array_join(transform(filter(array_sort(" +
+          "collect_list(struct(chunk_idx, _keep, chunk_text))), " +
+          "x -> x._keep = 1), x -> x.chunk_text), ' ')").as("clean_text"))
+  }
+
   /** Shifted-span exact-substring dedup (r13 verdict task 4 — the
     * suffix-array capability of Lee et al. 2021 at candidate-pair
     * granularity): for each candidate near-dup pair, the LONGEST run of

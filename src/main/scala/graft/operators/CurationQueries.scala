@@ -407,6 +407,27 @@ object CurationQueries {
         d, graft.llm.Bpe.trainLocal(s, d, nMerges = 8))
     },
 
+    // paragraph-granularity dedup CAPSTONE (r14 verdict task 6):
+    // chunk → banded near-dup over chunks → keep-one drop → doc
+    // reassembly, end to end in ONE entry. Every 10th doc gets a
+    // planted copy whose FIRST 8-word paragraph is verbatim the
+    // original's first paragraph (plus filler) — doc-level Jaccard is
+    // far below any dedup threshold and the aligned span grid can
+    // shift, but the paragraph chunks collide exactly; the copy's
+    // repeated paragraph drops (keep-one: the original's chunk key is
+    // lower), the filler paragraph survives
+    "q_paragraph_dedup" -> { (s, dir) =>
+      val d = docs(s, dir).select("doc_id", "text")
+      val planted = d.filter(col("doc_id") % 10 === 0)
+        .withColumn("_w", split(col("text"), " "))
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          concat(array_join(slice(col("_w"), 1, 8), " "),
+            lit(" zq zr qx qy qz qw qv qu")).as("text"))
+      Curation.paragraphDedup(d.unionAll(planted), chunkSize = 8,
+        threshold = 0.8, k = 3, numHashes = 8, bands = 4,
+        oracleHashes = true)
+    },
+
     // Unigram-LM (SentencePiece-style) tokenizer TRAINING (Kudo 2018;
     // r14 verdict task 5 — the other production tokenizer family
     // beside BPE): seeded substring vocabulary, 2 hard-EM rounds of
@@ -1856,6 +1877,56 @@ object CurationQueries {
 
     // fertility card: the trained-vocab replay joined onto the
     // lang-carried word explode, grouped by lang
+    // chunk arithmetic (the q_chunk_docs replay at 8/8), banded minhash
+    // over the chunk corpus, exact-Jaccard rescore, the lower-key
+    // witness drop, and an ordered string_agg reassembly
+    "q_paragraph_dedup" -> {
+      s"""WITH t0 AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000 AS doc_id,
+         |    array_to_string(w[1:8], ' ') || ' zq zr qx qy qz qw qv qu'
+         |      AS text
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS w
+         |        FROM documents WHERE doc_id % 10 = 0)),
+         |tw AS (
+         |  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w
+         |  FROM t0),
+         |cw AS (
+         |  SELECT doc_id, w,
+         |    CASE WHEN len(w) <= 8 THEN 1
+         |      ELSE CAST(ceil((len(w) - 8) / 8.0) AS BIGINT) + 1 END AS nc
+         |  FROM tw),
+         |ck AS MATERIALIZED (
+         |  SELECT doc_id, i AS chunk_idx,
+         |    array_to_string(w[(i*8+1):(i*8+8)], ' ') AS chunk_text
+         |  FROM cw, unnest(range(nc)) AS r(i)),
+         |${LlmQueries.minhashCtesOver(
+        "  SELECT doc_id * 100000 + chunk_idx AS doc_id, " +
+          "chunk_text AS text FROM ck")},
+         |ds AS (SELECT doc_id, list_distinct(s) AS s FROM sh),
+         |dup AS MATERIALIZED (
+         |  SELECT DISTINCT p.doc_b AS ck_key
+         |  FROM scored p
+         |  JOIN ds a ON a.doc_id = p.doc_a
+         |  JOIN ds b ON b.doc_id = p.doc_b
+         |  WHERE p.est_jaccard >= 0.5
+         |    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+         |      >= 0.8),
+         |j AS (
+         |  SELECT ck.doc_id, ck.chunk_idx, ck.chunk_text,
+         |    (d.ck_key IS NULL) AS keep
+         |  FROM ck LEFT JOIN dup d
+         |    ON ck.doc_id * 100000 + ck.chunk_idx = d.ck_key)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+         |  CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+         |    AS n_dropped,
+         |  coalesce(string_agg(CASE WHEN keep THEN chunk_text END, ' '
+         |    ORDER BY chunk_idx), '') AS clean_text
+         |FROM j GROUP BY doc_id""".stripMargin
+    },
+
     // the full unigram-LM training trajectory: seeding + 2 unrolled
     // hard-EM rounds (every Viterbi DP position a generated CTE), then
     // the rank-and-keep card off the final counts and probs
@@ -2218,6 +2289,7 @@ object CurationQueries {
     "q_bpe_vocab" -> Seq("word"),
     "q_unigram_lm" -> Seq("piece"),
     "q_unigram_fertility" -> Seq("lang"),
+    "q_paragraph_dedup" -> Seq("doc_id"),
     "q_bpe_encode" -> Seq("doc_id"),
     "q_bpe_tokenize" -> Seq("word"),
     "q_pii_scrub" -> Seq("doc_id"),

@@ -418,6 +418,21 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q_paragraph_dedup: one corpus scan, the persisted chunk base " +
+    "serves candidates AND reassembly, no cartesian") {
+    val p = plan("q_paragraph_dedup")
+    val docScans = """Scan parquet[^\n]*documents""".r.findAllIn(p).length
+    assert(docScans <= 1,
+      s"the corpus must scan once (chunk base persisted); found " +
+        s"$docScans documents scans:\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      s"candidate generation and reassembly must read the persisted " +
+        s"chunk relation:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"pair work must ride the banded candidates:\n$p")
+  }
+
   test("q_unigram_fertility: the corpus word explode joins a BROADCAST " +
     "vocabulary — no corpus-sized shuffle by word, no cartesian") {
     val p = plan("q_unigram_fertility")

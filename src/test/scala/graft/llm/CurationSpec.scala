@@ -11,6 +11,36 @@ class CurationSpec extends AnyFunSuite {
 
   private def spark = SparkTestSession.withTables()
 
+  test("paragraphDedup: shared paragraphs keep one (lowest chunk key), " +
+    "within-doc repeats drop, unrelated paragraphs survive, rows " +
+    "preserved") {
+    val s = spark
+    import s.implicits._
+    val para = "w1 w2 w3 w4"   // the repeated 4-word paragraph
+    val d = Seq(
+      // doc 1: para + unique tail — the keep-one winner
+      (1L, s"$para a1 a2 a3 a4"),
+      // doc 2: SAME leading para (different tail): its copy drops
+      (2L, s"$para b1 b2 b3 b4"),
+      // doc 3: its OWN para repeated within the doc: second copy drops
+      (3L, "d1 d2 d3 d4 d1 d2 d3 d4"),
+      // doc 4: unrelated text: untouched
+      (4L, "c1 c2 c3 c4 c5 c6 c7 c8")).toDF("doc_id", "text")
+    val out = Curation.paragraphDedup(d, chunkSize = 4, threshold = 0.8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    graft.llm.PipelineCaches.clear()
+    assert(out.size == 4, "rows preserved")
+    assert(out(1L) == ((2L, 0L, s"$para a1 a2 a3 a4")),
+      "the lowest-keyed occurrence keeps everything")
+    assert(out(2L) == ((2L, 1L, "b1 b2 b3 b4")),
+      "the cross-doc repeat drops, the unique tail survives")
+    assert(out(3L) == ((2L, 1L, "d1 d2 d3 d4")),
+      "the within-doc repeat keeps exactly one copy")
+    assert(out(4L) == ((2L, 0L, "c1 c2 c3 c4 c5 c6 c7 c8")),
+      "unrelated paragraphs are untouched")
+  }
+
   test("decontaminate flags exactly the docs sharing a 5-gram") {
     val s = spark
     import s.implicits._
