@@ -108,7 +108,18 @@ object Bench {
       // zero-shuffle projection+agg card: swung 1.4x/1.9x across the
       // two r14 full runs while scan-bound neighbors held steady —
       // the documented single-thread-CPU noise class
-      "q_script_shares")
+      "q_script_shares",
+      // the r14-verdict drift cluster, root-caused in round 15 as the
+      // SAME class: ~1.7-1.9x floors in the two loaded r14 runs,
+      // at/below floor solo (QProbe r15: 0.691/0.537/1.811/0.830/0.496
+      // vs floors 0.67/0.57/1.87/0.942/0.74) and 0.72-1.39x in the r15
+      // full run — small-absolute entries whose tails are
+      // single-partition windows / bounded-card projections that swing
+      // with host CPU contention, not with data or plan changes.
+      // min-of-3 strips one extra contention window, the
+      // q_script_shares treatment
+      "q_emb_stats", "q_hll_card", "q_lsh_sensitivity", "q_dedup_spans",
+      "q_emb_drift")
     val loadAvgStart = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     var results = SparkEntry.queries.toSeq.sortBy(_._1).map {
