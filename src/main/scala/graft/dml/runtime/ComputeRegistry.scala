@@ -370,6 +370,18 @@ object ComputeRegistry {
           maxPieceLen = 4, seedSize = 60, iters = 2, vocabSize = 40)
         .withColumnRenamed("keep", out)
     },
+    // unigram-LM APPLY over a TEXT input column — bpe_token_count's
+    // twin for the other tokenizer family: every row gains its
+    // Viterbi-piece count under the corpus-trained model; INTO
+    // column(...) names the piece-count column
+    "unigram_token_count" -> { (df, ins, out) =>
+      val keyedDf = keyed(df, ins.head)
+      val model = graft.llm.Unigram.train(df.sparkSession, keyedDf,
+        maxPieceLen = 4, seedSize = 60, iters = 2)
+      val enc = graft.llm.Unigram.encode(keyedDf, model)
+        .select(col("doc_id"), col("n_pieces").as(out))
+      df.join(enc, Seq("doc_id"))
+    },
     // signed random projection of an EMBEDDING input column to 16 dims
     // (JL sketch — the coarse-ANN / clustering preprocessor); a pure
     // zero-shuffle native projection

@@ -198,6 +198,33 @@ object Unigram {
         col("rank"), (col("rank") <= vocabSize).as("keep"))
   }
 
+  /** Apply a trained model to the corpus: per-doc word / OOV / piece
+    * counts — [[Bpe.encode]]'s contract for the unigram family. The
+    * Viterbi-segmented vocab is vocabulary-sized and BROADCAST; the
+    * corpus side explodes to (doc_id, word) and aggregates straight
+    * back to doc_id, so nothing corpus-sized ever shuffles by word.
+    * Words outside the trainable alphabet (or unseen at training time,
+    * which a fixed vocabulary cannot segment) count toward `n_words`
+    * but contribute no pieces, reported as `n_oov_words`; empty/NULL
+    * docs are preserved with zero counts. */
+  def encode(docs: DataFrame, model: UnigramModel): DataFrame = {
+    val agg = docs.select(col("doc_id"),
+        explode(split(coalesce(col("text"), lit("")), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .join(broadcast(model.vocab
+        .filter(col("seg").isNotNull).select("word", "n_tokens")),
+        Seq("word"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("_nw"),
+        sum(when(col("n_tokens").isNull, 1L).otherwise(0L)).as("_noov"),
+        coalesce(sum("n_tokens"), lit(0L)).as("_np"))
+    docs.select("doc_id").join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("_nw"), lit(0L)).cast("bigint").as("n_words"),
+        coalesce(col("_noov"), lit(0L)).cast("bigint").as("n_oov_words"),
+        coalesce(col("_np"), lit(0L)).cast("bigint").as("n_pieces"))
+  }
+
   /** Persist a trained model: pieces + the word segmentation table +
     * one-row meta — the [[Bpe.saveBpeModel]] trained-artifact layout;
     * live refresh via [[graft.scale.StoreMaint.replaceStore]]. */

@@ -454,6 +454,17 @@ object CurationQueries {
       graft.llm.Bpe.fertilityCard(d, m.vocab)
     },
 
+    // corpus-side unigram APPLY — Bpe.encode's contract for the other
+    // tokenizer family: per-doc word / OOV / piece counts via the
+    // broadcast Viterbi-segmented vocab; the corpus never shuffles by
+    // word. The oracle replays training + the final segmentation pass
+    // + the per-doc join, zero-filling wordless docs
+    "q_unigram_encode" -> { (s, dir) =>
+      val d = docs(s, dir)
+      graft.llm.Unigram.encode(d, graft.llm.Unigram.train(s, d,
+        maxPieceLen = 4, seedSize = 60, iters = 2))
+    },
+
     // context-length planning against the REAL tokenizer: the packing
     // card budgeted by trained-BPE subword tokens (the production
     // trainLocal path + the broadcast-vocab encode) instead of
@@ -1972,6 +1983,35 @@ object CurationQueries {
          |    AS oov_rate
          |FROM agg""".stripMargin,
 
+    // the unigram-encode replay: training + final segmentation + the
+    // q_bpe_encode per-doc tail against the segmented vocabulary
+    "q_unigram_encode" ->
+      s"""WITH ${unigramCtes(4, 60, 2, 12, extraSegRound = true)},
+         |vt AS (
+         |  SELECT word,
+         |    CAST(len(string_split(seg, ' ')) AS BIGINT) AS n_tokens
+         |  FROM seg3),
+         |wd AS (
+         |  SELECT doc_id, t AS word FROM (
+         |    SELECT doc_id,
+         |      unnest(string_split(coalesce(text, ''), ' ')) AS t
+         |    FROM documents)
+         |  WHERE t <> ''),
+         |agg AS (
+         |  SELECT wd.doc_id,
+         |    CAST(count(*) AS BIGINT) AS n_words,
+         |    CAST(sum(CASE WHEN vt.n_tokens IS NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_oov_words,
+         |    CAST(coalesce(sum(vt.n_tokens), 0) AS BIGINT) AS n_pieces
+         |  FROM wd LEFT JOIN vt USING (word)
+         |  GROUP BY wd.doc_id)
+         |SELECT d.doc_id,
+         |  coalesce(a.n_words, 0) AS n_words,
+         |  coalesce(a.n_oov_words, 0) AS n_oov_words,
+         |  coalesce(a.n_pieces, 0) AS n_pieces
+         |FROM (SELECT doc_id FROM documents) d
+         |LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
     "q_bpe_fertility" ->
       s"""WITH ${bpeOracleCtes(8)},
          |vt AS (
@@ -2290,6 +2330,7 @@ object CurationQueries {
     "q_unigram_lm" -> Seq("piece"),
     "q_unigram_fertility" -> Seq("lang"),
     "q_paragraph_dedup" -> Seq("doc_id"),
+    "q_unigram_encode" -> Seq("doc_id"),
     "q_bpe_encode" -> Seq("doc_id"),
     "q_bpe_tokenize" -> Seq("word"),
     "q_pii_scrub" -> Seq("doc_id"),

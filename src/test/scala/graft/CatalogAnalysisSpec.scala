@@ -151,7 +151,7 @@ class CatalogAnalysisSpec extends AnyFunSuite {
         "lsh_sensitivity", "minhash_est_quality",
         "containment_join_exact", "containment_recall_audit",
         "drop_contained", "shared_spans", "remove_shared_spans",
-        "unigram_lm", "paragraph_dedup"))
+        "unigram_lm", "unigram_token_count", "paragraph_dedup"))
       assert(kernels.contains(k), s"kernel $k must stay registered")
   }
 }

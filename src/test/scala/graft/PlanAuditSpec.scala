@@ -433,13 +433,18 @@ class PlanAuditSpec extends AnyFunSuite {
       s"pair work must ride the banded candidates:\n$p")
   }
 
-  test("q_unigram_fertility: the corpus word explode joins a BROADCAST " +
-    "vocabulary — no corpus-sized shuffle by word, no cartesian") {
-    val p = plan("q_unigram_fertility")
-    assert(p.contains("BroadcastHashJoin"),
-      s"the segmented vocab must broadcast onto the word explode:\n$p")
-    assert(!p.contains("CartesianProduct") &&
-      !p.contains("BroadcastNestedLoopJoin"), s"no degenerate joins:\n$p")
+  test("q_unigram_fertility / q_unigram_encode: the corpus word explode " +
+    "joins a BROADCAST vocabulary — no corpus-sized shuffle by word, " +
+    "no cartesian") {
+    for (name <- Seq("q_unigram_fertility", "q_unigram_encode")) {
+      val p = plan(name)
+      assert(p.contains("BroadcastHashJoin"),
+        s"$name: the segmented vocab must broadcast onto the word " +
+          s"explode:\n$p")
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$name: no degenerate joins:\n$p")
+    }
   }
 
   test("q_unigram_lm: the card is bounded driver metadata (a local " +

@@ -128,6 +128,29 @@ class UnigramSpec extends AnyFunSuite {
     assert(card("en").getDouble(4) > 0.0)
   }
 
+  test("encode: per-doc word/OOV/piece counts, wordless docs preserved " +
+    "with zeros, untrainable words count as OOV") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1L, "aaab ab"),        // both trainable
+      (2L, "ab X! unseen-x"), // 1 trainable + 2 untrainable words
+      (3L, ""),               // wordless
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val m = Unigram.train(s, d, maxPieceLen = 3, seedSize = 8, iters = 1)
+    val got = Unigram.encode(d, m).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.size == 4, "rows preserved")
+    assert(got(1L)._1 == 2L && got(1L)._2 == 0L && got(1L)._3 >= 2L)
+    assert(got(2L) == ((3L, 2L, got(2L)._3)) && got(2L)._3 >= 1L)
+    assert(got(3L) == ((0L, 0L, 0L)) && got(4L) == ((0L, 0L, 0L)))
+    // piece counts agree with the model's own segmentation table
+    val vocabPieces = m.vocab.collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(got(1L)._3 == vocabPieces("aaab") + vocabPieces("ab"))
+  }
+
   test("save/load round trip preserves pieces, vocab, and meta") {
     val s = spark
     val d = corpus((1L, "abc abd abc"))
