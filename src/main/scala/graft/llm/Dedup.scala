@@ -645,6 +645,76 @@ object Dedup {
         coalesce(col("n_hosts"), lit(0L)).as("n_hosts"))
   }
 
+  /** The persistable CONTAINMENT index: one row per (doc, distinct
+    * md5 k-shingle) with the doc's shingle-set size denormalized onto
+    * every row — the [[signatureIndex]] analog for the excerpt/host
+    * question, and the state table of
+    * [[graft.streaming.StreamingPipeline.ContainmentIndex]]. At corpus
+    * scale store it bucketed on `sh` (graft.scale.Bucketing) so
+    * incremental probes join with zero exchange on the index side;
+    * retire via [[retireFromIndex]] (the id anti-join is schema-
+    * agnostic) and compact via [[graft.scale.StoreMaint.replaceStore]].
+    * Constant-width keys — prose never enters the index. */
+  def shingleIndex(docs: DataFrame, k: Int = 3): DataFrame = {
+    val sh = withShingleCol(docs, k)
+      .select(col("doc_id"),
+        expr("explode(array_distinct(_shingles))").as("_g"))
+      .select(col("doc_id"), md5(col("_g")).as("sh"))
+    sh.join(sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh")),
+      Seq("doc_id"))
+  }
+
+  /** Incremental EXACT containment detection: every ORDERED pair
+    * (doc_a, doc_b, containment_a ≥ threshold) TOUCHING the new batch —
+    * batch docs probed both as EXCERPT and as HOST against the
+    * persisted [[shingleIndex]] of the historical corpus, plus in-batch
+    * pairs — without re-shingling a single historical document. EXACT,
+    * not banded: a qualifying pair shares ≥ 1 shingle and one probe
+    * side is always the (small) batch, so one shingle-keyed join
+    * against the batch-key-pruned index computes every batch-touching
+    * intersection completely (the broadcast semi-join prune is the
+    * [[incrementalCandidates]] discipline — a sh-bucketed index store
+    * joins with zero exchange). Output matches
+    * [[containmentJoinExact]] over (corpus ∪ batch) restricted to
+    * pairs touching the batch — the oracle proves it every round. Ids
+    * must be disjoint between index and batch. */
+  def incrementalContainmentPairs(index: DataFrame, newDocs: DataFrame,
+      threshold: Double = 0.8, k: Int = 3): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val nb = PipelineCaches.track(shingleIndex(newDocs, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    nb.count()
+    containmentPairsFromShingles(index, nb, threshold)
+  }
+
+  /** [[incrementalContainmentPairs]] core for callers already holding
+    * the batch's MATERIALIZED [[shingleIndex]] rows (the streaming
+    * path computes them once and both probes and appends them). */
+  private[graft] def containmentPairsFromShingles(index: DataFrame,
+      nb: DataFrame, threshold: Double): DataFrame = {
+    val batchKeys = nb.select("sh").distinct()
+    val pruned = index.join(broadcast(batchKeys), Seq("sh"), "left_semi")
+    def sided(df: DataFrame, side: String) = df.select(col("sh"),
+      col("doc_id").as(s"id_$side"), col("n_sh").as(s"n_$side"))
+    def inters(x: DataFrame) = sided(x, "x")
+      .join(sided(nb, "y"), Seq("sh"))
+      .filter(col("id_x") =!= col("id_y"))
+      .groupBy("id_x", "id_y", "n_x", "n_y")
+      .agg(count(lit(1)).as("_i"))
+    // index×batch pairs appear once; in-batch pairs restricted to
+    // id_x < id_y so each unordered pair is scored once — BOTH
+    // orientations are then emitted from the one scored row
+    val pairs = inters(pruned)
+      .unionAll(inters(nb).filter(col("id_x") < col("id_y")))
+    pairs.select(col("id_x").as("doc_a"), col("id_y").as("doc_b"),
+        (col("_i").cast("double") / col("n_x")).as("containment_a"))
+      .unionAll(pairs.select(col("id_y").as("doc_a"),
+        col("id_x").as("doc_b"),
+        (col("_i").cast("double") / col("n_y")).as("containment_a")))
+      .filter(col("containment_a") >= threshold)
+  }
+
   /** Containment-recall governance audit — [[lshRecallAudit]]'s twin
     * for the ASYMMETRIC threshold the exact containment join grounds:
     * how many true containment-≥t ordered pairs does the banded

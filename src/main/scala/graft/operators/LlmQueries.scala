@@ -568,6 +568,29 @@ object LlmQueries {
         oracleHashes = true)
     },
 
+    // incremental containment: a new batch (every 5th doc + planted
+    // half-doc excerpts of every 7th) probes the persisted shingle
+    // index of the REST of the corpus — both as excerpt and as host —
+    // with only the batch re-shingled; the index side is pruned by a
+    // broadcast semi-join on the batch's shingle keys. The oracle
+    // recomputes the FULL unpruned ordered containment join over
+    // (old ∪ batch) restricted to batch-touching pairs, proving the
+    // incremental path loses nothing (the q_dedup_incremental pattern
+    // pointed at exact containment)
+    "q_containment_incremental" -> { (s, dir) =>
+      val d = docs(s, dir).select("doc_id", "text")
+      val excerpts = d.filter(col("doc_id") % 7 === 0)
+        .withColumn("_w", split(col("text"), " "))
+        .select((col("doc_id") + 300000L).as("doc_id"),
+          array_join(slice(col("_w"), lit(1),
+            greatest((size(col("_w")) / 2).cast("int"), lit(5))), " ")
+            .as("text"))
+      val old = d.filter(col("doc_id") % 5 =!= 4)
+      val batch = d.filter(col("doc_id") % 5 === 4).unionAll(excerpts)
+      Dedup.incrementalContainmentPairs(
+        Dedup.shingleIndex(old, k = 3), batch, threshold = 0.8, k = 3)
+    },
+
     // STREAMING containment index (r14 verdict task 4 — the online twin
     // of the containment family): the SAME excerpt-planted corpus
     // replayed as a two-batch document stream through a real
@@ -2074,6 +2097,31 @@ object LlmQueries {
          |SELECT doc_a, doc_b, jaccard FROM pj
          |WHERE jaccard >= 0.8""".stripMargin,
 
+    // algorithm-independent oracle: the FULL unpruned ordered
+    // containment join over (old ∪ batch), restricted to pairs with at
+    // least one batch doc (batch = doc_id % 5 = 4 originals and the
+    // +300000 excerpts)
+    "q_containment_incremental" ->
+      s"""WITH u AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 300000 AS doc_id,
+         |    array_to_string(w[1:greatest(len(w) // 2, 5)], ' ') AS text
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS w
+         |        FROM documents WHERE doc_id % 7 = 0)),
+         |t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM u),
+         |shx AS (SELECT doc_id, $shinglesSql AS s FROM t),
+         |ds AS (SELECT doc_id, list_distinct(s) AS s FROM shx),
+         |pj AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s)
+         |      AS containment_a
+         |  FROM ds a JOIN ds b ON a.doc_id <> b.doc_id)
+         |SELECT doc_a, doc_b, containment_a FROM pj
+         |WHERE containment_a >= 0.8
+         |  AND (doc_a % 5 = 4 OR doc_a >= 300000
+         |       OR doc_b % 5 = 4 OR doc_b >= 300000)""".stripMargin,
+
     // ground truth, no pruning: the FULL all-ORDERED-pairs containment
     // join over the excerpt-planted corpus — equality with Spark's
     // one-sided prefix-filtered result IS the completeness proof
@@ -3292,6 +3340,7 @@ object LlmQueries {
     "q_jaccard_join_exact" -> Seq("doc_a", "doc_b"),
     "q_containment_join_exact" -> Seq("doc_a", "doc_b"),
     "q_stream_containment" -> Seq("doc_a", "doc_b"),
+    "q_containment_incremental" -> Seq("doc_a", "doc_b"),
     "q_containment_recall_audit" -> Seq("threshold"),
     "q_dedup_drop_contained" -> Seq("doc_id"),
     "q_kmeans_assign" -> Seq("vec_id"),

@@ -146,7 +146,6 @@ object StreamingPipeline {
     * tier, as [[graft.llm.Dedup.minhashCandidates]] documents. */
   final class ContainmentIndex(
       k: Int = 3, threshold: Double = 0.8, compactEvery: Int = 16) {
-    import org.apache.spark.sql.functions._
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
     private var index: Option[DataFrame] = None
@@ -155,49 +154,19 @@ object StreamingPipeline {
     /** Number of (doc, shingle) rows currently indexed. */
     def size: Long = synchronized { index.map(_.count()).getOrElse(0L) }
 
-    /** (doc_id, sh, n_sh): the doc's DISTINCT md5 shingle keys with its
-      * set size denormalized onto every row (pruning the index never
-      * loses the denominator). */
-    private def shingleRows(docs: DataFrame): DataFrame = {
-      val sh = docs.withColumn("_t", coalesce(col("text"), lit("")))
-        .select(col("doc_id"), explode(array_distinct(
-          graft.functions.Kgrams.kgrams(col("_t"), k,
-            keepShortWhole = true))).as("_g"))
-        .select(col("doc_id"), md5(col("_g")).as("sh"))
-      sh.join(sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh")),
-        Seq("doc_id"))
-    }
-
-    /** Shingle the batch once, return every ORDERED containment pair
-      * (doc_a, doc_b, containment_a ≥ threshold) touching the batch —
-      * batch docs as excerpts AND as hosts, both against the index and
-      * within the batch — then append the batch. Thread-safe; the
-      * returned lazy frame reads only checkpoint-backed inputs. */
+    /** Shingle the batch once ([[Dedup.shingleIndex]] — the shared
+      * batch/streaming state table), return every ORDERED containment
+      * pair (doc_a, doc_b, containment_a ≥ threshold) touching the
+      * batch via the shared probe primitive
+      * ([[Dedup.containmentPairsFromShingles]] — the streaming path IS
+      * the batch incremental path pointed at executor-resident state),
+      * then append the batch. Thread-safe; the returned lazy frame
+      * reads only checkpoint-backed inputs. */
     def probeAndAppend(batchDocs: DataFrame): DataFrame = synchronized {
-      val nb = shingleRows(batchDocs.select("doc_id", "text"))
+      val nb = Dedup.shingleIndex(batchDocs.select("doc_id", "text"), k)
         .localCheckpoint(true)
-      val idx = index.getOrElse(nb.limit(0))
-      val batchKeys = nb.select("sh").distinct()
-      val pruned = idx.join(broadcast(batchKeys), Seq("sh"), "left_semi")
-      def sided(df: DataFrame, side: String) = df.select(col("sh"),
-        col("doc_id").as(s"id_$side"), col("n_sh").as(s"n_$side"))
-      def inters(x: DataFrame) = sided(x, "x")
-        .join(sided(nb, "y"), Seq("sh"))
-        .filter(col("id_x") =!= col("id_y"))
-        .groupBy("id_x", "id_y", "n_x", "n_y")
-        .agg(count(lit(1)).as("_i"))
-      // index×batch pairs appear once; in-batch pairs restricted to
-      // id_x < id_y so each unordered pair is scored once — BOTH
-      // orientations are then emitted from the one scored row
-      val pairs = inters(pruned)
-        .unionAll(inters(nb).filter(col("id_x") < col("id_y")))
-      val out = pairs.select(col("id_x").as("doc_a"),
-          col("id_y").as("doc_b"),
-          (col("_i").cast("double") / col("n_x")).as("containment_a"))
-        .unionAll(pairs.select(col("id_y").as("doc_a"),
-          col("id_x").as("doc_b"),
-          (col("_i").cast("double") / col("n_y")).as("containment_a")))
-        .filter(col("containment_a") >= threshold)
+      val out = Dedup.containmentPairsFromShingles(
+        index.getOrElse(nb.limit(0)), nb, threshold)
       index = Some(index.map(_.unionAll(nb)).getOrElse(nb))
       batches += 1
       if (batches % compactEvery == 0)

@@ -418,6 +418,17 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q_containment_incremental: the index side is pruned by a " +
+    "broadcast semi-join on the batch's shingle keys, intersections " +
+    "ride keyed equi-joins, no cartesian") {
+    val p = plan("q_containment_incremental")
+    assert(p.contains("LeftSemi"),
+      s"the index scan must be pruned by the batch-key semi-join:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"the probe must stay a keyed join:\n$p")
+  }
+
   test("q_paragraph_dedup: one corpus scan, the persisted chunk base " +
     "serves candidates AND reassembly, no cartesian") {
     val p = plan("q_paragraph_dedup")
