@@ -833,6 +833,41 @@ object Similarity {
       centers)
   }
 
+  /** APPEND a new shard to a persisted [[saveIvfIndex]] store (the
+    * [[appendToRpIndex]] contract): the centers are FROZEN store
+    * metadata, so the shard is assigned with the stored constants and
+    * appended — append == rebuild for the seeded quantizer; only the
+    * shard pays assignment cost. Width-mismatched shards fail loudly
+    * before any write; ids must be disjoint from the stored ones. */
+  def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, newShard: DataFrame): Unit = {
+    val centers = spark.read.parquet(s"$path/centers").orderBy("list")
+      .collect().map(_.getSeq[Double](1).toArray)
+    val dim = centers.head.length
+    val shardDim = embeddingDim(newShard)
+    require(shardDim == 0 || shardDim == dim,
+      s"appendToIvfIndex: shard embedding dim $shardDim != store dim $dim")
+    newShard.select(col("vec_id"), col("embedding"),
+        element_at(probeCellsCol(col("embedding"), centers, 1), 1)
+          .as("_list"))
+      .write.mode("append").parquet(s"$path/assigned")
+  }
+
+  /** Retire vectors from a loaded IVF assignment — one broadcast
+    * anti-join pass ([[graft.llm.Dedup.retireFromIndex]] contract). */
+  def retireFromIvfIndex(assigned: DataFrame, retiredIds: Seq[Long])
+      : DataFrame =
+    assigned.filter(!col("vec_id").isInCollection(retiredIds))
+
+  /** In-place maintenance of a persisted IVF store: drop retired ids
+    * and rewrite the assignment once (compacting append small-files),
+    * swap safety via [[graft.scale.StoreMaint.replaceStore]]. */
+  def compactIvfIndexStore(spark: org.apache.spark.sql.SparkSession,
+      path: String, retiredIds: Seq[Long]): Long =
+    graft.scale.StoreMaint.replaceStore(spark, s"$path/assigned",
+      retireFromIvfIndex(
+        spark.read.parquet(s"$path/assigned"), retiredIds))
+
   /** One-shot IVF search on the deterministic seeded quantizer — the
     * fully-oracled variant behind `q_ann_ivf_topk`. */
   def ivfTopKSeeded(

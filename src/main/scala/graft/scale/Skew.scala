@@ -18,14 +18,27 @@ object Skew {
   /** Two-phase salted sum/count aggregation: partial aggregate on
     * (keys, salt) — splitting each hot group across `salts` reducers —
     * then final combine on keys. Decimal-exact, so the extra phase cannot
-    * change results. */
+    * change results.
+    *
+    * Salt assignment: with `saltCols` (a unique row id, when the schema
+    * has one) the salt is DETERMINISTIC — `pmod(xxhash64(saltCols),
+    * salts)` — immune to the nondeterministic-shuffle-key hazard (a map
+    * stage recomputed after a fetch failure re-assigning rows across
+    * already-consumed reduce outputs, double-counting or losing them).
+    * The default falls back to a per-row round-robin id because content
+    * hashing CANNOT replace it here: a hot group with a constant
+    * measure (key=k, value=1 a billion times) hashes every row
+    * identically and would collapse back onto one reducer — the exact
+    * skew this operator exists to break. Prefer passing `saltCols`
+    * whenever a unique column exists; with the fallback, run against
+    * checkpointed/stable input when stage retries must be exact. */
   def saltedSumCount(
       df: DataFrame, keys: Seq[String], valueCol: String,
-      salts: Int = 16): DataFrame = {
-    // salt must vary per ROW, not per value: a hot group with a constant
-    // measure would otherwise collapse into one salt bucket. The aggregate
-    // result is salt-invariant, so a partition-dependent id is fine.
-    val salt = pmod(xxhash64(monotonically_increasing_id()), lit(salts))
+      salts: Int = 16, saltCols: Seq[String] = Nil): DataFrame = {
+    val salt =
+      if (saltCols.nonEmpty)
+        pmod(xxhash64(saltCols.map(col): _*), lit(salts))
+      else pmod(xxhash64(monotonically_increasing_id()), lit(salts))
     df.withColumn("_salt", salt)
       .groupBy((keys :+ "_salt").map(col): _*)
       .agg(sum(col(valueCol).cast(D)).as("_psum"),

@@ -24,6 +24,31 @@ class SkewSpec extends AnyFunSuite {
     assert(salted == direct)
   }
 
+  test("salted sum/count with a deterministic saltCols id equals direct " +
+    "aggregation and still spreads a constant-measure hot group") {
+    val s = spark
+    import s.implicits._
+    // hot group: one key, constant measure — content hashing would
+    // collapse it; the unique id column must spread it
+    val hot = (1L to 4000L).map(i => (i, "k", 1.0)).toDF("id", "g", "v")
+    val direct = hot.groupBy("g")
+      .agg(sum(col("v").cast("decimal(28,8)")).cast("double")
+        .as("v_sum"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+      .toSet
+    val salted = Skew.saltedSumCount(hot, Seq("g"), "v", salts = 8,
+      saltCols = Seq("id"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+      .toSet
+    assert(salted == direct)
+    // the deterministic salt genuinely spreads: every salt bucket holds
+    // a fraction of the hot group, none holds it whole
+    val buckets = hot.withColumn("_s",
+        pmod(xxhash64(col("id")), lit(8)))
+      .groupBy("_s").count().collect().map(_.getLong(1))
+    assert(buckets.length == 8 && buckets.max < 4000L)
+  }
+
   test("salted join equals direct join") {
     val s = spark
     val fact = s.table("orders").select("o_orderkey", "o_custkey")

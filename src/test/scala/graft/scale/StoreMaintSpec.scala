@@ -196,6 +196,43 @@ class StoreMaintSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF store: append == rebuild, retire + compact == filtered " +
+    "rebuild (the seeded quantizer is frozen metadata)") {
+    import graft.llm.Similarity
+    val s = spark
+    val e = embCorpus(s)
+    val qids = Seq(0L, 1L, 2L)
+    val seeds = (1 to 8).map(_ * 5L)
+    val dir = Files.createTempDirectory("graft-ivf-maint").toString
+    // centers come from the FULL corpus's pinned seeds (odd seed ids
+    // exist only there); the stored assignment starts as the even half
+    val full = Similarity.buildIvfIndexSeeded(e, seeds, persist = false)
+    Similarity.saveIvfIndex(graft.llm.Similarity.IvfIndex(
+      full.assigned.filter(col("vec_id") % 2 === 0), full.centers), dir)
+    Similarity.appendToIvfIndex(s, dir, e.filter(col("vec_id") % 2 === 1))
+    val idx = Similarity.loadIvfIndex(s, dir, persist = false)
+    val q = e.filter(col("vec_id").isInCollection(qids))
+    val appended = topkRows(Similarity.searchIvf(idx, q, k = 5))
+    val rebuilt = topkRows(
+      Similarity.ivfTopKSeeded(e, seeds, qids, k = 5))
+    assert(appended == rebuilt, "append must equal a full rebuild")
+    val retired = Seq(21L, 22L, 23L)
+    val kept = Similarity.compactIvfIndexStore(s, dir, retired)
+    val idx2 = Similarity.loadIvfIndex(s, dir, persist = false)
+    assert(kept == idx2.assigned.count())
+    val pruned = e.filter(!col("vec_id").isInCollection(retired))
+    val afterRetire = topkRows(Similarity.searchIvf(idx2,
+      pruned.filter(col("vec_id").isInCollection(qids)), k = 5))
+    val filteredRebuild = topkRows(
+      Similarity.ivfTopKSeeded(pruned, seeds, qids, k = 5))
+    assert(afterRetire == filteredRebuild)
+    val bad = e.limit(1).select((col("vec_id") + 900000L).as("vec_id"),
+      expr("slice(embedding, 1, 32)").as("embedding"))
+    intercept[IllegalArgumentException] {
+      Similarity.appendToIvfIndex(s, dir, bad)
+    }
+  }
+
   test("IVF-PQ store: append == rebuild, retire + compact == filtered " +
     "rebuild, dim-mismatched shards rejected") {
     import graft.llm.{Pq, Similarity}
