@@ -327,9 +327,19 @@ object Dedup {
     * persist+materialize here changed nothing). Candidate columns pass
     * through, so callers keep extras like est_jaccard. */
   private def pairShingleCounts(
-      docs: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
-    val sh = withShingleCol(docs, k).select(col("doc_id"),
-      expr("explode(array_distinct(_shingles))").as("shingle"))
+      docs: DataFrame, candidates: DataFrame, k: Int): DataFrame =
+    pairShingleCountsFrom(
+      withShingleCol(docs, k).select(col("doc_id"),
+        expr("explode(array_distinct(_shingles))").as("shingle")),
+      candidates)
+
+  /** [[pairShingleCounts]] over an ALREADY-BUILT distinct
+    * (doc_id, shingle) relation — the exact joins persist exactly this
+    * table for candidate generation, and re-deriving it inside the
+    * rescore was a full second corpus shingle pass (measured round 15:
+    * the whole exact-join family pays it). */
+  private def pairShingleCountsFrom(
+      sh: DataFrame, candidates: DataFrame): DataFrame = {
     val counts = sh.groupBy("doc_id").count().withColumnRenamed("count", "n_sh")
     val inter = candidates
       .join(sh.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"))
@@ -368,12 +378,21 @@ object Dedup {
     * double divisions replay bit-identically in the oracle. */
   def containmentRescore(
       docs: DataFrame, candidates: DataFrame, k: Int = 3): DataFrame =
-    pairShingleCounts(docs, candidates, k)
-      .select(col("doc_a"), col("doc_b"),
-        (col("n_inter").cast("double") / col("n_a")).as("containment_a"),
-        (col("n_inter").cast("double") / col("n_b")).as("containment_b"),
-        (col("n_inter").cast("double") /
-          (col("n_a") + col("n_b") - col("n_inter"))).as("jaccard"))
+    containmentProjection(pairShingleCounts(docs, candidates, k))
+
+  /** [[containmentRescore]] over a prebuilt distinct (doc_id, shingle)
+    * relation — lets the exact joins feed their PERSISTED shingle table
+    * into the rescore instead of paying a second corpus shingle pass. */
+  private[graft] def containmentRescoreFrom(
+      sh: DataFrame, candidates: DataFrame): DataFrame =
+    containmentProjection(pairShingleCountsFrom(sh, candidates))
+
+  private def containmentProjection(pc: DataFrame): DataFrame =
+    pc.select(col("doc_a"), col("doc_b"),
+      (col("n_inter").cast("double") / col("n_a")).as("containment_a"),
+      (col("n_inter").cast("double") / col("n_b")).as("containment_b"),
+      (col("n_inter").cast("double") /
+        (col("n_a") + col("n_b") - col("n_inter"))).as("jaccard"))
 
   /** Candidate-pair Jaccard HISTOGRAM — the LSH threshold-tuning card
     * that closes the loop [[lshPlan]] opens: generate the banded
@@ -462,7 +481,7 @@ object Dedup {
       .filter(col("_szb") >= alphaCeil(col("_sza")) &&
         col("_sza") >= alphaCeil(col("_szb")))
       .select("doc_a", "doc_b").distinct()
-    containmentRescore(docs, cands, k)
+    containmentRescoreFrom(sh, cands)
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
   }
@@ -521,7 +540,7 @@ object Dedup {
         col("_sz").as("_szb")), Seq("doc_b"))
       .filter(col("_szb") >= alphaCeil(col("_sza")))
       .select("doc_a", "doc_b").distinct()
-    containmentRescore(docs, cands, k)
+    containmentRescoreFrom(sh, cands)
       .filter(col("containment_a") >= threshold)
       .select("doc_a", "doc_b", "containment_a")
   }
