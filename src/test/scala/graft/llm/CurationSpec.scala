@@ -950,6 +950,37 @@ class CurationSpec extends AnyFunSuite {
     graft.llm.PipelineCaches.clear()
   }
 
+  test("incrementalContainmentPairs EQUIVALENCE: for several corpus " +
+    "splits, probing the index equals the full exact join restricted " +
+    "to batch-touching pairs") {
+    val s = spark
+    val d = s.table("documents").filter(col("doc_id") < 120)
+      .select("doc_id", "text")
+    val excerpts = d.filter(col("doc_id") % 7 === 0)
+      .withColumn("_w", split(col("text"), " "))
+      .select((col("doc_id") + 300000L).as("doc_id"),
+        array_join(slice(col("_w"), lit(1),
+          greatest((size(col("_w")) / 2).cast("int"), lit(5))), " ")
+          .as("text"))
+    val corpus = d.unionAll(excerpts)
+    val full = Dedup.containmentJoinExact(corpus, threshold = 0.8, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    graft.llm.PipelineCaches.clear()
+    for (m <- Seq(3L, 5L)) {
+      val inBatch = (id: org.apache.spark.sql.Column) => id % m === 0
+      val old = corpus.filter(!inBatch(col("doc_id")))
+      val batch = corpus.filter(inBatch(col("doc_id")))
+      val got = Dedup.incrementalContainmentPairs(
+          Dedup.shingleIndex(old, k = 3), batch, threshold = 0.8, k = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      graft.llm.PipelineCaches.clear()
+      val want = full.filter(p => p._1 % m == 0 || p._2 % m == 0)
+      assert(got == want, s"split mod $m: incremental != restricted full")
+    }
+  }
+
   test("jaccardJoinExact equals the brute-force all-pairs join on the " +
     "fixture, and keeps the exact-threshold boundary pair") {
     val s = spark

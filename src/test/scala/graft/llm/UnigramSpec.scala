@@ -128,6 +128,57 @@ class UnigramSpec extends AnyFunSuite {
     assert(card("en").getDouble(4) > 0.0)
   }
 
+  test("viterbi OPTIMALITY: on seeded random words and vocabularies, " +
+    "the DP's best score equals the brute-force max over every " +
+    "segmentation") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(424242L)
+    val alphabet = "ab"
+    // random vocab: all single chars (coverage) + random pieces <= 3
+    val pieces = (Seq("a", "b") ++ (1 to 6).map { _ =>
+      (1 to (1 + rnd.nextInt(3)))
+        .map(_ => alphabet(rnd.nextInt(2))).mkString
+    }).distinct
+    val logp = pieces.map(p =>
+      p -> BigDecimal(-(1 + rnd.nextInt(400)) / 100.0).setScale(6)).toMap
+    val vocab = logp.toSeq
+      .map { case (p, v) => (p, v.underlying.toPlainString) }
+      .toDF("piece", "_ls")
+      .select(col("piece"), col("_ls").cast("decimal(18,6)").as("logp"))
+    val words = (1 to 30).map(_ => (1 to (1 + rnd.nextInt(6)))
+      .map(_ => alphabet(rnd.nextInt(2))).mkString).distinct
+      .map((_, 1L))
+
+    // brute force: enumerate every segmentation into pieces <= 3 chars
+    def bestScore(w: String): Option[BigDecimal] = {
+      def segs(rest: String): Seq[Seq[String]] =
+        if (rest.isEmpty) Seq(Seq.empty)
+        else (1 to math.min(3, rest.length)).flatMap { l =>
+          val p = rest.take(l)
+          if (logp.contains(p)) segs(rest.drop(l)).map(p +: _) else Nil
+        }
+      val all = segs(w)
+      if (all.isEmpty) None
+      else Some(all.map(_.map(logp).sum).max)
+    }
+
+    val got = Unigram.viterbiSegment(words.toDF("word", "freq"),
+        vocab, maxPieceLen = 3)
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getString(2)))).toMap
+    for (w <- words.map(_._1)) {
+      (bestScore(w), got(w)) match {
+        case (None, seg) => assert(seg.isEmpty, s"$w should be OOV")
+        case (Some(best), Some(seg)) =>
+          val segScore = seg.split(" ").toSeq.map(logp).sum
+          assert(segScore == best,
+            s"$w: DP picked $seg at $segScore, brute-force max is $best")
+        case (some, none) => fail(s"$w: expected $some, got $none")
+      }
+    }
+  }
+
   test("encode: per-doc word/OOV/piece counts, wordless docs preserved " +
     "with zeros, untrainable words count as OOV") {
     val s = spark
