@@ -1653,21 +1653,39 @@ object Curation {
       threshold: Double = 0.8, k: Int = 3, numHashes: Int = 8,
       bands: Int = 4, oracleHashes: Boolean = false,
       maxChunksPerDoc: Long = 100000L,
-      maxBucketSize: Int = Int.MaxValue): DataFrame = {
+      maxBucketSize: Int = Int.MaxValue,
+      minEstJaccard: Double = 0.5): DataFrame = {
     require(chunkSize > 0, s"chunkSize must be positive, got $chunkSize")
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
+    // the estimator prefilter must not sit above the exact threshold,
+    // or sub-prefilter thresholds would silently under-dedup; callers
+    // wanting a low threshold lower the prefilter consciously (the
+    // candidate tier stays probabilistic either way — recall-1 lives
+    // in the exact-join tier)
+    require(minEstJaccard <= threshold,
+      s"minEstJaccard ($minEstJaccard) must be <= threshold " +
+        s"($threshold) or qualifying pairs are pre-filtered away")
     val chunks = PipelineCaches.track(
       TextOps.chunkDocs(docs, chunkSize, stride = chunkSize)
         .withColumn("chunk_key",
           col("doc_id") * maxChunksPerDoc + col("chunk_idx"))
         .withColumn("_h", md5(col("chunk_text")))
         .persist(StorageLevel.MEMORY_AND_DISK))
-    // materialize + chunk-key collision guard in the same single action
-    val mx = chunks.agg(max("chunk_idx")).collect()(0)
+    // materialize + BOTH key-collision guards in the same single action:
+    // chunk_idx must fit under maxChunksPerDoc and doc_id must survive
+    // the multiplication (hash-derived 63-bit ids would silently wrap
+    // and invert keep-one ordering corpus-wide)
+    val mx = chunks.agg(max("chunk_idx"),
+      max(abs(col("doc_id")))).collect()(0)
     require(mx.isNullAt(0) || mx.getLong(0) < maxChunksPerDoc,
       s"paragraphDedup: a doc has > $maxChunksPerDoc chunks; raise " +
         "maxChunksPerDoc so chunk keys stay collision-free")
+    require(mx.isNullAt(1) ||
+      mx.getLong(1) <= Long.MaxValue / maxChunksPerDoc,
+      s"paragraphDedup: |doc_id| up to ${if (mx.isNullAt(1)) 0
+        else mx.getLong(1)} overflows chunk_key = doc_id * " +
+        s"$maxChunksPerDoc; renumber doc ids or lower maxChunksPerDoc")
     // stage 1: exact cliques -> min-key representative (min over
     // identical strings IS the string, so the text rides the same agg)
     val groups = chunks.groupBy("_h")
@@ -1675,7 +1693,7 @@ object Curation {
     val reps = groups.select(col("rep_key").as("doc_id"), col("text"))
     // stage 2: banded near-dup + exact rescore over REPRESENTATIVES
     val cands = Dedup.minhashCandidates(reps, k, numHashes, bands,
-      minEstJaccard = 0.5, oracleHashes = oracleHashes,
+      minEstJaccard = minEstJaccard, oracleHashes = oracleHashes,
       maxBucketSize = maxBucketSize)
     val repPairs = Dedup.jaccardRescore(reps, cands, k)
       .filter(col("jaccard") >= threshold)

@@ -674,14 +674,17 @@ object Dedup {
     * retire via [[retireFromIndex]] (the id anti-join is schema-
     * agnostic) and compact via [[graft.scale.StoreMaint.replaceStore]].
     * Constant-width keys — prose never enters the index. */
-  def shingleIndex(docs: DataFrame, k: Int = 3): DataFrame = {
-    val sh = withShingleCol(docs, k)
+  def shingleIndex(docs: DataFrame, k: Int = 3): DataFrame =
+    // n_sh via a doc-keyed window, NOT a self-join: the self-join form
+    // referenced the unpersisted shingle relation twice and computed
+    // the full explode+md5 pipeline per reference (round-15 review
+    // fix) — the window pays one doc_id shuffle over the same rows
+    withShingleCol(docs, k)
       .select(col("doc_id"),
         expr("explode(array_distinct(_shingles))").as("_g"))
       .select(col("doc_id"), md5(col("_g")).as("sh"))
-    sh.join(sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh")),
-      Seq("doc_id"))
-  }
+      .withColumn("n_sh",
+        count(lit(1)).over(Window.partitionBy("doc_id")))
 
   /** Incremental EXACT containment detection: every ORDERED pair
     * (doc_a, doc_b, containment_a ≥ threshold) TOUCHING the new batch —

@@ -343,13 +343,10 @@ object Pq {
     * loudly before anything is written. */
   def appendToIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, newShard: DataFrame): Unit = {
-    val centers = spark.read.parquet(s"$path/centers").orderBy("list")
-      .collect().map(_.getSeq[Double](1).toArray)
-    val rows = spark.read.parquet(s"$path/codebooks")
-      .orderBy("j", "c").collect()
-      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
-    val codebooks = rows.groupBy(_._1).toSeq.sortBy(_._1)
-      .map { case (_, cws) => cws.sortBy(_._2).map(_._3) }.toArray
+    // ONE store-layout parser: reuse the loader (the assigned-table
+    // read inside it is lazy metadata, never executed here) so append
+    // and load can never disagree on the layout
+    val (_, centers, codebooks) = loadIvfPqIndex(spark, path)
     val dim = codebooks.map(_.head.length).sum
     val shardDim = Similarity.embeddingDim(newShard)
     require(shardDim == 0 || shardDim == dim,

@@ -841,8 +841,9 @@ object Similarity {
     * before any write; ids must be disjoint from the stored ones. */
   def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, newShard: DataFrame): Unit = {
-    val centers = spark.read.parquet(s"$path/centers").orderBy("list")
-      .collect().map(_.getSeq[Double](1).toArray)
+    // reuse the loader's layout parsing (assigned-table read is lazy,
+    // never executed here) so append and load can never disagree
+    val centers = loadIvfIndex(spark, path, persist = false).centers
     val dim = centers.head.length
     val shardDim = embeddingDim(newShard)
     require(shardDim == 0 || shardDim == dim,

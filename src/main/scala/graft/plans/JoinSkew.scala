@@ -127,8 +127,14 @@ object JoinSkew {
     * `roundRobinSalt = true` to trade that residual pile-up risk for
     * the stage-retry exposure above (documented fallback, only for
     * pipelines that disable stage retries or checkpoint the left
-    * side). The assignment affects only WHERE a row is processed,
-    * never the joined output.
+    * side). Two caveats the deterministic default cannot avoid: a
+    * KEYS-ONLY left side (no payload columns) hashes every hot row
+    * identically, so the treatment silently degenerates to one sub-key
+    * — carry a payload/id column or opt into round-robin for that
+    * shape; and MapType columns are excluded from the hash (Spark
+    * forbids hashing maps), falling back to round-robin only when NO
+    * hashable column remains. The assignment affects only WHERE a row
+    * is processed, never the joined output.
     *
     * NULL join keys take the cold path and vanish there, exactly as
     * the plain inner equi-join drops them. Scale shape: two broadcast
@@ -178,9 +184,15 @@ object JoinSkew {
       .select(lcols.map(col): _*)
       .join(rTag.filter(col("_sf").isNull)
         .select((keyCol +: rcols).map(col): _*), Seq(keyCol))
+    // hash only hashable columns (xxhash64 rejects MapType); if nothing
+    // hashable remains — or the caller opted in — fall back to
+    // round-robin with the documented stage-retry exposure
+    val hashable = lcols.filterNot(c =>
+      left.schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
     val saltAssign =
-      if (roundRobinSalt) pmod(monotonically_increasing_id(), col("_sf"))
-      else pmod(xxhash64(lcols.map(col): _*), col("_sf"))
+      if (roundRobinSalt || hashable.isEmpty)
+        pmod(monotonically_increasing_id(), col("_sf"))
+      else pmod(xxhash64(hashable.map(col): _*), col("_sf"))
     val hotJoin = lTag.filter(col("_sf").isNotNull)
       .withColumn("_salt", saltAssign)
       .select((lcols.map(col) :+ col("_salt")): _*)

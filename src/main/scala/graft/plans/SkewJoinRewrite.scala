@@ -69,13 +69,14 @@ case class SkewJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   private def isRewritten(p: LogicalPlan): Boolean =
     p.output.exists(_.name.startsWith(Marker))
 
-  /** Decision cache: canonicalized (left, right, key ordinal, targetRows)
-    * → the hot-key plan rows (empty = diagnosed, no salting needed).
+  /** Decision cache: canonicalized (left, right, key ordinal,
+    * targetRows, topN) → the hot-key plan rows (empty = diagnosed, no salting needed).
     * Keeps a fixed-point batch from re-running the diagnosis every
     * iteration; bounded by a hard clear at 64 joins (a plan-shape
     * cardinality, not a data one). */
   private val decided =
-    new ConcurrentHashMap[(LogicalPlan, LogicalPlan, Int, Long), Seq[Row]]()
+    new ConcurrentHashMap[(LogicalPlan, LogicalPlan, Int, Long, Int),
+      Seq[Row]]()
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!enabled) return plan
@@ -163,8 +164,8 @@ case class SkewJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     * (key, salt) rows with salt ≥ 2 over non-NULL keys. */
   private def decideHotKeys(left: LogicalPlan, right: LogicalPlan,
       lk: Attribute, rk: Attribute, keyOrdinal: Int): Seq[Row] = {
-    val cacheKey =
-      (left.canonicalized, right.canonicalized, keyOrdinal, targetRows)
+    val cacheKey = (left.canonicalized, right.canonicalized, keyOrdinal,
+      targetRows, topN)
     val cached = decided.get(cacheKey)
     if (cached != null) return cached
     val lKeys = PlanBridge.ofRows(spark, left)

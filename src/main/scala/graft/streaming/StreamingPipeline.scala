@@ -23,6 +23,34 @@ object StreamingPipeline {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Replay-idempotence shared by the three accumulating indexes
+    * (round-15 fix): foreachBatch is AT-LEAST-ONCE — a sink failure
+    * AFTER probeAndAppend returns replays the SAME batchId on recovery,
+    * and a second append would leave the batch's rows twice in the
+    * index, corrupting every later intersection/candidate count. Each
+    * index therefore remembers the last appended batchId and its
+    * PRE-append snapshot (checkpoint-backed, so it stays valid): a
+    * replay of that id re-probes against the snapshot — emitting
+    * exactly the original attempt's pairs for the sink to retry — and
+    * appends NOTHING. Structured Streaming replays only the latest
+    * uncommitted batch, so one snapshot suffices. Ad-hoc callers that
+    * pass no batchId (< 0) keep the append-always behavior. */
+  private final class ReplayGuard {
+    private var lastBatchId: Long = Long.MinValue
+    private var preAppend: Option[DataFrame] = None
+
+    /** Returns the index view to probe against, or None when this is a
+      * fresh batch (probe the live index, then [[committed]]). */
+    def replayView(batchId: Long, live: Option[DataFrame])
+        : Option[Option[DataFrame]] =
+      if (batchId >= 0 && batchId == lastBatchId) Some(preAppend) else None
+
+    def committed(batchId: Long, pre: Option[DataFrame]): Unit = {
+      lastBatchId = if (batchId >= 0) batchId else Long.MinValue
+      preAppend = pre
+    }
+  }
+
   /** Accumulating MinHash signature index for continuous near-dup
     * detection: each arriving batch is hashed ONCE, probed against
     * everything seen so far ([[Dedup.candidatesFromBuckets]] — the index
@@ -38,6 +66,7 @@ object StreamingPipeline {
       minEstJaccard: Double = 0.5, compactEvery: Int = 16) {
     private var index: Option[DataFrame] = None
     private var batches = 0
+    private val guard = new ReplayGuard
 
     /** Number of (doc, band) rows currently indexed. */
     def size: Long = synchronized { index.map(_.count()).getOrElse(0L) }
@@ -45,16 +74,27 @@ object StreamingPipeline {
     /** Hash the batch once, return candidate pairs vs (index ∪ batch),
       * append the batch to the index. Thread-safe; the returned (lazy)
       * frame reads only checkpoint-backed inputs, so it remains valid
-      * after the index advances past this batch. */
-    def probeAndAppend(batchDocs: DataFrame): DataFrame = synchronized {
+      * after the index advances past this batch. A REPLAYED batchId
+      * (at-least-once recovery) re-emits the original pairs without
+      * appending twice — see [[ReplayGuard]]. */
+    def probeAndAppend(batchDocs: DataFrame, batchId: Long = -1L)
+        : DataFrame = synchronized {
       val nb = Dedup.signatureIndex(batchDocs, k, numHashes, bands)
         .localCheckpoint(true)
-      val cands = Dedup.candidatesFromBuckets(
-        index.getOrElse(nb.limit(0)), nb, minEstJaccard)
-      index = Some(index.map(_.unionAll(nb)).getOrElse(nb))
-      batches += 1
-      if (batches % compactEvery == 0) index = index.map(_.localCheckpoint(true))
-      cands
+      guard.replayView(batchId, index) match {
+        case Some(pre) =>
+          Dedup.candidatesFromBuckets(
+            pre.getOrElse(nb.limit(0)), nb, minEstJaccard)
+        case None =>
+          val cands = Dedup.candidatesFromBuckets(
+            index.getOrElse(nb.limit(0)), nb, minEstJaccard)
+          guard.committed(batchId, index)
+          index = Some(index.map(_.unionAll(nb)).getOrElse(nb))
+          batches += 1
+          if (batches % compactEvery == 0)
+            index = index.map(_.localCheckpoint(true))
+          cands
+      }
     }
   }
 
@@ -79,6 +119,7 @@ object StreamingPipeline {
     import graft.llm.Similarity
     private var index: Option[DataFrame] = None
     private var batches = 0
+    private val guard = new ReplayGuard
 
     /** Number of vectors currently indexed. */
     def size: Long = synchronized { index.map(_.count()).getOrElse(0L) }
@@ -87,8 +128,10 @@ object StreamingPipeline {
       * (index ∪ batch) — (vec_a, vec_b, cos_sim) with vec_b always in
       * the batch and in-batch pairs ordered a < b — then append the
       * batch. Thread-safe; the returned lazy frame reads only
-      * checkpoint-backed inputs. */
-    def probeAndAppend(batchEmbs: DataFrame): DataFrame = synchronized {
+      * checkpoint-backed inputs. A replayed batchId re-emits the
+      * original pairs without appending twice ([[ReplayGuard]]). */
+    def probeAndAppend(batchEmbs: DataFrame, batchId: Long = -1L)
+        : DataFrame = synchronized {
       val nb = batchEmbs
         .select(col("vec_id"), col("embedding"),
           Similarity.cosCellCol(col("embedding"), centers).as("cell"))
@@ -102,13 +145,19 @@ object StreamingPipeline {
           col("vec_id") =!= col("q_id"))
         .select(col("vec_id").as("vec_a"), col("q_id").as("vec_b"),
           col("cos_sim"))
-      val vsIndex = pairs(index.getOrElse(nb.limit(0)))
       val inBatch = pairs(nb).filter(col("vec_a") < col("vec_b"))
-      index = Some(index.map(_.unionAll(nb)).getOrElse(nb))
-      batches += 1
-      if (batches % compactEvery == 0)
-        index = index.map(_.localCheckpoint(true))
-      vsIndex.unionAll(inBatch)
+      guard.replayView(batchId, index) match {
+        case Some(pre) =>
+          pairs(pre.getOrElse(nb.limit(0))).unionAll(inBatch)
+        case None =>
+          val vsIndex = pairs(index.getOrElse(nb.limit(0)))
+          guard.committed(batchId, index)
+          index = Some(index.map(_.unionAll(nb)).getOrElse(nb))
+          batches += 1
+          if (batches % compactEvery == 0)
+            index = index.map(_.localCheckpoint(true))
+          vsIndex.unionAll(inBatch)
+      }
     }
   }
 
@@ -150,6 +199,7 @@ object StreamingPipeline {
       s"threshold must be in (0, 1], got $threshold")
     private var index: Option[DataFrame] = None
     private var batches = 0
+    private val guard = new ReplayGuard
 
     /** Number of (doc, shingle) rows currently indexed. */
     def size: Long = synchronized { index.map(_.count()).getOrElse(0L) }
@@ -161,17 +211,28 @@ object StreamingPipeline {
       * ([[Dedup.containmentPairsFromShingles]] — the streaming path IS
       * the batch incremental path pointed at executor-resident state),
       * then append the batch. Thread-safe; the returned lazy frame
-      * reads only checkpoint-backed inputs. */
-    def probeAndAppend(batchDocs: DataFrame): DataFrame = synchronized {
+      * reads only checkpoint-backed inputs. A replayed batchId
+      * re-emits the original pairs without appending twice
+      * ([[ReplayGuard]] — a double-append would double every later
+      * intersection count against this batch's docs). */
+    def probeAndAppend(batchDocs: DataFrame, batchId: Long = -1L)
+        : DataFrame = synchronized {
       val nb = Dedup.shingleIndex(batchDocs.select("doc_id", "text"), k)
         .localCheckpoint(true)
-      val out = Dedup.containmentPairsFromShingles(
-        index.getOrElse(nb.limit(0)), nb, threshold)
-      index = Some(index.map(_.unionAll(nb)).getOrElse(nb))
-      batches += 1
-      if (batches % compactEvery == 0)
-        index = index.map(_.localCheckpoint(true))
-      out
+      guard.replayView(batchId, index) match {
+        case Some(pre) =>
+          Dedup.containmentPairsFromShingles(
+            pre.getOrElse(nb.limit(0)), nb, threshold)
+        case None =>
+          val out = Dedup.containmentPairsFromShingles(
+            index.getOrElse(nb.limit(0)), nb, threshold)
+          guard.committed(batchId, index)
+          index = Some(index.map(_.unionAll(nb)).getOrElse(nb))
+          batches += 1
+          if (batches % compactEvery == 0)
+            index = index.map(_.localCheckpoint(true))
+          out
+      }
     }
   }
 
@@ -192,7 +253,7 @@ object StreamingPipeline {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         onPairs(batchId,
-          index.probeAndAppend(batch.select("doc_id", "text")))
+          index.probeAndAppend(batch.select("doc_id", "text"), batchId))
         ()
       }
     checkpointDir.fold(w)(d => w.option("checkpointLocation", d)).start()
@@ -214,7 +275,7 @@ object StreamingPipeline {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         onPairs(batchId,
-          index.probeAndAppend(batch.select("vec_id", "embedding")))
+          index.probeAndAppend(batch.select("vec_id", "embedding"), batchId))
         ()
       }
     checkpointDir.fold(w)(d => w.option("checkpointLocation", d)).start()
@@ -240,7 +301,7 @@ object StreamingPipeline {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         onCandidates(batchId,
-          index.probeAndAppend(batch.select("doc_id", "text")))
+          index.probeAndAppend(batch.select("doc_id", "text"), batchId))
         ()
       }
     checkpointDir.fold(w)(d => w.option("checkpointLocation", d)).start()

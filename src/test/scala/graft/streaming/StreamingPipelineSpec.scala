@@ -87,6 +87,50 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(idx.size == (51 + 30) * 4L)
   }
 
+  test("accumulating indexes are replay-idempotent: a re-delivered " +
+    "batchId re-emits the original pairs and appends NOTHING") {
+    val s = spark
+    val d = s.table("documents").select("doc_id", "text")
+    def halfEx(src: org.apache.spark.sql.DataFrame, off: Long) =
+      src.withColumn("_w", split(col("text"), " "))
+        .select((col("doc_id") + off).as("doc_id"),
+          array_join(slice(col("_w"), lit(1),
+            greatest((size(col("_w")) / 2).cast("int"), lit(5))), " ")
+            .as("text"))
+    val idx = new StreamingPipeline.ContainmentIndex(k = 3,
+      threshold = 0.8)
+    idx.probeAndAppend(d.filter(col("doc_id") < 30), 0L).count()
+    val sizeAfter0 = idx.size
+    val b1 = halfEx(d.filter(col("doc_id").isin(5L, 6L)), 500000L)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val first = rows(idx.probeAndAppend(b1, 1L))
+    val sizeAfter1 = idx.size
+    assert(first.contains((500005L, 5L)) && first.contains((500006L, 6L)))
+    // at-least-once recovery: same batchId arrives again
+    val replayed = rows(idx.probeAndAppend(b1, 1L))
+    assert(replayed == first,
+      "a replay must re-emit exactly the original attempt's pairs")
+    assert(idx.size == sizeAfter1,
+      "a replay must not append the batch a second time")
+    assert(sizeAfter1 > sizeAfter0)
+    // the stream then moves on: a NEW batch probes the committed state
+    val b2 = halfEx(d.filter(col("doc_id") === 7L), 600000L)
+    val next = rows(idx.probeAndAppend(b2, 2L))
+    assert(next.contains((600007L, 7L)))
+
+    // the near-dup index shares the guard
+    val nd = new StreamingPipeline.NearDupIndex()
+    nd.probeAndAppend(d.filter(col("doc_id") < 30), 0L).count()
+    val ndSize0 = nd.size
+    val ndB1 = d.filter(col("doc_id") === 3L).select(
+      (col("doc_id") + 100000L).as("doc_id"), col("text"))
+    val ndFirst = rows(nd.probeAndAppend(ndB1, 1L))
+    val ndSize1 = nd.size
+    assert(rows(nd.probeAndAppend(ndB1, 1L)) == ndFirst)
+    assert(nd.size == ndSize1 && ndSize1 > ndSize0)
+  }
+
   test("streaming containment catches an excerpt arriving AFTER its " +
     "host, BEFORE its host, and in the same batch — both orientations") {
     val s = spark
