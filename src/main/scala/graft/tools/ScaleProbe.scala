@@ -239,6 +239,58 @@ object ScaleProbe {
       }
     }
 
+    // Incremental containment: a FIXED excerpt batch probes a shingle
+    // index growing 1x→4x. Only replica 0 shares shingles with the
+    // batch (the other replicas are alphabet-permuted), so the pruned
+    // index and the pair count must stay ~flat while the index grows —
+    // the same O(matching buckets) claim as incremental minhash.
+    locally {
+      val batch = docs.filter(col("doc_id") % 7 === 0)
+        .withColumn("_w", split(col("text"), " "))
+        .select((col("doc_id") + 90000000L).as("doc_id"),
+          array_join(slice(col("_w"), lit(1),
+            greatest((size(col("_w")) / 2).cast("int"), lit(5))), " ")
+            .as("text"))
+      Seq(1, 4).foreach { mult =>
+        val corpus = docCopies(docs, mult)
+        val index = graft.llm.Dedup.shingleIndex(corpus)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val nIndex = index.count()
+        val batchKeys = graft.llm.Dedup.shingleIndex(batch)
+          .select("sh").distinct()
+        val nPruned = index.join(broadcast(batchKeys), Seq("sh"),
+          "left_semi").count()
+        val (nPairs, t) = time(graft.llm.Dedup
+          .incrementalContainmentPairs(index, batch).count())
+        index.unpersist(blocking = false)
+        graft.llm.PipelineCaches.clear()
+        println(f"[containment_inc ${mult}x] index=$nIndex%d rows, " +
+          f"pruned-to=$nPruned%d, pairs=$nPairs%d in $t%.1fs")
+      }
+    }
+
+    // Paragraph dedup: corpus + per-replica planted paragraph copies
+    // grow 1x→4x. The CONSTANT filler paragraph forms a cross-replica
+    // exact clique that the exact-first factorization collapses to one
+    // representative, so dropped-paragraph counts and wall time must
+    // grow ~linearly — the raw-chunk plan measured 92x candidate
+    // growth at 10x on exactly this shape.
+    locally {
+      Seq(1, 4).foreach { mult =>
+        val base = docCopies(docs, mult)
+        val planted = base.filter(col("doc_id") % 10 === 0)
+          .withColumn("_w", split(col("text"), " "))
+          .select((col("doc_id") + 500000000L).as("doc_id"),
+            concat(array_join(slice(col("_w"), lit(1), lit(8)), " "),
+              lit(" zq zr qx qy qz qw qv qu")).as("text"))
+        val (nDropped, t) = time(graft.llm.Curation
+          .paragraphDedup(base.unionAll(planted), chunkSize = 8)
+          .agg(sum("n_dropped")).collect()(0).getLong(0))
+        graft.llm.PipelineCaches.clear()
+        println(f"[paragraph ${mult}x] dropped=$nDropped%d in $t%.1fs")
+      }
+    }
+
     // the O(log n) claim, measured: a path graph is the adversarial case
     // (min-label propagation needs `len` rounds); alternating stars must
     // grow round count logarithmically while labeling everything 0
