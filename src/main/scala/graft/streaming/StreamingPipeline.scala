@@ -39,10 +39,10 @@ object StreamingPipeline {
     private var lastBatchId: Long = Long.MinValue
     private var preAppend: Option[DataFrame] = None
 
-    /** Returns the index view to probe against, or None when this is a
-      * fresh batch (probe the live index, then [[committed]]). */
-    def replayView(batchId: Long, live: Option[DataFrame])
-        : Option[Option[DataFrame]] =
+    /** The pre-append snapshot to re-probe when `batchId` is a replay
+      * of the last appended batch; None for a fresh batch (probe the
+      * live index, then [[committed]]). */
+    def replayView(batchId: Long): Option[Option[DataFrame]] =
       if (batchId >= 0 && batchId == lastBatchId) Some(preAppend) else None
 
     def committed(batchId: Long, pre: Option[DataFrame]): Unit = {
@@ -81,7 +81,7 @@ object StreamingPipeline {
         : DataFrame = synchronized {
       val nb = Dedup.signatureIndex(batchDocs, k, numHashes, bands)
         .localCheckpoint(true)
-      guard.replayView(batchId, index) match {
+      guard.replayView(batchId) match {
         case Some(pre) =>
           Dedup.candidatesFromBuckets(
             pre.getOrElse(nb.limit(0)), nb, minEstJaccard)
@@ -146,7 +146,7 @@ object StreamingPipeline {
         .select(col("vec_id").as("vec_a"), col("q_id").as("vec_b"),
           col("cos_sim"))
       val inBatch = pairs(nb).filter(col("vec_a") < col("vec_b"))
-      guard.replayView(batchId, index) match {
+      guard.replayView(batchId) match {
         case Some(pre) =>
           pairs(pre.getOrElse(nb.limit(0))).unionAll(inBatch)
         case None =>
@@ -219,7 +219,7 @@ object StreamingPipeline {
         : DataFrame = synchronized {
       val nb = Dedup.shingleIndex(batchDocs.select("doc_id", "text"), k)
         .localCheckpoint(true)
-      guard.replayView(batchId, index) match {
+      guard.replayView(batchId) match {
         case Some(pre) =>
           Dedup.containmentPairsFromShingles(
             pre.getOrElse(nb.limit(0)), nb, threshold)
