@@ -1674,18 +1674,26 @@ object Curation {
         .persist(StorageLevel.MEMORY_AND_DISK))
     // materialize + BOTH key-collision guards in the same single action:
     // chunk_idx must fit under maxChunksPerDoc and doc_id must survive
-    // the multiplication (hash-derived 63-bit ids would silently wrap
-    // and invert keep-one ordering corpus-wide)
+    // the multiplication PLUS the chunk_idx addend (hash-derived 63-bit
+    // ids would silently wrap and invert keep-one ordering
+    // corpus-wide). Bounds via max AND min — abs() is a trap here
+    // (abs(Long.MinValue) stays negative and would slip past a max) —
+    // and the cast keeps narrower doc_id types (int corpora) from
+    // failing the Long read.
     val mx = chunks.agg(max("chunk_idx"),
-      max(abs(col("doc_id")))).collect()(0)
+      max(col("doc_id").cast("long")),
+      min(col("doc_id").cast("long"))).collect()(0)
     require(mx.isNullAt(0) || mx.getLong(0) < maxChunksPerDoc,
       s"paragraphDedup: a doc has > $maxChunksPerDoc chunks; raise " +
         "maxChunksPerDoc so chunk keys stay collision-free")
+    val idBound = (Long.MaxValue - (maxChunksPerDoc - 1)) / maxChunksPerDoc
     require(mx.isNullAt(1) ||
-      mx.getLong(1) <= Long.MaxValue / maxChunksPerDoc,
-      s"paragraphDedup: |doc_id| up to ${if (mx.isNullAt(1)) 0
-        else mx.getLong(1)} overflows chunk_key = doc_id * " +
-        s"$maxChunksPerDoc; renumber doc ids or lower maxChunksPerDoc")
+      (mx.getLong(1) <= idBound && mx.getLong(2) >= -idBound),
+      s"paragraphDedup: doc_id range [${if (mx.isNullAt(2)) 0
+        else mx.getLong(2)}, ${if (mx.isNullAt(1)) 0
+        else mx.getLong(1)}] overflows chunk_key = doc_id * " +
+        s"$maxChunksPerDoc + chunk_idx; renumber doc ids or lower " +
+        "maxChunksPerDoc")
     // stage 1: exact cliques -> min-key representative (min over
     // identical strings IS the string, so the text rides the same agg)
     val groups = chunks.groupBy("_h")

@@ -127,20 +127,31 @@ object JoinSkew {
     * `roundRobinSalt = true` to trade that residual pile-up risk for
     * the stage-retry exposure above (documented fallback, only for
     * pipelines that disable stage retries or checkpoint the left
-    * side). Two caveats the deterministic default cannot avoid: a
-    * KEYS-ONLY left side (no payload columns) hashes every hot row
-    * identically, so the treatment silently degenerates to one sub-key
-    * — carry a payload/id column or opt into round-robin for that
-    * shape; and MapType columns are excluded from the hash (Spark
-    * forbids hashing maps), falling back to round-robin only when NO
-    * hashable column remains. The assignment affects only WHERE a row
-    * is processed, never the joined output.
+    * side). Columns containing MapType anywhere in their type are
+    * excluded from the hash (Spark forbids hashing maps, recursively),
+    * and a left side with NO non-key hashable payload falls back to
+    * round-robin automatically — a salt hashed from the key alone is
+    * constant per hot key, which would pay right-side replication for
+    * zero spreading. The assignment affects only WHERE a row is
+    * processed, never the joined output.
     *
     * NULL join keys take the cold path and vanish there, exactly as
     * the plain inner equi-join drops them. Scale shape: two broadcast
     * tag joins (plan ≤ topN rows), the cold shuffle join, and the hot
     * shuffle join on (key, _salt) — no new corpus-sized shuffles beyond
     * the join being treated. */
+  /** xxhash64 rejects MapType anywhere in a column's type tree (its
+    * own check recurses), so the salt-column filter must too. */
+  private def containsMap(dt: org.apache.spark.sql.types.DataType)
+      : Boolean = dt match {
+    case _: org.apache.spark.sql.types.MapType => true
+    case s: org.apache.spark.sql.types.StructType =>
+      s.fields.exists(f => containsMap(f.dataType))
+    case a: org.apache.spark.sql.types.ArrayType =>
+      containsMap(a.elementType)
+    case _ => false
+  }
+
   private def validateSaltedJoin(left: DataFrame, right: DataFrame,
       keyCol: String): Unit = {
     val lcols = left.columns.toSeq
@@ -184,13 +195,15 @@ object JoinSkew {
       .select(lcols.map(col): _*)
       .join(rTag.filter(col("_sf").isNull)
         .select((keyCol +: rcols).map(col): _*), Seq(keyCol))
-    // hash only hashable columns (xxhash64 rejects MapType); if nothing
-    // hashable remains — or the caller opted in — fall back to
-    // round-robin with the documented stage-retry exposure
-    val hashable = lcols.filterNot(c =>
-      left.schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+    // hash only hashable columns — xxhash64 rejects MapType RECURSIVELY
+    // (map inside struct/array too), so the filter must recurse. A salt
+    // hashed from the KEY alone is constant per hot key (zero spread,
+    // right-side replication for nothing), so when no non-key hashable
+    // payload exists the fallback is round-robin — the documented
+    // stage-retry exposure beats a silently degenerate treatment.
+    val hashable = lcols.filterNot(c => containsMap(left.schema(c).dataType))
     val saltAssign =
-      if (roundRobinSalt || hashable.isEmpty)
+      if (roundRobinSalt || hashable.forall(_ == keyCol))
         pmod(monotonically_increasing_id(), col("_sf"))
       else pmod(xxhash64(hashable.map(col): _*), col("_sf"))
     val hotJoin = lTag.filter(col("_sf").isNotNull)

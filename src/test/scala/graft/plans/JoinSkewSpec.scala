@@ -155,6 +155,32 @@ class JoinSkewSpec extends AnyFunSuite {
     }
   }
 
+  test("saltedJoin: map-bearing payloads (top-level AND nested) are " +
+    "excluded from the deterministic salt, keys-only left falls back " +
+    "to round-robin — both stay result-identical") {
+    val s = graft.SparkTestSession.spark
+    import s.implicits._
+    val left = s.range(0, 300)
+      .select(col("id").as("lid"),
+        when(col("id") % 2 === 0, 0L).otherwise(col("id") % 10 + 1).as("k"),
+        map(lit("a"), col("id")).as("m"),
+        struct(map(lit("b"), col("id")).as("inner")).as("nested"))
+    val right = s.range(0, 11).select(col("id").as("k"),
+      (col("id") + 100).as("rv"))
+    // map at top level AND inside a struct: both must be dropped from
+    // the hash (Spark rejects hashing maps recursively) — the join
+    // still runs deterministically off lid
+    val plain = left.join(right, Seq("k")).count()
+    assert(JoinSkew.saltedJoin(left, right, "k",
+      targetRows = 20L, topN = 3).count() == plain)
+    // keys-only left: content hashing would be constant per hot key, so
+    // the round-robin fallback kicks in — identity still holds
+    val keysOnly = left.select("k")
+    val plainKo = keysOnly.join(right, Seq("k")).count()
+    assert(JoinSkew.saltedJoin(keysOnly, right, "k",
+      targetRows = 20L, topN = 3).count() == plainKo)
+  }
+
   test("saltedJoin: guards — missing key column, colliding payload " +
     "columns, reserved _salt name") {
     val s = spark
