@@ -25,6 +25,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // opt-in stats-driven skew treatment: inert until
     // spark.graft.skewJoin.rewrite=true
     ext.injectOptimizerRule(graft.plans.SkewJoinRewrite(_))
+    // opt-in bucketed range-join rewrite: inert until
+    // spark.graft.rangeJoin.rewrite=true
+    ext.injectOptimizerRule(graft.plans.RangeJoinRewrite(_))
   }
 }
 
@@ -120,7 +123,8 @@ object GraftExtensions {
         .registerFunction(ident, info, builder)
     }
     Seq(graft.plans.CosineJoinRewrite(spark),
-        graft.plans.SkewJoinRewrite(spark)).foreach { rule =>
+        graft.plans.SkewJoinRewrite(spark),
+        graft.plans.RangeJoinRewrite(spark)).foreach { rule =>
       if (!spark.experimental.extraOptimizations.contains(rule))
         spark.experimental.extraOptimizations =
           spark.experimental.extraOptimizations :+ rule

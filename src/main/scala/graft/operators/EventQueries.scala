@@ -542,6 +542,39 @@ object EventQueries {
         .select("event_id", "window_id")
     },
 
+    // the range join as ENGINE BEHAVIOR: the SAME point-in-interval
+    // join written as a PLAIN range-predicate join — which Catalyst
+    // alone plans as a BroadcastNestedLoopJoin — rewritten
+    // automatically by the conf-gated RangeJoinRewrite rule into the
+    // bucketed equi-join + exact re-filter. The oracle is the naive
+    // range predicate, so the hash gate re-proves the rewrite's result
+    // identity every round; the entry hard-fails if the nested loop
+    // survives and eagerly materializes before the conf restores
+    "q_range_join_rewrite" -> { (s, dir) =>
+      graft.functions.GraftExtensions.register(s)
+      val e = events(s, dir)
+      val win = e.filter(col("event_id") % 499 === 0)
+        .select(col("event_id").as("window_id"), col("ts").as("lo"),
+          (col("ts") + expr("INTERVAL 36 HOURS")).as("hi"))
+      val prevOn = s.conf.get("spark.graft.rangeJoin.rewrite", "false")
+      val prevW = s.conf.get("spark.graft.rangeJoin.bucketSec", "86400")
+      s.conf.set("spark.graft.rangeJoin.rewrite", "true")
+      s.conf.set("spark.graft.rangeJoin.bucketSec", (24 * 3600).toString)
+      try {
+        val out = e.select("event_id", "ts")
+          .join(win, col("ts") >= col("lo") && col("ts") <= col("hi"))
+          .select("event_id", "window_id")
+        val plan = out.queryExecution.executedPlan.toString
+        require(!plan.contains("BroadcastNestedLoopJoin") &&
+          !plan.contains("CartesianProduct"),
+          "range-join rewrite did not fire; the nested loop survived")
+        out.localCheckpoint(true)
+      } finally {
+        s.conf.set("spark.graft.rangeJoin.rewrite", prevOn)
+        s.conf.set("spark.graft.rangeJoin.bucketSec", prevW)
+      }
+    },
+
     // cohort retention: users grouped by first-activity day; for each
     // (cohort, day-offset) the distinct users still active. Two keyed
     // partial aggregations + one user-keyed join — no windows, no
@@ -959,6 +992,16 @@ object EventQueries {
         |  FROM events WHERE event_id % 499 = 0) w
         |ON e.ts >= w.lo AND e.ts <= w.hi""".stripMargin,
 
+    // identical naive-predicate oracle: the optimizer-rule path must
+    // emit exactly the nested loop's set
+    "q_range_join_rewrite" ->
+      """SELECT e.event_id, w.window_id
+        |FROM events e JOIN (
+        |  SELECT event_id AS window_id, ts AS lo,
+        |    ts + INTERVAL 36 HOUR AS hi
+        |  FROM events WHERE event_id % 499 = 0) w
+        |ON e.ts >= w.lo AND e.ts <= w.hi""".stripMargin,
+
     "q_events_asof" ->
       """SELECT p.event_id, p.user_id, p.ts, p.value,
         |  c.event_id AS click_id, c.value AS click_value
@@ -1014,6 +1057,7 @@ object EventQueries {
     "q_events_lag" -> Seq("user_id", "event_id"),
     "q_events_asof" -> Seq("event_id"),
     "q_events_range_join" -> Seq("event_id", "window_id"),
+    "q_range_join_rewrite" -> Seq("event_id", "window_id"),
     "q_events_psi" -> Seq("event_type"),
     "q_events_priority" -> Seq("deliver_pos"),
     "q_events_retention" -> Seq("cohort_day", "day_offset"),

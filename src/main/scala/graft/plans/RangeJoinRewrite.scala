@@ -1,0 +1,167 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, JoinHint, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.graftbridge.PlanBridge
+import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+
+/** Opt-in optimizer rule promoting [[graft.scale.RangeJoin]] from a
+  * library call to ENGINE BEHAVIOR — the [[SkewJoinRewrite]] pattern
+  * pointed at the OTHER join Catalyst cannot plan well: a join whose
+  * only cross-side predicate is `point BETWEEN lo AND hi` plans as
+  * BroadcastNestedLoopJoin (or a cartesian when neither side
+  * broadcasts), O(|L|·|R|) however selective the range is. When
+  * `spark.graft.rangeJoin.rewrite=true`, such joins are rewritten to
+  * the bucketed form: time quantized into
+  * `spark.graft.rangeJoin.bucketSec`-wide buckets (default 86400),
+  * intervals exploded into covered buckets, points equi-joined on
+  * their single bucket, and the FULL ORIGINAL predicate re-applied —
+  * so strict bounds, extra conjuncts, and NULL semantics are exactly
+  * the nested loop's, and since a point has exactly one bucket no pair
+  * can emit twice. RESULT-IDENTICAL, re-proven by the plain-predicate
+  * oracle every round.
+  *
+  * Joins left alone: anything but INNER/CROSS, hinted joins (the user
+  * chose a strategy), joins already connected by a cross-side equality
+  * (the planner runs those as equi-joins — rewriting could only add
+  * work), non-timestamp bounds, and already-rewritten subtrees (the
+  * `__graft_range` marker). Unlike [[SkewJoinRewrite]] no plan-time
+  * jobs run — the pattern match is pure, so the only cost of enabling
+  * the conf is the match itself. */
+case class RangeJoinRewrite(spark: SparkSession)
+    extends Rule[LogicalPlan] with PredicateHelper {
+
+  private val Marker = "__graft_range"
+
+  private def enabled: Boolean =
+    spark.conf.get("spark.graft.rangeJoin.rewrite", "false") == "true"
+  private def bucketSec: Long =
+    spark.conf.get("spark.graft.rangeJoin.bucketSec", "86400").toLong
+
+  private def isRewritten(p: LogicalPlan): Boolean =
+    p.output.exists(_.name.startsWith(Marker))
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!enabled) return plan
+    plan.transformUp {
+      // shape 1 (extension injection point): filter still above the join
+      case f @ Filter(cond, Join(left, right, Inner | Cross, None, hint))
+          if hint == JoinHint.NONE &&
+            !isRewritten(left) && !isRewritten(right) =>
+        rewrite(cond, left, right).getOrElse(f)
+      // shape 2 (post-pushdown): predicate inside the join condition
+      case j @ Join(left, right, Inner | Cross, Some(cond), hint)
+          if hint == JoinHint.NONE &&
+            !isRewritten(left) && !isRewritten(right) =>
+        rewrite(cond, left, right).getOrElse(j)
+    }
+  }
+
+  private def tsType(e: Expression): Boolean =
+    e.dataType == TimestampType || e.dataType == TimestampNTZType
+
+  /** lower-bound conjunct: ts ≥/> bound (either operand order). */
+  private def lowerOf(e: Expression): Option[(Attribute, Attribute)] =
+    e match {
+      case GreaterThanOrEqual(t: AttributeReference, b: AttributeReference) =>
+        Some((t, b))
+      case GreaterThan(t: AttributeReference, b: AttributeReference) =>
+        Some((t, b))
+      case LessThanOrEqual(b: AttributeReference, t: AttributeReference) =>
+        Some((t, b))
+      case LessThan(b: AttributeReference, t: AttributeReference) =>
+        Some((t, b))
+      case _ => None
+    }
+
+  /** upper-bound conjunct: ts ≤/< bound. */
+  private def upperOf(e: Expression): Option[(Attribute, Attribute)] =
+    e match {
+      case LessThanOrEqual(t: AttributeReference, b: AttributeReference) =>
+        Some((t, b))
+      case LessThan(t: AttributeReference, b: AttributeReference) =>
+        Some((t, b))
+      case GreaterThanOrEqual(b: AttributeReference, t: AttributeReference) =>
+        Some((t, b))
+      case GreaterThan(b: AttributeReference, t: AttributeReference) =>
+        Some((t, b))
+      case _ => None
+    }
+
+  private def hasEquiConnector(conjuncts: Seq[Expression],
+      left: LogicalPlan, right: LogicalPlan): Boolean =
+    conjuncts.exists {
+      case EqualTo(x, y) => connects(x, y, left, right)
+      case EqualNullSafe(x, y) => connects(x, y, left, right)
+      case _ => false
+    }
+
+  private def connects(x: Expression, y: Expression,
+      left: LogicalPlan, right: LogicalPlan): Boolean =
+    (x.references.nonEmpty && y.references.nonEmpty) &&
+      ((x.references.subsetOf(left.outputSet) &&
+        y.references.subsetOf(right.outputSet)) ||
+        (y.references.subsetOf(left.outputSet) &&
+          x.references.subsetOf(right.outputSet)))
+
+  private def rewrite(cond: Expression, left: LogicalPlan,
+      right: LogicalPlan): Option[LogicalPlan] = {
+    if (bucketSec <= 0) return None
+    val conjuncts = splitConjunctivePredicates(cond)
+    if (hasEquiConnector(conjuncts, left, right)) return None
+    val lowers = conjuncts.flatMap(lowerOf)
+    val uppers = conjuncts.flatMap(upperOf)
+    // a (ts, lo, hi) triple with ts wholly on one side and both bounds
+    // on the other — the first match wins
+    val found = (for {
+      (t1, lo) <- lowers
+      (t2, hi) <- uppers
+      if t1.exprId == t2.exprId && tsType(t1) && tsType(lo) && tsType(hi)
+      (pts, ivs, flipped) <-
+        (if (left.outputSet.contains(t1) &&
+            right.outputSet.contains(lo) && right.outputSet.contains(hi))
+          Some((left, right, false))
+        else if (right.outputSet.contains(t1) &&
+            left.outputSet.contains(lo) && left.outputSet.contains(hi))
+          Some((right, left, true))
+        else None).toSeq
+    } yield (t1, lo, hi, pts, ivs, flipped)).headOption
+    found.map { case (ts, lo, hi, points, intervals, flipped) =>
+      def name(side: String, i: Int) = s"${Marker}_${side}$i"
+      val pNames = points.output.indices.map(name("p", _))
+      val iNames = intervals.output.indices.map(name("i", _))
+      val pDf = PlanBridge.ofRows(spark, points).toDF(pNames: _*)
+      val iDf = PlanBridge.ofRows(spark, intervals).toDF(iNames: _*)
+      val tsName = name("p", points.output.indexWhere(_.exprId == ts.exprId))
+      val loName =
+        name("i", intervals.output.indexWhere(_.exprId == lo.exprId))
+      val hiName =
+        name("i", intervals.output.indexWhere(_.exprId == hi.exprId))
+      val bucketed = PlanBridge.analyzed(graft.scale.RangeJoin
+        .pointInInterval(pDf, tsName, iDf, loName, hiName, bucketSec))
+      val byName = bucketed.output.map(a => a.name -> a).toMap
+      val restored = (points.output.zipWithIndex.map { case (a, i) =>
+        Alias(byName(name("p", i)), a.name)(
+          exprId = a.exprId, qualifier = a.qualifier)
+      }) ++ (intervals.output.zipWithIndex.map { case (a, i) =>
+        Alias(byName(name("i", i)), a.name)(
+          exprId = a.exprId, qualifier = a.qualifier)
+      })
+      val ordered =
+        if (flipped) restored.drop(points.output.length) ++
+          restored.take(points.output.length)
+        else restored
+      // the full ORIGINAL predicate re-filters the bucket candidates:
+      // strict bounds, extra conjuncts, everything — exactly the
+      // nested loop's emission set
+      Filter(cond, Project(ordered, bucketed)) match {
+        case filtered => Project(
+          (left.output ++ right.output).map(a => a: NamedExpression),
+          filtered)
+      }
+    }
+  }
+}

@@ -418,6 +418,15 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q_range_join_rewrite's in-entry no-nested-loop require holds") {
+    // same contract as the cosine/skew rewrite entries: the assertion
+    // lives INSIDE the entry on the pre-checkpoint executed plan, so
+    // constructing it here runs it — a silently-disabled rewrite throws
+    val df = SparkEntry.queries("q_range_join_rewrite")(
+      spark, SparkTestSession.fixtureDir)
+    assert(df.count() > 0)
+  }
+
   test("q_containment_incremental: the index side is pruned by a " +
     "broadcast semi-join on the batch's shingle keys, intersections " +
     "ride keyed equi-joins, no cartesian") {

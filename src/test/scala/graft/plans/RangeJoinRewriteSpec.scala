@@ -1,0 +1,113 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.functions.GraftExtensions
+
+/** The conf-gated bucketed range-join rewrite: a plain
+  * point-in-interval predicate join — a nested loop to Catalyst —
+  * becomes the bucketed equi-join + exact re-filter, result-identical. */
+class RangeJoinRewriteSpec extends AnyFunSuite {
+
+  private def spark = SparkTestSession.withTables()
+
+  private def sides(s: SparkSession): (DataFrame, DataFrame) = {
+    val e = s.table("events").select("event_id", "ts")
+    val win = s.table("events").filter(col("event_id") % 97 === 0)
+      .select(col("event_id").as("window_id"), col("ts").as("lo"),
+        (col("ts") + expr("INTERVAL 12 HOURS")).as("hi"))
+    (e, win)
+  }
+
+  private def pairs(df: DataFrame): Set[(Long, Long)] =
+    df.select("event_id", "window_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  private def withRewrite[T](s: SparkSession)(body: => T): T = {
+    GraftExtensions.register(s)
+    s.conf.set("spark.graft.rangeJoin.rewrite", "true")
+    s.conf.set("spark.graft.rangeJoin.bucketSec", "21600")
+    try body
+    finally {
+      s.conf.set("spark.graft.rangeJoin.rewrite", "false")
+      s.conf.set("spark.graft.rangeJoin.bucketSec", "86400")
+    }
+  }
+
+  test("inclusive range join: nested loop gone, result identical") {
+    val s = spark
+    val (e, w) = sides(s)
+    def q = e.join(w, col("ts") >= col("lo") && col("ts") <= col("hi"))
+    val plain = pairs(q)
+    assert(q.queryExecution.executedPlan.toString
+      .contains("BroadcastNestedLoopJoin"))
+    withRewrite(s) {
+      val p = q.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("CartesianProduct"), s"nested loop survived:\n$p")
+      assert(pairs(q) == plain)
+    }
+  }
+
+  test("strict bounds and extra conjuncts re-filter exactly") {
+    val s = spark
+    val (e, w) = sides(s)
+    def q = e.join(w, col("ts") > col("lo") && col("ts") < col("hi") &&
+      col("event_id") % 2 === 0)
+    val plain = pairs(q)
+    withRewrite(s) {
+      val p = q.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastNestedLoopJoin"), p)
+      assert(pairs(q) == plain)
+    }
+  }
+
+  test("flipped sides (points on the right) also rewrite and restore " +
+    "column order") {
+    val s = spark
+    val (e, w) = sides(s)
+    def q = w.join(e, col("ts") >= col("lo") && col("ts") <= col("hi"))
+      .select("window_id", "event_id", "lo")
+    val plain = q.collect().map(_.toSeq).toSet
+    withRewrite(s) {
+      assert(!q.queryExecution.executedPlan.toString
+        .contains("BroadcastNestedLoopJoin"))
+      assert(q.collect().map(_.toSeq).toSet == plain)
+    }
+  }
+
+  test("joins with an equi-connector or disabled conf are untouched") {
+    val s = spark
+    GraftExtensions.register(s)
+    val (e, w) = sides(s)
+    s.conf.set("spark.graft.rangeJoin.rewrite", "false")
+    assert(e.join(w, col("ts") >= col("lo") && col("ts") <= col("hi"))
+      .queryExecution.executedPlan.toString
+      .contains("BroadcastNestedLoopJoin"))
+    withRewrite(s) {
+      // an equality connecting the sides -> planner equi-joins; no rewrite
+      val eq = e.join(w, col("event_id") === col("window_id") &&
+        col("ts") >= col("lo") && col("ts") <= col("hi"))
+      val p = eq.queryExecution.executedPlan.toString
+      assert(!p.contains("__graft_range"), p)
+      assert(eq.count() > 0)
+    }
+  }
+
+  test("NULL bounds and NULL points match nothing, same as the nested " +
+    "loop") {
+    val s = spark
+    val (e, w0) = sides(s)
+    val w = w0.withColumn("lo",
+      when(col("window_id") % 2 === 0, col("lo")))
+    def q = e.join(w, col("ts") >= col("lo") && col("ts") <= col("hi"))
+    val plain = pairs(q)
+    withRewrite(s) {
+      assert(pairs(q) == plain)
+      assert(plain.forall(_._2 % 2 == 0))
+    }
+  }
+}
