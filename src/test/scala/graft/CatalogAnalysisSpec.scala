@@ -89,8 +89,13 @@ class CatalogAnalysisSpec extends AnyFunSuite {
     * r15 store-maintenance entries `ann_index_append`/`ann_ivfpq_append`
     * are save→append→load round-trips over persisted stores — the same
     * stored-artifact exemption; their search halves are covered by the
-    * existing ANN kernels. `salted_join_rewrite` is the two-relation
-    * `salted_join` exemption applied through the optimizer rule. */
+    * existing ANN kernels. `salted_join_rewrite` and
+    * `range_join_rewrite` are the two-relation exemptions
+    * (`salted_join` / the range-join library call) applied through
+    * conf-gated optimizer rules; `containment_incremental` and
+    * `stream_containment` need a persisted/accumulated index artifact
+    * (their one-relation diagnosis half `containment_join_exact` IS a
+    * kernel). */
   test("every catalog entry is plan-pinned or explicitly exempt, and " +
     "the r13-straggler kernels are registered") {
     val legacyUnpinned = Set(
