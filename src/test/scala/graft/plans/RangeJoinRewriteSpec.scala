@@ -97,6 +97,25 @@ class RangeJoinRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("SQL BETWEEN form triggers the same rewrite (the analyzer " +
+    "expands BETWEEN into the >=/<= conjuncts the rule matches)") {
+    val s = spark
+    val (e, w) = sides(s)
+    e.createOrReplaceTempView("rj_events")
+    w.createOrReplaceTempView("rj_windows")
+    def q = s.sql(
+      """SELECT event_id, window_id FROM rj_events e JOIN rj_windows w
+        |ON e.ts BETWEEN w.lo AND w.hi""".stripMargin)
+    val plain = pairs(q)
+    withRewrite(s) {
+      val p = q.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("CartesianProduct"),
+        s"SQL BETWEEN must rewrite too:\n$p")
+      assert(pairs(q) == plain)
+    }
+  }
+
   test("NULL bounds and NULL points match nothing, same as the nested " +
     "loop") {
     val s = spark

@@ -156,6 +156,22 @@ class SkewJoinRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("SQL join syntax is rewritten identically to the DataFrame form") {
+    val s = spark
+    val (l, r) = sides(s)
+    l.createOrReplaceTempView("sj_left")
+    r.createOrReplaceTempView("sj_right")
+    def q = s.sql(
+      """SELECT l.lid, l.k, l.lv, r.rv
+        |FROM sj_left l JOIN sj_right r ON l.k = r.k""".stripMargin)
+    val plain = q.collect().map(_.toSeq).toSet
+    withRewrite(s) {
+      val p = q.queryExecution.executedPlan.toString
+      assert(p.contains("__graft_skew"), s"SQL join must rewrite too:\n$p")
+      assert(q.collect().map(_.toSeq).toSet == plain)
+    }
+  }
+
   test("NULL join keys vanish in both paths (inner-join semantics)") {
     val s = spark
     val (l0, r) = sides(s)
