@@ -31,9 +31,11 @@ import org.apache.spark.sql.functions._
   * broadcast join (vocabulary-bounded piece table) + the per-word
   * Viterbi fold (a local O(len × maxPieceLen) HOF, no shuffle) + one
   * piece-keyed partial aggregation collecting ≤ |V| rows of driver
-  * metadata — the [[Curation.logisticQuality]] bounded-state loop. The
-  * only global window rides the substring-count relation (alphabet ×
-  * piece-length bounded, the lshPlan convention).
+  * metadata — the [[Curation.logisticQuality]] bounded-state loop.
+  * Seeding selects via a distributed TakeOrderedAndProject (the
+  * substring-count relation is data-dependent — no global window
+  * anywhere in training); the only `partitionBy(lit(0))` window left
+  * is the release card's rank over the vocabulary-bounded final table.
   */
 object Unigram {
 
@@ -64,6 +66,25 @@ object Unigram {
       .select(col("word").substr(col("_i") + 1, col("_l")).as("piece"),
         col("freq"))
       .groupBy("piece").agg(sum("freq").cast("bigint").as("cnt"))
+
+  /** Seed vocabulary: the top `seedSize` substrings by
+    * (cnt DESC, piece ASC) ∪ every single character. The selection is
+    * `orderBy(...).limit(seedSize)` — a distributed
+    * TakeOrderedAndProject over the DATA-dependent substring-count
+    * relation (per-partition heaps + one bounded merge), never a
+    * single-partition `row_number` window: at 100 TB the distinct
+    * ≤`maxPieceLen`-char piece space is tens of millions of rows and a
+    * global window would funnel all of them through one task.
+    * PlanAuditSpec pins the TakeOrderedAndProject shape. */
+  private[graft] def seedSelect(words: DataFrame, maxPieceLen: Int,
+      seedSize: Int): DataFrame = {
+    val sub = substringCounts(words, maxPieceLen)
+    sub.orderBy(col("cnt").desc, col("piece").asc).limit(seedSize)
+      .select("piece", "cnt")
+      .unionByName(sub.filter(length(col("piece")) === 1)
+        .select("piece", "cnt"))
+      .distinct()
+  }
 
   /** Viterbi-best segmentation of each (word, freq) row under a
     * (piece, logp) vocabulary: per word, a LOCAL dynamic program over
@@ -126,30 +147,44 @@ object Unigram {
   /** Train: seed the vocabulary (top `seedSize` substrings by count,
     * rare-ties broken on piece ASC, plus EVERY single character so all
     * corpus words stay segmentable), then `iters` hard-EM rounds. Only
-    * vocabulary-bounded (piece, count) rows ever reach the driver. */
+    * vocabulary-bounded (piece, count) rows ever reach the driver.
+    *
+    * `vocabSize > 0` makes the trainer Kudo's actual algorithm —
+    * EM alternating with vocabulary PRUNING: after each round's
+    * re-count, the lowest-usage pieces (the hard-EM proxy for
+    * lowest-likelihood-loss — logp is monotone in count under add-one
+    * smoothing) are dropped down to `max(vocabSize, ¾·|V|)` per round
+    * (Kudo's gradual shrink, integer arithmetic so the oracle replays
+    * it), with every single-character piece retained unconditionally so
+    * the corpus stays segmentable. Smoothing re-normalizes over the
+    * SURVIVING vocabulary (T and V both shrink). `vocabSize = 0`
+    * (default) keeps the full seed vocabulary — the pre-prune card
+    * shape.
+    *
+    * Seed selection is a distributed `TakeOrderedAndProject`
+    * (orderBy + limit under the total order (cnt DESC, piece ASC)) —
+    * never a single-partition window: the ≤`maxPieceLen`-char substring
+    * space is DATA-dependent (a multilingual 100 TB corpus holds tens
+    * of millions of distinct short pieces), unlike the bounded-
+    * cardinality tables the global-window convention is reserved for. */
   def train(spark: SparkSession, docs: DataFrame, maxPieceLen: Int = 4,
-      seedSize: Int = 60, iters: Int = 2): UnigramModel = {
+      seedSize: Int = 60, iters: Int = 2, vocabSize: Int = 0)
+      : UnigramModel = {
     require(maxPieceLen >= 1 && seedSize >= 1 && iters >= 1,
       s"need maxPieceLen/seedSize/iters >= 1, got " +
         s"$maxPieceLen/$seedSize/$iters")
+    require(vocabSize >= 0, s"vocabSize must be >= 0, got $vocabSize")
     import spark.implicits._
     val words = PipelineCaches.track(wordFreq(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     require(words.count() > 0, "unigram train: no trainable words")
-    val sub = substringCounts(words, maxPieceLen)
-    val wTop = Window.partitionBy(lit(0))
-      .orderBy(col("cnt").desc, col("piece").asc)
-    val seed = sub
-      .withColumn("_rk", row_number().over(wTop))
-      .filter(col("_rk") <= seedSize).select("piece", "cnt")
-      .unionByName(sub.filter(length(col("piece")) === 1)
-        .select("piece", "cnt"))
-      .distinct()
-    var counts: Map[String, Long] = seed.collect()
+    var counts: Map[String, Long] = seedSelect(words, maxPieceLen, seedSize)
+      .collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val v = counts.size
     def logpOf(c: Map[String, Long]): Map[String, BigDecimal] = {
+      // V is the CURRENT vocabulary size — pruning shrinks it per round
       val t = c.values.sum
+      val v = c.size
       c.map { case (p, n) =>
         // the exact double expression the oracle rounds: both engines
         // divide the same exact integers and ln the same double
@@ -172,6 +207,17 @@ object Unigram {
         .groupBy("piece").agg(sum("freq").cast("bigint").as("cnt"))
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       counts = counts.keysIterator.map(p => p -> used.getOrElse(p, 0L)).toMap
+      if (vocabSize > 0 && counts.size > vocabSize) {
+        // prune to max(vocabSize, ¾·|V|) by (cnt DESC, piece ASC) rank;
+        // single chars survive regardless (segmentability invariant).
+        // Integer ¾ (|V|·3 div 4) so DuckDB's (nv * 3) // 4 replays it.
+        val target = math.max(vocabSize, counts.size * 3 / 4)
+        val keep = counts.toSeq.sortBy { case (p, n) => (-n, p) }
+          .iterator.zipWithIndex.collect {
+            case ((p, _), i) if p.length == 1 || i < target => p
+          }.toSet
+        counts = counts.filter { case (p, _) => keep(p) }
+      }
       lp = logpOf(counts)
     }
     val pieces = counts.toSeq.sortBy(_._1)
@@ -183,13 +229,15 @@ object Unigram {
       viterbiSegment(words, vocabDf, maxPieceLen), maxPieceLen)
   }
 
-  /** The oracled release card: the final piece table with usage counts,
-    * log probs, the (count DESC, piece ASC) rank, and the top-
-    * `vocabSize` keep flag — the prune decision surfaced in-plan. */
+  /** The oracled release card: the FINAL (post-prune) piece table with
+    * usage counts, log probs, the (count DESC, piece ASC) rank, and the
+    * top-`vocabSize` core flag (pieces above `vocabSize` are the
+    * unconditionally-retained single chars). Training runs EM+prune
+    * with this `vocabSize` ([[train]]). */
   def unigramLmCard(spark: SparkSession, docs: DataFrame,
       maxPieceLen: Int = 4, seedSize: Int = 60, iters: Int = 2,
       vocabSize: Int = 40): DataFrame = {
-    val model = train(spark, docs, maxPieceLen, seedSize, iters)
+    val model = train(spark, docs, maxPieceLen, seedSize, iters, vocabSize)
     model.pieces
       .withColumn("rank", row_number().over(Window.partitionBy(lit(0))
         .orderBy(col("n_uses").desc, col("piece").asc)).cast("int"))

@@ -429,13 +429,15 @@ object CurationQueries {
     },
 
     // Unigram-LM (SentencePiece-style) tokenizer TRAINING (Kudo 2018;
-    // r14 verdict task 5 — the other production tokenizer family
-    // beside BPE): seeded substring vocabulary, 2 hard-EM rounds of
-    // Viterbi segmentation + smoothed re-estimation, all on the exact-
-    // decimal lattice. The oracle unrolls the ENTIRE trajectory —
-    // seeding, every DP position of every EM round, both
-    // re-estimations — so a green hash proves the TRAINING, not just
-    // a final table
+    // r14 verdict task 5, EM+prune per r15 task 3 — the other
+    // production tokenizer family beside BPE): seeded substring
+    // vocabulary, 2 hard-EM rounds of Viterbi segmentation + smoothed
+    // re-estimation, each round followed by Kudo's vocabulary PRUNE
+    // (¾-shrink toward vocabSize by usage rank, single chars immortal),
+    // all on the exact-decimal lattice. The oracle unrolls the ENTIRE
+    // trajectory — seeding, every DP position of every EM round, both
+    // prunes, both re-estimations — so a green hash proves the
+    // TRAINING including the prune decisions, not just a final table
     "q_unigram_lm" -> { (s, dir) =>
       graft.llm.Unigram.unigramLmCard(s, docs(s, dir),
         maxPieceLen = 4, seedSize = 60, iters = 2, vocabSize = 40)
@@ -450,7 +452,7 @@ object CurationQueries {
     "q_unigram_fertility" -> { (s, dir) =>
       val d = docs(s, dir)
       val m = graft.llm.Unigram.train(s, d,
-        maxPieceLen = 4, seedSize = 60, iters = 2)
+        maxPieceLen = 4, seedSize = 60, iters = 2, vocabSize = 40)
       graft.llm.Bpe.fertilityCard(d, m.vocab)
     },
 
@@ -462,7 +464,7 @@ object CurationQueries {
     "q_unigram_encode" -> { (s, dir) =>
       val d = docs(s, dir)
       graft.llm.Unigram.encode(d, graft.llm.Unigram.train(s, d,
-        maxPieceLen = 4, seedSize = 60, iters = 2))
+        maxPieceLen = 4, seedSize = 60, iters = 2, vocabSize = 40))
     },
 
     // context-length planning against the REAL tokenizer: the packing
@@ -659,9 +661,16 @@ object CurationQueries {
     * re-expand the whole prefix per reference. `extraSegRound` appends
     * one more DP pass against the FINAL probabilities (no
     * re-estimation) — the apply/segmentation view the fertility oracle
-    * consumes, exactly [[graft.llm.Unigram.UnigramModel.vocab]]. */
+    * consumes, exactly [[graft.llm.Unigram.UnigramModel.vocab]].
+    * `vocabSize > 0` replays Kudo's EM+PRUNE alternation: after each
+    * round's re-count a keep CTE drops the lowest-count pieces down to
+    * `greatest(vocabSize, (|V|·3) // 4)` by (cnt DESC, piece ASC) rank
+    * — single chars unconditionally retained — and the smoothed
+    * re-estimation normalizes over the SURVIVORS, exactly
+    * [[graft.llm.Unigram.train]]'s integer arithmetic. */
   private def unigramCtes(maxP: Int, seedSize: Int, iters: Int,
-      lMax: Int, extraSegRound: Boolean = false): String = {
+      lMax: Int, extraSegRound: Boolean = false,
+      vocabSize: Int = 0): String = {
     def dpStages(r: Int, withUpdate: Boolean): String = {
       val init = s"dp${r}_0 AS MATERIALIZED (SELECT word, freq, " +
         "CAST(0 AS DECIMAL(18,6)) AS s, '' AS seg FROM w)"
@@ -692,6 +701,20 @@ object CurationQueries {
         .mkString("\n    UNION ALL\n    ")
       val seg = s"""seg$r AS MATERIALIZED (
          |    $fin)""".stripMargin
+      // with pruning the round's surviving vocabulary is keep$r; the
+      // no-prune form keeps the whole count table (keep$r = cnt$r)
+      val keepCte =
+        if (vocabSize > 0)
+          s"""keep$r AS MATERIALIZED (
+             |  SELECT piece, cnt FROM (
+             |    SELECT piece, cnt,
+             |      row_number() OVER (ORDER BY cnt DESC, piece ASC) AS rk,
+             |      count(*) OVER () AS nv
+             |    FROM cnt$r)
+             |  WHERE len(piece) = 1
+             |     OR rk <= greatest($vocabSize, (nv * 3) // 4))"""
+            .stripMargin
+        else s"keep$r AS (SELECT piece, cnt FROM cnt$r)"
       val update = s""",
          |cnt$r AS MATERIALIZED (
          |  SELECT v.piece, coalesce(u.c, 0) AS cnt
@@ -700,12 +723,13 @@ object CurationQueries {
          |      SELECT freq, unnest(string_split(seg, ' ')) AS piece
          |      FROM seg$r)
          |    GROUP BY 1) u USING (piece)),
+         |$keepCte,
          |v$r AS MATERIALIZED (
          |  SELECT piece, CAST(round(ln((cnt + 1.0) /
-         |      ((SELECT sum(cnt) FROM cnt$r) +
-         |       (SELECT count(*) FROM cnt$r))), 6)
+         |      ((SELECT sum(cnt) FROM keep$r) +
+         |       (SELECT count(*) FROM keep$r))), 6)
          |    AS DECIMAL(18,6)) AS logp
-         |  FROM cnt$r)""".stripMargin
+         |  FROM keep$r)""".stripMargin
       ((init +: stages) :+ (seg + (if (withUpdate) update else "")))
         .mkString(",\n")
     }
@@ -1939,24 +1963,26 @@ object CurationQueries {
     },
 
     // the full unigram-LM training trajectory: seeding + 2 unrolled
-    // hard-EM rounds (every Viterbi DP position a generated CTE), then
-    // the rank-and-keep card off the final counts and probs
+    // hard-EM + PRUNE rounds (every Viterbi DP position a generated
+    // CTE, each round's keep CTE replaying the ¾-shrink-to-vocabSize
+    // prune), then the rank card off the final SURVIVING counts/probs
     "q_unigram_lm" ->
-      s"""WITH ${unigramCtes(4, 60, 2, 12)}
+      s"""WITH ${unigramCtes(4, 60, 2, 12, vocabSize = 40)}
          |SELECT piece, cnt AS n_uses,
          |  round(CAST(logp AS DOUBLE), 6) AS logp,
          |  CAST(rank AS INT) AS rank, rank <= 40 AS keep
          |FROM (
          |  SELECT c.piece, c.cnt, v.logp,
          |    row_number() OVER (ORDER BY c.cnt DESC, c.piece ASC) AS rank
-         |  FROM cnt2 c JOIN v2 v USING (piece))""".stripMargin,
+         |  FROM keep2 c JOIN v2 v USING (piece))""".stripMargin,
 
     // training replay + ONE more DP pass under the final probabilities
     // (the model's apply view), then the per-lang fertility tail — the
     // same tail as q_bpe_fertility, proving the card is
     // tokenizer-family-agnostic
     "q_unigram_fertility" ->
-      s"""WITH ${unigramCtes(4, 60, 2, 12, extraSegRound = true)},
+      s"""WITH ${unigramCtes(4, 60, 2, 12, extraSegRound = true,
+        vocabSize = 40)},
          |vt AS (
          |  SELECT word,
          |    CAST(len(string_split(seg, ' ')) AS BIGINT) AS n_tokens
@@ -1986,7 +2012,8 @@ object CurationQueries {
     // the unigram-encode replay: training + final segmentation + the
     // q_bpe_encode per-doc tail against the segmented vocabulary
     "q_unigram_encode" ->
-      s"""WITH ${unigramCtes(4, 60, 2, 12, extraSegRound = true)},
+      s"""WITH ${unigramCtes(4, 60, 2, 12, extraSegRound = true,
+        vocabSize = 40)},
          |vt AS (
          |  SELECT word,
          |    CAST(len(string_split(seg, ' ')) AS BIGINT) AS n_tokens

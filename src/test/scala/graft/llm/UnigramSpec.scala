@@ -93,6 +93,65 @@ class UnigramSpec extends AnyFunSuite {
     assert(lp.forall(_.scale == 6))
   }
 
+  test("EM+prune is Kudo's alternation: a piece that survives EM " +
+    "(add-one smoothing keeps it alive) dies at prune, single chars " +
+    "are immortal, and probs renormalize over the survivors") {
+    val s = spark
+    // words: aaab (freq 2), ab (freq 1); seed = all 6 substrings.
+    // EM round 1 segments aaab -> "a aab", ab -> "ab", so counts are
+    // a:2, aab:2, ab:1, aa:0, aaa:0, b:0. Prune target =
+    // max(3, 6*3/4) = 4 -> keep ranks {a, aab, ab, aa}; aaa and b are
+    // cut, b returns as an immortal single. aaa SURVIVED the EM step
+    // (smoothing floors every piece above -inf) and died only at prune.
+    val d = corpus((1L, "aaab aaab ab"))
+    val unpruned = Unigram.train(s, d, maxPieceLen = 3, seedSize = 8,
+      iters = 1)
+    val pruned = Unigram.train(s, d, maxPieceLen = 3, seedSize = 8,
+      iters = 1, vocabSize = 3)
+    val upPieces = unpruned.pieces.collect().map(_.getString(0)).toSet
+    assert(upPieces == Set("a", "aa", "aaa", "aab", "ab", "b"),
+      s"no-prune path keeps the whole seed: $upPieces")
+    val prPieces = pruned.pieces.collect()
+      .map(r => r.getString(0) -> r.getDecimal(2)).toMap
+    assert(prPieces.keySet == Set("a", "aa", "aab", "ab", "b"),
+      s"prune drops aaa, keeps rank<=4 + immortal b: ${prPieces.keySet}")
+    // renormalized over survivors: T = 2+2+1+0+0 = 5, V = 5 ->
+    // logp(a) = round(ln((2+1)/(5+5)), 6) = -1.203973
+    assert(prPieces("a").toPlainString == "-1.203973",
+      s"smoothing must renormalize over the 5 survivors: ${prPieces("a")}")
+    // the pruned model still segments every training word
+    assert(pruned.vocab.collect().forall(!_.isNullAt(2)))
+  }
+
+  test("multi-round prune shrinks by 3/4 toward vocabSize and stops " +
+    "once at/below it") {
+    val s = spark
+    // fixture corpus: unpruned card is ~61 pieces at these params; two
+    // rounds of ceil-free 3/4 shrink (61 -> max(40, 45) -> max(40, 33)
+    // = 40) land exactly on vocabSize + the immortal-singles overflow
+    val card = Unigram.unigramLmCard(s, s.table("documents"),
+      maxPieceLen = 4, seedSize = 60, iters = 2, vocabSize = 40)
+      .collect()
+    assert(card.length >= 40 && card.length <= 45,
+      s"final vocab = vocabSize + immortal singles, got ${card.length}")
+    assert(card.count(_.getString(0).length == 1) > 0,
+      "single chars survive every prune")
+  }
+
+  test("seed selection plans as a distributed TakeOrderedAndProject — " +
+    "never a single-partition window over the data-dependent " +
+    "substring-count relation") {
+    val s = spark
+    import s.implicits._
+    val words = Seq(("aaab", 2L), ("ab", 1L)).toDF("word", "freq")
+    val p = Unigram.seedSelect(words, 3, 8)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-seedSize must ride per-partition heaps + bounded merge:\n$p")
+    assert(!p.contains("Window"),
+      s"no global window may touch the substring-count relation:\n$p")
+  }
+
   test("unigramLmCard: rank is (n_uses desc, piece asc), keep flags the " +
     "top vocabSize, and single-char coverage holds on the fixture") {
     val s = spark
