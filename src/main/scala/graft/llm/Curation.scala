@@ -23,6 +23,19 @@ case class LrModel(weights: DataFrame, buckets: Int, iters: Int,
 
 object Curation {
 
+  /** Integral-doc_id schema guard for operators building Long composite
+    * keys out of doc_id (chunk keys): a non-integral doc_id would cast
+    * implicitly (double past 2^53 loses key ordering; a non-numeric
+    * string casts to NULL and slips past data-level bounds checks). */
+  private[graft] def requireIntegralDocId(docs: DataFrame, op: String)
+      : Unit = {
+    import org.apache.spark.sql.types._
+    val dt = docs.schema("doc_id").dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+      s"$op needs an integral doc_id to build collision-free Long " +
+        s"chunk keys; got ${dt.simpleString} — renumber doc ids first")
+  }
+
   /** Distinct word k-grams per doc as (doc_id, gram_key) rows, gram_key =
     * md5(gram): constant-width join key (16 bytes vs arbitrary gram text —
     * the shuffle carries hashes, not prose) that DuckDB reproduces exactly
@@ -1666,6 +1679,13 @@ object Curation {
     require(minEstJaccard <= threshold,
       s"minEstJaccard ($minEstJaccard) must be <= threshold " +
         s"($threshold) or qualifying pairs are pre-filtered away")
+    // chunk_key = doc_id * maxChunksPerDoc + chunk_idx is Long
+    // arithmetic; a string/float/decimal doc_id would implicitly cast
+    // through DOUBLE (losing keep-one ordering precision past 2^53, and
+    // a non-numeric string casts to NULL — slipping past the bounds
+    // guard below while the overflow check still passes). Integral
+    // types only, checked loudly up front (round-15 advice).
+    requireIntegralDocId(docs, "paragraphDedup")
     val chunks = PipelineCaches.track(
       TextOps.chunkDocs(docs, chunkSize, stride = chunkSize)
         .withColumn("chunk_key",

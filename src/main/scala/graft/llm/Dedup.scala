@@ -699,7 +699,9 @@ object Dedup {
     * joins with zero exchange). Output matches
     * [[containmentJoinExact]] over (corpus ∪ batch) restricted to
     * pairs touching the batch — the oracle proves it every round. Ids
-    * must be disjoint between index and batch. */
+    * must be disjoint between index and batch — ENFORCED by a bounded
+    * limit-1 probe inside the shared primitive (round-15 advice), so
+    * an overlapping id fails loudly instead of double-counting. */
   def incrementalContainmentPairs(index: DataFrame, newDocs: DataFrame,
       threshold: Double = 0.8, k: Int = 3): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
@@ -715,6 +717,19 @@ object Dedup {
     * path computes them once and both probes and appends them). */
   private[graft] def containmentPairsFromShingles(index: DataFrame,
       nb: DataFrame, threshold: Double): DataFrame = {
+    // loud disjointness guard (round-15 advice): an id on both sides
+    // would silently emit duplicate/spurious pairs (the id_x =!= id_y
+    // filter treats its two copies as distinct docs). One bounded job:
+    // the batch's id set broadcasts, the index scan prunes to it,
+    // limit 1 stops at the first offender — the fail-loudly contract
+    // the rest of this file's require()s follow.
+    val overlap = index
+      .join(broadcast(nb.select("doc_id").distinct()),
+        Seq("doc_id"), "left_semi")
+      .select("doc_id").limit(1).collect()
+    require(overlap.isEmpty,
+      s"batch doc ids must be disjoint from the index; found " +
+        s"overlapping doc_id ${overlap.head.get(0)}")
     val batchKeys = nb.select("sh").distinct()
     val pruned = index.join(broadcast(batchKeys), Seq("sh"), "left_semi")
     def sided(df: DataFrame, side: String) = df.select(col("sh"),

@@ -1,7 +1,5 @@
 package graft.plans
 
-import java.util.concurrent.ConcurrentHashMap
-
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
@@ -70,13 +68,31 @@ case class SkewJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     p.output.exists(_.name.startsWith(Marker))
 
   /** Decision cache: canonicalized (left, right, key ordinal,
-    * targetRows, topN) → the hot-key plan rows (empty = diagnosed, no salting needed).
-    * Keeps a fixed-point batch from re-running the diagnosis every
-    * iteration; bounded by a hard clear at 64 joins (a plan-shape
-    * cardinality, not a data one). */
-  private val decided =
-    new ConcurrentHashMap[(LogicalPlan, LogicalPlan, Int, Long, Int),
-      Seq[Row]]()
+    * targetRows, topN) → the hot-key plan rows (empty = diagnosed, no
+    * salting needed). Keeps a fixed-point optimizer batch from
+    * re-running the diagnosis every iteration; bounded at 64 joins (a
+    * plan-shape cardinality, not a data one) by LRU eviction of the
+    * eldest entry — never a whole-cache clear, so one 65th join shape
+    * cannot throw away 64 warm diagnoses.
+    *
+    * The decision is FROZEN PER SESSION per (plan, conf) key: data
+    * appended to the underlying tables within a session does not
+    * re-trigger the diagnosis, so a long-lived session keeps its
+    * salting decisions (possibly missing newly-hot keys or salting
+    * cooled ones — a performance question only; result identity holds
+    * either way because the salted decomposition is identical for any
+    * plan rows). Recurring 100 TB jobs re-plan per run anyway; a
+    * session that must re-diagnose can toggle the rewrite conf off/on
+    * around a fresh `SparkSession.newSession()`. */
+  private val decided = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[
+        (LogicalPlan, LogicalPlan, Int, Long, Int), Seq[Row]](
+        16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[
+            (LogicalPlan, LogicalPlan, Int, Long, Int), Seq[Row]])
+          : Boolean = size() > 64
+    })
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!enabled) return plan
@@ -178,7 +194,6 @@ case class SkewJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         targetRows, topN)
       .filter(col("salt") >= 2L && col("key").isNotNull)
       .select("key", "salt").collect().toSeq
-    if (decided.size > 64) decided.clear()
     decided.put(cacheKey, rows)
     rows
   }

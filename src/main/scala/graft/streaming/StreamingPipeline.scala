@@ -41,9 +41,25 @@ object StreamingPipeline {
 
     /** The pre-append snapshot to re-probe when `batchId` is a replay
       * of the last appended batch; None for a fresh batch (probe the
-      * live index, then [[committed]]). */
+      * live index, then [[committed]]). Tracked batchIds must arrive
+      * MONOTONICALLY increasing (Structured Streaming's contract, and
+      * the reason one snapshot suffices); an OLDER id means the index
+      * object is being shared across two queries/checkpoints — a
+      * replay the single snapshot cannot serve — and the fresh path
+      * would silently double-append that batch, corrupting every later
+      * intersection count. Fail loudly instead (round-15 advice). */
     def replayView(batchId: Long): Option[Option[DataFrame]] =
-      if (batchId >= 0 && batchId == lastBatchId) Some(preAppend) else None
+      if (batchId >= 0 && batchId == lastBatchId) Some(preAppend)
+      else {
+        if (batchId >= 0 && lastBatchId != Long.MinValue &&
+            batchId < lastBatchId)
+          throw new IllegalStateException(
+            s"non-monotonic batchId $batchId after $lastBatchId: this " +
+              "index instance is already bound to another query/" +
+              "checkpoint (only the LATEST batch can replay); use a " +
+              "separate index per streaming query")
+        None
+      }
 
     def committed(batchId: Long, pre: Option[DataFrame]): Unit = {
       lastBatchId = if (batchId >= 0) batchId else Long.MinValue

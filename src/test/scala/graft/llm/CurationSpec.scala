@@ -41,6 +41,17 @@ class CurationSpec extends AnyFunSuite {
       "unrelated paragraphs are untouched")
   }
 
+  test("paragraphDedup refuses a non-integral doc_id (chunk keys are " +
+    "Long arithmetic — implicit double casts lose ordering past 2^53)") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(("a", "w1 w2 w3 w4")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Curation.paragraphDedup(d, chunkSize = 4)
+    }
+    assert(e.getMessage.contains("integral doc_id"))
+  }
+
   test("decontaminate flags exactly the docs sharing a 5-gram") {
     val s = spark
     import s.implicits._

@@ -131,6 +131,37 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(nd.size == ndSize1 && ndSize1 > ndSize0)
   }
 
+  test("a NON-monotonic batchId fails loudly: only the latest batch can " +
+    "replay, and an older id means the index is shared across queries") {
+    val s = spark
+    val d = s.table("documents").select("doc_id", "text")
+    val idx = new StreamingPipeline.ContainmentIndex(k = 3,
+      threshold = 0.8)
+    idx.probeAndAppend(d.filter(col("doc_id") < 10), 5L).count()
+    idx.probeAndAppend(d.filter(col("doc_id").between(10, 19))
+      .select((col("doc_id") + 700000L).as("doc_id"), col("text")), 6L)
+      .count()
+    val e = intercept[IllegalStateException] {
+      idx.probeAndAppend(d.filter(col("doc_id") === 3L)
+        .select((col("doc_id") + 800000L).as("doc_id"), col("text")), 5L)
+    }
+    assert(e.getMessage.contains("non-monotonic"))
+  }
+
+  test("overlapping batch/index doc ids fail loudly instead of " +
+    "silently double-counting intersections") {
+    val s = spark
+    val d = s.table("documents").select("doc_id", "text")
+    val idx = new StreamingPipeline.ContainmentIndex(k = 3,
+      threshold = 0.8)
+    idx.probeAndAppend(d.filter(col("doc_id") < 10), 0L).count()
+    val e = intercept[IllegalArgumentException] {
+      // doc_id 3 is already indexed — the shared primitive's guard fires
+      idx.probeAndAppend(d.filter(col("doc_id") === 3L), 1L)
+    }
+    assert(e.getMessage.contains("disjoint"))
+  }
+
   test("streaming containment catches an excerpt arriving AFTER its " +
     "host, BEFORE its host, and in the same batch — both orientations") {
     val s = spark
