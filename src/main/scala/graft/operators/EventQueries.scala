@@ -270,6 +270,49 @@ object EventQueries {
       }
     },
 
+    // the salted rewrite on the production ENRICHMENT shape (r15
+    // verdict task 4): the same planted-hot-key stream LEFT-joining a
+    // registry that is MISSING every key ≡ 2 (mod 5), written as a
+    // plain left join and salted automatically. The decomposition's
+    // left-outer soundness (preserved side = salted side; unmatched
+    // rows null-fill exactly once through whichever path their key
+    // took) is re-proven by the plain LEFT JOIN oracle, null-filled
+    // n_r rows included
+    "q_salted_join_rewrite_outer" -> { (s, dir) =>
+      graft.functions.GraftExtensions.register(s)
+      val e = events(s, dir).select(col("event_id"),
+        when(col("event_id") % 3 === 0, 0L)
+          .otherwise(pmod(col("user_id"), lit(500L)) + 1L).as("k"),
+        col("value"))
+      val r = e.filter(col("k") % 5 =!= 2)
+        .groupBy("k").agg(count(lit(1)).cast("bigint").as("n_r"))
+      val prevOn = s.conf.get("spark.graft.skewJoin.rewrite", "false")
+      val prevTarget = s.conf.get("spark.graft.skewJoin.targetRows", "5000000")
+      val prevTop = s.conf.get("spark.graft.skewJoin.topN", "20")
+      val prevBcast = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      s.conf.set("spark.graft.skewJoin.rewrite", "true")
+      s.conf.set("spark.graft.skewJoin.targetRows", "200")
+      s.conf.set("spark.graft.skewJoin.topN", "5")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val out = e.join(r, Seq("k"), "left")
+          .select("event_id", "k", "value", "n_r")
+        val plan = out.queryExecution.executedPlan.toString
+        require(plan.contains("__graft_skew"),
+          "left-outer skew rewrite did not fire; the entry would not " +
+            "exercise it")
+        require(!plan.contains("CartesianProduct") &&
+          !plan.contains("BroadcastNestedLoopJoin"),
+          "skew-join rewrite must not introduce a cartesian")
+        out.localCheckpoint(true)
+      } finally {
+        s.conf.set("spark.graft.skewJoin.rewrite", prevOn)
+        s.conf.set("spark.graft.skewJoin.targetRows", prevTarget)
+        s.conf.set("spark.graft.skewJoin.topN", prevTop)
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBcast)
+      }
+    },
+
     // hourly per-type metrics roll-up — tumbling windows via date_trunc
     // STREAM-STATIC enrichment join, completing the streaming join
     // matrix (static / stream-stream inner / stream-stream outer): each
@@ -575,6 +618,40 @@ object EventQueries {
       }
     },
 
+    // the range rewrite on a NUMERIC band (r15 verdict task 5): value
+    // bands ±1.0 around sampled anchor scores — lo goes NEGATIVE at
+    // the distribution's left edge and the conf width is FRACTIONAL
+    // (2.5), exercising exactly the floor-of-negative-quotient and
+    // fractional-bucket arithmetic the type-generic bucketing claims.
+    // Catalyst alone plans the BETWEEN as a BroadcastNestedLoopJoin;
+    // the oracle is the naive predicate, so the hash gate re-proves
+    // the numeric path's result identity every round
+    "q_range_join_rewrite_num" -> { (s, dir) =>
+      graft.functions.GraftExtensions.register(s)
+      val e = events(s, dir)
+      val win = e.filter(col("event_id") % 997 === 0)
+        .select(col("event_id").as("window_id"),
+          (col("value") - 1.0).as("lo"), (col("value") + 1.0).as("hi"))
+      val prevOn = s.conf.get("spark.graft.rangeJoin.rewrite", "false")
+      val prevW = s.conf.get("spark.graft.rangeJoin.numBucketWidth", "1000")
+      s.conf.set("spark.graft.rangeJoin.rewrite", "true")
+      s.conf.set("spark.graft.rangeJoin.numBucketWidth", "2.5")
+      try {
+        val out = e.select(col("event_id"), col("value"))
+          .join(win, col("value") >= col("lo") && col("value") <= col("hi"))
+          .select("event_id", "window_id")
+        val plan = out.queryExecution.executedPlan.toString
+        require(!plan.contains("BroadcastNestedLoopJoin") &&
+          !plan.contains("CartesianProduct"),
+          "numeric range-join rewrite did not fire; the nested loop " +
+            "survived")
+        out.localCheckpoint(true)
+      } finally {
+        s.conf.set("spark.graft.rangeJoin.rewrite", prevOn)
+        s.conf.set("spark.graft.rangeJoin.numBucketWidth", prevW)
+      }
+    },
+
     // cohort retention: users grouped by first-activity day; for each
     // (cohort, day-offset) the distinct users still active. Two keyed
     // partial aggregations + one user-keyed join — no windows, no
@@ -744,6 +821,20 @@ object EventQueries {
         |r AS (SELECT k, CAST(count(*) AS BIGINT) AS n_r FROM l GROUP BY 1)
         |SELECT l.event_id, l.k, l.value, r.n_r
         |FROM l JOIN r USING (k)""".stripMargin,
+
+    // identical plain LEFT JOIN oracle: the optimizer-rule path must
+    // emit exactly the plain left join's set, null-filled rows included
+    "q_salted_join_rewrite_outer" ->
+      """WITH l AS (
+        |  SELECT event_id,
+        |    CASE WHEN event_id % 3 = 0 THEN 0
+        |      ELSE user_id % 500 + 1 END AS k,
+        |    value
+        |  FROM events),
+        |r AS (SELECT k, CAST(count(*) AS BIGINT) AS n_r FROM l
+        |      WHERE k % 5 <> 2 GROUP BY 1)
+        |SELECT l.event_id, l.k, l.value, r.n_r
+        |FROM l LEFT JOIN r USING (k)""".stripMargin,
 
     // the skew-card replay filtered to key rows with the integer-ceil
     // salt factor
@@ -992,6 +1083,15 @@ object EventQueries {
         |  FROM events WHERE event_id % 499 = 0) w
         |ON e.ts >= w.lo AND e.ts <= w.hi""".stripMargin,
 
+    // identical naive-predicate oracle for the NUMERIC band rewrite
+    "q_range_join_rewrite_num" ->
+      """SELECT e.event_id, w.window_id
+        |FROM events e JOIN (
+        |  SELECT event_id AS window_id, value - 1.0 AS lo,
+        |    value + 1.0 AS hi
+        |  FROM events WHERE event_id % 997 = 0) w
+        |ON e.value >= w.lo AND e.value <= w.hi""".stripMargin,
+
     // identical naive-predicate oracle: the optimizer-rule path must
     // emit exactly the nested loop's set
     "q_range_join_rewrite" ->
@@ -1053,11 +1153,13 @@ object EventQueries {
     "q_salting_plan" -> Seq("key"),
     "q_salted_join" -> Seq("event_id"),
     "q_salted_join_rewrite" -> Seq("event_id"),
+    "q_salted_join_rewrite_outer" -> Seq("event_id"),
     "q_event_transitions" -> Seq("from_type", "to_type"),
     "q_events_lag" -> Seq("user_id", "event_id"),
     "q_events_asof" -> Seq("event_id"),
     "q_events_range_join" -> Seq("event_id", "window_id"),
     "q_range_join_rewrite" -> Seq("event_id", "window_id"),
+    "q_range_join_rewrite_num" -> Seq("event_id", "window_id"),
     "q_events_psi" -> Seq("event_type"),
     "q_events_priority" -> Seq("deliver_pos"),
     "q_events_retention" -> Seq("cohort_day", "day_offset"),

@@ -96,8 +96,10 @@ object JoinSkew {
   }
 
   /** The salting TREATMENT for [[saltingPlan]]'s diagnosis — a salted
-    * inner equi-join that is RESULT-IDENTICAL to
-    * `left.join(right, Seq(keyCol))` (the same diagnosis→treatment
+    * equi-join that is RESULT-IDENTICAL to
+    * `left.join(right, Seq(keyCol), joinType)` for `joinType` inner or
+    * left-outer (see [[normalizeJoinType]] for why exactly those two;
+    * the same diagnosis→treatment
     * pairing as `embTopPc`→`abttTransform`): hot keys' LEFT rows are
     * split across `salt` sub-keys and the RIGHT rows replicated once
     * per sub-key, so no single shuffle partition ever receives more
@@ -135,8 +137,10 @@ object JoinSkew {
     * zero spreading. The assignment affects only WHERE a row is
     * processed, never the joined output.
     *
-    * NULL join keys take the cold path and vanish there, exactly as
-    * the plain inner equi-join drops them. Scale shape: two broadcast
+    * NULL join keys take the cold path, where they vanish under inner
+    * (exactly as the plain equi-join drops them) and null-fill once
+    * under left-outer (exactly as the plain left join preserves
+    * them — a NULL key matches nothing). Scale shape: two broadcast
     * tag joins (plan ≤ topN rows), the cold shuffle join, and the hot
     * shuffle join on (key, _salt) — no new corpus-sized shuffles beyond
     * the join being treated. */
@@ -165,9 +169,34 @@ object JoinSkew {
       "saltedJoin reserves the _salt column name")
   }
 
+  /** Normalized join type for the salted decomposition: "inner" or
+    * "left" (LEFT OUTER). These are exactly the types for which the
+    * decomposition is sound — the LEFT side is the salted (split) side
+    * and the RIGHT side is replicated per salt, so replicated rows may
+    * only emit when MATCHED: an inner join emits only matches, and a
+    * left-outer join preserves only the (unreplicated) left side, whose
+    * rows each live in exactly ONE (key, salt) bucket covered by the
+    * right replication — an unmatched left row null-fills exactly once.
+    * RIGHT/FULL outer would preserve the REPLICATED side: an unmatched
+    * hot-key right row appears once per salt replica and would null-
+    * fill `salt` times. A right-outer caller flips sides first (the
+    * [[graft.plans.SkewJoinRewrite]] treatment); full outer has no
+    * sound salted form under replication and is refused. */
+  private def normalizeJoinType(joinType: String): String =
+    joinType.toLowerCase.replace("_", "") match {
+      case "inner" => "inner"
+      case "left" | "leftouter" => "left"
+      case other => throw new IllegalArgumentException(
+        s"saltedJoin supports inner and left-outer joins, got '$other' " +
+          "(right outer: flip the sides; full outer: the replicated " +
+          "side would null-fill once per salt replica — unsupported)")
+    }
+
   def saltedJoin(left: DataFrame, right: DataFrame, keyCol: String,
-      plan: DataFrame, roundRobinSalt: Boolean = false): DataFrame = {
+      plan: DataFrame, roundRobinSalt: Boolean = false,
+      joinType: String = "inner"): DataFrame = {
     validateSaltedJoin(left, right, keyCol)
+    val jt = normalizeJoinType(joinType)
     val lcols = left.columns.toSeq
     val rcols = right.columns.toSeq.filterNot(_ == keyCol)
     val outCols = (lcols ++ rcols).map(col)
@@ -182,7 +211,7 @@ object JoinSkew {
       .select(col("key").cast(keyType).as("_sk"),
         col("salt").cast(LongType).as("_sf"))
       .collect().toSeq
-    if (hotRows.isEmpty) return left.join(right, Seq(keyCol))
+    if (hotRows.isEmpty) return left.join(right, Seq(keyCol), jt)
     val spark = left.sparkSession
     val hot = broadcast(spark.createDataFrame(
       spark.sparkContext.parallelize(hotRows, 1),
@@ -194,7 +223,7 @@ object JoinSkew {
     val coldJoin = lTag.filter(col("_sf").isNull)
       .select(lcols.map(col): _*)
       .join(rTag.filter(col("_sf").isNull)
-        .select((keyCol +: rcols).map(col): _*), Seq(keyCol))
+        .select((keyCol +: rcols).map(col): _*), Seq(keyCol), jt)
     // hash only hashable columns — xxhash64 rejects MapType RECURSIVELY
     // (map inside struct/array too), so the filter must recurse. A salt
     // hashed from the KEY alone is constant per hot key (zero spread,
@@ -213,7 +242,7 @@ object JoinSkew {
           .withColumn("_salt",
             explode(sequence(lit(0L), col("_sf") - 1L)))
           .select(((keyCol +: rcols).map(col) :+ col("_salt")): _*),
-        Seq(keyCol, "_salt"))
+        Seq(keyCol, "_salt"), jt)
     coldJoin.select(outCols: _*).unionByName(hotJoin.select(outCols: _*))
   }
 
@@ -225,5 +254,14 @@ object JoinSkew {
     validateSaltedJoin(left, right, keyCol)
     saltedJoin(left, right, keyCol,
       saltingPlan(left, right, keyCol, targetRows, topN))
+  }
+
+  /** Diagnose-and-treat convenience for the left-outer form. */
+  def saltedJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      targetRows: Long, topN: Int, joinType: String): DataFrame = {
+    validateSaltedJoin(left, right, keyCol)
+    saltedJoin(left, right, keyCol,
+      saltingPlan(left, right, keyCol, targetRows, topN),
+      roundRobinSalt = false, joinType = joinType)
   }
 }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, JoinHint, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.graftbridge.PlanBridge
-import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{NumericType, TimestampNTZType, TimestampType}
 
 /** Opt-in optimizer rule promoting [[graft.scale.RangeJoin]] from a
   * library call to ENGINE BEHAVIOR — the [[SkewJoinRewrite]] pattern
@@ -24,13 +24,24 @@ import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
   * can emit twice. RESULT-IDENTICAL, re-proven by the plain-predicate
   * oracle every round.
   *
+  * NUMERIC bounds (r15 verdict task 5) hit the same BNLJ cliff — score
+  * bands, length buckets, id ranges — and rewrite identically through
+  * [[graft.scale.RangeJoin.pointInIntervalNum]], with
+  * `spark.graft.rangeJoin.numBucketWidth` (default 1000, fractional
+  * allowed) as the numeric bucket width. The point and BOTH bounds
+  * must belong to ONE type family (all timestamps or all numeric):
+  * mixed-family triples are DECLINED — Spark would insert implicit
+  * casts whose comparison semantics the bucket quantization cannot be
+  * proven to cover, and a mixed triple is almost always a schema bug
+  * the nested loop surfaces honestly.
+  *
   * Joins left alone: anything but INNER/CROSS, hinted joins (the user
   * chose a strategy), joins already connected by a cross-side equality
   * (the planner runs those as equi-joins — rewriting could only add
-  * work), non-timestamp bounds, and already-rewritten subtrees (the
-  * `__graft_range` marker). Unlike [[SkewJoinRewrite]] no plan-time
-  * jobs run — the pattern match is pure, so the only cost of enabling
-  * the conf is the match itself. */
+  * work), mixed-family or non-timestamp/non-numeric bounds, and
+  * already-rewritten subtrees (the `__graft_range` marker). Unlike
+  * [[SkewJoinRewrite]] no plan-time jobs run — the pattern match is
+  * pure, so the only cost of enabling the conf is the match itself. */
 case class RangeJoinRewrite(spark: SparkSession)
     extends Rule[LogicalPlan] with PredicateHelper {
 
@@ -40,6 +51,8 @@ case class RangeJoinRewrite(spark: SparkSession)
     spark.conf.get("spark.graft.rangeJoin.rewrite", "false") == "true"
   private def bucketSec: Long =
     spark.conf.get("spark.graft.rangeJoin.bucketSec", "86400").toLong
+  private def numBucketWidth: Double =
+    spark.conf.get("spark.graft.rangeJoin.numBucketWidth", "1000").toDouble
 
   private def isRewritten(p: LogicalPlan): Boolean =
     p.output.exists(_.name.startsWith(Marker))
@@ -62,6 +75,15 @@ case class RangeJoinRewrite(spark: SparkSession)
 
   private def tsType(e: Expression): Boolean =
     e.dataType == TimestampType || e.dataType == TimestampNTZType
+  private def numType(e: Expression): Boolean =
+    e.dataType.isInstanceOf[NumericType]
+  /** One type family across (point, lo, hi) — all timestamps or all
+    * numeric; None (decline) for mixed or unsupported families. */
+  private def familyOf(t: Expression, lo: Expression, hi: Expression)
+      : Option[Boolean] =
+    if (tsType(t) && tsType(lo) && tsType(hi)) Some(true)
+    else if (numType(t) && numType(lo) && numType(hi)) Some(false)
+    else None
 
   /** lower-bound conjunct: ts ≥/> bound (either operand order). */
   private def lowerOf(e: Expression): Option[(Attribute, Attribute)] =
@@ -109,17 +131,19 @@ case class RangeJoinRewrite(spark: SparkSession)
 
   private def rewrite(cond: Expression, left: LogicalPlan,
       right: LogicalPlan): Option[LogicalPlan] = {
-    if (bucketSec <= 0) return None
     val conjuncts = splitConjunctivePredicates(cond)
     if (hasEquiConnector(conjuncts, left, right)) return None
     val lowers = conjuncts.flatMap(lowerOf)
     val uppers = conjuncts.flatMap(upperOf)
-    // a (ts, lo, hi) triple with ts wholly on one side and both bounds
-    // on the other — the first match wins
+    // a (point, lo, hi) triple in ONE type family with the point wholly
+    // on one side and both bounds on the other — the first match wins;
+    // a non-positive width conf disables that family's rewrites
     val found = (for {
       (t1, lo) <- lowers
       (t2, hi) <- uppers
-      if t1.exprId == t2.exprId && tsType(t1) && tsType(lo) && tsType(hi)
+      if t1.exprId == t2.exprId
+      isTs <- familyOf(t1, lo, hi).toSeq
+      if (isTs && bucketSec > 0) || (!isTs && numBucketWidth > 0)
       (pts, ivs, flipped) <-
         (if (left.outputSet.contains(t1) &&
             right.outputSet.contains(lo) && right.outputSet.contains(hi))
@@ -128,8 +152,8 @@ case class RangeJoinRewrite(spark: SparkSession)
             left.outputSet.contains(lo) && left.outputSet.contains(hi))
           Some((right, left, true))
         else None).toSeq
-    } yield (t1, lo, hi, pts, ivs, flipped)).headOption
-    found.map { case (ts, lo, hi, points, intervals, flipped) =>
+    } yield (t1, lo, hi, pts, ivs, flipped, isTs)).headOption
+    found.map { case (ts, lo, hi, points, intervals, flipped, isTs) =>
       def name(side: String, i: Int) = s"${Marker}_${side}$i"
       val pNames = points.output.indices.map(name("p", _))
       val iNames = intervals.output.indices.map(name("i", _))
@@ -140,8 +164,11 @@ case class RangeJoinRewrite(spark: SparkSession)
         name("i", intervals.output.indexWhere(_.exprId == lo.exprId))
       val hiName =
         name("i", intervals.output.indexWhere(_.exprId == hi.exprId))
-      val bucketed = PlanBridge.analyzed(graft.scale.RangeJoin
-        .pointInInterval(pDf, tsName, iDf, loName, hiName, bucketSec))
+      val bucketed = PlanBridge.analyzed(
+        if (isTs) graft.scale.RangeJoin
+          .pointInInterval(pDf, tsName, iDf, loName, hiName, bucketSec)
+        else graft.scale.RangeJoin.pointInIntervalNum(
+          pDf, tsName, iDf, loName, hiName, numBucketWidth))
       val byName = bucketed.output.map(a => a.name -> a).toMap
       val restored = (points.output.zipWithIndex.map { case (a, i) =>
         Alias(byName(name("p", i)), a.name)(

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftOuter, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{Join, JoinHint, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.functions.col
@@ -10,13 +10,31 @@ import org.apache.spark.sql.graftbridge.PlanBridge
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Opt-in optimizer rule that promotes [[JoinSkew.saltedJoin]] from a
-  * library call to ENGINE BEHAVIOR (r14 verdict task 2): an inner
-  * equi-join whose key statistics trip [[JoinSkew.saltingPlan]]'s
-  * threshold is rewritten to the salted form automatically — hot keys'
-  * left rows split across salt sub-keys, right rows replicated per
+  * library call to ENGINE BEHAVIOR (r14 verdict task 2; outer joins
+  * r15 task 4): an INNER / LEFT OUTER / RIGHT OUTER equi-join whose
+  * key statistics trip [[JoinSkew.saltingPlan]]'s threshold is
+  * rewritten to the salted form automatically — hot keys' preserved-
+  * side rows split across salt sub-keys, the other side replicated per
   * sub-key, cold keys through the plain join, the two paths unioned —
-  * RESULT-IDENTICAL to the plain join (the oracle entry re-proves the
+  * RESULT-IDENTICAL to the plain join (the oracle entries re-prove the
   * identity every round), without the user knowing the treatment exists.
+  *
+  * LEFT OUTER is the production enrichment shape at 100 TB — a fact
+  * stream left-joining a registry/dimension exactly as the reference's
+  * workload-queue ⋈ model-registry enrichment joins
+  * (reference/DISTRIBUTED.md:361, :584) — and it skews exactly like
+  * inner (the hot key piles the same preserved-side rows on one
+  * partition). The decomposition extends soundly because the SALTED
+  * side is the PRESERVED side: each preserved row lives in exactly one
+  * (key, salt) bucket whose right replication covers it, so its match
+  * set equals the plain join's and an unmatched row null-fills exactly
+  * once ([[JoinSkew]]'s normalizeJoinType proof). RIGHT OUTER is the
+  * same join with the sides flipped, handled by flipping. FULL OUTER
+  * is DECLINED with a documented reason: both sides are preserved, so
+  * whichever side is replicated would null-fill its unmatched hot-key
+  * rows once per salt replica — replication has no sound full-outer
+  * form; AQE's skew-join split (which replicates nothing) is the
+  * treatment there.
   *
   * This is statistics-driven replanning: deciding needs the per-key
   * count tables, so the rule runs the bounded diagnosis (two map-side-
@@ -34,24 +52,30 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   *   - `spark.graft.skewJoin.topN` (default 20) — hot keys considered
   *
   * Joins the rule leaves alone, each for a scale reason:
-  *   - anything but INNER with exactly one attribute=attribute equality
-  *     (the salted decomposition is proven for that shape; AND-of-
-  *     equalities keys rarely skew on the composite);
+  *   - anything but INNER/LEFT OUTER/RIGHT OUTER with exactly one
+  *     attribute=attribute equality (the salted decomposition is
+  *     proven for those shapes — full outer above; AND-of-equalities
+  *     keys rarely skew on the composite);
   *   - joins carrying a hint (the user already chose a strategy);
-  *   - joins where either side sits under
-  *     `spark.sql.autoBroadcastJoinThreshold` (the planner will
-  *     broadcast — no shuffle on the key, so salting could only add
-  *     work);
+  *   - joins whose BUILD-ELIGIBLE side sits under
+  *     `spark.sql.autoBroadcastJoinThreshold` (either side for inner,
+  *     only the non-preserved side for outer — Spark cannot broadcast
+  *     the preserved side of an outer hash join): the planner will
+  *     broadcast, no shuffle on the key, so salting could only add
+  *     work;
   *   - already-rewritten subtrees (internal columns carry the
-  *     `__graft_skew` marker prefix), so the cold path's inner
+  *     `__graft_skew` marker prefix), so the cold path's
   *     equi-join never re-diagnoses.
   *
   * The rewrite renames every column to a collision-proof internal name
   * before calling [[JoinSkew.saltedJoin]] (whose name guards assume
   * DataFrame usage), then projects back to the ORIGINAL attributes —
-  * aliases re-binding the original exprIds, with the right side's key
-  * attribute restored from the merged key (equal by the inner-join
-  * condition) — so parent operators never see the treatment.
+  * aliases re-binding the original exprIds, with the non-preserved
+  * side's key attribute restored from a pre-join duplicate of its key
+  * (equal to the merged key on every matched row, NULL on outer
+  * null-filled rows — restoring from the merged key would resurrect
+  * the preserved side's value there) — so parent operators never see
+  * the treatment.
   */
 case class SkewJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
@@ -97,12 +121,13 @@ case class SkewJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!enabled) return plan
     plan.transformUp {
-      case j @ Join(left, right, Inner, Some(cond), hint)
+      case j @ Join(left, right, jt @ (Inner | LeftOuter | RightOuter),
+          Some(cond), hint)
           if hint == JoinHint.NONE &&
             !isRewritten(left) && !isRewritten(right) =>
         equiKey(cond, left, right) match {
-          case Some((lk, rk)) if !broadcastable(left, right) =>
-            rewrite(j, left, right, lk, rk).getOrElse(j)
+          case Some((lk, rk)) if !broadcastable(jt, left, right) =>
+            rewrite(jt, left, right, lk, rk).getOrElse(j)
           case _ => j
         }
     }
@@ -123,35 +148,54 @@ case class SkewJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
   /** A side the planner will broadcast has no shuffle on the join key —
     * skew there is a non-problem and the salted decomposition (two tag
-    * joins + a union) could only add work. */
-  private def broadcastable(left: LogicalPlan, right: LogicalPlan)
-      : Boolean = {
+    * joins + a union) could only add work. Only BUILD-ELIGIBLE sides
+    * count: an outer hash join can only broadcast its non-preserved
+    * side, so a small PRESERVED side does not veto the treatment. */
+  private def broadcastable(jt: JoinType, left: LogicalPlan,
+      right: LogicalPlan): Boolean = {
     val threshold = spark.sessionState.conf.autoBroadcastJoinThreshold
-    threshold >= 0 &&
-      (left.stats.sizeInBytes <= threshold ||
-        right.stats.sizeInBytes <= threshold)
+    def small(p: LogicalPlan) = p.stats.sizeInBytes <= threshold
+    threshold >= 0 && (jt match {
+      case LeftOuter => small(right)
+      case RightOuter => small(left)
+      case _ => small(left) || small(right)
+    })
   }
 
-  private def rewrite(j: Join, left: LogicalPlan, right: LogicalPlan,
-      lk: Attribute, rk: Attribute): Option[LogicalPlan] = {
-    val keyOrdinal = left.output.indexWhere(_.exprId == lk.exprId)
-    val hotRows = decideHotKeys(left, right, lk, rk, keyOrdinal)
+  private def rewrite(jt: JoinType, left: LogicalPlan,
+      right: LogicalPlan, lk: Attribute, rk: Attribute)
+      : Option[LogicalPlan] = {
+    // orient so the SALTED (split) side is the PRESERVED side — the
+    // only sound orientation under replication (object scaladoc):
+    // RightOuter runs as LeftOuter with the sides flipped
+    val (pl, pr, pk, prk, flipped) = jt match {
+      case RightOuter => (right, left, rk, lk, true)
+      case _ => (left, right, lk, rk, false)
+    }
+    val keyOrdinal = pl.output.indexWhere(_.exprId == pk.exprId)
+    val hotRows = decideHotKeys(pl, pr, pk, prk, keyOrdinal)
     if (hotRows.isEmpty) return None
 
     // collision-proof internal names; the shared key name carries both
-    // sides' key so saltedJoin's USING-style contract holds
+    // sides' key so saltedJoin's USING-style contract holds. The
+    // non-preserved side ALSO carries a pre-join duplicate of its key:
+    // the merged key holds the preserved side's value on null-filled
+    // outer rows, so the original key attribute of the other side must
+    // restore from a column that is genuinely NULL there.
     val k = s"${Marker}_k"
+    val rkDup = s"${Marker}_rkdup"
     def name(side: String, i: Int) = s"${Marker}_${side}$i"
-    val lNames = left.output.zipWithIndex.map { case (a, i) =>
-      if (a.exprId == lk.exprId) k else name("l", i) }
-    val rNames = right.output.zipWithIndex.map { case (a, i) =>
-      if (a.exprId == rk.exprId) k else name("r", i) }
-    val lDf = PlanBridge.ofRows(spark, left).toDF(lNames: _*)
-    val rDf = PlanBridge.ofRows(spark, right).toDF(rNames: _*)
+    val lNames = pl.output.zipWithIndex.map { case (a, i) =>
+      if (a.exprId == pk.exprId) k else name("l", i) }
+    val rNames = pr.output.zipWithIndex.map { case (a, i) =>
+      if (a.exprId == prk.exprId) k else name("r", i) }
+    val lDf = PlanBridge.ofRows(spark, pl).toDF(lNames: _*)
+    val rDf = PlanBridge.ofRows(spark, pr).toDF(rNames: _*)
+      .withColumn(rkDup, col(k))
 
     val planDf = spark.createDataFrame(
       spark.sparkContext.parallelize(hotRows, 1),
-      StructType(Seq(StructField("key", lk.dataType),
+      StructType(Seq(StructField("key", pk.dataType),
         StructField("salt", LongType))))
     // the salted subtree carries broadcast() hints on its tag joins;
     // this rule runs AFTER the optimizer's own hint elimination, so the
@@ -159,20 +203,28 @@ case class SkewJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     // reach physical planning (an INTERNAL_ERROR)
     val salted = org.apache.spark.sql.catalyst.optimizer
       .EliminateResolvedHint(PlanBridge.analyzed(
-        JoinSkew.saltedJoin(lDf, rDf, k, planDf)))
+        JoinSkew.saltedJoin(lDf, rDf, k, planDf,
+          joinType = if (jt == Inner) "inner" else "left")))
 
-    // project back to the ORIGINAL attributes: left columns (key
-    // included) from the salted output's left half, right non-key
-    // columns from its right half, and the right key restored from the
-    // merged key (equal under the inner equi-join condition)
+    // project back to the ORIGINAL attributes: preserved-side columns
+    // (key included) from the salted output's left half, the other
+    // side's non-key columns from its right half, and its key from the
+    // pre-join duplicate (equal to the merged key on every matched
+    // row, NULL on outer null-filled rows)
     val byName = salted.output.map(a => a.name -> a).toMap
-    val restored = (left.output.zipWithIndex.map { case (a, i) =>
-      val src = if (a.exprId == lk.exprId) byName(k) else byName(name("l", i))
+    val plRestored = pl.output.zipWithIndex.map { case (a, i) =>
+      val src = if (a.exprId == pk.exprId) byName(k) else byName(name("l", i))
       Alias(src, a.name)(exprId = a.exprId, qualifier = a.qualifier)
-    }) ++ (right.output.zipWithIndex.map { case (a, i) =>
-      val src = if (a.exprId == rk.exprId) byName(k) else byName(name("r", i))
+        : NamedExpression
+    }
+    val prRestored = pr.output.zipWithIndex.map { case (a, i) =>
+      val src =
+        if (a.exprId == prk.exprId) byName(rkDup) else byName(name("r", i))
       Alias(src, a.name)(exprId = a.exprId, qualifier = a.qualifier)
-    })
+        : NamedExpression
+    }
+    val restored =
+      if (flipped) prRestored ++ plRestored else plRestored ++ prRestored
     Some(Project(restored, salted))
   }
 

@@ -34,6 +34,38 @@ object RangeJoin {
       intervals: DataFrame, loCol: String, hiCol: String,
       bucketWidthSec: Long = 7L * 24 * 3600): DataFrame = {
     require(bucketWidthSec > 0, s"bucket width must be positive: $bucketWidthSec")
+    // NTZ timestamps cannot cast straight to double; normalize through
+    // TIMESTAMP (a no-op under the pinned UTC session timezone)
+    bucketedJoin(points, pointCol, intervals, loCol, hiCol,
+      c => floor(c.cast("timestamp").cast("double") / bucketWidthSec)
+        .cast("long"))
+  }
+
+  /** [[pointInInterval]] for NUMERIC point/bounds columns — score
+    * bands, length buckets, id ranges hit exactly the same
+    * BroadcastNestedLoopJoin cliff as timestamps, and the bucketing
+    * argument is type-generic: `floor(x / width)` is monotone, so a
+    * point's single bucket always lies within its matching interval's
+    * covered bucket span (the double cast is order-preserving even for
+    * longs/decimals beyond 2⁻⁵³ precision — rounding never reorders —
+    * and the EXACT original predicate re-applies after the equi-join,
+    * so bucket assignment only needs completeness, not exactness).
+    * `bucketWidth` may be fractional; negative values bucket fine
+    * (floor is the right rounding for them). */
+  def pointInIntervalNum(
+      points: DataFrame, pointCol: String,
+      intervals: DataFrame, loCol: String, hiCol: String,
+      bucketWidth: Double): DataFrame = {
+    require(bucketWidth > 0 && !bucketWidth.isInfinite,
+      s"bucket width must be positive and finite: $bucketWidth")
+    bucketedJoin(points, pointCol, intervals, loCol, hiCol,
+      c => floor(c.cast("double") / bucketWidth).cast("long"))
+  }
+
+  private def bucketedJoin(
+      points: DataFrame, pointCol: String,
+      intervals: DataFrame, loCol: String, hiCol: String,
+      bucketOf: Column => Column): DataFrame = {
     // the joined output carries all columns of both inputs, so shared
     // names would make every downstream reference ambiguous — fail now
     // with the offending names instead of an AnalysisException later
@@ -44,10 +76,6 @@ object RangeJoin {
     val b = "__graft_range_bucket"
     require(!points.columns.contains(b) && !intervals.columns.contains(b),
       s"inputs must not already carry a '$b' column")
-    // NTZ timestamps cannot cast straight to double; normalize through
-    // TIMESTAMP (a no-op under the pinned UTC session timezone)
-    def bucketOf(c: Column): Column =
-      floor(c.cast("timestamp").cast("double") / bucketWidthSec).cast("long")
     val l = points.withColumn(b, bucketOf(col(pointCol)))
       .filter(col(pointCol).isNotNull)
     val r = intervals

@@ -162,6 +162,30 @@ object ScaleProbe {
       }
     }
 
+    // NUMERIC range join (r16): same promise as the timestamp section —
+    // disjoint value bands per copy (values offset by i·1000, bands
+    // ±1.0, fractional width 2.5), so output and time must grow
+    // ~linearly. Overlapping bands (ScaleUp replicas share ONE value
+    // distribution) grow by OUTPUT size instead — documented on
+    // q_range_join_rewrite_num's sf1 note, the q_range_join_rewrite
+    // precedent.
+    locally {
+      val ev = spark.table("events").select("event_id", "value").cache()
+      ev.count()
+      Seq(1, 4).foreach { mult =>
+        val pts = (0 until mult).map(i =>
+          ev.select((col("event_id") + lit(i * 10000000L)).as("event_id"),
+            (col("value") + lit(i * 1000.0)).as("value")))
+          .reduce(_ unionAll _)
+        val win = pts.filter(col("event_id") % 997 === 0)
+          .select(col("event_id").as("window_id"),
+            (col("value") - 1.0).as("lo"), (col("value") + 1.0).as("hi"))
+        val (n, t) = time(graft.scale.RangeJoin.pointInIntervalNum(
+          pts, "value", win, "lo", "hi", bucketWidth = 2.5).count())
+        println(f"[range_join_num ${mult}x] matches=$n%d in $t%.1fs")
+      }
+    }
+
     // Seeded IVF: a FIXED query batch probes an index over a corpus
     // growing 1x→4x. Build is a pure projection (linear); search
     // candidates are |corpus| × nProbe / nLists (linear); and probe

@@ -90,12 +90,15 @@ class CatalogAnalysisSpec extends AnyFunSuite {
     * are save→append→load round-trips over persisted stores — the same
     * stored-artifact exemption; their search halves are covered by the
     * existing ANN kernels. `salted_join_rewrite` and
-    * `range_join_rewrite` are the two-relation exemptions
+    * `range_join_rewrite` — with their r16 outer/numeric twins
+    * `salted_join_rewrite_outer` and `range_join_rewrite_num` — are
+    * the two-relation exemptions
     * (`salted_join` / the range-join library call) applied through
-    * conf-gated optimizer rules; `containment_incremental` and
-    * `stream_containment` need a persisted/accumulated index artifact
-    * (their one-relation diagnosis half `containment_join_exact` IS a
-    * kernel). */
+    * conf-gated optimizer rules; `containment_incremental`,
+    * `stream_containment`, and the r16 `paragraph_incremental` need a
+    * persisted/accumulated index artifact (their one-relation
+    * diagnosis halves `containment_join_exact` / `paragraph_dedup` ARE
+    * kernels). */
   test("every catalog entry is plan-pinned or explicitly exempt, and " +
     "the r13-straggler kernels are registered") {
     val legacyUnpinned = Set(

@@ -427,6 +427,39 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(df.count() > 0)
   }
 
+  test("q_salted_join_rewrite_outer: the in-entry fired/no-cartesian " +
+    "requires hold and null-filled registry gaps survive the salting") {
+    val df = SparkEntry.queries("q_salted_join_rewrite_outer")(
+      spark, SparkTestSession.fixtureDir)
+    // keys ≡ 2 (mod 5) are missing from the registry: the left-outer
+    // decomposition must preserve those rows with a NULL n_r
+    import org.apache.spark.sql.functions.{col => c}
+    assert(df.filter(c("n_r").isNull).count() > 0,
+      "the fixture's registry gaps must null-fill, not vanish")
+    assert(df.filter(c("n_r").isNull && c("k") % 5 =!= 2).count() == 0)
+  }
+
+  test("q_range_join_rewrite_num's in-entry no-nested-loop require " +
+    "holds on the numeric band (negative lo, fractional width)") {
+    val df = SparkEntry.queries("q_range_join_rewrite_num")(
+      spark, SparkTestSession.fixtureDir)
+    assert(df.count() > 0)
+  }
+
+  test("q_paragraph_incremental: probe work is pruned by broadcast " +
+    "semi-joins (band keys + candidate rep ids), chunk bases ride the " +
+    "persisted relations, no cartesian") {
+    val p = plan("q_paragraph_incremental")
+    assert(p.contains("LeftSemi"),
+      s"the index-side scans must be pruned by broadcast semi-joins:\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      s"exact probe and reassembly must read the persisted chunk/" +
+        s"group relations:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"pair work must ride the banded candidates:\n$p")
+  }
+
   test("q_containment_incremental: the index side is pruned by a " +
     "broadcast semi-join on the batch's shingle keys, intersections " +
     "ride keyed equi-joins, no cartesian") {

@@ -116,6 +116,103 @@ class RangeJoinRewriteSpec extends AnyFunSuite {
     }
   }
 
+  /** Numeric score bands: values spanning negatives and fractions, a
+    * fractional bucket width, bounds straddling zero. */
+  private def numSides(s: SparkSession): (DataFrame, DataFrame) = {
+    val e = s.table("events").select(col("event_id"),
+      (col("value") - 50.0).as("score"))
+    val win = s.table("events").filter(col("event_id") % 97 === 0)
+      .select(col("event_id").as("window_id"),
+        (col("value") - 51.25).as("lo"), (col("value") - 48.75).as("hi"))
+    (e, win)
+  }
+
+  private def withNumRewrite[T](s: SparkSession, width: String = "2.5")
+      (body: => T): T = {
+    GraftExtensions.register(s)
+    s.conf.set("spark.graft.rangeJoin.rewrite", "true")
+    s.conf.set("spark.graft.rangeJoin.numBucketWidth", width)
+    try body
+    finally {
+      s.conf.set("spark.graft.rangeJoin.rewrite", "false")
+      s.conf.set("spark.graft.rangeJoin.numBucketWidth", "1000")
+    }
+  }
+
+  test("NUMERIC range join (negative values, fractional width): nested " +
+    "loop gone, result identical") {
+    val s = spark
+    val (e, w) = numSides(s)
+    def q = e.join(w,
+      col("score") >= col("lo") && col("score") <= col("hi"))
+    val plain = pairs(q)
+    assert(q.queryExecution.executedPlan.toString
+      .contains("BroadcastNestedLoopJoin"))
+    withNumRewrite(s) {
+      val p = q.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("CartesianProduct"), s"nested loop survived:\n$p")
+      assert(pairs(q) == plain)
+    }
+    // sanity: the fixture genuinely exercises negative bounds
+    assert(w.filter(col("lo") < 0).count() > 0)
+  }
+
+  test("NUMERIC (integer family) strict bounds + extra conjunct " +
+    "re-filter exactly") {
+    val s = spark
+    // long points vs long bounds — cast-free comparisons, one family
+    val e = s.table("events").select(col("event_id"),
+      pmod(col("user_id"), lit(1000L)).as("score"))
+    val w = s.table("events").filter(col("event_id") % 97 === 0)
+      .select(col("event_id").as("window_id"),
+        (pmod(col("user_id"), lit(1000L)) - lit(25L)).as("lo"),
+        (pmod(col("user_id"), lit(1000L)) + lit(25L)).as("hi"))
+    def q = e.join(w, col("score") > col("lo") && col("score") < col("hi")
+      && col("event_id") % 2 === 0)
+    val plain = pairs(q)
+    withNumRewrite(s, width = "40") {
+      val p = q.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastNestedLoopJoin"), p)
+      assert(pairs(q) == plain)
+    }
+  }
+
+  test("an unsupported type family (DATE triple) is DECLINED — the " +
+    "nested loop stays; a truly mixed triple never reaches the rule " +
+    "cast-free (the analyzer's implicit casts already break the " +
+    "attribute pattern), which is exactly the documented decline") {
+    val s = spark
+    val e = s.table("events").select(col("event_id"),
+      col("ts").cast("date").as("d"))
+    val w = s.table("events").filter(col("event_id") % 97 === 0)
+      .select(col("event_id").as("window_id"),
+        col("ts").cast("date").as("lo"),
+        date_add(col("ts").cast("date"), 2).as("hi"))
+    withNumRewrite(s) {
+      s.conf.set("spark.graft.rangeJoin.bucketSec", "21600")
+      try {
+        val q = e.join(w, col("d") >= col("lo") && col("d") <= col("hi"))
+        val p = q.queryExecution.optimizedPlan.toString
+        assert(!p.contains("__graft_range"),
+          s"unsupported family must decline:\n$p")
+        // cross-width numerics (bigint point, double bounds): the
+        // analyzer wraps the point in a cast, the attribute pattern
+        // cannot match, the plan stays untouched — same decline
+        val mixed = s.table("events")
+          .select(col("event_id"),
+            pmod(col("user_id"), lit(100L)).as("score"))
+          .join(s.table("events").filter(col("event_id") % 97 === 0)
+              .select(col("event_id").as("window_id"),
+                (col("value") / 10.0 - 2.5).as("lo"),
+                (col("value") / 10.0 + 2.5).as("hi")),
+            col("score") >= col("lo") && col("score") <= col("hi"))
+        assert(!mixed.queryExecution.optimizedPlan.toString
+          .contains("__graft_range"))
+      } finally s.conf.set("spark.graft.rangeJoin.bucketSec", "86400")
+    }
+  }
+
   test("NULL bounds and NULL points match nothing, same as the nested " +
     "loop") {
     val s = spark

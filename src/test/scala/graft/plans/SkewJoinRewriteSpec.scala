@@ -123,7 +123,8 @@ class SkewJoinRewriteSpec extends AnyFunSuite {
     }
   }
 
-  test("multi-equality and non-inner joins are left alone") {
+  test("multi-equality and FULL OUTER joins are left alone (full outer: " +
+    "the replicated side would null-fill once per salt replica)") {
     val s = spark
     val (l, r0) = sides(s)
     val r = r0.withColumnRenamed("k", "rk").withColumn("rv2", col("rv"))
@@ -132,9 +133,104 @@ class SkewJoinRewriteSpec extends AnyFunSuite {
         col("k") === col("rk") && col("lv") === col("rv2"))
       assert(!multi.queryExecution.executedPlan.toString
         .contains("__graft_skew"))
-      val louter = l.join(r, col("k") === col("rk"), "left")
-      assert(!louter.queryExecution.executedPlan.toString
-        .contains("__graft_skew"))
+      val fouter = l.join(r, col("k") === col("rk"), "full")
+      assert(!fouter.queryExecution.executedPlan.toString
+        .contains("__graft_skew"),
+        "full outer has no sound salted decomposition — must decline")
+    }
+  }
+
+  /** Right side MISSING some keys: left keys are the even 0..50 (odd id
+    * → odd id%50 → even id%50+1), the right holds only multiples of 4,
+    * so keys ≡ 2 (mod 4) null-fill — while hot key 0 still salts. */
+  private def outerSides(s: SparkSession): (DataFrame, DataFrame) = {
+    val left = s.range(0, 2000).select(
+      col("id").as("lid"),
+      when(col("id") % 2 === 0, 0L).otherwise(col("id") % 50 + 1).as("k"),
+      (col("id") * 2).as("lv"))
+    val right = s.range(0, 51).filter(col("id") % 4 === 0).select(
+      col("id").as("rk"), (col("id") + 100).as("rv"))
+    (left, right)
+  }
+
+  test("LEFT OUTER hot-key join is rewritten, stays result-identical, " +
+    "and null-fills the right side (key included) on unmatched rows") {
+    val s = spark
+    val (l, r) = outerSides(s)
+    def q = l.join(r, col("k") === col("rk"), "left")
+      .select("lid", "k", "rk", "lv", "rv")
+    val plain = q.collect().map(_.toSeq).toSet
+    assert(plain.exists(_(2) == null),
+      "fixture must exercise null-fills in the plain join")
+    withRewrite(s) {
+      val p = q.queryExecution.executedPlan.toString
+      assert(p.contains("__graft_skew"),
+        s"left-outer rewrite did not fire:\n$p")
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), p)
+      val got = q.collect().map(_.toSeq).toSet
+      assert(got == plain)
+      // keys ≡ 2 (mod 4) are missing on the right: the restored rk
+      // must be genuinely NULL there, never the resurrected left key
+      assert(q.filter(col("k") % 4 === 2 && col("rk").isNotNull)
+        .count() == 0)
+      assert(q.filter(col("rk").isNull).count() > 0)
+    }
+  }
+
+  test("LEFT OUTER with NULL left keys: null-filled exactly once, like " +
+    "the plain left join") {
+    val s = spark
+    val (l0, r) = outerSides(s)
+    val l = l0.select(col("lid"),
+      when(col("lid") % 7 === 0, lit(null).cast("bigint"))
+        .otherwise(col("k")).as("k"), col("lv"))
+    def q = l.join(r, col("k") === col("rk"), "left")
+    val plain = q.collect().map(_.toSeq).toSet
+    withRewrite(s) {
+      val p = q.queryExecution.executedPlan.toString
+      assert(p.contains("__graft_skew"), s"rewrite did not fire:\n$p")
+      assert(q.collect().map(_.toSeq).toSet == plain)
+    }
+  }
+
+  test("RIGHT OUTER rewrites via the side flip (the preserved side is " +
+    "the salted side) and stays result-identical") {
+    val s = spark
+    val (preserved, other) = outerSides(s)
+    // preserved (hot) side on the RIGHT of a right-outer join
+    def q = other.join(preserved, col("k") === col("rk"), "right")
+      .select("lid", "k", "rk", "lv", "rv")
+    val plain = q.collect().map(_.toSeq).toSet
+    withRewrite(s) {
+      val p = q.queryExecution.executedPlan.toString
+      assert(p.contains("__graft_skew"),
+        s"right-outer rewrite did not fire:\n$p")
+      val got = q.collect().map(_.toSeq).toSet
+      assert(got == plain)
+      assert(q.filter(col("rk").isNull).count() > 0,
+        "unmatched preserved rows must survive with a null-filled left")
+    }
+  }
+
+  test("outer broadcast veto is build-side-aware: a small PRESERVED " +
+    "side does not veto (Spark cannot broadcast it), a small " +
+    "non-preserved side does") {
+    val s = spark
+    GraftExtensions.register(s)
+    val (l, r) = outerSides(s)
+    s.conf.set("spark.graft.skewJoin.rewrite", "true")
+    s.conf.set("spark.graft.skewJoin.targetRows", "100")
+    // default broadcast threshold: the small right side builds, decline
+    try {
+      val p = l.join(r, col("k") === col("rk"), "left")
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("__graft_skew"),
+        s"small non-preserved side must veto the left-outer rewrite:\n$p")
+      assert(p.contains("BroadcastHashJoin"), p)
+    } finally {
+      s.conf.set("spark.graft.skewJoin.rewrite", "false")
+      s.conf.set("spark.graft.skewJoin.targetRows", "5000000")
     }
   }
 
