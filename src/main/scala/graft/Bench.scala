@@ -120,11 +120,26 @@ object Bench {
       // q_script_shares treatment
       "q_emb_stats", "q_hll_card", "q_lsh_sensitivity", "q_dedup_spans",
       "q_emb_drift")
+    // The catalog's HEAVIEST entries (exact-join ground truth, the
+    // paragraph capstones, streaming state-commit machinery) plus the
+    // small distributed-sort-rank outlier q_events_priority: round 15's
+    // same-round floor tightening cut their 2x-gate margin under 10%,
+    // and the r15 driver run showed them 1.6-1.9x floor under host
+    // contention while the committed quiet run had them at 0.77-1.17x —
+    // the established noisy-neighbor signature, not a plan change
+    // (r15 verdict task 1). min-of-3 strips one extra contention
+    // window; the floors themselves are unchanged and the per-entry
+    // policy is recorded in BASELINE.md next to each floor.
+    val heavyContended = Set("q_paragraph_dedup", "q_paragraph_incremental",
+      "q_containment_incremental", "q_containment_join_exact",
+      "q_containment_recall_audit", "q_lsh_recall_audit",
+      "q_stream_corpus_report", "q_stream_containment",
+      "q_leakage_split", "q_events_priority")
     val loadAvgStart = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     var results = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
-        val attempts = if (cpuBound(name)) 3 else 2
+        val attempts = if (cpuBound(name) || heavyContended(name)) 3 else 2
         name -> minGood((1 to attempts).map(_ => timeOnce(name, fn)))
     }.toMap
     // Per-query 2x gate against the recorded baseline (BASELINE.md's

@@ -1687,37 +1687,12 @@ object Curation {
     // types only, checked loudly up front (round-15 advice).
     requireIntegralDocId(docs, "paragraphDedup")
     val chunks = PipelineCaches.track(
-      TextOps.chunkDocs(docs, chunkSize, stride = chunkSize)
-        .withColumn("chunk_key",
-          col("doc_id") * maxChunksPerDoc + col("chunk_idx"))
-        .withColumn("_h", md5(col("chunk_text")))
+      chunkRelation(docs, chunkSize, maxChunksPerDoc)
         .persist(StorageLevel.MEMORY_AND_DISK))
-    // materialize + BOTH key-collision guards in the same single action:
-    // chunk_idx must fit under maxChunksPerDoc and doc_id must survive
-    // the multiplication PLUS the chunk_idx addend (hash-derived 63-bit
-    // ids would silently wrap and invert keep-one ordering
-    // corpus-wide). Bounds via max AND min — abs() is a trap here
-    // (abs(Long.MinValue) stays negative and would slip past a max) —
-    // and the cast keeps narrower doc_id types (int corpora) from
-    // failing the Long read.
-    val mx = chunks.agg(max("chunk_idx"),
-      max(col("doc_id").cast("long")),
-      min(col("doc_id").cast("long"))).collect()(0)
-    require(mx.isNullAt(0) || mx.getLong(0) < maxChunksPerDoc,
-      s"paragraphDedup: a doc has > $maxChunksPerDoc chunks; raise " +
-        "maxChunksPerDoc so chunk keys stay collision-free")
-    val idBound = (Long.MaxValue - (maxChunksPerDoc - 1)) / maxChunksPerDoc
-    require(mx.isNullAt(1) ||
-      (mx.getLong(1) <= idBound && mx.getLong(2) >= -idBound),
-      s"paragraphDedup: doc_id range [${if (mx.isNullAt(2)) 0
-        else mx.getLong(2)}, ${if (mx.isNullAt(1)) 0
-        else mx.getLong(1)}] overflows chunk_key = doc_id * " +
-        s"$maxChunksPerDoc + chunk_idx; renumber doc ids or lower " +
-        "maxChunksPerDoc")
+    chunkKeyGuards(chunks, maxChunksPerDoc, "paragraphDedup")
     // stage 1: exact cliques -> min-key representative (min over
     // identical strings IS the string, so the text rides the same agg)
-    val groups = chunks.groupBy("_h")
-      .agg(min("chunk_key").as("rep_key"), min("chunk_text").as("text"))
+    val groups = chunkGroups(chunks)
     val reps = groups.select(col("rep_key").as("doc_id"), col("text"))
     // stage 2: banded near-dup + exact rescore over REPRESENTATIVES
     val cands = Dedup.minhashCandidates(reps, k, numHashes, bands,
@@ -1744,6 +1719,225 @@ object Curation {
         expr("array_join(transform(filter(array_sort(" +
           "collect_list(struct(chunk_idx, _keep, chunk_text))), " +
           "x -> x._keep = 1), x -> x.chunk_text), ' ')").as("clean_text"))
+  }
+
+  /** The shared chunk base of the paragraph-dedup family: fixed
+    * non-overlapping chunks with the Long composite key and the exact
+    * text hash. Callers persist + run [[chunkKeyGuards]]. */
+  private[graft] def chunkRelation(docs: DataFrame, chunkSize: Int,
+      maxChunksPerDoc: Long): DataFrame =
+    TextOps.chunkDocs(docs, chunkSize, stride = chunkSize)
+      .withColumn("chunk_key",
+        col("doc_id") * maxChunksPerDoc + col("chunk_idx"))
+      .withColumn("_h", md5(col("chunk_text")))
+
+  /** Materialize + BOTH key-collision guards in one single action:
+    * chunk_idx must fit under maxChunksPerDoc and doc_id must survive
+    * the multiplication PLUS the chunk_idx addend (hash-derived 63-bit
+    * ids would silently wrap and invert keep-one ordering corpus-wide).
+    * Bounds via max AND min — abs() is a trap here (abs(Long.MinValue)
+    * stays negative and would slip past a max) — and the cast keeps
+    * narrower doc_id types (int corpora) from failing the Long read. */
+  private[graft] def chunkKeyGuards(chunks: DataFrame,
+      maxChunksPerDoc: Long, op: String): Unit = {
+    val mx = chunks.agg(max("chunk_idx"),
+      max(col("doc_id").cast("long")),
+      min(col("doc_id").cast("long"))).collect()(0)
+    require(mx.isNullAt(0) || mx.getLong(0) < maxChunksPerDoc,
+      s"$op: a doc has > $maxChunksPerDoc chunks; raise " +
+        "maxChunksPerDoc so chunk keys stay collision-free")
+    val idBound = (Long.MaxValue - (maxChunksPerDoc - 1)) / maxChunksPerDoc
+    require(mx.isNullAt(1) ||
+      (mx.getLong(1) <= idBound && mx.getLong(2) >= -idBound),
+      s"$op: doc_id range [${if (mx.isNullAt(2)) 0
+        else mx.getLong(2)}, ${if (mx.isNullAt(1)) 0
+        else mx.getLong(1)}] overflows chunk_key = doc_id * " +
+        s"$maxChunksPerDoc + chunk_idx; renumber doc ids or lower " +
+        "maxChunksPerDoc")
+  }
+
+  /** Exact paragraph cliques → min-key representative (min over
+    * identical strings IS the string, so the text rides the same agg). */
+  private def chunkGroups(chunks: DataFrame): DataFrame =
+    chunks.groupBy("_h")
+      .agg(min("chunk_key").as("rep_key"), min("chunk_text").as("text"))
+
+  /** The persistable PARAGRAPH-dedup index — [[paragraphDedup]]'s state
+    * split into the three relations an incremental/streaming pipeline
+    * stores once and probes per batch ([[graft.llm.Dedup.shingleIndex]]
+    * / signatureIndex discipline, per-paragraph):
+    *
+    *   - `exact`: (_h, rep_key) — every distinct historical chunk text
+    *     (md5) with its min-key representative, the O(1)-per-chunk
+    *     exact-duplicate test;
+    *   - `bands`: [[Dedup.signatureIndex]] rows over the DISTINCT-TEXT
+    *     representatives (doc_id = rep_key) — banded candidate
+    *     generation against new paragraphs without re-hashing history;
+    *   - `shingles`: [[Dedup.shingleIndex]] rows over the same
+    *     representatives — the exact-Jaccard rescore side.
+    *
+    * At corpus scale store `bands` bucketed on (band_idx, band_hash)
+    * and `shingles` on sh (graft.scale.Bucketing) so batch probes join
+    * with zero index exchange; retire via [[Dedup.retireFromIndex]]
+    * (all three are doc_id/rep_key-keyed) and compact via
+    * [[graft.scale.StoreMaint.replaceStore]]. */
+  case class ParagraphIndexModel(
+      exact: DataFrame, bands: DataFrame, shingles: DataFrame,
+      chunkSize: Int, k: Int, numHashes: Int, nBands: Int,
+      oracleHashes: Boolean, maxChunksPerDoc: Long)
+
+  /** Build the [[ParagraphIndexModel]] over a historical corpus: ONE
+    * chunk pass (persisted), exact grouping, then band/shingle passes
+    * over representatives only. */
+  def paragraphIndex(docs: DataFrame, chunkSize: Int = 8, k: Int = 3,
+      numHashes: Int = 8, nBands: Int = 4, oracleHashes: Boolean = false,
+      maxChunksPerDoc: Long = 100000L): ParagraphIndexModel = {
+    requireIntegralDocId(docs, "paragraphIndex")
+    val chunks = PipelineCaches.track(
+      chunkRelation(docs, chunkSize, maxChunksPerDoc)
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    chunkKeyGuards(chunks, maxChunksPerDoc, "paragraphIndex")
+    val groups = PipelineCaches.track(chunkGroups(chunks)
+      .persist(StorageLevel.MEMORY_AND_DISK))
+    val reps = groups.select(col("rep_key").as("doc_id"), col("text"))
+    ParagraphIndexModel(
+      groups.select("_h", "rep_key"),
+      Dedup.signatureIndex(reps, k, numHashes, nBands, oracleHashes),
+      Dedup.shingleIndex(reps, k),
+      chunkSize, k, numHashes, nBands, oracleHashes, maxChunksPerDoc)
+  }
+
+  /** Incremental paragraph dedup — the batch-probe twin of
+    * [[paragraphDedup]] (r15 verdict task 6, the containment tier's
+    * index+probe pattern at paragraph granularity): clean a NEW batch
+    * of documents against the persisted [[ParagraphIndexModel]] of the
+    * historical corpus without re-chunking, re-hashing, or re-banding
+    * a single historical document. Output = [[paragraphDedup]] over
+    * (history ∪ batch) RESTRICTED to the batch docs — the oracle
+    * re-proves that restricted-recompute identity every round.
+    *
+    * The identity needs one ordering contract, checked loudly: every
+    * batch chunk key must exceed every historical REPRESENTATIVE key
+    * (crawl refreshes assign increasing doc ids, so this is the
+    * production reality, and it is what makes "history wins" equal
+    * global keep-one — a mixed exact group's representative is then
+    * always the historical one, and history's own stored outputs stay
+    * exactly valid). Threat minima need no ordering at all: candidate
+    * pairs orient by VALUE (least/greatest), so a batch group's
+    * smallest qualifying partner is found exactly whichever side it
+    * lives on.
+    *
+    * Scale shape per batch: one batch chunk pass (persisted), the
+    * O(1)-per-chunk exact probe (a broadcast-prunable _h equi-join),
+    * banding over the batch's NEW representatives only, the
+    * [[Dedup.incrementalCandidates]] pruned band probe, and a
+    * candidate-bounded exact rescore whose index-side shingle scan is
+    * pruned by a broadcast semi-join on the candidate rep ids. */
+  def paragraphDedupIncremental(index: ParagraphIndexModel,
+      docs: DataFrame, threshold: Double = 0.8,
+      minEstJaccard: Double = 0.5): DataFrame = {
+    requireIntegralDocId(docs, "paragraphDedupIncremental")
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    require(minEstJaccard <= threshold,
+      s"minEstJaccard ($minEstJaccard) must be <= threshold " +
+        s"($threshold) or qualifying pairs are pre-filtered away")
+    val chunks = PipelineCaches.track(
+      chunkRelation(docs, index.chunkSize, index.maxChunksPerDoc)
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    chunkKeyGuards(chunks, index.maxChunksPerDoc,
+      "paragraphDedupIncremental")
+    paragraphProbeCore(index, chunks, threshold, minEstJaccard)._1
+  }
+
+  /** Shared probe primitive of the incremental AND streaming paragraph
+    * paths ([[graft.streaming.StreamingPipeline.ParagraphDedupIndex]]
+    * delegates here — one primitive, so batch and streaming cannot
+    * drift). `chunks` must be MATERIALIZED (persisted/checkpointed).
+    * Returns (per-doc clean output, append delta) where the delta holds
+    * the batch's NEW representatives' exact/band/shingle rows — exactly
+    * what [[paragraphIndex]] would have produced for them. */
+  private[graft] def paragraphProbeCore(index: ParagraphIndexModel,
+      chunks: DataFrame, threshold: Double, minEstJaccard: Double)
+      : (DataFrame, ParagraphIndexModel) = {
+    // ordering contract (scaladoc above): bounded one-row aggs; a
+    // production store keeps max_rep_key as write-time metadata
+    val maxHist = index.exact.agg(max("rep_key")).collect()(0)
+    if (!maxHist.isNullAt(0)) {
+      val minBatch = chunks.agg(min("chunk_key")).collect()(0)
+      require(minBatch.isNullAt(0) ||
+        minBatch.getLong(0) > maxHist.getLong(0),
+        s"batch chunk keys must exceed every historical representative " +
+          s"key (batch min ${if (minBatch.isNullAt(0)) "none"
+          else minBatch.getLong(0)} <= index max ${maxHist.getLong(0)}); " +
+          "assign new docs increasing ids (crawl-refresh contract)")
+    }
+    val bGroups = PipelineCaches.track(chunkGroups(chunks)
+      .join(index.exact.withColumnRenamed("rep_key", "_hist_rep"),
+        Seq("_h"), "left")
+      .persist(StorageLevel.MEMORY_AND_DISK))
+    bGroups.count()
+    val newReps = bGroups.filter(col("_hist_rep").isNull)
+      .select(col("rep_key").as("doc_id"), col("text"))
+    // banded candidates: new reps probe the index bands + each other
+    // (the incrementalCandidates discipline — index side pruned by the
+    // batch's band keys); identical texts never re-band (their
+    // representative is historical and already indexed)
+    val nbBands = PipelineCaches.track(
+      Dedup.signatureIndex(newReps, index.k, index.numHashes,
+        index.nBands, index.oracleHashes)
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    nbBands.count()
+    val cands = Dedup.candidatesFromBuckets(index.bands, nbBands,
+      minEstJaccard)
+    // exact-Jaccard rescore: candidate-bounded — only candidate reps'
+    // shingle rows are pulled from either side (broadcast semi-join
+    // prune on the ≤2·|cands| id set)
+    val nbShingles = PipelineCaches.track(
+      Dedup.shingleIndex(newReps, index.k)
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val candIds = cands.select(col("doc_a").as("doc_id"))
+      .unionAll(cands.select(col("doc_b").as("doc_id"))).distinct()
+    // persisted + materialized: the pair-count machinery references the
+    // shingle relation THREE times (per-doc counts + both pair sides),
+    // and each lazy reference would re-run the full shingle/md5
+    // pipeline (the round-15 exact-join lesson). Candidate-bounded, so
+    // the cache is small by construction.
+    val shCand = PipelineCaches.track(
+      index.shingles.select("doc_id", "sh")
+        .unionAll(nbShingles.select("doc_id", "sh"))
+        .join(broadcast(candIds), Seq("doc_id"), "left_semi")
+        .withColumnRenamed("sh", "shingle")
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    shCand.count()
+    val qual = Dedup.pairShingleCountsFrom(shCand, cands)
+      .withColumn("jaccard", col("n_inter").cast("double") /
+        (col("n_a") + col("n_b") - col("n_inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b")
+    // a batch group's smallest qualifying partner: pairs are value-
+    // ordered (doc_a < doc_b), so min(doc_a) per doc_b is exactly the
+    // lowest threat, historical or in-batch
+    val thr = qual.groupBy(col("doc_b").as("rep_key"))
+      .agg(min("doc_a").as("_thr"))
+    val out = chunks
+      .join(bGroups.select(col("_h"),
+        coalesce(col("_hist_rep"), col("rep_key")).as("_rep"),
+        col("rep_key").as("_brep")), Seq("_h"))
+      .join(thr, col("_brep") === col("rep_key"), "left")
+      .withColumn("_keep", (col("chunk_key") <= least(col("_rep"),
+        coalesce(col("_thr"), lit(Long.MaxValue)))).cast("int"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("bigint").as("n_chunks"),
+        sum(lit(1) - col("_keep")).cast("bigint").as("n_dropped"),
+        expr("array_join(transform(filter(array_sort(" +
+          "collect_list(struct(chunk_idx, _keep, chunk_text))), " +
+          "x -> x._keep = 1), x -> x.chunk_text), ' ')").as("clean_text"))
+    val delta = ParagraphIndexModel(
+      bGroups.filter(col("_hist_rep").isNull).select("_h", "rep_key"),
+      nbBands, nbShingles, index.chunkSize, index.k, index.numHashes,
+      index.nBands, index.oracleHashes, index.maxChunksPerDoc)
+    (out, delta)
   }
 
   /** Shifted-span exact-substring dedup (r13 verdict task 4 — the

@@ -338,7 +338,7 @@ object Dedup {
     * table for candidate generation, and re-deriving it inside the
     * rescore was a full second corpus shingle pass (measured round 15:
     * the whole exact-join family pays it). */
-  private def pairShingleCountsFrom(
+  private[graft] def pairShingleCountsFrom(
       sh: DataFrame, candidates: DataFrame): DataFrame = {
     val counts = sh.groupBy("doc_id").count().withColumnRenamed("count", "n_sh")
     val inter = candidates

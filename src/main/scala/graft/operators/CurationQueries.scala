@@ -428,6 +428,39 @@ object CurationQueries {
         oracleHashes = true)
     },
 
+    // INCREMENTAL paragraph dedup (r15 verdict task 6 — the capstone
+    // made continuous, the containment tier's index+probe pattern at
+    // paragraph granularity): the whole corpus is indexed ONCE
+    // (exact-hash + banded-signature + shingle relations over
+    // distinct-paragraph representatives), then a crawl-refresh batch —
+    // near-dup plants (first 8 words + junk tail) at +100000 and FULL
+    // re-crawls (every 15th doc verbatim, every chunk an exact twin)
+    // at +200000 — is cleaned against it without re-chunking a single
+    // historical document. The oracle recomputes the FULL
+    // q_paragraph_dedup witness rule over (corpus ∪ batch) restricted
+    // to the batch docs, so a green hash proves the incremental path
+    // equals the batch recompute exactly
+    "q_paragraph_incremental" -> { (s, dir) =>
+      val d = docs(s, dir).select("doc_id", "text")
+      // batch ids derive from the corpus max (one bounded agg), so the
+      // crawl-refresh ordering contract holds at EVERY fixture scale —
+      // fixed offsets would collide with the sf1 tiled id ranges. The
+      // oracle computes the same base with the same max
+      val base = d.agg(max(col("doc_id")).cast("long"))
+        .collect()(0).getLong(0) + 1L
+      val planted = d.filter(col("doc_id") % 10 === 0)
+        .withColumn("_w", split(col("text"), " "))
+        .select((col("doc_id") + base).as("doc_id"),
+          concat(array_join(slice(col("_w"), 1, 8), " "),
+            lit(" zq zr qx qy qz qw qv qu")).as("text"))
+      val recrawl = d.filter(col("doc_id") % 15 === 0)
+        .select((col("doc_id") + 2L * base).as("doc_id"), col("text"))
+      val idx = graft.llm.Curation.paragraphIndex(d, chunkSize = 8,
+        k = 3, numHashes = 8, nBands = 4, oracleHashes = true)
+      graft.llm.Curation.paragraphDedupIncremental(idx,
+        planted.unionAll(recrawl), threshold = 0.8)
+    },
+
     // Unigram-LM (SentencePiece-style) tokenizer TRAINING (Kudo 2018;
     // r14 verdict task 5, EM+prune per r15 task 3 — the other
     // production tokenizer family beside BPE): seeded substring
@@ -1962,6 +1995,63 @@ object CurationQueries {
          |FROM j GROUP BY doc_id""".stripMargin
     },
 
+    // algorithm-independent restricted-recompute oracle: the FULL
+    // all-chunks witness rule over (corpus ∪ near-dup plants ∪ verbatim
+    // re-crawls), restricted to the batch docs — identical machinery to
+    // q_paragraph_dedup's oracle, so equality proves the incremental
+    // path loses (and invents) nothing
+    "q_paragraph_incremental" -> {
+      s"""WITH bb AS (SELECT max(doc_id) + 1 AS base FROM documents),
+         |t0 AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + (SELECT base FROM bb) AS doc_id,
+         |    array_to_string(w[1:8], ' ') || ' zq zr qx qy qz qw qv qu'
+         |      AS text
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS w
+         |        FROM documents WHERE doc_id % 10 = 0)
+         |  UNION ALL
+         |  SELECT doc_id + 2 * (SELECT base FROM bb) AS doc_id, text
+         |  FROM documents WHERE doc_id % 15 = 0),
+         |tw AS (
+         |  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w
+         |  FROM t0),
+         |cw AS (
+         |  SELECT doc_id, w,
+         |    CASE WHEN len(w) <= 8 THEN 1
+         |      ELSE CAST(ceil((len(w) - 8) / 8.0) AS BIGINT) + 1 END AS nc
+         |  FROM tw),
+         |ck AS MATERIALIZED (
+         |  SELECT doc_id, i AS chunk_idx,
+         |    array_to_string(w[(i*8+1):(i*8+8)], ' ') AS chunk_text
+         |  FROM cw, unnest(range(nc)) AS r(i)),
+         |${LlmQueries.minhashCtesOver(
+        "  SELECT doc_id * 100000 + chunk_idx AS doc_id, " +
+          "chunk_text AS text FROM ck")},
+         |ds AS (SELECT doc_id, list_distinct(s) AS s FROM sh),
+         |dup AS MATERIALIZED (
+         |  SELECT DISTINCT p.doc_b AS ck_key
+         |  FROM scored p
+         |  JOIN ds a ON a.doc_id = p.doc_a
+         |  JOIN ds b ON b.doc_id = p.doc_b
+         |  WHERE p.est_jaccard >= 0.5
+         |    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+         |      >= 0.8),
+         |j AS (
+         |  SELECT ck.doc_id, ck.chunk_idx, ck.chunk_text,
+         |    (d.ck_key IS NULL) AS keep
+         |  FROM ck LEFT JOIN dup d
+         |    ON ck.doc_id * 100000 + ck.chunk_idx = d.ck_key)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+         |  CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+         |    AS n_dropped,
+         |  coalesce(string_agg(CASE WHEN keep THEN chunk_text END, ' '
+         |    ORDER BY chunk_idx), '') AS clean_text
+         |FROM j WHERE doc_id >= (SELECT base FROM bb)
+         |GROUP BY doc_id""".stripMargin
+    },
+
     // the full unigram-LM training trajectory: seeding + 2 unrolled
     // hard-EM + PRUNE rounds (every Viterbi DP position a generated
     // CTE, each round's keep CTE replaying the ¾-shrink-to-vocabSize
@@ -2357,6 +2447,7 @@ object CurationQueries {
     "q_unigram_lm" -> Seq("piece"),
     "q_unigram_fertility" -> Seq("lang"),
     "q_paragraph_dedup" -> Seq("doc_id"),
+    "q_paragraph_incremental" -> Seq("doc_id"),
     "q_unigram_encode" -> Seq("doc_id"),
     "q_bpe_encode" -> Seq("doc_id"),
     "q_bpe_tokenize" -> Seq("word"),

@@ -35,9 +35,9 @@ object StreamingPipeline {
     * appends NOTHING. Structured Streaming replays only the latest
     * uncommitted batch, so one snapshot suffices. Ad-hoc callers that
     * pass no batchId (< 0) keep the append-always behavior. */
-  private final class ReplayGuard {
+  private final class ReplayGuard[S] {
     private var lastBatchId: Long = Long.MinValue
-    private var preAppend: Option[DataFrame] = None
+    private var preAppend: Option[S] = None
 
     /** The pre-append snapshot to re-probe when `batchId` is a replay
       * of the last appended batch; None for a fresh batch (probe the
@@ -48,7 +48,7 @@ object StreamingPipeline {
       * replay the single snapshot cannot serve — and the fresh path
       * would silently double-append that batch, corrupting every later
       * intersection count. Fail loudly instead (round-15 advice). */
-    def replayView(batchId: Long): Option[Option[DataFrame]] =
+    def replayView(batchId: Long): Option[Option[S]] =
       if (batchId >= 0 && batchId == lastBatchId) Some(preAppend)
       else {
         if (batchId >= 0 && lastBatchId != Long.MinValue &&
@@ -61,7 +61,7 @@ object StreamingPipeline {
         None
       }
 
-    def committed(batchId: Long, pre: Option[DataFrame]): Unit = {
+    def committed(batchId: Long, pre: Option[S]): Unit = {
       lastBatchId = if (batchId >= 0) batchId else Long.MinValue
       preAppend = pre
     }
@@ -82,7 +82,7 @@ object StreamingPipeline {
       minEstJaccard: Double = 0.5, compactEvery: Int = 16) {
     private var index: Option[DataFrame] = None
     private var batches = 0
-    private val guard = new ReplayGuard
+    private val guard = new ReplayGuard[DataFrame]
 
     /** Number of (doc, band) rows currently indexed. */
     def size: Long = synchronized { index.map(_.count()).getOrElse(0L) }
@@ -135,7 +135,7 @@ object StreamingPipeline {
     import graft.llm.Similarity
     private var index: Option[DataFrame] = None
     private var batches = 0
-    private val guard = new ReplayGuard
+    private val guard = new ReplayGuard[DataFrame]
 
     /** Number of vectors currently indexed. */
     def size: Long = synchronized { index.map(_.count()).getOrElse(0L) }
@@ -215,7 +215,7 @@ object StreamingPipeline {
       s"threshold must be in (0, 1], got $threshold")
     private var index: Option[DataFrame] = None
     private var batches = 0
-    private val guard = new ReplayGuard
+    private val guard = new ReplayGuard[DataFrame]
 
     /** Number of (doc, shingle) rows currently indexed. */
     def size: Long = synchronized { index.map(_.count()).getOrElse(0L) }
@@ -269,6 +269,119 @@ object StreamingPipeline {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         onPairs(batchId,
+          index.probeAndAppend(batch.select("doc_id", "text"), batchId))
+        ()
+      }
+    checkpointDir.fold(w)(d => w.option("checkpointLocation", d)).start()
+  }
+
+  /** Accumulating PARAGRAPH-dedup index — the streaming twin of
+    * [[graft.llm.Curation.paragraphDedup]] over the SAME shared probe
+    * primitive as the batch incremental path
+    * ([[graft.llm.Curation.paragraphProbeCore]] — one primitive, so
+    * batch and streaming cannot drift): each arriving batch of
+    * documents is chunked once, its paragraphs probed EXACT-FIRST
+    * against everything seen so far (exact cliques via the _h table;
+    * banded near-dup + exact rescore over the batch's NEW distinct-text
+    * representatives only), each batch doc's cleaned text emitted, and
+    * the new representatives appended. Batches must carry increasing
+    * doc ids (the crawl-refresh contract the core enforces loudly),
+    * which makes the drained union over ANY monotone slicing equal the
+    * batch [[graft.llm.Curation.paragraphDedup]] restricted to those
+    * docs — the oracle entry re-proves it every round and the spec pins
+    * three slicings. State = three bounded-width relations (hash/band/
+    * shingle keys + one representative text per distinct paragraph);
+    * per-batch intermediates live in a cache scope reclaimed before the
+    * probe returns, lineage truncated per batch and re-checkpointed
+    * every `compactEvery` batches — the [[NearDupIndex]] discipline. */
+  final class ParagraphDedupIndex(
+      chunkSize: Int = 8, threshold: Double = 0.8, k: Int = 3,
+      numHashes: Int = 8, bands: Int = 4, minEstJaccard: Double = 0.5,
+      oracleHashes: Boolean = false, maxChunksPerDoc: Long = 100000L,
+      compactEvery: Int = 16) {
+    import graft.llm.Curation
+    private var model: Option[Curation.ParagraphIndexModel] = None
+    private var batches = 0
+    private val guard = new ReplayGuard[Curation.ParagraphIndexModel]
+
+    /** Number of distinct paragraph texts currently indexed. */
+    def size: Long =
+      synchronized { model.map(_.exact.count()).getOrElse(0L) }
+
+    private def emptyIndex(like: DataFrame): Curation.ParagraphIndexModel =
+      Curation.paragraphIndex(like.limit(0), chunkSize, k, numHashes,
+        bands, oracleHashes, maxChunksPerDoc)
+
+    private def ckpt(m: Curation.ParagraphIndexModel)
+        : Curation.ParagraphIndexModel = m.copy(
+      exact = m.exact.localCheckpoint(true),
+      bands = m.bands.localCheckpoint(true),
+      shingles = m.shingles.localCheckpoint(true))
+
+    /** Chunk the batch once, return one row per batch doc (doc_id,
+      * n_chunks, n_dropped, clean_text), append the batch's new
+      * distinct-paragraph representatives. Thread-safe; the returned
+      * frame is eagerly checkpointed (valid after the index advances).
+      * A replayed batchId re-emits the original rows without appending
+      * twice ([[ReplayGuard]]). */
+    def probeAndAppend(batchDocs: DataFrame, batchId: Long = -1L)
+        : DataFrame = synchronized {
+      val docs = batchDocs.select("doc_id", "text")
+      guard.replayView(batchId) match {
+        case Some(pre) =>
+          probeOnce(pre.getOrElse(emptyIndex(docs)), docs)._1
+        case None =>
+          val idx = model.getOrElse(emptyIndex(docs))
+          val (out, delta) = probeOnce(idx, docs)
+          guard.committed(batchId, model)
+          model = Some(idx.copy(
+            exact = idx.exact.unionAll(delta.exact),
+            bands = idx.bands.unionAll(delta.bands),
+            shingles = idx.shingles.unionAll(delta.shingles)))
+          batches += 1
+          if (batches % compactEvery == 0) model = model.map(ckpt)
+          out
+      }
+    }
+
+    /** One probe through the shared core inside a cache scope; output
+      * and delta eagerly checkpointed so the scope's per-batch persists
+      * reclaim immediately. */
+    private def probeOnce(idx: Curation.ParagraphIndexModel,
+        docs: DataFrame)
+        : (DataFrame, Curation.ParagraphIndexModel) = {
+      val (res, scope) = graft.llm.PipelineCaches.scoped {
+        val chunks = Curation
+          .chunkRelation(docs, chunkSize, maxChunksPerDoc)
+          .localCheckpoint(true)
+        Curation.chunkKeyGuards(chunks, maxChunksPerDoc,
+          "paragraphDedupStream")
+        val (out, delta) = Curation.paragraphProbeCore(idx, chunks,
+          threshold, minEstJaccard)
+        (out.localCheckpoint(true), ckpt(delta))
+      }
+      scope.clear()
+      res
+    }
+  }
+
+  /** Continuous paragraph-granularity dedup over a document stream
+    * (doc_id, text): foreachBatch probes-and-appends the
+    * [[ParagraphDedupIndex]] and hands each batch's per-doc cleaned
+    * rows to `onBatch` — the streaming twin of `q_paragraph_dedup`,
+    * same contract as [[containmentStream]]. */
+  def paragraphDedupStream(
+      docs: DataFrame, index: ParagraphDedupIndex,
+      onBatch: (Long, DataFrame) => Unit,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L),
+      checkpointDir: Option[String] = None): StreamingQuery = {
+    val w = docs.writeStream
+      .outputMode("append")
+      .queryName("paragraph_dedup_stream")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        onBatch(batchId,
           index.probeAndAppend(batch.select("doc_id", "text"), batchId))
         ()
       }

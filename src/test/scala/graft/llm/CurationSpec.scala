@@ -41,6 +41,88 @@ class CurationSpec extends AnyFunSuite {
       "unrelated paragraphs are untouched")
   }
 
+  test("paragraphDedupIncremental == full paragraphDedup restricted to " +
+    "the batch: exact twin vs history, NEAR-dup threat from history, " +
+    "in-batch repeat, fresh text — without re-chunking history") {
+    val s = spark
+    import s.implicits._
+    val para = "w1 w2 w3 w4"
+    val base = "m1 m2 m3 m4 m5 m6 m7 m8 m9 m10 m11 m12"
+    val hist = Seq(
+      (1L, s"$para a1 a2 a3 a4"),
+      (2L, base),
+      (3L, "h1 h2 h3 h4")).toDF("doc_id", "text")
+    val batch = Seq(
+      // chunk 0 is an EXACT twin of history doc 1's chunk 0 -> drops
+      (10L, s"$para b1 b2 b3 b4"),
+      // first two chunks are exact twins of history doc 2's; the
+      // 4-word tail differs in one word (j = 1/3 < 0.8) -> kept
+      (11L, "m1 m2 m3 m4 m5 m6 m7 m8 m9 m10 m11 XX"),
+      // within-doc repeat: second copy drops against the first
+      (12L, "n1 n2 n3 n4 n1 n2 n3 n4"),
+      // fresh text: untouched
+      (13L, "c1 c2 c3 c4 c5 c6 c7 c8")).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    val idx = Curation.paragraphIndex(hist, chunkSize = 4, k = 3)
+    val inc = rows(Curation.paragraphDedupIncremental(idx, batch))
+    val full = rows(Curation.paragraphDedup(hist.unionAll(batch),
+        chunkSize = 4, threshold = 0.8, k = 3)
+      .filter(col("doc_id") >= 10L))
+    graft.llm.PipelineCaches.clear()
+    assert(inc == full,
+      s"incremental must equal the restricted recompute:\n$inc\nvs\n$full")
+    assert(inc(10L) == ((2L, 1L, "b1 b2 b3 b4")),
+      "the history exact twin must drop")
+    assert(inc(11L) == ((3L, 2L, "m9 m10 m11 XX")),
+      s"two exact twins drop, the sub-threshold tail stays: ${inc(11L)}")
+    assert(inc(12L) == ((2L, 1L, "n1 n2 n3 n4")))
+    assert(inc(13L) == ((2L, 0L, "c1 c2 c3 c4 c5 c6 c7 c8")))
+  }
+
+  test("paragraphDedupIncremental: a NON-exact near-dup paragraph from " +
+    "history drops through the banded candidates + exact rescore (the " +
+    "path exact hashing cannot serve)") {
+    val s = spark
+    import s.implicits._
+    // one 12-word paragraph per doc (chunkSize 12); the batch copy
+    // differs in the LAST word: k=3 shingles 10 vs 10, 9 shared ->
+    // jaccard 9/11 ≈ 0.818 >= 0.8, est/banding deterministic by seed
+    val base = "m1 m2 m3 m4 m5 m6 m7 m8 m9 m10 m11 m12"
+    val hist = Seq((1L, base)).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "m1 m2 m3 m4 m5 m6 m7 m8 m9 m10 m11 XX"),
+      (11L, "f1 f2 f3 f4 f5 f6 f7 f8 f9 f10 f11 f12"))
+      .toDF("doc_id", "text")
+    val idx = Curation.paragraphIndex(hist, chunkSize = 12, k = 3)
+    val out = Curation.paragraphDedupIncremental(idx, batch).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
+    val full = Curation.paragraphDedup(hist.unionAll(batch),
+        chunkSize = 12, threshold = 0.8, k = 3)
+      .filter(col("doc_id") >= 10L).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
+    graft.llm.PipelineCaches.clear()
+    assert(out == full)
+    assert(out(10L) == ((1L, "")),
+      s"the near-dup paragraph must drop via banded+rescore: ${out(10L)}")
+    assert(out(11L)._1 == 0L, "fresh text untouched")
+  }
+
+  test("paragraphDedupIncremental refuses batch ids at/below the " +
+    "index's representatives (the crawl-refresh ordering contract)") {
+    val s = spark
+    import s.implicits._
+    val hist = Seq((5L, "w1 w2 w3 w4")).toDF("doc_id", "text")
+    val idx = Curation.paragraphIndex(hist, chunkSize = 4)
+    val e = intercept[IllegalArgumentException] {
+      Curation.paragraphDedupIncremental(idx,
+        Seq((5L, "x1 x2 x3 x4")).toDF("doc_id", "text"))
+    }
+    graft.llm.PipelineCaches.clear()
+    assert(e.getMessage.contains("increasing ids"))
+  }
+
   test("paragraphDedup refuses a non-integral doc_id (chunk keys are " +
     "Long arithmetic — implicit double casts lose ordering past 2^53)") {
     val s = spark

@@ -131,6 +131,64 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(nd.size == ndSize1 && ndSize1 > ndSize0)
   }
 
+  test("paragraph stream: THREE monotone slicings (1, 2, and 3 batches) " +
+    "all drain to exactly the batch paragraphDedup output") {
+    val s = spark
+    val d = s.table("documents").select("doc_id", "text")
+      .filter(col("doc_id") < 60)
+    // the q_paragraph_dedup plant: every 10th doc's first 8 words +
+    // junk tail, at shifted (HIGHER) ids so slicings stay monotone
+    val planted = d.filter(col("doc_id") % 10 === 0)
+      .withColumn("_w", split(col("text"), " "))
+      .select((col("doc_id") + 100000L).as("doc_id"),
+        concat(array_join(slice(col("_w"), 1, 8), " "),
+          lit(" zq zr qx qy qz qw qv qu")).as("text"))
+    val corpus = d.unionAll(planted)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSet
+    val batchOut = rows(graft.llm.Curation.paragraphDedup(
+      corpus, chunkSize = 8, threshold = 0.8, k = 3))
+    graft.llm.PipelineCaches.clear()
+    val slicings: Seq[Seq[org.apache.spark.sql.DataFrame]] = Seq(
+      Seq(corpus),
+      Seq(corpus.filter(col("doc_id") < 30),
+        corpus.filter(col("doc_id") >= 30)),
+      Seq(corpus.filter(col("doc_id") < 20),
+        corpus.filter(col("doc_id").between(20, 99999)),
+        corpus.filter(col("doc_id") >= 100000)))
+    for ((slices, si) <- slicings.zipWithIndex) {
+      val idx = new StreamingPipeline.ParagraphDedupIndex(
+        chunkSize = 8, threshold = 0.8, k = 3, compactEvery = 2)
+      val drained = slices.zipWithIndex.map { case (b, i) =>
+        rows(idx.probeAndAppend(b, i.toLong))
+      }.reduce(_ ++ _)
+      assert(drained == batchOut,
+        s"slicing $si (${slices.size} batches) diverged from the " +
+          s"batch recompute: ${drained.diff(batchOut)} extra, " +
+          s"${batchOut.diff(drained)} missing")
+    }
+  }
+
+  test("paragraph stream replay: a re-delivered batchId re-emits the " +
+    "original per-doc rows and appends nothing") {
+    val s = spark
+    val d = s.table("documents").select("doc_id", "text")
+    val idx = new StreamingPipeline.ParagraphDedupIndex(
+      chunkSize = 8, threshold = 0.8, k = 3)
+    idx.probeAndAppend(d.filter(col("doc_id") < 20), 0L).count()
+    val size0 = idx.size
+    val b1 = d.filter(col("doc_id").between(20, 29))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val first = rows(idx.probeAndAppend(b1, 1L))
+    val size1 = idx.size
+    assert(size1 > size0)
+    assert(rows(idx.probeAndAppend(b1, 1L)) == first,
+      "a replay must re-emit exactly the original rows")
+    assert(idx.size == size1, "a replay must not append twice")
+  }
+
   test("a NON-monotonic batchId fails loudly: only the latest batch can " +
     "replay, and an older id means the index is shared across queries") {
     val s = spark
