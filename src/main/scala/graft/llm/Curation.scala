@@ -1807,6 +1807,42 @@ object Curation {
       chunkSize, k, numHashes, nBands, oracleHashes, maxChunksPerDoc)
   }
 
+  /** Persist a [[ParagraphIndexModel]]: the three relations plus a
+    * one-row meta table — the [[graft.llm.Bpe.saveBpeModel]] /
+    * saveIvfIndex trained-artifact layout. At corpus scale write
+    * `bands`/`shingles` through graft.scale.Bucketing instead (bucketed
+    * on their probe keys) and maintain via
+    * [[graft.scale.StoreMaint.replaceStore]]; retire is a REBUILD of
+    * the affected groups (dropping a representative's rows would
+    * orphan its group's keep-one decisions), which replaceStore's
+    * filtered-rebuild contract covers. */
+  def saveParagraphIndex(index: ParagraphIndexModel, path: String): Unit = {
+    index.exact.write.mode("overwrite").parquet(s"$path/exact")
+    index.bands.write.mode("overwrite").parquet(s"$path/bands")
+    index.shingles.write.mode("overwrite").parquet(s"$path/shingles")
+    index.exact.sparkSession.range(1).select(
+        lit(index.chunkSize).as("chunk_size"), lit(index.k).as("k"),
+        lit(index.numHashes).as("num_hashes"), lit(index.nBands).as("n_bands"),
+        lit(index.oracleHashes).as("oracle_hashes"),
+        lit(index.maxChunksPerDoc).as("max_chunks_per_doc"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Reload a persisted paragraph index (one-row meta collect; the
+    * three relations stay distributed scans). */
+  def loadParagraphIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): ParagraphIndexModel = {
+    val m = spark.read.parquet(s"$path/meta").collect()(0)
+    ParagraphIndexModel(
+      spark.read.parquet(s"$path/exact"),
+      spark.read.parquet(s"$path/bands"),
+      spark.read.parquet(s"$path/shingles"),
+      m.getAs[Int]("chunk_size"), m.getAs[Int]("k"),
+      m.getAs[Int]("num_hashes"), m.getAs[Int]("n_bands"),
+      m.getAs[Boolean]("oracle_hashes"),
+      m.getAs[Long]("max_chunks_per_doc"))
+  }
+
   /** Incremental paragraph dedup — the batch-probe twin of
     * [[paragraphDedup]] (r15 verdict task 6, the containment tier's
     * index+probe pattern at paragraph granularity): clean a NEW batch
@@ -1888,8 +1924,14 @@ object Curation {
         index.nBands, index.oracleHashes)
         .persist(StorageLevel.MEMORY_AND_DISK))
     nbBands.count()
-    val cands = Dedup.candidatesFromBuckets(index.bands, nbBands,
-      minEstJaccard)
+    // persisted + materialized: the candidate set is consumed THREE
+    // times (the rep-id prune below + both pair sides of the
+    // pair-count machinery), and each lazy reference would re-run the
+    // banded join — pair-bounded by construction, so the cache is small
+    val cands = PipelineCaches.track(
+      Dedup.candidatesFromBuckets(index.bands, nbBands, minEstJaccard)
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    cands.count()
     // exact-Jaccard rescore: candidate-bounded — only candidate reps'
     // shingle rows are pulled from either side (broadcast semi-join
     // prune on the ≤2·|cands| id set)

@@ -461,6 +461,63 @@ object CurationQueries {
         planted.unionAll(recrawl), threshold = 0.8)
     },
 
+    // STREAMING paragraph dedup under the hash gate (the
+    // q_stream_containment discipline pointed at the paragraph
+    // capstone, in the TRUE crawl-refresh shape): the corpus is indexed
+    // ONCE and SEEDS the accumulating ParagraphDedupIndex; the refresh
+    // (near-dup plants, then verbatim re-crawls) streams against it as
+    // two ORDERED micro-batches through a real Structured Streaming
+    // query — batch 2 probes corpus ∪ batch 1's appended
+    // representatives, the genuinely-incremental accumulation the
+    // one-shot q_paragraph_incremental entry cannot exercise. Both
+    // refresh batches together are exactly that entry's batch set, so
+    // the drained union shares its restricted-recompute oracle — a
+    // green hash proves the STREAMED accumulation equals the batch
+    // recompute
+    "q_stream_paragraph" -> { (s, dir) =>
+      import org.apache.spark.sql.streaming.Trigger
+      val d = docs(s, dir).select("doc_id", "text")
+      val base = d.agg(max(col("doc_id")).cast("long"))
+        .collect()(0).getLong(0) + 1L
+      val planted = d.filter(col("doc_id") % 10 === 0)
+        .withColumn("_w", split(col("text"), " "))
+        .select((col("doc_id") + base).as("doc_id"),
+          concat(array_join(slice(col("_w"), 1, 8), " "),
+            lit(" zq zr qx qy qz qw qv qu")).as("text"))
+      val recrawl = d.filter(col("doc_id") % 15 === 0)
+        .select((col("doc_id") + 2L * base).as("doc_id"), col("text"))
+      // monotone slicing of the REFRESH (the crawl contract): plants
+      // land first (ids in [base, 2·base)), re-crawls second (≥ 2·base)
+      val batches = Seq(planted, recrawl)
+      val tmp = EventQueries.stampedDir(batches)
+      val ckpt = EventQueries.scratchDir("graft_spara_ck").toFile
+      val outDir = EventQueries.scratchDir("graft_spara_out").toFile
+      try {
+        val stream = s.readStream
+          .schema("doc_id BIGINT, text STRING")
+          .option("maxFilesPerTrigger", 1).parquet(tmp.toString)
+        val idx =
+          new graft.streaming.StreamingPipeline.ParagraphDedupIndex(
+            chunkSize = 8, threshold = 0.8, k = 3, numHashes = 8,
+            bands = 4, oracleHashes = true)
+        idx.seed(graft.llm.Curation.paragraphIndex(d, chunkSize = 8,
+          k = 3, numHashes = 8, nBands = 4, oracleHashes = true))
+        val q = graft.streaming.StreamingPipeline.paragraphDedupStream(
+          stream, idx,
+          (_, rows) => rows.write.mode("append").parquet(outDir.toString),
+          trigger = Trigger.AvailableNow(),
+          checkpointDir = Some(ckpt.toString))
+        try {
+          if (!q.awaitTermination(180000))
+            throw new IllegalStateException(
+              "streaming paragraph dedup did not drain within 180s")
+        } finally q.stop()
+        s.read.parquet(outDir.toString).localCheckpoint(true)
+      } finally {
+        Seq(tmp, ckpt, outDir).foreach(EventQueries.rmTree)
+      }
+    },
+
     // Unigram-LM (SentencePiece-style) tokenizer TRAINING (Kudo 2018;
     // r14 verdict task 5, EM+prune per r15 task 3 — the other
     // production tokenizer family beside BPE): seeded substring
@@ -683,6 +740,63 @@ object CurationQueries {
     }
     (head +: stages).mkString(",\n")
   }
+
+  /** Shared restricted-recompute oracle of q_paragraph_incremental and
+    * q_stream_paragraph: the FULL all-chunks witness rule over
+    * (corpus ∪ near-dup plants ∪ verbatim re-crawls), restricted to the
+    * refresh docs. The streaming entry's two drained refresh batches
+    * are exactly the incremental entry's batch set, so ONE oracle
+    * proves both paths equal the batch recompute. */
+  private lazy val paragraphRefreshOracleSql: String =
+    s"""WITH bb AS (SELECT max(doc_id) + 1 AS base FROM documents),
+           |t0 AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + (SELECT base FROM bb) AS doc_id,
+           |    array_to_string(w[1:8], ' ') || ' zq zr qx qy qz qw qv qu'
+           |      AS text
+           |  FROM (SELECT doc_id, string_split(text, ' ') AS w
+           |        FROM documents WHERE doc_id % 10 = 0)
+           |  UNION ALL
+           |  SELECT doc_id + 2 * (SELECT base FROM bb) AS doc_id, text
+           |  FROM documents WHERE doc_id % 15 = 0),
+           |tw AS (
+           |  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w
+           |  FROM t0),
+           |cw AS (
+           |  SELECT doc_id, w,
+           |    CASE WHEN len(w) <= 8 THEN 1
+           |      ELSE CAST(ceil((len(w) - 8) / 8.0) AS BIGINT) + 1 END AS nc
+           |  FROM tw),
+           |ck AS MATERIALIZED (
+           |  SELECT doc_id, i AS chunk_idx,
+           |    array_to_string(w[(i*8+1):(i*8+8)], ' ') AS chunk_text
+           |  FROM cw, unnest(range(nc)) AS r(i)),
+           |${LlmQueries.minhashCtesOver(
+          "  SELECT doc_id * 100000 + chunk_idx AS doc_id, " +
+            "chunk_text AS text FROM ck")},
+           |ds AS (SELECT doc_id, list_distinct(s) AS s FROM sh),
+           |dup AS MATERIALIZED (
+           |  SELECT DISTINCT p.doc_b AS ck_key
+           |  FROM scored p
+           |  JOIN ds a ON a.doc_id = p.doc_a
+           |  JOIN ds b ON b.doc_id = p.doc_b
+           |  WHERE p.est_jaccard >= 0.5
+           |    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+           |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+           |      >= 0.8),
+           |j AS (
+           |  SELECT ck.doc_id, ck.chunk_idx, ck.chunk_text,
+           |    (d.ck_key IS NULL) AS keep
+           |  FROM ck LEFT JOIN dup d
+           |    ON ck.doc_id * 100000 + ck.chunk_idx = d.ck_key)
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+           |  CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+           |    AS n_dropped,
+           |  coalesce(string_agg(CASE WHEN keep THEN chunk_text END, ' '
+           |    ORDER BY chunk_idx), '') AS clean_text
+           |FROM j WHERE doc_id >= (SELECT base FROM bb)
+           |GROUP BY doc_id""".stripMargin
 
   /** DuckDB replay of [[graft.llm.Unigram.train]]: seeding (substring
     * counts → top-`seedSize` ∪ single-chars → smoothed v0) and `iters`
@@ -2000,57 +2114,10 @@ object CurationQueries {
     // re-crawls), restricted to the batch docs — identical machinery to
     // q_paragraph_dedup's oracle, so equality proves the incremental
     // path loses (and invents) nothing
-    "q_paragraph_incremental" -> {
-      s"""WITH bb AS (SELECT max(doc_id) + 1 AS base FROM documents),
-         |t0 AS (
-         |  SELECT doc_id, text FROM documents
-         |  UNION ALL
-         |  SELECT doc_id + (SELECT base FROM bb) AS doc_id,
-         |    array_to_string(w[1:8], ' ') || ' zq zr qx qy qz qw qv qu'
-         |      AS text
-         |  FROM (SELECT doc_id, string_split(text, ' ') AS w
-         |        FROM documents WHERE doc_id % 10 = 0)
-         |  UNION ALL
-         |  SELECT doc_id + 2 * (SELECT base FROM bb) AS doc_id, text
-         |  FROM documents WHERE doc_id % 15 = 0),
-         |tw AS (
-         |  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w
-         |  FROM t0),
-         |cw AS (
-         |  SELECT doc_id, w,
-         |    CASE WHEN len(w) <= 8 THEN 1
-         |      ELSE CAST(ceil((len(w) - 8) / 8.0) AS BIGINT) + 1 END AS nc
-         |  FROM tw),
-         |ck AS MATERIALIZED (
-         |  SELECT doc_id, i AS chunk_idx,
-         |    array_to_string(w[(i*8+1):(i*8+8)], ' ') AS chunk_text
-         |  FROM cw, unnest(range(nc)) AS r(i)),
-         |${LlmQueries.minhashCtesOver(
-        "  SELECT doc_id * 100000 + chunk_idx AS doc_id, " +
-          "chunk_text AS text FROM ck")},
-         |ds AS (SELECT doc_id, list_distinct(s) AS s FROM sh),
-         |dup AS MATERIALIZED (
-         |  SELECT DISTINCT p.doc_b AS ck_key
-         |  FROM scored p
-         |  JOIN ds a ON a.doc_id = p.doc_a
-         |  JOIN ds b ON b.doc_id = p.doc_b
-         |  WHERE p.est_jaccard >= 0.5
-         |    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-         |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
-         |      >= 0.8),
-         |j AS (
-         |  SELECT ck.doc_id, ck.chunk_idx, ck.chunk_text,
-         |    (d.ck_key IS NULL) AS keep
-         |  FROM ck LEFT JOIN dup d
-         |    ON ck.doc_id * 100000 + ck.chunk_idx = d.ck_key)
-         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
-         |  CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
-         |    AS n_dropped,
-         |  coalesce(string_agg(CASE WHEN keep THEN chunk_text END, ' '
-         |    ORDER BY chunk_idx), '') AS clean_text
-         |FROM j WHERE doc_id >= (SELECT base FROM bb)
-         |GROUP BY doc_id""".stripMargin
-    },
+    "q_paragraph_incremental" -> paragraphRefreshOracleSql,
+
+    // the streamed refresh drains to the SAME batch set -> same oracle
+    "q_stream_paragraph" -> paragraphRefreshOracleSql,
 
     // the full unigram-LM training trajectory: seeding + 2 unrolled
     // hard-EM + PRUNE rounds (every Viterbi DP position a generated
@@ -2448,6 +2515,7 @@ object CurationQueries {
     "q_unigram_fertility" -> Seq("lang"),
     "q_paragraph_dedup" -> Seq("doc_id"),
     "q_paragraph_incremental" -> Seq("doc_id"),
+    "q_stream_paragraph" -> Seq("doc_id"),
     "q_unigram_encode" -> Seq("doc_id"),
     "q_bpe_encode" -> Seq("doc_id"),
     "q_bpe_tokenize" -> Seq("word"),

@@ -308,6 +308,18 @@ object StreamingPipeline {
     def size: Long =
       synchronized { model.map(_.exact.count()).getOrElse(0L) }
 
+    /** Seed the accumulating index with a PRE-BUILT historical model
+      * ([[graft.llm.Curation.paragraphIndex]] over the corpus, or a
+      * loaded store) — the crawl-refresh production shape: index the
+      * corpus once, stream only the refreshes against it. Eagerly
+      * materialized so later probes read checkpoint-backed state. Only
+      * valid before the first batch. */
+    def seed(m: Curation.ParagraphIndexModel): Unit = synchronized {
+      require(model.isEmpty && batches == 0,
+        "seed() must run before any batch is appended")
+      model = Some(ckpt(m))
+    }
+
     private def emptyIndex(like: DataFrame): Curation.ParagraphIndexModel =
       Curation.paragraphIndex(like.limit(0), chunkSize, k, numHashes,
         bands, oracleHashes, maxChunksPerDoc)

@@ -107,7 +107,7 @@ class CatalogAnalysisSpec extends AnyFunSuite {
       "q_stream_hll", "q_stream_interval_join",
       "q_stream_interval_join_outer", "q_stream_sessions",
       "q_stream_static_join", "q_stream_vocab_drift", "q_stream_quality",
-      "q_stream_containment",
+      "q_stream_containment", "q_stream_paragraph",
       "q_events_late_watermark", "q_events_sessions",
       "q_events_drift_windows", "q_events_funnel", "q_events_retention",
       "q_events_lag", "q_events_windowed",

@@ -109,6 +109,32 @@ class CurationSpec extends AnyFunSuite {
     assert(out(11L)._1 == 0L, "fresh text untouched")
   }
 
+  test("paragraph index save/load round trip: meta preserved, the " +
+    "loaded store probes identically to the in-memory index") {
+    val s = spark
+    import s.implicits._
+    val hist = Seq((1L, "w1 w2 w3 w4 a1 a2 a3 a4"),
+      (2L, "h1 h2 h3 h4")).toDF("doc_id", "text")
+    val batch = Seq((10L, "w1 w2 w3 w4 b1 b2 b3 b4"),
+      (11L, "c1 c2 c3 c4")).toDF("doc_id", "text")
+    val idx = Curation.paragraphIndex(hist, chunkSize = 4, k = 3)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-paraidx").toString
+    Curation.saveParagraphIndex(idx, dir)
+    val back = Curation.loadParagraphIndex(s, dir)
+    assert(back.chunkSize == 4 && back.k == 3 &&
+      back.maxChunksPerDoc == idx.maxChunksPerDoc)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSet
+    val live = rows(Curation.paragraphDedupIncremental(idx, batch))
+    val loaded = rows(Curation.paragraphDedupIncremental(back, batch))
+    graft.llm.PipelineCaches.clear()
+    assert(loaded == live)
+    assert(loaded.exists(t => t._1 == 10L && t._3 == 1L),
+      "the loaded store must still drop the history twin")
+  }
+
   test("paragraphDedupIncremental refuses batch ids at/below the " +
     "index's representatives (the crawl-refresh ordering contract)") {
     val s = spark
