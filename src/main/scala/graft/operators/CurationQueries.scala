@@ -20,6 +20,28 @@ object CurationQueries {
     Tables.register(s, dir); s.table("documents")
   }
 
+  /** The crawl-refresh batch pair (planted near-dups, verbatim
+    * re-crawls) shared by q_paragraph_incremental and
+    * q_stream_paragraph — ONE definition on purpose: the two entries
+    * share `paragraphRefreshOracleSql`, which is valid only while their
+    * batch sets are byte-identical. Ids derive from max(doc_id)+1 (one
+    * bounded agg), so the crawl-refresh ordering contract holds at
+    * every fixture scale — fixed offsets would collide with the sf1
+    * tiled id ranges. The oracle computes the same base the same way. */
+  private def paragraphRefreshBatches(d: DataFrame)
+      : (DataFrame, DataFrame) = {
+    val base = d.agg(max(col("doc_id")).cast("long"))
+      .collect()(0).getLong(0) + 1L
+    val planted = d.filter(col("doc_id") % 10 === 0)
+      .withColumn("_w", split(col("text"), " "))
+      .select((col("doc_id") + base).as("doc_id"),
+        concat(array_join(slice(col("_w"), 1, 8), " "),
+          lit(" zq zr qx qy qz qw qv qu")).as("text"))
+    val recrawl = d.filter(col("doc_id") % 15 === 0)
+      .select((col("doc_id") + 2L * base).as("doc_id"), col("text"))
+    (planted, recrawl)
+  }
+
   /** Trimmed-copy mutation shared with the dedup entries: near-dup, not
     * identical, so gram overlap is partial and candidate pairs are real. */
   private def trimmed(d: DataFrame): DataFrame = d.select(
@@ -442,19 +464,7 @@ object CurationQueries {
     // equals the batch recompute exactly
     "q_paragraph_incremental" -> { (s, dir) =>
       val d = docs(s, dir).select("doc_id", "text")
-      // batch ids derive from the corpus max (one bounded agg), so the
-      // crawl-refresh ordering contract holds at EVERY fixture scale —
-      // fixed offsets would collide with the sf1 tiled id ranges. The
-      // oracle computes the same base with the same max
-      val base = d.agg(max(col("doc_id")).cast("long"))
-        .collect()(0).getLong(0) + 1L
-      val planted = d.filter(col("doc_id") % 10 === 0)
-        .withColumn("_w", split(col("text"), " "))
-        .select((col("doc_id") + base).as("doc_id"),
-          concat(array_join(slice(col("_w"), 1, 8), " "),
-            lit(" zq zr qx qy qz qw qv qu")).as("text"))
-      val recrawl = d.filter(col("doc_id") % 15 === 0)
-        .select((col("doc_id") + 2L * base).as("doc_id"), col("text"))
+      val (planted, recrawl) = paragraphRefreshBatches(d)
       val idx = graft.llm.Curation.paragraphIndex(d, chunkSize = 8,
         k = 3, numHashes = 8, nBands = 4, oracleHashes = true)
       graft.llm.Curation.paragraphDedupIncremental(idx,
@@ -477,15 +487,7 @@ object CurationQueries {
     "q_stream_paragraph" -> { (s, dir) =>
       import org.apache.spark.sql.streaming.Trigger
       val d = docs(s, dir).select("doc_id", "text")
-      val base = d.agg(max(col("doc_id")).cast("long"))
-        .collect()(0).getLong(0) + 1L
-      val planted = d.filter(col("doc_id") % 10 === 0)
-        .withColumn("_w", split(col("text"), " "))
-        .select((col("doc_id") + base).as("doc_id"),
-          concat(array_join(slice(col("_w"), 1, 8), " "),
-            lit(" zq zr qx qy qz qw qv qu")).as("text"))
-      val recrawl = d.filter(col("doc_id") % 15 === 0)
-        .select((col("doc_id") + 2L * base).as("doc_id"), col("text"))
+      val (planted, recrawl) = paragraphRefreshBatches(d)
       // monotone slicing of the REFRESH (the crawl contract): plants
       // land first (ids in [base, 2·base)), re-crawls second (≥ 2·base)
       val batches = Seq(planted, recrawl)

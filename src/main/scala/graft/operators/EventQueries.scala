@@ -633,7 +633,9 @@ object EventQueries {
         .select(col("event_id").as("window_id"),
           (col("value") - 1.0).as("lo"), (col("value") + 1.0).as("hi"))
       val prevOn = s.conf.get("spark.graft.rangeJoin.rewrite", "false")
-      val prevW = s.conf.get("spark.graft.rangeJoin.numBucketWidth", "1000")
+      // the numeric width has NO default (unset = numeric family
+      // declines), so restore means unset when it was not set before
+      val prevW = s.conf.getOption("spark.graft.rangeJoin.numBucketWidth")
       s.conf.set("spark.graft.rangeJoin.rewrite", "true")
       s.conf.set("spark.graft.rangeJoin.numBucketWidth", "2.5")
       try {
@@ -648,7 +650,12 @@ object EventQueries {
         out.localCheckpoint(true)
       } finally {
         s.conf.set("spark.graft.rangeJoin.rewrite", prevOn)
-        s.conf.set("spark.graft.rangeJoin.numBucketWidth", prevW)
+        prevW match {
+          case Some(w) =>
+            s.conf.set("spark.graft.rangeJoin.numBucketWidth", w)
+          case None =>
+            s.conf.unset("spark.graft.rangeJoin.numBucketWidth")
+        }
       }
     },
 

@@ -27,8 +27,11 @@ import org.apache.spark.sql.types.{NumericType, TimestampNTZType, TimestampType}
   * NUMERIC bounds (r15 verdict task 5) hit the same BNLJ cliff — score
   * bands, length buckets, id ranges — and rewrite identically through
   * [[graft.scale.RangeJoin.pointInIntervalNum]], with
-  * `spark.graft.rangeJoin.numBucketWidth` (default 1000, fractional
-  * allowed) as the numeric bucket width. The point and BOTH bounds
+  * `spark.graft.rangeJoin.numBucketWidth` (fractional allowed, NO
+  * default — the width is workload-specific and must be set
+  * explicitly or the numeric family declines; see the accessor's
+  * scaladoc for why a session-wide default is a trap) as the numeric
+  * bucket width. The point and BOTH bounds
   * must belong to ONE type family (all timestamps or all numeric):
   * mixed-family triples are DECLINED — Spark would insert implicit
   * casts whose comparison semantics the bucket quantization cannot be
@@ -51,8 +54,16 @@ case class RangeJoinRewrite(spark: SparkSession)
     spark.conf.get("spark.graft.rangeJoin.rewrite", "false") == "true"
   private def bucketSec: Long =
     spark.conf.get("spark.graft.rangeJoin.bucketSec", "86400").toLong
-  private def numBucketWidth: Double =
-    spark.conf.get("spark.graft.rangeJoin.numBucketWidth", "1000").toDouble
+  /** No default: unlike a day for timestamps there is NO universal
+    * numeric width — score bands live near 0.1, id ranges near 1e6 —
+    * and a wrong session-wide default silently funnels every row into
+    * bucket 0, a single shuffle partition doing the full |L|·|R| work
+    * serialized on one task (strictly worse than the nested loop it
+    * replaces). Numeric rewrites therefore require the conf to be set
+    * EXPLICITLY; unset declines the numeric family entirely. */
+  private def numBucketWidth: Option[Double] =
+    spark.conf.getOption("spark.graft.rangeJoin.numBucketWidth")
+      .map(_.toDouble)
 
   private def isRewritten(p: LogicalPlan): Boolean =
     p.output.exists(_.name.startsWith(Marker))
@@ -143,7 +154,7 @@ case class RangeJoinRewrite(spark: SparkSession)
       (t2, hi) <- uppers
       if t1.exprId == t2.exprId
       isTs <- familyOf(t1, lo, hi).toSeq
-      if (isTs && bucketSec > 0) || (!isTs && numBucketWidth > 0)
+      if (isTs && bucketSec > 0) || (!isTs && numBucketWidth.exists(_ > 0))
       (pts, ivs, flipped) <-
         (if (left.outputSet.contains(t1) &&
             right.outputSet.contains(lo) && right.outputSet.contains(hi))
@@ -168,7 +179,7 @@ case class RangeJoinRewrite(spark: SparkSession)
         if (isTs) graft.scale.RangeJoin
           .pointInInterval(pDf, tsName, iDf, loName, hiName, bucketSec)
         else graft.scale.RangeJoin.pointInIntervalNum(
-          pDf, tsName, iDf, loName, hiName, numBucketWidth))
+          pDf, tsName, iDf, loName, hiName, numBucketWidth.get))
       val byName = bucketed.output.map(a => a.name -> a).toMap
       val restored = (points.output.zipWithIndex.map { case (a, i) =>
         Alias(byName(name("p", i)), a.name)(

@@ -62,6 +62,18 @@ object RangeJoin {
       c => floor(c.cast("double") / bucketWidth).cast("long"))
   }
 
+  /** Per-interval bucket-count cap: an open upper bound encoded as a
+    * sentinel (Double.PositiveInfinity, Long.MaxValue, year 9999) or a
+    * merely-very-wide interval would explode
+    * `sequence(bucket(lo), bucket(hi))` into a billions-element array —
+    * an executor OOM or array-size failure with no useful message. The
+    * cap converts that into a LOUD row-level error naming the fix
+    * (widen the bucket, or keep such intervals on the nested-loop
+    * path). 1M replicas of one interval row is already far past any
+    * sane width choice, so the cap costs legitimate workloads
+    * nothing. */
+  private val MaxBucketsPerInterval = 1000000L
+
   private def bucketedJoin(
       points: DataFrame, pointCol: String,
       intervals: DataFrame, loCol: String, hiCol: String,
@@ -78,11 +90,31 @@ object RangeJoin {
       s"inputs must not already carry a '$b' column")
     val l = points.withColumn(b, bucketOf(col(pointCol)))
       .filter(col(pointCol).isNotNull)
+    // loud span guard (see MaxBucketsPerInterval), embedded in the
+    // sequence's upper bound so no optimizer pass can prune it and it
+    // stays codegen-able when the rewrite rule injects this plan AFTER
+    // ReplaceExpressions already ran (assert_true is RuntimeReplaceable
+    // and would hit an INTERNAL_ERROR there): the passing path yields
+    // the hi bucket untouched; an over-cap interval raises with its
+    // bounds in the message before sequence() can materialize
+    val guardedHi = {
+      val lob = bucketOf(col(loCol))
+      val hib = bucketOf(col(hiCol))
+      when(hib - lob < lit(MaxBucketsPerInterval), hib)
+        .otherwise(raise_error(
+          concat(lit("range join: an interval covers >= " +
+              s"$MaxBucketsPerInterval buckets (lo="),
+            col(loCol).cast("string"), lit(", hi="),
+            col(hiCol).cast("string"),
+            lit("); widen the bucket (bucketWidthSec / " +
+              "spark.graft.rangeJoin.numBucketWidth) or keep " +
+              "unbounded intervals on the nested-loop path")))
+          .cast("long"))
+    }
     val r = intervals
       .filter(col(loCol).isNotNull && col(hiCol).isNotNull &&
         col(loCol) <= col(hiCol))
-      .withColumn(b,
-        explode(sequence(bucketOf(col(loCol)), bucketOf(col(hiCol)))))
+      .withColumn(b, explode(sequence(bucketOf(col(loCol)), guardedHi)))
     l.join(r, Seq(b))
       .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop(b)

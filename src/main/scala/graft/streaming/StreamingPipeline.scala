@@ -300,6 +300,14 @@ object StreamingPipeline {
       oracleHashes: Boolean = false, maxChunksPerDoc: Long = 100000L,
       compactEvery: Int = 16) {
     import graft.llm.Curation
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    // minEstJaccard above the exact threshold silently pre-filters
+    // qualifying pairs before the rescore — the same loud contract as
+    // paragraphDedup/paragraphDedupIncremental
+    require(minEstJaccard <= threshold,
+      s"minEstJaccard ($minEstJaccard) must be <= threshold " +
+        s"($threshold) or qualifying pairs are pre-filtered away")
     private var model: Option[Curation.ParagraphIndexModel] = None
     private var batches = 0
     private val guard = new ReplayGuard[Curation.ParagraphIndexModel]
@@ -317,6 +325,20 @@ object StreamingPipeline {
     def seed(m: Curation.ParagraphIndexModel): Unit = synchronized {
       require(model.isEmpty && batches == 0,
         "seed() must run before any batch is appended")
+      // the probe chunks batches with the CLASS params but compares
+      // against the MODEL's state — a silent mismatch (8-word history
+      // hashes vs 12-word batch chunks) would un-dedup every twin
+      // instead of failing; all six shape params must agree
+      require(m.chunkSize == chunkSize && m.k == k &&
+        m.numHashes == numHashes && m.nBands == bands &&
+        m.oracleHashes == oracleHashes &&
+        m.maxChunksPerDoc == maxChunksPerDoc,
+        s"seed model params (chunkSize=${m.chunkSize}, k=${m.k}, " +
+          s"numHashes=${m.numHashes}, nBands=${m.nBands}, " +
+          s"oracleHashes=${m.oracleHashes}, " +
+          s"maxChunksPerDoc=${m.maxChunksPerDoc}) must equal this " +
+          s"index's ($chunkSize, $k, $numHashes, $bands, " +
+          s"$oracleHashes, $maxChunksPerDoc)")
       model = Some(ckpt(m))
     }
 

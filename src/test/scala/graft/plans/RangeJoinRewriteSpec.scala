@@ -135,8 +135,40 @@ class RangeJoinRewriteSpec extends AnyFunSuite {
     try body
     finally {
       s.conf.set("spark.graft.rangeJoin.rewrite", "false")
-      s.conf.set("spark.graft.rangeJoin.numBucketWidth", "1000")
+      s.conf.unset("spark.graft.rangeJoin.numBucketWidth")
     }
+  }
+
+  test("the numeric family DECLINES when no explicit width is set (a " +
+    "session-wide numeric default is a single-bucket trap) and when an " +
+    "interval would cover >= 1M buckets it fails LOUDLY, not as an " +
+    "executor array blow-up") {
+    val s = spark
+    GraftExtensions.register(s)
+    val (e, w) = numSides(s)
+    s.conf.set("spark.graft.rangeJoin.rewrite", "true")
+    s.conf.unset("spark.graft.rangeJoin.numBucketWidth")
+    try {
+      val q = e.join(w,
+        col("score") >= col("lo") && col("score") <= col("hi"))
+      assert(!q.queryExecution.optimizedPlan.toString
+        .contains("__graft_range"),
+        "numeric rewrite must decline without an explicit width")
+    } finally s.conf.set("spark.graft.rangeJoin.rewrite", "false")
+    // span cap: an open upper bound encoded as a sentinel throws with
+    // the interval's bounds instead of exploding sequence()
+    import s.implicits._
+    val pts = Seq((1L, 5.0)).toDF("event_id", "score")
+    val open = Seq((1L, 0.0, Double.MaxValue)).toDF("window_id", "lo", "hi")
+    val err = intercept[Exception] {
+      graft.scale.RangeJoin.pointInIntervalNum(
+        pts, "score", open, "lo", "hi", bucketWidth = 2.5).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(err).exists(_.contains("covers >=")),
+      s"expected the loud span-cap error, got: $err")
   }
 
   test("NUMERIC range join (negative values, fractional width): nested " +

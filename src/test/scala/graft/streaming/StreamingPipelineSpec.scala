@@ -170,6 +170,25 @@ class StreamingPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("paragraph index guards: seed() refuses mismatched shape params " +
+    "(silent un-dedup otherwise) and the constructor refuses " +
+    "minEstJaccard above the threshold") {
+    val s = spark
+    val d = s.table("documents").select("doc_id", "text")
+      .filter(col("doc_id") < 10)
+    val idx = new StreamingPipeline.ParagraphDedupIndex(chunkSize = 12)
+    val e = intercept[IllegalArgumentException] {
+      idx.seed(graft.llm.Curation.paragraphIndex(d, chunkSize = 8))
+    }
+    graft.llm.PipelineCaches.clear()
+    assert(e.getMessage.contains("must equal this"))
+    val e2 = intercept[IllegalArgumentException] {
+      new StreamingPipeline.ParagraphDedupIndex(
+        threshold = 0.4, minEstJaccard = 0.5)
+    }
+    assert(e2.getMessage.contains("pre-filtered"))
+  }
+
   test("paragraph stream replay: a re-delivered batchId re-emits the " +
     "original per-doc rows and appends nothing") {
     val s = spark
