@@ -313,6 +313,49 @@ object EventQueries {
       }
     },
 
+    // the salted rewrite on the production FILTER shape (r16 — semi/
+    // anti complete the soundly-decomposable join set): the planted-
+    // hot-key stream anti-joined against a blocklist that CONTAINS the
+    // hot key (the pathological key is usually exactly why a key gets
+    // blocked) plus every key ≡ 0 (mod 7) — written as a plain
+    // left_anti join and salted automatically. The existence test per
+    // left row equals the plain join's because the replication puts a
+    // blocked key's row in every salt bucket; the oracle is the plain
+    // NOT-EXISTS, so the hash gate re-proves the identity every round
+    "q_salted_join_rewrite_anti" -> { (s, dir) =>
+      graft.functions.GraftExtensions.register(s)
+      val e = events(s, dir).select(col("event_id"),
+        when(col("event_id") % 3 === 0, 0L)
+          .otherwise(pmod(col("user_id"), lit(500L)) + 1L).as("k"),
+        col("value"))
+      val block = e.filter(col("k") % 7 === 0).select("k").distinct()
+      val prevOn = s.conf.get("spark.graft.skewJoin.rewrite", "false")
+      val prevTarget = s.conf.get("spark.graft.skewJoin.targetRows", "5000000")
+      val prevTop = s.conf.get("spark.graft.skewJoin.topN", "20")
+      val prevBcast = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      s.conf.set("spark.graft.skewJoin.rewrite", "true")
+      s.conf.set("spark.graft.skewJoin.targetRows", "200")
+      s.conf.set("spark.graft.skewJoin.topN", "5")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val out = e.join(block, Seq("k"), "left_anti")
+          .select("event_id", "k", "value")
+        val plan = out.queryExecution.executedPlan.toString
+        require(plan.contains("__graft_skew"),
+          "anti skew rewrite did not fire; the entry would not " +
+            "exercise it")
+        require(!plan.contains("CartesianProduct") &&
+          !plan.contains("BroadcastNestedLoopJoin"),
+          "skew-join rewrite must not introduce a cartesian")
+        out.localCheckpoint(true)
+      } finally {
+        s.conf.set("spark.graft.skewJoin.rewrite", prevOn)
+        s.conf.set("spark.graft.skewJoin.targetRows", prevTarget)
+        s.conf.set("spark.graft.skewJoin.topN", prevTop)
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBcast)
+      }
+    },
+
     // hourly per-type metrics roll-up — tumbling windows via date_trunc
     // STREAM-STATIC enrichment join, completing the streaming join
     // matrix (static / stream-stream inner / stream-stream outer): each
@@ -843,6 +886,19 @@ object EventQueries {
         |SELECT l.event_id, l.k, l.value, r.n_r
         |FROM l LEFT JOIN r USING (k)""".stripMargin,
 
+    // identical plain anti-join (NOT EXISTS) oracle
+    "q_salted_join_rewrite_anti" ->
+      """WITH l AS (
+        |  SELECT event_id,
+        |    CASE WHEN event_id % 3 = 0 THEN 0
+        |      ELSE user_id % 500 + 1 END AS k,
+        |    value
+        |  FROM events),
+        |b AS (SELECT DISTINCT k FROM l WHERE k % 7 = 0)
+        |SELECT l.event_id, l.k, l.value
+        |FROM l WHERE NOT EXISTS (SELECT 1 FROM b WHERE b.k = l.k)"""
+        .stripMargin,
+
     // the skew-card replay filtered to key rows with the integer-ceil
     // salt factor
     "q_salting_plan" ->
@@ -1161,6 +1217,7 @@ object EventQueries {
     "q_salted_join" -> Seq("event_id"),
     "q_salted_join_rewrite" -> Seq("event_id"),
     "q_salted_join_rewrite_outer" -> Seq("event_id"),
+    "q_salted_join_rewrite_anti" -> Seq("event_id"),
     "q_event_transitions" -> Seq("from_type", "to_type"),
     "q_events_lag" -> Seq("user_id", "event_id"),
     "q_events_asof" -> Seq("event_id"),

@@ -97,9 +97,9 @@ object JoinSkew {
 
   /** The salting TREATMENT for [[saltingPlan]]'s diagnosis — a salted
     * equi-join that is RESULT-IDENTICAL to
-    * `left.join(right, Seq(keyCol), joinType)` for `joinType` inner or
-    * left-outer (see [[normalizeJoinType]] for why exactly those two;
-    * the same diagnosis→treatment
+    * `left.join(right, Seq(keyCol), joinType)` for `joinType` inner,
+    * left-outer, left-semi, or left-anti (see [[normalizeJoinType]]
+    * for why exactly those four; the same diagnosis→treatment
     * pairing as `embTopPc`→`abttTransform`): hot keys' LEFT rows are
     * split across `salt` sub-keys and the RIGHT rows replicated once
     * per sub-key, so no single shuffle partition ever receives more
@@ -137,10 +137,10 @@ object JoinSkew {
     * zero spreading. The assignment affects only WHERE a row is
     * processed, never the joined output.
     *
-    * NULL join keys take the cold path, where they vanish under inner
-    * (exactly as the plain equi-join drops them) and null-fill once
-    * under left-outer (exactly as the plain left join preserves
-    * them — a NULL key matches nothing). Scale shape: two broadcast
+    * NULL join keys take the cold path, where a NULL key matches
+    * nothing exactly as in the plain join: they vanish under
+    * inner/semi, null-fill once under left-outer, and are KEPT under
+    * left-anti. Scale shape: two broadcast
     * tag joins (plan ≤ topN rows), the cold shuffle join, and the hot
     * shuffle join on (key, _salt) — no new corpus-sized shuffles beyond
     * the join being treated. */
@@ -169,27 +169,35 @@ object JoinSkew {
       "saltedJoin reserves the _salt column name")
   }
 
-  /** Normalized join type for the salted decomposition: "inner" or
-    * "left" (LEFT OUTER). These are exactly the types for which the
-    * decomposition is sound — the LEFT side is the salted (split) side
-    * and the RIGHT side is replicated per salt, so replicated rows may
-    * only emit when MATCHED: an inner join emits only matches, and a
-    * left-outer join preserves only the (unreplicated) left side, whose
-    * rows each live in exactly ONE (key, salt) bucket covered by the
-    * right replication — an unmatched left row null-fills exactly once.
-    * RIGHT/FULL outer would preserve the REPLICATED side: an unmatched
-    * hot-key right row appears once per salt replica and would null-
-    * fill `salt` times. A right-outer caller flips sides first (the
-    * [[graft.plans.SkewJoinRewrite]] treatment); full outer has no
-    * sound salted form under replication and is refused. */
+  /** Normalized join type for the salted decomposition: "inner",
+    * "left" (LEFT OUTER), "left_semi", or "left_anti". These are
+    * exactly the types for which the decomposition is sound — the LEFT
+    * side is the salted (split) side and the RIGHT side is replicated
+    * per salt, so replicated rows may never emit rows of their own:
+    * an inner join emits only matches; left outer / semi / anti
+    * preserve only the (unreplicated) left side, whose rows each live
+    * in exactly ONE (key, salt) bucket that the right replication
+    * covers — so a left row's match set equals the plain join's
+    * (outer: an unmatched row null-fills exactly once; semi: it emits
+    * iff the right side holds its key, because the replication puts
+    * the key's right rows in EVERY salt bucket; anti: the complement,
+    * same argument). RIGHT/FULL outer would preserve the REPLICATED
+    * side: an unmatched hot-key right row appears once per salt
+    * replica and would null-fill `salt` times. A right-outer caller
+    * flips sides first (the [[graft.plans.SkewJoinRewrite]]
+    * treatment); full outer has no sound salted form under replication
+    * and is refused. */
   private def normalizeJoinType(joinType: String): String =
     joinType.toLowerCase.replace("_", "") match {
       case "inner" => "inner"
       case "left" | "leftouter" => "left"
+      case "semi" | "leftsemi" => "left_semi"
+      case "anti" | "leftanti" => "left_anti"
       case other => throw new IllegalArgumentException(
-        s"saltedJoin supports inner and left-outer joins, got '$other' " +
-          "(right outer: flip the sides; full outer: the replicated " +
-          "side would null-fill once per salt replica — unsupported)")
+        s"saltedJoin supports inner, left-outer, left-semi, and " +
+          s"left-anti joins, got '$other' (right outer: flip the " +
+          "sides; full outer: the replicated side would null-fill " +
+          "once per salt replica — unsupported)")
     }
 
   def saltedJoin(left: DataFrame, right: DataFrame, keyCol: String,
@@ -198,7 +206,12 @@ object JoinSkew {
     validateSaltedJoin(left, right, keyCol)
     val jt = normalizeJoinType(joinType)
     val lcols = left.columns.toSeq
-    val rcols = right.columns.toSeq.filterNot(_ == keyCol)
+    // semi/anti emit ONLY the left side; the right contributes just its
+    // key to the existence test, so its payload never rides the shuffle
+    val semiLike = jt == "left_semi" || jt == "left_anti"
+    val rcols =
+      if (semiLike) Seq.empty
+      else right.columns.toSeq.filterNot(_ == keyCol)
     val outCols = (lcols ++ rcols).map(col)
     // materialize the ≤topN-row plan ONCE as bounded driver metadata
     // (the seed/centroid-table convention): it is consumed by two tag

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftOuter, RightOuter}
+import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftAnti, LeftOuter, LeftSemi, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{Join, JoinHint, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.functions.col
@@ -11,13 +11,24 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Opt-in optimizer rule that promotes [[JoinSkew.saltedJoin]] from a
   * library call to ENGINE BEHAVIOR (r14 verdict task 2; outer joins
-  * r15 task 4): an INNER / LEFT OUTER / RIGHT OUTER equi-join whose
+  * r15 task 4; semi/anti completing the soundly-decomposable set in
+  * r16): an INNER / LEFT OUTER / RIGHT OUTER / LEFT SEMI / LEFT ANTI
+  * equi-join whose
   * key statistics trip [[JoinSkew.saltingPlan]]'s threshold is
   * rewritten to the salted form automatically — hot keys' preserved-
   * side rows split across salt sub-keys, the other side replicated per
   * sub-key, cold keys through the plain join, the two paths unioned —
   * RESULT-IDENTICAL to the plain join (the oracle entries re-prove the
   * identity every round), without the user knowing the treatment exists.
+  *
+  * LEFT SEMI/ANTI are the production filter shapes (blocklist
+  * anti-joins, "has-a-record" semi-filters) and decompose by the same
+  * argument as left outer: the replication puts a hot key's right rows
+  * in EVERY salt bucket, so each left row's existence test in its one
+  * bucket equals the plain join's (anti is the complement). For
+  * semi/anti the diagnosis's out_rows prices the probe-side pile (the
+  * shuffle skew being treated), not emitted rows — the join emits at
+  * most one row per left row regardless.
   *
   * LEFT OUTER is the production enrichment shape at 100 TB — a fact
   * stream left-joining a registry/dimension exactly as the reference's
@@ -52,10 +63,10 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   *   - `spark.graft.skewJoin.topN` (default 20) — hot keys considered
   *
   * Joins the rule leaves alone, each for a scale reason:
-  *   - anything but INNER/LEFT OUTER/RIGHT OUTER with exactly one
-  *     attribute=attribute equality (the salted decomposition is
-  *     proven for those shapes — full outer above; AND-of-equalities
-  *     keys rarely skew on the composite);
+  *   - anything but INNER / LEFT OUTER / RIGHT OUTER / LEFT SEMI /
+  *     LEFT ANTI with exactly one attribute=attribute equality (the
+  *     salted decomposition is proven for those shapes — full outer
+  *     above; AND-of-equalities keys rarely skew on the composite);
   *   - joins carrying a hint (the user already chose a strategy);
   *   - joins whose BUILD-ELIGIBLE side sits under
   *     `spark.sql.autoBroadcastJoinThreshold` (either side for inner,
@@ -121,7 +132,8 @@ case class SkewJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!enabled) return plan
     plan.transformUp {
-      case j @ Join(left, right, jt @ (Inner | LeftOuter | RightOuter),
+      case j @ Join(left, right,
+          jt @ (Inner | LeftOuter | RightOuter | LeftSemi | LeftAnti),
           Some(cond), hint)
           if hint == JoinHint.NONE &&
             !isRewritten(left) && !isRewritten(right) =>
@@ -156,7 +168,7 @@ case class SkewJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     val threshold = spark.sessionState.conf.autoBroadcastJoinThreshold
     def small(p: LogicalPlan) = p.stats.sizeInBytes <= threshold
     threshold >= 0 && (jt match {
-      case LeftOuter => small(right)
+      case LeftOuter | LeftSemi | LeftAnti => small(right)
       case RightOuter => small(left)
       case _ => small(left) || small(right)
     })
@@ -201,10 +213,15 @@ case class SkewJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     // this rule runs AFTER the optimizer's own hint elimination, so the
     // ResolvedHint nodes must be folded into join hints here or they
     // reach physical planning (an INTERNAL_ERROR)
+    val joinTypeStr = jt match {
+      case Inner => "inner"
+      case LeftSemi => "left_semi"
+      case LeftAnti => "left_anti"
+      case _ => "left" // LeftOuter, and RightOuter flipped above
+    }
     val salted = org.apache.spark.sql.catalyst.optimizer
       .EliminateResolvedHint(PlanBridge.analyzed(
-        JoinSkew.saltedJoin(lDf, rDf, k, planDf,
-          joinType = if (jt == Inner) "inner" else "left")))
+        JoinSkew.saltedJoin(lDf, rDf, k, planDf, joinType = joinTypeStr)))
 
     // project back to the ORIGINAL attributes: preserved-side columns
     // (key included) from the salted output's left half, the other
@@ -217,14 +234,19 @@ case class SkewJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       Alias(src, a.name)(exprId = a.exprId, qualifier = a.qualifier)
         : NamedExpression
     }
-    val prRestored = pr.output.zipWithIndex.map { case (a, i) =>
-      val src =
-        if (a.exprId == prk.exprId) byName(rkDup) else byName(name("r", i))
-      Alias(src, a.name)(exprId = a.exprId, qualifier = a.qualifier)
-        : NamedExpression
-    }
+    // semi/anti joins output ONLY the preserved side — there are no
+    // right attributes to restore (and the salted plan carries none)
     val restored =
-      if (flipped) prRestored ++ plRestored else plRestored ++ prRestored
+      if (jt == LeftSemi || jt == LeftAnti) plRestored
+      else {
+        val prRestored = pr.output.zipWithIndex.map { case (a, i) =>
+          val src = if (a.exprId == prk.exprId) byName(rkDup)
+            else byName(name("r", i))
+          Alias(src, a.name)(exprId = a.exprId, qualifier = a.qualifier)
+            : NamedExpression
+        }
+        if (flipped) prRestored ++ plRestored else plRestored ++ prRestored
+      }
     Some(Project(restored, salted))
   }
 

@@ -90,8 +90,9 @@ class CatalogAnalysisSpec extends AnyFunSuite {
     * are save→append→load round-trips over persisted stores — the same
     * stored-artifact exemption; their search halves are covered by the
     * existing ANN kernels. `salted_join_rewrite` and
-    * `range_join_rewrite` — with their r16 outer/numeric twins
-    * `salted_join_rewrite_outer` and `range_join_rewrite_num` — are
+    * `range_join_rewrite` — with their r16 outer/anti/numeric twins
+    * `salted_join_rewrite_outer`, `salted_join_rewrite_anti`, and
+    * `range_join_rewrite_num` — are
     * the two-relation exemptions
     * (`salted_join` / the range-join library call) applied through
     * conf-gated optimizer rules; `containment_incremental`,

@@ -439,6 +439,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(df.filter(c("n_r").isNull && c("k") % 5 =!= 2).count() == 0)
   }
 
+  test("q_salted_join_rewrite_anti: the in-entry fired/no-cartesian " +
+    "requires hold and the blocked hot key is fully filtered") {
+    val df = SparkEntry.queries("q_salted_join_rewrite_anti")(
+      spark, SparkTestSession.fixtureDir)
+    import org.apache.spark.sql.functions.{col => c}
+    assert(df.count() > 0)
+    assert(df.filter(c("k") % 7 === 0).count() == 0,
+      "every blocked key (hot key 0 included) must be anti-filtered")
+  }
+
   test("q_range_join_rewrite_num's in-entry no-nested-loop require " +
     "holds on the numeric band (negative lo, fractional width)") {
     val df = SparkEntry.queries("q_range_join_rewrite_num")(

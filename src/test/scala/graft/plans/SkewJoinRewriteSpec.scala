@@ -213,6 +213,50 @@ class SkewJoinRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("LEFT SEMI and LEFT ANTI rewrite and stay result-identical: the " +
+    "replication puts a hot key's right rows in every salt bucket, so " +
+    "each left row's existence test equals the plain join's") {
+    val s = spark
+    val (l, r) = outerSides(s)
+    def semi = l.join(r, col("k") === col("rk"), "left_semi")
+      .select("lid", "k", "lv")
+    def anti = l.join(r, col("k") === col("rk"), "left_anti")
+      .select("lid", "k", "lv")
+    val plainSemi = semi.collect().map(_.toSeq).toSet
+    val plainAnti = anti.collect().map(_.toSeq).toSet
+    assert(plainSemi.nonEmpty && plainAnti.nonEmpty,
+      "fixture must exercise both matched and unmatched keys")
+    withRewrite(s) {
+      val ps = semi.queryExecution.executedPlan.toString
+      assert(ps.contains("__graft_skew"),
+        s"semi rewrite did not fire:\n$ps")
+      assert(semi.collect().map(_.toSeq).toSet == plainSemi)
+      val pa = anti.queryExecution.executedPlan.toString
+      assert(pa.contains("__graft_skew"),
+        s"anti rewrite did not fire:\n$pa")
+      assert(anti.collect().map(_.toSeq).toSet == plainAnti)
+    }
+  }
+
+  test("LEFT ANTI with NULL left keys KEEPS them (a NULL key matches " +
+    "nothing), semi drops them — the plain joins' semantics") {
+    val s = spark
+    val (l0, r) = outerSides(s)
+    val l = l0.select(col("lid"),
+      when(col("lid") % 7 === 0, lit(null).cast("bigint"))
+        .otherwise(col("k")).as("k"), col("lv"))
+    def semi = l.join(r, col("k") === col("rk"), "left_semi")
+    def anti = l.join(r, col("k") === col("rk"), "left_anti")
+    val plainSemi = semi.collect().map(_.toSeq).toSet
+    val plainAnti = anti.collect().map(_.toSeq).toSet
+    withRewrite(s) {
+      assert(semi.collect().map(_.toSeq).toSet == plainSemi)
+      assert(anti.collect().map(_.toSeq).toSet == plainAnti)
+      assert(anti.filter(col("k").isNull).count() ==
+        l.filter(col("k").isNull).count())
+    }
+  }
+
   test("outer broadcast veto is build-side-aware: a small PRESERVED " +
     "side does not veto (Spark cannot broadcast it), a small " +
     "non-preserved side does") {
