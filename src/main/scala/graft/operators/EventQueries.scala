@@ -20,6 +20,33 @@ object EventQueries {
     Tables.register(s, dir); s.table("events")
   }
 
+  /** Shared conf scaffold of the skew-rewrite entries (inner / outer /
+    * anti — ONE copy so a future `spark.graft.skewJoin.*` knob is
+    * threaded once, not three times): enable the rule at the fixture
+    * thresholds (targetRows 200 salts the planted hot key at every
+    * fixture scale), disable auto-broadcast (the fixture sides are
+    * tiny and the rule CORRECTLY declines joins the planner would
+    * broadcast — the 100 TB case this simulates has both sides far
+    * above the threshold), and restore every conf on every exit. */
+  private def withSkewRewriteConfs[T](s: SparkSession)(body: => T): T = {
+    graft.functions.GraftExtensions.register(s)
+    val prevOn = s.conf.get("spark.graft.skewJoin.rewrite", "false")
+    val prevTarget = s.conf.get("spark.graft.skewJoin.targetRows", "5000000")
+    val prevTop = s.conf.get("spark.graft.skewJoin.topN", "20")
+    val prevBcast = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    s.conf.set("spark.graft.skewJoin.rewrite", "true")
+    s.conf.set("spark.graft.skewJoin.targetRows", "200")
+    s.conf.set("spark.graft.skewJoin.topN", "5")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try body
+    finally {
+      s.conf.set("spark.graft.skewJoin.rewrite", prevOn)
+      s.conf.set("spark.graft.skewJoin.targetRows", prevTarget)
+      s.conf.set("spark.graft.skewJoin.topN", prevTop)
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBcast)
+    }
+  }
+
   /** Deterministic micro-batch replay through a real Structured Streaming
     * query: each `batches` frame becomes exactly one micro-batch (one
     * parquet part-file, planted mtimes 10s apart, maxFilesPerTrigger=1),
@@ -238,21 +265,12 @@ object EventQueries {
     // entry hard-fails if the rewrite did not fire and eagerly
     // materializes before the confs restore.
     "q_salted_join_rewrite" -> { (s, dir) =>
-      graft.functions.GraftExtensions.register(s)
       val e = events(s, dir).select(col("event_id"),
         when(col("event_id") % 3 === 0, 0L)
           .otherwise(pmod(col("user_id"), lit(500L)) + 1L).as("k"),
         col("value"))
       val r = e.groupBy("k").agg(count(lit(1)).cast("bigint").as("n_r"))
-      val prevOn = s.conf.get("spark.graft.skewJoin.rewrite", "false")
-      val prevTarget = s.conf.get("spark.graft.skewJoin.targetRows", "5000000")
-      val prevTop = s.conf.get("spark.graft.skewJoin.topN", "20")
-      val prevBcast = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
-      s.conf.set("spark.graft.skewJoin.rewrite", "true")
-      s.conf.set("spark.graft.skewJoin.targetRows", "200")
-      s.conf.set("spark.graft.skewJoin.topN", "5")
-      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      try {
+      withSkewRewriteConfs(s) {
         val out = e.join(r, Seq("k"))
           .select("event_id", "k", "value", "n_r")
         val plan = out.queryExecution.executedPlan.toString
@@ -262,11 +280,6 @@ object EventQueries {
           !plan.contains("BroadcastNestedLoopJoin"),
           "skew-join rewrite must not introduce a cartesian")
         out.localCheckpoint(true)
-      } finally {
-        s.conf.set("spark.graft.skewJoin.rewrite", prevOn)
-        s.conf.set("spark.graft.skewJoin.targetRows", prevTarget)
-        s.conf.set("spark.graft.skewJoin.topN", prevTop)
-        s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBcast)
       }
     },
 
@@ -279,22 +292,13 @@ object EventQueries {
     // took) is re-proven by the plain LEFT JOIN oracle, null-filled
     // n_r rows included
     "q_salted_join_rewrite_outer" -> { (s, dir) =>
-      graft.functions.GraftExtensions.register(s)
       val e = events(s, dir).select(col("event_id"),
         when(col("event_id") % 3 === 0, 0L)
           .otherwise(pmod(col("user_id"), lit(500L)) + 1L).as("k"),
         col("value"))
       val r = e.filter(col("k") % 5 =!= 2)
         .groupBy("k").agg(count(lit(1)).cast("bigint").as("n_r"))
-      val prevOn = s.conf.get("spark.graft.skewJoin.rewrite", "false")
-      val prevTarget = s.conf.get("spark.graft.skewJoin.targetRows", "5000000")
-      val prevTop = s.conf.get("spark.graft.skewJoin.topN", "20")
-      val prevBcast = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
-      s.conf.set("spark.graft.skewJoin.rewrite", "true")
-      s.conf.set("spark.graft.skewJoin.targetRows", "200")
-      s.conf.set("spark.graft.skewJoin.topN", "5")
-      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      try {
+      withSkewRewriteConfs(s) {
         val out = e.join(r, Seq("k"), "left")
           .select("event_id", "k", "value", "n_r")
         val plan = out.queryExecution.executedPlan.toString
@@ -305,11 +309,6 @@ object EventQueries {
           !plan.contains("BroadcastNestedLoopJoin"),
           "skew-join rewrite must not introduce a cartesian")
         out.localCheckpoint(true)
-      } finally {
-        s.conf.set("spark.graft.skewJoin.rewrite", prevOn)
-        s.conf.set("spark.graft.skewJoin.targetRows", prevTarget)
-        s.conf.set("spark.graft.skewJoin.topN", prevTop)
-        s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBcast)
       }
     },
 
@@ -323,21 +322,12 @@ object EventQueries {
     // blocked key's row in every salt bucket; the oracle is the plain
     // NOT-EXISTS, so the hash gate re-proves the identity every round
     "q_salted_join_rewrite_anti" -> { (s, dir) =>
-      graft.functions.GraftExtensions.register(s)
       val e = events(s, dir).select(col("event_id"),
         when(col("event_id") % 3 === 0, 0L)
           .otherwise(pmod(col("user_id"), lit(500L)) + 1L).as("k"),
         col("value"))
       val block = e.filter(col("k") % 7 === 0).select("k").distinct()
-      val prevOn = s.conf.get("spark.graft.skewJoin.rewrite", "false")
-      val prevTarget = s.conf.get("spark.graft.skewJoin.targetRows", "5000000")
-      val prevTop = s.conf.get("spark.graft.skewJoin.topN", "20")
-      val prevBcast = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
-      s.conf.set("spark.graft.skewJoin.rewrite", "true")
-      s.conf.set("spark.graft.skewJoin.targetRows", "200")
-      s.conf.set("spark.graft.skewJoin.topN", "5")
-      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      try {
+      withSkewRewriteConfs(s) {
         val out = e.join(block, Seq("k"), "left_anti")
           .select("event_id", "k", "value")
         val plan = out.queryExecution.executedPlan.toString
@@ -348,11 +338,6 @@ object EventQueries {
           !plan.contains("BroadcastNestedLoopJoin"),
           "skew-join rewrite must not introduce a cartesian")
         out.localCheckpoint(true)
-      } finally {
-        s.conf.set("spark.graft.skewJoin.rewrite", prevOn)
-        s.conf.set("spark.graft.skewJoin.targetRows", prevTarget)
-        s.conf.set("spark.graft.skewJoin.topN", prevTop)
-        s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBcast)
       }
     },
 

@@ -39,6 +39,31 @@ object JoinSkew {
           .cast("bigint").as("salt"))
   }
 
+  /** [[saltingPlan]] for PRESERVED-side joins (left outer / semi /
+    * anti): prices each key at `greatest(out_rows, n_left)` and ranks
+    * hot keys by that price. `out_rows = n_left × n_right` is the
+    * right price only for INNER joins — a hot PROBE key that is
+    * MISSING from the other side (the dominant production anti shape:
+    * a pathological key that is NOT in the blocklist) has out_rows 0,
+    * yet its n_left rows still pile on one shuffle partition (and a
+    * left-outer join even EMITS all of them null-filled). Pricing by
+    * the max of join output and the preserved pile makes exactly those
+    * keys salt; ranking by the same price keeps them inside topN,
+    * where out_rows-ranked selection would sort them last. Same
+    * count-table-only cost envelope as [[saltingPlan]]. */
+  def saltingPlanPreserved(left: DataFrame, right: DataFrame,
+      keyCol: String, targetRows: Long, topN: Int = 20): DataFrame = {
+    require(targetRows >= 1, s"targetRows must be >= 1, got $targetRows")
+    require(topN >= 1, s"topN must be >= 1, got $topN")
+    val priced = keyCounts(left, right, keyCol)
+      .withColumn("_price", greatest(col("out_rows"), col("n_left")))
+    priced.orderBy(col("_price").desc, col("key").asc_nulls_last)
+      .limit(topN)
+      .select(col("key"), col("n_left"), col("n_right"), col("out_rows"),
+        expr(s"(_price + ${targetRows}L - 1) div ${targetRows}L")
+          .cast("bigint").as("salt"))
+  }
+
   /** NULL-key semantics (round-14 advice fix): a genuine NULL join key
     * is a first-class skew row — both sides' NULL groups pair
     * null-safely (an equi-join would split them into two phantom rows
@@ -49,23 +74,30 @@ object JoinSkew {
     * for a null-safe (`<=>`) join and still n_left + n_right of scan
     * skew for an equi-join. The summary row is marked by a dedicated
     * `is_total` column, never by `key IS NULL`. */
-  def joinSkewCard(left: DataFrame, right: DataFrame, keyCol: String,
-      topN: Int = 20): DataFrame = {
-    require(topN >= 1, s"topN must be >= 1, got $topN")
+  /** Shared per-key count relation: (key, n_left, n_right, out_rows)
+    * via two map-side-combined aggregations and one full NULL-SAFE
+    * count-table join — keys living on one side only still belong in
+    * the totals (they cost scan+shuffle even though they emit
+    * nothing), and the NULL key groups of the two sides must meet in
+    * ONE row, not two. */
+  private def keyCounts(left: DataFrame, right: DataFrame,
+      keyCol: String): DataFrame = {
     val cl = left.groupBy(col(keyCol).as("key"))
       .agg(count(lit(1)).as("_cl"))
     val cr = right.groupBy(col(keyCol).as("_kr"))
       .agg(count(lit(1)).as("_cr"))
-    // full NULL-SAFE join: keys living on one side only still belong in
-    // the totals (they cost scan+shuffle even though they emit
-    // nothing), and the NULL key groups of the two sides must meet in
-    // ONE row, not two
-    val j = cl.join(cr, col("key") <=> col("_kr"), "full")
+    cl.join(cr, col("key") <=> col("_kr"), "full")
       .select(coalesce(col("key"), col("_kr")).as("key"),
         coalesce(col("_cl"), lit(0L)).cast("bigint").as("n_left"),
         coalesce(col("_cr"), lit(0L)).cast("bigint").as("n_right"))
       .withColumn("out_rows",
         (col("n_left") * col("n_right")).cast("bigint"))
+  }
+
+  def joinSkewCard(left: DataFrame, right: DataFrame, keyCol: String,
+      topN: Int = 20): DataFrame = {
+    require(topN >= 1, s"topN must be >= 1, got $topN")
+    val j = keyCounts(left, right, keyCol)
     val totals = j.agg(
       sum("n_left").cast("bigint").as("n_left"),
       sum("n_right").cast("bigint").as("n_right"),
@@ -157,12 +189,16 @@ object JoinSkew {
   }
 
   private def validateSaltedJoin(left: DataFrame, right: DataFrame,
-      keyCol: String): Unit = {
+      keyCol: String, semiLike: Boolean = false): Unit = {
     val lcols = left.columns.toSeq
     val rcols = right.columns.toSeq.filterNot(_ == keyCol)
     require(lcols.contains(keyCol) && right.columns.contains(keyCol),
       s"both sides need the join key column '$keyCol'")
-    require(lcols.intersect(rcols).isEmpty,
+    // semi/anti drop ALL right payload before any select, so a payload
+    // name shared across sides is impossible by construction there —
+    // the guard would spuriously reject joins the plain
+    // left.join(right, Seq(key), "left_semi") accepts
+    require(semiLike || lcols.intersect(rcols).isEmpty,
       s"non-key columns must not collide across sides, got " +
         s"${lcols.intersect(rcols).mkString(", ")}")
     require(!lcols.contains("_salt") && !rcols.contains("_salt"),
@@ -203,12 +239,12 @@ object JoinSkew {
   def saltedJoin(left: DataFrame, right: DataFrame, keyCol: String,
       plan: DataFrame, roundRobinSalt: Boolean = false,
       joinType: String = "inner"): DataFrame = {
-    validateSaltedJoin(left, right, keyCol)
     val jt = normalizeJoinType(joinType)
-    val lcols = left.columns.toSeq
     // semi/anti emit ONLY the left side; the right contributes just its
     // key to the existence test, so its payload never rides the shuffle
     val semiLike = jt == "left_semi" || jt == "left_anti"
+    validateSaltedJoin(left, right, keyCol, semiLike)
+    val lcols = left.columns.toSeq
     val rcols =
       if (semiLike) Seq.empty
       else right.columns.toSeq.filterNot(_ == keyCol)
@@ -269,12 +305,18 @@ object JoinSkew {
       saltingPlan(left, right, keyCol, targetRows, topN))
   }
 
-  /** Diagnose-and-treat convenience for the left-outer form. */
+  /** Diagnose-and-treat convenience for the preserved-side forms
+    * (left outer / semi / anti — diagnosed with
+    * [[saltingPlanPreserved]]'s probe-pile pricing). */
   def saltedJoin(left: DataFrame, right: DataFrame, keyCol: String,
       targetRows: Long, topN: Int, joinType: String): DataFrame = {
-    validateSaltedJoin(left, right, keyCol)
-    saltedJoin(left, right, keyCol,
-      saltingPlan(left, right, keyCol, targetRows, topN),
+    val jt = normalizeJoinType(joinType)
+    validateSaltedJoin(left, right, keyCol,
+      jt == "left_semi" || jt == "left_anti")
+    val plan =
+      if (jt == "inner") saltingPlan(left, right, keyCol, targetRows, topN)
+      else saltingPlanPreserved(left, right, keyCol, targetRows, topN)
+    saltedJoin(left, right, keyCol, plan,
       roundRobinSalt = false, joinType = joinType)
   }
 }

@@ -25,10 +25,13 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * anti-joins, "has-a-record" semi-filters) and decompose by the same
   * argument as left outer: the replication puts a hot key's right rows
   * in EVERY salt bucket, so each left row's existence test in its one
-  * bucket equals the plain join's (anti is the complement). For
-  * semi/anti the diagnosis's out_rows prices the probe-side pile (the
-  * shuffle skew being treated), not emitted rows — the join emits at
-  * most one row per left row regardless.
+  * bucket equals the plain join's (anti is the complement). All
+  * preserved-side joins (outer/semi/anti) diagnose with
+  * [[JoinSkew.saltingPlanPreserved]] — priced and ranked by
+  * `greatest(out_rows, n_preserved)`, because a hot probe key MISSING
+  * from the other side (the pathological key that is NOT in the
+  * blocklist) has out_rows 0 yet still piles all its rows on one
+  * shuffle partition, and out_rows-only pricing would never salt it.
   *
   * LEFT OUTER is the production enrichment shape at 100 TB — a fact
   * stream left-joining a registry/dimension exactly as the reference's
@@ -185,7 +188,8 @@ case class SkewJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       case _ => (left, right, lk, rk, false)
     }
     val keyOrdinal = pl.output.indexWhere(_.exprId == pk.exprId)
-    val hotRows = decideHotKeys(pl, pr, pk, prk, keyOrdinal)
+    val hotRows = decideHotKeys(pl, pr, pk, prk, keyOrdinal,
+      preservedPricing = jt != Inner)
     if (hotRows.isEmpty) return None
 
     // collision-proof internal names; the shared key name carries both
@@ -250,11 +254,20 @@ case class SkewJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     Some(Project(restored, salted))
   }
 
-  /** Run (or recall) the bounded diagnosis: [[JoinSkew.saltingPlan]]'s
-    * (key, salt) rows with salt ≥ 2 over non-NULL keys. */
+  /** Run (or recall) the bounded diagnosis: (key, salt) rows with
+    * salt ≥ 2 over non-NULL keys. INNER joins price by join output
+    * ([[JoinSkew.saltingPlan]]); preserved-side joins (outer / semi /
+    * anti) price by `greatest(out_rows, n_preserved)`
+    * ([[JoinSkew.saltingPlanPreserved]]) — a hot probe key MISSING
+    * from the other side has out_rows 0 yet still piles (and, for
+    * outer, emits) all its preserved rows, the dominant production
+    * anti/blocklist shape. The pricing mode is part of the cache
+    * key. */
   private def decideHotKeys(left: LogicalPlan, right: LogicalPlan,
-      lk: Attribute, rk: Attribute, keyOrdinal: Int): Seq[Row] = {
-    val cacheKey = (left.canonicalized, right.canonicalized, keyOrdinal,
+      lk: Attribute, rk: Attribute, keyOrdinal: Int,
+      preservedPricing: Boolean): Seq[Row] = {
+    val cacheKey = (left.canonicalized, right.canonicalized,
+      if (preservedPricing) keyOrdinal + (1 << 16) else keyOrdinal,
       targetRows, topN)
     val cached = decided.get(cacheKey)
     if (cached != null) return cached
@@ -264,8 +277,11 @@ case class SkewJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     val rKeys = PlanBridge.ofRows(spark, right)
       .select(org.apache.spark.sql.graftbridge.ColumnBridge.column(rk))
       .toDF("k")
-    val rows: Seq[Row] = JoinSkew.saltingPlan(lKeys, rKeys, "k",
-        targetRows, topN)
+    val plan =
+      if (preservedPricing)
+        JoinSkew.saltingPlanPreserved(lKeys, rKeys, "k", targetRows, topN)
+      else JoinSkew.saltingPlan(lKeys, rKeys, "k", targetRows, topN)
+    val rows: Seq[Row] = plan
       .filter(col("salt") >= 2L && col("key").isNotNull)
       .select("key", "salt").collect().toSeq
     decided.put(cacheKey, rows)

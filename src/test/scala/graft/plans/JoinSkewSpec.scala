@@ -181,6 +181,62 @@ class JoinSkewSpec extends AnyFunSuite {
       targetRows = 20L, topN = 3).count() == plainKo)
   }
 
+  test("saltedJoin semi/anti (direct library calls): identical to the " +
+    "plain joins across hot/cold/NULL/one-sided/missing-hot keys, " +
+    "keys-only left falls back to round-robin, empty plan " +
+    "short-circuits, colliding payloads are legal for semi/anti") {
+    val s = spark
+    import s.implicits._
+    // hot key 0 present on the right; hot-ish key 1 MISSING from the
+    // right; NULL keys both sides; one-sided keys
+    val left = ((1L to 800L).map(i => (Some(0L), i)) ++
+      (1L to 400L).map(i => (Some(1L), 10000 + i)) ++
+      (2L to 20L).flatMap(k => (1L to 10L).map(i => (Some(k), k * 1000 + i))) ++
+      Seq((Option.empty[Long], 900001L), (Some(777L), 900002L)))
+      .toDF("k", "v")
+    val right = ((1L to 2L).map(j => (Some(0L), j)) ++
+      (2L to 20L).map(k => (Some(k), k)) ++
+      Seq((Option.empty[Long], 800001L), (Some(888L), 800002L)))
+      .toDF("k", "v") // SAME payload name: legal for semi/anti
+    // anti KEEPS NULL-key left rows — canon must tolerate them
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (if (r.isNullAt(0)) Long.MinValue else r.getLong(0),
+        r.getLong(1))).sorted.toSeq
+    for (jt <- Seq("left_semi", "left_anti")) {
+      val plain = left.join(right.select("k"), Seq("k"), jt)
+      val salted = JoinSkew.saltedJoin(left, right, "k",
+        targetRows = 100L, topN = 5, joinType = jt)
+      assert(canon(salted) == canon(plain), s"$jt diverged")
+      // empty plan (nothing hot) short-circuits to the plain join
+      val lazyPlan = JoinSkew.saltingPlan(left, right, "k",
+        targetRows = 1000000L, topN = 5)
+      assert(canon(JoinSkew.saltedJoin(left, right, "k", lazyPlan,
+        joinType = jt)) == canon(plain), s"$jt empty-plan diverged")
+    }
+    // keys-only left: the deterministic salt has no non-key payload to
+    // hash, so the documented round-robin fallback engages — identity
+    // must still hold for semi/anti
+    val keysOnly = left.select("k")
+    for (jt <- Seq("left_semi", "left_anti")) {
+      val plain = keysOnly.join(right.select("k"), Seq("k"), jt)
+        .collect().map(r => if (r.isNullAt(0)) -1L else r.getLong(0))
+        .sorted.toSeq
+      val salted = JoinSkew.saltedJoin(keysOnly, right, "k",
+        targetRows = 100L, topN = 5, joinType = jt)
+        .collect().map(r => if (r.isNullAt(0)) -1L else r.getLong(0))
+        .sorted.toSeq
+      assert(salted == plain, s"$jt keys-only diverged")
+    }
+    // preserved pricing salts the missing-hot key 1 (out_rows 0)
+    val plan = JoinSkew.saltingPlanPreserved(left, right, "k",
+      targetRows = 100L, topN = 5).collect()
+      .filter(!_.isNullAt(0))
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(plan.getOrElse(1L, 0L) >= 2L,
+      s"key 1 (n_left 400, n_right 0) must salt under preserved " +
+        s"pricing: $plan")
+  }
+
   test("saltedJoin: guards — missing key column, colliding payload " +
     "columns, reserved _salt name") {
     val s = spark

@@ -250,10 +250,43 @@ class SkewJoinRewriteSpec extends AnyFunSuite {
     val plainSemi = semi.collect().map(_.toSeq).toSet
     val plainAnti = anti.collect().map(_.toSeq).toSet
     withRewrite(s) {
+      // the rewrite must actually fire here, or the equalities below
+      // pass vacuously against plain joins
+      assert(semi.queryExecution.executedPlan.toString
+        .contains("__graft_skew"))
+      assert(anti.queryExecution.executedPlan.toString
+        .contains("__graft_skew"))
       assert(semi.collect().map(_.toSeq).toSet == plainSemi)
       assert(anti.collect().map(_.toSeq).toSet == plainAnti)
       assert(anti.filter(col("k").isNull).count() ==
         l.filter(col("k").isNull).count())
+    }
+  }
+
+  test("preserved-side pricing: a hot probe key MISSING from the right " +
+    "(out_rows 0 — the not-in-the-blocklist shape) still salts for " +
+    "outer/anti, and the results stay identical") {
+    val s = spark
+    val (l, r0) = outerSides(s)
+    // drop the hot key 0 from the right entirely: inner pricing would
+    // compute out_rows = n_left x 0 = 0 and never treat it
+    val r = r0.filter(col("rk") =!= 0L)
+    def outer = l.join(r, col("k") === col("rk"), "left")
+      .select("lid", "k", "rk", "lv", "rv")
+    def anti = l.join(r, col("k") === col("rk"), "left_anti")
+    val plainOuter = outer.collect().map(_.toSeq).toSet
+    val plainAnti = anti.collect().map(_.toSeq).toSet
+    withRewrite(s) {
+      val po = outer.queryExecution.executedPlan.toString
+      assert(po.contains("__graft_skew"),
+        s"hot-but-unmatched key must salt under preserved pricing:\n$po")
+      assert(outer.collect().map(_.toSeq).toSet == plainOuter)
+      val pa = anti.queryExecution.executedPlan.toString
+      assert(pa.contains("__graft_skew"), pa)
+      assert(anti.collect().map(_.toSeq).toSet == plainAnti)
+      // every hot-key row survives the anti (its key is not blocked)
+      assert(anti.filter(col("k") === 0L).count() ==
+        l.filter(col("k") === 0L).count())
     }
   }
 
