@@ -167,6 +167,23 @@ object Unigram {
     * space is DATA-dependent (a multilingual 100 TB corpus holds tens
     * of millions of distinct short pieces), unlike the bounded-
     * cardinality tables the global-window convention is reserved for. */
+  /** Strict less-than over UTF-8 bytes (unsigned, lexicographic) — the
+    * exact string order Spark's UTF8String and DuckDB's binary collation
+    * share; Scala's natural String order compares UTF-16 code units and
+    * ranks surrogate pairs (supplementary-plane chars) differently. */
+  private[llm] def utf8Less(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
   def train(spark: SparkSession, docs: DataFrame, maxPieceLen: Int = 4,
       seedSize: Int = 60, iters: Int = 2, vocabSize: Int = 0)
       : UnigramModel = {
@@ -212,7 +229,14 @@ object Unigram {
         // single chars survive regardless (segmentability invariant).
         // Integer ¾ (|V|·3 div 4) so DuckDB's (nv * 3) // 4 replays it.
         val target = math.max(vocabSize, counts.size * 3 / 4)
-        val keep = counts.toSeq.sortBy { case (p, n) => (-n, p) }
+        // tie-break by UTF-8 bytes, not Scala's UTF-16 code units: Spark
+        // (UTF8String) and DuckDB both order strings by UTF-8 binary, and
+        // for equal-count pieces containing supplementary-plane chars
+        // (emoji, rare CJK) the two orders diverge — a UTF-16 sort here
+        // would keep a different piece set than the oracle's prune CTE
+        // and seedSelect's distributed order (r16 advice fix)
+        val keep = counts.toSeq.sortWith { case ((pa, na), (pb, nb)) =>
+            if (na != nb) na > nb else utf8Less(pa, pb) }
           .iterator.zipWithIndex.collect {
             case ((p, _), i) if p.length == 1 || i < target => p
           }.toSet

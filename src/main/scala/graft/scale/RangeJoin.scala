@@ -100,7 +100,15 @@ object RangeJoin {
     val guardedHi = {
       val lob = bucketOf(col(loCol))
       val hib = bucketOf(col(hiCol))
-      when(hib - lob < lit(MaxBucketsPerInterval), hib)
+      // overflow-safe span compare (r16 advice): hib - lob in Long wraps
+      // negative when both buckets are representable but the difference
+      // exceeds Long range (lo near -2^62, hi near +2^62 — exactly the
+      // pathological-sentinel inputs the guard targets), and the wrapped
+      // negative would PASS the < cap check, handing sequence() the
+      // blowup this guard promises to catch loudly. DECIMAL(21,0)
+      // subtraction is exact over the full Long range and cannot wrap.
+      val span = hib.cast("decimal(21,0)") - lob.cast("decimal(21,0)")
+      when(span < lit(MaxBucketsPerInterval), hib)
         .otherwise(raise_error(
           concat(lit("range join: an interval covers >= " +
               s"$MaxBucketsPerInterval buckets (lo="),

@@ -123,6 +123,27 @@ class UnigramSpec extends AnyFunSuite {
     assert(pruned.vocab.collect().forall(!_.isNullAt(2)))
   }
 
+  test("prune tie-break compares UTF-8 bytes, matching Spark's string " +
+    "order where Scala's UTF-16 order diverges (r16 advice: today's " +
+    "^[a-z0-9]+$ word filter keeps pieces ASCII, so this hardens the " +
+    "driver sort against any future alphabet widening)") {
+    val s = spark
+    import s.implicits._
+    val smiley = new String(Character.toChars(0x1F600)) // supplementary
+    val pieces = Seq("a", "ab", "z", "\u00e9", "\uFFFD", smiley,
+      smiley + "a", "")
+    val utf8Sorted = pieces.sortWith(Unigram.utf8Less)
+    // the orders genuinely diverge on this set: UTF-16 code units rank
+    // the surrogate pair (0xD83D...) BELOW U+E000/U+FFFD, UTF-8 above
+    assert(pieces.sorted != utf8Sorted,
+      "fixture must exercise the divergence or the pin is vacuous")
+    val sparkOrder = pieces.toDF("piece").orderBy("piece")
+      .collect().map(_.getString(0)).toSeq
+    assert(utf8Sorted == sparkOrder,
+      s"driver sort must replay Spark's binary order: $utf8Sorted " +
+        s"vs $sparkOrder")
+  }
+
   test("multi-round prune shrinks by 3/4 toward vocabSize and stops " +
     "once at/below it") {
     val s = spark

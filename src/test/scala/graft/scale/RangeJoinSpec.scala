@@ -72,4 +72,25 @@ class RangeJoinSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == Set((1L, 10L)))
   }
+
+  test("span guard stays LOUD when the bucket difference overflows Long " +
+    "(r16 advice: lo near -2^62, hi near +2^62 — the wrapped negative " +
+    "must not slip past the cap into a sequence() blow-up)") {
+    val s = spark
+    import s.implicits._
+    val points = Seq((1L, 0.0)).toDF("event_id", "p")
+    // buckets lob = -4.8e18 and hib = +4.8e18 are both representable
+    // Longs, but hib - lob = 9.6e18 > Long.MaxValue wraps to -8.85e18,
+    // which the pre-fix `hib - lob < cap` check accepted
+    val win = Seq((10L, -4.8e18, 4.8e18)).toDF("window_id", "lo", "hi")
+    val err = intercept[Exception] {
+      RangeJoin.pointInIntervalNum(points, "p", win, "lo", "hi",
+        bucketWidth = 1.0).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(err).exists(_.contains("covers >=")),
+      s"expected the loud span-cap error, got: $err")
+  }
 }
