@@ -1763,8 +1763,8 @@ object Curation {
       .agg(min("chunk_key").as("rep_key"), min("chunk_text").as("text"))
 
   /** The persistable PARAGRAPH-dedup index — [[paragraphDedup]]'s state
-    * split into the three relations an incremental/streaming pipeline
-    * stores once and probes per batch ([[graft.llm.Dedup.shingleIndex]]
+    * split into the relations an incremental/streaming pipeline stores
+    * once and probes per batch ([[graft.llm.Dedup.shingleIndex]]
     * / signatureIndex discipline, per-paragraph):
     *
     *   - `exact`: (_h, rep_key) — every distinct historical chunk text
@@ -1774,21 +1774,41 @@ object Curation {
     *     representatives (doc_id = rep_key) — banded candidate
     *     generation against new paragraphs without re-hashing history;
     *   - `shingles`: [[Dedup.shingleIndex]] rows over the same
-    *     representatives — the exact-Jaccard rescore side.
+    *     representatives — the exact-Jaccard rescore side;
+    *   - `members`: (doc_id, chunk_key, _h) — every historical chunk's
+    *     group membership, the narrow (keys + md5, NO text) relation
+    *     that makes [[retireFromParagraphIndex]] possible without
+    *     re-chunking history: dropping a doc must RE-ELECT the
+    *     representatives of the groups whose rep died, and membership
+    *     is exactly the information the three probe relations compress
+    *     away. Probes never read it — it costs probe time nothing.
+    *
+    * `maxRepKey` is the ordering-contract watermark (max rep_key over
+    * `exact`) carried as WRITE-TIME METADATA (r16 verdict task 5):
+    * every builder/appender maintains it, so the per-probe contract
+    * check is a metadata compare instead of a full index scan. None =
+    * unknown (hand-built model, or post-retire) — the probe falls back
+    * to the one-row agg, and [[saveParagraphIndex]] resolves it from
+    * the written store.
     *
     * At corpus scale store `bands` bucketed on (band_idx, band_hash)
     * and `shingles` on sh (graft.scale.Bucketing) so batch probes join
-    * with zero index exchange; retire via [[Dedup.retireFromIndex]]
-    * (all three are doc_id/rep_key-keyed) and compact via
-    * [[graft.scale.StoreMaint.replaceStore]]. */
+    * with zero index exchange; retire via
+    * [[retireFromParagraphIndex]] (doc removal + representative
+    * re-election) and compact via [[compactParagraphIndexStore]]
+    * ([[graft.scale.StoreMaint.replaceStore]]'s swap discipline per
+    * relation). */
   case class ParagraphIndexModel(
       exact: DataFrame, bands: DataFrame, shingles: DataFrame,
+      members: DataFrame,
       chunkSize: Int, k: Int, numHashes: Int, nBands: Int,
-      oracleHashes: Boolean, maxChunksPerDoc: Long)
+      oracleHashes: Boolean, maxChunksPerDoc: Long,
+      maxRepKey: Option[Long] = None)
 
   /** Build the [[ParagraphIndexModel]] over a historical corpus: ONE
     * chunk pass (persisted), exact grouping, then band/shingle passes
-    * over representatives only. */
+    * over representatives only; the watermark agg doubles as the group
+    * relation's materializing action. */
   def paragraphIndex(docs: DataFrame, chunkSize: Int = 8, k: Int = 3,
       numHashes: Int = 8, nBands: Int = 4, oracleHashes: Boolean = false,
       maxChunksPerDoc: Long = 100000L): ParagraphIndexModel = {
@@ -1800,36 +1820,53 @@ object Curation {
     val groups = PipelineCaches.track(chunkGroups(chunks)
       .persist(StorageLevel.MEMORY_AND_DISK))
     val reps = groups.select(col("rep_key").as("doc_id"), col("text"))
+    val mx = groups.agg(max("rep_key")).collect()(0)
     ParagraphIndexModel(
       groups.select("_h", "rep_key"),
       Dedup.signatureIndex(reps, k, numHashes, nBands, oracleHashes),
       Dedup.shingleIndex(reps, k),
-      chunkSize, k, numHashes, nBands, oracleHashes, maxChunksPerDoc)
+      chunks.select(col("doc_id").cast("long").as("doc_id"),
+        col("chunk_key"), col("_h")),
+      chunkSize, k, numHashes, nBands, oracleHashes, maxChunksPerDoc,
+      maxRepKey = if (mx.isNullAt(0)) None else Some(mx.getLong(0)))
   }
 
-  /** Persist a [[ParagraphIndexModel]]: the three relations plus a
+  /** Persist a [[ParagraphIndexModel]]: the four relations plus a
     * one-row meta table — the [[graft.llm.Bpe.saveBpeModel]] /
-    * saveIvfIndex trained-artifact layout. At corpus scale write
+    * saveIvfIndex trained-artifact layout. An unknown watermark
+    * (maxRepKey None — a post-retire model) is resolved here from the
+    * WRITTEN exact relation (a narrow scan of data just written), so a
+    * loaded store always probes metadata-cheap. At corpus scale write
     * `bands`/`shingles` through graft.scale.Bucketing instead (bucketed
-    * on their probe keys) and maintain via
-    * [[graft.scale.StoreMaint.replaceStore]]; retire is a REBUILD of
-    * the affected groups (dropping a representative's rows would
-    * orphan its group's keep-one decisions), which replaceStore's
-    * filtered-rebuild contract covers. */
+    * on their probe keys); retire via [[retireFromParagraphIndex]] and
+    * compact via [[compactParagraphIndexStore]]. */
   def saveParagraphIndex(index: ParagraphIndexModel, path: String): Unit = {
     index.exact.write.mode("overwrite").parquet(s"$path/exact")
     index.bands.write.mode("overwrite").parquet(s"$path/bands")
     index.shingles.write.mode("overwrite").parquet(s"$path/shingles")
+    index.members.write.mode("overwrite").parquet(s"$path/members")
+    val spark = index.exact.sparkSession
+    val resolved = index.maxRepKey.orElse {
+      val r = spark.read.parquet(s"$path/exact")
+        .agg(max("rep_key")).collect()(0)
+      if (r.isNullAt(0)) None else Some(r.getLong(0))
+    }
+    writeParagraphMeta(index, resolved, path)
+  }
+
+  private def writeParagraphMeta(index: ParagraphIndexModel,
+      maxRepKey: Option[Long], path: String): Unit =
     index.exact.sparkSession.range(1).select(
         lit(index.chunkSize).as("chunk_size"), lit(index.k).as("k"),
         lit(index.numHashes).as("num_hashes"), lit(index.nBands).as("n_bands"),
         lit(index.oracleHashes).as("oracle_hashes"),
-        lit(index.maxChunksPerDoc).as("max_chunks_per_doc"))
+        lit(index.maxChunksPerDoc).as("max_chunks_per_doc"),
+        maxRepKey.map(v => lit(v)).getOrElse(lit(null))
+          .cast("long").as("max_rep_key"))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
-  }
 
   /** Reload a persisted paragraph index (one-row meta collect; the
-    * three relations stay distributed scans). */
+    * four relations stay distributed scans). */
   def loadParagraphIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): ParagraphIndexModel = {
     val m = spark.read.parquet(s"$path/meta").collect()(0)
@@ -1837,10 +1874,111 @@ object Curation {
       spark.read.parquet(s"$path/exact"),
       spark.read.parquet(s"$path/bands"),
       spark.read.parquet(s"$path/shingles"),
+      spark.read.parquet(s"$path/members"),
       m.getAs[Int]("chunk_size"), m.getAs[Int]("k"),
       m.getAs[Int]("num_hashes"), m.getAs[Int]("n_bands"),
       m.getAs[Boolean]("oracle_hashes"),
-      m.getAs[Long]("max_chunks_per_doc"))
+      m.getAs[Long]("max_chunks_per_doc"),
+      maxRepKey = if (m.isNullAt(m.fieldIndex("max_rep_key"))) None
+        else Some(m.getAs[Long]("max_rep_key")))
+  }
+
+  /** Remove a set of documents from a [[ParagraphIndexModel]] WITHOUT
+    * re-chunking history (r16 verdict task 4 — crawl deletions and
+    * takedowns; the store-maintenance contract every other index
+    * already has). The result equals `paragraphIndex(corpus ∖ retired)`
+    * — the StoreMaintSpec round-trip re-proves it — and the
+    * interesting part is representative RE-ELECTION: a group whose
+    * min-key representative belonged to a retired doc re-elects the
+    * smallest SURVIVING member, and because every member of an exact
+    * group carries the IDENTICAL text, re-election never re-hashes or
+    * re-bands anything — the group's band/shingle rows just renumber
+    * from the dead rep key to the new one. Groups with no surviving
+    * member drop from all relations.
+    *
+    * Scale shape: one anti-join over the narrow members relation, a
+    * semi-join-bounded re-election agg (bounded by the retired docs'
+    * chunk count), and a renumber join of bands/shingles against the
+    * (old_rep → new_rep) mapping (same bound). The returned model's
+    * maxRepKey is None — re-election can RAISE the watermark (the old
+    * min died), and resolving it eagerly would materialize the lazy
+    * retire pipeline; the next probe's fallback agg or
+    * [[saveParagraphIndex]] resolves it. */
+  def retireFromParagraphIndex(index: ParagraphIndexModel,
+      retiredIds: DataFrame): ParagraphIndexModel = {
+    val retired = retiredIds.select(col("doc_id").cast("long").as("doc_id"))
+    // chunk keys owned by retired docs — the keys whose death matters
+    val retiredKeys = index.members
+      .join(retired, Seq("doc_id"), "left_semi")
+      .select(col("chunk_key").as("rep_key"))
+    val members2 = index.members.join(retired, Seq("doc_id"), "left_anti")
+    // groups whose CURRENT representative dies
+    val affected = index.exact
+      .join(retiredKeys, Seq("rep_key"), "left_semi")
+    // re-election: smallest surviving member per affected group
+    // (absent = the whole group died)
+    val reElected = members2
+      .join(affected.select("_h"), Seq("_h"), "left_semi")
+      .groupBy("_h").agg(min("chunk_key").as("rep_key"))
+    val exact2 = index.exact
+      .join(affected.select("_h"), Seq("_h"), "left_anti")
+      .unionByName(reElected.select("_h", "rep_key"))
+    // old rep -> new rep (NULL = dead group); old reps are globally
+    // unique chunk keys, so the renumber join replicates nothing
+    val mapping = affected
+      .select(col("_h"), col("rep_key").as("_old_rep"))
+      .join(reElected.select(col("_h"), col("rep_key").as("_new_rep")),
+        Seq("_h"), "left")
+      .select("_old_rep", "_new_rep")
+    def renumber(rel: DataFrame): DataFrame =
+      rel.join(mapping, col("doc_id") === col("_old_rep"), "left")
+        .filter(col("_old_rep").isNull || col("_new_rep").isNotNull)
+        .withColumn("doc_id", coalesce(col("_new_rep"), col("doc_id")))
+        .drop("_old_rep", "_new_rep")
+    index.copy(exact = exact2, bands = renumber(index.bands),
+      shingles = renumber(index.shingles), members = members2,
+      maxRepKey = None)
+  }
+
+  /** [[retireFromParagraphIndex]] for a driver-held id batch. */
+  def retireFromParagraphIndex(index: ParagraphIndexModel,
+      retiredIds: Seq[Long]): ParagraphIndexModel = {
+    import index.exact.sparkSession.implicits._
+    retireFromParagraphIndex(index, retiredIds.toDF("doc_id"))
+  }
+
+  /** Retire + compact a PERSISTED paragraph store in place: load,
+    * retire, MATERIALIZE the replacement (each replacement's lineage
+    * reads the live relations — swapping `exact` first would make the
+    * bands renumber re-read the already-retired exact and find nothing
+    * to renumber), then swap every relation through
+    * [[graft.scale.StoreMaint.replaceStore]]'s verified-rename
+    * discipline and rewrite the meta LAST with the recomputed
+    * watermark. Returns the retained exact-group count. Run from the
+    * writer that owns the store (the replaceStore caveat, per
+    * relation). */
+  def compactParagraphIndexStore(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      retiredIds: Seq[Long], targetFiles: Int = 0): Long = {
+    val retired = retireFromParagraphIndex(
+      loadParagraphIndex(spark, path), retiredIds)
+    val materialized = retired.copy(
+      exact = retired.exact.localCheckpoint(true),
+      bands = retired.bands.localCheckpoint(true),
+      shingles = retired.shingles.localCheckpoint(true),
+      members = retired.members.localCheckpoint(true))
+    val kept = graft.scale.StoreMaint.replaceStore(
+      spark, s"$path/exact", materialized.exact, targetFiles)
+    graft.scale.StoreMaint.replaceStore(
+      spark, s"$path/bands", materialized.bands, targetFiles)
+    graft.scale.StoreMaint.replaceStore(
+      spark, s"$path/shingles", materialized.shingles, targetFiles)
+    graft.scale.StoreMaint.replaceStore(
+      spark, s"$path/members", materialized.members, targetFiles)
+    val mx = materialized.exact.agg(max("rep_key")).collect()(0)
+    writeParagraphMeta(materialized,
+      if (mx.isNullAt(0)) None else Some(mx.getLong(0)), path)
+    kept
   }
 
   /** Incremental paragraph dedup — the batch-probe twin of
@@ -1890,22 +2028,29 @@ object Curation {
     * paths ([[graft.streaming.StreamingPipeline.ParagraphDedupIndex]]
     * delegates here — one primitive, so batch and streaming cannot
     * drift). `chunks` must be MATERIALIZED (persisted/checkpointed).
-    * Returns (per-doc clean output, append delta) where the delta holds
-    * the batch's NEW representatives' exact/band/shingle rows — exactly
-    * what [[paragraphIndex]] would have produced for them. */
+    * Returns (per-doc clean output, append delta) where the delta
+    * holds the batch's NEW representatives' exact/band/shingle rows —
+    * exactly what [[paragraphIndex]] would have produced for them —
+    * plus ALL batch chunks' membership rows, and whose `maxRepKey` is
+    * the POST-APPEND watermark (max of history's and the batch's new
+    * reps'), so appenders adopt it directly. */
   private[graft] def paragraphProbeCore(index: ParagraphIndexModel,
       chunks: DataFrame, threshold: Double, minEstJaccard: Double)
       : (DataFrame, ParagraphIndexModel) = {
-    // ordering contract (scaladoc above): bounded one-row aggs; a
-    // production store keeps max_rep_key as write-time metadata
-    val maxHist = index.exact.agg(max("rep_key")).collect()(0)
-    if (!maxHist.isNullAt(0)) {
+    // ordering contract (scaladoc above): a metadata compare when the
+    // store carries its write-time watermark (r16 verdict task 5 —
+    // previously a FULL index scan per probe/micro-batch), the bounded
+    // one-row agg only for hand-built models that don't
+    val maxHistOpt: Option[Long] = index.maxRepKey.orElse {
+      val r = index.exact.agg(max("rep_key")).collect()(0)
+      if (r.isNullAt(0)) None else Some(r.getLong(0))
+    }
+    maxHistOpt.foreach { maxHist =>
       val minBatch = chunks.agg(min("chunk_key")).collect()(0)
-      require(minBatch.isNullAt(0) ||
-        minBatch.getLong(0) > maxHist.getLong(0),
+      require(minBatch.isNullAt(0) || minBatch.getLong(0) > maxHist,
         s"batch chunk keys must exceed every historical representative " +
           s"key (batch min ${if (minBatch.isNullAt(0)) "none"
-          else minBatch.getLong(0)} <= index max ${maxHist.getLong(0)}); " +
+          else minBatch.getLong(0)} <= index max $maxHist); " +
           "assign new docs increasing ids (crawl-refresh contract)")
     }
     val bGroups = PipelineCaches.track(chunkGroups(chunks)
@@ -1975,10 +2120,21 @@ object Curation {
         expr("array_join(transform(filter(array_sort(" +
           "collect_list(struct(chunk_idx, _keep, chunk_text))), " +
           "x -> x._keep = 1), x -> x.chunk_text), ' ')").as("clean_text"))
+    // post-append watermark: one batch-bounded agg on the persisted
+    // group relation (new reps only — their keys are batch chunk keys)
+    val newRepMax = bGroups.filter(col("_hist_rep").isNull)
+      .agg(max("rep_key")).collect()(0)
+    val appendedMax = (maxHistOpt.toSeq ++
+      (if (newRepMax.isNullAt(0)) Nil else Seq(newRepMax.getLong(0))))
+      .reduceOption(_ max _)
     val delta = ParagraphIndexModel(
       bGroups.filter(col("_hist_rep").isNull).select("_h", "rep_key"),
-      nbBands, nbShingles, index.chunkSize, index.k, index.numHashes,
-      index.nBands, index.oracleHashes, index.maxChunksPerDoc)
+      nbBands, nbShingles,
+      chunks.select(col("doc_id").cast("long").as("doc_id"),
+        col("chunk_key"), col("_h")),
+      index.chunkSize, index.k, index.numHashes,
+      index.nBands, index.oracleHashes, index.maxChunksPerDoc,
+      maxRepKey = appendedMax)
     (out, delta)
   }
 

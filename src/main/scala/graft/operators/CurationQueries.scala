@@ -471,6 +471,54 @@ object CurationQueries {
         planted.unionAll(recrawl), threshold = 0.8)
     },
 
+    // paragraph-index RETIREMENT (r16 verdict task 4 — takedowns /
+    // crawl deletions without re-chunking history, with representative
+    // RE-ELECTION): history = corpus ∪ verbatim copies of every 15th
+    // doc at +base; retire the ORIGINAL every-15th docs (their exact
+    // groups' min-key representatives die, and the surviving +base
+    // copies must be re-elected — identical text, so the band/shingle
+    // rows renumber) plus every 7th doc (groups with no survivors drop
+    // entirely). The probe batch then re-crawls the RETIRED docs at
+    // +3·base (a takedown-then-recrawl) alongside near-dup plants at
+    // +2·base. The oracle recomputes the witness rule over the
+    // FILTERED corpus ∪ batch — a dropped or stale-rep group would
+    // change the keep-one decisions and break the hash, so a green row
+    // proves retire == filtered rebuild, re-election included
+    "q_paragraph_retire" -> { (s, dir) =>
+      val d = docs(s, dir).select("doc_id", "text")
+      val base = d.agg(max(col("doc_id")).cast("long"))
+        .collect()(0).getLong(0) + 1L
+      val copies = d.filter(col("doc_id") % 15 === 0)
+        .select((col("doc_id") + base).as("doc_id"), col("text"))
+      val idx = graft.llm.Curation.paragraphIndex(d.unionAll(copies),
+        chunkSize = 8, k = 3, numHashes = 8, nBands = 4,
+        oracleHashes = true)
+      val retired = d.filter(
+          col("doc_id") % 15 === 0 || col("doc_id") % 7 === 0)
+        .select(col("doc_id"))
+      // serve from a COMPACTED index, as production would: retire's
+      // relations are lazy join pipelines over the live store, and the
+      // probe consumes each several times — compactParagraphIndexStore
+      // materializes before swapping for exactly this reason (its
+      // StoreMaintSpec round-trip covers the store path; this entry
+      // checkpoints in place to keep the bench filesystem-free)
+      val idx2r = graft.llm.Curation.retireFromParagraphIndex(idx, retired)
+      val idx2 = idx2r.copy(
+        exact = idx2r.exact.localCheckpoint(true),
+        bands = idx2r.bands.localCheckpoint(true),
+        shingles = idx2r.shingles.localCheckpoint(true),
+        members = idx2r.members.localCheckpoint(true))
+      val planted = d.filter(col("doc_id") % 10 === 0)
+        .withColumn("_w", split(col("text"), " "))
+        .select((col("doc_id") + 2L * base).as("doc_id"),
+          concat(array_join(slice(col("_w"), 1, 8), " "),
+            lit(" zq zr qx qy qz qw qv qu")).as("text"))
+      val recrawl = d.filter(col("doc_id") % 15 === 0)
+        .select((col("doc_id") + 3L * base).as("doc_id"), col("text"))
+      graft.llm.Curation.paragraphDedupIncremental(idx2,
+        planted.unionAll(recrawl), threshold = 0.8)
+    },
+
     // STREAMING paragraph dedup under the hash gate (the
     // q_stream_containment discipline pointed at the paragraph
     // capstone, in the TRUE crawl-refresh shape): the corpus is indexed
@@ -743,25 +791,18 @@ object CurationQueries {
     (head +: stages).mkString(",\n")
   }
 
-  /** Shared restricted-recompute oracle of q_paragraph_incremental and
-    * q_stream_paragraph: the FULL all-chunks witness rule over
-    * (corpus ∪ near-dup plants ∪ verbatim re-crawls), restricted to the
-    * refresh docs. The streaming entry's two drained refresh batches
-    * are exactly the incremental entry's batch set, so ONE oracle
-    * proves both paths equal the batch recompute. */
-  private lazy val paragraphRefreshOracleSql: String =
+  /** Restricted-recompute oracle GENERATOR for the paragraph-dedup
+    * family: the FULL all-chunks witness rule (chunking, exact
+    * cliques, banded near-dup + exact rescore, keep-one) over the
+    * corpus built by `t0Body` — a UNION ALL block selecting
+    * (doc_id, text), free to reference the `bb` base CTE — restricted
+    * to the docs satisfying `restrict`. One generator, so every
+    * paragraph-family oracle replays the SAME witness rule. */
+  private def paragraphRestrictedOracle(t0Body: String,
+      restrict: String): String =
     s"""WITH bb AS (SELECT max(doc_id) + 1 AS base FROM documents),
            |t0 AS (
-           |  SELECT doc_id, text FROM documents
-           |  UNION ALL
-           |  SELECT doc_id + (SELECT base FROM bb) AS doc_id,
-           |    array_to_string(w[1:8], ' ') || ' zq zr qx qy qz qw qv qu'
-           |      AS text
-           |  FROM (SELECT doc_id, string_split(text, ' ') AS w
-           |        FROM documents WHERE doc_id % 10 = 0)
-           |  UNION ALL
-           |  SELECT doc_id + 2 * (SELECT base FROM bb) AS doc_id, text
-           |  FROM documents WHERE doc_id % 15 = 0),
+           |$t0Body),
            |tw AS (
            |  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w
            |  FROM t0),
@@ -797,8 +838,57 @@ object CurationQueries {
            |    AS n_dropped,
            |  coalesce(string_agg(CASE WHEN keep THEN chunk_text END, ' '
            |    ORDER BY chunk_idx), '') AS clean_text
-           |FROM j WHERE doc_id >= (SELECT base FROM bb)
+           |FROM j WHERE $restrict
            |GROUP BY doc_id""".stripMargin
+
+  /** Shared restricted-recompute oracle of q_paragraph_incremental and
+    * q_stream_paragraph: the witness rule over (corpus ∪ near-dup
+    * plants ∪ verbatim re-crawls), restricted to the refresh docs. The
+    * streaming entry's two drained refresh batches are exactly the
+    * incremental entry's batch set, so ONE oracle proves both paths
+    * equal the batch recompute. */
+  private lazy val paragraphRefreshOracleSql: String =
+    paragraphRestrictedOracle(
+      """  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + (SELECT base FROM bb) AS doc_id,
+        |    array_to_string(w[1:8], ' ') || ' zq zr qx qy qz qw qv qu'
+        |      AS text
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w
+        |        FROM documents WHERE doc_id % 10 = 0)
+        |  UNION ALL
+        |  SELECT doc_id + 2 * (SELECT base FROM bb) AS doc_id, text
+        |  FROM documents WHERE doc_id % 15 = 0""".stripMargin,
+      "doc_id >= (SELECT base FROM bb)")
+
+  /** Restricted-recompute oracle of q_paragraph_retire: the SAME
+    * witness rule over the POST-RETIREMENT corpus — originals minus
+    * the retired docs (every 15th and every 7th), plus the surviving
+    * verbatim copies of every 15th at +base — with the probe batch
+    * (near-dup plants at +2·base, re-crawls of the RETIRED every-15th
+    * docs at +3·base), restricted to the batch docs. A green hash
+    * proves the retired index equals the filtered rebuild INCLUDING
+    * representative re-election: the re-crawled docs' exact twins are
+    * the +base copies whose groups re-elected after their original
+    * representatives died — a dropped or stale-rep group would change
+    * the keep-one witness and break the hash. */
+  private lazy val paragraphRetireOracleSql: String =
+    paragraphRestrictedOracle(
+      """  SELECT doc_id, text FROM documents
+        |  WHERE doc_id % 15 <> 0 AND doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + (SELECT base FROM bb) AS doc_id, text
+        |  FROM documents WHERE doc_id % 15 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2 * (SELECT base FROM bb) AS doc_id,
+        |    array_to_string(w[1:8], ' ') || ' zq zr qx qy qz qw qv qu'
+        |      AS text
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w
+        |        FROM documents WHERE doc_id % 10 = 0)
+        |  UNION ALL
+        |  SELECT doc_id + 3 * (SELECT base FROM bb) AS doc_id, text
+        |  FROM documents WHERE doc_id % 15 = 0""".stripMargin,
+      "doc_id >= 2 * (SELECT base FROM bb)")
 
   /** DuckDB replay of [[graft.llm.Unigram.train]]: seeding (substring
     * counts → top-`seedSize` ∪ single-chars → smoothed v0) and `iters`
@@ -2117,6 +2207,7 @@ object CurationQueries {
     // q_paragraph_dedup's oracle, so equality proves the incremental
     // path loses (and invents) nothing
     "q_paragraph_incremental" -> paragraphRefreshOracleSql,
+    "q_paragraph_retire" -> paragraphRetireOracleSql,
 
     // the streamed refresh drains to the SAME batch set -> same oracle
     "q_stream_paragraph" -> paragraphRefreshOracleSql,
@@ -2517,6 +2608,7 @@ object CurationQueries {
     "q_unigram_fertility" -> Seq("lang"),
     "q_paragraph_dedup" -> Seq("doc_id"),
     "q_paragraph_incremental" -> Seq("doc_id"),
+    "q_paragraph_retire" -> Seq("doc_id"),
     "q_stream_paragraph" -> Seq("doc_id"),
     "q_unigram_encode" -> Seq("doc_id"),
     "q_bpe_encode" -> Seq("doc_id"),

@@ -21,28 +21,35 @@ object EventQueries {
   }
 
   /** Shared conf scaffold of the skew-rewrite entries (inner / outer /
-    * anti — ONE copy so a future `spark.graft.skewJoin.*` knob is
-    * threaded once, not three times): enable the rule at the fixture
-    * thresholds (targetRows 200 salts the planted hot key at every
-    * fixture scale), disable auto-broadcast (the fixture sides are
-    * tiny and the rule CORRECTLY declines joins the planner would
-    * broadcast — the 100 TB case this simulates has both sides far
-    * above the threshold), and restore every conf on every exit. */
-  private def withSkewRewriteConfs[T](s: SparkSession)(body: => T): T = {
+    * anti / multi / full / sampled — ONE copy so a
+    * `spark.graft.skewJoin.*` knob is threaded once, not six times):
+    * enable the rule at the fixture thresholds (targetRows 200 salts
+    * the planted hot key at every fixture scale), disable
+    * auto-broadcast (the fixture sides are tiny and the rule CORRECTLY
+    * declines joins the planner would broadcast — the 100 TB case this
+    * simulates has both sides far above the threshold), optionally set
+    * the sampled-diagnosis rate, and restore every conf on every
+    * exit. */
+  private def withSkewRewriteConfs[T](s: SparkSession,
+      sampleRate: Option[String] = None,
+      targetRows: String = "200")(body: => T): T = {
     graft.functions.GraftExtensions.register(s)
     val prevOn = s.conf.get("spark.graft.skewJoin.rewrite", "false")
     val prevTarget = s.conf.get("spark.graft.skewJoin.targetRows", "5000000")
     val prevTop = s.conf.get("spark.graft.skewJoin.topN", "20")
+    val prevRate = s.conf.get("spark.graft.skewJoin.sampleRate", "1.0")
     val prevBcast = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
     s.conf.set("spark.graft.skewJoin.rewrite", "true")
-    s.conf.set("spark.graft.skewJoin.targetRows", "200")
+    s.conf.set("spark.graft.skewJoin.targetRows", targetRows)
     s.conf.set("spark.graft.skewJoin.topN", "5")
+    sampleRate.foreach(r => s.conf.set("spark.graft.skewJoin.sampleRate", r))
     s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try body
     finally {
       s.conf.set("spark.graft.skewJoin.rewrite", prevOn)
       s.conf.set("spark.graft.skewJoin.targetRows", prevTarget)
       s.conf.set("spark.graft.skewJoin.topN", prevTop)
+      s.conf.set("spark.graft.skewJoin.sampleRate", prevRate)
       s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBcast)
     }
   }
@@ -333,6 +340,110 @@ object EventQueries {
         val plan = out.queryExecution.executedPlan.toString
         require(plan.contains("__graft_skew"),
           "anti skew rewrite did not fire; the entry would not " +
+            "exercise it")
+        require(!plan.contains("CartesianProduct") &&
+          !plan.contains("BroadcastNestedLoopJoin"),
+          "skew-join rewrite must not introduce a cartesian")
+        out.localCheckpoint(true)
+      }
+    },
+
+    // the salted rewrite on a COMPOSITE key (r16 verdict task 3): the
+    // production (tenant_id, day)-keyed join shape — a planted hot
+    // TUPLE (k=0, day=7) on every 3rd event, the rest spread over
+    // (≤500 keys × 5 days) — written as a plain two-equality join and
+    // salted automatically. The tuple-wise decomposition (tag joins
+    // and the hot path's USING list carry every key column) is
+    // re-proven by the plain two-key join oracle every round
+    "q_salted_join_rewrite_multi" -> { (s, dir) =>
+      val e = events(s, dir).select(col("event_id"),
+        when(col("event_id") % 3 === 0, 0L)
+          .otherwise(pmod(col("user_id"), lit(500L)) + 1L).as("k"),
+        when(col("event_id") % 3 === 0, 7L)
+          .otherwise(pmod(col("event_id"), lit(5L))).as("day"),
+        col("value"))
+      val r = e.groupBy("k", "day")
+        .agg(count(lit(1)).cast("bigint").as("n_r"))
+      withSkewRewriteConfs(s) {
+        val out = e.join(r, Seq("k", "day"))
+          .select("event_id", "k", "day", "value", "n_r")
+        val plan = out.queryExecution.executedPlan.toString
+        require(plan.contains("__graft_skew"),
+          "composite-key skew rewrite did not fire; the entry would " +
+            "not exercise it")
+        require(!plan.contains("CartesianProduct") &&
+          !plan.contains("BroadcastNestedLoopJoin"),
+          "skew-join rewrite must not introduce a cartesian")
+        out.localCheckpoint(true)
+      }
+    },
+
+    // the salted rewrite composing FULL OUTER (r16 verdict task 2):
+    // the planted-hot-key stream FULL-joined to a registry missing
+    // every key ≡ 2 (mod 5) and carrying a planted RIGHT-ONLY pile
+    // (k=1000, one row per event_id ≡ 0 (mod 7)) — so BOTH legs of
+    // the composition trip: the left-outer leg salts the left pile,
+    // the flipped-anti leg salts the right-only pile and null-fills
+    // it on the left. The oracle is the plain FULL JOIN with the
+    // coalesced key, so the hash gate re-proves the composition's
+    // identity (matched + left-unmatched + right-unmatched) every round
+    "q_salted_join_rewrite_full" -> { (s, dir) =>
+      // both sides CHECKPOINTED before the join: the composition's two
+      // legs (plus their two diagnoses) read each side several times,
+      // and the production full-outer reconciliation shape joins two
+      // STORED tables — without this the entry times the fixture's
+      // groupBy lineage ~7x instead of the treatment (the r16
+      // persist-what-the-machinery-rereads discipline)
+      val e = events(s, dir).select(col("event_id"),
+        when(col("event_id") % 3 === 0, 0L)
+          .otherwise(pmod(col("user_id"), lit(500L)) + 1L).as("k"),
+        col("value")).localCheckpoint(true)
+      val r = e.filter(col("k") % 5 =!= 2)
+        .groupBy("k").agg(count(lit(1)).cast("bigint").as("n_r"))
+        .unionAll(events(s, dir).filter(col("event_id") % 7 === 0)
+          .select(lit(1000L).as("k"),
+            col("event_id").cast("long").as("n_r")))
+        .localCheckpoint(true)
+      withSkewRewriteConfs(s) {
+        val out = e.join(r, Seq("k"), "full")
+          .select("event_id", "k", "value", "n_r")
+        val plan = out.queryExecution.executedPlan.toString
+        require(plan.contains("__graft_skew"),
+          "full-outer skew composition did not fire; the entry would " +
+            "not exercise it")
+        require(!plan.contains("CartesianProduct") &&
+          !plan.contains("BroadcastNestedLoopJoin"),
+          "skew-join rewrite must not introduce a cartesian")
+        out.localCheckpoint(true)
+      }
+    },
+
+    // the salted rewrite under the SAMPLED diagnosis (r16 verdict task
+    // 1, the rewrite's first-run adoption cost at 100 TB): the same
+    // planted-hot-key inner join as q_salted_join_rewrite, but the
+    // plan-time key counts come from the deterministic full-row-hash
+    // sample (priced by 3-sigma LOWER bounds, pile-aware pricing)
+    // instead of two full scans. Rate 0.25 / targetRows 100 so the
+    // sample statistically PROVES the pile at every fixture scale —
+    // the sf0.001 audit fixture's ~334-row hot pile needs
+    // (c - 3*sqrt(c))/rate > targetRows, which a production-grade
+    // 1% rate can only clear on piles >= ~100k rows (SkewProbe's diag
+    // mode carries that evidence). The oracle is the SAME plain join —
+    // a green hash proves the diagnosis mode cannot touch result
+    // identity, exactly the claim that makes sampling safe
+    "q_salted_join_rewrite_sampled" -> { (s, dir) =>
+      val e = events(s, dir).select(col("event_id"),
+        when(col("event_id") % 3 === 0, 0L)
+          .otherwise(pmod(col("user_id"), lit(500L)) + 1L).as("k"),
+        col("value"))
+      val r = e.groupBy("k").agg(count(lit(1)).cast("bigint").as("n_r"))
+      withSkewRewriteConfs(s, sampleRate = Some("0.25"),
+          targetRows = "100") {
+        val out = e.join(r, Seq("k"))
+          .select("event_id", "k", "value", "n_r")
+        val plan = out.queryExecution.executedPlan.toString
+        require(plan.contains("__graft_skew"),
+          "sampled skew diagnosis did not fire; the entry would not " +
             "exercise it")
         require(!plan.contains("CartesianProduct") &&
           !plan.contains("BroadcastNestedLoopJoin"),
@@ -884,8 +995,58 @@ object EventQueries {
         |FROM l WHERE NOT EXISTS (SELECT 1 FROM b WHERE b.k = l.k)"""
         .stripMargin,
 
+    // identical plain two-key join oracle: the composite (tuple-keyed)
+    // rewrite path must emit exactly the plain AND-equality join's set
+    "q_salted_join_rewrite_multi" ->
+      """WITH l AS (
+        |  SELECT event_id,
+        |    CASE WHEN event_id % 3 = 0 THEN 0
+        |      ELSE user_id % 500 + 1 END AS k,
+        |    CASE WHEN event_id % 3 = 0 THEN 7
+        |      ELSE event_id % 5 END AS day,
+        |    value
+        |  FROM events),
+        |r AS (SELECT k, day, CAST(count(*) AS BIGINT) AS n_r
+        |      FROM l GROUP BY 1, 2)
+        |SELECT l.event_id, l.k, l.day, l.value, r.n_r
+        |FROM l JOIN r USING (k, day)""".stripMargin,
+
+    // identical plain FULL JOIN oracle with the coalesced key: matched
+    // rows, left-unmatched null-fills (keys ≡ 2 mod 5), and the planted
+    // right-only pile (k = 1000) null-filled on the left must all hash
+    // through the composed (left-outer ∪ flipped-anti) path unchanged
+    "q_salted_join_rewrite_full" ->
+      """WITH l AS (
+        |  SELECT event_id,
+        |    CASE WHEN event_id % 3 = 0 THEN 0
+        |      ELSE user_id % 500 + 1 END AS k,
+        |    value
+        |  FROM events),
+        |r AS (SELECT k, CAST(count(*) AS BIGINT) AS n_r FROM l
+        |      WHERE k % 5 <> 2 GROUP BY 1
+        |      UNION ALL
+        |      SELECT 1000 AS k, CAST(event_id AS BIGINT) AS n_r
+        |      FROM events WHERE event_id % 7 = 0)
+        |SELECT l.event_id, COALESCE(l.k, r.k) AS k, l.value, r.n_r
+        |FROM l FULL JOIN r ON l.k = r.k""".stripMargin,
+
+    // identical plain-join oracle AGAIN for the sampled-diagnosis
+    // entry: the diagnosis mode (full scan vs deterministic 5% hash
+    // sample) must be invisible in the result set
+    "q_salted_join_rewrite_sampled" ->
+      """WITH l AS (
+        |  SELECT event_id,
+        |    CASE WHEN event_id % 3 = 0 THEN 0
+        |      ELSE user_id % 500 + 1 END AS k,
+        |    value
+        |  FROM events),
+        |r AS (SELECT k, CAST(count(*) AS BIGINT) AS n_r FROM l GROUP BY 1)
+        |SELECT l.event_id, l.k, l.value, r.n_r
+        |FROM l JOIN r USING (k)""".stripMargin,
+
     // the skew-card replay filtered to key rows with the integer-ceil
-    // salt factor
+    // salt factor, capped at n_left (r17: a factor beyond the left row
+    // count splits nothing and only multiplies the replicated side)
     "q_salting_plan" ->
       """WITH c AS (
         |  SELECT user_id AS key, CAST(count(*) AS BIGINT) AS n
@@ -897,7 +1058,8 @@ object EventQueries {
         |top AS (
         |  SELECT * FROM j ORDER BY out_rows DESC, key ASC LIMIT 20)
         |SELECT key, n_left, n_right, out_rows,
-        |  CAST((out_rows + 50000 - 1) // 50000 AS BIGINT) AS salt
+        |  CAST(LEAST((out_rows + 50000 - 1) // 50000, n_left)
+        |    AS BIGINT) AS salt
         |FROM top""".stripMargin,
 
     "q_events_windowed" ->
@@ -1203,6 +1365,11 @@ object EventQueries {
     "q_salted_join_rewrite" -> Seq("event_id"),
     "q_salted_join_rewrite_outer" -> Seq("event_id"),
     "q_salted_join_rewrite_anti" -> Seq("event_id"),
+    "q_salted_join_rewrite_multi" -> Seq("event_id"),
+    // right-only rows have NULL event_id; (k, n_r) disambiguates them
+    // (the planted pile's n_r values are distinct event ids)
+    "q_salted_join_rewrite_full" -> Seq("event_id", "k", "n_r"),
+    "q_salted_join_rewrite_sampled" -> Seq("event_id"),
     "q_event_transitions" -> Seq("from_type", "to_type"),
     "q_events_lag" -> Seq("user_id", "event_id"),
     "q_events_asof" -> Seq("event_id"),

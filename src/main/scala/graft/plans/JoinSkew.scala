@@ -24,10 +24,17 @@ object JoinSkew {
   /** The actionable half of [[joinSkewCard]]: per hot key, the SALT
     * factor that caps its join output at `targetRows` per task —
     * salt = ceil(out_rows / targetRows), integer arithmetic
-    * ((out + target − 1) div target). Keys with salt 1 need nothing;
-    * the ones above are exactly the keys a salted-join rewrite (or
-    * AQE's skew split, whose thresholds this card lets you SET) must
-    * replicate. Same count-table-only cost envelope as the skew card.
+    * ((out + target − 1) div target), CAPPED AT n_left (r17 diagnosis
+    * fix): the treatment splits the LEFT side's rows across salt
+    * buckets, so a factor beyond n_left buys no further split — a key
+    * with 1 left row and a huge right side would otherwise price a
+    * six-digit salt whose only effect is replicating the right side
+    * that many times (measured: a 1×333k key at targetRows 200 priced
+    * salt 1667 and exploded the replicated side to 555M rows). Keys
+    * with salt 1 need nothing; the ones above are exactly the keys a
+    * salted-join rewrite (or AQE's skew split, whose thresholds this
+    * card lets you SET) must replicate. Same count-table-only cost
+    * envelope as the skew card.
     */
   def saltingPlan(left: DataFrame, right: DataFrame, keyCol: String,
       targetRows: Long, topN: Int = 20): DataFrame = {
@@ -35,8 +42,8 @@ object JoinSkew {
     joinSkewCard(left, right, keyCol, topN)
       .filter(!col("is_total"))
       .select(col("key"), col("n_left"), col("n_right"), col("out_rows"),
-        expr(s"(out_rows + ${targetRows}L - 1) div ${targetRows}L")
-          .cast("bigint").as("salt"))
+        least(expr(s"(out_rows + ${targetRows}L - 1) div ${targetRows}L"),
+          col("n_left")).cast("bigint").as("salt"))
   }
 
   /** [[saltingPlan]] for PRESERVED-side joins (left outer / semi /
@@ -60,8 +67,8 @@ object JoinSkew {
     priced.orderBy(col("_price").desc, col("key").asc_nulls_last)
       .limit(topN)
       .select(col("key"), col("n_left"), col("n_right"), col("out_rows"),
-        expr(s"(_price + ${targetRows}L - 1) div ${targetRows}L")
-          .cast("bigint").as("salt"))
+        least(expr(s"(_price + ${targetRows}L - 1) div ${targetRows}L"),
+          col("n_left")).cast("bigint").as("salt"))
   }
 
   /** NULL-key semantics (round-14 advice fix): a genuine NULL join key
@@ -74,24 +81,192 @@ object JoinSkew {
     * for a null-safe (`<=>`) join and still n_left + n_right of scan
     * skew for an equi-join. The summary row is marked by a dedicated
     * `is_total` column, never by `key IS NULL`. */
-  /** Shared per-key count relation: (key, n_left, n_right, out_rows)
-    * via two map-side-combined aggregations and one full NULL-SAFE
+  /** Join two per-side count tables into the shared per-key relation
+    * (keyCols…, n_left, n_right, out_rows) with one full NULL-SAFE
     * count-table join — keys living on one side only still belong in
     * the totals (they cost scan+shuffle even though they emit
     * nothing), and the NULL key groups of the two sides must meet in
-    * ONE row, not two. */
-  private def keyCounts(left: DataFrame, right: DataFrame,
-      keyCol: String): DataFrame = {
-    val cl = left.groupBy(col(keyCol).as("key"))
-      .agg(count(lit(1)).as("_cl"))
-    val cr = right.groupBy(col(keyCol).as("_kr"))
-      .agg(count(lit(1)).as("_cr"))
-    cl.join(cr, col("key") <=> col("_kr"), "full")
-      .select(coalesce(col("key"), col("_kr")).as("key"),
-        coalesce(col("_cl"), lit(0L)).cast("bigint").as("n_left"),
-        coalesce(col("_cr"), lit(0L)).cast("bigint").as("n_right"))
+    * ONE row, not two. `cl` carries (keyCols…, _cl); `cr` carries the
+    * `_kr_`-renamed keys plus `_cr`. */
+  private def joinCounts(cl: DataFrame, cr: DataFrame,
+      keyCols: Seq[String]): DataFrame =
+    cl.join(cr,
+        keyCols.map(c => col(c) <=> col(s"_kr_$c")).reduce(_ && _), "full")
+      .select(keyCols.map(c => coalesce(col(c), col(s"_kr_$c")).as(c)) ++
+        Seq(coalesce(col("_cl"), lit(0L)).cast("bigint").as("n_left"),
+          coalesce(col("_cr"), lit(0L)).cast("bigint").as("n_right")): _*)
       .withColumn("out_rows",
         (col("n_left") * col("n_right")).cast("bigint"))
+
+  /** Shared single-key count relation (key, n_left, n_right, out_rows)
+    * via two map-side-combined aggregations over [[joinCounts]] — the
+    * committed shape every skew-card oracle replays. */
+  private def keyCounts(left: DataFrame, right: DataFrame,
+      keyCol: String): DataFrame =
+    joinCounts(
+      left.groupBy(col(keyCol).as("key")).agg(count(lit(1)).as("_cl")),
+      right.groupBy(col(keyCol).as("_kr_key")).agg(count(lit(1)).as("_cr")),
+      Seq("key"))
+
+  /** [[keyCounts]] over a COMPOSITE key: one row per distinct key
+    * TUPLE, keyed by the actual column names. NULL components group
+    * null-safely exactly as the single-key form's NULL key does — an
+    * AND-of-equalities join emits nothing for them, but their pile
+    * still lands on one shuffle partition, which is the number this
+    * relation exists to expose. */
+  private def keyCountsMulti(left: DataFrame, right: DataFrame,
+      keyCols: Seq[String]): DataFrame =
+    joinCounts(
+      left.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("_cl")),
+      right.groupBy(keyCols.map(c => col(c).as(s"_kr_$c")): _*)
+        .agg(count(lit(1)).as("_cr")),
+      keyCols)
+
+  /** Rank-and-price tail shared by the multi-key planners: price =
+    * out_rows (inner) or greatest(out_rows, n_left) (preserved-side
+    * joins — [[saltingPlanPreserved]]'s probe-pile argument), rank by
+    * (price DESC, keys ASC NULLS LAST), keep topN, salt =
+    * ceil(price / targetRows) in integer arithmetic CAPPED at n_left
+    * (a factor beyond the left row count splits nothing and only
+    * multiplies the replicated side — [[saltingPlanSampled]] applies
+    * the same cap at its lower-bound estimate). */
+  private def pricePlan(counts: DataFrame, keyCols: Seq[String],
+      targetRows: Long, topN: Int, preserved: Boolean): DataFrame = {
+    val priced = counts.withColumn("_price",
+      if (preserved) greatest(col("out_rows"), col("n_left"))
+      else col("out_rows"))
+    priced.orderBy(col("_price").desc +:
+        keyCols.map(col(_).asc_nulls_last): _*)
+      .limit(topN)
+      .select(keyCols.map(col) ++ Seq(col("n_left"), col("n_right"),
+        col("out_rows"),
+        least(expr(s"(_price + ${targetRows}L - 1) div ${targetRows}L"),
+          col("n_left")).cast("bigint").as("salt")): _*)
+  }
+
+  /** COMPOSITE-key salting plan (r16 verdict task 3): production
+    * 100 TB joins are routinely keyed (tenant_id, day) — the diagnosis
+    * generalizes directly because the count tables group by the tuple
+    * and everything downstream is tuple-keyed. Output: (keyCols…,
+    * n_left, n_right, out_rows, salt), the plan relation
+    * [[saltedJoinMulti]] consumes. `preserved = true` prices and ranks
+    * by `greatest(out_rows, n_left)` for preserved-side joins
+    * (left outer / semi / anti — [[saltingPlanPreserved]]'s
+    * argument). */
+  def saltingPlanMulti(left: DataFrame, right: DataFrame,
+      keyCols: Seq[String], targetRows: Long, topN: Int = 20,
+      preserved: Boolean = false): DataFrame = {
+    require(targetRows >= 1, s"targetRows must be >= 1, got $targetRows")
+    require(topN >= 1, s"topN must be >= 1, got $topN")
+    require(keyCols.nonEmpty && keyCols.distinct == keyCols,
+      s"keyCols must be non-empty and distinct, got $keyCols")
+    pricePlan(
+      keyCountsMulti(left.select(keyCols.map(col): _*),
+        right.select(keyCols.map(col): _*), keyCols),
+      keyCols, targetRows, topN, preserved)
+  }
+
+  /** [[saltingPlanMulti]] over a DETERMINISTIC full-row-hash row sample
+    * of each side (r16 verdict task 1): the exact diagnosis reads both
+    * join sides in full, which is the skew rewrite's main adoption cost
+    * on FIRST-RUN 100 TB jobs. Sampling rows by
+    * `pmod(xxhash64(every hashable column), 2^20) < rate·2^20` keeps
+    * the diagnosis deterministic across stage retries and re-runs (the
+    * salt-assignment discipline: decisions depend on row payloads,
+    * never arrival order). Per-key sampled counts are ~Binomial(n,
+    * rate), so for the hot keys this diagnosis exists to find
+    * (n ≳ targetRows rows) the relative error is ~1/sqrt(n·rate) —
+    * under 2% at rate 0.01 against the 5M-row default threshold.
+    * Estimator discipline — price on EVIDENCE, never on noise: both
+    * sides' per-key prices use the 3-sigma Poisson LOWER bound
+    * `floor(max(c − 3·sqrt(c), 0) / rate)` (the reported
+    * n_left/n_right columns are the plain point estimates
+    * `ceil(c / rate)`). An upper-bound pricing sounds safer ("never
+    * miss a hot key") but is poison in practice: a singleton sample
+    * fluke (c = 1, true n = 1) upper-bounds to ~13/rate, and with two
+    * such flukes multiplied a random cold key outranks the genuinely
+    * hot key whose sparse other side missed the sample — measured on
+    * a 10k-row fixture, noise keys priced 108k while the true 3.3k-row
+    * pile priced 3.8k and fell out of topN. With lower-bound pricing a
+    * key salts only when the sample PROVES a pile; the keys this
+    * diagnosis exists for (piles ≥ targetRows ≫ 1/rate) have
+    * c ≈ n·rate with a lower bound within a few percent of n, while
+    * flukes price 0. The salt factor also caps at the left side's
+    * lower bound (the n_left cap, evidence-grade). A key with no
+    * sampled rows on a side counts 0 there — keys below ~1/rate rows
+    * are invisible, exactly the population a targetRows-sized
+    * threshold ignores. A side with NO hashable non-key payload
+    * column is counted EXACTLY instead: a key-only hash samples each
+    * key all-or-nothing and would hide a hot key with probability
+    * 1−rate — the same degeneracy the salt assignment's round-robin
+    * fallback guards.
+    *
+    * Sampled pricing is ALWAYS pile-aware — `greatest(out_rows,
+    * n_left)` over the lower bounds, the preserved-side formula, for
+    * inner joins too: a sparse other side (a dimension with ~1 row per
+    * key) is mostly INVISIBLE at rate 0.01, zeroing the
+    * `n_left × n_right` product exactly when the left pile is most
+    * real, and the treatment's split side is the left — so the pile
+    * term keeps those keys treatable. A pile living only on the RIGHT
+    * stays untreated by design: the treatment replicates the right
+    * side, which would multiply that pile — AQE's replication-free
+    * split is the tool there. Hence no `preserved` flag: the sampled
+    * planner prices every join type the preserved way. */
+  def saltingPlanSampled(left: DataFrame, right: DataFrame,
+      keyCols: Seq[String], targetRows: Long, topN: Int,
+      sampleRate: Double): DataFrame = {
+    require(sampleRate > 0.0 && sampleRate <= 1.0,
+      s"sampleRate must be in (0, 1], got $sampleRate")
+    if (sampleRate == 1.0)
+      return saltingPlanMulti(left, right, keyCols, targetRows, topN,
+        preserved = true)
+    require(targetRows >= 1, s"targetRows must be >= 1, got $targetRows")
+    require(topN >= 1, s"topN must be >= 1, got $topN")
+    require(keyCols.nonEmpty && keyCols.distinct == keyCols,
+      s"keyCols must be non-empty and distinct, got $keyCols")
+    val m = 1L << 20
+    val thr = math.max(1L, math.round(sampleRate * m))
+    val eff = thr.toDouble / m // the rate actually applied post-rounding
+    // per side: the point estimate (reported) and the 3-sigma LOWER
+    // bound (priced); exact-counted sides use the exact count for both
+    def sideCounts(df: DataFrame, keyAlias: String => String,
+        cntName: String, lowName: String): DataFrame = {
+      val hashable = df.columns.toSeq
+        .filterNot(c => containsMap(df.schema(c).dataType))
+      val nonKey = hashable.filterNot(keyCols.contains)
+      val keys = keyCols.map(c => col(c).as(keyAlias(c)))
+      if (nonKey.isEmpty)
+        df.groupBy(keys: _*)
+          .agg(count(lit(1)).cast("bigint").as(cntName))
+          .withColumn(lowName, col(cntName))
+      else
+        df.filter(pmod(xxhash64(hashable.map(col): _*), lit(m)) < lit(thr))
+          .groupBy(keys: _*).agg(count(lit(1)).as("_c"))
+          .select(keyCols.map(c => col(keyAlias(c))) ++ Seq(
+            ceil(col("_c") / lit(eff)).cast("bigint").as(cntName),
+            floor(greatest(col("_c") - lit(3.0) * sqrt(col("_c")),
+              lit(0.0)) / lit(eff)).cast("bigint").as(lowName)): _*)
+    }
+    val cl = sideCounts(left, identity, "_cl", "_cll")
+    val cr = sideCounts(right, c => s"_kr_$c", "_cr", "_crl")
+    val counts = cl.join(cr,
+        keyCols.map(c => col(c) <=> col(s"_kr_$c")).reduce(_ && _), "full")
+      .select(keyCols.map(c => coalesce(col(c), col(s"_kr_$c")).as(c)) ++
+        Seq(coalesce(col("_cl"), lit(0L)).cast("bigint").as("n_left"),
+          coalesce(col("_cll"), lit(0L)).cast("bigint").as("_ll"),
+          coalesce(col("_cr"), lit(0L)).cast("bigint").as("n_right"),
+          coalesce(col("_crl"), lit(0L)).cast("bigint").as("_lr")): _*)
+      .withColumn("out_rows",
+        (col("n_left") * col("n_right")).cast("bigint"))
+      .withColumn("_price",
+        greatest((col("_ll") * col("_lr")).cast("bigint"), col("_ll")))
+    counts.orderBy(col("_price").desc +:
+        keyCols.map(col(_).asc_nulls_last): _*)
+      .limit(topN)
+      .select(keyCols.map(col) ++ Seq(col("n_left"), col("n_right"),
+        col("out_rows"),
+        least(expr(s"(_price + ${targetRows}L - 1) div ${targetRows}L"),
+          col("_ll")).cast("bigint").as("salt")): _*)
   }
 
   def joinSkewCard(left: DataFrame, right: DataFrame, keyCol: String,
@@ -189,20 +364,28 @@ object JoinSkew {
   }
 
   private def validateSaltedJoin(left: DataFrame, right: DataFrame,
-      keyCol: String, semiLike: Boolean = false): Unit = {
+      keyCols: Seq[String], semiLike: Boolean): Unit = {
+    require(keyCols.nonEmpty && keyCols.distinct == keyCols,
+      s"keyCols must be non-empty and distinct, got $keyCols")
     val lcols = left.columns.toSeq
-    val rcols = right.columns.toSeq.filterNot(_ == keyCol)
-    require(lcols.contains(keyCol) && right.columns.contains(keyCol),
-      s"both sides need the join key column '$keyCol'")
+    val rcols = right.columns.toSeq.filterNot(keyCols.contains)
+    keyCols.foreach(k =>
+      require(lcols.contains(k) && right.columns.contains(k),
+        s"both sides need the join key column '$k'"))
     // semi/anti drop ALL right payload before any select, so a payload
     // name shared across sides is impossible by construction there —
     // the guard would spuriously reject joins the plain
-    // left.join(right, Seq(key), "left_semi") accepts
+    // left.join(right, keyCols, "left_semi") accepts
     require(semiLike || lcols.intersect(rcols).isEmpty,
       s"non-key columns must not collide across sides, got " +
         s"${lcols.intersect(rcols).mkString(", ")}")
     require(!lcols.contains("_salt") && !rcols.contains("_salt"),
       "saltedJoin reserves the _salt column name")
+    // internal tag-table names — a collision would make the tag joins
+    // ambiguous at runtime; fail with the reserved prefix now
+    ((lcols ++ right.columns).find(c => c == "_sf" || c.startsWith("_sk_")))
+      .foreach(c => throw new IllegalArgumentException(
+        s"saltedJoin reserves the _sf/_sk_* column names, got '$c'"))
   }
 
   /** Normalized join type for the salted decomposition: "inner",
@@ -238,50 +421,76 @@ object JoinSkew {
 
   def saltedJoin(left: DataFrame, right: DataFrame, keyCol: String,
       plan: DataFrame, roundRobinSalt: Boolean = false,
-      joinType: String = "inner"): DataFrame = {
+      joinType: String = "inner"): DataFrame =
+    saltedJoinMulti(left, right, Seq(keyCol),
+      plan.withColumnRenamed("key", keyCol), roundRobinSalt, joinType)
+
+  /** [[saltedJoin]] over a COMPOSITE key (r16 verdict task 3): the
+    * decomposition proof is key-shape-agnostic — hot TUPLES' left rows
+    * split across salt sub-keys, the right side replicated per sub-key,
+    * cold tuples through the plain join — so the generalization is the
+    * tag joins and the hot-path USING list growing from one key column
+    * to `keyCols`. `plan` = [[saltingPlanMulti]] (or
+    * [[saltingPlanSampled]]) rows keyed BY THE KEY COLUMN NAMES. Rows
+    * with ANY NULL key component ride the cold path, where the plain
+    * join gives them exact per-type semantics (an AND-of-equalities
+    * key with a NULL part matches nothing: they vanish under
+    * inner/semi, null-fill once under left outer, stay under
+    * left anti). */
+  def saltedJoinMulti(left: DataFrame, right: DataFrame,
+      keyCols: Seq[String], plan: DataFrame,
+      roundRobinSalt: Boolean = false, joinType: String = "inner")
+      : DataFrame = {
     val jt = normalizeJoinType(joinType)
     // semi/anti emit ONLY the left side; the right contributes just its
     // key to the existence test, so its payload never rides the shuffle
     val semiLike = jt == "left_semi" || jt == "left_anti"
-    validateSaltedJoin(left, right, keyCol, semiLike)
+    validateSaltedJoin(left, right, keyCols, semiLike)
     val lcols = left.columns.toSeq
     val rcols =
       if (semiLike) Seq.empty
-      else right.columns.toSeq.filterNot(_ == keyCol)
+      else right.columns.toSeq.filterNot(keyCols.contains)
     val outCols = (lcols ++ rcols).map(col)
     // materialize the ≤topN-row plan ONCE as bounded driver metadata
     // (the seed/centroid-table convention): it is consumed by two tag
     // joins, and leaving it lazy would re-run the two side aggregations
     // per consumer and drag the skew-card lineage (with its deliberate
     // 1-row cross joins) into every executed salted-join plan
-    val keyType = left.schema(keyCol).dataType
+    val keyTypes = keyCols.map(c => left.schema(c).dataType)
+    val skName = keyCols.indices.map(i => s"_sk_$i")
     val hotRows = plan
-      .filter(col("salt") >= 2L && col("key").isNotNull)
-      .select(col("key").cast(keyType).as("_sk"),
-        col("salt").cast(LongType).as("_sf"))
+      .filter(col("salt") >= 2L &&
+        keyCols.map(col(_).isNotNull).reduce(_ && _))
+      .select(keyCols.zip(keyTypes).zipWithIndex.map {
+          case ((c, t), i) => col(c).cast(t).as(skName(i)) } :+
+        col("salt").cast(LongType).as("_sf"): _*)
       .collect().toSeq
-    if (hotRows.isEmpty) return left.join(right, Seq(keyCol), jt)
+    if (hotRows.isEmpty) return left.join(right, keyCols, jt)
     val spark = left.sparkSession
     val hot = broadcast(spark.createDataFrame(
       spark.sparkContext.parallelize(hotRows, 1),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("_sk", keyType),
-        org.apache.spark.sql.types.StructField("_sf", LongType)))))
-    val lTag = left.join(hot, col(keyCol) === col("_sk"), "left")
-    val rTag = right.join(hot, col(keyCol) === col("_sk"), "left")
+      org.apache.spark.sql.types.StructType(
+        skName.zip(keyTypes).map { case (n, t) =>
+          org.apache.spark.sql.types.StructField(n, t) } :+
+        org.apache.spark.sql.types.StructField("_sf", LongType))))
+    def tagCond = keyCols.zipWithIndex
+      .map { case (c, i) => col(c) === col(skName(i)) }.reduce(_ && _)
+    val lTag = left.join(hot, tagCond, "left")
+    val rTag = right.join(hot, tagCond, "left")
     val coldJoin = lTag.filter(col("_sf").isNull)
       .select(lcols.map(col): _*)
       .join(rTag.filter(col("_sf").isNull)
-        .select((keyCol +: rcols).map(col): _*), Seq(keyCol), jt)
+        .select((keyCols ++ rcols).map(col): _*), keyCols, jt)
     // hash only hashable columns — xxhash64 rejects MapType RECURSIVELY
     // (map inside struct/array too), so the filter must recurse. A salt
-    // hashed from the KEY alone is constant per hot key (zero spread,
-    // right-side replication for nothing), so when no non-key hashable
-    // payload exists the fallback is round-robin — the documented
-    // stage-retry exposure beats a silently degenerate treatment.
+    // hashed from the KEYS alone is constant per hot tuple (zero
+    // spread, right-side replication for nothing), so when no non-key
+    // hashable payload exists the fallback is round-robin — the
+    // documented stage-retry exposure beats a silently degenerate
+    // treatment.
     val hashable = lcols.filterNot(c => containsMap(left.schema(c).dataType))
     val saltAssign =
-      if (roundRobinSalt || hashable.forall(_ == keyCol))
+      if (roundRobinSalt || hashable.forall(keyCols.contains))
         pmod(monotonically_increasing_id(), col("_sf"))
       else pmod(xxhash64(hashable.map(col): _*), col("_sf"))
     val hotJoin = lTag.filter(col("_sf").isNotNull)
@@ -290,17 +499,70 @@ object JoinSkew {
       .join(rTag.filter(col("_sf").isNotNull)
           .withColumn("_salt",
             explode(sequence(lit(0L), col("_sf") - 1L)))
-          .select(((keyCol +: rcols).map(col) :+ col("_salt")): _*),
-        Seq(keyCol, "_salt"), jt)
+          .select(((keyCols ++ rcols).map(col) :+ col("_salt")): _*),
+        keyCols :+ "_salt", jt)
     coldJoin.select(outCols: _*).unionByName(hotJoin.select(outCols: _*))
   }
+
+  /** The FULL OUTER salted treatment BY COMPOSITION (r16 verdict task
+    * 2): single-pass replication has no sound full-outer form — the
+    * replicated side would null-fill its unmatched hot-key rows once
+    * per salt replica ([[normalizeJoinType]]'s refusal) — but
+    * FULL OUTER = LEFT OUTER ∪ (right rows with no left key match,
+    * null-filled on the left), and BOTH legs are already in the sound
+    * set: the left-outer leg salts LEFT (its preserved side), the
+    * right-only leg is a LEFT ANTI with the sides flipped, salting
+    * RIGHT (its preserved side). The composition pays one extra pass
+    * over the right side plus a keys-only pass over the left — the
+    * honest price of a treatable full-outer skew, vs AQE's
+    * replication-free split as the zero-extra-pass alternative.
+    *
+    * `planLeft` prices the LEFT pile (preserved [[saltingPlanMulti]] /
+    * [[saltingPlanSampled]] of left vs right), `planRight` the RIGHT
+    * pile (same, sides flipped). Either may be empty — that leg runs
+    * as the plain join. Output is USING-style, exactly
+    * `left.join(right, keyCols, "full")`'s column set: key columns
+    * (coalesced across sides), left non-key columns, right non-key
+    * columns. NULL-key rows from BOTH sides survive null-filled, as in
+    * the plain full join: left ones through the left-outer leg, right
+    * ones through the anti leg (a NULL key matches nothing, so anti
+    * KEEPS it). */
+  def saltedJoinFullMulti(left: DataFrame, right: DataFrame,
+      keyCols: Seq[String], planLeft: DataFrame, planRight: DataFrame,
+      roundRobinSalt: Boolean = false): DataFrame = {
+    validateSaltedJoin(left, right, keyCols, semiLike = false)
+    val leftOuter = saltedJoinMulti(left, right, keyCols, planLeft,
+      roundRobinSalt, "left")
+    val rightOnly = saltedJoinMulti(right,
+      left.select(keyCols.map(col): _*), keyCols, planRight,
+      roundRobinSalt, "left_anti")
+    val lPayload = left.columns.toSeq.filterNot(keyCols.contains)
+    val rPayload = right.columns.toSeq.filterNot(keyCols.contains)
+    val rightNullFilled = rightOnly.select(
+      keyCols.map(col) ++
+        lPayload.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        rPayload.map(col): _*)
+    leftOuter.unionByName(rightNullFilled)
+  }
+
+  /** Single-key diagnose-and-treat convenience for the full-outer
+    * composition: both legs diagnosed with [[saltingPlanPreserved]]'s
+    * probe-pile pricing (each leg's SALTED side is its preserved
+    * side). */
+  def saltedJoinFull(left: DataFrame, right: DataFrame, keyCol: String,
+      targetRows: Long, topN: Int): DataFrame =
+    saltedJoinFullMulti(left, right, Seq(keyCol),
+      saltingPlanPreserved(left, right, keyCol, targetRows, topN)
+        .withColumnRenamed("key", keyCol),
+      saltingPlanPreserved(right, left, keyCol, targetRows, topN)
+        .withColumnRenamed("key", keyCol))
 
   /** Convenience form: diagnose and treat in one call (fixture/test
     * scale — a recurring 100 TB join should persist the plan once via
     * [[saltingPlan]] and pass it to the primary form). */
   def saltedJoin(left: DataFrame, right: DataFrame, keyCol: String,
       targetRows: Long, topN: Int): DataFrame = {
-    validateSaltedJoin(left, right, keyCol)
+    validateSaltedJoin(left, right, Seq(keyCol), semiLike = false)
     saltedJoin(left, right, keyCol,
       saltingPlan(left, right, keyCol, targetRows, topN))
   }
@@ -311,7 +573,7 @@ object JoinSkew {
   def saltedJoin(left: DataFrame, right: DataFrame, keyCol: String,
       targetRows: Long, topN: Int, joinType: String): DataFrame = {
     val jt = normalizeJoinType(joinType)
-    validateSaltedJoin(left, right, keyCol,
+    validateSaltedJoin(left, right, Seq(keyCol),
       jt == "left_semi" || jt == "left_anti")
     val plan =
       if (jt == "inner") saltingPlan(left, right, keyCol, targetRows, topN)

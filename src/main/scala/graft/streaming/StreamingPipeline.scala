@@ -289,11 +289,16 @@ object StreamingPipeline {
     * which makes the drained union over ANY monotone slicing equal the
     * batch [[graft.llm.Curation.paragraphDedup]] restricted to those
     * docs — the oracle entry re-proves it every round and the spec pins
-    * three slicings. State = three bounded-width relations (hash/band/
-    * shingle keys + one representative text per distinct paragraph);
-    * per-batch intermediates live in a cache scope reclaimed before the
-    * probe returns, lineage truncated per batch and re-checkpointed
-    * every `compactEvery` batches — the [[NearDupIndex]] discipline. */
+    * three slicings. State = three bounded-width PROBE relations
+    * (hash/band/shingle keys + one representative text per distinct
+    * paragraph) plus the narrow per-chunk membership relation (keys +
+    * md5, no text) that only [[graft.llm.Curation.retireFromParagraphIndex]]
+    * reads, and the maxRepKey watermark (adopted from each delta, so
+    * the per-batch ordering check is a metadata compare, never an
+    * index scan); per-batch intermediates live in a cache scope
+    * reclaimed before the probe returns, lineage truncated per batch
+    * and re-checkpointed every `compactEvery` batches — the
+    * [[NearDupIndex]] discipline. */
   final class ParagraphDedupIndex(
       chunkSize: Int = 8, threshold: Double = 0.8, k: Int = 3,
       numHashes: Int = 8, bands: Int = 4, minEstJaccard: Double = 0.5,
@@ -350,7 +355,8 @@ object StreamingPipeline {
         : Curation.ParagraphIndexModel = m.copy(
       exact = m.exact.localCheckpoint(true),
       bands = m.bands.localCheckpoint(true),
-      shingles = m.shingles.localCheckpoint(true))
+      shingles = m.shingles.localCheckpoint(true),
+      members = m.members.localCheckpoint(true))
 
     /** Chunk the batch once, return one row per batch doc (doc_id,
       * n_chunks, n_dropped, clean_text), append the batch's new
@@ -371,7 +377,12 @@ object StreamingPipeline {
           model = Some(idx.copy(
             exact = idx.exact.unionAll(delta.exact),
             bands = idx.bands.unionAll(delta.bands),
-            shingles = idx.shingles.unionAll(delta.shingles)))
+            shingles = idx.shingles.unionAll(delta.shingles),
+            members = idx.members.unionAll(delta.members),
+            // the delta's maxRepKey is the POST-APPEND watermark
+            // (probeCore contract); adopting it keeps every later
+            // probe's ordering check a metadata compare
+            maxRepKey = delta.maxRepKey.orElse(idx.maxRepKey)))
           batches += 1
           if (batches % compactEvery == 0) model = model.map(ckpt)
           out

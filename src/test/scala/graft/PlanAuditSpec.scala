@@ -449,11 +449,70 @@ class PlanAuditSpec extends AnyFunSuite {
       "every blocked key (hot key 0 included) must be anti-filtered")
   }
 
+  test("q_salted_join_rewrite_multi: the in-entry fired/no-cartesian " +
+    "requires hold on the composite (k, day) key and every hot-tuple " +
+    "row is enriched") {
+    val df = SparkEntry.queries("q_salted_join_rewrite_multi")(
+      spark, SparkTestSession.fixtureDir)
+    import org.apache.spark.sql.functions.{col => c}
+    assert(df.count() > 0)
+    // the hot tuple (0, 7) must join: n_r is never NULL on an inner join
+    assert(df.filter(c("n_r").isNull).count() == 0)
+    assert(df.filter(c("k") === 0 && c("day") === 7).count() > 0)
+  }
+
+  test("q_salted_join_rewrite_full: the composed full outer fires, " +
+    "left gaps (keys ≡ 2 mod 5) null-fill n_r, and the planted " +
+    "right-only pile (k = 1000) survives null-filled on the left") {
+    val df = SparkEntry.queries("q_salted_join_rewrite_full")(
+      spark, SparkTestSession.fixtureDir)
+    import org.apache.spark.sql.functions.{col => c}
+    assert(df.filter(c("n_r").isNull && c("k") % 5 === 2).count() > 0,
+      "registry gaps must null-fill through the left-outer leg")
+    assert(df.filter(c("k") === 1000L).count() > 0,
+      "the right-only pile must ride the anti leg")
+    assert(df.filter(c("k") === 1000L && c("event_id").isNotNull)
+      .count() == 0, "right-only rows must be genuinely left-NULL")
+  }
+
+  test("q_salted_join_rewrite_sampled: the in-entry fired require " +
+    "holds — the deterministic sampled diagnosis proves the planted " +
+    "hot pile at the audit fixture scale") {
+    val df = SparkEntry.queries("q_salted_join_rewrite_sampled")(
+      spark, SparkTestSession.fixtureDir)
+    assert(df.count() > 0)
+  }
+
   test("q_range_join_rewrite_num's in-entry no-nested-loop require " +
     "holds on the numeric band (negative lo, fractional width)") {
     val df = SparkEntry.queries("q_range_join_rewrite_num")(
       spark, SparkTestSession.fixtureDir)
     assert(df.count() > 0)
+  }
+
+  test("q_paragraph_retire: the post-retire probe keeps the " +
+    "incremental plan shape (semi-join pruned, persisted bases, no " +
+    "cartesian) and the takedown-then-recrawl dedups against the " +
+    "re-elected representatives") {
+    val p = plan("q_paragraph_retire")
+    assert(p.contains("LeftSemi"),
+      s"probe scans must stay semi-join pruned post-retire:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"pair work must ride the banded candidates:\n$p")
+    // the re-crawled (retired, takedown) docs at +3*base are verbatim
+    // twins of the SURVIVING +base copies: every chunk must drop —
+    // possible only if retirement re-elected the copies' chunk keys
+    val df = SparkEntry.queries("q_paragraph_retire")(
+      spark, SparkTestSession.fixtureDir)
+    import org.apache.spark.sql.functions.{col => c, max => mx}
+    val base = spark.read.parquet(
+        SparkTestSession.fixtureDir + "/documents.parquet")
+      .agg(mx("doc_id")).collect()(0).getLong(0) + 1L
+    val recrawls = df.filter(c("doc_id") >= 3L * base)
+    assert(recrawls.count() > 0, "fixture must produce re-crawls")
+    assert(recrawls.filter(c("n_dropped") =!= c("n_chunks")).count() == 0,
+      "every re-crawled chunk must dedup against a re-elected rep")
   }
 
   test("q_paragraph_incremental: probe work is pruned by broadcast " +

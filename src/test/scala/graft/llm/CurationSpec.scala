@@ -135,6 +135,93 @@ class CurationSpec extends AnyFunSuite {
       "the loaded store must still drop the history twin")
   }
 
+  test("retireFromParagraphIndex == paragraphIndex over the filtered " +
+    "corpus: representative re-election (identical text, renumbered " +
+    "band/shingle rows), dead groups dropped, non-rep retirement a " +
+    "no-op on the probe relations (r16 verdict task 4)") {
+    val s = spark
+    import s.implicits._
+    // group X = docs 1, 2, and doc 4's SECOND chunk (three members);
+    // group Y = doc 3 alone; group Z = doc 4's first chunk
+    val docsAll = Seq(
+      (1L, "w1 w2 w3 w4"),
+      (2L, "w1 w2 w3 w4"),
+      (3L, "y1 y2 y3 y4"),
+      (4L, "z1 z2 z3 z4 w1 w2 w3 w4")).toDF("doc_id", "text")
+    val idx = Curation.paragraphIndex(docsAll, chunkSize = 4, k = 3)
+    def sets(m: Curation.ParagraphIndexModel) = (
+      m.exact.collect().map(_.toSeq).toSet,
+      m.bands.collect().map(_.toSeq).toSet,
+      m.shingles.collect().map(_.toSeq).toSet,
+      m.members.collect().map(_.toSeq).toSet)
+    // retire doc 1 (group X's REPRESENTATIVE — doc 2 must be
+    // re-elected) and doc 3 (group Y dies entirely)
+    val retired = Curation.retireFromParagraphIndex(idx, Seq(1L, 3L))
+    val rebuilt = Curation.paragraphIndex(
+      docsAll.filter(col("doc_id") =!= 1L && col("doc_id") =!= 3L),
+      chunkSize = 4, k = 3)
+    assert(sets(retired) == sets(rebuilt),
+      "retire must equal the filtered rebuild across all four relations")
+    // the re-elected rep is doc 2's chunk key, and the group's band/
+    // shingle rows renumbered to it (identical text — nothing re-hashed)
+    val m = idx.maxChunksPerDoc
+    val xRep = retired.exact.filter(col("rep_key") === 2L * m)
+    assert(xRep.count() == 1, "group X must re-elect doc 2's chunk")
+    assert(retired.bands.filter(col("doc_id") === 2L * m).count() > 0)
+    // retiring a NON-representative member changes only `members`
+    val retired2 = Curation.retireFromParagraphIndex(idx, Seq(2L))
+    assert(retired2.exact.collect().map(_.toSeq).toSet ==
+      idx.exact.collect().map(_.toSeq).toSet)
+    assert(retired2.members.filter(col("doc_id") === 2L).count() == 0)
+    // the retired index PROBES like the rebuild (takedown-then-recrawl)
+    val batch = Seq((10L, "w1 w2 w3 w4"), (11L, "y1 y2 y3 y4"))
+      .toDF("doc_id", "text")
+    def probe(ix: Curation.ParagraphIndexModel) =
+      Curation.paragraphDedupIncremental(ix, batch).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
+    val got = probe(retired)
+    assert(got == probe(rebuilt))
+    graft.llm.PipelineCaches.clear()
+    assert(got(10L) == ((1L, "")),
+      "the re-crawl of X still dedups against the RE-ELECTED rep")
+    assert(got(11L) == ((0L, "y1 y2 y3 y4")),
+      "group Y died with doc 3 — its re-crawl is NEW text")
+  }
+
+  test("maxRepKey watermark: builders set it, probes adopt the " +
+    "metadata compare, retire invalidates it, save resolves it " +
+    "(r16 verdict task 5)") {
+    val s = spark
+    import s.implicits._
+    val hist = Seq((1L, "w1 w2 w3 w4"), (2L, "h1 h2 h3 h4"))
+      .toDF("doc_id", "text")
+    val idx = Curation.paragraphIndex(hist, chunkSize = 4, k = 3)
+    assert(idx.maxRepKey == Some(2L * idx.maxChunksPerDoc),
+      s"builder watermark: ${idx.maxRepKey}")
+    // a model with a STALE (too-high) watermark rejects a batch the
+    // plain agg would accept — proving the check reads the metadata
+    val stale = idx.copy(maxRepKey = Some(Long.MaxValue - 1))
+    val batch = Seq((10L, "c1 c2 c3 c4")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Curation.paragraphDedupIncremental(stale, batch)
+    }
+    assert(e.getMessage.contains("increasing ids"))
+    // retire returns an UNKNOWN watermark (re-election can raise it);
+    // the probe then falls back to the agg and still works
+    val retired = Curation.retireFromParagraphIndex(idx, Seq(1L))
+    assert(retired.maxRepKey.isEmpty)
+    assert(Curation.paragraphDedupIncremental(retired, batch)
+      .count() == 1)
+    // save resolves the unknown watermark from the written store
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-parawm").toString
+    Curation.saveParagraphIndex(retired, dir)
+    val back = Curation.loadParagraphIndex(s, dir)
+    graft.llm.PipelineCaches.clear()
+    assert(back.maxRepKey == Some(2L * idx.maxChunksPerDoc),
+      s"save must resolve None from the written exact: ${back.maxRepKey}")
+  }
+
   test("paragraphDedupIncremental refuses batch ids at/below the " +
     "index's representatives (the crawl-refresh ordering contract)") {
     val s = spark

@@ -255,6 +255,171 @@ class JoinSkewSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("_salt"))
   }
 
+  test("saltingPlanMulti: tuple counts with hand-computed salts, " +
+    "NULL-safe tuple grouping, preserved pricing by the left pile") {
+    val s = spark
+    import s.implicits._
+    val left = (Seq.fill(3)((Option(1L), 1L)) ++ Seq((Option(1L), 2L)) ++
+      Seq.fill(2)((Option.empty[Long], 1L))).toDF("k", "day")
+    val right = (Seq.fill(4)((Option(1L), 1L)) ++
+      Seq((Option.empty[Long], 1L))).toDF("k", "day")
+    val plan = JoinSkew.saltingPlanMulti(left, right, Seq("k", "day"),
+      targetRows = 5L).collect()
+      .map(r => (Option(r.get(0)), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // (1,1): 3x4 = 12 -> salt ceil(12/5) = 3; (1,2): 1x0 = 0 -> 0;
+    // (NULL,1): null-safe tuple grouping meets in ONE row, 2x1 = 2 -> 1
+    assert(plan == Map(
+      (Option(1L), 1L) -> ((3L, 4L, 12L, 3L)),
+      (Option(1L), 2L) -> ((1L, 0L, 0L, 0L)),
+      (Option.empty[Long], 1L) -> ((2L, 1L, 2L, 1L))))
+    // preserved pricing: (1,2) is a probe tuple MISSING on the right —
+    // out_rows 0 but n_left 1, so its price (and salt base) is the pile
+    val pres = JoinSkew.saltingPlanMulti(left, right, Seq("k", "day"),
+      targetRows = 1L, preserved = true).collect()
+      .map(r => (Option(r.get(0)), r.getLong(1)) -> r.getLong(5)).toMap
+    assert(pres((Option(1L), 2L)) == 1L,
+      "preserved pricing must salt-base the unmatched probe pile")
+    // (1,1): price 12 at target 1 would ceil to 12, but the salt CAPS
+    // at n_left = 3 — splitting 3 rows more than 3 ways buys nothing
+    // and each extra bucket is one more full right-side replica
+    assert(pres((Option(1L), 1L)) == 3L)
+  }
+
+  test("salt caps at n_left: a 1-row left key with a huge right side " +
+    "prices salt 1 (nothing to split), never a six-digit replication " +
+    "factor (r17 diagnosis fix)") {
+    val s = spark
+    val left = s.range(0, 2001).select(
+      when(col("id") === 2000, 0L).otherwise(col("id") + 10000L).as("k"),
+      col("id").as("lv"))
+    val right = s.range(0, 300000).select(lit(0L).as("k"),
+      col("id").as("rv"))
+    // key 0: n_left 1, n_right 300k, out 300k — uncapped ceil would be
+    // 1500 at target 200; the cap must pin it to n_left = 1
+    val plan = JoinSkew.saltingPlanMulti(left, right, Seq("k"),
+      targetRows = 200L, topN = 5, preserved = true).collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(plan(0L) == 1L, s"salt must cap at n_left: $plan")
+    // the treatment therefore leaves it on the cold path (salt < 2) —
+    // and stays result-identical
+    val plain = left.join(right, Seq("k")).collect().map(_.toSeq).toSet
+    val salted = JoinSkew.saltedJoin(left, right, "k",
+      targetRows = 200L, topN = 5).collect().map(_.toSeq).toSet
+    assert(salted == plain)
+  }
+
+  test("saltingPlanSampled: rate 1.0 falls through to the exact plan; " +
+    "a low deterministic rate still finds the planted hot key and " +
+    "inflation over-salts rather than under-salts") {
+    val s = spark
+    val left = s.range(0, 4000).select(
+      when(col("id") % 2 === 0, 0L).otherwise(col("id") % 100 + 1).as("k"),
+      col("id").as("payload"))
+    val right = s.range(0, 101).select(col("id").as("k"),
+      (col("id") * 7).as("rv"))
+    // the sampled planner prices pile-aware (greatest(out, n_left)) at
+    // every rate — rate 1.0 is exact COUNTS under that pricing
+    val exact = JoinSkew.saltingPlanMulti(left, right, Seq("k"),
+      targetRows = 200L, topN = 5, preserved = true).collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    val exact2 = JoinSkew.saltingPlanSampled(left, right, Seq("k"),
+      targetRows = 200L, topN = 5, sampleRate = 1.0).collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(exact2 == exact, "rate 1.0 must be the exact-count plan")
+    val sampled = JoinSkew.saltingPlanSampled(left, right, Seq("k"),
+      targetRows = 200L, topN = 5, sampleRate = 0.05).collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    // the planted hot key (2000 left rows x 1 right row -> exact salt
+    // ceil(2000/200) = 10) must salt under the sample too, and the
+    // 3-sigma inflation biases UP: within [exact, 4x exact]
+    assert(sampled.contains(0L), s"hot key missed by the sample: $sampled")
+    assert(sampled(0L) >= exact(0L) / 2 && sampled(0L) <= exact(0L) * 4,
+      s"sampled salt ${sampled(0L)} vs exact ${exact(0L)}")
+    // determinism: the same call yields the same plan (hash sample,
+    // never arrival-order)
+    val again = JoinSkew.saltingPlanSampled(left, right, Seq("k"),
+      targetRows = 200L, topN = 5, sampleRate = 0.05).collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(again == sampled)
+  }
+
+  test("saltingPlanSampled: a keys-only side (no hashable non-key " +
+    "payload) is counted EXACTLY — a key-only hash would sample whole " +
+    "keys all-or-nothing and hide hot keys") {
+    val s = spark
+    val left = s.range(0, 2000).select(
+      when(col("id") % 2 === 0, 0L).otherwise(col("id") % 50 + 1).as("k"))
+    val right = s.range(0, 51).select(col("id").as("k"))
+    val sampled = JoinSkew.saltingPlanSampled(left, right, Seq("k"),
+      targetRows = 100L, topN = 5, sampleRate = 0.01).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(4))).toMap
+    // both sides are keys-only -> exact counts -> exact salts
+    assert(sampled(0L) == ((1000L, 10L)),
+      s"keys-only sides must count exactly: $sampled")
+  }
+
+  test("saltedJoinMulti: result-identical to the plain composite-key " +
+    "join for inner/left/anti, NULL key components riding the cold " +
+    "path") {
+    val s = spark
+    val left = s.range(0, 3000).select(
+      col("id").as("lid"),
+      when(col("id") % 2 === 0, 0L).otherwise(col("id") % 40 + 1).as("k"),
+      when(col("id") % 2 === 0, 7L)
+        .otherwise(when(col("id") % 11 === 0, lit(null).cast("bigint"))
+          .otherwise(col("id") % 5)).as("day"),
+      (col("id") * 3).as("lv"))
+    val right = s.range(0, 41).select(col("id").as("k"))
+      .crossJoin(s.range(0, 8).select(col("id").as("day")))
+      .filter(col("day") =!= 2)
+      .withColumn("rv", col("k") * 1000 + col("day"))
+    for (jt <- Seq("inner", "left", "left_anti")) {
+      val cols = if (jt == "left_anti") Seq("lid", "k", "day", "lv")
+        else Seq("lid", "k", "day", "lv", "rv")
+      val plain = left.join(right, Seq("k", "day"), jt)
+        .select(cols.map(col): _*).collect().map(_.toSeq).toSet
+      val plan = JoinSkew.saltingPlanMulti(left, right, Seq("k", "day"),
+        targetRows = 100L, topN = 5, preserved = jt != "inner")
+      val salted = JoinSkew.saltedJoinMulti(left, right, Seq("k", "day"),
+        plan, joinType = jt).select(cols.map(col): _*)
+        .collect().map(_.toSeq).toSet
+      assert(salted == plain, s"composite $jt identity broke")
+    }
+  }
+
+  test("saltedJoinFull: result-identical to the plain FULL OUTER join " +
+    "— null-fills on both sides, right-only keys, NULL keys on both " +
+    "sides — and still composes when neither leg trips (plain legs)") {
+    val s = spark
+    val left = s.range(0, 2000).select(
+      col("id").as("lid"),
+      when(col("id") % 2 === 0, 0L)
+        .otherwise(when(col("id") % 9 === 0, lit(null).cast("bigint"))
+          .otherwise(col("id") % 50 + 1)).as("k"),
+      (col("id") * 2).as("lv"))
+    val right = s.range(0, 81).filter(col("id") % 4 === 0).select(
+      when(col("id") === 80L, lit(null).cast("bigint"))
+        .otherwise(col("id")).as("k"),
+      (col("id") + 100).as("rv"))
+    val cols = Seq("lid", "k", "lv", "rv").map(col)
+    val plain = left.join(right, Seq("k"), "full")
+      .select(cols: _*).collect().map(_.toSeq).toSet
+    val salted = JoinSkew.saltedJoinFull(left, right, "k",
+      targetRows = 100L, topN = 5).select(cols: _*)
+      .collect().map(_.toSeq).toSet
+    assert(salted == plain, "full-outer composition identity broke")
+    // untripped both legs: a flat join still equals the plain full join
+    val flat = s.range(0, 200).select(col("id").as("lid"),
+      (col("id") % 50).as("k"), col("id").as("lv"))
+    val plainFlat = flat.join(right, Seq("k"), "full")
+      .select(cols: _*).collect().map(_.toSeq).toSet
+    val saltedFlat = JoinSkew.saltedJoinFull(flat, right, "k",
+      targetRows = 1000L, topN = 5).select(cols: _*)
+      .collect().map(_.toSeq).toSet
+    assert(saltedFlat == plainFlat)
+  }
+
   test("joinSkewCard: disjoint keys yield zero output and NULL shares") {
     val s = spark
     import s.implicits._

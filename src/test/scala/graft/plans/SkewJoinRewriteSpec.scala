@@ -123,20 +123,144 @@ class SkewJoinRewriteSpec extends AnyFunSuite {
     }
   }
 
-  test("multi-equality and FULL OUTER joins are left alone (full outer: " +
-    "the replicated side would null-fill once per salt replica)") {
+  test("a multi-equality join whose composite TUPLE does not skew is " +
+    "left alone (tuple counts, not single-column counts, decide)") {
     val s = spark
     val (l, r0) = sides(s)
     val r = r0.withColumnRenamed("k", "rk").withColumn("rv2", col("rv"))
     withRewrite(s) {
+      // k alone is hot, but every (k, lv) tuple is unique — the
+      // composite diagnosis must find nothing to salt
       val multi = l.join(r,
         col("k") === col("rk") && col("lv") === col("rv2"))
       assert(!multi.queryExecution.executedPlan.toString
         .contains("__graft_skew"))
-      val fouter = l.join(r, col("k") === col("rk"), "full")
-      assert(!fouter.queryExecution.executedPlan.toString
-        .contains("__graft_skew"),
-        "full outer has no sound salted decomposition — must decline")
+      // non-equality conjuncts still decline outright
+      val theta = l.join(r,
+        col("k") === col("rk") && col("lv") > col("rv2"))
+      assert(!theta.queryExecution.executedPlan.toString
+        .contains("__graft_skew"))
+    }
+  }
+
+  /** Composite-key fixture: hot TUPLE (0, 7) planted on half the left
+    * rows; right side one row per (key, day) tuple, missing day 3. */
+  private def multiSides(s: SparkSession): (DataFrame, DataFrame) = {
+    val left = s.range(0, 2000).select(
+      col("id").as("lid"),
+      when(col("id") % 2 === 0, 0L).otherwise(col("id") % 50 + 1).as("k"),
+      when(col("id") % 2 === 0, 7L).otherwise(col("id") % 5).as("day"),
+      (col("id") * 2).as("lv"))
+    // one row per (k, day) tuple, day 3 missing — built without a
+    // crossJoin so the fixture's own plan stays BNLJ-free (the tests
+    // assert no BroadcastNestedLoopJoin anywhere in the plan string)
+    val right = s.range(0, 51 * 8).select(
+      expr("id div 8").as("k"), (col("id") % 8).as("day"))
+      .filter(col("day") =!= 3)
+      .withColumn("rv", col("k") * 100 + col("day"))
+    (left, right)
+  }
+
+  test("COMPOSITE-key (multi-equality) join rewrites when the tuple " +
+    "skews and stays result-identical, partial-NULL key components " +
+    "riding the cold path (r16 verdict task 3)") {
+    val s = spark
+    val (l0, r) = multiSides(s)
+    // plant NULLs into one key component: AND-equality matches nothing
+    val l = l0.select(col("lid"), col("k"),
+      when(col("lid") % 13 === 0, lit(null).cast("bigint"))
+        .otherwise(col("day")).as("day"), col("lv"))
+    def inner = l.join(r, Seq("k", "day"))
+      .select("lid", "k", "day", "lv", "rv")
+    def outer = l.join(r, Seq("k", "day"), "left")
+      .select("lid", "k", "day", "lv", "rv")
+    def anti = l.join(r, Seq("k", "day"), "left_anti")
+    val plainInner = inner.collect().map(_.toSeq).toSet
+    val plainOuter = outer.collect().map(_.toSeq).toSet
+    val plainAnti = anti.collect().map(_.toSeq).toSet
+    assert(plainOuter.exists(_(4) == null),
+      "fixture must exercise null-fills (day 3 missing on the right)")
+    withRewrite(s) {
+      for ((q, plain, label) <- Seq(
+          (inner, plainInner, "inner"), (outer, plainOuter, "outer"),
+          (anti, plainAnti, "anti"))) {
+        val p = q.queryExecution.executedPlan.toString
+        assert(p.contains("__graft_skew"),
+          s"composite $label rewrite did not fire:\n$p")
+        assert(!p.contains("CartesianProduct") &&
+          !p.contains("BroadcastNestedLoopJoin"), p)
+        assert(q.collect().map(_.toSeq).toSet == plain,
+          s"composite $label identity broke")
+      }
+      // NULL-component rows: vanish under inner, null-fill under outer,
+      // stay under anti — the plain AND-equality semantics
+      assert(inner.filter(col("day").isNull).count() == 0)
+      assert(outer.filter(col("day").isNull && col("rv").isNotNull)
+        .count() == 0)
+      assert(anti.filter(col("day").isNull).count() ==
+        l.filter(col("day").isNull).count())
+    }
+  }
+
+  test("FULL OUTER rewrites BY COMPOSITION (left-outer leg ∪ flipped " +
+    "anti leg) and stays result-identical: null-fills on both sides, " +
+    "right-only keys, and NULL keys on both sides all survive " +
+    "(r16 verdict task 2)") {
+    val s = spark
+    val (l0, r0) = outerSides(s)
+    // widen the right to 0..80 by 4s: keys 52..80 are RIGHT-ONLY and
+    // must come back null-filled on the left through the anti leg
+    val r1 = s.range(0, 81).filter(col("id") % 4 === 0).select(
+      col("id").as("rk"), (col("id") + 100).as("rv"))
+    // NULL keys on BOTH sides: each must survive null-filled once
+    val l = l0.select(col("lid"),
+      when(col("lid") % 7 === 0, lit(null).cast("bigint"))
+        .otherwise(col("k")).as("k"), col("lv"))
+    val r = r1.select(
+      when(col("rk") === 80L, lit(null).cast("bigint"))
+        .otherwise(col("rk")).as("rk"), col("rv"))
+    def q = l.join(r, col("k") === col("rk"), "full")
+      .select("lid", "k", "rk", "lv", "rv")
+    val plain = q.collect().map(_.toSeq).toSet
+    assert(plain.exists(t => t(0) == null) &&
+      plain.exists(t => t(4) == null),
+      "fixture must exercise null-fills on BOTH sides")
+    withRewrite(s) {
+      val p = q.queryExecution.executedPlan.toString
+      assert(p.contains("__graft_skew"),
+        s"full-outer composition did not fire:\n$p")
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), p)
+      assert(q.collect().map(_.toSeq).toSet == plain,
+        "full-outer composition identity broke")
+      // right-only keys ride the anti leg, null-filled on the left
+      assert(q.filter(col("rk") > 50L && col("lid").isNotNull)
+        .count() == 0)
+      assert(q.filter(col("rk") > 50L).count() ==
+        r.filter(col("rk") > 50L).count())
+      // NULL keys: every left NULL-key row and every right NULL-key row
+      // appears exactly once, unmatched
+      assert(q.filter(col("k").isNull && col("lid").isNotNull).count() ==
+        l.filter(col("k").isNull).count())
+      assert(q.filter(col("rk").isNull && col("rv").isNotNull).count() ==
+        r.filter(col("rk").isNull).count())
+    }
+  }
+
+  test("FULL OUTER with only ONE tripped leg still composes and stays " +
+    "identical (the untripped leg runs plain inside the union)") {
+    val s = spark
+    // hot pile on the LEFT only; the right is flat, so the anti leg's
+    // diagnosis finds nothing — it must run as the plain anti
+    val (l, r0) = outerSides(s)
+    val r = r0 // one row per key, no right pile
+    def q = l.join(r, col("k") === col("rk"), "full")
+      .select("lid", "k", "rk", "lv", "rv")
+    val plain = q.collect().map(_.toSeq).toSet
+    withRewrite(s) {
+      val p = q.queryExecution.executedPlan.toString
+      assert(p.contains("__graft_skew"), s"composition did not fire:\n$p")
+      assert(q.collect().map(_.toSeq).toSet == plain)
     }
   }
 
@@ -343,6 +467,92 @@ class SkewJoinRewriteSpec extends AnyFunSuite {
       assert(p.contains("__graft_skew"), s"SQL join must rewrite too:\n$p")
       assert(q.collect().map(_.toSeq).toSet == plain)
     }
+  }
+
+  test("sampleRate < 1: the deterministic hash-sampled diagnosis still " +
+    "finds the planted hot key, the rewrite fires, and the result " +
+    "stays identical (r16 verdict task 1 — identity is untouched by " +
+    "the diagnosis mode)") {
+    val s = spark
+    val (l, r) = sides(s)
+    val plain = rows(l.join(r, Seq("k")))
+    val plainOuter = l.join(r, Seq("k"), "left").collect()
+      .map(_.toSeq).toSet
+    withRewrite(s) {
+      s.conf.set("spark.graft.skewJoin.sampleRate", "0.05")
+      try {
+        val j = l.join(r, Seq("k"))
+        val p = j.queryExecution.executedPlan.toString
+        assert(p.contains("__graft_skew"),
+          s"sampled diagnosis missed the planted hot key:\n$p")
+        assert(rows(j) == plain, "identity must hold under sampling")
+        val o = l.join(r, Seq("k"), "left")
+        assert(o.queryExecution.executedPlan.toString
+          .contains("__graft_skew"))
+        assert(o.collect().map(_.toSeq).toSet == plainOuter)
+      } finally s.conf.unset("spark.graft.skewJoin.sampleRate")
+    }
+  }
+
+  test("the diagnosis runs ONCE per join shape (cached); " +
+    "rediagnose=true bypasses the cache READ and re-runs it") {
+    val s = spark
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        counter.incrementAndGet(); ()
+      }
+    }
+    // count the Spark jobs launched while materializing the OPTIMIZED
+    // plan only (never executing the query): the diagnosis collect is
+    // the only job source at plan time. The listener bus is async, so
+    // quiesce (no new events for 500ms) before reading the counter.
+    def planJobs(body: => Unit): Int = {
+      val before = counter.get
+      body
+      var last = counter.get
+      var stableSince = System.currentTimeMillis()
+      val deadline = System.currentTimeMillis() + 15000
+      while (System.currentTimeMillis() - stableSince < 500 &&
+          System.currentTimeMillis() < deadline) {
+        Thread.sleep(25)
+        if (counter.get != last) {
+          last = counter.get
+          stableSince = System.currentTimeMillis()
+        }
+      }
+      counter.get - before
+    }
+    val (l, r) = sides(s)
+    s.sparkContext.addSparkListener(listener)
+    try {
+      // targetRows 101 keeps this test's cache keys disjoint from every
+      // other test in the (session-shared) rule instance's cache
+      withRewrite(s, targetRows = 101L) {
+        // a cache HIT still pays exactly one trivial job: the salted
+        // subtree's ≤topN-row local plan collect (1-partition driver
+        // RDD — no table is scanned). The DIAGNOSIS is the multi-job
+        // count-table pass; distinguish the two by the job count.
+        def plan() = l.join(r, Seq("k")).queryExecution.executedPlan
+        val first = planJobs { plan() }
+        assert(first > 1, s"the first optimization must run the " +
+          s"diagnosis (count-table jobs), ran $first")
+        val second = planJobs { plan() }
+        assert(second <= 1,
+          s"the cached decision must skip the diagnosis, ran $second jobs")
+        s.conf.set("spark.graft.skewJoin.rediagnose", "true")
+        try {
+          val third = planJobs { plan() }
+          assert(third > 1,
+            "rediagnose=true must bypass the cache read and re-diagnose")
+        } finally s.conf.unset("spark.graft.skewJoin.rediagnose")
+        // the rediagnose run re-cached: back to diagnosis-free plans
+        val fourth = planJobs { plan() }
+        assert(fourth <= 1,
+          s"the re-cached decision must be honored again, ran $fourth jobs")
+      }
+    } finally s.sparkContext.removeSparkListener(listener)
   }
 
   test("NULL join keys vanish in both paths (inner-join semantics)") {

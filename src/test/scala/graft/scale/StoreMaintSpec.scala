@@ -276,4 +276,55 @@ class StoreMaintSpec extends AnyFunSuite {
       Pq.appendToIvfPqIndex(s, dir, bad)
     }
   }
+
+  test("paragraph store: retire + compact == filtered rebuild, " +
+    "INCLUDING a retired representative whose group re-elects; the " +
+    "compacted store's watermark is recomputed and it probes " +
+    "identically to the rebuild (r16 verdict task 4)") {
+    import graft.llm.Curation
+    val s = spark
+    import s.implicits._
+    // group X = docs 1 (rep), 2, and doc 4's second chunk; group Y =
+    // doc 3 alone (dies); group Z = doc 4's first chunk (untouched)
+    val docsAll = Seq(
+      (1L, "w1 w2 w3 w4"),
+      (2L, "w1 w2 w3 w4"),
+      (3L, "y1 y2 y3 y4"),
+      (4L, "z1 z2 z3 z4 w1 w2 w3 w4")).toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("graft-para-maint").toString
+    Curation.saveParagraphIndex(
+      Curation.paragraphIndex(docsAll, chunkSize = 4, k = 3), dir)
+    val kept = Curation.compactParagraphIndexStore(s, dir, Seq(1L, 3L))
+    val back = Curation.loadParagraphIndex(s, dir)
+    val rebuilt = Curation.paragraphIndex(
+      docsAll.filter(col("doc_id") =!= 1L && col("doc_id") =!= 3L),
+      chunkSize = 4, k = 3)
+    assert(kept == 2, "groups X (re-elected) and Z survive; Y dies")
+    def sets(m: Curation.ParagraphIndexModel) = (
+      m.exact.collect().map(_.toSeq).toSet,
+      m.bands.collect().map(_.toSeq).toSet,
+      m.shingles.collect().map(_.toSeq).toSet,
+      m.members.collect().map(_.toSeq).toSet)
+    assert(sets(back) == sets(rebuilt),
+      "compacted store must equal the filtered rebuild")
+    // the compact recomputed the watermark from the post-retire exact
+    // (re-election RAISED it: doc 2's chunk key replaced doc 1's)
+    assert(back.maxRepKey == rebuilt.maxRepKey && back.maxRepKey.isDefined,
+      s"${back.maxRepKey} vs ${rebuilt.maxRepKey}")
+    // probe identity: the takedown-then-recrawl batch dedups against
+    // the RE-ELECTED representative through the compacted store
+    val batch = Seq((10L, "w1 w2 w3 w4"), (11L, "y1 y2 y3 y4"))
+      .toDF("doc_id", "text")
+    def probe(ix: Curation.ParagraphIndexModel) =
+      Curation.paragraphDedupIncremental(ix, batch).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
+    val got = probe(back)
+    assert(got == probe(rebuilt))
+    graft.llm.PipelineCaches.clear()
+    assert(got(10L) == ((1L, "")) && got(11L) == ((0L, "y1 y2 y3 y4")))
+    // no backup debris: every relation's swap reclaimed its _old dir
+    for (rel <- Seq("exact", "bands", "shingles", "members"))
+      assert(!new java.io.File(s"$dir/${rel}_old").exists,
+        s"$rel backup must be reclaimed")
+  }
 }
