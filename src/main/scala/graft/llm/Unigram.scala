@@ -235,10 +235,16 @@ object Unigram {
         // (emoji, rare CJK) the two orders diverge — a UTF-16 sort here
         // would keep a different piece set than the oracle's prune CTE
         // and seedSelect's distributed order (r16 advice fix)
+        // single-char immortality counts CODE POINTS, not UTF-16 units
+        // (a supplementary-plane char is one piece of length 2 in
+        // UTF-16), matching the oracle's len(piece) = 1 — same
+        // currently-unreachable-but-hardened class as the UTF-8
+        // tie-break above
         val keep = counts.toSeq.sortWith { case ((pa, na), (pb, nb)) =>
             if (na != nb) na > nb else utf8Less(pa, pb) }
           .iterator.zipWithIndex.collect {
-            case ((p, _), i) if p.length == 1 || i < target => p
+            case ((p, _), i)
+                if p.codePointCount(0, p.length) == 1 || i < target => p
           }.toSet
         counts = counts.filter { case (p, _) => keep(p) }
       }

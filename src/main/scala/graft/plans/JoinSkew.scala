@@ -129,19 +129,26 @@ object JoinSkew {
     * ceil(price / targetRows) in integer arithmetic CAPPED at n_left
     * (a factor beyond the left row count splits nothing and only
     * multiplies the replicated side — [[saltingPlanSampled]] applies
-    * the same cap at its lower-bound estimate). */
+    * the same cap at its lower-bound estimate). Ranking is
+    * TREATABLE-FIRST — (salt DESC, price DESC, keys): ranking by raw
+    * price would let untreatable keys (a sentinel-style 1-row left key
+    * against a huge right side prices astronomically but caps to salt
+    * 1) consume the topN slots and evict genuinely splittable piles;
+    * the single-key CARDS keep their committed raw-price order (a
+    * diagnostic read, oracled), this planner feeds the TREATMENT. */
   private def pricePlan(counts: DataFrame, keyCols: Seq[String],
       targetRows: Long, topN: Int, preserved: Boolean): DataFrame = {
     val priced = counts.withColumn("_price",
       if (preserved) greatest(col("out_rows"), col("n_left"))
       else col("out_rows"))
-    priced.orderBy(col("_price").desc +:
+      .withColumn("salt",
+        least(expr(s"(_price + ${targetRows}L - 1) div ${targetRows}L"),
+          col("n_left")).cast("bigint"))
+    priced.orderBy(Seq(col("salt").desc, col("_price").desc) ++
         keyCols.map(col(_).asc_nulls_last): _*)
       .limit(topN)
       .select(keyCols.map(col) ++ Seq(col("n_left"), col("n_right"),
-        col("out_rows"),
-        least(expr(s"(_price + ${targetRows}L - 1) div ${targetRows}L"),
-          col("n_left")).cast("bigint").as("salt")): _*)
+        col("out_rows"), col("salt")): _*)
   }
 
   /** COMPOSITE-key salting plan (r16 verdict task 3): production
@@ -260,13 +267,15 @@ object JoinSkew {
         (col("n_left") * col("n_right")).cast("bigint"))
       .withColumn("_price",
         greatest((col("_ll") * col("_lr")).cast("bigint"), col("_ll")))
-    counts.orderBy(col("_price").desc +:
+      .withColumn("salt",
+        least(expr(s"(_price + ${targetRows}L - 1) div ${targetRows}L"),
+          col("_ll")).cast("bigint"))
+    // treatable-first ranking, as in pricePlan
+    counts.orderBy(Seq(col("salt").desc, col("_price").desc) ++
         keyCols.map(col(_).asc_nulls_last): _*)
       .limit(topN)
       .select(keyCols.map(col) ++ Seq(col("n_left"), col("n_right"),
-        col("out_rows"),
-        least(expr(s"(_price + ${targetRows}L - 1) div ${targetRows}L"),
-          col("_ll")).cast("bigint").as("salt")): _*)
+        col("out_rows"), col("salt")): _*)
   }
 
   def joinSkewCard(left: DataFrame, right: DataFrame, keyCol: String,
@@ -423,7 +432,20 @@ object JoinSkew {
       plan: DataFrame, roundRobinSalt: Boolean = false,
       joinType: String = "inner"): DataFrame =
     saltedJoinMulti(left, right, Seq(keyCol),
-      plan.withColumnRenamed("key", keyCol), roundRobinSalt, joinType)
+      singleKeyPlan(plan, keyCol), roundRobinSalt, joinType)
+
+  /** Adapt a single-key plan relation (key, …, salt) to the multi-key
+    * contract: PROJECT to exactly (keyCol, salt) rather than renaming
+    * in place — a bare rename would duplicate a column when `keyCol`
+    * collides with one of the plan's stat columns (n_left, out_rows…)
+    * and throw AMBIGUOUS_REFERENCE downstream. `salt` itself stays the
+    * one reserved plan name. */
+  private def singleKeyPlan(plan: DataFrame, keyCol: String): DataFrame = {
+    require(keyCol != "salt",
+      "the plan relation reserves the 'salt' column name; rename the " +
+        "join key column before salting")
+    plan.select(col("key").as(keyCol), col("salt"))
+  }
 
   /** [[saltedJoin]] over a COMPOSITE key (r16 verdict task 3): the
     * decomposition proof is key-shape-agnostic — hot TUPLES' left rows
@@ -552,10 +574,12 @@ object JoinSkew {
   def saltedJoinFull(left: DataFrame, right: DataFrame, keyCol: String,
       targetRows: Long, topN: Int): DataFrame =
     saltedJoinFullMulti(left, right, Seq(keyCol),
-      saltingPlanPreserved(left, right, keyCol, targetRows, topN)
-        .withColumnRenamed("key", keyCol),
-      saltingPlanPreserved(right, left, keyCol, targetRows, topN)
-        .withColumnRenamed("key", keyCol))
+      singleKeyPlan(
+        saltingPlanPreserved(left, right, keyCol, targetRows, topN),
+        keyCol),
+      singleKeyPlan(
+        saltingPlanPreserved(right, left, keyCol, targetRows, topN),
+        keyCol))
 
   /** Convenience form: diagnose and treat in one call (fixture/test
     * scale — a recurring 100 TB join should persist the plan once via

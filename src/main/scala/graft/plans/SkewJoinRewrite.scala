@@ -421,8 +421,13 @@ case class SkewJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     val keyOrdinals =
       lks.map(k => left.output.indexWhere(_.exprId == k.exprId)) ++
       rks.map(k => right.output.indexWhere(_.exprId == k.exprId))
+    // the sampled planner prices every join type the preserved way, so
+    // under sampling the flag folds to a constant — an inner and an
+    // outer join over the same sides then share ONE cached diagnosis
+    // instead of running (and LRU-slotting) it twice for identical rows
+    val pricingMode = if (rate < 1.0) true else preservedPricing
     val cacheKey: CacheKey = (left.canonicalized, right.canonicalized,
-      keyOrdinals, targetRows, topN, preservedPricing,
+      keyOrdinals, targetRows, topN, pricingMode,
       java.lang.Double.doubleToLongBits(rate))
     if (!rediagnose) {
       val cached = decided.get(cacheKey)

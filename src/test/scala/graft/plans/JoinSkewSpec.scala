@@ -405,10 +405,16 @@ class JoinSkewSpec extends AnyFunSuite {
     val cols = Seq("lid", "k", "lv", "rv").map(col)
     val plain = left.join(right, Seq("k"), "full")
       .select(cols: _*).collect().map(_.toSeq).toSet
-    val salted = JoinSkew.saltedJoinFull(left, right, "k",
+    val saltedDf = JoinSkew.saltedJoinFull(left, right, "k",
       targetRows = 100L, topN = 5).select(cols: _*)
-      .collect().map(_.toSeq).toSet
+    val salted = saltedDf.collect().map(_.toSeq).toSet
     assert(salted == plain, "full-outer composition identity broke")
+    // the Set is blind to once-per-replica duplicate emission — the
+    // exact hazard the composition avoids; pin the multiset via count.
+    // The fixture has no fully-duplicate rows (lid/rv distinct), so
+    // set size == row count on the plain side
+    assert(saltedDf.count() == plain.size,
+      "composition must emit each row exactly once")
     // untripped both legs: a flat join still equals the plain full join
     val flat = s.range(0, 200).select(col("id").as("lid"),
       (col("id") % 50).as("k"), col("id").as("lv"))

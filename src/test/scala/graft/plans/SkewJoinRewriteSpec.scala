@@ -233,6 +233,11 @@ class SkewJoinRewriteSpec extends AnyFunSuite {
         !p.contains("BroadcastNestedLoopJoin"), p)
       assert(q.collect().map(_.toSeq).toSet == plain,
         "full-outer composition identity broke")
+      // Set comparison is blind to duplicate emission — the exact
+      // failure mode (once-per-replica null-fills) the composition
+      // exists to avoid; the count pins the multiset
+      assert(q.count() == plain.size,
+        "composition must emit each row exactly once")
       // right-only keys ride the anti leg, null-filled on the left
       assert(q.filter(col("rk") > 50L && col("lid").isNotNull)
         .count() == 0)
@@ -261,6 +266,8 @@ class SkewJoinRewriteSpec extends AnyFunSuite {
       val p = q.queryExecution.executedPlan.toString
       assert(p.contains("__graft_skew"), s"composition did not fire:\n$p")
       assert(q.collect().map(_.toSeq).toSet == plain)
+      assert(q.count() == plain.size,
+        "composition must emit each row exactly once")
     }
   }
 
