@@ -757,6 +757,51 @@ object EventQueries {
       }
     },
 
+    // the KEYED range join as engine behavior (r17): the production
+    // (key, ts BETWEEN lo AND hi) shape — events joined to PER-TYPE
+    // time windows. Without the keyed opt-in the rule correctly
+    // declines (the planner hash-joins the equality), but event_type
+    // is LOW-cardinality, so each hash group is a per-type cartesian
+    // scanned by the range filter; with
+    // spark.graft.rangeJoin.keyedRewrite=true the equality lifts into
+    // the bucketed join's key list and the shuffle partitions on
+    // (type, day-bucket). The oracle is the naive equality+range
+    // predicate, so the hash gate re-proves the lift's identity —
+    // including that NULL-free key equality and strict bucket
+    // completeness survive — every round
+    "q_range_join_keyed" -> { (s, dir) =>
+      graft.functions.GraftExtensions.register(s)
+      val e = events(s, dir)
+      val win = e.filter(col("event_id") % 223 === 0)
+        .select(col("event_id").as("window_id"),
+          col("event_type").as("wtype"), col("ts").as("lo"),
+          (col("ts") + expr("INTERVAL 36 HOURS")).as("hi"))
+      val prevOn = s.conf.get("spark.graft.rangeJoin.rewrite", "false")
+      val prevK = s.conf.get("spark.graft.rangeJoin.keyedRewrite", "false")
+      val prevW = s.conf.get("spark.graft.rangeJoin.bucketSec", "86400")
+      s.conf.set("spark.graft.rangeJoin.rewrite", "true")
+      s.conf.set("spark.graft.rangeJoin.keyedRewrite", "true")
+      s.conf.set("spark.graft.rangeJoin.bucketSec", (24 * 3600).toString)
+      try {
+        val out = e.select("event_id", "event_type", "ts")
+          .join(win, col("event_type") === col("wtype") &&
+            col("ts") >= col("lo") && col("ts") <= col("hi"))
+          .select("event_id", "event_type", "window_id")
+        val plan = out.queryExecution.executedPlan.toString
+        require(plan.contains("__graft_range"),
+          "keyed range rewrite did not fire; the entry would not " +
+            "exercise it")
+        require(!plan.contains("BroadcastNestedLoopJoin") &&
+          !plan.contains("CartesianProduct"),
+          "keyed range rewrite must not leave a nested loop")
+        out.localCheckpoint(true)
+      } finally {
+        s.conf.set("spark.graft.rangeJoin.rewrite", prevOn)
+        s.conf.set("spark.graft.rangeJoin.keyedRewrite", prevK)
+        s.conf.set("spark.graft.rangeJoin.bucketSec", prevW)
+      }
+    },
+
     // the range rewrite on a NUMERIC band (r15 verdict task 5): value
     // bands ±1.0 around sampled anchor scores — lo goes NEGATIVE at
     // the distribution's left edge and the conf width is FRACTIONAL
@@ -1285,6 +1330,15 @@ object EventQueries {
         |  CAST(count(*) AS BIGINT) AS n_bins
         |FROM k GROUP BY event_type""".stripMargin,
 
+    "q_range_join_keyed" ->
+      """SELECT e.event_id, e.event_type, w.window_id
+        |FROM events e JOIN (
+        |  SELECT event_id AS window_id, event_type AS wtype, ts AS lo,
+        |    ts + INTERVAL 36 HOUR AS hi
+        |  FROM events WHERE event_id % 223 = 0) w
+        |ON e.event_type = w.wtype AND e.ts >= w.lo AND e.ts <= w.hi"""
+        .stripMargin,
+
     "q_events_range_join" ->
       """SELECT e.event_id, w.window_id
         |FROM events e JOIN (
@@ -1375,6 +1429,7 @@ object EventQueries {
     "q_events_asof" -> Seq("event_id"),
     "q_events_range_join" -> Seq("event_id", "window_id"),
     "q_range_join_rewrite" -> Seq("event_id", "window_id"),
+    "q_range_join_keyed" -> Seq("event_id", "window_id"),
     "q_range_join_rewrite_num" -> Seq("event_id", "window_id"),
     "q_events_psi" -> Seq("event_type"),
     "q_events_priority" -> Seq("deliver_pos"),

@@ -41,10 +41,28 @@ import org.apache.spark.sql.types.{NumericType, TimestampNTZType, TimestampType}
   * Joins left alone: anything but INNER/CROSS, hinted joins (the user
   * chose a strategy), joins already connected by a cross-side equality
   * (the planner runs those as equi-joins — rewriting could only add
-  * work), mixed-family or non-timestamp/non-numeric bounds, and
-  * already-rewritten subtrees (the `__graft_range` marker). Unlike
-  * [[SkewJoinRewrite]] no plan-time jobs run — the pattern match is
-  * pure, so the only cost of enabling the conf is the match itself. */
+  * work; see the keyed opt-in below), mixed-family or
+  * non-timestamp/non-numeric bounds, and already-rewritten subtrees
+  * (the `__graft_range` marker). Unlike [[SkewJoinRewrite]] no
+  * plan-time jobs run — the pattern match is pure, so the only cost of
+  * enabling the conf is the match itself.
+  *
+  * KEYED ranges (r17): `spark.graft.rangeJoin.keyedRewrite=true`
+  * additionally treats equality-PLUS-range conditions — the
+  * (tenant_id, ts BETWEEN lo AND hi) production shape — by lifting
+  * every cross-side attribute=attribute equality into the bucketed
+  * join's key list ([[graft.scale.RangeJoin]]'s `keys`), so the
+  * shuffle partitions on (keys…, bucket). This is its OWN opt-in
+  * because the default decline is RIGHT for high-cardinality keys: the
+  * planner's hash join on a selective equality already confines the
+  * range filter to small groups, and bucketing would only add interval
+  * replication. On LOW-cardinality keys (tenants, categories, event
+  * types) each hash group is a per-key cartesian and the keyed bucket
+  * join wins — a DATA property the pure pattern match cannot see, so
+  * the user chooses. Result identity is unconditional either way (the
+  * FULL original predicate re-applies, equalities included); an
+  * equality connector that is not attribute=attribute still declines
+  * (the lift is proven for attribute pairs only). */
 case class RangeJoinRewrite(spark: SparkSession)
     extends Rule[LogicalPlan] with PredicateHelper {
 
@@ -64,6 +82,8 @@ case class RangeJoinRewrite(spark: SparkSession)
   private def numBucketWidth: Option[Double] =
     spark.conf.getOption("spark.graft.rangeJoin.numBucketWidth")
       .map(_.toDouble)
+  private def keyedRewrite: Boolean =
+    spark.conf.get("spark.graft.rangeJoin.keyedRewrite", "false") == "true"
 
   private def isRewritten(p: LogicalPlan): Boolean =
     p.output.exists(_.name.startsWith(Marker))
@@ -140,10 +160,37 @@ case class RangeJoinRewrite(spark: SparkSession)
         (y.references.subsetOf(left.outputSet) &&
           x.references.subsetOf(right.outputSet)))
 
+  /** Cross-side attribute=attribute equalities, unoriented; None when
+    * some cross-side equality is NOT a plain attribute pair (the keyed
+    * lift is proven for attribute pairs only — decline). */
+  private def liftableEquis(conjuncts: Seq[Expression],
+      left: LogicalPlan, right: LogicalPlan)
+      : Option[Seq[(Attribute, Attribute)]] = {
+    val conns = conjuncts.filter {
+      case EqualTo(x, y) => connects(x, y, left, right)
+      case EqualNullSafe(x, y) => connects(x, y, left, right)
+      case _ => false
+    }
+    val lifted = conns.map {
+      // null-safe equality is NOT lifted: the bucketed join's key
+      // equality drops NULL=NULL pairs that <=> would keep
+      case EqualTo(x: AttributeReference, y: AttributeReference) =>
+        Some((x: Attribute, y: Attribute))
+      case _ => None
+    }
+    if (lifted.exists(_.isEmpty)) None else Some(lifted.flatten)
+  }
+
   private def rewrite(cond: Expression, left: LogicalPlan,
       right: LogicalPlan): Option[LogicalPlan] = {
     val conjuncts = splitConjunctivePredicates(cond)
-    if (hasEquiConnector(conjuncts, left, right)) return None
+    val equis =
+      if (!hasEquiConnector(conjuncts, left, right)) Seq.empty
+      else if (!keyedRewrite) return None
+      else liftableEquis(conjuncts, left, right) match {
+        case Some(ps) => ps
+        case None => return None
+      }
     val lowers = conjuncts.flatMap(lowerOf)
     val uppers = conjuncts.flatMap(upperOf)
     // a (point, lo, hi) triple in ONE type family with the point wholly
@@ -175,11 +222,24 @@ case class RangeJoinRewrite(spark: SparkSession)
         name("i", intervals.output.indexWhere(_.exprId == lo.exprId))
       val hiName =
         name("i", intervals.output.indexWhere(_.exprId == hi.exprId))
+      // orient each lifted equality to (points attr, intervals attr)
+      // and translate to the internal names; an equality that does not
+      // straddle points/intervals cannot exist here (connects() proved
+      // cross-side under the ORIGINAL left/right, which {points,
+      // intervals} is a permutation of)
+      val keyPairs = equis.map { case (x, y) =>
+        if (points.outputSet.contains(x))
+          (name("p", points.output.indexWhere(_.exprId == x.exprId)),
+            name("i", intervals.output.indexWhere(_.exprId == y.exprId)))
+        else
+          (name("p", points.output.indexWhere(_.exprId == y.exprId)),
+            name("i", intervals.output.indexWhere(_.exprId == x.exprId)))
+      }
       val bucketed = PlanBridge.analyzed(
-        if (isTs) graft.scale.RangeJoin
-          .pointInInterval(pDf, tsName, iDf, loName, hiName, bucketSec)
+        if (isTs) graft.scale.RangeJoin.pointInInterval(
+          pDf, tsName, iDf, loName, hiName, bucketSec, keyPairs)
         else graft.scale.RangeJoin.pointInIntervalNum(
-          pDf, tsName, iDf, loName, hiName, numBucketWidth.get))
+          pDf, tsName, iDf, loName, hiName, numBucketWidth.get, keyPairs))
       val byName = bucketed.output.map(a => a.name -> a).toMap
       val restored = (points.output.zipWithIndex.map { case (a, i) =>
         Alias(byName(name("p", i)), a.name)(

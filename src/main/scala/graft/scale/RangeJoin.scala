@@ -28,17 +28,27 @@ object RangeJoin {
   /** Join `points` to `intervals` where `pointCol ∈ [loCol, hiCol]`
     * (inclusive both ends; timestamp columns). `bucketWidthSec` must
     * exceed 0; intervals with NULL bounds or lo > hi match nothing, NULL
-    * points match nothing — the nested-loop predicate's semantics. */
+    * points match nothing — the nested-loop predicate's semantics.
+    *
+    * `keys` (r17): optional EQUALITY key pairs (pointsCol, intervalsCol)
+    * joined alongside the bucket — the (tenant_id, ts ∈ [lo, hi]) shape.
+    * With a LOW-cardinality key (tenants, event types) the planner's
+    * plain equi-join confines nothing: each key's hash group is a
+    * per-key cartesian scanned by the range filter; keying the BUCKETED
+    * join shuffles on (keys…, bucket) instead, so a hot tenant's rows
+    * still split across its time buckets. NULL key components match
+    * nothing, exactly as in the nested loop. */
   def pointInInterval(
       points: DataFrame, pointCol: String,
       intervals: DataFrame, loCol: String, hiCol: String,
-      bucketWidthSec: Long = 7L * 24 * 3600): DataFrame = {
+      bucketWidthSec: Long = 7L * 24 * 3600,
+      keys: Seq[(String, String)] = Nil): DataFrame = {
     require(bucketWidthSec > 0, s"bucket width must be positive: $bucketWidthSec")
     // NTZ timestamps cannot cast straight to double; normalize through
     // TIMESTAMP (a no-op under the pinned UTC session timezone)
     bucketedJoin(points, pointCol, intervals, loCol, hiCol,
       c => floor(c.cast("timestamp").cast("double") / bucketWidthSec)
-        .cast("long"))
+        .cast("long"), keys)
   }
 
   /** [[pointInInterval]] for NUMERIC point/bounds columns — score
@@ -55,11 +65,12 @@ object RangeJoin {
   def pointInIntervalNum(
       points: DataFrame, pointCol: String,
       intervals: DataFrame, loCol: String, hiCol: String,
-      bucketWidth: Double): DataFrame = {
+      bucketWidth: Double,
+      keys: Seq[(String, String)] = Nil): DataFrame = {
     require(bucketWidth > 0 && !bucketWidth.isInfinite,
       s"bucket width must be positive and finite: $bucketWidth")
     bucketedJoin(points, pointCol, intervals, loCol, hiCol,
-      c => floor(c.cast("double") / bucketWidth).cast("long"))
+      c => floor(c.cast("double") / bucketWidth).cast("long"), keys)
   }
 
   /** Per-interval bucket-count cap: an open upper bound encoded as a
@@ -77,7 +88,8 @@ object RangeJoin {
   private def bucketedJoin(
       points: DataFrame, pointCol: String,
       intervals: DataFrame, loCol: String, hiCol: String,
-      bucketOf: Column => Column): DataFrame = {
+      bucketOf: Column => Column,
+      keys: Seq[(String, String)] = Nil): DataFrame = {
     // the joined output carries all columns of both inputs, so shared
     // names would make every downstream reference ambiguous — fail now
     // with the offending names instead of an AnalysisException later
@@ -85,10 +97,20 @@ object RangeJoin {
     require(shared.isEmpty,
       s"points and intervals share column names ${shared.mkString(", ")}; " +
         s"rename one side before joining")
-    val b = "__graft_range_bucket"
-    require(!points.columns.contains(b) && !intervals.columns.contains(b),
-      s"inputs must not already carry a '$b' column")
-    val l = points.withColumn(b, bucketOf(col(pointCol)))
+    keys.foreach { case (pk, ik) =>
+      require(points.columns.contains(pk),
+        s"points side is missing equality key column '$pk'")
+      require(intervals.columns.contains(ik),
+        s"intervals side is missing equality key column '$ik'")
+    }
+    // per-side bucket names (not USING-merged): the join condition must
+    // carry the bucket equality AND the key equalities so the shuffle
+    // partitions on the full (keys…, bucket) tuple
+    val bP = "__graft_range_bucket_p"
+    val bI = "__graft_range_bucket_i"
+    require(!points.columns.contains(bP) && !intervals.columns.contains(bI),
+      s"inputs must not already carry a '$bP'/'$bI' column")
+    val l = points.withColumn(bP, bucketOf(col(pointCol)))
       .filter(col(pointCol).isNotNull)
     // loud span guard (see MaxBucketsPerInterval), embedded in the
     // sequence's upper bound so no optimizer pass can prune it and it
@@ -122,9 +144,11 @@ object RangeJoin {
     val r = intervals
       .filter(col(loCol).isNotNull && col(hiCol).isNotNull &&
         col(loCol) <= col(hiCol))
-      .withColumn(b, explode(sequence(bucketOf(col(loCol)), guardedHi)))
-    l.join(r, Seq(b))
+      .withColumn(bI, explode(sequence(bucketOf(col(loCol)), guardedHi)))
+    val joinCond = ((col(bP) === col(bI)) +:
+      keys.map { case (pk, ik) => col(pk) === col(ik) }).reduce(_ && _)
+    l.join(r, joinCond)
       .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
-      .drop(b)
+      .drop(bP, bI)
   }
 }

@@ -347,6 +347,24 @@ object StreamingPipeline {
       model = Some(ckpt(m))
     }
 
+    /** Retire documents from the LIVE accumulating state — a takedown
+      * arriving mid-stream ([[graft.llm.Curation.retireFromParagraphIndex]]
+      * pointed at the in-memory model): representative re-election and
+      * group drops run once, eagerly checkpointed, so later probes read
+      * materialized state rather than re-running the retire joins per
+      * consumer (the compact-before-serve discipline). Call between
+      * micro-batches from the owning writer; a replayed micro-batch
+      * (the guard keeps the LATEST pre-batch snapshot) still re-emits
+      * its original rows unchanged, and the retirement survives the
+      * replay. The watermark
+      * goes unknown (re-election can raise it) — the next probe's
+      * fallback agg re-resolves it against the checkpointed exact. */
+    def retire(retiredIds: Seq[Long]): Unit = synchronized {
+      model = model.map { m =>
+        ckpt(Curation.retireFromParagraphIndex(m, retiredIds))
+      }
+    }
+
     private def emptyIndex(like: DataFrame): Curation.ParagraphIndexModel =
       Curation.paragraphIndex(like.limit(0), chunkSize, k, numHashes,
         bands, oracleHashes, maxChunksPerDoc)

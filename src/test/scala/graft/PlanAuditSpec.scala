@@ -490,6 +490,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(df.count() > 0)
   }
 
+  test("q_range_join_keyed: the in-entry fired/no-nested-loop requires " +
+    "hold — the equality lifts into the bucketed join's keys and " +
+    "every match carries the window's type") {
+    val df = SparkEntry.queries("q_range_join_keyed")(
+      spark, SparkTestSession.fixtureDir)
+    assert(df.count() > 0)
+  }
+
   test("q_paragraph_retire: the post-retire probe keeps the " +
     "incremental plan shape (semi-join pruned, persisted bases, no " +
     "cartesian) and the takedown-then-recrawl dedups against the " +

@@ -97,6 +97,72 @@ class RangeJoinRewriteSpec extends AnyFunSuite {
     }
   }
 
+  /** Typed fixture for the keyed opt-in: per-type windows, so the
+    * equality is low-cardinality (the shape the keyed lift targets). */
+  private def typedSides(s: SparkSession): (DataFrame, DataFrame) = {
+    val e = s.table("events").select("event_id", "event_type", "ts")
+    val win = s.table("events").filter(col("event_id") % 97 === 0)
+      .select(col("event_id").as("window_id"),
+        col("event_type").as("wtype"), col("ts").as("lo"),
+        (col("ts") + expr("INTERVAL 12 HOURS")).as("hi"))
+    (e, win)
+  }
+
+  test("keyedRewrite lifts a cross-side attribute equality into the " +
+    "bucketed join's keys — fires, stays result-identical, and keeps " +
+    "declining without the opt-in (r17)") {
+    val s = spark
+    val (e, w) = typedSides(s)
+    def q = e.join(w, col("event_type") === col("wtype") &&
+        col("ts") >= col("lo") && col("ts") <= col("hi"))
+      .select("event_id", "event_type", "window_id")
+    val plain = q.collect().map(_.toSeq).toSet
+    withRewrite(s) {
+      // without the keyed opt-in: the established equi-decline holds
+      assert(!q.queryExecution.executedPlan.toString
+        .contains("__graft_range"),
+        "equality+range must still decline without keyedRewrite")
+      s.conf.set("spark.graft.rangeJoin.keyedRewrite", "true")
+      try {
+        val p = q.queryExecution.executedPlan.toString
+        assert(p.contains("__graft_range"),
+          s"keyed lift did not fire:\n$p")
+        assert(!p.contains("BroadcastNestedLoopJoin") &&
+          !p.contains("CartesianProduct"), p)
+        assert(q.collect().map(_.toSeq).toSet == plain,
+          "keyed lift identity broke")
+        assert(q.count() == plain.size,
+          "keyed lift must emit each row exactly once")
+      } finally s.conf.unset("spark.graft.rangeJoin.keyedRewrite")
+    }
+  }
+
+  test("keyedRewrite declines non-liftable equality connectors: a " +
+    "computed equality and a null-safe <=> both keep the plain plan " +
+    "(the lift is proven for attribute pairs only)") {
+    val s = spark
+    val (e, w) = typedSides(s)
+    withRewrite(s) {
+      s.conf.set("spark.graft.rangeJoin.keyedRewrite", "true")
+      try {
+        // computed (non-attribute) equality
+        val comp = e.join(w,
+          concat(col("event_type"), lit("")) === col("wtype") &&
+            col("ts") >= col("lo") && col("ts") <= col("hi"))
+        assert(!comp.queryExecution.executedPlan.toString
+          .contains("__graft_range"),
+          "a computed equality must decline the keyed lift")
+        // null-safe equality: <=> keeps NULL=NULL pairs the bucketed
+        // join's key equality would drop — must decline
+        val nsafe = e.join(w, col("event_type") <=> col("wtype") &&
+          col("ts") >= col("lo") && col("ts") <= col("hi"))
+        assert(!nsafe.queryExecution.executedPlan.toString
+          .contains("__graft_range"),
+          "a null-safe equality must decline the keyed lift")
+      } finally s.conf.unset("spark.graft.rangeJoin.keyedRewrite")
+    }
+  }
+
   test("SQL BETWEEN form triggers the same rewrite (the analyzer " +
     "expands BETWEEN into the >=/<= conjuncts the rule matches)") {
     val s = spark

@@ -73,6 +73,56 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(got == Set((1L, 10L)))
   }
 
+  test("KEYED range join equals the nested-loop equality+range " +
+    "predicate — matches confined per key, NULL key components match " +
+    "nothing (r17)") {
+    val s = spark
+    import s.implicits._
+    def t(str: String) = Timestamp.valueOf(str)
+    val points = Seq(
+      (1L, Some("a"), t("2024-01-02 00:00:00")), // in window 10 (key a)
+      (2L, Some("b"), t("2024-01-02 00:00:00")), // right time, WRONG key
+      (3L, Some("a"), t("2024-02-01 00:00:00")), // right key, wrong time
+      (4L, Option.empty[String], t("2024-01-02 00:00:00")) // NULL key
+    ).toDF("event_id", "k", "ts")
+    val win = Seq(
+      (10L, Some("a"), t("2024-01-01 00:00:00"), t("2024-01-05 00:00:00")),
+      (11L, Option.empty[String], t("2024-01-01 00:00:00"),
+        t("2024-01-05 00:00:00"))
+    ).toDF("window_id", "wk", "lo", "hi")
+    val got = RangeJoin.pointInInterval(points, "ts", win, "lo", "hi",
+        bucketWidthSec = 24 * 3600, keys = Seq(("k", "wk")))
+      .select("event_id", "window_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = points.join(win, col("k") === col("wk") &&
+        col("ts") >= col("lo") && col("ts") <= col("hi"))
+      .select("event_id", "window_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == naive && got == Set((1L, 10L)),
+      s"keyed join must confine matches per key and drop NULLs: $got")
+    // fixture-scale identity on the events table (per-type windows)
+    val e = s.table("events").select("event_id", "event_type", "ts")
+    val w2 = s.table("events").filter(col("event_id") % 223 === 0)
+      .select(col("event_id").as("window_id"),
+        col("event_type").as("wtype"), col("ts").as("lo"),
+        (col("ts") + expr("INTERVAL 36 HOURS")).as("hi"))
+    val keyed = RangeJoin.pointInInterval(e, "ts", w2, "lo", "hi",
+        bucketWidthSec = 24 * 3600, keys = Seq(("event_type", "wtype")))
+      .select("event_id", "window_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val plain = e.join(w2, col("event_type") === col("wtype") &&
+        col("ts") >= col("lo") && col("ts") <= col("hi"))
+      .select("event_id", "window_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(keyed == plain && keyed.nonEmpty)
+    // missing key columns fail loudly
+    val err = intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(points, "ts", win, "lo", "hi",
+        keys = Seq(("nope", "wk")))
+    }
+    assert(err.getMessage.contains("equality key"))
+  }
+
   test("span guard stays LOUD when the bucket difference overflows Long " +
     "(r16 advice: lo near -2^62, hi near +2^62 — the wrapped negative " +
     "must not slip past the cap into a sequence() blow-up)") {

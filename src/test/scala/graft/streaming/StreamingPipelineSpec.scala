@@ -208,6 +208,58 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(idx.size == size1, "a replay must not append twice")
   }
 
+  test("mid-stream retire: a takedown between micro-batches re-elects " +
+    "representatives in the LIVE state, the next batch probes the " +
+    "retired state exactly as the batch incremental path would, and a " +
+    "replayed earlier batch still re-emits unchanged (r17)") {
+    val s = spark
+    import s.implicits._
+    import graft.llm.Curation
+    // history: doc 1 and its verbatim twin 2 (group rep = doc 1's
+    // chunk), doc 3 unique (its group dies with it)
+    val hist = Seq((1L, "w1 w2 w3 w4"), (2L, "w1 w2 w3 w4"),
+      (3L, "y1 y2 y3 y4")).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getString(3))).toSet
+    val idx = new StreamingPipeline.ParagraphDedupIndex(
+      chunkSize = 4, threshold = 0.8, k = 3)
+    idx.seed(Curation.paragraphIndex(hist, chunkSize = 4, k = 3))
+    val b1 = Seq((10L, "z1 z2 z3 z4")).toDF("doc_id", "text")
+    val out1 = rows(idx.probeAndAppend(b1, 0L))
+    // takedown docs 1 (rep — doc 2 must be re-elected) and 3 (dead)
+    idx.retire(Seq(1L, 3L))
+    // the re-crawl batch: X dedups against the RE-ELECTED rep (doc 2),
+    // Y is new text again (its group died)
+    val b2 = Seq((20L, "w1 w2 w3 w4"), (21L, "y1 y2 y3 y4"))
+      .toDF("doc_id", "text")
+    val streamed = rows(idx.probeAndAppend(b2, 1L))
+    // batch-path twin: retire the equivalent accumulated index
+    val accumulated = Curation.paragraphIndex(
+      hist.unionAll(b1).filter(
+        col("doc_id") =!= 1L && col("doc_id") =!= 3L),
+      chunkSize = 4, k = 3)
+    val expected = rows(
+      Curation.paragraphDedupIncremental(accumulated, b2))
+    assert(streamed == expected,
+      s"mid-stream retire must equal the batch path: $streamed " +
+        s"vs $expected")
+    assert(streamed.exists(t => t._1 == 20L && t._2 == 1L),
+      "the re-crawl of X must dedup against the re-elected rep")
+    assert(streamed.exists(t => t._1 == 21L && t._2 == 0L),
+      "group Y died with its takedown — its re-crawl is new text")
+    // a replayed micro-batch (the guard keeps the LATEST snapshot)
+    // re-emits its original rows unchanged, appends nothing, and the
+    // retirement survives the replay
+    assert(out1.nonEmpty)
+    assert(rows(idx.probeAndAppend(b2, 1L)) == streamed,
+      "a replay must re-emit the original post-retire rows")
+    assert(rows(idx.probeAndAppend(
+        Seq((30L, "w1 w2 w3 w4")).toDF("doc_id", "text"), 2L))
+      .exists(t => t._1 == 30L && t._2 == 1L),
+      "post-replay probes must still see the retired (re-elected) state")
+    graft.llm.PipelineCaches.clear()
+  }
+
   test("a NON-monotonic batchId fails loudly: only the latest batch can " +
     "replay, and an older id means the index is shared across queries") {
     val s = spark
