@@ -1899,11 +1899,13 @@ object Curation {
     * Scale shape: one anti-join over the narrow members relation, a
     * semi-join-bounded re-election agg (bounded by the retired docs'
     * chunk count), and a renumber join of bands/shingles against the
-    * (old_rep → new_rep) mapping (same bound). The returned model's
-    * maxRepKey is None — re-election can RAISE the watermark (the old
-    * min died), and resolving it eagerly would materialize the lazy
-    * retire pipeline; the next probe's fallback agg or
-    * [[saveParagraphIndex]] resolves it. */
+    * (old_rep → new_rep) mapping (same bound; the group-level election
+    * relations are eagerly checkpointed — they are retired-set-bounded
+    * and multiply-consumed). The returned model's OUTPUT relations stay
+    * lazy, and maxRepKey is None — re-election can RAISE the watermark
+    * (the old min died), and resolving it eagerly would materialize
+    * them; the next probe's fallback agg or [[saveParagraphIndex]]
+    * resolves it. */
   def retireFromParagraphIndex(index: ParagraphIndexModel,
       retiredIds: DataFrame): ParagraphIndexModel = {
     val retired = retiredIds.select(col("doc_id").cast("long").as("doc_id"))
@@ -1912,14 +1914,22 @@ object Curation {
       .join(retired, Seq("doc_id"), "left_semi")
       .select(col("chunk_key").as("rep_key"))
     val members2 = index.members.join(retired, Seq("doc_id"), "left_anti")
-    // groups whose CURRENT representative dies
+    // the three GROUP-level relations are retired-set-bounded and each
+    // is consumed 2-3x by the output relations (exact2, both renumbers,
+    // the mapping itself); eagerly checkpointed so a retire+compact (or
+    // the streaming retire's four-relation checkpoint) runs the
+    // election joins ONCE, not once per downstream consumer. members2
+    // stays lazy — it is corpus-sized and scanned, never re-derived.
+    // groups whose CURRENT representative dies:
     val affected = index.exact
       .join(retiredKeys, Seq("rep_key"), "left_semi")
+      .localCheckpoint(true)
     // re-election: smallest surviving member per affected group
     // (absent = the whole group died)
     val reElected = members2
       .join(affected.select("_h"), Seq("_h"), "left_semi")
       .groupBy("_h").agg(min("chunk_key").as("rep_key"))
+      .localCheckpoint(true)
     val exact2 = index.exact
       .join(affected.select("_h"), Seq("_h"), "left_anti")
       .unionByName(reElected.select("_h", "rep_key"))
@@ -1930,6 +1940,7 @@ object Curation {
       .join(reElected.select(col("_h"), col("rep_key").as("_new_rep")),
         Seq("_h"), "left")
       .select("_old_rep", "_new_rep")
+      .localCheckpoint(true)
     def renumber(rel: DataFrame): DataFrame =
       rel.join(mapping, col("doc_id") === col("_old_rep"), "left")
         .filter(col("_old_rep").isNull || col("_new_rep").isNotNull)

@@ -144,9 +144,12 @@ case class RangeJoinRewrite(spark: SparkSession)
       case _ => None
     }
 
-  private def hasEquiConnector(conjuncts: Seq[Expression],
-      left: LogicalPlan, right: LogicalPlan): Boolean =
-    conjuncts.exists {
+  /** The cross-side equality conjuncts — ONE collection shared by the
+    * decline gate and the keyed lift, so the two can never drift on
+    * what counts as an equi connector. */
+  private def equiConnectors(conjuncts: Seq[Expression],
+      left: LogicalPlan, right: LogicalPlan): Seq[Expression] =
+    conjuncts.filter {
       case EqualTo(x, y) => connects(x, y, left, right)
       case EqualNullSafe(x, y) => connects(x, y, left, right)
       case _ => false
@@ -161,19 +164,13 @@ case class RangeJoinRewrite(spark: SparkSession)
           x.references.subsetOf(right.outputSet)))
 
   /** Cross-side attribute=attribute equalities, unoriented; None when
-    * some cross-side equality is NOT a plain attribute pair (the keyed
-    * lift is proven for attribute pairs only — decline). */
-  private def liftableEquis(conjuncts: Seq[Expression],
-      left: LogicalPlan, right: LogicalPlan)
+    * some connector is NOT a plain attribute pair (the keyed lift is
+    * proven for attribute pairs only — decline). Null-safe equality is
+    * never lifted: the bucketed join's key equality drops NULL=NULL
+    * pairs that <=> would keep. */
+  private def liftableEquis(conns: Seq[Expression])
       : Option[Seq[(Attribute, Attribute)]] = {
-    val conns = conjuncts.filter {
-      case EqualTo(x, y) => connects(x, y, left, right)
-      case EqualNullSafe(x, y) => connects(x, y, left, right)
-      case _ => false
-    }
     val lifted = conns.map {
-      // null-safe equality is NOT lifted: the bucketed join's key
-      // equality drops NULL=NULL pairs that <=> would keep
       case EqualTo(x: AttributeReference, y: AttributeReference) =>
         Some((x: Attribute, y: Attribute))
       case _ => None
@@ -184,10 +181,11 @@ case class RangeJoinRewrite(spark: SparkSession)
   private def rewrite(cond: Expression, left: LogicalPlan,
       right: LogicalPlan): Option[LogicalPlan] = {
     val conjuncts = splitConjunctivePredicates(cond)
+    val conns = equiConnectors(conjuncts, left, right)
     val equis =
-      if (!hasEquiConnector(conjuncts, left, right)) Seq.empty
+      if (conns.isEmpty) Seq.empty
       else if (!keyedRewrite) return None
-      else liftableEquis(conjuncts, left, right) match {
+      else liftableEquis(conns) match {
         case Some(ps) => ps
         case None => return None
       }

@@ -108,9 +108,21 @@ object RangeJoin {
     // partitions on the full (keys…, bucket) tuple
     val bP = "__graft_range_bucket_p"
     val bI = "__graft_range_bucket_i"
-    require(!points.columns.contains(bP) && !intervals.columns.contains(bI),
-      s"inputs must not already carry a '$bP'/'$bI' column")
-    val l = points.withColumn(bP, bucketOf(col(pointCol)))
+    // BOTH names against BOTH inputs: a bucket name pre-existing on the
+    // OTHER side would survive a one-sided check, duplicate across the
+    // join, and die as an ambiguous reference (and drop() would then
+    // eat the user's column)
+    for (c <- Seq(bP, bI))
+      require(!points.columns.contains(c) && !intervals.columns.contains(c),
+        s"inputs must not already carry a '$c' column")
+    // NULL key components match nothing under the equality — prune them
+    // BEFORE the explode/shuffle on both sides, as NULL points already
+    // are
+    val pKeyed = keys.foldLeft(points) { case (df, (pk, _)) =>
+      df.filter(col(pk).isNotNull) }
+    val iKeyed = keys.foldLeft(intervals) { case (df, (_, ik)) =>
+      df.filter(col(ik).isNotNull) }
+    val l = pKeyed.withColumn(bP, bucketOf(col(pointCol)))
       .filter(col(pointCol).isNotNull)
     // loud span guard (see MaxBucketsPerInterval), embedded in the
     // sequence's upper bound so no optimizer pass can prune it and it
@@ -141,7 +153,7 @@ object RangeJoin {
               "unbounded intervals on the nested-loop path")))
           .cast("long"))
     }
-    val r = intervals
+    val r = iKeyed
       .filter(col(loCol).isNotNull && col(hiCol).isNotNull &&
         col(loCol) <= col(hiCol))
       .withColumn(bI, explode(sequence(bucketOf(col(loCol)), guardedHi)))

@@ -360,6 +360,14 @@ object StreamingPipeline {
       * goes unknown (re-election can raise it) — the next probe's
       * fallback agg re-resolves it against the checkpointed exact. */
     def retire(retiredIds: Seq[Long]): Unit = synchronized {
+      // a takedown against an EMPTY index would be silently lost (the
+      // ids are not remembered — docs seeded later would survive);
+      // every other entry point here fails loudly on misuse, so does
+      // this one
+      require(model.isDefined,
+        "retire() needs state: seed() or append a batch first — " +
+          "retiring before any state exists would silently drop the " +
+          "takedown")
       model = model.map { m =>
         ckpt(Curation.retireFromParagraphIndex(m, retiredIds))
       }
