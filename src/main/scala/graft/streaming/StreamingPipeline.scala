@@ -87,6 +87,20 @@ object StreamingPipeline {
     /** Number of (doc, band) rows currently indexed. */
     def size: Long = synchronized { index.map(_.count()).getOrElse(0L) }
 
+    /** Retire documents from the LIVE state — a takedown arriving
+      * mid-stream ([[graft.llm.Dedup.retireFromIndex]] pointed at the
+      * executor-resident band rows; per-doc rows, so a plain anti-join
+      * with no re-election). Eagerly checkpointed; fails loudly on an
+      * empty index (the ids are not remembered — a silent drop would
+      * let later-seen twins of retired docs go unflagged forever). */
+    def retire(retiredIds: Seq[Long]): Unit = synchronized {
+      require(index.isDefined,
+        "retire() needs state: append a batch first — retiring before " +
+          "any state exists would silently drop the takedown")
+      index = index.map(i =>
+        Dedup.retireFromIndex(i, retiredIds).localCheckpoint(true))
+    }
+
     /** Hash the batch once, return candidate pairs vs (index ∪ batch),
       * append the batch to the index. Thread-safe; the returned (lazy)
       * frame reads only checkpoint-backed inputs, so it remains valid
@@ -139,6 +153,19 @@ object StreamingPipeline {
 
     /** Number of vectors currently indexed. */
     def size: Long = synchronized { index.map(_.count()).getOrElse(0L) }
+
+    /** Retire vectors from the LIVE state ([[NearDupIndex.retire]]'s
+      * contract keyed by vec_id —
+      * [[graft.llm.Similarity.retireFromRpIndex]]'s anti-join shape):
+      * eager checkpoint, loud on empty state. */
+    def retire(retiredIds: Seq[Long]): Unit = synchronized {
+      require(index.isDefined,
+        "retire() needs state: append a batch first — retiring before " +
+          "any state exists would silently drop the takedown")
+      index = index.map(
+        _.filter(!col("vec_id").isInCollection(retiredIds))
+          .localCheckpoint(true))
+    }
 
     /** Cell-assign the batch once, return cosine pairs ≥ threshold vs
       * (index ∪ batch) — (vec_a, vec_b, cos_sim) with vec_b always in
@@ -219,6 +246,17 @@ object StreamingPipeline {
 
     /** Number of (doc, shingle) rows currently indexed. */
     def size: Long = synchronized { index.map(_.count()).getOrElse(0L) }
+
+    /** Retire documents from the LIVE state ([[NearDupIndex.retire]]'s
+      * contract over the shingle rows): anti-join, eager checkpoint,
+      * loud on empty state. */
+    def retire(retiredIds: Seq[Long]): Unit = synchronized {
+      require(index.isDefined,
+        "retire() needs state: append a batch first — retiring before " +
+          "any state exists would silently drop the takedown")
+      index = index.map(i =>
+        Dedup.retireFromIndex(i, retiredIds).localCheckpoint(true))
+    }
 
     /** Shingle the batch once ([[Dedup.shingleIndex]] — the shared
       * batch/streaming state table), return every ORDERED containment

@@ -260,6 +260,70 @@ class StreamingPipelineSpec extends AnyFunSuite {
     graft.llm.PipelineCaches.clear()
   }
 
+  test("every accumulating index honors mid-stream takedowns: retire() " +
+    "drops the docs' state rows so later twins go unflagged, and an " +
+    "empty-state retire fails loudly instead of silently dropping the " +
+    "takedown (r17 — the maintenance contract across ALL streaming " +
+    "state)") {
+    val s = spark
+    import s.implicits._
+    val d = s.table("documents").select("doc_id", "text")
+    def pairRows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // near-dup: index docs 0-19, retire doc 3, then its verbatim twin
+    // arrives — no candidate pair may surface against the retired doc
+    val nd = new StreamingPipeline.NearDupIndex()
+    nd.probeAndAppend(d.filter(col("doc_id") < 20), 0L).count()
+    val before = nd.size
+    nd.retire(Seq(3L))
+    assert(nd.size < before, "retire must drop the doc's band rows")
+    val twin = d.filter(col("doc_id") === 3L)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+    val ndPairs = pairRows(nd.probeAndAppend(twin, 1L))
+    assert(!ndPairs.exists(p => p._1 == 3L || p._2 == 3L),
+      s"a retired doc must stop producing candidates: $ndPairs")
+    // containment: same contract over the shingle rows
+    val ci = new StreamingPipeline.ContainmentIndex(k = 3,
+      threshold = 0.8)
+    ci.probeAndAppend(d.filter(col("doc_id") < 20), 0L).count()
+    ci.retire(Seq(5L))
+    val excerpt = d.filter(col("doc_id") === 5L)
+      .withColumn("_w", split(col("text"), " "))
+      .select(lit(500005L).as("doc_id"),
+        array_join(slice(col("_w"), lit(1),
+          greatest((size(col("_w")) / 2).cast("int"), lit(5))), " ")
+          .as("text"))
+    val ciPairs = pairRows(ci.probeAndAppend(excerpt, 1L))
+    assert(!ciPairs.exists(p => p._1 == 5L || p._2 == 5L),
+      s"a retired doc must stop matching containment probes: $ciPairs")
+    // semantic: vec_id-keyed retire
+    val centers = Array(Array.fill(4)(1.0), Array.fill(4)(-1.0))
+    val sd = new StreamingPipeline.SemanticDupIndex(centers,
+      threshold = 0.9)
+    val vecs = Seq((1L, Seq(1.0f, 0.9f, 1.0f, 1.1f)),
+      (2L, Seq(-1.0f, -1.0f, -0.9f, -1.0f)))
+      .toDF("vec_id", "embedding")
+    sd.probeAndAppend(vecs, 0L).count()
+    sd.retire(Seq(1L))
+    val dup1 = Seq((10L, Seq(1.0f, 0.9f, 1.0f, 1.1f)))
+      .toDF("vec_id", "embedding")
+    val sdPairs = pairRows(sd.probeAndAppend(dup1, 1L))
+    assert(!sdPairs.exists(p => p._1 == 1L || p._2 == 1L),
+      s"a retired vector must stop matching: $sdPairs")
+    // empty-state retire fails loudly everywhere
+    for (thrown <- Seq(
+        intercept[IllegalArgumentException] {
+          new StreamingPipeline.NearDupIndex().retire(Seq(1L)) },
+        intercept[IllegalArgumentException] {
+          new StreamingPipeline.ContainmentIndex().retire(Seq(1L)) },
+        intercept[IllegalArgumentException] {
+          new StreamingPipeline.SemanticDupIndex(centers)
+            .retire(Seq(1L)) },
+        intercept[IllegalArgumentException] {
+          new StreamingPipeline.ParagraphDedupIndex().retire(Seq(1L)) }))
+      assert(thrown.getMessage.contains("needs state"))
+  }
+
   test("a NON-monotonic batchId fails loudly: only the latest batch can " +
     "replay, and an older id means the index is shared across queries") {
     val s = spark
