@@ -843,6 +843,103 @@ object EventQueries {
       }
     },
 
+    // the MEASURED numeric width (r17): the same BNLJ-cliff band join
+    // as q_range_join_rewrite_num, but with NO width conf at all —
+    // spark.graft.rangeJoin.numWidthAuto=true diagnoses the width from
+    // the intervals side (median valid span; the spans here vary
+    // 2.0..3.5 by event_id, so the median is a real distribution
+    // statistic, not a constant echo). The oracle is the naive
+    // predicate, so the hash gate re-proves that the measured width is
+    // performance-only — the emission set is the nested loop's exactly
+    "q_range_join_rewrite_auto" -> { (s, dir) =>
+      graft.functions.GraftExtensions.register(s)
+      val e = events(s, dir)
+      val win = e.filter(col("event_id") % 1009 === 0)
+        .select(col("event_id").as("window_id"),
+          (col("value") - 1.0).as("lo"),
+          (col("value") + 1.0 + (col("event_id") % 7) * 0.25).as("hi"))
+      val prevOn = s.conf.get("spark.graft.rangeJoin.rewrite", "false")
+      val prevW = s.conf.getOption("spark.graft.rangeJoin.numBucketWidth")
+      val prevA = s.conf.get("spark.graft.rangeJoin.numWidthAuto", "false")
+      s.conf.set("spark.graft.rangeJoin.rewrite", "true")
+      s.conf.unset("spark.graft.rangeJoin.numBucketWidth")
+      s.conf.set("spark.graft.rangeJoin.numWidthAuto", "true")
+      try {
+        val out = e.select(col("event_id"), col("value"))
+          .join(win, col("value") >= col("lo") && col("value") <= col("hi"))
+          .select("event_id", "window_id")
+        val plan = out.queryExecution.executedPlan.toString
+        require(plan.contains("__graft_range"),
+          "measured-width rewrite did not fire; the entry would not " +
+            "exercise it")
+        require(!plan.contains("BroadcastNestedLoopJoin") &&
+          !plan.contains("CartesianProduct"),
+          "measured-width rewrite must not leave a nested loop")
+        out.localCheckpoint(true)
+      } finally {
+        s.conf.set("spark.graft.rangeJoin.rewrite", prevOn)
+        s.conf.set("spark.graft.rangeJoin.numWidthAuto", prevA)
+        prevW match {
+          case Some(w) =>
+            s.conf.set("spark.graft.rangeJoin.numBucketWidth", w)
+          case None =>
+            s.conf.unset("spark.graft.rangeJoin.numBucketWidth")
+        }
+      }
+    },
+
+    // the MEASURED keyed decision (r17): the q_range_join_keyed shape
+    // with NO blind opt-in — spark.graft.rangeJoin.keyedAuto=true asks
+    // the per-key pile detector (JoinSkew's count-table pass, points
+    // side preserved-priced) whether any event_type's planner hash
+    // group reaches keyedTargetRows, and only then lifts the equality
+    // into the bucketed join. 300 is fixture-scale (the hottest type
+    // prices 398 at sf0.001, ~16k at sf0.01, ~1.6M at sf0.1 — the
+    // smallest fixture must trip too, the analysis gate drives every
+    // entry there; the production default stays 5M).
+    // The oracle is the naive equality+range predicate — identity is
+    // unconditional under any diagnosis outcome
+    "q_range_join_keyed_auto" -> { (s, dir) =>
+      graft.functions.GraftExtensions.register(s)
+      val e = events(s, dir)
+      val win = e.filter(col("event_id") % 307 === 0)
+        .select(col("event_id").as("window_id"),
+          col("event_type").as("wtype"), col("ts").as("lo"),
+          (col("ts") + expr("INTERVAL 36 HOURS")).as("hi"))
+      val prevOn = s.conf.get("spark.graft.rangeJoin.rewrite", "false")
+      val prevA = s.conf.get("spark.graft.rangeJoin.keyedAuto", "false")
+      val prevT = s.conf.getOption("spark.graft.rangeJoin.keyedTargetRows")
+      val prevW = s.conf.get("spark.graft.rangeJoin.bucketSec", "86400")
+      s.conf.set("spark.graft.rangeJoin.rewrite", "true")
+      s.conf.set("spark.graft.rangeJoin.keyedAuto", "true")
+      s.conf.set("spark.graft.rangeJoin.keyedTargetRows", "300")
+      s.conf.set("spark.graft.rangeJoin.bucketSec", (24 * 3600).toString)
+      try {
+        val out = e.select("event_id", "event_type", "ts")
+          .join(win, col("event_type") === col("wtype") &&
+            col("ts") >= col("lo") && col("ts") <= col("hi"))
+          .select("event_id", "event_type", "window_id")
+        val plan = out.queryExecution.executedPlan.toString
+        require(plan.contains("__graft_range"),
+          "measured keyed rewrite did not fire; the entry would not " +
+            "exercise it")
+        require(!plan.contains("BroadcastNestedLoopJoin") &&
+          !plan.contains("CartesianProduct"),
+          "measured keyed rewrite must not leave a nested loop")
+        out.localCheckpoint(true)
+      } finally {
+        s.conf.set("spark.graft.rangeJoin.rewrite", prevOn)
+        s.conf.set("spark.graft.rangeJoin.keyedAuto", prevA)
+        s.conf.set("spark.graft.rangeJoin.bucketSec", prevW)
+        prevT match {
+          case Some(t) =>
+            s.conf.set("spark.graft.rangeJoin.keyedTargetRows", t)
+          case None =>
+            s.conf.unset("spark.graft.rangeJoin.keyedTargetRows")
+        }
+      }
+    },
+
     // cohort retention: users grouped by first-activity day; for each
     // (cohort, day-offset) the distinct users still active. Two keyed
     // partial aggregations + one user-keyed join — no windows, no
@@ -1356,6 +1453,27 @@ object EventQueries {
         |  FROM events WHERE event_id % 997 = 0) w
         |ON e.value >= w.lo AND e.value <= w.hi""".stripMargin,
 
+    // identical naive-predicate oracle for the MEASURED-width rewrite:
+    // the diagnosis is performance-only, so the emission set is the
+    // nested loop's under any width outcome
+    "q_range_join_rewrite_auto" ->
+      """SELECT e.event_id, w.window_id
+        |FROM events e JOIN (
+        |  SELECT event_id AS window_id, value - 1.0 AS lo,
+        |    value + 1.0 + CAST(event_id % 7 AS DOUBLE) * 0.25 AS hi
+        |  FROM events WHERE event_id % 1009 = 0) w
+        |ON e.value >= w.lo AND e.value <= w.hi""".stripMargin,
+
+    // identical naive-predicate oracle for the MEASURED keyed lift
+    "q_range_join_keyed_auto" ->
+      """SELECT e.event_id, e.event_type, w.window_id
+        |FROM events e JOIN (
+        |  SELECT event_id AS window_id, event_type AS wtype, ts AS lo,
+        |    ts + INTERVAL 36 HOUR AS hi
+        |  FROM events WHERE event_id % 307 = 0) w
+        |ON e.event_type = w.wtype AND e.ts >= w.lo AND e.ts <= w.hi"""
+        .stripMargin,
+
     // identical naive-predicate oracle: the optimizer-rule path must
     // emit exactly the nested loop's set
     "q_range_join_rewrite" ->
@@ -1430,7 +1548,9 @@ object EventQueries {
     "q_events_range_join" -> Seq("event_id", "window_id"),
     "q_range_join_rewrite" -> Seq("event_id", "window_id"),
     "q_range_join_keyed" -> Seq("event_id", "window_id"),
+    "q_range_join_keyed_auto" -> Seq("event_id", "window_id"),
     "q_range_join_rewrite_num" -> Seq("event_id", "window_id"),
+    "q_range_join_rewrite_auto" -> Seq("event_id", "window_id"),
     "q_events_psi" -> Seq("event_type"),
     "q_events_priority" -> Seq("deliver_pos"),
     "q_events_retention" -> Seq("cohort_day", "day_offset"),

@@ -361,8 +361,11 @@ object JoinSkew {
     * shuffle join on (key, _salt) — no new corpus-sized shuffles beyond
     * the join being treated. */
   /** xxhash64 rejects MapType anywhere in a column's type tree (its
-    * own check recurses), so the salt-column filter must too. */
-  private def containsMap(dt: org.apache.spark.sql.types.DataType)
+    * own check recurses), so the salt-column filter must too.
+    * Package-visible: [[RangeJoinRewrite]]'s width diagnosis samples
+    * rows by the same deterministic full-row hash and needs the same
+    * exclusion. */
+  private[plans] def containsMap(dt: org.apache.spark.sql.types.DataType)
       : Boolean = dt match {
     case _: org.apache.spark.sql.types.MapType => true
     case s: org.apache.spark.sql.types.StructType =>

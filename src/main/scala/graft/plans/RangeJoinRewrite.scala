@@ -1,7 +1,8 @@
 package graft.plans
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.functions.{col, lit, percentile_approx, pmod, xxhash64}
 import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, JoinHint, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -62,7 +63,69 @@ import org.apache.spark.sql.types.{NumericType, TimestampNTZType, TimestampType}
   * the user chooses. Result identity is unconditional either way (the
   * FULL original predicate re-applies, equalities included); an
   * equality connector that is not attribute=attribute still declines
-  * (the lift is proven for attribute pairs only). */
+  * (the lift is proven for attribute pairs only).
+  *
+  * MEASURED decisions (r17, the [[SkewJoinRewrite]] sampled-diagnosis
+  * discipline applied to this rule's two remaining blind knobs —
+  * both are conf-gated because, unlike the pure pattern match above,
+  * they run bounded plan-time jobs, cached per plan shape and
+  * bypassable via `spark.graft.rangeJoin.rediagnose`):
+  *
+  *   - `spark.graft.rangeJoin.numWidthAuto=true` — when the numeric
+  *     family matches and `numBucketWidth` is UNSET, diagnose the
+  *     width from the intervals side instead of declining: width =
+  *     the MEDIAN valid span (`percentile_approx(hi − lo, 0.5)`),
+  *     the standard bin-size heuristic (a median-span interval
+  *     explodes into ≤ 2 buckets, and a bucket's candidate set is
+  *     ~the points under one typical interval — work the exact
+  *     re-filter must scan for a real match anyway). The diagnosis
+  *     DECLINES (keeps the nested loop) when no valid interval
+  *     exists, when the median span is 0 (point intervals — any
+  *     width is a guess), when it is non-finite (an unbounded
+  *     sentinel interval — the nested loop is the only sound plan),
+  *     and when the observed MAX span exceeds 10⁵× the median: with
+  *     median width that tail interval would trip the loud 1M-bucket
+  *     cap — an ERROR the plain nested loop does not raise, so auto
+  *     must never pick a width that manufactures it (the 10× margin
+  *     under the cap also covers a sampled max's underestimate) —
+  *     while a tail-driven width degenerates every typical interval
+  *     into one overstuffed bucket. Such a distribution has no single
+  *     sound width; the user sets one explicitly or keeps the loop.
+  *     An EXPLICIT `numBucketWidth` always wins without running jobs.
+  *   - `spark.graft.rangeJoin.bucketSecAuto=true` — the SAME measured
+  *     width for the TIMESTAMP family (spans in seconds, median
+  *     rounded to a whole second, floor 1 s), because the 86400
+  *     default is as much a workload guess as any numeric width:
+  *     10-minute attribution windows under day-wide buckets scan
+  *     ~144× the candidates they need. The asymmetry vs numeric: the
+  *     TS family HAS a default, so an unsound measurement (zero
+  *     median / ≥1e5× tail) falls back to the `bucketSec` default
+  *     rather than to the nested loop — auto only upgrades the width
+  *     when the data proves one; it never degrades a working default
+  *     plan. An EXPLICITLY SET `bucketSec` (even to 86400) always
+  *     wins without running jobs.
+  *   - `spark.graft.rangeJoin.keyedAuto=true` — when an equality
+  *     connector is present and `keyedRewrite` is UNSET, decide the
+  *     keyed lift from per-key statistics instead of declining: the
+  *     keyed decision IS a skew question (the planner's equi-join
+  *     dies exactly when some key's hash group is a pile — nL·nR
+  *     candidate rows scanned by the range filter, nL probe rows on
+  *     one shuffle partition — and the pile detector already exists),
+  *     so this reuses [[JoinSkew.saltingPlanMulti]] (preserved
+  *     pricing, points side as left: `greatest(nL·nR, nL)` — both
+  *     terms are real per-key costs the (keys…, bucket) shuffle
+  *     splits) / [[JoinSkew.saltingPlanSampled]] under
+  *     `spark.graft.rangeJoin.sampleRate` < 1, fires when any
+  *     fully-non-NULL key tuple's price reaches
+  *     `spark.graft.rangeJoin.keyedTargetRows`, and otherwise leaves
+  *     the planner's hash join alone — which for high-cardinality
+  *     keys is the RIGHT plan, now measured rather than assumed.
+  *     An EXPLICIT `keyedRewrite=true` wins without running jobs.
+  *
+  * Both measured modes leave result identity untouched — width and
+  * keying are performance-only (the FULL original predicate always
+  * re-applies), so the identity oracles hold under any diagnosis
+  * outcome, and a decline simply keeps Catalyst's own plan. */
 case class RangeJoinRewrite(spark: SparkSession)
     extends Rule[LogicalPlan] with PredicateHelper {
 
@@ -84,6 +147,49 @@ case class RangeJoinRewrite(spark: SparkSession)
       .map(_.toDouble)
   private def keyedRewrite: Boolean =
     spark.conf.get("spark.graft.rangeJoin.keyedRewrite", "false") == "true"
+  private def numWidthAuto: Boolean =
+    spark.conf.get("spark.graft.rangeJoin.numWidthAuto", "false") == "true"
+  private def bucketSecAuto: Boolean =
+    spark.conf.get("spark.graft.rangeJoin.bucketSecAuto", "false") == "true"
+  private def keyedAuto: Boolean =
+    spark.conf.get("spark.graft.rangeJoin.keyedAuto", "false") == "true"
+  /** Per-key candidate rows (points × exploded-interval work) one
+    * shuffle partition may take before the keyed lift fires — same
+    * units and default as the skew rewrite's targetRows. */
+  private def keyedTargetRows: Long =
+    spark.conf.get("spark.graft.rangeJoin.keyedTargetRows", "5000000")
+      .toLong
+  /** Deterministic full-row-hash sample rate for BOTH measured
+    * diagnoses (1.0 = exact) — [[JoinSkew.saltingPlanSampled]]'s
+    * hash, so diagnosis decisions survive stage retries and re-runs
+    * unchanged. */
+  private def sampleRate: Double =
+    spark.conf.get("spark.graft.rangeJoin.sampleRate", "1.0").toDouble
+  private def rediagnose: Boolean =
+    spark.conf.get("spark.graft.rangeJoin.rediagnose", "false") == "true"
+
+  /** Diagnosis caches, the [[SkewJoinRewrite]] discipline: decisions
+    * are FROZEN PER SESSION per canonicalized (plan, conf) key —
+    * bounded plan-time jobs run once per shape, not once per
+    * fixed-point iteration — LRU-evicted at 64 shapes, bypassable
+    * (reads only; runs still re-cache) via
+    * `spark.graft.rangeJoin.rediagnose=true`. */
+  private def lru[K, V](): java.util.Map[K, V] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[K, V](16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[K, V]): Boolean = size() > 64
+      })
+  /** (intervals plan, lo ordinal, hi ordinal, rate bits) → width;
+    * None = diagnosed, no sound width (decline). */
+  private val widthDecided =
+    lru[(LogicalPlan, Int, Int, Long), Option[Double]]()
+  /** (points, intervals, key ordinals both sides, target, rate bits)
+    * → fire the keyed lift (boxed Boolean: the map's get must be able
+    * to say "absent" as null). */
+  private val keyedDecided =
+    lru[(LogicalPlan, LogicalPlan, Seq[Int], Long, Long),
+      java.lang.Boolean]()
 
   private def isRewritten(p: LogicalPlan): Boolean =
     p.output.exists(_.name.startsWith(Marker))
@@ -178,13 +284,135 @@ case class RangeJoinRewrite(spark: SparkSession)
     if (lifted.exists(_.isEmpty)) None else Some(lifted.flatten)
   }
 
+  /** Deterministic full-row-hash row sample at `rate` (1.0 = the
+    * input untouched) — [[JoinSkew.saltingPlanSampled]]'s hash over
+    * every hashable (non-MapType) column, so the same rows are
+    * sampled on every re-run and stage retry. */
+  private def hashSampled(df: DataFrame, rate: Double): DataFrame =
+    if (rate >= 1.0) df
+    else {
+      val m = 1L << 20
+      val thr = math.max(1L, math.round(rate * m))
+      val hashable = df.columns.toSeq
+        .filterNot(c => JoinSkew.containsMap(df.schema(c).dataType))
+      // numeric lo/hi are always hashable, so this never degenerates
+      df.filter(pmod(xxhash64(hashable.map(col): _*), lit(m)) < lit(thr))
+    }
+
+  /** Measured numeric bucket width (object scaladoc, numWidthAuto):
+    * one bounded plan-time aggregation over the (sampled) intervals
+    * side — median and max of the valid spans — cached per
+    * canonicalized (intervals, lo, hi, rate). Returns None (decline)
+    * when no valid interval exists, the median span is non-positive
+    * or non-finite, or the observed max span exceeds 10⁵× the median
+    * (a median width would manufacture the 1M-bucket cap ERROR on the
+    * tail interval — the nested loop raises no such error, so auto
+    * must not — and a tail width degenerates the buckets; no single
+    * width is sound). */
+  private def measuredNumWidth(intervals: LogicalPlan, lo: Attribute,
+      hi: Attribute): Option[Double] =
+    measuredWidth(intervals, lo, hi, _.cast("double"))
+
+  /** [[measuredNumWidth]] for the TIMESTAMP family: spans in seconds
+    * (NTZ normalizes through TIMESTAMP under the pinned UTC session
+    * timezone, as [[graft.scale.RangeJoin.pointInInterval]] does),
+    * median rounded to a whole second with a 1 s floor. */
+  private def measuredTsWidth(intervals: LogicalPlan, lo: Attribute,
+      hi: Attribute): Option[Long] =
+    measuredWidth(intervals, lo, hi,
+      _.cast("timestamp").cast("double"))
+      .map(w => math.max(1L, math.round(w)))
+
+  private def measuredWidth(intervals: LogicalPlan, lo: Attribute,
+      hi: Attribute,
+      secondsOf: org.apache.spark.sql.Column
+        => org.apache.spark.sql.Column): Option[Double] = {
+    val rate = sampleRate
+    val loOrd = intervals.output.indexWhere(_.exprId == lo.exprId)
+    val hiOrd = intervals.output.indexWhere(_.exprId == hi.exprId)
+    val cacheKey = (intervals.canonicalized, loOrd, hiOrd,
+      java.lang.Double.doubleToLongBits(rate))
+    if (!rediagnose) {
+      val cached = widthDecided.get(cacheKey)
+      if (cached != null) return cached
+    }
+    val names = intervals.output.indices.map(i =>
+      if (i == loOrd) "_wlo" else if (i == hiOrd) "_whi" else s"_wc_$i")
+    val df = PlanBridge.ofRows(spark, intervals).toDF(names: _*)
+    val valid = df.filter(col("_wlo").isNotNull && col("_whi").isNotNull &&
+      col("_wlo") <= col("_whi"))
+    val span = secondsOf(col("_whi")) - secondsOf(col("_wlo"))
+    val row = hashSampled(valid, rate)
+      .select(percentile_approx(span, lit(0.5), lit(10000)).as("med"),
+        org.apache.spark.sql.functions.max(span).as("mx"))
+      .head()
+    val width =
+      if (row.isNullAt(0) || row.isNullAt(1)) None
+      else {
+        val med = row.getDouble(0)
+        val mx = row.getDouble(1)
+        if (med > 0 && java.lang.Double.isFinite(med) &&
+          java.lang.Double.isFinite(mx) && mx <= med * 1e5) Some(med)
+        else None
+      }
+    widthDecided.put(cacheKey, width)
+    width
+  }
+
+  /** Measured keyed decision (object scaladoc, keyedAuto): does ANY
+    * fully-non-NULL key tuple's per-key price reach
+    * `keyedTargetRows`? One bounded plan-time count-table pass via
+    * the skew pile detector (points as the left/preserved side; NULL
+    * key tuples pre-pruned on both sides exactly as the keyed join
+    * itself prunes them), cached per canonicalized (points,
+    * intervals, key ordinals, target, rate). */
+  private def keyedPileProven(points: LogicalPlan,
+      intervals: LogicalPlan,
+      pairs: Seq[(Attribute, Attribute)]): Boolean = {
+    val rate = sampleRate
+    val target = keyedTargetRows
+    val keyOrdinals =
+      pairs.map(p => points.output.indexWhere(_.exprId == p._1.exprId)) ++
+      pairs.map(p =>
+        intervals.output.indexWhere(_.exprId == p._2.exprId))
+    val cacheKey = (points.canonicalized, intervals.canonicalized,
+      keyOrdinals, target, java.lang.Double.doubleToLongBits(rate))
+    if (!rediagnose) {
+      val cached = keyedDecided.get(cacheKey)
+      if (cached != null) return cached
+    }
+    def keyed(p: LogicalPlan, keys: Seq[Attribute]): DataFrame = {
+      val names = p.output.zipWithIndex.map { case (a, i) =>
+        val ki = keys.indexWhere(_.exprId == a.exprId)
+        if (ki >= 0) s"_dk_$ki" else s"_dc_$i"
+      }
+      val df = PlanBridge.ofRows(spark, p).toDF(names: _*)
+      keys.indices.foldLeft(df)((d, i) => d.filter(col(s"_dk_$i").isNotNull))
+    }
+    val keyNames = pairs.indices.map(i => s"_dk_$i")
+    val plan =
+      if (rate < 1.0)
+        JoinSkew.saltingPlanSampled(keyed(points, pairs.map(_._1)),
+          keyed(intervals, pairs.map(_._2)), keyNames, target,
+          topN = 1, sampleRate = rate)
+      else
+        JoinSkew.saltingPlanMulti(keyed(points, pairs.map(_._1)),
+          keyed(intervals, pairs.map(_._2)), keyNames, target,
+          topN = 1, preserved = true)
+    // topN = 1 over NULL-pruned inputs: the single top-priced tuple
+    // decides — a bounded ≤1-row collect
+    val proven = plan.filter(col("salt") >= 2L).limit(1).count() > 0
+    keyedDecided.put(cacheKey, proven)
+    proven
+  }
+
   private def rewrite(cond: Expression, left: LogicalPlan,
       right: LogicalPlan): Option[LogicalPlan] = {
     val conjuncts = splitConjunctivePredicates(cond)
     val conns = equiConnectors(conjuncts, left, right)
     val equis =
       if (conns.isEmpty) Seq.empty
-      else if (!keyedRewrite) return None
+      else if (!keyedRewrite && !keyedAuto) return None
       else liftableEquis(conns) match {
         case Some(ps) => ps
         case None => return None
@@ -199,7 +427,8 @@ case class RangeJoinRewrite(spark: SparkSession)
       (t2, hi) <- uppers
       if t1.exprId == t2.exprId
       isTs <- familyOf(t1, lo, hi).toSeq
-      if (isTs && bucketSec > 0) || (!isTs && numBucketWidth.exists(_ > 0))
+      if (isTs && bucketSec > 0) ||
+        (!isTs && (numBucketWidth.exists(_ > 0) || numWidthAuto))
       (pts, ivs, flipped) <-
         (if (left.outputSet.contains(t1) &&
             right.outputSet.contains(lo) && right.outputSet.contains(hi))
@@ -209,7 +438,48 @@ case class RangeJoinRewrite(spark: SparkSession)
           Some((right, left, true))
         else None).toSeq
     } yield (t1, lo, hi, pts, ivs, flipped, isTs)).headOption
-    found.map { case (ts, lo, hi, points, intervals, flipped, isTs) =>
+    // measured decisions on the matched triple (first-match-wins, the
+    // established contract — a declined first candidate declines the
+    // join): the keyed gate, then the width gate, each able to keep
+    // Catalyst's own plan
+    found.flatMap { case (ts, lo, hi, points, intervals, flipped, isTs) =>
+      // orient each lifted equality to (points attr, intervals attr) —
+      // cross-side under the ORIGINAL left/right, which
+      // {points, intervals} is a permutation of
+      val orientedEquis = equis.map { case (x, y) =>
+        if (points.outputSet.contains(x)) (x, y) else (y, x)
+      }
+      val keyedOk = equis.isEmpty || keyedRewrite ||
+        keyedPileProven(points, intervals, orientedEquis)
+      val widthOpt: Option[Double] =
+        if (isTs || !keyedOk) None
+        else numBucketWidth.filter(_ > 0)
+          .orElse(measuredNumWidth(intervals, lo, hi))
+      // TS width: an explicitly-set bucketSec wins job-free; auto
+      // measures, falling back to the default on an unsound
+      // measurement (object scaladoc — never degrade a working
+      // default plan to the nested loop)
+      val tsWidth: Long =
+        if (!isTs || !keyedOk) 0L
+        else spark.conf.getOption("spark.graft.rangeJoin.bucketSec")
+          .map(_.toLong)
+          .orElse(if (bucketSecAuto) measuredTsWidth(intervals, lo, hi)
+            else None)
+          .getOrElse(bucketSec)
+      if (!keyedOk || (!isTs && widthOpt.isEmpty)) None
+      else Some(build(cond, left, right, ts, lo, hi, points, intervals,
+        flipped, isTs, widthOpt, tsWidth, orientedEquis))
+    }
+  }
+
+  /** Assemble the bucketed replacement plan for a matched, approved
+    * triple (extracted from [[rewrite]] when the measured gates made
+    * the match/decide/build phases distinct). */
+  private def build(cond: Expression, left: LogicalPlan,
+      right: LogicalPlan, ts: Attribute, lo: Attribute, hi: Attribute,
+      points: LogicalPlan, intervals: LogicalPlan, flipped: Boolean,
+      isTs: Boolean, widthOpt: Option[Double], tsWidth: Long,
+      orientedEquis: Seq[(Attribute, Attribute)]): LogicalPlan = {
       def name(side: String, i: Int) = s"${Marker}_${side}$i"
       val pNames = points.output.indices.map(name("p", _))
       val iNames = intervals.output.indices.map(name("i", _))
@@ -220,24 +490,17 @@ case class RangeJoinRewrite(spark: SparkSession)
         name("i", intervals.output.indexWhere(_.exprId == lo.exprId))
       val hiName =
         name("i", intervals.output.indexWhere(_.exprId == hi.exprId))
-      // orient each lifted equality to (points attr, intervals attr)
-      // and translate to the internal names; an equality that does not
-      // straddle points/intervals cannot exist here (connects() proved
-      // cross-side under the ORIGINAL left/right, which {points,
-      // intervals} is a permutation of)
-      val keyPairs = equis.map { case (x, y) =>
-        if (points.outputSet.contains(x))
-          (name("p", points.output.indexWhere(_.exprId == x.exprId)),
-            name("i", intervals.output.indexWhere(_.exprId == y.exprId)))
-        else
-          (name("p", points.output.indexWhere(_.exprId == y.exprId)),
-            name("i", intervals.output.indexWhere(_.exprId == x.exprId)))
+      // translate the (points, intervals)-oriented equalities to the
+      // internal names
+      val keyPairs = orientedEquis.map { case (p, i) =>
+        (name("p", points.output.indexWhere(_.exprId == p.exprId)),
+          name("i", intervals.output.indexWhere(_.exprId == i.exprId)))
       }
       val bucketed = PlanBridge.analyzed(
         if (isTs) graft.scale.RangeJoin.pointInInterval(
-          pDf, tsName, iDf, loName, hiName, bucketSec, keyPairs)
+          pDf, tsName, iDf, loName, hiName, tsWidth, keyPairs)
         else graft.scale.RangeJoin.pointInIntervalNum(
-          pDf, tsName, iDf, loName, hiName, numBucketWidth.get, keyPairs))
+          pDf, tsName, iDf, loName, hiName, widthOpt.get, keyPairs))
       val byName = bucketed.output.map(a => a.name -> a).toMap
       val restored = (points.output.zipWithIndex.map { case (a, i) =>
         Alias(byName(name("p", i)), a.name)(
@@ -258,6 +521,5 @@ case class RangeJoinRewrite(spark: SparkSession)
           (left.output ++ right.output).map(a => a: NamedExpression),
           filtered)
       }
-    }
   }
 }

@@ -498,6 +498,23 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(df.count() > 0)
   }
 
+  test("q_range_join_rewrite_auto: the in-entry fired/no-nested-loop " +
+    "requires hold with NO width conf at all — the measured median-" +
+    "span width planned the bucketed join (r17)") {
+    val df = SparkEntry.queries("q_range_join_rewrite_auto")(
+      spark, SparkTestSession.fixtureDir)
+    assert(df.count() > 0)
+  }
+
+  test("q_range_join_keyed_auto: the in-entry fired/no-nested-loop " +
+    "requires hold from the MEASURED per-key piles — the keyed lift " +
+    "planned itself off the count-table diagnosis, no blind opt-in " +
+    "(r17)") {
+    val df = SparkEntry.queries("q_range_join_keyed_auto")(
+      spark, SparkTestSession.fixtureDir)
+    assert(df.count() > 0)
+  }
+
   test("q_paragraph_retire: the post-retire probe keeps the " +
     "incremental plan shape (semi-join pruned, persisted bases, no " +
     "cartesian) and the takedown-then-recrawl dedups against the " +

@@ -26,6 +26,36 @@ class RangeJoinRewriteSpec extends AnyFunSuite {
     df.select("event_id", "window_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
 
+  /** Count the Spark jobs launched while `body` runs — used to pin
+    * which plannings pay a diagnosis and which are cached/job-free.
+    * The listener bus is async, so quiesce (no new events for 500 ms)
+    * before reading. */
+  private def jobsDuring(s: SparkSession)(body: => Unit): Int = {
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        counter.incrementAndGet(); ()
+      }
+    }
+    s.sparkContext.addSparkListener(listener)
+    try {
+      body
+      var last = counter.get
+      var stableSince = System.currentTimeMillis()
+      val deadline = System.currentTimeMillis() + 15000
+      while (System.currentTimeMillis() - stableSince < 500 &&
+          System.currentTimeMillis() < deadline) {
+        Thread.sleep(25)
+        if (counter.get != last) {
+          last = counter.get
+          stableSince = System.currentTimeMillis()
+        }
+      }
+      counter.get
+    } finally s.sparkContext.removeSparkListener(listener)
+  }
+
   private def withRewrite[T](s: SparkSession)(body: => T): T = {
     GraftExtensions.register(s)
     s.conf.set("spark.graft.rangeJoin.rewrite", "true")
@@ -308,6 +338,228 @@ class RangeJoinRewriteSpec extends AnyFunSuite {
         assert(!mixed.queryExecution.optimizedPlan.toString
           .contains("__graft_range"))
       } finally s.conf.set("spark.graft.rangeJoin.bucketSec", "86400")
+    }
+  }
+
+  test("numWidthAuto: the numeric family fires WITHOUT an explicit " +
+    "width — the measured median-span width — and stays " +
+    "result-identical; an explicit width still wins (r17)") {
+    val s = spark
+    val (e, w) = numSides(s)
+    def q = e.join(w,
+      col("score") >= col("lo") && col("score") <= col("hi"))
+    val plain = pairs(q)
+    GraftExtensions.register(s)
+    s.conf.set("spark.graft.rangeJoin.rewrite", "true")
+    s.conf.unset("spark.graft.rangeJoin.numBucketWidth")
+    s.conf.set("spark.graft.rangeJoin.numWidthAuto", "true")
+    try {
+      val p = q.queryExecution.executedPlan.toString
+      assert(p.contains("__graft_range"),
+        s"auto width did not fire:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("CartesianProduct"), p)
+      assert(pairs(q) == plain, "auto-width identity broke")
+      // explicit width set: still fires (explicit wins, same identity)
+      s.conf.set("spark.graft.rangeJoin.numBucketWidth", "2.5")
+      assert(q.queryExecution.executedPlan.toString
+        .contains("__graft_range"))
+      assert(pairs(q) == plain)
+    } finally {
+      s.conf.set("spark.graft.rangeJoin.rewrite", "false")
+      s.conf.unset("spark.graft.rangeJoin.numWidthAuto")
+      s.conf.unset("spark.graft.rangeJoin.numBucketWidth")
+    }
+  }
+
+  test("numWidthAuto DECLINES the unsound-width distributions: all " +
+    "point intervals (median span 0), an unbounded sentinel interval " +
+    "(non-finite max), and a >=1e5x tail span (median width would " +
+    "manufacture the bucket-cap error the nested loop never raises)") {
+    val s = spark
+    import s.implicits._
+    GraftExtensions.register(s)
+    val pts = Seq((1L, 5.0), (2L, -3.0)).toDF("pid", "p")
+    def q(iv: DataFrame) =
+      pts.join(iv, col("p") >= col("ilo") && col("p") <= col("ihi"))
+    s.conf.set("spark.graft.rangeJoin.rewrite", "true")
+    s.conf.set("spark.graft.rangeJoin.numWidthAuto", "true")
+    try {
+      // all spans zero: no width is measurable
+      val zero = Seq((1L, 5.0, 5.0), (2L, -3.0, -3.0))
+        .toDF("wid", "ilo", "ihi")
+      assert(!q(zero).queryExecution.optimizedPlan.toString
+        .contains("__graft_range"),
+        "zero-span intervals must decline auto width")
+      // an unbounded sentinel interval: max span is infinite — only
+      // the nested loop is sound, and it still returns the right rows
+      val open = Seq((1L, 4.0, 6.0), (2L, 0.0, Double.PositiveInfinity))
+        .toDF("wid", "ilo", "ihi")
+      assert(!q(open).queryExecution.optimizedPlan.toString
+        .contains("__graft_range"),
+        "an infinite-span interval must decline auto width")
+      assert(q(open).count() == 2) // 5∈[4,6], 5∈[0,inf), and nothing else
+      // tail span >= 1e5x the median: no single sound width
+      val tail = Seq((1L, 0.0, 1.0), (2L, 0.5, 1.5),
+          (3L, 0.0, 2.0e5)).toDF("wid", "ilo", "ihi")
+      assert(!q(tail).queryExecution.optimizedPlan.toString
+        .contains("__graft_range"),
+        "a 1e5x tail span must decline auto width")
+    } finally {
+      s.conf.set("spark.graft.rangeJoin.rewrite", "false")
+      s.conf.unset("spark.graft.rangeJoin.numWidthAuto")
+    }
+  }
+
+  test("keyedAuto: the keyed lift fires from MEASURED per-key piles " +
+    "(planner-hash-group price >= keyedTargetRows), declines when no " +
+    "key's pile reaches the target, and stays result-identical (r17)") {
+    val s = spark
+    val (e, w) = typedSides(s)
+    def q = e.join(w, col("event_type") === col("wtype") &&
+        col("ts") >= col("lo") && col("ts") <= col("hi"))
+      .select("event_id", "event_type", "window_id")
+    val plain = q.collect().map(_.toSeq).toSet
+    withRewrite(s) {
+      s.conf.set("spark.graft.rangeJoin.keyedAuto", "true")
+      // sf0.001 fixture: ~200 points x ~2 windows per type — price
+      // ~400 per key; 200 trips, 100000 cannot
+      s.conf.set("spark.graft.rangeJoin.keyedTargetRows", "200")
+      try {
+        val p = q.queryExecution.executedPlan.toString
+        assert(p.contains("__graft_range"),
+          s"measured keyed lift did not fire:\n$p")
+        assert(!p.contains("BroadcastNestedLoopJoin") &&
+          !p.contains("CartesianProduct"), p)
+        assert(q.collect().map(_.toSeq).toSet == plain,
+          "measured keyed lift identity broke")
+        // no key's price reaches the target: the planner's hash join
+        // is the measured-right plan and stays
+        s.conf.set("spark.graft.rangeJoin.keyedTargetRows", "100000")
+        assert(!q.queryExecution.executedPlan.toString
+          .contains("__graft_range"),
+          "an untripped keyed diagnosis must keep the planner's plan")
+      } finally {
+        s.conf.unset("spark.graft.rangeJoin.keyedAuto")
+        s.conf.unset("spark.graft.rangeJoin.keyedTargetRows")
+      }
+    }
+  }
+
+  test("measured decisions run their plan-time jobs ONCE per shape " +
+    "(cached); rediagnose=true bypasses the cache READ; the sampled " +
+    "diagnosis (deterministic full-row hash) reaches the same " +
+    "decisions on the planted fixture") {
+    val s = spark
+    // count Spark jobs launched while materializing the OPTIMIZED plan
+    // only (the diagnosis collects are the only plan-time job source;
+    // the bucketed assembly itself runs none)
+    def planJobs(body: => Unit): Int = jobsDuring(s)(body)
+    val (e0, w0) = typedSides(s)
+    // numeric keyed shape so ONE query exercises BOTH diagnoses (NTZ
+    // timestamps cast to double through TIMESTAMP, as RangeJoin does)
+    val e = e0.withColumn("score",
+        col("ts").cast("timestamp").cast("double"))
+      .drop("ts")
+    val w = w0.withColumn("nlo",
+        col("lo").cast("timestamp").cast("double"))
+      .withColumn("nhi", col("hi").cast("timestamp").cast("double"))
+      .drop("lo", "hi")
+    def q = e.join(w, col("event_type") === col("wtype") &&
+      col("score") >= col("nlo") && col("score") <= col("nhi"))
+    GraftExtensions.register(s)
+    s.conf.set("spark.graft.rangeJoin.rewrite", "true")
+    s.conf.unset("spark.graft.rangeJoin.numBucketWidth")
+    s.conf.set("spark.graft.rangeJoin.numWidthAuto", "true")
+    s.conf.set("spark.graft.rangeJoin.keyedAuto", "true")
+    // 777: a target no other test uses, so this test's cache keys are
+    // disjoint in the session-shared rule instance
+    s.conf.set("spark.graft.rangeJoin.keyedTargetRows", "777")
+    try {
+      def plan() = q.queryExecution.executedPlan
+      assert(plan().toString.contains("__graft_range"),
+        "the fixture must trip both measured gates")
+      val first = planJobs { plan() }
+      // first==0 would mean the diagnoses were cached by the assert
+      // above — which is the point; re-check against a fresh target
+      s.conf.set("spark.graft.rangeJoin.keyedTargetRows", "778")
+      val fresh = planJobs { plan() }
+      assert(fresh >= 1,
+        s"a fresh conf must re-run the keyed diagnosis, ran $fresh")
+      val second = planJobs { plan() }
+      assert(second == 0,
+        s"cached decisions must plan job-free, ran $second")
+      s.conf.set("spark.graft.rangeJoin.rediagnose", "true")
+      try {
+        val third = planJobs { plan() }
+        assert(third >= 1,
+          "rediagnose=true must bypass the cache read and re-diagnose")
+      } finally s.conf.unset("spark.graft.rangeJoin.rediagnose")
+      val fourth = planJobs { plan() }
+      assert(fourth == 0,
+        s"the re-cached decision must be honored again, ran $fourth")
+      // sampled diagnosis: fires on the planted fixture too — at rate
+      // 0.5 the hottest type's ~199-row pile lower-bounds to ~139
+      // ((c − 3√c)/rate, the only term the sparse window side leaves),
+      // so the target must sit under the EVIDENCE, not the true count:
+      // 100 is provable, 777 would not be (exactly the estimator
+      // discipline — sampled mode salts only what the sample proves)
+      s.conf.set("spark.graft.rangeJoin.keyedTargetRows", "100")
+      s.conf.set("spark.graft.rangeJoin.sampleRate", "0.5")
+      try {
+        val p = plan().toString
+        assert(p.contains("__graft_range"),
+          s"sampled diagnosis missed the planted piles:\n$p")
+      } finally s.conf.unset("spark.graft.rangeJoin.sampleRate")
+      val _ = first // silence: first's value is timing-dependent
+    } finally {
+      s.conf.set("spark.graft.rangeJoin.rewrite", "false")
+      s.conf.unset("spark.graft.rangeJoin.numWidthAuto")
+      s.conf.unset("spark.graft.rangeJoin.keyedAuto")
+      s.conf.unset("spark.graft.rangeJoin.keyedTargetRows")
+    }
+  }
+
+  test("bucketSecAuto: the TS family's width is MEASURED when " +
+    "bucketSec is UNSET (a diagnosis job runs at plan time; identity " +
+    "holds), while an explicitly-set bucketSec — even the default " +
+    "value — wins job-free (r17)") {
+    val s = spark
+    GraftExtensions.register(s)
+    val (e, w) = sides(s)
+    def q = e.join(w, col("ts") >= col("lo") && col("ts") <= col("hi"))
+    val plain = pairs(q)
+    s.conf.set("spark.graft.rangeJoin.rewrite", "true")
+    s.conf.unset("spark.graft.rangeJoin.bucketSec")
+    s.conf.set("spark.graft.rangeJoin.bucketSecAuto", "true")
+    try {
+      val jobs = jobsDuring(s) { q.queryExecution.executedPlan }
+      assert(jobs >= 1,
+        s"the first TS-width planning must run the diagnosis, ran $jobs")
+      val p = q.queryExecution.executedPlan.toString
+      assert(p.contains("__graft_range") &&
+        !p.contains("BroadcastNestedLoopJoin"), p)
+      assert(pairs(q) == plain, "measured TS width identity broke")
+      // cached: re-planning the same shape is job-free
+      assert(jobsDuring(s) { q.queryExecution.executedPlan } == 0,
+        "the cached TS width must plan job-free")
+      // explicit bucketSec (the default value, set explicitly) wins
+      // without jobs even on a FRESH shape
+      s.conf.set("spark.graft.rangeJoin.bucketSec", "86400")
+      val w2 = s.table("events").filter(col("event_id") % 89 === 0)
+        .select(col("event_id").as("window_id"), col("ts").as("lo"),
+          (col("ts") + expr("INTERVAL 12 HOURS")).as("hi"))
+      def q2 = e.join(w2,
+        col("ts") >= col("lo") && col("ts") <= col("hi"))
+      val jobs2 = jobsDuring(s) { q2.queryExecution.executedPlan }
+      assert(jobs2 == 0,
+        s"an explicit bucketSec must never run diagnosis jobs, ran $jobs2")
+      assert(q2.queryExecution.executedPlan.toString
+        .contains("__graft_range"))
+    } finally {
+      s.conf.set("spark.graft.rangeJoin.rewrite", "false")
+      s.conf.unset("spark.graft.rangeJoin.bucketSecAuto")
+      s.conf.set("spark.graft.rangeJoin.bucketSec", "86400")
     }
   }
 
