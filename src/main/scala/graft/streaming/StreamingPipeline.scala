@@ -87,6 +87,52 @@ object StreamingPipeline {
     /** Number of (doc, band) rows currently indexed. */
     def size: Long = synchronized { index.map(_.count()).getOrElse(0L) }
 
+    /** Seed the accumulating state with a persisted
+      * [[graft.llm.Dedup.signatureIndex]] store — crash recovery /
+      * planned restart WITHOUT replaying the stream ([[snapshot]] is
+      * the write side; [[ParagraphDedupIndex.seed]]'s contract for the
+      * band rows). Only valid before any batch. The store rows must
+      * have been built with THIS index's (k, numHashes, bands): k is
+      * not inferable from hashes (documented, the batch
+      * `incrementalCandidates` contract), but the two
+      * row-visible shape params are CHECKED with one bounded seed-time
+      * aggregation over the store — a mismatched band count would
+      * silently never collide with new batches' buckets and every
+      * historical twin would go unflagged, the exact failure seed()
+      * exists to prevent. */
+    def seed(indexDf: DataFrame): Unit = synchronized {
+      require(index.isEmpty && batches == 0,
+        "seed() must run before any batch is appended")
+      import org.apache.spark.sql.functions.{col, max, size => asize}
+      val expect = Seq("doc_id", "sig", "band_idx", "band_hash")
+      require(indexDf.columns.toSeq == expect,
+        s"seed frame columns ${indexDf.columns.toSeq} must be $expect " +
+          "(a persisted Dedup.signatureIndex)")
+      val shape = indexDf
+        .select(max(asize(col("sig"))).as("nh"),
+          max(col("band_idx")).as("maxb"))
+        .head()
+      if (!shape.isNullAt(0))
+        require(shape.getInt(0) == numHashes &&
+          shape.getInt(1) == bands - 1,
+          s"seed store shape (numHashes=${shape.getInt(0)}, bands=" +
+            s"${shape.getInt(1) + 1}) must equal this index's " +
+            s"($numHashes, $bands)")
+      index = Some(indexDf.localCheckpoint(true))
+    }
+
+    /** The current state for persistence — write it as the
+      * [[graft.llm.Dedup.signatureIndex]] store (parquet; sh-bucketed
+      * via graft.scale.Bucketing at corpus scale) and [[seed]] a fresh
+      * index from the load to resume after a restart. Loud on empty
+      * state: snapshotting nothing is a lost-state bug, not a
+      * checkpoint. */
+    def snapshot: DataFrame = synchronized {
+      require(index.isDefined,
+        "snapshot needs state: seed() or append a batch first")
+      index.get
+    }
+
     /** Retire documents from the LIVE state — a takedown arriving
       * mid-stream ([[graft.llm.Dedup.retireFromIndex]] pointed at the
       * executor-resident band rows; per-doc rows, so a plain anti-join
@@ -153,6 +199,37 @@ object StreamingPipeline {
 
     /** Number of vectors currently indexed. */
     def size: Long = synchronized { index.map(_.count()).getOrElse(0L) }
+
+    /** Seed the accumulating state from persisted embeddings
+      * (vec_id, embedding) — crash recovery without stream replay
+      * ([[NearDupIndex.seed]]'s contract). Cells are RE-ASSIGNED here
+      * with THIS index's centers, never trusted from the store: a
+      * snapshot written under different seed centroids would
+      * mis-bucket every probe silently, and recomputing is one
+      * deterministic map over rows the seed scan reads anyway. Only
+      * valid before any batch. */
+    def seed(embs: DataFrame): Unit = synchronized {
+      require(index.isEmpty && batches == 0,
+        "seed() must run before any batch is appended")
+      require(embs.columns.contains("vec_id") &&
+        embs.columns.contains("embedding"),
+        s"seed frame needs (vec_id, embedding), got " +
+          s"${embs.columns.toSeq}")
+      index = Some(embs
+        .select(col("vec_id"), col("embedding"),
+          Similarity.cosCellCol(col("embedding"), centers).as("cell"))
+        .localCheckpoint(true))
+    }
+
+    /** The current state for persistence — (vec_id, embedding, cell)
+      * rows; [[seed]] a fresh index from the reloaded (vec_id,
+      * embedding) columns to resume. Loud on empty state
+      * ([[NearDupIndex.snapshot]]'s contract). */
+    def snapshot: DataFrame = synchronized {
+      require(index.isDefined,
+        "snapshot needs state: seed() or append a batch first")
+      index.get
+    }
 
     /** Retire vectors from the LIVE state ([[NearDupIndex.retire]]'s
       * contract keyed by vec_id —
@@ -246,6 +323,33 @@ object StreamingPipeline {
 
     /** Number of (doc, shingle) rows currently indexed. */
     def size: Long = synchronized { index.map(_.count()).getOrElse(0L) }
+
+    /** Seed the accumulating state with a persisted
+      * [[graft.llm.Dedup.shingleIndex]] store (doc_id, sh, n_sh) —
+      * crash recovery without stream replay ([[NearDupIndex.seed]]'s
+      * contract). The store must have been shingled with THIS index's
+      * k — not inferable from md5 keys (documented, the same contract
+      * as the batch `incrementalContainmentPairs`). Only valid before
+      * any batch. */
+    def seed(indexDf: DataFrame): Unit = synchronized {
+      require(index.isEmpty && batches == 0,
+        "seed() must run before any batch is appended")
+      val expect = Seq("doc_id", "sh", "n_sh")
+      require(indexDf.columns.toSeq == expect,
+        s"seed frame columns ${indexDf.columns.toSeq} must be $expect " +
+          "(a persisted Dedup.shingleIndex)")
+      index = Some(indexDf.localCheckpoint(true))
+    }
+
+    /** The current state for persistence — the
+      * [[graft.llm.Dedup.shingleIndex]] rows (sh-bucketed store at
+      * corpus scale); [[seed]] a fresh index from the load to resume.
+      * Loud on empty state ([[NearDupIndex.snapshot]]'s contract). */
+    def snapshot: DataFrame = synchronized {
+      require(index.isDefined,
+        "snapshot needs state: seed() or append a batch first")
+      index.get
+    }
 
     /** Retire documents from the LIVE state ([[NearDupIndex.retire]]'s
       * contract over the shingle rows): anti-join, eager checkpoint,
@@ -383,6 +487,19 @@ object StreamingPipeline {
           s"index's ($chunkSize, $k, $numHashes, $bands, " +
           s"$oracleHashes, $maxChunksPerDoc)")
       model = Some(ckpt(m))
+    }
+
+    /** The current accumulated model for persistence — write it with
+      * [[graft.llm.Curation.saveParagraphIndex]] and [[seed]] a fresh
+      * index from the load to resume after a restart WITHOUT replaying
+      * the stream (the snapshot/seed leg [[NearDupIndex.snapshot]]
+      * documents; here the model carries its shape params, so the
+      * reseed's mismatch guard is exact, not best-effort). Loud on
+      * empty state. */
+    def snapshot: Curation.ParagraphIndexModel = synchronized {
+      require(model.isDefined,
+        "snapshot needs state: seed() or append a batch first")
+      model.get
     }
 
     /** Retire documents from the LIVE accumulating state — a takedown

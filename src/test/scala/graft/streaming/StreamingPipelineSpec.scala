@@ -324,6 +324,123 @@ class StreamingPipelineSpec extends AnyFunSuite {
       assert(thrown.getMessage.contains("needs state"))
   }
 
+  test("every accumulating index snapshots and reseeds: an index " +
+    "resumed from the persisted snapshot emits the SAME rows for the " +
+    "next batch as the uninterrupted original (crash recovery without " +
+    "stream replay — r17, the lifecycle leg retire() left open), " +
+    "seed-after-state and empty snapshots fail loudly, and the " +
+    "near-dup seed rejects a store with mismatched row-visible shape") {
+    val s = spark
+    import s.implicits._
+    val d = s.table("documents").select("doc_id", "text")
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_snap").toString
+    def pairRows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch1 = d.filter(col("doc_id") < 15)
+    // batch 2 plants a verbatim twin of doc 3 and a half-doc excerpt
+    // of doc 5, so the resumed-vs-original comparisons below compare
+    // PROVABLY non-empty pair sets (pure corpus docs are distinct)
+    val batch2 = d.filter(col("doc_id") >= 15 && col("doc_id") < 30)
+      .unionAll(d.filter(col("doc_id") === 3L)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+      .unionAll(d.filter(col("doc_id") === 5L)
+        .withColumn("_w", split(col("text"), " "))
+        .select(lit(500005L).as("doc_id"),
+          array_join(slice(col("_w"), lit(1),
+            greatest((size(col("_w")) / 2).cast("int"), lit(5))), " ")
+            .as("text")))
+
+    // near-dup: run batch 1, snapshot to parquet, "crash", reseed a
+    // fresh index from the store, and batch 2 must probe identically
+    val nd = new StreamingPipeline.NearDupIndex()
+    nd.probeAndAppend(batch1, 0L).count()
+    nd.snapshot.write.mode("overwrite").parquet(s"$tmp/nd")
+    val ndOrig = pairRows(nd.probeAndAppend(batch2, 1L))
+    assert(ndOrig.nonEmpty,
+      "the planted twin must produce candidates against the index")
+    val nd2 = new StreamingPipeline.NearDupIndex()
+    nd2.seed(s.read.parquet(s"$tmp/nd"))
+    assert(pairRows(nd2.probeAndAppend(batch2, 0L)) == ndOrig,
+      "a reseeded near-dup index must resume the stream exactly")
+    // row-visible shape guard: a 2-band index cannot eat an 4-band store
+    val shapeErr = intercept[IllegalArgumentException] {
+      new StreamingPipeline.NearDupIndex(numHashes = 8, bands = 2)
+        .seed(s.read.parquet(s"$tmp/nd"))
+    }
+    assert(shapeErr.getMessage.contains("shape"), shapeErr.getMessage)
+
+    // containment: same round-trip over the shingle store
+    val ci = new StreamingPipeline.ContainmentIndex(k = 3,
+      threshold = 0.5)
+    ci.probeAndAppend(batch1, 0L).count()
+    ci.snapshot.write.mode("overwrite").parquet(s"$tmp/ci")
+    val ciOrig = pairRows(ci.probeAndAppend(batch2, 1L))
+    assert(ciOrig.nonEmpty,
+      "the planted excerpt must match its host in the index")
+    val ci2 = new StreamingPipeline.ContainmentIndex(k = 3,
+      threshold = 0.5)
+    ci2.seed(s.read.parquet(s"$tmp/ci"))
+    assert(pairRows(ci2.probeAndAppend(batch2, 0L)) == ciOrig,
+      "a reseeded containment index must resume the stream exactly")
+
+    // semantic: the snapshot persists (vec_id, embedding, cell); the
+    // reseed re-assigns cells from the RELOADED embeddings with the
+    // new index's centers — stale cells can never leak through
+    val centers = Array(Array.fill(4)(1.0), Array.fill(4)(-1.0))
+    val sd = new StreamingPipeline.SemanticDupIndex(centers,
+      threshold = 0.9)
+    val vecs1 = Seq((1L, Seq(1.0f, 0.9f, 1.0f, 1.1f)),
+      (2L, Seq(-1.0f, -1.0f, -0.9f, -1.0f))).toDF("vec_id", "embedding")
+    val vecs2 = Seq((10L, Seq(1.0f, 0.9f, 1.0f, 1.1f)),
+      (11L, Seq(-1.0f, -0.9f, -1.0f, -1.0f))).toDF("vec_id", "embedding")
+    sd.probeAndAppend(vecs1, 0L).count()
+    sd.snapshot.write.mode("overwrite").parquet(s"$tmp/sd")
+    val sdOrig = pairRows(sd.probeAndAppend(vecs2, 1L))
+    val sd2 = new StreamingPipeline.SemanticDupIndex(centers,
+      threshold = 0.9)
+    sd2.seed(s.read.parquet(s"$tmp/sd").select("vec_id", "embedding"))
+    assert(pairRows(sd2.probeAndAppend(vecs2, 0L)) == sdOrig,
+      "a reseeded semantic index must resume the stream exactly")
+
+    // paragraph: the model snapshot rides the EXISTING paragraph store
+    // (params travel with it, so the reseed guard is exact)
+    val pd = new StreamingPipeline.ParagraphDedupIndex(chunkSize = 5,
+      threshold = 0.8)
+    pd.probeAndAppend(batch1, 0L).count()
+    graft.llm.Curation.saveParagraphIndex(pd.snapshot, s"$tmp/pd")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val pdOrig = rows(pd.probeAndAppend(batch2, 1L))
+    val pd2 = new StreamingPipeline.ParagraphDedupIndex(chunkSize = 5,
+      threshold = 0.8)
+    pd2.seed(graft.llm.Curation.loadParagraphIndex(s, s"$tmp/pd"))
+    assert(rows(pd2.probeAndAppend(batch2, 0L)) == pdOrig,
+      "a reseeded paragraph index must resume the stream exactly")
+
+    // lifecycle guards: snapshot on empty state and seed after state
+    // fail loudly on every index
+    for (thrown <- Seq(
+        intercept[IllegalArgumentException] {
+          new StreamingPipeline.NearDupIndex().snapshot },
+        intercept[IllegalArgumentException] {
+          new StreamingPipeline.ContainmentIndex().snapshot },
+        intercept[IllegalArgumentException] {
+          new StreamingPipeline.SemanticDupIndex(centers).snapshot },
+        intercept[IllegalArgumentException] {
+          new StreamingPipeline.ParagraphDedupIndex().snapshot }))
+      assert(thrown.getMessage.contains("needs state"))
+    for (thrown <- Seq(
+        intercept[IllegalArgumentException] {
+          nd2.seed(s.read.parquet(s"$tmp/nd")) },
+        intercept[IllegalArgumentException] {
+          ci2.seed(s.read.parquet(s"$tmp/ci")) },
+        intercept[IllegalArgumentException] {
+          sd2.seed(s.read.parquet(s"$tmp/sd")
+            .select("vec_id", "embedding")) }))
+      assert(thrown.getMessage.contains("before any batch"))
+  }
+
   test("a NON-monotonic batchId fails loudly: only the latest batch can " +
     "replay, and an older id means the index is shared across queries") {
     val s = spark
