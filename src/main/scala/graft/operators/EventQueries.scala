@@ -739,7 +739,10 @@ object EventQueries {
         .select(col("event_id").as("window_id"), col("ts").as("lo"),
           (col("ts") + expr("INTERVAL 36 HOURS")).as("hi"))
       val prevOn = s.conf.get("spark.graft.rangeJoin.rewrite", "false")
-      val prevW = s.conf.get("spark.graft.rangeJoin.bucketSec", "86400")
+      // getOption/unset restore: re-setting the DEFAULT would convert
+      // an unset conf into an explicitly-set one, which (since the
+      // measured-width modes) suppresses bucketSecAuto for the session
+      val prevW = s.conf.getOption("spark.graft.rangeJoin.bucketSec")
       s.conf.set("spark.graft.rangeJoin.rewrite", "true")
       s.conf.set("spark.graft.rangeJoin.bucketSec", (24 * 3600).toString)
       try {
@@ -753,7 +756,10 @@ object EventQueries {
         out.localCheckpoint(true)
       } finally {
         s.conf.set("spark.graft.rangeJoin.rewrite", prevOn)
-        s.conf.set("spark.graft.rangeJoin.bucketSec", prevW)
+        prevW match {
+          case Some(w) => s.conf.set("spark.graft.rangeJoin.bucketSec", w)
+          case None => s.conf.unset("spark.graft.rangeJoin.bucketSec")
+        }
       }
     },
 
@@ -778,7 +784,10 @@ object EventQueries {
           (col("ts") + expr("INTERVAL 36 HOURS")).as("hi"))
       val prevOn = s.conf.get("spark.graft.rangeJoin.rewrite", "false")
       val prevK = s.conf.get("spark.graft.rangeJoin.keyedRewrite", "false")
-      val prevW = s.conf.get("spark.graft.rangeJoin.bucketSec", "86400")
+      // getOption/unset restore: re-setting the DEFAULT would convert
+      // an unset conf into an explicitly-set one, which (since the
+      // measured-width modes) suppresses bucketSecAuto for the session
+      val prevW = s.conf.getOption("spark.graft.rangeJoin.bucketSec")
       s.conf.set("spark.graft.rangeJoin.rewrite", "true")
       s.conf.set("spark.graft.rangeJoin.keyedRewrite", "true")
       s.conf.set("spark.graft.rangeJoin.bucketSec", (24 * 3600).toString)
@@ -798,7 +807,10 @@ object EventQueries {
       } finally {
         s.conf.set("spark.graft.rangeJoin.rewrite", prevOn)
         s.conf.set("spark.graft.rangeJoin.keyedRewrite", prevK)
-        s.conf.set("spark.graft.rangeJoin.bucketSec", prevW)
+        prevW match {
+          case Some(w) => s.conf.set("spark.graft.rangeJoin.bucketSec", w)
+          case None => s.conf.unset("spark.graft.rangeJoin.bucketSec")
+        }
       }
     },
 
@@ -909,7 +921,10 @@ object EventQueries {
       val prevOn = s.conf.get("spark.graft.rangeJoin.rewrite", "false")
       val prevA = s.conf.get("spark.graft.rangeJoin.keyedAuto", "false")
       val prevT = s.conf.getOption("spark.graft.rangeJoin.keyedTargetRows")
-      val prevW = s.conf.get("spark.graft.rangeJoin.bucketSec", "86400")
+      // getOption/unset restore: re-setting the DEFAULT would convert
+      // an unset conf into an explicitly-set one, which (since the
+      // measured-width modes) suppresses bucketSecAuto for the session
+      val prevW = s.conf.getOption("spark.graft.rangeJoin.bucketSec")
       s.conf.set("spark.graft.rangeJoin.rewrite", "true")
       s.conf.set("spark.graft.rangeJoin.keyedAuto", "true")
       s.conf.set("spark.graft.rangeJoin.keyedTargetRows", "300")
@@ -930,7 +945,10 @@ object EventQueries {
       } finally {
         s.conf.set("spark.graft.rangeJoin.rewrite", prevOn)
         s.conf.set("spark.graft.rangeJoin.keyedAuto", prevA)
-        s.conf.set("spark.graft.rangeJoin.bucketSec", prevW)
+        prevW match {
+          case Some(w) => s.conf.set("spark.graft.rangeJoin.bucketSec", w)
+          case None => s.conf.unset("spark.graft.rangeJoin.bucketSec")
+        }
         prevT match {
           case Some(t) =>
             s.conf.set("spark.graft.rangeJoin.keyedTargetRows", t)

@@ -360,6 +360,46 @@ object JoinSkew {
     * tag joins (plan ≤ topN rows), the cold shuffle join, and the hot
     * shuffle join on (key, _salt) — no new corpus-sized shuffles beyond
     * the join being treated. */
+  /** The ONE deterministic row-sample primitive shared by every
+    * plan-time diagnosis (this object's sampled counts conceptually,
+    * [[RangeJoinRewrite]]'s width/keyed diagnoses concretely):
+    * `pmod(xxhash64(hashable cols), 2^20) < rate·2^20` — payload-
+    * deterministic, so the same rows are sampled on every re-run and
+    * stage retry, and a single definition so the modulus / rounding /
+    * MapType-exclusion discipline cannot silently diverge between
+    * components (each copy of these constants is a place the
+    * cross-component determinism guarantee can rot). `rate >= 1`
+    * returns the input untouched. */
+  private[plans] def hashSampled(df: DataFrame, rate: Double): DataFrame =
+    if (rate >= 1.0) df else df.filter(hashSampleCond(df, rate))
+
+  /** The sample membership PREDICATE of [[hashSampled]], for callers
+    * that need to sample one aggregate's input while computing another
+    * exactly over the same scan (e.g. a sampled median next to an
+    * exact max). `lit(true)` at rate ≥ 1. */
+  private[plans] def hashSampleCond(df: DataFrame, rate: Double)
+      : org.apache.spark.sql.Column =
+    if (rate >= 1.0) lit(true)
+    else {
+      val m = 1L << 20
+      val thr = math.max(1L, math.round(rate * m))
+      val hashable = df.columns.toSeq
+        .filterNot(c => containsMap(df.schema(c).dataType))
+      pmod(xxhash64(hashable.map(col): _*), lit(m)) < lit(thr)
+    }
+
+  /** Bounded synchronized LRU for plan-time decision caches — the
+    * [[SkewJoinRewrite]] discipline (access-ordered, eldest-entry
+    * eviction at 64 plan shapes — a plan-shape cardinality, not a data
+    * one — never a whole-cache clear), factored here so every rewrite
+    * rule builds the SAME cache semantics. */
+  private[plans] def boundedLru[K, V](): java.util.Map[K, V] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[K, V](16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[K, V]): Boolean = size() > 64
+      })
+
   /** xxhash64 rejects MapType anywhere in a column's type tree (its
     * own check recurses), so the salt-column filter must too.
     * Package-visible: [[RangeJoinRewrite]]'s width diagnosis samples

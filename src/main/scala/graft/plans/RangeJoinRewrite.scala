@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.functions.{col, lit, percentile_approx, pmod, xxhash64}
+import org.apache.spark.sql.functions.{col, greatest, lit, percentile_approx, when}
 import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, JoinHint, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -171,24 +171,19 @@ case class RangeJoinRewrite(spark: SparkSession)
   /** Diagnosis caches, the [[SkewJoinRewrite]] discipline: decisions
     * are FROZEN PER SESSION per canonicalized (plan, conf) key —
     * bounded plan-time jobs run once per shape, not once per
-    * fixed-point iteration — LRU-evicted at 64 shapes, bypassable
+    * fixed-point iteration — LRU-evicted at 64 shapes
+    * ([[JoinSkew.boundedLru]], the shared cache semantics), bypassable
     * (reads only; runs still re-cache) via
     * `spark.graft.rangeJoin.rediagnose=true`. */
-  private def lru[K, V](): java.util.Map[K, V] =
-    java.util.Collections.synchronizedMap(
-      new java.util.LinkedHashMap[K, V](16, 0.75f, true) {
-        override def removeEldestEntry(
-            e: java.util.Map.Entry[K, V]): Boolean = size() > 64
-      })
   /** (intervals plan, lo ordinal, hi ordinal, rate bits) → width;
     * None = diagnosed, no sound width (decline). */
   private val widthDecided =
-    lru[(LogicalPlan, Int, Int, Long), Option[Double]]()
+    JoinSkew.boundedLru[(LogicalPlan, Int, Int, Long), Option[Double]]()
   /** (points, intervals, key ordinals both sides, target, rate bits)
     * → fire the keyed lift (boxed Boolean: the map's get must be able
     * to say "absent" as null). */
   private val keyedDecided =
-    lru[(LogicalPlan, LogicalPlan, Seq[Int], Long, Long),
+    JoinSkew.boundedLru[(LogicalPlan, LogicalPlan, Seq[Int], Long, Long),
       java.lang.Boolean]()
 
   private def isRewritten(p: LogicalPlan): Boolean =
@@ -284,21 +279,6 @@ case class RangeJoinRewrite(spark: SparkSession)
     if (lifted.exists(_.isEmpty)) None else Some(lifted.flatten)
   }
 
-  /** Deterministic full-row-hash row sample at `rate` (1.0 = the
-    * input untouched) — [[JoinSkew.saltingPlanSampled]]'s hash over
-    * every hashable (non-MapType) column, so the same rows are
-    * sampled on every re-run and stage retry. */
-  private def hashSampled(df: DataFrame, rate: Double): DataFrame =
-    if (rate >= 1.0) df
-    else {
-      val m = 1L << 20
-      val thr = math.max(1L, math.round(rate * m))
-      val hashable = df.columns.toSeq
-        .filterNot(c => JoinSkew.containsMap(df.schema(c).dataType))
-      // numeric lo/hi are always hashable, so this never degenerates
-      df.filter(pmod(xxhash64(hashable.map(col): _*), lit(m)) < lit(thr))
-    }
-
   /** Measured numeric bucket width (object scaladoc, numWidthAuto):
     * one bounded plan-time aggregation over the (sampled) intervals
     * side — median and max of the valid spans — cached per
@@ -330,6 +310,12 @@ case class RangeJoinRewrite(spark: SparkSession)
     val rate = sampleRate
     val loOrd = intervals.output.indexWhere(_.exprId == lo.exprId)
     val hiOrd = intervals.output.indexWhere(_.exprId == hi.exprId)
+    // lo and hi may be the SAME attribute (p.v >= i.b AND p.v <= i.b —
+    // an equality spelled as a band): every span is 0, which is the
+    // point-interval decline, decided here without a rename that
+    // cannot give one column two names (review fix: the positional
+    // rename produced only _wlo and the validity filter crashed)
+    if (loOrd == hiOrd) return None
     val cacheKey = (intervals.canonicalized, loOrd, hiOrd,
       java.lang.Double.doubleToLongBits(rate))
     if (!rediagnose) {
@@ -342,8 +328,18 @@ case class RangeJoinRewrite(spark: SparkSession)
     val valid = df.filter(col("_wlo").isNotNull && col("_whi").isNotNull &&
       col("_wlo") <= col("_whi"))
     val span = secondsOf(col("_whi")) - secondsOf(col("_wlo"))
-    val row = hashSampled(valid, rate)
-      .select(percentile_approx(span, lit(0.5), lit(10000)).as("med"),
+    // ONE pass over the valid intervals: the median is estimated over
+    // the deterministic hash sample (percentile_approx skips the
+    // when()'s NULLs), but the max span is computed EXACTLY — a tail
+    // interval missing from the sample would otherwise evade the
+    // 1e5x decline and the chosen width would manufacture the
+    // 1M-bucket runtime error on exactly the row the guard exists
+    // for (review fix; the scan reads every row for the sample
+    // predicate anyway, so the exact max costs no extra pass)
+    val row = valid
+      .select(percentile_approx(
+          when(JoinSkew.hashSampleCond(valid, rate), span),
+          lit(0.5), lit(10000)).as("med"),
         org.apache.spark.sql.functions.max(span).as("mx"))
       .head()
     val width =
@@ -360,12 +356,28 @@ case class RangeJoinRewrite(spark: SparkSession)
   }
 
   /** Measured keyed decision (object scaladoc, keyedAuto): does ANY
-    * fully-non-NULL key tuple's per-key price reach
+    * fully-non-NULL key tuple's per-key price —
+    * `greatest(n_points · n_intervals, n_points)`, the preserved
+    * formula over the plan's reported counts — reach
     * `keyedTargetRows`? One bounded plan-time count-table pass via
     * the skew pile detector (points as the left/preserved side; NULL
     * key tuples pre-pruned on both sides exactly as the keyed join
     * itself prunes them), cached per canonicalized (points,
-    * intervals, key ordinals, target, rate). */
+    * intervals, key ordinals, target, rate).
+    *
+    * The decision reads the COUNT columns, never the plan's `salt`:
+    * salt is capped at the left row count (right for a treatment that
+    * splits left rows — a factor beyond them splits nothing) but
+    * wrong for this ROUTING question — a 1-point key over a 10M-row
+    * intervals side caps to salt 1 yet is exactly the per-key
+    * cartesian the (keys…, bucket) shuffle splits (review fix).
+    * Under sampling the counts are the plan's point estimates
+    * (`ceil(c/rate)`, relative error ~1/√c), not the 3-sigma lower
+    * bounds the SALT factors price with — the conservatism that
+    * matters for salting (never over-split on noise) has no analogue
+    * here, where a false-positive lift costs only bucket replication
+    * on a borderline key while a false-negative keeps a pile on one
+    * hash partition; routing decisions price on the estimate. */
   private def keyedPileProven(points: LogicalPlan,
       intervals: LogicalPlan,
       pairs: Seq[(Attribute, Attribute)]): Boolean = {
@@ -381,27 +393,44 @@ case class RangeJoinRewrite(spark: SparkSession)
       val cached = keyedDecided.get(cacheKey)
       if (cached != null) return cached
     }
+    // rename ALL columns positionally first, then alias the key
+    // ordinals into the _dk_i slots with a SELECT — one source column
+    // may back several lifted equalities (e.k = w.t1 AND e.k = w.t2),
+    // and a positional rename cannot give one column two names
+    // (review fix: the first-match rename left _dk_1 unresolved)
     def keyed(p: LogicalPlan, keys: Seq[Attribute]): DataFrame = {
-      val names = p.output.zipWithIndex.map { case (a, i) =>
-        val ki = keys.indexWhere(_.exprId == a.exprId)
-        if (ki >= 0) s"_dk_$ki" else s"_dc_$i"
+      val base = PlanBridge.ofRows(spark, p)
+        .toDF(p.output.indices.map(i => s"_dc_$i"): _*)
+      val keyCols = keys.zipWithIndex.map { case (a, i) =>
+        col(s"_dc_${p.output.indexWhere(_.exprId == a.exprId)}")
+          .as(s"_dk_$i")
       }
-      val df = PlanBridge.ofRows(spark, p).toDF(names: _*)
-      keys.indices.foldLeft(df)((d, i) => d.filter(col(s"_dk_$i").isNotNull))
+      val keyIds = keys.map(_.exprId).toSet
+      val payload = p.output.zipWithIndex
+        .filterNot { case (a, _) => keyIds.contains(a.exprId) }
+        .map { case (_, i) => col(s"_dc_$i") }
+      base.select(keyCols ++ payload: _*)
+        .filter(keys.indices.map(i => col(s"_dk_$i").isNotNull)
+          .reduce(_ && _))
     }
     val keyNames = pairs.indices.map(i => s"_dk_$i")
+    // topN 20 (the planner default), because the plan RANKS by its
+    // salt-capped price while this decision prices uncapped — the
+    // uncapped-hot key is in any realistic top handful even when the
+    // cap demotes it below a saltable one
     val plan =
       if (rate < 1.0)
         JoinSkew.saltingPlanSampled(keyed(points, pairs.map(_._1)),
           keyed(intervals, pairs.map(_._2)), keyNames, target,
-          topN = 1, sampleRate = rate)
+          topN = 20, sampleRate = rate)
       else
         JoinSkew.saltingPlanMulti(keyed(points, pairs.map(_._1)),
           keyed(intervals, pairs.map(_._2)), keyNames, target,
-          topN = 1, preserved = true)
-    // topN = 1 over NULL-pruned inputs: the single top-priced tuple
-    // decides — a bounded ≤1-row collect
-    val proven = plan.filter(col("salt") >= 2L).limit(1).count() > 0
+          topN = 20, preserved = true)
+    // bounded ≤1-row collect over the ≤topN plan rows
+    val proven = plan
+      .filter(greatest(col("out_rows"), col("n_left")) >= target)
+      .limit(1).count() > 0
     keyedDecided.put(cacheKey, proven)
     proven
   }
@@ -420,15 +449,20 @@ case class RangeJoinRewrite(spark: SparkSession)
     val lowers = conjuncts.flatMap(lowerOf)
     val uppers = conjuncts.flatMap(upperOf)
     // a (point, lo, hi) triple in ONE type family with the point wholly
-    // on one side and both bounds on the other — the first match wins;
-    // a non-positive width conf disables that family's rewrites
-    val found = (for {
+    // on one side and both bounds on the other. A numeric candidate
+    // needs a usable width source: an EXPLICIT width conf (which,
+    // SET to a non-positive value, disables the family outright —
+    // the documented kill-switch that auto must not override; review
+    // fix) or, only when the conf is UNSET, the measured mode.
+    val numConf = numBucketWidth
+    val candidates = for {
       (t1, lo) <- lowers
       (t2, hi) <- uppers
       if t1.exprId == t2.exprId
       isTs <- familyOf(t1, lo, hi).toSeq
       if (isTs && bucketSec > 0) ||
-        (!isTs && (numBucketWidth.exists(_ > 0) || numWidthAuto))
+        (!isTs && (numConf.exists(_ > 0) ||
+          (numConf.isEmpty && numWidthAuto)))
       (pts, ivs, flipped) <-
         (if (left.outputSet.contains(t1) &&
             right.outputSet.contains(lo) && right.outputSet.contains(hi))
@@ -437,39 +471,42 @@ case class RangeJoinRewrite(spark: SparkSession)
             left.outputSet.contains(lo) && left.outputSet.contains(hi))
           Some((right, left, true))
         else None).toSeq
-    } yield (t1, lo, hi, pts, ivs, flipped, isTs)).headOption
-    // measured decisions on the matched triple (first-match-wins, the
-    // established contract — a declined first candidate declines the
-    // join): the keyed gate, then the width gate, each able to keep
-    // Catalyst's own plan
-    found.flatMap { case (ts, lo, hi, points, intervals, flipped, isTs) =>
-      // orient each lifted equality to (points attr, intervals attr) —
-      // cross-side under the ORIGINAL left/right, which
-      // {points, intervals} is a permutation of
-      val orientedEquis = equis.map { case (x, y) =>
-        if (points.outputSet.contains(x)) (x, y) else (y, x)
-      }
-      val keyedOk = equis.isEmpty || keyedRewrite ||
-        keyedPileProven(points, intervals, orientedEquis)
-      val widthOpt: Option[Double] =
-        if (isTs || !keyedOk) None
-        else numBucketWidth.filter(_ > 0)
-          .orElse(measuredNumWidth(intervals, lo, hi))
-      // TS width: an explicitly-set bucketSec wins job-free; auto
-      // measures, falling back to the default on an unsound
-      // measurement (object scaladoc — never degrade a working
-      // default plan to the nested loop)
-      val tsWidth: Long =
-        if (!isTs || !keyedOk) 0L
-        else spark.conf.getOption("spark.graft.rangeJoin.bucketSec")
-          .map(_.toLong)
-          .orElse(if (bucketSecAuto) measuredTsWidth(intervals, lo, hi)
-            else None)
-          .getOrElse(bucketSec)
-      if (!keyedOk || (!isTs && widthOpt.isEmpty)) None
-      else Some(build(cond, left, right, ts, lo, hi, points, intervals,
-        flipped, isTs, widthOpt, tsWidth, orientedEquis))
-    }
+    } yield (t1, lo, hi, pts, ivs, flipped, isTs)
+    // measured decisions per candidate, FIRST APPROVED WINS: a
+    // candidate whose diagnosis declines (measured-cold key, no sound
+    // width) falls through to the next triple rather than vetoing the
+    // join — a declined numeric band must not suppress a TS triple
+    // that rewrote fine before the auto knob existed (review fix).
+    // LazyList keeps it lazy: diagnoses run only until one approves.
+    candidates.to(LazyList).flatMap {
+      case (ts, lo, hi, points, intervals, flipped, isTs) =>
+        // orient each lifted equality to (points attr, intervals
+        // attr) — cross-side under the ORIGINAL left/right, which
+        // {points, intervals} is a permutation of
+        val orientedEquis = equis.map { case (x, y) =>
+          if (points.outputSet.contains(x)) (x, y) else (y, x)
+        }
+        val keyedOk = equis.isEmpty || keyedRewrite ||
+          keyedPileProven(points, intervals, orientedEquis)
+        val widthOpt: Option[Double] =
+          if (isTs || !keyedOk) None
+          else numConf.filter(_ > 0)
+            .orElse(measuredNumWidth(intervals, lo, hi))
+        // TS width: an explicitly-set bucketSec wins job-free; auto
+        // measures, falling back to the default on an unsound
+        // measurement (object scaladoc — never degrade a working
+        // default plan to the nested loop)
+        val tsWidth: Long =
+          if (!isTs || !keyedOk) 0L
+          else spark.conf.getOption("spark.graft.rangeJoin.bucketSec")
+            .map(_.toLong)
+            .orElse(if (bucketSecAuto) measuredTsWidth(intervals, lo, hi)
+              else None)
+            .getOrElse(bucketSec)
+        if (!keyedOk || (!isTs && widthOpt.isEmpty)) None
+        else Some(build(cond, left, right, ts, lo, hi, points, intervals,
+          flipped, isTs, widthOpt, tsWidth, orientedEquis))
+    }.headOption
   }
 
   /** Assemble the bucketed replacement plan for a matched, approved

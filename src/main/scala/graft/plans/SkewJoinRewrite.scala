@@ -162,12 +162,7 @@ case class SkewJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     * READS (each diagnosis runs fresh and re-caches) until unset. */
   private type CacheKey =
     (LogicalPlan, LogicalPlan, Seq[Int], Long, Int, Boolean, Long)
-  private val decided = java.util.Collections.synchronizedMap(
-    new java.util.LinkedHashMap[CacheKey, Seq[Row]](16, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[CacheKey, Seq[Row]]): Boolean =
-        size() > 64
-    })
+  private val decided = JoinSkew.boundedLru[CacheKey, Seq[Row]]()
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!enabled) return plan

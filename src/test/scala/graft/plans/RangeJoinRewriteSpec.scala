@@ -498,12 +498,14 @@ class RangeJoinRewriteSpec extends AnyFunSuite {
       val fourth = planJobs { plan() }
       assert(fourth == 0,
         s"the re-cached decision must be honored again, ran $fourth")
-      // sampled diagnosis: fires on the planted fixture too — at rate
-      // 0.5 the hottest type's ~199-row pile lower-bounds to ~139
-      // ((c − 3√c)/rate, the only term the sparse window side leaves),
-      // so the target must sit under the EVIDENCE, not the true count:
-      // 100 is provable, 777 would not be (exactly the estimator
-      // discipline — sampled mode salts only what the sample proves)
+      // sampled diagnosis: fires on the planted fixture too. The
+      // keyed ROUTING decision prices on the plan's point estimates
+      // (ceil(c/rate) — not the 3-sigma salt-factor lower bounds;
+      // over-lifting a borderline key costs only bucket replication,
+      // see keyedPileProven's scaladoc), but a sparse side can still
+      // be under-sampled, so the target sits well under the
+      // fixture's estimated price: 100 against a ~200-point-per-type
+      // pile is provable at rate 0.5 under any sampling outcome
       s.conf.set("spark.graft.rangeJoin.keyedTargetRows", "100")
       s.conf.set("spark.graft.rangeJoin.sampleRate", "0.5")
       try {
@@ -560,6 +562,98 @@ class RangeJoinRewriteSpec extends AnyFunSuite {
       s.conf.set("spark.graft.rangeJoin.rewrite", "false")
       s.conf.unset("spark.graft.rangeJoin.bucketSecAuto")
       s.conf.set("spark.graft.rangeJoin.bucketSec", "86400")
+    }
+  }
+
+  test("review-pass pins (r17): duplicate lifted equalities diagnose " +
+    "without crashing, lo==hi (one bound attribute) declines cleanly, " +
+    "an unsampled tail span still declines via the EXACT max, an " +
+    "explicit width=0 kill-switch beats numWidthAuto job-free, and a " +
+    "declined numeric band FALLS THROUGH to a TS triple instead of " +
+    "vetoing the join") {
+    val s = spark
+    import s.implicits._
+    GraftExtensions.register(s)
+    s.conf.set("spark.graft.rangeJoin.rewrite", "true")
+    s.conf.set("spark.graft.rangeJoin.numWidthAuto", "true")
+    s.conf.set("spark.graft.rangeJoin.keyedAuto", "true")
+    s.conf.set("spark.graft.rangeJoin.keyedTargetRows", "2")
+    try {
+      // (1) one points attribute backing TWO lifted equalities:
+      // e.etype = w.t1 AND e.etype = w.t2 — the diagnosis must not
+      // die on the rename (it once left _dk_1 unresolved)
+      val e = Seq((1L, "a", 5.0), (2L, "a", 7.0), (3L, "b", 9.0))
+        .toDF("eid", "etype", "v")
+      val w = Seq((10L, "a", "a", 4.0, 8.0), (11L, "b", "b", 8.5, 9.5))
+        .toDF("wid", "t1", "t2", "wlo", "whi")
+      def dup = e.join(w, col("etype") === col("t1") &&
+        col("etype") === col("t2") &&
+        col("v") >= col("wlo") && col("v") <= col("whi"))
+      s.conf.set("spark.graft.rangeJoin.rewrite", "false")
+      val plain = dup.collect().map(_.toSeq).toSet
+      s.conf.set("spark.graft.rangeJoin.rewrite", "true")
+      assert(dup.collect().map(_.toSeq).toSet == plain,
+        "duplicate-equality keyed diagnosis must keep identity")
+      // (2) lo and hi the SAME attribute — every span 0, decline
+      // without the impossible two-names-one-column rename
+      val pts = Seq((1L, 5.0), (2L, 3.0)).toDF("pid", "p")
+      val bi = Seq((9L, 5.0)).toDF("bid", "b")
+      val same = pts.join(bi,
+        col("p") >= col("b") && col("p") <= col("b"))
+      assert(!same.queryExecution.optimizedPlan.toString
+        .contains("__graft_range"), "lo==hi must decline, not crash")
+      assert(same.count() == 1)
+      // (3) a >=1e5x tail interval must decline under SAMPLING too:
+      // the max span is computed exactly over all valid rows, so the
+      // decline cannot depend on whether the tail row was sampled
+      s.conf.set("spark.graft.rangeJoin.sampleRate", "0.5")
+      val tailIv = ((1 to 50).map(i => (i.toLong, i * 10.0,
+        i * 10.0 + 1.0)) :+ (99L, 0.0, 2.0e5))
+        .toDF("wid", "ilo", "ihi")
+      val tailQ = pts.join(tailIv,
+        col("p") >= col("ilo") && col("p") <= col("ihi"))
+      assert(!tailQ.queryExecution.optimizedPlan.toString
+        .contains("__graft_range"),
+        "the exact max must catch the tail at any sample rate")
+      s.conf.unset("spark.graft.rangeJoin.sampleRate")
+      // (4) explicit numBucketWidth=0 is the documented kill-switch:
+      // the family declines, and auto must not override it (and runs
+      // no diagnosis jobs)
+      s.conf.set("spark.graft.rangeJoin.numBucketWidth", "0")
+      val band = Seq((7L, 4.0, 6.0)).toDF("wid2", "blo", "bhi")
+      def killed = pts.join(band,
+        col("p") >= col("blo") && col("p") <= col("bhi"))
+      val jobs = jobsDuring(s) {
+        assert(!killed.queryExecution.optimizedPlan.toString
+          .contains("__graft_range"),
+          "width=0 must disable the numeric family even under auto")
+      }
+      assert(jobs == 0,
+        s"the kill-switch must not run diagnosis jobs, ran $jobs")
+      s.conf.unset("spark.graft.rangeJoin.numBucketWidth")
+      // (5) a numeric band whose measurement declines (all spans 0,
+      // distinct lo/hi attributes) must fall through to the TS triple
+      // in the same condition, which rewrites with the default bucket
+      val e2 = Seq((1L, 5.0, java.sql.Timestamp.valueOf(
+          "2024-01-01 12:00:00"))).toDF("eid2", "v2", "ts2")
+      val w2 = Seq((20L, 5.0, 5.0,
+          java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+          java.sql.Timestamp.valueOf("2024-01-02 00:00:00")))
+        .toDF("wid3", "zlo", "zhi", "tlo", "thi")
+      val mixed = e2.join(w2,
+        col("v2") >= col("zlo") && col("v2") <= col("zhi") &&
+          col("ts2") >= col("tlo") && col("ts2") <= col("thi"))
+      val p = mixed.queryExecution.optimizedPlan.toString
+      assert(p.contains("__graft_range"),
+        s"the TS triple must fire after the numeric decline:\n$p")
+      assert(mixed.count() == 1)
+    } finally {
+      s.conf.set("spark.graft.rangeJoin.rewrite", "false")
+      s.conf.unset("spark.graft.rangeJoin.numWidthAuto")
+      s.conf.unset("spark.graft.rangeJoin.keyedAuto")
+      s.conf.unset("spark.graft.rangeJoin.keyedTargetRows")
+      s.conf.unset("spark.graft.rangeJoin.numBucketWidth")
+      s.conf.unset("spark.graft.rangeJoin.sampleRate")
     }
   }
 
