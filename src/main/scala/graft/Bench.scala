@@ -136,7 +136,12 @@ object Bench {
       "q_containment_incremental", "q_containment_join_exact",
       "q_containment_recall_audit", "q_lsh_recall_audit",
       "q_stream_corpus_report", "q_stream_containment",
-      "q_leakage_split", "q_events_priority")
+      "q_leakage_split", "q_events_priority",
+      // r17 adjudication: solo-QProbe classes are bimodal (first
+      // samples 2-5x the min even on a load-0 host — GC/page-cache
+      // cold starts over the exact containment join), so a 2-attempt
+      // window flags noise the entry cannot control
+      "q_dedup_drop_contained")
     val loadAvgStart = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     var results = SparkEntry.queries.toSeq.sortBy(_._1).map {

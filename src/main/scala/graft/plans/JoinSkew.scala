@@ -231,40 +231,7 @@ object JoinSkew {
     require(topN >= 1, s"topN must be >= 1, got $topN")
     require(keyCols.nonEmpty && keyCols.distinct == keyCols,
       s"keyCols must be non-empty and distinct, got $keyCols")
-    val m = 1L << 20
-    val thr = math.max(1L, math.round(sampleRate * m))
-    val eff = thr.toDouble / m // the rate actually applied post-rounding
-    // per side: the point estimate (reported) and the 3-sigma LOWER
-    // bound (priced); exact-counted sides use the exact count for both
-    def sideCounts(df: DataFrame, keyAlias: String => String,
-        cntName: String, lowName: String): DataFrame = {
-      val hashable = df.columns.toSeq
-        .filterNot(c => containsMap(df.schema(c).dataType))
-      val nonKey = hashable.filterNot(keyCols.contains)
-      val keys = keyCols.map(c => col(c).as(keyAlias(c)))
-      if (nonKey.isEmpty)
-        df.groupBy(keys: _*)
-          .agg(count(lit(1)).cast("bigint").as(cntName))
-          .withColumn(lowName, col(cntName))
-      else
-        df.filter(pmod(xxhash64(hashable.map(col): _*), lit(m)) < lit(thr))
-          .groupBy(keys: _*).agg(count(lit(1)).as("_c"))
-          .select(keyCols.map(c => col(keyAlias(c))) ++ Seq(
-            ceil(col("_c") / lit(eff)).cast("bigint").as(cntName),
-            floor(greatest(col("_c") - lit(3.0) * sqrt(col("_c")),
-              lit(0.0)) / lit(eff)).cast("bigint").as(lowName)): _*)
-    }
-    val cl = sideCounts(left, identity, "_cl", "_cll")
-    val cr = sideCounts(right, c => s"_kr_$c", "_cr", "_crl")
-    val counts = cl.join(cr,
-        keyCols.map(c => col(c) <=> col(s"_kr_$c")).reduce(_ && _), "full")
-      .select(keyCols.map(c => coalesce(col(c), col(s"_kr_$c")).as(c)) ++
-        Seq(coalesce(col("_cl"), lit(0L)).cast("bigint").as("n_left"),
-          coalesce(col("_cll"), lit(0L)).cast("bigint").as("_ll"),
-          coalesce(col("_cr"), lit(0L)).cast("bigint").as("n_right"),
-          coalesce(col("_crl"), lit(0L)).cast("bigint").as("_lr")): _*)
-      .withColumn("out_rows",
-        (col("n_left") * col("n_right")).cast("bigint"))
+    val counts = sampledCounts(left, right, keyCols, sampleRate)
       .withColumn("_price",
         greatest((col("_ll") * col("_lr")).cast("bigint"), col("_ll")))
       .withColumn("salt",
@@ -276,6 +243,87 @@ object JoinSkew {
       .limit(topN)
       .select(keyCols.map(col) ++ Seq(col("n_left"), col("n_right"),
         col("out_rows"), col("salt")): _*)
+  }
+
+  /** Shared SAMPLED count relation: one row per distinct key tuple
+    * with (keyCols…, n_left, _ll, n_right, _lr, out_rows) — n_* are
+    * point estimates (`ceil(c / rate)`), _ll/_lr the 3-sigma Poisson
+    * lower bounds (`floor(max(c − 3√c, 0) / rate)`); a side with NO
+    * hashable non-key payload column is counted EXACTLY (both columns
+    * carry the exact count — a key-only hash samples each key
+    * all-or-nothing and would hide a hot key with probability
+    * 1−rate). The sample predicate is [[hashSampleCond]] — the one
+    * definition of the sampling discipline. Consumed by
+    * [[saltingPlanSampled]] (prices/ranks on the lower bounds) and
+    * [[pilesAtOrAbove]] (filters on the point estimates). */
+  private def sampledCounts(left: DataFrame, right: DataFrame,
+      keyCols: Seq[String], sampleRate: Double): DataFrame = {
+    val eff = effectiveRate(sampleRate)
+    def sideCounts(df: DataFrame, keyAlias: String => String,
+        cntName: String, lowName: String): DataFrame = {
+      val nonKey = df.columns.toSeq
+        .filterNot(c => containsMap(df.schema(c).dataType))
+        .filterNot(keyCols.contains)
+      val keys = keyCols.map(c => col(c).as(keyAlias(c)))
+      if (nonKey.isEmpty)
+        df.groupBy(keys: _*)
+          .agg(count(lit(1)).cast("bigint").as(cntName))
+          .withColumn(lowName, col(cntName))
+      else
+        df.filter(hashSampleCond(df, sampleRate))
+          .groupBy(keys: _*).agg(count(lit(1)).as("_c"))
+          .select(keyCols.map(c => col(keyAlias(c))) ++ Seq(
+            ceil(col("_c") / lit(eff)).cast("bigint").as(cntName),
+            floor(greatest(col("_c") - lit(3.0) * sqrt(col("_c")),
+              lit(0.0)) / lit(eff)).cast("bigint").as(lowName)): _*)
+    }
+    val cl = sideCounts(left, identity, "_cl", "_cll")
+    val cr = sideCounts(right, c => s"_kr_$c", "_cr", "_crl")
+    cl.join(cr,
+        keyCols.map(c => col(c) <=> col(s"_kr_$c")).reduce(_ && _), "full")
+      .select(keyCols.map(c => coalesce(col(c), col(s"_kr_$c")).as(c)) ++
+        Seq(coalesce(col("_cl"), lit(0L)).cast("bigint").as("n_left"),
+          coalesce(col("_cll"), lit(0L)).cast("bigint").as("_ll"),
+          coalesce(col("_cr"), lit(0L)).cast("bigint").as("n_right"),
+          coalesce(col("_crl"), lit(0L)).cast("bigint").as("_lr")): _*)
+      .withColumn("out_rows",
+        (col("n_left") * col("n_right")).cast("bigint"))
+  }
+
+  /** EXISTS-style pile probe for ROUTING decisions (the keyed range
+    * lift; distinct from the salting planners, which feed a
+    * TREATMENT): the key tuples whose preserved-priced POINT estimate
+    * `greatest(n_left·n_right, n_left)` reaches `targetRows`, as
+    * (keyCols…, n_left, n_right, out_rows). Deliberately NO topN
+    * ranking and NO salt cap — the planners rank by a salt-capped
+    * lower-bound statistic, and a ranking by one statistic with a
+    * filter on another can evict the only provable key (a hot key
+    * whose sparse side leaves a zero lower bound prices salt 0 and
+    * loses its top-20 slot to moderate keys that all fail the
+    * threshold — a structural false decline, not a sampling fluke);
+    * an existence question needs no ranking at all. Point-estimate
+    * pricing is the ROUTING discipline: the salt factors' 3-sigma
+    * conservatism guards against over-SPLITTING on noise, which has
+    * no analogue here — a fluke-lifted borderline key costs bucket
+    * replication, a missed pile keeps its cartesian on one
+    * partition. NULL key components are the caller's business (prune
+    * them first if the consuming join drops them). */
+  def pilesAtOrAbove(left: DataFrame, right: DataFrame,
+      keyCols: Seq[String], targetRows: Long,
+      sampleRate: Double = 1.0): DataFrame = {
+    require(targetRows >= 1, s"targetRows must be >= 1, got $targetRows")
+    require(sampleRate > 0.0 && sampleRate <= 1.0,
+      s"sampleRate must be in (0, 1], got $sampleRate")
+    require(keyCols.nonEmpty && keyCols.distinct == keyCols,
+      s"keyCols must be non-empty and distinct, got $keyCols")
+    val counts =
+      if (sampleRate >= 1.0)
+        keyCountsMulti(left.select(keyCols.map(col): _*),
+          right.select(keyCols.map(col): _*), keyCols)
+      else sampledCounts(left, right, keyCols, sampleRate)
+    counts.filter(greatest(col("out_rows"), col("n_left")) >= targetRows)
+      .select(keyCols.map(col) ++ Seq(col("n_left"), col("n_right"),
+        col("out_rows")): _*)
   }
 
   def joinSkewCard(left: DataFrame, right: DataFrame, keyCol: String,
@@ -360,32 +408,37 @@ object JoinSkew {
     * tag joins (plan ≤ topN rows), the cold shuffle join, and the hot
     * shuffle join on (key, _salt) — no new corpus-sized shuffles beyond
     * the join being treated. */
-  /** The ONE deterministic row-sample primitive shared by every
-    * plan-time diagnosis (this object's sampled counts conceptually,
-    * [[RangeJoinRewrite]]'s width/keyed diagnoses concretely):
+  /** Sampling constants of the ONE deterministic row-sample primitive
+    * shared by every plan-time diagnosis (this object's sampled
+    * counts, [[RangeJoinRewrite]]'s width/keyed diagnoses): a single
+    * definition so the modulus / rounding discipline cannot silently
+    * diverge between components — each copy of these constants is a
+    * place the cross-component "same rows sampled everywhere"
+    * determinism guarantee can rot. */
+  private val SampleModulus = 1L << 20
+  private def sampleThreshold(rate: Double): Long =
+    math.max(1L, math.round(rate * SampleModulus))
+  /** The rate actually applied after threshold rounding — per-key
+    * sampled counts scale back by THIS, not the requested rate. */
+  private def effectiveRate(rate: Double): Double =
+    sampleThreshold(rate).toDouble / SampleModulus
+
+  /** The sample membership PREDICATE:
     * `pmod(xxhash64(hashable cols), 2^20) < rate·2^20` — payload-
     * deterministic, so the same rows are sampled on every re-run and
-    * stage retry, and a single definition so the modulus / rounding /
-    * MapType-exclusion discipline cannot silently diverge between
-    * components (each copy of these constants is a place the
-    * cross-component determinism guarantee can rot). `rate >= 1`
-    * returns the input untouched. */
-  private[plans] def hashSampled(df: DataFrame, rate: Double): DataFrame =
-    if (rate >= 1.0) df else df.filter(hashSampleCond(df, rate))
-
-  /** The sample membership PREDICATE of [[hashSampled]], for callers
-    * that need to sample one aggregate's input while computing another
-    * exactly over the same scan (e.g. a sampled median next to an
-    * exact max). `lit(true)` at rate ≥ 1. */
+    * stage retry; MapType columns are excluded from the hash
+    * ([[containsMap]]). Exposed as a predicate (not a filtered frame)
+    * so callers can sample one aggregate's input while computing
+    * another exactly over the same scan (e.g. a sampled median next
+    * to an exact max). `lit(true)` at rate ≥ 1. */
   private[plans] def hashSampleCond(df: DataFrame, rate: Double)
       : org.apache.spark.sql.Column =
     if (rate >= 1.0) lit(true)
     else {
-      val m = 1L << 20
-      val thr = math.max(1L, math.round(rate * m))
       val hashable = df.columns.toSeq
         .filterNot(c => containsMap(df.schema(c).dataType))
-      pmod(xxhash64(hashable.map(col): _*), lit(m)) < lit(thr)
+      pmod(xxhash64(hashable.map(col): _*), lit(SampleModulus)) <
+        lit(sampleThreshold(rate))
     }
 
   /** Bounded synchronized LRU for plan-time decision caches — the

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.functions.{col, greatest, lit, percentile_approx, when}
+import org.apache.spark.sql.functions.{col, lit, percentile_approx, when}
 import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, JoinHint, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -365,19 +365,16 @@ case class RangeJoinRewrite(spark: SparkSession)
     * itself prunes them), cached per canonicalized (points,
     * intervals, key ordinals, target, rate).
     *
-    * The decision reads the COUNT columns, never the plan's `salt`:
-    * salt is capped at the left row count (right for a treatment that
-    * splits left rows — a factor beyond them splits nothing) but
-    * wrong for this ROUTING question — a 1-point key over a 10M-row
-    * intervals side caps to salt 1 yet is exactly the per-key
-    * cartesian the (keys…, bucket) shuffle splits (review fix).
-    * Under sampling the counts are the plan's point estimates
-    * (`ceil(c/rate)`, relative error ~1/√c), not the 3-sigma lower
-    * bounds the SALT factors price with — the conservatism that
-    * matters for salting (never over-split on noise) has no analogue
-    * here, where a false-positive lift costs only bucket replication
-    * on a borderline key while a false-negative keeps a pile on one
-    * hash partition; routing decisions price on the estimate. */
+    * The decision goes through [[JoinSkew.pilesAtOrAbove]] — an
+    * existence probe with NO topN ranking and NO salt cap (second
+    * review pass: the planners rank by a salt-capped lower-bound
+    * statistic, so a 1-point key over a 10M-row intervals side capped
+    * to salt 1, and under sampling the only point-estimate-provable
+    * key could be evicted from the topN by lower-bound-ranked keys
+    * that all failed the threshold — both structural false declines
+    * for a question that is just "does such a key EXIST"). Point-
+    * estimate pricing is the routing discipline; see the probe's
+    * scaladoc for the full estimator argument. */
   private def keyedPileProven(points: LogicalPlan,
       intervals: LogicalPlan,
       pairs: Seq[(Attribute, Attribute)]): Boolean = {
@@ -414,22 +411,10 @@ case class RangeJoinRewrite(spark: SparkSession)
           .reduce(_ && _))
     }
     val keyNames = pairs.indices.map(i => s"_dk_$i")
-    // topN 20 (the planner default), because the plan RANKS by its
-    // salt-capped price while this decision prices uncapped — the
-    // uncapped-hot key is in any realistic top handful even when the
-    // cap demotes it below a saltable one
-    val plan =
-      if (rate < 1.0)
-        JoinSkew.saltingPlanSampled(keyed(points, pairs.map(_._1)),
-          keyed(intervals, pairs.map(_._2)), keyNames, target,
-          topN = 20, sampleRate = rate)
-      else
-        JoinSkew.saltingPlanMulti(keyed(points, pairs.map(_._1)),
-          keyed(intervals, pairs.map(_._2)), keyNames, target,
-          topN = 20, preserved = true)
-    // bounded ≤1-row collect over the ≤topN plan rows
-    val proven = plan
-      .filter(greatest(col("out_rows"), col("n_left")) >= target)
+    // bounded ≤1-row existence collect — no plan, no ranking
+    val proven = JoinSkew.pilesAtOrAbove(
+        keyed(points, pairs.map(_._1)), keyed(intervals, pairs.map(_._2)),
+        keyNames, target, rate)
       .limit(1).count() > 0
     keyedDecided.put(cacheKey, proven)
     proven

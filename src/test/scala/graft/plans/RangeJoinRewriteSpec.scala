@@ -657,6 +657,41 @@ class RangeJoinRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("keyed routing prices UNCAPPED (r17 second review pass): a " +
+    "SINGLE-point key over a large intervals side — which the salting " +
+    "planners cap to salt 1 because splitting one row is pointless — " +
+    "must still lift, because the per-key cartesian lives on the " +
+    "intervals side and the (key, bucket) shuffle splits it anyway") {
+    val s = spark
+    import s.implicits._
+    GraftExtensions.register(s)
+    // one point for the hot key; 300 intervals all containing it —
+    // price greatest(1*300, 1) = 300, old salt = least(3, nL=1) = 1
+    val pts = Seq(("h", 5.0), ("cold", 50.0)).toDF("ptype", "p")
+    val ivs = (1 to 300).map(i => (i.toLong, "h", 4.0, 6.0))
+      .toDF("wid", "wtype", "ilo", "ihi")
+    def q = pts.join(ivs, col("ptype") === col("wtype") &&
+      col("p") >= col("ilo") && col("p") <= col("ihi"))
+    val plain = q.collect().map(_.toSeq).toSet
+    assert(plain.size == 300)
+    s.conf.set("spark.graft.rangeJoin.rewrite", "true")
+    s.conf.set("spark.graft.rangeJoin.keyedAuto", "true")
+    s.conf.set("spark.graft.rangeJoin.keyedTargetRows", "100")
+    s.conf.set("spark.graft.rangeJoin.numBucketWidth", "2.5")
+    try {
+      val p = q.queryExecution.executedPlan.toString
+      assert(p.contains("__graft_range"),
+        s"a 1-point x 300-interval key must route keyed (salt-cap " +
+          s"pricing would have declined it):\n$p")
+      assert(q.collect().map(_.toSeq).toSet == plain)
+    } finally {
+      s.conf.set("spark.graft.rangeJoin.rewrite", "false")
+      s.conf.unset("spark.graft.rangeJoin.keyedAuto")
+      s.conf.unset("spark.graft.rangeJoin.keyedTargetRows")
+      s.conf.unset("spark.graft.rangeJoin.numBucketWidth")
+    }
+  }
+
   test("NULL bounds and NULL points match nothing, same as the nested " +
     "loop") {
     val s = spark
