@@ -1694,13 +1694,23 @@ object Curation {
     // identical strings IS the string, so the text rides the same agg)
     val groups = chunkGroups(chunks)
     val reps = groups.select(col("rep_key").as("doc_id"), col("text"))
-    // stage 2: banded near-dup + exact rescore over REPRESENTATIVES
-    val cands = Dedup.minhashCandidates(reps, k, numHashes, bands,
-      minEstJaccard = minEstJaccard, oracleHashes = oracleHashes,
-      maxBucketSize = maxBucketSize)
-    val repPairs = Dedup.jaccardRescore(reps, cands, k)
-      .filter(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b")
+    // stage 2: banded near-dup + exact rescore over REPRESENTATIVES.
+    // cands is consumed twice by the rescore and repPairs twice by the
+    // threat-minimum union below; each lazy reference re-ran the band
+    // join / the whole rescore (r17 optimization round, plan-verified
+    // duplicate subtrees). Both are pair-bounded caches.
+    val cands = PipelineCaches.track(
+      Dedup.minhashCandidates(reps, k, numHashes, bands,
+        minEstJaccard = minEstJaccard, oracleHashes = oracleHashes,
+        maxBucketSize = maxBucketSize)
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    cands.count()
+    val repPairs = PipelineCaches.track(
+      Dedup.jaccardRescore(reps, cands, k)
+        .filter(col("jaccard") >= threshold)
+        .select("doc_a", "doc_b")
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    repPairs.count()
     // per group, the smallest qualifying PARTNER representative (both
     // orientations: a lower partner min threatens either side's members)
     val thr = repPairs
@@ -2177,12 +2187,20 @@ object Curation {
   def sharedSpans(docs: DataFrame, candidates: DataFrame, k: Int = 3)
       : DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    // the incoming candidate relation is referenced FOUR times below
+    // (both candIds sides, the hits join, the final left join); a lazy
+    // caller-side pair pipeline (the catalog entries pass the banded
+    // generator's join+distinct directly) re-ran per reference — r17
+    // optimization round, pair-bounded cache
+    val cand0 = PipelineCaches.track(candidates
+      .persist(StorageLevel.MEMORY_AND_DISK))
+    cand0.count()
     // positional grams ONLY for docs that appear in a candidate pair —
     // at corpus scale the candidate doc set is orders of magnitude
     // smaller than the corpus, and non-candidate docs contribute
     // nothing to any pair span
-    val candIds = candidates.select(col("doc_a").as("doc_id"))
-      .unionByName(candidates.select(col("doc_b").as("doc_id")))
+    val candIds = cand0.select(col("doc_a").as("doc_id"))
+      .unionByName(cand0.select(col("doc_b").as("doc_id")))
       .distinct()
     val grams = PipelineCaches.track(docs
       .join(candIds, Seq("doc_id"), "left_semi")
@@ -2196,7 +2214,7 @@ object Curation {
       .persist(StorageLevel.MEMORY_AND_DISK))
     val bSet = grams.select(col("doc_id").as("doc_b"), col("gram_key"))
       .distinct()
-    val cand = candidates.select("doc_a", "doc_b")
+    val cand = cand0.select("doc_a", "doc_b")
     val hits = cand
       .join(grams.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"))
       .join(bSet, Seq("doc_b", "gram_key"))
@@ -2260,12 +2278,18 @@ object Curation {
     // passing ordered pairs (e.g. containmentJoinExact emits BOTH
     // orientations of a mutual near-dup) must not make both docs lose —
     // (least, greatest) + distinct restores the unordered contract; the
-    // distinct rides the candidate-bounded pair relation
-    val cands = candidates
+    // distinct rides the candidate-bounded pair relation.
+    // Persisted + materialized (r17 optimization round): the normalized
+    // pair set is referenced three times below (both candIds sides, the
+    // islands join) and each lazy reference re-ran the caller's whole
+    // candidate pipeline + this distinct. Pair-bounded cache.
+    val cands = PipelineCaches.track(candidates
       .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
         greatest(col("doc_a"), col("doc_b")).as("doc_b"))
       .filter(col("doc_a") =!= col("doc_b"))
       .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK))
+    cands.count()
     val candIds = cands.select(col("doc_a").as("doc_id"))
       .unionByName(cands.select(col("doc_b").as("doc_id")))
       .distinct()

@@ -337,10 +337,18 @@ object Dedup {
     * (doc_id, shingle) relation — the exact joins persist exactly this
     * table for candidate generation, and re-deriving it inside the
     * rescore was a full second corpus shingle pass (measured round 15:
-    * the whole exact-join family pays it). */
+    * the whole exact-join family pays it).
+    *
+    * `sizes` lets a caller that already computed the per-doc shingle
+    * counts (the exact joins build them for the prefix bound) feed them
+    * in instead of paying two more aggs over `sh` (r17 optimization
+    * round, guide §2.4 — shared work computed once). Must be exactly
+    * sh.groupBy(doc_id).count — identity, not a tuning knob. */
   private[graft] def pairShingleCountsFrom(
-      sh: DataFrame, candidates: DataFrame): DataFrame = {
-    val counts = sh.groupBy("doc_id").count().withColumnRenamed("count", "n_sh")
+      sh: DataFrame, candidates: DataFrame,
+      sizes: Option[DataFrame] = None): DataFrame = {
+    val counts = sizes.getOrElse(
+      sh.groupBy("doc_id").count().withColumnRenamed("count", "n_sh"))
     val inter = candidates
       .join(sh.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"))
       .join(sh.withColumnRenamed("doc_id", "doc_b")
@@ -382,10 +390,13 @@ object Dedup {
 
   /** [[containmentRescore]] over a prebuilt distinct (doc_id, shingle)
     * relation — lets the exact joins feed their PERSISTED shingle table
-    * into the rescore instead of paying a second corpus shingle pass. */
+    * into the rescore instead of paying a second corpus shingle pass.
+    * Optional `sizes` forwards a caller's precomputed per-doc counts
+    * (see [[pairShingleCountsFrom]]). */
   private[graft] def containmentRescoreFrom(
-      sh: DataFrame, candidates: DataFrame): DataFrame =
-    containmentProjection(pairShingleCountsFrom(sh, candidates))
+      sh: DataFrame, candidates: DataFrame,
+      sizes: Option[DataFrame] = None): DataFrame =
+    containmentProjection(pairShingleCountsFrom(sh, candidates, sizes))
 
   private def containmentProjection(pc: DataFrame): DataFrame =
     pc.select(col("doc_a"), col("doc_b"),
@@ -412,8 +423,16 @@ object Dedup {
     * pairs; everything after the rescore is bin-bounded. */
   def pairJaccardHist(docs: DataFrame, k: Int = 3, numHashes: Int = 8,
       bands: Int = 4, oracleHashes: Boolean = false): DataFrame = {
-    val cands = minhashCandidates(docs, k, numHashes, bands,
-      minEstJaccard = 0.0, oracleHashes = oracleHashes)
+    // persisted + materialized (r17 optimization round): the rescore
+    // consumes the candidate set twice, and each lazy reference re-ran
+    // the band self-join + distinct (the buckets cache inside
+    // minhashCandidates bounds that recompute but does not remove it).
+    // Pair-bounded, so the cache is small by construction.
+    val cands = PipelineCaches.track(
+      minhashCandidates(docs, k, numHashes, bands,
+        minEstJaccard = 0.0, oracleHashes = oracleHashes)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    cands.count()
     val scored = jaccardRescore(docs, cands, k)
     scored
       .groupBy(floor(col("jaccard") * 20).cast("int").as("bin"))
@@ -466,13 +485,29 @@ object Dedup {
     val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("_df"))
     def alphaCeil(sz: Column): Column =
       ceil(sz.cast("double") * lit(threshold) - lit(1e-9))
-    val prefix = sh.join(dfreq, Seq("shingle"))
+    // persisted + materialized (r17 optimization round): BOTH sides of
+    // the candidate self-join scan the prefix relation, and each lazy
+    // reference re-ran the df agg + two joins + the per-doc window
+    // (plan-verified: the Window subtree appeared 4x in the entry's
+    // physical plan — twice per cands evaluation, and cands itself was
+    // consumed twice by the rescore). Prefix rows are the ~(1−t) head
+    // of each doc's shingle list — strictly smaller than the already-
+    // persisted sh relation, so the cache is the cheap side of the
+    // trade at any scale (guide §2.4: remove recomputed subtrees).
+    val prefix = PipelineCaches.track(sh.join(dfreq, Seq("shingle"))
       .join(sizes, Seq("doc_id"))
       .withColumn("_r", row_number().over(Window.partitionBy("doc_id")
         .orderBy(col("_df").asc, col("shingle").asc)))
       .filter(col("_r") <= col("_sz") - alphaCeil(col("_sz")) + 1)
       .select("shingle", "doc_id", "_sz")
-    val cands = prefix
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    prefix.count()
+    // persisted + materialized: the rescore consumes the candidate set
+    // twice (the intersection join and the final pair left-join), and
+    // each lazy reference re-ran the whole self-join + distinct.
+    // Pair-bounded by construction — small by the same argument as
+    // paragraphProbeCore's cands cache (the round-15/16 lesson).
+    val cands = PipelineCaches.track(prefix
       .select(col("shingle"), col("doc_id").as("doc_a"),
         col("_sz").as("_sza"))
       .join(prefix.select(col("shingle"), col("doc_id").as("doc_b"),
@@ -481,7 +516,10 @@ object Dedup {
       .filter(col("_szb") >= alphaCeil(col("_sza")) &&
         col("_sza") >= alphaCeil(col("_szb")))
       .select("doc_a", "doc_b").distinct()
-    containmentRescoreFrom(sh, cands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    cands.count()
+    containmentRescoreFrom(sh, cands,
+        sizes = Some(sizes.select(col("doc_id"), col("_sz").as("n_sh"))))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
   }
@@ -532,7 +570,12 @@ object Dedup {
       .filter(col("_r") <= col("_sz") - alphaCeil(col("_sz")) + 1)
       .select(col("shingle"), col("doc_id").as("doc_a"),
         col("_sz").as("_sza"))
-    val cands = prefix
+    // persisted + materialized (r17 optimization round): the rescore
+    // consumes the candidate set twice and each lazy reference re-ran
+    // the prefix pipeline + the index join + distinct (plan-verified
+    // duplicate subtrees, same fix as jaccardJoinExact). prefix itself
+    // is consumed once here, so it stays lazy.
+    val cands = PipelineCaches.track(prefix
       .join(sh.select(col("shingle"), col("doc_id").as("doc_b")),
         Seq("shingle"))
       .filter(col("doc_a") =!= col("doc_b"))
@@ -540,7 +583,10 @@ object Dedup {
         col("_sz").as("_szb")), Seq("doc_b"))
       .filter(col("_szb") >= alphaCeil(col("_sza")))
       .select("doc_a", "doc_b").distinct()
-    containmentRescoreFrom(sh, cands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    cands.count()
+    containmentRescoreFrom(sh, cands,
+        sizes = Some(sizes.select(col("doc_id"), col("_sz").as("n_sh"))))
       .filter(col("containment_a") >= threshold)
       .select("doc_a", "doc_b", "containment_a")
   }
@@ -566,8 +612,15 @@ object Dedup {
     * candidate-bounded pair relation. */
   def minhashEstQuality(docs: DataFrame, k: Int = 3, numHashes: Int = 8,
       bands: Int = 4, oracleHashes: Boolean = false): DataFrame = {
-    val cands = minhashCandidates(docs, k, numHashes, bands,
-      minEstJaccard = 0.0, oracleHashes = oracleHashes)
+    // persisted + materialized (r17 optimization round): this entry
+    // references the candidate set THREE times (both rescore sides +
+    // the est_jaccard join-back), and each lazy reference re-ran the
+    // band self-join + distinct. Pair-bounded cache.
+    val cands = PipelineCaches.track(
+      minhashCandidates(docs, k, numHashes, bands,
+        minEstJaccard = 0.0, oracleHashes = oracleHashes)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    cands.count()
     val err = containmentRescore(docs,
         cands.select("doc_a", "doc_b"), k)
       .join(cands, Seq("doc_a", "doc_b"))
@@ -651,6 +704,11 @@ object Dedup {
       containmentJoinExact(docs, threshold, k)
         .select(col("doc_a"), col("doc_b"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // materialize before the self-join below references it twice —
+    // two lazily-cached branches race to populate and the exact join
+    // executes twice (r17 optimization round; the minhashCandidates
+    // buckets comment documents the same race)
+    pairs.count()
     // orient: does the reverse pair exist (mutual containment)?
     val rev = pairs.select(col("doc_a").as("doc_b"),
       col("doc_b").as("doc_a")).withColumn("_mutual", lit(1))
@@ -741,9 +799,15 @@ object Dedup {
       .agg(count(lit(1)).as("_i"))
     // index×batch pairs appear once; in-batch pairs restricted to
     // id_x < id_y so each unordered pair is scored once — BOTH
-    // orientations are then emitted from the one scored row
-    val pairs = inters(pruned)
+    // orientations are then emitted from the one scored row.
+    // Persisted + materialized (r17 optimization round): the two
+    // orientation projections below each referenced the lazy pair
+    // relation, re-running both intersection joins per reference.
+    // One row per batch-touching co-shingle pair — batch-bounded.
+    val pairs = PipelineCaches.track(inters(pruned)
       .unionAll(inters(nb).filter(col("id_x") < col("id_y")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    pairs.count()
     pairs.select(col("id_x").as("doc_a"), col("id_y").as("doc_b"),
         (col("_i").cast("double") / col("n_x")).as("containment_a"))
       .unionAll(pairs.select(col("id_y").as("doc_a"),
